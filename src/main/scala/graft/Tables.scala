@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Canonical loaders for the driver testdata (`/root/testdata/sf*`).
+  *
+  * All queries go through these so per-table normalizations happen exactly
+  * once. The only normalization today: `events.ts` is parquet TIMESTAMP(NANOS)
+  * — with `spark.sql.legacy.parquet.nanosAsLong=true` it surfaces as a long of
+  * nanos-since-epoch, which we truncate (integer `div`) to µs TimestampType.
+  * DuckDB's parquet reader performs the identical ns→µs truncation, so oracle
+  * comparisons are exact.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders", "lineitem",
+    "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    name match {
+      case "events" =>
+        // `ts div 1000` is integral division on longs: no double rounding.
+        // Cast to NTZ (identity under the UTC session) so ALL tables carry
+        // TIMESTAMP_NTZ, matching both the TPC-H parquet columns and DuckDB's
+        // naive timestamps.
+        df.withColumn("ts",
+          timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      case _ => df
+    }
+  }
+
+  def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = apply(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = apply(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = apply(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame     = apply(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+
+  /** Register all tables as temp views (handy for spark.sql usage in tests). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column builders: tokenization, n-gram shingles, document
+  * fingerprints, quality features, a tiny stopword-overlap language scorer.
+  * All built-ins / higher-order functions — codegen-friendly, no UDFs.
+  */
+object TextFunctions {
+
+  /** Shared stopword list (used by quality features and top-word queries). */
+  val stopwords: Seq[String] = Seq("the", "a", "to", "of", "and", "in", "is")
+
+  /** Whitespace tokens, lower-cased. */
+  def tokens(text: Column): Column = split(lower(text), " ")
+
+  /** Distinct token set (for Jaccard / fingerprints). */
+  def tokenSet(text: Column): Column = array_distinct(tokens(text))
+
+  /** OpenRefine-style fingerprint: md5 of the sorted distinct token set.
+    * Collisions == same bag of words → near-dup candidates. */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(split(lower(text), " ")))))
+
+  /** Word n-gram shingles (n consecutive tokens joined by a space). */
+  def shingles(toks: Column, n: Int): Column =
+    transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
+      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))
+
+  /** Rolling 64-bit fingerprint over the token stream: a chained hash
+    * (order sensitive, deterministic, no overflow under ANSI mode). */
+  def rollingFingerprint(toks: Column): Column =
+    aggregate(toks, lit(0L), (acc, t) => xxhash64(acc, t))
+
+  /** Number of tokens from `toks` found in `wordlist`. */
+  def overlap(toks: Column, wordlist: Seq[String]): Column =
+    size(filter(toks, t => t.isin(wordlist.map(lit): _*)))
+
+  /** Tiny per-"language" keyword lists for the n-gram/stopword language-ID
+    * heuristic. (The driver corpus is synthetic; the scorer's job is to be a
+    * deterministic, scalable shape — per-row array overlap, no shuffle.) */
+  val langKeywords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "is", "in"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "est", "dans"),
+    "es" -> Seq("el", "la", "de", "y", "un", "es", "en"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "ist", "in"),
+    "zh" -> Seq("的", "是", "在", "和", "了", "有", "我"))
+
+  /** Language guess = argmax keyword overlap (ties → lexicographically LAST
+    * language — deterministic), 'und' when nothing matches. */
+  def langGuess(toks: Column): Column = {
+    val scored = langKeywords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(overlap(toks, words).as("score"), lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+}

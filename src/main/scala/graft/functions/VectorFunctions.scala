@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column builders for dense-vector math over `array<float>` columns.
+  *
+  * Everything is expressed with codegen'd higher-order functions (zip_with /
+  * aggregate) — no UDFs — so whole-stage codegen keeps the hot loop fused.
+  * Floats are cast to double per element BEFORE multiplication and the fold is
+  * strictly sequential, making results bit-identical across engines/runs
+  * regardless of partitioning (the fold is per-row, not an aggregation).
+  */
+object VectorFunctions {
+
+  private def d(c: Column): Column = c.cast("double")
+
+  /** Sequential left-fold sum of a double-array column. */
+  def fsum(arr: Column): Column =
+    aggregate(arr, lit(0.0), (acc, x) => acc + x)
+
+  /** Dot product of two float-array columns, computed in double. */
+  def dot(a: Column, b: Column): Column =
+    fsum(zip_with(a, b, (x, y) => d(x) * d(y)))
+
+  /** Squared L2 norm. */
+  def norm2(a: Column): Column = fsum(transform(a, x => d(x) * d(x)))
+
+  /** Cosine similarity of two float-array columns. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+
+  /** DuckDB oracle fragment mirroring [[dot]] exactly (sequential double
+    * fold over per-element products). */
+  def sqlDot(a: String, b: String, dim: Int = 64): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, ${dim + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (acc, x) -> acc + x)"
+
+  /** DuckDB oracle fragment mirroring [[norm2]]. */
+  def sqlNorm2(a: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, x) -> acc + x)"
+
+  /** DuckDB oracle fragment mirroring [[cosine]]. */
+  def sqlCosine(a: String, b: String, dim: Int = 64): String =
+    s"${sqlDot(a, b, dim)} / (sqrt(${sqlNorm2(a)}) * sqrt(${sqlNorm2(b)}))"
+}

@@ -1,0 +1,714 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2B batch relational surface: scans, projection/filter, all join
+  * shapes, aggregation, window functions, sort/limit/top-k, set operations and
+  * the scalar-function families (Q01–Q28). Every query here is declarative
+  * DataFrame API — Catalyst does pushdown/pruning/join-selection; dimension
+  * tables are explicitly `broadcast()` where a 100 TB fact side must not
+  * shuffle them.
+  *
+  * Determinism contract with the DuckDB oracle (driver-verified):
+  *  - results fully ordered on a unique key set, with explicit null ordering;
+  *  - double sums go through exact DECIMAL (see [[graft.operators.dsum]]);
+  *  - int-ish computed columns cast to BIGINT on both sides.
+  */
+object RelationalQueries extends QueryGroup {
+
+  // ---- scans & projection -------------------------------------------------
+
+  /** Q01: parquet scan + projection + stable order. Column pruning must reach
+    * the scan (ReadSchema shows 4 cols only). */
+  private val q01: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Q02: JSON string field extraction (events.props). */
+  private val q02: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_val"))
+      .orderBy("event_id")
+
+  /** Q03: expressions — arithmetic chain, aliasing, CASE WHEN. */
+  private val q03: Q = (s, d) =>
+    Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      (col("l_extendedprice") * (lit(1) - col("l_discount")) *
+        (lit(1) + col("l_tax"))).as("net"),
+      when(col("l_discount") > 0.05, "HIGH").otherwise("LOW").as("disc_class"))
+    .orderBy("l_orderkey", "l_linenumber")
+
+  /** Q04: predicate zoo — AND/OR/NOT, IN, BETWEEN on timestamps, IS NOT NULL.
+    * All of it must be pushed to the parquet scan (PushedFilters). */
+  private val q04: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate").between("1996-01-01", "1996-12-31 23:59:59") &&
+        col("l_quantity").isin(1, 2, 3, 4, 5, 10, 20, 30, 40, 50) &&
+        (col("l_discount").between(0.02, 0.08) || col("l_tax") < 0.03) &&
+        !(col("l_returnflag") === "A") &&
+        col("l_suppkey").isNotNull)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Q04b: LIKE family on part. */
+  private val q04b: Q = (s, d) =>
+    Tables.part(s, d)
+      .filter((col("p_name").like("%ring%") || col("p_type").like("PROM%")) &&
+        col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35, 40, 45, 50))
+      .select("p_partkey", "p_name", "p_type", "p_size")
+      .orderBy("p_partkey")
+
+  // ---- joins --------------------------------------------------------------
+
+  /** Q05: inner equi-join + group agg; customer is the broadcast side (a dim
+    * of ~1% the fact rows — at 100 TB never shuffle the fact to co-locate). */
+  private val q05: Q = (s, d) =>
+    Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_price"),
+        max(col("o_totalprice")).as("max_price"))
+      .orderBy("c_mktsegment")
+
+  /** Q06: multi-way join (TPC-H Q5 shape): the one big fact⋈fact shuffle join
+    * (lineitem⋈orders) plus broadcast dims for everything else. */
+  private val q06: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val o  = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1998-01-01")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+        .as("revenue"))
+      .orderBy(col("revenue").desc_nulls_last, col("n_name"))
+  }
+
+  /** Q07: left outer join — customers with zero orders kept (count=0). */
+  private val q07: Q = (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey", "c_name")
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        coalesce(dsum(col("o_totalprice")), lit(0.0)).as("total_price"))
+      .orderBy("c_custkey")
+
+  /** Q08: left semi (EXISTS). */
+  private val q08: Q = (s, d) =>
+    Tables.part(s, d)
+      .join(Tables.lineitem(s, d), col("p_partkey") === col("l_partkey"),
+        "left_semi")
+      .select("p_partkey", "p_name")
+      .orderBy("p_partkey")
+
+  /** Q09: left anti (NOT EXISTS). */
+  private val q09: Q = (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"),
+        "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** Q10: cross join (tiny × tiny only — anything else is a bug at scale). */
+  private val q10: Q = (s, d) =>
+    Tables.region(s, d).crossJoin(Tables.nation(s, d))
+      .select("r_name", "n_name")
+      .orderBy("r_name", "n_name")
+
+  /** Q11: range join (events within 5 min per user), implemented as an
+    * equi-join on (user, 5-min bucket) with the left side exploded to two
+    * adjacent buckets — O(n) shuffle instead of a per-user BNLJ, which is the
+    * only shape that survives 100 TB. The oracle is the naive theta-join.
+    */
+  private val q11: Q = (s, d) => {
+    val e = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), epochUs(col("ts")).as("us"))
+    val width = 300000000L // 5 minutes in µs
+    val a = e.withColumn("jb",
+      explode(array(expr(s"us div $width"), expr(s"us div $width") + 1)))
+      .select(col("event_id").as("a_id"), col("user_id"),
+        col("us").as("a_us"), col("jb"))
+    val b = e.select(col("event_id").as("b_id"), col("user_id").as("b_user"),
+      col("us").as("b_us"), expr(s"us div $width").as("b_bkt"))
+    a.join(b, col("user_id") === col("b_user") && col("jb") === col("b_bkt") &&
+        col("b_us") > col("a_us") && col("b_us") <= col("a_us") + width)
+      .select(col("a_id"), col("b_id"), col("user_id"),
+        (col("b_us") - col("a_us")).as("gap_us"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Q12: as-of join — for each click, the latest purchase by the same user at
+    * ts ≤ click.ts. Implemented as a single-pass window (RANGE frame over the
+    * event-time axis) instead of a join: one shuffle on user_id, no pair
+    * explosion. Oracle: DuckDB's native ASOF LEFT JOIN.
+    */
+  private val q12: Q = (s, d) => {
+    val e = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        epochUs(col("ts")).as("us"),
+        when(col("event_type") === "purchase", col("ts")).as("pts"))
+    val w = Window.partitionBy("user_id").orderBy("us")
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("last_purchase_ts", max(col("pts")).over(w))
+      .filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts", "last_purchase_ts")
+      .orderBy("event_id")
+  }
+
+  // ---- aggregation --------------------------------------------------------
+
+  /** Q13: TPC-H Q1 shape — partial+final hash agg, exact decimal sums. */
+  private val q13: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= "2001-09-02")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+          .as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+          (lit(1) + col("l_tax")), 6).as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Q14: distinct aggregates. */
+  private val q14: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        sumDistinct(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_distinct_qty"))
+      .orderBy("l_returnflag")
+
+  /** Q15: rollup + grouping_id over a 3-way join. */
+  private val q15: Q = (s, d) =>
+    Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .select("n_name", "o_orderpriority")
+      .rollup(col("n_name"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        grouping_id().cast("long").as("gid"))
+      .orderBy(col("gid"), col("n_name").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  /** Q15b: cube. */
+  private val q15b: Q = (s, d) =>
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        grouping_id().cast("long").as("gid"))
+      .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  /** Q16: global (grand) aggregate, no keys. */
+  private val q16: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        min(col("l_shipdate")).as("min_ship"),
+        max(col("l_shipdate")).as("max_ship"),
+        dsum(col("l_quantity")).as("total_qty"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"))
+
+  // ---- window functions ---------------------------------------------------
+
+  /** Q17: ranking family. row_number/ntile run over a unique ordering;
+    * rank/dense_rank/percent_rank run over the tie-producing o_orderdate
+    * ordering (so ties are exercised but results stay deterministic). */
+  private val q17: Q = (s, d) => {
+    val unique = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val tied   = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    Tables.orders(s, d).select(
+      col("o_custkey"), col("o_orderkey"),
+      row_number().over(unique).cast("long").as("rn"),
+      rank().over(tied).cast("long").as("rnk"),
+      dense_rank().over(tied).cast("long").as("drnk"),
+      ntile(4).over(unique).cast("long").as("nt"),
+      percent_rank().over(tied).as("pr"))
+    .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Q18: analytic functions + frames: lag/lead, running total (rows frame),
+    * sliding mean (rows frame), count over a numeric RANGE frame. */
+  private val q18: Q = (s, d) => {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sliding = w.rowsBetween(-2, 0)
+    val byDays = Window.partitionBy("o_custkey").orderBy("days")
+      .rangeBetween(-30, 0)
+    Tables.orders(s, d)
+      .withColumn("days",
+        datediff(col("o_orderdate").cast("date"), lit("1970-01-01")))
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(running)
+          .cast("double").as("run_total"),
+        (sum(col("o_totalprice").cast("decimal(18,2)")).over(sliding)
+          .cast("double") / count(lit(1)).over(sliding)).as("slide_avg3"),
+        count(lit(1)).over(byDays).as("cnt_30d"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  // ---- sort / limit / top-k ----------------------------------------------
+
+  /** Q19: global top-k with unique tie-break → TakeOrderedAndProject (no full
+    * sort of 100 TB; each partition keeps k rows, driver merges). */
+  private val q19: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_totalprice", "o_orderdate")
+      .orderBy(col("o_totalprice").desc_nulls_last, col("o_orderkey"))
+      .limit(100)
+
+  /** Q20: top-3 per group via row_number — single shuffle on the group key. */
+  private val q20: Q = (s, d) => {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc_nulls_last, col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "rn")
+  }
+
+  // ---- set operations -----------------------------------------------------
+
+  /** Q21: UNION ALL + group count. */
+  private val q21: Q = (s, d) =>
+    Tables.lineitem(s, d).select(col("l_partkey").as("key"))
+      .unionAll(Tables.part(s, d).select(col("p_partkey").as("key")))
+      .groupBy("key").agg(count(lit(1)).as("n"))
+      .orderBy("key")
+
+  /** Q22: INTERSECT / EXCEPT (distinct set semantics). */
+  private val q22: Q = (s, d) => {
+    val c = Tables.customer(s, d).select(col("c_custkey").as("key"))
+    val o = Tables.orders(s, d).select(col("o_custkey").as("key"))
+    c.intersect(o).agg(count(lit(1)).as("n")).select(lit("intersect").as("op"), col("n"))
+      .unionAll(
+        c.except(o).agg(count(lit(1)).as("n")).select(lit("except").as("op"), col("n")))
+      .orderBy("op")
+  }
+
+  // ---- scalar function families ------------------------------------------
+
+  /** Q23: string functions. */
+  private val q23: Q = (s, d) =>
+    Tables.part(s, d).select(
+      col("p_partkey"),
+      upper(col("p_name")).as("up_name"),
+      lower(col("p_brand")).as("lo_brand"),
+      substring(col("p_name"), 1, 5).as("sub5"),
+      length(col("p_name")).cast("long").as("name_len"),
+      concat_ws("|", col("p_brand"), col("p_type")).as("cat"),
+      regexp_replace(col("p_type"), "[AEIOU]", "*").as("devowel"),
+      trim(concat(lit("  "), col("p_name"), lit("  "))).as("trimmed"),
+      lpad(col("p_partkey").cast("string"), 8, "0").as("pad8"),
+      split_part(col("p_name"), lit(" "), lit(1)).as("first_word"),
+      regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"),
+      instr(col("p_name"), "r").cast("long").as("r_pos"),
+      replace(col("p_type"), lit("O"), lit("0")).as("repl"))
+    .orderBy("p_partkey")
+
+  /** Q24: date/time functions. */
+  private val q24: Q = (s, d) =>
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).cast("long").as("y"),
+      month(col("o_orderdate")).cast("long").as("mo"),
+      dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+      date_trunc("month", col("o_orderdate")).as("mon_start"),
+      date_add(col("o_orderdate").cast("date"), 30).cast("timestamp_ntz").as("plus30"),
+      datediff(col("o_orderdate").cast("date"), lit("1995-01-01"))
+        .cast("long").as("days_since"),
+      last_day(col("o_orderdate")).cast("timestamp_ntz").as("eom"),
+      dayofweek(col("o_orderdate")).cast("long").as("dow"),
+      unix_millis(col("o_orderdate").cast("timestamp")).as("ems"))
+    .orderBy("o_orderkey")
+
+  /** Q25: math functions (all per-row IEEE ops → cross-engine identical). */
+  private val q25: Q = (s, d) =>
+    Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      round(sqrt(col("l_extendedprice")), 3).as("r2"),
+      abs(col("l_discount") - 0.05).as("ad"),
+      ceil(col("l_extendedprice")).cast("long").as("ce"),
+      floor(col("l_extendedprice")).cast("long").as("fl"),
+      pow(col("l_quantity"), 2.0).as("p2"),
+      sqrt(col("l_extendedprice")).as("sq"),
+      log(col("l_extendedprice")).as("lg"),
+      exp(col("l_discount")).as("ex"),
+      (col("l_linenumber") % 3).cast("long").as("m3"),
+      signum(col("l_quantity") - 25.0).cast("double").as("sg"),
+      greatest(col("l_tax"), col("l_discount")).as("gt"),
+      least(col("l_tax"), col("l_discount")).as("lt"))
+    .orderBy("l_orderkey", "l_linenumber")
+
+  /** Q26: array/higher-order functions over embeddings. Folds are strictly
+    * sequential in both engines, with per-element float→double casts, so
+    * results are bit-identical (see oracle SQL). */
+  private val q26: Q = (s, d) =>
+    Tables.embeddings(s, d).select(
+      col("vec_id"),
+      size(col("embedding")).cast("long").as("dim"),
+      element_at(col("embedding"), 1).cast("double").as("first_elem"),
+      expr("aggregate(embedding, CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE))")
+        .as("sum_all"),
+      expr("sqrt(aggregate(embedding, CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
+        .as("l2_norm"),
+      expr("CAST(size(filter(embedding, x -> x > 0)) AS BIGINT)").as("n_pos"),
+      element_at(array_sort(col("embedding")), 3).cast("double").as("third_smallest"),
+      expr("aggregate(zip_with(embedding, reverse(embedding), (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (a, x) -> a + x)")
+        .as("rev_dot"),
+      expr("aggregate(slice(embedding, 5, 10), CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE))")
+        .as("slice_sum"))
+    .orderBy("vec_id")
+
+  /** Q27: map-from-JSON + explode of key/value pairs. */
+  private val q27: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_id"),
+        explode(from_json(col("props"), lit("map<string,bigint>")))
+          .as(Seq("prop_key", "prop_val")))
+      .orderBy("event_id", "prop_key")
+
+  /** Q27b: posexplode over the first 5 tokens of each document. */
+  private val q27b: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(slice(split(col("text"), " "), 1, 5)).as(Seq("pos0", "token")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("token"))
+      .orderBy("doc_id", "pos")
+
+  /** Q28: conditional / null handling: coalesce, nullif, NaN propagation. */
+  private val q28: Q = (s, d) =>
+    Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      coalesce(nullif(col("l_returnflag"), lit("N")), lit("none")).as("rf"),
+      (col("l_quantity") / nullif(col("l_discount"), lit(0.0))).as("ratio"),
+      coalesce(col("l_quantity") / nullif(col("l_discount"), lit(0.0)), lit(-1.0))
+        .as("ratio_nvl"),
+      isnan(when(col("l_discount") === 0, expr("CAST('NaN' AS DOUBLE)"))
+        .otherwise(col("l_discount"))).as("nan_flag"))
+    .orderBy("l_orderkey", "l_linenumber")
+
+  // -------------------------------------------------------------------------
+
+  val queries: Seq[(String, Q)] = Seq(
+    "q01_scan_project" -> q01,
+    "q02_json_get" -> q02,
+    "q03_project_expr" -> q03,
+    "q04_filter_pred" -> q04,
+    "q04b_filter_like" -> q04b,
+    "q05_join_inner" -> q05,
+    "q06_join_multiway" -> q06,
+    "q07_join_outer" -> q07,
+    "q08_join_semi" -> q08,
+    "q09_join_anti" -> q09,
+    "q10_join_cross" -> q10,
+    "q11_join_range" -> q11,
+    "q12_join_asof" -> q12,
+    "q13_agg_hash" -> q13,
+    "q14_agg_distinct" -> q14,
+    "q15_agg_rollup" -> q15,
+    "q15b_agg_cube" -> q15b,
+    "q16_agg_global" -> q16,
+    "q17_win_rank" -> q17,
+    "q18_win_frames" -> q18,
+    "q19_sort_limit" -> q19,
+    "q20_topk_group" -> q20,
+    "q21_set_union" -> q21,
+    "q22_set_intersect_except" -> q22,
+    "q23_fn_string" -> q23,
+    "q24_fn_datetime" -> q24,
+    "q25_fn_math" -> q25,
+    "q26_fn_array" -> q26,
+    "q27_fn_json_explode" -> q27,
+    "q27b_fn_posexplode" -> q27b,
+    "q28_fn_conditional" -> q28,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q02_json_get" ->
+      """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k_val
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q03_project_expr" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_extendedprice * (1 - l_discount) * (1 + l_tax) AS net,
+        |  CASE WHEN l_discount > 0.05 THEN 'HIGH' ELSE 'LOW' END AS disc_class
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q04_filter_pred" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1996-12-31 23:59:59'
+        |  AND l_quantity IN (1,2,3,4,5,10,20,30,40,50)
+        |  AND (l_discount BETWEEN 0.02 AND 0.08 OR l_tax < 0.03)
+        |  AND NOT (l_returnflag = 'A')
+        |  AND l_suppkey IS NOT NULL
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q04b_filter_like" ->
+      """SELECT p_partkey, p_name, p_type, p_size
+        |FROM part
+        |WHERE (p_name LIKE '%ring%' OR p_type LIKE 'PROM%')
+        |  AND p_size IN (1,5,10,15,20,25,30,35,40,45,50)
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q05_join_inner" ->
+      s"""SELECT c_mktsegment, count(*) AS n_orders,
+         |  ${sqlDsum("o_totalprice")} AS total_price,
+         |  max(o_totalprice) AS max_price
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q06_join_multiway" ->
+      s"""SELECT n_name,
+         |  ${sqlDsum("l_extendedprice * (1 - l_discount)", 6)} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY n_name ORDER BY revenue DESC NULLS LAST, n_name""".stripMargin,
+
+    "q07_join_outer" ->
+      s"""SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
+         |  coalesce(${sqlDsum("o_totalprice")}, 0.0) AS total_price
+         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin,
+
+    "q08_join_semi" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q09_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q10_join_cross" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q11_join_range" ->
+      """SELECT a.event_id AS a_id, b.event_id AS b_id, a.user_id,
+        |  epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND epoch_us(b.ts) > epoch_us(a.ts)
+        | AND epoch_us(b.ts) <= epoch_us(a.ts) + 300000000
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "q12_join_asof" ->
+      """SELECT c.event_id, c.user_id, c.ts, p.ts AS last_purchase_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND p.ts <= c.ts
+        |ORDER BY c.event_id""".stripMargin,
+
+    "q13_agg_hash" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${sqlDsum("l_quantity")} AS sum_qty,
+         |  ${sqlDsum("l_extendedprice")} AS sum_base_price,
+         |  ${sqlDsum("l_extendedprice * (1 - l_discount)", 6)} AS sum_disc_price,
+         |  ${sqlDsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6)} AS sum_charge,
+         |  ${sqlDavg("l_quantity")} AS avg_qty,
+         |  ${sqlDavg("l_extendedprice")} AS avg_price,
+         |  ${sqlDavg("l_discount", 6)} AS avg_disc,
+         |  count(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q14_agg_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_suppkey) AS n_supp,
+        |  count(DISTINCT l_partkey) AS n_part,
+        |  CAST(sum(DISTINCT CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_distinct_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q15_agg_rollup" ->
+      """SELECT n_name, o_orderpriority, count(*) AS n_orders,
+        |  CAST(grouping_id(n_name, o_orderpriority) AS BIGINT) AS gid
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP(n_name, o_orderpriority)
+        |ORDER BY gid, n_name ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q15b_agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        |  CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q16_agg_global" ->
+      s"""SELECT count(*) AS n_rows,
+         |  count(DISTINCT l_orderkey) AS n_orders,
+         |  min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
+         |  ${sqlDsum("l_quantity")} AS total_qty,
+         |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
+         |FROM lineitem""".stripMargin,
+
+    "q17_win_rank" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(row_number() OVER wu AS BIGINT) AS rn,
+        |  CAST(rank() OVER wt AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER wt AS BIGINT) AS drnk,
+        |  CAST(ntile(4) OVER wu AS BIGINT) AS nt,
+        |  percent_rank() OVER wt AS pr
+        |FROM orders
+        |WINDOW wu AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |       wt AS (PARTITION BY o_custkey ORDER BY o_orderdate)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q18_win_frames" ->
+      """SELECT o_custkey, o_orderkey,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_total,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS slide_avg3,
+        |  count(*) OVER (PARTITION BY o_custkey ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS cnt_30d
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q19_sort_limit" ->
+      """SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+        |ORDER BY o_totalprice DESC NULLS LAST, o_orderkey LIMIT 100""".stripMargin,
+
+    "q20_topk_group" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC NULLS LAST, o_orderkey) AS BIGINT) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q21_set_union" ->
+      """SELECT key, count(*) AS n FROM (
+        |  SELECT l_partkey AS key FROM lineitem
+        |  UNION ALL
+        |  SELECT p_partkey AS key FROM part)
+        |GROUP BY key ORDER BY key""".stripMargin,
+
+    "q22_set_intersect_except" ->
+      """SELECT 'intersect' AS op, count(*) AS n FROM (
+        |  SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders)
+        |UNION ALL
+        |SELECT 'except' AS op, count(*) AS n FROM (
+        |  SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders)
+        |ORDER BY op""".stripMargin,
+
+    "q23_fn_string" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS up_name,
+        |  lower(p_brand) AS lo_brand,
+        |  substring(p_name, 1, 5) AS sub5,
+        |  CAST(length(p_name) AS BIGINT) AS name_len,
+        |  concat_ws('|', p_brand, p_type) AS cat,
+        |  regexp_replace(p_type, '[AEIOU]', '*', 'g') AS devowel,
+        |  trim('  ' || p_name || '  ') AS trimmed,
+        |  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS pad8,
+        |  split_part(p_name, ' ', 1) AS first_word,
+        |  regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+        |  CAST(instr(p_name, 'r') AS BIGINT) AS r_pos,
+        |  replace(p_type, 'O', '0') AS repl
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q24_fn_datetime" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS y,
+        |  CAST(month(o_orderdate) AS BIGINT) AS mo,
+        |  CAST(day(o_orderdate) AS BIGINT) AS dom,
+        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon_start,
+        |  CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP) AS plus30,
+        |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since,
+        |  CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS eom,
+        |  CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+        |  epoch_ms(o_orderdate) AS ems
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q25_fn_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(sqrt(l_extendedprice), 3) AS r2,
+        |  abs(l_discount - 0.05) AS ad,
+        |  CAST(ceil(l_extendedprice) AS BIGINT) AS ce,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS fl,
+        |  pow(l_quantity, 2.0) AS p2,
+        |  sqrt(l_extendedprice) AS sq,
+        |  ln(l_extendedprice) AS lg,
+        |  exp(l_discount) AS ex,
+        |  CAST(l_linenumber % 3 AS BIGINT) AS m3,
+        |  CAST(sign(l_quantity - 25.0) AS DOUBLE) AS sg,
+        |  greatest(l_tax, l_discount) AS gt,
+        |  least(l_tax, l_discount) AS lt
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q26_fn_array" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS BIGINT) AS dim,
+        |  CAST(embedding[1] AS DOUBLE) AS first_elem,
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE))), (a, x) -> a + x) AS sum_all,
+        |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, x) -> a + x)) AS l2_norm,
+        |  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+        |  CAST(list_sort(embedding)[3] AS DOUBLE) AS third_smallest,
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[65 - i] AS DOUBLE))), (a, x) -> a + x) AS rev_dot,
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(embedding[5:14], x -> CAST(x AS DOUBLE))), (a, x) -> a + x) AS slice_sum
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q27_fn_json_explode" ->
+      """SELECT event_id, k AS prop_key,
+        |  CAST(json_extract_string(props, '$.' || k) AS BIGINT) AS prop_val
+        |FROM (SELECT event_id, props, unnest(json_keys(props)) AS k FROM events)
+        |ORDER BY event_id, prop_key""".stripMargin,
+
+    "q27b_fn_posexplode" ->
+      """SELECT doc_id, CAST(g.pos AS BIGINT) AS pos, w[CAST(g.pos AS INTEGER)] AS token
+        |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |     generate_series(1, 5) g(pos)
+        |ORDER BY doc_id, pos""".stripMargin,
+
+    "q28_fn_conditional" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  coalesce(nullif(l_returnflag, 'N'), 'none') AS rf,
+        |  l_quantity / nullif(l_discount, 0.0) AS ratio,
+        |  coalesce(l_quantity / nullif(l_discount, 0.0), -1.0) AS ratio_nvl,
+        |  isnan(CASE WHEN l_discount = 0 THEN CAST('NaN' AS DOUBLE) ELSE l_discount END) AS nan_flag
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+  )
+}

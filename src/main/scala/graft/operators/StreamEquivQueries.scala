@@ -1,0 +1,106 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch-equivalent forms of the streaming operators (SURVEY §2B "Streaming"):
+  * tumbling/sliding windows, sessionization, dedup. The streaming forms (with
+  * watermarks, `window()`/`session_window()` on readStream) live in
+  * `graft.streaming` and are verified by ScalaTest against these same shapes;
+  * here each query is expressed so a DuckDB oracle can hash-match it.
+  */
+object StreamEquivQueries extends QueryGroup {
+
+  /** Q29: tumbling hourly window ≡ date_trunc group. */
+  private val q29: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .orderBy("hr", "event_type")
+
+  /** Q30: sliding window (1 h / 15 min) via Spark's native `window()`; each
+    * event lands in exactly 4 epoch-aligned windows. The oracle reproduces the
+    * window arithmetic with a generate_series cross join.
+    */
+  private val q30: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("total_value"))
+      .orderBy("win_start", "event_type")
+
+  /** Q31: sessionization (30-min inactivity gap) via lag + running sum —
+    * single shuffle on user_id; works identically on a 100 TB event log
+    * because state is per-user and streaming-friendly
+    * (`session_window()` is the streaming twin).
+    */
+  private val q31: Q = (s, d) => {
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        epochUs(col("ts")).as("us"))
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("new_sess",
+        when(col("us") - lag(col("us"), 1).over(w) > 1800000000L, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_sess")).over(run).cast("long"))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("sess_start"), max(col("ts")).as("sess_end"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** Q32: dedup — keep the earliest event per (user, type, minute); the
+    * streaming twin is dropDuplicatesWithinWatermark. */
+  private val q32: Q = (s, d) => {
+    val w = Window.partitionBy("user_id", "event_type", "minute")
+      .orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .withColumn("minute", date_trunc("minute", col("ts")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_type", "minute", "event_id")
+      .orderBy("user_id", "event_type", "minute")
+  }
+
+  val queries: Seq[(String, Q)] = Seq(
+    "q29_stream_tumbling" -> q29,
+    "q30_stream_sliding" -> q30,
+    "q31_stream_session" -> q31,
+    "q32_stream_dedup" -> q32,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q29_stream_tumbling" ->
+      s"""SELECT date_trunc('hour', ts) AS hr, event_type, count(*) AS n,
+         |  ${sqlDsum("value")} AS total_value
+         |FROM events GROUP BY hr, event_type ORDER BY hr, event_type""".stripMargin,
+
+    "q30_stream_sliding" ->
+      s"""SELECT TIMESTAMP '1970-01-01 00:00:00' + (b - g.i) * 900 * INTERVAL 1 SECOND AS win_start,
+         |  event_type, count(*) AS n, ${sqlDsum("value")} AS total_value
+         |FROM (SELECT epoch_us(ts) // 900000000 AS b, event_type, value FROM events),
+         |     generate_series(0, 3) g(i)
+         |GROUP BY win_start, event_type ORDER BY win_start, event_type""".stripMargin,
+
+    "q31_stream_session" ->
+      """SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts) AS sess_start, max(ts) AS sess_end
+        |FROM (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM (
+        |    SELECT user_id, event_id, ts, us,
+        |      CASE WHEN us - lag(us, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |    FROM (SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events)))
+        |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+
+    "q32_stream_dedup" ->
+      """SELECT user_id, event_type, minute, event_id FROM (
+        |  SELECT user_id, event_type, date_trunc('minute', ts) AS minute, event_id,
+        |    row_number() OVER (PARTITION BY user_id, event_type, date_trunc('minute', ts) ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id, event_type, minute""".stripMargin,
+  )
+}

@@ -1,0 +1,183 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+
+/** Text analysis + deduplication over the `documents` table (SURVEY §2B
+  * extensions: Q33–Q35 and the training-data-pipeline operators).
+  */
+object TextQueries extends QueryGroup {
+
+  private val stopList = TextFunctions.stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** Q33: tokenize + stopword filter + top-20 word frequency. */
+  private val q33: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(explode(TextFunctions.tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "" && !col("word").isin(TextFunctions.stopwords: _*))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc_nulls_last, col("word"))
+      .limit(20)
+
+  /** Q34: per-language corpus stats. */
+  private val q34: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        (sum(col("n_tokens")).cast("double") / count(lit(1))).as("avg_tokens"))
+      .orderBy("lang")
+
+  /** Q35: exact dedup — group by content hash, emit group size + keeper id.
+    * The scalable shape: one shuffle on a 128-bit hash, no text comparison. */
+  private val q35: Q = (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(md5(lower(trim(col("text")))).as("h"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keeper"))
+      .orderBy("h")
+
+  /** Q36: fingerprint (bag-of-words) dedup — near-dup docs that share the
+    * exact distinct-token set collapse to one fingerprint. */
+  private val q36: Q = (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(TextFunctions.fingerprint(col("text")).as("fp"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keeper"))
+      .orderBy("fp")
+
+  /** Q37: n-gram Jaccard near-dup pairs within a `source` block. Implemented
+    * as the scalable explode→equi-join→count shape (token-postings join, one
+    * shuffle on (source, token)), NOT a quadratic array-compare self-join:
+    * at 100 TB only pairs sharing ≥1 token in the same block are ever
+    * materialized. The oracle computes the same counts with list functions.
+    */
+  private val q37: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        TextFunctions.tokenSet(col("text")).as("w"))
+    val sizes = docs.select(col("doc_id"), size(col("w")).as("nw"))
+    val toks = docs.select(col("doc_id"), col("source"),
+      explode(col("w")).as("token"))
+    val a = toks.select(col("doc_id").as("a_id"), col("source"), col("token"))
+    val b = toks.select(col("doc_id").as("b_id"), col("source").as("b_source"),
+      col("token").as("b_token"))
+    val inter = a.join(b,
+        col("source") === col("b_source") && col("token") === col("b_token") &&
+          col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a_id"), col("nw").as("na")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("nw").as("nb")), "b_id")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= 0.8)
+      .select("a_id", "b_id", "jaccard")
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Q45: quality scoring — length / stopword-ratio / uniqueness features. */
+  private val q45: Q = (s, d) => {
+    val toks = TextFunctions.tokens(col("text"))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      col("n_chars"),
+      size(toks).cast("long").as("n_tokens"),
+      (length(regexp_replace(col("text"), " ", "")).cast("double") /
+        size(toks)).as("avg_token_len"),
+      (size(filter(toks, t => t.isin(TextFunctions.stopwords.map(lit): _*)))
+        .cast("double") / size(toks)).as("stop_ratio"),
+      (size(array_distinct(toks)).cast("double") / size(toks)).as("uniq_ratio"))
+    .orderBy("doc_id")
+  }
+
+  /** Q46: token counting — whitespace vs regex ("BPE-ish" word pieces). */
+  private val q46: Q = (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+      size(expr("regexp_extract_all(text, '[a-z]+', 0)")).cast("long")
+        .as("re_tokens"),
+      length(col("text")).cast("long").as("chars"))
+    .orderBy("doc_id")
+
+  /** Q44 ⚙: language-ID heuristic (keyword-overlap argmax) — engine-only
+    * (the scoring lists live in Scala; semantics verified by ScalaTest). */
+  private val q44: Q = (s, d) => {
+    val toks = TextFunctions.tokens(col("text"))
+    Tables.documents(s, d).select(
+      col("doc_id"), col("lang").as("labelled_lang"),
+      TextFunctions.langGuess(toks).as("guessed_lang"))
+    .orderBy("doc_id")
+  }
+
+  /** Q47 ⚙: rolling-hash document fingerprint (order-sensitive). */
+  private val q47: Q = (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextFunctions.rollingFingerprint(TextFunctions.tokens(col("text")))
+        .as("rolling_fp"))
+    .orderBy("doc_id")
+
+  val queries: Seq[(String, Q)] = Seq(
+    "q33_text_topwords" -> q33,
+    "q34_text_docstats" -> q34,
+    "q35_dedup_exact" -> q35,
+    "q36_dedup_fingerprint" -> q36,
+    "q37_dedup_jaccard" -> q37,
+    "q44_text_langid" -> q44,
+    "q45_text_quality" -> q45,
+    "q46_text_tokens" -> q46,
+    "q47_text_rollinghash" -> q47,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q33_text_topwords" ->
+      s"""SELECT word, count(*) AS n FROM (
+         |  SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+         |WHERE word <> '' AND word NOT IN ($stopList)
+         |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin,
+
+    "q34_text_docstats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*) AS avg_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q35_dedup_exact" ->
+      """SELECT md5(lower(trim(text))) AS h, count(*) AS n, min(doc_id) AS keeper
+        |FROM documents GROUP BY h ORDER BY h""".stripMargin,
+
+    "q36_dedup_fingerprint" ->
+      """SELECT md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp,
+        |  count(*) AS n, min(doc_id) AS keeper
+        |FROM documents GROUP BY fp ORDER BY fp""".stripMargin,
+
+    "q37_dedup_jaccard" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, list_distinct(string_split(lower(text), ' ')) AS w
+        |  FROM documents)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(len(list_filter(a.w, x -> list_contains(b.w, x))) AS DOUBLE)
+        |    / (len(a.w) + len(b.w) - len(list_filter(a.w, x -> list_contains(b.w, x)))) AS jaccard
+        |FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_filter(a.w, x -> list_contains(b.w, x))) AS DOUBLE)
+        |    / (len(a.w) + len(b.w) - len(list_filter(a.w, x -> list_contains(b.w, x)))) >= 0.8
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "q45_text_quality" ->
+      s"""SELECT doc_id, n_chars,
+         |  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+         |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(lower(text), ' ')) AS avg_token_len,
+         |  CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN ($stopList))) AS DOUBLE) / len(string_split(lower(text), ' ')) AS stop_ratio,
+         |  CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE) / len(string_split(lower(text), ' ')) AS uniq_ratio
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q46_text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS re_tokens,
+        |  CAST(length(text) AS BIGINT) AS chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (SURVEY §2B Q36–Q37 + the
+  * ANN scale path).
+  */
+object VectorQueries extends QueryGroup {
+
+  /** Q38: brute-force cosine top-10 vs a fixed query vector (the embedding of
+    * vec_id=0). The 1-row query side is broadcast; the scan side streams —
+    * this is the exact-baseline shape (at 100 TB you still want it for
+    * re-ranking ANN candidates). */
+  private val q38: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"))
+    e.crossJoin(broadcast(q))
+      .select(col("vec_id"), cosine(col("embedding"), col("q_emb")).as("cos"))
+      .orderBy(col("cos").desc_nulls_last, col("vec_id"))
+      .limit(10)
+  }
+
+  /** Q39: pairwise near-neighbor join: same-label blocking, vec_id ordering,
+    * cosine > 0.25. Blocking bounds the pair count (the all-pairs join is
+    * O(n²) — label/LSH blocking is what survives scale; see Q43 for the
+    * LSH-bucketed variant). */
+  private val q39: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val a = e.select(col("vec_id").as("a_id"), col("label"),
+      col("embedding").as("a_emb"))
+    val b = e.select(col("vec_id").as("b_id"), col("label").as("b_label"),
+      col("embedding").as("b_emb"))
+    a.join(b, col("label") === col("b_label") && col("a_id") < col("b_id"))
+      .withColumn("cos", cosine(col("a_emb"), col("b_emb")))
+      .filter(col("cos") > 0.25)
+      .select("a_id", "b_id", "cos")
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Q43 ⚙: LSH-bucketed ANN — 8 deterministic pseudo-random hyperplanes give
+    * a 8-bit signature; search only the query's bucket (plus Hamming-1 probes)
+    * and rank by exact cosine. Engine-only: verified by ScalaTest for recall
+    * against Q38's exact top-k. The signature is computed with codegen'd
+    * higher-order functions; bucketing is one shuffle on the signature.
+    */
+  private val q43: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    // plane j component i = deterministic hash-derived value in [-0.5, 0.5)
+    def planeBit(emb: String, j: Int): String =
+      s"""(aggregate(zip_with($emb, sequence(0, 63),
+         |  (x, i) -> CAST(x AS DOUBLE) * ((CAST(pmod(xxhash64(concat('p$j#', i)), 1000) AS DOUBLE) / 1000.0) - 0.5)),
+         |  CAST(0 AS DOUBLE), (a, x) -> a + x) > 0)""".stripMargin
+    val sigExpr = (0 until 8)
+      .map(j => s"(CAST(${planeBit("embedding", j)} AS INT) * ${1 << j})")
+      .mkString(" + ")
+    val sigged = e.withColumn("sig", expr(sigExpr))
+    val q = sigged.filter(col("vec_id") === 0)
+      .select(col("sig").as("q_sig"), col("embedding").as("q_emb"))
+    // multi-probe: exact bucket or Hamming distance 1
+    sigged.crossJoin(broadcast(q))
+      .filter(expr("bit_count(sig ^ q_sig) <= 1"))
+      .select(col("vec_id"), cosine(col("embedding"), col("q_emb")).as("cos"))
+      .orderBy(col("cos").desc_nulls_last, col("vec_id"))
+      .limit(10)
+  }
+
+  val queries: Seq[(String, Q)] = Seq(
+    "q38_sim_cosine_topk" -> q38,
+    "q39_sim_neighbor_join" -> q39,
+    "q43_sim_ann_lsh" -> q43,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q38_sim_cosine_topk" ->
+      s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, ${sqlCosine("embedding", "q_emb")} AS cos
+         |FROM embeddings, q
+         |ORDER BY cos DESC NULLS LAST, vec_id LIMIT 10""".stripMargin,
+
+    "q39_sim_neighbor_join" ->
+      s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |  ${sqlCosine("a.embedding", "b.embedding")} AS cos
+         |FROM embeddings a JOIN embeddings b
+         |  ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE ${sqlCosine("a.embedding", "b.embedding")} > 0.25
+         |ORDER BY a_id, b_id""".stripMargin,
+  )
+}

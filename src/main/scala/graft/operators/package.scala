@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+package object operators {
+
+  /** A declared query: (session, scale-factor dir) => result. */
+  type Q = (SparkSession, String) => DataFrame
+
+  /** A group of declared queries plus their DuckDB oracle SQL (subset: ⚙
+    * engine-only queries carry no oracle and get a rows-only check).
+    */
+  trait QueryGroup {
+    def queries: Seq[(String, Q)]
+    def oracles: Map[String, String]
+  }
+
+  /** Order-independent exact sum of a double column.
+    *
+    * Cross-engine double sums are NOT reproducible (addition order differs per
+    * engine/partitioning), so every aggregated money/measure column is cast to
+    * an exact DECIMAL first, summed exactly, and only then converted back to
+    * double. Both Spark and DuckDB round the ~2-decimal doubles to the same
+    * decimal value, and decimal→double conversion is correctly rounded in
+    * both, so results are bit-identical regardless of parallelism. The oracle
+    * SQL mirrors this: CAST(sum(CAST(x AS DECIMAL(18,s))) AS DOUBLE).
+    */
+  def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
+
+  /** Deterministic mean via exact sum / count (mirrors oracle SQL). */
+  def davg(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast(DoubleType) / count(c)
+
+  /** Oracle-side fragment for [[dsum]]. */
+  def sqlDsum(x: String, scale: Int = 2): String =
+    s"CAST(sum(CAST($x AS DECIMAL(18,$scale))) AS DOUBLE)"
+
+  /** Oracle-side fragment for [[davg]]. */
+  def sqlDavg(x: String, scale: Int = 2): String =
+    s"CAST(sum(CAST($x AS DECIMAL(18,$scale))) AS DOUBLE) / count($x)"
+
+  /** Epoch µs of an NTZ timestamp, interpreting it as UTC (session tz) —
+    * exactly DuckDB's epoch_us of a naive timestamp. */
+  def epochUs(c: Column): Column = unix_micros(c.cast("timestamp"))
+}
