@@ -1,0 +1,64 @@
+package graft.etl
+
+/** Config resolution + validation, mirroring the reference's semantics:
+  *
+  *  - CLI args merged with application properties, properties WIN
+  *    (ParameterToolUtils.java:36-50 — `mergeWith` is right-biased);
+  *  - exactly one of {kinesis, kafka} source (StreamingEtl.java:87-103);
+  *  - at least one sink (StreamingEtl.java:147-149);
+  *  - ParquetConversion picks parquet vs JSON-lines file sink
+  *    (StreamingEtl.java:215-240, default false in code).
+  */
+final case class EtlConfig(params: Map[String, String]) {
+
+  def get(key: String): Option[String] = params.get(key)
+  def getOrElse(key: String, default: String): String =
+    params.getOrElse(key, default)
+  def bool(key: String, default: Boolean = false): Boolean =
+    params.get(key).map(_.trim.equalsIgnoreCase("true")).getOrElse(default)
+
+  def sourceKind: String = {
+    val kinesis = params.contains("InputKinesisStream")
+    val kafka   = params.contains("InputKafkaTopic")
+    if (kinesis && kafka)
+      throw new IllegalArgumentException(
+        "please pass either a Kinesis stream or a Kafka topic name, not both")
+    if (!kinesis && !kafka)
+      throw new IllegalArgumentException(
+        "please pass a Kinesis stream or a Kafka topic name to read from")
+    if (kinesis) "kinesis" else "kafka"
+  }
+
+  /** Configured sinks, in the reference's wiring order. */
+  def sinks: Seq[String] = Seq(
+    params.get("OutputBucket").map(_ => "s3"),
+    params.get("OutputElasticsearchEndpoint").map(_ => "elasticsearch"),
+    params.get("OutputKinesisStream").map(_ => "kinesis"),
+    params.get("OutputKafkaTopic").map(_ => "kafka"),
+    params.get("OutputDiscard").filter(_.equalsIgnoreCase("true")).map(_ => "noop"),
+  ).flatten
+
+  def validated: EtlConfig = {
+    sourceKind // throws on bad source config
+    if (sinks.isEmpty)
+      throw new IllegalArgumentException(
+        "please pass at least one sink (OutputBucket, OutputElasticsearchEndpoint, OutputKinesisStream, OutputKafkaTopic, OutputDiscard)")
+    this
+  }
+
+  def parquetConversion: Boolean = bool("ParquetConversion") // default false
+}
+
+object EtlConfig {
+
+  /** Parse `--Key value` CLI args (the reference's fromArgs shape). */
+  def parseArgs(args: Seq[String]): Map[String, String] =
+    args.sliding(2, 2).collect {
+      case Seq(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
+    }.toMap
+
+  /** CLI args ∪ application properties; properties win on conflict. */
+  def fromArgsAndProperties(args: Seq[String],
+                            props: Map[String, String]): EtlConfig =
+    EtlConfig(parseArgs(args) ++ props)
+}

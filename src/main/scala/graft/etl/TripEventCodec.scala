@@ -1,0 +1,57 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's JSON codec asymmetries (SURVEY §1.3) as declarative
+  * column transforms. This is the core parity spec:
+  *
+  *  1. input timestamps are ISO-8601 *text*; output writes epoch-millis
+  *     *numbers* (TripEventSchema.java:58-59 vs :102-104);
+  *  2. output projects 18 of 20 fields — payment_type and padding dropped
+  *     (toJson, TripEventSchema.java:96-138);
+  *  3. `trip_id` is parsed as long but serialized as a JSON *string*
+  *     (:74 vs :132,153-162); `type`/`store_and_fwd_flag` quoted, numerics
+  *     unquoted;
+  *  4. malformed input → dropped, never fails the stream (:78-82, :86-88);
+  *  5. missing `trip_id` → 0, missing `padding` → ""; any other missing
+  *     field drops the event (:53,74,76).
+  */
+object TripEventCodec {
+
+  /** Parse a column of raw JSON bytes/text into TripEvent rows, applying
+    * quirks 1/4/5. Input: any DataFrame with `jsonCol`; output: one column
+    * per TripEvent field, malformed/incomplete rows dropped.
+    */
+  def parse(df: DataFrame, jsonCol: Column): DataFrame = {
+    val parsed = df.select(
+      from_json(jsonCol, TripEvent.inputSchema,
+        Map("mode" -> "PERMISSIVE", "timestampFormat" ->
+          "yyyy-MM-dd'T'HH:mm:ss[.SSS]XXX")).as("e"))
+    val required = TripEvent.requiredFields
+      .map(f => col(s"e.$f").isNotNull)
+      .reduce(_ && _)
+    parsed
+      .filter(col("e").isNotNull && required) // quirk 4 + 5 (drop side)
+      .select(
+        TripEvent.inputSchema.fieldNames.toSeq.map {
+          case "trip_id" => coalesce(col("e.trip_id"), lit(0L)).as("trip_id")
+          case "padding" => coalesce(col("e.padding"), lit("")).as("padding")
+          case f         => col(s"e.$f").as(f)
+        }: _*)
+  }
+
+  /** The serialized-output column set (quirks 1–3) — reusable for both the
+    * JSON row sink (via to_json) and the Parquet sink's 18-field projection.
+    */
+  def outputColumns: Seq[Column] = TripEvent.outputFields.map {
+    case f @ ("pickup_datetime" | "dropoff_datetime") =>
+      unix_millis(col(f).cast("timestamp")).as(f) // quirk 1: epoch millis number
+    case "trip_id" => col("trip_id").cast("string").as("trip_id") // quirk 3
+    case f => col(f)
+  }
+
+  /** Serialize TripEvent rows to one JSON line per event (quirks 1–3). */
+  def serialize(df: DataFrame): DataFrame =
+    df.select(to_json(struct(outputColumns: _*)).as("value"))
+}

@@ -40,8 +40,8 @@ object VectorQueries extends QueryGroup {
       .orderBy("a_id", "b_id")
   }
 
-  /** Q43 ⚙: LSH-bucketed ANN — 8 deterministic pseudo-random hyperplanes give
-    * a 8-bit signature; search only the query's bucket (plus Hamming-1 probes)
+  /** Q43 ⚙: LSH-bucketed ANN — 6 deterministic pseudo-random hyperplanes give
+    * a 6-bit signature; search the query's bucket plus Hamming<=2 probes
     * and rank by exact cosine. Engine-only: verified by ScalaTest for recall
     * against Q38's exact top-k. The signature is computed with codegen'd
     * higher-order functions; bucketing is one shuffle on the signature.
@@ -53,7 +53,7 @@ object VectorQueries extends QueryGroup {
       s"""(aggregate(zip_with($emb, sequence(0, 63),
          |  (x, i) -> CAST(x AS DOUBLE) * ((CAST(pmod(xxhash64(concat('p$j#', i)), 1000) AS DOUBLE) / 1000.0) - 0.5)),
          |  CAST(0 AS DOUBLE), (a, x) -> a + x) > 0)""".stripMargin
-    val sigExpr = (0 until 8)
+    val sigExpr = (0 until 6)
       .map(j => s"(CAST(${planeBit("embedding", j)} AS INT) * ${1 << j})")
       .mkString(" + ")
     val sigged = e.withColumn("sig", expr(sigExpr))
@@ -61,7 +61,7 @@ object VectorQueries extends QueryGroup {
       .select(col("sig").as("q_sig"), col("embedding").as("q_emb"))
     // multi-probe: exact bucket or Hamming distance 1
     sigged.crossJoin(broadcast(q))
-      .filter(expr("bit_count(sig ^ q_sig) <= 1"))
+      .filter(expr("bit_count(sig ^ q_sig) <= 2"))
       .select(col("vec_id"), cosine(col("embedding"), col("q_emb")).as("cos"))
       .orderBy(col("cos").desc_nulls_last, col("vec_id"))
       .limit(10)

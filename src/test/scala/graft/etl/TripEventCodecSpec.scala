@@ -1,0 +1,63 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Field-by-field verification of the §1.3 codec quirks against the
+  * representative fixture (FIXTURES.md §A). */
+class TripEventCodecSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val validLine =
+    """{"vendor_id": 2, "pickup_datetime": "2018-11-23T11:32:24.000Z",
+      | "dropoff_datetime": "2018-11-23T11:55:13.000Z", "passenger_count": 1,
+      | "trip_distance": 4.02, "ratecode_id": 1, "store_and_fwd_flag": "N",
+      | "pickup_location_id": 68, "dropoff_location_id": 236, "payment_type": 1,
+      | "fare_amount": 17.5, "extra": 0.0, "mta_tax": 0.5, "tip_amount": 3.66,
+      | "tolls_amount": 0.0, "improvement_surcharge": 0.3, "total_amount": 21.96,
+      | "trip_id": 9234567, "type": "trip"}""".stripMargin.replaceAll("\n", "")
+
+  private def parse(lines: String*) =
+    TripEventCodec.parse(lines.toDF("value"), col("value"))
+
+  test("valid event parses with ISO-8601 text timestamps (quirk 1 input)") {
+    val row = parse(validLine).collect().head
+    assert(row.getAs[Int]("vendor_id") == 2)
+    assert(row.getAs[java.sql.Timestamp]("pickup_datetime").getTime == 1542972744000L)
+    assert(row.getAs[java.sql.Timestamp]("dropoff_datetime").getTime == 1542974113000L)
+    assert(row.getAs[Long]("trip_id") == 9234567L)
+    assert(row.getAs[String]("padding") == "") // default applied (quirk 5)
+  }
+
+  test("malformed JSON is dropped, not failed (quirk 4)") {
+    assert(parse("not json at all", "{\"broken\":", validLine).count() == 1)
+  }
+
+  test("missing required field drops the event; missing trip_id/padding get defaults (quirk 5)") {
+    val noVendor = validLine.replace("\"vendor_id\": 2,", "")
+    val noTripId = validLine.replace("\"trip_id\": 9234567,", "")
+    val rows = parse(noVendor, noTripId).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("trip_id") == 0L)
+  }
+
+  test("serialization: 18 fields, epoch-millis numbers, trip_id as string (quirks 1-3)") {
+    val json = TripEventCodec.serialize(parse(validLine)).as[String].collect().head
+    // parse back generically to check JSON-level shape
+    val fields = spark.read.json(Seq(json).toDS()).schema.fieldNames.toSet
+    assert(fields.size == 18)
+    assert(!fields.contains("payment_type") && !fields.contains("padding")) // quirk 2
+    assert(json.contains("\"pickup_datetime\":1542972744000"))  // quirk 1: number
+    assert(json.contains("\"trip_id\":\"9234567\""))            // quirk 3: string
+    assert(json.contains("\"type\":\"trip\""))
+    assert(json.contains("\"total_amount\":21.96"))             // numeric unquoted
+  }
+
+  test("round-trip: output of serialize re-parses as epoch (asymmetry is intentional)") {
+    // The output format (epoch numbers) is NOT the input format (ISO text) —
+    // feeding output back through parse must DROP rows (timestamps
+    // unparseable as text) rather than silently succeed.
+    val out = TripEventCodec.serialize(parse(validLine))
+    assert(TripEventCodec.parse(out, col("value")).count() == 0)
+  }
+}

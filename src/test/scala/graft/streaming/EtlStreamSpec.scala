@@ -1,0 +1,68 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming parity (SURVEY §7 M3): read-once fan-out, per-record dynamic ES
+  * routing, fixed Kinesis partition key, and kill-restart idempotence.
+  */
+class EtlStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def line(i: Int, typ: String = "trip"): String =
+    s"""{"vendor_id": 1, "pickup_datetime": "2018-11-0${i % 9 + 1}T10:00:00.000Z",
+       | "dropoff_datetime": "2018-11-0${i % 9 + 1}T11:00:00.000Z",
+       | "passenger_count": 1, "trip_distance": 1.5, "ratecode_id": 1,
+       | "store_and_fwd_flag": "N", "pickup_location_id": ${i % 50 + 1},
+       | "dropoff_location_id": 5, "payment_type": 1, "fare_amount": 10.0,
+       | "extra": 0.0, "mta_tax": 0.5, "tip_amount": 1.0, "tolls_amount": 0.0,
+       | "improvement_surcharge": 0.3, "total_amount": 11.8,
+       | "trip_id": ${1000 + i}, "type": "$typ"}""".stripMargin
+      .replaceAll("\n", "")
+
+  private def writeBatchFile(dir: String, name: String, lines: Seq[String]): Unit = {
+    val p = java.nio.file.Paths.get(dir, name)
+    java.nio.file.Files.write(p, lines.mkString("\n").getBytes)
+  }
+
+  test("read-once fan-out: one source feeds parquet + ES + kinesis + noop (A16)") {
+    val in = tmpDir("stream-in"); val out = tmpDir("stream-out")
+    val ckpt = tmpDir("stream-ckpt")
+    writeBatchFile(in, "b0.json", (0 until 20).map(i => line(i, if (i % 2 == 0) "trip" else "other")) :+ "garbage")
+    val es = new ElasticsearchStubSink
+    val kinesis = new KinesisStubSink
+    val noop = new NoopSink
+    val q = EtlStream.start(spark, new JsonFileSource(in),
+      Seq(new FileSink(out, parquet = true), es, kinesis, noop),
+      ckpt, Trigger.AvailableNow())
+    q.awaitTermination(120000)
+    assert(noop.rowsSeen == 20)
+    assert(es.count == 20)
+    // dynamic routing: index comes from the payload `type`
+    assert(es.store.keySet().stream().map(_._1).distinct().count() == 2)
+    // fixed partition key "0" (StreamingEtl.java:191-205)
+    assert(kinesis.records.size() == 20)
+    kinesis.records.forEach { case (k, _) => assert(k == "0") }
+    assert(spark.read.parquet(s"$out/batch=0").count() == 20)
+  }
+
+  test("kill-restart: checkpoint + idempotent sinks → no duplicates (A19)") {
+    val in = tmpDir("rs-in"); val out = tmpDir("rs-out"); val ckpt = tmpDir("rs-ckpt")
+    val es = new ElasticsearchStubSink
+    writeBatchFile(in, "b0.json", (0 until 10).map(line(_)))
+    val q1 = EtlStream.start(spark, new JsonFileSource(in),
+      Seq(new FileSink(out, parquet = true), es), ckpt, Trigger.AvailableNow())
+    q1.awaitTermination(120000)
+    assert(es.count == 10)
+
+    // "crash": stop, deliver more input, restart from the same checkpoint
+    writeBatchFile(in, "b1.json", (10 until 25).map(line(_)))
+    val q2 = EtlStream.start(spark, new JsonFileSource(in),
+      Seq(new FileSink(out, parquet = true), es), ckpt, Trigger.AvailableNow())
+    q2.awaitTermination(120000)
+
+    assert(es.count == 25) // upsert by (index, id): no dups after restart
+    val total = spark.read.option("basePath", out).parquet(s"$out/batch=*").count()
+    assert(total == 25) // batch=<id> dirs are disjoint and replay-safe
+  }
+}

@@ -1,0 +1,105 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** SURVEY §2B streaming capabilities beyond the reference (M4): event-time
+  * watermarks (late-data drop), tumbling window agg ≡ batch equivalent,
+  * streaming dedup, and custom state via mapGroupsWithState.
+  */
+class StreamingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("watermark drops late data (T1)") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val counts = mem.toDF().toDF("ts", "k")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("k"))
+      .count()
+    val q = counts.writeStream.format("memory").queryName("wm_counts")
+      .outputMode(OutputMode.Append()).start()
+    // batch 1: events up to 12:00 → watermark advances to 11:50
+    mem.addData((ts("2024-01-01 11:00:00"), "a"), (ts("2024-01-01 12:00:00"), "a"))
+    q.processAllAvailable()
+    // batch 2: an event at 11:05 is far behind the watermark → dropped;
+    // one at 11:58 is within the watermark → kept
+    mem.addData((ts("2024-01-01 11:05:00"), "late"), (ts("2024-01-01 11:58:00"), "ok"))
+    // advance watermark far so all open windows close and emit
+    mem.addData((ts("2024-01-01 13:00:00"), "a"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("wm_counts").select("k").as[String].collect().toSet
+    assert(rows.contains("ok"))
+    assert(!rows.contains("late"))
+  }
+
+  test("streaming tumbling window agg matches the batch equivalent (Q29 shape)") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val data = Seq(
+      (ts("2024-01-01 10:05:00"), "click", 1.0),
+      (ts("2024-01-01 10:55:00"), "click", 2.0),
+      (ts("2024-01-01 11:05:00"), "view", 3.0),
+      (ts("2024-01-01 10:15:00"), "view", 4.0))
+    val agg = mem.toDF().toDF("ts", "event_type", "value")
+      .withWatermark("ts", "1 minute")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total"))
+    val q = agg.writeStream.format("memory").queryName("tumbling")
+      .outputMode(OutputMode.Complete()).start()
+    mem.addData(data: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streaming = spark.table("tumbling")
+      .select(col("window.start").as("hr"), col("event_type"), col("n"), col("total"))
+    val batch = data.toDF("ts", "event_type", "value")
+      .groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total"))
+    assert(streaming.except(batch).isEmpty && batch.except(streaming).isEmpty)
+  }
+
+  test("streaming dedup by key within watermark (Q32 twin)") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val dedup = mem.toDF().toDF("ts", "event_id")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = dedup.writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:00:30"), 1L),
+      (ts("2024-01-01 10:01:00"), 2L))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("dedup").count() == 2)
+  }
+
+  test("stateful running counter via mapGroupsWithState (custom state)") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(String, Int)]
+    val counter = mem.toDS()
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (key: String, values: Iterator[(String, Int)], state: GroupState[Long]) =>
+          val next = state.getOption.getOrElse(0L) + values.map(_._2).sum
+          state.update(next)
+          (key, next)
+      }
+    val q = counter.toDF("k", "running").writeStream.format("memory")
+      .queryName("counter").outputMode(OutputMode.Update()).start()
+    mem.addData(("a", 1), ("a", 2), ("b", 5))
+    q.processAllAvailable()
+    mem.addData(("a", 4))
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("counter").groupBy("k").agg(max("running").as("r"))
+      .as[(String, Long)].collect().toMap
+    assert(last == Map("a" -> 7L, "b" -> 5L))
+  }
+}
