@@ -19,6 +19,7 @@ object GraftSession {
 
   /** Apply graft's standard configuration to any builder. */
   def withGraftConfs(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.adaptive.enabled", "true")

@@ -30,6 +30,16 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
 
+  /** Native codegen'd cosine (graft.plans.CosineSimilarity) — bit-identical
+    * to [[cosine]], but a primitive loop inside whole-stage codegen instead
+    * of interpreted higher-order lambdas. Requires GraftExtensions. */
+  def cosineNative(a: Column, b: Column): Column =
+    call_function("cosine_similarity", a, b)
+
+  /** Native codegen'd dot product (graft.plans.DotProduct). */
+  def dotNative(a: Column, b: Column): Column =
+    call_function("dot_product", a, b)
+
   /** DuckDB oracle fragment mirroring [[dot]] exactly (sequential double
     * fold over per-element products). */
   def sqlDot(a: String, b: String, dim: Int = 64): String =

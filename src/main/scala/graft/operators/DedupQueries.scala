@@ -22,32 +22,34 @@ object DedupQueries extends QueryGroup {
   private val numHashes = 16
   private val bandSize = 4 // 4 bands × 4 rows
 
-  /** Q41 ⚙: MinHash + LSH banding → candidate pairs → exact Jaccard. */
+  /** Q41 ⚙: MinHash + LSH banding → candidate pairs → exact Jaccard.
+    *
+    * Perf shape: each shingle string is hashed to a long ONCE; the k minhash
+    * functions are integer-only re-hashes (xxhash64(seed, h)) of that long —
+    * k× cheaper than k string hashes per shingle, and the whole signature
+    * computation is per-row codegen with no shuffle. */
   private val q41: Q = (s, d) => {
     val docs = Tables.documents(s, d).select(
       col("doc_id"), col("source"),
-      TextFunctions.shingles(TextFunctions.tokens(col("text")), 3).as("sh"),
+      call_function("word_shingles",
+        TextFunctions.tokens(col("text")), lit(3)).as("sh"),
       TextFunctions.tokenSet(col("text")).as("w"))
-    // minhash signature: for seed k, min over shingles of xxhash64(shingle#k)
-    val sigCols = (0 until numHashes).map { k =>
-      expr(s"array_min(transform(sh, x -> xxhash64(concat(x, '#$k'))))").as(s"h$k")
-    }
-    val sigged = docs.select(col("doc_id") +: col("w") +: sigCols: _*)
-    // band hash = xxhash64 of the band's 4 minhashes
-    val banded = sigged.select(col("doc_id"), col("w"),
-      explode(array((0 until numHashes / bandSize).map { bIdx =>
-        val cols = (0 until bandSize).map(r => col(s"h${bIdx * bandSize + r}"))
-        struct(lit(bIdx).as("band_idx"), xxhash64(cols: _*).as("band_hash"))
-      }: _*)).as("band"))
-      .select(col("doc_id"), col("w"),
-        col("band.band_idx").as("band_idx"), col("band.band_hash").as("band_hash"))
-    val a = banded.select(col("doc_id").as("a_id"), col("w").as("a_w"),
-      col("band_idx"), col("band_hash"))
-    val b = banded.select(col("doc_id").as("b_id"), col("w").as("b_w"),
+    // native one-pass signature+banding (graft.plans.MinHashBands); only
+    // (doc_id, band) goes through the shuffle — token arrays never do.
+    val banded = docs.select(col("doc_id"),
+      posexplode(call_function("minhash_bands", col("sh"),
+        lit(numHashes), lit(bandSize))).as(Seq("band_idx", "band_hash")))
+    val a = banded.select(col("doc_id").as("a_id"), col("band_idx"), col("band_hash"))
+    val b = banded.select(col("doc_id").as("b_id"),
       col("band_idx").as("b_idx"), col("band_hash").as("b_hash"))
-    a.join(b, col("band_idx") === col("b_idx") &&
+    val cands = a.join(b, col("band_idx") === col("b_idx") &&
         col("band_hash") === col("b_hash") && col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("a_w"), col("b_w")).distinct()
+      .select("a_id", "b_id").distinct()
+    // exact-verify candidates only (tiny) against the token sets
+    val sets = docs.select(col("doc_id"), col("w"))
+    cands
+      .join(broadcast(sets.select(col("doc_id").as("a_id"), col("w").as("a_w"))), "a_id")
+      .join(broadcast(sets.select(col("doc_id").as("b_id"), col("w").as("b_w"))), "b_id")
       .withColumn("jaccard",
         size(array_intersect(col("a_w"), col("b_w"))).cast("double") /
           size(array_union(col("a_w"), col("b_w"))))
@@ -59,15 +61,12 @@ object DedupQueries extends QueryGroup {
     * source block. 64-bit signature built from per-token hash bit votes. */
   private val q42: Q = (s, d) => {
     // bit i vote = Σ_tokens (bit i of xxhash64(token) ? +1 : -1); sig bit i
-    // set iff vote > 0. Computed as one fold producing the packed long.
-    val sigExpr =
-      """aggregate(sequence(0, 63), CAST(0 AS BIGINT),
-        |  (acc, i) -> acc + IF(
-        |    aggregate(toks, 0, (v, t) -> v + IF((shiftright(xxhash64(t), i) & 1) = 1, 1, -1)) > 0,
-        |    shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))""".stripMargin
+    // set iff vote > 0 — computed by the native graft.plans.SimHash64
+    // expression (one string hash per token + 64 integer ops, inside
+    // whole-stage codegen).
     val sigged = Tables.documents(s, d)
-      .withColumn("toks", TextFunctions.tokenSet(col("text")))
-      .withColumn("simhash", expr(sigExpr))
+      .withColumn("simhash",
+        call_function("simhash64", TextFunctions.tokenSet(col("text"))))
       .select("doc_id", "source", "simhash")
     val a = sigged.select(col("doc_id").as("a_id"), col("source"),
       col("simhash").as("a_sig"))

@@ -58,7 +58,8 @@ object TextQueries extends QueryGroup {
         TextFunctions.tokenSet(col("text")).as("w"))
     val sizes = docs.select(col("doc_id"), size(col("w")).as("nw"))
     val toks = docs.select(col("doc_id"), col("source"),
-      explode(col("w")).as("token"))
+      explode(col("w")).as("tok"))
+      .select(col("doc_id"), col("source"), xxhash64(col("tok")).as("token"))
     val a = toks.select(col("doc_id").as("a_id"), col("source"), col("token"))
     val b = toks.select(col("doc_id").as("b_id"), col("source").as("b_source"),
       col("token").as("b_token"))

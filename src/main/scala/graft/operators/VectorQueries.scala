@@ -18,7 +18,7 @@ object VectorQueries extends QueryGroup {
     val q = e.filter(col("vec_id") === 0)
       .select(col("embedding").as("q_emb"))
     e.crossJoin(broadcast(q))
-      .select(col("vec_id"), cosine(col("embedding"), col("q_emb")).as("cos"))
+      .select(col("vec_id"), cosineNative(col("embedding"), col("q_emb")).as("cos"))
       .orderBy(col("cos").desc_nulls_last, col("vec_id"))
       .limit(10)
   }
@@ -34,7 +34,7 @@ object VectorQueries extends QueryGroup {
     val b = e.select(col("vec_id").as("b_id"), col("label").as("b_label"),
       col("embedding").as("b_emb"))
     a.join(b, col("label") === col("b_label") && col("a_id") < col("b_id"))
-      .withColumn("cos", cosine(col("a_emb"), col("b_emb")))
+      .withColumn("cos", cosineNative(col("a_emb"), col("b_emb")))
       .filter(col("cos") > 0.25)
       .select("a_id", "b_id", "cos")
       .orderBy("a_id", "b_id")
@@ -62,7 +62,7 @@ object VectorQueries extends QueryGroup {
     // multi-probe: exact bucket or Hamming distance 1
     sigged.crossJoin(broadcast(q))
       .filter(expr("bit_count(sig ^ q_sig) <= 2"))
-      .select(col("vec_id"), cosine(col("embedding"), col("q_emb")).as("cos"))
+      .select(col("vec_id"), cosineNative(col("embedding"), col("q_emb")).as("cos"))
       .orderBy(col("cos").desc_nulls_last, col("vec_id"))
       .limit(10)
   }

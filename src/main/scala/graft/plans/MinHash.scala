@@ -1,0 +1,76 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** Kernel: MinHash signature + LSH band hashes over a shingle array, in ONE
+  * pass. Each shingle is string-hashed once (xxhash64, seed 42); the k
+  * minhash functions are integer re-hashes (XXH64.hashLong) of that value;
+  * band j's hash chains its band's minhashes. Returns array<long> of
+  * numHashes/bandSize band hashes.
+  *
+  * Exists as a native expression because the SQL formulation (16 projection
+  * columns each referencing a shared `transform(...)` column) gets its
+  * shared subexpression inlined into every column by CollapseProject —
+  * recomputing the shingle hashing 16× in interpreted higher-order lambdas.
+  * Here the whole signature is one codegen-callable loop per row.
+  */
+object MinHashImpl {
+  def bands(arr: ArrayData, numHashes: Int, bandSize: Int): ArrayData = {
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val n = arr.numElements()
+    var t = 0
+    while (t < n) {
+      val h = XxHash64Function.hash(arr.getUTF8String(t), StringType, 42L)
+      var j = 0
+      while (j < numHashes) {
+        val m = XXH64.hashLong(h, j.toLong)
+        if (m < mins(j)) mins(j) = m
+        j += 1
+      }
+      t += 1
+    }
+    val nBands = numHashes / bandSize
+    val out = new Array[Long](nBands)
+    var b = 0
+    while (b < nBands) {
+      var acc = 42L
+      var r = 0
+      while (r < bandSize) { acc = XXH64.hashLong(mins(b * bandSize + r), acc); r += 1 }
+      out(b) = acc
+      b += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+}
+
+/** minhash_bands(array<string>, numHashes, bandSize) → array<bigint>. */
+case class MinHashBands(child: Expression, numHashes: Int, bandSize: Int)
+    extends UnaryExpression {
+
+  override def prettyName: String = "minhash_bands"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if numHashes > 0 && bandSize > 0 &&
+      numHashes % bandSize == 0 => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckFailure(
+      s"numHashes ($numHashes) must be a positive multiple of bandSize ($bandSize)")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_bands requires array<string>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashImpl.bands(input.asInstanceOf[ArrayData], numHashes, bandSize)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.MinHashImpl.bands($c, $numHashes, $bandSize)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

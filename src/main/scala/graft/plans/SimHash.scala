@@ -1,0 +1,60 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** Shared kernel: 64-bit SimHash over a token array. Semantics are exactly
+  * the SQL formulation `bit i set iff Σ_tokens (bit i of xxhash64(token) ?
+  * +1 : -1) > 0` (same xxhash64, seed 42), but as one tight loop — one
+  * string hash per token, then 64 integer ops — instead of interpreted
+  * nested higher-order lambdas.
+  */
+object SimHashImpl {
+  def compute(arr: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = arr.numElements()
+    var t = 0
+    while (t < n) {
+      val h = XxHash64Function.hash(arr.getUTF8String(t), StringType, 42L)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+        i += 1
+      }
+      t += 1
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 64) {
+      if (votes(i) > 0) sig |= (1L << i)
+      i += 1
+    }
+    sig
+  }
+}
+
+/** simhash64(array<string>) → bigint. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "simhash64"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 requires array<string>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SimHashImpl.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.SimHashImpl.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
