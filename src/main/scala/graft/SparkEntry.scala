@@ -20,6 +20,7 @@ object SparkEntry {
     VectorQueries,
     DedupQueries,
     EtlQueries,
+    MlQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,129 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column support for training-data pipelines: media (image /
+  * audio / video) travels as an opaque `binary` column plus a typed metadata
+  * struct; decode / feature-extraction / resize / frame-sampling are
+  * per-partition transforms over the bytes.
+  *
+  * The actual codec step is STUBBED (this container ships no image/audio
+  * libraries): [[FakeCodec]] is a clearly-marked deterministic stand-in that
+  * derives "pixels"/"samples" from the bytes. Everything around it — schema,
+  * batch shape, partition-wise execution, column pruning behavior, and the
+  * metadata contract — is real Spark plumbing, tested in MultimodalSpec, and
+  * a real decoder drops in by replacing FakeCodec only.
+  *
+  * Scale notes: media bytes are the widest column by far — every transform
+  * here prunes to (id, bytes-or-features) before any shuffle, feature
+  * extraction is a narrow map (no shuffle), and grouping media by bucketed
+  * id keeps a 100 TB corpus from ever co-locating raw bytes.
+  */
+object Multimodal {
+
+  /** media_id, modality ∈ {image, audio, video}, bytes, meta struct. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false),
+    StructField("bytes", BinaryType, nullable = false),
+    StructField("meta", StructType(Seq(
+      StructField("format", StringType),
+      StructField("width", IntegerType),     // images/video
+      StructField("height", IntegerType),    // images/video
+      StructField("sample_rate", IntegerType), // audio
+      StructField("n_frames", IntegerType),  // video
+      StructField("duration_ms", LongType)   // audio/video
+    )))))
+
+  /** STUB codec — deterministic fake decode. A real implementation would
+    * call an image/audio library here; the call signature (bytes + meta →
+    * fixed-length feature vector / resized bytes / sampled frames) is the
+    * contract a real codec must satisfy.
+    */
+  object FakeCodec {
+    /** "Decode" bytes to a dim-length float feature vector: position-seeded
+      * hash of the content — deterministic, content-sensitive, fake. */
+    def features(bytes: Array[Byte], dim: Int): Array[Float] = {
+      val out = new Array[Float](dim)
+      var h = 1125899906842597L // fake: content rolling hash, not a decoder
+      var i = 0
+      while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+      var j = 0
+      while (j < dim) {
+        val hj = h ^ (j.toLong * 0x9e3779b97f4a7c15L)
+        val mixed = hj ^ (hj >>> 33)
+        out(j) = ((mixed % 1000L).toFloat / 1000.0f)
+        j += 1
+      }
+      out
+    }
+
+    /** "Resize" an image: a real codec re-encodes pixels; the fake keeps a
+      * deterministic byte slice proportional to the target area. */
+    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val n = math.max(1, math.min(bytes.length, w * h))
+      java.util.Arrays.copyOf(bytes, n)
+    }
+
+    /** "Sample" every k-th frame of a video: real codecs seek keyframes; the
+      * fake slices the byte stream into n_frames equal chunks and keeps every
+      * k-th chunk. */
+    def sampleFrames(bytes: Array[Byte], nFrames: Int, k: Int): Array[Array[Byte]] = {
+      if (nFrames <= 0) return Array.empty
+      val frameLen = math.max(1, bytes.length / nFrames)
+      (0 until nFrames by k).map { f =>
+        val start = f * frameLen
+        java.util.Arrays.copyOfRange(bytes, math.min(start, bytes.length),
+          math.min(start + frameLen, bytes.length))
+      }.toArray
+    }
+  }
+
+  // Registered as Scala UDFs over binary — the explicit non-codegen island
+  // in an otherwise codegen pipeline (a real codec is JNI-bound anyway, so a
+  // UDF boundary is the honest shape; batch size is controlled by partition
+  // size, not row-at-a-time I/O).
+  private val featuresUdf = udf((b: Array[Byte], dim: Int) => FakeCodec.features(b, dim))
+  private val resizeUdf = udf((b: Array[Byte], w: Int, h: Int) => FakeCodec.resize(b, w, h))
+  private val frameSampleUdf =
+    udf((b: Array[Byte], n: Int, k: Int) => FakeCodec.sampleFrames(b, n, k))
+
+  /** Feature-extract: (media_id, features array<float>) — prunes everything
+    * else before compute so the scan only reads (media_id, bytes). */
+  def extractFeatures(media: DataFrame, dim: Int = 64): DataFrame =
+    media.select(col("media_id"),
+      featuresUdf(col("bytes"), lit(dim)).as("features"))
+
+  /** Resize images (other modalities pass through untouched). */
+  def resizeImages(media: DataFrame, w: Int, h: Int): DataFrame =
+    media.withColumn("bytes",
+      when(col("modality") === "image", resizeUdf(col("bytes"), lit(w), lit(h)))
+        .otherwise(col("bytes")))
+
+  /** Sample every k-th frame of each video into one row per frame. */
+  def sampleFrames(media: DataFrame, k: Int): DataFrame =
+    media.filter(col("modality") === "video")
+      .select(col("media_id"),
+        posexplode(frameSampleUdf(col("bytes"), col("meta.n_frames"), lit(k)))
+          .as(Seq("frame_idx", "frame_bytes")))
+
+  /** Deterministic synthetic media table (for tests/demos): bytes derived
+    * from events rows; 3 modalities round-robin. */
+  def synthesize(spark: SparkSession, dir: String, n: Int = 300): DataFrame = {
+    import spark.implicits._
+    spark.range(n).map { i =>
+      val modality = Seq("image", "audio", "video")(i.toInt % 3)
+      val bytes = Array.tabulate[Byte](65 + (i.toInt % 190))(j => ((i * 31 + j) % 251).toByte)
+      (i, modality, bytes)
+    }.toDF("media_id", "modality", "bytes")
+      .withColumn("meta", struct(
+        lit("fake").as("format"),
+        when(col("modality") === "image", lit(640)).as("width"),
+        when(col("modality") === "image", lit(480)).as("height"),
+        when(col("modality") === "audio", lit(16000)).as("sample_rate"),
+        when(col("modality") === "video", lit(12)).as("n_frames"),
+        when(col("modality") =!= "image", lit(5000L)).as("duration_ms")))
+  }
+}

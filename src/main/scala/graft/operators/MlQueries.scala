@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.WeightedAvg
+import org.apache.spark.sql.functions._
+
+/** Remaining §2B inventory: embedding centroids, sketch aggregation, and the
+  * typed-Aggregator UDAF surface. */
+object MlQueries extends QueryGroup {
+
+  /** Q48: per-label embedding centroids (position-wise mean) — the
+    * training-pipeline "class prototype" op and the building block for IVF
+    * ANN. Shape: posexplode → one hash-agg on (label, pos); group sums are
+    * small (rows-per-label), so plain double summation stays within the
+    * 6 d.p. oracle tolerance. */
+  private val q48: Q = (s, d) =>
+    Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos0", "v")))
+      .groupBy(col("label"), (col("pos0") + 1).cast("long").as("pos"))
+      .agg((sum(col("v").cast("double")) / count(lit(1))).as("c"))
+      .orderBy("label", "pos")
+
+  /** Q49 ⚙: HLL sketch aggregation (approx_count_distinct) next to exact —
+    * engine-only (DuckDB's HLL differs); bounds-checked in ScalaTest. */
+  private val q49: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_suppkey")).as("approx_supp"),
+        countDistinct(col("l_suppkey")).as("exact_supp"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+      .orderBy("l_returnflag")
+
+  /** Q50: weighted average via a typed Aggregator[IN, BUF, OUT] (UDAF
+    * surface), deterministic under any merge order (exact µ-unit buffer). */
+  private val q50: Q = (s, d) => {
+    val wavg = udaf(WeightedAvg)
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(wavg(col("l_extendedprice"), col("l_quantity")).as("wavg_price"))
+      .orderBy("l_returnflag")
+  }
+
+  val queries: Seq[(String, Q)] = Seq(
+    "q48_ml_centroids" -> q48,
+    "q49_agg_approx_distinct" -> q49,
+    "q50_udaf_weighted_avg" -> q50,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q48_ml_centroids" ->
+      """SELECT label, CAST(g.pos AS BIGINT) AS pos,
+        |  sum(CAST(embedding[CAST(g.pos AS INTEGER)] AS DOUBLE)) / count(*) AS c
+        |FROM embeddings, generate_series(1, 64) g(pos)
+        |GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+
+    "q50_udaf_weighted_avg" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+        |    / CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS wavg_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+  )
+}

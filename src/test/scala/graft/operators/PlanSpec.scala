@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Physical-plan shape assertions: the properties that make these queries
+  * survive a 100× scale-up must be visible in the executed plan — pushdown
+  * at the scan, broadcast for dims, top-k instead of global sort, equi-join
+  * (never BNLJ) for the range join.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def executedPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.collect() // force AQE to finalize
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q01: column pruning reaches the parquet scan (4-column ReadSchema)") {
+    val p = executedPlan("q01_scan_project")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int," +
+      "l_quantity:double,l_extendedprice:double>"), p.linesIterator.toList.last)
+  }
+
+  test("q04: predicates are pushed to the scan (PushedFilters non-empty)") {
+    val p = executedPlan("q04_filter_pred")
+    assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"))
+    assert(p.contains("IsNotNull") || p.contains("GreaterThan"))
+  }
+
+  test("q05/q06: dimension joins broadcast (no dim-side shuffle)") {
+    assert(executedPlan("q05_join_inner").contains("BroadcastHashJoin"))
+    val p6 = executedPlan("q06_join_multiway")
+    assert(p6.contains("BroadcastHashJoin"))
+  }
+
+  test("q19: global top-k plans as TakeOrderedAndProject, not a full sort") {
+    val p = executedPlan("q19_sort_limit")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q11: range join runs as an equi-join on (user, bucket), never BNLJ") {
+    val p = executedPlan("q11_join_range")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("Join") || p.contains("join"))
+  }
+
+  test("q38: the 1-row query side broadcasts; the scan side never shuffles") {
+    val p = executedPlan("q38_sim_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q49: HLL approximation lands within 10% of exact counts") {
+    val rows = SparkEntry.queries("q49_agg_approx_distinct")(spark, sfDir).collect()
+    rows.foreach { r =>
+      val (approx, exact) = (r.getAs[Long]("approx_orders"), r.getAs[Long]("exact_orders"))
+      assert(math.abs(approx - exact).toDouble / exact < 0.10,
+        s"approx=$approx exact=$exact")
+    }
+  }
+}
