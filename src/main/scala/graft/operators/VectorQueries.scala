@@ -67,10 +67,49 @@ object VectorQueries extends QueryGroup {
       .limit(10)
   }
 
+  /** Q51 ⚙: IVF-style ANN — coarse quantizer = per-label centroids; every
+    * vector is assigned to its nearest centroid (one broadcast join over the
+    * tiny centroid table); the query probes the nProbe nearest centroid
+    * cells and ranks candidates by exact cosine. This is the structure that
+    * scales: the full corpus is bucketed once (write-time partitioning at
+    * 100 TB), per-query work is |cells probed| / |cells| of the data.
+    */
+  private val q51: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    // centroids: position-wise mean per label, re-assembled to arrays
+    val cents = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos").agg(avg(col("v").cast("double")).as("c"))
+      .groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> CAST(s.c AS FLOAT))")
+        .as("centroid"))
+      .select(col("label").as("cent_id"), col("centroid"))
+    // assign every vector to its nearest centroid cell
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("sim", cosineNative(col("embedding"), col("centroid")))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+          .orderBy(col("sim").desc_nulls_last, col("cent_id"))))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("label"), col("embedding"), col("cent_id"))
+    // probe the 2 cells nearest to the query vector
+    val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    val probes = cents.crossJoin(broadcast(qv))
+      .orderBy(cosineNative(col("centroid"), col("q_emb")).desc_nulls_last,
+        col("cent_id"))
+      .limit(2).select(col("cent_id").as("probe_id"))
+    assigned.join(broadcast(probes), col("cent_id") === col("probe_id"))
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"), cosineNative(col("embedding"), col("q_emb")).as("cos"))
+      .orderBy(col("cos").desc_nulls_last, col("vec_id"))
+      .limit(10)
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q38_sim_cosine_topk" -> q38,
     "q39_sim_neighbor_join" -> q39,
     "q43_sim_ann_lsh" -> q43,
+    "q51_sim_ann_ivf" -> q51,
   )
 
   val oracles: Map[String, String] = Map(

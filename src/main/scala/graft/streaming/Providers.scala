@@ -29,6 +29,22 @@ final class JsonFileSource(dir: String, maxFilesPerTrigger: Int = 10)
       .text(dir)
 }
 
+/** Kinesis-shaped source: the graft sharded-queue DataSource V2 stream
+  * (graft.sources.ShardedQueueSource) — shards, per-shard sequence-number
+  * offsets, TRIM_HORIZON/LATEST starting positions. The `value` column
+  * carries the JSON wire format, matching the reference's Kinesis consumer
+  * wiring (StreamingEtl.java:155-175). */
+final class QueueSource(queue: String, startingPosition: String = "TRIM_HORIZON")
+    extends SourceProvider {
+  def read(spark: SparkSession): DataFrame =
+    spark.readStream
+      .format("graft.sources.ShardedQueueSource")
+      .option("queue", queue)
+      .option("starting_position", startingPosition)
+      .load()
+      .select(col("value"))
+}
+
 /** Sinks receive each micro-batch DataFrame of parsed TripEvents (20 cols).
   * Implementations must be idempotent per (batchId) — batches can replay
   * after failure; idempotence is what upgrades at-least-once to effective

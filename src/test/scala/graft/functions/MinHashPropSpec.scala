@@ -51,6 +51,15 @@ class MinHashPropSpec extends SparkSpec {
     assert(out(2) == "und")
   }
 
+  test("ANN IVF top-10 recalls part of the exact cosine top-10 (Q51 vs Q38)") {
+    val exact = graft.SparkEntry.queries("q38_sim_cosine_topk")(spark, sfDir)
+      .select("vec_id").as[Long].collect().toSet
+    val ivf = graft.SparkEntry.queries("q51_sim_ann_ivf")(spark, sfDir)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.2, s"IVF recall $recall collapsed")
+  }
+
   test("ANN LSH top-10 recalls most of the exact cosine top-10 (Q43 vs Q38)") {
     val exact = graft.SparkEntry.queries("q38_sim_cosine_topk")(spark, sfDir)
       .select("vec_id").as[Long].collect().toSet

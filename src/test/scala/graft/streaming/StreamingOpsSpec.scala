@@ -80,6 +80,25 @@ class StreamingOpsSpec extends SparkSpec {
     assert(spark.table("dedup").count() == 2)
   }
 
+  test("session_window groups events by 30-min inactivity gap (Q31 twin)") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val sessions = mem.toDF().toDF("ts", "user_id")
+      .withWatermark("ts", "1 minute")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .count()
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Complete()).start()
+    // user 1: two events 10 min apart (one session), then one 40 min later
+    mem.addData((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:10:00"), 1L),
+      (ts("2024-01-01 10:50:00"), 1L), (ts("2024-01-01 09:00:00"), 2L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sessions")
+      .select("user_id", "count").as[(Long, Long)].collect().toSeq.sorted
+    assert(got == Seq((1L, 1L), (1L, 2L), (2L, 1L)))
+  }
+
   test("stateful running counter via mapGroupsWithState (custom state)") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(String, Int)]
