@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact τ-Jaccard self-join over token sets, with two interchangeable
+  * physical strategies (results are provably identical):
+  *
+  *  - [[postingsCount]]: explode → equi-join on (block, token) → count
+  *    per pair. One shuffle; pair-rows = Σ_token (docs-with-token choose 2).
+  *    Wins when the vocabulary is small/flat (each token's posting list is
+  *    huge but there's no rare prefix to exploit — e.g. the synthetic
+  *    fixtures here).
+  *  - [[prefixFilter]] (PPJoin-style): order tokens by ascending global
+  *    frequency, index only each set's prefix (nw − ⌈τ·nw⌉ + 1 rarest
+  *    tokens), length-filter inside the join, verify candidates exactly.
+  *    Wins on realistic Zipfian vocabularies, where prefix postings are
+  *    tiny — the strategy that survives 100 TB corpora.
+  *
+  * Input: (id: bigint, block: string, w: array<string>) — `block` bounds
+  * candidate scope (e.g. source, language, shard); `w` must be distinct.
+  * Output: (a_id, b_id, jaccard) with a_id < b_id and jaccard ≥ tau,
+  * jaccard computed as inter/(na+nb−inter) on exact ints.
+  */
+object SimilarityJoin {
+
+  def postingsCount(docs: DataFrame, tau: Double): DataFrame = {
+    val sizes = docs.select(col("id"), size(col("w")).as("nw"))
+    val toks = docs.select(col("id"), col("block"), explode(col("w")).as("tok"))
+      .select(col("id"), col("block"), xxhash64(col("tok")).as("token"))
+    val a = toks.select(col("id").as("a_id"), col("block"), col("token"))
+    val b = toks.select(col("id").as("b_id"), col("block").as("b_block"),
+      col("token").as("b_token"))
+    val inter = a.join(b,
+        col("block") === col("b_block") && col("token") === col("b_token") &&
+          col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("a_id"), col("nw").as("na")), "a_id")
+      .join(sizes.select(col("id").as("b_id"), col("nw").as("nb")), "b_id")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= tau)
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  def prefixFilter(docs: DataFrame, tau: Double): DataFrame = {
+    val freq = docs.select(explode(col("w")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("f"))
+    val prefixes = docs
+      .select(col("id"), col("block"), explode(col("w")).as("tok"))
+      .join(broadcast(freq), "tok")
+      .groupBy("id", "block")
+      .agg(expr("transform(array_sort(collect_list(struct(f, tok))), s -> s.tok)")
+        .as("sorted_toks"))
+      .select(col("id"), col("block"), size(col("sorted_toks")).as("nw"),
+        explode(expr(s"slice(sorted_toks, 1, size(sorted_toks) - CAST(ceil($tau * size(sorted_toks)) AS INT) + 1)"))
+          .as("ptok"))
+    val a = prefixes.select(col("id").as("a_id"), col("block"),
+      col("nw").as("na"), col("ptok"))
+    val b = prefixes.select(col("id").as("b_id"), col("block").as("b_block"),
+      col("nw").as("nb"), col("ptok").as("b_ptok"))
+    val cands = a.join(b,
+        col("block") === col("b_block") && col("ptok") === col("b_ptok") &&
+          col("a_id") < col("b_id") &&
+          col("na") * tau <= col("nb") && col("nb") * tau <= col("na"))
+      .select("a_id", "b_id").distinct()
+    val sets = docs.select(col("id"), col("w"))
+    cands
+      .join(broadcast(sets.select(col("id").as("a_id"), col("w").as("a_w"))), "a_id")
+      .join(broadcast(sets.select(col("id").as("b_id"), col("w").as("b_w"))), "b_id")
+      .withColumn("inter", size(array_intersect(col("a_w"), col("b_w"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("a_w")) + size(col("b_w")) - col("inter")))
+      .filter(col("jaccard") >= tau)
+      .select("a_id", "b_id", "jaccard")
+  }
+}

@@ -46,35 +46,16 @@ object TextQueries extends QueryGroup {
       .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keeper"))
       .orderBy("fp")
 
-  /** Q37: n-gram Jaccard near-dup pairs within a `source` block. Implemented
-    * as the scalable explode→equi-join→count shape (token-postings join, one
-    * shuffle on (source, token)), NOT a quadratic array-compare self-join:
-    * at 100 TB only pairs sharing ≥1 token in the same block are ever
-    * materialized. The oracle computes the same counts with list functions.
+  /** Q37: n-gram Jaccard near-dup pairs (τ = 0.8) within a `source` block.
+    * Two interchangeable exact strategies live in [[SimilarityJoin]]
+    * (postings-count vs PPJoin prefix-filter; agreement is tested); the
+    * postings join wins on this corpus's small flat vocabulary.
     */
   private val q37: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-      .select(col("doc_id"), col("source"),
+      .select(col("doc_id").as("id"), col("source").as("block"),
         TextFunctions.tokenSet(col("text")).as("w"))
-    val sizes = docs.select(col("doc_id"), size(col("w")).as("nw"))
-    val toks = docs.select(col("doc_id"), col("source"),
-      explode(col("w")).as("tok"))
-      .select(col("doc_id"), col("source"), xxhash64(col("tok")).as("token"))
-    val a = toks.select(col("doc_id").as("a_id"), col("source"), col("token"))
-    val b = toks.select(col("doc_id").as("b_id"), col("source").as("b_source"),
-      col("token").as("b_token"))
-    val inter = a.join(b,
-        col("source") === col("b_source") && col("token") === col("b_token") &&
-          col("a_id") < col("b_id"))
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("a_id"), col("nw").as("na")), "a_id")
-      .join(sizes.select(col("doc_id").as("b_id"), col("nw").as("nb")), "b_id")
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-      .filter(col("jaccard") >= 0.8)
-      .select("a_id", "b_id", "jaccard")
-      .orderBy("a_id", "b_id")
+    SimilarityJoin.postingsCount(docs, 0.8).orderBy("a_id", "b_id")
   }
 
   /** Q45: quality scoring — length / stopword-ratio / uniqueness features. */
