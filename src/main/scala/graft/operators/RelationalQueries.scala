@@ -128,22 +128,23 @@ object RelationalQueries extends QueryGroup {
       .select("r_name", "n_name")
       .orderBy("r_name", "n_name")
 
-  /** Q11: range join (events within 5 min per user), implemented as an
-    * equi-join on (user, 5-min bucket) with the left side exploded to two
-    * adjacent buckets — O(n) shuffle instead of a per-user BNLJ, which is the
-    * only shape that survives 100 TB. The oracle is the naive theta-join.
+  /** Q11: range join (events within 5 min per user), written as the NAIVE
+    * declarative theta-join — graft's [[graft.plans.BandJoinRewrite]]
+    * optimizer rule rewrites it into an equi-join on (user, 5-min bucket)
+    * with the anchor side exploded to two adjacent buckets: O(n) shuffle
+    * instead of a per-user BNLJ factor, which is the only shape that
+    * survives 100 TB (plan asserted in BandJoinRewriteSpec). The oracle is
+    * the same naive theta-join.
     */
   private val q11: Q = (s, d) => {
     val e = Tables.events(s, d)
       .select(col("event_id"), col("user_id"), epochUs(col("ts")).as("us"))
     val width = 300000000L // 5 minutes in µs
-    val a = e.withColumn("jb",
-      explode(array(expr(s"us div $width"), expr(s"us div $width") + 1)))
-      .select(col("event_id").as("a_id"), col("user_id"),
-        col("us").as("a_us"), col("jb"))
+    val a = e.select(col("event_id").as("a_id"), col("user_id"),
+      col("us").as("a_us"))
     val b = e.select(col("event_id").as("b_id"), col("user_id").as("b_user"),
-      col("us").as("b_us"), expr(s"us div $width").as("b_bkt"))
-    a.join(b, col("user_id") === col("b_user") && col("jb") === col("b_bkt") &&
+      col("us").as("b_us"))
+    a.join(b, col("user_id") === col("b_user") &&
         col("b_us") > col("a_us") && col("b_us") <= col("a_us") + width)
       .select(col("a_id"), col("b_id"), col("user_id"),
         (col("b_us") - col("a_us")).as("gap_us"))

@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       })
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => BandJoinRewrite)
     e.injectFunction(fn("cosine_similarity", classOf[CosineSimilarity], 2,
       c => CosineSimilarity(c(0), c(1))))
     e.injectFunction(fn("dot_product", classOf[DotProduct], 2,
