@@ -41,13 +41,31 @@ object MlQueries extends QueryGroup {
       .orderBy("l_returnflag")
   }
 
+  /** Q52: exact percentiles (median / p90) — both engines use the standard
+    * linear-interpolation definition over the sorted values. */
+  private val q52: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("median_price"),
+        expr("percentile(l_extendedprice, 0.9)").as("p90_price"),
+        expr("percentile(l_quantity, 0.25)").as("p25_qty"))
+      .orderBy("l_returnflag")
+
   val queries: Seq[(String, Q)] = Seq(
     "q48_ml_centroids" -> q48,
+    "q52_agg_percentile" -> q52,
     "q49_agg_approx_distinct" -> q49,
     "q50_udaf_weighted_avg" -> q50,
   )
 
   val oracles: Map[String, String] = Map(
+    "q52_agg_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice, 0.5) AS median_price,
+        |  quantile_cont(l_extendedprice, 0.9) AS p90_price,
+        |  quantile_cont(l_quantity, 0.25) AS p25_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "q48_ml_centroids" ->
       """SELECT label, CAST(g.pos AS BIGINT) AS pos,
         |  sum(CAST(embedding[CAST(g.pos AS INTEGER)] AS DOUBLE)) / count(*) AS c

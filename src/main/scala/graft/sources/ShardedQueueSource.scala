@@ -8,7 +8,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -94,17 +94,29 @@ private class QueueTable(props: Map[String, String]) extends Table with Supports
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => new QueueScan(queue,
-      props.getOrElse("starting_position", "TRIM_HORIZON").toUpperCase)
+      props.getOrElse("starting_position", "TRIM_HORIZON").toUpperCase,
+      props.get("max_records_per_micro_batch").map(_.toLong))
 }
 
-private class QueueScan(queue: String, startingPosition: String) extends Scan {
+private class QueueScan(queue: String, startingPosition: String,
+                        maxRecords: Option[Long]) extends Scan {
   override def readSchema(): StructType = ShardedQueueSource.schema
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new QueueMicroBatchStream(queue, startingPosition)
+    new QueueMicroBatchStream(queue, startingPosition, maxRecords)
 }
 
-private class QueueMicroBatchStream(queue: String, startingPosition: String)
-    extends MicroBatchStream {
+private class QueueMicroBatchStream(queue: String, startingPosition: String,
+                                    maxRecords: Option[Long])
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  /** End offset pinned at query start under Trigger.AvailableNow — the
+    * stream paces toward it in read-limit-sized batches, then stops. */
+  @volatile private var pinnedEnd: Option[Map[Int, Long]] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    pinnedEnd = Some(ShardedQueueSource.snapshotSizes(queue))
+
 
   override def initialOffset(): Offset = startingPosition match {
     case "LATEST" => ShardOffsets(ShardedQueueSource.snapshotSizes(queue))
@@ -112,7 +124,40 @@ private class QueueMicroBatchStream(queue: String, startingPosition: String)
   }
 
   override def latestOffset(): Offset =
-    ShardOffsets(ShardedQueueSource.snapshotSizes(queue))
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead")
+
+  /** Admission control — the analogue of Kinesis GetRecords pacing
+    * (reference polls each shard every 1000 ms, StreamingEtl.java:167):
+    * cap the records admitted per micro-batch, spread evenly across shards
+    * with leftover capacity redistributed, so one hot shard cannot starve
+    * the rest. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val sizes = pinnedEnd.getOrElse(ShardedQueueSource.snapshotSizes(queue))
+    val s = start.asInstanceOf[ShardOffsets].counts
+    limit match {
+      case r: ReadMaxRows =>
+        val backlog = sizes.toSeq.sortBy(_._1)
+          .map { case (sh, n) => sh -> (n - s.getOrElse(sh, 0L)).max(0L) }
+        var remaining = r.maxRows()
+        val admitted = scala.collection.mutable.Map.empty[Int, Long]
+        val fair = if (backlog.nonEmpty) (r.maxRows() / backlog.length).max(1L) else 0L
+        backlog.foreach { case (sh, n) =>
+          val take = n.min(fair).min(remaining)
+          admitted(sh) = take; remaining -= take
+        }
+        backlog.foreach { case (sh, n) => // redistribute leftover capacity
+          val extra = (n - admitted(sh)).min(remaining)
+          admitted(sh) += extra; remaining -= extra
+        }
+        ShardOffsets(sizes.map { case (sh, _) =>
+          sh -> (s.getOrElse(sh, 0L) + admitted.getOrElse(sh, 0L)) })
+      case _ => ShardOffsets(sizes)
+    }
+  }
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxRecords.map(n => ReadLimit.maxRows(n)).getOrElse(ReadLimit.allAvailable())
 
   override def deserializeOffset(json: String): Offset = ShardOffsets.fromJson(json)
 

@@ -68,6 +68,30 @@ class ShardedQueueSourceSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 0)
   }
 
+  test("admission control: max_records_per_micro_batch paces the stream") {
+    val q = "t-paced"
+    ShardedQueueSource.clear(q)
+    (0 until 30).foreach(i => ShardedQueueSource.append(q, s"k$i", s"r$i"))
+    val out = tmpDir("qa-out"); val ckpt = tmpDir("qa-ckpt")
+    @volatile var batches = 0
+    @volatile var maxBatchSize = 0L
+    val sq = spark.readStream.format("graft.sources.ShardedQueueSource")
+      .option("queue", q).option("max_records_per_micro_batch", "8").load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val n = df.count()
+        batches += 1
+        maxBatchSize = math.max(maxBatchSize, n)
+        df.write.mode("append").parquet(out)
+      }
+      .start()
+    sq.awaitTermination(120000)
+    assert(spark.read.parquet(out).count() == 30)  // everything arrives...
+    assert(maxBatchSize <= 8, s"batch of $maxBatchSize exceeded the cap")
+    assert(batches >= 4, s"only $batches batches") // ...paced across batches
+  }
+
   test("ETL pipeline runs end-to-end off the DSv2 queue source (A1 seam)") {
     val q = "t-etl"
     ShardedQueueSource.clear(q)

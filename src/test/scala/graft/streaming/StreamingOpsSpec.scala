@@ -5,12 +5,29 @@ import java.sql.Timestamp
 import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** SURVEY §2B streaming capabilities beyond the reference (M4): event-time
   * watermarks (late-data drop), tumbling window agg ≡ batch equivalent,
-  * streaming dedup, and custom state via mapGroupsWithState.
+  * streaming dedup, and custom state via mapGroupsWithState +
+  * transformWithState.
   */
+class RunningTotalProcessor
+    extends StatefulProcessor[String, (String, Int), (String, Long)] {
+  @transient private var total: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    total = getHandle.getValueState[Long]("total", Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: String, rows: Iterator[(String, Int)],
+                               timers: TimerValues): Iterator[(String, Long)] = {
+    val next = (if (total.exists()) total.get() else 0L) + rows.map(_._2).sum
+    total.update(next)
+    Iterator.single((key, next))
+  }
+}
+
 class StreamingOpsSpec extends SparkSpec {
   import spark.implicits._
 
@@ -78,6 +95,35 @@ class StreamingOpsSpec extends SparkSpec {
     q.processAllAvailable()
     q.stop()
     assert(spark.table("dedup").count() == 2)
+  }
+
+  test("transformWithState running counter (arbitrary state v2 API)") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sc = spark.sqlContext
+      val mem = MemoryStream[(String, Int)]
+      val counted = mem.toDS()
+        .groupByKey(_._1)
+        .transformWithState(new RunningTotalProcessor(),
+          TimeMode.None(), OutputMode.Update())
+      val q = counted.toDF("k", "total").writeStream.format("memory")
+        .queryName("tws").outputMode(OutputMode.Update()).start()
+      mem.addData(("a", 2), ("b", 10), ("a", 3))
+      q.processAllAvailable()
+      mem.addData(("a", 5))
+      q.processAllAvailable()
+      q.stop()
+      val last = spark.table("tws").groupBy("k").agg(max("total").as("t"))
+        .as[(String, Long)].collect().toMap
+      assert(last == Map("a" -> 10L, "b" -> 10L))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
   }
 
   test("session_window groups events by 30-min inactivity gap (Q31 twin)") {
