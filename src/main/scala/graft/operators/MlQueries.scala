@@ -51,14 +51,33 @@ object MlQueries extends QueryGroup {
         expr("percentile(l_quantity, 0.25)").as("p25_qty"))
       .orderBy("l_returnflag")
 
+  /** Q53: pivot (wide aggregation) — explicit value list so the plan is a
+    * single pass, no distinct-values pre-query. */
+  private val q53: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(count(lit(1)))
+      .select(col("l_returnflag"),
+        coalesce(col("F"), lit(0L)).as("f_cnt"),
+        coalesce(col("O"), lit(0L)).as("o_cnt"))
+      .orderBy("l_returnflag")
+
   val queries: Seq[(String, Q)] = Seq(
     "q48_ml_centroids" -> q48,
+    "q53_agg_pivot" -> q53,
     "q52_agg_percentile" -> q52,
     "q49_agg_approx_distinct" -> q49,
     "q50_udaf_weighted_avg" -> q50,
   )
 
   val oracles: Map[String, String] = Map(
+    "q53_agg_pivot" ->
+      """SELECT l_returnflag,
+        |  count(*) FILTER (l_linestatus = 'F') AS f_cnt,
+        |  count(*) FILTER (l_linestatus = 'O') AS o_cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "q52_agg_percentile" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_extendedprice, 0.5) AS median_price,

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-handling utilities for hot keys at scale. AQE's skew-join splitting
+  * covers joins; these cover aggregation and explicit salting, for cases
+  * where one key holds an outsized share of a 100 TB table and a single
+  * reducer would otherwise own it.
+  */
+object SkewTools {
+
+  /** Two-phase (salted) aggregation: groupBy(keys :+ salt) partial-aggregate,
+    * then groupBy(keys) final-aggregate. Every aggregate must be expressed as
+    * (partial, final) column pairs that compose correctly — the helper takes
+    * re-aggregable pairs like (sum, sum), (count→sum), (min, min), (max, max).
+    * Results are identical to a direct groupBy (tested): the hot key's rows
+    * are spread over `buckets` reducers in phase 1 and combined in a tiny
+    * phase 2.
+    */
+  def saltedAgg(df: DataFrame, keys: Seq[String], buckets: Int,
+                partials: Seq[(Column, String)],
+                finals: Seq[(String, Column)]): DataFrame = {
+    require(buckets > 0)
+    val salted = df.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)))
+    val phase1 = salted
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(partials.head._1.as(partials.head._2),
+        partials.tail.map { case (c, n) => c.as(n) }: _*)
+    phase1
+      .groupBy(keys.map(col): _*)
+      .agg(finals.head._2.as(finals.head._1),
+        finals.tail.map { case (n, c) => c.as(n) }: _*)
+  }
+
+  /** Convenience: salted exact count + decimal-sum per key group. */
+  def saltedCountSum(df: DataFrame, keys: Seq[String], valueCol: String,
+                     buckets: Int = 16): DataFrame =
+    saltedAgg(df, keys, buckets,
+      partials = Seq(
+        (count(lit(1)), "__n"),
+        (sum(col(valueCol).cast("decimal(18,2)")), "__s")),
+      finals = Seq(
+        ("n", sum(col("__n"))),
+        ("total", sum(col("__s")).cast("double"))))
+}
