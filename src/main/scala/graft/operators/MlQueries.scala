@@ -63,7 +63,35 @@ object MlQueries extends QueryGroup {
         coalesce(col("O"), lit(0L)).as("o_cnt"))
       .orderBy("l_returnflag")
 
+  /** Q54: nearest-centroid assignment — each vector classified to its most
+    * cosine-similar label centroid (the IVF cell assignment, exposed as a
+    * query). One broadcast of the 10-row centroid table; rank-1 per vector.
+    */
+  private val q54: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val cents = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos").agg(avg(col("v").cast("double")).as("c"))
+      .groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)")
+        .as("centroid"))
+      .select(col("label").as("cent_id"), col("centroid"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc_nulls_last, col("cent_id"))
+    e.crossJoin(broadcast(cents))
+      .withColumn("sim", graft.functions.VectorFunctions.dot(col("embedding"),
+        col("centroid").cast("array<float>")) /
+        (sqrt(graft.functions.VectorFunctions.norm2(col("embedding"))) *
+          sqrt(graft.functions.VectorFunctions.norm2(col("centroid").cast("array<float>")))))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("label"), col("cent_id").as("nearest_centroid"),
+        (col("label") === col("cent_id")).as("self_match"))
+      .orderBy("vec_id")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
+    "q54_ml_nearest_centroid" -> q54,
     "q48_ml_centroids" -> q48,
     "q53_agg_pivot" -> q53,
     "q52_agg_percentile" -> q52,
@@ -71,7 +99,32 @@ object MlQueries extends QueryGroup {
     "q50_udaf_weighted_avg" -> q50,
   )
 
+  private val dotEC =
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(CAST(c.centroid[i] AS FLOAT) AS DOUBLE))), (a, x) -> a + x)"
+  private val normE =
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, x) -> a + x)"
+  private val normC =
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(c.centroid, x -> CAST(CAST(x AS FLOAT) AS DOUBLE) * CAST(CAST(x AS FLOAT) AS DOUBLE))), (a, x) -> a + x)"
+
   val oracles: Map[String, String] = Map(
+    "q54_ml_nearest_centroid" ->
+      s"""WITH cent AS (
+         |  SELECT label AS cent_id, list(c ORDER BY pos) AS centroid FROM (
+         |    SELECT label, g.pos AS pos,
+         |      sum(CAST(embedding[CAST(g.pos AS INTEGER)] AS DOUBLE)) / count(*) AS c
+         |    FROM embeddings, generate_series(1, 64) g(pos)
+         |    GROUP BY label, g.pos)
+         |  GROUP BY label),
+         |sims AS (
+         |  SELECT e.vec_id, e.label, c.cent_id,
+         |    $dotEC / (sqrt($normE) * sqrt($normC)) AS sim
+         |  FROM embeddings e, cent c)
+         |SELECT vec_id, label, cent_id AS nearest_centroid,
+         |  label = cent_id AS self_match
+         |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cent_id) AS rk
+         |      FROM sims)
+         |WHERE rk = 1 ORDER BY vec_id""".stripMargin,
+
     "q53_agg_pivot" ->
       """SELECT l_returnflag,
         |  count(*) FILTER (l_linestatus = 'F') AS f_cnt,
