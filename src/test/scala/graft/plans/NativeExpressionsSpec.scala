@@ -1,0 +1,63 @@
+package graft.plans
+
+import graft.{SparkSpec, Tables}
+import graft.functions.{TextFunctions, VectorFunctions}
+import org.apache.spark.sql.functions._
+
+/** Every native expression claims bit-identical results to its
+  * higher-order-function / SQL twin — pinned here with exact equality
+  * (no tolerance) over the real test tables.
+  */
+class NativeExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Tables.embeddings(spark, sfDir)
+  private lazy val docs = Tables.documents(spark, sfDir)
+
+  test("cosine_similarity native ≡ zip_with/aggregate formulation (bitwise)") {
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    val both = emb.crossJoin(broadcast(q)).select(
+      VectorFunctions.cosineNative(col("embedding"), col("q_emb")).as("native"),
+      VectorFunctions.cosine(col("embedding"), col("q_emb")).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
+  test("dot_product native ≡ HOF formulation (bitwise)") {
+    val both = emb.select(
+      VectorFunctions.dotNative(col("embedding"), reverse(col("embedding"))).as("native"),
+      VectorFunctions.dot(col("embedding"), reverse(col("embedding"))).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
+  test("word_shingles native ≡ transform/concat_ws formulation") {
+    val both = docs.select(
+      call_function("word_shingles", TextFunctions.tokens(col("text")), lit(3))
+        .as("native"),
+      TextFunctions.shingles(TextFunctions.tokens(col("text")), 3).as("sql"))
+    assert(both.filter(col("native") =!= col("sql")).count() == 0)
+  }
+
+  test("simhash64 native ≡ per-bit vote SQL formulation") {
+    // the SQL twin is O(64·tokens) interpreted — keep the sample small
+    val sample = docs.limit(25)
+      .withColumn("toks", TextFunctions.tokenSet(col("text")))
+    val sqlSig = expr(
+      """aggregate(sequence(0, 63), CAST(0 AS BIGINT),
+        |  (acc, i) -> acc + IF(
+        |    aggregate(toks, 0, (v, t) -> v + IF((shiftright(xxhash64(t), i) & 1) = 1, 1, -1)) > 0,
+        |    shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))""".stripMargin)
+    val both = sample.select(
+      call_function("simhash64", col("toks")).as("native"), sqlSig.as("sql"))
+    assert(both.filter(col("native") =!= col("sql")).count() == 0)
+  }
+
+  test("minhash_bands is stable and sensitive (same input → same bands; different input → different bands)") {
+    val sh = call_function("word_shingles", TextFunctions.tokens(col("text")), lit(3))
+    val bands = docs.select(col("doc_id"),
+      call_function("minhash_bands", sh, lit(16), lit(4)).as("b"))
+    val again = docs.select(col("doc_id"),
+      call_function("minhash_bands", sh, lit(16), lit(4)).as("b"))
+    assert(bands.except(again).isEmpty)
+    assert(bands.select("b").distinct().count() > 450) // content-sensitive
+  }
+}
