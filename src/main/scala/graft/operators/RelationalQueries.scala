@@ -294,6 +294,26 @@ object RelationalQueries extends QueryGroup {
       .orderBy("o_custkey", "rn")
   }
 
+  /** Q55: full outer join — unmatched rows survive on BOTH sides (filters
+    * chosen so each side has them). */
+  private val q55: Q = (s, d) => {
+    val c = Tables.customer(s, d).filter(col("c_acctbal") < 0)
+      .select("c_custkey", "c_name")
+    val o = Tables.orders(s, d).filter(col("o_totalprice") > 400000)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+    c.join(o, col("c_custkey") === col("o_custkey"), "full")
+      .select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+      .orderBy(col("c_custkey").asc_nulls_first, col("o_orderkey").asc_nulls_first)
+  }
+
+  /** Q55b: right outer join — every part kept, zero-lineitem parts included. */
+  private val q55b: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"), "right")
+      .groupBy("p_partkey")
+      .agg(count(col("l_orderkey")).as("n_items"))
+      .orderBy("p_partkey")
+
   // ---- set operations -----------------------------------------------------
 
   /** Q21: UNION ALL + group count. */
@@ -302,6 +322,19 @@ object RelationalQueries extends QueryGroup {
       .unionAll(Tables.part(s, d).select(col("p_partkey").as("key")))
       .groupBy("key").agg(count(lit(1)).as("n"))
       .orderBy("key")
+
+  /** Q22b: INTERSECT ALL / EXCEPT ALL (multiset semantics — duplicates
+    * preserved per bag algebra). */
+  private val q22b: Q = (s, d) => {
+    val li = Tables.lineitem(s, d).select(col("l_suppkey").as("key"))
+    val sup = Tables.supplier(s, d).select(col("s_suppkey").as("key"))
+    li.intersectAll(sup).agg(count(lit(1)).as("n"))
+      .select(lit("intersect_all").as("op"), col("n"))
+      .unionAll(
+        li.exceptAll(sup).agg(count(lit(1)).as("n"))
+          .select(lit("except_all").as("op"), col("n")))
+      .orderBy("op")
+  }
 
   /** Q22: INTERSECT / EXCEPT (distinct set semantics). */
   private val q22: Q = (s, d) => {
@@ -441,7 +474,10 @@ object RelationalQueries extends QueryGroup {
     "q19_sort_limit" -> q19,
     "q20_topk_group" -> q20,
     "q21_set_union" -> q21,
+    "q55_join_full" -> q55,
+    "q55b_join_right" -> q55b,
     "q22_set_intersect_except" -> q22,
+    "q22b_set_all" -> q22b,
     "q23_fn_string" -> q23,
     "q24_fn_datetime" -> q24,
     "q25_fn_math" -> q25,
@@ -626,6 +662,46 @@ object RelationalQueries extends QueryGroup {
         |  UNION ALL
         |  SELECT p_partkey AS key FROM part)
         |GROUP BY key ORDER BY key""".stripMargin,
+
+    "q55_join_full" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        |FROM (SELECT c_custkey, c_name FROM customer WHERE c_acctbal < 0) c
+        |FULL JOIN (SELECT o_custkey, o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 400000) o
+        |  ON c_custkey = o_custkey
+        |ORDER BY c_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin,
+
+    "q55b_join_right" ->
+      """SELECT p_partkey, count(l_orderkey) AS n_items
+        |FROM lineitem RIGHT JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_partkey ORDER BY p_partkey""".stripMargin,
+
+    "q22b_set_all" ->
+      """SELECT 'intersect_all' AS op, count(*) AS n FROM (
+        |  SELECT l_suppkey AS key FROM lineitem INTERSECT ALL SELECT s_suppkey FROM supplier)
+        |UNION ALL
+        |SELECT 'except_all' AS op, count(*) AS n FROM (
+        |  SELECT l_suppkey AS key FROM lineitem EXCEPT ALL SELECT s_suppkey FROM supplier)
+        |ORDER BY op""".stripMargin,
+
+    "q55_join_full" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        |FROM (SELECT c_custkey, c_name FROM customer WHERE c_acctbal < 0) c
+        |FULL JOIN (SELECT o_custkey, o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 400000) o
+        |  ON c_custkey = o_custkey
+        |ORDER BY c_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin,
+
+    "q55b_join_right" ->
+      """SELECT p_partkey, count(l_orderkey) AS n_items
+        |FROM lineitem RIGHT JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_partkey ORDER BY p_partkey""".stripMargin,
+
+    "q22b_set_all" ->
+      """SELECT 'intersect_all' AS op, count(*) AS n FROM (
+        |  SELECT l_suppkey AS key FROM lineitem INTERSECT ALL SELECT s_suppkey FROM supplier)
+        |UNION ALL
+        |SELECT 'except_all' AS op, count(*) AS n FROM (
+        |  SELECT l_suppkey AS key FROM lineitem EXCEPT ALL SELECT s_suppkey FROM supplier)
+        |ORDER BY op""".stripMargin,
 
     "q22_set_intersect_except" ->
       """SELECT 'intersect' AS op, count(*) AS n FROM (
