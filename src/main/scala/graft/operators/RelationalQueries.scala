@@ -683,26 +683,6 @@ object RelationalQueries extends QueryGroup {
         |  SELECT l_suppkey AS key FROM lineitem EXCEPT ALL SELECT s_suppkey FROM supplier)
         |ORDER BY op""".stripMargin,
 
-    "q55_join_full" ->
-      """SELECT c_custkey, c_name, o_orderkey, o_totalprice
-        |FROM (SELECT c_custkey, c_name FROM customer WHERE c_acctbal < 0) c
-        |FULL JOIN (SELECT o_custkey, o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 400000) o
-        |  ON c_custkey = o_custkey
-        |ORDER BY c_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin,
-
-    "q55b_join_right" ->
-      """SELECT p_partkey, count(l_orderkey) AS n_items
-        |FROM lineitem RIGHT JOIN part ON l_partkey = p_partkey
-        |GROUP BY p_partkey ORDER BY p_partkey""".stripMargin,
-
-    "q22b_set_all" ->
-      """SELECT 'intersect_all' AS op, count(*) AS n FROM (
-        |  SELECT l_suppkey AS key FROM lineitem INTERSECT ALL SELECT s_suppkey FROM supplier)
-        |UNION ALL
-        |SELECT 'except_all' AS op, count(*) AS n FROM (
-        |  SELECT l_suppkey AS key FROM lineitem EXCEPT ALL SELECT s_suppkey FROM supplier)
-        |ORDER BY op""".stripMargin,
-
     "q22_set_intersect_except" ->
       """SELECT 'intersect' AS op, count(*) AS n FROM (
         |  SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders)
