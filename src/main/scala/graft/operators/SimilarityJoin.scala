@@ -26,14 +26,19 @@ object SimilarityJoin {
 
   def postingsCount(docs: DataFrame, tau: Double): DataFrame = {
     val sizes = docs.select(col("id"), size(col("w")).as("nw"))
-    val toks = docs.select(col("id"), col("block"), explode(col("w")).as("tok"))
-      .select(col("id"), col("block"), xxhash64(col("tok")).as("token"))
-    val a = toks.select(col("id").as("a_id"), col("block"), col("token"))
+    val toks = docs.select(col("id"), col("block"), size(col("w")).as("nw"),
+      explode(col("w")).as("tok"))
+      .select(col("id"), col("block"), col("nw"), xxhash64(col("tok")).as("token"))
+    val a = toks.select(col("id").as("a_id"), col("block"), col("nw").as("na"),
+      col("token"))
     val b = toks.select(col("id").as("b_id"), col("block").as("b_block"),
-      col("token").as("b_token"))
+      col("nw").as("nb"), col("token").as("b_token"))
+    // length filter inside the join: J ≥ τ requires τ·max(na,nb) ≤ min —
+    // prunes cross-size pairs before they ever reach the count aggregation
     val inter = a.join(b,
         col("block") === col("b_block") && col("token") === col("b_token") &&
-          col("a_id") < col("b_id"))
+          col("a_id") < col("b_id") &&
+          col("na") * tau <= col("nb") && col("nb") * tau <= col("na"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.select(col("id").as("a_id"), col("nw").as("na")), "a_id")
