@@ -28,7 +28,7 @@ object EtlBench {
     while (i < n) {
       val line =
         s"""{"vendor_id": ${i % 3}, "pickup_datetime": "2018-${"%02d".format(i % 12 + 1)}-${"%02d".format(i % 28 + 1)}T10:00:00.000Z", "dropoff_datetime": "2018-${"%02d".format(i % 12 + 1)}-${"%02d".format(i % 28 + 1)}T11:00:00.000Z", "passenger_count": 1, "trip_distance": ${i % 40}.5, "ratecode_id": 1, "store_and_fwd_flag": "N", "pickup_location_id": ${i % 260 + 1}, "dropoff_location_id": ${i % 100 + 1}, "payment_type": 1, "fare_amount": 17.5, "extra": 0.0, "mta_tax": 0.5, "tip_amount": 3.66, "tolls_amount": 0.0, "improvement_surcharge": 0.3, "total_amount": 21.96, "trip_id": ${1000000 + i}, "type": "trip"}"""
-      ShardedQueueSource.append(q, s"loc${i % 260}", line, numShards = 16)
+      ShardedQueueSource.append(q, s"loc${i % 260}", line, numShards = cpus.toInt.max(16))
       i += 1
     }
     val genSec = (System.nanoTime() - t0) / 1e9
