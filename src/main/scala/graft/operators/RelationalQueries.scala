@@ -448,6 +448,25 @@ object RelationalQueries extends QueryGroup {
         .otherwise(col("l_discount"))).as("nan_flag"))
     .orderBy("l_orderkey", "l_linenumber")
 
+  /** Q56: string-distance functions (levenshtein). */
+  private val q56: Q = (s, d) =>
+    Tables.part(s, d).select(
+      col("p_partkey"),
+      levenshtein(col("p_name"), lit("small ring")).cast("long").as("lev"),
+      levenshtein(col("p_brand"), col("p_type")).cast("long").as("lev_bt"))
+    .orderBy("p_partkey")
+
+  /** Q57: union by NAME — columns matched by name, not position. */
+  private val q57: Q = (s, d) => {
+    val a = Tables.orders(s, d)
+      .select(col("o_orderkey").as("key"), col("o_totalprice").as("amount"))
+    val b = Tables.lineitem(s, d)
+      .select(col("l_extendedprice").as("amount"), col("l_orderkey").as("key"))
+    a.unionByName(b)
+      .groupBy("key").agg(count(lit(1)).as("n"), dsum(col("amount")).as("total"))
+      .orderBy("key")
+  }
+
   // -------------------------------------------------------------------------
 
   val queries: Seq[(String, Q)] = Seq(
@@ -485,6 +504,8 @@ object RelationalQueries extends QueryGroup {
     "q27_fn_json_explode" -> q27,
     "q27b_fn_posexplode" -> q27b,
     "q28_fn_conditional" -> q28,
+    "q56_fn_levenshtein" -> q56,
+    "q57_set_union_by_name" -> q57,
   )
 
   val oracles: Map[String, String] = Map(
@@ -759,6 +780,36 @@ object RelationalQueries extends QueryGroup {
         |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |     generate_series(1, 5) g(pos)
         |ORDER BY doc_id, pos""".stripMargin,
+
+    "q56_fn_levenshtein" ->
+      """SELECT p_partkey,
+        |  levenshtein(p_name, 'small ring') AS lev,
+        |  levenshtein(p_brand, p_type) AS lev_bt
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q57_set_union_by_name" ->
+      s"""SELECT key, count(*) AS n,
+         |  ${sqlDsum("amount")} AS total
+         |FROM (
+         |  SELECT o_orderkey AS key, o_totalprice AS amount FROM orders
+         |  UNION ALL BY NAME
+         |  SELECT l_extendedprice AS amount, l_orderkey AS key FROM lineitem)
+         |GROUP BY key ORDER BY key""".stripMargin,
+
+    "q56_fn_levenshtein" ->
+      """SELECT p_partkey,
+        |  levenshtein(p_name, 'small ring') AS lev,
+        |  levenshtein(p_brand, p_type) AS lev_bt
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q57_set_union_by_name" ->
+      s"""SELECT key, count(*) AS n,
+         |  ${sqlDsum("amount")} AS total
+         |FROM (
+         |  SELECT o_orderkey AS key, o_totalprice AS amount FROM orders
+         |  UNION ALL BY NAME
+         |  SELECT l_extendedprice AS amount, l_orderkey AS key FROM lineitem)
+         |GROUP BY key ORDER BY key""".stripMargin,
 
     "q28_fn_conditional" ->
       """SELECT l_orderkey, l_linenumber,

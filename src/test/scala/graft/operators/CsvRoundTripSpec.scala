@@ -30,6 +30,16 @@ class CsvRoundTripSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("lineitem round-trips through ORC (columnar alternative format)") {
+    val src = Tables.lineitem(spark, sfDir)
+    val out = tmpDir("orc-out")
+    src.write.mode("overwrite").orc(out)
+    val back = spark.read.orc(out)
+    assert(back.count() == src.count())
+    assert(back.schema == src.schema)
+    assert(back.join(src, Seq("l_orderkey", "l_linenumber"), "left_anti").count() == 0)
+  }
+
   test("malformed CSV rows are surfaced, not silently dropped (PERMISSIVE + corrupt column)") {
     val out = tmpDir("csv-bad")
     java.nio.file.Files.write(java.nio.file.Paths.get(out, "bad.csv"),
