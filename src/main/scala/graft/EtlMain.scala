@@ -1,0 +1,73 @@
+package graft
+
+import graft.etl.EtlConfig
+import graft.streaming._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+
+/** The reference's entry point rebuilt (StreamingEtl.main, SURVEY §3):
+  * resolve config (CLI args ∪ application properties, properties win) →
+  * validate (exactly one source, ≥1 sink) → build the topology → submit.
+  *
+  * Sources: `--InputKinesisStream <queue>` reads the Kinesis-shaped DSv2
+  * sharded queue; `--InputKafkaTopic <queue>` reads the same seam (no Kafka
+  * jar ships in this environment — the provider seam is where a real
+  * connector plugs in). Sinks: `--OutputBucket <dir>` (parquet or JSON lines
+  * per `--ParquetConversion`), `--OutputElasticsearchEndpoint`,
+  * `--OutputKinesisStream`, `--OutputKafkaTopic` (in-memory stubs preserving
+  * the reference's routing contracts), `--OutputDiscard true`.
+  *
+  * `--TriggerSeconds` defaults to 60 — the reference's checkpoint cadence
+  * (streaming-etl.ts:146-151). `--RunAvailableNow true` drains the backlog
+  * and exits (bounded runs / backfills).
+  */
+object EtlMain {
+
+  /** Build providers from a validated config (exposed for tests). */
+  def wire(cfg: EtlConfig): (SourceProvider, Seq[SinkProvider]) = {
+    val source: SourceProvider = cfg.sourceKind match {
+      case "kinesis" => new QueueSource(cfg.get("InputKinesisStream").get,
+        cfg.getOrElse("InputStartingPosition", "TRIM_HORIZON"))
+      case "kafka" => new QueueSource(cfg.get("InputKafkaTopic").get)
+    }
+    val sinks: Seq[SinkProvider] = Seq(
+      cfg.get("OutputBucket").map(dir =>
+        new FileSink(dir, cfg.parquetConversion)),
+      cfg.get("OutputElasticsearchEndpoint").map(_ => new ElasticsearchStubSink),
+      cfg.get("OutputKinesisStream").map(_ => new KinesisStubSink),
+      cfg.get("OutputKafkaTopic").map(t => new KafkaStubSink(t)),
+      cfg.get("OutputDiscard").filter(_.equalsIgnoreCase("true"))
+        .map(_ => new NoopSink),
+    ).flatten
+    (source, sinks)
+  }
+
+  def main(args: Array[String]): Unit = {
+    // application properties via env (the KDA-properties analogue): any
+    // GRAFT_PROP_<Key>=<value> overrides the CLI flag <Key>.
+    val props = sys.env.collect {
+      case (k, v) if k.startsWith("GRAFT_PROP_") => k.stripPrefix("GRAFT_PROP_") -> v
+    }
+    val cfg = EtlConfig.fromArgsAndProperties(args.toSeq, props).validated
+    val (source, sinks) = wire(cfg)
+
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = GraftSession.withGraftConfs(
+      SparkSession.builder().master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val trigger =
+      if (cfg.bool("RunAvailableNow")) Trigger.AvailableNow()
+      else Trigger.ProcessingTime(s"${cfg.getOrElse("TriggerSeconds", "60")} seconds")
+    val ckpt = cfg.getOrElse("CheckpointLocation",
+      java.nio.file.Files.createTempDirectory("graft-etl-ckpt").toString)
+
+    println(s"[graft-etl] source=${cfg.sourceKind} sinks=${sinks.map(_.name).mkString(",")} " +
+      s"trigger=$trigger checkpoint=$ckpt")
+    val query = EtlStream.start(spark, source, sinks, ckpt, trigger)
+    query.awaitTermination()
+    spark.stop()
+  }
+}
