@@ -28,7 +28,8 @@ object EtlMain {
     val source: SourceProvider = cfg.sourceKind match {
       case "kinesis" => new QueueSource(cfg.get("InputKinesisStream").get,
         cfg.getOrElse("InputStartingPosition", "TRIM_HORIZON"))
-      case "kafka" => new QueueSource(cfg.get("InputKafkaTopic").get)
+      case "kafka" => new QueueSource(cfg.get("InputKafkaTopic").get,
+        cfg.getOrElse("InputStartingPosition", "TRIM_HORIZON"))
     }
     val sinks: Seq[SinkProvider] = Seq(
       cfg.get("OutputBucket").map(dir =>

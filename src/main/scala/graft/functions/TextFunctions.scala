@@ -23,11 +23,15 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(split(lower(text), " ")))))
 
-  /** Word n-gram shingles (n consecutive tokens joined by a space). */
+  /** Word n-gram shingles (n consecutive tokens joined by a space);
+    * documents with fewer than n tokens yield an empty array (a bare
+    * sequence(1, 0) would DESCEND and index element 0 — a runtime error
+    * under ANSI). */
   def shingles(toks: Column, n: Int): Column =
-    transform(
-      sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
-      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
 
   /** Rolling 64-bit fingerprint over the token stream: a chained hash
     * (order sensitive, deterministic, no overflow under ANSI mode). */

@@ -103,11 +103,13 @@ object Multimodal {
         .otherwise(col("bytes")))
 
   /** Sample every k-th frame of each video into one row per frame. */
-  def sampleFrames(media: DataFrame, k: Int): DataFrame =
+  def sampleFrames(media: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"frame-sampling stride must be positive, got $k")
     media.filter(col("modality") === "video")
       .select(col("media_id"),
         posexplode(frameSampleUdf(col("bytes"), col("meta.n_frames"), lit(k)))
           .as(Seq("frame_idx", "frame_bytes")))
+  }
 
   /** Deterministic synthetic media table (for tests/demos): bytes derived
     * from events rows; 3 modalities round-robin. */

@@ -16,7 +16,9 @@ object EtlQueries extends QueryGroup {
     * reference TripEventBucketAssigner.java:34-41), derived from event
     * payload exactly as the bucket assigner does. */
   private val q40: Q = (s, d) =>
-    Tables.events(s, d).select(
+    Tables.events(s, d)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(
       col("event_id"),
       format_string("pickup_location=%03d/year=%04d/month=%02d",
         col("user_id"), year(col("ts")), month(col("ts"))).as("bucket_path"))
@@ -43,7 +45,9 @@ object EtlQueries extends QueryGroup {
       """SELECT event_id,
         |  printf('pickup_location=%03d/year=%04d/month=%02d',
         |         user_id, year(ts), month(ts)) AS bucket_path
-        |FROM events ORDER BY event_id""".stripMargin,
+        |FROM events
+        |WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
 
     "q40b_etl_serialize" ->
       """SELECT event_id, epoch_ms(ts) AS ts_millis,

@@ -17,7 +17,7 @@ object MlQueries extends QueryGroup {
     Tables.embeddings(s, d)
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos0", "v")))
       .groupBy(col("label"), (col("pos0") + 1).cast("long").as("pos"))
-      .agg((sum(col("v").cast("double")) / count(lit(1))).as("c"))
+      .agg((sum(col("v").cast("decimal(18,9)")).cast("double") / count(lit(1))).as("c"))
       .orderBy("label", "pos")
 
   /** Q49 ⚙: HLL sketch aggregation (approx_count_distinct) next to exact —
@@ -71,7 +71,8 @@ object MlQueries extends QueryGroup {
     val e = Tables.embeddings(s, d)
     val cents = e
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy("label", "pos").agg(avg(col("v").cast("double")).as("c"))
+      .groupBy("label", "pos")
+      .agg((sum(col("v").cast("decimal(18,9)")).cast("double") / count(lit(1))).as("c"))
       .groupBy("label")
       .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)")
         .as("centroid"))
@@ -111,7 +112,7 @@ object MlQueries extends QueryGroup {
       s"""WITH cent AS (
          |  SELECT label AS cent_id, list(c ORDER BY pos) AS centroid FROM (
          |    SELECT label, g.pos AS pos,
-         |      sum(CAST(embedding[CAST(g.pos AS INTEGER)] AS DOUBLE)) / count(*) AS c
+         |      CAST(sum(CAST(embedding[CAST(g.pos AS INTEGER)] AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS c
          |    FROM embeddings, generate_series(1, 64) g(pos)
          |    GROUP BY label, g.pos)
          |  GROUP BY label),
@@ -140,7 +141,7 @@ object MlQueries extends QueryGroup {
 
     "q48_ml_centroids" ->
       """SELECT label, CAST(g.pos AS BIGINT) AS pos,
-        |  sum(CAST(embedding[CAST(g.pos AS INTEGER)] AS DOUBLE)) / count(*) AS c
+        |  CAST(sum(CAST(embedding[CAST(g.pos AS INTEGER)] AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS c
         |FROM embeddings, generate_series(1, 64) g(pos)
         |GROUP BY label, pos ORDER BY label, pos""".stripMargin,
 

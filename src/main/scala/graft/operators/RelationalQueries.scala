@@ -779,22 +779,8 @@ object RelationalQueries extends QueryGroup {
       """SELECT doc_id, CAST(g.pos AS BIGINT) AS pos, w[CAST(g.pos AS INTEGER)] AS token
         |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |     generate_series(1, 5) g(pos)
+        |WHERE g.pos <= len(w)
         |ORDER BY doc_id, pos""".stripMargin,
-
-    "q56_fn_levenshtein" ->
-      """SELECT p_partkey,
-        |  levenshtein(p_name, 'small ring') AS lev,
-        |  levenshtein(p_brand, p_type) AS lev_bt
-        |FROM part ORDER BY p_partkey""".stripMargin,
-
-    "q57_set_union_by_name" ->
-      s"""SELECT key, count(*) AS n,
-         |  ${sqlDsum("amount")} AS total
-         |FROM (
-         |  SELECT o_orderkey AS key, o_totalprice AS amount FROM orders
-         |  UNION ALL BY NAME
-         |  SELECT l_extendedprice AS amount, l_orderkey AS key FROM lineitem)
-         |GROUP BY key ORDER BY key""".stripMargin,
 
     "q56_fn_levenshtein" ->
       """SELECT p_partkey,

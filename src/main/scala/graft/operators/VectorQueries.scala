@@ -79,7 +79,8 @@ object VectorQueries extends QueryGroup {
     // centroids: position-wise mean per label, re-assembled to arrays
     val cents = e
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy("label", "pos").agg(avg(col("v").cast("double")).as("c"))
+      .groupBy("label", "pos")
+      .agg((sum(col("v").cast("decimal(18,9)")).cast("double") / count(lit(1))).as("c"))
       .groupBy("label")
       .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> CAST(s.c AS FLOAT))")
         .as("centroid"))

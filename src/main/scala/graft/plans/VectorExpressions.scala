@@ -14,6 +14,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * primitive loop over the unsafe array data — no per-element lambda
   * interpretation, no boxing. On a similarity join this is the difference
   * between an interpreted inner loop and ~memory-bandwidth execution.
+  * Arrays of unequal length yield NULL — exactly what the zip_with twin
+  * produces (its null padding propagates through the fold).
   */
 abstract class VectorBinaryExpression extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -37,7 +39,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null // zip_with twin: null
+    val n = x.numElements()
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -52,14 +55,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double dot = 0.0, na = 0.0, nb = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double xi = (double) $a.getFloat(i);
-         |  double yi = (double) $b.getFloat(i);
-         |  dot += xi * yi; na += xi * xi; nb += yi * yi;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int n = $a.numElements();
+         |  double dot = 0.0, na = 0.0, nb = 0.0;
+         |  for (int i = 0; i < n; i++) {
+         |    double xi = (double) $a.getFloat(i);
+         |    double yi = (double) $b.getFloat(i);
+         |    dot += xi * yi; na += xi * xi; nb += yi * yi;
+         |  }
+         |  ${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
          |}
-         |${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
        """.stripMargin
     })
 
@@ -77,7 +84,8 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null // zip_with twin: null
+    val n = x.numElements()
     var dot = 0.0
     var i = 0
     while (i < n) {
@@ -90,12 +98,16 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double dot = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  dot += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int n = $a.numElements();
+         |  double dot = 0.0;
+         |  for (int i = 0; i < n; i++) {
+         |    dot += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+         |  }
+         |  ${ev.value} = dot;
          |}
-         |${ev.value} = dot;
        """.stripMargin
     })
 

@@ -137,8 +137,14 @@ private class QueueMicroBatchStream(queue: String, startingPosition: String,
     val s = start.asInstanceOf[ShardOffsets].counts
     limit match {
       case r: ReadMaxRows =>
-        val backlog = sizes.toSeq.sortBy(_._1)
+        val byShard = sizes.toSeq.sortBy(_._1)
           .map { case (sh, n) => sh -> (n - s.getOrElse(sh, 0L)).max(0L) }
+        // rotate the walk order by total progress so capacity leftovers land
+        // on a different shard each batch — continuous backlog on low shard
+        // ids cannot permanently starve the rest
+        val rot = if (byShard.nonEmpty)
+          math.floorMod(s.values.sum, byShard.length.toLong).toInt else 0
+        val backlog = byShard.drop(rot) ++ byShard.take(rot)
         var remaining = r.maxRows()
         val admitted = scala.collection.mutable.Map.empty[Int, Long]
         val fair = if (backlog.nonEmpty) (r.maxRows() / backlog.length).max(1L) else 0L
