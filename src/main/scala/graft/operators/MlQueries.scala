@@ -91,7 +91,18 @@ object MlQueries extends QueryGroup {
       .orderBy("vec_id")
   }
 
+  /** Q58: deterministic content-hash sampling — a reproducible ~1/16 sample
+    * keyed on md5(key), the pattern for carving stable train/eval splits out
+    * of a 100 TB corpus (same rows selected on any cluster, any partitioning,
+    * any engine). */
+  private val q58: Q = (s, d) =>
+    Tables.orders(s, d)
+      .filter(substring(md5(col("o_orderkey").cast("string")), 1, 1) === "0")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+
   val queries: Seq[(String, Q)] = Seq(
+    "q58_ml_hash_sample" -> q58,
     "q54_ml_nearest_centroid" -> q54,
     "q48_ml_centroids" -> q48,
     "q53_agg_pivot" -> q53,
@@ -108,6 +119,11 @@ object MlQueries extends QueryGroup {
     "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(c.centroid, x -> CAST(CAST(x AS FLOAT) AS DOUBLE) * CAST(CAST(x AS FLOAT) AS DOUBLE))), (a, x) -> a + x)"
 
   val oracles: Map[String, String] = Map(
+    "q58_ml_hash_sample" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
+        |ORDER BY o_orderkey""".stripMargin,
+
     "q54_ml_nearest_centroid" ->
       s"""WITH cent AS (
          |  SELECT label AS cent_id, list(c ORDER BY pos) AS centroid FROM (
