@@ -71,5 +71,9 @@ object GraftSession {
         .master(s"local[$cores]")
         .appName(appName)
         .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+        // managed tables (bucketing demos/tests) land in a temp warehouse,
+        // never in the working directory
+        .config("spark.sql.warehouse.dir",
+          java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
     ).getOrCreate()
 }
