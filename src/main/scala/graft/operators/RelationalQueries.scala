@@ -273,6 +273,33 @@ object RelationalQueries extends QueryGroup {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Q59: value-positional window functions — first/last/nth over an
+    * explicit frame, cume_dist over the tie-capable ordering. */
+  private val q59: Q = (s, d) => {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val tied = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    Tables.orders(s, d).select(
+      col("o_custkey"), col("o_orderkey"),
+      first(col("o_totalprice")).over(full).as("first_price"),
+      last(col("o_totalprice")).over(full).as("last_price"),
+      nth_value(col("o_totalprice"), 2).over(full).as("second_price"),
+      cume_dist().over(tied).as("cd"))
+    .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Q61: ordered string aggregation (listagg shape) — deterministic via
+    * sorted distinct sets on both engines. */
+  private val q61: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(concat_ws(",", array_sort(collect_set(col("l_linestatus"))))
+        .as("statuses"),
+        concat_ws("|",
+          array_sort(collect_set(col("l_quantity").cast("int").cast("string"))))
+          .as("qty_values"))
+      .orderBy("l_returnflag")
+
   // ---- sort / limit / top-k ----------------------------------------------
 
   /** Q19: global top-k with unique tie-break → TakeOrderedAndProject (no full
@@ -492,6 +519,8 @@ object RelationalQueries extends QueryGroup {
     "q18_win_frames" -> q18,
     "q19_sort_limit" -> q19,
     "q20_topk_group" -> q20,
+    "q59_win_value_fns" -> q59,
+    "q61_agg_strings" -> q61,
     "q21_set_union" -> q21,
     "q55_join_full" -> q55,
     "q55b_join_right" -> q55b,
@@ -665,6 +694,25 @@ object RelationalQueries extends QueryGroup {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q59_win_value_fns" ->
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_totalprice) OVER wf AS first_price,
+        |  last_value(o_totalprice) OVER wf AS last_price,
+        |  nth_value(o_totalprice, 2) OVER wf AS second_price,
+        |  cume_dist() OVER wt AS cd
+        |FROM orders
+        |WINDOW wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+        |       wt AS (PARTITION BY o_custkey ORDER BY o_orderdate)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q61_agg_strings" ->
+      """SELECT l_returnflag,
+        |  string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
+        |  string_agg(DISTINCT CAST(CAST(l_quantity AS INTEGER) AS VARCHAR), '|'
+        |             ORDER BY CAST(CAST(l_quantity AS INTEGER) AS VARCHAR)) AS qty_values
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q19_sort_limit" ->
       """SELECT o_orderkey, o_totalprice, o_orderdate FROM orders

@@ -145,6 +145,39 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got == Seq((1L, 1L), (1L, 2L), (2L, 1L)))
   }
 
+  test("stream-stream inner join with watermarked time bound") {
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val buys = MemoryStream[(Timestamp, Long)]
+    val c = clicks.toDF().toDF("c_ts", "c_user").withWatermark("c_ts", "10 minutes")
+    val b = buys.toDF().toDF("b_ts", "b_user").withWatermark("b_ts", "10 minutes")
+    // purchase attributed to a click by the same user within 30 minutes
+    val joined = c.join(b,
+      expr("""c_user = b_user AND b_ts >= c_ts AND b_ts <= c_ts + interval 30 minutes"""))
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode(OutputMode.Append()).start()
+    clicks.addData((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:00:00"), 2L))
+    buys.addData((ts("2024-01-01 10:20:00"), 1L),  // within window → joins
+      (ts("2024-01-01 11:30:00"), 2L))             // outside 30 min → no join
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ssj").select("c_user").as[Long].collect().toSeq
+    assert(rows == Seq(1L))
+  }
+
+  test("stream-static join enriches a stream against a batch dimension") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val dim = Seq((0L, "zero"), (1L, "one")).toDF("k", "name")
+    val joined = mem.toDF().toDF("k").join(dim, "k")
+    val q = joined.writeStream.format("memory").queryName("ssj2")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(0L, 1L, 5L)
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("ssj2").count() == 2) // 5 has no dim row
+  }
+
   test("stateful running counter via mapGroupsWithState (custom state)") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(String, Int)]
