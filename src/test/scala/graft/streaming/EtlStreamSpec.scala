@@ -46,6 +46,21 @@ class EtlStreamSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/batch=0").count() == 20)
   }
 
+  test("ProcessingTime trigger (the reference's 60s cadence, scaled down)") {
+    val in = tmpDir("pt-in"); val ckpt = tmpDir("pt-ckpt")
+    val es = new ElasticsearchStubSink
+    writeBatchFile(in, "b0.json", (0 until 8).map(line(_)))
+    val q = EtlStream.start(spark, new JsonFileSource(in), Seq(es), ckpt,
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+    try {
+      q.processAllAvailable()
+      assert(es.count == 8)
+      writeBatchFile(in, "b1.json", (8 until 14).map(line(_)))
+      q.processAllAvailable()
+      assert(es.count == 14) // continuous micro-batches pick up new files
+    } finally q.stop()
+  }
+
   test("kill-restart: checkpoint + idempotent sinks → no duplicates (A19)") {
     val in = tmpDir("rs-in"); val out = tmpDir("rs-out"); val ckpt = tmpDir("rs-ckpt")
     val es = new ElasticsearchStubSink
