@@ -61,6 +61,21 @@ class EtlStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("MetricsListener reports per-batch input rows (the dashboard analogue)") {
+    val in = tmpDir("m-in"); val out = tmpDir("m-out"); val ckpt = tmpDir("m-ckpt")
+    writeBatchFile(in, "b0.json", (0 until 12).map(line(_)))
+    val metrics = new MetricsListener
+    spark.streams.addListener(metrics)
+    try {
+      val q = EtlStream.start(spark, new JsonFileSource(in),
+        Seq(new FileSink(out, parquet = true)), ckpt, Trigger.AvailableNow())
+      q.awaitTermination(120000)
+      assert(metrics.totalInputRows == 12)
+      val b = metrics.snapshot.filter(_.inputRows > 0)
+      assert(b.nonEmpty && b.head.durationMs > 0)
+    } finally spark.streams.removeListener(metrics)
+  }
+
   test("kill-restart: checkpoint + idempotent sinks → no duplicates (A19)") {
     val in = tmpDir("rs-in"); val out = tmpDir("rs-out"); val ckpt = tmpDir("rs-ckpt")
     val es = new ElasticsearchStubSink
