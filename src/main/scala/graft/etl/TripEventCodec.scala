@@ -41,6 +41,30 @@ object TripEventCodec {
         }: _*)
   }
 
+  /** Strict variant: malformed or incomplete records FAIL the job instead
+    * of being dropped (for pipelines that must not lose data silently —
+    * the reference never fails, quirk 4, so [[parse]] is the parity path).
+    */
+  def parseStrict(df: DataFrame, jsonCol: Column): DataFrame = {
+    val parsed = df.select(jsonCol.as("_raw"),
+      from_json(jsonCol, TripEvent.inputSchema,
+        Map("mode" -> "PERMISSIVE", "timestampFormat" ->
+          "yyyy-MM-dd'T'HH:mm:ss[.SSS]XXX")).as("e"))
+    val required = TripEvent.requiredFields
+      .map(f => col(s"e.$f").isNotNull)
+      .reduce(_ && _)
+    parsed.select(
+      when(col("e").isNotNull && required, col("e"))
+        .otherwise(raise_error(concat(lit("malformed TripEvent: "), col("_raw"))))
+        .as("e"))
+      .select(
+        TripEvent.inputSchema.fieldNames.toSeq.map {
+          case "trip_id" => coalesce(col("e.trip_id"), lit(0L)).as("trip_id")
+          case "padding" => coalesce(col("e.padding"), lit("")).as("padding")
+          case f         => col(s"e.$f").as(f)
+        }: _*)
+  }
+
   /** The serialized-output column set (quirks 1–3) — reusable for both the
     * JSON row sink (via to_json) and the Parquet sink's 18-field projection.
     */

@@ -53,6 +53,17 @@ class TripEventCodecSpec extends SparkSpec {
     assert(json.contains("\"total_amount\":21.96"))             // numeric unquoted
   }
 
+  test("parseStrict fails on malformed input instead of dropping (non-parity strict mode)") {
+    import spark.implicits._
+    val good = TripEventCodec.parseStrict(Seq(validLine).toDF("value"), col("value"))
+    assert(good.count() == 1)
+    val bad = TripEventCodec.parseStrict(Seq(validLine, "not json").toDF("value"), col("value"))
+    val e = intercept[Exception](bad.count())
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("malformed TripEvent")), e.getMessage)
+  }
+
   test("round-trip: output of serialize re-parses as epoch (asymmetry is intentional)") {
     // The output format (epoch numbers) is NOT the input format (ISO text) —
     // feeding output back through parse must DROP rows (timestamps
