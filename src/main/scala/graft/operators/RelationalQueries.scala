@@ -494,6 +494,20 @@ object RelationalQueries extends QueryGroup {
       .orderBy("key")
   }
 
+  /** Q62: subquery machinery via the SQL surface — scalar subquery (global
+    * average) and IN-subquery (big-spender customers); Catalyst rewrites
+    * both to joins. Also exercises `spark.sql` over registered views. */
+  private val q62: Q = (s, d) => {
+    graft.Tables.registerAll(s, d)
+    s.sql(
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (
+        |    SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |    FROM orders)
+        |  AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 0)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
   // -------------------------------------------------------------------------
 
   val queries: Seq[(String, Q)] = Seq(
@@ -535,9 +549,18 @@ object RelationalQueries extends QueryGroup {
     "q28_fn_conditional" -> q28,
     "q56_fn_levenshtein" -> q56,
     "q57_set_union_by_name" -> q57,
+    "q62_sql_subqueries" -> q62,
   )
 
   val oracles: Map[String, String] = Map(
+    "q62_sql_subqueries" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (
+        |    SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |    FROM orders)
+        |  AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 0)
+        |ORDER BY o_orderkey""".stripMargin,
+
     "q01_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,

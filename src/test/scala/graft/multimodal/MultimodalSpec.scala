@@ -27,6 +27,13 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.map(_.getSeq[Float](1).toList).distinct.length > 290)
   }
 
+  test("batched (mapPartitions) extraction equals the per-row UDF path") {
+    val a = Multimodal.extractFeatures(media, 16).orderBy("media_id").collect()
+    val b = Multimodal.extractFeaturesBatched(media, 16).orderBy("media_id").collect()
+    assert(a.map(r => (r.getLong(0), r.getSeq[Float](1).toList)).toList ==
+      b.map(r => (r.getLong(0), r.getSeq[Float](1).toList)).toList)
+  }
+
   test("features flow into the similarity operators (cosine over fake embeddings)") {
     val feats = Multimodal.extractFeatures(media, 32)
     val q = feats.filter(col("media_id") === 0).select(col("features").as("q"))
