@@ -16,7 +16,11 @@ import org.apache.spark.sql.streaming.Trigger
 object EtlBench {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(200000)
-    val withParquet = args.lift(1).forall(_ == "parquet")
+    val withParquet = args.lift(1) match {
+      case None | Some("parquet") => true
+      case Some("noop") => false
+      case Some(other) => sys.error(s"unknown sink mode '$other' (parquet|noop)")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.local(cpus.toInt, cpus.toInt, "graft-etl-bench")
     spark.sparkContext.setLogLevel("WARN")
@@ -42,8 +46,12 @@ object EtlBench {
     val t1 = System.nanoTime()
     val sq = EtlStream.start(spark, new QueueSource(q), sinks, ckpt,
       Trigger.AvailableNow())
-    sq.awaitTermination(600000)
+    val finished = sq.awaitTermination(600000)
     val etlSec = (System.nanoTime() - t1) / 1e9
+    if (!finished) {
+      System.err.println(s"[etl-bench] TIMED OUT after ${etlSec}s with ${noop.rowsSeen}/$n rows — no metric emitted")
+      sq.stop(); spark.stop(); sys.exit(1)
+    }
 
     val recPerSec = (noop.rowsSeen / etlSec).round
     println(s"""{"metric":"etl_throughput","records":$n,"parsed":${noop.rowsSeen},"gen_sec":${"%.1f".format(genSec)},"etl_sec":${"%.1f".format(etlSec)},"records_per_sec":$recPerSec,"sinks":${sinks.length},"reference_envelope_rec_per_sec":16000}""")

@@ -19,51 +19,46 @@ import org.apache.spark.sql.functions._
   */
 object TripEventCodec {
 
+  /** from_json of the wire format (quirk 1: ISO-8601 text timestamps). */
+  private def decoded(jsonCol: Column): Column =
+    from_json(jsonCol, TripEvent.inputSchema,
+      Map("mode" -> "PERMISSIVE", "timestampFormat" ->
+        "yyyy-MM-dd'T'HH:mm:ss[.SSS]XXX"))
+
+  /** All fields present that the reference requires (quirk 5 drop side). */
+  private def complete(e: Column): Column =
+    TripEvent.requiredFields
+      .map(f => e.getField(f).isNotNull)
+      .reduce(_ && _) && e.isNotNull
+
+  /** Flatten + apply the trip_id/padding defaults (quirk 5 default side). */
+  private def flattened: Seq[Column] =
+    TripEvent.inputSchema.fieldNames.toSeq.map {
+      case "trip_id" => coalesce(col("e.trip_id"), lit(0L)).as("trip_id")
+      case "padding" => coalesce(col("e.padding"), lit("")).as("padding")
+      case f         => col(s"e.$f").as(f)
+    }
+
   /** Parse a column of raw JSON bytes/text into TripEvent rows, applying
     * quirks 1/4/5. Input: any DataFrame with `jsonCol`; output: one column
     * per TripEvent field, malformed/incomplete rows dropped.
     */
-  def parse(df: DataFrame, jsonCol: Column): DataFrame = {
-    val parsed = df.select(
-      from_json(jsonCol, TripEvent.inputSchema,
-        Map("mode" -> "PERMISSIVE", "timestampFormat" ->
-          "yyyy-MM-dd'T'HH:mm:ss[.SSS]XXX")).as("e"))
-    val required = TripEvent.requiredFields
-      .map(f => col(s"e.$f").isNotNull)
-      .reduce(_ && _)
-    parsed
-      .filter(col("e").isNotNull && required) // quirk 4 + 5 (drop side)
-      .select(
-        TripEvent.inputSchema.fieldNames.toSeq.map {
-          case "trip_id" => coalesce(col("e.trip_id"), lit(0L)).as("trip_id")
-          case "padding" => coalesce(col("e.padding"), lit("")).as("padding")
-          case f         => col(s"e.$f").as(f)
-        }: _*)
-  }
+  def parse(df: DataFrame, jsonCol: Column): DataFrame =
+    df.select(decoded(jsonCol).as("e"))
+      .filter(complete(col("e"))) // quirk 4: drop, never fail
+      .select(flattened: _*)
 
   /** Strict variant: malformed or incomplete records FAIL the job instead
     * of being dropped (for pipelines that must not lose data silently —
     * the reference never fails, quirk 4, so [[parse]] is the parity path).
     */
-  def parseStrict(df: DataFrame, jsonCol: Column): DataFrame = {
-    val parsed = df.select(jsonCol.as("_raw"),
-      from_json(jsonCol, TripEvent.inputSchema,
-        Map("mode" -> "PERMISSIVE", "timestampFormat" ->
-          "yyyy-MM-dd'T'HH:mm:ss[.SSS]XXX")).as("e"))
-    val required = TripEvent.requiredFields
-      .map(f => col(s"e.$f").isNotNull)
-      .reduce(_ && _)
-    parsed.select(
-      when(col("e").isNotNull && required, col("e"))
-        .otherwise(raise_error(concat(lit("malformed TripEvent: "), col("_raw"))))
-        .as("e"))
+  def parseStrict(df: DataFrame, jsonCol: Column): DataFrame =
+    df.select(jsonCol.as("_raw"), decoded(jsonCol).as("e"))
       .select(
-        TripEvent.inputSchema.fieldNames.toSeq.map {
-          case "trip_id" => coalesce(col("e.trip_id"), lit(0L)).as("trip_id")
-          case "padding" => coalesce(col("e.padding"), lit("")).as("padding")
-          case f         => col(s"e.$f").as(f)
-        }: _*)
-  }
+        when(complete(col("e")), col("e"))
+          .otherwise(raise_error(concat(lit("malformed TripEvent: "), col("_raw"))))
+          .as("e"))
+      .select(flattened: _*)
 
   /** The serialized-output column set (quirks 1–3) — reusable for both the
     * JSON row sink (via to_json) and the Parquet sink's 18-field projection.

@@ -296,7 +296,7 @@ object RelationalQueries extends QueryGroup {
       .agg(concat_ws(",", array_sort(collect_set(col("l_linestatus"))))
         .as("statuses"),
         concat_ws("|",
-          array_sort(collect_set(col("l_quantity").cast("int").cast("string"))))
+          array_sort(collect_set(floor(col("l_quantity")).cast("int").cast("string"))))
           .as("qty_values"))
       .orderBy("l_returnflag")
 
@@ -733,8 +733,8 @@ object RelationalQueries extends QueryGroup {
     "q61_agg_strings" ->
       """SELECT l_returnflag,
         |  string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
-        |  string_agg(DISTINCT CAST(CAST(l_quantity AS INTEGER) AS VARCHAR), '|'
-        |             ORDER BY CAST(CAST(l_quantity AS INTEGER) AS VARCHAR)) AS qty_values
+        |  string_agg(DISTINCT CAST(CAST(floor(l_quantity) AS INTEGER) AS VARCHAR), '|'
+        |             ORDER BY CAST(CAST(floor(l_quantity) AS INTEGER) AS VARCHAR)) AS qty_values
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q19_sort_limit" ->

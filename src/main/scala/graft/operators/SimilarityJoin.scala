@@ -38,7 +38,11 @@ object SimilarityJoin {
     val inter = a.join(b,
         col("block") === col("b_block") && col("token") === col("b_token") &&
           col("a_id") < col("b_id") &&
-          col("na") * tau <= col("nb") && col("nb") * tau <= col("na"))
+          // epsilon guards FP rounding of na*tau landing ABOVE an integer
+          // bound (would silently prune an exact-boundary pair); errors can
+          // only be over-inclusive, and the final jaccard filter is exact
+          col("na") * tau <= col("nb") + lit(1e-7) &&
+          col("nb") * tau <= col("na") + lit(1e-7))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.select(col("id").as("a_id"), col("nw").as("na")), "a_id")
@@ -68,7 +72,8 @@ object SimilarityJoin {
     val cands = a.join(b,
         col("block") === col("b_block") && col("ptok") === col("b_ptok") &&
           col("a_id") < col("b_id") &&
-          col("na") * tau <= col("nb") && col("nb") * tau <= col("na"))
+          col("na") * tau <= col("nb") + lit(1e-7) &&
+          col("nb") * tau <= col("na") + lit(1e-7))
       .select("a_id", "b_id").distinct()
     val sets = docs.select(col("id"), col("w"))
     cands

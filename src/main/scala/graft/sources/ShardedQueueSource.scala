@@ -114,6 +114,11 @@ private class QueueMicroBatchStream(queue: String, startingPosition: String,
     * stream paces toward it in read-limit-sized batches, then stops. */
   @volatile private var pinnedEnd: Option[Map[Int, Long]] = None
 
+  /** Advances every admission decision; drives fair-share rotation (the
+    * offsets sum aliases when rows-per-batch is a multiple of the shard
+    * count, which would freeze the rotation). */
+  private val admissionCalls = new java.util.concurrent.atomic.AtomicLong()
+
   override def prepareForTriggerAvailableNow(): Unit =
     pinnedEnd = Some(ShardedQueueSource.snapshotSizes(queue))
 
@@ -139,11 +144,12 @@ private class QueueMicroBatchStream(queue: String, startingPosition: String,
       case r: ReadMaxRows =>
         val byShard = sizes.toSeq.sortBy(_._1)
           .map { case (sh, n) => sh -> (n - s.getOrElse(sh, 0L)).max(0L) }
-        // rotate the walk order by total progress so capacity leftovers land
-        // on a different shard each batch — continuous backlog on low shard
-        // ids cannot permanently starve the rest
+        // rotate the walk order every admission decision so capacity
+        // leftovers land on a different shard each batch — continuous
+        // backlog on low shard ids cannot permanently starve the rest
         val rot = if (byShard.nonEmpty)
-          math.floorMod(s.values.sum, byShard.length.toLong).toInt else 0
+          math.floorMod(admissionCalls.getAndIncrement(), byShard.length.toLong).toInt
+        else 0
         val backlog = byShard.drop(rot) ++ byShard.take(rot)
         var remaining = r.maxRows()
         val admitted = scala.collection.mutable.Map.empty[Int, Long]

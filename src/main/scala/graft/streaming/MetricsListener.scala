@@ -22,6 +22,7 @@ final class MetricsListener extends StreamingQueryListener {
                                 inputRows: Long, inputRowsPerSec: Double,
                                 processedRowsPerSec: Double, durationMs: Long)
 
+  private val maxRetained = 10000 // bounded: long-running streams must not leak
   private val batchesBuf = mutable.ArrayBuffer.empty[BatchMetrics]
 
   override def onQueryStarted(event: QueryStartedEvent): Unit = ()
@@ -30,10 +31,15 @@ final class MetricsListener extends StreamingQueryListener {
 
   override def onQueryProgress(event: QueryProgressEvent): Unit = synchronized {
     val p = event.progress
+    // triggerExecution is the batch's total wall-clock; the other entries
+    // are its sub-phases (summing the map would double-count)
+    val dur = Option(p.durationMs.get("triggerExecution"))
+      .map(_.longValue()).getOrElse(0L)
     batchesBuf += BatchMetrics(
       Option(p.name).getOrElse(p.id.toString), p.batchId,
-      p.numInputRows, p.inputRowsPerSecond, p.processedRowsPerSecond,
-      p.durationMs.values().stream().mapToLong(_.longValue()).sum())
+      p.numInputRows, p.inputRowsPerSecond, p.processedRowsPerSecond, dur)
+    if (batchesBuf.length > maxRetained)
+      batchesBuf.remove(0, batchesBuf.length - maxRetained)
   }
 
   def snapshot: Seq[BatchMetrics] = synchronized(batchesBuf.toVector)

@@ -70,6 +70,10 @@ class EtlStreamSpec extends SparkSpec {
       val q = EtlStream.start(spark, new JsonFileSource(in),
         Seq(new FileSink(out, parquet = true)), ckpt, Trigger.AvailableNow())
       q.awaitTermination(120000)
+      // listener events are delivered asynchronously — poll briefly
+      val deadline = System.currentTimeMillis() + 15000
+      while (metrics.totalInputRows < 12 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
       assert(metrics.totalInputRows == 12)
       val b = metrics.snapshot.filter(_.inputRows > 0)
       assert(b.nonEmpty && b.head.durationMs > 0)
