@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.functions._
 
 /** Physical-plan shape assertions: the properties that make these queries
   * survive a 100× scale-up must be visible in the executed plan — pushdown
@@ -48,6 +49,18 @@ class PlanSpec extends SparkSpec {
     val p = executedPlan("q38_sim_cosine_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
     assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("constant folding: literal predicates vanish from the optimized plan") {
+    val df = graft.Tables.lineitem(spark, sfDir)
+      .filter(lit(1) + lit(1) === lit(2)) // always true → folded away
+      .filter(col("l_orderkey") > 0L)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("(1 + 1)"), optimized)
+    val folded = graft.Tables.lineitem(spark, sfDir)
+      .select((lit(2) * lit(3) * col("l_quantity")).as("x"))
+    assert(folded.queryExecution.optimizedPlan.toString.contains("6"),
+      "2*3 should fold to 6 at plan time")
   }
 
   test("q49: HLL approximation lands within 10% of exact counts") {
