@@ -18,6 +18,9 @@ object Tables {
     "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // self-heal: queries must work even on a session built without
+    // spark.sql.extensions=GraftExtensions (idempotent, cheap)
+    graft.plans.GraftFunctions.ensureRegistered(spark)
     val df = spark.read.parquet(s"$dir/$name.parquet")
     name match {
       case "events" =>

@@ -1,0 +1,50 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** The graft native-function inventory, registrable two ways: injected at
+  * session build via [[GraftExtensions]] (`spark.sql.extensions`), or
+  * imperatively into a live session via [[ensureRegistered]] — so queries
+  * keep working even on a session built without graft's configuration.
+  */
+object GraftFunctions {
+
+  private def intLit(e: Expression, fn: String, name: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case _ => throw new IllegalArgumentException(s"$fn: $name must be an integer literal")
+  }
+
+  /** name → (implementing class, arity, builder). */
+  val all: Seq[(String, Class[_], Int, Seq[Expression] => Expression)] = Seq(
+    ("cosine_similarity", classOf[CosineSimilarity], 2,
+      (c: Seq[Expression]) => CosineSimilarity(c(0), c(1))),
+    ("dot_product", classOf[DotProduct], 2,
+      (c: Seq[Expression]) => DotProduct(c(0), c(1))),
+    ("simhash64", classOf[SimHash64], 1,
+      (c: Seq[Expression]) => SimHash64(c(0))),
+    ("minhash_bands", classOf[MinHashBands], 3,
+      (c: Seq[Expression]) => MinHashBands(c(0),
+        intLit(c(1), "minhash_bands", "numHashes"),
+        intLit(c(2), "minhash_bands", "bandSize"))),
+    ("word_shingles", classOf[WordShingles], 2,
+      (c: Seq[Expression]) => WordShingles(c(0),
+        intLit(c(1), "word_shingles", "n"))))
+
+  /** Idempotently register every graft function into a live session (no-op
+    * when GraftExtensions already injected them). */
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    all.foreach { case (name, clazz, arity, builder) =>
+      val id = new FunctionIdentifier(name)
+      if (!registry.functionExists(id)) {
+        registry.registerFunction(id, new ExpressionInfo(clazz.getName, name),
+          (children: Seq[Expression]) => {
+            require(children.length == arity, s"$name expects $arity arguments")
+            builder(children)
+          })
+      }
+    }
+  }
+}
