@@ -88,6 +88,13 @@ final class FileSink(outDir: String, parquet: Boolean) extends SinkProvider {
   * index = `type`, id = `trip_id`, document = the 18-field JSON
   * (StreamingEtl.java:250-259). Upsert by (index, id) → idempotent →
   * replayed batches are harmless (the exactly-once claim, README.md:18-19).
+  *
+  * The `collect()` below exists ONLY because the stub's store is an
+  * in-driver map: a real implementation keeps the same (index, id, doc)
+  * contract but ships rows executor-side via
+  * `events.foreachPartition(rows => bulkClient.upsert(rows))` — one bulk
+  * client per partition, no driver round-trip (that is the shape this
+  * seam's contract expects at scale).
   */
 final class ElasticsearchStubSink extends SinkProvider {
   val name = "elasticsearch"
@@ -106,7 +113,9 @@ final class ElasticsearchStubSink extends SinkProvider {
 
 /** Kinesis stub: the reference publishes every record with the FIXED
   * partition key "0" (StreamingEtl.java:191-205) — global ordering through a
-  * single shard. The stub preserves that contract. */
+  * single shard. The stub preserves that contract; as with the ES stub, the
+  * collect() is the in-JVM store's artifact — a real producer writes
+  * per-partition (foreachPartition + KPL-style client). */
 final class KinesisStubSink extends SinkProvider {
   val name = "kinesis"
   val records = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
