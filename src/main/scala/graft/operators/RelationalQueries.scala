@@ -1,7 +1,6 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -196,7 +195,7 @@ object RelationalQueries extends QueryGroup {
       .groupBy("l_returnflag")
       .agg(countDistinct(col("l_suppkey")).as("n_supp"),
         countDistinct(col("l_partkey")).as("n_part"),
-        sumDistinct(col("l_quantity").cast("decimal(18,2)")).cast("double")
+        sum_distinct(col("l_quantity").cast("decimal(18,2)")).cast("double")
           .as("sum_distinct_qty"))
       .orderBy("l_returnflag")
 
