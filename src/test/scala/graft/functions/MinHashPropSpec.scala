@@ -41,6 +41,20 @@ class MinHashPropSpec extends SparkSpec {
     }
   }
 
+  test("simhash: near-duplicate token sets have smaller Hamming distance than random ones") {
+    def sig(words: Seq[String]): Long =
+      Seq(words).toDF("w")
+        .select(expr("simhash64(w)")).as[Long].collect().head
+    val base = (0 until 80).map(i => s"w$i")
+    val nearDup = base.drop(4) ++ Seq("x1", "x2")     // ~92% overlap
+    val random = (0 until 80).map(i => s"z$i")        // disjoint
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val near = hamming(sig(base), sig(nearDup))
+    val far = hamming(sig(base), sig(random))
+    assert(near < far, s"near=$near far=$far")
+    assert(near <= 16, s"near-dup hamming too large: $near")
+  }
+
   test("langGuess is deterministic and total") {
     val df = Seq("the quick fox", "el perro es grande", "zzz qqq").toDF("text")
     val out = df.select(TextFunctions.langGuess(split(col("text"), " ")).as("g"))
