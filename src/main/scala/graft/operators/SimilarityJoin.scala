@@ -75,10 +75,16 @@ object SimilarityJoin {
           col("na") * tau <= col("nb") + lit(1e-7) &&
           col("nb") * tau <= col("na") + lit(1e-7))
       .select("a_id", "b_id").distinct()
-    val sets = docs.select(col("id"), col("w"))
-    cands
-      .join(broadcast(sets.select(col("id").as("a_id"), col("w").as("a_w"))), "a_id")
-      .join(broadcast(sets.select(col("id").as("b_id"), col("w").as("b_w"))), "b_id")
+    // verify: unpivot each candidate pair to two (pair, id) rows and join
+    // the token sets ONCE with a plain shuffle join — sets cross the wire
+    // once and only for documents in some candidate pair; the corpus is
+    // never broadcast (AQE broadcasts the candidate side when it is small).
+    val sides = cands.select(col("a_id"), col("b_id"),
+      explode(array(col("a_id"), col("b_id"))).as("id"))
+    sides.join(docs.select(col("id"), col("w")), "id")
+      .groupBy("a_id", "b_id")
+      .agg(min_by(col("w"), col("id")).as("a_w"),
+        max_by(col("w"), col("id")).as("b_w"))
       .withColumn("inter", size(array_intersect(col("a_w"), col("b_w"))))
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("a_w")) + size(col("b_w")) - col("inter")))

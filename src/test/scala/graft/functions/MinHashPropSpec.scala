@@ -55,6 +55,27 @@ class MinHashPropSpec extends SparkSpec {
     assert(near <= 16, s"near-dup hamming too large: $near")
   }
 
+  test("q42 chunk-banding has exact recall vs brute-force all-pairs at Hamming <= 3") {
+    // pigeonhole: 3 differing bits across 4 disjoint 16-bit chunks leave at
+    // least one chunk identical, so banded candidates ⊇ all true pairs.
+    val sigged = graft.Tables.documents(spark, sfDir)
+      .withColumn("simhash", expr("simhash64(array_distinct(split(lower(text), ' ')))"))
+      .select("doc_id", "source", "simhash")
+    val a = sigged.select(col("doc_id").as("a_id"), col("source"),
+      col("simhash").as("a_sig"))
+    val b = sigged.select(col("doc_id").as("b_id"), col("source").as("b_source"),
+      col("simhash").as("b_sig"))
+    val brute = a.join(b, col("source") === col("b_source") && col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        expr("CAST(bit_count(a_sig ^ b_sig) AS BIGINT)").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val banded = graft.SparkEntry.queries("q42_dedup_simhash")(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(banded == brute,
+      s"banded missed ${(brute -- banded).size}, extra ${(banded -- brute).size}")
+  }
+
   test("langGuess is deterministic and total") {
     val df = Seq("the quick fox", "el perro es grande", "zzz qqq").toDF("text")
     val out = df.select(TextFunctions.langGuess(split(col("text"), " ")).as("g"))
