@@ -65,7 +65,14 @@ object MlQueries extends QueryGroup {
 
   /** Q54: nearest-centroid assignment — each vector classified to its most
     * cosine-similar label centroid (the IVF cell assignment, exposed as a
-    * query). One broadcast of the 10-row centroid table; rank-1 per vector.
+    * query).
+    *
+    * Scale shape: ALL centroids are packed into one array-of-structs row and
+    * broadcast; the argmax is a per-row fold over that array. No crossJoin
+    * row expansion (corpus × n_centroids) and no Window shuffle over vec_id —
+    * the corpus partitioning is untouched. Ties break to the smallest
+    * cent_id: the fold scans cent_id-ascending and replaces only on strictly
+    * greater similarity.
     */
   private val q54: Q = (s, d) => {
     val e = Tables.embeddings(s, d)
@@ -77,17 +84,22 @@ object MlQueries extends QueryGroup {
       .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)")
         .as("centroid"))
       .select(col("label").as("cent_id"), col("centroid"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
-      .orderBy(col("sim").desc_nulls_last, col("cent_id"))
-    e.crossJoin(broadcast(cents))
-      .withColumn("sim", graft.functions.VectorFunctions.dot(col("embedding"),
-        col("centroid").cast("array<float>")) /
-        (sqrt(graft.functions.VectorFunctions.norm2(col("embedding"))) *
-          sqrt(graft.functions.VectorFunctions.norm2(col("centroid").cast("array<float>")))))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("label"), col("cent_id").as("nearest_centroid"),
-        (col("label") === col("cent_id")).as("self_match"))
+    val centArr = cents
+      .agg(array_sort(collect_list(struct(col("cent_id"), col("centroid")))).as("cents"))
+    val best = aggregate(col("cents"),
+      struct(lit(-2.0).as("sim"), lit(-1).as("cid")),
+      (acc, c) => {
+        val cf = c.getField("centroid").cast("array<float>")
+        val sim = graft.functions.VectorFunctions.dot(col("embedding"), cf) /
+          (sqrt(graft.functions.VectorFunctions.norm2(col("embedding"))) *
+            sqrt(graft.functions.VectorFunctions.norm2(cf)))
+        when(sim > acc.getField("sim"),
+          struct(sim.as("sim"), c.getField("cent_id").as("cid"))).otherwise(acc)
+      })
+    e.crossJoin(broadcast(centArr))
+      .withColumn("best", best)
+      .select(col("vec_id"), col("label"), col("best.cid").as("nearest_centroid"),
+        (col("label") === col("best.cid")).as("self_match"))
       .orderBy("vec_id")
   }
 

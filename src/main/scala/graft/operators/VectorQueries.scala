@@ -85,14 +85,23 @@ object VectorQueries extends QueryGroup {
       .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> CAST(s.c AS FLOAT))")
         .as("centroid"))
       .select(col("label").as("cent_id"), col("centroid"))
-    // assign every vector to its nearest centroid cell
-    val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("sim", cosineNative(col("embedding"), col("centroid")))
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
-          .orderBy(col("sim").desc_nulls_last, col("cent_id"))))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("label"), col("embedding"), col("cent_id"))
+    // assign every vector to its nearest centroid cell: all centroids pack
+    // into ONE broadcast row and the argmax is a per-row fold — no
+    // crossJoin row expansion (corpus × n_centroids), no Window shuffle
+    // over vec_id; ties break to the smallest cent_id (fold scans
+    // cent_id-ascending, replaces only on strictly greater similarity)
+    val centArr = cents
+      .agg(array_sort(collect_list(struct(col("cent_id"), col("centroid")))).as("cents"))
+    val best = aggregate(col("cents"),
+      struct(lit(-2.0).as("sim"), lit(-1).as("cid")),
+      (acc, c) => {
+        val sim = cosineNative(col("embedding"), c.getField("centroid"))
+        when(sim > acc.getField("sim"),
+          struct(sim.as("sim"), c.getField("cent_id").as("cid"))).otherwise(acc)
+      })
+    val assigned = e.crossJoin(broadcast(centArr))
+      .withColumn("cent_id", best.getField("cid"))
+      .select(col("vec_id"), col("embedding"), col("cent_id"))
     // probe the 2 cells nearest to the query vector
     val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
     val probes = cents.crossJoin(broadcast(qv))

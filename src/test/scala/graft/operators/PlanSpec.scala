@@ -51,6 +51,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("q54/q51: centroid assignment is a per-row fold — no Window, no corpus×centroid expansion") {
+    val p54 = executedPlan("q54_ml_nearest_centroid")
+    assert(!p54.contains("Window"), "q54 must not shuffle the corpus through a Window")
+    val p51 = executedPlan("q51_sim_ann_ivf")
+    assert(!p51.contains("Window"), "q51 must not shuffle the corpus through a Window")
+  }
+
   test("constant folding: literal predicates vanish from the optimized plan") {
     val df = graft.Tables.lineitem(spark, sfDir)
       .filter(lit(1) + lit(1) === lit(2)) // always true → folded away
