@@ -1,5 +1,15 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs every declared query at SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line `{"metric":"total","value":N,"unit":"sec",
+  * "queries":{name:sec,…},"rows":{name:n,…},"errors":{name:class,…},"sf":…}`.
+  *
+  * Honesty contract: a query that throws is excluded from `queries`/`value`
+  * and recorded under `errors` instead (a crash must never read as a fast
+  * run), and `rows` carries each query's result count so a silently-empty
+  * result can't look like a fast full one.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -16,13 +26,20 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val outcome =
+        try Right(fn(spark, sfDir).count())
+        catch { case e: Throwable => Left(e.getClass.getSimpleName) }
+      (name, (System.nanoTime() - t0) / 1e9, outcome)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def obj(entries: Seq[(String, String)]): String =
+      entries.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val ok = results.collect { case (n, sec, Right(rows)) => (n, sec, rows) }
+    val failed = results.collect { case (n, _, Left(err)) => (n, err) }
+    val qs = obj(ok.map { case (n, sec, _) => n -> sec.toString })
+    val rows = obj(ok.map { case (n, _, r) => n -> r.toString })
+    val errors = obj(failed.map { case (n, e) => n -> s""""$e"""" })
+    val total = ok.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rows,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

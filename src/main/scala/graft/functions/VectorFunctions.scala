@@ -41,15 +41,19 @@ object VectorFunctions {
     call_function("dot_product", a, b)
 
   /** DuckDB oracle fragment mirroring [[dot]] exactly (sequential double
-    * fold over per-element products). */
-  def sqlDot(a: String, b: String, dim: Int = 64): String =
-    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, ${dim + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (acc, x) -> acc + x)"
+    * fold over per-element products). The index bound derives from
+    * len() so a fixture-dimension change can't silently skew the oracle;
+    * fragments that can't express len() (DuckDB's generate_series takes no
+    * lateral column refs) are guarded by the dimension pin in
+    * TablesSchemaSpec instead. */
+  def sqlDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (acc, x) -> acc + x)"
 
   /** DuckDB oracle fragment mirroring [[norm2]]. */
   def sqlNorm2(a: String): String =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, x) -> acc + x)"
 
   /** DuckDB oracle fragment mirroring [[cosine]]. */
-  def sqlCosine(a: String, b: String, dim: Int = 64): String =
-    s"${sqlDot(a, b, dim)} / (sqrt(${sqlNorm2(a)}) * sqrt(${sqlNorm2(b)}))"
+  def sqlCosine(a: String, b: String): String =
+    s"${sqlDot(a, b)} / (sqrt(${sqlNorm2(a)}) * sqrt(${sqlNorm2(b)}))"
 }

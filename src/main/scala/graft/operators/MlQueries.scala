@@ -124,7 +124,7 @@ object MlQueries extends QueryGroup {
   )
 
   private val dotEC =
-    "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(CAST(c.centroid[i] AS FLOAT) AS DOUBLE))), (a, x) -> a + x)"
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len(e.embedding) + 1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(CAST(c.centroid[i] AS FLOAT) AS DOUBLE))), (a, x) -> a + x)"
   private val normE =
     "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, x) -> a + x)"
   private val normC =

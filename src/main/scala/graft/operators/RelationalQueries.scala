@@ -835,7 +835,7 @@ object RelationalQueries extends QueryGroup {
         |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, x) -> a + x)) AS l2_norm,
         |  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
         |  CAST(list_sort(embedding)[3] AS DOUBLE) AS third_smallest,
-        |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[65 - i] AS DOUBLE))), (a, x) -> a + x) AS rev_dot,
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len(embedding) + 1), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[len(embedding) + 1 - i] AS DOUBLE))), (a, x) -> a + x) AS rev_dot,
         |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(embedding[5:14], x -> CAST(x AS DOUBLE))), (a, x) -> a + x) AS slice_sum
         |FROM embeddings ORDER BY vec_id""".stripMargin,
 

@@ -83,8 +83,11 @@ object TextQueries extends QueryGroup {
       length(col("text")).cast("long").as("chars"))
     .orderBy("doc_id")
 
-  /** Q44 ⚙: language-ID heuristic (keyword-overlap argmax) — engine-only
-    * (the scoring lists live in Scala; semantics verified by ScalaTest). */
+  /** Q44: language-ID heuristic (keyword-overlap argmax, ties to the
+    * lexicographically-last language, 'und' on zero overlap). The oracle
+    * mirrors the scorer exactly — both engines take max over
+    * (score, lang) structs — with the keyword lists generated from the
+    * single Scala source of truth. */
   private val q44: Q = (s, d) => {
     val toks = TextFunctions.tokens(col("text"))
     Tables.documents(s, d).select(
@@ -146,6 +149,23 @@ object TextQueries extends QueryGroup {
         |WHERE CAST(len(list_filter(a.w, x -> list_contains(b.w, x))) AS DOUBLE)
         |    / (len(a.w) + len(b.w) - len(list_filter(a.w, x -> list_contains(b.w, x)))) >= 0.8
         |ORDER BY a_id, b_id""".stripMargin,
+
+    "q44_text_langid" -> {
+      val structs = TextFunctions.langKeywords.toSeq.sortBy(_._1)
+        .map { case (lang, words) =>
+          val list = words.map(w => s"'$w'").mkString(", ")
+          s"{'score': len(list_filter(toks, t -> t IN ($list))), 'lang': '$lang'}"
+        }.mkString(",\n      ")
+      s"""SELECT doc_id, labelled_lang,
+         |  CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS guessed_lang
+         |FROM (
+         |  SELECT doc_id, lang AS labelled_lang,
+         |    list_max([
+         |      $structs]) AS best
+         |  FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks
+         |        FROM documents))
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "q45_text_quality" ->
       s"""SELECT doc_id, n_chars,

@@ -23,4 +23,16 @@ class TablesSchemaSpec extends SparkSpec {
       assert(got.toLowerCase == expected(name).toLowerCase, s"\ngot:      $got")
     }
   }
+
+  test("embedding dimension is 64 (pins the oracle fragments that can't derive len())") {
+    // q48/q54 oracles use generate_series(1, 64) — DuckDB's generate_series
+    // takes no lateral column refs, so the bound can't derive from len().
+    // This pin makes a fixture-dimension change fail loudly instead of
+    // letting those oracles compute silently-wrong expected values.
+    import org.apache.spark.sql.functions._
+    val dims = Tables(spark, sfDir, "embeddings")
+      .select(size(col("embedding")).as("d")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(dims == Set(64), s"embedding dims: $dims")
+  }
 }
