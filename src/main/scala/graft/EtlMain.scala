@@ -34,7 +34,13 @@ object EtlMain {
     val sinks: Seq[SinkProvider] = Seq(
       cfg.get("OutputBucket").map(dir =>
         new FileSink(dir, cfg.parquetConversion)),
-      cfg.get("OutputElasticsearchEndpoint").map(_ => new ElasticsearchStubSink),
+      // ES bulk-flush tunables + region mirror the reference's builder
+      // (StreamingEtl.java:244, :270-280); the retry-on-rejection handler
+      // is always on (:268).
+      cfg.get("OutputElasticsearchEndpoint").map(_ => new ElasticsearchStubSink(
+        bulkFlushMaxSizeMb = cfg.int("ElasticsearchBulkFlushMaxSizeMb", 5),
+        bulkFlushMaxActions = cfg.int("ElasticsearchBulkFlushMaxActions", 500),
+        bulkFlushIntervalMillis = cfg.long("ElasticsearchBulkFlushInterval", 0L))),
       cfg.get("OutputKinesisStream").map(_ => new KinesisStubSink),
       cfg.get("OutputKafkaTopic").map(t => new KafkaStubSink(t)),
       cfg.get("OutputDiscard").filter(_.equalsIgnoreCase("true"))
@@ -66,7 +72,7 @@ object EtlMain {
       java.nio.file.Files.createTempDirectory("graft-etl-ckpt").toString)
 
     println(s"[graft-etl] source=${cfg.sourceKind} sinks=${sinks.map(_.name).mkString(",")} " +
-      s"trigger=$trigger checkpoint=$ckpt")
+      s"region=${cfg.defaultRegion} trigger=$trigger checkpoint=$ckpt")
     val query = EtlStream.start(spark, source, sinks, ckpt, trigger)
     query.awaitTermination()
     spark.stop()

@@ -16,6 +16,21 @@ final case class EtlConfig(params: Map[String, String]) {
     params.getOrElse(key, default)
   def bool(key: String, default: Boolean = false): Boolean =
     params.get(key).map(_.trim.equalsIgnoreCase("true")).getOrElse(default)
+  def int(key: String, default: Int): Int =
+    params.get(key).map(_.trim.toInt).getOrElse(default)
+  def long(key: String, default: Long): Long =
+    params.get(key).map(_.trim.toLong).getOrElse(default)
+
+  /** A18: region resolution — environment autodetect (the offline analogue
+    * of the reference's EC2-metadata probe) falling back to the reference's
+    * hardcoded `eu-west-1` (StreamingEtl.java:64-74). Per-facet keys override
+    * the default exactly as the reference does (:157, :193, :244). */
+  def defaultRegion: String =
+    sys.env.get("AWS_REGION").orElse(sys.env.get("AWS_DEFAULT_REGION"))
+      .getOrElse("eu-west-1")
+  def inputStreamRegion: String = getOrElse("InputStreamRegion", defaultRegion)
+  def outputStreamRegion: String = getOrElse("OutputStreamRegion", defaultRegion)
+  def elasticsearchRegion: String = getOrElse("ElasticsearchRegion", defaultRegion)
 
   def sourceKind: String = {
     val kinesis = params.contains("InputKinesisStream")

@@ -1,9 +1,10 @@
 package graft.streaming
 
-import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.{ConcurrentHashMap, ConcurrentLinkedQueue}
+import java.util.concurrent.atomic.AtomicInteger
 
 import graft.etl.{BucketPaths, TripEventCodec}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Connector seams. The environment ships no Kinesis/Kafka/ES jars (verified
@@ -56,16 +57,59 @@ trait SinkProvider {
   def write(events: DataFrame, batchId: Long): Unit
 }
 
-/** Partitioned file sink (parquet or JSON-lines), reproducing A7/A9/A10:
-  * derived zero-padded partition columns + 18-field output projection.
-  * Exactly-once: each batch writes to a `batch=<id>` subdirectory with
-  * overwrite — a replayed batch overwrites its own output instead of
-  * appending duplicates.
+/** Per-JVM backing stores for the stub sinks, reached from executor tasks by
+  * a static lookup on a sink-instance id. The foreachPartition closures ship
+  * only the id STRING — never the store — exactly how a real connector opens
+  * a per-partition bulk client from serialized config; under `local[*]`
+  * executors share the driver JVM, so tests read the same store back.
   */
-final class FileSink(outDir: String, parquet: Boolean) extends SinkProvider {
+object SinkStores {
+  private val maps =
+    new ConcurrentHashMap[String, ConcurrentHashMap[(String, String), String]]()
+  private val queues =
+    new ConcurrentHashMap[String, ConcurrentLinkedQueue[(String, String)]]()
+  /** Remaining forced bulk rejections per sink id (test hook simulating ES
+    * rejected-execution backpressure — reference handles these with
+    * RetryRejectedExecutionFailureHandler, StreamingEtl.java:268). */
+  private val rejectBudget = new ConcurrentHashMap[String, AtomicInteger]()
+
+  def map(id: String): ConcurrentHashMap[(String, String), String] =
+    maps.computeIfAbsent(id, _ => new ConcurrentHashMap)
+  def queue(id: String): ConcurrentLinkedQueue[(String, String)] =
+    queues.computeIfAbsent(id, _ => new ConcurrentLinkedQueue)
+  def injectRejections(id: String, n: Int): Unit =
+    rejectBudget.put(id, new AtomicInteger(n))
+  /** True when the simulated cluster rejects this bulk execution. */
+  def rejects(id: String): Boolean = {
+    val budget = rejectBudget.get(id)
+    budget != null && budget.getAndDecrement() > 0
+  }
+}
+
+/** Partitioned file sink (parquet or JSON-lines) reproducing A7–A10: every
+  * run writes under `{outDir}/job_start=<epoch-millis>/` (reference
+  * StreamingEtl.java:217) with the reference's flat partition layout
+  * `pickup_location=%03d/year=%04d/month=%02d` and the 18-field output
+  * projection.
+  *
+  * Exactly-once within a run: each micro-batch's part files are committed
+  * under deterministic batch-scoped names (`batch-<id>-<k>`), so a replayed
+  * batch overwrites its own files in place instead of appending duplicates.
+  * Across job submissions the reference's own contract applies: a new run
+  * gets a new `job_start=` prefix (pass `jobStartMillis` to resume a run's
+  * prefix, e.g. after restoring a checkpoint).
+  */
+final class FileSink(outDir: String, parquet: Boolean,
+                     jobStartMillis: Long = System.currentTimeMillis())
+    extends SinkProvider {
   val name: String = if (parquet) "s3-parquet" else "s3-json"
 
+  /** A8: the run prefix — reference `%sjob_start=%s/` (StreamingEtl.java:217). */
+  val prefix: String = s"$outDir/job_start=$jobStartMillis"
+
   def write(events: DataFrame, batchId: Long): Unit = {
+    val spark = events.sparkSession
+    val tmp = s"$prefix/.spark-staging-batch-$batchId"
     val bucketed = BucketPaths.withBucketColumns(events)
     if (parquet)
       bucketed
@@ -73,14 +117,51 @@ final class FileSink(outDir: String, parquet: Boolean) extends SinkProvider {
           BucketPaths.partitionColumns.map(col)): _*)
         .write.mode("overwrite")
         .partitionBy(BucketPaths.partitionColumns: _*)
-        .parquet(s"$outDir/batch=$batchId")
+        .parquet(tmp)
     else
       bucketed
         .select(to_json(struct(TripEventCodec.outputColumns: _*)).as("value"),
           col("pickup_location"), col("year"), col("month"))
         .write.mode("overwrite")
         .partitionBy(BucketPaths.partitionColumns: _*)
-        .text(s"$outDir/batch=$batchId")
+        .text(tmp)
+    promote(spark, tmp, batchId)
+  }
+
+  /** Move the staged part files into the reference layout under
+    * deterministic names. A replayed batch stages the same partitions (the
+    * batch content is checkpoint-determined), so deleting `batch-<id>-*` in
+    * each staged partition before the rename makes the commit idempotent. */
+  private def promote(spark: SparkSession, tmp: String, batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(tmp).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmpPath = fs.makeQualified(new Path(tmp))
+    if (!fs.exists(tmpPath)) return
+    val files = scala.collection.mutable.ArrayBuffer.empty[Path]
+    val it = fs.listFiles(tmpPath, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getPath.getName.startsWith("part-"))
+        files += f.getPath
+    }
+    files.sortBy(_.toString).zipWithIndex
+      .groupBy { case (p, _) =>
+        // partition subpath: path segments between the staging dir and file
+        val parent = p.getParent.toString
+        if (parent == tmpPath.toString) ""
+        else parent.stripPrefix(tmpPath.toString + "/")
+      }
+      .foreach { case (rel, parts) =>
+        val destDir = if (rel.isEmpty) new Path(prefix) else new Path(prefix, rel)
+        fs.mkdirs(destDir)
+        val stale = fs.globStatus(new Path(destDir, s"batch-$batchId-*"))
+        if (stale != null) stale.foreach(s => fs.delete(s.getPath, false))
+        parts.foreach { case (src, k) =>
+          val suffix = src.getName.dropWhile(_ != '.') // .snappy.parquet / .txt
+          fs.rename(src, new Path(destDir, f"batch-$batchId-$k%05d$suffix"))
+        }
+      }
+    fs.delete(tmpPath, true)
   }
 }
 
@@ -89,51 +170,99 @@ final class FileSink(outDir: String, parquet: Boolean) extends SinkProvider {
   * (StreamingEtl.java:250-259). Upsert by (index, id) → idempotent →
   * replayed batches are harmless (the exactly-once claim, README.md:18-19).
   *
-  * The `collect()` below exists ONLY because the stub's store is an
-  * in-driver map: a real implementation keeps the same (index, id, doc)
-  * contract but ships rows executor-side via
-  * `events.foreachPartition(rows => bulkClient.upsert(rows))` — one bulk
-  * client per partition, no driver round-trip (that is the shape this
-  * seam's contract expects at scale).
+  * Executor-side shape: rows flow through `foreachPartition` into a
+  * per-partition bulk buffer that flushes on max-actions / max-size /
+  * flush-interval — the reference's BulkProcessor tunables
+  * (`ElasticsearchBulkFlushMaxSizeMb|MaxActions|Interval`,
+  * StreamingEtl.java:270-280) — and retries bulk executions the cluster
+  * rejects (RetryRejectedExecutionFailureHandler analogue, :268). No record
+  * ever round-trips through the driver.
   */
-final class ElasticsearchStubSink extends SinkProvider {
+final class ElasticsearchStubSink(
+    bulkFlushMaxSizeMb: Int = 5,
+    bulkFlushMaxActions: Int = 500,
+    bulkFlushIntervalMillis: Long = 0L, // 0 = flush on size/actions/end only
+    maxRetries: Int = 8) extends SinkProvider {
   val name = "elasticsearch"
-  /** (index, docId) -> document JSON; a stand-in for the bulk REST client. */
-  val store = new ConcurrentHashMap[(String, String), String]()
+  private val id = java.util.UUID.randomUUID().toString
 
-  def write(events: DataFrame, batchId: Long): Unit =
+  /** (index, docId) -> document JSON; a stand-in for the bulk REST client. */
+  def store: ConcurrentHashMap[(String, String), String] = SinkStores.map(id)
+  def count: Int = store.size()
+  /** Test hook: force the next `n` bulk executions to be rejected. */
+  def injectRejections(n: Int): Unit = SinkStores.injectRejections(id, n)
+
+  def write(events: DataFrame, batchId: Long): Unit = {
+    val (sinkId, maxActions, retries) = (id, bulkFlushMaxActions, maxRetries)
+    val maxBytes = bulkFlushMaxSizeMb * 1024L * 1024L
+    val intervalNanos = bulkFlushIntervalMillis * 1000000L
     events
       .select(col("type").as("index"), col("trip_id").cast("string").as("id"),
         to_json(struct(TripEventCodec.outputColumns: _*)).as("doc"))
-      .collect()
-      .foreach(r => store.put((r.getString(0), r.getString(1)), r.getString(2)))
-
-  def count: Int = store.size()
+      .foreachPartition { rows: Iterator[Row] =>
+        val buf = scala.collection.mutable.ArrayBuffer.empty[((String, String), String)]
+        var bytes = 0L
+        var lastFlush = System.nanoTime()
+        def flush(): Unit = if (buf.nonEmpty) {
+          var attempt = 0
+          // retry-on-rejection: a rejected bulk execution is re-submitted
+          // whole (it is idempotent — upserts by (index, id))
+          while (SinkStores.rejects(sinkId)) {
+            attempt += 1
+            if (attempt > retries)
+              throw new IllegalStateException(
+                s"ES bulk rejected $attempt times (maxRetries=$retries)")
+          }
+          val target = SinkStores.map(sinkId)
+          buf.foreach { case (key, doc) => target.put(key, doc) }
+          buf.clear(); bytes = 0L; lastFlush = System.nanoTime()
+        }
+        rows.foreach { r =>
+          buf += (((r.getString(0), r.getString(1)), r.getString(2)))
+          bytes += r.getString(2).length.toLong
+          if (buf.size >= maxActions || bytes >= maxBytes ||
+            (intervalNanos > 0 && System.nanoTime() - lastFlush >= intervalNanos))
+            flush()
+        }
+        flush()
+      }
+  }
 }
 
 /** Kinesis stub: the reference publishes every record with the FIXED
   * partition key "0" (StreamingEtl.java:191-205) — global ordering through a
-  * single shard. The stub preserves that contract; as with the ES stub, the
-  * collect() is the in-JVM store's artifact — a real producer writes
-  * per-partition (foreachPartition + KPL-style client). */
+  * single shard. Records are produced executor-side (`foreachPartition` into
+  * the per-JVM store — the per-partition KPL-client shape); only the sink id
+  * string is shipped in the task closure. */
 final class KinesisStubSink extends SinkProvider {
   val name = "kinesis"
-  val records = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+  private val id = java.util.UUID.randomUUID().toString
+  def records: ConcurrentLinkedQueue[(String, String)] = SinkStores.queue(id)
 
-  def write(events: DataFrame, batchId: Long): Unit =
-    TripEventCodec.serialize(events).collect()
-      .foreach(r => records.add(("0", r.getString(0)))) // fixed partition key
+  def write(events: DataFrame, batchId: Long): Unit = {
+    val sinkId = id
+    TripEventCodec.serialize(events).foreachPartition { rows: Iterator[Row] =>
+      val q = SinkStores.queue(sinkId)
+      rows.foreach(r => q.add(("0", r.getString(0)))) // fixed partition key
+    }
+  }
 }
 
 /** Kafka stub (at-least-once, matching the reference's actual default
-  * producer semantic — StreamingEtl.java:207-212). */
+  * producer semantic — StreamingEtl.java:207-212); executor-side like the
+  * Kinesis stub. */
 final class KafkaStubSink(topic: String) extends SinkProvider {
   val name = "kafka"
-  val records = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+  private val id = java.util.UUID.randomUUID().toString
+  def records: ConcurrentLinkedQueue[(String, String)] = SinkStores.queue(id)
 
-  def write(events: DataFrame, batchId: Long): Unit =
-    TripEventCodec.serialize(events).collect()
-      .foreach(r => records.add((topic, r.getString(0))))
+  def write(events: DataFrame, batchId: Long): Unit = {
+    val (sinkId, t) = (id, topic)
+    TripEventCodec.serialize(events).foreachPartition { rows: Iterator[Row] =>
+      val q = SinkStores.queue(sinkId)
+      rows.foreach(r => q.add((t, r.getString(0))))
+    }
+  }
 }
 
 /** Discarding sink (A15) — forces full computation, writes nothing. */

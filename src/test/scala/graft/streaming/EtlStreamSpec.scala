@@ -32,8 +32,9 @@ class EtlStreamSpec extends SparkSpec {
     val es = new ElasticsearchStubSink
     val kinesis = new KinesisStubSink
     val noop = new NoopSink
+    val fileSink = new FileSink(out, parquet = true)
     val q = EtlStream.start(spark, new JsonFileSource(in),
-      Seq(new FileSink(out, parquet = true), es, kinesis, noop),
+      Seq(fileSink, es, kinesis, noop),
       ckpt, Trigger.AvailableNow())
     q.awaitTermination(120000)
     assert(noop.rowsSeen == 20)
@@ -43,7 +44,37 @@ class EtlStreamSpec extends SparkSpec {
     // fixed partition key "0" (StreamingEtl.java:191-205)
     assert(kinesis.records.size() == 20)
     kinesis.records.forEach { case (k, _) => assert(k == "0") }
-    assert(spark.read.parquet(s"$out/batch=0").count() == 20)
+    // A8 + A7: job_start=<epoch> run prefix over the reference's flat
+    // zero-padded partition layout, batch-scoped deterministic file names
+    assert(fileSink.prefix.matches(s"$out/job_start=\\d+"))
+    assert(spark.read.parquet(fileSink.prefix).count() == 20)
+    val aFile = java.nio.file.Files.walk(java.nio.file.Paths.get(fileSink.prefix))
+      .filter(p => p.getFileName.toString.startsWith("batch-0-"))
+      .findFirst().get().toString
+    assert(aFile.matches(
+      ".*/pickup_location=\\d{3}/year=\\d{4}/month=\\d{2}/batch-0-\\d{5}\\..*"), aFile)
+  }
+
+  test("ES bulk buffer: small max-actions still delivers everything; rejections retry (ref :268-280)") {
+    val in = tmpDir("es-in"); val ckpt = tmpDir("es-ckpt")
+    // maxActions=3 forces many mid-partition flushes; 2 injected rejections
+    // exercise the RetryRejectedExecutionFailureHandler analogue
+    val es = new ElasticsearchStubSink(bulkFlushMaxActions = 3)
+    es.injectRejections(2)
+    writeBatchFile(in, "b0.json", (0 until 17).map(line(_)))
+    val q = EtlStream.start(spark, new JsonFileSource(in), Seq(es), ckpt,
+      Trigger.AvailableNow())
+    q.awaitTermination(120000)
+    assert(es.count == 17)
+  }
+
+  test("A18: region resolves per-facet with the eu-west-1 default") {
+    val cfg = graft.etl.EtlConfig(Map("ElasticsearchRegion" -> "us-east-2"))
+    if (!sys.env.contains("AWS_REGION") && !sys.env.contains("AWS_DEFAULT_REGION")) {
+      assert(cfg.defaultRegion == "eu-west-1")
+      assert(cfg.inputStreamRegion == "eu-west-1")
+    }
+    assert(cfg.elasticsearchRegion == "us-east-2")
   }
 
   test("ProcessingTime trigger (the reference's 60s cadence, scaled down)") {
@@ -83,20 +114,23 @@ class EtlStreamSpec extends SparkSpec {
   test("kill-restart: checkpoint + idempotent sinks → no duplicates (A19)") {
     val in = tmpDir("rs-in"); val out = tmpDir("rs-out"); val ckpt = tmpDir("rs-ckpt")
     val es = new ElasticsearchStubSink
+    val jobStart = System.currentTimeMillis() // restart resumes the run prefix
     writeBatchFile(in, "b0.json", (0 until 10).map(line(_)))
     val q1 = EtlStream.start(spark, new JsonFileSource(in),
-      Seq(new FileSink(out, parquet = true), es), ckpt, Trigger.AvailableNow())
+      Seq(new FileSink(out, parquet = true, jobStart), es), ckpt,
+      Trigger.AvailableNow())
     q1.awaitTermination(120000)
     assert(es.count == 10)
 
     // "crash": stop, deliver more input, restart from the same checkpoint
     writeBatchFile(in, "b1.json", (10 until 25).map(line(_)))
     val q2 = EtlStream.start(spark, new JsonFileSource(in),
-      Seq(new FileSink(out, parquet = true), es), ckpt, Trigger.AvailableNow())
+      Seq(new FileSink(out, parquet = true, jobStart), es), ckpt,
+      Trigger.AvailableNow())
     q2.awaitTermination(120000)
 
     assert(es.count == 25) // upsert by (index, id): no dups after restart
-    val total = spark.read.option("basePath", out).parquet(s"$out/batch=*").count()
-    assert(total == 25) // batch=<id> dirs are disjoint and replay-safe
+    val total = spark.read.parquet(s"$out/job_start=$jobStart").count()
+    assert(total == 25) // batch-scoped file names are replay-safe
   }
 }
