@@ -58,11 +58,13 @@ object TripEvent {
     StructField("type", StringType),
     StructField("padding", StringType)))
 
-  /** Fields that, when absent, drop the whole event (reference: any getter
-    * NPE inside the deserialize try → null → dropped). `trip_id` and
-    * `padding` instead get defaults (TripEventSchema.java:53,74,76). */
+  /** Fields whose ABSENCE drops the whole event (reference: any bare
+    * `node.get(f)` getter NPEs inside the deserialize try → null →
+    * dropped — TripEventSchema.java:56-76). That is every field except
+    * `padding`, whose getter alone is null-checked (:53,76); `trip_id`'s
+    * `asLong(0)` default applies only to a PRESENT null/non-numeric value. */
   val requiredFields: Seq[String] =
-    inputSchema.fieldNames.toSeq.filterNot(Set("trip_id", "padding"))
+    inputSchema.fieldNames.toSeq.filterNot(_ == "padding")
 
   /** Output projection (quirk §1.3-2): 18 of 20 fields, in the reference's
     * serialization order — payment_type and padding are dropped. */

@@ -2,6 +2,7 @@ package graft.etl
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType, StructField, StructType, TimestampType}
 
 /** The reference's JSON codec asymmetries (SURVEY §1.3) as declarative
   * column transforms. This is the core parity spec:
@@ -14,38 +15,83 @@ import org.apache.spark.sql.functions._
   *     (:74 vs :132,153-162); `type`/`store_and_fwd_flag` quoted, numerics
   *     unquoted;
   *  4. malformed input → dropped, never fails the stream (:78-82, :86-88);
-  *  5. missing `trip_id` → 0, missing `padding` → ""; any other missing
-  *     field drops the event (:53,74,76).
+  *  5. ABSENT fields drop the event — every getter except `padding`'s is a
+  *     bare `node.get(f)` that NPEs on a missing key (:56-76), *including*
+  *     `trip_id` (`asLong(0)` only defaults a PRESENT value); absent
+  *     `padding` → "" (:53,76);
+  *  6. PRESENT-but-null/mistyped values coerce instead of dropping,
+  *     mirroring Jackson: numerics null/non-numeric → 0 (`asInt`/`asLong`/
+  *     `asDouble`), text null → the literal string "null" (`NullNode
+  *     .asText`), numeric text fields keep their digits;
+  *  7. timestamps parse leniently (Joda `new DateTime(text)`): offset or no
+  *     offset (→ local zone), any fraction length, date-only — Spark's ISO
+  *     timestamp cast accepts the same family; an unparseable value (e.g.
+  *     the epoch *numbers* the serializer emits) drops the event.
   */
 object TripEventCodec {
 
-  /** from_json of the wire format (quirk 1: ISO-8601 text timestamps). */
+  /** Every field decoded as raw text first (numbers/booleans keep their
+    * JSON literal form, nulls stay null) so quirks 5–7 can be applied
+    * field-by-field exactly as the reference's per-getter coercion does. */
+  private val textSchema = StructType(
+    TripEvent.inputSchema.fieldNames.map(f => StructField(f, StringType)))
+
   private def decoded(jsonCol: Column): Column =
-    from_json(jsonCol, TripEvent.inputSchema,
-      Map("mode" -> "PERMISSIVE", "timestampFormat" ->
-        "yyyy-MM-dd'T'HH:mm:ss[.SSS]XXX"))
+    from_json(jsonCol, textSchema, Map("mode" -> "PERMISSIVE"))
 
-  /** All fields present that the reference requires (quirk 5 drop side). */
-  private def complete(e: Column): Column =
-    TripEvent.requiredFields
-      .map(f => e.getField(f).isNotNull)
-      .reduce(_ && _) && e.isNotNull
+  private val nonPadding: Seq[String] =
+    TripEvent.inputSchema.fieldNames.toSeq.filterNot(_ == "padding")
 
-  /** Flatten + apply the trip_id/padding defaults (quirk 5 default side). */
+  /** Quirk 5 drop side: reference getters NPE on any absent key but
+    * `padding`; Joda throws on unparseable timestamp text.
+    *
+    * Absent and present-null both decode to SQL null, so telling them apart
+    * needs the key set — a second JSON parse. The all-fields-non-null
+    * fast path short-circuits it (Or codegen skips the right side), so
+    * well-formed records pay exactly one parse; only records with some null
+    * field re-parse for the absent-vs-null distinction. */
+  private def complete(e: Column, raw: Column): Column =
+    e.isNotNull &&
+      (nonPadding.map(f => e.getField(f).isNotNull).reduce(_ && _) ||
+        nonPadding.map(f => array_contains(json_object_keys(raw), f))
+          .reduce(_ && _)) &&
+      try_to_timestamp(e.getField("pickup_datetime")).isNotNull &&
+      try_to_timestamp(e.getField("dropoff_datetime")).isNotNull
+
+  /** Quirk 6 coercion side: Jackson's asInt/asLong/asDouble return 0 for
+    * present null or non-numeric values (numeric strings parse; fractional
+    * text truncates toward zero); asText renders NullNode as "null". */
   private def flattened: Seq[Column] =
-    TripEvent.inputSchema.fieldNames.toSeq.map {
-      case "trip_id" => coalesce(col("e.trip_id"), lit(0L)).as("trip_id")
-      case "padding" => coalesce(col("e.padding"), lit("")).as("padding")
-      case f         => col(s"e.$f").as(f)
+    TripEvent.inputSchema.fields.toSeq.map { f =>
+      val s = col(s"e.${f.name}")
+      (f.name, f.dataType) match {
+        case ("padding", _) =>
+          // absent → "" (the one null-checked getter, :53,76); present
+          // null → "null" like every other asText. The keys re-parse only
+          // runs for rows where padding decoded to null.
+          when(s.isNotNull, s)
+            .otherwise(when(array_contains(json_object_keys(col("_raw")), "padding"),
+              lit("null")).otherwise(lit(""))).as(f.name)
+        case (_, StringType) => coalesce(s, lit("null")).as(f.name)
+        case (_, IntegerType) =>
+          coalesce(s.try_cast(DoubleType).try_cast(IntegerType), lit(0)).as(f.name)
+        case (_, LongType) =>
+          coalesce(s.try_cast(LongType),
+            s.try_cast(DoubleType).try_cast(LongType), lit(0L)).as(f.name)
+        case (_, DoubleType) =>
+          coalesce(s.try_cast(DoubleType), lit(0.0)).as(f.name)
+        case (_, TimestampType) => try_to_timestamp(s).as(f.name)
+        case (_, other) => throw new IllegalStateException(s"unhandled $other")
+      }
     }
 
   /** Parse a column of raw JSON bytes/text into TripEvent rows, applying
-    * quirks 1/4/5. Input: any DataFrame with `jsonCol`; output: one column
-    * per TripEvent field, malformed/incomplete rows dropped.
+    * quirks 1/4/5/6/7. Input: any DataFrame with `jsonCol`; output: one
+    * column per TripEvent field, malformed/incomplete rows dropped.
     */
   def parse(df: DataFrame, jsonCol: Column): DataFrame =
-    df.select(decoded(jsonCol).as("e"))
-      .filter(complete(col("e"))) // quirk 4: drop, never fail
+    df.select(jsonCol.as("_raw"), decoded(jsonCol).as("e"))
+      .filter(complete(col("e"), col("_raw"))) // quirk 4: drop, never fail
       .select(flattened: _*)
 
   /** Strict variant: malformed or incomplete records FAIL the job instead
@@ -55,9 +101,10 @@ object TripEventCodec {
   def parseStrict(df: DataFrame, jsonCol: Column): DataFrame =
     df.select(jsonCol.as("_raw"), decoded(jsonCol).as("e"))
       .select(
-        when(complete(col("e")), col("e"))
+        when(complete(col("e"), col("_raw")), col("e"))
           .otherwise(raise_error(concat(lit("malformed TripEvent: "), col("_raw"))))
-          .as("e"))
+          .as("e"),
+        col("_raw"))
       .select(flattened: _*)
 
   /** The serialized-output column set (quirks 1–3) — reusable for both the

@@ -110,7 +110,13 @@ final class FileSink(outDir: String, parquet: Boolean,
   def write(events: DataFrame, batchId: Long): Unit = {
     val spark = events.sparkSession
     val tmp = s"$prefix/.spark-staging-batch-$batchId"
+    // cluster by the partition columns first: one writer/file per touched
+    // partition per batch instead of (tasks × partitions) tiny files — the
+    // write opens fewer concurrent parquet writers and the commit renames
+    // proportionally fewer files (at larger scale, add a salt column to the
+    // repartition to split hot partitions across writers)
     val bucketed = BucketPaths.withBucketColumns(events)
+      .repartition(BucketPaths.partitionColumns.map(col): _*)
     if (parquet)
       bucketed
         .select((TripEventCodec.outputColumns ++
@@ -137,30 +143,44 @@ final class FileSink(outDir: String, parquet: Boolean,
     val fs = new Path(tmp).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmpPath = fs.makeQualified(new Path(tmp))
     if (!fs.exists(tmpPath)) return
+    // plain listStatus recursion — listFiles(recursive) resolves block
+    // locations per entry, which is an order of magnitude slower on local
+    // filesystems and useless here
     val files = scala.collection.mutable.ArrayBuffer.empty[Path]
-    val it = fs.listFiles(tmpPath, true)
-    while (it.hasNext) {
-      val f = it.next()
-      if (f.isFile && f.getPath.getName.startsWith("part-"))
-        files += f.getPath
+    def walk(dir: Path): Unit = fs.listStatus(dir).foreach { st =>
+      if (st.isDirectory) walk(st.getPath)
+      else if (st.getPath.getName.startsWith("part-")) files += st.getPath
     }
-    files.sortBy(_.toString).zipWithIndex
+    walk(tmpPath)
+    val byPartition = files.sortBy(_.toString).zipWithIndex
       .groupBy { case (p, _) =>
         // partition subpath: path segments between the staging dir and file
         val parent = p.getParent.toString
         if (parent == tmpPath.toString) ""
         else parent.stripPrefix(tmpPath.toString + "/")
-      }
-      .foreach { case (rel, parts) =>
-        val destDir = if (rel.isEmpty) new Path(prefix) else new Path(prefix, rel)
-        fs.mkdirs(destDir)
-        val stale = fs.globStatus(new Path(destDir, s"batch-$batchId-*"))
-        if (stale != null) stale.foreach(s => fs.delete(s.getPath, false))
-        parts.foreach { case (src, k) =>
-          val suffix = src.getName.dropWhile(_ != '.') // .snappy.parquet / .txt
-          fs.rename(src, new Path(destDir, f"batch-$batchId-$k%05d$suffix"))
-        }
-      }
+      }.toSeq
+    // one commit task per partition dir — renames are metadata ops but a
+    // micro-batch can touch hundreds of partitions × many part files, and a
+    // sequential driver loop would dominate the batch time
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, math.max(1, byPartition.size)))
+    try {
+      byPartition.map { case (rel, parts) =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            val destDir = if (rel.isEmpty) new Path(prefix) else new Path(prefix, rel)
+            fs.mkdirs(destDir)
+            val stale = fs.listStatus(destDir)
+              .filter(_.getPath.getName.startsWith(s"batch-$batchId-"))
+            stale.foreach(s => fs.delete(s.getPath, false))
+            parts.foreach { case (src, k) =>
+              val suffix = src.getName.dropWhile(_ != '.') // .snappy.parquet / .txt
+              fs.rename(src, new Path(destDir, f"batch-$batchId-$k%05d$suffix"))
+            }
+          }
+        })
+      }.foreach(_.get())
+    } finally pool.shutdown()
     fs.delete(tmpPath, true)
   }
 }

@@ -33,12 +33,34 @@ class TripEventCodecSpec extends SparkSpec {
     assert(parse("not json at all", "{\"broken\":", validLine).count() == 1)
   }
 
-  test("missing required field drops the event; missing trip_id/padding get defaults (quirk 5)") {
+  test("ANY absent field drops the event — including trip_id; absent padding defaults (quirk 5)") {
+    // reference: every getter except padding's is a bare node.get(f) that
+    // NPEs on a missing key (TripEventSchema.java:56-76) — asLong(0) only
+    // defaults a PRESENT value
     val noVendor = validLine.replace("\"vendor_id\": 2,", "")
     val noTripId = validLine.replace("\"trip_id\": 9234567,", "")
-    val rows = parse(noVendor, noTripId).collect()
-    assert(rows.length == 1)
-    assert(rows.head.getAs[Long]("trip_id") == 0L)
+    assert(parse(noVendor, noTripId).count() == 0)
+  }
+
+  test("present-but-null/mistyped values coerce like Jackson instead of dropping (quirk 6)") {
+    val nullTripId = validLine.replace("\"trip_id\": 9234567", "\"trip_id\": null")
+    val strFare = validLine.replace("\"fare_amount\": 17.5", "\"fare_amount\": \"17.5\"")
+    val nullCount = validLine.replace("\"passenger_count\": 1", "\"passenger_count\": null")
+    val junkDist = validLine.replace("\"trip_distance\": 4.02", "\"trip_distance\": \"abc\"")
+    val rows = parse(nullTripId, strFare, nullCount, junkDist)
+      .orderBy("trip_distance").collect()
+    assert(rows.length == 4)
+    assert(rows.exists(_.getAs[Long]("trip_id") == 0L))        // null → asLong(0)
+    assert(rows.exists(_.getAs[Double]("fare_amount") == 17.5)) // "17.5" → asDouble
+    assert(rows.exists(_.getAs[Int]("passenger_count") == 0))  // null → asInt
+    assert(rows.exists(_.getAs[Double]("trip_distance") == 0.0)) // junk → 0.0
+  }
+
+  test("lenient ISO timestamps: offset-less and long-fraction inputs parse (quirk 7)") {
+    val noOffset = validLine.replace("2018-11-23T11:32:24.000Z", "2018-11-23T11:32:24")
+    val microFrac = validLine.replace("2018-11-23T11:32:24.000Z", "2018-11-23T11:32:24.123456Z")
+    val rows = parse(noOffset, microFrac).collect()
+    assert(rows.length == 2)
   }
 
   test("serialization: 18 fields, epoch-millis numbers, trip_id as string (quirks 1-3)") {
