@@ -46,17 +46,23 @@ object VectorQueries extends QueryGroup {
     * against Q38's exact top-k. The signature is computed with codegen'd
     * higher-order functions; bucketing is one shuffle on the signature.
     */
-  private val q43: Q = (s, d) => {
-    val e = Tables.embeddings(s, d)
-    // plane j component i = deterministic hash-derived value in [-0.5, 0.5)
-    def planeBit(emb: String, j: Int): String =
+  /** 6 deterministic pseudo-random hyperplanes → 6-bit bucket signature
+    * (shared by q43's in-query bucketing and [[AnnStorage]]'s write-time
+    * partitioning). Plane j component i = hash-derived value in [-0.5, 0.5).
+    */
+  def lshSigExpr(emb: String): String = {
+    def planeBit(j: Int): String =
       s"""(aggregate(zip_with($emb, sequence(0, 63),
          |  (x, i) -> CAST(x AS DOUBLE) * ((CAST(pmod(xxhash64(concat('p$j#', i)), 1000) AS DOUBLE) / 1000.0) - 0.5)),
          |  CAST(0 AS DOUBLE), (a, x) -> a + x) > 0)""".stripMargin
-    val sigExpr = (0 until 6)
-      .map(j => s"(CAST(${planeBit("embedding", j)} AS INT) * ${1 << j})")
+    (0 until 6)
+      .map(j => s"(CAST(${planeBit(j)} AS INT) * ${1 << j})")
       .mkString(" + ")
-    val sigged = e.withColumn("sig", expr(sigExpr))
+  }
+
+  private val q43: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val sigged = e.withColumn("sig", expr(lshSigExpr("embedding")))
     val q = sigged.filter(col("vec_id") === 0)
       .select(col("sig").as("q_sig"), col("embedding").as("q_emb"))
     // multi-probe: exact bucket or Hamming distance 1
