@@ -25,7 +25,6 @@ import org.apache.spark.sql.functions._
 object SimilarityJoin {
 
   def postingsCount(docs: DataFrame, tau: Double): DataFrame = {
-    val sizes = docs.select(col("id"), size(col("w")).as("nw"))
     val toks = docs.select(col("id"), col("block"), size(col("w")).as("nw"),
       explode(col("w")).as("tok"))
       .select(col("id"), col("block"), col("nw"), xxhash64(col("tok")).as("token"))
@@ -34,8 +33,11 @@ object SimilarityJoin {
     val b = toks.select(col("id").as("b_id"), col("block").as("b_block"),
       col("nw").as("nb"), col("token").as("b_token"))
     // length filter inside the join: J ≥ τ requires τ·max(na,nb) ≤ min —
-    // prunes cross-size pairs before they ever reach the count aggregation
-    val inter = a.join(b,
+    // prunes cross-size pairs before they ever reach the count aggregation.
+    // na/nb ride through the join and come out of the aggregation (constant
+    // per pair), so no extra joins back to a sizes relation are needed —
+    // one scan, one shuffle, done.
+    a.join(b,
         col("block") === col("b_block") && col("token") === col("b_token") &&
           col("a_id") < col("b_id") &&
           // epsilon guards FP rounding of na*tau landing ABOVE an integer
@@ -43,10 +45,9 @@ object SimilarityJoin {
           // only be over-inclusive, and the final jaccard filter is exact
           col("na") * tau <= col("nb") + lit(1e-7) &&
           col("nb") * tau <= col("na") + lit(1e-7))
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("id").as("a_id"), col("nw").as("na")), "a_id")
-      .join(sizes.select(col("id").as("b_id"), col("nw").as("nb")), "b_id")
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("inter"), max(col("na")).as("na"),
+        max(col("nb")).as("nb"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= tau)
