@@ -113,7 +113,24 @@ object MlQueries extends QueryGroup {
       .select("o_orderkey", "o_custkey", "o_totalprice")
       .orderBy("o_orderkey")
 
+  /** Q63: deterministic stratified split — every document assigned to
+    * train/val/test by a content-hash bucket (~10/16, 3/16, 3/16), reported
+    * per language stratum. The assignment is engine- and partitioning-
+    * independent (same property as q58): re-running anywhere reproduces the
+    * exact same split, the requirement for stable training corpora. */
+  private val q63: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("h", substring(md5(col("doc_id").cast("string")), 1, 1))
+      .withColumn("split",
+        when(col("h").between("0", "9"), "train")
+          .when(col("h").isin("a", "b", "c"), "val")
+          .otherwise("test"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "split")
+
   val queries: Seq[(String, Q)] = Seq(
+    "q63_ml_split" -> q63,
     "q58_ml_hash_sample" -> q58,
     "q54_ml_nearest_centroid" -> q54,
     "q48_ml_centroids" -> q48,
@@ -131,6 +148,16 @@ object MlQueries extends QueryGroup {
     "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(c.centroid, x -> CAST(CAST(x AS FLOAT) AS DOUBLE) * CAST(CAST(x AS FLOAT) AS DOUBLE))), (a, x) -> a + x)"
 
   val oracles: Map[String, String] = Map(
+    "q63_ml_split" ->
+      """SELECT lang,
+        |  CASE WHEN h BETWEEN '0' AND '9' THEN 'train'
+        |       WHEN h IN ('a', 'b', 'c') THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  count(*) AS n
+        |FROM (SELECT lang, substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h
+        |      FROM documents)
+        |GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+
     "q58_ml_hash_sample" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'

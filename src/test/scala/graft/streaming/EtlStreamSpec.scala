@@ -31,13 +31,17 @@ class EtlStreamSpec extends SparkSpec {
     writeBatchFile(in, "b0.json", (0 until 20).map(i => line(i, if (i % 2 == 0) "trip" else "other")) :+ "garbage")
     val es = new ElasticsearchStubSink
     val kinesis = new KinesisStubSink
+    val kafka = new KafkaStubSink("trips")
     val noop = new NoopSink
     val fileSink = new FileSink(out, parquet = true)
     val q = EtlStream.start(spark, new JsonFileSource(in),
-      Seq(fileSink, es, kinesis, noop),
+      Seq(fileSink, es, kinesis, kafka, noop),
       ckpt, Trigger.AvailableNow())
     q.awaitTermination(120000)
     assert(noop.rowsSeen == 20)
+    // Kafka stub: every record produced to the configured topic (A14)
+    assert(kafka.records.size() == 20)
+    kafka.records.forEach { case (t, _) => assert(t == "trips") }
     assert(es.count == 20)
     // dynamic routing: index comes from the payload `type`
     assert(es.store.keySet().stream().map(_._1).distinct().count() == 2)
