@@ -129,7 +129,18 @@ object MlQueries extends QueryGroup {
       .agg(count(lit(1)).as("n"))
       .orderBy("lang", "split")
 
+  /** Q64: two-phase salted aggregation over deliberately hot keys (3 groups
+    * across the whole table — the shape where one reducer would own a third
+    * of a 100 TB scan). Phase 1 spreads each key over 16 salt buckets,
+    * phase 2 combines; [[SkewTools]] guarantees result equality with the
+    * direct groupBy, and the oracle checks it against the direct SQL. */
+  private val q64: Q = (s, d) =>
+    SkewTools.saltedCountSum(Tables.lineitem(s, d), Seq("l_returnflag"),
+      "l_extendedprice", buckets = 16)
+      .orderBy("l_returnflag")
+
   val queries: Seq[(String, Q)] = Seq(
+    "q64_agg_salted_skew" -> q64,
     "q63_ml_split" -> q63,
     "q58_ml_hash_sample" -> q58,
     "q54_ml_nearest_centroid" -> q54,
@@ -148,6 +159,11 @@ object MlQueries extends QueryGroup {
     "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(c.centroid, x -> CAST(CAST(x AS FLOAT) AS DOUBLE) * CAST(CAST(x AS FLOAT) AS DOUBLE))), (a, x) -> a + x)"
 
   val oracles: Map[String, String] = Map(
+    "q64_agg_salted_skew" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "q63_ml_split" ->
       """SELECT lang,
         |  CASE WHEN h BETWEEN '0' AND '9' THEN 'train'

@@ -220,6 +220,19 @@ object RelationalQueries extends QueryGroup {
       .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
         col("o_orderpriority").asc_nulls_first)
 
+  /** Q15c: explicit GROUPING SETS — an irregular set neither rollup nor cube
+    * expresses ((status, priority), (priority), ()); one pass, expand+agg. */
+  private val q15c: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderpriority")), Seq.empty),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        grouping_id().cast("long").as("gid"))
+      .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
   /** Q16: global (grand) aggregate, no keys. */
   private val q16: Q = (s, d) =>
     Tables.lineitem(s, d)
@@ -526,6 +539,7 @@ object RelationalQueries extends QueryGroup {
     "q13_agg_hash" -> q13,
     "q14_agg_distinct" -> q14,
     "q15_agg_rollup" -> q15,
+    "q15c_agg_grouping_sets" -> q15c,
     "q15b_agg_cube" -> q15b,
     "q16_agg_global" -> q16,
     "q17_win_rank" -> q17,
@@ -683,6 +697,13 @@ object RelationalQueries extends QueryGroup {
         |  CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
         |FROM orders
         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q15c_agg_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        |  CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
         |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
 
     "q16_agg_global" ->
