@@ -287,6 +287,24 @@ object RelationalQueries extends QueryGroup {
 
   /** Q59: value-positional window functions — first/last/nth over an
     * explicit frame, cume_dist over the tie-capable ordering. */
+  /** Q65: time-interval RANGE frame — per user, count and exact sum of
+    * `value` over the trailing hour of EVENT TIME. A value-based frame (all
+    * rows whose timestamp falls in the interval, ties included) — the
+    * windowing mode row-based frames (q18) can't express. Computed on epoch
+    * µs so the frame bound is an exact integer; the oracle uses the
+    * equivalent INTERVAL frame on the timestamp itself. */
+  private val q65: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("us"))
+      .rangeBetween(-3600L * 1000000L, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"),
+        epochUs(col("ts")).as("us"))
+      .select(col("event_id"),
+        count(lit(1)).over(w).cast("long").as("n_1h"),
+        sum(col("value").cast("decimal(18,2)")).over(w).cast("double").as("sum_1h"))
+      .orderBy("event_id")
+  }
+
   private val q59: Q = (s, d) => {
     val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -543,6 +561,7 @@ object RelationalQueries extends QueryGroup {
     "q15b_agg_cube" -> q15b,
     "q16_agg_global" -> q16,
     "q17_win_rank" -> q17,
+    "q65_win_time_range" -> q65,
     "q18_win_frames" -> q18,
     "q19_sort_limit" -> q19,
     "q20_topk_group" -> q20,
@@ -713,6 +732,15 @@ object RelationalQueries extends QueryGroup {
          |  ${sqlDsum("l_quantity")} AS total_qty,
          |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
          |FROM lineitem""".stripMargin,
+
+    "q65_win_time_range" ->
+      """SELECT event_id,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_1h,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
 
     "q17_win_rank" ->
       """SELECT o_custkey, o_orderkey,
