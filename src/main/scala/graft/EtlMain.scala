@@ -32,8 +32,13 @@ object EtlMain {
         cfg.getOrElse("InputStartingPosition", "TRIM_HORIZON"))
     }
     val sinks: Seq[SinkProvider] = Seq(
+      // `--JobStartMillis` pins the run prefix: pass it together with the
+      // same `--CheckpointLocation` when restarting a crashed job so the
+      // replayed in-flight batch overwrites its own files instead of
+      // landing under a fresh job_start= prefix (A19 across restarts)
       cfg.get("OutputBucket").map(dir =>
-        new FileSink(dir, cfg.parquetConversion)),
+        new FileSink(dir, cfg.parquetConversion,
+          cfg.long("JobStartMillis", System.currentTimeMillis()))),
       // ES bulk-flush tunables + region mirror the reference's builder
       // (StreamingEtl.java:244, :270-280); the retry-on-rejection handler
       // is always on (:268).

@@ -17,9 +17,14 @@ final case class EtlConfig(params: Map[String, String]) {
   def bool(key: String, default: Boolean = false): Boolean =
     params.get(key).map(_.trim.equalsIgnoreCase("true")).getOrElse(default)
   def int(key: String, default: Int): Int =
-    params.get(key).map(_.trim.toInt).getOrElse(default)
+    params.get(key).map(v => numeric(key, v)(_.toInt)).getOrElse(default)
   def long(key: String, default: Long): Long =
-    params.get(key).map(_.trim.toLong).getOrElse(default)
+    params.get(key).map(v => numeric(key, v)(_.toLong)).getOrElse(default)
+  private def numeric[T](key: String, v: String)(parse: String => T): T =
+    try parse(v.trim) catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"config '$key' must be numeric, got '$v'")
+    }
 
   /** A18: region resolution — environment autodetect (the offline analogue
     * of the reference's EC2-metadata probe) falling back to the reference's

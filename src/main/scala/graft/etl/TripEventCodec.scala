@@ -24,9 +24,11 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType
   *     `asDouble`), text null → the literal string "null" (`NullNode
   *     .asText`), numeric text fields keep their digits;
   *  7. timestamps parse leniently (Joda `new DateTime(text)`): offset or no
-  *     offset (→ local zone), any fraction length, date-only — Spark's ISO
-  *     timestamp cast accepts the same family; an unparseable value (e.g.
-  *     the epoch *numbers* the serializer emits) drops the event.
+  *     offset (→ local zone), any fraction length, date-only — but ONLY the
+  *     ISO family ('T' separator); Spark's timestamp cast is guarded by an
+  *     ISO shape check because it would also accept forms Joda throws on
+  *     (space-separated). An unparseable value (e.g. the epoch *numbers*
+  *     the serializer emits) drops the event.
   */
 object TripEventCodec {
 
@@ -39,11 +41,16 @@ object TripEventCodec {
   private def decoded(jsonCol: Column): Column =
     from_json(jsonCol, textSchema, Map("mode" -> "PERMISSIVE"))
 
-  private val nonPadding: Seq[String] =
-    TripEvent.inputSchema.fieldNames.toSeq.filterNot(_ == "padding")
+  /** Joda-parity timestamp parse: `new DateTime(text)` accepts only the ISO
+    * family — date-only or 'T'-separated, never space-separated — while
+    * Spark's timestamp cast is more lenient; the shape guard rejects the
+    * forms Joda throws on so the drop set matches the reference's. */
+  private def tsParsed(s: Column): Column =
+    when(s.rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2}(T.*)?$"), try_to_timestamp(s))
 
   /** Quirk 5 drop side: reference getters NPE on any absent key but
-    * `padding`; Joda throws on unparseable timestamp text.
+    * `padding` (TripEvent.requiredFields); Joda throws on unparseable
+    * timestamp text.
     *
     * Absent and present-null both decode to SQL null, so telling them apart
     * needs the key set — a second JSON parse. The all-fields-non-null
@@ -52,11 +59,11 @@ object TripEventCodec {
     * field re-parse for the absent-vs-null distinction. */
   private def complete(e: Column, raw: Column): Column =
     e.isNotNull &&
-      (nonPadding.map(f => e.getField(f).isNotNull).reduce(_ && _) ||
-        nonPadding.map(f => array_contains(json_object_keys(raw), f))
+      (TripEvent.requiredFields.map(f => e.getField(f).isNotNull).reduce(_ && _) ||
+        TripEvent.requiredFields.map(f => array_contains(json_object_keys(raw), f))
           .reduce(_ && _)) &&
-      try_to_timestamp(e.getField("pickup_datetime")).isNotNull &&
-      try_to_timestamp(e.getField("dropoff_datetime")).isNotNull
+      tsParsed(e.getField("pickup_datetime")).isNotNull &&
+      tsParsed(e.getField("dropoff_datetime")).isNotNull
 
   /** Quirk 6 coercion side: Jackson's asInt/asLong/asDouble return 0 for
     * present null or non-numeric values (numeric strings parse; fractional
@@ -80,7 +87,7 @@ object TripEventCodec {
             s.try_cast(DoubleType).try_cast(LongType), lit(0L)).as(f.name)
         case (_, DoubleType) =>
           coalesce(s.try_cast(DoubleType), lit(0.0)).as(f.name)
-        case (_, TimestampType) => try_to_timestamp(s).as(f.name)
+        case (_, TimestampType) => tsParsed(s).as(f.name)
         case (_, other) => throw new IllegalStateException(s"unhandled $other")
       }
     }

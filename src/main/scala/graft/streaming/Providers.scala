@@ -79,6 +79,10 @@ object SinkStores {
     queues.computeIfAbsent(id, _ => new ConcurrentLinkedQueue)
   def injectRejections(id: String, n: Int): Unit =
     rejectBudget.put(id, new AtomicInteger(n))
+  /** Release a sink's store (called from the stubs' close()). */
+  def drop(id: String): Unit = {
+    maps.remove(id); queues.remove(id); rejectBudget.remove(id); ()
+  }
   /** True when the simulated cluster rejects this bulk execution. */
   def rejects(id: String): Boolean = {
     val budget = rejectBudget.get(id)
@@ -175,7 +179,12 @@ final class FileSink(outDir: String, parquet: Boolean,
             stale.foreach(s => fs.delete(s.getPath, false))
             parts.foreach { case (src, k) =>
               val suffix = src.getName.dropWhile(_ != '.') // .snappy.parquet / .txt
-              fs.rename(src, new Path(destDir, f"batch-$batchId-$k%05d$suffix"))
+              val dest = new Path(destDir, f"batch-$batchId-$k%05d$suffix")
+              // Hadoop rename reports failure by RETURNING false — an
+              // unchecked failure here would silently drop this file's rows
+              // when the staging dir is deleted below
+              if (!fs.rename(src, dest))
+                throw new java.io.IOException(s"commit rename failed: $src -> $dest")
             }
           }
         })
@@ -211,6 +220,8 @@ final class ElasticsearchStubSink(
   def count: Int = store.size()
   /** Test hook: force the next `n` bulk executions to be rejected. */
   def injectRejections(n: Int): Unit = SinkStores.injectRejections(id, n)
+  /** Release the per-JVM store (long-lived drivers creating many sinks). */
+  def close(): Unit = SinkStores.drop(id)
 
   def write(events: DataFrame, batchId: Long): Unit = {
     val (sinkId, maxActions, retries) = (id, bulkFlushMaxActions, maxRetries)
@@ -258,6 +269,7 @@ final class KinesisStubSink extends SinkProvider {
   val name = "kinesis"
   private val id = java.util.UUID.randomUUID().toString
   def records: ConcurrentLinkedQueue[(String, String)] = SinkStores.queue(id)
+  def close(): Unit = SinkStores.drop(id)
 
   def write(events: DataFrame, batchId: Long): Unit = {
     val sinkId = id
@@ -275,6 +287,7 @@ final class KafkaStubSink(topic: String) extends SinkProvider {
   val name = "kafka"
   private val id = java.util.UUID.randomUUID().toString
   def records: ConcurrentLinkedQueue[(String, String)] = SinkStores.queue(id)
+  def close(): Unit = SinkStores.drop(id)
 
   def write(events: DataFrame, batchId: Long): Unit = {
     val (sinkId, t) = (id, topic)

@@ -61,6 +61,10 @@ class TripEventCodecSpec extends SparkSpec {
     val microFrac = validLine.replace("2018-11-23T11:32:24.000Z", "2018-11-23T11:32:24.123456Z")
     val rows = parse(noOffset, microFrac).collect()
     assert(rows.length == 2)
+    // ...but only the ISO family: Joda throws on a space-separated form
+    // (Spark's bare cast would accept it — the shape guard restores parity)
+    val spaceTs = validLine.replace("2018-11-23T11:32:24.000Z", "2018-11-23 11:32:24")
+    assert(parse(spaceTs).count() == 0)
   }
 
   test("serialization: 18 fields, epoch-millis numbers, trip_id as string (quirks 1-3)") {
