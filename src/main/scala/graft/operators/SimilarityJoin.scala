@@ -57,9 +57,13 @@ object SimilarityJoin {
   def prefixFilter(docs: DataFrame, tau: Double): DataFrame = {
     val freq = docs.select(explode(col("w")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("f"))
+    // plain shuffle join on tok: the global token-frequency table is
+    // vocabulary-sized (billions of rows on a web corpus), so it must never
+    // be broadcast — AQE demotes this to a broadcast join by itself when the
+    // vocabulary actually is small (the test fixtures).
     val prefixes = docs
       .select(col("id"), col("block"), explode(col("w")).as("tok"))
-      .join(broadcast(freq), "tok")
+      .join(freq, "tok")
       .groupBy("id", "block")
       .agg(expr("transform(array_sort(collect_list(struct(f, tok))), s -> s.tok)")
         .as("sorted_toks"))
