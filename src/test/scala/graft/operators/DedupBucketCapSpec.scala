@@ -7,16 +7,15 @@ import org.apache.spark.sql.util.QueryExecutionListener
 
 import scala.collection.concurrent.TrieMap
 
-/** LSH bucket-explosion guard (VERDICT r2 item 1): a degenerate corpus where
-  * 1000 documents share every band must not quadratic-explode one task —
-  * oversized buckets are dropped before any per-bucket array is collected,
-  * the drop volume is observable via `Dataset.observe` metrics, and q41's
-  * persisted projection is released once the query's action completes.
-  *
-  * The observe metrics are asserted on fixtures whose result is non-empty:
-  * when the whole result is empty, AQE empty-relation propagation prunes the
-  * (already-executed) CollectMetrics stage from the final plan and the
-  * metrics are unreachable — see the boundBuckets doc in DedupQueries.
+/** LSH bucket-explosion guard (VERDICT r2 item 1, star-reduction per r3
+  * advice): a degenerate corpus where 1000 documents share every band must
+  * not quadratic-explode one task — oversized buckets are star-reduced to
+  * O(b) (representative, member) pairs before any per-bucket array is
+  * collected, so a mass-duplicate cluster larger than the cap still comes
+  * out fully connected (every member linked to the min-doc_id
+  * representative) instead of silently vanishing. The reduced volume is
+  * observable via `Dataset.observe` metrics, and q41's persisted projection
+  * is released once the query's action completes.
   */
 class DedupBucketCapSpec extends SparkSpec {
   import spark.implicits._
@@ -62,41 +61,42 @@ class DedupBucketCapSpec extends SparkSpec {
     }
   }
 
-  test("q41: a 1000-identical-doc band bucket is dropped and reported, honest pairs survive") {
+  test("q41: a 1000-identical-doc band bucket is star-reduced and reported, honest pairs survive") {
     val n = 1000
     val (rows, metrics) = withCap(100) {
       SparkEntry.queries("q41_dedup_minhash_lsh")(spark, degenerateDir(n)).collect()
     }
-    // only the 3-doc cluster pairs — nothing from the degenerate bucket
-    assert(rows.length == 3, s"expected 3 cluster pairs, got ${rows.length}")
-    assert(rows.forall { r =>
-      r.getAs[Double]("jaccard") == 1.0 &&
-        r.getAs[Long]("a_id") > n && r.getAs[Long]("b_id") > n
-    })
+    // degenerate cluster → n−1 star pairs (rep = doc 1), plus 3 cluster pairs
+    assert(rows.length == n - 1 + 3, s"expected ${n + 2} pairs, got ${rows.length}")
+    assert(rows.forall(_.getAs[Double]("jaccard") == 1.0))
+    val star = rows.filter(_.getAs[Long]("b_id") <= n)
+    assert(star.length == n - 1 && star.forall(_.getAs[Long]("a_id") == 1L),
+      "every degenerate member must pair with the min-doc_id representative")
+    assert(rows.count(r => r.getAs[Long]("a_id") > n && r.getAs[Long]("b_id") > n) == 3)
     val m = metrics("q41_buckets")
     // the degenerate docs hit 4 oversized band buckets: n rows in each
     assert(m.getAs[Long]("rows_in_oversized_buckets") >= 4L * n)
     assert(m.getAs[Long]("max_bucket") == n.toLong)
   }
 
-  test("q42: degenerate simhash chunk buckets are dropped and reported") {
+  test("q42: degenerate simhash chunk buckets are star-reduced and reported") {
     val n = 500
     val (rows, metrics) = withCap(100) {
       SparkEntry.queries("q42_dedup_simhash")(spark, degenerateDir(n)).collect()
     }
-    assert(rows.length == 3, s"expected 3 cluster pairs, got ${rows.length}")
-    assert(rows.forall { r =>
-      r.getAs[Long]("hamming") == 0L &&
-        r.getAs[Long]("a_id") > n && r.getAs[Long]("b_id") > n
-    })
+    assert(rows.length == n - 1 + 3, s"expected ${n + 2} pairs, got ${rows.length}")
+    assert(rows.forall(_.getAs[Long]("hamming") == 0L))
+    val star = rows.filter(_.getAs[Long]("b_id") <= n)
+    assert(star.length == n - 1 && star.forall(_.getAs[Long]("a_id") == 1L))
+    assert(rows.count(r => r.getAs[Long]("a_id") > n && r.getAs[Long]("b_id") > n) == 3)
     val m = metrics("q42_buckets")
     assert(m.getAs[Long]("rows_in_oversized_buckets") >= 4L * n)
     assert(m.getAs[Long]("max_bucket") >= n.toLong)
   }
 
-  test("q41 completes quickly even when every bucket is degenerate (empty result)") {
-    // all-dropped edge: structural guard only — AQE prunes the metrics node
-    // when the result is empty (documented in boundBuckets)
+  test("q41 keeps a >cap exact-dup cluster connected via its representative") {
+    // the r3-advice failure mode: a corpus that is ONE giant duplicate
+    // cluster used to produce zero pairs (every band bucket dropped)
     val dir = tmpDir("degen-only")
     val same = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     (1L to 1000L).map(i => (i, same, "en", "webA", same.length.toLong))
@@ -105,7 +105,9 @@ class DedupBucketCapSpec extends SparkSpec {
     val (rows, _) = withCap(100) {
       SparkEntry.queries("q41_dedup_minhash_lsh")(spark, dir).collect()
     }
-    assert(rows.isEmpty)
+    assert(rows.length == 999, s"got ${rows.length}")
+    assert(rows.forall(r =>
+      r.getAs[Long]("a_id") == 1L && r.getAs[Double]("jaccard") == 1.0))
   }
 
   test("buckets at or under the cap still produce exact pairs with zero drops") {
@@ -121,6 +123,25 @@ class DedupBucketCapSpec extends SparkSpec {
     assert(rows.length == 45, s"got ${rows.length}")
     assert(rows.forall(_.getAs[Double]("jaccard") == 1.0))
     assert(metrics("q41_buckets").getAs[Long]("rows_in_oversized_buckets") == 0L)
+  }
+
+  test("q41's cached projection survives an interleaved action on another cache") {
+    import org.apache.spark.sql.functions.lit
+    // r3-advice failure mode: ANY cached action used to trigger the release
+    val other = spark.range(10).toDF("x").withColumn("tag", lit("other")).cache()
+    try {
+      val q = SparkEntry.queries("q41_dedup_minhash_lsh")(spark, sfDir)
+      other.count() // action over a DIFFERENT InMemoryRelation
+      Thread.sleep(1000) // let the async listener bus drain
+      other.unpersist(blocking = true)
+      assert(!spark.sharedState.cacheManager.isEmpty,
+        "q41's docs projection was dropped by an unrelated cached action")
+      q.count() // the owning action — now the release may fire
+      val deadline = System.nanoTime() + 30e9.toLong
+      while (!spark.sharedState.cacheManager.isEmpty && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(spark.sharedState.cacheManager.isEmpty)
+    } finally other.unpersist()
   }
 
   test("q41 releases its cached projection once the action completes") {
