@@ -25,11 +25,18 @@ object EtlMain {
 
   /** Build providers from a validated config (exposed for tests). */
   def wire(cfg: EtlConfig): (SourceProvider, Seq[SinkProvider]) = {
+    // The reference reads `InputStreamInitalPosition` — typo as shipped
+    // (StreamingEtl.java:158) — and falls back to Flink's
+    // DEFAULT_STREAM_INITIAL_POSITION = LATEST. A reference config file must
+    // work unchanged, so that key (typo included) wins; `InputStartingPosition`
+    // stays as the graft-native alias. The Kafka path has no position key in
+    // the reference either (Flink Kafka starts from group offsets /
+    // auto.offset.reset=latest), so LATEST is the parity default for both.
+    val position = cfg.get("InputStreamInitalPosition")
+      .orElse(cfg.get("InputStartingPosition")).getOrElse("LATEST")
     val source: SourceProvider = cfg.sourceKind match {
-      case "kinesis" => new QueueSource(cfg.get("InputKinesisStream").get,
-        cfg.getOrElse("InputStartingPosition", "TRIM_HORIZON"))
-      case "kafka" => new QueueSource(cfg.get("InputKafkaTopic").get,
-        cfg.getOrElse("InputStartingPosition", "TRIM_HORIZON"))
+      case "kinesis" => new QueueSource(cfg.get("InputKinesisStream").get, position)
+      case "kafka" => new QueueSource(cfg.get("InputKafkaTopic").get, position)
     }
     val sinks: Seq[SinkProvider] = Seq(
       // `--JobStartMillis` pins the run prefix: pass it together with the

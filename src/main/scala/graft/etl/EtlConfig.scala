@@ -67,6 +67,18 @@ final case class EtlConfig(params: Map[String, String]) {
   }
 
   def parquetConversion: Boolean = bool("ParquetConversion") // default false
+
+  /** Kafka consumer properties the reference pins (StreamingEtl.java:182-185):
+    * a fixed consumer group (`kaja-streaming-etl-consumer`, sic) and
+    * `isolation.level=read_committed`, so an exactly-once upstream producer's
+    * aborted transactions are never ingested. graft's in-environment queue
+    * seam has no consumer groups or transactions to enforce these against —
+    * they are the documented pass-through contract a real Kafka connector
+    * plugged into [[graft.streaming.SourceProvider]] must apply, overridable
+    * via `KafkaConsumerGroupId` / `KafkaIsolationLevel`. */
+  def kafkaConsumerProperties: Map[String, String] = Map(
+    "group.id" -> getOrElse("KafkaConsumerGroupId", "kaja-streaming-etl-consumer"),
+    "isolation.level" -> getOrElse("KafkaIsolationLevel", "read_committed"))
 }
 
 object EtlConfig {

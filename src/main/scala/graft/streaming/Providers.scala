@@ -35,7 +35,7 @@ final class JsonFileSource(dir: String, maxFilesPerTrigger: Int = 10)
   * offsets, TRIM_HORIZON/LATEST starting positions. The `value` column
   * carries the JSON wire format, matching the reference's Kinesis consumer
   * wiring (StreamingEtl.java:155-175). */
-final class QueueSource(queue: String, startingPosition: String = "TRIM_HORIZON")
+final class QueueSource(queue: String, val startingPosition: String = "TRIM_HORIZON")
     extends SourceProvider {
   def read(spark: SparkSession): DataFrame =
     spark.readStream
@@ -264,7 +264,15 @@ final class ElasticsearchStubSink(
   * partition key "0" (StreamingEtl.java:191-205) — global ordering through a
   * single shard. Records are produced executor-side (`foreachPartition` into
   * the per-JVM store — the per-partition KPL-client shape); only the sink id
-  * string is shipped in the task closure. */
+  * string is shipped in the task closure.
+  *
+  * Contract note — `failOnError`: the reference sets
+  * `producer.setFailOnError(true)` (StreamingEtl.java:200), i.e. a producer
+  * put failure fails the job rather than being logged and skipped. The
+  * in-JVM store here has no failure mode to propagate; a real connector
+  * behind this seam must let a put exception escape `write` — the
+  * foreachBatch caller then fails the batch, which is exactly that semantic
+  * (the batch replays from the checkpoint). */
 final class KinesisStubSink extends SinkProvider {
   val name = "kinesis"
   private val id = java.util.UUID.randomUUID().toString

@@ -93,3 +93,43 @@ class EtlPipelineSpec extends SparkSpec {
     assert(lines.forall(l => l.startsWith("{") && l.contains("\"trip_id\":\"")))
   }
 }
+
+/** Config-parity assertions against the reference entry point
+  * (StreamingEtl.java): initial-position key + default, Kafka consumer
+  * property pass-through. */
+class EtlMainSpec extends SparkSpec {
+  import graft.EtlMain
+  import graft.streaming.QueueSource
+
+  private def kinesisCfg(extra: (String, String)*): EtlConfig =
+    EtlConfig(Map("InputKinesisStream" -> "s", "OutputDiscard" -> "true") ++ extra)
+
+  test("reference key InputStreamInitalPosition (sic) is honored (StreamingEtl.java:158)") {
+    val (src, _) = EtlMain.wire(kinesisCfg("InputStreamInitalPosition" -> "TRIM_HORIZON"))
+    assert(src.asInstanceOf[QueueSource].startingPosition == "TRIM_HORIZON")
+  }
+
+  test("initial position defaults to LATEST (Flink DEFAULT_STREAM_INITIAL_POSITION)") {
+    val (src, _) = EtlMain.wire(kinesisCfg())
+    assert(src.asInstanceOf[QueueSource].startingPosition == "LATEST")
+  }
+
+  test("graft alias InputStartingPosition still works; reference key wins on conflict") {
+    val (alias, _) = EtlMain.wire(kinesisCfg("InputStartingPosition" -> "TRIM_HORIZON"))
+    assert(alias.asInstanceOf[QueueSource].startingPosition == "TRIM_HORIZON")
+    val (both, _) = EtlMain.wire(kinesisCfg(
+      "InputStreamInitalPosition" -> "LATEST", "InputStartingPosition" -> "TRIM_HORIZON"))
+    assert(both.asInstanceOf[QueueSource].startingPosition == "LATEST")
+  }
+
+  test("Kafka consumer parity properties (StreamingEtl.java:182-185)") {
+    val c = EtlConfig(Map("InputKafkaTopic" -> "t", "OutputDiscard" -> "true"))
+    assert(c.kafkaConsumerProperties == Map(
+      "group.id" -> "kaja-streaming-etl-consumer",
+      "isolation.level" -> "read_committed"))
+    val o = EtlConfig(Map("InputKafkaTopic" -> "t", "OutputDiscard" -> "true",
+      "KafkaConsumerGroupId" -> "g2", "KafkaIsolationLevel" -> "read_uncommitted"))
+    assert(o.kafkaConsumerProperties("group.id") == "g2")
+    assert(o.kafkaConsumerProperties("isolation.level") == "read_uncommitted")
+  }
+}
