@@ -48,6 +48,15 @@ object TripEventCodec {
   private def tsParsed(s: Column): Column =
     when(s.rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2}(T.*)?$"), try_to_timestamp(s))
 
+  /** Jackson parity for JSON booleans in numeric fields: BooleanNode's
+    * asInt/asLong/asDouble return 1/0, while a bare try_cast of the decoded
+    * literal text would give null → 0. The text decode cannot distinguish
+    * JSON `true` from the JSON *string* `"true"` (Jackson: TextNode "true"
+    * → 0); that quoted-boolean corner coerces to 1 here — accepted, since
+    * the wire format never carries quoted booleans. */
+  private def boolsAsNumbers(s: Column): Column =
+    when(s === "true", lit("1")).when(s === "false", lit("0")).otherwise(s)
+
   /** Quirk 5 drop side: reference getters NPE on any absent key but
     * `padding` (TripEvent.requiredFields); Joda throws on unparseable
     * timestamp text.
@@ -67,7 +76,8 @@ object TripEventCodec {
 
   /** Quirk 6 coercion side: Jackson's asInt/asLong/asDouble return 0 for
     * present null or non-numeric values (numeric strings parse; fractional
-    * text truncates toward zero); asText renders NullNode as "null". */
+    * text truncates toward zero); asText renders NullNode as "null";
+    * BooleanNode true/false coerces to 1/0 ([[boolsAsNumbers]]). */
   private def flattened: Seq[Column] =
     TripEvent.inputSchema.fields.toSeq.map { f =>
       val s = col(s"e.${f.name}")
@@ -81,12 +91,14 @@ object TripEventCodec {
               lit("null")).otherwise(lit(""))).as(f.name)
         case (_, StringType) => coalesce(s, lit("null")).as(f.name)
         case (_, IntegerType) =>
-          coalesce(s.try_cast(DoubleType).try_cast(IntegerType), lit(0)).as(f.name)
+          coalesce(boolsAsNumbers(s).try_cast(DoubleType).try_cast(IntegerType),
+            lit(0)).as(f.name)
         case (_, LongType) =>
-          coalesce(s.try_cast(LongType),
-            s.try_cast(DoubleType).try_cast(LongType), lit(0L)).as(f.name)
+          coalesce(boolsAsNumbers(s).try_cast(LongType),
+            boolsAsNumbers(s).try_cast(DoubleType).try_cast(LongType),
+            lit(0L)).as(f.name)
         case (_, DoubleType) =>
-          coalesce(s.try_cast(DoubleType), lit(0.0)).as(f.name)
+          coalesce(boolsAsNumbers(s).try_cast(DoubleType), lit(0.0)).as(f.name)
         case (_, TimestampType) => tsParsed(s).as(f.name)
         case (_, other) => throw new IllegalStateException(s"unhandled $other")
       }

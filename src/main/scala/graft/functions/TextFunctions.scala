@@ -33,10 +33,18 @@ object TextFunctions {
         sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
 
-  /** Rolling 64-bit fingerprint over the token stream: a chained hash
-    * (order sensitive, deterministic, no overflow under ANSI mode). */
+  /** Rolling fingerprint over the token stream: a polynomial hash
+    * `acc · 31 + h(token) (mod 1e9+7)` where `h` is the first 8 hex digits
+    * of md5 — order sensitive, deterministic, and ANSI-overflow-safe
+    * (acc < 2³⁰, so acc·31 + h < 2³⁶). Every primitive (md5 hex prefix,
+    * modular fold) is engine-independent, so the fingerprint is
+    * oracle-checkable: DuckDB mirrors it with
+    * `list_reduce(list_prepend(0, list_transform(toks,
+    * t -> ('0x' || substr(md5(t),1,8))::BIGINT)), (acc,h) -> …)`. */
   def rollingFingerprint(toks: Column): Column =
-    aggregate(toks, lit(0L), (acc, t) => xxhash64(acc, t))
+    aggregate(toks, lit(0L), (acc, t) =>
+      (acc * lit(31L) + conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+        % lit(1000000007L))
 
   /** Number of tokens from `toks` found in `wordlist`. */
   def overlap(toks: Column, wordlist: Seq[String]): Column =

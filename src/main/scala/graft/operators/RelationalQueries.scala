@@ -733,13 +733,16 @@ object RelationalQueries extends QueryGroup {
          |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
          |FROM lineitem""".stripMargin,
 
+    // frame ordered by integer epoch-µs with an integer bound — the exact
+    // mirror of the Spark side's rangeBetween(-3600·10⁶, currentRow) over
+    // epochUs(ts), rather than DuckDB-native INTERVAL arithmetic on ts
     "q65_win_time_range" ->
       """SELECT event_id,
         |  CAST(count(*) OVER w AS BIGINT) AS n_1h,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
         |FROM events
-        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
-        |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
 
     "q17_win_rank" ->

@@ -22,6 +22,14 @@ object SkewTools {
                 partials: Seq[(Column, String)],
                 finals: Seq[(String, Column)]): DataFrame = {
     require(buckets > 0)
+    // Salt determinism contract: the salt only needs to SPREAD rows, not be
+    // stable — every (partial, final) pair accepted here is re-aggregable,
+    // so any salt assignment yields the same final result. A task retry may
+    // re-salt its rows differently (monotonically_increasing_id is
+    // deterministic only per input-split order), which is safe because each
+    // phase-1 output row is itself recomputed from the same retried split.
+    // Aggregates that are NOT decomposable this way (e.g. exact distinct)
+    // must not be passed as pairs — the helper's contract, not the salt's.
     val salted = df.withColumn("__salt",
       pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)))
     val phase1 = salted

@@ -96,7 +96,9 @@ object TextQueries extends QueryGroup {
     .orderBy("doc_id")
   }
 
-  /** Q47 ⚙: rolling-hash document fingerprint (order-sensitive). */
+  /** Q47: rolling-hash document fingerprint (order-sensitive polynomial
+    * hash over md5 token prefixes — see TextFunctions.rollingFingerprint;
+    * DuckDB mirrors the fold with list_reduce). */
   private val q47: Q = (s, d) =>
     Tables.documents(s, d).select(
       col("doc_id"),
@@ -180,6 +182,18 @@ object TextQueries extends QueryGroup {
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS re_tokens,
         |  CAST(length(text) AS BIGINT) AS chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // mirrors TextFunctions.rollingFingerprint exactly: sequential left fold
+    // (list_prepend seeds the accumulator, per the array-fold oracle rule),
+    // token hash = first 8 md5 hex digits parsed as an integer
+    "q47_text_rollinghash" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(lower(text), ' '),
+        |        t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT))),
+        |    (acc, h) -> (acc * 31 + h) % 1000000007) AS rolling_fp
         |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

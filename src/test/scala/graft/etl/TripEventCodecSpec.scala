@@ -56,6 +56,17 @@ class TripEventCodecSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Double]("trip_distance") == 0.0)) // junk → 0.0
   }
 
+  test("JSON booleans in numeric fields coerce to 1/0 like Jackson's BooleanNode (quirk 6)") {
+    val boolCount = validLine.replace("\"passenger_count\": 1", "\"passenger_count\": true")
+    val boolFare = validLine.replace("\"fare_amount\": 17.5", "\"fare_amount\": false")
+    val boolTrip = validLine.replace("\"trip_id\": 9234567", "\"trip_id\": true")
+    val rows = parse(boolCount, boolFare, boolTrip).collect()
+    assert(rows.length == 3)
+    assert(rows.exists(_.getAs[Int]("passenger_count") == 1))  // true → asInt = 1
+    assert(rows.exists(_.getAs[Double]("fare_amount") == 0.0)) // false → asDouble = 0.0
+    assert(rows.exists(_.getAs[Long]("trip_id") == 1L))        // true → asLong = 1
+  }
+
   test("lenient ISO timestamps: offset-less and long-fraction inputs parse (quirk 7)") {
     val noOffset = validLine.replace("2018-11-23T11:32:24.000Z", "2018-11-23T11:32:24")
     val microFrac = validLine.replace("2018-11-23T11:32:24.000Z", "2018-11-23T11:32:24.123456Z")
