@@ -17,6 +17,14 @@ object SkewTools {
     * Results are identical to a direct groupBy (tested): the hot key's rows
     * are spread over `buckets` reducers in phase 1 and combined in a tiny
     * phase 2.
+    *
+    * When to reach for this (measured, SkewJoinSpec): for decomposable
+    * aggregates Spark's map-side partial aggregation ALREADY collapses a hot
+    * key to ~1 row per map task, so this helper ties — not beats — a direct
+    * groupBy there. Its value is the shapes partial aggregation cannot
+    * collapse: per-key state that grows with the values (collect_list/
+    * collect_set buffers), or engines/paths without map-side combine. For
+    * hot-key JOINS, where the win is real and large, use [[saltedJoin]].
     */
   def saltedAgg(df: DataFrame, keys: Seq[String], buckets: Int,
                 partials: Seq[(Column, String)],
@@ -40,6 +48,34 @@ object SkewTools {
       .groupBy(keys.map(col): _*)
       .agg(finals.head._2.as(finals.head._1),
         finals.tail.map { case (n, c) => c.as(n) }: _*)
+  }
+
+  /** Salted equi-join for a hot-keyed fact side against a small-but-not-
+    * broadcastable dimension, for paths where AQE's skew-join splitting is
+    * unavailable (it only rewrites sort-merge/shuffled-hash joins it can
+    * re-plan; a pinned non-AQE plan, or an exchange reused by other
+    * consumers, gets no help). The fact side is salted into `buckets`
+    * sub-keys; the dimension is replicated once per bucket; the join runs on
+    * keys :+ salt, so a key that owns most of the table spreads over
+    * `buckets` reducers instead of sorting in one.
+    *
+    * Multiplicity: each fact row carries exactly one salt and the dimension
+    * carries every salt exactly once, so fact-side join multiplicity is
+    * unchanged — `inner`, `left` and `left_semi`/`left_anti` are safe.
+    * Right/full-outer are rejected: an unmatched dimension row would
+    * surface `buckets` times. */
+  def saltedJoin(facts: DataFrame, dim: DataFrame, keys: Seq[String],
+                 buckets: Int, joinType: String = "inner"): DataFrame = {
+    require(buckets > 0)
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti")
+      .contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin preserves fact-side multiplicity only; '$joinType' would " +
+        "replicate unmatched dimension rows")
+    val salted = facts.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)))
+    val replicated = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
   }
 
   /** Convenience: salted exact count + decimal-sum per key group. */
