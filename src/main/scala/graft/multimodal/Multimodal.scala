@@ -9,12 +9,17 @@ import org.apache.spark.sql.types._
   * struct; decode / feature-extraction / resize / frame-sampling are
   * per-partition transforms over the bytes.
   *
-  * The actual codec step is STUBBED (this container ships no image/audio
-  * libraries): [[FakeCodec]] is a clearly-marked deterministic stand-in that
-  * derives "pixels"/"samples" from the bytes. Everything around it — schema,
-  * batch shape, partition-wise execution, column pruning behavior, and the
-  * metadata contract — is real Spark plumbing, tested in MultimodalSpec, and
-  * a real decoder drops in by replacing FakeCodec only.
+  * The codec step dispatches on `meta.format`: formats the JDK's built-in
+  * `javax.imageio` readers decode (PNG/BMP/GIF/JPEG) go through the REAL
+  * [[ImageIoCodec]] — actual pixel decode, histogram features, bilinear
+  * resize; everything else (audio, video, non-JDK image formats — this
+  * container ships no media libraries) falls back to [[FakeCodec]], a
+  * clearly-marked deterministic stand-in that derives "pixels"/"samples"
+  * from the bytes. Everything around the dispatch — schema, batch shape,
+  * partition-wise execution, column pruning behavior, and the metadata
+  * contract — is the same real Spark plumbing either way, tested in
+  * MultimodalSpec (which drives a real decoded PNG through the batched
+  * path).
   *
   * Scale notes: media bytes are the widest column by far — every transform
   * here prunes to (id, bytes-or-features) before any shuffle, feature
@@ -81,20 +86,32 @@ object Multimodal {
     }
   }
 
+  /** Format dispatch: JDK-decodable image formats take the real codec,
+    * everything else the stub (same contract either side). */
+  private def featuresFor(bytes: Array[Byte], format: String, dim: Int): Array[Float] =
+    if (ImageIoCodec.handles(format)) ImageIoCodec.features(bytes, dim)
+    else FakeCodec.features(bytes, dim)
+
+  private def resizeFor(bytes: Array[Byte], format: String, w: Int, h: Int): Array[Byte] =
+    if (ImageIoCodec.handles(format)) ImageIoCodec.resize(bytes, w, h)
+    else FakeCodec.resize(bytes, w, h)
+
   // Registered as Scala UDFs over binary — the explicit non-codegen island
   // in an otherwise codegen pipeline (a real codec is JNI-bound anyway, so a
   // UDF boundary is the honest shape; batch size is controlled by partition
   // size, not row-at-a-time I/O).
-  private val featuresUdf = udf((b: Array[Byte], dim: Int) => FakeCodec.features(b, dim))
-  private val resizeUdf = udf((b: Array[Byte], w: Int, h: Int) => FakeCodec.resize(b, w, h))
+  private val featuresUdf =
+    udf((b: Array[Byte], fmt: String, dim: Int) => featuresFor(b, fmt, dim))
+  private val resizeUdf =
+    udf((b: Array[Byte], fmt: String, w: Int, h: Int) => resizeFor(b, fmt, w, h))
   private val frameSampleUdf =
     udf((b: Array[Byte], n: Int, k: Int) => FakeCodec.sampleFrames(b, n, k))
 
   /** Feature-extract: (media_id, features array<float>) — prunes everything
-    * else before compute so the scan only reads (media_id, bytes). */
+    * else before compute so the scan only reads (media_id, bytes, format). */
   def extractFeatures(media: DataFrame, dim: Int = 64): DataFrame =
     media.select(col("media_id"),
-      featuresUdf(col("bytes"), lit(dim)).as("features"))
+      featuresUdf(col("bytes"), col("meta.format"), lit(dim)).as("features"))
 
   /** Batched feature extraction via mapPartitions: a real codec pays
     * per-batch initialization (model load, JNI context) once per partition
@@ -103,11 +120,11 @@ object Multimodal {
   def extractFeaturesBatched(media: DataFrame, dim: Int = 64): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.select(col("media_id"), col("bytes"))
-      .as[(Long, Array[Byte])]
+    media.select(col("media_id"), col("bytes"), col("meta.format"))
+      .as[(Long, Array[Byte], String)]
       .mapPartitions { rows =>
         // per-partition init would happen HERE (codec/context setup, once)
-        rows.map { case (id, bytes) => (id, FakeCodec.features(bytes, dim)) }
+        rows.map { case (id, bytes, fmt) => (id, featuresFor(bytes, fmt, dim)) }
       }
       .toDF("media_id", "features")
   }
@@ -115,7 +132,8 @@ object Multimodal {
   /** Resize images (other modalities pass through untouched). */
   def resizeImages(media: DataFrame, w: Int, h: Int): DataFrame =
     media.withColumn("bytes",
-      when(col("modality") === "image", resizeUdf(col("bytes"), lit(w), lit(h)))
+      when(col("modality") === "image",
+        resizeUdf(col("bytes"), col("meta.format"), lit(w), lit(h)))
         .otherwise(col("bytes")))
 
   /** Sample every k-th frame of each video into one row per frame. */

@@ -4,10 +4,34 @@ import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
 /** The multimodal plumbing is real (schema, pruning, batch shape, UDF
-  * signatures); only the codec is a deterministic fake. */
+  * signatures); JDK-decodable image formats additionally take a REAL codec
+  * (ImageIoCodec — the last three tests decode actual PNG pixels), the rest
+  * a deterministic fake. */
 class MultimodalSpec extends SparkSpec {
 
   private lazy val media = Multimodal.synthesize(spark, sfDir).cache()
+
+  /** A real w×h PNG with a horizontal black→white gradient. */
+  private def gradientPng(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = x * 255 / math.max(1, w - 1)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    ImageIoCodec.toPng(img)
+  }
+
+  /** One-row media table around real image bytes. */
+  private def pngMedia(bytes: Array[Byte]) = {
+    import spark.implicits._
+    Seq((1L, "image", bytes)).toDF("media_id", "modality", "bytes")
+      .withColumn("meta", struct(
+        lit("png").as("format"), lit(16).as("width"), lit(16).as("height"),
+        lit(null).cast("int").as("sample_rate"),
+        lit(null).cast("int").as("n_frames"),
+        lit(null).cast("long").as("duration_ms")))
+  }
 
   test("synthesized media matches the declared schema") {
     val got = media.schema.fieldNames.toSeq
@@ -64,6 +88,37 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.count() == 400)
     assert(frames.schema.fieldNames.toSeq == Seq("media_id", "frame_idx", "frame_bytes"))
     assert(frames.agg(max("frame_idx")).head().getInt(0) == 3)
+  }
+
+  test("REAL codec: a decoded PNG's histogram features through the batched path") {
+    val df = pngMedia(gradientPng(16, 16))
+    val feats = Multimodal.extractFeaturesBatched(df, 8).collect()
+    assert(feats.length == 1)
+    val hist = feats.head.getSeq[Float](1)
+    assert(hist.length == 8)
+    // 16-step black→white gradient: every 8-bin bucket holds exactly 2 of
+    // the 16 columns = 32 of 256 pixels → 0.125 — only true if the actual
+    // PNG pixels were decoded
+    hist.foreach(b => assert(math.abs(b - 0.125f) < 1e-6, hist.toString))
+    assert(math.abs(hist.sum - 1.0f) < 1e-6)
+  }
+
+  test("REAL codec: batched and per-row UDF paths agree on real PNG bytes") {
+    val df = pngMedia(gradientPng(9, 7))
+    val a = Multimodal.extractFeatures(df, 16).collect().head.getSeq[Float](1)
+    val b = Multimodal.extractFeaturesBatched(df, 16).collect().head.getSeq[Float](1)
+    assert(a == b)
+  }
+
+  test("REAL codec: resize re-encodes actual pixels at the target geometry") {
+    val df = pngMedia(gradientPng(16, 16))
+    val out = Multimodal.resizeImages(df, 8, 4).select("bytes")
+      .collect().head.getAs[Array[Byte]](0)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out))
+    assert(img != null, "resized bytes must be a decodable image")
+    assert(img.getWidth == 8 && img.getHeight == 4)
+    // gradient survives the resize: left edge darker than right edge
+    assert((img.getRGB(0, 0) & 0xff) < (img.getRGB(7, 0) & 0xff))
   }
 
   test("media round-trips through partitioned parquet (binary + struct intact)") {
