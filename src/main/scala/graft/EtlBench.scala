@@ -11,7 +11,13 @@ import org.apache.spark.sql.streaming.Trigger
   * cdk/lib/streaming-etl.ts:69-71) on 2 KPU; this measures what one local
   * JVM sustains end-to-end.
   *
-  * Usage: runMain graft.EtlBench [nRecords] [parquet|noop]
+  * Usage: runMain graft.EtlBench [nRecords] [parquet|noop] [runs]
+  *
+  * Single-run wall-clock swings 1.5–3× with machine load, so the benchmark
+  * runs the drained stream `runs` times (default 3) over the same generated
+  * queue — one per-run JSON line each, then a summary line whose
+  * records_per_sec is computed from the MEDIAN etl_sec. Compare medians,
+  * never single runs.
   */
 object EtlBench {
   def main(args: Array[String]): Unit = {
@@ -21,6 +27,8 @@ object EtlBench {
       case Some("noop") => false
       case Some(other) => sys.error(s"unknown sink mode '$other' (parquet|noop)")
     }
+    val runs = args.lift(2).map(_.toInt).getOrElse(3)
+    require(runs > 0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.local(cpus.toInt, cpus.toInt, "graft-etl-bench")
     spark.sparkContext.setLogLevel("WARN")
@@ -37,24 +45,35 @@ object EtlBench {
     }
     val genSec = (System.nanoTime() - t0) / 1e9
 
-    val outDir = java.nio.file.Files.createTempDirectory("etlbench-out").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("etlbench-ckpt").toString
-    val noop = new NoopSink
-    val sinks = if (withParquet)
-      Seq(new FileSink(outDir, parquet = true), noop) else Seq(noop)
+    // each run drains the same queue from TRIM_HORIZON with a fresh
+    // checkpoint/output dir — the generated input is paid for once
+    val measured = (1 to runs).map { r =>
+      val outDir = java.nio.file.Files.createTempDirectory("etlbench-out").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("etlbench-ckpt").toString
+      val noop = new NoopSink
+      val sinks = if (withParquet)
+        Seq(new FileSink(outDir, parquet = true), noop) else Seq(noop)
 
-    val t1 = System.nanoTime()
-    val sq = EtlStream.start(spark, new QueueSource(q), sinks, ckpt,
-      Trigger.AvailableNow())
-    val finished = sq.awaitTermination(600000)
-    val etlSec = (System.nanoTime() - t1) / 1e9
-    if (!finished) {
-      System.err.println(s"[etl-bench] TIMED OUT after ${etlSec}s with ${noop.rowsSeen}/$n rows — no metric emitted")
-      sq.stop(); spark.stop(); sys.exit(1)
+      val t1 = System.nanoTime()
+      val sq = EtlStream.start(spark, new QueueSource(q), sinks, ckpt,
+        Trigger.AvailableNow())
+      val finished = sq.awaitTermination(600000)
+      val etlSec = (System.nanoTime() - t1) / 1e9
+      if (!finished) {
+        System.err.println(s"[etl-bench] run $r TIMED OUT after ${etlSec}s with ${noop.rowsSeen}/$n rows — no metric emitted")
+        sq.stop(); spark.stop(); sys.exit(1)
+      }
+      println(s"""{"metric":"etl_throughput_run","run":$r,"etl_sec":${"%.1f".format(etlSec)},"records_per_sec":${(noop.rowsSeen / etlSec).round},"parsed":${noop.rowsSeen}}""")
+      (etlSec, noop.rowsSeen)
     }
 
-    val recPerSec = (noop.rowsSeen / etlSec).round
-    println(s"""{"metric":"etl_throughput","records":$n,"parsed":${noop.rowsSeen},"gen_sec":${"%.1f".format(genSec)},"etl_sec":${"%.1f".format(etlSec)},"records_per_sec":$recPerSec,"sinks":${sinks.length},"reference_envelope_rec_per_sec":16000}""")
+    val sorted = measured.map(_._1).sorted
+    val medianSec = if (runs % 2 == 1) sorted(runs / 2)
+      else (sorted(runs / 2 - 1) + sorted(runs / 2)) / 2
+    val parsed = measured.head._2
+    val recPerSec = (parsed / medianSec).round
+    val runsJson = measured.map { case (s, _) => "%.1f".format(s) }.mkString("[", ",", "]")
+    println(s"""{"metric":"etl_throughput","records":$n,"parsed":$parsed,"gen_sec":${"%.1f".format(genSec)},"etl_sec":${"%.1f".format(medianSec)},"etl_sec_runs":$runsJson,"records_per_sec":$recPerSec,"sinks":${if (withParquet) 2 else 1},"reference_envelope_rec_per_sec":16000}""")
     spark.stop()
   }
 }
