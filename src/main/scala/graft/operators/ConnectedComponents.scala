@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed connected components over an undirected edge set — the step
+  * AFTER pair emission in a dedup pipeline: q35/q37/q41/q42 produce
+  * duplicate PAIRS; cluster resolution (every doc → one canonical keeper)
+  * needs the transitive closure, which no single groupBy can express
+  * (A~B, B~C does not imply the A~C pair was ever emitted). The
+  * star-reduction of oversized LSH buckets (DedupQueries) is designed
+  * around exactly this operator: representative stars keep clusters
+  * connected so components recover them whole.
+  *
+  * Algorithm: iterative min-label propagation. label(n) starts at n; each
+  * round sets label(n) = min(label(n), min over neighbors' labels); stop
+  * when nothing changes. The final label of every node is the minimum node
+  * id in its component — deterministic regardless of partitioning or
+  * engine, hence oracle-checkable (q66 mirrors it with a DuckDB recursive
+  * CTE).
+  *
+  * Scale shape: each round is one shuffle join (neighbor labels, keyed on
+  * node id) plus one partial+final min aggregation; rounds = graph
+  * diameter. Dedup graphs are clique/star-shaped — diameter ≤ ~4 even for
+  * million-doc boilerplate clusters, so the round count is small and
+  * independent of corpus size. For planet-scale graphs with LONG chains
+  * (road networks, social graphs), swap in large-star/small-star (Kiveris
+  * et al., "Connected Components in MapReduce and Beyond", SoCC'14) behind
+  * this same signature — O(log n) rounds.
+  */
+object ConnectedComponents {
+
+  /** @param edges two-column undirected edge set; self-loops and duplicate
+    *              edges are tolerated (dropped / collapsed by the symmetric
+    *              closure)
+    * @return (node, component) for every node incident to an edge, where
+    *         component = min node id reachable; isolated nodes (no edges)
+    *         do not appear — callers assign them their own id (see q66)
+    */
+  def run(edges: DataFrame, aCol: String = "a", bCol: String = "b",
+          maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col(aCol).as("n"), col(bCol).as("m"))
+      .union(edges.select(col(bCol).as("n"), col(aCol).as("m")))
+      .filter(col("n") =!= col("m"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("n")).distinct()
+      .withColumn("label", col("n"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("n").as("m"), col("label").as("ml")), "m")
+        .groupBy("n").agg(min(col("ml")).as("nl"))
+      val next = labels.join(nbrMin, Seq("n"), "left")
+        .select(col("n"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        // localCheckpoint (not just persist) truncates the logical plan, so
+        // per-round planning cost stays constant instead of growing with
+        // the iteration count
+        .localCheckpoint(eager = true)
+      // labels can only decrease; count of strict decreases = convergence
+      changed = next.join(labels.withColumnRenamed("label", "prev"), "n")
+        .filter(col("label") < col("prev")).count()
+      labels.unpersist()
+      labels = next
+      it += 1
+    }
+    sym.unpersist()
+    labels.select(col("n").as("node"), col("label").as("component"))
+  }
+}

@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.functions._
+
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def components(edges: (Long, Long)*): Map[Long, Long] =
+    ConnectedComponents.run(edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("transitive chain collapses to one component; separate clusters stay apart") {
+    val got = components((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("cycles converge (labels only decrease, fixpoint reached)") {
+    val got = components((5L, 6L), (6L, 7L), (7L, 5L))
+    assert(got == Map(5L -> 5L, 6L -> 5L, 7L -> 5L))
+  }
+
+  test("self-loops and duplicate/reversed edges are tolerated") {
+    val got = components((1L, 1L), (1L, 2L), (2L, 1L), (1L, 2L))
+    assert(got == Map(1L -> 1L, 2L -> 1L))
+  }
+
+  test("a long path needs diameter rounds and still converges") {
+    val path = (1L until 20L).map(i => (i, i + 1))
+    val got = components(path: _*)
+    assert(got.values.toSet == Set(1L))
+    assert(got.size == 20)
+  }
+
+  test("star-reduced oversized LSH buckets come back as ONE whole cluster") {
+    // the ADVICE r3 story end-to-end: a >cap duplicate cluster is
+    // star-reduced by q41 (O(b) representative pairs), and connected
+    // components recovers the full cluster from the star
+    val dir = tmpDir("cc-degen")
+    val same = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    (1L to 200L).map(i => (i, same, "en", "webA", same.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    spark.conf.set("spark.graft.dedup.maxBucket", "50")
+    try {
+      val pairs = SparkEntry.queries("q41_dedup_minhash_lsh")(spark, dir)
+        .select(col("a_id").as("a"), col("b_id").as("b"))
+      val comp = ConnectedComponents.run(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(comp.size == 200)
+      assert(comp.values.toSet == Set(1L), "all 200 docs must share one component")
+    } finally spark.conf.unset("spark.graft.dedup.maxBucket")
+  }
+}
