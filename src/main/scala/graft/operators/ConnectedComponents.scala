@@ -47,25 +47,27 @@ object ConnectedComponents {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = sym.select(col("n")).distinct()
       .withColumn("label", col("n"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      // localCheckpoint (not just persist) truncates the logical plan, so
+      // per-round planning cost stays constant instead of growing with the
+      // iteration count; round N's checkpointed blocks become garbage at
+      // round N+1 and are reclaimed by the ContextCleaner
+      .localCheckpoint(true)
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
       val nbrMin = sym
         .join(labels.select(col("n").as("m"), col("label").as("ml")), "m")
         .groupBy("n").agg(min(col("ml")).as("nl"))
+      // the previous label rides along into the checkpoint, so convergence
+      // is a cheap filter-count over already-materialized local blocks —
+      // TWO jobs per round total (checkpoint + count), no extra join
       val next = labels.join(nbrMin, Seq("n"), "left")
         .select(col("n"),
-          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
-        // localCheckpoint (not just persist) truncates the logical plan, so
-        // per-round planning cost stays constant instead of growing with
-        // the iteration count
-        .localCheckpoint(eager = true)
-      // labels can only decrease; count of strict decreases = convergence
-      changed = next.join(labels.withColumnRenamed("label", "prev"), "n")
-        .filter(col("label") < col("prev")).count()
-      labels.unpersist()
-      labels = next
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
+          col("label").as("prev"))
+        .localCheckpoint(true)
+      changed = next.filter(col("label") < col("prev")).count()
+      labels = next.select("n", "label")
       it += 1
     }
     sym.unpersist()

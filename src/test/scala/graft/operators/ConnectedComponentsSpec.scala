@@ -49,6 +49,12 @@ class ConnectedComponentsSpec extends SparkSpec {
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(comp.size == 200)
       assert(comp.values.toSet == Set(1L), "all 200 docs must share one component")
-    } finally spark.conf.unset("spark.graft.dedup.maxBucket")
+    } finally {
+      spark.conf.unset("spark.graft.dedup.maxBucket")
+      // CC consumed q41's pairs via localCheckpoint (an RDD materialization
+      // that never fires QueryExecutionListener), so q41's docs cache was
+      // never auto-released — drop it so later suites see a clean manager
+      spark.sharedState.cacheManager.clearCache()
+    }
   }
 }
