@@ -31,9 +31,14 @@ object EtlMain {
     // work unchanged, so that key (typo included) wins; `InputStartingPosition`
     // stays as the graft-native alias. The Kafka path has no position key in
     // the reference either (Flink Kafka starts from group offsets /
-    // auto.offset.reset=latest), so LATEST is the parity default for both.
+    // auto.offset.reset=latest), so LATEST is the parity default for both —
+    // EXCEPT bounded runs: `--RunAvailableNow` (a graft extension, no
+    // reference counterpart) exists to drain a backlog, and a bounded drain
+    // from LATEST is empty by construction, so backfills default to
+    // TRIM_HORIZON. An explicit position key always wins.
     val position = cfg.get("InputStreamInitalPosition")
-      .orElse(cfg.get("InputStartingPosition")).getOrElse("LATEST")
+      .orElse(cfg.get("InputStartingPosition"))
+      .getOrElse(if (cfg.bool("RunAvailableNow")) "TRIM_HORIZON" else "LATEST")
     val source: SourceProvider = cfg.sourceKind match {
       case "kinesis" => new QueueSource(cfg.get("InputKinesisStream").get, position)
       case "kafka" => new QueueSource(cfg.get("InputKafkaTopic").get, position)

@@ -40,11 +40,13 @@ object TextFunctions {
     * modular fold) is engine-independent, so the fingerprint is
     * oracle-checkable: DuckDB mirrors it with
     * `list_reduce(list_prepend(0, list_transform(toks,
-    * t -> ('0x' || substr(md5(t),1,8))::BIGINT)), (acc,h) -> …)`. */
+    * t -> ('0x' || substr(md5(t),1,8))::BIGINT)), (acc,h) -> …)`.
+    * Computed by the native codegen expression [[graft.plans.RollingFp]]
+    * (one digest + integer ops per token) rather than an interpreted
+    * `aggregate` lambda — RollingFpSpec pins the equivalence of native,
+    * HOF, and built-in-conv formulations. */
   def rollingFingerprint(toks: Column): Column =
-    aggregate(toks, lit(0L), (acc, t) =>
-      (acc * lit(31L) + conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
-        % lit(1000000007L))
+    call_function("rolling_fp", toks)
 
   /** Number of tokens from `toks` found in `wordlist`. */
   def overlap(toks: Column, wordlist: Seq[String]): Column =

@@ -87,13 +87,24 @@ object Multimodal {
   }
 
   /** Format dispatch: JDK-decodable image formats take the real codec,
-    * everything else the stub (same contract either side). */
+    * everything else the stub (same contract either side).
+    *
+    * A web-scale media corpus is guaranteed to contain rows whose bytes do
+    * not decode (truncated files, misdeclared formats, CMYK JPEGs the JDK
+    * returns null for) — one bad row must never fail the corpus job, so a
+    * decode failure yields NULL features (filterable downstream, the
+    * training-pipeline convention) and resize passes the original bytes
+    * through untouched. */
   private def featuresFor(bytes: Array[Byte], format: String, dim: Int): Array[Float] =
-    if (ImageIoCodec.handles(format)) ImageIoCodec.features(bytes, dim)
+    if (ImageIoCodec.handles(format))
+      try ImageIoCodec.features(bytes, dim)
+      catch { case scala.util.control.NonFatal(_) => null }
     else FakeCodec.features(bytes, dim)
 
   private def resizeFor(bytes: Array[Byte], format: String, w: Int, h: Int): Array[Byte] =
-    if (ImageIoCodec.handles(format)) ImageIoCodec.resize(bytes, w, h)
+    if (ImageIoCodec.handles(format))
+      try ImageIoCodec.resize(bytes, w, h)
+      catch { case scala.util.control.NonFatal(_) => bytes }
     else FakeCodec.resize(bytes, w, h)
 
   // Registered as Scala UDFs over binary — the explicit non-codegen island

@@ -34,12 +34,19 @@ object ConnectedComponents {
   /** @param edges two-column undirected edge set; self-loops and duplicate
     *              edges are tolerated (dropped / collapsed by the symmetric
     *              closure)
+    * @param maxIter safety bound on rounds; propagation needs ~the graph
+    *                diameter, so the default covers any dedup-shaped graph
+    *                with a wide margin. If the bound is hit before the
+    *                fixpoint the result would be WRONG (labels short of the
+    *                component minimum), so run throws instead of returning
+    *                silently-corrupt components — raise maxIter for
+    *                long-chain graphs (or switch to large-star/small-star).
     * @return (node, component) for every node incident to an edge, where
     *         component = min node id reachable; isolated nodes (no edges)
     *         do not appear — callers assign them their own id (see q66)
     */
   def run(edges: DataFrame, aCol: String = "a", bCol: String = "b",
-          maxIter: Int = 25): DataFrame = {
+          maxIter: Int = 50): DataFrame = {
     val sym = edges.select(col(aCol).as("n"), col(bCol).as("m"))
       .union(edges.select(col(bCol).as("n"), col(aCol).as("m")))
       .filter(col("n") =!= col("m"))
@@ -70,6 +77,10 @@ object ConnectedComponents {
       labels = next.select("n", "label")
       it += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIter rounds " +
+          s"($changed labels still decreasing) — raise maxIter")
     sym.unpersist()
     labels.select(col("n").as("node"), col("label").as("component"))
   }

@@ -10,6 +10,16 @@ import org.apache.spark.sql.functions._
   */
 object SkewTools {
 
+  /** The shared salt. Determinism contract: the salt only needs to SPREAD
+    * rows, not be stable — saltedAgg's (partial, final) pairs are
+    * re-aggregable and saltedJoin's dimension carries every salt value, so
+    * any salt assignment yields the same final result. A task retry may
+    * re-salt its rows differently (monotonically_increasing_id is
+    * deterministic only per input-split order), which is safe because each
+    * salted output row is itself recomputed from the same retried split. */
+  private def saltCol(buckets: Int): Column =
+    pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets))
+
   /** Two-phase (salted) aggregation: groupBy(keys :+ salt) partial-aggregate,
     * then groupBy(keys) final-aggregate. Every aggregate must be expressed as
     * (partial, final) column pairs that compose correctly — the helper takes
@@ -30,16 +40,7 @@ object SkewTools {
                 partials: Seq[(Column, String)],
                 finals: Seq[(String, Column)]): DataFrame = {
     require(buckets > 0)
-    // Salt determinism contract: the salt only needs to SPREAD rows, not be
-    // stable — every (partial, final) pair accepted here is re-aggregable,
-    // so any salt assignment yields the same final result. A task retry may
-    // re-salt its rows differently (monotonically_increasing_id is
-    // deterministic only per input-split order), which is safe because each
-    // phase-1 output row is itself recomputed from the same retried split.
-    // Aggregates that are NOT decomposable this way (e.g. exact distinct)
-    // must not be passed as pairs — the helper's contract, not the salt's.
-    val salted = df.withColumn("__salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)))
+    val salted = df.withColumn("__salt", saltCol(buckets))
     val phase1 = salted
       .groupBy((keys :+ "__salt").map(col): _*)
       .agg(partials.head._1.as(partials.head._2),
@@ -71,8 +72,7 @@ object SkewTools {
       .contains(joinType.toLowerCase.replace("_", "")),
       s"saltedJoin preserves fact-side multiplicity only; '$joinType' would " +
         "replicate unmatched dimension rows")
-    val salted = facts.withColumn("__salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)))
+    val salted = facts.withColumn("__salt", saltCol(buckets))
     val replicated = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1))))
     salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")

@@ -30,7 +30,9 @@ object GraftFunctions {
         intLit(c(2), "minhash_bands", "bandSize"))),
     ("word_shingles", classOf[WordShingles], 2,
       (c: Seq[Expression]) => WordShingles(c(0),
-        intLit(c(1), "word_shingles", "n"))))
+        intLit(c(1), "word_shingles", "n"))),
+    ("rolling_fp", classOf[RollingFp], 1,
+      (c: Seq[Expression]) => RollingFp(c(0))))
 
   /** Idempotently register every graft function into a live session (no-op
     * when GraftExtensions already injected them). */

@@ -114,6 +114,14 @@ class EtlMainSpec extends SparkSpec {
     assert(src.asInstanceOf[QueueSource].startingPosition == "LATEST")
   }
 
+  test("bounded runs (RunAvailableNow) default to TRIM_HORIZON — a LATEST backfill would be empty") {
+    val (drain, _) = EtlMain.wire(kinesisCfg("RunAvailableNow" -> "true"))
+    assert(drain.asInstanceOf[QueueSource].startingPosition == "TRIM_HORIZON")
+    val (explicit, _) = EtlMain.wire(kinesisCfg(
+      "RunAvailableNow" -> "true", "InputStreamInitalPosition" -> "LATEST"))
+    assert(explicit.asInstanceOf[QueueSource].startingPosition == "LATEST")
+  }
+
   test("graft alias InputStartingPosition still works; reference key wins on conflict") {
     val (alias, _) = EtlMain.wire(kinesisCfg("InputStartingPosition" -> "TRIM_HORIZON"))
     assert(alias.asInstanceOf[QueueSource].startingPosition == "TRIM_HORIZON")

@@ -121,6 +121,26 @@ class MultimodalSpec extends SparkSpec {
     assert((img.getRGB(0, 0) & 0xff) < (img.getRGB(7, 0) & 0xff))
   }
 
+  test("REAL codec: undecodable bytes yield null features / pass-through resize, not a failed job") {
+    import spark.implicits._
+    val good = gradientPng(8, 8)
+    val junk = Array.tabulate[Byte](100)(_.toByte) // format says png, bytes are not
+    val df = Seq((1L, "image", good), (2L, "image", junk))
+      .toDF("media_id", "modality", "bytes")
+      .withColumn("meta", struct(
+        lit("png").as("format"), lit(8).as("width"), lit(8).as("height"),
+        lit(null).cast("int").as("sample_rate"),
+        lit(null).cast("int").as("n_frames"),
+        lit(null).cast("long").as("duration_ms")))
+    val feats = Multimodal.extractFeaturesBatched(df, 8).orderBy("media_id").collect()
+    assert(feats(0).getSeq[Float](1) != null, "good row decodes")
+    assert(feats(1).isNullAt(1), "corrupt row yields null features, job survives")
+    val resized = Multimodal.resizeImages(df, 4, 4).orderBy("media_id")
+      .select("bytes").collect()
+    assert(!(resized(0).getAs[Array[Byte]](0) sameElements good), "good row re-encoded")
+    assert(resized(1).getAs[Array[Byte]](0) sameElements junk, "corrupt row passes through")
+  }
+
   test("media round-trips through partitioned parquet (binary + struct intact)") {
     val out = tmpDir("media-out")
     media.write.mode("overwrite").partitionBy("modality").parquet(out)

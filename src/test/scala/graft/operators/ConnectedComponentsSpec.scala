@@ -32,6 +32,14 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got.size == 20)
   }
 
+  test("exhausting maxIter before the fixpoint throws instead of returning wrong labels") {
+    import spark.implicits._
+    val path = (1L until 30L).map(i => (i, i + 1)).toDF("a", "b")
+    val e = intercept[IllegalStateException](
+      ConnectedComponents.run(path, maxIter = 5).collect())
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("star-reduced oversized LSH buckets come back as ONE whole cluster") {
     // the ADVICE r3 story end-to-end: a >cap duplicate cluster is
     // star-reduced by q41 (O(b) representative pairs), and connected

@@ -126,9 +126,10 @@ class SkewJoinSpec extends SparkSpec {
       // more than a quarter of what the direct plan's hot reducer held
       assert(saltedMax * 4 < directMax,
         s"salted hottest task $saltedMax vs direct $directMax")
-      // wall-clock on local[4] shares 3/4 of its cost (scan, shuffle write)
-      // between both plans, so only guard against salting being slower
-      assert(saltedSec < directSec * 1.5)
+      // wall-clock on local[4] shares most of its cost (scan, shuffle
+      // write) between both plans AND swings 1.5–3× with machine load
+      // (CLAUDE.md) — reported via info() above, not asserted; the
+      // task-metric assertion is the deterministic skew proof
     } finally {
       spark.sparkContext.removeSparkListener(tap)
       saved.foreach {
