@@ -32,6 +32,32 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got.size == 20)
   }
 
+  private def starComponents(edges: (Long, Long)*): Map[Long, Long] =
+    ConnectedComponents.runStar(edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("large-star/small-star equals min-label propagation on random graphs") {
+    for (seed <- 1 to 8) {
+      val rnd = new scala.util.Random(seed)
+      val n = 30
+      val edges = Seq.fill(40)((rnd.nextInt(n).toLong + 1, rnd.nextInt(n).toLong + 1))
+        .filter { case (a, b) => a != b }
+      val viaLabels = components(edges: _*)
+      val viaStars = starComponents(edges: _*)
+      assert(viaStars == viaLabels, s"seed $seed: $viaStars vs $viaLabels")
+    }
+  }
+
+  test("large-star/small-star collapses a long path in few rounds") {
+    // a 200-node path has diameter 199 — min-label propagation would need
+    // 199 rounds (and default maxIter throws); the star algorithm's round
+    // count is logarithmic, so it converges comfortably within maxIter
+    val path = (1L until 200L).map(i => (i, i + 1))
+    val got = starComponents(path: _*)
+    assert(got.size == 200)
+    assert(got.values.toSet == Set(1L))
+  }
+
   test("exhausting maxIter before the fixpoint throws instead of returning wrong labels") {
     import spark.implicits._
     val path = (1L until 30L).map(i => (i, i + 1)).toDF("a", "b")
