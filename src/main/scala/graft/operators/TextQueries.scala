@@ -58,6 +58,24 @@ object TextQueries extends QueryGroup {
     SimilarityJoin.postingsCount(docs, 0.8).orderBy("a_id", "b_id")
   }
 
+  /** Q67: n-gram (3-token shingle) Jaccard near-dup pairs (τ = 0.5) within
+    * a `source` block — the word-ORDER-sensitive complement to q37's
+    * bag-of-tokens Jaccard: reordered texts share tokens but not shingles.
+    * Same [[SimilarityJoin]] machinery over the distinct shingle set
+    * (native `word_shingles` builds each shingle once per row); τ is lower
+    * because shingle overlap decays much faster than token overlap. On the
+    * driver corpus, whose near-dups are token-preserving reorderings, q37
+    * finds thousands of pairs and q67 almost none — that asymmetry IS the
+    * semantics, pinned by NgramJaccardSpec on constructed fixtures. */
+  private val q67: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id").as("id"),
+      col("source").as("block"),
+      array_distinct(call_function("word_shingles",
+        TextFunctions.tokens(col("text")), lit(3))).as("w"))
+      .filter(size(col("w")) > 0)
+    SimilarityJoin.postingsCount(docs, 0.5).orderBy("a_id", "b_id")
+  }
+
   /** Q45: quality scoring — length / stopword-ratio / uniqueness features. */
   private val q45: Q = (s, d) => {
     val toks = TextFunctions.tokens(col("text"))
@@ -116,6 +134,7 @@ object TextQueries extends QueryGroup {
     "q45_text_quality" -> q45,
     "q46_text_tokens" -> q46,
     "q47_text_rollinghash" -> q47,
+    "q67_dedup_ngram_jaccard" -> q67,
   )
 
   val oracles: Map[String, String] = Map(
@@ -183,6 +202,25 @@ object TextQueries extends QueryGroup {
         |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS re_tokens,
         |  CAST(length(text) AS BIGINT) AS chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // shingle construction mirrors word_shingles (n consecutive tokens
+    // joined by a space); the <3-token edge yields an empty set, excluded
+    // on both sides
+    "q67_dedup_ngram_jaccard" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(list_transform(range(1, len(toks)-1),
+        |      i -> array_to_string(toks[i:i+2], ' '))) AS w
+        |  FROM (SELECT doc_id, source, string_split(lower(text), ' ') AS toks
+        |        FROM documents))
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(len(list_filter(a.w, x -> list_contains(b.w, x))) AS DOUBLE)
+        |    / (len(a.w) + len(b.w) - len(list_filter(a.w, x -> list_contains(b.w, x)))) AS jaccard
+        |FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE len(a.w) > 0 AND len(b.w) > 0
+        |  AND CAST(len(list_filter(a.w, x -> list_contains(b.w, x))) AS DOUBLE)
+        |    / (len(a.w) + len(b.w) - len(list_filter(a.w, x -> list_contains(b.w, x)))) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
 
     // mirrors TextFunctions.rollingFingerprint exactly: sequential left fold
     // (list_prepend seeds the accumulator, per the array-fold oracle rule),
