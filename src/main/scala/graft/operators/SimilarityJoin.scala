@@ -45,6 +45,12 @@ object SimilarityJoin {
           // only be over-inclusive, and the final jaccard filter is exact
           col("na") * tau <= col("nb") + lit(1e-7) &&
           col("nb") * tau <= col("na") + lit(1e-7))
+      // candidate volume = Σ_token C(df,2)-ish — THE postings-join cost
+      // driver; surfaced so runs can see an exploding token before it
+      // becomes a dead executor (ZipfJaccardSpec compares strategies on it;
+      // names are per-strategy so one plan can hold both, e.g. equivalence
+      // tests diffing the two)
+      .observe("sj_candidates_postings", count(lit(1)).as("candidates"))
       .groupBy("a_id", "b_id")
       .agg(count(lit(1)).as("inter"), max(col("na")).as("na"),
         max(col("nb")).as("nb"))
@@ -79,6 +85,9 @@ object SimilarityJoin {
           col("a_id") < col("b_id") &&
           col("na") * tau <= col("nb") + lit(1e-7) &&
           col("nb") * tau <= col("na") + lit(1e-7))
+      // same metric as postingsCount, measured on the prefix-postings join:
+      // on Zipfian vocabularies this is the volume the prefix filter saves
+      .observe("sj_candidates_prefix", count(lit(1)).as("candidates"))
       .select("a_id", "b_id").distinct()
     // verify: unpivot each candidate pair to two (pair, id) rows and join
     // the token sets ONCE with a plain shuffle join — sets cross the wire
