@@ -139,8 +139,25 @@ object MlQueries extends QueryGroup {
       "l_extendedprice", buckets = 16)
       .orderBy("l_returnflag")
 
+  /** Q68: salted hot-key JOIN (SkewTools.saltedJoin) — 90% of lineitem on
+    * one synthetic key, joined to a 3-key dimension (the 'R' group is
+    * intentionally unmatched, so the inner-join semantics show in the
+    * result). The oracle checks equality with the plain direct join; the
+    * reducer-spread proof lives in SkewJoinSpec's task metrics. */
+  private val q68: Q = (s, d) => {
+    import s.implicits._
+    val facts = Tables.lineitem(s, d).withColumn("k",
+      when(col("l_orderkey") % 10 < 9, lit("HOT")).otherwise(col("l_returnflag")))
+    val dim = Seq("HOT", "A", "N").toDF("k")
+    SkewTools.saltedJoin(facts, dim, Seq("k"), buckets = 8)
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("total_qty"))
+      .orderBy("k")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q64_agg_salted_skew" -> q64,
+    "q68_join_salted_skew" -> q68,
     "q63_ml_split" -> q63,
     "q58_ml_hash_sample" -> q58,
     "q54_ml_nearest_centroid" -> q54,
@@ -163,6 +180,14 @@ object MlQueries extends QueryGroup {
       """SELECT l_returnflag, count(*) AS n,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // the direct (unsalted) join — equality with the salted plan is the point
+    "q68_join_salted_skew" ->
+      s"""SELECT k, count(*) AS n, ${sqlDsum("l_quantity")} AS total_qty
+         |FROM (SELECT CASE WHEN l_orderkey % 10 < 9 THEN 'HOT'
+         |             ELSE l_returnflag END AS k, l_quantity FROM lineitem)
+         |JOIN (VALUES ('HOT'), ('A'), ('N')) d(k) USING (k)
+         |GROUP BY k ORDER BY k""".stripMargin,
 
     "q63_ml_split" ->
       """SELECT lang,

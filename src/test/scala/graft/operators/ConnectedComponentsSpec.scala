@@ -58,6 +58,17 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got.values.toSet == Set(1L))
   }
 
+  test("both algorithms return empty on an empty edge set") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(ConnectedComponents.run(empty).count() == 0)
+    assert(ConnectedComponents.runStar(empty).count() == 0)
+    // self-loops only = no real edges
+    val loops = Seq((1L, 1L), (2L, 2L)).toDF("a", "b")
+    assert(ConnectedComponents.run(loops).count() == 0)
+    assert(ConnectedComponents.runStar(loops).count() == 0)
+  }
+
   test("exhausting maxIter before the fixpoint throws instead of returning wrong labels") {
     import spark.implicits._
     val path = (1L until 30L).map(i => (i, i + 1)).toDF("a", "b")
