@@ -1,0 +1,57 @@
+package graft.streaming
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming near-duplicate detection — the ingestion-time twin of the batch
+  * MinHash+LSH pipeline (DedupQueries q41): every incoming document's band
+  * hashes are checked against the buckets seen SO FAR, so mass-duplicated
+  * content is flagged as it arrives instead of in a nightly batch job. The
+  * intersection of the reference's domain (streaming ingest) and the
+  * training-data north star (dedup before the corpus lands).
+  *
+  * Emission semantics mirror the batch star-reduction: per band bucket the
+  * first-seen document becomes the representative, and every later document
+  * in that bucket emits one (doc_id, dup_of=representative, band_idx) row —
+  * O(1) per arrival, never a quadratic pair expansion. A pair surfacing
+  * through k bands emits k rows (band_idx disambiguates); downstream either
+  * distincts the pairs or exact-verifies them with the same one-shot set
+  * join as the batch path.
+  *
+  * Scale shape: state is ONE long (the representative id) per distinct
+  * (band_idx, band_hash) bucket — linear in corpus bands, constant per
+  * document, and RocksDB-backed via the usual state-store provider conf for
+  * corpora whose band universe exceeds executor heap.
+  */
+object DedupStream {
+
+  /** @param docs streaming DataFrame with (doc_id: bigint, text: string)
+    * @return streaming (doc_id, dup_of, band_idx): `doc_id` shares
+    *         `band_idx`'s MinHash band bucket with earlier-seen `dup_of`
+    */
+  def nearDupCandidates(docs: DataFrame, numHashes: Int = 16,
+                        bandSize: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val banded = docs.select(col("doc_id"),
+      posexplode(call_function("minhash_bands",
+        call_function("word_shingles", TextFunctions.tokens(col("text")), lit(3)),
+        lit(numHashes), lit(bandSize))).as(Seq("band_idx", "band_hash")))
+      .as[(Long, Int, Long)]
+    banded
+      .groupByKey { case (_, idx, hash) => (idx, hash) }
+      .flatMapGroupsWithState[Long, (Long, Long, Int)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case ((bandIdx, _), rows, state: GroupState[Long]) =>
+          // within one micro-batch the bucket's arrivals sort by doc_id so
+          // the representative choice is deterministic under re-execution
+          val ids = rows.map(_._1).toSeq.distinct.sorted
+          val rep = state.getOption.getOrElse(ids.head)
+          if (!state.exists) state.update(rep)
+          ids.filter(_ != rep).map(d => (d, rep, bandIdx)).iterator
+      }
+      .toDF("doc_id", "dup_of", "band_idx")
+  }
+}
