@@ -160,16 +160,14 @@ object TextQueries extends QueryGroup {
         |FROM documents GROUP BY fp ORDER BY fp""".stripMargin,
 
     "q37_dedup_jaccard" ->
-      """WITH d AS (
-        |  SELECT doc_id, source, list_distinct(string_split(lower(text), ' ')) AS w
-        |  FROM documents)
-        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        |  CAST(len(list_filter(a.w, x -> list_contains(b.w, x))) AS DOUBLE)
-        |    / (len(a.w) + len(b.w) - len(list_filter(a.w, x -> list_contains(b.w, x)))) AS jaccard
-        |FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
-        |WHERE CAST(len(list_filter(a.w, x -> list_contains(b.w, x))) AS DOUBLE)
-        |    / (len(a.w) + len(b.w) - len(list_filter(a.w, x -> list_contains(b.w, x)))) >= 0.8
-        |ORDER BY a_id, b_id""".stripMargin,
+      s"""WITH d AS (
+         |  SELECT doc_id, source, list_distinct(string_split(lower(text), ' ')) AS w
+         |  FROM documents)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  ${sqlJaccard("a.w", "b.w")} AS jaccard
+         |FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+         |WHERE ${sqlJaccard("a.w", "b.w")} >= 0.8
+         |ORDER BY a_id, b_id""".stripMargin,
 
     "q44_text_langid" -> {
       val structs = TextFunctions.langKeywords.toSeq.sortBy(_._1)
@@ -207,20 +205,18 @@ object TextQueries extends QueryGroup {
     // joined by a space); the <3-token edge yields an empty set, excluded
     // on both sides
     "q67_dedup_ngram_jaccard" ->
-      """WITH d AS (
-        |  SELECT doc_id, source,
-        |    list_distinct(list_transform(range(1, len(toks)-1),
-        |      i -> array_to_string(toks[i:i+2], ' '))) AS w
-        |  FROM (SELECT doc_id, source, string_split(lower(text), ' ') AS toks
-        |        FROM documents))
-        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        |  CAST(len(list_filter(a.w, x -> list_contains(b.w, x))) AS DOUBLE)
-        |    / (len(a.w) + len(b.w) - len(list_filter(a.w, x -> list_contains(b.w, x)))) AS jaccard
-        |FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
-        |WHERE len(a.w) > 0 AND len(b.w) > 0
-        |  AND CAST(len(list_filter(a.w, x -> list_contains(b.w, x))) AS DOUBLE)
-        |    / (len(a.w) + len(b.w) - len(list_filter(a.w, x -> list_contains(b.w, x)))) >= 0.5
-        |ORDER BY a_id, b_id""".stripMargin,
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |    list_distinct(list_transform(range(1, len(toks)-1),
+         |      i -> array_to_string(toks[i:i+2], ' '))) AS w
+         |  FROM (SELECT doc_id, source, string_split(lower(text), ' ') AS toks
+         |        FROM documents))
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  ${sqlJaccard("a.w", "b.w")} AS jaccard
+         |FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+         |WHERE len(a.w) > 0 AND len(b.w) > 0
+         |  AND ${sqlJaccard("a.w", "b.w")} >= 0.5
+         |ORDER BY a_id, b_id""".stripMargin,
 
     // mirrors TextFunctions.rollingFingerprint exactly: sequential left fold
     // (list_prepend seeds the accumulator, per the array-fold oracle rule),

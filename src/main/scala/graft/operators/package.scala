@@ -42,6 +42,15 @@ package object operators {
   def sqlDavg(x: String, scale: Int = 2): String =
     s"CAST(sum(CAST($x AS DECIMAL(18,$scale))) AS DOUBLE) / count($x)"
 
+  /** Oracle-side exact Jaccard over two DuckDB list expressions:
+    * |a∩b| / (|a| + |b| − |a∩b|) on exact ints, divided as double — the
+    * single source for the q37/q66/q67 pair-similarity oracles (the same
+    * integer-intersection formula SimilarityJoin computes). */
+  def sqlJaccard(a: String, b: String): String = {
+    val inter = s"len(list_filter($a, x -> list_contains($b, x)))"
+    s"CAST($inter AS DOUBLE) / (len($a) + len($b) - $inter)"
+  }
+
   /** Epoch µs of an NTZ timestamp, interpreting it as UTC (session tz) —
     * exactly DuckDB's epoch_us of a naive timestamp. */
   def epochUs(c: Column): Column = unix_micros(c.cast("timestamp"))

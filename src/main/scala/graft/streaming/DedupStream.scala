@@ -35,10 +35,17 @@ object DedupStream {
                         bandSize: Int = 4): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // docs under 3 tokens have NO shingles, and minhash_bands of an empty
+    // array is the same constant signature for every such doc — without
+    // this filter all short content would flag against one arbitrary
+    // representative (and pile into one permanent hot state bucket)
     val banded = docs.select(col("doc_id"),
-      posexplode(call_function("minhash_bands",
-        call_function("word_shingles", TextFunctions.tokens(col("text")), lit(3)),
-        lit(numHashes), lit(bandSize))).as(Seq("band_idx", "band_hash")))
+      call_function("word_shingles", TextFunctions.tokens(col("text")), lit(3))
+        .as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"),
+        posexplode(call_function("minhash_bands", col("sh"),
+          lit(numHashes), lit(bandSize))).as(Seq("band_idx", "band_hash")))
       .as[(Long, Int, Long)]
     banded
       .groupByKey { case (_, idx, hash) => (idx, hash) }

@@ -43,6 +43,9 @@ class ZipfJaccardSpec extends SparkSpec {
       val deadline = System.nanoTime() + 30e9.toLong
       while (!metrics.contains(metric) && System.nanoTime() < deadline)
         Thread.sleep(50)
+      assert(metrics.contains(metric),
+        s"observe metric '$metric' never arrived on the listener bus " +
+          s"(got: ${metrics.keySet.mkString(", ")})")
       (pairs, metrics(metric).getAs[Long]("candidates"))
     } finally spark.listenerManager.unregister(listener)
   }

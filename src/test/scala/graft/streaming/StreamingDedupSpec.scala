@@ -35,6 +35,20 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("short documents (<3 tokens, no shingles) are never flagged against each other") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val out = DedupStream.nearDupCandidates(mem.toDS().toDF("doc_id", "text"))
+    val q = out.writeStream.format("memory").queryName("sdedup3")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "hi"), (2L, "totally unrelated"), (3L, "ok then"))
+      q.processAllAvailable()
+      assert(spark.table("sdedup3").count() == 0,
+        "unrelated short docs share no real shingle bucket")
+    } finally q.stop()
+  }
+
   test("representatives persist in state: a bucket's first doc wins forever") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
