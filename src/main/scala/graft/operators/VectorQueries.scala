@@ -40,6 +40,30 @@ object VectorQueries extends QueryGroup {
       .orderBy("a_id", "b_id")
   }
 
+  /** Q69: embedding-cosine near-dup RESOLUTION — the vector-space member of
+    * the dedup family: same-label pairs with cosine ≥ τ (0.35 is the
+    * near-dup regime on this synthetic corpus; semantic-dedup pipelines
+    * tune τ per embedding model) feed connected components, and every
+    * vector gets the min vec_id of its duplicate cluster as keeper. Same
+    * resolution shape as q66; at scale the pair stage swaps to the q43/q51
+    * ANN candidates with this exact-cosine filter as the re-rank. */
+  private val q69: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val a = e.select(col("vec_id").as("a_id"), col("label"),
+      col("embedding").as("a_emb"))
+    val b = e.select(col("vec_id").as("b_id"), col("label").as("b_label"),
+      col("embedding").as("b_emb"))
+    val pairs = a.join(b, col("label") === col("b_label") && col("a_id") < col("b_id"))
+      .filter(cosineNative(col("a_emb"), col("b_emb")) >= 0.35)
+      .select(col("a_id").as("a"), col("b_id").as("b"))
+    val comp = ConnectedComponents.run(pairs)
+    e.select(col("vec_id"))
+      .join(comp, col("vec_id") === col("node"), "left")
+      .select(col("vec_id"),
+        coalesce(col("component"), col("vec_id")).as("keeper"))
+      .orderBy("vec_id")
+  }
+
   /** Q43 ⚙: LSH-bucketed ANN — 6 deterministic pseudo-random hyperplanes give
     * a 6-bit signature; search the query's bucket plus Hamming<=2 probes
     * and rank by exact cosine. Engine-only: verified by ScalaTest for recall
@@ -124,6 +148,7 @@ object VectorQueries extends QueryGroup {
   val queries: Seq[(String, Q)] = Seq(
     "q38_sim_cosine_topk" -> q38,
     "q39_sim_neighbor_join" -> q39,
+    "q69_dedup_embedding_cosine" -> q69,
     "q43_sim_ann_lsh" -> q43,
     "q51_sim_ann_ivf" -> q51,
   )
@@ -142,5 +167,22 @@ object VectorQueries extends QueryGroup {
          |  ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE ${sqlCosine("a.embedding", "b.embedding")} > 0.25
          |ORDER BY a_id, b_id""".stripMargin,
+
+    // q66's resolution oracle shape over cosine edges
+    "q69_dedup_embedding_cosine" ->
+      s"""WITH RECURSIVE e AS (
+         |  SELECT a.vec_id AS a, b.vec_id AS b
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE ${sqlCosine("a.embedding", "b.embedding")} >= 0.35),
+         |sym AS (SELECT a AS n, b AS m FROM e UNION SELECT b AS n, a AS m FROM e),
+         |reach(src, node) AS (
+         |  SELECT n, n FROM (SELECT DISTINCT n FROM sym)
+         |  UNION
+         |  SELECT r.src, s.m FROM reach r JOIN sym s ON s.n = r.node),
+         |comp AS (SELECT src, min(node) AS keeper FROM reach GROUP BY src)
+         |SELECT v.vec_id, COALESCE(c.keeper, v.vec_id) AS keeper
+         |FROM embeddings v LEFT JOIN comp c ON v.vec_id = c.src
+         |ORDER BY vec_id""".stripMargin,
   )
 }
