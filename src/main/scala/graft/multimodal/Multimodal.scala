@@ -156,6 +156,41 @@ object Multimodal {
           .as(Seq("frame_idx", "frame_bytes")))
   }
 
+  /** Ingest raw media FILES into the media schema via Spark's `binaryFile`
+    * source — the path media actually takes into a pipeline from object
+    * storage. Format comes from the file extension, modality from the
+    * format; geometry/duration metadata stays null until a decode pass
+    * fills it (binaryFile exposes only path/length/bytes). binaryFile
+    * supports `pathGlobFilter` pushdown and never decodes on read, so a
+    * 100 TB media lake scans as (path, length) until `content` is actually
+    * selected — column pruning keeps metadata-only passes cheap.
+    *
+    * media_id = xxhash64(path): deterministic and stable across re-ingests
+    * of the same lake layout. */
+  def readMediaDir(spark: SparkSession, dir: String,
+                   glob: String = "*"): DataFrame = {
+    val ext = lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1))
+    val modality = when(
+      ext.isin("png", "bmp", "gif", "jpg", "jpeg", "wbmp", "tif", "tiff"), "image")
+      .when(ext.isin("wav", "mp3", "flac", "ogg"), "audio")
+      .when(ext.isin("mp4", "mkv", "webm", "avi"), "video")
+      .otherwise("binary")
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        xxhash64(col("path")).as("media_id"),
+        modality.as("modality"),
+        col("content").as("bytes"),
+        struct(
+          ext.as("format"),
+          lit(null).cast("int").as("width"),
+          lit(null).cast("int").as("height"),
+          lit(null).cast("int").as("sample_rate"),
+          lit(null).cast("int").as("n_frames"),
+          lit(null).cast("long").as("duration_ms")).as("meta"))
+  }
+
   /** Deterministic synthetic media table (for tests/demos): bytes derived
     * from events rows; 3 modalities round-robin. */
   def synthesize(spark: SparkSession, dir: String, n: Int = 300): DataFrame = {

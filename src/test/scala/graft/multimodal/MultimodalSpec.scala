@@ -141,6 +141,33 @@ class MultimodalSpec extends SparkSpec {
     assert(resized(1).getAs[Array[Byte]](0) sameElements junk, "corrupt row passes through")
   }
 
+  test("binaryFile ingestion: raw media files land in the media schema, codec-ready") {
+    val dir = tmpDir("media-lake")
+    val png = gradientPng(8, 8)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.png"), png)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/b.wav"),
+      Array.tabulate[Byte](64)(_.toByte))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/c.unknown"),
+      Array[Byte](1, 2, 3))
+    val media = Multimodal.readMediaDir(spark, dir)
+    assert(media.schema.fieldNames.toSeq == Seq("media_id", "modality", "bytes", "meta"))
+    val byMod = media.collect().map(r => r.getAs[String]("modality") -> r).toMap
+    assert(byMod.keySet == Set("image", "audio", "binary"))
+    assert(byMod("image").getAs[org.apache.spark.sql.Row]("meta")
+      .getAs[String]("format") == "png")
+    // ingested PNG flows straight through the REAL codec path
+    val feats = Multimodal.extractFeaturesBatched(
+      media.filter(col("modality") === "image"), 8).collect()
+    assert(feats.length == 1 && math.abs(feats.head.getSeq[Float](1).sum - 1.0f) < 1e-6)
+    // re-ingest = same ids (deterministic path hash)
+    val ids1 = media.select("media_id").collect().map(_.getLong(0)).sorted.toSeq
+    val ids2 = Multimodal.readMediaDir(spark, dir)
+      .select("media_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids1 == ids2)
+    // glob pushdown: only images
+    assert(Multimodal.readMediaDir(spark, dir, "*.png").count() == 1)
+  }
+
   test("media round-trips through partitioned parquet (binary + struct intact)") {
     val out = tmpDir("media-out")
     media.write.mode("overwrite").partitionBy("modality").parquet(out)
