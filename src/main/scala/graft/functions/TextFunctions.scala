@@ -48,9 +48,13 @@ object TextFunctions {
   def rollingFingerprint(toks: Column): Column =
     call_function("rolling_fp", toks)
 
-  /** Number of tokens from `toks` found in `wordlist`. */
+  /** Number of tokens from `toks` found in `wordlist` (repeats counted).
+    * Native codegen expression (graft.plans.KeywordOverlap): the word list
+    * folds to one hash set at plan time and each token is a single probe —
+    * replaces the interpreted `size(filter(toks, isin(...)))` lambda that
+    * scanned the list per token (q44 runs this 5× per document). */
   def overlap(toks: Column, wordlist: Seq[String]): Column =
-    size(filter(toks, t => t.isin(wordlist.map(lit): _*)))
+    call_function("keyword_overlap", toks, array(wordlist.map(lit): _*))
 
   /** Tiny per-"language" keyword lists for the n-gram/stopword language-ID
     * heuristic. (The driver corpus is synthetic; the scorer's job is to be a

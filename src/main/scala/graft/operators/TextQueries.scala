@@ -85,7 +85,7 @@ object TextQueries extends QueryGroup {
       size(toks).cast("long").as("n_tokens"),
       (length(regexp_replace(col("text"), " ", "")).cast("double") /
         size(toks)).as("avg_token_len"),
-      (size(filter(toks, t => t.isin(TextFunctions.stopwords.map(lit): _*)))
+      (TextFunctions.overlap(toks, TextFunctions.stopwords)
         .cast("double") / size(toks)).as("stop_ratio"),
       (size(array_distinct(toks)).cast("double") / size(toks)).as("uniq_ratio"))
     .orderBy("doc_id")

@@ -32,7 +32,9 @@ object GraftFunctions {
       (c: Seq[Expression]) => WordShingles(c(0),
         intLit(c(1), "word_shingles", "n"))),
     ("rolling_fp", classOf[RollingFp], 1,
-      (c: Seq[Expression]) => RollingFp(c(0))))
+      (c: Seq[Expression]) => RollingFp(c(0))),
+    ("keyword_overlap", classOf[KeywordOverlap], 2,
+      (c: Seq[Expression]) => KeywordOverlap(c(0), c(1))))
 
   /** Idempotently register every graft function into a live session (no-op
     * when GraftExtensions already injected them). */
