@@ -26,6 +26,21 @@ class KeywordOverlapSpec extends SparkSpec {
     assert(rows.map(_.getInt(0)).toSeq == Seq(2, 3, 0, 0, 1))
   }
 
+  test("interpreted (non-codegen) eval path matches codegen") {
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val r = Seq("the cat of a hat").toDF("text")
+        .withColumn("toks", split(col("text"), " "))
+        .select(call_function("keyword_overlap", col("toks"),
+          array(lit("the"), lit("a"), lit("of")))).collect().head
+      assert(r.getInt(0) == 3)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+      case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
   test("null token array yields null, not a crash") {
     val df = Seq(Tuple1(Option.empty[Seq[String]])).toDF("toks")
     val r = df.select(call_function("keyword_overlap", col("toks"),
