@@ -28,7 +28,9 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
-  /** media_id, modality ∈ {image, audio, video}, bytes, meta struct. */
+  /** media_id, modality ∈ {image, audio, video} (+ `binary` for files whose
+    * format [[readMediaDir]] cannot classify at ingest — consumers doing
+    * exhaustive modality dispatch must handle or filter it), bytes, meta. */
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("modality", StringType, nullable = false),
@@ -170,8 +172,10 @@ object Multimodal {
   def readMediaDir(spark: SparkSession, dir: String,
                    glob: String = "*"): DataFrame = {
     val ext = lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1))
-    val modality = when(
-      ext.isin("png", "bmp", "gif", "jpg", "jpeg", "wbmp", "tif", "tiff"), "image")
+    // image extensions = the codec-dispatch source of truth plus formats
+    // that are images but not JDK-decodable (stay images, take FakeCodec)
+    val imageExts = ImageIoCodec.formats.toSeq.sorted ++ Seq("tif", "tiff")
+    val modality = when(ext.isin(imageExts: _*), "image")
       .when(ext.isin("wav", "mp3", "flac", "ogg"), "audio")
       .when(ext.isin("mp4", "mkv", "webm", "avi"), "video")
       .otherwise("binary")

@@ -51,23 +51,26 @@ case class KeywordOverlap(left: Expression, right: Expression)
     }
 
   /** The word list is foldable: evaluated ONCE into a hash set shared by
-    * every row (and shipped to codegen as a reference object). */
+    * every row (and shipped to codegen as a reference object). A NULL list
+    * makes the whole expression null (matching nullSafeCodeGen's codegen
+    * null semantics — eval and codegen must agree). */
   @transient private lazy val wordSet: java.util.HashSet[UTF8String] = {
-    val set = new java.util.HashSet[UTF8String]()
     val arr = right.eval(null).asInstanceOf[ArrayData]
-    if (arr != null) {
+    if (arr == null) null
+    else {
+      val set = new java.util.HashSet[UTF8String]()
       var i = 0
       while (i < arr.numElements()) {
         if (!arr.isNullAt(i)) set.add(arr.getUTF8String(i).clone())
         i += 1
       }
+      set
     }
-    set
   }
 
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val toks = left.eval(input)
-    if (toks == null) null
+    if (toks == null || wordSet == null) null
     else KeywordOverlapImpl.count(toks.asInstanceOf[ArrayData], wordSet)
   }
 

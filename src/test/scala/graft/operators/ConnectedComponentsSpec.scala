@@ -58,6 +58,21 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got.values.toSet == Set(1L))
   }
 
+  test("q66's staged collapse keeps NULL-text docs as singletons (naive-join parity)") {
+    // fingerprint(NULL) would be the md5('') constant — without the per-doc
+    // null group key, all null-text docs would falsely cluster together,
+    // diverging from the naive pair join (no posting rows) and the oracle
+    val dir = tmpDir("q66-null")
+    val same = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    Seq((1L, None), (2L, None), (3L, Some(same)), (4L, Some(same)))
+      .map { case (id, t) => (id, t.orNull, "en", "webA", 10L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q66_dedup_components")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 3L), s"got $got")
+  }
+
   test("both algorithms return empty on an empty edge set") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")

@@ -48,6 +48,21 @@ class KeywordOverlapSpec extends SparkSpec {
     assert(r.isNullAt(0))
   }
 
+  test("NULL word list yields null on BOTH eval paths (codegen parity)") {
+    def run(): org.apache.spark.sql.Row =
+      Seq("a b").toDF("text").withColumn("toks", split(col("text"), " "))
+        .select(call_function("keyword_overlap", col("toks"),
+          lit(null).cast("array<string>"))).collect().head
+    assert(run().isNullAt(0))
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(run().isNullAt(0))
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+      case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
   test("non-literal word list is rejected at analysis") {
     val df = Seq((Seq("a"), Seq("a"))).toDF("toks", "words")
     val e = intercept[Exception](
