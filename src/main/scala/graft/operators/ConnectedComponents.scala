@@ -57,8 +57,12 @@ object ConnectedComponents {
       // localCheckpoint (not just persist) truncates the logical plan, so
       // per-round planning cost stays constant instead of growing with the
       // iteration count; round N's checkpointed blocks become garbage at
-      // round N+1 and are reclaimed by the ContextCleaner
-      .localCheckpoint(true)
+      // round N+1 and are reclaimed by the ContextCleaner. LAZY checkpoints
+      // throughout: the first action that touches the round's RDD (the
+      // convergence count below — or round 1's own join for this seed)
+      // materializes the blocks, so each round costs ONE job instead of an
+      // eager-checkpoint job plus a count job.
+      .localCheckpoint(false)
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
@@ -66,13 +70,13 @@ object ConnectedComponents {
         .join(labels.select(col("n").as("m"), col("label").as("ml")), "m")
         .groupBy("n").agg(min(col("ml")).as("nl"))
       // the previous label rides along into the checkpoint, so convergence
-      // is a cheap filter-count over already-materialized local blocks —
-      // TWO jobs per round total (checkpoint + count), no extra join
+      // is a filter-count over the blocks the SAME job just materialized —
+      // ONE job per round, no extra join
       val next = labels.join(nbrMin, Seq("n"), "left")
         .select(col("n"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
           col("label").as("prev"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       changed = next.filter(col("label") < col("prev")).count()
       labels = next.select("n", "label")
       it += 1
@@ -109,7 +113,8 @@ object ConnectedComponents {
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
       .distinct()
-      .localCheckpoint(true)
+      // lazy: the sig() action right below materializes the blocks
+      .localCheckpoint(false)
     // order-free canonical-edge-set signature: count + commutative hash-sum
     // (decimal — a plain long sum of hashes overflows under ANSI mode)
     def sig(df: DataFrame): (Long, String) = {
@@ -139,7 +144,8 @@ object ConnectedComponents {
         .filter(col("w") =!= col("m"))
         .select(col("w").as("u"), col("m").as("v"))
         .distinct()
-        .localCheckpoint(true)
+        // lazy: the per-round sig() action materializes the blocks
+        .localCheckpoint(false)
       // fixpoint: the canonical edge set stopped changing
       val newSig = sig(small)
       done = newSig == prevSig

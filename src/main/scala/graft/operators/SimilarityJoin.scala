@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Exact τ-Jaccard self-join over token sets, with two interchangeable
   * physical strategies (results are provably identical):
@@ -24,7 +26,13 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityJoin {
 
-  def postingsCount(docs: DataFrame, tau: Double): DataFrame = {
+  /** @param metricName name of the candidate-volume `observe` metric; a plan
+    *                    that composes TWO postings joins (e.g. the staged
+    *                    strategy equivalence-diffed against the naive one)
+    *                    needs distinct names — Spark rejects one name bound
+    *                    to different results in a single plan. */
+  def postingsCount(docs: DataFrame, tau: Double,
+      metricName: String = "sj_candidates_postings"): DataFrame = {
     val toks = docs.select(col("id"), col("block"), size(col("w")).as("nw"),
       explode(col("w")).as("tok"))
       .select(col("id"), col("block"), col("nw"), xxhash64(col("tok")).as("token"))
@@ -50,7 +58,7 @@ object SimilarityJoin {
       // becomes a dead executor (ZipfJaccardSpec compares strategies on it;
       // names are per-strategy so one plan can hold both, e.g. equivalence
       // tests diffing the two)
-      .observe("sj_candidates_postings", count(lit(1)).as("candidates"))
+      .observe(metricName, count(lit(1)).as("candidates"))
       .groupBy("a_id", "b_id")
       .agg(count(lit(1)).as("inter"), max(col("na")).as("na"),
         max(col("nb")).as("nb"))
@@ -58,6 +66,70 @@ object SimilarityJoin {
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= tau)
       .select("a_id", "b_id", "jaccard")
+  }
+
+  /** Exact-duplicate collapse staging around [[postingsCount]] — the 100 TB
+    * default shape. Web corpora are boilerplate-heavy: a large share of
+    * documents carry an IDENTICAL token set, and inside the postings join a
+    * group of k such docs contributes its full C(k,2) clique to the candidate
+    * volume — through EVERY shared token, quadratically. Collapsing each
+    * (block, token-set) group to its min-id representative BEFORE the join
+    * removes that volume; the quadratic stage runs on distinct token sets
+    * only. The exact result is then reconstructed (row-identical to
+    * [[postingsCount]], spec-pinned):
+    *
+    *  - clique pairs: two docs of one group have Jaccard exactly 1 ≥ τ — a
+    *    self-join of the (id → group) mapping on the group key, no arrays;
+    *  - cross pairs: a member's Jaccard to ANY outside doc equals its
+    *    representative's (identical sets), so each rep pair (r1, r2, j) fans
+    *    out to all member combinations via two joins on the mapping.
+    *
+    * Docs with NULL/empty token sets produce no postings and hence no pairs
+    * in the naive join; they are excluded before grouping so the empty-set
+    * fingerprint group cannot invent clique pairs for them.
+    *
+    * The staged projection (id, group, rep, token set for reps only) is
+    * persisted so the corpus is scanned and fingerprinted once across the
+    * rep/member/clique branches, and released by
+    * [[RunScopedCache.releaseAfterRun]] when the query's action completes. */
+  def stagedPostingsCount(s: SparkSession, docs: DataFrame,
+      tau: Double): DataFrame = {
+    // 128-bit order-independent set fingerprint. The NUL joiner keeps the
+    // encoding unambiguous for space-bearing elements (shingle sets, where
+    // {"a b","c"} and {"a","b c"} must not collide under a space joiner).
+    // Collision odds at 1e12 docs ~ 1e-15 — the
+    // same exactness budget the md5-based exact-dedup queries accept.
+    val grpW = Window.partitionBy(col("block"), col("fp"))
+    val staged = docs
+      .filter(col("w").isNotNull && size(col("w")) > 0)
+      .withColumn("fp", md5(concat_ws("\u0000", array_sort(col("w")))))
+      .withColumn("rep", min(col("id")).over(grpW))
+      // token sets are kept for representatives only — members drop theirs
+      // before the persist, so the cached footprint shrinks with the dup rate
+      .select(col("id"), col("block"), col("fp"), col("rep"),
+        when(col("id") === col("rep"), col("w")).as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    RunScopedCache.releaseAfterRun(s, staged)
+    val repPairs = postingsCount(
+      staged.filter(col("id") === col("rep"))
+        .select(col("id"), col("block"), col("w")), tau,
+      metricName = "sj_candidates_staged")
+    val mapping = staged.select(col("id"), col("block"), col("fp"), col("rep"))
+    // cross pairs: fan each rep pair out to all (member × member) combos
+    val m1 = mapping.select(col("rep").as("a_id"), col("id").as("ida"))
+    val m2 = mapping.select(col("rep").as("b_id"), col("id").as("idb"))
+    val cross = repPairs.join(m1, "a_id").join(m2, "b_id")
+      .select(least(col("ida"), col("idb")).as("a_id"),
+        greatest(col("ida"), col("idb")).as("b_id"), col("jaccard"))
+    // clique pairs: same group ⇒ identical sets ⇒ Jaccard exactly 1
+    val x = mapping.select(col("block"), col("fp"), col("id").as("a_id"))
+    val y = mapping.select(col("block").as("b_block"), col("fp").as("b_fp"),
+      col("id").as("b_id"))
+    val clique = x.join(y,
+        col("block") === col("b_block") && col("fp") === col("b_fp") &&
+          col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), lit(1.0).as("jaccard"))
+    cross.unionByName(clique)
   }
 
   def prefixFilter(docs: DataFrame, tau: Double): DataFrame = {

@@ -25,4 +25,42 @@ class SimilarityJoinSpec extends SparkSpec {
     val b = SimilarityJoin.prefixFilter(docs, 0.5)
     assert(a.except(b).isEmpty && b.except(a).isEmpty)
   }
+
+  test("staged (dup-collapsed) postings join is row-identical to naive (τ=0.8)") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id").as("id"), col("source").as("block"),
+        TextFunctions.tokenSet(col("text")).as("w"))
+    val a = SimilarityJoin.postingsCount(docs, 0.8)
+    val b = SimilarityJoin.stagedPostingsCount(spark, docs, 0.8)
+    assert(a.count() == b.count())
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+  }
+
+  test("staged join handles null/empty sets and space-bearing elements exactly") {
+    import spark.implicits._
+    // doc 4/5: shingle-style elements where a space joiner would collide
+    // ({"a b","c"} vs {"a","b c"}); docs 6/7: null/empty sets must stay
+    // pairless exactly like the naive postings join treats them
+    val docs = Seq(
+      (1L, "s", Seq("x", "y", "z")),
+      (2L, "s", Seq("x", "y", "z")),       // exact dup of 1 → clique pair
+      (3L, "s", Seq("x", "y", "w")),       // near 1/2 at τ=0.5 → cross pairs
+      (4L, "s", Seq("a b", "c")),
+      (5L, "s", Seq("a", "b c")),
+      (7L, "s", Seq.empty[String]))
+      .toDF("id", "block", "w")
+      .union(Seq((6L, "s")).toDF("id", "block")
+        .withColumn("w", lit(null).cast("array<string>")))
+    val naive = SimilarityJoin.postingsCount(docs, 0.5).collect().toSet
+    val staged = SimilarityJoin.stagedPostingsCount(spark, docs, 0.5)
+      .collect().toSet
+    assert(staged == naive)
+    // the clique pair surfaces with jaccard exactly 1.0
+    assert(staged.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L &&
+      r.getDouble(2) == 1.0))
+    // 4/5 share NO element — a space-joined fingerprint would wrongly merge
+    assert(!staged.exists(r => r.getLong(0) == 4L && r.getLong(1) == 5L))
+    // null/empty-set docs never appear
+    assert(!staged.exists(r => Set(r.getLong(0), r.getLong(1)).exists(Set(6L, 7L))))
+  }
 }
