@@ -68,15 +68,19 @@ object SimilarityJoin {
       .select("a_id", "b_id", "jaccard")
   }
 
-  /** Exact-duplicate collapse staging around [[postingsCount]] — the 100 TB
-    * default shape. Web corpora are boilerplate-heavy: a large share of
+  /** Exact-duplicate collapse staging around an inner pair strategy — the
+    * 100 TB default shape. Web corpora are boilerplate-heavy: a large share of
     * documents carry an IDENTICAL token set, and inside the postings join a
     * group of k such docs contributes its full C(k,2) clique to the candidate
     * volume — through EVERY shared token, quadratically. Collapsing each
     * (block, token-set) group to its min-id representative BEFORE the join
     * removes that volume; the quadratic stage runs on distinct token sets
-    * only. The exact result is then reconstructed (row-identical to
-    * [[postingsCount]], spec-pinned):
+    * only. The staging algebra is strategy-agnostic — `inner` is ANY exact
+    * τ-Jaccard self-join over (id, block, w) (here [[postingsCount]] or
+    * [[prefixFilter]]; a real web corpus is BOTH Zipfian and
+    * boilerplate-heavy, so staged×prefix is the combination that survives
+    * it — see [[stagedPrefixFilter]]). The exact result is then
+    * reconstructed (row-identical to [[postingsCount]], spec-pinned):
     *
     *  - clique pairs: two docs of one group have Jaccard exactly 1 ≥ τ — a
     *    self-join of the (id → group) mapping on the group key, no arrays;
@@ -91,16 +95,34 @@ object SimilarityJoin {
     * The staged projection (id, group, rep, token set for reps only) is
     * persisted so the corpus is scanned and fingerprinted once across the
     * rep/member/clique branches, and released by
-    * [[RunScopedCache.releaseAfterRun]] when the query's action completes. */
+    * [[RunScopedCache.releaseAfterRun]] when the query's action completes.
+    *
+    * [[stagedPostingsCount]] / [[stagedPrefixFilter]] are the two named
+    * compositions; [[staged]] is the strategy-agnostic core. */
   def stagedPostingsCount(s: SparkSession, docs: DataFrame,
-      tau: Double): DataFrame = {
+      tau: Double): DataFrame =
+    staged(s, docs, tau)(postingsCount(_, _, metricName = "sj_candidates_staged"))
+
+  /** Dup-collapse staging composed with the PPJoin prefix filter — the shape
+    * for a corpus that is BOTH Zipfian (hot tokens would flood a postings
+    * index) and boilerplate-heavy (identical docs would clique-explode any
+    * index). The collapse also sharpens the prefix filter itself: token
+    * frequencies are computed over DISTINCT token sets, so mass-duplicated
+    * boilerplate tokens stop masquerading as corpus-hot vocabulary. */
+  def stagedPrefixFilter(s: SparkSession, docs: DataFrame,
+      tau: Double): DataFrame =
+    staged(s, docs, tau)(
+      prefixFilter(_, _, metricName = "sj_candidates_staged_prefix"))
+
+  def staged(s: SparkSession, docs: DataFrame, tau: Double)(
+      inner: (DataFrame, Double) => DataFrame): DataFrame = {
     // 128-bit order-independent set fingerprint. The NUL joiner keeps the
     // encoding unambiguous for space-bearing elements (shingle sets, where
     // {"a b","c"} and {"a","b c"} must not collide under a space joiner).
     // Collision odds at 1e12 docs ~ 1e-15 — the
     // same exactness budget the md5-based exact-dedup queries accept.
     val grpW = Window.partitionBy(col("block"), col("fp"))
-    val staged = docs
+    val collapsed = docs
       .filter(col("w").isNotNull && size(col("w")) > 0)
       .withColumn("fp", md5(concat_ws("\u0000", array_sort(col("w")))))
       .withColumn("rep", min(col("id")).over(grpW))
@@ -109,12 +131,11 @@ object SimilarityJoin {
       .select(col("id"), col("block"), col("fp"), col("rep"),
         when(col("id") === col("rep"), col("w")).as("w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    RunScopedCache.releaseAfterRun(s, staged)
-    val repPairs = postingsCount(
-      staged.filter(col("id") === col("rep"))
-        .select(col("id"), col("block"), col("w")), tau,
-      metricName = "sj_candidates_staged")
-    val mapping = staged.select(col("id"), col("block"), col("fp"), col("rep"))
+    RunScopedCache.releaseAfterRun(s, collapsed)
+    val repPairs = inner(
+      collapsed.filter(col("id") === col("rep"))
+        .select(col("id"), col("block"), col("w")), tau)
+    val mapping = collapsed.select(col("id"), col("block"), col("fp"), col("rep"))
     // cross pairs: fan each rep pair out to all (member × member) combos
     val m1 = mapping.select(col("rep").as("a_id"), col("id").as("ida"))
     val m2 = mapping.select(col("rep").as("b_id"), col("id").as("idb"))
@@ -132,7 +153,10 @@ object SimilarityJoin {
     cross.unionByName(clique)
   }
 
-  def prefixFilter(docs: DataFrame, tau: Double): DataFrame = {
+  /** @param metricName see [[postingsCount]] — distinct names let one plan
+    *                    hold both a bare and a staged prefix join. */
+  def prefixFilter(docs: DataFrame, tau: Double,
+      metricName: String = "sj_candidates_prefix"): DataFrame = {
     val freq = docs.select(explode(col("w")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("f"))
     // plain shuffle join on tok: the global token-frequency table is
@@ -159,7 +183,7 @@ object SimilarityJoin {
           col("nb") * tau <= col("na") + lit(1e-7))
       // same metric as postingsCount, measured on the prefix-postings join:
       // on Zipfian vocabularies this is the volume the prefix filter saves
-      .observe("sj_candidates_prefix", count(lit(1)).as("candidates"))
+      .observe(metricName, count(lit(1)).as("candidates"))
       .select("a_id", "b_id").distinct()
     // verify: unpivot each candidate pair to two (pair, id) rows and join
     // the token sets ONCE with a plain shuffle join — sets cross the wire

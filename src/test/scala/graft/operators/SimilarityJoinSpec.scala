@@ -36,6 +36,16 @@ class SimilarityJoinSpec extends SparkSpec {
     assert(a.except(b).isEmpty && b.except(a).isEmpty)
   }
 
+  test("staged × prefix-filter composition is row-identical to naive (τ=0.8)") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id").as("id"), col("source").as("block"),
+        TextFunctions.tokenSet(col("text")).as("w"))
+    val a = SimilarityJoin.postingsCount(docs, 0.8)
+    val b = SimilarityJoin.stagedPrefixFilter(spark, docs, 0.8)
+    assert(a.count() == b.count())
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+  }
+
   test("staged join handles null/empty sets and space-bearing elements exactly") {
     import spark.implicits._
     // doc 4/5: shingle-style elements where a space joiner would collide
@@ -55,6 +65,10 @@ class SimilarityJoinSpec extends SparkSpec {
     val staged = SimilarityJoin.stagedPostingsCount(spark, docs, 0.5)
       .collect().toSet
     assert(staged == naive)
+    // the edge handling lives in the staging, not the inner strategy — the
+    // prefix-filter composition must pass the same corpus
+    assert(SimilarityJoin.stagedPrefixFilter(spark, docs, 0.5)
+      .collect().toSet == naive)
     // the clique pair surfaces with jaccard exactly 1.0
     assert(staged.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L &&
       r.getDouble(2) == 1.0))

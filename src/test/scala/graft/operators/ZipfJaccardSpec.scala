@@ -66,4 +66,43 @@ class ZipfJaccardSpec extends SparkSpec {
         s"prefix=$prefCands postings=$postCands — expected a >5x reduction")
     } finally docs.unpersist()
   }
+
+  test("dup-heavy Zipf corpus: staged × prefix beats each technique alone on candidates") {
+    // a web-corpus caricature: Zipfian vocabulary AND 30% boilerplate — 600
+    // of 2000 docs are exact copies of the first 200 base docs (3 dups each,
+    // so each dup group is a 4-doc clique). The postings join pays for both
+    // pathologies, prefix-filter only fixes the hot tokens, the staged
+    // collapse only fixes the cliques; the composition fixes both.
+    val base = zipfDocs(1400)
+    val dups = spark.range(1401, 2001).select(col("id"),
+      ((col("id") - 1401) % 200 + 1).as("src"))
+      .join(base.select(col("id").as("src"), col("block"), col("w")), "src")
+      .select(col("id"), col("block"), col("w"))
+    val docs = base.unionByName(dups).persist()
+    docs.count()
+    try {
+      val (postPairs, postCands) = candidates("sj_candidates_postings")(
+        SimilarityJoin.postingsCount(docs, 0.8).count())
+      val (prefPairs, prefCands) = candidates("sj_candidates_prefix")(
+        SimilarityJoin.prefixFilter(docs, 0.8).count())
+      val (stPostPairs, stPostCands) = candidates("sj_candidates_staged")(
+        SimilarityJoin.stagedPostingsCount(spark, docs, 0.8).count())
+      val (stPrefPairs, stPrefCands) = candidates("sj_candidates_staged_prefix")(
+        SimilarityJoin.stagedPrefixFilter(spark, docs, 0.8).count())
+      info(s"postings:        $postCands candidates ($postPairs pairs)")
+      info(s"prefix:          $prefCands candidates ($prefPairs pairs)")
+      info(s"staged postings: $stPostCands candidates ($stPostPairs pairs)")
+      info(s"staged prefix:   $stPrefCands candidates ($stPrefPairs pairs)")
+      assert(Set(postPairs, prefPairs, stPostPairs, stPrefPairs).size == 1,
+        "all four strategies must agree on results")
+      // full row-identity for the composition, not just the count
+      assert(SimilarityJoin.stagedPrefixFilter(spark, docs, 0.8)
+        .except(SimilarityJoin.postingsCount(docs, 0.8)).isEmpty)
+      // composition strictly beats each technique alone
+      assert(stPrefCands < prefCands,
+        s"staged-prefix=$stPrefCands prefix=$prefCands — collapse should cut the dup cliques")
+      assert(stPrefCands < stPostCands,
+        s"staged-prefix=$stPrefCands staged-postings=$stPostCands — prefix should cut the hot tokens")
+    } finally docs.unpersist()
+  }
 }
