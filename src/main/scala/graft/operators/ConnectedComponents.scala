@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -32,6 +32,56 @@ import org.apache.spark.storage.StorageLevel
   */
 object ConnectedComponents {
 
+  /** Fault-tolerance mode for the iteration's per-round lineage truncation.
+    *
+    * The local default ([[LocalCheckpoints]]) truncates each round onto
+    * executor-LOCAL blocks: cheapest, but the blocks have no lineage — one
+    * lost executor mid-iteration fails the whole job. Fine on local[n];
+    * wrong for an hours-long run on a real cluster, where losing one of
+    * 1000 executors is routine.
+    *
+    * [[ReliableCheckpoints]] writes a REAL checkpoint (to
+    * `dir`, through `SparkContext.setCheckpointDir` — HDFS/object store on
+    * a cluster) every `everyRounds` rounds and keeps plain
+    * MEMORY_AND_DISK persists (lineage intact) in between, so any executor
+    * loss replays at most `everyRounds` rounds from the last durable
+    * snapshot instead of killing the job. Cost: one distributed write per
+    * window, and per-round plans grow within a window (reset at each
+    * checkpoint) — keep `everyRounds` small (~5).
+    *
+    * Checkpoint files are NOT auto-deleted by default; either point `dir`
+    * at a scratch location you clean up, or set
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true`. */
+  sealed trait CheckpointMode
+  case object LocalCheckpoints extends CheckpointMode
+  final case class ReliableCheckpoints(dir: String, everyRounds: Int = 5)
+      extends CheckpointMode {
+    require(everyRounds > 0, "everyRounds must be positive")
+  }
+
+  /** Round-scoped lineage truncation + cache bookkeeping for one iteration:
+    * `truncate` applies the mode's round policy, `release` drops blocks a
+    * newly-materialized round has made obsolete (safe in reliable mode —
+    * plain persists keep lineage back to the last durable checkpoint). */
+  private final class RoundState(spark: SparkSession, mode: CheckpointMode) {
+    mode match {
+      case ReliableCheckpoints(dir, _) => spark.sparkContext.setCheckpointDir(dir)
+      case LocalCheckpoints => ()
+    }
+    private var previous: Option[DataFrame] = None
+    def truncate(df: DataFrame, round: Int): DataFrame = mode match {
+      case LocalCheckpoints => df.localCheckpoint(false)
+      case ReliableCheckpoints(_, every) =>
+        if (round % every == 0) df.checkpoint(false)
+        else df.persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    /** Call AFTER an action has materialized the current round. */
+    def materialized(df: DataFrame): Unit = {
+      previous.foreach(_.unpersist())
+      previous = Some(df)
+    }
+  }
+
   /** @param edges two-column undirected edge set; self-loops and duplicate
     *              edges are tolerated (dropped / collapsed by the symmetric
     *              closure)
@@ -47,7 +97,9 @@ object ConnectedComponents {
     *         do not appear — callers assign them their own id (see q66)
     */
   def run(edges: DataFrame, aCol: String = "a", bCol: String = "b",
-          maxIter: Int = 50): DataFrame = {
+          maxIter: Int = 50,
+          mode: CheckpointMode = LocalCheckpoints): DataFrame = {
+    val rounds = new RoundState(edges.sparkSession, mode)
     val sym = edges.select(col(aCol).as("n"), col(bCol).as("m"))
       .union(edges.select(col(bCol).as("n"), col(aCol).as("m")))
       .filter(col("n") =!= col("m"))
@@ -64,15 +116,15 @@ object ConnectedComponents {
     // 2.3 s on the q66 rep graph, 93k edges)
     var labels = sym.groupBy("n")
       .agg(least(first(col("n")), min(col("m"))).as("label"))
-      // localCheckpoint (not just persist) truncates the logical plan, so
-      // per-round planning cost stays constant instead of growing with the
+      // lineage truncation (localCheckpoint by default — see CheckpointMode)
+      // keeps per-round planning cost constant instead of growing with the
       // iteration count; round N's checkpointed blocks become garbage at
       // round N+1 and are reclaimed by the ContextCleaner. LAZY checkpoints
       // throughout: the first action that touches the round's RDD (the
       // convergence count below — or round 1's own join for this seed)
       // materializes the blocks, so each round costs ONE job instead of an
       // eager-checkpoint job plus a count job.
-      .localCheckpoint(false)
+      .transform(rounds.truncate(_, 0))
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
@@ -86,8 +138,9 @@ object ConnectedComponents {
         .select(col("n"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
           col("label").as("prev"))
-        .localCheckpoint(false)
+        .transform(rounds.truncate(_, it + 1))
       changed = next.filter(col("label") < col("prev")).count()
+      rounds.materialized(next)
       labels = next.select("n", "label")
       it += 1
     }
@@ -117,14 +170,16 @@ object ConnectedComponents {
     * property-tested on random graphs).
     */
   def runStar(edges: DataFrame, aCol: String = "a", bCol: String = "b",
-              maxIter: Int = 50): DataFrame = {
+              maxIter: Int = 50,
+              mode: CheckpointMode = LocalCheckpoints): DataFrame = {
+    val rounds = new RoundState(edges.sparkSession, mode)
     var e = edges.select(col(aCol).as("u"), col(bCol).as("v"))
       .filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
       .distinct()
       // lazy: the sig() action right below materializes the blocks
-      .localCheckpoint(false)
+      .transform(rounds.truncate(_, 0))
     // order-free canonical-edge-set signature: count + commutative hash-sum
     // (decimal — a plain long sum of hashes overflows under ANSI mode)
     def sig(df: DataFrame): (Long, String) = {
@@ -133,6 +188,7 @@ object ConnectedComponents {
       (r.getLong(0), String.valueOf(r.get(1)))
     }
     var prevSig = sig(e)
+    rounds.materialized(e)
     var it = 0
     var done = false
     while (!done && it < maxIter) {
@@ -155,9 +211,10 @@ object ConnectedComponents {
         .select(col("w").as("u"), col("m").as("v"))
         .distinct()
         // lazy: the per-round sig() action materializes the blocks
-        .localCheckpoint(false)
+        .transform(rounds.truncate(_, it + 1))
       // fixpoint: the canonical edge set stopped changing
       val newSig = sig(small)
+      rounds.materialized(small)
       done = newSig == prevSig
       prevSig = newSig
       e = small

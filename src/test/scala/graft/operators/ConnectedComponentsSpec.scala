@@ -92,6 +92,30 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("reliable-checkpoint mode produces the same labels and writes durable snapshots") {
+    import spark.implicits._
+    // a path forces several propagation rounds, so multiple checkpoint
+    // windows (everyRounds=2) are exercised, plus the seed checkpoint
+    val path = (1L until 12L).map(i => (i, i + 1)).toDF("a", "b")
+    val ckpt = tmpDir("cc-reliable")
+    val mode = ConnectedComponents.ReliableCheckpoints(ckpt, everyRounds = 2)
+    val viaLocal = ConnectedComponents.run(path)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaReliable = ConnectedComponents.run(path, mode = mode)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaReliable == viaLocal)
+    // the durable snapshots must actually exist on the checkpoint store
+    def files(f: java.io.File): Seq[java.io.File] =
+      Option(f.listFiles()).toSeq.flatten.flatMap(c =>
+        if (c.isDirectory) files(c) else Seq(c))
+    assert(files(new java.io.File(ckpt)).nonEmpty,
+      "reliable mode must write checkpoint files")
+    // runStar honors the same contract
+    val starReliable = ConnectedComponents.runStar(path, mode = mode)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(starReliable == viaLocal)
+  }
+
   test("star-reduced oversized LSH buckets come back as ONE whole cluster") {
     // the ADVICE r3 story end-to-end: a >cap duplicate cluster is
     // star-reduced by q41 (O(b) representative pairs), and connected
