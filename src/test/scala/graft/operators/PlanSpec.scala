@@ -58,6 +58,32 @@ class PlanSpec extends SparkSpec {
     assert(!p51.contains("Window"), "q51 must not shuffle the corpus through a Window")
   }
 
+  test("q37: staged dup-collapse shape — staged metric present, no token arrays downstream of it") {
+    val p = executedPlan("q37_dedup_jaccard")
+    // the candidate metric proves the pair join runs on the collapsed reps
+    assert(p.contains("CollectMetrics sj_candidates_staged"), "staged metric missing")
+    // the collapsed projection is computed once and cached
+    assert(p.contains("InMemoryRelation"), "staged projection must be cached")
+    // everything DOWNSTREAM of the candidate metric (printed above it) moves
+    // only ids/jaccard/fingerprints: token arrays must never re-explode or
+    // cross another exchange after the rep join
+    val downstream = p.split("CollectMetrics sj_candidates_staged")(0)
+    assert(!downstream.contains("Generate explode(w"),
+      "token arrays re-exploded downstream of the rep join")
+    assert(!downstream.contains("array_sort"),
+      "token arrays recomputed downstream of the rep join")
+  }
+
+  test("q66: component labels join back on rep, not per-doc") {
+    val p = executedPlan("q66_dedup_components")
+    // members inherit their representative's label: ONE final join keyed on
+    // rep — joining on doc_id would mean CC iterated over the full graph
+    assert("Join \\[rep#\\d+L\\], \\[node#\\d+L\\], LeftOuter".r
+      .findFirstIn(p).isDefined, "final join must be keyed on rep")
+    assert(!"Join \\[doc_id#\\d+L\\], \\[node#\\d+L\\]".r.findFirstIn(p).isDefined,
+      "labels must not be joined per-doc")
+  }
+
   test("constant folding: literal predicates vanish from the optimized plan") {
     val df = graft.Tables.lineitem(spark, sfDir)
       .filter(lit(1) + lit(1) === lit(2)) // always true → folded away
