@@ -40,6 +40,14 @@ object VectorFunctions {
   def dotNative(a: Column, b: Column): Column =
     call_function("dot_product", a, b)
 
+  /** Native codegen'd 6-bit LSH hyperplane signature
+    * (graft.plans.LshSignature) — bit-identical to the SQL twin
+    * [[graft.operators.VectorQueries.lshSigExpr]], but the plane matrix is
+    * built once at class load instead of 6×64 string hashes per row in
+    * interpreted lambdas. Requires GraftExtensions. */
+  def lshSigNative(emb: Column): Column =
+    call_function("lsh_sig", emb)
+
   /** DuckDB oracle fragment mirroring [[dot]] exactly (sequential double
     * fold over per-element products). The index bound derives from
     * len() so a fixture-dimension change can't silently skew the oracle;

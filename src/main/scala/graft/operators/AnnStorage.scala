@@ -1,11 +1,11 @@
 package graft.operators
 
-import graft.functions.VectorFunctions.cosineNative
+import graft.functions.VectorFunctions.{cosineNative, lshSigNative}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Write-time LSH bucketing for ANN at scale: the corpus is reorganized ONCE,
-  * partitioned on its 6-bit hyperplane signature ([[VectorQueries.lshSigExpr]]),
+  * partitioned on its 6-bit hyperplane signature ([[graft.plans.LshSignature]]),
   * so a top-k probe reads only the partitions within the probe Hamming
   * radius — a partition-PRUNED scan (`PartitionFilters` in the plan, files
   * for other buckets never opened) instead of q43's full-scan filter.
@@ -22,7 +22,7 @@ object AnnStorage {
   /** One-time reorganization: embeddings partitioned by LSH bucket. */
   def writeSigBucketed(embeddings: DataFrame, dir: String): Unit =
     embeddings
-      .withColumn("sig", expr(VectorQueries.lshSigExpr("embedding")))
+      .withColumn("sig", lshSigNative(col("embedding")))
       .repartition(col("sig")) // one writer per bucket — no tiny-file spray
       .write.mode("overwrite").partitionBy("sig").parquet(dir)
 
@@ -36,7 +36,7 @@ object AnnStorage {
   def probe(spark: SparkSession, dir: String, queryVec: Array[Float],
             radius: Int = 2, k: Int = 10): DataFrame = {
     val qDf = spark.createDataFrame(Seq(Tuple1(queryVec))).toDF("q_emb")
-    val qSig = qDf.select(expr(VectorQueries.lshSigExpr("q_emb")).as("sig"))
+    val qSig = qDf.select(lshSigNative(col("q_emb")).as("sig"))
       .head().getInt(0)
     val ball = hammingBall(qSig, radius).map(lit)
     spark.read.parquet(dir)

@@ -33,6 +33,8 @@ object GraftFunctions {
         intLit(c(1), "word_shingles", "n"))),
     ("rolling_fp", classOf[RollingFp], 1,
       (c: Seq[Expression]) => RollingFp(c(0))),
+    ("lsh_sig", classOf[LshSignature], 1,
+      (c: Seq[Expression]) => LshSignature(c(0))),
     ("keyword_overlap", classOf[KeywordOverlap], 2,
       (c: Seq[Expression]) => KeywordOverlap(c(0), c(1))))
 
