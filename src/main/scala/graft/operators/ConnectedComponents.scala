@@ -47,7 +47,11 @@ object ConnectedComponents {
     * loss replays at most `everyRounds` rounds from the last durable
     * snapshot instead of killing the job. Cost: one distributed write per
     * window, and per-round plans grow within a window (reset at each
-    * checkpoint) — keep `everyRounds` small (~5).
+    * checkpoint) — keep `everyRounds` small (~5). Every round persists
+    * BEFORE any checkpoint so the checkpoint write re-reads cached blocks
+    * rather than recomputing the window's lineage, and run()/runStar()
+    * return a frame rooted at a durable checkpoint with every per-round
+    * cache already released — nothing stays pinned on a long-lived session.
     *
     * Checkpoint files are NOT auto-deleted by default; either point `dir`
     * at a scratch location you clean up, or set
@@ -60,25 +64,60 @@ object ConnectedComponents {
   }
 
   /** Round-scoped lineage truncation + cache bookkeeping for one iteration:
-    * `truncate` applies the mode's round policy, `release` drops blocks a
+    * `truncate` applies the mode's round policy, `materialized` drops blocks a
     * newly-materialized round has made obsolete (safe in reliable mode —
-    * plain persists keep lineage back to the last durable checkpoint). */
+    * plain persists keep lineage back to the last durable checkpoint), and
+    * `seal` closes the iteration without leaking the terminal round's cache. */
   private final class RoundState(spark: SparkSession, mode: CheckpointMode) {
     mode match {
       case ReliableCheckpoints(dir, _) => spark.sparkContext.setCheckpointDir(dir)
       case LocalCheckpoints => ()
     }
-    private var previous: Option[DataFrame] = None
+    // caches backing the in-flight round(s) / the latest materialized round —
+    // in reliable checkpoint rounds this is the pre-checkpoint persist, NOT
+    // the frame truncate returned (unpersisting the checkpoint-backed frame
+    // would be a no-op and the persist would pin storage forever). `current`
+    // is a list because the seed round and round 1 materialize under the
+    // SAME first action — both persists must be tracked for release.
+    private var current: List[DataFrame] = Nil
+    private var previous: List[DataFrame] = Nil
+    private var lastDurable = false
     def truncate(df: DataFrame, round: Int): DataFrame = mode match {
-      case LocalCheckpoints => df.localCheckpoint(false)
+      case LocalCheckpoints =>
+        val c = df.localCheckpoint(false)
+        current ::= c
+        c
       case ReliableCheckpoints(_, every) =>
-        if (round % every == 0) df.checkpoint(false)
-        else df.persist(StorageLevel.MEMORY_AND_DISK)
+        // persist BEFORE the (lazy) checkpoint: the checkpoint write that
+        // follows the round's materializing action re-reads the round from
+        // these cached blocks instead of recomputing the whole window's
+        // lineage a second time
+        val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+        current ::= p
+        lastDurable = round % every == 0
+        if (lastDurable) p.checkpoint(false) else p
     }
     /** Call AFTER an action has materialized the current round. */
-    def materialized(df: DataFrame): Unit = {
+    def materialized(): Unit = {
       previous.foreach(_.unpersist())
-      previous = Some(df)
+      previous = current
+      current = Nil
+    }
+    /** Close the iteration. Local mode: the terminal localCheckpoint blocks
+      * ARE the result, owned by the returned frame — nothing to release.
+      * Reliable mode: root the result durably (an eager checkpoint through
+      * the terminal round's cached blocks, skipped when that round already
+      * checkpointed), then release every per-round cache, so a long-lived
+      * cluster session pins nothing once run() returns. */
+    def seal(result: DataFrame): DataFrame = mode match {
+      case LocalCheckpoints => result
+      case ReliableCheckpoints(_, _) =>
+        val out = if (lastDurable) result else result.checkpoint()
+        previous.foreach(_.unpersist())
+        current.foreach(_.unpersist())
+        previous = Nil
+        current = Nil
+        out
     }
   }
 
@@ -140,7 +179,7 @@ object ConnectedComponents {
           col("label").as("prev"))
         .transform(rounds.truncate(_, it + 1))
       changed = next.filter(col("label") < col("prev")).count()
-      rounds.materialized(next)
+      rounds.materialized()
       labels = next.select("n", "label")
       it += 1
     }
@@ -149,7 +188,7 @@ object ConnectedComponents {
         s"connected components did not converge in $maxIter rounds " +
           s"($changed labels still decreasing) — raise maxIter")
     sym.unpersist()
-    labels.select(col("n").as("node"), col("label").as("component"))
+    rounds.seal(labels.select(col("n").as("node"), col("label").as("component")))
   }
 
   /** Large-star/small-star connected components (Kiveris et al., "Connected
@@ -188,7 +227,7 @@ object ConnectedComponents {
       (r.getLong(0), String.valueOf(r.get(1)))
     }
     var prevSig = sig(e)
-    rounds.materialized(e)
+    rounds.materialized()
     var it = 0
     var done = false
     while (!done && it < maxIter) {
@@ -214,7 +253,7 @@ object ConnectedComponents {
         .transform(rounds.truncate(_, it + 1))
       // fixpoint: the canonical edge set stopped changing
       val newSig = sig(small)
-      rounds.materialized(small)
+      rounds.materialized()
       done = newSig == prevSig
       prevSig = newSig
       e = small
@@ -224,8 +263,9 @@ object ConnectedComponents {
       throw new IllegalStateException(
         s"large-star/small-star did not converge in $maxIter rounds")
     // stars: (u, v=center). centers label themselves
-    e.select(col("u").as("node"), col("v").as("component"))
-      .union(e.select(col("v").as("node"), col("v").as("component")))
-      .distinct()
+    rounds.seal(
+      e.select(col("u").as("node"), col("v").as("component"))
+        .union(e.select(col("v").as("node"), col("v").as("component")))
+        .distinct())
   }
 }

@@ -101,9 +101,14 @@ class ConnectedComponentsSpec extends SparkSpec {
     val mode = ConnectedComponents.ReliableCheckpoints(ckpt, everyRounds = 2)
     val viaLocal = ConnectedComponents.run(path)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reliable mode must release every per-round persist before returning
+    // (seal contract) — a long-lived cluster session pins nothing per run()
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val viaReliable = ConnectedComponents.run(path, mode = mode)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(viaReliable == viaLocal)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- pinnedBefore
+    assert(leaked.isEmpty, s"reliable run() leaked cached RDDs: $leaked")
     // the durable snapshots must actually exist on the checkpoint store
     def files(f: java.io.File): Seq[java.io.File] =
       Option(f.listFiles()).toSeq.flatten.flatMap(c =>

@@ -60,14 +60,19 @@ class PlanSpec extends SparkSpec {
 
   test("q37: staged dup-collapse shape — staged metric present, no token arrays downstream of it") {
     val p = executedPlan("q37_dedup_jaccard")
-    // the candidate metric proves the pair join runs on the collapsed reps
-    assert(p.contains("CollectMetrics sj_candidates_staged"), "staged metric missing")
+    // the candidate metric proves the pair join runs on the collapsed reps.
+    // Anchor on the EXACT node (name + delimiter): a bare substring also
+    // matches "sj_candidates_staged_prefix", so a strategy swap to
+    // stagedPrefixFilter would silently keep this pin passing
+    val anchor = "CollectMetrics sj_candidates_staged,"
+    assert(p.contains(anchor) && !p.contains("sj_candidates_staged_prefix"),
+      "staged postings metric missing (or plan switched strategy)")
     // the collapsed projection is computed once and cached
     assert(p.contains("InMemoryRelation"), "staged projection must be cached")
     // everything DOWNSTREAM of the candidate metric (printed above it) moves
     // only ids/jaccard/fingerprints: token arrays must never re-explode or
     // cross another exchange after the rep join
-    val downstream = p.split("CollectMetrics sj_candidates_staged")(0)
+    val downstream = p.split(java.util.regex.Pattern.quote(anchor))(0)
     assert(!downstream.contains("Generate explode(w"),
       "token arrays re-exploded downstream of the rep join")
     assert(!downstream.contains("array_sort"),
