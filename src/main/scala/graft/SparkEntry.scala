@@ -17,6 +17,7 @@ object SparkEntry {
     RelationalQueries,
     StreamEquivQueries,
     TextQueries,
+    CorpusQueries,
     VectorQueries,
     DedupQueries,
     EtlQueries,

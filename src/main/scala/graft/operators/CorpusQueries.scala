@@ -1,0 +1,219 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFunctions
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-hygiene operators for a training-data pipeline (SURVEY §2B
+  * training-data extensions): within-document repetition signals, cross-
+  * document duplicated-span detection, and the composite cleaning pipeline
+  * that chains quality gates → exact dedup → per-domain caps the way a
+  * 100 TB pretraining-corpus build does.
+  *
+  * Every query here is fully deterministic (integer counts, md5-derived
+  * ranks, exact rational fractions) and carries a DuckDB oracle — no
+  * probabilistic signatures, so unlike MinHash/SimHash none of these are
+  * ⚙ engine-only.
+  */
+object CorpusQueries extends QueryGroup {
+
+  /** Q71: within-document repetition signals (Gopher-style quality rules).
+    * The corpus has no line structure (single-line synthetic docs), so the
+    * signals are n-gram based: duplicate-2-gram / duplicate-3-gram
+    * fractions (share of n-gram OCCURRENCES that are repeats of an earlier
+    * one) and the fraction of 2-gram occurrences claimed by the single most
+    * frequent 2-gram. High values flag boilerplate and degenerate
+    * repetition that survives exact dedup.
+    *
+    * Shape: pure per-row column math — no shuffle at all; the whole query
+    * is one scan + project + sort, so it scales linearly with the corpus.
+    * The top-2-gram multiplicity uses a quadratic-in-document-length HOF
+    * (`transform(distinct, g -> count of g)`); documents are bounded (a
+    * 100 TB corpus is wide, not long-per-doc), so per-row cost is bounded.
+    */
+  private val q71: Q = (s, d) => {
+    val toks = TextFunctions.tokens(col("text"))
+    val g2 = call_function("word_shingles", toks, lit(2))
+    val g3 = call_function("word_shingles", toks, lit(3))
+    def dupFrac(g: org.apache.spark.sql.Column) =
+      when(size(g) === 0, 0.0)
+        .otherwise(lit(1.0) - size(array_distinct(g)).cast("double") / size(g))
+    val topFreq = array_max(transform(array_distinct(g2),
+      g => size(filter(g2, x => x === g))))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(g2).cast("long").as("n_2grams"),
+      dupFrac(g2).as("dup_2gram_frac"),
+      dupFrac(g3).as("dup_3gram_frac"),
+      when(size(g2) === 0, 0.0)
+        .otherwise(topFreq.cast("double") / size(g2)).as("top_2gram_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** Q72: cross-document duplicated-span detection — the exact-substring
+    * complement to q37's bag-of-tokens Jaccard (after Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better": duplicated
+    * ≥k-token spans are memorization fuel even when whole-document
+    * similarity is low). A position is "covered" when the 5-token shingle
+    * starting there also occurs in ANOTHER document; overlapping/adjacent
+    * covered windows merge (gaps-and-islands) into maximal spans.
+    *
+    * Emits one row per document that has at least one duplicated span:
+    * span count, tokens covered, and covered fraction.
+    *
+    * Shape: one shuffle to count distinct docs per shingle (partial aggs
+    * push map-side), one shuffle join back on the shingle to mark covered
+    * positions (AQE broadcasts the duplicated-shingle side when small), one
+    * doc-keyed window for the island merge. Nothing quadratic: cost is
+    * linear in corpus size + duplicated-position volume. At deployment
+    * scale the shingle join key would be xxhash64(shingle); the declared
+    * query keeps the string so the oracle is engine-independent.
+    */
+  private val q72: Q = (s, d) => {
+    val k = 5
+    val toksDf = Tables.documents(s, d)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+        posexplode(call_function("word_shingles", col("toks"), lit(k))))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("pos") + 1).as("pos"), col("col").as("sh"))
+    val dup = toksDf.groupBy("sh")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1).select("sh")
+    val covered = toksDf.join(dup, "sh")
+      .select("doc_id", "n_tokens", "pos")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    // equal-length windows ⇒ ends are monotone in starts, so a single lag
+    // suffices for the merge: starts ≤ k apart overlap or touch
+    val islands = covered
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(w) > k, 1).otherwise(0))
+      .withColumn("island", sum(col("brk")).over(w))
+    islands.groupBy("doc_id", "island")
+      .agg(max(col("n_tokens")).as("n_tokens"), min(col("pos")).as("s"),
+        (max(col("pos")) + (k - 1)).as("e"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).cast("long").as("covered_tokens"),
+        (sum(col("e") - col("s") + 1).cast("double") /
+          max(col("n_tokens"))).as("span_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** Q73: composite corpus-cleaning pipeline — the end-to-end shape of a
+    * pretraining-data build, chaining three stages over one scan:
+    *
+    *  1. quality gate: uniq_ratio ≥ 0.35 AND dup_2gram_frac ≤ 0.10 (the
+    *     q45/q71 signals as filters);
+    *  2. exact-dedup keeper: one doc per md5(lower(trim(text))) group, the
+    *     min doc_id (q35's hash, applied as a filter);
+    *  3. per-domain cap: at most 15 docs per source, chosen by md5-of-id
+    *     rank — deterministic, engine-independent, and rerunnable anywhere
+    *     (q58's sampling contract), the way web corpora cap hot domains.
+    *
+    * Each stage's surviving row count is surfaced with `observe` so a run
+    * can see WHERE documents died without extra actions.
+    *
+    * Shape: stage 1 is per-row math on the scan; stage 2 is one window on
+    * the content hash; stage 3 is one window on source. Two shuffles total
+    * on top of the scan, no joins, nothing quadratic.
+    */
+  private val q73: Q = (s, d) => {
+    val toks = TextFunctions.tokens(col("text"))
+    val g2 = call_function("word_shingles", toks, lit(2))
+    val quality = Tables.documents(s, d).select(
+      col("doc_id"), col("source"), col("text"),
+      (size(array_distinct(toks)).cast("double") / size(toks))
+        .as("uniq_ratio"),
+      when(size(g2) === 0, 0.0)
+        .otherwise(lit(1.0) - size(array_distinct(g2)).cast("double") / size(g2))
+        .as("dup_2gram_frac"))
+      .filter(col("uniq_ratio") >= 0.35 && col("dup_2gram_frac") <= 0.10)
+      .observe("corpus_stage_quality", count(lit(1)).as("kept"))
+    val hashW = Window.partitionBy(md5(lower(trim(col("text")))))
+    val deduped = quality
+      .withColumn("keeper", min(col("doc_id")).over(hashW))
+      .filter(col("doc_id") === col("keeper"))
+      .observe("corpus_stage_dedup", count(lit(1)).as("kept"))
+    val capW = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    deduped
+      .withColumn("rk", row_number().over(capW).cast("long"))
+      .filter(col("rk") <= 15)
+      .observe("corpus_stage_cap", count(lit(1)).as("kept"))
+      .select("doc_id", "source", "uniq_ratio", "dup_2gram_frac", "rk")
+      .orderBy("doc_id")
+  }
+
+  val queries: Seq[(String, Q)] = Seq(
+    "q71_text_repetition" -> q71,
+    "q72_dedup_spans" -> q72,
+    "q73_pipeline_clean" -> q73,
+  )
+
+  // 2-gram positions: range(1, len) = 1..len-1 (DuckDB range excludes the
+  // upper bound), toks[i:i+1] = the 2 tokens at i — mirrors word_shingles
+  // exactly (same convention as the q67 3-gram oracle).
+  val oracles: Map[String, String] = Map(
+    "q71_text_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        | g AS (SELECT doc_id,
+        |   CASE WHEN len(toks) < 2 THEN [] ELSE
+        |     list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' ')) END AS g2,
+        |   CASE WHEN len(toks) < 3 THEN [] ELSE
+        |     list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' ')) END AS g3
+        | FROM t)
+        |SELECT doc_id,
+        |  CAST(len(g2) AS BIGINT) AS n_2grams,
+        |  CASE WHEN len(g2) = 0 THEN 0.0
+        |       ELSE 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2) END AS dup_2gram_frac,
+        |  CASE WHEN len(g3) = 0 THEN 0.0
+        |       ELSE 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3) END AS dup_3gram_frac,
+        |  CASE WHEN len(g2) = 0 THEN 0.0
+        |       ELSE CAST(list_max(list_transform(list_distinct(g2),
+        |              g -> len(list_filter(g2, x -> x = g)))) AS DOUBLE) / len(g2) END AS top_2gram_frac
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    "q72_dedup_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        | p AS (SELECT doc_id, len(toks) AS n_tokens,
+        |   unnest(list_transform(range(1, len(toks)-3),
+        |     i -> {'pos': i, 'sh': array_to_string(toks[i:i+4], ' ')})) AS u
+        | FROM t WHERE len(toks) >= 5),
+        | q AS (SELECT doc_id, n_tokens, u.pos AS pos, u.sh AS sh FROM p),
+        | dup AS (SELECT sh FROM q GROUP BY sh HAVING count(DISTINCT doc_id) > 1),
+        | c AS (SELECT q.doc_id, q.n_tokens, q.pos FROM q JOIN dup USING (sh)),
+        | i AS (SELECT doc_id, n_tokens, pos,
+        |   CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 5
+        |        THEN 1 ELSE 0 END AS brk FROM c),
+        | isl AS (SELECT doc_id, n_tokens, pos,
+        |   sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM i),
+        | sp AS (SELECT doc_id, island, max(n_tokens) AS n_tokens,
+        |   min(pos) AS s, max(pos) + 4 AS e
+        |   FROM isl GROUP BY doc_id, island)
+        |SELECT doc_id,
+        |  count(*) AS n_spans,
+        |  CAST(sum(e - s + 1) AS BIGINT) AS covered_tokens,
+        |  CAST(sum(e - s + 1) AS DOUBLE) / max(n_tokens) AS span_frac
+        |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q73_pipeline_clean" ->
+      """WITH t AS (SELECT doc_id, source, text,
+        |   string_split(lower(text), ' ') AS toks FROM documents),
+        | f AS (SELECT doc_id, source, text,
+        |   CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS uniq_ratio,
+        |   CASE WHEN len(toks) < 2 THEN 0.0 ELSE
+        |     1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks)),
+        |       i -> array_to_string(toks[i:i+1], ' ')))) AS DOUBLE) / (len(toks) - 1)
+        |   END AS dup_2gram_frac
+        | FROM t),
+        | qg AS (SELECT * FROM f WHERE uniq_ratio >= 0.35 AND dup_2gram_frac <= 0.10),
+        | k AS (SELECT *, min(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS keeper FROM qg),
+        | e AS (SELECT * FROM k WHERE doc_id = keeper),
+        | c AS (SELECT *, row_number() OVER (
+        |   PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk FROM e)
+        |SELECT doc_id, source, uniq_ratio, dup_2gram_frac, rk
+        |FROM c WHERE rk <= 15 ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -68,6 +68,42 @@ object SimilarityJoin {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** Exact τ-overlap-coefficient self-join: |A∩B| / min(|A|,|B|) ≥ τ —
+    * the CONTAINMENT complement to τ-Jaccard. A short document pasted
+    * verbatim inside a long one has low Jaccard (the union is large) but
+    * overlap ≈ 1; this is the signal that catches quote-/template-
+    * containment dedup cases Jaccard structurally cannot.
+    *
+    * Same postings machinery as [[postingsCount]] with one semantic
+    * difference that matters at scale: there is NO size-ratio length
+    * filter — a tiny set fully contained in a huge one is a legitimate
+    * hit, so cross-size pairs must survive. Containment therefore leans
+    * entirely on `block` to bound candidate scope (the same reason PPJoin's
+    * prefix filter does not transfer: the τ-prefix bound assumes the
+    * Jaccard size constraint). Candidate volume is surfaced via `observe`.
+    */
+  def overlapPostings(docs: DataFrame, tau: Double,
+      metricName: String = "sj_candidates_overlap"): DataFrame = {
+    val toks = docs.select(col("id"), col("block"), size(col("w")).as("nw"),
+      explode(col("w")).as("tok"))
+      .select(col("id"), col("block"), col("nw"), xxhash64(col("tok")).as("token"))
+    val a = toks.select(col("id").as("a_id"), col("block"), col("nw").as("na"),
+      col("token"))
+    val b = toks.select(col("id").as("b_id"), col("block").as("b_block"),
+      col("nw").as("nb"), col("token").as("b_token"))
+    a.join(b,
+        col("block") === col("b_block") && col("token") === col("b_token") &&
+          col("a_id") < col("b_id"))
+      .observe(metricName, count(lit(1)).as("candidates"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("inter"), max(col("na")).as("na"),
+        max(col("nb")).as("nb"))
+      .withColumn("overlap",
+        col("inter").cast("double") / least(col("na"), col("nb")))
+      .filter(col("overlap") >= tau)
+      .select("a_id", "b_id", "overlap")
+  }
+
   /** Exact-duplicate collapse staging around an inner pair strategy — the
     * 100 TB default shape. Web corpora are boilerplate-heavy: a large share of
     * documents carry an IDENTICAL token set, and inside the postings join a

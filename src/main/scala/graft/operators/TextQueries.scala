@@ -81,6 +81,19 @@ object TextQueries extends QueryGroup {
     SimilarityJoin.postingsCount(docs, 0.5).orderBy("a_id", "b_id")
   }
 
+  /** Q74: overlap-coefficient (containment) near-dup pairs (τ = 0.95)
+    * within a `source` block — catches a short doc pasted inside a long
+    * one, which q37's Jaccard structurally misses (the union dilutes it).
+    * See [[SimilarityJoin.overlapPostings]] for why containment admits no
+    * size-ratio prune and leans on blocking instead.
+    */
+  private val q74: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id").as("id"), col("source").as("block"),
+        TextFunctions.tokenSet(col("text")).as("w"))
+    SimilarityJoin.overlapPostings(docs, 0.95).orderBy("a_id", "b_id")
+  }
+
   /** Q45: quality scoring — length / stopword-ratio / uniqueness features. */
   private val q45: Q = (s, d) => {
     val toks = TextFunctions.tokens(col("text"))
@@ -140,6 +153,7 @@ object TextQueries extends QueryGroup {
     "q46_text_tokens" -> q46,
     "q47_text_rollinghash" -> q47,
     "q67_dedup_ngram_jaccard" -> q67,
+    "q74_dedup_containment" -> q74,
   )
 
   val oracles: Map[String, String] = Map(
@@ -222,6 +236,21 @@ object TextQueries extends QueryGroup {
          |WHERE len(a.w) > 0 AND len(b.w) > 0
          |  AND ${sqlJaccard("a.w", "b.w")} >= 0.5
          |ORDER BY a_id, b_id""".stripMargin,
+
+    // overlap coefficient = |A∩B| / min(|A|,|B|): exact integer
+    // intersection over distinct token sets, divided as double — the same
+    // determinism contract as sqlJaccard
+    "q74_dedup_containment" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, list_distinct(string_split(lower(text), ' ')) AS w
+        |  FROM documents)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(len(list_filter(a.w, x -> list_contains(b.w, x))) AS DOUBLE)
+        |    / least(len(a.w), len(b.w)) AS overlap
+        |FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_filter(a.w, x -> list_contains(b.w, x))) AS DOUBLE)
+        |    / least(len(a.w), len(b.w)) >= 0.95
+        |ORDER BY a_id, b_id""".stripMargin,
 
     // mirrors TextFunctions.rollingFingerprint exactly: sequential left fold
     // (list_prepend seeds the accumulator, per the array-fold oracle rule),
