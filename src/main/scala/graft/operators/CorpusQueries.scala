@@ -146,10 +146,66 @@ object CorpusQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** Q75: per-domain TOKEN-budget sampling — the "take ~N tokens per
+    * source" mix-building step of a pretraining run (docs-per-domain caps
+    * like q73's treat a 50-token and a 500-token doc as equal; budgets in
+    * tokens do not). Docs are ranked inside each source by md5-of-id (the
+    * q58/q73 deterministic-sampling contract) and greedily taken while the
+    * tokens accumulated BEFORE a doc stay under the budget, so every run
+    * anywhere reproduces the same mix and each non-empty source yields at
+    * least one document.
+    *
+    * Shape: one window over source (rank + running sum), one filter — a
+    * single shuffle; budget arithmetic is exact BIGINT.
+    */
+  private val q75: Q = (s, d) => {
+    val budget = 800L
+    val capW = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(
+          capW.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("cum_before") < budget)
+      .select("doc_id", "source", "n_tokens", "cum_before")
+      .orderBy("doc_id")
+  }
+
+  /** Q76: rarest-term extraction — for each document, the token with the
+    * lowest document frequency (ties to the lexicographically first
+    * token). The rare tail is what distinguishes a doc from the corpus;
+    * df is also the exact input the PPJoin prefix filter orders by, so
+    * this doubles as an audit view of that ordering.
+    *
+    * Shape: distinct (doc, token) pairs → df aggregation (one shuffle,
+    * map-side partial) → shuffle join back on token → per-doc min via one
+    * ordered window. No step is quadratic; the df table is
+    * vocabulary-sized and never broadcast by construction (AQE may choose
+    * to when it truly is small).
+    */
+  private val q76: Q = (s, d) => {
+    val pairs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(TextFunctions.tokenSet(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+    val df = pairs.groupBy("tok")
+      .agg(count_distinct(col("doc_id")).as("df_docs"))
+    val w = Window.partitionBy("doc_id").orderBy("df_docs", "tok")
+    pairs.join(df, "tok")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("tok").as("rare_tok"), col("df_docs"))
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q71_text_repetition" -> q71,
     "q72_dedup_spans" -> q72,
     "q73_pipeline_clean" -> q73,
+    "q75_mix_token_budget" -> q75,
+    "q76_text_rare_terms" -> q76,
   )
 
   // 2-gram positions: range(1, len) = 1..len-1 (DuckDB range excludes the
@@ -215,5 +271,30 @@ object CorpusQueries extends QueryGroup {
         |   PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk FROM e)
         |SELECT doc_id, source, uniq_ratio, dup_2gram_frac, rk
         |FROM c WHERE rk <= 15 ORDER BY doc_id""".stripMargin,
+
+    "q75_mix_token_budget" ->
+      """WITH t AS (SELECT doc_id, source,
+        |   CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+        | FROM documents),
+        | r AS (SELECT doc_id, source, n_tokens,
+        |   coalesce(sum(n_tokens) OVER (
+        |     PARTITION BY source
+        |     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        | FROM t)
+        |SELECT doc_id, source, n_tokens, CAST(cum_before AS BIGINT) AS cum_before
+        |FROM r WHERE cum_before < 800 ORDER BY doc_id""".stripMargin,
+
+    "q76_text_rare_terms" ->
+      """WITH pairs AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
+        |  FROM documents),
+        | p AS (SELECT * FROM pairs WHERE tok <> ''),
+        | df AS (SELECT tok, count(DISTINCT doc_id) AS df_docs FROM p GROUP BY tok),
+        | j AS (SELECT p.doc_id, p.tok, df.df_docs,
+        |   row_number() OVER (PARTITION BY p.doc_id ORDER BY df.df_docs, p.tok) AS rn
+        | FROM p JOIN df USING (tok))
+        |SELECT doc_id, tok AS rare_tok, df_docs
+        |FROM j WHERE rn = 1 ORDER BY doc_id""".stripMargin,
   )
 }

@@ -80,6 +80,46 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(out.forall(_.getAs[Long]("rk") <= 15L))
   }
 
+  test("q75: greedy token budget keeps md5-rank prefix, at least one doc per source") {
+    // srcA: three docs of 300 tokens each — budget 800 admits the first two
+    // in md5 order (cum_before 0, 300) and stops at 600+300 ≥ 800 only when
+    // cum_before ≥ 800 ... i.e. the third doc (cum_before 600) still enters.
+    // srcB: one 2000-token doc — over budget alone, but cum_before = 0 < 800
+    // keeps it: every non-empty source contributes.
+    def doc(n: Int, tag: String) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val dir = corpusSrc(
+      (1L, doc(300, "a"), "srcA"), (2L, doc(300, "b"), "srcA"),
+      (3L, doc(300, "c"), "srcA"), (4L, doc(2000, "d"), "srcB"))
+    val out = SparkEntry.queries("q75_mix_token_budget")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("cum_before"))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    assert(out(4L) == ((2000L, 0L)), "first doc of a source always enters")
+    assert(Set(out(1L)._2, out(2L)._2, out(3L)._2) == Set(0L, 300L, 600L),
+      "running sum follows the deterministic md5 rank")
+  }
+
+  test("q75: docs past the budget are cut") {
+    def doc(n: Int, tag: String) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val dir = corpusSrc((1 to 10).map(i => (i.toLong, doc(300, s"t${i}_"), "srcA")): _*)
+    val rows = SparkEntry.queries("q75_mix_token_budget")(spark, dir).collect()
+    assert(rows.length == 3, s"800-token budget over 300-token docs keeps 3: ${rows.length}")
+    assert(rows.map(_.getAs[Long]("cum_before")).toSet == Set(0L, 300L, 600L))
+  }
+
+  test("q76: per-doc rarest token by document frequency, ties lexicographic") {
+    val dir = corpus(
+      (1L, "common rare1 common filler"), // rare1 df=1
+      (2L, "common filler zeta alpha"),   // zeta/alpha df=1 → alpha wins tie
+      (3L, "common filler"))              // no df=1 token → rarest is filler (df=3) vs common (df=3) → common
+    val out = SparkEntry.queries("q76_text_rare_terms")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("rare_tok"), r.getAs[Long]("df_docs"))).toMap
+    assert(out(1L) == (("rare1", 1L)))
+    assert(out(2L) == (("alpha", 1L)))
+    assert(out(3L) == (("common", 3L)), "df tie broken by token order")
+  }
+
   test("q74: containment pairs what Jaccard misses, bounded by τ") {
     val big = (1 to 20).map(i => s"t$i").mkString(" ")
     val dir = corpus(
