@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -25,6 +25,24 @@ import org.apache.spark.storage.StorageLevel
   * jaccard computed as inter/(na+nb−inter) on exact ints.
   */
 object SimilarityJoin {
+
+  /** Pin the similarity join's pair-compute parallelism to the session's
+    * shuffle width with an explicitly-numbered repartition on the join
+    * keys (which the join then reuses — no second exchange).
+    *
+    * Why: a similarity self-join is COMPUTE-amplifying — kilobytes of
+    * token sets in, millions of candidate pairs inside the join. AQE
+    * coalesces post-shuffle partitions by INPUT bytes, so on a small-bytes
+    * corpus it folds the whole quadratic pair stage into one task
+    * (measured on q74 at sf0.1: the un-pinned join ran as a single 7.9 s
+    * task; pinned, the same work spreads across the 32-way session width).
+    * An explicitly-numbered repartition is exempt from AQE coalescing, so
+    * the pin holds at any input size while changing nothing else about
+    * the plan. */
+  private def pinPairWidth(df: DataFrame, keys: Column*): DataFrame = {
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    df.repartition(n, keys: _*)
+  }
 
   /** @param metricName name of the candidate-volume `observe` metric; a plan
     *                    that composes TWO postings joins (e.g. the staged
@@ -87,10 +105,15 @@ object SimilarityJoin {
     val toks = docs.select(col("id"), col("block"), size(col("w")).as("nw"),
       explode(col("w")).as("tok"))
       .select(col("id"), col("block"), col("nw"), xxhash64(col("tok")).as("token"))
-    val a = toks.select(col("id").as("a_id"), col("block"), col("nw").as("na"),
-      col("token"))
-    val b = toks.select(col("id").as("b_id"), col("block").as("b_block"),
-      col("nw").as("nb"), col("token").as("b_token"))
+    // pinned width is neutral here when AQE would have kept the width
+    // anyway (interleaved A/B on q37: 6.5 s both ways under load) and
+    // removes the single-task collapse on small-bytes corpora — see
+    // pinPairWidth
+    val a = pinPairWidth(toks.select(col("id").as("a_id"), col("block"),
+      col("nw").as("na"), col("token")), col("block"), col("token"))
+    val b = pinPairWidth(toks.select(col("id").as("b_id"),
+      col("block").as("b_block"), col("nw").as("nb"),
+      col("token").as("b_token")), col("b_block"), col("b_token"))
     a.join(b,
         col("block") === col("b_block") && col("token") === col("b_token") &&
           col("a_id") < col("b_id"))
@@ -100,6 +123,42 @@ object SimilarityJoin {
         max(col("nb")).as("nb"))
       .withColumn("overlap",
         col("inter").cast("double") / least(col("na"), col("nb")))
+      .filter(col("overlap") >= tau)
+      .select("a_id", "b_id", "overlap")
+  }
+
+  /** Exact τ-overlap self-join as a blocked all-pairs join: equi-join on
+    * `block` with `a_id < b_id`, intersection via `array_intersect` per
+    * pair. Quadratic in block size — the OPPOSITE scaling regime from
+    * [[overlapPostings]]:
+    *
+    *  - postings cost = Σ_{block,token} C(df, 2) shuffled rows — explodes
+    *    when documents are DENSE against the vocabulary (every pair shares
+    *    many tokens, so every pair is materialized once per shared token);
+    *  - blocked cost = Σ_block C(docs, 2) pairs, each touched exactly once
+    *    — explodes when BLOCKS are huge, regardless of density.
+    *
+    * On the driver corpus (tiny flat vocab: ~150 tokens, ~45/doc, blocks
+    * of ≤250) the postings join shuffles 11.2M candidate rows to produce
+    * 622K pairs (18 rows per pair) while blocked touches each pair once:
+    * measured ~4.0 s vs ~6.9 s at sf0.1, interleaved A/B (BASELINE.md). A
+    * web corpus inverts this — sparse docs, million-doc blocks — so q74
+    * binds blocked by measurement while postings remains the sparse-corpus
+    * scale path. For blocks too large for one partition's pair product,
+    * the scale escalation is triangular tiling (chunk each block, join
+    * chunk-pairs), not this operator as-is.
+    */
+  def overlapBlocked(docs: DataFrame, tau: Double,
+      metricName: String = "sj_pairs_blocked"): DataFrame = {
+    val a = pinPairWidth(docs.select(col("id").as("a_id"), col("block"),
+      col("w").as("a_w")), col("block"))
+    val b = pinPairWidth(docs.select(col("id").as("b_id"),
+      col("block").as("b_block"), col("w").as("b_w")), col("b_block"))
+    a.join(b, col("block") === col("b_block") && col("a_id") < col("b_id"))
+      .observe(metricName, count(lit(1)).as("pairs"))
+      .withColumn("inter", size(array_intersect(col("a_w"), col("b_w"))))
+      .withColumn("overlap",
+        col("inter").cast("double") / least(size(col("a_w")), size(col("b_w"))))
       .filter(col("overlap") >= tau)
       .select("a_id", "b_id", "overlap")
   }
