@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 80+ queries of whole-stage codegen overflow the default 240 MB JIT
+  // code cache; the resulting flush/deopt storms added multi-second stalls
+  // to RANDOM queries (measured: full Bench 67 s -> 47.5 s at sf0.1,
+  // spikes like q67 14.2 s -> 1.7 s). Reservation is virtual memory; only
+  // compiled code consumes it.
+  "-XX:ReservedCodeCacheSize=1g",
 )
