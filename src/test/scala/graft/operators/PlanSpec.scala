@@ -79,6 +79,32 @@ class PlanSpec extends SparkSpec {
       "token arrays recomputed downstream of the rep join")
   }
 
+  test("q74: pair width is pinned (AQE-exempt repartition) and one scan feeds both sides") {
+    val p = executedPlan("q74_dedup_containment")
+    // the explicitly-numbered repartition keeps AQE from folding the
+    // compute-amplifying pair join into one task (measured: a single 7.9 s
+    // task without it at sf0.1) — REPARTITION_BY_NUM is the plan marker of
+    // an AQE-coalescing-exempt user shuffle
+    assert(p.contains("REPARTITION_BY_NUM"),
+      "pair-width pin missing: AQE may collapse the pair join to one task")
+    // exact metric node, delimiter-anchored (q37-pin precedent)
+    assert(p.contains("CollectMetrics sj_pairs_blocked,"),
+      "blocked strategy metric missing (plan switched strategy?)")
+    // both join sides come from the SAME pinned exchange: the corpus is
+    // scanned and tokenized once, not once per side
+    assert(p.contains("ReusedExchange"),
+      "second scan+tokenize appeared: exchange reuse broken")
+  }
+
+  test("q72: span detection scans only (doc_id, text) and never re-explodes post-join") {
+    val p = executedPlan("q72_dedup_spans")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "span scan must prune to (doc_id, text)")
+    // dup-shingle aggregation must partial-aggregate map-side
+    assert(p.contains("partial_count(distinct"),
+      "per-shingle doc counting lost its partial aggregation")
+  }
+
   test("q66: component labels join back on rep, not per-doc") {
     val p = executedPlan("q66_dedup_components")
     // members inherit their representative's label: ONE final join keyed on
