@@ -1,0 +1,61 @@
+package graft.streaming
+
+import graft.{SparkEntry, SparkSpec}
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** CorpusStream: ingestion-time quality gating + watermark-bounded exact
+  * dedup (the streaming twin of batch q73's first two stages). */
+class StreamingCorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+  private val good = (1 to 30).map(i => s"w$i").mkString(" ")
+  private val junk = "r r r r r r r r r r"
+
+  test("quality gate and cross-batch exact dedup, state bounded by watermark") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val out = CorpusStream.clean(
+      mem.toDS().toDF("doc_id", "text", "ts"), "ts", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("scorpus")
+      .outputMode("append").start()
+    try {
+      // batch 1: one good doc, one junk doc, one in-batch duplicate of good
+      mem.addData((1L, good, ts(0)), (2L, junk, ts(0)), (3L, good, ts(1)))
+      q.processAllAvailable()
+      // batch 2: a duplicate arriving 2 minutes later — inside the
+      // watermark horizon, must be dropped
+      mem.addData((4L, good, ts(3)))
+      q.processAllAvailable()
+      val ids = spark.table("scorpus").select("doc_id").as[Long].collect().toSet
+      assert(ids.contains(1L), "good doc must pass")
+      assert(!ids.contains(2L), "junk doc must fail the quality gate")
+      assert(!ids.contains(3L), "in-batch duplicate must be dropped")
+      assert(!ids.contains(4L), "within-watermark duplicate must be dropped")
+    } finally q.stop()
+  }
+
+  test("stream gate thresholds equal the batch q73 gate (parity on the fixture)") {
+    // run the batch quality stage and the stream gate over the SAME rows;
+    // the survivor sets must agree (q73 then applies dedup+cap on top)
+    val rows = Seq(
+      (1L, good, "en", "srcA", good.length.toLong),
+      (2L, junk, "en", "srcA", junk.length.toLong),
+      (3L, (1 to 10).map(i => s"x$i").mkString(" ") + " extra extra extra extra extra extra extra extra",
+        "en", "srcA", 0L))
+    val dir = tmpDir("scorpus-parity")
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val batchKept = SparkEntry.queries("q73_pipeline_clean")(spark, dir)
+      .select("doc_id").as[Long].collect().toSet
+    val streamGateKept = CorpusStream.qualityGate(
+      spark.read.parquet(s"$dir/documents.parquet"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamGateKept == batchKept,
+      s"gate parity broke: stream=$streamGateKept batch=$batchKept")
+    // sanity: the repetitive doc 3 (8× "extra") fails BOTH gates
+    assert(!streamGateKept.contains(3L))
+  }
+}
