@@ -58,6 +58,51 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(rows(2L) == ((1L, 5L, 0.5)) && rows(3L) == ((1L, 5L, 0.5)))
   }
 
+  test("q72: random corpora match a brute-force span reference (seeded)") {
+    // independent reference implementation: covered position = 5-shingle
+    // occurring in ANOTHER doc; islands merge while starts are ≤5 apart
+    def reference(docs: Seq[(Long, String)]): Map[Long, (Long, Long, Double)] = {
+      val toks = docs.map { case (id, t) => id -> t.toLowerCase.split(" ", -1).toSeq }.toMap
+      val shingleDocs = scala.collection.mutable.Map.empty[String, Set[Long]]
+      for ((id, ts) <- toks; i <- 0 to ts.length - 5) {
+        val sh = ts.slice(i, i + 5).mkString(" ")
+        shingleDocs(sh) = shingleDocs.getOrElse(sh, Set.empty) + id
+      }
+      toks.flatMap { case (id, ts) =>
+        val covered = (0 to ts.length - 5).filter { i =>
+          (shingleDocs(ts.slice(i, i + 5).mkString(" ")) - id).nonEmpty
+        }.map(_ + 1) // 1-based
+        if (covered.isEmpty) None else {
+          // island break exactly when successive starts are > 5 apart
+          // (mirrors the query's lag-based brk); span = [first, last + 4]
+          val islands = covered.foldLeft(List.empty[List[Int]]) {
+            case (Nil, p) => List(List(p))
+            case (cur :: rest, p) =>
+              if (p - cur.head <= 5) (p :: cur) :: rest
+              else List(p) :: cur :: rest
+          }
+          val total = islands.map(isl => (isl.head + 4) - isl.last + 1).sum
+          Some(id -> ((islands.size.toLong, total.toLong,
+            total.toDouble / ts.length)))
+        }
+      }
+    }
+    val vocab = Vector("a", "b", "c", "d", "e")
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val docs = (1L to 30L).map { id =>
+        id -> Seq.fill(6 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val dir = corpus(docs: _*)
+      val got = SparkEntry.queries("q72_dedup_spans")(spark, dir)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_spans"), r.getAs[Long]("covered_tokens"),
+            r.getAs[Double]("span_frac")))).toMap
+      val want = reference(docs)
+      assert(got == want, s"seed=$seed diff: got=${got.toSeq.sorted.take(5)} want=${want.toSeq.sorted.take(5)}")
+    }
+  }
+
   test("q73: each stage drops its own failure mode") {
     val filler = (1 to 30).map(i => s"w$i").mkString(" ")
     val dupText = s"$filler dup marker"
