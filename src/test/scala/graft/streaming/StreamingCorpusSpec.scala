@@ -37,6 +37,46 @@ class StreamingCorpusSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-arrival ingest: clean docs land in a partitioned lake, dedup state survives restart") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types.StructType
+    val srcDir = tmpDir("corpus-in")
+    val lake = tmpDir("corpus-lake")
+    val ckpt = tmpDir("corpus-ckpt")
+    val schema = StructType.fromDDL(
+      "doc_id BIGINT, text STRING, source STRING, ts TIMESTAMP")
+    def land(batch: Seq[(Long, String, String, Timestamp)], name: String): Unit =
+      batch.toDF("doc_id", "text", "source", "ts")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(srcDir)
+      val q = CorpusStream.clean(stream, "ts", "10 minutes")
+        .writeStream.format("parquet")
+        .option("path", lake).option("checkpointLocation", ckpt)
+        .partitionBy("source")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // arrival 1: good doc (webA), junk doc, good doc (webB)
+    land(Seq((1L, good, "webA", ts(0)), (2L, junk, "webA", ts(0)),
+      (3L, good + " distinct tail", "webB", ts(1))), "b1")
+    runOnce()
+    // arrival 2 — a NEW query instance (restart): an exact duplicate of
+    // doc 1 inside the watermark horizon plus one fresh doc. The duplicate
+    // must be dropped from checkpointed state, not batch-local memory.
+    land(Seq((4L, good, "webA", ts(2)), (5L, good + " another tail", "webB", ts(2))), "b2")
+    runOnce()
+    val landed = spark.read.parquet(lake)
+    val ids = landed.select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 3L, 5L), s"lake holds $ids")
+    // the lake is physically partitioned by source
+    val parts = new java.io.File(lake).listFiles().map(_.getName)
+      .filter(_.startsWith("source=")).toSet
+    assert(parts == Set("source=webA", "source=webB"), s"partitions: $parts")
+    // quality features ride along into the lake
+    assert(landed.columns.contains("uniq_ratio"))
+  }
+
   test("stream gate thresholds equal the batch q73 gate (parity on the fixture)") {
     // run the batch quality stage and the stream gate over the SAME rows;
     // the survivor sets must agree (q73 then applies dedup+cap on top)
