@@ -200,12 +200,51 @@ object CorpusQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** Q77: benchmark-contamination detection — the decontamination step of
+    * a pretraining build: training documents sharing any 4-token shingle
+    * with a held-out benchmark corpus are flagged with their hit count and
+    * contaminated-shingle fraction. Here the `src0` slice of `documents`
+    * stands in for the benchmark and the remaining sources for the
+    * training corpus (the operator is a two-corpus join; the fixture
+    * derives both sides from one table).
+    *
+    * Unlike q72 (any cross-document duplication, span-merged), this is
+    * DIRECTIONAL (corpus→benchmark only; benchmark-internal duplication is
+    * irrelevant) and reports per-position hits, the quantity a removal
+    * threshold is applied to.
+    *
+    * Shape: benchmark shingles are distinct-reduced first (one shuffle on
+    * a corpus that is SMALL by definition — test sets, not training sets),
+    * then one join against corpus shingles: AQE broadcasts the benchmark
+    * side, so the training corpus is never reshuffled; the per-doc count
+    * is a partial-agg groupBy. Linear in corpus size at any scale.
+    */
+  private val q77: Q = (s, d) => {
+    val k = 4
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("source"),
+        explode(call_function("word_shingles", col("toks"), lit(k))).as("sh"),
+        (size(col("toks")) - (k - 1)).cast("long").as("n_shingles"))
+    val bench = sh.filter(col("source") === "src0").select("sh").distinct()
+    sh.filter(col("source") =!= "src0")
+      .join(bench, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_contaminated"),
+        max(col("n_shingles")).as("n_shingles"))
+      .select(col("doc_id"), col("n_contaminated"),
+        (col("n_contaminated").cast("double") / col("n_shingles"))
+          .as("contam_frac"))
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q71_text_repetition" -> q71,
     "q72_dedup_spans" -> q72,
     "q73_pipeline_clean" -> q73,
     "q75_mix_token_budget" -> q75,
     "q76_text_rare_terms" -> q76,
+    "q77_text_contamination" -> q77,
   )
 
   // 2-gram positions: range(1, len) = 1..len-1 (DuckDB range excludes the
@@ -284,6 +323,19 @@ object CorpusQueries extends QueryGroup {
         | FROM t)
         |SELECT doc_id, source, n_tokens, CAST(cum_before AS BIGINT) AS cum_before
         |FROM r WHERE cum_before < 800 ORDER BY doc_id""".stripMargin,
+
+    "q77_text_contamination" ->
+      """WITH t AS (SELECT doc_id, source, string_split(lower(text), ' ') AS toks FROM documents),
+        | p AS (SELECT doc_id, source, len(toks) - 3 AS n_shingles,
+        |   unnest(list_transform(range(1, len(toks)-2),
+        |     i -> array_to_string(toks[i:i+3], ' '))) AS sh
+        | FROM t WHERE len(toks) >= 4),
+        | bench AS (SELECT DISTINCT sh FROM p WHERE source = 'src0'),
+        | hits AS (SELECT p.doc_id, p.n_shingles FROM p JOIN bench USING (sh)
+        |          WHERE p.source <> 'src0')
+        |SELECT doc_id, count(*) AS n_contaminated,
+        |  CAST(count(*) AS DOUBLE) / max(n_shingles) AS contam_frac
+        |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q76_text_rare_terms" ->
       """WITH pairs AS (

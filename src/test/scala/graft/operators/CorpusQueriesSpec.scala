@@ -165,6 +165,25 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(out(3L) == (("common", 3L)), "df tie broken by token order")
   }
 
+  test("q77: directional benchmark contamination with exact hit counts") {
+    // src0 = benchmark. doc 10 embeds one 4-token benchmark window
+    // ("b1 b2 b3 b4" at two positions → 2 hits of 7 shingles); doc 11 has
+    // no overlap; doc 12 is a src0 doc (never reported, even though it
+    // trivially matches the benchmark = itself)
+    val dir = corpusSrc(
+      (1L, "b1 b2 b3 b4 b5 b6", "src0"),
+      (10L, "x1 x2 b1 b2 b3 b4 b5 x3 x4 x5", "srcB"),
+      (11L, "y1 y2 y3 y4 y5 y6 y7", "srcB"),
+      (12L, "b1 b2 b3 b4 z1 z2", "src0"))
+    val out = SparkEntry.queries("q77_text_contamination")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_contaminated"), r.getAs[Double]("contam_frac"))))
+      .toMap
+    // doc 10: windows starting at b1 and b2 ("b1 b2 b3 b4", "b2 b3 b4 b5")
+    // both appear in benchmark doc 1 → 2 hits over 7 shingles
+    assert(out == Map(10L -> ((2L, 2.0 / 7.0))), s"got $out")
+  }
+
   test("q74: containment pairs what Jaccard misses, bounded by τ") {
     val big = (1 to 20).map(i => s"t$i").mkString(" ")
     val dir = corpus(
