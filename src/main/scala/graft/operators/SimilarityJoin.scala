@@ -163,6 +163,58 @@ object SimilarityJoin {
       .select("a_id", "b_id", "overlap")
   }
 
+  /** [[overlapBlocked]] with TRIANGULAR TILING — the giant-block escalation
+    * its doc names. Blocked-by-key hangs every block's whole C(n,2) pair
+    * product on ONE join key; a million-doc block is then one task no
+    * partitioning scheme can split. Tiling re-keys the product itself:
+    * each doc lands in chunk `pmod(xxhash64(id), chunks)`, and every
+    * unordered chunk pair (i ≤ j) becomes its own join tile —
+    * side A replicates a chunk-i doc to tiles (i, i..C-1), side B to
+    * tiles (0..i, i), so each unordered doc pair meets in EXACTLY one
+    * tile: (chunk(x), chunk(y)) sorted. A block's pair product now spreads
+    * over C(C+1)/2 independent keys, bounded-task-size by choosing
+    * C ≈ √(block² / target-pairs-per-task).
+    *
+    * The price is replication: each token set is shipped (C+1)/2 times per
+    * side, and the two sides project differently so the corpus is scanned
+    * twice (blocked's single-scan exchange reuse is lost). Measured at
+    * sf0.1 (warm, interleaved): tiled-8 0.83 s vs blocked 0.92–1.14 s —
+    * the replication cost is offset locally because 20 block keys cannot
+    * feed 32 cores while 720 tiles can. q74 still binds [[overlapBlocked]]
+    * for the single-scan plan on a corpus whose blocks all fit one task;
+    * this variant is the insurance a 100 TB run buys when a single block
+    * outgrows a task. Row-identity with [[overlapBlocked]] (chunks 1/3/8)
+    * is spec-pinned (SimilarityJoinSpec).
+    */
+  def overlapBlockedTiled(docs: DataFrame, tau: Double, chunks: Int = 8,
+      metricName: String = "sj_pairs_tiled"): DataFrame = {
+    require(chunks >= 1, s"chunks must be ≥ 1: $chunks")
+    val withChunk = docs.withColumn("c",
+      pmod(xxhash64(col("id")), lit(chunks)).cast("int"))
+    val aSide = withChunk.select(col("id").as("x_id"), col("block"),
+      col("w").as("x_w"), col("c").as("ca"),
+      explode(sequence(col("c"), lit(chunks - 1))).as("cb"))
+    val bSide = withChunk.select(col("id").as("y_id"),
+      col("block").as("y_block"), col("w").as("y_w"),
+      explode(sequence(lit(0), col("c"))).as("ca2"), col("c").as("cb2"))
+    val tiles = pinPairWidth(aSide, col("block"), col("ca"), col("cb"))
+      .join(pinPairWidth(bSide, col("y_block"), col("ca2"), col("cb2")),
+        col("block") === col("y_block") &&
+          col("ca") === col("ca2") && col("cb") === col("cb2") &&
+          // diagonal tiles hold both orders of an intra-chunk pair (and
+          // self-pairs): keep one; off-diagonal tiles hold each cross pair
+          // exactly once already
+          (col("ca") =!= col("cb") || col("x_id") < col("y_id")))
+      .observe(metricName, count(lit(1)).as("pairs"))
+    tiles
+      .withColumn("inter", size(array_intersect(col("x_w"), col("y_w"))))
+      .withColumn("overlap",
+        col("inter").cast("double") / least(size(col("x_w")), size(col("y_w"))))
+      .filter(col("overlap") >= tau)
+      .select(least(col("x_id"), col("y_id")).as("a_id"),
+        greatest(col("x_id"), col("y_id")).as("b_id"), col("overlap"))
+  }
+
   /** Exact-duplicate collapse staging around an inner pair strategy — the
     * 100 TB default shape. Web corpora are boilerplate-heavy: a large share of
     * documents carry an IDENTICAL token set, and inside the postings join a

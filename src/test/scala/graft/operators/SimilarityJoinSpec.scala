@@ -26,6 +26,31 @@ class SimilarityJoinSpec extends SparkSpec {
     assert(a.except(b).isEmpty && b.except(a).isEmpty)
   }
 
+  test("overlap: postings and blocked strategies agree (τ=0.95, sf0.001)") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id").as("id"), col("source").as("block"),
+        TextFunctions.tokenSet(col("text")).as("w"))
+    val a = SimilarityJoin.overlapPostings(docs, 0.95)
+    val b = SimilarityJoin.overlapBlocked(docs, 0.95)
+    assert(a.count() == b.count() && a.count() > 0)
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+  }
+
+  test("overlap: triangular tiling is row-identical to blocked, each pair exactly once") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id").as("id"), col("source").as("block"),
+        TextFunctions.tokenSet(col("text")).as("w"))
+    val base = SimilarityJoin.overlapBlocked(docs, 0.95)
+    Seq(1, 3, 8).foreach { chunks =>
+      val tiled = SimilarityJoin.overlapBlockedTiled(docs, 0.95, chunks)
+      // exactly once: equal COUNT (duplicated pairs would inflate it even
+      // when the distinct sets agree) and equal content
+      assert(tiled.count() == base.count(), s"chunks=$chunks count")
+      assert(tiled.except(base).isEmpty && base.except(tiled).isEmpty,
+        s"chunks=$chunks content")
+    }
+  }
+
   test("staged (dup-collapsed) postings join is row-identical to naive (τ=0.8)") {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id").as("id"), col("source").as("block"),
