@@ -74,4 +74,31 @@ object CorpusStream {
     * attached. */
   def clean(docs: DataFrame, eventTimeCol: String, delay: String): DataFrame =
     dedupExactWithinWatermark(qualityGate(docs), eventTimeCol, delay)
+
+  /** Ingestion-time decontamination — the streaming twin of batch q77:
+    * drop documents sharing any k-token shingle with a held-out benchmark
+    * corpus BEFORE they land. The benchmark's distinct shingles are
+    * collected once and inlined as a literal array, so the stream side is
+    * a stateless per-row `arrays_overlap` — no stream-side state, no
+    * shuffle, no per-batch join (the q51 broadcast-centroids contract:
+    * the small side of the comparison rides the plan, the big side
+    * streams). This is exactly how production decontamination ships its
+    * n-gram blocklist to workers; the explicit contract is that the
+    * BENCHMARK is driver-sized (test sets, not training sets) — for a
+    * blocklist beyond driver memory, swap the literal for a stream-static
+    * left-anti join on exploded shingles at the cost of a per-batch
+    * shuffle. */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame,
+      k: Int = 4): DataFrame = {
+    val spark = benchmark.sparkSession
+    import spark.implicits._
+    val benchShingles = benchmark
+      .select(explode(call_function("word_shingles",
+        TextFunctions.tokens(col("text")), lit(k))).as("sh"))
+      .distinct().as[String].collect().toSeq
+    if (benchShingles.isEmpty) docs
+    else docs.filter(!arrays_overlap(
+      call_function("word_shingles", TextFunctions.tokens(col("text")), lit(k)),
+      typedLit(benchShingles)))
+  }
 }

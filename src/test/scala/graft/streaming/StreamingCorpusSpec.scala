@@ -77,6 +77,24 @@ class StreamingCorpusSpec extends SparkSpec {
     assert(landed.columns.contains("uniq_ratio"))
   }
 
+  test("decontaminate drops benchmark-overlapping docs at ingest, stateless") {
+    implicit val sc = spark.sqlContext
+    val bench = Seq((100L, "b1 b2 b3 b4 b5")).toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val out = CorpusStream.decontaminate(mem.toDS().toDF("doc_id", "text"), bench)
+    val q = out.writeStream.format("memory").queryName("sdecon")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, "x1 x2 b1 b2 b3 b4 x3"), // contains benchmark 4-gram → dropped
+        (2L, "x1 x2 x3 x4 x5 x6"),    // clean → passes
+        (3L, "b1 b2 b3"))             // only a 3-token prefix → passes at k=4
+      q.processAllAvailable()
+      val ids = spark.table("sdecon").select("doc_id").as[Long].collect().toSet
+      assert(ids == Set(2L, 3L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("stream gate thresholds equal the batch q73 gate (parity on the fixture)") {
     // run the batch quality stage and the stream gate over the SAME rows;
     // the survivor sets must agree (q73 then applies dedup+cap on top)
