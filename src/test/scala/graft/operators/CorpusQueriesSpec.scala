@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.functions.col
 
 /** Pins the semantics of the corpus-hygiene queries (q71–q73) on
   * constructed fixtures: exact repetition fractions, span island merging
@@ -182,6 +183,40 @@ class CorpusQueriesSpec extends SparkSpec {
     // doc 10: windows starting at b1 and b2 ("b1 b2 b3 b4", "b2 b3 b4 b5")
     // both appear in benchmark doc 1 → 2 hits over 7 shingles
     assert(out == Map(10L -> ((2L, 2.0 / 7.0))), s"got $out")
+  }
+
+  test("null and empty text never crash the corpus queries") {
+    val dir = tmpDir("corpus-null")
+    Seq(
+      (1L, null: String, "srcA"),
+      (2L, "", "srcA"),
+      (3L, (1 to 30).map(i => s"w$i").mkString(" "), "srcA"),
+      (4L, (1 to 30).map(i => s"w$i").mkString(" ") + " tail", "srcB"))
+      .map { case (id, text, src) =>
+        (id, text, "en", src, Option(text).map(_.length.toLong).getOrElse(0L))
+      }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def ids(q: String): Set[Long] =
+      SparkEntry.queries(q)(spark, dir).collect().flatMap { r =>
+        r.schema.fieldNames.filter(f => f == "doc_id" || f.endsWith("_id"))
+          .map(f => r.getAs[Long](f))
+      }.toSet
+    // pair/span/pipeline/df queries: a NULL token set must never pair,
+    // span, survive a gate, or produce postings — not act as an empty set
+    Seq("q72_dedup_spans", "q73_pipeline_clean", "q76_text_rare_terms",
+      "q77_text_contamination", "q74_dedup_containment").foreach { q =>
+      assert(!ids(q).contains(1L), s"$q surfaced the null-text doc")
+    }
+    // per-doc stat queries keep the row (as their oracles would) with NULL
+    // metrics rather than fabricating zeros
+    Seq("q71_text_repetition", "q75_mix_token_budget").foreach { q =>
+      assert(ids(q).contains(1L), s"$q must keep the null-text doc's row")
+    }
+    val nullRow = SparkEntry.queries("q71_text_repetition")(spark, dir)
+      .filter(col("doc_id") === 1L).collect().head
+    assert(nullRow.isNullAt(nullRow.fieldIndex("dup_2gram_frac")),
+      "null text must yield NULL metrics, not fabricated zeros")
   }
 
   test("q74: containment pairs what Jaccard misses, bounded by τ") {
