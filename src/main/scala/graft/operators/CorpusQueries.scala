@@ -238,6 +238,45 @@ object CorpusQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** Q78: per-source corpus quality report — the dashboard view a corpus
+    * build is steered by: document/token volumes, pooled uniqueness and
+    * repetition ratios, and the share of documents failing the q73 quality
+    * gate, per source.
+    *
+    * Determinism note: these are POOLED ratios (Σ numerator / Σ
+    * denominator over exact BIGINT counts, divided once as double), not
+    * averages of per-doc doubles — a cross-engine sum of doubles is
+    * order-dependent and would never hash-match (see
+    * [[graft.operators.dsum]]'s contract).
+    *
+    * Shape: per-row integer features on the scan, one partial-aggregated
+    * groupBy on source. One shuffle.
+    */
+  private val q78: Q = (s, d) => {
+    val toks = TextFunctions.tokens(col("text"))
+    val g2 = call_function("word_shingles", toks, lit(2))
+    val feat = Tables.documents(s, d).select(
+      col("source"),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct"),
+      size(g2).cast("long").as("n_2grams"),
+      size(array_distinct(g2)).cast("long").as("n_2grams_distinct"),
+      (size(array_distinct(toks)).cast("double") / size(toks) < 0.35 ||
+        (size(g2) > 0 &&
+          lit(1.0) - size(array_distinct(g2)).cast("double") / size(g2) > 0.10))
+        .cast("long").as("fails_gate"))
+    feat.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        (sum(col("n_distinct")).cast("double") / sum(col("n_tokens")))
+          .as("pooled_uniq_ratio"),
+        (lit(1.0) - sum(col("n_2grams_distinct")).cast("double") /
+          sum(col("n_2grams"))).as("pooled_dup_2gram_frac"),
+        (sum(col("fails_gate")).cast("double") / count(lit(1)))
+          .as("gate_fail_share"))
+      .orderBy("source")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q71_text_repetition" -> q71,
     "q72_dedup_spans" -> q72,
@@ -245,6 +284,7 @@ object CorpusQueries extends QueryGroup {
     "q75_mix_token_budget" -> q75,
     "q76_text_rare_terms" -> q76,
     "q77_text_contamination" -> q77,
+    "q78_corpus_report" -> q78,
   )
 
   // 2-gram positions: range(1, len) = 1..len-1 (DuckDB range excludes the
@@ -323,6 +363,31 @@ object CorpusQueries extends QueryGroup {
         | FROM t)
         |SELECT doc_id, source, n_tokens, CAST(cum_before AS BIGINT) AS cum_before
         |FROM r WHERE cum_before < 800 ORDER BY doc_id""".stripMargin,
+
+    // pooled ratios: Σ numerator / Σ denominator over exact BIGINTs,
+    // divided ONCE as double — never a cross-engine sum of doubles
+    "q78_corpus_report" ->
+      """WITH f AS (
+        |  SELECT source,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+        |    CAST(len(g2) AS BIGINT) AS n_2grams,
+        |    CAST(len(list_distinct(g2)) AS BIGINT) AS n_2grams_distinct,
+        |    CAST(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) < 0.35
+        |      OR (len(g2) > 0 AND
+        |          1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2) > 0.10)
+        |      AS BIGINT) AS fails_gate
+        |  FROM (SELECT source, string_split(lower(text), ' ') AS toks,
+        |          CASE WHEN len(string_split(lower(text), ' ')) < 2 THEN []
+        |               ELSE list_transform(range(1, len(string_split(lower(text), ' '))),
+        |                 i -> array_to_string((string_split(lower(text), ' '))[i:i+1], ' ')) END AS g2
+        |        FROM documents))
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(sum(n_distinct) AS DOUBLE) / sum(n_tokens) AS pooled_uniq_ratio,
+        |  1.0 - CAST(sum(n_2grams_distinct) AS DOUBLE) / sum(n_2grams) AS pooled_dup_2gram_frac,
+        |  CAST(sum(fails_gate) AS DOUBLE) / count(*) AS gate_fail_share
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
 
     "q77_text_contamination" ->
       """WITH t AS (SELECT doc_id, source, string_split(lower(text), ' ') AS toks FROM documents),

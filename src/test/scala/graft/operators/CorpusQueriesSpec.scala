@@ -185,6 +185,21 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(out == Map(10L -> ((2L, 2.0 / 7.0))), s"got $out")
   }
 
+  test("q78: report ratios are pooled over counts, not averaged doubles") {
+    val dir = corpusSrc(
+      (1L, "a b c d", "srcA"),                       // 4 tokens, 4 distinct
+      (2L, "a a a a a a a a a a a a", "srcA"),       // 12 tokens, 1 distinct; fails gate
+      (3L, "x y z", "srcB"))
+    val rows = SparkEntry.queries("q78_corpus_report")(spark, dir)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val a = rows("srcA")
+    assert(a.getAs[Long]("n_docs") == 2L && a.getAs[Long]("total_tokens") == 16L)
+    // pooled: (4 + 1) / (4 + 12); a per-doc average would give (1.0 + 1/12)/2
+    assert(a.getAs[Double]("pooled_uniq_ratio") == 5.0 / 16.0)
+    assert(a.getAs[Double]("gate_fail_share") == 0.5)
+    assert(rows("srcB").getAs[Double]("gate_fail_share") == 0.0)
+  }
+
   test("null and empty text never crash the corpus queries") {
     val dir = tmpDir("corpus-null")
     Seq(
