@@ -118,6 +118,16 @@ object CorpusQueries extends QueryGroup {
     * Shape: stage 1 is per-row math on the scan; stage 2 is one window on
     * the content hash; stage 3 is one window on source. Two shuffles total
     * on top of the scan, no joins, nothing quadratic.
+    *
+    * Scale caveat (shared with q75): the per-source rank window puts one
+    * domain's surviving docs in one partition — fine for web-shaped domain
+    * distributions, skewed for a mega-domain holding a double-digit share
+    * of the corpus. The escalation keeps the same semantics in two phases:
+    * bucket-count md5-rank prefixes per source (a groupBy, fully
+    * parallel), derive each source's cut-off bucket, then rank only within
+    * the boundary bucket. Not implemented here because the cap (15) makes
+    * the window's state trivial at any plausible skew; [[SkewTools]] holds
+    * the generic salted machinery if a deployment hits it.
     */
   private val q73: Q = (s, d) => {
     val toks = TextFunctions.tokens(col("text"))
@@ -156,7 +166,12 @@ object CorpusQueries extends QueryGroup {
     * least one document.
     *
     * Shape: one window over source (rank + running sum), one filter — a
-    * single shuffle; budget arithmetic is exact BIGINT.
+    * single shuffle; budget arithmetic is exact BIGINT. Same mega-domain
+    * window-skew caveat as q73 (see its doc); the two-phase escalation for
+    * a running SUM is per-bucket subtotal cumsum (bucket by md5-rank
+    * prefix, cumsum bucket subtotals on the driver-sized bucket list,
+    * then offset within buckets) — deterministic and identical to this
+    * single-window form.
     */
   private val q75: Q = (s, d) => {
     val budget = 800L
