@@ -85,6 +85,39 @@ class SimilarityJoinSpec extends SparkSpec {
     assert(a.except(b).isEmpty && b.except(a).isEmpty)
   }
 
+  test("all overlap strategies match an independent brute-force reference (seeded)") {
+    import spark.implicits._
+    val vocab = (1 to 12).map(i => s"t$i").toVector
+    (1 to 2).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val docs = (1L to 40L).map { id =>
+        val n = 2 + rnd.nextInt(8)
+        (id, s"blk${id % 3}",
+          Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).distinct)
+      }
+      // independent reference: exact overlap coefficient per in-block pair
+      val want = (for {
+        (a, ab, aw) <- docs; (b, bb, bw) <- docs
+        if ab == bb && a < b
+        inter = aw.toSet.intersect(bw.toSet).size
+        ov = inter.toDouble / math.min(aw.size, bw.size)
+        if ov >= 0.75
+      } yield (a, b, ov)).toSet
+      val df = docs.toDF("id", "block", "w")
+      Seq(
+        "postings" -> SimilarityJoin.overlapPostings(df, 0.75),
+        "blocked" -> SimilarityJoin.overlapBlocked(df, 0.75),
+        "tiled" -> SimilarityJoin.overlapBlockedTiled(df, 0.75, 4),
+        "staged" -> SimilarityJoin.stagedOverlapBlocked(spark, df, 0.75)
+      ).foreach { case (name, out) =>
+        val got = out.collect().map(r => (r.getAs[Long]("a_id"),
+          r.getAs[Long]("b_id"), r.getAs[Double]("overlap"))).toSet
+        assert(got == want,
+          s"seed=$seed $name: missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+      }
+    }
+  }
+
   test("staged (dup-collapsed) postings join is row-identical to naive (τ=0.8)") {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id").as("id"), col("source").as("block"),
