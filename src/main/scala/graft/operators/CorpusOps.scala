@@ -1,0 +1,104 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The corpus-hygiene operators as a public DataFrame-in / DataFrame-out
+  * API — the forms an external pipeline calls with its own tables. The
+  * declared queries (CorpusQueries q71–q78) are thin bindings of these to
+  * the driver testdata, which keeps every function here under the DuckDB
+  * oracle; scale notes live on each query's doc.
+  *
+  * Input contract: a `text` column (plus the columns each op names);
+  * tokenization is whitespace-lowercase throughout ([[TextFunctions.tokens]]).
+  */
+object CorpusOps {
+
+  /** Duplicate-fraction of an n-gram array: share of occurrences that
+    * repeat an earlier one; 0.0 for empty arrays. */
+  def dupFrac(g: Column): Column =
+    when(size(g) === 0, 0.0)
+      .otherwise(lit(1.0) - size(array_distinct(g)).cast("double") / size(g))
+
+  /** Q71 core: per-document repetition signals (duplicate-2/3-gram and
+    * top-2-gram fractions). Adds columns, drops nothing. */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    val g2 = call_function("word_shingles", toks, lit(2))
+    val g3 = call_function("word_shingles", toks, lit(3))
+    val topFreq = array_max(transform(array_distinct(g2),
+      g => size(filter(g2, x => x === g))))
+    docs
+      .withColumn("n_2grams", size(g2).cast("long"))
+      .withColumn("dup_2gram_frac", dupFrac(g2))
+      .withColumn("dup_3gram_frac", dupFrac(g3))
+      .withColumn("top_2gram_frac", when(size(g2) === 0, 0.0)
+        .otherwise(topFreq.cast("double") / size(g2)))
+  }
+
+  /** Q72 core: maximal duplicated k-token spans across documents. Needs an
+    * `id` column; emits (id, n_spans, covered_tokens, span_frac) for
+    * documents with at least one span. */
+  def duplicatedSpans(docs: DataFrame, idCol: String, k: Int = 5): DataFrame = {
+    val sh = docs
+      .select(col(idCol), TextFunctions.tokens(col("text")).as("toks"))
+      .select(col(idCol), size(col("toks")).as("n_tokens"),
+        posexplode(call_function("word_shingles", col("toks"), lit(k))))
+      .select(col(idCol), col("n_tokens"), (col("pos") + 1).as("pos"),
+        col("col").as("sh"))
+    val dup = sh.groupBy("sh").agg(count_distinct(col(idCol)).as("nd"))
+      .filter(col("nd") > 1).select("sh")
+    val covered = sh.join(dup, "sh").select(col(idCol), col("n_tokens"), col("pos"))
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    covered
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(w) > k, 1).otherwise(0))
+      .withColumn("island", sum(col("brk")).over(w))
+      .groupBy(col(idCol), col("island"))
+      .agg(max(col("n_tokens")).as("n_tokens"), min(col("pos")).as("s"),
+        (max(col("pos")) + (k - 1)).as("e"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).cast("long").as("covered_tokens"),
+        (sum(col("e") - col("s") + 1).cast("double") /
+          max(col("n_tokens"))).as("span_frac"))
+  }
+
+  /** Q77 core: directional contamination of `corpus` against `benchmark`
+    * (any shared k-token shingle). Needs an `id` column on the corpus
+    * side; emits (id, n_contaminated, contam_frac). */
+  def contamination(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, k: Int = 4): DataFrame = {
+    def shingled(df: DataFrame, cols: Column*): DataFrame =
+      df.select(cols :+ explode(call_function("word_shingles",
+        TextFunctions.tokens(col("text")), lit(k))).as("sh"): _*)
+    val bench = shingled(benchmark).select("sh").distinct()
+    shingled(corpus, col(idCol),
+      (size(TextFunctions.tokens(col("text"))) - (k - 1)).cast("long")
+        .as("n_shingles"))
+      .join(bench, "sh")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_contaminated"),
+        max(col("n_shingles")).as("n_shingles"))
+      .select(col(idCol), col("n_contaminated"),
+        (col("n_contaminated").cast("double") / col("n_shingles"))
+          .as("contam_frac"))
+  }
+
+  /** Q75 core: greedy per-group token-budget sampling by md5-of-id rank.
+    * Emits the surviving rows with (n_tokens, cum_before) attached. */
+  def tokenBudgetSample(docs: DataFrame, idCol: String, groupCol: String,
+      budget: Long): DataFrame = {
+    val w = Window.partitionBy(groupCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    docs
+      .withColumn("n_tokens",
+        size(TextFunctions.tokens(col("text"))).cast("long"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("cum_before") < budget)
+  }
+}

@@ -32,24 +32,11 @@ object CorpusQueries extends QueryGroup {
     * (`transform(distinct, g -> count of g)`); documents are bounded (a
     * 100 TB corpus is wide, not long-per-doc), so per-row cost is bounded.
     */
-  private val q71: Q = (s, d) => {
-    val toks = TextFunctions.tokens(col("text"))
-    val g2 = call_function("word_shingles", toks, lit(2))
-    val g3 = call_function("word_shingles", toks, lit(3))
-    def dupFrac(g: org.apache.spark.sql.Column) =
-      when(size(g) === 0, 0.0)
-        .otherwise(lit(1.0) - size(array_distinct(g)).cast("double") / size(g))
-    val topFreq = array_max(transform(array_distinct(g2),
-      g => size(filter(g2, x => x === g))))
-    Tables.documents(s, d).select(
-      col("doc_id"),
-      size(g2).cast("long").as("n_2grams"),
-      dupFrac(g2).as("dup_2gram_frac"),
-      dupFrac(g3).as("dup_3gram_frac"),
-      when(size(g2) === 0, 0.0)
-        .otherwise(topFreq.cast("double") / size(g2)).as("top_2gram_frac"))
+  private val q71: Q = (s, d) =>
+    CorpusOps.repetitionSignals(Tables.documents(s, d))
+      .select("doc_id", "n_2grams", "dup_2gram_frac", "dup_3gram_frac",
+        "top_2gram_frac")
       .orderBy("doc_id")
-  }
 
   /** Q72: cross-document duplicated-span detection — the exact-substring
     * complement to q37's bag-of-tokens Jaccard (after Lee et al.,
@@ -70,36 +57,9 @@ object CorpusQueries extends QueryGroup {
     * scale the shingle join key would be xxhash64(shingle); the declared
     * query keeps the string so the oracle is engine-independent.
     */
-  private val q72: Q = (s, d) => {
-    val k = 5
-    val toksDf = Tables.documents(s, d)
-      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), size(col("toks")).as("n_tokens"),
-        posexplode(call_function("word_shingles", col("toks"), lit(k))))
-      .select(col("doc_id"), col("n_tokens"),
-        (col("pos") + 1).as("pos"), col("col").as("sh"))
-    val dup = toksDf.groupBy("sh")
-      .agg(count_distinct(col("doc_id")).as("nd"))
-      .filter(col("nd") > 1).select("sh")
-    val covered = toksDf.join(dup, "sh")
-      .select("doc_id", "n_tokens", "pos")
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    // equal-length windows ⇒ ends are monotone in starts, so a single lag
-    // suffices for the merge: starts ≤ k apart overlap or touch
-    val islands = covered
-      .withColumn("brk",
-        when(col("pos") - lag("pos", 1).over(w) > k, 1).otherwise(0))
-      .withColumn("island", sum(col("brk")).over(w))
-    islands.groupBy("doc_id", "island")
-      .agg(max(col("n_tokens")).as("n_tokens"), min(col("pos")).as("s"),
-        (max(col("pos")) + (k - 1)).as("e"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_spans"),
-        sum(col("e") - col("s") + 1).cast("long").as("covered_tokens"),
-        (sum(col("e") - col("s") + 1).cast("double") /
-          max(col("n_tokens"))).as("span_frac"))
+  private val q72: Q = (s, d) =>
+    CorpusOps.duplicatedSpans(Tables.documents(s, d), "doc_id")
       .orderBy("doc_id")
-  }
 
   /** Q73: composite corpus-cleaning pipeline — the end-to-end shape of a
     * pretraining-data build, chaining three stages over one scan:
@@ -173,20 +133,10 @@ object CorpusQueries extends QueryGroup {
     * then offset within buckets) — deterministic and identical to this
     * single-window form.
     */
-  private val q75: Q = (s, d) => {
-    val budget = 800L
-    val capW = Window.partitionBy("source")
-      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("source"),
-        size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
-      .withColumn("cum_before",
-        coalesce(sum(col("n_tokens")).over(
-          capW.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .filter(col("cum_before") < budget)
+  private val q75: Q = (s, d) =>
+    CorpusOps.tokenBudgetSample(Tables.documents(s, d), "doc_id", "source", 800L)
       .select("doc_id", "source", "n_tokens", "cum_before")
       .orderBy("doc_id")
-  }
 
   /** Q76: rarest-term extraction — for each document, the token with the
     * lowest document frequency (ties to the lexicographically first
@@ -235,21 +185,10 @@ object CorpusQueries extends QueryGroup {
     * is a partial-agg groupBy. Linear in corpus size at any scale.
     */
   private val q77: Q = (s, d) => {
-    val k = 4
-    val sh = Tables.documents(s, d)
-      .select(col("doc_id"), col("source"), TextFunctions.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), col("source"),
-        explode(call_function("word_shingles", col("toks"), lit(k))).as("sh"),
-        (size(col("toks")) - (k - 1)).cast("long").as("n_shingles"))
-    val bench = sh.filter(col("source") === "src0").select("sh").distinct()
-    sh.filter(col("source") =!= "src0")
-      .join(bench, "sh")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_contaminated"),
-        max(col("n_shingles")).as("n_shingles"))
-      .select(col("doc_id"), col("n_contaminated"),
-        (col("n_contaminated").cast("double") / col("n_shingles"))
-          .as("contam_frac"))
+    val docs = Tables.documents(s, d)
+    CorpusOps.contamination(
+      docs.filter(col("source") =!= "src0"),
+      docs.filter(col("source") === "src0"), "doc_id")
       .orderBy("doc_id")
   }
 
