@@ -16,6 +16,13 @@ import org.apache.spark.sql.functions._
   */
 object CorpusOps {
 
+  /** Quality-gate thresholds — the single source of truth shared by the
+    * batch pipeline (q73) and the streaming gate
+    * ([[graft.streaming.CorpusStream]]); parity between the two is
+    * spec-pinned (StreamingCorpusSpec). */
+  val MinUniqRatio = 0.35
+  val MaxDup2gramFrac = 0.10
+
   /** Duplicate-fraction of an n-gram array: share of occurrences that
     * repeat an earlier one; 0.0 for empty arrays. */
   def dupFrac(g: Column): Column =

@@ -99,7 +99,8 @@ object CorpusQueries extends QueryGroup {
       when(size(g2) === 0, 0.0)
         .otherwise(lit(1.0) - size(array_distinct(g2)).cast("double") / size(g2))
         .as("dup_2gram_frac"))
-      .filter(col("uniq_ratio") >= 0.35 && col("dup_2gram_frac") <= 0.10)
+      .filter(col("uniq_ratio") >= CorpusOps.MinUniqRatio &&
+        col("dup_2gram_frac") <= CorpusOps.MaxDup2gramFrac)
       .observe("corpus_stage_quality", count(lit(1)).as("kept"))
     val hashW = Window.partitionBy(md5(lower(trim(col("text")))))
     val deduped = quality

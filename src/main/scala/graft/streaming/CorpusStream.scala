@@ -28,10 +28,11 @@ import org.apache.spark.sql.functions._
   */
 object CorpusStream {
 
-  /** Default thresholds match batch q73 so a doc passing the stream gate
-    * passes the batch gate and vice versa (parity is spec-pinned). */
-  val MinUniqRatio = 0.35
-  val MaxDup2gramFrac = 0.10
+  /** Default thresholds are [[graft.operators.CorpusOps]]'s — the single
+    * source shared with batch q73, so a doc passing the stream gate passes
+    * the batch gate and vice versa (parity is spec-pinned). */
+  val MinUniqRatio: Double = graft.operators.CorpusOps.MinUniqRatio
+  val MaxDup2gramFrac: Double = graft.operators.CorpusOps.MaxDup2gramFrac
 
   private def dup2gramFrac(toks: Column): Column = {
     val g2 = call_function("word_shingles", toks, lit(2))
