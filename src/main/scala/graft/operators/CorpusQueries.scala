@@ -232,6 +232,31 @@ object CorpusQueries extends QueryGroup {
       .orderBy("source")
   }
 
+  /** Q80: quality-weighted deterministic sampling — keep each document
+    * with probability equal to its quality weight (here the uniqueness
+    * ratio), the resampling move of quality-curated corpus builds: instead
+    * of a hard gate, high-quality docs survive more often, and the SAME
+    * docs survive on every run anywhere because the "randomness" is
+    * md5(doc_id) mapped to a uniform in [0,1) (the q58 hash-sampling
+    * contract extended from a fixed threshold to a per-row one).
+    *
+    * Determinism: u = first 8 md5 hex digits as an integer divided by
+    * 2³², exact in both engines (division by a power of two); the weight
+    * is an exact integer ratio; `u < w` therefore agrees bit-for-bit.
+    * Shape: per-row math + filter on the scan, no shuffle.
+    */
+  private val q80: Q = (s, d) => {
+    val toks = TextFunctions.tokens(col("text"))
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long").cast("double") / lit(4294967296.0))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      (size(array_distinct(toks)).cast("double") / size(toks)).as("w"),
+      u.as("u"))
+      .filter(col("u") < col("w"))
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q71_text_repetition" -> q71,
     "q72_dedup_spans" -> q72,
@@ -240,6 +265,7 @@ object CorpusQueries extends QueryGroup {
     "q76_text_rare_terms" -> q76,
     "q77_text_contamination" -> q77,
     "q78_corpus_report" -> q78,
+    "q80_sample_quality_weighted" -> q80,
   )
 
   // 2-gram positions: range(1, len) = 1..len-1 (DuckDB range excludes the
@@ -318,6 +344,21 @@ object CorpusQueries extends QueryGroup {
         | FROM t)
         |SELECT doc_id, source, n_tokens, CAST(cum_before AS BIGINT) AS cum_before
         |FROM r WHERE cum_before < 800 ORDER BY doc_id""".stripMargin,
+
+    // u is exact in both engines: integer from 8 md5 hex digits divided by
+    // 2^32 (a power of two); the weight is an exact integer ratio
+    "q80_sample_quality_weighted" ->
+      """SELECT doc_id,
+        |  CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
+        |    / len(string_split(lower(text), ' ')) AS w,
+        |  CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
+        |    / 4294967296.0 AS u
+        |FROM documents
+        |WHERE CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
+        |    / 4294967296.0
+        |  < CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
+        |    / len(string_split(lower(text), ' '))
+        |ORDER BY doc_id""".stripMargin,
 
     // pooled ratios: Σ numerator / Σ denominator over exact BIGINTs,
     // divided ONCE as double — never a cross-engine sum of doubles

@@ -200,6 +200,22 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(rows("srcB").getAs[Double]("gate_fail_share") == 0.0)
   }
 
+  test("q80: weight-1 docs always survive, degenerate docs almost never, and runs are identical") {
+    val allDistinct = (1 to 20).map(i => s"u$i").mkString(" ")   // w = 1.0
+    val degenerate = Seq.fill(50)("r").mkString(" ")             // w = 0.02
+    val dir = corpus(
+      (1L to 30L).map(i => (i, allDistinct)) ++
+        (31L to 60L).map(i => (i, degenerate)): _*)
+    val run1 = SparkEntry.queries("q80_sample_quality_weighted")(spark, dir)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val run2 = SparkEntry.queries("q80_sample_quality_weighted")(spark, dir)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(run1 == run2, "sampling must be deterministic across runs")
+    assert((1L to 30L).toSet.subsetOf(run1), "w=1.0 docs must always survive")
+    val degKept = run1.count(_ > 30L)
+    assert(degKept <= 5, s"w=0.02 docs should almost never survive: kept $degKept")
+  }
+
   test("null and empty text never crash the corpus queries") {
     val dir = tmpDir("corpus-null")
     Seq(
