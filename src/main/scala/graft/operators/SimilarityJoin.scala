@@ -128,7 +128,8 @@ object SimilarityJoin {
   }
 
   /** Exact τ-overlap self-join as a blocked all-pairs join: equi-join on
-    * `block` with `a_id < b_id`, intersection via `array_intersect` per
+    * `block` with `a_id < b_id`, intersection via the native
+    * `intersect_count` kernel (no intersection-array allocation) per
     * pair. Quadratic in block size — the OPPOSITE scaling regime from
     * [[overlapPostings]]:
     *
@@ -156,7 +157,8 @@ object SimilarityJoin {
       col("block").as("b_block"), col("w").as("b_w")), col("b_block"))
     a.join(b, col("block") === col("b_block") && col("a_id") < col("b_id"))
       .observe(metricName, count(lit(1)).as("pairs"))
-      .withColumn("inter", size(array_intersect(col("a_w"), col("b_w"))))
+      .withColumn("inter",
+        call_function("intersect_count", col("a_w"), col("b_w")))
       .withColumn("overlap",
         col("inter").cast("double") / least(size(col("a_w")), size(col("b_w"))))
       .filter(col("overlap") >= tau)
@@ -207,7 +209,8 @@ object SimilarityJoin {
           (col("ca") =!= col("cb") || col("x_id") < col("y_id")))
       .observe(metricName, count(lit(1)).as("pairs"))
     tiles
-      .withColumn("inter", size(array_intersect(col("x_w"), col("y_w"))))
+      .withColumn("inter",
+        call_function("intersect_count", col("x_w"), col("y_w")))
       .withColumn("overlap",
         col("inter").cast("double") / least(size(col("x_w")), size(col("y_w"))))
       .filter(col("overlap") >= tau)
@@ -355,7 +358,8 @@ object SimilarityJoin {
       .groupBy("a_id", "b_id")
       .agg(min_by(col("w"), col("id")).as("a_w"),
         max_by(col("w"), col("id")).as("b_w"))
-      .withColumn("inter", size(array_intersect(col("a_w"), col("b_w"))))
+      .withColumn("inter",
+        call_function("intersect_count", col("a_w"), col("b_w")))
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("a_w")) + size(col("b_w")) - col("inter")))
       .filter(col("jaccard") >= tau)

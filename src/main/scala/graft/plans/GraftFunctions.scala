@@ -36,7 +36,9 @@ object GraftFunctions {
     ("lsh_sig", classOf[LshSignature], 1,
       (c: Seq[Expression]) => LshSignature(c(0))),
     ("keyword_overlap", classOf[KeywordOverlap], 2,
-      (c: Seq[Expression]) => KeywordOverlap(c(0), c(1))))
+      (c: Seq[Expression]) => KeywordOverlap(c(0), c(1))),
+    ("intersect_count", classOf[IntersectCount], 2,
+      (c: Seq[Expression]) => IntersectCount(c(0), c(1))))
 
   /** Idempotently register every graft function into a live session (no-op
     * when GraftExtensions already injected them). */

@@ -37,6 +37,32 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(both.filter(col("native") =!= col("sql")).count() == 0)
   }
 
+  test("intersect_count native ≡ size(array_intersect) incl. duplicates and empties") {
+    // corpus pairs: every doc's token set against the reversed next doc's
+    val toks = TextFunctions.tokenSet(col("text"))
+    val pairs = docs.select(toks.as("a"),
+      reverse(lead(toks, 1).over(org.apache.spark.sql.expressions.Window
+        .orderBy("doc_id"))).as("b"))
+      .filter(col("b").isNotNull)
+    val both = pairs.select(
+      call_function("intersect_count", col("a"), col("b")).as("native"),
+      size(array_intersect(col("a"), col("b"))).as("builtin"))
+    assert(both.count() > 0)
+    assert(both.filter(col("native") =!= col("builtin")).count() == 0)
+    // constructed edges: duplicate elements count once; empty/disjoint = 0;
+    // asymmetric sizes exercise the build-smaller-side branch
+    val edge = Seq(
+      (Seq("a", "a", "b"), Seq("a")),
+      (Seq("a"), Seq("a", "a", "b")),
+      (Seq.empty[String], Seq("a")),
+      (Seq("x", "y"), Seq("z")),
+      (Seq("a", "b", "c", "d", "e"), Seq("e", "a"))).toDF("a", "b")
+    val got = edge.select(
+      call_function("intersect_count", col("a"), col("b")).as("n")).collect()
+      .map(_.getInt(0)).toSeq
+    assert(got == Seq(1, 1, 0, 0, 2), s"got $got")
+  }
+
   test("simhash64 native ≡ per-bit vote SQL formulation") {
     // the SQL twin is O(64·tokens) interpreted — keep the sample small
     val sample = docs.limit(25)
