@@ -16,11 +16,14 @@ import org.apache.spark.sql.streaming.StreamingQueryListener.{QueryIdleEvent, Qu
   * whose input arrived faster than it was processed — is the micro-batch
   * analogue of `millisBehindLatest` ≈ 0 as the health SLO.
   */
-final class MetricsListener extends StreamingQueryListener {
-
+object MetricsListener {
   final case class BatchMetrics(queryName: String, batchId: Long,
                                 inputRows: Long, inputRowsPerSec: Double,
                                 processedRowsPerSec: Double, durationMs: Long)
+}
+
+final class MetricsListener extends StreamingQueryListener {
+  import MetricsListener.BatchMetrics
 
   private val maxRetained = 10000 // bounded: long-running streams must not leak
   private val batchesBuf = mutable.ArrayBuffer.empty[BatchMetrics]
