@@ -216,9 +216,11 @@ object CorpusQueries extends QueryGroup {
       size(array_distinct(toks)).cast("long").as("n_distinct"),
       size(g2).cast("long").as("n_2grams"),
       size(array_distinct(g2)).cast("long").as("n_2grams_distinct"),
-      (size(array_distinct(toks)).cast("double") / size(toks) < 0.35 ||
+      (size(array_distinct(toks)).cast("double") / size(toks) <
+          CorpusOps.MinUniqRatio ||
         (size(g2) > 0 &&
-          lit(1.0) - size(array_distinct(g2)).cast("double") / size(g2) > 0.10))
+          lit(1.0) - size(array_distinct(g2)).cast("double") / size(g2) >
+            CorpusOps.MaxDup2gramFrac))
         .cast("long").as("fails_gate"))
     feat.groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
