@@ -189,26 +189,9 @@ object SimilarityJoin {
     * is spec-pinned (SimilarityJoinSpec).
     */
   def overlapBlockedTiled(docs: DataFrame, tau: Double, chunks: Int = 8,
-      metricName: String = "sj_pairs_tiled"): DataFrame = {
-    require(chunks >= 1, s"chunks must be ≥ 1: $chunks")
-    val withChunk = docs.withColumn("c",
-      pmod(xxhash64(col("id")), lit(chunks)).cast("int"))
-    val aSide = withChunk.select(col("id").as("x_id"), col("block"),
-      col("w").as("x_w"), col("c").as("ca"),
-      explode(sequence(col("c"), lit(chunks - 1))).as("cb"))
-    val bSide = withChunk.select(col("id").as("y_id"),
-      col("block").as("y_block"), col("w").as("y_w"),
-      explode(sequence(lit(0), col("c"))).as("ca2"), col("c").as("cb2"))
-    val tiles = pinPairWidth(aSide, col("block"), col("ca"), col("cb"))
-      .join(pinPairWidth(bSide, col("y_block"), col("ca2"), col("cb2")),
-        col("block") === col("y_block") &&
-          col("ca") === col("ca2") && col("cb") === col("cb2") &&
-          // diagonal tiles hold both orders of an intra-chunk pair (and
-          // self-pairs): keep one; off-diagonal tiles hold each cross pair
-          // exactly once already
-          (col("ca") =!= col("cb") || col("x_id") < col("y_id")))
+      metricName: String = "sj_pairs_tiled"): DataFrame =
+    tiledSelfPairs(docs, "id", "block", Seq("w"), chunks)
       .observe(metricName, count(lit(1)).as("pairs"))
-    tiles
       .withColumn("inter",
         call_function("intersect_count", col("x_w"), col("y_w")))
       .withColumn("overlap",
@@ -216,6 +199,48 @@ object SimilarityJoin {
       .filter(col("overlap") >= tau)
       .select(least(col("x_id"), col("y_id")).as("a_id"),
         greatest(col("x_id"), col("y_id")).as("b_id"), col("overlap"))
+
+  /** Generic triangular-tiled blocked self-pairing — the machinery behind
+    * [[overlapBlockedTiled]], reusable for ANY per-pair computation over
+    * in-block pairs (token overlap, embedding cosine, …). Emits each
+    * unordered in-block id pair exactly once as
+    * (x_id, y_id, block, x_<payload>…, y_<payload>…); x/y order is
+    * arbitrary in off-diagonal tiles, so callers normalize with
+    * least/greatest where output order matters.
+    *
+    * Why it exists beyond overlap: ANY blocked-by-key pair join caps its
+    * parallelism at the number of DISTINCT BLOCKS — a label-blocked
+    * embedding join with 10 labels uses 10 tasks of a 1000-executor
+    * cluster. Tiling re-keys the pair product onto
+    * blocks × C(chunks+1, 2) keys (see [[overlapBlockedTiled]]'s doc for
+    * the construction and its replication cost).
+    *
+    * Reserves column names c/ca/cb/ca2/cb2 and the x_/y_ prefixes;
+    * `payload` columns must not collide with them. */
+  def tiledSelfPairs(docs: DataFrame, idCol: String, blockCol: String,
+      payload: Seq[String], chunks: Int): DataFrame = {
+    require(chunks >= 1, s"chunks must be ≥ 1: $chunks")
+    val withChunk = docs.withColumn("c",
+      pmod(xxhash64(col(idCol)), lit(chunks)).cast("int"))
+    val aSide = withChunk.select(col(idCol).as("x_id") +:
+      col(blockCol).as("block") +:
+      payload.map(p => col(p).as(s"x_$p")) :+
+      col("c").as("ca") :+
+      explode(sequence(col("c"), lit(chunks - 1))).as("cb"): _*)
+    val bSide = withChunk.select(col(idCol).as("y_id") +:
+      col(blockCol).as("y_block") +:
+      payload.map(p => col(p).as(s"y_$p")) :+
+      explode(sequence(lit(0), col("c"))).as("ca2") :+
+      col("c").as("cb2"): _*)
+    pinPairWidth(aSide, col("block"), col("ca"), col("cb"))
+      .join(pinPairWidth(bSide, col("y_block"), col("ca2"), col("cb2")),
+        col("block") === col("y_block") &&
+          col("ca") === col("ca2") && col("cb") === col("cb2") &&
+          // diagonal tiles hold both orders of an intra-chunk pair (and
+          // self-pairs): keep one; off-diagonal tiles hold each cross pair
+          // exactly once already
+          (col("ca") =!= col("cb") || col("x_id") < col("y_id")))
+      .drop("ca", "cb", "ca2", "cb2", "y_block")
   }
 
   /** Exact-duplicate collapse staging around an inner pair strategy — the
