@@ -205,7 +205,9 @@ object CorpusQueries extends QueryGroup {
     * [[graft.operators.dsum]]'s contract).
     *
     * Shape: per-row integer features on the scan, one partial-aggregated
-    * groupBy on source. One shuffle.
+    * groupBy on source. One shuffle. The pooled denominators are guarded
+    * (ANSI mode: x/0 throws) — a source whose documents are all empty /
+    * <2 tokens reports 0.0, mirrored by CASE in the oracle.
     */
   private val q78: Q = (s, d) => {
     val toks = TextFunctions.tokens(col("text"))
@@ -225,10 +227,13 @@ object CorpusQueries extends QueryGroup {
     feat.groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("total_tokens"),
-        (sum(col("n_distinct")).cast("double") / sum(col("n_tokens")))
+        when(sum(col("n_tokens")) === 0, 0.0)
+          .otherwise(sum(col("n_distinct")).cast("double") /
+            sum(col("n_tokens")))
           .as("pooled_uniq_ratio"),
-        (lit(1.0) - sum(col("n_2grams_distinct")).cast("double") /
-          sum(col("n_2grams"))).as("pooled_dup_2gram_frac"),
+        when(sum(col("n_2grams")) === 0, 0.0)
+          .otherwise(lit(1.0) - sum(col("n_2grams_distinct")).cast("double") /
+            sum(col("n_2grams"))).as("pooled_dup_2gram_frac"),
         (sum(col("fails_gate")).cast("double") / count(lit(1)))
           .as("gate_fail_share"))
       .orderBy("source")
@@ -382,8 +387,10 @@ object CorpusQueries extends QueryGroup {
         |        FROM documents))
         |SELECT source, count(*) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-        |  CAST(sum(n_distinct) AS DOUBLE) / sum(n_tokens) AS pooled_uniq_ratio,
-        |  1.0 - CAST(sum(n_2grams_distinct) AS DOUBLE) / sum(n_2grams) AS pooled_dup_2gram_frac,
+        |  CASE WHEN sum(n_tokens) = 0 THEN 0.0
+        |       ELSE CAST(sum(n_distinct) AS DOUBLE) / sum(n_tokens) END AS pooled_uniq_ratio,
+        |  CASE WHEN sum(n_2grams) = 0 THEN 0.0
+        |       ELSE 1.0 - CAST(sum(n_2grams_distinct) AS DOUBLE) / sum(n_2grams) END AS pooled_dup_2gram_frac,
         |  CAST(sum(fails_gate) AS DOUBLE) / count(*) AS gate_fail_share
         |FROM f GROUP BY source ORDER BY source""".stripMargin,
 

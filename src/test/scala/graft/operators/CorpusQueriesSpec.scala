@@ -189,7 +189,9 @@ class CorpusQueriesSpec extends SparkSpec {
     val dir = corpusSrc(
       (1L, "a b c d", "srcA"),                       // 4 tokens, 4 distinct
       (2L, "a a a a a a a a a a a a", "srcA"),       // 12 tokens, 1 distinct; fails gate
-      (3L, "x y z", "srcB"))
+      (3L, "x y z", "srcB"),
+      (4L, "q", "srcC"),          // single-token docs: Σ n_2grams = 0 —
+      (5L, "r", "srcC"))          // the pooled denominator must be guarded
     val rows = SparkEntry.queries("q78_corpus_report")(spark, dir)
       .collect().map(r => r.getAs[String]("source") -> r).toMap
     val a = rows("srcA")
@@ -198,6 +200,8 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(a.getAs[Double]("pooled_uniq_ratio") == 5.0 / 16.0)
     assert(a.getAs[Double]("gate_fail_share") == 0.5)
     assert(rows("srcB").getAs[Double]("gate_fail_share") == 0.0)
+    // ANSI mode: an unguarded x / Σ0 would throw DIVIDE_BY_ZERO here
+    assert(rows("srcC").getAs[Double]("pooled_dup_2gram_frac") == 0.0)
   }
 
   test("q80: weight-1 docs always survive, degenerate docs almost never, and runs are identical") {
