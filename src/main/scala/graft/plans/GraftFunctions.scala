@@ -24,6 +24,8 @@ object GraftFunctions {
       (c: Seq[Expression]) => DotProduct(c(0), c(1))),
     ("simhash64", classOf[SimHash64], 1,
       (c: Seq[Expression]) => SimHash64(c(0))),
+    ("simhash_md5_60", classOf[Md5SimHash60], 1,
+      (c: Seq[Expression]) => Md5SimHash60(c(0))),
     ("minhash_bands", classOf[MinHashBands], 3,
       (c: Seq[Expression]) => MinHashBands(c(0),
         intLit(c(1), "minhash_bands", "numHashes"),

@@ -77,6 +77,24 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(both.filter(col("native") =!= col("sql")).count() == 0)
   }
 
+  test("simhash_md5_60 native ≡ md5-nibble vote SQL formulation, and uses only 60 bits") {
+    val sample = docs.limit(25)
+      .withColumn("toks", TextFunctions.tokenSet(col("text")))
+    // per-token hash = first 15 md5 hex digits as a 60-bit value — the
+    // exact expression the DuckDB q42b oracle uses on its side
+    val sqlSig = expr(
+      """aggregate(sequence(0, 59), CAST(0 AS BIGINT),
+        |  (acc, i) -> acc + IF(
+        |    aggregate(transform(toks, t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)),
+        |      0, (v, h) -> v + IF((shiftright(h, i) & 1) = 1, 1, -1)) > 0,
+        |    shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))""".stripMargin)
+    val both = sample.select(
+      call_function("simhash_md5_60", col("toks")).as("native"), sqlSig.as("sql"))
+    assert(both.filter(col("native") =!= col("sql")).count() == 0)
+    assert(both.filter(col("native") < 0 ||
+      col("native") >= (1L << 60)).count() == 0)
+  }
+
   test("minhash_bands is stable and sensitive (same input → same bands; different input → different bands)") {
     val sh = call_function("word_shingles", TextFunctions.tokens(col("text")), lit(3))
     val bands = docs.select(col("doc_id"),
