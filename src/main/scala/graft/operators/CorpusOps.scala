@@ -108,4 +108,32 @@ object CorpusOps {
           w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .filter(col("cum_before") < budget)
   }
+
+  /** Standard PII scrubbing rules as (label, regex, replacement) — ASCII
+    * email, North-American phone (3-3-4 with `-`/`.`/space separators),
+    * and dotted-quad IPv4. Patterns deliberately stay inside the
+    * intersection of Java regex and RE2 (no backrefs, no lookaround) so
+    * the same rule set runs under Spark and any RE2-based engine
+    * (PiiRedactSpec pins matches and non-matches on constructed text). */
+  val PiiRules: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("phone", "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b", "[PHONE]"),
+    ("ipv4", "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "[IP]"))
+
+  /** Q81 core: regex scrubbing — replace every match of each rule (applied
+    * in rule order) and attach per-rule match counts. Counts are measured
+    * on the ORIGINAL text (order-independent and engine-mirrorable);
+    * replacements chain, so a later rule sees earlier substitutions.
+    * Per-row, no shuffle; at any corpus scale this is a map-only stage
+    * that pipelines into the scan. */
+  def redact(docs: DataFrame, rules: Seq[(String, String, String)]): DataFrame = {
+    val scrubbed = rules.foldLeft(col("text")) { case (c, (_, pat, rep)) =>
+      regexp_replace(c, lit(pat), lit(rep))
+    }
+    docs.select(
+      (docs.columns.map(col).toSeq :+ scrubbed.as("redacted")) ++
+        rules.map { case (label, pat, _) =>
+          regexp_count(col("text"), lit(pat)).cast("long").as(s"n_$label")
+        }: _*)
+  }
 }

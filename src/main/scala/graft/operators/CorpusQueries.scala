@@ -264,6 +264,24 @@ object CorpusQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** Q81: regex scrubbing (the PII-redaction shape) — replace every match
+    * of an ordered rule list and report per-rule match counts, via
+    * [[CorpusOps.redact]]. The driver corpus contains no digits, so the
+    * DECLARED rules target corpus terms (`customer` → `[NAME]`, `spark` →
+    * `[ORG]`) to make the oracle non-vacuous; the standard email/phone/IPv4
+    * rule set ([[CorpusOps.PiiRules]]) is pinned on constructed fixtures in
+    * PiiRedactSpec. Rule patterns stay inside the Java-regex ∩ RE2
+    * intersection, so Spark and DuckDB agree match-for-match.
+    * Shape: map-only on the scan, no shuffle at any scale. */
+  private val q81: Q = (s, d) => {
+    val rules = Seq(
+      ("name", "\\bcustomer\\b", "[NAME]"),
+      ("org", "\\bspark\\b", "[ORG]"))
+    CorpusOps.redact(Tables.documents(s, d).select("doc_id", "text"), rules)
+      .select("doc_id", "redacted", "n_name", "n_org")
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q71_text_repetition" -> q71,
     "q72_dedup_spans" -> q72,
@@ -273,6 +291,7 @@ object CorpusQueries extends QueryGroup {
     "q77_text_contamination" -> q77,
     "q78_corpus_report" -> q78,
     "q80_sample_quality_weighted" -> q80,
+    "q81_text_redact" -> q81,
   )
 
   // 2-gram positions: range(1, len) = 1..len-1 (DuckDB range excludes the
@@ -366,6 +385,17 @@ object CorpusQueries extends QueryGroup {
         |  < CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
         |    / len(string_split(lower(text), ' '))
         |ORDER BY doc_id""".stripMargin,
+
+    // counts on the ORIGINAL text, replacements chained in rule order —
+    // mirrors CorpusOps.redact exactly; DuckDB needs the 'g' flag (its
+    // regexp_replace is first-match-only by default, Spark's is global)
+    "q81_text_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(text, '\bcustomer\b', '[NAME]', 'g'),
+        |    '\bspark\b', '[ORG]', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(text, '\bcustomer\b')) AS BIGINT) AS n_name,
+        |  CAST(len(regexp_extract_all(text, '\bspark\b')) AS BIGINT) AS n_org
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // pooled ratios: Σ numerator / Σ denominator over exact BIGINTs,
     // divided ONCE as double — never a cross-engine sum of doubles
