@@ -109,6 +109,46 @@ object CorpusOps {
       .filter(col("cum_before") < budget)
   }
 
+  /** Q82 core: incremental (cross-snapshot) dedup — the shape of adding a
+    * new batch to an ALREADY-deduplicated corpus: rather than re-running
+    * dedup over corpus ∪ batch (quadratic re-work at 100 TB), probe the
+    * batch against the corpus's dedup index and within itself. Emits every
+    * batch row with its verdict:
+    *   - `dup_exact`: the batch doc's content hash exists in the corpus;
+    *   - `dup_near`: its bag-of-words fingerprint ([[TextFunctions
+    *     .fingerprint]]) exists in the corpus;
+    *   - `dup_in_batch`: another batch doc with a smaller id shares its
+    *     fingerprint (the within-batch keeper rule of q36);
+    *   - `kept`: none of the above — the doc enters the corpus.
+    *
+    * Scale shape: the corpus side reduces to its DISTINCT (hash,
+    * fingerprint) index — in a real deployment that index is precomputed
+    * and stored bucketed by key (the AnnStorage move), so each round's
+    * cost is two key-joins sized by the BATCH plus one window over the
+    * batch; the 100 TB corpus text is never rescanned. The left joins
+    * shuffle on 128-bit md5 keys (uniform, no skew); the batch-side window
+    * partitions on fingerprint. */
+  def incrementalDedupFlags(batch: DataFrame, corpus: DataFrame,
+      idCol: String): DataFrame = {
+    def keyed(df: DataFrame) = df.select(
+      col(idCol), md5(col("text")).as("h"),
+      TextFunctions.fingerprint(col("text")).as("fp"))
+    val hashes = keyed(corpus).select("h").distinct()
+      .withColumn("dup_exact", lit(true))
+    val fps = keyed(corpus).select("fp").distinct()
+      .withColumn("dup_near", lit(true))
+    keyed(batch)
+      .join(hashes, Seq("h"), "left")
+      .join(fps, Seq("fp"), "left")
+      .withColumn("dup_exact", coalesce(col("dup_exact"), lit(false)))
+      .withColumn("dup_near", coalesce(col("dup_near"), lit(false)))
+      .withColumn("dup_in_batch",
+        col(idCol) =!= min(col(idCol)).over(Window.partitionBy("fp")))
+      .withColumn("kept",
+        !col("dup_exact") && !col("dup_near") && !col("dup_in_batch"))
+      .drop("h", "fp")
+  }
+
   /** Standard PII scrubbing rules as (label, regex, replacement) — ASCII
     * email, North-American phone (3-3-4 with `-`/`.`/space separators),
     * and dotted-quad IPv4. Patterns deliberately stay inside the

@@ -220,6 +220,31 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(degKept <= 5, s"w=0.02 docs should almost never survive: kept $degKept")
   }
 
+  test("q82: incremental dedup separates exact, near, in-batch dups and keepers") {
+    // corpus = id % 4 != 0; batch = id % 4 == 0
+    val dir = corpus(
+      (1L, "a b c"),       // corpus
+      (2L, "d e f"),       // corpus
+      (4L, "a b c"),       // batch: identical text to doc 1 → exact + near
+      (8L, "c b a"),       // batch: same bag as doc 1 (and batch doc 4!)
+      (12L, "p q r"),      // batch: new fingerprint, min id → kept
+      (16L, "p q r"),      // batch: same fp as 12, larger id → in-batch dup
+      (20L, "z q"))        // batch: unique → kept
+    val rows = SparkEntry.queries("q82_dedup_incremental")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("dup_exact"), r.getAs[Boolean]("dup_near"),
+          r.getAs[Boolean]("dup_in_batch"), r.getAs[Boolean]("kept"))))
+      .toMap
+    assert(rows(4L) == ((true, true, false, false)))
+    // near-dup of corpus doc 1 AND fp-tied with batch doc 4 (smaller id)
+    assert(rows(8L) == ((false, true, true, false)))
+    assert(rows(12L) == ((false, false, false, true)))
+    assert(rows(16L) == ((false, false, true, false)))
+    assert(rows(20L) == ((false, false, false, true)))
+    assert(!rows.contains(1L) && !rows.contains(2L),
+      "corpus docs must not appear in the batch verdicts")
+  }
+
   test("null and empty text never crash the corpus queries") {
     val dir = tmpDir("corpus-null")
     Seq(
