@@ -149,6 +149,55 @@ object CorpusOps {
       .drop("h", "fp")
   }
 
+  /** Q83 core (declared semantics): deterministic quality-decile binning —
+    * the curriculum / data-mixing move: rank every document by a quality
+    * score (ties broken by id, so the order is total) and assign
+    * `decile = 1 + (10 · (rank − 1)) div n`, integer math end to end (no
+    * percentile-boundary double comparisons, which could flip a bucket on
+    * a last-ulp difference between engines).
+    *
+    * This form computes the global rank with an UNPARTITIONED window —
+    * one WindowExec task, fine up to millions of rows but NOT the 100 TB
+    * shape. [[decileBinDistributed]] is the scale path (range-partitioned
+    * sort + per-partition offsets), spec-pinned row-identical to this one
+    * (DecileBinSpec); q83 binds this form for the fixture sizes the
+    * driver benches, by measurement (the RDD hop's encoder round-trip
+    * costs more than the single-task window saves below ~10⁶ rows). */
+  def decileBin(docs: DataFrame, qCol: Column, idCol: String): DataFrame =
+    docs.withColumn("w", qCol)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("w"), col(idCol))).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("decile", expr("1 + (10 * (rn - 1)) div n"))
+      .drop("rn", "n")
+
+  /** The distributed twin of [[decileBin]]: global total order via
+    * `repartitionByRange` + in-partition sort (Spark's distributed sort —
+    * every partition holds a contiguous key range), then the global rank
+    * is each row's in-partition index plus the total size of the
+    * partitions before it (one lightweight count-per-partition job, the
+    * `zipWithIndex` scheme). No single-task stage anywhere; the decile
+    * arithmetic and output are bit-identical to the window form. */
+  def decileBinDistributed(docs: DataFrame, qCol: Column, idCol: String,
+      partitions: Int = 32): DataFrame = {
+    val keyed = docs.withColumn("w", qCol)
+    val spark = docs.sparkSession
+    val sorted = keyed
+      .repartitionByRange(partitions, col("w"), col(idCol))
+      .sortWithinPartitions(col("w"), col(idCol))
+    val ranked = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField("rn",
+          org.apache.spark.sql.types.LongType, nullable = false))
+    spark.createDataFrame(ranked, schema)
+      .crossJoin(broadcast(keyed.agg(count(lit(1)).as("n"))))
+      .withColumn("decile", expr("1 + (10 * (rn - 1)) div n"))
+      .drop("rn", "n")
+  }
+
   /** Standard PII scrubbing rules as (label, regex, replacement) — ASCII
     * email, North-American phone (3-3-4 with `-`/`.`/space separators),
     * and dotted-quad IPv4. Patterns deliberately stay inside the

@@ -282,6 +282,29 @@ object CorpusQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** Q83: quality-decile binning via [[CorpusOps.decileBin]] — every doc
+    * ranked by uniqueness ratio (ties by doc_id: total order) and assigned
+    * `decile = 1 + (10·(rank−1)) div n`, integer math both engines compute
+    * identically (no percentile-boundary double comparison to flip on an
+    * ulp). The curriculum / data-mixing primitive: downstream samplers mix
+    * per-decile. [[CorpusOps.decileBinDistributed]] is the spec-pinned
+    * 100 TB twin (range-partitioned sort + per-partition offsets — no
+    * single-task window); q83 binds the window form — at driver fixture
+    * sizes (≤ 5000 rows) the distributed twin's RDD hop pays an encoder
+    * round-trip and an extra count job for parallelism nothing here
+    * needs. */
+  private val q83: Q = (s, d) => {
+    val toks = TextFunctions.tokens(col("text"))
+    CorpusOps.decileBin(
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        (size(array_distinct(toks)).cast("double") / size(toks)).as("q")),
+      col("q"), "doc_id")
+      .select("doc_id", "n_tokens", "w", "decile")
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q71_text_repetition" -> q71,
     "q72_dedup_spans" -> q72,
@@ -292,6 +315,7 @@ object CorpusQueries extends QueryGroup {
     "q78_corpus_report" -> q78,
     "q80_sample_quality_weighted" -> q80,
     "q81_text_redact" -> q81,
+    "q83_ml_decile_bin" -> q83,
   )
 
   // 2-gram positions: range(1, len) = 1..len-1 (DuckDB range excludes the
@@ -396,6 +420,19 @@ object CorpusQueries extends QueryGroup {
         |  CAST(len(regexp_extract_all(text, '\bcustomer\b')) AS BIGINT) AS n_name,
         |  CAST(len(regexp_extract_all(text, '\bspark\b')) AS BIGINT) AS n_org
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // global rank with pinned null order (Spark asc = NULLS FIRST), then
+    // pure-integer decile arithmetic — `//` is DuckDB's integer division,
+    // mirroring Spark's `div`
+    "q83_ml_decile_bin" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        | q AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |   CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS w FROM t),
+        | r AS (SELECT *, row_number() OVER (ORDER BY w NULLS FIRST, doc_id) AS rn,
+        |   count(*) OVER () AS n FROM q)
+        |SELECT doc_id, n_tokens, w,
+        |  CAST(1 + (10 * (rn - 1)) // n AS BIGINT) AS decile
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // pooled ratios: Σ numerator / Σ denominator over exact BIGINTs,
     // divided ONCE as double — never a cross-engine sum of doubles
