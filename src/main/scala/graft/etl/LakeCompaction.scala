@@ -1,0 +1,142 @@
+package graft.etl
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Small-file compaction for the partitioned parquet lake the streaming
+  * [[graft.streaming.FileSink]] produces (reference layout
+  * `job_start=<epoch>/pickup_location=…/year=…/month=…`, one
+  * `batch-<id>-<k>` file per touched partition per 60 s micro-batch —
+  * ~1,440 files per partition per day at the reference checkpoint cadence,
+  * the operational problem every long-running file sink accumulates).
+  *
+  * Shape: `plan` walks the lake with a plain `listStatus` recursion
+  * (`listFiles(recursive)` resolves block locations per entry — an order
+  * of magnitude slower on local/object filesystems, see FileSink.promote),
+  * greedy-packs each partition's data files in name order into bins of
+  * cumulative size ≤ `targetBytes`, and keeps only bins that actually
+  * shrink the file count (≥ 2 files). `compact` rewrites every planned bin
+  * concurrently — each bin is one small Spark job (scan just that bin's
+  * files → one output file), submitted from a bounded thread pool so a
+  * thousand-bin lake keeps the cluster busy without flooding the
+  * scheduler — then commits per bin: rename the staged file to its
+  * deterministic name, delete the originals, drop the staging dir.
+  *
+  * Determinism + idempotence: the output file is named
+  * `compact-<md5 of the source-file names>`, so re-planning the same bin
+  * rewrites the same target and a second `compact` run over an
+  * already-compacted lake plans zero bins (every partition holds one
+  * `compact-*` file per target-size bin). Partition columns live in the
+  * directory names, not the files — reading explicit leaf files yields
+  * data columns only, and the compacted file drops back into the same
+  * partition dir, so table-root readers re-derive partition values
+  * unchanged.
+  *
+  * Crash contract: the staged file is written under a dot-prefixed dir
+  * (invisible to Spark readers); originals are deleted only AFTER the
+  * rename succeeds. A crash between rename and deletes leaves duplicates
+  * visible — run compaction only on partitions no longer being written
+  * (e.g. closed `job_start=` runs or past-watermark dates), the same
+  * quiescence every lake compactor (Delta OPTIMIZE, Iceberg rewrite)
+  * requires without a table-format commit log. On object stores rename is
+  * copy+delete, not atomic metadata — the window is wider, the contract
+  * identical.
+  */
+object LakeCompaction {
+
+  /** One rewrite unit: ≥ 2 data files in one partition dir whose combined
+    * size fits `targetBytes` (a lone oversized file is already compact). */
+  final case class Bin(partitionDir: String, files: Seq[String], bytes: Long) {
+    /** Deterministic output name — a function of the inputs only. */
+    def outputName: String = {
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(files.map(f => new Path(f).getName).mkString("\n")
+          .getBytes("UTF-8"))
+      "compact-" + digest.take(6).map("%02x".format(_)).mkString + ".parquet"
+    }
+  }
+
+  final case class Report(partitions: Int, binsRewritten: Int,
+      filesBefore: Int, filesAfter: Int, bytesRewritten: Long)
+
+  private def isDataFile(name: String): Boolean =
+    !name.startsWith(".") && !name.startsWith("_") && name.endsWith(".parquet")
+
+  /** Walk `dir`, bin-pack each partition's parquet files. Pure planning —
+    * no data is read. */
+  def plan(spark: SparkSession, dir: String, targetBytes: Long): Seq[Bin] = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bins = Seq.newBuilder[Bin]
+    def walk(d: Path): Unit = {
+      val entries = fs.listStatus(d)
+      entries.filter(_.isDirectory)
+        .filterNot(_.getPath.getName.startsWith("."))
+        .foreach(st => walk(st.getPath))
+      val files = entries
+        .filter(st => st.isFile && isDataFile(st.getPath.getName))
+        .sortBy(_.getPath.getName)
+      if (files.length >= 2) {
+        // greedy sequential pack in name order: deterministic, and bins
+        // group temporally-adjacent batch files (names sort by batch id)
+        var cur = Vector.empty[(String, Long)]
+        var curBytes = 0L
+        def flush(): Unit = {
+          if (cur.length >= 2)
+            bins += Bin(d.toString, cur.map(_._1), curBytes)
+          cur = Vector.empty; curBytes = 0L
+        }
+        files.foreach { st =>
+          val len = st.getLen
+          if (cur.nonEmpty && curBytes + len > targetBytes) flush()
+          cur :+= (st.getPath.toString, len)
+          curBytes += len
+        }
+        flush()
+      }
+    }
+    walk(root)
+    bins.result()
+  }
+
+  /** Rewrite every planned bin; returns what changed. */
+  def compact(spark: SparkSession, dir: String, targetBytes: Long,
+      maxConcurrentBins: Int = 8): Report = {
+    val bins = plan(spark, dir, targetBytes)
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val filesBefore = bins.map(_.files.size).sum
+    if (bins.isEmpty) return Report(0, 0, 0, 0, 0L)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(maxConcurrentBins, bins.size))
+    try {
+      bins.map { bin =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = rewrite(spark, fs, bin)
+        })
+      }.foreach(_.get()) // propagate the first failure
+    } finally pool.shutdown()
+    Report(bins.map(_.partitionDir).distinct.size, bins.size,
+      filesBefore, bins.size, bins.map(_.bytes).sum)
+  }
+
+  private def rewrite(spark: SparkSession, fs: FileSystem, bin: Bin): Unit = {
+    val partDir = new Path(bin.partitionDir)
+    val staging = new Path(partDir, s".compacting-${bin.outputName}")
+    fs.delete(staging, true)
+    // explicit leaf files → no partition inference: data columns only,
+    // exactly what belongs inside a file of this partition dir
+    spark.read.parquet(bin.files: _*)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(staging.toString)
+    val part = fs.listStatus(staging)
+      .map(_.getPath).find(p => p.getName.startsWith("part-"))
+      .getOrElse(throw new java.io.IOException(s"no staged file under $staging"))
+    val dest = new Path(partDir, bin.outputName)
+    fs.delete(dest, false) // idempotent re-run overwrites its own output
+    if (!fs.rename(part, dest))
+      throw new java.io.IOException(s"compaction rename failed: $part -> $dest")
+    bin.files.foreach(f => fs.delete(new Path(f), false))
+    fs.delete(staging, true)
+  }
+}

@@ -1,0 +1,87 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+
+/** Pins [[LakeCompaction]]: row-identical content, file-count collapse,
+  * deterministic output names, idempotent re-run, target-size binning,
+  * and partition-column preservation through the rewrite.
+  */
+class LakeCompactionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def smallFileLake(appends: Int): String = {
+    val dir = tmpDir("lake")
+    (0 until appends).foreach { b =>
+      (1 to 20).map(i => (b * 100 + i, s"v$b-$i", i % 3))
+        .toDF("id", "payload", "p")
+        .repartition(1)
+        .write.mode("append").partitionBy("p").parquet(dir)
+    }
+    dir
+  }
+
+  private def dataFiles(dir: String): Seq[Path] = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = Seq.newBuilder[Path]
+    def walk(d: Path): Unit = fs.listStatus(d).foreach { st =>
+      if (st.isDirectory) walk(st.getPath)
+      else if (!st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith(".")) out += st.getPath
+    }
+    walk(root)
+    out.result()
+  }
+
+  test("compaction collapses per-partition small files without changing content") {
+    val dir = smallFileLake(appends = 5)
+    val before = spark.read.parquet(dir).collect().toSet
+    assert(dataFiles(dir).size == 15, "5 appends × 3 partitions")
+
+    val report = LakeCompaction.compact(spark, dir, targetBytes = 512L * 1024)
+    assert(report.partitions == 3 && report.binsRewritten == 3)
+    assert(report.filesBefore == 15 && report.filesAfter == 3)
+
+    val files = dataFiles(dir)
+    assert(files.size == 3, s"one compacted file per partition, got $files")
+    assert(files.forall(_.getName.startsWith("compact-")))
+    val after = spark.read.parquet(dir).collect().toSet
+    assert(after == before, "compaction must not change table content")
+    assert(spark.read.parquet(dir).select("p").distinct().count() == 3,
+      "partition column must survive (derived from dir names)")
+  }
+
+  test("a second run over a compacted lake plans nothing") {
+    val dir = smallFileLake(appends = 3)
+    LakeCompaction.compact(spark, dir, targetBytes = 512L * 1024)
+    val second = LakeCompaction.compact(spark, dir, targetBytes = 512L * 1024)
+    assert(second.binsRewritten == 0 && second.partitions == 0)
+  }
+
+  test("target size splits a partition into multiple bins; lone leftovers stay") {
+    val dir = smallFileLake(appends = 5)
+    val perFile = dataFiles(dir).map { p =>
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getFileStatus(p).getLen
+    }.max
+    // room for exactly 2 source files per bin → 5 files = 2+2+1: two bins
+    // rewritten per partition, the 5th file left alone (already compact)
+    val before = spark.read.parquet(dir).collect().toSet
+    val report = LakeCompaction.compact(spark, dir, targetBytes = perFile * 2)
+    assert(report.binsRewritten == 6, s"2 bins × 3 partitions: $report")
+    val counts = dataFiles(dir).groupBy(_.getParent.getName)
+      .view.mapValues(_.size).toMap
+    assert(counts.values.forall(_ == 3), s"2 compacted + 1 leftover: $counts")
+    assert(spark.read.parquet(dir).collect().toSet == before)
+  }
+
+  test("output names are deterministic functions of the inputs") {
+    val dir = smallFileLake(appends = 3)
+    val planned = LakeCompaction.plan(spark, dir, 512L * 1024)
+    val names = planned.map(b => b.partitionDir -> b.outputName).toMap
+    val again = LakeCompaction.plan(spark, dir, 512L * 1024)
+    assert(again.map(b => b.partitionDir -> b.outputName).toMap == names)
+    assert(names.values.forall(_.matches("compact-[0-9a-f]{12}\\.parquet")))
+  }
+}
