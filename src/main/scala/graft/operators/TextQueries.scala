@@ -147,6 +147,36 @@ object TextQueries extends QueryGroup {
         .as("rolling_fp"))
     .orderBy("doc_id")
 
+  /** Q84: document-frequency commonness score — the two-pass "train
+    * statistics on the corpus, then score every document against them"
+    * pattern (the engine-exact stand-in for perplexity filtering: a
+    * KenLM-style scorer replaces the df table with LM probabilities, the
+    * plumbing is identical). Pass 1 aggregates per-token document
+    * frequency; pass 2 joins each doc's distinct tokens back and reports
+    * Σdf / |tokens| — exact BIGINT sum, one final double division, so
+    * both engines agree bit-for-bit (no cross-engine double sums, no ln
+    * whose last ulp could differ).
+    *
+    * Scale shape: pass 1 is a partial-aggregated groupBy on token; pass 2
+    * is a token-keyed join — the df side is one row per vocabulary term,
+    * so it broadcasts at moderate vocabularies; on a web-scale vocabulary
+    * it shuffle-joins on token where the Zipf-hot keys are 1:1 on the df
+    * side (AQE skew-split handles the exploded side). One groupBy on
+    * doc_id closes the scoring. */
+  private val q84: Q = (s, d) => {
+    val exploded = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(TextFunctions.tokenSet(col("text"))).as("tok"))
+    val dfTable = exploded.groupBy("tok")
+      .agg(count(lit(1)).as("df"))
+    exploded.join(dfTable, "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_distinct"),
+        sum(col("df")).as("sum_df"),
+        (sum(col("df")).cast("double") / count(lit(1))).as("mean_df"))
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q33_text_topwords" -> q33,
     "q34_text_docstats" -> q34,
@@ -159,9 +189,23 @@ object TextQueries extends QueryGroup {
     "q47_text_rollinghash" -> q47,
     "q67_dedup_ngram_jaccard" -> q67,
     "q74_dedup_containment" -> q74,
+    "q84_text_doc_frequency" -> q84,
   )
 
   val oracles: Map[String, String] = Map(
+    // df over distinct tokens per doc, Σdf exact BIGINT, one division
+    "q84_text_doc_frequency" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
+        |  FROM documents),
+        |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM t GROUP BY tok)
+        |SELECT t.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  CAST(sum(df.df) AS BIGINT) AS sum_df,
+        |  CAST(sum(df.df) AS DOUBLE) / count(*) AS mean_df
+        |FROM t JOIN df USING (tok)
+        |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
+
     "q33_text_topwords" ->
       s"""SELECT word, count(*) AS n FROM (
          |  SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
