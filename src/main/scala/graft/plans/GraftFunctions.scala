@@ -30,6 +30,10 @@ object GraftFunctions {
       (c: Seq[Expression]) => MinHashBands(c(0),
         intLit(c(1), "minhash_bands", "numHashes"),
         intLit(c(2), "minhash_bands", "bandSize"))),
+    ("minhash_bands_md5", classOf[Md5MinHashBands], 3,
+      (c: Seq[Expression]) => Md5MinHashBands(c(0),
+        intLit(c(1), "minhash_bands_md5", "numHashes"),
+        intLit(c(2), "minhash_bands_md5", "bandSize"))),
     ("word_shingles", classOf[WordShingles], 2,
       (c: Seq[Expression]) => WordShingles(c(0),
         intLit(c(1), "word_shingles", "n"))),

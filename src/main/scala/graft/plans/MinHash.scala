@@ -74,3 +74,71 @@ case class MinHashBands(child: Expression, numHashes: Int, bandSize: Int)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** The DuckDB-mirrorable MinHash twin (same role as [[Md5SimHashImpl]] for
+  * SimHash): minhash function j of shingle t is the 60-bit md5-nibble hash
+  * of the decorated string `"<j>#<t>"`, and band b's hash is the same
+  * md5-nibble hash of its 4 minhashes joined with `#` in decimal — every
+  * step is `CAST('0x' || substr(md5(…), 1, 15) AS BIGINT)` in SQL, so the
+  * whole signature is recomputable in DuckDB. k× slower than
+  * [[MinHashImpl]] (k string md5s per shingle instead of one xxhash64 plus
+  * k integer re-hashes): q41 keeps the fast kernel, q41b binds this one to
+  * put the LSH pipeline under the cross-engine differential gate.
+  * Returns null for an empty shingle array (a min over nothing is
+  * undefined in both engines).
+  */
+object Md5MinHashImpl {
+  def bands(arr: ArrayData, numHashes: Int, bandSize: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return null
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var t = 0
+    while (t < n) {
+      val tok = arr.getUTF8String(t).toString
+      var j = 0
+      while (j < numHashes) {
+        val m = Md5SimHashImpl.tokenHash((j.toString + "#" + tok).getBytes("UTF-8"))
+        if (m < mins(j)) mins(j) = m
+        j += 1
+      }
+      t += 1
+    }
+    val nBands = numHashes / bandSize
+    val out = new Array[Long](nBands)
+    var b = 0
+    while (b < nBands) {
+      val joined = mins.slice(b * bandSize, (b + 1) * bandSize).mkString("#")
+      out(b) = Md5SimHashImpl.tokenHash(joined.getBytes("UTF-8"))
+      b += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+}
+
+/** minhash_bands_md5(array<string>, numHashes, bandSize) → array<bigint>. */
+case class Md5MinHashBands(child: Expression, numHashes: Int, bandSize: Int)
+    extends UnaryExpression {
+
+  override def prettyName: String = "minhash_bands_md5"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if numHashes > 0 && bandSize > 0 &&
+      numHashes % bandSize == 0 => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckFailure(
+      s"numHashes ($numHashes) must be a positive multiple of bandSize ($bandSize)")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_bands_md5 requires array<string>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    Md5MinHashImpl.bands(input.asInstanceOf[ArrayData], numHashes, bandSize)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.Md5MinHashImpl.bands($c, $numHashes, $bandSize)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

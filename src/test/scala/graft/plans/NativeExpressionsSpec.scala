@@ -95,6 +95,22 @@ class NativeExpressionsSpec extends SparkSpec {
       col("native") >= (1L << 60)).count() == 0)
   }
 
+  test("minhash_bands_md5: null on empty input, deterministic, md5-family (≠ xxhash family)") {
+    val sh = call_function("word_shingles", TextFunctions.tokens(col("text")), lit(3))
+    val both = docs.limit(50).select(col("doc_id"),
+      call_function("minhash_bands_md5", sh, lit(16), lit(4)).as("m"),
+      call_function("minhash_bands", sh, lit(16), lit(4)).as("x"))
+    assert(both.filter(col("m") === col("x")).count() == 0,
+      "md5 twin must be a different hash family, not an alias")
+    val again = docs.limit(50).select(col("doc_id"),
+      call_function("minhash_bands_md5", sh, lit(16), lit(4)).as("m"))
+    assert(both.select("doc_id", "m").except(again).isEmpty)
+    val empty = spark.sql(
+      "SELECT minhash_bands_md5(CAST(array() AS array<string>), 16, 4) AS m")
+    assert(empty.collect().head.isNullAt(0),
+      "empty shingle set has no minimum — must be null in both engines")
+  }
+
   test("minhash_bands is stable and sensitive (same input → same bands; different input → different bands)") {
     val sh = call_function("word_shingles", TextFunctions.tokens(col("text")), lit(3))
     val bands = docs.select(col("doc_id"),
