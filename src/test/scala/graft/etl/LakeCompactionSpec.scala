@@ -76,6 +76,38 @@ class LakeCompactionSpec extends SparkSpec {
     assert(spark.read.parquet(dir).collect().toSet == before)
   }
 
+  test("compacts the streaming FileSink's job_start lake in place") {
+    // 4 micro-batches through the real sink: each batch commits its own
+    // batch-<id>-* file per touched partition — the exact small-file
+    // accumulation a 60 s trigger produces over a day
+    def line(i: Int): String =
+      s"""{"vendor_id": 1, "pickup_datetime": "2018-11-0${i % 9 + 1}T10:00:00.000Z",
+         | "dropoff_datetime": "2018-11-0${i % 9 + 1}T11:00:00.000Z",
+         | "passenger_count": 1, "trip_distance": 1.5, "ratecode_id": 1,
+         | "store_and_fwd_flag": "N", "pickup_location_id": ${i % 3 + 1},
+         | "dropoff_location_id": 5, "payment_type": 1, "fare_amount": 10.0,
+         | "extra": 0.0, "mta_tax": 0.5, "tip_amount": 1.0, "tolls_amount": 0.0,
+         | "improvement_surcharge": 0.3, "total_amount": 11.8,
+         | "trip_id": ${1000 + i}, "type": "trip"}""".stripMargin
+        .replaceAll("\n", "")
+    val out = tmpDir("lake-etl")
+    val sink = new graft.streaming.FileSink(out, parquet = true)
+    (0 until 4).foreach { b =>
+      val events = TripEventCodec.parse(
+        (0 until 12).map(i => line(b * 12 + i)).toDF("value"),
+        org.apache.spark.sql.functions.col("value"))
+      sink.write(events, batchId = b)
+    }
+    val before = spark.read.parquet(sink.prefix).collect().toSet
+    assert(dataFiles(sink.prefix).size == 12, "4 batches × 3 partitions")
+
+    val report = LakeCompaction.compact(spark, sink.prefix, 512L * 1024)
+    assert(report.binsRewritten == 3 && report.filesBefore == 12)
+    assert(dataFiles(sink.prefix).size == 3)
+    assert(spark.read.parquet(sink.prefix).collect().toSet == before,
+      "compaction must preserve the sink's rows and partition values")
+  }
+
   test("output names are deterministic functions of the inputs") {
     val dir = smallFileLake(appends = 3)
     val planned = LakeCompaction.plan(spark, dir, 512L * 1024)
