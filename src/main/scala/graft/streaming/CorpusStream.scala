@@ -76,6 +76,42 @@ object CorpusStream {
   def clean(docs: DataFrame, eventTimeCol: String, delay: String): DataFrame =
     dedupExactWithinWatermark(qualityGate(docs), eventTimeCol, delay)
 
+  /** The corpus-side dedup index for [[dedupAgainstCorpus]]: the distinct
+    * bag-of-words fingerprints of the existing corpus. In production this
+    * is precomputed once per snapshot and kept as a parquet table (~16
+    * bytes/doc — the 100 TB corpus's text is never rescanned per batch).
+    * Fingerprint-only suffices for FILTERING: identical text implies an
+    * identical fingerprint, so the fp probe subsumes an exact-hash probe
+    * (batch q82 carries both keys because it REPORTS exact vs near
+    * verdicts separately). */
+  def corpusIndex(corpus: DataFrame): DataFrame =
+    corpus.select(TextFunctions.fingerprint(col("text")).as("fp")).distinct()
+
+  /** Ingestion-time incremental dedup — the streaming twin of batch q82
+    * ([[graft.operators.CorpusOps.incrementalDedupFlags]]): drop arriving
+    * documents whose bag-of-words fingerprint already exists in the static
+    * corpus index, then dedup within the stream itself
+    * (watermark-bounded state). The stream-static left-anti join is
+    * re-planned per micro-batch, so replacing the index table between
+    * batches (e.g. after a snapshot merge) takes effect on the next batch
+    * without restarting the query; the index side broadcasts while it
+    * fits and degrades to a shuffle join keyed on uniform md5 when it
+    * does not — no skew by construction. The within-stream keeper is
+    * fingerprint-level (q82's in-batch rule): the first arrival of a bag
+    * of words within the watermark horizon passes, reorderings of it are
+    * dropped. */
+  def dedupAgainstCorpus(docs: DataFrame, index: DataFrame,
+      eventTimeCol: String, delay: String): DataFrame = {
+    val keyed = docs
+      .withColumn("fp", TextFunctions.fingerprint(col("text")))
+    val withMark =
+      if (keyed.isStreaming) keyed.withWatermark(eventTimeCol, delay) else keyed
+    withMark
+      .join(index.select("fp").distinct(), Seq("fp"), "left_anti")
+      .dropDuplicatesWithinWatermark("fp")
+      .drop("fp")
+  }
+
   /** Ingestion-time decontamination — the streaming twin of batch q77:
     * drop documents sharing any k-token shingle with a held-out benchmark
     * corpus BEFORE they land. The benchmark's distinct shingles are

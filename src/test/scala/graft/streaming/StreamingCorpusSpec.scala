@@ -37,6 +37,32 @@ class StreamingCorpusSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental dedup vs a static corpus index: known fingerprints never land") {
+    implicit val sc = spark.sqlContext
+    // the "existing corpus": doc A verbatim, doc B as a reordered bag
+    val corpus = Seq("a b c d e", "p q r s t").toDF("text")
+    val index = CorpusStream.corpusIndex(corpus)
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val out = CorpusStream.dedupAgainstCorpus(
+      mem.toDS().toDF("doc_id", "text", "ts"), index, "ts", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("incdedup")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, "a b c d e", ts(0)),   // exact copy of corpus doc A → drop
+        (2L, "e d c b a", ts(0)),   // reordered bag of corpus doc A → drop
+        (3L, "x y z w v", ts(0)),   // genuinely new → keep
+        (4L, "z y x w v", ts(1)))   // same bag as 3, in-stream → drop
+      q.processAllAvailable()
+      // next batch: another reordering of doc 3's bag, inside the
+      // watermark horizon → still dropped by stream state
+      mem.addData((5L, "v w x y z", ts(2)))
+      q.processAllAvailable()
+      val ids = spark.table("incdedup").select("doc_id").as[Long].collect().toSet
+      assert(ids == Set(3L), s"only the new doc may land, got $ids")
+    } finally q.stop()
+  }
+
   test("file-arrival ingest: clean docs land in a partitioned lake, dedup state survives restart") {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.types.StructType
