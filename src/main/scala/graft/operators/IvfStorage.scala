@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.functions.VectorFunctions.cosineNative
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Write-time IVF cell partitioning — the storage twin of [[AnnStorage]]
+  * for the coarse-quantizer family (q51): the corpus is reorganized ONCE,
+  * partitioned on each vector's nearest-centroid cell, so a query probes
+  * only the `nProbe` nearest cells as a partition-PRUNED scan
+  * (`PartitionFilters` carries the cell IN-list; every other cell's files
+  * are skipped at planning time). q51 computes the same assignment
+  * in-query on every run — this is its one-time 100 TB shape, exactly how
+  * production vector lakes (FAISS IVF on object storage) lay data out.
+  *
+  * The centroid table is the small, driver-sized artifact of the scheme
+  * (one row per cell); it is stored beside the data and broadcast into
+  * every assignment and probe. Determinism: assignment ties break to the
+  * smallest cent_id (the fold scans cent_id-ascending and replaces only on
+  * strictly greater similarity), probe ties likewise — same contract as
+  * q51, so results are reproducible across partitionings.
+  */
+object IvfStorage {
+
+  /** Coarse quantizer from labelled data: position-wise mean per label
+    * (exact decimal sums → double → float, the q48/q51 centroid shape).
+    * Any other driver-sized (cent_id, centroid) table works as well. */
+  def labelCentroids(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg((sum(col("v").cast("decimal(18,9)")).cast("double") / count(lit(1))).as("c"))
+      .groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> CAST(s.c AS FLOAT))")
+        .as("centroid"))
+      .select(col("label").as("cent_id"), col("centroid"))
+
+  /** Nearest-centroid assignment: all centroids pack into ONE broadcast
+    * row and the argmax is a per-row fold — no crossJoin row expansion
+    * (corpus × n_centroids), no Window shuffle over vec_id. */
+  def assignCells(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
+    val centArr = centroids
+      .agg(array_sort(collect_list(struct(col("cent_id"), col("centroid")))).as("cents"))
+    val best: Column = aggregate(col("cents"),
+      struct(lit(-2.0).as("sim"), lit(-1).as("cid")),
+      (acc, c) => {
+        val sim = cosineNative(col("embedding"), c.getField("centroid"))
+        when(sim > acc.getField("sim"),
+          struct(sim.as("sim"), c.getField("cent_id").as("cid"))).otherwise(acc)
+      })
+    embeddings.crossJoin(broadcast(centArr))
+      .withColumn("cent_id", best.getField("cid"))
+      .drop("cents")
+  }
+
+  /** One-time reorganization: embeddings partitioned by IVF cell. */
+  def writeCellPartitioned(embeddings: DataFrame, centroids: DataFrame,
+      dir: String): Unit =
+    assignCells(embeddings, centroids)
+      .repartition(col("cent_id")) // one writer per cell — no tiny-file spray
+      .write.mode("overwrite").partitionBy("cent_id").parquet(dir)
+
+  /** Top-k by exact cosine among the `nProbe` cells nearest the query
+    * vector. The IN-list on the partition column is what turns the probe
+    * into a pruned scan. */
+  def probe(spark: SparkSession, dir: String, centroids: DataFrame,
+      queryVec: Array[Float], nProbe: Int = 2, k: Int = 10): DataFrame = {
+    val qDf = spark.createDataFrame(Seq(Tuple1(queryVec))).toDF("q_emb")
+    val cells = centroids.crossJoin(broadcast(qDf))
+      .orderBy(cosineNative(col("centroid"), col("q_emb")).desc_nulls_last,
+        col("cent_id"))
+      .limit(nProbe)
+      .select("cent_id").collect().map(_.getInt(0)).toSeq
+    spark.read.parquet(dir)
+      .filter(col("cent_id").isin(cells.map(lit): _*))
+      .crossJoin(broadcast(qDf))
+      .select(col("vec_id"), cosineNative(col("embedding"), col("q_emb")).as("cos"))
+      .orderBy(col("cos").desc_nulls_last, col("vec_id"))
+      .limit(k)
+  }
+}
