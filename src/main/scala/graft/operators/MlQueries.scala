@@ -63,6 +63,22 @@ object MlQueries extends QueryGroup {
         coalesce(col("O"), lit(0L)).as("o_cnt"))
       .orderBy("l_returnflag")
 
+  /** Q85: unpivot (melt) — the inverse of q53's pivot: a wide per-group
+    * aggregate turned into long (group, metric, value) rows via the native
+    * `Dataset.unpivot` (Expand under the hood, one pass, no union-of-N
+    * scans). Values go through exact decimal sums ([[graft.operators.dsum]])
+    * so the melted doubles hash-match DuckDB's UNPIVOT. */
+  private val q85: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"),
+        dsum(col("l_discount")).as("sum_disc"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+        "metric", "value")
+      .orderBy("l_returnflag", "metric")
+
   /** Q54: nearest-centroid assignment — each vector classified to its most
     * cosine-similar label centroid (the IVF cell assignment, exposed as a
     * query).
@@ -163,6 +179,7 @@ object MlQueries extends QueryGroup {
     "q54_ml_nearest_centroid" -> q54,
     "q48_ml_centroids" -> q48,
     "q53_agg_pivot" -> q53,
+    "q85_fn_unpivot" -> q85,
     "q52_agg_percentile" -> q52,
     "q49_agg_approx_distinct" -> q49,
     "q50_udaf_weighted_avg" -> q50,
@@ -227,6 +244,17 @@ object MlQueries extends QueryGroup {
         |  count(*) FILTER (l_linestatus = 'F') AS f_cnt,
         |  count(*) FILTER (l_linestatus = 'O') AS o_cnt
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q85_fn_unpivot" ->
+      s"""WITH w AS (
+        |  SELECT l_returnflag,
+        |    ${sqlDsum("l_quantity")} AS sum_qty,
+        |    ${sqlDsum("l_extendedprice")} AS sum_price,
+        |    ${sqlDsum("l_discount")} AS sum_disc
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, metric, value
+        |FROM w UNPIVOT (value FOR metric IN (sum_qty, sum_price, sum_disc))
+        |ORDER BY l_returnflag, metric""".stripMargin,
 
     "q52_agg_percentile" ->
       """SELECT l_returnflag,
