@@ -538,6 +538,24 @@ object RelationalQueries extends QueryGroup {
         |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** Q86: correlated LATERAL join — "top-2 orders per customer" as a
+    * per-row dependent subquery (ISO/ANSI LATERAL, Spark ≥ 3.2). Catalyst
+    * rewrites the correlated limit into a ranked window join, so the plan
+    * stays set-based (no nested-loop per customer); DuckDB executes its
+    * own LATERAL natively — the cross-engine hash match pins the
+    * dependent-join semantics, null-free by construction. */
+  private val q86: Q = (s, d) => {
+    graft.Tables.registerAll(s, d)
+    s.sql(
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer c
+        |JOIN LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        |ORDER BY c_custkey, o_orderkey""".stripMargin)
+  }
+
   // -------------------------------------------------------------------------
 
   val queries: Seq[(String, Q)] = Seq(
@@ -582,6 +600,7 @@ object RelationalQueries extends QueryGroup {
     "q56_fn_levenshtein" -> q56,
     "q57_set_union_by_name" -> q57,
     "q62_sql_subqueries" -> q62,
+    "q86_sql_lateral" -> q86,
   )
 
   val oracles: Map[String, String] = Map(
@@ -592,6 +611,15 @@ object RelationalQueries extends QueryGroup {
         |    FROM orders)
         |  AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 0)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q86_sql_lateral" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer c
+        |JOIN LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o ON true
+        |ORDER BY c_custkey, o_orderkey""".stripMargin,
 
     "q01_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice

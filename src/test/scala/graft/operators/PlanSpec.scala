@@ -45,6 +45,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Join") || p.contains("join"))
   }
 
+  test("q86: the correlated LATERAL limit rewrites to a set-based plan, not a per-row loop") {
+    val p = executedPlan("q86_sql_lateral")
+    assert(!p.contains("CartesianProduct"), p)
+    // Catalyst decorrelates the per-customer LIMIT into a ranked window
+    // (or equivalent join) — whatever the rewrite, it must stay an
+    // equi-join keyed on the correlation, never a nested loop per row
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Window") || p.contains("SortMergeJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q38: the 1-row query side broadcasts; the scan side never shuffles") {
     val p = executedPlan("q38_sim_cosine_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
