@@ -70,8 +70,13 @@ object LakeCompaction {
     val bins = Seq.newBuilder[Bin]
     def walk(d: Path): Unit = {
       val entries = fs.listStatus(d)
+      // skip dot AND underscore dirs symmetrically with isDataFile: a
+      // crashed write leaves _temporary/.../part-*.parquet — descending
+      // there would compact (and delete!) another job's uncommitted
+      // task-attempt files
       entries.filter(_.isDirectory)
-        .filterNot(_.getPath.getName.startsWith("."))
+        .filterNot(st => st.getPath.getName.startsWith(".") ||
+          st.getPath.getName.startsWith("_"))
         .foreach(st => walk(st.getPath))
       val files = entries
         .filter(st => st.isFile && isDataFile(st.getPath.getName))

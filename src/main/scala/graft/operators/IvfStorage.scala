@@ -70,7 +70,9 @@ object IvfStorage {
       .orderBy(cosineNative(col("centroid"), col("q_emb")).desc_nulls_last,
         col("cent_id"))
       .limit(nProbe)
-      .select("cent_id").collect().map(_.getInt(0)).toSeq
+      // untyped get: the scaladoc admits any cent_id type (int label here,
+      // bigint/string ids elsewhere) — lit() re-types the IN-list to match
+      .select("cent_id").collect().map(_.get(0)).toSeq
     spark.read.parquet(dir)
       .filter(col("cent_id").isin(cells.map(lit): _*))
       .crossJoin(broadcast(qDf))

@@ -164,9 +164,14 @@ object TextQueries extends QueryGroup {
     * side (AQE skew-split handles the exploded side). One groupBy on
     * doc_id closes the scoring. */
   private val q84: Q = (s, d) => {
+    // shared (doc_id, tok) projection persisted so pass 1 (df dictionary)
+    // and pass 2 (probe join) tokenize the corpus ONCE — the
+    // lshBandedJaccard pattern; released when the query's action completes
     val exploded = Tables.documents(s, d)
       .select(col("doc_id"),
         explode(TextFunctions.tokenSet(col("text"))).as("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    RunScopedCache.releaseAfterRun(s, exploded)
     val dfTable = exploded.groupBy("tok")
       .agg(count(lit(1)).as("df"))
     exploded.join(dfTable, "tok")

@@ -135,9 +135,18 @@ case class Md5MinHashBands(child: Expression, numHashes: Int, bandSize: Int)
   override def nullSafeEval(input: Any): Any =
     Md5MinHashImpl.bands(input.asInstanceOf[ArrayData], numHashes, bandSize)
 
+  // NOT defineCodeGen: the kernel returns null for an EMPTY shingle array
+  // (a min over nothing is undefined — mirrors DuckDB's list_min([])), and
+  // defineCodeGen never re-checks the result's nullness, so the raw null
+  // ArrayData would NPE downstream codegen (posexplode). Set the null flag
+  // explicitly instead of calling the kernel on empty input.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      c => s"graft.plans.Md5MinHashImpl.bands($c, $numHashes, $bandSize)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      if ($c.numElements() == 0) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.plans.Md5MinHashImpl.bands($c, $numHashes, $bandSize);
+      }""")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -104,12 +104,18 @@ object CorpusStream {
       eventTimeCol: String, delay: String): DataFrame = {
     val keyed = docs
       .withColumn("fp", TextFunctions.fingerprint(col("text")))
-    val withMark =
-      if (keyed.isStreaming) keyed.withWatermark(eventTimeCol, delay) else keyed
-    withMark
+    val fresh = (if (keyed.isStreaming) keyed.withWatermark(eventTimeCol, delay)
+      else keyed)
       .join(index.select("fp").distinct(), Seq("fp"), "left_anti")
-      .dropDuplicatesWithinWatermark("fp")
-      .drop("fp")
+    // dropDuplicatesWithinWatermark is streaming-ONLY (AnalysisException on
+    // a batch frame) — a batch caller (backfill) gets plain dropDuplicates:
+    // one surviving row per fingerprint, selection unspecified (a batch
+    // pipeline that needs the min-id keeper RULE uses
+    // CorpusOps.incrementalDedupFlags, the q82 form)
+    val deduped =
+      if (fresh.isStreaming) fresh.dropDuplicatesWithinWatermark("fp")
+      else fresh.dropDuplicates("fp")
+    deduped.drop("fp")
   }
 
   /** Ingestion-time decontamination — the streaming twin of batch q77:

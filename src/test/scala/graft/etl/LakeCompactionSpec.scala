@@ -108,6 +108,26 @@ class LakeCompactionSpec extends SparkSpec {
       "compaction must preserve the sink's rows and partition values")
   }
 
+  test("planning never descends into _temporary or dot dirs (crashed-write debris is untouchable)") {
+    val dir = smallFileLake(appends = 2)
+    // simulate a crashed concurrent write: uncommitted task-attempt files
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(dir, "_temporary/0/attempt_1/p=0")
+    fs.mkdirs(tmp)
+    (1 to 2).map(i => (900 + i, s"uncommitted$i", 0))
+      .toDF("id", "payload", "p").repartition(1)
+      .write.mode("overwrite").parquet(new Path(tmp, "stage").toString)
+    val debris = dataFiles(new Path(dir, "_temporary").toString).toSet
+    assert(debris.nonEmpty, "fixture must contain uncommitted files")
+
+    val planned = LakeCompaction.plan(spark, dir, 512L * 1024)
+    assert(!planned.exists(_.partitionDir.contains("_temporary")),
+      s"plan must not touch _temporary: $planned")
+    LakeCompaction.compact(spark, dir, 512L * 1024)
+    assert(dataFiles(new Path(dir, "_temporary").toString).toSet == debris,
+      "compaction must leave crashed-write debris exactly as found")
+  }
+
   test("output names are deterministic functions of the inputs") {
     val dir = smallFileLake(appends = 3)
     val planned = LakeCompaction.plan(spark, dir, 512L * 1024)

@@ -265,7 +265,8 @@ class CorpusQueriesSpec extends SparkSpec {
     // pair/span/pipeline/df queries: a NULL token set must never pair,
     // span, survive a gate, or produce postings — not act as an empty set
     Seq("q72_dedup_spans", "q73_pipeline_clean", "q76_text_rare_terms",
-      "q77_text_contamination", "q74_dedup_containment").foreach { q =>
+      "q77_text_contamination", "q74_dedup_containment",
+      "q41b_dedup_minhash_md5", "q42b_dedup_simhash_md5").foreach { q =>
       assert(!ids(q).contains(1L), s"$q surfaced the null-text doc")
     }
     // per-doc stat queries keep the row (as their oracles would) with NULL

@@ -56,14 +56,14 @@ class PlanSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), p)
   }
 
-  test("q84: the df dictionary broadcasts; the exploded probe side never shuffles pre-join") {
+  test("q84: one tokenization pass (cached projection), dictionary broadcasts") {
     val p = executedPlan("q84_text_doc_frequency")
     // pass 1 (token → df) aggregates then broadcasts as the join's build
-    // side; pass 2's exploded (doc_id, tok) rows meet it map-side — the
-    // only exchanges are the tiny dictionary's and the final groupBy's
+    // side; pass 2's exploded (doc_id, tok) rows meet it map-side — and
+    // both passes read the SAME persisted projection, so the corpus is
+    // tokenized once
     assert(p.contains("BroadcastHashJoin"), p)
-    // the dictionary-side scan is pruned to the text column alone
-    assert(p.contains("ReadSchema: struct<text:string>"), p)
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"), p)
   }
 
   test("q38: the 1-row query side broadcasts; the scan side never shuffles") {

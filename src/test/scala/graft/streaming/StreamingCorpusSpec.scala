@@ -63,6 +63,21 @@ class StreamingCorpusSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental dedup also runs on a batch frame (backfill path)") {
+    val corpus = Seq("a b c d e").toDF("text")
+    val index = CorpusStream.corpusIndex(corpus)
+    val batch = Seq(
+      (1L, "e d c b a", ts(0)),   // bag exists in corpus → drop
+      (2L, "x y z w v", ts(0)),   // new → keep
+      (3L, "z y x w v", ts(1)))   // same bag as 2 → one of them survives
+      .toDF("doc_id", "text", "ts")
+    val out = CorpusStream.dedupAgainstCorpus(batch, index, "ts", "10 minutes")
+      .select("doc_id").as[Long].collect().toSet
+    assert(!out.contains(1L), "corpus-known bag must drop in batch mode")
+    assert(out.size == 1 && (out == Set(2L) || out == Set(3L)),
+      s"exactly one of the tied bags survives, got $out")
+  }
+
   test("file-arrival ingest: clean docs land in a partitioned lake, dedup state survives restart") {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.types.StructType
