@@ -104,9 +104,18 @@ object LakeCompaction {
     bins.result()
   }
 
-  /** Rewrite every planned bin; returns what changed. */
+  /** Rewrite every planned bin; returns what changed.
+    *
+    * `sortBy`: optional clustering — each rewritten file is sorted on
+    * these columns (the OPTIMIZE…ZORDER-lite move): parquet writes row-group
+    * min/max stats per column, so a later range/equality filter on a sort
+    * column skips whole row groups of the compacted files. Sorting happens
+    * inside the single-task bin rewrite, so it costs one in-memory sort of
+    * `targetBytes` per bin and changes nothing else (content identity is
+    * row-set identity; parquet row order is not part of the table
+    * contract). */
   def compact(spark: SparkSession, dir: String, targetBytes: Long,
-      maxConcurrentBins: Int = 8): Report = {
+      maxConcurrentBins: Int = 8, sortBy: Seq[String] = Nil): Report = {
     val bins = plan(spark, dir, targetBytes)
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -117,7 +126,7 @@ object LakeCompaction {
     try {
       bins.map { bin =>
         pool.submit(new java.util.concurrent.Callable[Unit] {
-          def call(): Unit = rewrite(spark, fs, bin)
+          def call(): Unit = rewrite(spark, fs, bin, sortBy)
         })
       }.foreach(_.get()) // propagate the first failure
     } finally pool.shutdown()
@@ -125,15 +134,19 @@ object LakeCompaction {
       filesBefore, bins.size, bins.map(_.bytes).sum)
   }
 
-  private def rewrite(spark: SparkSession, fs: FileSystem, bin: Bin): Unit = {
+  private def rewrite(spark: SparkSession, fs: FileSystem, bin: Bin,
+      sortBy: Seq[String]): Unit = {
     val partDir = new Path(bin.partitionDir)
     val staging = new Path(partDir, s".compacting-${bin.outputName}")
     fs.delete(staging, true)
     // explicit leaf files → no partition inference: data columns only,
     // exactly what belongs inside a file of this partition dir
-    spark.read.parquet(bin.files: _*)
-      .coalesce(1)
-      .write.mode("overwrite").parquet(staging.toString)
+    val one = spark.read.parquet(bin.files: _*).coalesce(1)
+    val clustered =
+      if (sortBy.isEmpty) one
+      else one.sortWithinPartitions(sortBy.map(
+        org.apache.spark.sql.functions.col): _*)
+    clustered.write.mode("overwrite").parquet(staging.toString)
     val part = fs.listStatus(staging)
       .map(_.getPath).find(p => p.getName.startsWith("part-"))
       .getOrElse(throw new java.io.IOException(s"no staged file under $staging"))

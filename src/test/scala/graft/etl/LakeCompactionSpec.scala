@@ -128,6 +128,20 @@ class LakeCompactionSpec extends SparkSpec {
       "compaction must leave crashed-write debris exactly as found")
   }
 
+  test("sortBy clusters the rewritten file (row-group stats become selective)") {
+    val dir = smallFileLake(appends = 4)
+    val before = spark.read.parquet(dir).collect().toSet
+    LakeCompaction.compact(spark, dir, 512L * 1024, sortBy = Seq("id"))
+    assert(spark.read.parquet(dir).collect().toSet == before,
+      "clustering must not change the row set")
+    // every compacted file is internally sorted on the cluster column
+    dataFiles(dir).foreach { f =>
+      val ids = spark.read.parquet(f.toString).select("id")
+        .collect().map(_.getInt(0)).toSeq
+      assert(ids == ids.sorted, s"file $f not clustered on id")
+    }
+  }
+
   test("output names are deterministic functions of the inputs") {
     val dir = smallFileLake(appends = 3)
     val planned = LakeCompaction.plan(spark, dir, 512L * 1024)
