@@ -79,6 +79,23 @@ object MlQueries extends QueryGroup {
         "metric", "value")
       .orderBy("l_returnflag", "metric")
 
+  /** Q87 ⚙: approximate percentiles (t-digest-family sketch) — the
+    * streaming/mergeable companion to q52's exact percentiles, the same
+    * role q49's HLL plays for distinct counts: one pass, bounded memory,
+    * partition-mergeable — the only percentile that works at 100 TB
+    * without a full sort. `accuracy = 10000` bounds rank error at
+    * 1/10000 of the rows; ApproxPercentileSpec pins the estimates inside
+    * a value tolerance derived from the exact q52 answers. Engine-only:
+    * the sketch's internal merge order is engine-specific, so no
+    * cross-engine hash can exist (the q49 contract). */
+  private val q87: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("median_price"),
+        expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("p90_price"),
+        expr("approx_percentile(l_quantity, 0.25, 10000)").as("p25_qty"))
+      .orderBy("l_returnflag")
+
   /** Q54: nearest-centroid assignment — each vector classified to its most
     * cosine-similar label centroid (the IVF cell assignment, exposed as a
     * query).
@@ -181,6 +198,7 @@ object MlQueries extends QueryGroup {
     "q53_agg_pivot" -> q53,
     "q85_fn_unpivot" -> q85,
     "q52_agg_percentile" -> q52,
+    "q87_agg_approx_percentile" -> q87,
     "q49_agg_approx_distinct" -> q49,
     "q50_udaf_weighted_avg" -> q50,
   )
