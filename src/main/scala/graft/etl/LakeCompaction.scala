@@ -116,9 +116,22 @@ object LakeCompaction {
     * contract). */
   def compact(spark: SparkSession, dir: String, targetBytes: Long,
       maxConcurrentBins: Int = 8, sortBy: Seq[String] = Nil): Report = {
-    val bins = plan(spark, dir, targetBytes)
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a FileStreamSink lake (writeStream.format("parquet")) is read through
+    // its _spark_metadata manifest, which pins the EXACT committed file
+    // names — rewriting/deleting them in place corrupts the table (readers
+    // FileNotFound on the manifest's entries). Refuse; the caller either
+    // stops the query and drops the manifest (converting the lake to plain
+    // directory listing, losing the sink's exactly-once file accounting)
+    // or compacts into a NEW directory. graft's own FileSink commits via
+    // deterministic renames with no manifest, so its lakes compact freely.
+    if (fs.exists(new Path(root, "_spark_metadata")))
+      throw new IllegalStateException(
+        s"$dir is a FileStreamSink table (_spark_metadata manifest): " +
+          "in-place compaction would orphan the manifest's file list. " +
+          "Drop the manifest (after stopping the query) or compact into a new dir.")
+    val bins = plan(spark, dir, targetBytes)
     val filesBefore = bins.map(_.files.size).sum
     if (bins.isEmpty) return Report(0, 0, 0, 0, 0L)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(

@@ -116,6 +116,24 @@ class StreamingCorpusSpec extends SparkSpec {
     assert(parts == Set("source=webA", "source=webB"), s"partitions: $parts")
     // quality features ride along into the lake
     assert(landed.columns.contains("uniq_ratio"))
+
+    // maintenance: a writeStream-parquet lake is manifest-managed
+    // (_spark_metadata pins exact file names) — in-place compaction MUST
+    // refuse, because rewriting the listed files corrupts the table
+    val before = landed.collect().toSet
+    val refusal = intercept[IllegalStateException] {
+      graft.etl.LakeCompaction.compact(spark, lake, 512L * 1024)
+    }
+    assert(refusal.getMessage.contains("_spark_metadata"))
+    // after retiring the manifest (query stopped, exactly-once accounting
+    // no longer needed) the lake is a plain directory and compacts freely
+    val fs = new org.apache.hadoop.fs.Path(lake)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(lake, "_spark_metadata"), true)
+    val report = graft.etl.LakeCompaction.compact(spark, lake, 512L * 1024)
+    assert(report.binsRewritten >= 1, s"nothing compacted: $report")
+    assert(spark.read.parquet(lake).collect().toSet == before,
+      "post-compaction lake must read identically")
   }
 
   test("decontaminate drops benchmark-overlapping docs at ingest, stateless") {
