@@ -558,6 +558,25 @@ object RelationalQueries extends QueryGroup {
 
   // -------------------------------------------------------------------------
 
+  /** Q88: recursive CTE (Spark ≥ 4.0 `WITH RECURSIVE`) — a calendar
+    * date-spine gap-fill, the canonical recursion every reporting pipeline
+    * needs: generate every day of a window, left-join the fact table, and
+    * days with zero orders SURFACE as 0 instead of silently missing.
+    * DuckDB runs its own recursive CTE; the hash match pins fixpoint
+    * semantics + date arithmetic cross-engine. Scale note: the recursion
+    * generates the driver-sized spine (rows = days), never touches the
+    * fact side — the join is a broadcast of the spine against the scan. */
+  private val q88: Q = (s, d) => {
+    graft.Tables.registerAll(s, d)
+    s.sql(
+      """WITH RECURSIVE days(d) AS (
+        |  SELECT DATE '1995-01-01'
+        |  UNION ALL SELECT date_add(d, 1) FROM days WHERE d < DATE '1995-03-01')
+        |SELECT CAST(d AS TIMESTAMP) AS d, count(o.o_orderkey) AS n_orders
+        |FROM days LEFT JOIN orders o ON CAST(o.o_orderdate AS DATE) = days.d
+        |GROUP BY d ORDER BY d""".stripMargin)
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q01_scan_project" -> q01,
     "q02_json_get" -> q02,
@@ -601,6 +620,7 @@ object RelationalQueries extends QueryGroup {
     "q57_set_union_by_name" -> q57,
     "q62_sql_subqueries" -> q62,
     "q86_sql_lateral" -> q86,
+    "q88_sql_recursive" -> q88,
   )
 
   val oracles: Map[String, String] = Map(
@@ -620,6 +640,15 @@ object RelationalQueries extends QueryGroup {
         |  WHERE o_custkey = c.c_custkey
         |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o ON true
         |ORDER BY c_custkey, o_orderkey""".stripMargin,
+
+    "q88_sql_recursive" ->
+      """WITH RECURSIVE days(d) AS (
+        |  SELECT DATE '1995-01-01'
+        |  UNION ALL SELECT CAST(d + INTERVAL 1 DAY AS DATE) FROM days
+        |  WHERE d < DATE '1995-03-01')
+        |SELECT CAST(d AS TIMESTAMP) AS d, count(o.o_orderkey) AS n_orders
+        |FROM days LEFT JOIN orders o ON CAST(o.o_orderdate AS DATE) = days.d
+        |GROUP BY d ORDER BY d""".stripMargin,
 
     "q01_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
