@@ -126,11 +126,18 @@ object LakeCompaction {
     // directory listing, losing the sink's exactly-once file accounting)
     // or compacts into a NEW directory. graft's own FileSink commits via
     // deterministic renames with no manifest, so its lakes compact freely.
-    if (fs.exists(new Path(root, "_spark_metadata")))
-      throw new IllegalStateException(
-        s"$dir is a FileStreamSink table (_spark_metadata manifest): " +
-          "in-place compaction would orphan the manifest's file list. " +
-          "Drop the manifest (after stopping the query) or compact into a new dir.")
+    // check the target AND every ancestor: compacting one partition dir of
+    // a manifest-managed lake is just as corrupting as compacting its root
+    var probe: Path = fs.makeQualified(root)
+    while (probe != null) {
+      if (fs.exists(new Path(probe, "_spark_metadata")))
+        throw new IllegalStateException(
+          s"$probe is (part of) a FileStreamSink table (_spark_metadata " +
+            "manifest): in-place compaction would orphan the manifest's file " +
+            "list. Drop the manifest (after stopping the query) or compact " +
+            "into a new dir.")
+      probe = probe.getParent
+    }
     val bins = plan(spark, dir, targetBytes)
     val filesBefore = bins.map(_.files.size).sum
     if (bins.isEmpty) return Report(0, 0, 0, 0, 0L)
@@ -153,8 +160,12 @@ object LakeCompaction {
     val staging = new Path(partDir, s".compacting-${bin.outputName}")
     fs.delete(staging, true)
     // explicit leaf files → no partition inference: data columns only,
-    // exactly what belongs inside a file of this partition dir
-    val one = spark.read.parquet(bin.files: _*).coalesce(1)
+    // exactly what belongs inside a file of this partition dir.
+    // mergeSchema ALWAYS: a bin can mix pre- and post-evolution files, and
+    // without the union one file's footer would win — silently dropping the
+    // newer columns' data before the originals are deleted
+    val one = spark.read.option("mergeSchema", "true")
+      .parquet(bin.files: _*).coalesce(1)
     val clustered =
       if (sortBy.isEmpty) one
       else one.sortWithinPartitions(sortBy.map(

@@ -572,7 +572,7 @@ object RelationalQueries extends QueryGroup {
       """WITH RECURSIVE days(d) AS (
         |  SELECT DATE '1995-01-01'
         |  UNION ALL SELECT date_add(d, 1) FROM days WHERE d < DATE '1995-03-01')
-        |SELECT CAST(d AS TIMESTAMP) AS d, count(o.o_orderkey) AS n_orders
+        |SELECT CAST(d AS TIMESTAMP_NTZ) AS d, count(o.o_orderkey) AS n_orders
         |FROM days LEFT JOIN orders o ON CAST(o.o_orderdate AS DATE) = days.d
         |GROUP BY d ORDER BY d""".stripMargin)
   }

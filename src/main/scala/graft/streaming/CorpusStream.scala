@@ -62,12 +62,15 @@ object CorpusStream {
     * input does not already carry one). */
   def dedupExactWithinWatermark(docs: DataFrame, eventTimeCol: String,
       delay: String): DataFrame = {
-    val withMark =
-      if (docs.isStreaming) docs.withWatermark(eventTimeCol, delay) else docs
-    withMark
-      .withColumn("content_h", md5(lower(trim(col("text")))))
-      .dropDuplicatesWithinWatermark("content_h")
-      .drop("content_h")
+    val keyed =
+      (if (docs.isStreaming) docs.withWatermark(eventTimeCol, delay) else docs)
+        .withColumn("content_h", md5(lower(trim(col("text")))))
+    // dropDuplicatesWithinWatermark throws on a batch frame — a backfill
+    // caller gets plain dropDuplicates (whole input present, no horizon)
+    val deduped =
+      if (keyed.isStreaming) keyed.dropDuplicatesWithinWatermark("content_h")
+      else keyed.dropDuplicates("content_h")
+    deduped.drop("content_h")
   }
 
   /** The composed ingest-hygiene pipeline: quality gate → watermarked

@@ -41,18 +41,16 @@ class SchemaEvolutionSpec extends SparkSpec {
     Seq((2L, "beta", 0.9)).toDF("id", "payload", "quality")
       .write.mode("append").parquet(dir)
 
-    // NOTE: LakeCompaction reads bins with spark.read.parquet(files) —
-    // mixed-schema bins rely on the same mergeSchema union; assert the
-    // rewrite keeps every column and every row
-    spark.conf.set("spark.sql.parquet.mergeSchema", "true")
-    try {
-      val before = spark.read.option("mergeSchema", "true").parquet(dir)
-        .select("id", "payload", "quality").collect().toSet
-      val report = LakeCompaction.compact(spark, dir, 512L * 1024)
-      assert(report.binsRewritten == 1)
-      val after = spark.read.option("mergeSchema", "true").parquet(dir)
-        .select("id", "payload", "quality").collect().toSet
-      assert(after == before)
-    } finally spark.conf.unset("spark.sql.parquet.mergeSchema")
+    // LakeCompaction's bin rewrite sets mergeSchema itself — under the
+    // PRODUCTION default (spark.sql.parquet.mergeSchema=false) a
+    // mixed-schema bin must still keep every column of every file, or the
+    // rewrite would silently destroy the newer columns' data
+    val before = spark.read.option("mergeSchema", "true").parquet(dir)
+      .select("id", "payload", "quality").collect().toSet
+    val report = LakeCompaction.compact(spark, dir, 512L * 1024)
+    assert(report.binsRewritten == 1)
+    val after = spark.read.option("mergeSchema", "true").parquet(dir)
+      .select("id", "payload", "quality").collect().toSet
+    assert(after == before)
   }
 }

@@ -76,6 +76,14 @@ class StreamingCorpusSpec extends SparkSpec {
     assert(!out.contains(1L), "corpus-known bag must drop in batch mode")
     assert(out.size == 1 && (out == Set(2L) || out == Set(3L)),
       s"exactly one of the tied bags survives, got $out")
+    // clean() / dedupExactWithinWatermark must also accept a batch frame
+    // (dropDuplicatesWithinWatermark is streaming-only under the hood)
+    val cleaned = CorpusStream.clean(
+      Seq((1L, good, ts(0)), (2L, good, ts(1)), (3L, junk, ts(0)))
+        .toDF("doc_id", "text", "ts"), "ts", "10 minutes")
+      .select("doc_id").as[Long].collect().toSet
+    assert(cleaned.size == 1 && !cleaned.contains(3L),
+      s"batch clean: one copy of the good doc, junk gated; got $cleaned")
   }
 
   test("file-arrival ingest: clean docs land in a partitioned lake, dedup state survives restart") {
@@ -125,6 +133,12 @@ class StreamingCorpusSpec extends SparkSpec {
       graft.etl.LakeCompaction.compact(spark, lake, 512L * 1024)
     }
     assert(refusal.getMessage.contains("_spark_metadata"))
+    // targeting one PARTITION of the managed lake must refuse just the
+    // same — the manifest pins those files too (ancestor check)
+    val sub = intercept[IllegalStateException] {
+      graft.etl.LakeCompaction.compact(spark, s"$lake/source=webA", 512L * 1024)
+    }
+    assert(sub.getMessage.contains("_spark_metadata"))
     // after retiring the manifest (query stopped, exactly-once accounting
     // no longer needed) the lake is a plain directory and compacts freely
     val fs = new org.apache.hadoop.fs.Path(lake)
