@@ -62,6 +62,31 @@ object LakeCompaction {
   private def isDataFile(name: String): Boolean =
     !name.startsWith(".") && !name.startsWith("_") && name.endsWith(".parquet")
 
+  /** Pure greedy sequential packing (in the given — name-sorted — order,
+    * so bins group temporally-adjacent batch files and the result is
+    * deterministic): cut a new bin when the next file would push past
+    * `targetBytes`, keep only groups of ≥ 2 files (a lone file — small or
+    * oversized — is already as compact as it can get). Invariants
+    * (property-tested in LakeCompactionSpec): bins are disjoint,
+    * order-preserving, each has ≥ 2 files, and each fits `targetBytes`. */
+  private[etl] def packBins(files: Seq[(String, Long)],
+      targetBytes: Long): Seq[Seq[(String, Long)]] = {
+    val out = Seq.newBuilder[Seq[(String, Long)]]
+    var cur = Vector.empty[(String, Long)]
+    var curBytes = 0L
+    def flush(): Unit = {
+      if (cur.length >= 2) out += cur
+      cur = Vector.empty; curBytes = 0L
+    }
+    files.foreach { case (name, len) =>
+      if (cur.nonEmpty && curBytes + len > targetBytes) flush()
+      cur :+= (name, len)
+      curBytes += len
+    }
+    flush()
+    out.result()
+  }
+
   /** Walk `dir`, bin-pack each partition's parquet files. Pure planning —
     * no data is read. */
   def plan(spark: SparkSession, dir: String, targetBytes: Long): Seq[Bin] = {
@@ -81,24 +106,11 @@ object LakeCompaction {
       val files = entries
         .filter(st => st.isFile && isDataFile(st.getPath.getName))
         .sortBy(_.getPath.getName)
-      if (files.length >= 2) {
-        // greedy sequential pack in name order: deterministic, and bins
-        // group temporally-adjacent batch files (names sort by batch id)
-        var cur = Vector.empty[(String, Long)]
-        var curBytes = 0L
-        def flush(): Unit = {
-          if (cur.length >= 2)
-            bins += Bin(d.toString, cur.map(_._1), curBytes)
-          cur = Vector.empty; curBytes = 0L
+      packBins(files.map(st => st.getPath.toString -> st.getLen).toSeq,
+        targetBytes)
+        .foreach { group =>
+          bins += Bin(d.toString, group.map(_._1), group.map(_._2).sum)
         }
-        files.foreach { st =>
-          val len = st.getLen
-          if (cur.nonEmpty && curBytes + len > targetBytes) flush()
-          cur :+= (st.getPath.toString, len)
-          curBytes += len
-        }
-        flush()
-      }
     }
     walk(root)
     bins.result()

@@ -142,6 +142,29 @@ class LakeCompactionSpec extends SparkSpec {
     }
   }
 
+  test("packBins invariants hold on random size distributions") {
+    val rnd = new scala.util.Random(42)
+    (1 to 200).foreach { _ =>
+      val n = rnd.nextInt(30)
+      val target = 1L + rnd.nextInt(5000)
+      val files = (0 until n).map(i => (f"f$i%03d", rnd.nextInt(3000).toLong + 1))
+      val bins = LakeCompaction.packBins(files, target)
+      // every bin: ≥ 2 files, fits the target, order-preserving slice
+      bins.foreach { b =>
+        assert(b.length >= 2, s"bin of ${b.length}: $b (target $target)")
+        assert(b.map(_._2).sum <= target, s"bin over target $target: $b")
+        val idx = b.map(f => files.indexOf(f))
+        assert(idx == (idx.head until idx.head + b.length),
+          s"bin must be a contiguous input slice: $b")
+      }
+      // bins are disjoint and drawn from the input
+      val all = bins.flatten
+      assert(all.distinct.size == all.size && all.toSet.subsetOf(files.toSet))
+      // determinism
+      assert(LakeCompaction.packBins(files, target) == bins)
+    }
+  }
+
   test("output names are deterministic functions of the inputs") {
     val dir = smallFileLake(appends = 3)
     val planned = LakeCompaction.plan(spark, dir, 512L * 1024)
