@@ -12,7 +12,10 @@ import org.apache.spark.sql.types._
   * The codec step dispatches on `meta.format`: formats the JDK's built-in
   * `javax.imageio` readers decode (PNG/BMP/GIF/JPEG) go through the REAL
   * [[ImageIoCodec]] — actual pixel decode, histogram features, bilinear
-  * resize; everything else (audio, video, non-JDK image formats — this
+  * resize; WAV/AIFF/AU audio goes through the REAL [[WavCodec]]
+  * (`javax.sound.sampled` PCM decode, RMS-envelope features,
+  * linear-interpolation resample); everything else (video, mp3/flac/ogg,
+  * non-JDK image formats — this
   * container ships no media libraries) falls back to [[FakeCodec]], a
   * clearly-marked deterministic stand-in that derives "pixels"/"samples"
   * from the bytes. Everything around the dispatch — schema, batch shape,
@@ -101,6 +104,9 @@ object Multimodal {
     if (ImageIoCodec.handles(format))
       try ImageIoCodec.features(bytes, dim)
       catch { case scala.util.control.NonFatal(_) => null }
+    else if (WavCodec.handles(format))
+      try WavCodec.features(bytes, dim)
+      catch { case scala.util.control.NonFatal(_) => null }
     else FakeCodec.features(bytes, dim)
 
   private def resizeFor(bytes: Array[Byte], format: String, w: Int, h: Int): Array[Byte] =
@@ -148,6 +154,26 @@ object Multimodal {
       when(col("modality") === "image",
         resizeUdf(col("bytes"), col("meta.format"), lit(w), lit(h)))
         .otherwise(col("bytes")))
+
+  private val resampleUdf = udf { (b: Array[Byte], fmt: String, hz: Int) =>
+    if (WavCodec.handles(fmt))
+      try WavCodec.resample(b, hz)
+      catch { case scala.util.control.NonFatal(_) => b }
+    else b // no decoder in this container for mp3/flac/ogg — pass through
+  }
+
+  /** The audio "resize": resample JDK-decodable audio (WAV/AIFF/AU) to a
+    * uniform rate — the normalization step every audio training pipeline
+    * runs before feature extraction. Undecodable audio formats and other
+    * modalities pass through untouched (same failure contract as
+    * [[resizeImages]]: one bad row never fails the corpus job). */
+  def resampleAudio(media: DataFrame, targetHz: Int): DataFrame = {
+    require(targetHz > 0, s"target sample rate must be positive, got $targetHz")
+    media.withColumn("bytes",
+      when(col("modality") === "audio",
+        resampleUdf(col("bytes"), col("meta.format"), lit(targetHz)))
+        .otherwise(col("bytes")))
+  }
 
   /** Sample every k-th frame of each video into one row per frame. */
   def sampleFrames(media: DataFrame, k: Int): DataFrame = {
