@@ -563,18 +563,23 @@ object RelationalQueries extends QueryGroup {
     * needs: generate every day of a window, left-join the fact table, and
     * days with zero orders SURFACE as 0 instead of silently missing.
     * DuckDB runs its own recursive CTE; the hash match pins fixpoint
-    * semantics + date arithmetic cross-engine. Scale note: the recursion
-    * generates the driver-sized spine (rows = days), never touches the
-    * fact side — the join is a broadcast of the spine against the scan. */
+    * semantics + date arithmetic cross-engine. Scale shape: the fact side
+    * is collapsed FIRST by a partial-aggregated per-date groupBy (the only
+    * thing that touches 100 TB), then the driver-sized spine left-joins
+    * the ~per-day aggregate rows — no date-keyed shuffle of raw fact rows,
+    * no per-day skew. */
   private val q88: Q = (s, d) => {
     graft.Tables.registerAll(s, d)
     s.sql(
       """WITH RECURSIVE days(d) AS (
         |  SELECT DATE '1995-01-01'
-        |  UNION ALL SELECT date_add(d, 1) FROM days WHERE d < DATE '1995-03-01')
-        |SELECT CAST(d AS TIMESTAMP_NTZ) AS d, count(o.o_orderkey) AS n_orders
-        |FROM days LEFT JOIN orders o ON CAST(o.o_orderdate AS DATE) = days.d
-        |GROUP BY d ORDER BY d""".stripMargin)
+        |  UNION ALL SELECT date_add(d, 1) FROM days WHERE d < DATE '1995-03-01'),
+        |agg AS (SELECT CAST(o_orderdate AS DATE) AS od, count(o_orderkey) AS n
+        |        FROM orders GROUP BY 1)
+        |SELECT CAST(d AS TIMESTAMP_NTZ) AS d,
+        |  COALESCE(n, CAST(0 AS BIGINT)) AS n_orders
+        |FROM days LEFT JOIN agg ON agg.od = days.d
+        |ORDER BY d""".stripMargin)
   }
 
   val queries: Seq[(String, Q)] = Seq(
