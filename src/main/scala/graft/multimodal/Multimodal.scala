@@ -155,24 +155,42 @@ object Multimodal {
         resizeUdf(col("bytes"), col("meta.format"), lit(w), lit(h)))
         .otherwise(col("bytes")))
 
+  // returns (bytes, rewritten): the flag distinguishes a real resample from
+  // a pass-through (non-decodable format OR corrupt bytes), so metadata is
+  // only updated for rows whose payload actually changed
   private val resampleUdf = udf { (b: Array[Byte], fmt: String, hz: Int) =>
     if (WavCodec.handles(fmt))
-      try WavCodec.resample(b, hz)
-      catch { case scala.util.control.NonFatal(_) => b }
-    else b // no decoder in this container for mp3/flac/ogg — pass through
+      try (WavCodec.resample(b, hz), true)
+      catch { case scala.util.control.NonFatal(_) => (b, false) }
+    else (b, false) // no decoder in this container for mp3/flac/ogg
   }
 
   /** The audio "resize": resample JDK-decodable audio (WAV/AIFF/AU) to a
     * uniform rate — the normalization step every audio training pipeline
     * runs before feature extraction. Undecodable audio formats and other
     * modalities pass through untouched (same failure contract as
-    * [[resizeImages]]: one bad row never fails the corpus job). */
+    * [[resizeImages]]: one bad row never fails the corpus job). Metadata
+    * follows the payload: rows the codec actually rewrites get
+    * `meta.sample_rate = targetHz` and `meta.format = "wav"` (the
+    * re-encoded container), so the struct never contradicts the bytes. */
   def resampleAudio(media: DataFrame, targetHz: Int): DataFrame = {
     require(targetHz > 0, s"target sample rate must be positive, got $targetHz")
-    media.withColumn("bytes",
-      when(col("modality") === "audio",
-        resampleUdf(col("bytes"), col("meta.format"), lit(targetHz)))
-        .otherwise(col("bytes")))
+    media
+      .withColumn("_rs",
+        when(col("modality") === "audio",
+          resampleUdf(col("bytes"), col("meta.format"), lit(targetHz)))
+          .otherwise(struct(col("bytes").as("_1"), lit(false).as("_2"))))
+      .withColumn("bytes", col("_rs._1"))
+      .withColumn("meta",
+        when(col("_rs._2"), struct(
+          lit("wav").as("format"),
+          col("meta.width").as("width"),
+          col("meta.height").as("height"),
+          lit(targetHz).as("sample_rate"),
+          col("meta.n_frames").as("n_frames"),
+          col("meta.duration_ms").as("duration_ms")))
+          .otherwise(col("meta")))
+      .drop("_rs")
   }
 
   /** Sample every k-th frame of each video into one row per frame. */
@@ -201,8 +219,11 @@ object Multimodal {
     // image extensions = the codec-dispatch source of truth plus formats
     // that are images but not JDK-decodable (stay images, take FakeCodec)
     val imageExts = ImageIoCodec.formats.toSeq.sorted ++ Seq("tif", "tiff")
+    // audio likewise: WavCodec's decodable set is the source of truth, plus
+    // formats that are audio but not JDK-decodable (stay audio, FakeCodec)
+    val audioExts = WavCodec.formats.toSeq.sorted ++ Seq("mp3", "flac", "ogg")
     val modality = when(ext.isin(imageExts: _*), "image")
-      .when(ext.isin("wav", "mp3", "flac", "ogg"), "audio")
+      .when(ext.isin(audioExts: _*), "audio")
       .when(ext.isin("mp4", "mkv", "webm", "avi"), "video")
       .otherwise("binary")
     spark.read.format("binaryFile")

@@ -95,7 +95,9 @@ object WavCodec {
     require(targetHz > 0)
     val (mono, srcHz) = decode(bytes)
     val ratio = srcHz / targetHz.toDouble
-    val outLen = math.max(1, (mono.length / ratio).toInt)
+    // a structurally valid zero-frame WAV resamples to a zero-frame WAV
+    // (outLen 0 — indexing mono would throw on the empty signal)
+    val outLen = if (mono.isEmpty) 0 else math.max(1, (mono.length / ratio).toInt)
     val res = new Array[Byte](outLen * 2)
     var i = 0
     while (i < outLen) {

@@ -78,11 +78,39 @@ class WavCodecSpec extends SparkSpec {
       "decodable wav must produce the real normalized envelope")
     assert(rows(2L).isNullAt(rows(2L).fieldIndex("features")),
       "undecodable bytes yield NULL features, never a job failure")
-    // resampleAudio: wav halves its byte payload, failure passes through
+    // resampleAudio: wav halves its byte payload, failure passes through —
+    // and the metadata struct follows the PAYLOAD: only the actually
+    // rewritten row reads the new rate, the corrupt row keeps its old meta
     val resampled = Multimodal.resampleAudio(media, 8000)
-      .collect().map(r => r.getAs[Long]("media_id") ->
-        r.getAs[Array[Byte]]("bytes")).toMap
-    assert(resampled(1L).length < good.length * 3 / 4, "downsample shrinks")
-    assert(resampled(2L).sameElements(bad), "undecodable audio passes through")
+      .collect().map(r => r.getAs[Long]("media_id") -> r).toMap
+    val rb = resampled(1L).getAs[Array[Byte]]("bytes")
+    assert(rb.length < good.length * 3 / 4, "downsample shrinks")
+    assert(resampled(1L).getAs[org.apache.spark.sql.Row]("meta")
+      .getAs[Int]("sample_rate") == 8000, "meta must track the new rate")
+    assert(resampled(2L).getAs[Array[Byte]]("bytes").sameElements(bad),
+      "undecodable audio passes through")
+    assert(resampled(2L).getAs[org.apache.spark.sql.Row]("meta")
+      .getAs[Int]("sample_rate") == 16000,
+      "pass-through rows must keep their original metadata")
+  }
+
+  test("a zero-frame WAV resamples to a zero-frame WAV (no crash)") {
+    val empty = wav(new Array[Float](0), 16000)
+    val out = WavCodec.resample(empty, 8000)
+    val (mono, rate) = WavCodec.decode(out)
+    assert(mono.isEmpty && rate == 8000.0f)
+  }
+
+  test("readMediaDir classifies every WavCodec format as audio") {
+    val dir = tmpDir("media-audio")
+    val bytes = wav(sine(800, 16000, 440, 0.5f), 16000)
+    Seq("a.wav", "b.aiff", "c.au", "d.mp3").foreach { name =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, name), bytes)
+    }
+    val m = Multimodal.readMediaDir(spark, dir)
+      .select("meta.format", "modality").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m.values.forall(_ == "audio"), s"all audio extensions: $m")
   }
 }
