@@ -96,6 +96,20 @@ object MlQueries extends QueryGroup {
         expr("approx_percentile(l_quantity, 0.25, 10000)").as("p25_qty"))
       .orderBy("l_returnflag")
 
+  /** Q89: bitwise aggregates — bit_and / bit_or / bit_xor over integer
+    * keys, the flag-mask / set-reconciliation aggregation family (xor-sums
+    * detect symmetric differences between replicas without sorting).
+    * Order-independent by algebra, so the cross-engine hash match is
+    * exact with no decimal detour. */
+  private val q89: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(bit_and(col("l_partkey")).as("and_part"),
+        bit_or(col("l_partkey")).as("or_part"),
+        bit_xor(col("l_partkey")).as("xor_part"),
+        bit_xor(col("l_orderkey")).as("xor_order"))
+      .orderBy("l_returnflag")
+
   /** Q54: nearest-centroid assignment — each vector classified to its most
     * cosine-similar label centroid (the IVF cell assignment, exposed as a
     * query).
@@ -197,6 +211,7 @@ object MlQueries extends QueryGroup {
     "q48_ml_centroids" -> q48,
     "q53_agg_pivot" -> q53,
     "q85_fn_unpivot" -> q85,
+    "q89_agg_bitwise" -> q89,
     "q52_agg_percentile" -> q52,
     "q87_agg_approx_percentile" -> q87,
     "q49_agg_approx_distinct" -> q49,
@@ -261,6 +276,14 @@ object MlQueries extends QueryGroup {
       """SELECT l_returnflag,
         |  count(*) FILTER (l_linestatus = 'F') AS f_cnt,
         |  count(*) FILTER (l_linestatus = 'O') AS o_cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q89_agg_bitwise" ->
+      """SELECT l_returnflag,
+        |  bit_and(l_partkey) AS and_part,
+        |  bit_or(l_partkey) AS or_part,
+        |  bit_xor(l_partkey) AS xor_part,
+        |  bit_xor(l_orderkey) AS xor_order
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q85_fn_unpivot" ->
