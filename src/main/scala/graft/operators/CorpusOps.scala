@@ -185,7 +185,7 @@ object CorpusOps {
     val sorted = keyed
       .repartitionByRange(partitions, col("w"), col(idCol))
       .sortWithinPartitions(col("w"), col(idCol))
-    val ranked = sorted.rdd.zipWithIndex.map { case (r, i) =>
+    val ranked = sorted.rdd.zipWithIndex().map { case (r, i) =>
       org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
     }
     val schema = org.apache.spark.sql.types.StructType(
