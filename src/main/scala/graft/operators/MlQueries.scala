@@ -110,6 +110,30 @@ object MlQueries extends QueryGroup {
         bit_xor(col("l_orderkey")).as("xor_order"))
       .orderBy("l_returnflag")
 
+  /** Q90: statistical moments — sample variance / stddev and Pearson
+    * correlation per group. The BUILT-IN `stddev`/`corr` can never
+    * hash-match across engines (their streaming merge accumulates doubles
+    * in partition order), so the moments are computed from exact DECIMAL
+    * power sums (Σx, Σx², Σxy — the [[graft.operators.dsum]] discipline)
+    * and combined in ONE fixed double expression both engines evaluate
+    * identically: var = (Σx² − (Σx)²/n)/(n−1). Same rows, same doubles,
+    * any partitioning. */
+  private val q90: Q = (s, d) => {
+    val n = count(lit(1)).cast("double")
+    val sx = dsum(col("l_extendedprice"), 2)
+    val sxx = dsum(col("l_extendedprice") * col("l_extendedprice"), 4)
+    val sy = dsum(col("l_quantity"), 2)
+    val syy = dsum(col("l_quantity") * col("l_quantity"), 4)
+    val sxy = dsum(col("l_extendedprice") * col("l_quantity"), 4)
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(((sxx - sx * sx / n) / (n - 1)).as("var_price"),
+        sqrt((sxx - sx * sx / n) / (n - 1)).as("stddev_price"),
+        ((n * sxy - sx * sy) /
+          sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))).as("corr_price_qty"))
+      .orderBy("l_returnflag")
+  }
+
   /** Q54: nearest-centroid assignment — each vector classified to its most
     * cosine-similar label centroid (the IVF cell assignment, exposed as a
     * query).
@@ -212,6 +236,7 @@ object MlQueries extends QueryGroup {
     "q53_agg_pivot" -> q53,
     "q85_fn_unpivot" -> q85,
     "q89_agg_bitwise" -> q89,
+    "q90_agg_moments" -> q90,
     "q52_agg_percentile" -> q52,
     "q87_agg_approx_percentile" -> q87,
     "q49_agg_approx_distinct" -> q49,
@@ -276,6 +301,25 @@ object MlQueries extends QueryGroup {
       """SELECT l_returnflag,
         |  count(*) FILTER (l_linestatus = 'F') AS f_cnt,
         |  count(*) FILTER (l_linestatus = 'O') AS o_cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // moments from exact power sums, combined in the SAME double expression
+    // tree Spark evaluates — built-in stddev/corr merge doubles in
+    // partition order and would never hash-match
+    "q90_agg_moments" ->
+      s"""SELECT l_returnflag,
+        |  (${sqlDsum("l_extendedprice * l_extendedprice", 4)}
+        |     - ${sqlDsum("l_extendedprice")} * ${sqlDsum("l_extendedprice")} / CAST(count(*) AS DOUBLE))
+        |    / (CAST(count(*) AS DOUBLE) - 1) AS var_price,
+        |  sqrt((${sqlDsum("l_extendedprice * l_extendedprice", 4)}
+        |     - ${sqlDsum("l_extendedprice")} * ${sqlDsum("l_extendedprice")} / CAST(count(*) AS DOUBLE))
+        |    / (CAST(count(*) AS DOUBLE) - 1)) AS stddev_price,
+        |  (CAST(count(*) AS DOUBLE) * ${sqlDsum("l_extendedprice * l_quantity", 4)}
+        |     - ${sqlDsum("l_extendedprice")} * ${sqlDsum("l_quantity")})
+        |    / sqrt((CAST(count(*) AS DOUBLE) * ${sqlDsum("l_extendedprice * l_extendedprice", 4)}
+        |         - ${sqlDsum("l_extendedprice")} * ${sqlDsum("l_extendedprice")})
+        |      * (CAST(count(*) AS DOUBLE) * ${sqlDsum("l_quantity * l_quantity", 4)}
+        |         - ${sqlDsum("l_quantity")} * ${sqlDsum("l_quantity")})) AS corr_price_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q89_agg_bitwise" ->
