@@ -117,7 +117,11 @@ object MlQueries extends QueryGroup {
     * power sums (Σx, Σx², Σxy — the [[graft.operators.dsum]] discipline)
     * and combined in ONE fixed double expression both engines evaluate
     * identically: var = (Σx² − (Σx)²/n)/(n−1). Same rows, same doubles,
-    * any partitioning. */
+    * any partitioning. The power sums' scaled values exceed 2⁵³, where
+    * DuckDB's direct DECIMAL→DOUBLE cast double-rounds (~25% of values
+    * one ulp off the correctly-rounded double Spark produces — measured),
+    * so the oracle routes them through [[graft.operators.sqlDsumBig]]'s
+    * exact text form. */
   private val q90: Q = (s, d) => {
     val n = count(lit(1)).cast("double")
     val sx = dsum(col("l_extendedprice"), 2)
@@ -125,12 +129,17 @@ object MlQueries extends QueryGroup {
     val sy = dsum(col("l_quantity"), 2)
     val syy = dsum(col("l_quantity") * col("l_quantity"), 4)
     val sxy = dsum(col("l_extendedprice") * col("l_quantity"), 4)
+    // degenerate-group guards: cancellation can push the variance a hair
+    // negative (clamp to 0); a zero-variance side yields NULL correlation
+    // instead of a 0-division (DuckDB raises where Spark's double does not)
+    val variance = greatest((sxx - sx * sx / n) / (n - 1), lit(0.0))
+    val den2 = (n * sxx - sx * sx) * (n * syy - sy * sy)
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
-      .agg(((sxx - sx * sx / n) / (n - 1)).as("var_price"),
-        sqrt((sxx - sx * sx / n) / (n - 1)).as("stddev_price"),
-        ((n * sxy - sx * sy) /
-          sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))).as("corr_price_qty"))
+      .agg(variance.as("var_price"),
+        sqrt(variance).as("stddev_price"),
+        when(den2 <= 0, lit(null).cast("double"))
+          .otherwise((n * sxy - sx * sy) / sqrt(den2)).as("corr_price_qty"))
       .orderBy("l_returnflag")
   }
 
@@ -305,22 +314,25 @@ object MlQueries extends QueryGroup {
 
     // moments from exact power sums, combined in the SAME double expression
     // tree Spark evaluates — built-in stddev/corr merge doubles in
-    // partition order and would never hash-match
-    "q90_agg_moments" ->
+    // partition order and would never hash-match; power sums take the
+    // sqlDsumBig text bridge (DuckDB's DECIMAL→DOUBLE double-rounds above
+    // 2^53); GREATEST / NULLIF-style guards mirror the Spark side
+    "q90_agg_moments" -> {
+      val n = "CAST(count(*) AS DOUBLE)"
+      val sx = sqlDsum("l_extendedprice")
+      val sxx = sqlDsumBig("l_extendedprice * l_extendedprice", 4)
+      val sy = sqlDsum("l_quantity")
+      val syy = sqlDsumBig("l_quantity * l_quantity", 4)
+      val sxy = sqlDsumBig("l_extendedprice * l_quantity", 4)
+      val variance = s"GREATEST(($sxx - $sx * $sx / $n) / ($n - 1), 0.0)"
+      val den2 = s"(($n * $sxx - $sx * $sx) * ($n * $syy - $sy * $sy))"
       s"""SELECT l_returnflag,
-        |  (${sqlDsum("l_extendedprice * l_extendedprice", 4)}
-        |     - ${sqlDsum("l_extendedprice")} * ${sqlDsum("l_extendedprice")} / CAST(count(*) AS DOUBLE))
-        |    / (CAST(count(*) AS DOUBLE) - 1) AS var_price,
-        |  sqrt((${sqlDsum("l_extendedprice * l_extendedprice", 4)}
-        |     - ${sqlDsum("l_extendedprice")} * ${sqlDsum("l_extendedprice")} / CAST(count(*) AS DOUBLE))
-        |    / (CAST(count(*) AS DOUBLE) - 1)) AS stddev_price,
-        |  (CAST(count(*) AS DOUBLE) * ${sqlDsum("l_extendedprice * l_quantity", 4)}
-        |     - ${sqlDsum("l_extendedprice")} * ${sqlDsum("l_quantity")})
-        |    / sqrt((CAST(count(*) AS DOUBLE) * ${sqlDsum("l_extendedprice * l_extendedprice", 4)}
-        |         - ${sqlDsum("l_extendedprice")} * ${sqlDsum("l_extendedprice")})
-        |      * (CAST(count(*) AS DOUBLE) * ${sqlDsum("l_quantity * l_quantity", 4)}
-        |         - ${sqlDsum("l_quantity")} * ${sqlDsum("l_quantity")})) AS corr_price_qty
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+        |  $variance AS var_price,
+        |  sqrt($variance) AS stddev_price,
+        |  CASE WHEN $den2 <= 0 THEN NULL
+        |       ELSE ($n * $sxy - $sx * $sy) / sqrt($den2) END AS corr_price_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    },
 
     "q89_agg_bitwise" ->
       """SELECT l_returnflag,

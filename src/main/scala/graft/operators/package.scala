@@ -38,6 +38,15 @@ package object operators {
   def sqlDsum(x: String, scale: Int = 2): String =
     s"CAST(sum(CAST($x AS DECIMAL(18,$scale))) AS DOUBLE)"
 
+  /** [[sqlDsum]] for sums whose SCALED integer value can exceed 2⁵³ (power
+    * sums like Σx² in q90): DuckDB's direct DECIMAL→DOUBLE cast
+    * double-rounds in that regime (measured: ~25% of values off by one
+    * ulp vs the correctly-rounded result Spark's BigDecimal.doubleValue
+    * produces), while its VARCHAR→DOUBLE parse is correctly rounded — so
+    * the exact decimal goes through its text form. Spark needs no bridge. */
+  def sqlDsumBig(x: String, scale: Int = 2): String =
+    s"CAST(CAST(sum(CAST($x AS DECIMAL(18,$scale))) AS VARCHAR) AS DOUBLE)"
+
   /** Oracle-side fragment for [[davg]]. */
   def sqlDavg(x: String, scale: Int = 2): String =
     s"CAST(sum(CAST($x AS DECIMAL(18,$scale))) AS DOUBLE) / count($x)"

@@ -88,37 +88,26 @@ case class MinHashBands(child: Expression, numHashes: Int, bandSize: Int)
   * undefined in both engines).
   */
 object Md5MinHashImpl {
-  private val md = ThreadLocal.withInitial[java.security.MessageDigest](
-    () => java.security.MessageDigest.getInstance("MD5"))
-
   /** hash functions 2k and 2k+1 come from ONE digest of `"<k>#<tok>"`:
     * the first 15 and the 17th–31st hex digits (skipping the 16th keeps
     * both slices independent 60-bit views and both trivially SQL-mirrorable
-    * as `substr(md5(…), 1, 15)` / `substr(md5(…), 17, 15)`). Halves the
-    * md5 count per shingle vs one digest per hash function — measured on
-    * the q41b twin, the only caller. */
+    * as `substr(md5(…), 1, 15)` / `substr(md5(…), 17, 15)` — the shared
+    * [[Md5SimHashImpl.parse60]]). Halves the md5 count per shingle vs one
+    * digest per hash function — measured on the q41b twin, the only
+    * caller. */
   def bands(arr: ArrayData, numHashes: Int, bandSize: Int): ArrayData = {
     val n = arr.numElements()
     if (n == 0) return null
     val mins = Array.fill(numHashes)(Long.MaxValue)
+    val digest = Md5SimHashImpl.digester // hoisted out of the hot loops
     var t = 0
     while (t < n) {
       val tok = arr.getUTF8String(t).toString
       var k = 0
       while (k * 2 < numHashes) {
-        val digest = md.get()
-        digest.reset()
         val dg = digest.digest((k.toString + "#" + tok).getBytes("UTF-8"))
-        // chars 1..16 = bytes 0..7 big-endian; drop the 16th hex digit
-        var hi = 0L
-        var i = 0
-        while (i < 8) { hi = (hi << 8) | (dg(i) & 0xffL); i += 1 }
-        val m0 = hi >>> 4
-        // chars 17..32 = bytes 8..15 big-endian; drop the 32nd hex digit
-        var lo = 0L
-        i = 8
-        while (i < 16) { lo = (lo << 8) | (dg(i) & 0xffL); i += 1 }
-        val m1 = lo >>> 4
+        val m0 = Md5SimHashImpl.parse60(dg, 0)
+        val m1 = Md5SimHashImpl.parse60(dg, 8)
         if (m0 < mins(k * 2)) mins(k * 2) = m0
         if (k * 2 + 1 < numHashes && m1 < mins(k * 2 + 1)) mins(k * 2 + 1) = m1
         k += 1

@@ -72,17 +72,25 @@ object Md5SimHashImpl {
   private val md = ThreadLocal.withInitial[java.security.MessageDigest](
     () => java.security.MessageDigest.getInstance("MD5"))
 
+  /** The thread's MD5 instance — callers hoist this out of hot loops
+    * (digest() resets the instance itself, no explicit reset needed). */
+  private[plans] def digester: java.security.MessageDigest = md.get()
+
+  /** 60 bits of a digest from byte `off`, big-endian — bit-identical to
+    * parsing 15 hex digits starting at hex position 2·off+1 (the SQL
+    * mirror's `substr(md5(…), 2·off+1, 15)`). The single definition behind
+    * tokenHash AND both of Md5MinHashImpl's per-digest views. */
+  private[plans] def parse60(d: Array[Byte], off: Int): Long = {
+    var h = 0L
+    var i = off
+    while (i < off + 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h >>> 4 // drop the trailing hex digit: 15 hex chars = 60 bits
+  }
+
   /** First 60 bits of md5(token bytes), big-endian — bit-identical to
     * parsing the first 15 hex digits of the md5 hex string. */
-  def tokenHash(bytes: Array[Byte]): Long = {
-    val digest = md.get()
-    digest.reset()
-    val d = digest.digest(bytes)
-    var h = 0L
-    var i = 0
-    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
-    h >>> 4 // drop the 16th hex digit: 15 hex chars = 60 bits
-  }
+  def tokenHash(bytes: Array[Byte]): Long =
+    parse60(digester.digest(bytes), 0)
 
   def compute(arr: ArrayData): Long = {
     val votes = new Array[Int](60)
