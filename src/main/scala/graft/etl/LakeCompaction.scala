@@ -156,11 +156,29 @@ object LakeCompaction {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(maxConcurrentBins, bins.size))
     try {
-      bins.map { bin =>
+      val futures = bins.map { bin =>
         pool.submit(new java.util.concurrent.Callable[Unit] {
           def call(): Unit = rewrite(spark, fs, bin, sortBy)
         })
-      }.foreach(_.get()) // propagate the first failure
+      }
+      // await EVERY bin before reporting: bailing on the first failure would
+      // return control to the caller while the remaining rewrites keep
+      // deleting source files in the background. Completed bins stay
+      // committed (each rewrite is individually atomic + idempotent);
+      // failures are aggregated and rethrown together.
+      val failures = futures.flatMap { f =>
+        try { f.get(); None }
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            Some(Option(e.getCause).getOrElse(e))
+        }
+      }
+      failures match {
+        case first +: rest =>
+          rest.foreach(first.addSuppressed)
+          throw first
+        case _ =>
+      }
     } finally pool.shutdown()
     Report(bins.map(_.partitionDir).distinct.size, bins.size,
       filesBefore, bins.size, bins.map(_.bytes).sum)

@@ -48,6 +48,12 @@ object VectorFunctions {
   def lshSigNative(emb: Column): Column =
     call_function("lsh_sig", emb)
 
+  /** The md5-plane twin of [[lshSigNative]] (graft.plans.Md5LshSignature):
+    * same 6-bit hyperplane bucketing, plane constants derived from md5 so
+    * DuckDB can recompute the signature — the q43b end-to-end ANN oracle. */
+  def md5LshSigNative(emb: Column): Column =
+    call_function("lsh_sig_md5", emb)
+
   /** DuckDB oracle fragment mirroring [[dot]] exactly (sequential double
     * fold over per-element products). The index bound derives from
     * len() so a fixture-dimension change can't silently skew the oracle;

@@ -79,12 +79,19 @@ object WavCodec {
   }
 
   /** Duration straight from the frame count — a decode-free metadata probe
-    * in spirit ([[Multimodal]] scans metadata without decoding media). */
+    * in spirit ([[Multimodal]] scans metadata without decoding media).
+    * Some AU/streamed headers carry no frame count or rate
+    * (`AudioSystem.NOT_SPECIFIED`, -1) — that's a corrupt-metadata error
+    * here, same contract as `features()` on undecodable bytes, never a
+    * silently negative duration. */
   def durationMs(bytes: Array[Byte]): Long = {
     val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
     try {
       val frames = in.getFrameLength
       val rate = in.getFormat.getFrameRate
+      if (frames == AudioSystem.NOT_SPECIFIED || rate <= 0)
+        throw new java.io.IOException(
+          s"audio header carries no frame count/rate (frames=$frames, rate=$rate)")
       (frames * 1000.0 / rate).round
     } finally in.close()
   }

@@ -142,8 +142,15 @@ object CorpusOps {
       .join(fps, Seq("fp"), "left")
       .withColumn("dup_exact", coalesce(col("dup_exact"), lit(false)))
       .withColumn("dup_near", coalesce(col("dup_near"), lit(false)))
+      // NULL-text docs have a NULL fingerprint; a bare partitionBy("fp")
+      // would pool them into one window partition and cross-flag distinct
+      // null docs as duplicates of each other. Key each null doc to itself
+      // instead (fingerprints are 32-hex md5, so the tab-prefixed sentinel
+      // can never collide) — null docs are never batch-duplicates.
       .withColumn("dup_in_batch",
-        col(idCol) =!= min(col(idCol)).over(Window.partitionBy("fp")))
+        col(idCol) =!= min(col(idCol)).over(Window.partitionBy(
+          coalesce(col("fp"),
+            concat(lit("\tnull:"), col(idCol).cast("string"))))))
       .withColumn("kept",
         !col("dup_exact") && !col("dup_near") && !col("dup_in_batch"))
       .drop("h", "fp")

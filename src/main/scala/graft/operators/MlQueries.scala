@@ -131,8 +131,11 @@ object MlQueries extends QueryGroup {
     val sxy = dsum(col("l_extendedprice") * col("l_quantity"), 4)
     // degenerate-group guards: cancellation can push the variance a hair
     // negative (clamp to 0); a zero-variance side yields NULL correlation
-    // instead of a 0-division (DuckDB raises where Spark's double does not)
-    val variance = greatest((sxx - sx * sx / n) / (n - 1), lit(0.0))
+    // instead of a 0-division (DuckDB raises where Spark's double does not);
+    // a single-row group makes (n-1) zero — 0/0 is NaN in Spark but NULL in
+    // DuckDB, so sample variance is pinned to NULL on both engines there
+    val variance = when(n <= 1, lit(null).cast("double"))
+      .otherwise(greatest((sxx - sx * sx / n) / (n - 1), lit(0.0)))
     val den2 = (n * sxx - sx * sx) * (n * syy - sy * sy)
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
@@ -324,7 +327,8 @@ object MlQueries extends QueryGroup {
       val sy = sqlDsum("l_quantity")
       val syy = sqlDsumBig("l_quantity * l_quantity", 4)
       val sxy = sqlDsumBig("l_extendedprice * l_quantity", 4)
-      val variance = s"GREATEST(($sxx - $sx * $sx / $n) / ($n - 1), 0.0)"
+      val variance =
+        s"CASE WHEN $n <= 1 THEN NULL ELSE GREATEST(($sxx - $sx * $sx / $n) / ($n - 1), 0.0) END"
       val den2 = s"(($n * $sxx - $sx * $sx) * ($n * $syy - $sy * $sy))"
       s"""SELECT l_returnflag,
         |  $variance AS var_price,

@@ -41,6 +41,8 @@ object GraftFunctions {
       (c: Seq[Expression]) => RollingFp(c(0))),
     ("lsh_sig", classOf[LshSignature], 1,
       (c: Seq[Expression]) => LshSignature(c(0))),
+    ("lsh_sig_md5", classOf[Md5LshSignature], 1,
+      (c: Seq[Expression]) => Md5LshSignature(c(0))),
     ("keyword_overlap", classOf[KeywordOverlap], 2,
       (c: Seq[Expression]) => KeywordOverlap(c(0), c(1))),
     ("intersect_count", classOf[IntersectCount], 2,

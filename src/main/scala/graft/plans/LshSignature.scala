@@ -99,3 +99,88 @@ case class LshSignature(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Kernel: the md5-plane twin of [[LshSignatureImpl]] — same 6-bit
+  * random-hyperplane structure, but plane j component i is derived from
+  * `md5("p<j>#<i>")` (first 15 hex digits as a 60-bit big-endian long, the
+  * [[Md5SimHashImpl.parse60]] convention shared with minhash_bands_md5 /
+  * simhash_md5_60) instead of xxhash64. That makes the ENTIRE ANN pipeline —
+  * signature, bucket assignment, Hamming-ball candidates, exact-cosine
+  * re-rank — recomputable in DuckDB SQL, so q43b hash-verifies the
+  * production bucketing end to end (xxhash64 has no DuckDB mirror; see the
+  * q41b/q42b twins). Plane value: `(h % 1000) / 1000.0 - 0.5`, h the 60-bit
+  * md5 prefix. The dot product accumulates sequentially in index order
+  * (left fold), bit-identical to the oracle's `list_reduce`.
+  *
+  * Dims are capped at [[LshSignatureImpl.BaseDims]]: a vector longer than
+  * 64 uses only its first 64 components (the oracle's
+  * `range(1, least(len, 64) + 1)`); shorter than 64, or any null element,
+  * yields NULL — same null contract as [[LshSignatureImpl]].
+  */
+object Md5LshSignatureImpl {
+  import LshSignatureImpl.{BaseDims, NumPlanes}
+
+  private def planeVal(j: Int, i: Int): Double = {
+    val d = Md5SimHashImpl.digester.digest(s"p$j#$i".getBytes("UTF-8"))
+    val h = Md5SimHashImpl.parse60(d, 0)
+    (h % 1000L).toDouble / 1000.0 - 0.5
+  }
+
+  /** planes(j)(i), built once at class load. */
+  val planes: Array[Array[Double]] = Array.tabulate(NumPlanes, BaseDims)(planeVal)
+
+  def sig(arr: ArrayData): Integer = {
+    val n = arr.numElements()
+    if (n < BaseDims) return null
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      i += 1
+    }
+    val m = math.min(n, BaseDims)
+    var s = 0
+    var j = 0
+    while (j < NumPlanes) {
+      val plane = planes(j)
+      var dot = 0.0
+      i = 0
+      while (i < m) {
+        dot += arr.getFloat(i).toDouble * plane(i)
+        i += 1
+      }
+      if (dot > 0) s |= 1 << j
+      j += 1
+    }
+    Integer.valueOf(s)
+  }
+}
+
+/** lsh_sig_md5(array<float>) → int: the DuckDB-mirrorable 6-bit hyperplane
+  * signature ([[Md5LshSignatureImpl]]). */
+case class Md5LshSignature(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "lsh_sig_md5"
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"lsh_sig_md5 requires array<float>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    Md5LshSignatureImpl.sig(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |java.lang.Integer r = graft.plans.Md5LshSignatureImpl.sig($c);
+         |if (r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = r.intValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
