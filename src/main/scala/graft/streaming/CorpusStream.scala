@@ -130,10 +130,9 @@ object CorpusStream {
     * the small side of the comparison rides the plan, the big side
     * streams). This is exactly how production decontamination ships its
     * n-gram blocklist to workers; the explicit contract is that the
-    * BENCHMARK is driver-sized (test sets, not training sets) — for a
-    * blocklist beyond driver memory, swap the literal for a stream-static
-    * left-anti join on exploded shingles at the cost of a per-batch
-    * shuffle. */
+    * BENCHMARK is driver-sized (test sets, not training sets) — a
+    * blocklist beyond driver memory takes [[decontaminateLarge]], the
+    * stream-static anti-join path with identical keeps (spec-pinned). */
   def decontaminate(docs: DataFrame, benchmark: DataFrame,
       k: Int = 4): DataFrame = {
     val spark = benchmark.sparkSession
@@ -146,5 +145,53 @@ object CorpusStream {
     else docs.filter(!arrays_overlap(
       call_function("word_shingles", TextFunctions.tokens(col("text")), lit(k)),
       typedLit(benchShingles)))
+  }
+
+  /** Large-blocklist decontamination — the distributed path the
+    * [[decontaminate]] contract points to when the benchmark outgrows
+    * driver memory. The blocklist never leaves the cluster: each document
+    * explodes to its DISTINCT k-shingles, a stream-static LEFT ANTI join
+    * removes the shingle rows present in the blocklist, and a doc is kept
+    * iff its clean-shingle count equals its distinct-shingle count (any
+    * blocklisted shingle breaks the equality). Verdicts are exact, not
+    * probabilistic — identical keeps to [[decontaminate]] on any input
+    * (spec-pinned, including the NULL-text and shingle-less edges: a NULL
+    * text nulls the count equality and drops, exactly as `arrays_overlap`
+    * over a NULL array does; a doc too short to have a k-shingle survives
+    * via `explode_outer`'s single NULL row, which no blocklist entry can
+    * match and which `count` ignores — 0 = 0).
+    *
+    * Scale shape: two shuffles per micro-batch — the anti join on the
+    * shingle key (md5-flat text shingles; a boilerplate-heavy corpus skews
+    * a few shingle keys, but anti-join state per key is just the blocklist
+    * row, so skew costs network, not state) and the doc-level regroup. The
+    * shingle explosion replicates doc columns ~|tokens| times within the
+    * batch; micro-batch admission control bounds that amplification. Rows
+    * must be unique (a unique doc id, as corpus rows carry) — full-row
+    * duplicates would collapse in the regroup. On a streaming frame the
+    * regroup is a watermarked append-mode aggregation: a doc emits after
+    * the watermark passes its event time (the latency cost of not holding
+    * the blocklist on the driver); batch frames regroup immediately. The
+    * static blocklist side re-computes per micro-batch — persist() it for
+    * long-running queries. */
+  def decontaminateLarge(docs: DataFrame, benchmark: DataFrame,
+      eventTimeCol: String, delay: String, k: Int = 4): DataFrame = {
+    val docCols = docs.columns.toSeq
+    def shingles(c: Column) = array_distinct(
+      call_function("word_shingles", TextFunctions.tokens(c), lit(k)))
+    val block = benchmark
+      .select(explode(shingles(col("text"))).as("_graft_sh"))
+      .distinct()
+    val exploded = docs
+      .withColumn("_graft_nsh", size(shingles(col("text"))))
+      .select(col("*"), explode_outer(shingles(col("text"))).as("_graft_sh"))
+    val clean = exploded.join(block, Seq("_graft_sh"), "left_anti")
+    val watermarked =
+      if (clean.isStreaming) clean.withWatermark(eventTimeCol, delay) else clean
+    watermarked
+      .groupBy(docCols.map(col) :+ col("_graft_nsh"): _*)
+      .agg(count(col("_graft_sh")).as("_graft_clean"))
+      .filter(col("_graft_clean") === col("_graft_nsh"))
+      .select(docCols.map(col): _*)
   }
 }

@@ -168,6 +168,55 @@ class StreamingCorpusSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("decontaminateLarge keeps exactly what decontaminate keeps (streaming)") {
+    implicit val sc = spark.sqlContext
+    val bench = Seq((100L, "b1 b2 b3 b4 b5"), (101L, "c1 c2 c3 c4")).toDF("doc_id", "text")
+    val fixture = Seq(
+      (1L, "x1 x2 b1 b2 b3 b4 x3", ts(0)), // benchmark 4-gram → dropped
+      (2L, "x1 x2 x3 x4 x5 x6", ts(0)),    // clean → kept
+      (3L, "b1 b2 b3", ts(1)),             // 3-token prefix, no 4-gram → kept
+      (4L, "z c1 c2 c3 c4 z", ts(1)),      // second benchmark's 4-gram → dropped
+      (5L, "q1 q2", ts(2)))                // too short for any 4-gram → kept
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val out = CorpusStream.decontaminateLarge(
+      mem.toDS().toDF("doc_id", "text", "ts"), bench, "ts", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("sdeconlarge")
+      .outputMode("append").start()
+    try {
+      mem.addData(fixture: _*)
+      q.processAllAvailable()
+      // append-mode aggregation emits only once the watermark passes the
+      // group's event time — push it forward with a late sentinel batch
+      mem.addData((99L, "advance the watermark", ts(50)))
+      q.processAllAvailable()
+      val largeKept = spark.table("sdeconlarge")
+        .select("doc_id").as[Long].collect().toSet
+      val literalKept = CorpusStream.decontaminate(
+        fixture.toDF("doc_id", "text", "ts"), bench)
+        .select("doc_id").as[Long].collect().toSet
+      assert(largeKept == literalKept,
+        s"path divergence: large=$largeKept literal=$literalKept")
+      assert(literalKept == Set(2L, 3L, 5L), s"got $literalKept")
+    } finally q.stop()
+  }
+
+  test("decontaminateLarge batch path: identical keeps incl. NULL-text edge") {
+    val bench = Seq((100L, "b1 b2 b3 b4 b5")).toDF("doc_id", "text")
+    val fixture = Seq(
+      (1L, "x1 x2 b1 b2 b3 b4 x3", ts(0)),
+      (2L, "x1 x2 x3 x4 x5 x6", ts(0)),
+      (3L, null.asInstanceOf[String], ts(1)), // NULL text: both paths drop
+      (4L, "q1 q2", ts(1)))
+      .toDF("doc_id", "text", "ts")
+    val largeKept = CorpusStream.decontaminateLarge(fixture, bench, "ts", "10 minutes")
+      .select("doc_id").as[Long].collect().toSet
+    val literalKept = CorpusStream.decontaminate(fixture, bench)
+      .select("doc_id").as[Long].collect().toSet
+    assert(largeKept == literalKept,
+      s"path divergence: large=$largeKept literal=$literalKept")
+    assert(largeKept == Set(2L, 4L), s"got $largeKept")
+  }
+
   test("stream gate thresholds equal the batch q73 gate (parity on the fixture)") {
     // run the batch quality stage and the stream gate over the SAME rows;
     // the survivor sets must agree (q73 then applies dedup+cap on top)
