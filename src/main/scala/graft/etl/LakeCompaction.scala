@@ -41,6 +41,12 @@ import org.apache.spark.sql.SparkSession
   * requires without a table-format commit log. On object stores rename is
   * copy+delete, not atomic metadata — the window is wider, the contract
   * identical.
+  *
+  * FileStreamSink lakes (`writeStream.format("parquet")`, read through a
+  * `_spark_metadata` manifest) are detected and routed to the
+  * manifest-aware protocol instead — see [[compactManifested]]: plan from
+  * the manifest, rewrite invisibly, one atomic manifest swap, then
+  * [[vacuumUnreferenced]].
   */
 object LakeCompaction {
 
@@ -132,40 +138,56 @@ object LakeCompaction {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // a FileStreamSink lake (writeStream.format("parquet")) is read through
     // its _spark_metadata manifest, which pins the EXACT committed file
-    // names — rewriting/deleting them in place corrupts the table (readers
-    // FileNotFound on the manifest's entries). Refuse; the caller either
-    // stops the query and drops the manifest (converting the lake to plain
-    // directory listing, losing the sink's exactly-once file accounting)
-    // or compacts into a NEW directory. graft's own FileSink commits via
-    // deterministic renames with no manifest, so its lakes compact freely.
-    // check the target AND every ancestor: compacting one partition dir of
-    // a manifest-managed lake is just as corrupting as compacting its root
+    // names — rewriting/deleting them in place would corrupt the table
+    // (readers FileNotFound on the manifest's entries). Such lakes take the
+    // manifest-aware protocol instead: plan FROM the manifest, write the
+    // compacted files invisibly, atomically swap the manifest's file list,
+    // then vacuum. Check the target AND every ancestor: compacting one
+    // partition dir of a manifest-managed lake needs the same manifest
+    // commit as compacting its root. graft's own FileSink commits via
+    // deterministic renames with no manifest, so its lakes take the plain
+    // directory-walk path.
+    findManifestRoot(fs, root) match {
+      case Some(mroot) =>
+        compactManifested(spark, fs, mroot, fs.makeQualified(root),
+          targetBytes, maxConcurrentBins, sortBy)
+      case None =>
+        val bins = plan(spark, dir, targetBytes)
+        if (bins.isEmpty) return Report(0, 0, 0, 0, 0L)
+        runBins(bins, maxConcurrentBins)(bin =>
+          rewrite(spark, fs, bin, sortBy, deleteOriginals = true))
+        Report(bins.map(_.partitionDir).distinct.size, bins.size,
+          bins.map(_.files.size).sum, bins.size, bins.map(_.bytes).sum)
+    }
+  }
+
+  /** Nearest self-or-ancestor directory holding a `_spark_metadata`
+    * manifest, if any. */
+  private def findManifestRoot(fs: FileSystem, root: Path): Option[Path] = {
     var probe: Path = fs.makeQualified(root)
     while (probe != null) {
-      if (fs.exists(new Path(probe, "_spark_metadata")))
-        throw new IllegalStateException(
-          s"$probe is (part of) a FileStreamSink table (_spark_metadata " +
-            "manifest): in-place compaction would orphan the manifest's file " +
-            "list. Drop the manifest (after stopping the query) or compact " +
-            "into a new dir.")
+      if (fs.exists(new Path(probe, "_spark_metadata"))) return Some(probe)
       probe = probe.getParent
     }
-    val bins = plan(spark, dir, targetBytes)
-    val filesBefore = bins.map(_.files.size).sum
-    if (bins.isEmpty) return Report(0, 0, 0, 0, 0L)
+    None
+  }
+
+  /** Run every bin on a bounded pool and await ALL of them before
+    * returning: bailing on the first failure would hand control back to
+    * the caller while the remaining rewrites keep mutating the lake in the
+    * background. Completed bins stay committed (each rewrite is
+    * individually atomic + idempotent); failures are aggregated and
+    * rethrown together. */
+  private def runBins(bins: Seq[Bin], maxConcurrentBins: Int)(
+      work: Bin => Unit): Unit = {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(maxConcurrentBins, bins.size))
     try {
       val futures = bins.map { bin =>
         pool.submit(new java.util.concurrent.Callable[Unit] {
-          def call(): Unit = rewrite(spark, fs, bin, sortBy)
+          def call(): Unit = work(bin)
         })
       }
-      // await EVERY bin before reporting: bailing on the first failure would
-      // return control to the caller while the remaining rewrites keep
-      // deleting source files in the background. Completed bins stay
-      // committed (each rewrite is individually atomic + idempotent);
-      // failures are aggregated and rethrown together.
       val failures = futures.flatMap { f =>
         try { f.get(); None }
         catch {
@@ -180,12 +202,10 @@ object LakeCompaction {
         case _ =>
       }
     } finally pool.shutdown()
-    Report(bins.map(_.partitionDir).distinct.size, bins.size,
-      filesBefore, bins.size, bins.map(_.bytes).sum)
   }
 
   private def rewrite(spark: SparkSession, fs: FileSystem, bin: Bin,
-      sortBy: Seq[String]): Unit = {
+      sortBy: Seq[String], deleteOriginals: Boolean): Unit = {
     val partDir = new Path(bin.partitionDir)
     val staging = new Path(partDir, s".compacting-${bin.outputName}")
     fs.delete(staging, true)
@@ -208,7 +228,148 @@ object LakeCompaction {
     fs.delete(dest, false) // idempotent re-run overwrites its own output
     if (!fs.rename(part, dest))
       throw new java.io.IOException(s"compaction rename failed: $part -> $dest")
-    bin.files.foreach(f => fs.delete(new Path(f), false))
+    if (deleteOriginals) bin.files.foreach(f => fs.delete(new Path(f), false))
     fs.delete(staging, true)
+  }
+
+  // ---------------------------------------------------------------------
+  // Manifest-aware protocol (FileStreamSink lakes)
+  // ---------------------------------------------------------------------
+
+  /** Compact a FileStreamSink lake (or a subtree of one) WITHOUT breaking
+    * its `_spark_metadata` manifest — the Delta-OPTIMIZE/Iceberg-rewrite
+    * move re-expressed over Spark's own sink log. The manifest is the
+    * source of truth throughout:
+    *
+    *  1. '''Plan from the manifest''', not the directory walk — only files
+    *     the sink actually committed are compacted (a crashed micro-batch's
+    *     orphans are invisible to readers and must not leak into a bin).
+    *  2. '''Rewrite bins invisibly''': staged write + rename as in the
+    *     plain path, but originals are NOT deleted — and because readers
+    *     list through the manifest, the new `compact-*` files are invisible
+    *     until the commit. A kill anywhere here leaves the table reading
+    *     the ORIGINAL files, bit-for-bit; a re-run rewrites the same
+    *     deterministic names.
+    *  3. '''One atomic manifest commit''': the post-compaction file list
+    *     (all entries, minus the originals, plus the new files) is written
+    *     as a COMPACT log file at the manifest's LATEST batch id via
+    *     write-temp + `FileContext.rename(OVERWRITE)` — a single metadata
+    *     rename, the same primitive Spark's own checkpoint managers rely
+    *     on. Writing at the latest id (never a phantom id beyond it) keeps
+    *     a resumed sink correct: its next `addBatch(latest+1)` still
+    *     exceeds the log's latest batch, so nothing is silently skipped,
+    *     and `CompactibleFileStreamLog` derives a compact interval from
+    *     whatever position the compact lands on.
+    *  4. '''Vacuum''': only after the commit are unreferenced data files
+    *     under the subtree deleted ([[vacuumUnreferenced]]) — this removes
+    *     the originals AND self-heals orphans from any earlier kill.
+    *
+    * Quiescence contract (same as every manifest-less compactor, plus the
+    * manifest swap): the writing query must be STOPPED and concurrent
+    * readers drained while steps 3–4 run. A sink resumed afterwards keeps
+    * appending new batches and compacting its own log as usual. */
+  private def compactManifested(spark: SparkSession, fs: FileSystem,
+      manifestRoot: Path, subtree: Path, targetBytes: Long,
+      maxConcurrentBins: Int, sortBy: Seq[String]): Report = {
+    import org.apache.spark.sql.execution.streaming.sinks.{FileStreamSinkLog, SinkFileStatus}
+    val metadataDir = new Path(manifestRoot, "_spark_metadata")
+    val log = new FileStreamSinkLog(FileStreamSinkLog.VERSION, spark,
+      metadataDir.toString)
+    val latestBatchId = log.getLatestBatchId().getOrElse(
+      throw new IllegalStateException(
+        s"$metadataDir holds no committed batches — nothing to compact"))
+    val entries = log.allFiles()
+    val inSubtree = entries.filter { e =>
+      val p = fs.makeQualified(e.sparkPath.toPath)
+      isDataFile(p.getName) && isUnder(p, subtree)
+    }
+    val bins = inSubtree
+      .groupBy(e => fs.makeQualified(e.sparkPath.toPath).getParent)
+      .toSeq.sortBy(_._1.toString)
+      .flatMap { case (parent, es) =>
+        val files = es.map(e => fs.makeQualified(e.sparkPath.toPath))
+          .sortBy(_.getName)
+          .map(p => p.toString -> fs.getFileStatus(p).getLen)
+        packBins(files.toSeq, targetBytes).map(group =>
+          Bin(parent.toString, group.map(_._1), group.map(_._2).sum))
+      }
+    if (bins.isEmpty) return Report(0, 0, 0, 0, 0L)
+    // step 2: write the compacted files — invisible to manifest readers
+    runBins(bins, maxConcurrentBins)(bin =>
+      rewrite(spark, fs, bin, sortBy, deleteOriginals = false))
+    // step 3: swap the manifest's file list in ONE rename
+    val replaced = bins.flatMap(_.files).map(f =>
+      fs.makeQualified(new Path(f))).toSet
+    val kept = entries.filterNot(e =>
+      replaced.contains(fs.makeQualified(e.sparkPath.toPath)))
+    val added = bins.map { bin =>
+      SinkFileStatus(fs.getFileStatus(
+        new Path(new Path(bin.partitionDir), bin.outputName)))
+    }
+    val newList: Array[SinkFileStatus] = kept ++ added
+    testFailpointBeforeManifestCommit()
+    val tmp = new Path(metadataDir,
+      s".graft-compaction-${java.util.UUID.randomUUID()}.tmp")
+    val out = fs.create(tmp, true)
+    try log.serialize(newList, out) finally out.close()
+    val dest = new Path(metadataDir, s"$latestBatchId.compact")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      dest.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // step 4: originals (and any earlier kill's orphans) are now
+    // unreferenced — reclaim them
+    vacuumUnreferenced(spark, manifestRoot.toString, Some(subtree.toString))
+    Report(bins.map(_.partitionDir).distinct.size, bins.size,
+      bins.map(_.files.size).sum, bins.size, bins.map(_.bytes).sum)
+  }
+
+  /** Crash-injection seam for the spec: fires after every bin is rewritten
+    * and renamed but BEFORE the manifest swap — the widest window in which
+    * a kill must leave the table reading its original files untouched. */
+  private[etl] var testFailpointBeforeManifestCommit: () => Unit = () => ()
+
+  private def isUnder(p: Path, ancestor: Path): Boolean = {
+    var cur: Path = p
+    while (cur != null) {
+      if (cur == ancestor) return true
+      cur = cur.getParent
+    }
+    false
+  }
+
+  /** Delete every data file under `subtree` (default: the whole lake) that
+    * the `_spark_metadata` manifest does not reference — compacted-away
+    * originals, crashed micro-batches' uncommitted task files, and
+    * killed-compaction leftovers. Manifest readers can never see these, so
+    * under the quiescence contract (no running writer) deletion is safe.
+    * Dot/underscore dirs (staging, `_spark_metadata` itself, `_temporary`)
+    * are never descended. Returns the number of files deleted. */
+  def vacuumUnreferenced(spark: SparkSession, dir: String,
+      subtree: Option[String] = None): Long = {
+    import org.apache.spark.sql.execution.streaming.sinks.FileStreamSinkLog
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metadataDir = new Path(root, "_spark_metadata")
+    require(fs.exists(metadataDir),
+      s"$dir has no _spark_metadata manifest — vacuum is manifest-driven")
+    val log = new FileStreamSinkLog(FileStreamSinkLog.VERSION, spark,
+      metadataDir.toString)
+    val referenced = log.allFiles()
+      .map(e => fs.makeQualified(e.sparkPath.toPath)).toSet
+    val start = fs.makeQualified(subtree.map(new Path(_)).getOrElse(root))
+    var deleted = 0L
+    def walk(d: Path): Unit = {
+      val entries = fs.listStatus(d)
+      entries.filter(_.isDirectory)
+        .filterNot(st => st.getPath.getName.startsWith(".") ||
+          st.getPath.getName.startsWith("_"))
+        .foreach(st => walk(st.getPath))
+      entries.filter(st => st.isFile && isDataFile(st.getPath.getName))
+        .map(st => fs.makeQualified(st.getPath))
+        .filterNot(referenced.contains)
+        .foreach { p => fs.delete(p, false); deleted += 1 }
+    }
+    walk(start)
+    deleted
   }
 }

@@ -26,8 +26,10 @@ class LakeCompactionSpec extends SparkSpec {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = Seq.newBuilder[Path]
     def walk(d: Path): Unit = fs.listStatus(d).foreach { st =>
-      if (st.isDirectory) walk(st.getPath)
-      else if (!st.getPath.getName.startsWith("_") &&
+      if (st.isDirectory) {
+        if (!st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith(".")) walk(st.getPath)
+      } else if (!st.getPath.getName.startsWith("_") &&
         !st.getPath.getName.startsWith(".")) out += st.getPath
     }
     walk(root)
@@ -172,5 +174,133 @@ class LakeCompactionSpec extends SparkSpec {
     val again = LakeCompaction.plan(spark, dir, 512L * 1024)
     assert(again.map(b => b.partitionDir -> b.outputName).toMap == names)
     assert(names.values.forall(_.matches("compact-[0-9a-f]{12}\\.parquet")))
+  }
+
+  // ---- manifest-aware protocol (FileStreamSink lakes) ----
+
+  /** A real FileStreamSink lake: one micro-batch per addData call, each
+    * committing its part files to `_spark_metadata`. Returns (lake, ckpt). */
+  private def sinkLake(batches: Int): (String, String) = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val lake = tmpDir("mlake")
+    val ckpt = tmpDir("mlake-ckpt")
+    val mem = MemoryStream[(Int, String, Int)]
+    val q = mem.toDS().toDF("id", "payload", "p")
+      .writeStream.format("parquet")
+      .option("path", lake).option("checkpointLocation", ckpt)
+      .partitionBy("p")
+      .outputMode("append").start()
+    try {
+      (0 until batches).foreach { b =>
+        mem.addData((1 to 10).map(i => (b * 100 + i, s"v$b-$i", i % 2)): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    (lake, ckpt)
+  }
+
+  test("manifest lake compacts in place: identical reads, fewer files, manifest authoritative") {
+    val (lake, _) = sinkLake(batches = 4)
+    val before = spark.read.parquet(lake).collect().toSet
+    val filesBefore = dataFiles(lake).size
+    val report = LakeCompaction.compact(spark, lake, 512L * 1024)
+    assert(report.binsRewritten >= 2, s"both partitions should compact: $report")
+    assert(spark.read.parquet(lake).collect().toSet == before,
+      "post-compaction reads must be identical")
+    // vacuum reclaimed the originals — only the compacted files remain
+    val remaining = dataFiles(lake)
+    assert(remaining.size < filesBefore && remaining.size == report.binsRewritten,
+      s"$filesBefore → ${remaining.size} files, expected ${report.binsRewritten}")
+    assert(remaining.forall(_.getName.startsWith("compact-")))
+    // readers go through the manifest, not directory listing: an alien
+    // file dropped into a partition dir must stay invisible
+    val alien = new Path(s"$lake/p=0/alien.parquet")
+    val alienDir = tmpDir("alien-src")
+    Seq((999, "alien", 0)).toDF("id", "payload", "p").drop("p")
+      .coalesce(1).write.mode("overwrite").parquet(alienDir)
+    val fs = alien.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(dataFiles(alienDir).head, alien)
+    assert(spark.read.parquet(lake).collect().toSet == before,
+      "manifest readers must not see unreferenced files")
+    // a second run plans nothing (idempotence at the manifest level)
+    val again = LakeCompaction.compact(spark, lake, 512L * 1024)
+    assert(again.binsRewritten == 0, s"re-run must be a no-op: $again")
+  }
+
+  test("kill between data rename and manifest swap leaves the table on its originals; re-run completes") {
+    val (lake, _) = sinkLake(batches = 3)
+    val before = spark.read.parquet(lake).collect().toSet
+    val filesBefore = dataFiles(lake).filterNot(_.getName.startsWith("compact-")).size
+    LakeCompaction.testFailpointBeforeManifestCommit =
+      () => throw new RuntimeException("injected kill before manifest commit")
+    try {
+      val killed = intercept[RuntimeException] {
+        LakeCompaction.compact(spark, lake, 512L * 1024)
+      }
+      assert(killed.getMessage.contains("injected kill"))
+    } finally LakeCompaction.testFailpointBeforeManifestCommit = () => ()
+    // the compacted files exist on disk but the manifest never switched:
+    // readers still see the ORIGINAL files, exactly once
+    assert(dataFiles(lake).exists(_.getName.startsWith("compact-")),
+      "the kill happened after the data renames")
+    assert(spark.read.parquet(lake).collect().toSet == before,
+      "a kill before the manifest swap must leave reads untouched")
+    val originalsLeft = dataFiles(lake).filterNot(_.getName.startsWith("compact-")).size
+    assert(originalsLeft == filesBefore, "no original may be deleted before the swap")
+    // re-run: overwrites its own leftovers, commits, vacuums
+    val report = LakeCompaction.compact(spark, lake, 512L * 1024)
+    assert(report.binsRewritten >= 1)
+    assert(spark.read.parquet(lake).collect().toSet == before)
+    assert(dataFiles(lake).forall(_.getName.startsWith("compact-")),
+      "after the commit the originals are vacuumed")
+  }
+
+  test("the sink resumes cleanly after a manifest compaction: next batch lands, nothing skipped") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types.StructType
+    // a file-arrival source (MemoryStream offsets don't survive a restart)
+    val src = tmpDir("mlake-src")
+    val lake = tmpDir("mlake2")
+    val ckpt = tmpDir("mlake2-ckpt")
+    val schema = StructType.fromDDL("id INT, payload STRING, p INT")
+    def land(b: Int): Unit =
+      (1 to 10).map(i => (b * 100 + i, s"v$b-$i", i % 2))
+        .toDF("id", "payload", "p")
+        .coalesce(1).write.mode("append").parquet(src)
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1) // one source file per micro-batch
+        .parquet(src)
+        .writeStream.format("parquet")
+        .option("path", lake).option("checkpointLocation", ckpt)
+        .partitionBy("p")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    (0 until 3).foreach(land)
+    runOnce()
+    val before = spark.read.parquet(lake).collect().toSet
+    LakeCompaction.compact(spark, lake, 512L * 1024)
+    // resume with the same checkpoint: the manifest swap wrote AT the
+    // log's latest batch id, never beyond it, so the sink's next addBatch
+    // still exceeds the log's latest and the new rows are NOT skipped
+    land(9)
+    runOnce()
+    val after = spark.read.parquet(lake).collect().toSet
+    assert(after.size == before.size + 10,
+      s"resumed batch must land: ${before.size} → ${after.size}")
+    assert(before.subsetOf(after), "compacted history must survive the resume")
+  }
+
+  test("compacting one partition dir of a manifest lake rewrites just that subtree") {
+    val (lake, _) = sinkLake(batches = 3)
+    val before = spark.read.parquet(lake).collect().toSet
+    val p1Before = dataFiles(s"$lake/p=1").size
+    val report = LakeCompaction.compact(spark, s"$lake/p=0", 512L * 1024)
+    assert(report.binsRewritten == 1, s"one bin for the one partition: $report")
+    assert(spark.read.parquet(lake).collect().toSet == before)
+    assert(dataFiles(s"$lake/p=0").size == 1, "p=0 collapsed to one file")
+    assert(dataFiles(s"$lake/p=1").size == p1Before, "p=1 untouched")
   }
 }

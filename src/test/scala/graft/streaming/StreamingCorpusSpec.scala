@@ -126,28 +126,19 @@ class StreamingCorpusSpec extends SparkSpec {
     assert(landed.columns.contains("uniq_ratio"))
 
     // maintenance: a writeStream-parquet lake is manifest-managed
-    // (_spark_metadata pins exact file names) — in-place compaction MUST
-    // refuse, because rewriting the listed files corrupts the table
+    // (_spark_metadata pins exact file names) — compaction routes through
+    // the manifest-aware protocol (rewrite invisibly, atomically swap the
+    // manifest's file list, vacuum originals) with the query stopped.
+    // Identical reads, manifest intact, no refusal.
     val before = landed.collect().toSet
-    val refusal = intercept[IllegalStateException] {
-      graft.etl.LakeCompaction.compact(spark, lake, 512L * 1024)
-    }
-    assert(refusal.getMessage.contains("_spark_metadata"))
-    // targeting one PARTITION of the managed lake must refuse just the
-    // same — the manifest pins those files too (ancestor check)
-    val sub = intercept[IllegalStateException] {
-      graft.etl.LakeCompaction.compact(spark, s"$lake/source=webA", 512L * 1024)
-    }
-    assert(sub.getMessage.contains("_spark_metadata"))
-    // after retiring the manifest (query stopped, exactly-once accounting
-    // no longer needed) the lake is a plain directory and compacts freely
-    val fs = new org.apache.hadoop.fs.Path(lake)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(lake, "_spark_metadata"), true)
     val report = graft.etl.LakeCompaction.compact(spark, lake, 512L * 1024)
     assert(report.binsRewritten >= 1, s"nothing compacted: $report")
     assert(spark.read.parquet(lake).collect().toSet == before,
       "post-compaction lake must read identically")
+    val fs = new org.apache.hadoop.fs.Path(lake)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(lake, "_spark_metadata")),
+      "the manifest must survive the compaction")
   }
 
   test("decontaminate drops benchmark-overlapping docs at ingest, stateless") {
