@@ -1,0 +1,177 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-curve harness for the dedup-floor pipelines (q37 token-Jaccard,
+  * q66 connected components, q74 containment, q84 doc-frequency): the
+  * driver's data stops at sf0.1, so the 100 TB plan-shape arguments are
+  * validated here by MEASUREMENT on synthetic corpora at 1×/3×/10× the
+  * sf0.1 document count. Per (pipeline, multiplier) it prints one JSON line
+  * with wall seconds, result rows, total shuffle bytes (read + written),
+  * and the longest single task — the three quantities that expose a
+  * super-linear stage (candidate blowup shows in shuffle bytes; a skewed
+  * or collapsed stage shows in max-task).
+  *
+  * `chains` mode A/Bs [[operators.ConnectedComponents.run]] (min-label
+  * propagation, rounds = diameter) against
+  * [[operators.ConnectedComponents.runStar]] (large/small-star,
+  * O(log n) rounds) on path graphs of increasing depth at a fixed edge
+  * budget — locating the crossover where label propagation's per-round
+  * cheapness loses to star's round count.
+  *
+  * Usage: `runMain graft.ScaleBench [docs|chains] [out]`. Results are
+  * recorded in BASELINE.md (scaling exponents + crossover), not asserted
+  * here — machine-load swings make hard thresholds flaky (CLAUDE.md).
+  */
+object ScaleBench {
+
+  /** documents-shaped synthetic corpus, ~sf0.1-like row weight (40-token
+    * text, ~30% of docs in near/exact-dup clusters of ≤ 4). Deterministic
+    * via xxhash64 — no RNG state, so any multiplier reproduces
+    * bit-identically. Cluster structure: ids snap to a 4-block leader;
+    * even non-leaders get a distinguishing suffix token (near-dups at
+    * Jaccard 40/41), odd ones are exact copies. Sources are keyed by GROUP
+    * so cluster members share a blocking key.
+    *
+    * Growth model — the part that makes the exponents meaningful: both the
+    * vocabulary (Heaps' law: new corpus brings new terms) and the domain
+    * count grow LINEARLY with the corpus, keeping per-token posting lists
+    * and per-source blocks at constant expected size — the real 100 TB
+    * shape. Freezing either at the 1× value makes the pair stages
+    * quadratic BY CONSTRUCTION (first run of this harness measured
+    * exactly that: a fixed 5k-token Zipf vocabulary at 10× wedged q37's
+    * postings join for >10 min — the stress case already covered by
+    * ZipfJaccardSpec's prefix-filter A/B and the documented
+    * stagedPrefixFilter escalation, not a scaling property of the
+    * shipped plans). */
+  def synthDocs(spark: SparkSession, n: Long): DataFrame = {
+    val vocab = math.max(5000L, n)   // Heaps-ish: vocabulary ∝ corpus
+    val sources = math.max(3L, n / 1700) // domains ∝ corpus (~1700 docs each)
+    spark.range(0, n)
+      .select(col("id").as("doc_id"),
+        when(pmod(xxhash64(col("id")), lit(10)) < 3,
+          (col("id").cast("long") / 4).cast("long") * 4)
+          .otherwise(col("id")).as("gid"))
+      .select(col("doc_id"), col("gid"), concat_ws(" ", expr(
+        s"""transform(sequence(1, 40), j ->
+           |  concat('t', cast(pmod(xxhash64(gid, j), ${vocab}L) as string)))"""
+          .stripMargin)).as("base"))
+      .select(col("doc_id"),
+        when(col("doc_id") =!= col("gid") && pmod(col("doc_id"), lit(2)) === 0,
+          concat(col("base"), lit(" u"), col("doc_id")))
+          .otherwise(col("base")).as("text"),
+        lit("en").as("lang"),
+        concat(lit("src"),
+          pmod(xxhash64(col("gid")), lit(sources))).as("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
+  /** Task-level shuffle/skew accounting for everything run inside `body`. */
+  private final class TaskStats extends SparkListener {
+    @volatile var shuffleBytes = 0L
+    @volatile var maxTaskMs = 0L
+    @volatile var tasks = 0L
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = synchronized {
+      val m = t.taskMetrics
+      if (m != null) {
+        shuffleBytes += m.shuffleReadMetrics.totalBytesRead +
+          m.shuffleWriteMetrics.bytesWritten
+        maxTaskMs = math.max(maxTaskMs, m.executorRunTime)
+        tasks += 1
+      }
+    }
+  }
+
+  /** Each pipeline runs TWICE: the first (cold) wall is recorded but the
+    * scaling exponent reads the second (warm) run with task stats — a
+    * single-shot measurement charges JIT/codegen/cache warmup to whichever
+    * pipeline runs first at each multiplier (the first harness run measured
+    * q84 at 13.3 s cold vs 3.4 s warm at 10× and misread warmup as a
+    * super-linear stage). */
+  private def measured(spark: SparkSession, name: String, mult: Int)(
+      body: => Long): Unit = {
+    val c0 = System.nanoTime()
+    body
+    val cold = (System.nanoTime() - c0) / 1e9
+    val stats = new TaskStats
+    spark.sparkContext.addSparkListener(stats)
+    val t0 = System.nanoTime()
+    val rows =
+      try body
+      finally {
+        // drain the async listener bus so late task-end events land in
+        // `stats` before it detaches (listenerBus itself is private[spark])
+        Thread.sleep(300)
+        spark.sparkContext.removeSparkListener(stats)
+      }
+    val wall = (System.nanoTime() - t0) / 1e9
+    println(s"""{"bench":"scale","pipeline":"$name","mult":$mult,""" +
+      s""""wall_sec":$wall,"cold_sec":$cold,"rows":$rows,""" +
+      s""""shuffle_bytes":${stats.shuffleBytes},""" +
+      s""""max_task_ms":${stats.maxTaskMs},"tasks":${stats.tasks}}""")
+  }
+
+  private val pipelines = Seq(
+    "q37_dedup_jaccard", "q66_dedup_components",
+    "q74_dedup_containment", "q84_text_doc_frequency")
+
+  def main(args: Array[String]): Unit = {
+    val mode = args.headOption.getOrElse("docs")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.withGraftConfs(
+      SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000).selectExpr("sum(id)").collect() // session warmup
+    mode match {
+      case "docs" =>
+        val base = 5000L // sf0.1's document count
+        Seq(1, 3, 10).foreach { m =>
+          val dir = s"/tmp/graft-scale/m$m"
+          synthDocs(spark, base * m).write.mode("overwrite")
+            .parquet(s"$dir/documents.parquet")
+          pipelines.foreach { q =>
+            measured(spark, q, m)(SparkEntry.queries(q)(spark, dir).count())
+          }
+        }
+      case "chains" =>
+        // fixed edge budget (~120k edges), varying chain depth: depth d ⇒
+        // run() needs ~d rounds while runStar needs ~log d
+        import spark.implicits._
+        Seq(4, 16, 64).foreach { depth =>
+          val chains = 120000 / depth
+          val edges = spark.range(0, chains).as[Long].flatMap { c =>
+            val b = c * (depth + 1)
+            (0 until depth).map(i => (b + i, b + i + 1))
+          }.toDF("a", "b")
+          edges.persist(); edges.count()
+          measured(spark, s"cc_run_d$depth", depth)(
+            operators.ConnectedComponents.run(edges, maxIter = depth + 5)
+              .count())
+          measured(spark, s"cc_runStar_d$depth", depth)(
+            operators.ConnectedComponents.runStar(edges).count())
+          edges.unpersist()
+        }
+      case "q74ab" =>
+        // blocked vs tiled on the 10× corpus at full session width — the
+        // straggler diagnosis: blocked's task granularity is whole blocks
+        import graft.functions.TextFunctions
+        import graft.operators.SimilarityJoin
+        val docs = spark.read.parquet("/tmp/graft-scale/m10/documents.parquet")
+          .select(col("doc_id").as("id"), col("source").as("block"),
+            TextFunctions.tokenSet(col("text")).as("w"))
+        (1 to 2).foreach { r =>
+          measured(spark, s"q74_blocked_r$r", 10)(
+            SimilarityJoin.overlapBlocked(docs, 0.95).count())
+          measured(spark, s"q74_tiled8_r$r", 10)(
+            SimilarityJoin.overlapBlockedTiled(docs, 0.95, chunks = 8).count())
+        }
+      case other => sys.error(s"unknown mode $other (docs|chains|q74ab)")
+    }
+    spark.stop()
+  }
+}

@@ -194,7 +194,15 @@ object ConnectedComponents {
   /** Large-star/small-star connected components (Kiveris et al., "Connected
     * Components in MapReduce and Beyond", SoCC'14) — the O(log n)-round
     * alternative to [[run]] for graphs with LONG chains, where min-label
-    * propagation would need diameter rounds. Each round rewires the edge set
+    * propagation would need diameter rounds.
+    *
+    * Choosing by graph shape — measured, not folklore (ScaleBench `chains`
+    * mode, ~120k-edge path graphs, local[32]; BASELINE.md round-9 row):
+    * diameter 4 → run 3.9 s vs star 4.2 s (run wins — its per-round work
+    * is cheaper); diameter 16 → 10.4 s vs 5.8 s; diameter 64 → 30.6 s vs
+    * 7.1 s (star 4.3×, with 2507 vs 139 tasks and 2.6× the shuffle).
+    * Dedup graphs (near-dup cliques/stars, diameter ≲ 4) bind the seeded
+    * [[run]]; expected diameter beyond ~10 should take [[runStar]]. Each round rewires the edge set
     * itself instead of propagating labels:
     *
     *  - large-star: every node u links each STRICTLY-LARGER neighbor to the
