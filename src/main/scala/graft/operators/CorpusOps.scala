@@ -232,4 +232,58 @@ object CorpusOps {
           regexp_count(col("text"), lit(pat)).cast("long").as(s"n_$label")
         }: _*)
   }
+
+  /** Q91 core: token-budget shard packing — the sample-packing move of a
+    * pretraining pipeline: documents are laid into fixed-token-budget
+    * training shards in a deterministic shuffled order (md5 of the id — the
+    * same engine-mirrorable shuffle q73/q75 rank by), and a doc's shard is
+    * the budget bucket its RUNNING START offset falls in, so a doc
+    * spanning a boundary belongs to the shard where it started (greedy
+    * sequential fill; an oversized doc simply claims its start bucket).
+    *
+    * Scale shape: ONE window partitioned by `source` — shards are built
+    * per source (how real corpora shard: per domain/snapshot), so the
+    * running sum never funnels the corpus through a single task the way a
+    * global rank would (the q83 discussion; decileBinDistributed is the
+    * global-order escape). Per-row work is a token count; the only
+    * shuffle is the window's hash partition on source. */
+  def packShards(docs: DataFrame, idCol: String, budget: Long): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.filter(col("text").isNotNull)
+      .select(col(idCol), col("source"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("shard", expr(s"(cum - n_tok) div ${budget}L"))
+      .drop("cum")
+  }
+
+  /** Q92 core: context-window chunking — split each document into
+    * overlapping token windows of `window` tokens at `stride` steps (the
+    * RAG / long-context preprocessing move). Chunk k covers 1-based token
+    * positions [k·stride+1, k·stride+window]; the chunk count
+    * `ceil(max(n−window, 0) / stride) + 1` guarantees full coverage with
+    * the final chunk short iff the tail is. NULL-text docs are dropped
+    * (no tokens to window).
+    *
+    * Scale shape: per-row explode only — no shuffle at all; output volume
+    * is the token replication factor window/stride (~1.5 at the
+    * defaults), the price every overlapping chunker pays. */
+  def chunkWindows(docs: DataFrame, idCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window: window=$window stride=$stride")
+    val chunk = slice(col("toks"), col("chunk_idx") * stride + 1, lit(window))
+    docs.filter(col("text").isNotNull)
+      .select(col(idCol), TextFunctions.tokens(col("text")).as("toks"))
+      .withColumn("nch",
+        (ceil(greatest(size(col("toks")) - window, lit(0)) / lit(stride.toDouble)))
+          .cast("int") + 1)
+      .select(col(idCol), col("toks"),
+        explode(sequence(lit(0), col("nch") - 1)).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        concat_ws(" ", chunk).as("chunk_text"),
+        size(chunk).cast("long").as("n_tok"))
+  }
 }

@@ -305,6 +305,21 @@ object CorpusQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** Q91: token-budget shard packing — [[CorpusOps.packShards]] over the
+    * documents table at a 400-token budget: deterministic md5-shuffled
+    * order, per-source shards, shard = the budget bucket the doc's running
+    * start offset falls in. */
+  private val q91: Q = (s, d) =>
+    CorpusOps.packShards(Tables.documents(s, d), "doc_id", 400L)
+      .orderBy("doc_id")
+
+  /** Q92: context-window chunking — [[CorpusOps.chunkWindows]] at
+    * window=30/stride=20 (the fixture's ~50-token docs produce 2 chunks,
+    * exercising both the overlap and the short tail). */
+  private val q92: Q = (s, d) =>
+    CorpusOps.chunkWindows(Tables.documents(s, d), "doc_id", 30, 20)
+      .orderBy("doc_id", "chunk_idx")
+
   val queries: Seq[(String, Q)] = Seq(
     "q71_text_repetition" -> q71,
     "q72_dedup_spans" -> q72,
@@ -316,12 +331,45 @@ object CorpusQueries extends QueryGroup {
     "q80_sample_quality_weighted" -> q80,
     "q81_text_redact" -> q81,
     "q83_ml_decile_bin" -> q83,
+    "q91_pack_shards" -> q91,
+    "q92_chunk_windows" -> q92,
   )
 
   // 2-gram positions: range(1, len) = 1..len-1 (DuckDB range excludes the
   // upper bound), toks[i:i+1] = the 2 tokens at i — mirrors word_shingles
   // exactly (same convention as the q67 3-gram oracle).
   val oracles: Map[String, String] = Map(
+    // running sum in the md5-shuffled order; DuckDB sum(BIGINT) OVER is
+    // HUGEINT, so the shard division casts back to BIGINT; ROWS frame
+    // explicit on both engines (RANGE would pool peer rows)
+    "q91_pack_shards" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok,
+        |    md5(CAST(doc_id AS VARCHAR)) AS o
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (
+        |  SELECT doc_id, source, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY source ORDER BY o, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d)
+        |SELECT doc_id, source, n_tok,
+        |  CAST((cum - n_tok) // 400 AS BIGINT) AS shard
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // chunk k covers 1-based token positions [k*20+1, k*20+30]; list
+    // slices truncate at the tail in both engines
+    "q92_chunk_windows" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks,
+        |    CAST(ceil(greatest(len(string_split(lower(text), ' ')) - 30, 0) / 20.0) AS BIGINT) + 1 AS nch
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT doc_id, toks, unnest(range(0, nch)) AS k FROM d)
+        |SELECT doc_id, CAST(k AS INT) AS chunk_idx,
+        |  array_to_string(toks[CAST(k * 20 + 1 AS INT) : CAST(k * 20 + 30 AS INT)], ' ') AS chunk_text,
+        |  CAST(len(toks[CAST(k * 20 + 1 AS INT) : CAST(k * 20 + 30 AS INT)]) AS BIGINT) AS n_tok
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
     "q71_text_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
         | g AS (SELECT doc_id,

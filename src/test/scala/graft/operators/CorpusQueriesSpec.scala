@@ -295,4 +295,60 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(jaccardPairs.isEmpty,
       s"Jaccard τ=0.8 must not see the containment pair: $jaccardPairs")
   }
+
+  test("q91 packing invariants: start offsets live in their shard's budget bucket, order deterministic") {
+    val docs = (1L to 40L).map(i =>
+      (i, (1 to (i % 7 + 3).toInt).map(j => s"w$j").mkString(" "),
+        if (i % 2 == 0) "srcA" else "srcB"))
+    val dir = corpusSrc(docs: _*)
+    val out = SparkEntry.queries("q91_pack_shards")(spark, dir).collect()
+    assert(out.length == 40)
+    // recompute each doc's running start offset per (source, md5 order)
+    val bySrc = out.map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+      r.getAs[Long]("n_tok"), r.getAs[Long]("shard")))
+      .groupBy(_._1)
+    val budget = 400L
+    bySrc.foreach { case (_, rows) =>
+      val ordered = rows.sortBy { case (_, id, _, _) =>
+        (java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString, id)
+      }
+      var cum = 0L
+      ordered.foreach { case (_, id, n, shard) =>
+        assert(shard == cum / budget, s"doc $id: shard $shard, start $cum")
+        cum += n
+      }
+    }
+    // deterministic: a rerun is identical
+    val again = SparkEntry.queries("q91_pack_shards")(spark, dir).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("q92 chunking invariants: full coverage, overlap = window - stride, short tail only") {
+    val dir = corpus(
+      (1L, (1 to 50).map(i => s"t$i").mkString(" ")), // 50 toks → 2 chunks
+      (2L, (1 to 30).map(i => s"t$i").mkString(" ")), // exactly one window
+      (3L, "a b"),                                    // shorter than a window
+      (4L, (1 to 71).map(i => s"t$i").mkString(" "))) // 71 → ceil(41/20)+1 = 4
+    val rows = SparkEntry.queries("q92_chunk_windows")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_idx"),
+        r.getAs[String]("chunk_text"), r.getAs[Long]("n_tok")))
+    val byDoc = rows.groupBy(_._1)
+    assert(byDoc(1L).length == 2 && byDoc(2L).length == 1 &&
+      byDoc(3L).length == 1 && byDoc(4L).length == 4,
+      s"chunk counts: ${byDoc.view.mapValues(_.length).toMap}")
+    // coverage: last chunk reaches the final token; only the last is short
+    byDoc.foreach { case (id, cs) =>
+      val n = Map(1L -> 50, 2L -> 30, 3L -> 2, 4L -> 71)(id)
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.last._2 * 20 + sorted.last._4 >= n, s"doc $id tail uncovered")
+      sorted.init.foreach { case (_, k, _, nt) =>
+        assert(nt == 30, s"doc $id chunk $k short before the tail") }
+    }
+    // overlap: doc 1 chunk 0 tokens 21..30 == chunk 1 tokens 1..10
+    val doc1 = byDoc(1L).sortBy(_._2).toIndexedSeq
+    val c0 = doc1(0)._3.split(" ")
+    val c1 = doc1(1)._3.split(" ")
+    assert(c0.slice(20, 30).toSeq == c1.slice(0, 10).toSeq)
+  }
 }
