@@ -98,15 +98,17 @@ object ScaleBench {
     val stats = new TaskStats
     spark.sparkContext.addSparkListener(stats)
     val t0 = System.nanoTime()
+    var wall = 0.0
     val rows =
-      try body
+      try { val r = body; wall = (System.nanoTime() - t0) / 1e9; r }
       finally {
         // drain the async listener bus so late task-end events land in
-        // `stats` before it detaches (listenerBus itself is private[spark])
+        // `stats` before it detaches (listenerBus itself is private[spark]);
+        // the wall clock stops BEFORE this drain — a fixed 300 ms inside
+        // the timed window would bias every scaling exponent downward
         Thread.sleep(300)
         spark.sparkContext.removeSparkListener(stats)
       }
-    val wall = (System.nanoTime() - t0) / 1e9
     println(s"""{"bench":"scale","pipeline":"$name","mult":$mult,""" +
       s""""wall_sec":$wall,"cold_sec":$cold,"rows":$rows,""" +
       s""""shuffle_bytes":${stats.shuffleBytes},""" +

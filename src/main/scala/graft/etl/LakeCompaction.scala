@@ -193,6 +193,15 @@ object LakeCompaction {
         catch {
           case e: java.util.concurrent.ExecutionException =>
             Some(Option(e.getCause).getOrElse(e))
+          case e: InterruptedException =>
+            // driver-thread interrupt (job cancellation, SIGINT): without
+            // this arm the await-all contract silently breaks — the
+            // remaining bins would keep mutating the lake in the
+            // background after control returns. Cancel them, restore the
+            // interrupt flag, and surface the interruption.
+            futures.foreach(_.cancel(true))
+            Thread.currentThread().interrupt()
+            throw e
         }
       }
       failures match {
@@ -257,22 +266,39 @@ object LakeCompaction {
     *     rename, the same primitive Spark's own checkpoint managers rely
     *     on. Writing at the latest id (never a phantom id beyond it) keeps
     *     a resumed sink correct: its next `addBatch(latest+1)` still
-    *     exceeds the log's latest batch, so nothing is silently skipped,
-    *     and `CompactibleFileStreamLog` derives a compact interval from
-    *     whatever position the compact lands on.
+    *     exceeds the log's latest batch, so nothing is silently skipped.
+    *     Any OLDER compact file is then deleted: Spark's
+    *     `CompactibleFileStreamLog` derives its compact interval from the
+    *     DIFFERENCE of the two newest compact files when two exist, so a
+    *     snapshot at an arbitrary latest id next to a sink-written compact
+    *     would imply a bogus interval and make every later `allFiles()`
+    *     throw (verified against the 4.1.2 bytecode). With exactly one
+    *     compact file the log falls back to `deriveCompactInterval`, which
+    *     always returns a divisor of latest+1 — valid at ANY position.
+    *     Older compacts are safe to drop: each compact is cumulative, so
+    *     the newest strictly supersedes them. [[repairManifestCompacts]]
+    *     restores this single-compact invariant at the START of every
+    *     compaction/vacuum, which makes the write-then-delete pair
+    *     crash-safe (a kill between them leaves two compacts; the next
+    *     maintenance call deletes the older — the newer IS the full
+    *     post-compaction snapshot).
     *  4. '''Vacuum''': only after the commit are unreferenced data files
     *     under the subtree deleted ([[vacuumUnreferenced]]) — this removes
-    *     the originals AND self-heals orphans from any earlier kill.
+    *     the originals AND self-heals orphans from any earlier kill. It
+    *     runs even when no bins were planned, so a re-run after a kill in
+    *     the step-3→4 window reclaims the stranded originals.
     *
     * Quiescence contract (same as every manifest-less compactor, plus the
     * manifest swap): the writing query must be STOPPED and concurrent
     * readers drained while steps 3–4 run. A sink resumed afterwards keeps
-    * appending new batches and compacting its own log as usual. */
+    * appending new batches and compacting its own log as usual (with the
+    * interval re-derived from the single compact's position). */
   private def compactManifested(spark: SparkSession, fs: FileSystem,
       manifestRoot: Path, subtree: Path, targetBytes: Long,
       maxConcurrentBins: Int, sortBy: Seq[String]): Report = {
     import org.apache.spark.sql.execution.streaming.sinks.{FileStreamSinkLog, SinkFileStatus}
     val metadataDir = new Path(manifestRoot, "_spark_metadata")
+    repairManifestCompacts(fs, metadataDir)
     val log = new FileStreamSinkLog(FileStreamSinkLog.VERSION, spark,
       metadataDir.toString)
     val latestBatchId = log.getLatestBatchId().getOrElse(
@@ -287,17 +313,29 @@ object LakeCompaction {
       .groupBy(e => fs.makeQualified(e.sparkPath.toPath).getParent)
       .toSeq.sortBy(_._1.toString)
       .flatMap { case (parent, es) =>
-        val files = es.map(e => fs.makeQualified(e.sparkPath.toPath))
-          .sortBy(_.getName)
-          .map(p => p.toString -> fs.getFileStatus(p).getLen)
+        // sizes come from the manifest entries themselves — one
+        // getFileStatus per file here would be a metadata round-trip per
+        // committed file on exactly the object stores the manifest exists
+        // to spare
+        val files = es
+          .map(e => fs.makeQualified(e.sparkPath.toPath).toString -> e.size)
+          .sortBy { case (p, _) => new Path(p).getName }
         packBins(files.toSeq, targetBytes).map(group =>
           Bin(parent.toString, group.map(_._1), group.map(_._2).sum))
       }
-    if (bins.isEmpty) return Report(0, 0, 0, 0, 0L)
+    if (bins.isEmpty) {
+      // nothing to rewrite, but a prior kill may have stranded originals
+      // that this manifest no longer references — reclaim them
+      vacuumUnreferenced(spark, manifestRoot.toString, Some(subtree.toString))
+      return Report(0, 0, 0, 0, 0L)
+    }
     // step 2: write the compacted files — invisible to manifest readers
     runBins(bins, maxConcurrentBins)(bin =>
       rewrite(spark, fs, bin, sortBy, deleteOriginals = false))
-    // step 3: swap the manifest's file list in ONE rename
+    // step 3: swap the manifest's file list in ONE rename, then restore
+    // the single-compact invariant (see the scaladoc: two compact files
+    // make Spark derive interval = their difference — bogus for an
+    // arbitrary snapshot position)
     val replaced = bins.flatMap(_.files).map(f =>
       fs.makeQualified(new Path(f))).toSet
     val kept = entries.filterNot(e =>
@@ -316,11 +354,28 @@ object LakeCompaction {
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       dest.toUri, spark.sparkContext.hadoopConfiguration)
     fc.rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    repairManifestCompacts(fs, metadataDir)
     // step 4: originals (and any earlier kill's orphans) are now
     // unreferenced — reclaim them
     vacuumUnreferenced(spark, manifestRoot.toString, Some(subtree.toString))
     Report(bins.map(_.partitionDir).distinct.size, bins.size,
       bins.map(_.files.size).sum, bins.size, bins.map(_.bytes).sum)
+  }
+
+  /** Restore the single-compact invariant: keep only the NEWEST
+    * `<id>.compact` file. Safe unconditionally — every compact log file is
+    * cumulative (it contains the full history up to its id), so the newest
+    * strictly supersedes any older one, whether the sink wrote it or a
+    * graft snapshot did. With one compact file Spark derives its interval
+    * via `deriveCompactInterval` (always a divisor of id+1 — valid at any
+    * position); with two it uses their difference, which a graft snapshot
+    * at the latest batch id would corrupt. */
+  private def repairManifestCompacts(fs: FileSystem, metadataDir: Path): Unit = {
+    val compacts = fs.listStatus(metadataDir)
+      .map(_.getPath)
+      .filter(p => p.getName.matches("\\d+\\.compact"))
+      .sortBy(p => p.getName.stripSuffix(".compact").toLong)
+    compacts.dropRight(1).foreach(p => fs.delete(p, false))
   }
 
   /** Crash-injection seam for the spec: fires after every bin is rewritten
@@ -352,6 +407,10 @@ object LakeCompaction {
     val metadataDir = new Path(root, "_spark_metadata")
     require(fs.exists(metadataDir),
       s"$dir has no _spark_metadata manifest — vacuum is manifest-driven")
+    // a kill between the snapshot rename and the older-compact delete
+    // leaves two compact files, whose bogus derived interval would make
+    // allFiles() below throw — heal before reading
+    repairManifestCompacts(fs, metadataDir)
     val log = new FileStreamSinkLog(FileStreamSinkLog.VERSION, spark,
       metadataDir.toString)
     val referenced = log.allFiles()

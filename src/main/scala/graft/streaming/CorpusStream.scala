@@ -150,18 +150,16 @@ object CorpusStream {
   /** Large-blocklist decontamination — the distributed path the
     * [[decontaminate]] contract points to when the benchmark outgrows
     * driver memory. The blocklist never leaves the cluster: each document
-    * explodes to its DISTINCT k-shingles, a stream-static LEFT ANTI join
-    * removes the shingle rows present in the blocklist, and a doc is kept
-    * iff its clean-shingle count equals its distinct-shingle count (any
-    * blocklisted shingle breaks the equality). Verdicts are exact, not
-    * probabilistic — identical keeps to [[decontaminate]] on any input
-    * (spec-pinned, including the NULL-text and shingle-less edges: a NULL
-    * text nulls the count equality and drops, exactly as `arrays_overlap`
-    * over a NULL array does; a doc too short to have a k-shingle survives
-    * via `explode_outer`'s single NULL row, which no blocklist entry can
-    * match and which `count` ignores — 0 = 0).
+    * explodes to its DISTINCT k-shingles, a stream-static LEFT OUTER join
+    * flags the shingle rows present in the blocklist, and a doc is kept
+    * iff no shingle row carries a flag (`max(hit) IS NULL`). Verdicts are
+    * exact, not probabilistic — identical keeps to [[decontaminate]] on
+    * any input (spec-pinned, including the NULL-text and shingle-less
+    * edges: NULL-text docs drop on both paths; a doc too short to have a
+    * k-shingle survives via `explode_outer`'s single NULL row, which no
+    * blocklist entry can match).
     *
-    * Scale shape: two shuffles per micro-batch — the anti join on the
+    * Scale shape: two shuffles per micro-batch — the flag join on the
     * shingle key (md5-flat text shingles; a boilerplate-heavy corpus skews
     * a few shingle keys, but anti-join state per key is just the blocklist
     * row, so skew costs network, not state) and the doc-level regroup. The
@@ -182,16 +180,24 @@ object CorpusStream {
     val block = benchmark
       .select(explode(shingles(col("text"))).as("_graft_sh"))
       .distinct()
+      .withColumn("_graft_hit", lit(true))
+    // the tokenize+shingle kernel runs ONCE per doc (the explode
+    // generator's input); a doc is kept iff NO exploded shingle finds a
+    // blocklist hit. NULL-text docs are dropped explicitly — the literal
+    // path's `arrays_overlap(NULL, …)` filter does the same implicitly
+    // (parity spec-pinned); shingle-less short docs survive via
+    // explode_outer's single NULL row, which no blocklist entry matches.
     val exploded = docs
-      .withColumn("_graft_nsh", size(shingles(col("text"))))
+      .filter(col("text").isNotNull)
       .select(col("*"), explode_outer(shingles(col("text"))).as("_graft_sh"))
-    val clean = exploded.join(block, Seq("_graft_sh"), "left_anti")
+    val flagged = exploded.join(block, Seq("_graft_sh"), "left_outer")
     val watermarked =
-      if (clean.isStreaming) clean.withWatermark(eventTimeCol, delay) else clean
+      if (flagged.isStreaming) flagged.withWatermark(eventTimeCol, delay)
+      else flagged
     watermarked
-      .groupBy(docCols.map(col) :+ col("_graft_nsh"): _*)
-      .agg(count(col("_graft_sh")).as("_graft_clean"))
-      .filter(col("_graft_clean") === col("_graft_nsh"))
+      .groupBy(docCols.map(col): _*)
+      .agg(max(col("_graft_hit")).as("_graft_dirty"))
+      .filter(col("_graft_dirty").isNull)
       .select(docCols.map(col): _*)
   }
 }

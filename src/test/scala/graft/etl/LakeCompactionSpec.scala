@@ -293,6 +293,57 @@ class LakeCompactionSpec extends SparkSpec {
     assert(before.subsetOf(after), "compacted history must survive the resume")
   }
 
+  test("a lake whose sink already wrote its own compact files stays readable (interval repair)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    // force the sink to compact its log every 5 batches: 7 batches write
+    // log files 0,1,2,3,4.compact,5,6. A graft snapshot at the latest
+    // batch id (6) beside the sink's 4.compact is the POISON pair: Spark
+    // derives its interval from the DIFFERENCE of the two newest compacts
+    // (6−4 = 2), 7 % 2 ≠ 0 makes batch 6 an invalid compaction position,
+    // and every subsequent allFiles() throws looking for a 5.compact that
+    // never existed. The protocol must end with EXACTLY ONE compact file
+    // and identical reads.
+    spark.conf.set("spark.sql.streaming.fileSink.log.compactInterval", "5")
+    val lake = tmpDir("mlake3")
+    val ckpt = tmpDir("mlake3-ckpt")
+    try {
+      val mem = MemoryStream[(Int, String, Int)]
+      val q = mem.toDS().toDF("id", "payload", "p")
+        .writeStream.format("parquet")
+        .option("path", lake).option("checkpointLocation", ckpt)
+        .partitionBy("p")
+        .outputMode("append").start()
+      try {
+        (0 until 7).foreach { b =>
+          mem.addData((1 to 6).map(i => (b * 100 + i, s"v$b-$i", i % 2)): _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val fs = new Path(lake).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val meta = new Path(lake, "_spark_metadata")
+      def compacts() = fs.listStatus(meta).map(_.getPath.getName)
+        .filter(_.endsWith(".compact")).sorted.toSeq
+      assert(compacts().nonEmpty, "precondition: the sink compacted its own log")
+      val before = spark.read.parquet(lake).collect().toSet
+      val report = LakeCompaction.compact(spark, lake, 512L * 1024)
+      assert(report.binsRewritten >= 1)
+      // single-compact invariant restored at the latest batch id (6)
+      assert(compacts() == Seq("6.compact"), s"compact files: ${compacts()}")
+      assert(spark.read.parquet(lake).collect().toSet == before,
+        "reads must be identical through the repaired manifest")
+      // the sink log itself parses cleanly — this is the exact call that
+      // throws IllegalStateException when a misaligned compact pair
+      // corrupts the derived interval
+      import org.apache.spark.sql.execution.streaming.sinks.FileStreamSinkLog
+      val log = new FileStreamSinkLog(FileStreamSinkLog.VERSION, spark,
+        meta.toString)
+      assert(log.allFiles().nonEmpty) // not throwing IS the assertion
+      assert(log.getLatestBatchId().contains(6L))
+    } finally
+      spark.conf.unset("spark.sql.streaming.fileSink.log.compactInterval")
+  }
+
   test("compacting one partition dir of a manifest lake rewrites just that subtree") {
     val (lake, _) = sinkLake(batches = 3)
     val before = spark.read.parquet(lake).collect().toSet
