@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.TextFunctions
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text analysis + deduplication over the `documents` table (SURVEY §2B
@@ -182,6 +183,94 @@ object TextQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** Q93: boilerplate n-gram mining — per source, the top-3 3-grams by
+    * DOCUMENT frequency (how many docs of that source contain the
+    * shingle). This is the discovery stage that feeds span-level dedup
+    * (q72) and cleaning rules: the highest-df shingles of a domain ARE its
+    * header/footer boilerplate. Ties break to the lexicographically
+    * smaller shingle, so the rank is total on both engines.
+    *
+    * Scale shape: distinct shingles per doc, one partial-agg groupBy on
+    * (source, shingle), and a rank window partitioned by SOURCE — never a
+    * global single-task window. */
+  private val q93: Q = (s, d) => {
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_docs").desc, col("ngram"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(call_function("word_shingles",
+          TextFunctions.tokens(col("text")), lit(3)))).as("ngram"))
+      .groupBy("source", "ngram")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .orderBy("source", "rank")
+  }
+
+  /** Q94: vocabulary coverage / OOV rate — fix the top-1000 corpus tokens
+    * (by total occurrences, ties to the smaller token) as the vocabulary,
+    * then score every document by the fraction of its token OCCURRENCES
+    * the vocabulary covers. The curriculum/tokenizer-fit signal:
+    * low-coverage docs are gibberish, code, or another language relative
+    * to the corpus. Exact BIGINT counts, one final double division.
+    *
+    * Scale shape: vocab = groupBy(token) + a top-k rank (vocab-sized,
+    * broadcastable by construction); scoring = one join of the exploded
+    * corpus against the 1000-row vocab (broadcast) + one groupBy(doc). */
+  private val q94: Q = (s, d) => {
+    val exploded = Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    RunScopedCache.releaseAfterRun(s, exploded)
+    // top-k via orderBy+limit → TakeOrderedAndProject: a distributed
+    // per-partition top-1000 merged on the driver, never the single-task
+    // global window a row_number() rank would plan over a web-scale
+    // vocabulary (the q19 shape)
+    val vocab = exploded.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(1000)
+      .select(col("tok"), lit(true).as("in_vocab"))
+    exploded.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        count(col("in_vocab")).as("n_in_vocab"),
+        (count(col("in_vocab")).cast("double") / count(lit(1)))
+          .as("coverage"))
+      .orderBy("doc_id")
+  }
+
+  /** Q95: corpus-frequency familiarity — the unigram-LM quality proxy
+    * with engine-exact arithmetic: each token's corpus occurrence count
+    * feeds a per-doc mean relative frequency
+    * `Σ cnt(tok) / (total · n_tok)`. Gibberish and OCR noise score near
+    * 1/|corpus tokens|; template text scores high. A true log-prob would
+    * hash-flake across engines (ln's last ulp is libm-specific — the q84
+    * doc's KenLM note), so the score stays in exact-ratio space: BIGINT
+    * sums, ONE double division at the end.
+    *
+    * Scale shape: identical to q84's two-pass — partial-agg unigram
+    * counts, token-keyed probe join (1:1 on the count side, AQE
+    * skew-split for Zipf-hot tokens), one groupBy(doc) to close. */
+  private val q95: Q = (s, d) => {
+    val exploded = Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    RunScopedCache.releaseAfterRun(s, exploded)
+    val counts = exploded.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    exploded.join(counts, "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), sum(col("cnt")).as("sum_cnt"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_tok"), col("sum_cnt"),
+        (col("sum_cnt").cast("double") /
+          (col("total").cast("double") * col("n_tok"))).as("familiarity"))
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q33_text_topwords" -> q33,
     "q34_text_docstats" -> q34,
@@ -195,9 +284,59 @@ object TextQueries extends QueryGroup {
     "q67_dedup_ngram_jaccard" -> q67,
     "q74_dedup_containment" -> q74,
     "q84_text_doc_frequency" -> q84,
+    "q93_boilerplate_ngrams" -> q93,
+    "q94_vocab_coverage" -> q94,
+    "q95_token_familiarity" -> q95,
   )
 
   val oracles: Map[String, String] = Map(
+    // doc frequency per (source, 3-gram) over DISTINCT per-doc shingles;
+    // rank window mirrors (n_docs DESC, ngram ASC) — a total order
+    "q93_boilerplate_ngrams" ->
+      """WITH t AS (SELECT doc_id, source, string_split(lower(text), ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, source,
+        |    unnest(list_distinct(CASE WHEN len(toks) < 3 THEN []
+        |      ELSE list_transform(range(1, len(toks) - 1),
+        |        i -> array_to_string(toks[i:i+2], ' ')) END)) AS ngram
+        |  FROM t),
+        |c AS (SELECT source, ngram, count(*) AS n_docs FROM g GROUP BY source, ngram),
+        |r AS (SELECT source, ngram, CAST(n_docs AS BIGINT) AS n_docs,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY n_docs DESC, ngram) AS BIGINT) AS rank
+        |  FROM c)
+        |SELECT source, ngram, n_docs, rank FROM r
+        |WHERE rank <= 3 ORDER BY source, rank""".stripMargin,
+
+    // top-1000 vocabulary by total occurrences (ties to the smaller
+    // token), coverage = in-vocab occurrences / all occurrences
+    "q94_vocab_coverage" ->
+      """WITH e AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |v AS (SELECT tok FROM (
+        |    SELECT tok, count(*) AS cnt FROM e GROUP BY tok)
+        |  ORDER BY cnt DESC, tok LIMIT 1000)
+        |SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        |  CAST(count(v.tok) AS BIGINT) AS n_in_vocab,
+        |  CAST(count(v.tok) AS DOUBLE) / count(*) AS coverage
+        |FROM e LEFT JOIN v ON e.tok = v.tok
+        |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin,
+
+    // unigram familiarity: per-doc Σ cnt(tok) / (total · n_tok) — exact
+    // BIGINT sums, one double division (no ln: libm last-ulp divergence)
+    "q95_token_familiarity" ->
+      """WITH e AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM e GROUP BY tok),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+        |d AS (SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        |    CAST(sum(c.cnt) AS BIGINT) AS sum_cnt
+        |  FROM e JOIN c ON e.tok = c.tok GROUP BY e.doc_id)
+        |SELECT d.doc_id, d.n_tok, d.sum_cnt,
+        |  CAST(d.sum_cnt AS DOUBLE) / (CAST(t.total AS DOUBLE) * d.n_tok) AS familiarity
+        |FROM d, t ORDER BY d.doc_id""".stripMargin,
+
     // df over distinct tokens per doc, Σdf exact BIGINT, one division
     "q84_text_doc_frequency" ->
       """WITH t AS (
