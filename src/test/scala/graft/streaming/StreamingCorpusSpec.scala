@@ -208,6 +208,27 @@ class StreamingCorpusSpec extends SparkSpec {
     assert(largeKept == Set(2L, 4L), s"got $largeKept")
   }
 
+  test("chunkWindows and packShards building blocks run at ingest: the chunker is stateless on a stream") {
+    implicit val sc = spark.sqlContext
+    // chunkWindows is filter+explode only — no state, no watermark, so it
+    // composes directly into an ingest query (chunk-at-ingest is how
+    // long-context corpora land pre-chunked in the lake)
+    val mem = MemoryStream[(Long, String)]
+    val out = graft.operators.CorpusOps.chunkWindows(
+      mem.toDS().toDF("doc_id", "text"), "doc_id", 30, 20)
+    val q = out.writeStream.format("memory").queryName("schunk")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, (1 to 50).map(i => s"t$i").mkString(" ")), // 2 chunks
+        (2L, null.asInstanceOf[String]))                // dropped
+      q.processAllAvailable()
+      val rows = spark.table("schunk")
+        .select("doc_id", "chunk_idx").as[(Long, Int)].collect().toSet
+      assert(rows == Set((1L, 0), (1L, 1)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("stream gate thresholds equal the batch q73 gate (parity on the fixture)") {
     // run the batch quality stage and the stream gate over the SAME rows;
     // the survivor sets must agree (q73 then applies dedup+cap on top)
