@@ -208,6 +208,40 @@ class StreamingCorpusSpec extends SparkSpec {
     assert(largeKept == Set(2L, 4L), s"got $largeKept")
   }
 
+  test("decontaminateBloom: no false negatives, keeps a subset of the exact path, stateless on a stream") {
+    implicit val sc = spark.sqlContext
+    val bench = Seq((100L, "b1 b2 b3 b4 b5"), (101L, "c1 c2 c3 c4")).toDF("doc_id", "text")
+    val fixture = Seq(
+      (1L, "x1 x2 b1 b2 b3 b4 x3", ts(0)), // contaminated → MUST drop
+      (2L, "x1 x2 x3 x4 x5 x6", ts(0)),
+      (3L, "b1 b2 b3", ts(1)),
+      (4L, "z c1 c2 c3 c4 z", ts(1)),      // contaminated → MUST drop
+      (5L, "q1 q2", ts(2)))
+    val batch = fixture.toDF("doc_id", "text", "ts")
+    val exact = CorpusStream.decontaminate(batch, bench)
+      .select("doc_id").as[Long].collect().toSet
+    val bloomKept = CorpusStream.decontaminateBloom(batch, bench)
+      .select("doc_id").as[Long].collect().toSet
+    // one-sided error: every contaminated doc dropped (no false negatives)
+    assert(!bloomKept.contains(1L) && !bloomKept.contains(4L))
+    assert(bloomKept.subsetOf(exact), s"bloom=$bloomKept exact=$exact")
+    // at this fixture size the FP probability is ~|shingles|·fpp ≈ 10⁻⁵ —
+    // the sketch is deterministic, so equality is stable once observed
+    assert(bloomKept == exact, s"bloom=$bloomKept exact=$exact")
+    // and the probe is stateless on a stream: no watermark, append mode
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val out = CorpusStream.decontaminateBloom(
+      mem.toDS().toDF("doc_id", "text", "ts"), bench)
+    val q = out.writeStream.format("memory").queryName("sbloom")
+      .outputMode("append").start()
+    try {
+      mem.addData(fixture: _*)
+      q.processAllAvailable()
+      val ids = spark.table("sbloom").select("doc_id").as[Long].collect().toSet
+      assert(ids == exact, s"stream bloom=$ids exact=$exact")
+    } finally q.stop()
+  }
+
   test("chunkWindows and packShards building blocks run at ingest: the chunker is stateless on a stream") {
     implicit val sc = spark.sqlContext
     // chunkWindows is filter+explode only — no state, no watermark, so it
