@@ -259,6 +259,51 @@ object CorpusOps {
       .drop("cum")
   }
 
+  /** Q97 core: T5-style span corruption — the denoising-objective
+    * preprocessing move: ~1/`maskDenom` of token positions are selected by
+    * a deterministic hash (md5 of `id#pos`, the engine-mirrorable
+    * "randomness" every sampling op here uses), adjacent selected tokens
+    * merge into one span, and each span is replaced by a numbered sentinel
+    * in the input while the target spells `<X_k> tokens…` per span. Emits
+    * (id, n_masked, n_spans, input_text, target_text).
+    *
+    * Scale shape: one posexplode, one doc-partitioned window pair
+    * (lag + running span count), one ordered regroup — all partitioned by
+    * document, no global stage. The ordered reassembly uses
+    * `array_sort(collect_list(struct(pos, piece)))`, deterministic because
+    * pos is unique per doc. */
+  def spanCorruption(docs: DataFrame, idCol: String,
+      maskDenom: Int = 10): DataFrame = {
+    val toks = docs.filter(col("text").isNotNull)
+      .select(col(idCol),
+        posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "tok")))
+    val h = conv(substring(md5(concat(col(idCol).cast("string"), lit("#"),
+      col("pos").cast("string"))), 1, 8), 16, 10).cast("long")
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val marked = toks
+      .withColumn("m", pmod(h, lit(maskDenom)) === 0)
+      .withColumn("start", col("m") &&
+        !coalesce(lag(col("m"), 1).over(w), lit(false)))
+      .withColumn("k", sum(col("start").cast("int")).over(wRun))
+    val sentinel = concat(lit("<X_"), (col("k") - 1).cast("string"), lit(">"))
+    val inputPiece = when(!col("m"), col("tok"))
+      .when(col("start"), sentinel).otherwise(lit(""))
+    val targetPiece = when(col("m") && col("start"),
+        concat(sentinel, lit(" "), col("tok")))
+      .when(col("m"), col("tok")).otherwise(lit(""))
+    def reassemble(piece: org.apache.spark.sql.Column) =
+      concat_ws(" ", filter(
+        transform(array_sort(collect_list(struct(col("pos"), piece.as("p")))),
+          s => s.getField("p")),
+        p => p =!= ""))
+    marked.groupBy(idCol)
+      .agg(count(when(col("m"), 1)).as("n_masked"),
+        sum(col("start").cast("long")).as("n_spans"),
+        reassemble(inputPiece).as("input_text"),
+        reassemble(targetPiece).as("target_text"))
+  }
+
   /** Q92 core: context-window chunking — split each document into
     * overlapping token windows of `window` tokens at `stride` steps (the
     * RAG / long-context preprocessing move). Chunk k covers 1-based token

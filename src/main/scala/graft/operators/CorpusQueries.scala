@@ -320,6 +320,14 @@ object CorpusQueries extends QueryGroup {
     CorpusOps.chunkWindows(Tables.documents(s, d), "doc_id", 30, 20)
       .orderBy("doc_id", "chunk_idx")
 
+  /** Q97: T5-style span corruption — [[CorpusOps.spanCorruption]] at a
+    * 1/10 token mask rate: deterministic md5 position selection, adjacent
+    * masks merge into numbered-sentinel spans, (input, target) pair per
+    * doc. */
+  private val q97: Q = (s, d) =>
+    CorpusOps.spanCorruption(Tables.documents(s, d), "doc_id", 10)
+      .orderBy("doc_id")
+
   val queries: Seq[(String, Q)] = Seq(
     "q71_text_repetition" -> q71,
     "q72_dedup_spans" -> q72,
@@ -333,12 +341,57 @@ object CorpusQueries extends QueryGroup {
     "q83_ml_decile_bin" -> q83,
     "q91_pack_shards" -> q91,
     "q92_chunk_windows" -> q92,
+    "q97_span_corruption" -> q97,
   )
 
   // 2-gram positions: range(1, len) = 1..len-1 (DuckDB range excludes the
   // upper bound), toks[i:i+1] = the 2 tokens at i — mirrors word_shingles
   // exactly (same convention as the q67 3-gram oracle).
   val oracles: Map[String, String] = Map(
+    // span corruption: mask position p of doc iff the first-8-hex md5 of
+    // "id#p" ≡ 0 (mod 10); runs of masked positions become one sentinel
+    // <X_k> in the input and "<X_k> tok…" in the target. Window frames
+    // explicit ROWS; string_agg coalesced to '' for unmasked docs (Spark's
+    // concat_ws yields '' where DuckDB's filtered agg yields NULL).
+    "q97_span_corruption" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |e AS (
+        |  SELECT doc_id, unnest(range(0, len(toks))) AS pos, unnest(toks) AS tok
+        |  FROM t),
+        |f AS (
+        |  SELECT doc_id, pos, tok,
+        |    (CAST('0x' || substr(md5(concat(CAST(doc_id AS VARCHAR), '#',
+        |      CAST(pos AS VARCHAR))), 1, 8) AS BIGINT) % 10) = 0 AS m
+        |  FROM e),
+        |g AS (
+        |  SELECT doc_id, pos, tok, m,
+        |    m AND NOT coalesce(lag(m) OVER
+        |      (PARTITION BY doc_id ORDER BY pos), false) AS start
+        |  FROM f),
+        |h AS (
+        |  SELECT doc_id, pos, tok, m, start,
+        |    sum(CASE WHEN start THEN 1 ELSE 0 END) OVER
+        |      (PARTITION BY doc_id ORDER BY pos
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k
+        |  FROM g),
+        |pc AS (
+        |  SELECT doc_id, pos, m, start,
+        |    CASE WHEN NOT m THEN tok
+        |         WHEN start THEN concat('<X_', CAST(k - 1 AS VARCHAR), '>')
+        |         ELSE '' END AS ip,
+        |    CASE WHEN m AND start THEN
+        |           concat('<X_', CAST(k - 1 AS VARCHAR), '> ', tok)
+        |         WHEN m THEN tok ELSE '' END AS tp
+        |  FROM h)
+        |SELECT doc_id,
+        |  CAST(count(*) FILTER (m) AS BIGINT) AS n_masked,
+        |  CAST(count(*) FILTER (start) AS BIGINT) AS n_spans,
+        |  coalesce(string_agg(ip, ' ' ORDER BY pos) FILTER (ip != ''), '') AS input_text,
+        |  coalesce(string_agg(tp, ' ' ORDER BY pos) FILTER (tp != ''), '') AS target_text
+        |FROM pc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // running sum in the md5-shuffled order; DuckDB sum(BIGINT) OVER is
     // HUGEINT, so the shard division casts back to BIGINT; ROWS frame
     // explicit on both engines (RANGE would pool peer rows)

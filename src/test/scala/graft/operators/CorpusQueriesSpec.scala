@@ -324,6 +324,42 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("q97 span corruption round-trips: splicing target spans into the input reconstructs the doc") {
+    val texts = Seq(
+      (1L, (1 to 60).map(i => s"tok$i").mkString(" ")),
+      (2L, (1 to 25).map(i => s"word$i").mkString(" ")),
+      (3L, "short doc"))
+    val dir = corpus(texts: _*)
+    val rows = SparkEntry.queries("q97_span_corruption")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_masked"),
+        r.getAs[Long]("n_spans"), r.getAs[String]("input_text"),
+        r.getAs[String]("target_text"))).toSeq
+    assert(rows.map(_._1).toSet == Set(1L, 2L, 3L))
+    rows.foreach { case (id, nMasked, nSpans, input, target) =>
+      // parse the target into span-index → tokens
+      val spans = scala.collection.mutable.Map[Int, Vector[String]]()
+      var cur = -1
+      target.split(" ").filter(_.nonEmpty).foreach { t =>
+        if (t.startsWith("<X_")) { cur = t.stripPrefix("<X_").stripSuffix(">").toInt; spans(cur) = Vector() }
+        else spans(cur) :+= t
+      }
+      assert(spans.size == nSpans, s"doc $id: ${spans.size} vs $nSpans")
+      assert(spans.values.map(_.size).sum == nMasked)
+      // splice: replace each sentinel in the input with its span
+      val rebuilt = input.split(" ").filter(_.nonEmpty).flatMap { t =>
+        if (t.startsWith("<X_"))
+          spans(t.stripPrefix("<X_").stripSuffix(">").toInt)
+        else Vector(t)
+      }.mkString(" ")
+      val original = texts.find(_._1 == id).get._2.toLowerCase
+      assert(rebuilt == original, s"doc $id: '$rebuilt' != '$original'")
+    }
+    // determinism: the hash-driven mask is a pure function of (id, pos)
+    val again = SparkEntry.queries("q97_span_corruption")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(rows.map(t => Seq(t._1, t._2, t._3, t._4, t._5)) == again)
+  }
+
   test("q92 chunking invariants: full coverage, overlap = window - stride, short tail only") {
     val dir = corpus(
       (1L, (1 to 50).map(i => s"t$i").mkString(" ")), // 50 toks → 2 chunks
