@@ -172,40 +172,6 @@ object CorpusStream {
     * the blocklist on the driver); batch frames regroup immediately. The
     * static blocklist side re-computes per micro-batch — persist() it for
     * long-running queries. */
-  /** Bloom-filter decontamination — the third point on the blocklist-size
-    * spectrum: [[decontaminate]] inlines a driver-sized blocklist as a
-    * literal; [[decontaminateLarge]] keeps an arbitrarily large blocklist
-    * distributed at the cost of a per-batch shuffle + watermark latency;
-    * this one compresses the blocklist into a broadcast Bloom filter
-    * (~14 bits/shingle at the default 0.1% FPP — a billion-shingle
-    * blocklist rides in ~1.8 GB of executor memory) and keeps the stream
-    * side a STATELESS per-row probe: no shuffle, no state store, no
-    * emission delay, at any blocklist size.
-    *
-    * The trade is explicit and one-sided: the filter has NO false
-    * negatives — every truly contaminated doc is dropped, always — but a
-    * false-positive shingle can drop a clean doc with probability
-    * ≈ |shingles|·fpp (conservative over-dropping, the cheap direction
-    * for decontamination). Keeps are therefore a SUBSET of the exact
-    * paths' keeps (spec-pinned). The sketch is deterministic for a given
-    * blocklist and parameters (bit-OR construction, order-free), so runs
-    * reproduce. The probe is a Scala UDF over the broadcast sketch —
-    * `mightContainString` has no Column-function equivalent; same
-    * exception as the multimodal codecs. */
-  def decontaminateBloom(docs: DataFrame, benchmark: DataFrame,
-      k: Int = 4, fpp: Double = 0.001): DataFrame = {
-    def shingles(c: Column) = call_function("word_shingles",
-      TextFunctions.tokens(c), lit(k))
-    val bench = benchmark.select(explode(shingles(col("text"))).as("sh"))
-      .distinct()
-    val bloom = bench.stat.bloomFilter("sh",
-      math.max(1L, bench.count()), fpp)
-    val bloomBc = docs.sparkSession.sparkContext.broadcast(bloom)
-    val dirty = udf((shs: Seq[String]) =>
-      shs != null && shs.exists(bloomBc.value.mightContainString))
-    docs.filter(col("text").isNotNull && !dirty(shingles(col("text"))))
-  }
-
   def decontaminateLarge(docs: DataFrame, benchmark: DataFrame,
       eventTimeCol: String, delay: String, k: Int = 4): DataFrame = {
     val docCols = docs.columns.toSeq
@@ -233,5 +199,43 @@ object CorpusStream {
       .agg(max(col("_graft_hit")).as("_graft_dirty"))
       .filter(col("_graft_dirty").isNull)
       .select(docCols.map(col): _*)
+  }
+
+  /** Bloom-filter decontamination — the third point on the blocklist-size
+    * spectrum: [[decontaminate]] inlines a driver-sized blocklist as a
+    * literal; [[decontaminateLarge]] keeps an arbitrarily large blocklist
+    * distributed at the cost of a per-batch shuffle + watermark latency;
+    * this one compresses the blocklist into a broadcast Bloom filter
+    * (~14 bits/shingle at the default 0.1% FPP — a billion-shingle
+    * blocklist rides in ~1.8 GB of executor memory) and keeps the stream
+    * side a STATELESS per-row probe: no shuffle, no state store, no
+    * emission delay, at any blocklist size.
+    *
+    * The trade is explicit and one-sided: the filter has NO false
+    * negatives — every truly contaminated doc is dropped, always — but a
+    * false-positive shingle can drop a clean doc with probability
+    * ≈ |shingles|·fpp (conservative over-dropping, the cheap direction
+    * for decontamination). Keeps are therefore a SUBSET of the exact
+    * paths' keeps (spec-pinned). The sketch is deterministic for a given
+    * blocklist and parameters (bit-OR construction, order-free), so runs
+    * reproduce. The probe is a Scala UDF over the broadcast sketch —
+    * `mightContainString` has no Column-function equivalent; same
+    * exception as the multimodal codecs. */
+  def decontaminateBloom(docs: DataFrame, benchmark: DataFrame,
+      k: Int = 4, fpp: Double = 0.001): DataFrame = {
+    def shingles(c: Column) = call_function("word_shingles",
+      TextFunctions.tokens(c), lit(k))
+    // TWO actions read this frame (the sizing count, then the bloom
+    // aggregate) — persist so the tokenize→shingle→distinct shuffle over
+    // the blocklist corpus runs once, not twice
+    val bench = benchmark.select(explode(shingles(col("text"))).as("sh"))
+      .distinct().persist()
+    val bloom =
+      try bench.stat.bloomFilter("sh", math.max(1L, bench.count()), fpp)
+      finally bench.unpersist()
+    val bloomBc = docs.sparkSession.sparkContext.broadcast(bloom)
+    val dirty = udf((shs: Seq[String]) =>
+      shs != null && shs.exists(bloomBc.value.mightContainString))
+    docs.filter(col("text").isNotNull && !dirty(shingles(col("text"))))
   }
 }
