@@ -62,3 +62,47 @@ object DedupStream {
       .toDF("doc_id", "dup_of", "band_idx")
   }
 }
+
+/** Ingest-time shard packing — the streaming twin of batch q91
+  * ([[graft.operators.CorpusOps.packShards]]): arriving documents are laid
+  * into fixed-token-budget training shards per source, with ONE long of
+  * state per source (its cumulative token count), so shards keep filling
+  * across micro-batches and a restart resumes mid-shard from the
+  * checkpoint. Within a micro-batch arrivals order by (md5(id), id) — the
+  * batch path's deterministic shuffle — so re-execution of a batch
+  * reassigns identically; ACROSS batches the order is arrival order, the
+  * streaming-inherent difference from the batch form (which md5-orders the
+  * whole corpus at once). The first micro-batch over an empty state is
+  * bit-identical to [[graft.operators.CorpusOps.packShards]] on the same
+  * rows (spec-pinned).
+  */
+object PackStream {
+
+  /** @param docs streaming (or batch) frame with (doc_id, source, text)
+    * @return (doc_id, source, n_tok, shard) — shard = the budget bucket
+    *         the doc's running start offset falls in, per source */
+  def packShards(docs: org.apache.spark.sql.DataFrame,
+      budget: Long): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val keyed = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("n_tok"),
+        md5(col("doc_id").cast("string")).as("o"))
+      .as[(Long, String, Long, String)]
+    keyed.groupByKey(_._2)
+      .flatMapGroupsWithState[Long, (Long, String, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (source, rows, state: GroupState[Long]) =>
+          var cum = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(r => (r._4, r._1)).map { r =>
+            val shard = cum / budget
+            cum += r._3
+            (r._1, source, r._3, shard)
+          }
+          state.update(cum)
+          out.iterator
+      }
+      .toDF("doc_id", "source", "n_tok", "shard")
+  }
+}

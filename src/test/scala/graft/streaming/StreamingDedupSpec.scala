@@ -68,3 +68,46 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 }
+
+/** PackStream: ingest-time shard packing with one long of state per
+  * source — continuity across micro-batches and first-batch parity with
+  * the batch q91 operator. */
+class PackStreamSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  import spark.implicits._
+
+  test("shards keep filling across micro-batches; first batch matches the batch operator") {
+    implicit val sc = spark.sqlContext
+    def doc(i: Long, n: Int, src: String) =
+      (i, (1 to n).map(j => s"w$j").mkString(" "), src)
+    val b1 = Seq(doc(1, 30, "srcA"), doc(2, 30, "srcA"), doc(3, 30, "srcA"))
+    val b2 = Seq(doc(4, 30, "srcA"), doc(5, 30, "srcB"))
+    val mem = MemoryStream[(Long, String, String)]
+    val out = PackStream.packShards(
+      mem.toDS().toDF("doc_id", "text", "source"), budget = 50L)
+    val q = out.writeStream.format("memory").queryName("spack")
+      .outputMode("append").start()
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      val first = spark.table("spack")
+        .select("doc_id", "shard").as[(Long, Long)].collect().toMap
+      // parity: an empty-state first batch ≡ the batch operator
+      val batchRef = graft.operators.CorpusOps.packShards(
+        b1.toDF("doc_id", "text", "source"), "doc_id", 50L)
+        .select("doc_id", "shard").as[(Long, Long)].collect().toMap
+      assert(first == batchRef, s"stream=$first batch=$batchRef")
+      // 3 docs × 30 tokens at budget 50: starts 0/30/60 → shards 0,0,1
+      assert(first.values.toSeq.sorted == Seq(0L, 0L, 1L))
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      val all = spark.table("spack")
+        .select("doc_id", "source", "shard").as[(Long, String, Long)]
+        .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      // srcA resumed at cum=90: doc 4 starts at 90 → shard 1 (not 0!)
+      assert(all(4L) == ("srcA", 1L), s"got ${all(4L)}")
+      // srcB starts fresh → shard 0
+      assert(all(5L) == ("srcB", 0L), s"got ${all(5L)}")
+    } finally q.stop()
+  }
+}
