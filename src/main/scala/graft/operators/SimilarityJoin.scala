@@ -200,6 +200,38 @@ object SimilarityJoin {
       .select(least(col("x_id"), col("y_id")).as("a_id"),
         greatest(col("x_id"), col("y_id")).as("b_id"), col("overlap"))
 
+  /** Strategy-picking containment join: measure the LARGEST block's pair
+    * product with one metadata-scale aggregation (partial-agg max over
+    * per-block counts — never a collect of block sizes) and escalate from
+    * [[overlapBlocked]] to [[overlapBlockedTiled]] when that product
+    * outgrows `maxPairsPerTask`. This automates the choice the round-9
+    * 10× scale run made by hand (BASELINE.md: blocked's task granularity
+    * is whole blocks — a ~1800-doc block is a ~1.6M-pair, wall-dominating
+    * straggler; tiled-8 halved it): a corpus whose blocks all fit a task
+    * keeps blocked's single-scan plan, a corpus with one giant block gets
+    * its pair product re-keyed over C(chunks+1, 2) tiles, with `chunks`
+    * sized so each tile lands near the per-task target.
+    *
+    * The extra job costs one pass of partial-aggregated counts before the
+    * pair stage — the same "measure, don't guess" trade AQE itself makes.
+    * Which strategy ran is visible in the plan (the observe metric's name:
+    * sj_pairs_blocked vs sj_pairs_tiled); row identity between the two is
+    * already spec-pinned (SimilarityJoinSpec). */
+  def overlapAdaptive(docs: DataFrame, tau: Double,
+      maxPairsPerTask: Long = 2000000L): DataFrame = {
+    val mx = docs.groupBy("block").agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).head().getLong(0)
+    val maxPairs = mx * (mx - 1) / 2
+    if (maxPairs <= maxPairsPerTask) overlapBlocked(docs, tau)
+    else {
+      // per-tile pairs ≈ maxPairs / (C(C+1)/2) ≤ target ⇒ C ≈ √(2·ratio)
+      val ratio = maxPairs.toDouble / maxPairsPerTask
+      val chunks = math.min(64, math.max(2, math.ceil(
+        (math.sqrt(8 * ratio + 1) - 1) / 2).toInt))
+      overlapBlockedTiled(docs, tau, chunks)
+    }
+  }
+
   /** Generic triangular-tiled blocked self-pairing — the machinery behind
     * [[overlapBlockedTiled]], reusable for ANY per-pair computation over
     * in-block pairs (token overlap, embedding cosine, …). Emits each

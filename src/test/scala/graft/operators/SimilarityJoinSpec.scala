@@ -118,6 +118,38 @@ class SimilarityJoinSpec extends SparkSpec {
     }
   }
 
+  test("overlapAdaptive picks blocked for small blocks, tiled for a giant block, identical rows") {
+    import spark.implicits._
+    def docs(perBlock: Int, blocks: Int) =
+      (1 to blocks).flatMap(b => (1 to perBlock).map(i =>
+        (b * 100000L + i, s"blk$b",
+          (1 to 8).map(j => s"t${(i + j) % (perBlock / 2 + 2)}").distinct)))
+        .toDF("id", "block", "w")
+    // small blocks → blocked (observe metric name in the plan)
+    val small = docs(20, 3)
+    val dfB = SimilarityJoin.overlapAdaptive(small, 0.5, maxPairsPerTask = 1000L)
+    dfB.collect()
+    assert(dfB.queryExecution.optimizedPlan.toString.contains("sj_pairs_blocked"),
+      "small blocks must keep the blocked plan")
+    // one giant block past the target → tiled
+    val big = docs(200, 1) // C(200,2) = 19900 pairs > 1000
+    val dfT = SimilarityJoin.overlapAdaptive(big, 0.5, maxPairsPerTask = 1000L)
+    dfT.collect()
+    assert(dfT.queryExecution.optimizedPlan.toString.contains("sj_pairs_tiled"),
+      "a giant block must escalate to tiling")
+    // and the verdicts agree with the plain strategies either way
+    val refB = SimilarityJoin.overlapBlocked(small, 0.5)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotB = dfB.select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotB == refB)
+    val refT = SimilarityJoin.overlapBlocked(big, 0.5)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotT = dfT.select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotT == refT)
+  }
+
   test("staged (dup-collapsed) postings join is row-identical to naive (τ=0.8)") {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id").as("id"), col("source").as("block"),
