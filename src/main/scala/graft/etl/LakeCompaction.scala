@@ -2,6 +2,7 @@ package graft.etl
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.sinks.{FileStreamSinkLog, SinkFileStatus}
 
 /** Small-file compaction for the partitioned parquet lake the streaming
   * [[graft.streaming.FileSink]] produces (reference layout
@@ -62,8 +63,14 @@ object LakeCompaction {
     }
   }
 
+  /** `manifestRepaired`: true when the call found the `_spark_metadata`
+    * compact-file layout unreadable (a prior kill between graft's snapshot
+    * rename and its older-compact cleanup) and restored the single-compact
+    * invariant before proceeding — surfaced so an operator can see that a
+    * nominally read-only maintenance run modified the sink's log. */
   final case class Report(partitions: Int, binsRewritten: Int,
-      filesBefore: Int, filesAfter: Int, bytesRewritten: Long)
+      filesBefore: Int, filesAfter: Int, bytesRewritten: Long,
+      manifestRepaired: Boolean = false)
 
   private def isDataFile(name: String): Boolean =
     !name.startsWith(".") && !name.startsWith("_") && name.endsWith(".parquet")
@@ -133,7 +140,8 @@ object LakeCompaction {
     * row-set identity; parquet row order is not part of the table
     * contract). */
   def compact(spark: SparkSession, dir: String, targetBytes: Long,
-      maxConcurrentBins: Int = 8, sortBy: Seq[String] = Nil): Report = {
+      maxConcurrentBins: Int = 8, sortBy: Seq[String] = Nil,
+      allowManifested: Boolean = false): Report = {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // a FileStreamSink lake (writeStream.format("parquet")) is read through
@@ -149,6 +157,19 @@ object LakeCompaction {
     // directory-walk path.
     findManifestRoot(fs, root) match {
       case Some(mroot) =>
+        // fail-safe by default: a manifested compaction rewrites the
+        // sink's committed file list and then DELETES the originals —
+        // only safe under the quiescence contract, which this library
+        // cannot verify across JVMs. The opt-in flag is the caller's
+        // attestation that the writing query is stopped; the active-query
+        // scan below enforces the same-JVM half of the contract even
+        // when the flag is set.
+        require(allowManifested,
+          s"$dir is managed by a _spark_metadata manifest at $mroot. " +
+          "Compacting it rewrites the sink's committed file list and " +
+          "vacuums the originals — safe ONLY while the writing query is " +
+          "stopped. Stop the sink, then pass allowManifested = true.")
+        assertNoActiveWriter(spark, fs, mroot)
         compactManifested(spark, fs, mroot, fs.makeQualified(root),
           targetBytes, maxConcurrentBins, sortBy)
       case None =>
@@ -158,6 +179,62 @@ object LakeCompaction {
           rewrite(spark, fs, bin, sortBy, deleteOriginals = true))
         Report(bins.map(_.partitionDir).distinct.size, bins.size,
           bins.map(_.files.size).sum, bins.size, bins.map(_.bytes).sum)
+    }
+  }
+
+  /** Same-JVM enforcement of the quiescence contract: refuse to mutate a
+    * manifested lake while any ACTIVE streaming query in this session is
+    * writing to it. A file-sink query's sink renders as `FileSink[<path>]`
+    * (`FileStreamSink.toString`, the v1 `Sink` IS the connector `Table`
+    * `StreamExecution.sink` returns), so the check is a string match on
+    * the qualified path — no progress events needed, which matters because
+    * `lastProgress` is null before a query's first batch completes.
+    * Writers in OTHER JVMs are undetectable from here; that residual risk
+    * is what the caller's `allowManifested = true` attests to. */
+  private def assertNoActiveWriter(spark: SparkSession, fs: FileSystem,
+      manifestRoot: Path): Unit = {
+    import org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper
+    val target = fs.makeQualified(manifestRoot)
+    val sinkRe = """FileSink\[(.+)\]""".r
+    spark.streams.active.foreach { q =>
+      val desc = q match {
+        case w: StreamingQueryWrapper => w.streamingQuery.sink.toString
+        case other => String.valueOf(other)
+      }
+      sinkRe.findFirstMatchIn(desc).foreach { m =>
+        val sinkPath = fs.makeQualified(new Path(m.group(1)))
+        require(sinkPath != target,
+          s"streaming query ${q.id} (${Option(q.name).getOrElse("unnamed")}) " +
+          s"is actively writing to $target — stop it before " +
+          "compacting/vacuuming a manifested lake")
+      }
+    }
+  }
+
+  /** Construct the sink log and read its committed file list, repairing
+    * the compact-file layout ONLY if the read actually fails. A healthy
+    * sink log (any number of its own interval-spaced `.compact` files) is
+    * left byte-for-byte untouched by a no-op maintenance run; a log broken
+    * by a kill between graft's snapshot rename and its older-compact
+    * cleanup — two newest compacts whose difference is a bogus interval,
+    * see [[repairManifestCompacts]] — throws on read, gets healed, and is
+    * re-read. (When the bogus difference happens to be a valid-looking
+    * interval the read succeeds anyway AND is correct: `allFiles()` reads
+    * the newest compact, which is graft's cumulative snapshot.) The third
+    * element reports whether a heal ran, threaded into [[Report]]. */
+  private def openLogHealed(spark: SparkSession, fs: FileSystem,
+      metadataDir: Path): (FileStreamSinkLog, Array[SinkFileStatus], Boolean) = {
+    def open(): (FileStreamSinkLog, Array[SinkFileStatus]) = {
+      val log = new FileStreamSinkLog(FileStreamSinkLog.VERSION, spark,
+        metadataDir.toString)
+      (log, log.allFiles())
+    }
+    try { val (log, entries) = open(); (log, entries, false) }
+    catch {
+      case scala.util.control.NonFatal(_) =>
+        repairManifestCompacts(fs, metadataDir)
+        val (log, entries) = open()
+        (log, entries, true)
     }
   }
 
@@ -277,11 +354,13 @@ object LakeCompaction {
     *     always returns a divisor of latest+1 — valid at ANY position.
     *     Older compacts are safe to drop: each compact is cumulative, so
     *     the newest strictly supersedes them. [[repairManifestCompacts]]
-    *     restores this single-compact invariant at the START of every
-    *     compaction/vacuum, which makes the write-then-delete pair
+    *     restores this single-compact invariant whenever a read finds the
+    *     log broken ([[openLogHealed]] — a healthy sink log is never
+    *     touched by a no-op run), which makes the write-then-delete pair
     *     crash-safe (a kill between them leaves two compacts; the next
-    *     maintenance call deletes the older — the newer IS the full
-    *     post-compaction snapshot).
+    *     maintenance call heals by deleting the older — the newer IS the
+    *     full post-compaction snapshot — and reports it via
+    *     `Report.manifestRepaired`).
     *  4. '''Vacuum''': only after the commit are unreferenced data files
     *     under the subtree deleted ([[vacuumUnreferenced]]) — this removes
     *     the originals AND self-heals orphans from any earlier kill. It
@@ -296,15 +375,11 @@ object LakeCompaction {
   private def compactManifested(spark: SparkSession, fs: FileSystem,
       manifestRoot: Path, subtree: Path, targetBytes: Long,
       maxConcurrentBins: Int, sortBy: Seq[String]): Report = {
-    import org.apache.spark.sql.execution.streaming.sinks.{FileStreamSinkLog, SinkFileStatus}
     val metadataDir = new Path(manifestRoot, "_spark_metadata")
-    repairManifestCompacts(fs, metadataDir)
-    val log = new FileStreamSinkLog(FileStreamSinkLog.VERSION, spark,
-      metadataDir.toString)
+    val (log, entries, healed) = openLogHealed(spark, fs, metadataDir)
     val latestBatchId = log.getLatestBatchId().getOrElse(
       throw new IllegalStateException(
         s"$metadataDir holds no committed batches — nothing to compact"))
-    val entries = log.allFiles()
     val inSubtree = entries.filter { e =>
       val p = fs.makeQualified(e.sparkPath.toPath)
       isDataFile(p.getName) && isUnder(p, subtree)
@@ -327,7 +402,7 @@ object LakeCompaction {
       // nothing to rewrite, but a prior kill may have stranded originals
       // that this manifest no longer references — reclaim them
       vacuumUnreferenced(spark, manifestRoot.toString, Some(subtree.toString))
-      return Report(0, 0, 0, 0, 0L)
+      return Report(0, 0, 0, 0, 0L, manifestRepaired = healed)
     }
     // step 2: write the compacted files — invisible to manifest readers
     runBins(bins, maxConcurrentBins)(bin =>
@@ -359,7 +434,8 @@ object LakeCompaction {
     // unreferenced — reclaim them
     vacuumUnreferenced(spark, manifestRoot.toString, Some(subtree.toString))
     Report(bins.map(_.partitionDir).distinct.size, bins.size,
-      bins.map(_.files.size).sum, bins.size, bins.map(_.bytes).sum)
+      bins.map(_.files.size).sum, bins.size, bins.map(_.bytes).sum,
+      manifestRepaired = healed)
   }
 
   /** Restore the single-compact invariant: keep only the NEWEST
@@ -401,19 +477,17 @@ object LakeCompaction {
     * are never descended. Returns the number of files deleted. */
   def vacuumUnreferenced(spark: SparkSession, dir: String,
       subtree: Option[String] = None): Long = {
-    import org.apache.spark.sql.execution.streaming.sinks.FileStreamSinkLog
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val metadataDir = new Path(root, "_spark_metadata")
     require(fs.exists(metadataDir),
       s"$dir has no _spark_metadata manifest — vacuum is manifest-driven")
+    assertNoActiveWriter(spark, fs, fs.makeQualified(root))
     // a kill between the snapshot rename and the older-compact delete
-    // leaves two compact files, whose bogus derived interval would make
-    // allFiles() below throw — heal before reading
-    repairManifestCompacts(fs, metadataDir)
-    val log = new FileStreamSinkLog(FileStreamSinkLog.VERSION, spark,
-      metadataDir.toString)
-    val referenced = log.allFiles()
+    // leaves two compact files whose bogus derived interval breaks
+    // allFiles() — openLogHealed repairs exactly (and only) that case
+    val (_, allEntries, _) = openLogHealed(spark, fs, metadataDir)
+    val referenced = allEntries
       .map(e => fs.makeQualified(e.sparkPath.toPath)).toSet
     val start = fs.makeQualified(subtree.map(new Path(_)).getOrElse(root))
     var deleted = 0L

@@ -219,9 +219,16 @@ object SimilarityJoin {
     * already spec-pinned (SimilarityJoinSpec). */
   def overlapAdaptive(docs: DataFrame, tau: Double,
       maxPairsPerTask: Long = 2000000L): DataFrame = {
+    // coalesce: max over ZERO groups is NULL — an empty corpus must fall
+    // through to blocked (itself empty), not NPE on getLong.
     val mx = docs.groupBy("block").agg(count(lit(1)).as("n"))
-      .agg(max(col("n"))).head().getLong(0)
-    val maxPairs = mx * (mx - 1) / 2
+      .agg(coalesce(max(col("n")), lit(0L))).head().getLong(0)
+    // Saturate instead of overflowing: mx*(mx-1) exceeds Long past
+    // mx ≈ 3.04e9 (√Long.MaxValue). No real block is that big, but a
+    // corrupted/constant block key must escalate, not silently wrap
+    // negative and pick the un-tiled plan.
+    val maxPairs =
+      if (mx > 3037000499L) Long.MaxValue else mx * (mx - 1) / 2
     if (maxPairs <= maxPairsPerTask) overlapBlocked(docs, tau)
     else {
       // per-tile pairs ≈ maxPairs / (C(C+1)/2) ≤ target ⇒ C ≈ √(2·ratio)

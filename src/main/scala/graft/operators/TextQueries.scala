@@ -97,7 +97,10 @@ object TextQueries extends QueryGroup {
     // materialize each pair once per shared token (11.2M candidate rows
     // for 622K pairs); blocked touches each pair exactly once. See
     // overlapBlocked's doc for the regime where that choice flips.
-    SimilarityJoin.overlapBlocked(docs, 0.95).orderBy("a_id", "b_id")
+    // adaptive measures the largest block and picks blocked here (all
+    // blocks fit one task) — but the 100 TB escalation path now runs
+    // under the oracle harness instead of only under its spec.
+    SimilarityJoin.overlapAdaptive(docs, 0.95).orderBy("a_id", "b_id")
   }
 
   /** Q45: quality scoring — length / stopword-ratio / uniqueness features. */

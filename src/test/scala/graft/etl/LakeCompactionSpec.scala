@@ -204,7 +204,7 @@ class LakeCompactionSpec extends SparkSpec {
     val (lake, _) = sinkLake(batches = 4)
     val before = spark.read.parquet(lake).collect().toSet
     val filesBefore = dataFiles(lake).size
-    val report = LakeCompaction.compact(spark, lake, 512L * 1024)
+    val report = LakeCompaction.compact(spark, lake, 512L * 1024, allowManifested = true)
     assert(report.binsRewritten >= 2, s"both partitions should compact: $report")
     assert(spark.read.parquet(lake).collect().toSet == before,
       "post-compaction reads must be identical")
@@ -224,7 +224,7 @@ class LakeCompactionSpec extends SparkSpec {
     assert(spark.read.parquet(lake).collect().toSet == before,
       "manifest readers must not see unreferenced files")
     // a second run plans nothing (idempotence at the manifest level)
-    val again = LakeCompaction.compact(spark, lake, 512L * 1024)
+    val again = LakeCompaction.compact(spark, lake, 512L * 1024, allowManifested = true)
     assert(again.binsRewritten == 0, s"re-run must be a no-op: $again")
   }
 
@@ -236,7 +236,7 @@ class LakeCompactionSpec extends SparkSpec {
       () => throw new RuntimeException("injected kill before manifest commit")
     try {
       val killed = intercept[RuntimeException] {
-        LakeCompaction.compact(spark, lake, 512L * 1024)
+        LakeCompaction.compact(spark, lake, 512L * 1024, allowManifested = true)
       }
       assert(killed.getMessage.contains("injected kill"))
     } finally LakeCompaction.testFailpointBeforeManifestCommit = () => ()
@@ -249,7 +249,7 @@ class LakeCompactionSpec extends SparkSpec {
     val originalsLeft = dataFiles(lake).filterNot(_.getName.startsWith("compact-")).size
     assert(originalsLeft == filesBefore, "no original may be deleted before the swap")
     // re-run: overwrites its own leftovers, commits, vacuums
-    val report = LakeCompaction.compact(spark, lake, 512L * 1024)
+    val report = LakeCompaction.compact(spark, lake, 512L * 1024, allowManifested = true)
     assert(report.binsRewritten >= 1)
     assert(spark.read.parquet(lake).collect().toSet == before)
     assert(dataFiles(lake).forall(_.getName.startsWith("compact-")),
@@ -281,7 +281,7 @@ class LakeCompactionSpec extends SparkSpec {
     (0 until 3).foreach(land)
     runOnce()
     val before = spark.read.parquet(lake).collect().toSet
-    LakeCompaction.compact(spark, lake, 512L * 1024)
+    LakeCompaction.compact(spark, lake, 512L * 1024, allowManifested = true)
     // resume with the same checkpoint: the manifest swap wrote AT the
     // log's latest batch id, never beyond it, so the sink's next addBatch
     // still exceeds the log's latest and the new rows are NOT skipped
@@ -326,7 +326,7 @@ class LakeCompactionSpec extends SparkSpec {
         .filter(_.endsWith(".compact")).sorted.toSeq
       assert(compacts().nonEmpty, "precondition: the sink compacted its own log")
       val before = spark.read.parquet(lake).collect().toSet
-      val report = LakeCompaction.compact(spark, lake, 512L * 1024)
+      val report = LakeCompaction.compact(spark, lake, 512L * 1024, allowManifested = true)
       assert(report.binsRewritten >= 1)
       // single-compact invariant restored at the latest batch id (6)
       assert(compacts() == Seq("6.compact"), s"compact files: ${compacts()}")
@@ -348,10 +348,118 @@ class LakeCompactionSpec extends SparkSpec {
     val (lake, _) = sinkLake(batches = 3)
     val before = spark.read.parquet(lake).collect().toSet
     val p1Before = dataFiles(s"$lake/p=1").size
-    val report = LakeCompaction.compact(spark, s"$lake/p=0", 512L * 1024)
+    val report = LakeCompaction.compact(spark, s"$lake/p=0", 512L * 1024, allowManifested = true)
     assert(report.binsRewritten == 1, s"one bin for the one partition: $report")
     assert(spark.read.parquet(lake).collect().toSet == before)
     assert(dataFiles(s"$lake/p=0").size == 1, "p=0 collapsed to one file")
     assert(dataFiles(s"$lake/p=1").size == p1Before, "p=1 untouched")
+  }
+
+  test("manifested compaction refuses without the allowManifested attestation") {
+    val (lake, _) = sinkLake(batches = 2)
+    val before = spark.read.parquet(lake).collect().toSet
+    val filesBefore = dataFiles(lake).size
+    val e = intercept[IllegalArgumentException] {
+      LakeCompaction.compact(spark, lake, 512L * 1024)
+    }
+    assert(e.getMessage.contains("allowManifested"), e.getMessage)
+    // fail-safe means NOTHING moved: same files, same reads
+    assert(dataFiles(lake).size == filesBefore)
+    assert(spark.read.parquet(lake).collect().toSet == before)
+  }
+
+  test("manifested compaction refuses while the sink is live, even with the flag") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val lake = tmpDir("mlake-live")
+    val ckpt = tmpDir("mlake-live-ckpt")
+    val mem = MemoryStream[(Int, String, Int)]
+    val q = mem.toDS().toDF("id", "payload", "p")
+      .writeStream.format("parquet")
+      .option("path", lake).option("checkpointLocation", ckpt)
+      .partitionBy("p")
+      .outputMode("append").start()
+    try {
+      (0 until 2).foreach { b =>
+        mem.addData((1 to 10).map(i => (b * 100 + i, s"v$b-$i", i % 2)): _*)
+        q.processAllAvailable()
+      }
+      val e = intercept[IllegalArgumentException] {
+        LakeCompaction.compact(spark, lake, 512L * 1024,
+          allowManifested = true)
+      }
+      assert(e.getMessage.contains("actively writing"), e.getMessage)
+      val e2 = intercept[IllegalArgumentException] {
+        LakeCompaction.vacuumUnreferenced(spark, lake)
+      }
+      assert(e2.getMessage.contains("actively writing"), e2.getMessage)
+    } finally q.stop()
+    // stopped sink: the same call goes through
+    val report = LakeCompaction.compact(spark, lake, 512L * 1024,
+      allowManifested = true)
+    assert(report.binsRewritten >= 1, s"post-stop compaction must run: $report")
+  }
+
+  test("a healthy multi-compact sink log survives a no-op maintenance run untouched") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    // interval 3 over 8 batches → the sink's OWN compacts at 2.compact and
+    // 5.compact, a perfectly healthy pair (difference = true interval)
+    spark.conf.set("spark.sql.streaming.fileSink.log.compactInterval", "3")
+    val lake = tmpDir("mlake-noop")
+    val ckpt = tmpDir("mlake-noop-ckpt")
+    try {
+      val mem = MemoryStream[(Int, String, Int)]
+      val q = mem.toDS().toDF("id", "payload", "p")
+        .writeStream.format("parquet")
+        .option("path", lake).option("checkpointLocation", ckpt)
+        .partitionBy("p")
+        .outputMode("append").start()
+      try {
+        (0 until 8).foreach { b =>
+          mem.addData((1 to 6).map(i => (b * 100 + i, s"v$b-$i", i % 2)): _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val fs = new Path(lake).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val meta = new Path(lake, "_spark_metadata")
+      def compacts() = fs.listStatus(meta).map(_.getPath.getName)
+        .filter(_.endsWith(".compact")).sorted.toSeq
+      val healthy = compacts()
+      assert(healthy.size >= 2, s"precondition: sink-written compacts: $healthy")
+      // targetBytes = 1 → every bin degenerates to a single file → zero
+      // bins planned → nominally read-only run
+      val report = LakeCompaction.compact(spark, lake, 1L,
+        allowManifested = true)
+      assert(report.binsRewritten == 0 && !report.manifestRepaired, s"$report")
+      assert(compacts() == healthy,
+        "a no-op maintenance run must not rewrite the sink's log")
+    } finally
+      spark.conf.unset("spark.sql.streaming.fileSink.log.compactInterval")
+  }
+
+  test("a kill-stranded compact pair heals on demand and the Report says so") {
+    val (lake, _) = sinkLake(batches = 4)
+    val before = spark.read.parquet(lake).collect().toSet
+    LakeCompaction.compact(spark, lake, 512L * 1024, allowManifested = true)
+    val fs = new Path(lake).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val meta = new Path(lake, "_spark_metadata")
+    val snapshot = fs.listStatus(meta).map(_.getPath)
+      .filter(_.getName.endsWith(".compact")).head
+    // simulate the kill window between graft's snapshot rename and its
+    // older-compact cleanup: an OLDER compact beside the snapshot whose
+    // difference is a bogus interval (3.compact next to 3+?.compact)
+    val stale = new Path(meta, "0.compact")
+    org.apache.hadoop.fs.FileUtil.copy(fs, snapshot, fs, stale, false,
+      spark.sparkContext.hadoopConfiguration)
+    val report = LakeCompaction.compact(spark, lake, 512L * 1024,
+      allowManifested = true)
+    assert(report.manifestRepaired,
+      s"the heal must be surfaced to the operator: $report")
+    val left = fs.listStatus(meta).map(_.getPath.getName)
+      .filter(_.endsWith(".compact")).toSeq
+    assert(left == Seq(snapshot.getName), s"single-compact restored: $left")
+    assert(spark.read.parquet(lake).collect().toSet == before,
+      "reads must be identical through the healed manifest")
   }
 }

@@ -150,6 +150,12 @@ class SimilarityJoinSpec extends SparkSpec {
     assert(gotT == refT)
   }
 
+  test("overlapAdaptive on an empty corpus returns empty (max over zero groups is NULL)") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String, Seq[String])].toDF("id", "block", "w")
+    assert(SimilarityJoin.overlapAdaptive(empty, 0.5).count() == 0L)
+  }
+
   test("staged (dup-collapsed) postings join is row-identical to naive (τ=0.8)") {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id").as("id"), col("source").as("block"),

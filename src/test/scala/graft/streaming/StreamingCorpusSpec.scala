@@ -131,7 +131,7 @@ class StreamingCorpusSpec extends SparkSpec {
     // manifest's file list, vacuum originals) with the query stopped.
     // Identical reads, manifest intact, no refusal.
     val before = landed.collect().toSet
-    val report = graft.etl.LakeCompaction.compact(spark, lake, 512L * 1024)
+    val report = graft.etl.LakeCompaction.compact(spark, lake, 512L * 1024, allowManifested = true)
     assert(report.binsRewritten >= 1, s"nothing compacted: $report")
     assert(spark.read.parquet(lake).collect().toSet == before,
       "post-compaction lake must read identically")
