@@ -172,7 +172,24 @@ object ScaleBench {
           measured(spark, s"q74_tiled8_r$r", 10)(
             SimilarityJoin.overlapBlockedTiled(docs, 0.95, chunks = 8).count())
         }
-      case other => sys.error(s"unknown mode $other (docs|chains|q74ab)")
+      case "dedupreport" =>
+        // one-pass DedupReport vs the contract-mandated independent
+        // q66 + q79 re-run, interleaved A/B (CLAUDE.md: never conclude
+        // from one run) on the real driver data
+        val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        (1 to 3).foreach { r =>
+          measured(spark, s"q66_plus_q79_r$r", 1) {
+            SparkEntry.queries("q66_dedup_components")(spark, d).count() +
+              SparkEntry.queries("q79_dedup_cluster_sizes")(spark, d).count()
+          }
+          measured(spark, s"dedup_report_r$r", 1) {
+            val rep = operators.DedupReport.build(spark, Tables.documents(spark, d))
+            try rep.assignments.count() + rep.histogram.count() +
+              rep.summary.count()
+            finally rep.release()
+          }
+        }
+      case other => sys.error(s"unknown mode $other (docs|chains|q74ab|dedupreport)")
     }
     spark.stop()
   }

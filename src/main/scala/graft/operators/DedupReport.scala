@@ -1,0 +1,109 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** One-pass duplicate-cluster resolution + reporting — the operator a real
+  * corpus build runs INSTEAD of executing the q66 pipeline twice (the
+  * declared queries q66/q79 are contractually independent, so the driver
+  * harness re-resolves components for the histogram; together they are the
+  * engine's bench floor, ~11 s of a ~70 s sf0.1 run). [[build]] resolves
+  * components ONCE, persists only the (doc_id, component) assignment — two
+  * longs per document, the smallest artifact the derivations can share —
+  * and derives the keeper map, the cluster-size histogram, and the one-row
+  * dedup-rate summary from that cached frame; every derivation is a
+  * partial-aggregated groupBy over two columns, so at 100 TB the persisted
+  * assignment (or its parquet materialization, see below) is the only
+  * thing that ever holds corpus-order rows.
+  *
+  * Row identity with the declared queries is spec-pinned
+  * (DedupReportSpec): `assignments` ≡ q66's rows, `histogram` ≡ q79's.
+  * Measured saving at sf0.1 is recorded in BASELINE.md.
+  *
+  * 100 TB note: local runs persist MEMORY_AND_DISK; a cluster-scale build
+  * would `assignments.write.parquet(...)` instead — the assignment is the
+  * durable artifact the dedup stage hands every downstream consumer
+  * (keeper filter, reporting, incremental probes) and it replays for free.
+  * The derivations are identical either way.
+  */
+object DedupReport {
+
+  /** The resolved artifacts. `assignments` stays persisted until
+    * [[Report.release]] — callers that materialize it elsewhere should
+    * release promptly. */
+  final case class Report(assignments: DataFrame, keepers: DataFrame,
+      histogram: DataFrame, summary: DataFrame) {
+    def release(): Unit = assignments.unpersist()
+  }
+
+  /** Cluster resolution over a `documents`-shaped frame
+    * (doc_id, source, text, …): token-Jaccard ≥ `tau` within a `source`
+    * block, transitively closed — exactly the q66 pipeline, exposed as a
+    * reusable operator.
+    *
+    * Staged physical design (results provably identical to the naive pair
+    * join the q66 oracle runs): documents with the same bag-of-words
+    * fingerprint have IDENTICAL token sets — in the pair graph every
+    * (source, fingerprint) group is a clique whose members all have the
+    * same Jaccard to any outside doc as the group's min-doc_id
+    * representative. So groups collapse to representatives BEFORE the
+    * quadratic pair join AND before the component iteration; members
+    * inherit their rep's label with one join at the end. NULL-text docs
+    * stay singletons via a per-doc group key (the shared md5('')
+    * fingerprint would glue them into one bogus clique). */
+  def assignComponents(s: SparkSession, documents: DataFrame,
+      tau: Double = 0.8): DataFrame = {
+    val grpW = Window.partitionBy(col("source"),
+      coalesce(when(col("text").isNotNull, TextFunctions.fingerprint(col("text"))),
+        concat(lit("\tnull:"), col("doc_id"))))
+    // the persisted projection keeps token sets for REPRESENTATIVES only —
+    // members carry just (doc_id, rep), so the cached footprint shrinks
+    // with the dup rate instead of pinning the full corpus text
+    val docs = documents
+      .select(col("doc_id"), col("source"), col("text"),
+        min(col("doc_id")).over(grpW).as("rep"))
+      .select(col("doc_id"), col("source"), col("rep"),
+        when(col("doc_id") === col("rep") && col("text").isNotNull,
+          TextFunctions.tokenSet(col("text"))).as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    RunScopedCache.releaseAfterRun(s, docs)
+    val repDocs = docs.filter(col("doc_id") === col("rep") && col("w").isNotNull)
+      .select(col("doc_id").as("id"), col("source").as("block"), col("w"))
+    val repPairs = SimilarityJoin.postingsCount(repDocs, tau)
+      .select(col("a_id").as("a"), col("b_id").as("b"))
+    // components run on the REPRESENTATIVE graph only; the rep-graph label
+    // (min rep id) IS the cluster's min doc_id because each group's
+    // minimum member is its rep
+    val comp = ConnectedComponents.run(repPairs)
+    docs.select(col("doc_id"), col("rep"))
+      .join(comp, col("rep") === col("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("rep")).as("component"))
+  }
+
+  /** Resolve once, derive everything. The assignment is materialized
+    * eagerly (the one heavy job); keepers/histogram/summary are cheap
+    * scans of the cached two-column frame. */
+  def build(s: SparkSession, documents: DataFrame,
+      tau: Double = 0.8): Report = {
+    val assignments = assignComponents(s, documents, tau)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    assignments.count() // materialize: every derivation below reads cache
+    val keepers = assignments
+      .withColumn("keep", col("doc_id") === col("component"))
+    val histogram = assignments
+      .groupBy("component").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+    val summary = assignments.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("component")).as("n_clusters"))
+      .select(col("n_docs"), col("n_clusters"),
+        (col("n_docs") - col("n_clusters")).as("n_duplicates"),
+        ((col("n_docs") - col("n_clusters")).cast("double") /
+          col("n_docs")).as("dedup_rate"))
+    Report(assignments, keepers, histogram, summary)
+  }
+}
