@@ -22,6 +22,7 @@ object SparkEntry {
     DedupQueries,
     EtlQueries,
     MlQueries,
+    MediaQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

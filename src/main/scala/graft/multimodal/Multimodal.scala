@@ -214,7 +214,7 @@ object Multimodal {
     * media_id = xxhash64(path): deterministic and stable across re-ingests
     * of the same lake layout. */
   def readMediaDir(spark: SparkSession, dir: String,
-                   glob: String = "*"): DataFrame = {
+                   glob: String = "*", keepPath: Boolean = false): DataFrame = {
     val ext = lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1))
     // image extensions = the codec-dispatch source of truth plus formats
     // that are images but not JDK-decodable (stay images, take FakeCodec)
@@ -226,20 +226,25 @@ object Multimodal {
       .when(ext.isin(audioExts: _*), "audio")
       .when(ext.isin("mp4", "mkv", "webm", "avi"), "video")
       .otherwise("binary")
+    val cols = Seq(
+      xxhash64(col("path")).as("media_id"),
+      modality.as("modality"),
+      col("content").as("bytes"),
+      struct(
+        ext.as("format"),
+        lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"),
+        lit(null).cast("int").as("sample_rate"),
+        lit(null).cast("int").as("n_frames"),
+        lit(null).cast("long").as("duration_ms")).as("meta")) ++
+      // lineage column for consumers that need the source file back
+      // (e.g. the oracle's cross-engine file key); off by default so the
+      // media schema stays fixed for existing dispatch code
+      (if (keepPath) Seq(col("path")) else Nil)
     spark.read.format("binaryFile")
       .option("pathGlobFilter", glob)
       .load(dir)
-      .select(
-        xxhash64(col("path")).as("media_id"),
-        modality.as("modality"),
-        col("content").as("bytes"),
-        struct(
-          ext.as("format"),
-          lit(null).cast("int").as("width"),
-          lit(null).cast("int").as("height"),
-          lit(null).cast("int").as("sample_rate"),
-          lit(null).cast("int").as("n_frames"),
-          lit(null).cast("long").as("duration_ms")).as("meta"))
+      .select(cols: _*)
   }
 
   /** Deterministic synthetic media table (for tests/demos): bytes derived
