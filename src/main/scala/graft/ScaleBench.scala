@@ -68,6 +68,43 @@ object ScaleBench {
       .withColumn("n_chars", length(col("text")).cast("long"))
   }
 
+  /** embeddings-shaped synthetic table: 64-dim float vectors, label count
+    * ∝ n (sf0.1 shape: ~200 vectors per label), ~30% of vectors in
+    * near-dup clusters of ≤ 4 — a leader vector plus small per-member
+    * jitter, so the ANN-dedup pipeline has real edges to find and every
+    * vector's true nearest neighbors are its cluster mates. Deterministic
+    * via xxhash64, like [[synthDocs]]. Labels key on the cluster leader so
+    * members share the label/cell blocking key. */
+  def synthEmbeddings(spark: SparkSession, n: Long): DataFrame = {
+    val labels = math.max(10L, n / 200)
+    spark.range(0, n)
+      .select(col("id").as("vec_id"),
+        when(pmod(xxhash64(col("id")), lit(10)) < 3,
+          (col("id").cast("long") / 4).cast("long") * 4)
+          .otherwise(col("id")).as("gid"))
+      .select(col("vec_id"),
+        expr("""transform(sequence(0, 63), i ->
+          |  CAST(CAST(pmod(xxhash64(gid, i), 1000) AS DOUBLE) / 1000.0 - 0.5
+          |    + CASE WHEN vec_id <> gid
+          |        THEN CAST(pmod(xxhash64(vec_id, i), 1000) AS DOUBLE) / 50000.0
+          |        ELSE 0.0 END AS FLOAT))""".stripMargin).as("embedding"),
+        pmod(xxhash64(col("gid")), lit(labels)).cast("int").as("label"))
+  }
+
+  /** Sum of `numFiles` over every file scan in the EXECUTED (AQE-final)
+    * plan — the measured form of the PartitionFilters pruning claim. */
+  private def filesRead(df: DataFrame): Long = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Seq[Long] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case s: FileSourceScanExec => Seq(s.metrics("numFiles").value)
+      case o => (o.children ++ o.subqueries).flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan).sum
+  }
+
   /** Task-level shuffle/skew accounting for everything run inside `body`. */
   private final class TaskStats extends SparkListener {
     @volatile var shuffleBytes = 0L
@@ -172,6 +209,114 @@ object ScaleBench {
           measured(spark, s"q74_tiled8_r$r", 10)(
             SimilarityJoin.overlapBlockedTiled(docs, 0.95, chunks = 8).count())
         }
+      case "ann" =>
+        // the ANN/similarity-search family at 1×/3×/10× the sf0.1 vector
+        // count: wall+shuffle+max-task for the three pipeline shapes
+        // (q43 LSH top-k probe, q70 ANN dedup, q51/IvfStorage build+probe),
+        // measured recall@10 vs the exact top-k over 20 spread queries,
+        // and a files-read proof of the IVF probe's partition pruning
+        import graft.functions.VectorFunctions.{cosineNative, lshSigNative}
+        import graft.operators.{IvfStorage, VectorQueries, ConnectedComponents}
+        import org.apache.spark.sql.expressions.Window
+        val baseN = 2000L // sf0.1's embeddings row count
+        val nq = 20
+        Seq(1, 3, 10).foreach { m =>
+          val n = baseN * m
+          val dir = s"/tmp/graft-scale/ann-m$m"
+          synthEmbeddings(spark, n).write.mode("overwrite")
+            .parquet(s"$dir/embeddings.parquet")
+          val e = spark.read.parquet(s"$dir/embeddings.parquet")
+          val step = n / nq
+          val queries = e.filter(pmod(col("vec_id"), lit(step)) === 0)
+            .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+          val qSig = queries.withColumn("q_sig", lshSigNative(col("q_emb")))
+          def topk(cands: DataFrame): DataFrame = {
+            val w = Window.partitionBy("q_id")
+              .orderBy(col("cos").desc_nulls_last, col("vec_id"))
+            cands.withColumn("rn", row_number().over(w))
+              .filter(col("rn") <= 10).select("q_id", "vec_id")
+          }
+          val exactTop = topk(e.crossJoin(broadcast(queries))
+            .select(col("q_id"), col("vec_id"),
+              cosineNative(col("embedding"), col("q_emb")).as("cos")))
+          val lshTop = topk(
+            e.withColumn("sig", lshSigNative(col("embedding")))
+              .crossJoin(broadcast(qSig))
+              .filter(expr("bit_count(sig ^ q_sig) <= 2"))
+              .select(col("q_id"), col("vec_id"),
+                cosineNative(col("embedding"), col("q_emb")).as("cos")))
+          val cents = IvfStorage.labelCentroids(e)
+          measured(spark, "ann_exact_topk", m)(exactTop.count())
+          measured(spark, "ann_lsh_topk", m)(lshTop.count())
+          measured(spark, "ann_dedup_q70", m)(
+            ConnectedComponents.run(
+              VectorQueries.annCosinePairs(e, 0.35)).count())
+          measured(spark, "ivf_build", m) {
+            IvfStorage.writeCellPartitioned(e, cents, s"$dir/ivf")
+            spark.read.parquet(s"$dir/ivf").count()
+          }
+          // IVF probe per query: nProbe=2 nearest cells, exact re-rank
+          val qCells = cents.crossJoin(broadcast(queries))
+            .withColumn("rn", row_number().over(Window.partitionBy("q_id")
+              .orderBy(cosineNative(col("centroid"), col("q_emb"))
+                .desc_nulls_last, col("cent_id"))))
+            .filter(col("rn") <= 2).select("q_id", "q_emb", "cent_id")
+          val ivfTop = topk(spark.read.parquet(s"$dir/ivf")
+            .join(broadcast(qCells), "cent_id")
+            .select(col("q_id"), col("vec_id"),
+              cosineNative(col("embedding"), col("q_emb")).as("cos")))
+          measured(spark, "ivf_probe_batch", m)(ivfTop.count())
+          // recall@10 vs exact, averaged over the query set
+          def sets(df: DataFrame): Map[Long, Set[Long]] =
+            df.collect().groupBy(_.getLong(0))
+              .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+          val ex = sets(exactTop)
+          def recall(got: Map[Long, Set[Long]]): Double =
+            ex.map { case (q, want) =>
+              got.getOrElse(q, Set.empty).intersect(want).size.toDouble / want.size
+            }.sum / ex.size
+          val lshR = recall(sets(lshTop))
+          val ivfR = recall(sets(ivfTop))
+          // parameter-scaling sweep: how fast recall recovers as nProbe
+          // grows with the cell count, and what one more Hamming unit of
+          // probe radius buys — the measured basis for the scaling rules
+          // in IvfStorage's / annCosinePairs' docs
+          def ivfRecallAt(nProbe: Int): Double = {
+            val qc = cents.crossJoin(broadcast(queries))
+              .withColumn("rn", row_number().over(Window.partitionBy("q_id")
+                .orderBy(cosineNative(col("centroid"), col("q_emb"))
+                  .desc_nulls_last, col("cent_id"))))
+              .filter(col("rn") <= nProbe).select("q_id", "q_emb", "cent_id")
+            recall(sets(topk(spark.read.parquet(s"$dir/ivf")
+              .join(broadcast(qc), "cent_id")
+              .select(col("q_id"), col("vec_id"),
+                cosineNative(col("embedding"), col("q_emb")).as("cos")))))
+          }
+          val lshR3 = recall(sets(topk(
+            e.withColumn("sig", lshSigNative(col("embedding")))
+              .crossJoin(broadcast(qSig))
+              .filter(expr("bit_count(sig ^ q_sig) <= 3"))
+              .select(col("q_id"), col("vec_id"),
+                cosineNative(col("embedding"), col("q_emb")).as("cos")))))
+          val sweep = Seq(4, 8, 16).map(p => s""""ivf_recall_p$p":${ivfRecallAt(p)}""")
+            .mkString(",")
+          // single-query IvfStorage.probe: the pruning proof, measured
+          val qVec = e.filter(col("vec_id") === 0)
+            .select("embedding").head().getSeq[Float](0).toArray
+          val probe = IvfStorage.probe(spark, s"$dir/ivf", cents, qVec,
+            nProbe = 2, k = 10)
+          probe.collect()
+          val read = filesRead(probe)
+          val total = new java.io.File(s"$dir/ivf").listFiles()
+            .filter(_.isDirectory).map(_.listFiles()
+              .count(f => f.getName.endsWith(".parquet"))).sum
+          val nCells = cents.count()
+          println(s"""{"bench":"ann_recall","mult":$m,"n":$n,""" +
+            s""""queries":${ex.size},"lsh_recall":$lshR,"lsh_recall_r3":$lshR3,""" +
+            s""""ivf_recall":$ivfR,$sweep,""" +
+            s""""cells":$nCells,"nprobe":2,""" +
+            s""""probe_files_read":$read,"files_total":$total}""")
+        }
       case "dedupreport" =>
         // one-pass DedupReport vs the contract-mandated independent
         // q66 + q79 re-run, interleaved A/B (CLAUDE.md: never conclude
@@ -189,7 +334,7 @@ object ScaleBench {
             finally rep.release()
           }
         }
-      case other => sys.error(s"unknown mode $other (docs|chains|q74ab|dedupreport)")
+      case other => sys.error(s"unknown mode $other (docs|chains|q74ab|dedupreport|ann)")
     }
     spark.stop()
   }

@@ -19,6 +19,17 @@ import org.apache.spark.sql.functions._
   * smallest cent_id (the fold scans cent_id-ascending and replaces only on
   * strictly greater similarity), probe ties likewise — same contract as
   * q51, so results are reproducible across partitionings.
+  *
+  * '''nProbe scaling rule (measured, `ScaleBench ann`, BASELINE.md):'''
+  * recall@10 tracks the probed FRACTION of cells, not the absolute
+  * `nProbe` — at 10 cells nProbe=2 (20%) gives 0.50 recall, at 100 cells
+  * the same nProbe=2 (2%) gives 0.365 and it takes nProbe=16 (16%) to
+  * return to 0.67. When the quantizer grows with the corpus (cells ∝ n,
+  * constant cell size — the layout that keeps per-cell files bounded),
+  * hold `nProbe / nCells` roughly constant for constant recall; finer
+  * quantizers are slightly MORE efficient per fraction probed (100 cells
+  * @16% ≈ 30 cells @27%), so growing both is strictly better than
+  * freezing either. A fixed nProbe is NOT scale-stable.
   */
 object IvfStorage {
 
