@@ -34,6 +34,22 @@ object CorpusStream {
   val MinUniqRatio: Double = graft.operators.CorpusOps.MinUniqRatio
   val MaxDup2gramFrac: Double = graft.operators.CorpusOps.MaxDup2gramFrac
 
+  /** Apply an event-time watermark unless the (streaming) frame already
+    * carries one — stages compose (clean → dedupAgainstCorpus → …) inside
+    * ONE query, and Spark disallows redefining a watermark mid-plan; the
+    * upstream stage's horizon then governs the whole pipeline. Batch
+    * frames pass through (watermarks are streaming-only). */
+  private def watermarkedOnce(df: DataFrame, eventTimeCol: String,
+      delay: String): DataFrame =
+    if (!df.isStreaming) df
+    else {
+      import org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark
+      val already = df.queryExecution.analyzed.collectFirst {
+        case e: EventTimeWatermark => e
+      }.isDefined
+      if (already) df else df.withWatermark(eventTimeCol, delay)
+    }
+
   private def dup2gramFrac(toks: Column): Column = {
     val g2 = call_function("word_shingles", toks, lit(2))
     when(size(g2) === 0, 0.0)
@@ -62,9 +78,8 @@ object CorpusStream {
     * input does not already carry one). */
   def dedupExactWithinWatermark(docs: DataFrame, eventTimeCol: String,
       delay: String): DataFrame = {
-    val keyed =
-      (if (docs.isStreaming) docs.withWatermark(eventTimeCol, delay) else docs)
-        .withColumn("content_h", md5(lower(trim(col("text")))))
+    val keyed = watermarkedOnce(docs, eventTimeCol, delay)
+      .withColumn("content_h", md5(lower(trim(col("text")))))
     // dropDuplicatesWithinWatermark throws on a batch frame — a backfill
     // caller gets plain dropDuplicates (whole input present, no horizon)
     val deduped =
@@ -107,8 +122,7 @@ object CorpusStream {
       eventTimeCol: String, delay: String): DataFrame = {
     val keyed = docs
       .withColumn("fp", TextFunctions.fingerprint(col("text")))
-    val fresh = (if (keyed.isStreaming) keyed.withWatermark(eventTimeCol, delay)
-      else keyed)
+    val fresh = watermarkedOnce(keyed, eventTimeCol, delay)
       .join(index.select("fp").distinct(), Seq("fp"), "left_anti")
     // dropDuplicatesWithinWatermark is streaming-ONLY (AnalysisException on
     // a batch frame) — a batch caller (backfill) gets plain dropDuplicates:
@@ -191,9 +205,7 @@ object CorpusStream {
       .filter(col("text").isNotNull)
       .select(col("*"), explode_outer(shingles(col("text"))).as("_graft_sh"))
     val flagged = exploded.join(block, Seq("_graft_sh"), "left_outer")
-    val watermarked =
-      if (flagged.isStreaming) flagged.withWatermark(eventTimeCol, delay)
-      else flagged
+    val watermarked = watermarkedOnce(flagged, eventTimeCol, delay)
     watermarked
       .groupBy(docCols.map(col): _*)
       .agg(max(col("_graft_hit")).as("_graft_dirty"))

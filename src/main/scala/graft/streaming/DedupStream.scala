@@ -24,6 +24,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * (band_idx, band_hash) bucket — linear in corpus bands, constant per
   * document, and RocksDB-backed via the usual state-store provider conf for
   * corpora whose band universe exceeds executor heap.
+  *
+  * Recall vs the batch pipeline (spec-pinned, StreamingDedupSpec "recall
+  * under drift"): state uses NoTimeout, so buckets never expire and a
+  * duplicate is flagged no matter how many micro-batches separate it from
+  * its representative — streaming flags are SOUND (every flagged pair
+  * shares a batch band bucket) and component-COMPLETE (every batch LSH
+  * candidate pair is connected through the streaming star flags).
+  * Unbounded retention is the price; a deployment that instead bounds
+  * state with a TTL/watermark horizon re-introduces the
+  * [[CorpusStream.dedupExactWithinWatermark]] trade — dups farther apart
+  * than the horizon are missed and the nightly batch sweep (q41) remains
+  * the backstop.
   */
 object DedupStream {
 

@@ -49,6 +49,83 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("recall under drift: streaming flags are sound vs the batch LSH buckets and component-complete over 4 arrival batches") {
+    import graft.Tables
+    import org.apache.spark.sql.functions._
+    implicit val sc = spark.sqlContext
+    // the corpus, split into 4 deterministic arrival batches — the drift
+    // scenario: duplicates of early documents keep arriving later
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .filter(col("text").isNotNull)
+      .as[(Long, String)].collect().sortBy(_._1)
+    // batch ground truth: the SAME shingle→minhash→band kernel as
+    // nearDupCandidates (k=3 shingles, 16 hashes, band size 4), bucket
+    // co-membership pairs with no star reduction or cap
+    val banded = Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        call_function("word_shingles",
+          graft.functions.TextFunctions.tokens(col("text")), lit(3)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"),
+        posexplode(call_function("minhash_bands", col("sh"), lit(16), lit(4)))
+          .as(Seq("band_idx", "band_hash")))
+      .as[(Long, Int, Long)].collect()
+    val coBucket: Set[(Long, Long)] = banded
+      .groupBy(r => (r._2, r._3)).values
+      .flatMap { rows =>
+        val ids = rows.map(_._1).distinct.sorted.toSeq
+        for (a <- ids; b <- ids if a < b) yield (a, b)
+      }.toSet
+    assert(coBucket.nonEmpty, "fixture must produce LSH candidates")
+
+    val mem = MemoryStream[(Long, String)]
+    val out = DedupStream.nearDupCandidates(mem.toDS().toDF("doc_id", "text"))
+    val q = out.writeStream.format("memory").queryName("sdedup_drift")
+      .outputMode("append").start()
+    val flags =
+      try {
+        docs.grouped(math.max(1, docs.length / 4 + 1)).foreach { batch =>
+          mem.addData(batch.toIndexedSeq: _*)
+          q.processAllAvailable()
+        }
+        spark.table("sdedup_drift").select("doc_id", "dup_of").distinct()
+          .as[(Long, Long)].collect().toSet
+      } finally q.stop()
+
+    // soundness: every streaming flag pair really shares a band bucket
+    flags.foreach { case (d, rep) =>
+      val p = (math.min(d, rep), math.max(d, rep))
+      assert(coBucket.contains(p), s"flagged pair $p shares no batch bucket")
+    }
+    // component recall = 1.0: NoTimeout state never expires, so every
+    // batch candidate pair must be connected through the streaming star
+    // flags (a bucket's non-first docs all flag against its first-seen
+    // representative, whichever arrival batch they came in)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    def union(a: Long, b: Long): Unit = { parent(find(a)) = find(b) }
+    flags.foreach { case (d, rep) => union(d, rep) }
+    val missed = coBucket.filterNot { case (a, b) => find(a) == find(b) }
+    assert(missed.isEmpty,
+      s"${missed.size} batch candidate pairs not connected by streaming flags: ${missed.take(3)}")
+    // star shape: with sorted arrival every bucket's first-seen doc is its
+    // min id, so a component's min-id doc is a representative everywhere
+    // it appears and is never flagged (a component can hold SEVERAL
+    // unflagged bucket-minima bridged by a shared member — only the
+    // global min is guaranteed)
+    val flaggedDocs = flags.map(_._1)
+    val compDocs = coBucket.flatMap(p => Seq(p._1, p._2))
+    compDocs.groupBy(find).foreach { case (_, members) =>
+      assert(!flaggedDocs.contains(members.min),
+        "a component's first-arrived (min-id) doc is never flagged")
+    }
+  }
+
   test("representatives persist in state: a bucket's first doc wins forever") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
