@@ -56,6 +56,21 @@ object DedupReport {
     * fingerprint would glue them into one bogus clique). */
   def assignComponents(s: SparkSession, documents: DataFrame,
       tau: Double = 0.8): DataFrame = {
+    val (out, cachedDocs) = assignComponentsImpl(s, documents, tau)
+    // run-scoped: the first action reading the projection releases it
+    RunScopedCache.releaseAfterRun(s, cachedDocs)
+    out
+  }
+
+  /** The pipeline plus its internal cached projection. [[build]] needs the
+    * cache handle explicitly: it persists the RESULT on top, so an action's
+    * plan surfaces only the outer InMemoryRelation — RunScopedCache's
+    * listener (which matches cache plans appearing in the executed query)
+    * would never see the inner one and the projection would stay pinned
+    * forever (exactly the leak DedupBucketCapSpec's cache-drain polls
+    * caught in round 10). */
+  private def assignComponentsImpl(s: SparkSession, documents: DataFrame,
+      tau: Double): (DataFrame, DataFrame) = {
     val grpW = Window.partitionBy(col("source"),
       coalesce(when(col("text").isNotNull, TextFunctions.fingerprint(col("text"))),
         concat(lit("\tnull:"), col("doc_id"))))
@@ -69,7 +84,6 @@ object DedupReport {
         when(col("doc_id") === col("rep") && col("text").isNotNull,
           TextFunctions.tokenSet(col("text"))).as("w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    RunScopedCache.releaseAfterRun(s, docs)
     val repDocs = docs.filter(col("doc_id") === col("rep") && col("w").isNotNull)
       .select(col("doc_id").as("id"), col("source").as("block"), col("w"))
     val repPairs = SimilarityJoin.postingsCount(repDocs, tau)
@@ -78,10 +92,11 @@ object DedupReport {
     // (min rep id) IS the cluster's min doc_id because each group's
     // minimum member is its rep
     val comp = ConnectedComponents.run(repPairs)
-    docs.select(col("doc_id"), col("rep"))
+    val out = docs.select(col("doc_id"), col("rep"))
       .join(comp, col("rep") === col("node"), "left")
       .select(col("doc_id"),
         coalesce(col("component"), col("rep")).as("component"))
+    (out, docs)
   }
 
   /** Resolve once, derive everything. The assignment is materialized
@@ -89,9 +104,10 @@ object DedupReport {
     * scans of the cached two-column frame. */
   def build(s: SparkSession, documents: DataFrame,
       tau: Double = 0.8): Report = {
-    val assignments = assignComponents(s, documents, tau)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    assignments.count() // materialize: every derivation below reads cache
+    val (resolved, cachedDocs) = assignComponentsImpl(s, documents, tau)
+    val assignments = resolved.persist(StorageLevel.MEMORY_AND_DISK)
+    try assignments.count() // materialize: derivations below read cache
+    finally cachedDocs.unpersist() // see assignComponentsImpl's doc
     val keepers = assignments
       .withColumn("keep", col("doc_id") === col("component"))
     val histogram = assignments
