@@ -26,6 +26,21 @@ object AnnStorage {
       .repartition(col("sig")) // one writer per bucket — no tiny-file spray
       .write.mode("overwrite").partitionBy("sig").parquet(dir)
 
+  /** Incremental maintenance: append an arriving batch into the existing
+    * bucket layout. The signature is a PURE function of the vector, so an
+    * appended lake holds exactly the rows a full rewrite of the union
+    * would — probes are row-identical (spec-pinned) and stay pruned; no
+    * rebuild is ever required for correctness. The operational cost is
+    * small-file accumulation (one file per touched bucket per batch),
+    * which is the standard lake-maintenance problem, solved by the
+    * standard tool: periodic [[graft.etl.LakeCompaction.compact]] over the
+    * bucket dirs (probe-identical after compaction — also spec-pinned). */
+  def appendSigBucketed(embeddings: DataFrame, dir: String): Unit =
+    embeddings
+      .withColumn("sig", lshSigNative(col("embedding")))
+      .repartition(col("sig"))
+      .write.mode("append").partitionBy("sig").parquet(dir)
+
   /** All 6-bit signatures within Hamming distance `radius` of `sig`. */
   def hammingBall(sig: Int, radius: Int): Seq[Int] =
     (0 until 64).filter(b => Integer.bitCount(b ^ sig) <= radius)

@@ -71,6 +71,41 @@ object IvfStorage {
       .repartition(col("cent_id")) // one writer per cell — no tiny-file spray
       .write.mode("overwrite").partitionBy("cent_id").parquet(dir)
 
+  /** Incremental maintenance: append an arriving batch into the existing
+    * cell layout, assigned with the FROZEN centroid table. Assignment is
+    * deterministic given the centroids, so the appended lake is
+    * row-identical to a full rewrite of the union under the SAME centroids
+    * (spec-pinned) and probes stay partition-pruned — no rebuild needed
+    * for correctness. Unlike [[AnnStorage]]'s signature, the quantizer is
+    * FIT to data: as the corpus drifts away from the centroids the cells
+    * degrade (hot cells grow, assignment similarity drops) and recall at a
+    * given nProbe decays. That is a monitored, planned event, not a
+    * correctness bug: watch [[driftReport]], and when occupancy skew or
+    * mean assignment similarity crosses the deployment's line, refit
+    * centroids and run the one-time [[writeCellPartitioned]] rewrite. */
+  def appendCellPartitioned(embeddings: DataFrame, centroids: DataFrame,
+      dir: String): Unit =
+    assignCells(embeddings, centroids)
+      .repartition(col("cent_id"))
+      .write.mode("append").partitionBy("cent_id").parquet(dir)
+
+  /** Quantizer-health report over the CURRENT lake: per cell, occupancy
+    * and the mean/min cosine between members and their centroid — the two
+    * signals (skew, assignment quality) that decide when the incremental
+    * append path has drifted far enough to warrant a centroid refit +
+    * rewrite. One pruned-free full scan + broadcast join + partial agg;
+    * run it at maintenance cadence, not per query. */
+  def driftReport(spark: SparkSession, dir: String,
+      centroids: DataFrame): DataFrame =
+    spark.read.parquet(dir)
+      .join(broadcast(centroids), "cent_id")
+      .select(col("cent_id"),
+        cosineNative(col("embedding"), col("centroid")).as("cos"))
+      .groupBy("cent_id")
+      .agg(count(lit(1)).as("n"),
+        avg(col("cos")).as("mean_cos"),
+        min(col("cos")).as("min_cos"))
+
   /** Top-k by exact cosine among the `nProbe` cells nearest the query
     * vector. The IN-list on the partition column is what turns the probe
     * into a pruned scan. */

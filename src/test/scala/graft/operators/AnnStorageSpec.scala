@@ -34,4 +34,44 @@ class AnnStorageSpec extends SparkSpec {
     // 3. the ball is the tiny fraction of buckets it should be
     assert(AnnStorage.hammingBall(0, 2).size == 22) // C(6,0)+C(6,1)+C(6,2)
   }
+
+  test("incremental append ≡ full rewrite; compaction keeps probes identical") {
+    val e = Tables.embeddings(spark, sfDir)
+    val qVec = e.filter(col("vec_id") === 0).select("embedding")
+      .as[Array[Float]].head()
+    def probeIds(dir: String): Seq[Long] = {
+      val p = AnnStorage.probe(spark, dir, qVec, radius = 2, k = 10)
+      val ids = p.collect().map(_.getLong(0)).toSeq
+      val plan = p.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [cast(sig") ||
+        plan.contains("PartitionFilters: [sig"), plan) // pruned every time
+      ids
+    }
+    // full rewrite of the whole corpus = the reference layout
+    val full = tmpDir("ann-full")
+    AnnStorage.writeSigBucketed(e, full)
+    val want = probeIds(full)
+    // base half written once, second half appended in two arriving batches
+    val inc = tmpDir("ann-inc")
+    AnnStorage.writeSigBucketed(e.filter(col("vec_id") % 2 === 0), inc)
+    AnnStorage.appendSigBucketed(
+      e.filter(col("vec_id") % 2 === 1 && col("vec_id") < 250), inc)
+    AnnStorage.appendSigBucketed(
+      e.filter(col("vec_id") % 2 === 1 && col("vec_id") >= 250), inc)
+    assert(probeIds(inc) == want, "append path must equal the full rewrite")
+    // maintenance: compact the accumulated per-batch files — probe
+    // unchanged, file count strictly down
+    def files(dir: String): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith(".")) 1 else 0
+      walk(new java.io.File(dir))
+    }
+    val before = files(inc)
+    val report = graft.etl.LakeCompaction.compact(spark, inc, 512L * 1024)
+    assert(report.binsRewritten >= 1, s"nothing compacted: $report")
+    assert(files(inc) < before, s"$before -> ${files(inc)}")
+    assert(probeIds(inc) == want, "compaction must not change probe results")
+  }
 }

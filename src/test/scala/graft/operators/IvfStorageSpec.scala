@@ -57,4 +57,50 @@ class IvfStorageSpec extends SparkSpec {
     assert(a1.count() == e.count())
     assert(a1.filter(col("cent_id") < 0).count() == 0, "no vector unassigned")
   }
+
+  test("incremental append under frozen centroids ≡ full rewrite; drift is detectable") {
+    val e = Tables.embeddings(spark, sfDir)
+    // centroids FROZEN from the base half only — the incremental contract
+    val base = e.filter(col("vec_id") % 2 === 0)
+    val cents = IvfStorage.labelCentroids(base)
+    val qVec = e.filter(col("vec_id") === 0).select("embedding")
+      .as[Array[Float]].head()
+    def probeIds(dir: String): Seq[Long] =
+      IvfStorage.probe(spark, dir, cents, qVec, nProbe = 2, k = 10)
+        .select("vec_id").as[Long].collect().toSeq
+    val full = tmpDir("ivf-full")
+    IvfStorage.writeCellPartitioned(e, cents, full)
+    val want = probeIds(full)
+    val inc = tmpDir("ivf-inc")
+    IvfStorage.writeCellPartitioned(base, cents, inc)
+    IvfStorage.appendCellPartitioned(
+      e.filter(col("vec_id") % 2 === 1), cents, inc)
+    assert(probeIds(inc) == want,
+      "appending under the same frozen centroids must equal the full rewrite")
+
+    // drift report: totals add up, quality bounded, and a deliberately
+    // out-of-distribution batch is VISIBLE in the report (mean assignment
+    // similarity drops) — the refit trigger the scaladoc promises
+    val before = IvfStorage.driftReport(spark, inc, cents)
+    val beforeMean = before.agg(
+      (sum(col("mean_cos") * col("n")) / sum(col("n"))).as("m"))
+      .head().getDouble(0)
+    assert(before.agg(sum(col("n"))).head().getLong(0) == e.count())
+    // shifted batch: negate every component — cosine to every centroid
+    // flips sign, assignment quality collapses
+    val shifted = e.filter(col("vec_id") < 100)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        expr("transform(embedding, x -> -x)").as("embedding"),
+        col("label"))
+    IvfStorage.appendCellPartitioned(shifted, cents, inc)
+    val after = IvfStorage.driftReport(spark, inc, cents)
+    val afterMean = after.agg(
+      (sum(col("mean_cos") * col("n")) / sum(col("n"))).as("m"))
+      .head().getDouble(0)
+    assert(afterMean < beforeMean,
+      s"drift must register: mean cos $beforeMean -> $afterMean")
+    // (note: min_cos of a NEGATED vector is not necessarily negative —
+    // argmax assignment picks the least-anticorrelated cell, so the
+    // detectable signal is the quality DROP, not the sign)
+  }
 }
