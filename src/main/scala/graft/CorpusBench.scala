@@ -76,7 +76,12 @@ object CorpusBench {
       }
       val progresses = sq.recentProgress
       val kept = progresses.map(_.sink.numOutputRows).filter(_ > 0).sum
-      val stateRows = progresses.flatMap(_.stateOperators.map(_.numRowsTotal))
+      // both peaks are the max over batches of the SUM across the
+      // pipeline's state operators (content-hash + fingerprint dedup
+      // stores) — summing one and maxing the other would make the
+      // reported rows/bytes pair mutually inconsistent
+      val stateRows = progresses
+        .map(_.stateOperators.map(_.numRowsTotal).sum)
         .foldLeft(0L)(math.max)
       val stateBytes = progresses
         .map(_.stateOperators.map(_.memoryUsedBytes).sum)
@@ -88,11 +93,8 @@ object CorpusBench {
         s""""state_rows_max":$stateRows,"state_bytes_max":$stateBytes}""")
       (sec, kept, stateRows, stateBytes)
     }
-    val sorted = measured.map(_._1).sorted
-    val medianSec = if (runs % 2 == 1) sorted(runs / 2)
-      else (sorted(runs / 2 - 1) + sorted(runs / 2)) / 2
-    val runsJson = measured.map { case (s, _, _, _) => "%.1f".format(s) }
-      .mkString("[", ",", "]")
+    val medianSec = BenchUtil.medianOf(measured.map(_._1))
+    val runsJson = BenchUtil.runsJson(measured.map(_._1))
     println(s"""{"metric":"corpus_throughput","docs":$n,""" +
       s""""gen_sec":${"%.1f".format(genSec)},""" +
       s""""sec":${"%.1f".format(medianSec)},"sec_runs":$runsJson,""" +

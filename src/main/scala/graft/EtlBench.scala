@@ -67,12 +67,10 @@ object EtlBench {
       (etlSec, noop.rowsSeen)
     }
 
-    val sorted = measured.map(_._1).sorted
-    val medianSec = if (runs % 2 == 1) sorted(runs / 2)
-      else (sorted(runs / 2 - 1) + sorted(runs / 2)) / 2
+    val medianSec = BenchUtil.medianOf(measured.map(_._1))
     val parsed = measured.head._2
     val recPerSec = (parsed / medianSec).round
-    val runsJson = measured.map { case (s, _) => "%.1f".format(s) }.mkString("[", ",", "]")
+    val runsJson = BenchUtil.runsJson(measured.map(_._1))
     println(s"""{"metric":"etl_throughput","records":$n,"parsed":$parsed,"gen_sec":${"%.1f".format(genSec)},"etl_sec":${"%.1f".format(medianSec)},"etl_sec_runs":$runsJson,"records_per_sec":$recPerSec,"sinks":${if (withParquet) 2 else 1},"reference_envelope_rec_per_sec":16000}""")
     spark.stop()
   }

@@ -21,9 +21,14 @@ import org.apache.spark.sql.functions._
   * budget — locating the crossover where label propagation's per-round
   * cheapness loses to star's round count.
   *
-  * Usage: `runMain graft.ScaleBench [docs|chains] [out]`. Results are
-  * recorded in BASELINE.md (scaling exponents + crossover), not asserted
-  * here — machine-load swings make hard thresholds flaky (CLAUDE.md).
+  * Usage: `runMain graft.ScaleBench [docs|chains|q74ab|dedupreport|ann]`.
+  * `q74ab` A/Bs the containment-join strategies on the 10× corpus;
+  * `dedupreport` measures the one-pass [[operators.DedupReport]] against
+  * the contract-independent q66+q79 pair; `ann` scales the
+  * ANN/similarity-search family (walls, recall@10 vs exact, IVF
+  * partition-pruning proof). Results are recorded in BASELINE.md
+  * (scaling exponents + crossover), not asserted here — machine-load
+  * swings make hard thresholds flaky (CLAUDE.md).
   */
 object ScaleBench {
 
@@ -255,16 +260,21 @@ object ScaleBench {
             IvfStorage.writeCellPartitioned(e, cents, s"$dir/ivf")
             spark.read.parquet(s"$dir/ivf").count()
           }
-          // IVF probe per query: nProbe=2 nearest cells, exact re-rank
-          val qCells = cents.crossJoin(broadcast(queries))
-            .withColumn("rn", row_number().over(Window.partitionBy("q_id")
-              .orderBy(cosineNative(col("centroid"), col("q_emb"))
-                .desc_nulls_last, col("cent_id"))))
-            .filter(col("rn") <= 2).select("q_id", "q_emb", "cent_id")
-          val ivfTop = topk(spark.read.parquet(s"$dir/ivf")
-            .join(broadcast(qCells), "cent_id")
-            .select(col("q_id"), col("vec_id"),
-              cosineNative(col("embedding"), col("q_emb")).as("cos")))
+          // IVF batch probe: per query, the nProbe nearest cells then an
+          // exact re-rank — ONE definition shared by the measured nProbe=2
+          // probe and the recall sweep below, so they cannot drift
+          def ivfProbeTop(nProbe: Int): DataFrame = {
+            val qc = cents.crossJoin(broadcast(queries))
+              .withColumn("rn", row_number().over(Window.partitionBy("q_id")
+                .orderBy(cosineNative(col("centroid"), col("q_emb"))
+                  .desc_nulls_last, col("cent_id"))))
+              .filter(col("rn") <= nProbe).select("q_id", "q_emb", "cent_id")
+            topk(spark.read.parquet(s"$dir/ivf")
+              .join(broadcast(qc), "cent_id")
+              .select(col("q_id"), col("vec_id"),
+                cosineNative(col("embedding"), col("q_emb")).as("cos")))
+          }
+          val ivfTop = ivfProbeTop(2)
           measured(spark, "ivf_probe_batch", m)(ivfTop.count())
           // recall@10 vs exact, averaged over the query set
           def sets(df: DataFrame): Map[Long, Set[Long]] =
@@ -281,17 +291,8 @@ object ScaleBench {
           // grows with the cell count, and what one more Hamming unit of
           // probe radius buys — the measured basis for the scaling rules
           // in IvfStorage's / annCosinePairs' docs
-          def ivfRecallAt(nProbe: Int): Double = {
-            val qc = cents.crossJoin(broadcast(queries))
-              .withColumn("rn", row_number().over(Window.partitionBy("q_id")
-                .orderBy(cosineNative(col("centroid"), col("q_emb"))
-                  .desc_nulls_last, col("cent_id"))))
-              .filter(col("rn") <= nProbe).select("q_id", "q_emb", "cent_id")
-            recall(sets(topk(spark.read.parquet(s"$dir/ivf")
-              .join(broadcast(qc), "cent_id")
-              .select(col("q_id"), col("vec_id"),
-                cosineNative(col("embedding"), col("q_emb")).as("cos")))))
-          }
+          def ivfRecallAt(nProbe: Int): Double =
+            recall(sets(ivfProbeTop(nProbe)))
           val lshR3 = recall(sets(topk(
             e.withColumn("sig", lshSigNative(col("embedding")))
               .crossJoin(broadcast(qSig))

@@ -182,15 +182,18 @@ object LakeCompaction {
     }
   }
 
-  /** Same-JVM enforcement of the quiescence contract: refuse to mutate a
-    * manifested lake while any ACTIVE streaming query in this session is
-    * writing to it. A file-sink query's sink renders as `FileSink[<path>]`
-    * (`FileStreamSink.toString`, the v1 `Sink` IS the connector `Table`
-    * `StreamExecution.sink` returns), so the check is a string match on
-    * the qualified path — no progress events needed, which matters because
-    * `lastProgress` is null before a query's first batch completes.
-    * Writers in OTHER JVMs are undetectable from here; that residual risk
-    * is what the caller's `allowManifested = true` attests to. */
+  /** Best-effort enforcement of the quiescence contract: refuse to mutate
+    * a manifested lake while any ACTIVE streaming query in the CALLING
+    * SESSION is writing to it. A file-sink query's sink renders as
+    * `FileSink[<path>]` (`FileStreamSink.toString`, the v1 `Sink` IS the
+    * connector `Table` `StreamExecution.sink` returns), so the check is a
+    * string match on the qualified path — no progress events needed, which
+    * matters because `lastProgress` is null before a query's first batch
+    * completes. Scope is exactly `spark.streams.active`: queries started
+    * from OTHER SparkSessions of the same context (`spark.newSession()`)
+    * or from other JVMs are invisible here (Spark exposes no
+    * cross-session query registry) — THOSE are what the caller's
+    * `allowManifested = true` attests to having stopped. */
   private def assertNoActiveWriter(spark: SparkSession, fs: FileSystem,
       manifestRoot: Path): Unit = {
     import org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper
@@ -205,8 +208,8 @@ object LakeCompaction {
         val sinkPath = fs.makeQualified(new Path(m.group(1)))
         require(sinkPath != target,
           s"streaming query ${q.id} (${Option(q.name).getOrElse("unnamed")}) " +
-          s"is actively writing to $target — stop it before " +
-          "compacting/vacuuming a manifested lake")
+          s"in this session is actively writing to $target — stop it " +
+          "before compacting/vacuuming a manifested lake")
       }
     }
   }

@@ -106,7 +106,11 @@ object DedupReport {
       tau: Double = 0.8): Report = {
     val (resolved, cachedDocs) = assignComponentsImpl(s, documents, tau)
     val assignments = resolved.persist(StorageLevel.MEMORY_AND_DISK)
+    // on a failed materialization no Report (hence no release handle) is
+    // ever returned — drop the just-persisted frame too, or a session
+    // retrying builds accumulates dead pinned caches
     try assignments.count() // materialize: derivations below read cache
+    catch { case t: Throwable => assignments.unpersist(); throw t }
     finally cachedDocs.unpersist() // see assignComponentsImpl's doc
     val keepers = assignments
       .withColumn("keep", col("doc_id") === col("component"))

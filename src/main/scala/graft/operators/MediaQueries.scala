@@ -21,8 +21,16 @@ import org.apache.spark.sql.functions._
   */
 object MediaQueries extends QueryGroup {
 
-  /** Committed fixture (deterministic bytes, no timestamps — safe to hash). */
-  val fixtureDir = "/root/repo/fixtures/media"
+  /** Committed fixture (deterministic bytes, no timestamps — safe to hash).
+    * The Spark side prefers the checkout-relative copy so tests run from
+    * any clone/worktree; the driver-contract absolute path is the
+    * fallback AND the only form the static oracle SQL can use — a clone
+    * elsewhere with a MODIFIED fixture diverges from the oracle's read
+    * and fails the hash check, which is the correct outcome. */
+  val fixtureDir: String = {
+    val local = new java.io.File("fixtures/media")
+    if (local.isDirectory) local.getAbsolutePath else "/root/repo/fixtures/media"
+  }
 
   private val q98: Q = (s, _) =>
     Multimodal.readMediaDir(s, fixtureDir, keepPath = true)
