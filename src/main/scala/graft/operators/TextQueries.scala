@@ -274,6 +274,28 @@ object TextQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** Q99: BPE merge-pair counting — the inner loop of byte-pair-encoding
+    * tokenizer training: adjacent character-pair frequencies over the
+    * corpus, weighted by word frequency; the most frequent pair (row 1)
+    * is the next merge. Scale shape is the standard tokenizer-training
+    * trick: collapse to DISTINCT words first (one partial-agg groupBy —
+    * Heaps' law makes the distinct-word relation sublinear in the
+    * corpus), then expand each distinct word's len−1 character pairs and
+    * weight by its frequency — the per-occurrence explosion never
+    * materializes. Top-50 by (count, pair) is a total order. */
+  private val q99: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) >= 2) // 1-char words have no pairs; also
+                                       // keeps ANSI sequence() ascending
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(sum(col("freq")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(50)
+
   val queries: Seq[(String, Q)] = Seq(
     "q33_text_topwords" -> q33,
     "q34_text_docstats" -> q34,
@@ -290,6 +312,7 @@ object TextQueries extends QueryGroup {
     "q93_boilerplate_ngrams" -> q93,
     "q94_vocab_coverage" -> q94,
     "q95_token_familiarity" -> q95,
+    "q99_bpe_pair_counts" -> q99,
   )
 
   val oracles: Map[String, String] = Map(
@@ -459,5 +482,20 @@ object TextQueries extends QueryGroup {
         |        t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT))),
         |    (acc, h) -> (acc * 31 + h) % 1000000007) AS rolling_fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // distinct-word collapse then per-word character pairs, weighted by
+    // word frequency; sum(BIGINT) is HUGEINT in DuckDB → cast back
+    "q99_bpe_pair_counts" ->
+      """WITH tf AS (
+        |  SELECT tok, count(*) AS freq FROM (
+        |    SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+        |  WHERE length(tok) >= 2 GROUP BY tok),
+        |pairs AS (
+        |  SELECT unnest(list_transform(range(1, length(tok)),
+        |    i -> substring(tok, i, 2))) AS pair, freq
+        |  FROM tf)
+        |SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+        |FROM pairs GROUP BY pair
+        |ORDER BY cnt DESC, pair LIMIT 50""".stripMargin,
   )
 }
