@@ -216,13 +216,24 @@ object SimilarityJoin {
     * pair stage — the same "measure, don't guess" trade AQE itself makes.
     * Which strategy ran is visible in the plan (the observe metric's name:
     * sj_pairs_blocked vs sj_pairs_tiled); row identity between the two is
-    * already spec-pinned (SimilarityJoinSpec). */
+    * already spec-pinned (SimilarityJoinSpec).
+    *
+    * Default target CALIBRATED from the round-9 measurement, not guessed:
+    * the 1.6M-pair block task ran ~15.9 s (~100k pairs/s/core for the
+    * intersect kernel), so 250k pairs ≈ a 2–3 s task — small enough that
+    * one block never dominates a stage wall, large enough that tiling's
+    * replication isn't paid for trivial blocks. The driver corpus's ~31k-
+    * pair blocks stay comfortably blocked; the 10× corpus's 1.6M-pair
+    * blocks escalate (with the old 2M default they would NOT have, and
+    * the measured 15.9 s straggler would be back). */
   def overlapAdaptive(docs: DataFrame, tau: Double,
-      maxPairsPerTask: Long = 2000000L): DataFrame = {
+      maxPairsPerTask: Long = 250000L): DataFrame = {
     // coalesce: max over ZERO groups is NULL — an empty corpus must fall
     // through to blocked (itself empty), not NPE on getLong.
-    val mx = docs.groupBy("block").agg(count(lit(1)).as("n"))
-      .agg(coalesce(max(col("n")), lit(0L))).head().getLong(0)
+    val sized = docs.groupBy("block").agg(count(lit(1)).as("n"))
+      .agg(coalesce(max(col("n")), lit(0L)), count(lit(1))).head()
+    val mx = sized.getLong(0)
+    val nBlocks = sized.getLong(1)
     // Saturate instead of overflowing: mx*(mx-1) exceeds Long past
     // mx ≈ 3.04e9 (√Long.MaxValue). No real block is that big, but a
     // corrupted/constant block key must escalate, not silently wrap
@@ -231,10 +242,22 @@ object SimilarityJoin {
       if (mx > 3037000499L) Long.MaxValue else mx * (mx - 1) / 2
     if (maxPairs <= maxPairsPerTask) overlapBlocked(docs, tau)
     else {
-      // per-tile pairs ≈ maxPairs / (C(C+1)/2) ≤ target ⇒ C ≈ √(2·ratio)
-      val ratio = maxPairs.toDouble / maxPairsPerTask
-      val chunks = math.min(64, math.max(2, math.ceil(
-        (math.sqrt(8 * ratio + 1) - 1) / 2).toInt))
+      // C(C+1)/2 tiles must satisfy TWO constraints, take the larger C:
+      //  - pair target: per-tile pairs ≈ maxPairs / tiles ≤ target
+      //  - parallelism floor: total tile KEYS must comfortably exceed the
+      //    shuffle width, or hash partitioning clumps several tiles into
+      //    one reduce partition and the "per-task" target is fiction —
+      //    measured (BASELINE.md round 10): 3 blocks × 6 tiles over 32
+      //    partitions left one task holding ~3 tiles and the stage wall;
+      //    ≥ 4 tiles per partition smooths the clumping by the law of
+      //    large numbers.
+      def chunksFor(tiles: Double): Int =
+        math.ceil((math.sqrt(8 * tiles + 1) - 1) / 2).toInt
+      val width = docs.sparkSession.conf
+        .get("spark.sql.shuffle.partitions").toInt
+      val byPairs = chunksFor(maxPairs.toDouble / maxPairsPerTask)
+      val byWidth = chunksFor(4.0 * width / math.max(1L, nBlocks))
+      val chunks = math.min(64, math.max(2, math.max(byPairs, byWidth)))
       overlapBlockedTiled(docs, tau, chunks)
     }
   }
