@@ -151,19 +151,33 @@ object SimilarityJoin {
     */
   def overlapBlocked(docs: DataFrame, tau: Double,
       metricName: String = "sj_pairs_blocked"): DataFrame = {
-    val a = pinPairWidth(docs.select(col("id").as("a_id"), col("block"),
-      col("w").as("a_w")), col("block"))
-    val b = pinPairWidth(docs.select(col("id").as("b_id"),
-      col("block").as("b_block"), col("w").as("b_w")), col("b_block"))
+    val hashed = hashTokenSets(docs)
+    val a = pinPairWidth(hashed.select(col("id").as("a_id"), col("block"),
+      col("nw").as("na"), col("wh").as("a_w")), col("block"))
+    val b = pinPairWidth(hashed.select(col("id").as("b_id"),
+      col("block").as("b_block"), col("nw").as("nb"), col("wh").as("b_w")),
+      col("b_block"))
     a.join(b, col("block") === col("b_block") && col("a_id") < col("b_id"))
       .observe(metricName, count(lit(1)).as("pairs"))
       .withColumn("inter",
-        call_function("intersect_count", col("a_w"), col("b_w")))
+        call_function("intersect_count_sorted", col("a_w"), col("b_w")))
       .withColumn("overlap",
-        col("inter").cast("double") / least(size(col("a_w")), size(col("b_w"))))
+        col("inter").cast("double") / least(col("na"), col("nb")))
       .filter(col("overlap") >= tau)
       .select("a_id", "b_id", "overlap")
   }
+
+  /** Per-DOC projection feeding the pair-stage merge kernel
+    * ([[graft.plans.SortedIntersectCount]]): every token is hashed ONCE per
+    * document — not once per candidate pair, where [[overlapBlocked]]'s
+    * old per-pair HashSet spent the whole 10× compute wave (BASELINE.md
+    * round 10) — and the pair side degrades to a branch-predictable merge
+    * over packed longs. `nw` keeps the RAW array size so the overlap
+    * denominator is unchanged for callers whose `w` carries duplicates. */
+  private def hashTokenSets(docs: DataFrame): DataFrame =
+    docs.select(col("id"), col("block"), size(col("w")).as("nw"),
+      expr("array_sort(transform(array_distinct(w), x -> xxhash64(x)))")
+        .as("wh"))
 
   /** [[overlapBlocked]] with TRIANGULAR TILING — the giant-block escalation
     * its doc names. Blocked-by-key hangs every block's whole C(n,2) pair
@@ -190,12 +204,14 @@ object SimilarityJoin {
     */
   def overlapBlockedTiled(docs: DataFrame, tau: Double, chunks: Int = 8,
       metricName: String = "sj_pairs_tiled"): DataFrame =
-    tiledSelfPairs(docs, "id", "block", Seq("w"), chunks)
+    // hash BEFORE tiling: the (C+1)/2-way replication then ships packed
+    // longs, and the per-doc hashing cost is not multiplied by the tiles
+    tiledSelfPairs(hashTokenSets(docs), "id", "block", Seq("nw", "wh"), chunks)
       .observe(metricName, count(lit(1)).as("pairs"))
       .withColumn("inter",
-        call_function("intersect_count", col("x_w"), col("y_w")))
+        call_function("intersect_count_sorted", col("x_wh"), col("y_wh")))
       .withColumn("overlap",
-        col("inter").cast("double") / least(size(col("x_w")), size(col("y_w"))))
+        col("inter").cast("double") / least(col("x_nw"), col("y_nw")))
       .filter(col("overlap") >= tau)
       .select(least(col("x_id"), col("y_id")).as("a_id"),
         greatest(col("x_id"), col("y_id")).as("b_id"), col("overlap"))

@@ -46,7 +46,9 @@ object GraftFunctions {
     ("keyword_overlap", classOf[KeywordOverlap], 2,
       (c: Seq[Expression]) => KeywordOverlap(c(0), c(1))),
     ("intersect_count", classOf[IntersectCount], 2,
-      (c: Seq[Expression]) => IntersectCount(c(0), c(1))))
+      (c: Seq[Expression]) => IntersectCount(c(0), c(1))),
+    ("intersect_count_sorted", classOf[SortedIntersectCount], 2,
+      (c: Seq[Expression]) => SortedIntersectCount(c(0), c(1))))
 
   /** Idempotently register every graft function into a live session (no-op
     * when GraftExtensions already injected them). */

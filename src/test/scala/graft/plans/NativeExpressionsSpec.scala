@@ -63,6 +63,32 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(got == Seq(1, 1, 0, 0, 2), s"got $got")
   }
 
+  test("intersect_count_sorted over hashed projections ≡ intersect_count on the strings") {
+    // the production composition: per-doc array_sort(transform(
+    // array_distinct(w), xxhash64)) feeding the merge kernel must count
+    // exactly what the string kernel counts (duplicates once, empties 0)
+    val hash = (c: String) =>
+      expr(s"array_sort(transform(array_distinct($c), x -> xxhash64(x)))")
+    val toks = TextFunctions.tokenSet(col("text"))
+    val pairs = docs.select(toks.as("a"),
+      reverse(lead(toks, 1).over(org.apache.spark.sql.expressions.Window
+        .orderBy("doc_id"))).as("b"))
+      .filter(col("b").isNotNull)
+    val both = pairs.select(
+      call_function("intersect_count_sorted", hash("a"), hash("b")).as("fast"),
+      call_function("intersect_count", col("a"), col("b")).as("exact"))
+    assert(both.count() > 0)
+    assert(both.filter(col("fast") =!= col("exact")).count() == 0)
+    val edge = Seq(
+      (Seq("a", "a", "b"), Seq("a")),
+      (Seq.empty[String], Seq("a")),
+      (Seq("x", "y"), Seq("z")),
+      (Seq("a", "b", "c", "d", "e"), Seq("e", "a"))).toDF("a", "b")
+    val got = edge.select(call_function("intersect_count_sorted",
+        hash("a"), hash("b")).as("n")).collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(1, 0, 0, 2), s"got $got")
+  }
+
   test("simhash64 native ≡ per-bit vote SQL formulation") {
     // the SQL twin is O(64·tokens) interpreted — keep the sample small
     val sample = docs.limit(25)
