@@ -152,12 +152,28 @@ object SimilarityJoin {
   def overlapBlocked(docs: DataFrame, tau: Double,
       metricName: String = "sj_pairs_blocked"): DataFrame = {
     val hashed = hashTokenSets(docs)
-    val a = pinPairWidth(hashed.select(col("id").as("a_id"), col("block"),
-      col("nw").as("na"), col("wh").as("a_w")), col("block"))
+    // symmetric renames on BOTH sides: canonicalization treats a bare
+    // attribute and an alias differently, so `col("block")` on one side
+    // with `block AS b_block` on the other would leave the two pinned
+    // exchanges canonically unequal and kill the ReusedExchange (cost the
+    // one-scan property when the kernel projection stopped CollapseProject
+    // from folding the renames away — the round-9 shape only matched
+    // because BOTH block columns were aliases of `source` in ONE project)
+    val a = pinPairWidth(hashed.select(col("id").as("a_id"),
+      col("block").as("a_block"),
+      col("nw").as("na"), col("wh").as("a_w")), col("a_block"))
     val b = pinPairWidth(hashed.select(col("id").as("b_id"),
       col("block").as("b_block"), col("nw").as("nb"), col("wh").as("b_w")),
       col("b_block"))
-    a.join(b, col("block") === col("b_block") && col("a_id") < col("b_id"))
+    // merge hint: a SELF-join's two pinned exchanges are canonically equal,
+    // so SMJ scans+tokenizes+hashes the corpus ONCE and the other side is a
+    // ReusedExchange (PlanSpec-pinned). Left to stats, the planner
+    // broadcasts the build side when the (now packed-long) size estimate
+    // dips under the threshold — scanning the corpus twice and breaking
+    // the one-scan property the 100 TB plan relies on. (Round 9 got SMJ
+    // only incidentally: string arrays over-estimated past the threshold.)
+    a.join(b.hint("shuffle_merge"),
+        col("a_block") === col("b_block") && col("a_id") < col("b_id"))
       .observe(metricName, count(lit(1)).as("pairs"))
       .withColumn("inter",
         call_function("intersect_count_sorted", col("a_w"), col("b_w")))
@@ -173,11 +189,12 @@ object SimilarityJoin {
     * old per-pair HashSet spent the whole 10× compute wave (BASELINE.md
     * round 10) — and the pair side degrades to a branch-predictable merge
     * over packed longs. `nw` keeps the RAW array size so the overlap
-    * denominator is unchanged for callers whose `w` carries duplicates. */
+    * denominator is unchanged for callers whose `w` carries duplicates.
+    * `token_hashes` is native, not the equivalent HOF — see its scaladoc:
+    * a lambda here broke the q74 ReusedExchange (PlanSpec). */
   private def hashTokenSets(docs: DataFrame): DataFrame =
     docs.select(col("id"), col("block"), size(col("w")).as("nw"),
-      expr("array_sort(transform(array_distinct(w), x -> xxhash64(x)))")
-        .as("wh"))
+      call_function("token_hashes", col("w")).as("wh"))
 
   /** [[overlapBlocked]] with TRIANGULAR TILING — the giant-block escalation
     * its doc names. Blocked-by-key hangs every block's whole C(n,2) pair

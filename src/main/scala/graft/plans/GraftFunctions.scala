@@ -48,7 +48,9 @@ object GraftFunctions {
     ("intersect_count", classOf[IntersectCount], 2,
       (c: Seq[Expression]) => IntersectCount(c(0), c(1))),
     ("intersect_count_sorted", classOf[SortedIntersectCount], 2,
-      (c: Seq[Expression]) => SortedIntersectCount(c(0), c(1))))
+      (c: Seq[Expression]) => SortedIntersectCount(c(0), c(1))),
+    ("token_hashes", classOf[SortedTokenHashes], 1,
+      (c: Seq[Expression]) => SortedTokenHashes(c(0))))
 
   /** Idempotently register every graft function into a live session (no-op
     * when GraftExtensions already injected them). */

@@ -64,11 +64,11 @@ class NativeExpressionsSpec extends SparkSpec {
   }
 
   test("intersect_count_sorted over hashed projections ≡ intersect_count on the strings") {
-    // the production composition: per-doc array_sort(transform(
-    // array_distinct(w), xxhash64)) feeding the merge kernel must count
-    // exactly what the string kernel counts (duplicates once, empties 0)
-    val hash = (c: String) =>
-      expr(s"array_sort(transform(array_distinct($c), x -> xxhash64(x)))")
+    // the production composition: per-doc token_hashes (native sorted
+    // distinct xxhash64 projection) feeding the merge kernel must count
+    // exactly what the string kernel counts (duplicates once, empties 0);
+    // also pin token_hashes ≡ its HOF formulation (same hash function)
+    val hash = (c: String) => call_function("token_hashes", col(c))
     val toks = TextFunctions.tokenSet(col("text"))
     val pairs = docs.select(toks.as("a"),
       reverse(lead(toks, 1).over(org.apache.spark.sql.expressions.Window
@@ -87,6 +87,14 @@ class NativeExpressionsSpec extends SparkSpec {
     val got = edge.select(call_function("intersect_count_sorted",
         hash("a"), hash("b")).as("n")).collect().map(_.getInt(0)).toSeq
     assert(got == Seq(1, 0, 0, 2), s"got $got")
+    // token_hashes itself ≡ the HOF formulation, element for element
+    val cmp = docs.select(
+      call_function("token_hashes",
+        TextFunctions.tokenSet(col("text"))).as("native"),
+      expr("""array_sort(transform(array_distinct(
+        |  split(lower(text), ' ')), x -> xxhash64(x)))""".stripMargin)
+        .as("sql"))
+    assert(cmp.filter(col("native") =!= col("sql")).count() == 0)
   }
 
   test("simhash64 native ≡ per-bit vote SQL formulation") {
