@@ -21,8 +21,9 @@ import org.apache.spark.sql.functions._
   * budget — locating the crossover where label propagation's per-round
   * cheapness loses to star's round count.
   *
-  * Usage: `runMain graft.ScaleBench [docs|chains|q74ab|dedupreport|ann]`.
+  * Usage: `runMain graft.ScaleBench [docs|chains|q74ab|j37ab|dedupreport|ann]`.
   * `q74ab` A/Bs the containment-join strategies on the 10× corpus;
+  * `j37ab` A/Bs the Jaccard pair-stage strategies on the sf0.1 corpus;
   * `dedupreport` measures the one-pass [[operators.DedupReport]] against
   * the contract-independent q66+q79 pair; `ann` scales the
   * ANN/similarity-search family (walls, recall@10 vs exact, IVF
@@ -318,6 +319,27 @@ object ScaleBench {
             s""""cells":$nCells,"nprobe":2,""" +
             s""""probe_files_read":$read,"files_total":$total}""")
         }
+      case "j37ab" =>
+        // Jaccard pair-stage strategy A/B on the REAL sf0.1 corpus:
+        // postings (q37's regime choice) vs the hashed-merge blocked
+        // variant, plain and staged, interleaved ×2
+        import graft.functions.TextFunctions
+        import graft.operators.SimilarityJoin
+        val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        val docs = Tables.documents(spark, d)
+          .select(col("doc_id").as("id"), col("source").as("block"),
+            TextFunctions.tokenSet(col("text")).as("w"))
+        (1 to 2).foreach { r =>
+          measured(spark, s"j37_postings_r$r", 1)(
+            SimilarityJoin.postingsCount(docs, 0.8).count())
+          measured(spark, s"j37_blocked_r$r", 1)(
+            SimilarityJoin.jaccardBlocked(docs, 0.8).count())
+          measured(spark, s"j37_staged_postings_r$r", 1)(
+            SimilarityJoin.stagedPostingsCount(spark, docs, 0.8).count())
+          measured(spark, s"j37_staged_blocked_r$r", 1)(
+            SimilarityJoin.staged(spark, docs, 0.8)(
+              SimilarityJoin.jaccardBlocked(_, _)).count())
+        }
       case "dedupreport" =>
         // one-pass DedupReport vs the contract-mandated independent
         // q66 + q79 re-run, interleaved A/B (CLAUDE.md: never conclude
@@ -335,7 +357,7 @@ object ScaleBench {
             finally rep.release()
           }
         }
-      case other => sys.error(s"unknown mode $other (docs|chains|q74ab|dedupreport|ann)")
+      case other => sys.error(s"unknown mode $other (docs|chains|q74ab|j37ab|dedupreport|ann)")
     }
     spark.stop()
   }

@@ -86,7 +86,10 @@ object DedupReport {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val repDocs = docs.filter(col("doc_id") === col("rep") && col("w").isNotNull)
       .select(col("doc_id").as("id"), col("source").as("block"), col("w"))
-    val repPairs = SimilarityJoin.postingsCount(repDocs, tau)
+    // round 10: the rep pair stage picks blocked-vs-tiled by measurement
+    // (hashed merge kernel; identical pairs to postingsCount, spec-pinned
+    // — postings remains the sparse-corpus regime)
+    val repPairs = SimilarityJoin.jaccardAdaptive(repDocs, tau)
       .select(col("a_id").as("a"), col("b_id").as("b"))
     // components run on the REPRESENTATIVE graph only; the rep-graph label
     // (min rep id) IS the cluster's min doc_id because each group's

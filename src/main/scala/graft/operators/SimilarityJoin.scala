@@ -86,6 +86,37 @@ object SimilarityJoin {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** Exact τ-Jaccard self-join in the BLOCKED regime: the all-pairs
+    * equi-join on `block` with the hashed-token merge kernel — the
+    * Jaccard twin of [[overlapBlocked]], sharing [[hashTokenSets]], the
+    * symmetric-rename/merge-hint one-scan shape, and the pinned pair
+    * width. Each in-block pair is touched exactly ONCE (cost Σ_block
+    * C(n,2)), versus [[postingsCount]]'s once-per-shared-token candidate
+    * rows (cost Σ_{block,token} C(df,2)) — the strategy trade measured in
+    * BASELINE.md: dense docs on a small vocabulary favor blocked, sparse
+    * docs in huge blocks favor postings. Row identity with
+    * [[postingsCount]] is spec-pinned (SimilarityJoinSpec); compose with
+    * [[staged]] for the dup-collapsed form. */
+  def jaccardBlocked(docs: DataFrame, tau: Double,
+      metricName: String = "sj_pairs_jblocked"): DataFrame = {
+    val hashed = hashTokenSets(docs)
+    val a = pinPairWidth(hashed.select(col("id").as("a_id"),
+      col("block").as("a_block"), col("nw").as("na"), col("wh").as("a_w")),
+      col("a_block"))
+    val b = pinPairWidth(hashed.select(col("id").as("b_id"),
+      col("block").as("b_block"), col("nw").as("nb"), col("wh").as("b_w")),
+      col("b_block"))
+    a.join(b.hint("shuffle_merge"),
+        col("a_block") === col("b_block") && col("a_id") < col("b_id"))
+      .observe(metricName, count(lit(1)).as("pairs"))
+      .withColumn("inter",
+        call_function("intersect_count_sorted", col("a_w"), col("b_w")))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= tau)
+      .select("a_id", "b_id", "jaccard")
+  }
+
   /** Exact τ-overlap-coefficient self-join: |A∩B| / min(|A|,|B|) ≥ τ —
     * the CONTAINMENT complement to τ-Jaccard. A short document pasted
     * verbatim inside a long one has low Jaccard (the union is large) but
@@ -260,7 +291,26 @@ object SimilarityJoin {
     * blocks escalate (with the old 2M default they would NOT have, and
     * the measured 15.9 s straggler would be back). */
   def overlapAdaptive(docs: DataFrame, tau: Double,
-      maxPairsPerTask: Long = 250000L): DataFrame = {
+      maxPairsPerTask: Long = 250000L): DataFrame =
+    pickBlockedOrTiled(docs, maxPairsPerTask) match {
+      case None => overlapBlocked(docs, tau)
+      case Some(chunks) => overlapBlockedTiled(docs, tau, chunks)
+    }
+
+  /** The measured strategy choice shared by [[overlapAdaptive]] and
+    * [[jaccardAdaptive]]: one partial-agg sizing job over per-block
+    * counts; None = every block's pair product fits a task (keep the
+    * single-scan blocked plan), Some(chunks) = escalate to triangular
+    * tiling with `chunks` sized by BOTH constraints:
+    *  - pair target: per-tile pairs ≈ maxPairs / (C(C+1)/2) ≤ target;
+    *  - parallelism floor: total tile KEYS must comfortably exceed the
+    *    shuffle width, or hash partitioning clumps several tiles into one
+    *    reduce partition and the per-task target is fiction — measured
+    *    (BASELINE.md round 10): 3 blocks × 6 tiles over 32 partitions
+    *    left one task holding ~3 tiles and the stage wall; ≥ 4 tiles per
+    *    partition smooths the clumping by the law of large numbers. */
+  private def pickBlockedOrTiled(docs: DataFrame,
+      maxPairsPerTask: Long): Option[Int] = {
     // coalesce: max over ZERO groups is NULL — an empty corpus must fall
     // through to blocked (itself empty), not NPE on getLong.
     val sized = docs.groupBy("block").agg(count(lit(1)).as("n"))
@@ -273,27 +323,47 @@ object SimilarityJoin {
     // negative and pick the un-tiled plan.
     val maxPairs =
       if (mx > 3037000499L) Long.MaxValue else mx * (mx - 1) / 2
-    if (maxPairs <= maxPairsPerTask) overlapBlocked(docs, tau)
+    if (maxPairs <= maxPairsPerTask) None
     else {
-      // C(C+1)/2 tiles must satisfy TWO constraints, take the larger C:
-      //  - pair target: per-tile pairs ≈ maxPairs / tiles ≤ target
-      //  - parallelism floor: total tile KEYS must comfortably exceed the
-      //    shuffle width, or hash partitioning clumps several tiles into
-      //    one reduce partition and the "per-task" target is fiction —
-      //    measured (BASELINE.md round 10): 3 blocks × 6 tiles over 32
-      //    partitions left one task holding ~3 tiles and the stage wall;
-      //    ≥ 4 tiles per partition smooths the clumping by the law of
-      //    large numbers.
       def chunksFor(tiles: Double): Int =
         math.ceil((math.sqrt(8 * tiles + 1) - 1) / 2).toInt
       val width = docs.sparkSession.conf
         .get("spark.sql.shuffle.partitions").toInt
       val byPairs = chunksFor(maxPairs.toDouble / maxPairsPerTask)
       val byWidth = chunksFor(4.0 * width / math.max(1L, nBlocks))
-      val chunks = math.min(64, math.max(2, math.max(byPairs, byWidth)))
-      overlapBlockedTiled(docs, tau, chunks)
+      Some(math.min(64, math.max(2, math.max(byPairs, byWidth))))
     }
   }
+
+  /** [[jaccardBlocked]] under triangular tiling — [[overlapBlockedTiled]]'s
+    * Jaccard twin, same [[tiledSelfPairs]] machinery over the hashed
+    * projection. */
+  def jaccardBlockedTiled(docs: DataFrame, tau: Double, chunks: Int = 8,
+      metricName: String = "sj_pairs_jtiled"): DataFrame =
+    tiledSelfPairs(hashTokenSets(docs), "id", "block", Seq("nw", "wh"), chunks)
+      .observe(metricName, count(lit(1)).as("pairs"))
+      .withColumn("inter",
+        call_function("intersect_count_sorted", col("x_wh"), col("y_wh")))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("x_nw") + col("y_nw") - col("inter")))
+      .filter(col("jaccard") >= tau)
+      .select(least(col("x_id"), col("y_id")).as("a_id"),
+        greatest(col("x_id"), col("y_id")).as("b_id"), col("jaccard"))
+
+  /** Strategy-picking τ-Jaccard pair join — [[overlapAdaptive]]'s Jaccard
+    * twin. Measured on the sf0.1 corpus (BASELINE.md round 10, identical
+    * rows): blocked-with-merge-kernel 0.34–0.55 s vs the postings join's
+    * 5.3–5.8 s — dense docs against a modest vocabulary make postings
+    * materialize each pair once per shared token while blocked touches it
+    * once with a packed-long merge. Postings remains the right regime for
+    * sparse docs in blocks whose pair product dwarfs the posting-list
+    * volume; the tiling escalation covers the giant-block middle ground. */
+  def jaccardAdaptive(docs: DataFrame, tau: Double,
+      maxPairsPerTask: Long = 250000L): DataFrame =
+    pickBlockedOrTiled(docs, maxPairsPerTask) match {
+      case None => jaccardBlocked(docs, tau)
+      case Some(chunks) => jaccardBlockedTiled(docs, tau, chunks)
+    }
 
   /** Generic triangular-tiled blocked self-pairing — the machinery behind
     * [[overlapBlockedTiled]], reusable for ANY per-pair computation over
@@ -414,7 +484,13 @@ object SimilarityJoin {
       .select(col("id"), col("block"), col("fp"), col("rep"),
         when(col("id") === col("rep"), col("w")).as("w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    RunScopedCache.releaseAfterRun(s, collapsed)
+    // NOTE: the run-scoped release is registered AFTER the inner strategy
+    // is composed, at the end of this method — an ADAPTIVE inner runs its
+    // sizing job against the cache at compose time, and a listener
+    // registered before it would treat that sizing action as "the run"
+    // and drop the cache before the main query ever executes (cost the
+    // q37 InMemoryRelation plan pin in round 10; the sizing job also
+    // conveniently pre-warms the cache).
     val repPairs = inner(
       collapsed.filter(col("id") === col("rep"))
         .select(col("id"), col("block"), col("w")), tau)
@@ -433,6 +509,7 @@ object SimilarityJoin {
         col("block") === col("b_block") && col("fp") === col("b_fp") &&
           col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"), lit(1.0).as(valueCol))
+    RunScopedCache.releaseAfterRun(s, collapsed)
     cross.unionByName(clique)
   }
 

@@ -56,7 +56,13 @@ object TextQueries extends QueryGroup {
     val docs = Tables.documents(s, d)
       .select(col("doc_id").as("id"), col("source").as("block"),
         TextFunctions.tokenSet(col("text")).as("w"))
-    SimilarityJoin.stagedPostingsCount(s, docs, 0.8).orderBy("a_id", "b_id")
+    // round 10: the staged dup-collapse keeps its 100 TB role, but the
+    // rep pair stage picks blocked-vs-tiled by measurement
+    // (jaccardAdaptive's hashed merge kernel: 0.34 s vs postings' 5.3 s
+    // plain on this corpus, BASELINE.md; postings/prefix remain the
+    // sparse-corpus regime, ZipfJaccardSpec's stagedPrefixFilter)
+    SimilarityJoin.staged(s, docs, 0.8)(
+      SimilarityJoin.jaccardAdaptive(_, _)).orderBy("a_id", "b_id")
   }
 
   /** Q67: n-gram (3-token shingle) Jaccard near-dup pairs (τ = 0.5) within

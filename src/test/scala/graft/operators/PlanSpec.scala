@@ -81,13 +81,13 @@ class PlanSpec extends SparkSpec {
 
   test("q37: staged dup-collapse shape — staged metric present, no token arrays downstream of it") {
     val p = executedPlan("q37_dedup_jaccard")
-    // the candidate metric proves the pair join runs on the collapsed reps.
-    // Anchor on the EXACT node (name + delimiter): a bare substring also
-    // matches "sj_candidates_staged_prefix", so a strategy swap to
-    // stagedPrefixFilter would silently keep this pin passing
-    val anchor = "CollectMetrics sj_candidates_staged,"
-    assert(p.contains(anchor) && !p.contains("sj_candidates_staged_prefix"),
-      "staged postings metric missing (or plan switched strategy)")
+    // the pair metric proves the join runs on the collapsed reps. Round 10
+    // swapped the staged inner from postings to jaccardAdaptive (hashed
+    // merge kernel, BASELINE.md A/B); on the driver corpus's small blocks
+    // adaptive picks blocked, so the exact node is the jblocked metric
+    val anchor = "CollectMetrics sj_pairs_jblocked,"
+    assert(p.contains(anchor) && !p.contains("sj_candidates_staged"),
+      "staged jaccardAdaptive(blocked) metric missing (plan switched strategy?)")
     // the collapsed projection is computed once and cached
     assert(p.contains("InMemoryRelation"), "staged projection must be cached")
     // everything DOWNSTREAM of the candidate metric (printed above it) moves

@@ -17,6 +17,37 @@ class SimilarityJoinSpec extends SparkSpec {
     assert(a.except(b).isEmpty && b.except(a).isEmpty)
   }
 
+  test("jaccardBlocked (hashed merge kernel) ≡ postingsCount (τ=0.8 and 0.5)") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id").as("id"), col("source").as("block"),
+        TextFunctions.tokenSet(col("text")).as("w"))
+    Seq(0.8, 0.5).foreach { tau =>
+      val a = SimilarityJoin.postingsCount(docs, tau)
+      Seq(
+        "blocked" -> SimilarityJoin.jaccardBlocked(docs, tau),
+        "tiled" -> SimilarityJoin.jaccardBlockedTiled(docs, tau, 4),
+        "adaptive" -> SimilarityJoin.jaccardAdaptive(docs, tau)
+      ).foreach { case (name, b) =>
+        assert(a.count() == b.count(), s"tau=$tau $name")
+        assert(a.except(b).isEmpty && b.except(a).isEmpty, s"tau=$tau $name")
+      }
+    }
+    // adaptive escalates on a giant block, identically to blocked
+    import spark.implicits._
+    val big = (1 to 200).map(i =>
+      (i.toLong, "blk", (1 to 8).map(j => s"t${(i + j) % 60}").distinct))
+      .toDF("id", "block", "w")
+    val dfT = SimilarityJoin.jaccardAdaptive(big, 0.5, maxPairsPerTask = 1000L)
+    dfT.collect()
+    assert(dfT.queryExecution.optimizedPlan.toString.contains("sj_pairs_jtiled"),
+      "a giant block must escalate the Jaccard join to tiling")
+    val refB = SimilarityJoin.jaccardBlocked(big, 0.5)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotT = dfT.select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotT == refB)
+  }
+
   test("prefix-filter is complete at a lower threshold too (τ=0.5)") {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id").as("id"), col("source").as("block"),
