@@ -84,8 +84,10 @@ object TextQueries extends QueryGroup {
     // SHINGLE sets only arise from byte-identical docs (reorderings change
     // shingles), so the collapse stage would run at ~1 group per doc — all
     // overhead, no candidate reduction (measured: staged 2.3s vs naive 1.5s
-    // at sf0.1)
-    SimilarityJoin.postingsCount(docs, 0.5).orderBy("a_id", "b_id")
+    // at sf0.1). Round 10: the pair stage itself is jaccardAdaptive (the
+    // hashed merge kernel over shingle sets — same strategy trade and
+    // measured choice as q37; postings stays the sparse regime)
+    SimilarityJoin.jaccardAdaptive(docs, 0.5).orderBy("a_id", "b_id")
   }
 
   /** Q74: overlap-coefficient (containment) near-dup pairs (τ = 0.95)
