@@ -98,7 +98,30 @@ object SimilarityJoin {
     * [[postingsCount]] is spec-pinned (SimilarityJoinSpec); compose with
     * [[staged]] for the dup-collapsed form. */
   def jaccardBlocked(docs: DataFrame, tau: Double,
-      metricName: String = "sj_pairs_jblocked"): DataFrame = {
+      metricName: String = "sj_pairs_jblocked"): DataFrame =
+    blockedPairsWithInter(docs, metricName, sizePruneTau = Some(tau))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= tau)
+      .select("a_id", "b_id", "jaccard")
+
+  /** Shared BLOCKED pair core — one body for the overlap and Jaccard
+    * variants (a shape fix written twice during round 10 motivated the
+    * merge): hashed projection, SYMMETRIC renames (bare column vs alias
+    * canonicalize differently and would break the ReusedExchange), pinned
+    * pair width, shuffle_merge hint (stats would flip the self-join to a
+    * corpus-double-scanning broadcast when the packed-long estimate dips
+    * under the threshold), observe metric, merge-kernel intersection.
+    * Emits (a_id < b_id, na, nb, inter).
+    *
+    * `sizePruneTau`: for τ-Jaccard, J ≥ τ ⇒ τ·max(na,nb) ≤ min(na,nb)
+    * (inter ≤ min, union ≥ max) — the same sound join-condition prune
+    * [[postingsCount]] applies, skipping the O(na+nb) kernel for
+    * cross-size pairs; epsilon guards FP rounding landing ABOVE an
+    * integer bound. NOT sound for containment (a tiny set inside a huge
+    * one is a legitimate hit), so the overlap variants pass None. */
+  private def blockedPairsWithInter(docs: DataFrame, metricName: String,
+      sizePruneTau: Option[Double]): DataFrame = {
     val hashed = hashTokenSets(docs)
     val a = pinPairWidth(hashed.select(col("id").as("a_id"),
       col("block").as("a_block"), col("nw").as("na"), col("wh").as("a_w")),
@@ -106,15 +129,35 @@ object SimilarityJoin {
     val b = pinPairWidth(hashed.select(col("id").as("b_id"),
       col("block").as("b_block"), col("nw").as("nb"), col("wh").as("b_w")),
       col("b_block"))
+    val prune = sizePruneTau.map(tau =>
+      col("na") * tau <= col("nb") + lit(1e-7) &&
+        col("nb") * tau <= col("na") + lit(1e-7)).getOrElse(lit(true))
     a.join(b.hint("shuffle_merge"),
-        col("a_block") === col("b_block") && col("a_id") < col("b_id"))
+        col("a_block") === col("b_block") && col("a_id") < col("b_id") &&
+          prune)
       .observe(metricName, count(lit(1)).as("pairs"))
-      .withColumn("inter",
-        call_function("intersect_count_sorted", col("a_w"), col("b_w")))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (col("na") + col("nb") - col("inter")))
-      .filter(col("jaccard") >= tau)
-      .select("a_id", "b_id", "jaccard")
+      .select(col("a_id"), col("b_id"), col("na"), col("nb"),
+        call_function("intersect_count_sorted", col("a_w"), col("b_w"))
+          .as("inter"))
+  }
+
+  /** Shared TILED pair core — [[blockedPairsWithInter]]'s escalation twin
+    * over [[tiledSelfPairs]]; emits normalized (a_id < b_id, na, nb,
+    * inter) (the score formulas are symmetric, so x/y order is free to
+    * normalize here). The size prune runs BEFORE the kernel projection. */
+  private def tiledPairsWithInter(docs: DataFrame, chunks: Int,
+      metricName: String, sizePruneTau: Option[Double]): DataFrame = {
+    val prune = sizePruneTau.map(tau =>
+      col("x_nw") * tau <= col("y_nw") + lit(1e-7) &&
+        col("y_nw") * tau <= col("x_nw") + lit(1e-7)).getOrElse(lit(true))
+    tiledSelfPairs(hashTokenSets(docs), "id", "block", Seq("nw", "wh"), chunks)
+      .filter(prune)
+      .observe(metricName, count(lit(1)).as("pairs"))
+      .select(least(col("x_id"), col("y_id")).as("a_id"),
+        greatest(col("x_id"), col("y_id")).as("b_id"),
+        col("x_nw").as("na"), col("y_nw").as("nb"),
+        call_function("intersect_count_sorted", col("x_wh"), col("y_wh"))
+          .as("inter"))
   }
 
   /** Exact τ-overlap-coefficient self-join: |A∩B| / min(|A|,|B|) ≥ τ —
@@ -181,38 +224,12 @@ object SimilarityJoin {
     * chunk-pairs), not this operator as-is.
     */
   def overlapBlocked(docs: DataFrame, tau: Double,
-      metricName: String = "sj_pairs_blocked"): DataFrame = {
-    val hashed = hashTokenSets(docs)
-    // symmetric renames on BOTH sides: canonicalization treats a bare
-    // attribute and an alias differently, so `col("block")` on one side
-    // with `block AS b_block` on the other would leave the two pinned
-    // exchanges canonically unequal and kill the ReusedExchange (cost the
-    // one-scan property when the kernel projection stopped CollapseProject
-    // from folding the renames away — the round-9 shape only matched
-    // because BOTH block columns were aliases of `source` in ONE project)
-    val a = pinPairWidth(hashed.select(col("id").as("a_id"),
-      col("block").as("a_block"),
-      col("nw").as("na"), col("wh").as("a_w")), col("a_block"))
-    val b = pinPairWidth(hashed.select(col("id").as("b_id"),
-      col("block").as("b_block"), col("nw").as("nb"), col("wh").as("b_w")),
-      col("b_block"))
-    // merge hint: a SELF-join's two pinned exchanges are canonically equal,
-    // so SMJ scans+tokenizes+hashes the corpus ONCE and the other side is a
-    // ReusedExchange (PlanSpec-pinned). Left to stats, the planner
-    // broadcasts the build side when the (now packed-long) size estimate
-    // dips under the threshold — scanning the corpus twice and breaking
-    // the one-scan property the 100 TB plan relies on. (Round 9 got SMJ
-    // only incidentally: string arrays over-estimated past the threshold.)
-    a.join(b.hint("shuffle_merge"),
-        col("a_block") === col("b_block") && col("a_id") < col("b_id"))
-      .observe(metricName, count(lit(1)).as("pairs"))
-      .withColumn("inter",
-        call_function("intersect_count_sorted", col("a_w"), col("b_w")))
+      metricName: String = "sj_pairs_blocked"): DataFrame =
+    blockedPairsWithInter(docs, metricName, sizePruneTau = None)
       .withColumn("overlap",
         col("inter").cast("double") / least(col("na"), col("nb")))
       .filter(col("overlap") >= tau)
       .select("a_id", "b_id", "overlap")
-  }
 
   /** Per-DOC projection feeding the pair-stage merge kernel
     * ([[graft.plans.SortedIntersectCount]]): every token is hashed ONCE per
@@ -222,10 +239,16 @@ object SimilarityJoin {
     * over packed longs. `nw` keeps the RAW array size so the overlap
     * denominator is unchanged for callers whose `w` carries duplicates.
     * `token_hashes` is native, not the equivalent HOF — see its scaladoc:
-    * a lambda here broke the q74 ReusedExchange (PlanSpec). */
+    * a lambda here broke the q74 ReusedExchange (PlanSpec).
+    *
+    * Empty (and NULL) token sets are excluded: the postings twins
+    * structurally never pair them (no posting rows), and a 0-size
+    * denominator would raise DIVIDE_BY_ZERO under this repo's ANSI mode
+    * instead of matching that no-row behavior. */
   private def hashTokenSets(docs: DataFrame): DataFrame =
-    docs.select(col("id"), col("block"), size(col("w")).as("nw"),
-      call_function("token_hashes", col("w")).as("wh"))
+    docs.filter(size(col("w")) > 0)
+      .select(col("id"), col("block"), size(col("w")).as("nw"),
+        call_function("token_hashes", col("w")).as("wh"))
 
   /** [[overlapBlocked]] with TRIANGULAR TILING — the giant-block escalation
     * its doc names. Blocked-by-key hangs every block's whole C(n,2) pair
@@ -252,17 +275,11 @@ object SimilarityJoin {
     */
   def overlapBlockedTiled(docs: DataFrame, tau: Double, chunks: Int = 8,
       metricName: String = "sj_pairs_tiled"): DataFrame =
-    // hash BEFORE tiling: the (C+1)/2-way replication then ships packed
-    // longs, and the per-doc hashing cost is not multiplied by the tiles
-    tiledSelfPairs(hashTokenSets(docs), "id", "block", Seq("nw", "wh"), chunks)
-      .observe(metricName, count(lit(1)).as("pairs"))
-      .withColumn("inter",
-        call_function("intersect_count_sorted", col("x_wh"), col("y_wh")))
+    tiledPairsWithInter(docs, chunks, metricName, sizePruneTau = None)
       .withColumn("overlap",
-        col("inter").cast("double") / least(col("x_nw"), col("y_nw")))
+        col("inter").cast("double") / least(col("na"), col("nb")))
       .filter(col("overlap") >= tau)
-      .select(least(col("x_id"), col("y_id")).as("a_id"),
-        greatest(col("x_id"), col("y_id")).as("b_id"), col("overlap"))
+      .select("a_id", "b_id", "overlap")
 
   /** Strategy-picking containment join: measure the LARGEST block's pair
     * product with one metadata-scale aggregation (partial-agg max over
@@ -340,15 +357,11 @@ object SimilarityJoin {
     * projection. */
   def jaccardBlockedTiled(docs: DataFrame, tau: Double, chunks: Int = 8,
       metricName: String = "sj_pairs_jtiled"): DataFrame =
-    tiledSelfPairs(hashTokenSets(docs), "id", "block", Seq("nw", "wh"), chunks)
-      .observe(metricName, count(lit(1)).as("pairs"))
-      .withColumn("inter",
-        call_function("intersect_count_sorted", col("x_wh"), col("y_wh")))
+    tiledPairsWithInter(docs, chunks, metricName, sizePruneTau = Some(tau))
       .withColumn("jaccard", col("inter").cast("double") /
-        (col("x_nw") + col("y_nw") - col("inter")))
+        (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= tau)
-      .select(least(col("x_id"), col("y_id")).as("a_id"),
-        greatest(col("x_id"), col("y_id")).as("b_id"), col("jaccard"))
+      .select("a_id", "b_id", "jaccard")
 
   /** Strategy-picking τ-Jaccard pair join — [[overlapAdaptive]]'s Jaccard
     * twin. Measured on the sf0.1 corpus (BASELINE.md round 10, identical

@@ -75,11 +75,17 @@ object TextQueries extends QueryGroup {
     * finds thousands of pairs and q67 almost none — that asymmetry IS the
     * semantics, pinned by NgramJaccardSpec on constructed fixtures. */
   private val q67: Q = (s, d) => {
+    // no size(w)>0 filter here: the similarity operators exclude empty
+    // sets themselves (postings structurally, blocked via hashTokenSets),
+    // and WITHOUT a w-dependent filter jaccardAdaptive's block-count
+    // sizing job prunes this projection to just `source` — with the
+    // filter it re-shingled the whole corpus to count rows (a full extra
+    // scan, round-10 review). Empty-shingle docs inflating block counts
+    // is a conservative upper bound: it can only over-escalate to tiling.
     val docs = Tables.documents(s, d).select(col("doc_id").as("id"),
       col("source").as("block"),
       array_distinct(call_function("word_shingles",
         TextFunctions.tokens(col("text")), lit(3))).as("w"))
-      .filter(size(col("w")) > 0)
     // naive postings, NOT the dup-collapse staging q37 uses: exact-duplicate
     // SHINGLE sets only arise from byte-identical docs (reorderings change
     // shingles), so the collapse stage would run at ~1 group per doc — all

@@ -17,11 +17,20 @@ object SortedIntersectCountImpl {
     var j = 0
     var n = 0
     while (i < na && j < nb) {
-      val x = a.getLong(i)
-      val y = b.getLong(j)
-      if (x == y) { n += 1; i += 1; j += 1 }
-      else if (x < y) i += 1
-      else j += 1
+      // null slots never occur on the token_hashes path (containsNull =
+      // false), but the function is session-registered and raw SQL can
+      // feed arrays typed containsNull=true — skip nulls (they match
+      // nothing) instead of silently reading them as 0 and counting a
+      // phantom shared element; branches are never taken on packed input
+      if (a.isNullAt(i)) i += 1
+      else if (b.isNullAt(j)) j += 1
+      else {
+        val x = a.getLong(i)
+        val y = b.getLong(j)
+        if (x == y) { n += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
     }
     n
   }

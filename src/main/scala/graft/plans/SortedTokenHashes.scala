@@ -1,9 +1,9 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
 /** token_hashes(array<string>) → sorted distinct array<bigint> — the
@@ -41,7 +41,10 @@ object SortedTokenHashesImpl {
       if (w == 0 || out(w - 1) != out(r)) { out(w) = out(r); w += 1 }
       r += 1
     }
-    new GenericArrayData(
+    // packed UnsafeArrayData, not GenericArrayData: the generic ctor boxes
+    // every long (Array[Long] → Seq[Any]), allocating n objects per
+    // DOCUMENT in exactly the projection this kernel exists to keep cheap
+    UnsafeArrayData.fromPrimitiveArray(
       if (w == out.length) out else java.util.Arrays.copyOf(out, w))
   }
 }
