@@ -46,6 +46,60 @@ object IvfStorage {
         .as("centroid"))
       .select(col("label").as("cent_id"), col("centroid"))
 
+  /** Label-free coarse-quantizer training — Lloyd's k-means over the same
+    * [[assignCells]] machinery, closing the drift loop [[driftReport]]
+    * opens: when the incremental-append path has drifted, REFIT with this
+    * and run the one-time [[writeCellPartitioned]] rewrite (labels, when
+    * present, make [[labelCentroids]] the cheaper one-pass choice).
+    *
+    * Deterministic by construction, so refits reproduce: seeds are the k
+    * vectors with the smallest xxhash64(vec_id) (a hash-shuffled pick —
+    * one TakeOrderedAndProject, no RNG state), iterations are exact
+    * decimal means per cell (the [[labelCentroids]] sum shape), ties in
+    * assignment break to the smallest cent_id, and an emptied cell keeps
+    * its previous centroid (k never silently shrinks). Each iteration is
+    * one broadcast-assign + one partial-agg groupBy over the corpus —
+    * iters × 2 jobs total, no driver materialization beyond the k-row
+    * centroid table itself. */
+  def kmeansCentroids(embeddings: DataFrame, k: Int,
+      iters: Int = 5): DataFrame = {
+    require(k >= 1 && iters >= 0, s"k=$k iters=$iters")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    // the centroid table is driver-sized BY CONTRACT (one row per cell,
+    // broadcast everywhere it's used) — collecting it per iteration
+    // truncates the lineage, so iteration i+1's plan reads a k-row local
+    // relation instead of nesting i assignment subtrees
+    def materialize(df: DataFrame): DataFrame =
+      df.collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+        .toSeq.toDF("cent_id", "centroid")
+    var cents = materialize(embeddings
+      .select(col("vec_id"), col("embedding"),
+        xxhash64(col("vec_id")).as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(k)
+      .select(row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("h"), col("vec_id"))).cast("int").as("cent_id"),
+        col("embedding").as("centroid")))
+    var i = 0
+    while (i < iters) {
+      val means = assignCells(embeddings, cents)
+        .select(col("cent_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cent_id", "pos")
+        .agg((sum(col("v").cast("decimal(18,9)")).cast("double") /
+          count(lit(1))).as("c"))
+        .groupBy("cent_id")
+        .agg(expr(
+          "transform(array_sort(collect_list(struct(pos, c))), s -> CAST(s.c AS FLOAT))")
+          .as("new_centroid"))
+      // empty cells keep their previous centroid — k stays k
+      cents = materialize(cents.join(means, Seq("cent_id"), "left")
+        .select(col("cent_id"),
+          coalesce(col("new_centroid"), col("centroid")).as("centroid")))
+      i += 1
+    }
+    cents
+  }
+
   /** Nearest-centroid assignment: all centroids pack into ONE broadcast
     * row and the argmax is a per-row fold — no crossJoin row expansion
     * (corpus × n_centroids), no Window shuffle over vec_id. */
@@ -82,7 +136,9 @@ object IvfStorage {
     * given nProbe decays. That is a monitored, planned event, not a
     * correctness bug: watch [[driftReport]], and when occupancy skew or
     * mean assignment similarity crosses the deployment's line, refit
-    * centroids and run the one-time [[writeCellPartitioned]] rewrite. */
+    * centroids ([[labelCentroids]] when labels exist, [[kmeansCentroids]]
+    * otherwise — recovery spec-pinned) and run the one-time
+    * [[writeCellPartitioned]] rewrite. */
   def appendCellPartitioned(embeddings: DataFrame, centroids: DataFrame,
       dir: String): Unit =
     assignCells(embeddings, centroids)

@@ -103,4 +103,37 @@ class IvfStorageSpec extends SparkSpec {
     // argmax assignment picks the least-anticorrelated cell, so the
     // detectable signal is the quality DROP, not the sign)
   }
+
+  test("kmeansCentroids closes the drift loop: refit + rewrite restores assignment quality") {
+    val e = Tables.embeddings(spark, sfDir)
+    // frozen label centroids, then an out-of-distribution batch lands —
+    // the driftReport scenario; the promised remedy is refit + rewrite
+    val cents0 = IvfStorage.labelCentroids(e)
+    val shifted = e.filter(col("vec_id") < 150)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        expr("transform(embedding, x -> -x)").as("embedding"), col("label"))
+    val drifted = e.unionByName(shifted)
+    val dir = tmpDir("ivf-refit")
+    IvfStorage.writeCellPartitioned(drifted, cents0, dir)
+    def overallMean(c: org.apache.spark.sql.DataFrame): Double =
+      IvfStorage.driftReport(spark, dir, c)
+        .agg((sum(col("mean_cos") * col("n")) / sum(col("n"))).as("m"))
+        .head().getDouble(0)
+    val before = overallMean(cents0)
+    // refit on the CURRENT (drifted) corpus with the same cell count,
+    // rewrite, and the report must improve — negated vectors get their
+    // own cells instead of squatting in least-bad label cells
+    val k = cents0.count().toInt
+    val refit = IvfStorage.kmeansCentroids(drifted, k, iters = 5)
+    assert(refit.count() == k, "k never silently shrinks")
+    IvfStorage.writeCellPartitioned(drifted, refit, dir)
+    val after = overallMean(refit)
+    assert(after > before,
+      s"refit must recover assignment quality: $before -> $after")
+    // determinism: a second refit on the same corpus is identical
+    val again = IvfStorage.kmeansCentroids(drifted, k, iters = 5)
+    assert(refit.collect().map(_.toString).sorted
+      .sameElements(again.collect().map(_.toString).sorted),
+      "refits must reproduce bit-identically")
+  }
 }
