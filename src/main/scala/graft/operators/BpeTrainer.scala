@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Byte-pair-encoding tokenizer TRAINING on Spark — the full loop whose
+  * single first iteration is the oracled q99: repeatedly find the most
+  * frequent adjacent symbol pair over the corpus and merge it, producing
+  * the ordered merge table that IS a BPE tokenizer.
+  *
+  * Scale shape (the standard tokenizer-training decomposition):
+  *  - the corpus is touched ONCE — everything folds to the distinct-word
+  *    frequency table first (Heaps' law keeps it sublinear in corpus
+  *    size), and every training iteration runs over that table only;
+  *  - per iteration: one partial-agg pair count (adjacent-pair explode →
+  *    groupBy → top-1 by (count DESC, pair ASC) — a deterministic total
+  *    order) and one per-word kernel application
+  *    ([[graft.plans.BpeMergePair]], native: left-to-right
+  *    non-overlapping, the reference greedy semantics);
+  *  - the evolving (word, freq, syms) state is persisted per iteration
+  *    and the previous generation released after materialization — the
+  *    [[ConnectedComponents]] iteration discipline, so the plan never
+  *    nests and executor loss costs one iteration, not the run;
+  *  - the merge table itself is driver-sized by definition (nMerges
+  *    rows), like [[IvfStorage]]'s centroid table.
+  *
+  * [[tokenize]] is the matching ENCODE path: character-split then fold
+  * the merge table in rank order — usable directly in token-counting /
+  * vocab-coverage pipelines (q46/q94 shapes) with the trained vocabulary.
+  * Training↔reference equivalence is spec-pinned (BpeTrainerSpec, vs an
+  * independent Scala implementation on the classic low/lower/newest/widest
+  * corpus); q99 stays the cross-engine ORACLE for the counting core.
+  */
+object BpeTrainer {
+
+  /** Ordered merge table: merges(i) was learned at rank i. */
+  final case class MergeTable(merges: Seq[(String, String)])
+
+  private def charsOf(c: Column): Column =
+    transform(sequence(lit(1), length(c)), i => c.substr(i, lit(1)))
+
+  /** Train `nMerges` merges over the corpus's whitespace words (the
+    * [[TextFunctions.tokens]] convention, empty/1-char words carry no
+    * pairs and drop out naturally). Stops early when no adjacent pair
+    * occurs at least `minCount` times. */
+  def train(docs: DataFrame, nMerges: Int, minCount: Long = 2L): MergeTable = {
+    val spark = docs.sparkSession
+    var words = docs
+      .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) >= 2)
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+      .select(col("freq"), charsOf(col("tok")).as("syms"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    words.count()
+    val merges = Seq.newBuilder[(String, String)]
+    var done = false
+    var it = 0
+    while (it < nMerges && !done) {
+      val top = words
+        .select(col("freq"), explode(arrays_zip(
+          slice(col("syms"), lit(1), size(col("syms")) - 1).as("l"),
+          slice(col("syms"), lit(2), size(col("syms")) - 1).as("r"))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty || top.head.getAs[Long]("cnt") < minCount) done = true
+      else {
+        val (l, r) = (top.head.getAs[String]("l"), top.head.getAs[String]("r"))
+        merges += ((l, r))
+        val next = words.select(col("freq"),
+            call_function("bpe_merge_pair", col("syms"), lit(l), lit(r))
+              .as("syms"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        next.count() // materialize before releasing the parent generation
+        words.unpersist()
+        words = next
+        it += 1
+      }
+    }
+    words.unpersist()
+    MergeTable(merges.result())
+  }
+
+  /** Encode: split a word column into characters and fold the merge table
+    * in rank order — nMerges chained [[graft.plans.BpeMergePair]] calls,
+    * each a native codegen kernel. Linear in text size per merge; for very
+    * large tables prefer materializing a (word → syms) dictionary with
+    * this expression once and joining. */
+  def tokenize(word: Column, table: MergeTable): Column =
+    table.merges.foldLeft(charsOf(word)) { case (c, (l, r)) =>
+      call_function("bpe_merge_pair", c, lit(l), lit(r))
+    }
+}

@@ -50,7 +50,9 @@ object GraftFunctions {
     ("intersect_count_sorted", classOf[SortedIntersectCount], 2,
       (c: Seq[Expression]) => SortedIntersectCount(c(0), c(1))),
     ("token_hashes", classOf[SortedTokenHashes], 1,
-      (c: Seq[Expression]) => SortedTokenHashes(c(0))))
+      (c: Seq[Expression]) => SortedTokenHashes(c(0))),
+    ("bpe_merge_pair", classOf[BpeMergePair], 3,
+      (c: Seq[Expression]) => BpeMergePair(c(0), c(1), c(2))))
 
   /** Idempotently register every graft function into a live session (no-op
     * when GraftExtensions already injected them). */

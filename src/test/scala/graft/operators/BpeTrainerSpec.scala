@@ -1,0 +1,93 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins [[BpeTrainer]] against an independent in-memory reference BPE
+  * implementation (the textbook algorithm: count adjacent pairs over the
+  * word-frequency table, merge the most frequent left-to-right
+  * non-overlapping, repeat), on the classic low/lower/newest/widest
+  * corpus. Ties break (count DESC, left ASC, right ASC) in both. */
+class BpeTrainerSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference implementation, no Spark. */
+  private def referenceBpe(wordFreq: Map[String, Long],
+      nMerges: Int, minCount: Long): Seq[(String, String)] = {
+    var words: Map[Vector[String], Long] =
+      wordFreq.map { case (w, f) => w.map(_.toString).toVector -> f }
+    val out = Seq.newBuilder[(String, String)]
+    var done = false
+    var it = 0
+    while (it < nMerges && !done) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      words.foreach { case (syms, f) =>
+        syms.sliding(2).foreach {
+          case Vector(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + f
+          case _ =>
+        }
+      }
+      if (counts.isEmpty || counts.values.max < minCount) done = true
+      else {
+        val (pair, _) = counts.toSeq
+          .sortBy { case ((a, b), c) => (-c, a, b) }.head
+        out += pair
+        words = words.map { case (syms, f) =>
+          val merged = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == pair._1 &&
+              syms(i + 1) == pair._2) {
+              merged += (pair._1 + pair._2); i += 2
+            } else { merged += syms(i); i += 1 }
+          }
+          merged.result() -> f
+        }.groupMapReduce(_._1)(_._2)(_ + _)
+        it += 1
+      }
+    }
+    out.result()
+  }
+
+  private val corpus = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+    Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+
+  test("train() learns the reference merge sequence on the classic corpus") {
+    val docs = Seq(corpus.mkString(" ")).toDF("text")
+    val got = BpeTrainer.train(docs, nMerges = 10).merges
+    val want = referenceBpe(
+      corpus.groupBy(identity).map { case (w, ws) => w -> ws.size.toLong },
+      nMerges = 10, minCount = 2L)
+    assert(got == want, s"got $got\nwant $want")
+    assert(got.nonEmpty && got.size <= 10)
+  }
+
+  test("tokenize() applies the merge table: training words re-segment to their final symbols") {
+    val docs = Seq(corpus.mkString(" ")).toDF("text")
+    val table = BpeTrainer.train(docs, nMerges = 30, minCount = 2L)
+    // "newest" (freq 6) should compress into few symbols; an unseen word
+    // falls back toward characters; 1-char words pass through
+    val toks = Seq("newest", "lowest", "x")
+      .toDF("w").select(BpeTrainer.tokenize(col("w"), table).as("syms"))
+      .collect().map(_.getSeq[String](0).toList)
+    assert(toks(0).mkString == "newest", "segmentation must be lossless")
+    assert(toks(0).size < 6, s"trained word must compress: ${toks(0)}")
+    assert(toks(1).mkString == "lowest")
+    assert(toks(2) == List("x"))
+    // greedy left-to-right non-overlap: a run of a repeated pair merges
+    // pairwise from the left
+    val run = Seq("aaaa").toDF("w")
+      .select(call_function("bpe_merge_pair",
+        BpeTrainer.tokenize(col("w"), BpeTrainer.MergeTable(Nil)),
+        lit("a"), lit("a")).as("syms"))
+      .collect().head.getSeq[String](0).toList
+    assert(run == List("aa", "aa"), s"got $run")
+  }
+
+  test("training is deterministic across runs") {
+    val docs = Seq(corpus.mkString(" ")).toDF("text")
+    val a = BpeTrainer.train(docs, 8).merges
+    val b = BpeTrainer.train(docs, 8).merges
+    assert(a == b)
+  }
+}
