@@ -340,6 +340,19 @@ object ScaleBench {
             SimilarityJoin.staged(spark, docs, 0.8)(
               SimilarityJoin.jaccardBlocked(_, _)).count())
         }
+      case "bpe" =>
+        // BPE training cost vs corpus size: the loop folds to the
+        // distinct-word table first, so the per-iteration cost should
+        // track DISTINCT words (Heaps-sublinear), not corpus rows
+        Seq(1, 3, 10).foreach { m =>
+          val dir = s"/tmp/graft-scale/m$m"
+          val exists = new java.io.File(s"$dir/documents.parquet").exists()
+          if (!exists) synthDocs(spark, 5000L * m).write.mode("overwrite")
+            .parquet(s"$dir/documents.parquet")
+          val docs = spark.read.parquet(s"$dir/documents.parquet")
+          measured(spark, "bpe_train_20", m)(
+            operators.BpeTrainer.train(docs, nMerges = 20).merges.size.toLong)
+        }
       case "dedupreport" =>
         // one-pass DedupReport vs the contract-mandated independent
         // q66 + q79 re-run, interleaved A/B (CLAUDE.md: never conclude
@@ -357,7 +370,7 @@ object ScaleBench {
             finally rep.release()
           }
         }
-      case other => sys.error(s"unknown mode $other (docs|chains|q74ab|j37ab|dedupreport|ann)")
+      case other => sys.error(s"unknown mode $other (docs|chains|q74ab|j37ab|bpe|dedupreport|ann)")
     }
     spark.stop()
   }

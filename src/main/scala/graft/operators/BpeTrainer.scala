@@ -3,7 +3,6 @@ package graft.operators
 import graft.functions.TextFunctions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Byte-pair-encoding tokenizer TRAINING on Spark — the full loop whose
   * single first iteration is the oracled q99: repeatedly find the most
@@ -46,14 +45,22 @@ object BpeTrainer {
     * pairs and drop out naturally). Stops early when no adjacent pair
     * occurs at least `minCount` times. */
   def train(docs: DataFrame, nMerges: Int, minCount: Long = 2L): MergeTable = {
-    val spark = docs.sparkSession
+    // localCheckpoint per generation, NOT persist: a persist keeps the
+    // logical lineage, and the optimizer inlines each generation's
+    // bpe_merge_pair into BOTH of the next generation's slice() references
+    // (the CollapseProject duplication gotcha) — the expression tree
+    // doubles per iteration and a 20-merge run OOMs building plan strings
+    // before executing anything. Eager localCheckpoint truncates the plan
+    // at materialized blocks; superseded generations are released by the
+    // ContextCleaner as their references drop. A cluster deployment that
+    // must survive executor loss swaps in reliable checkpoints, the same
+    // trade [[ConnectedComponents.ReliableCheckpoints]] documents.
     var words = docs
       .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
       .filter(length(col("tok")) >= 2)
       .groupBy("tok").agg(count(lit(1)).as("freq"))
       .select(col("freq"), charsOf(col("tok")).as("syms"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    words.count()
+      .localCheckpoint(true)
     val merges = Seq.newBuilder[(String, String)]
     var done = false
     var it = 0
@@ -70,17 +77,13 @@ object BpeTrainer {
       else {
         val (l, r) = (top.head.getAs[String]("l"), top.head.getAs[String]("r"))
         merges += ((l, r))
-        val next = words.select(col("freq"),
+        words = words.select(col("freq"),
             call_function("bpe_merge_pair", col("syms"), lit(l), lit(r))
               .as("syms"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        next.count() // materialize before releasing the parent generation
-        words.unpersist()
-        words = next
+          .localCheckpoint(true)
         it += 1
       }
     }
-    words.unpersist()
     MergeTable(merges.result())
   }
 
