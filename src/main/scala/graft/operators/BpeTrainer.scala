@@ -18,10 +18,11 @@ import org.apache.spark.sql.functions._
   *    order) and one per-word kernel application
   *    ([[graft.plans.BpeMergePair]], native: left-to-right
   *    non-overlapping, the reference greedy semantics);
-  *  - the evolving (word, freq, syms) state is persisted per iteration
-  *    and the previous generation released after materialization — the
-  *    [[ConnectedComponents]] iteration discipline, so the plan never
-  *    nests and executor loss costs one iteration, not the run;
+  *  - the evolving (word, freq, syms) state is eagerly local-checkpointed
+  *    per generation (see the note in [[train]]: a plain persist leaves
+  *    the logical lineage in place and the optimizer doubles the inlined
+  *    merge-kernel tree per iteration), so the plan never nests;
+  *    superseded generations are dropped by the ContextCleaner;
   *  - the merge table itself is driver-sized by definition (nMerges
   *    rows), like [[IvfStorage]]'s centroid table.
   *
