@@ -346,8 +346,10 @@ object ScaleBench {
         // track DISTINCT words (Heaps-sublinear), not corpus rows
         Seq(1, 3, 10).foreach { m =>
           val dir = s"/tmp/graft-scale/m$m"
-          val exists = new java.io.File(s"$dir/documents.parquet").exists()
-          if (!exists) synthDocs(spark, 5000L * m).write.mode("overwrite")
+          // always regenerate (docs-mode discipline): an exists() shortcut
+          // would happily benchmark a stale or partially-written corpus
+          // left by a killed earlier run
+          synthDocs(spark, 5000L * m).write.mode("overwrite")
             .parquet(s"$dir/documents.parquet")
           val docs = spark.read.parquet(s"$dir/documents.parquet")
           measured(spark, "bpe_train_20", m)(

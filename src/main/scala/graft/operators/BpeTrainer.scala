@@ -39,7 +39,11 @@ object BpeTrainer {
   final case class MergeTable(merges: Seq[(String, String)])
 
   private def charsOf(c: Column): Column =
-    transform(sequence(lit(1), length(c)), i => c.substr(i, lit(1)))
+    // empty-string guard: ANSI sequence(1, 0) DESCENDS to [1, 0] (the
+    // TextFunctions.shingles gotcha) — an unguarded empty word would
+    // char-split to two phantom "" symbols on the public tokenize path
+    when(length(c) < 1, expr("array()").cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(c)), i => c.substr(i, lit(1))))
 
   /** Train `nMerges` merges over the corpus's whitespace words (the
     * [[TextFunctions.tokens]] convention, empty/1-char words carry no

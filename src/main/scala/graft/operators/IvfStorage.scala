@@ -73,31 +73,45 @@ object IvfStorage {
     def materialize(df: DataFrame): DataFrame =
       df.collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
         .toSeq.toDF("cent_id", "centroid")
-    var cents = materialize(embeddings
-      .select(col("vec_id"), col("embedding"),
-        xxhash64(col("vec_id")).as("h"))
-      .orderBy(col("h"), col("vec_id")).limit(k)
-      .select(row_number().over(org.apache.spark.sql.expressions.Window
-        .orderBy(col("h"), col("vec_id"))).cast("int").as("cent_id"),
-        col("embedding").as("centroid")))
-    var i = 0
-    while (i < iters) {
-      val means = assignCells(embeddings, cents)
-        .select(col("cent_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy("cent_id", "pos")
-        .agg((sum(col("v").cast("decimal(18,9)")).cast("double") /
-          count(lit(1))).as("c"))
-        .groupBy("cent_id")
-        .agg(expr(
-          "transform(array_sort(collect_list(struct(pos, c))), s -> CAST(s.c AS FLOAT))")
-          .as("new_centroid"))
-      // empty cells keep their previous centroid — k stays k
-      cents = materialize(cents.join(means, Seq("cent_id"), "left")
-        .select(col("cent_id"),
-          coalesce(col("new_centroid"), col("centroid")).as("centroid")))
-      i += 1
-    }
-    cents
+    // one scan of the input feeds seeding + every Lloyd's iteration
+    val input = embeddings.select(col("vec_id"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // seeds = the k DISTINCT vectors with the smallest xxhash64 of their
+      // min vec_id: deduping by vector first keeps duplicate-heavy corpora
+      // (the dedup fixtures run ~30% exact copies) from seeding two cells
+      // with identical centroids, one of which would stay empty forever
+      val seeds = materialize(input
+        .groupBy(col("embedding")).agg(min(col("vec_id")).as("vec_id"))
+        .select(col("vec_id"), col("embedding"),
+          xxhash64(col("vec_id")).as("h"))
+        .orderBy(col("h"), col("vec_id")).limit(k)
+        .select(row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("h"), col("vec_id"))).cast("int").as("cent_id"),
+          col("embedding").as("centroid")))
+      require(seeds.count() == k,
+        s"corpus has fewer than k=$k distinct vectors — a quantizer this " +
+        "fine cannot be fit; lower k")
+      var cents = seeds
+      var i = 0
+      while (i < iters) {
+        val means = assignCells(input, cents)
+          .select(col("cent_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy("cent_id", "pos")
+          .agg((sum(col("v").cast("decimal(18,9)")).cast("double") /
+            count(lit(1))).as("c"))
+          .groupBy("cent_id")
+          .agg(expr(
+            "transform(array_sort(collect_list(struct(pos, c))), s -> CAST(s.c AS FLOAT))")
+            .as("new_centroid"))
+        // empty cells keep their previous centroid — k stays k
+        cents = materialize(cents.join(means, Seq("cent_id"), "left")
+          .select(col("cent_id"),
+            coalesce(col("new_centroid"), col("centroid")).as("centroid")))
+        i += 1
+      }
+      cents
+    } finally input.unpersist()
   }
 
   /** Nearest-centroid assignment: all centroids pack into ONE broadcast

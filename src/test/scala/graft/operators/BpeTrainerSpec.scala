@@ -74,6 +74,12 @@ class BpeTrainerSpec extends SparkSpec {
     assert(toks(0).size < 6, s"trained word must compress: ${toks(0)}")
     assert(toks(1).mkString == "lowest")
     assert(toks(2) == List("x"))
+    // empty word → empty symbols, not two phantom "" (ANSI sequence(1,0)
+    // descends — the charsOf guard)
+    val empty = Seq("").toDF("w")
+      .select(BpeTrainer.tokenize(col("w"), table).as("syms"))
+      .collect().head.getSeq[String](0).toList
+    assert(empty == Nil, s"got $empty")
     // greedy left-to-right non-overlap: a run of a repeated pair merges
     // pairwise from the left
     val run = Seq("aaaa").toDF("w")
