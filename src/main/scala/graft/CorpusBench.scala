@@ -75,6 +75,18 @@ object CorpusBench {
         sq.stop(); spark.stop(); sys.exit(1)
       }
       val progresses = sq.recentProgress
+      // recentProgress is a BOUNDED ring (spark.sql.streaming
+      // .numRecentProgressUpdates, default 100): the per-run metrics below
+      // silently under-report if batches ever outgrow it (today ~4 batches
+      // at cpus/2 files per trigger — but a changed repartition factor or
+      // maxFilesPerTrigger must fail loudly here, not truncate)
+      val retention = spark.conf
+        .get("spark.sql.streaming.numRecentProgressUpdates", "100").toInt
+      require(progresses.length < retention,
+        s"run $r produced ${progresses.length} progress updates — at the " +
+        s"retention limit $retention the ring has likely dropped batches " +
+        "and kept/state maxima below would under-report; raise " +
+        "numRecentProgressUpdates or lower the batch count")
       val kept = progresses.map(_.sink.numOutputRows).filter(_ > 0).sum
       // both peaks are the max over batches of the SUM across the
       // pipeline's state operators (content-hash + fingerprint dedup
@@ -93,6 +105,10 @@ object CorpusBench {
         s""""state_rows_max":$stateRows,"state_bytes_max":$stateBytes}""")
       (sec, kept, stateRows, stateBytes)
     }
+    // the pipeline is deterministic, so every run must keep the same rows —
+    // the summary's single `kept` is only honest if that actually held
+    require(measured.map(_._2).distinct.size == 1,
+      s"kept diverged across runs: ${measured.map(_._2).mkString(", ")}")
     val medianSec = BenchUtil.medianOf(measured.map(_._1))
     val runsJson = BenchUtil.runsJson(measured.map(_._1))
     println(s"""{"metric":"corpus_throughput","docs":$n,""" +

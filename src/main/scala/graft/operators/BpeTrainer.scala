@@ -70,6 +70,14 @@ object BpeTrainer {
     var done = false
     var it = 0
     while (it < nMerges && !done) {
+      // tie-break NOTE: (cnt DESC, l, r) compares l/r in Spark's UTF8String
+      // order — byte-wise over UTF-8, i.e. CODE-POINT order. The spec's JVM
+      // reference (BpeTrainerSpec sortBy on java.lang.String) compares
+      // UTF-16 code UNITS; the two orders agree on all of the BMP but
+      // diverge for supplementary-plane symbols (surrogate pairs sort
+      // above U+E000..U+FFFF in UTF-16, below them in code-point order).
+      // The engine's CONTRACT is byte-wise UTF-8; the spec corpus is ASCII
+      // where both agree.
       val top = words
         .select(col("freq"), explode(arrays_zip(
           slice(col("syms"), lit(1), size(col("syms")) - 1).as("l"),

@@ -28,8 +28,16 @@ object MediaQueries extends QueryGroup {
     * elsewhere with a MODIFIED fixture diverges from the oracle's read
     * and fails the hash check, which is the correct outcome. */
   val fixtureDir: String = {
+    // accept the relative candidate only when it is recognizably THIS
+    // fixture set (README marker + exact file count): a driver run
+    // launched from a cwd that happens to contain an unrelated
+    // fixtures/media would otherwise scan different files than the
+    // oracle's absolute path and fail with a confusing hash diff
     val local = new java.io.File("fixtures/media")
-    if (local.isDirectory) local.getAbsolutePath else "/root/repo/fixtures/media"
+    val isFixtureSet = local.isDirectory &&
+      new java.io.File(local, "README").isFile &&
+      Option(local.list()).exists(_.length == 22)
+    if (isFixtureSet) local.getAbsolutePath else "/root/repo/fixtures/media"
   }
 
   private val q98: Q = (s, _) =>

@@ -96,7 +96,15 @@ object SimilarityJoin {
     * BASELINE.md: dense docs on a small vocabulary favor blocked, sparse
     * docs in huge blocks favor postings. Row identity with
     * [[postingsCount]] is spec-pinned (SimilarityJoinSpec); compose with
-    * [[staged]] for the dup-collapsed form. */
+    * [[staged]] for the dup-collapsed form.
+    *
+    * PRECONDITION (all jaccard* variants, same as the object header): `w`
+    * must be DISTINCT per row. The denominator uses the RAW array sizes
+    * (na + nb − inter) while `inter` counts distinct shared hashes — a
+    * caller passing duplicate tokens gets a silently DEFLATED Jaccard
+    * here (and a different, also-wrong degradation from [[postingsCount]];
+    * the spec-pinned row identity only holds for distinct inputs). Apply
+    * `array_distinct` upstream, as every in-repo caller does. */
   def jaccardBlocked(docs: DataFrame, tau: Double,
       metricName: String = "sj_pairs_jblocked"): DataFrame =
     blockedPairsWithInter(docs, metricName, sizePruneTau = Some(tau))
@@ -354,7 +362,8 @@ object SimilarityJoin {
 
   /** [[jaccardBlocked]] under triangular tiling — [[overlapBlockedTiled]]'s
     * Jaccard twin, same [[tiledSelfPairs]] machinery over the hashed
-    * projection. */
+    * projection. Shares [[jaccardBlocked]]'s distinct-`w` PRECONDITION
+    * (raw-size denominator vs distinct-hash intersection). */
   def jaccardBlockedTiled(docs: DataFrame, tau: Double, chunks: Int = 8,
       metricName: String = "sj_pairs_jtiled"): DataFrame =
     tiledPairsWithInter(docs, chunks, metricName, sizePruneTau = Some(tau))
