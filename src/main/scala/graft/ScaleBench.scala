@@ -352,8 +352,19 @@ object ScaleBench {
           synthDocs(spark, 5000L * m).write.mode("overwrite")
             .parquet(s"$dir/documents.parquet")
           val docs = spark.read.parquet(s"$dir/documents.parquet")
-          measured(spark, "bpe_train_20", m)(
-            operators.BpeTrainer.train(docs, nMerges = 20).merges.size.toLong)
+          var table: operators.BpeTrainer.MergeTable = null
+          measured(spark, "bpe_train_20", m) {
+            table = operators.BpeTrainer.train(docs, nMerges = 20)
+            table.merges.size.toLong
+          }
+          // encode throughput through the dictionary join (q100's path):
+          // "rows" here = TOTAL BPE TOKENS EMITTED, so tokens/s =
+          // rows / wall_sec; the per-word fold cost is paid once per
+          // DISTINCT word, so the wall should track corpus size (the
+          // join-back) with a Heaps-sublinear dictionary term
+          measured(spark, "bpe_encode_dict", m)(
+            operators.BpeTrainer.tokenizeViaDictionary(docs, table)
+              .agg(sum(size(col("bpe")))).head().getLong(0))
         }
       case "dedupreport" =>
         // one-pass DedupReport vs the contract-mandated independent

@@ -102,11 +102,77 @@ object BpeTrainer {
 
   /** Encode: split a word column into characters and fold the merge table
     * in rank order — nMerges chained [[graft.plans.BpeMergePair]] calls,
-    * each a native codegen kernel. Linear in text size per merge; for very
-    * large tables prefer materializing a (word → syms) dictionary with
-    * this expression once and joining. */
+    * each a native codegen kernel. Fine for SMALL tables (tests, the q100
+    * fixed table); a real 32k-merge vocabulary means a 32k-deep expression
+    * tree that breaks analysis/codegen long before it runs — corpus encode
+    * at that scale goes through [[tokenizeViaDictionary]]. */
   def tokenize(word: Column, table: MergeTable): Column =
     table.merges.foldLeft(charsOf(word)) { case (c, (l, r)) =>
       call_function("bpe_merge_pair", c, lit(l), lit(r))
     }
+
+  /** Fold the merge table over a `symsCol: array<string>` column in rank
+    * order, `batch` kernel calls per GENERATION with an eager
+    * localCheckpoint between generations — the plan never carries more
+    * than `batch` chained [[graft.plans.BpeMergePair]] calls, so a 32k-
+    * merge vocabulary is ~500 shallow generations instead of one 32k-deep
+    * expression tree (which dies in analysis — and, per the [[train]]
+    * note, would double under CollapseProject at any shared reference).
+    * Exactly [[tokenize]]'s semantics: merge k is applied to the WHOLE
+    * symbol sequence (left-to-right, non-overlapping) before merge k+1,
+    * for ANY merge table — no consistency assumption. */
+  def applyMerges(words: DataFrame, symsCol: String, table: MergeTable,
+      batch: Int = 64): DataFrame = {
+    require(batch >= 1, s"batch must be ≥ 1: $batch")
+    val generations = table.merges.grouped(batch).toSeq
+    generations.zipWithIndex.foldLeft(words) { case (df, (gen, i)) =>
+      val applied = df.withColumn(symsCol,
+        gen.foldLeft(col(symsCol)) { case (c, (l, r)) =>
+          call_function("bpe_merge_pair", c, lit(l), lit(r))
+        })
+      // the LAST generation stays lazy — callers decide materialization
+      if (i < generations.size - 1) applied.localCheckpoint(true) else applied
+    }
+  }
+
+  /** Corpus ENCODE at vocabulary scale — the dictionary-join decomposition
+    * (the same distinct-word collapse [[train]] and q99 use, Heaps' law
+    * keeping the dictionary sublinear in corpus size):
+    *
+    *  1. distinct words → character split → [[applyMerges]] (bounded-depth
+    *     batched fold), materialized ONCE as the (tok → syms) dictionary —
+    *     per-word encode cost is paid per DISTINCT word, not per
+    *     occurrence, and the checkpoint gives the join real size stats
+    *     (a Heaps-sized dictionary broadcast-joins while it fits, falls
+    *     back to shuffle when it outgrows the threshold — the optimizer
+    *     decides from measured bytes, not a guess);
+    *  2. posexplode the corpus's words (position kept), equi-join the
+    *     dictionary on the word, and reassemble each document's symbol
+    *     stream in order (array_sort on the (pos, syms) structs → flatten
+    *     — the [[IvfStorage.labelCentroids]] collect_list shape).
+    *
+    * Input needs (doc_id, text); null-text rows are dropped (the q95
+    * convention). Output: (doc_id, bpe: array<string>) — the document's
+    * BPE token sequence under `table`, row-equal to folding [[tokenize]]
+    * over every word in place (spec-pinned, BpeTrainerSpec) at a per-word
+    * cost independent of document length. Oracled end-to-end as q100
+    * against DuckDB's recursive-CTE merge fold. */
+  def tokenizeViaDictionary(docs: DataFrame, table: MergeTable,
+      batch: Int = 64): DataFrame = {
+    val live = docs.filter(col("text").isNotNull)
+    val dict = applyMerges(
+      live.select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .distinct()
+        .select(col("tok"), charsOf(col("tok")).as("syms")),
+      "syms", table, batch)
+      .localCheckpoint(true)
+    live
+      .select(col("doc_id"),
+        posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "tok")))
+      .join(dict, "tok")
+      .groupBy("doc_id")
+      .agg(expr(
+        "flatten(transform(array_sort(collect_list(struct(pos, syms))), s -> s.syms))")
+        .as("bpe"))
+  }
 }

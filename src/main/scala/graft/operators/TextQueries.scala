@@ -310,6 +310,35 @@ object TextQueries extends QueryGroup {
       .orderBy(col("cnt").desc, col("pair"))
       .limit(50)
 
+  /** Q100: BPE corpus encode through the dictionary join — the
+    * [[BpeTrainer.tokenizeViaDictionary]] path (distinct-word dictionary →
+    * batched merge fold → position-preserving join back), under a FIXED
+    * 11-merge table with cascading merges ((t,h)→th then (th,e)→the;
+    * (j,o)→jo→joi→join collapses a whole word), so the fold order itself
+    * is load-bearing. Output is exact: token count (BIGINT) + md5 of the
+    * space-joined symbol stream. The DuckDB oracle folds the same table
+    * with a recursive CTE over merge rank (the q88 machinery), applying
+    * each merge via a seeded list_reduce that mirrors the kernel's
+    * left-to-right non-overlapping scan: the accumulator's last symbol
+    * merges with the incoming one iff they equal (l, r) — equivalent to
+    * the scan because a merged symbol l||r never equals l (r nonempty),
+    * so a fresh merge can never chain onto the pair it just consumed. */
+  private val q100: Q = (s, d) =>
+    BpeTrainer.tokenizeViaDictionary(Tables.documents(s, d), q100Table)
+      .select(col("doc_id"),
+        size(col("bpe")).cast("long").as("n_bpe"),
+        md5(concat_ws(" ", col("bpe")).cast("binary")).as("bpe_fp"))
+      .orderBy("doc_id")
+
+  /** The q100 fixed merge table — mirrored verbatim in the oracle's VALUES
+    * list; ranks are positions. CONSISTENT ordering (every side is a
+    * single char or an earlier merge's output), the property trained
+    * tables have by construction. */
+  private[operators] val q100Table = BpeTrainer.MergeTable(Seq(
+    "e" -> "r", "t" -> "h", "th" -> "e", "a" -> "t", "s" -> "t",
+    "o" -> "r", "j" -> "o", "jo" -> "i", "joi" -> "n", "a" -> "n",
+    "d" -> "at"))
+
   val queries: Seq[(String, Q)] = Seq(
     "q33_text_topwords" -> q33,
     "q34_text_docstats" -> q34,
@@ -327,6 +356,7 @@ object TextQueries extends QueryGroup {
     "q94_vocab_coverage" -> q94,
     "q95_token_familiarity" -> q95,
     "q99_bpe_pair_counts" -> q99,
+    "q100_bpe_encode" -> q100,
   )
 
   val oracles: Map[String, String] = Map(
@@ -511,5 +541,40 @@ object TextQueries extends QueryGroup {
         |SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
         |FROM pairs GROUP BY pair
         |ORDER BY cnt DESC, pair LIMIT 50""".stripMargin,
+
+    // recursive-CTE fold of the fixed merge table over the distinct-word
+    // dictionary, then a zipped-unnest position join back to documents —
+    // the list_reduce mirrors bpe_merge_pair's left-to-right
+    // non-overlapping scan (see q100's scaladoc for the equivalence)
+    "q100_bpe_encode" ->
+      """WITH RECURSIVE m(rank, l, r) AS (
+        |  VALUES (1,'e','r'),(2,'t','h'),(3,'th','e'),(4,'a','t'),(5,'s','t'),
+        |         (6,'o','r'),(7,'j','o'),(8,'jo','i'),(9,'joi','n'),(10,'a','n'),
+        |         (11,'d','at')),
+        |w AS (SELECT DISTINCT unnest(string_split(lower(text), ' ')) AS tok
+        |      FROM documents WHERE text IS NOT NULL),
+        |enc AS (
+        |  SELECT tok,
+        |    list_transform(range(1, length(tok) + 1), i -> substring(tok, i, 1)) AS syms,
+        |    0 AS k
+        |  FROM w
+        |  UNION ALL
+        |  SELECT e.tok,
+        |    list_reduce(
+        |      list_prepend(CAST([] AS VARCHAR[]), list_transform(e.syms, s -> [s])),
+        |      (acc, x) -> CASE WHEN len(acc) > 0 AND acc[len(acc)] = m.l AND x[1] = m.r
+        |                  THEN list_append(acc[1:len(acc)-1], m.l || m.r)
+        |                  ELSE list_append(acc, x[1]) END),
+        |    e.k + 1
+        |  FROM enc e JOIN m ON m.rank = e.k + 1),
+        |d AS (SELECT tok, syms FROM enc WHERE k = 11),
+        |tp AS (
+        |  SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, unnest(toks) AS tok
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |        FROM documents WHERE text IS NOT NULL))
+        |SELECT tp.doc_id, CAST(sum(len(d.syms)) AS BIGINT) AS n_bpe,
+        |  md5(array_to_string(flatten(list(d.syms ORDER BY tp.pos)), ' ')) AS bpe_fp
+        |FROM tp JOIN d USING (tok)
+        |GROUP BY tp.doc_id ORDER BY tp.doc_id""".stripMargin,
   )
 }

@@ -90,6 +90,43 @@ class BpeTrainerSpec extends SparkSpec {
     assert(run == List("aa", "aa"), s"got $run")
   }
 
+  test("tokenizeViaDictionary ≡ folding tokenize over every word in place") {
+    // repeated words (dictionary collapse must not change multiplicity),
+    // a double space (empty token → zero symbols), a 1-char word, an
+    // unseen word, and a null text (dropped on both paths)
+    val docs = Seq(
+      (0L, corpus.mkString(" ")),
+      (1L, "low lower  x lowest"),
+      (2L, "newest widest newest"),
+      (3L, ""),
+      (4L, null)).toDF("doc_id", "text")
+    val table = BpeTrainer.train(docs, 12)
+    assert(table.merges.size >= 4, s"corpus must train real merges: $table")
+    def collectBpe(df: org.apache.spark.sql.DataFrame): Map[Long, List[String]] =
+      df.collect().map(r =>
+        r.getAs[Long]("doc_id") -> r.getSeq[String](1).toList).toMap
+    // batch = 3 forces multiple checkpointed generations; 64 covers the
+    // single-generation path — both must equal the plain per-word fold
+    val direct = collectBpe(docs
+      .select(col("doc_id"), posexplode(graft.functions.TextFunctions
+        .tokens(col("text"))).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos"),
+        BpeTrainer.tokenize(col("tok"), table).as("syms"))
+      .groupBy("doc_id")
+      .agg(expr("flatten(transform(array_sort(collect_list(struct(pos, syms))), s -> s.syms))")
+        .as("bpe")))
+    for (batch <- Seq(3, 64)) {
+      val viaDict = collectBpe(
+        BpeTrainer.tokenizeViaDictionary(docs, table, batch = batch))
+      assert(viaDict == direct, s"batch=$batch:\ngot  $viaDict\nwant $direct")
+    }
+    // segmentation is lossless: concatenating a doc's symbols restores its
+    // space-stripped text
+    val doc0 = direct(0L).mkString
+    assert(doc0 == corpus.mkString(" ").replace(" ", ""))
+    assert(!direct.contains(4L), "null text must be dropped")
+  }
+
   test("training is deterministic across runs") {
     val docs = Seq(corpus.mkString(" ")).toDF("text")
     val a = BpeTrainer.train(docs, 8).merges
