@@ -357,6 +357,38 @@ object ScaleBench {
             table = operators.BpeTrainer.train(docs, nMerges = 20)
             table.merges.size.toLong
           }
+          // batched-pass training at a real-ish merge count: 2 jobs per
+          // PASS instead of sequential's 2 per merge, table spec-pinned
+          // identical — the pass count here is the whole claim
+          var batchSizes: Seq[Int] = Nil
+          measured(spark, "bpe_train_batched_200", m) {
+            val (t, sizes) = operators.BpeTrainer
+              .trainBatchedWithStats(docs, nMerges = 200)
+            batchSizes = sizes
+            t.merges.size.toLong
+          }
+          println(s"""{"bench":"bpe_batched","mult":$m,""" +
+            s""""merges":${batchSizes.sum},"passes":${batchSizes.length},""" +
+            s""""jobs":${2 * batchSizes.length},""" +
+            s""""seq_jobs":${2 * batchSizes.sum},""" +
+            s""""batch_sizes":[${batchSizes.mkString(",")}]}""")
+          // approximate batching (skip interactors, no ceiling): the
+          // job-count regime a 32k-merge vocabulary actually needs
+          var approxSizes: Seq[Int] = Nil
+          measured(spark, "bpe_train_approx_200", m) {
+            val (t, sizes) = operators.BpeTrainer
+              .trainBatchedWithStats(docs, nMerges = 200, exact = false)
+            approxSizes = sizes
+            t.merges.size.toLong
+          }
+          println(s"""{"bench":"bpe_batched_approx","mult":$m,""" +
+            s""""merges":${approxSizes.sum},"passes":${approxSizes.length},""" +
+            s""""jobs":${2 * approxSizes.length},""" +
+            s""""seq_jobs":${2 * approxSizes.sum}}""")
+          if (m == 1)
+            measured(spark, "bpe_train_seq_200", m)(
+              operators.BpeTrainer.train(docs, nMerges = 200)
+                .merges.size.toLong)
           // encode throughput through the dictionary join (q100's path):
           // "rows" here = TOTAL BPE TOKENS EMITTED, so tokens/s =
           // rows / wall_sec; the per-word fold cost is paid once per

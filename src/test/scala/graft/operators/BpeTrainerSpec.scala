@@ -127,6 +127,71 @@ class BpeTrainerSpec extends SparkSpec {
     assert(!direct.contains(4L), "null text must be dropped")
   }
 
+  test("trainBatched learns the sequential merge table exactly (classic corpus)") {
+    val docs = Seq(corpus.mkString(" ")).toDF("text")
+    val want = BpeTrainer.train(docs, nMerges = 30).merges
+    for (maxBatch <- Seq(1, 4, 64)) {
+      val (got, sizes) = BpeTrainer.trainBatchedWithStats(
+        docs, nMerges = 30, maxBatch = maxBatch)
+      assert(got.merges == want, s"maxBatch=$maxBatch:\ngot  ${got.merges}\nwant $want")
+      assert(sizes.sum == got.merges.size)
+      if (maxBatch == 1)
+        assert(sizes.forall(_ == 1), "maxBatch=1 must degrade to sequential")
+    }
+    // with real batching the pass count must actually drop
+    val (_, sizes64) = BpeTrainer.trainBatchedWithStats(docs, 30, maxBatch = 64)
+    assert(sizes64.length < want.size,
+      s"expected fewer passes than merges, got ${sizes64.length} passes " +
+        s"for ${want.size} merges (sizes $sizes64)")
+  }
+
+  test("trainBatched ≡ the sequential reference on randomized corpora (incl. tight topN cutoff)") {
+    // adversarial shapes on a tiny alphabet: long single-char runs
+    // (overlapping-merge semantics), heavy ties, product strings that
+    // collide with pre-existing symbols ("aa" exists before (a,a) merges)
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      val alphabet = "abc"
+      val words = (1 to 40).map { _ =>
+        val len = 2 + rnd.nextInt(7)
+        val w = (1 to len).map(_ => alphabet(rnd.nextInt(alphabet.length)))
+          .mkString
+        w -> (1L + rnd.nextInt(9))
+      }.groupMapReduce(_._1)(_._2)(_ + _)
+      val text = words.toSeq.sortBy(_._1)
+        .flatMap { case (w, f) => Seq.fill(f.toInt)(w) }.mkString(" ")
+      val docs = Seq(text).toDF("text")
+      val want = referenceBpe(words, nMerges = 15, minCount = 2L)
+      for (topN <- Seq(16, 8192)) {
+        val got = BpeTrainer.trainBatched(docs, nMerges = 15,
+          maxBatch = 8, topN = topN).merges
+        assert(got == want,
+          s"seed=$seed topN=$topN:\ngot  $got\nwant $want")
+      }
+    }
+  }
+
+  test("approximate batching: deterministic, full table, far fewer passes") {
+    val docs = Seq(corpus.mkString(" ")).toDF("text")
+    val (exactT, exactSizes) =
+      BpeTrainer.trainBatchedWithStats(docs, 20, maxBatch = 8)
+    val (a1, s1) = BpeTrainer.trainBatchedWithStats(docs, 20,
+      maxBatch = 8, exact = false)
+    val (a2, _) = BpeTrainer.trainBatchedWithStats(docs, 20,
+      maxBatch = 8, exact = false)
+    assert(a1.merges == a2.merges, "approximate mode must be deterministic")
+    assert(a1.merges.size == exactT.merges.size,
+      "same trainable-merge budget on this corpus")
+    assert(s1.length < exactSizes.length,
+      s"skip-interactors must need fewer passes: approx ${s1.length} vs " +
+        s"exact ${exactSizes.length}")
+    // a table learned approximately still segments losslessly
+    val seg = Seq("newest").toDF("w")
+      .select(BpeTrainer.tokenize(col("w"), a1).as("syms"))
+      .collect().head.getSeq[String](0)
+    assert(seg.mkString == "newest")
+  }
+
   test("training is deterministic across runs") {
     val docs = Seq(corpus.mkString(" ")).toDF("text")
     val a = BpeTrainer.train(docs, 8).merges
