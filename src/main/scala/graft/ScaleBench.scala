@@ -252,6 +252,19 @@ object ScaleBench {
               .select(col("q_id"), col("vec_id"),
                 cosineNative(col("embedding"), col("q_emb")).as("cos")))
           val cents = IvfStorage.labelCentroids(e)
+          // nearest_centroid kernel A/B at the top multiplier: native
+          // codegen scan vs the interpreted HOF fold it replaced (the
+          // assignment inside ivf_build / kmeans refit / q51/q54),
+          // interleaved ×2 per the CLAUDE.md noise rules; sum(cent_id)
+          // forces the assignment column (count() would prune it)
+          if (m == 10) (1 to 2).foreach { r =>
+            measured(spark, s"ivf_assign_native_r$r", m)(
+              IvfStorage.assignCells(e, cents)
+                .agg(sum(col("cent_id"))).head().getLong(0))
+            measured(spark, s"ivf_assign_hof_r$r", m)(
+              IvfStorage.assignCellsReference(e, cents)
+                .agg(sum(col("cent_id"))).head().getLong(0))
+          }
           measured(spark, "ann_exact_topk", m)(exactTop.count())
           measured(spark, "ann_lsh_topk", m)(lshTop.count())
           measured(spark, "ann_dedup_q70", m)(

@@ -115,22 +115,52 @@ object IvfStorage {
   }
 
   /** Nearest-centroid assignment: all centroids pack into ONE broadcast
-    * row and the argmax is a per-row fold — no crossJoin row expansion
-    * (corpus × n_centroids), no Window shuffle over vec_id. */
+    * row and the argmax is a per-row scan — no crossJoin row expansion
+    * (corpus × n_centroids), no Window shuffle over vec_id.
+    *
+    * The scan is the native `nearest_centroid` codegen kernel when
+    * `cent_id` is int (the engine's own layouts: labels, kmeans ids) —
+    * this is the IVF build/probe hot loop at corpus scale, and the HOF
+    * `aggregate` formulation is interpreted per row × per centroid (the
+    * CLAUDE.md gotcha). Any other cent_id type falls back to that HOF
+    * fold, which remains the spec-pinned semantic reference
+    * (NativeExpressionsSpec pins the kernel bit-equal to it, including
+    * tie, NaN/zero-vector, length-mismatch and empty-array edges). */
   def assignCells(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
     val centArr = centroids
       .agg(array_sort(collect_list(struct(col("cent_id"), col("centroid")))).as("cents"))
-    val best: Column = aggregate(col("cents"),
+    val joined = embeddings.crossJoin(broadcast(centArr))
+    val assigned =
+      if (centroids.schema("cent_id").dataType ==
+          org.apache.spark.sql.types.IntegerType)
+        joined.withColumn("cent_id",
+          call_function("nearest_centroid", col("embedding"), col("cents")))
+      else
+        joined.withColumn("cent_id", hofNearest.getField("cid"))
+    assigned.drop("cents")
+  }
+
+  /** [[assignCells]] forced through the interpreted HOF fold — the
+    * semantic reference, kept callable for the ScaleBench kernel A/B. */
+  private[graft] def assignCellsReference(embeddings: DataFrame,
+      centroids: DataFrame): DataFrame = {
+    val centArr = centroids
+      .agg(array_sort(collect_list(struct(col("cent_id"), col("centroid")))).as("cents"))
+    embeddings.crossJoin(broadcast(centArr))
+      .withColumn("cent_id", hofNearest.getField("cid"))
+      .drop("cents")
+  }
+
+  /** The interpreted HOF argmax fold — [[assignCells]]'s fallback for
+    * non-int cent_id and the kernel's semantic reference. */
+  private def hofNearest: Column =
+    aggregate(col("cents"),
       struct(lit(-2.0).as("sim"), lit(-1).as("cid")),
       (acc, c) => {
         val sim = cosineNative(col("embedding"), c.getField("centroid"))
         when(sim > acc.getField("sim"),
           struct(sim.as("sim"), c.getField("cent_id").as("cid"))).otherwise(acc)
       })
-    embeddings.crossJoin(broadcast(centArr))
-      .withColumn("cent_id", best.getField("cid"))
-      .drop("cents")
-  }
 
   /** One-time reorganization: embeddings partitioned by IVF cell. */
   def writeCellPartitioned(embeddings: DataFrame, centroids: DataFrame,

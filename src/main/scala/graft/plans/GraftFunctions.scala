@@ -52,7 +52,9 @@ object GraftFunctions {
     ("token_hashes", classOf[SortedTokenHashes], 1,
       (c: Seq[Expression]) => SortedTokenHashes(c(0))),
     ("bpe_merge_pair", classOf[BpeMergePair], 3,
-      (c: Seq[Expression]) => BpeMergePair(c(0), c(1), c(2))))
+      (c: Seq[Expression]) => BpeMergePair(c(0), c(1), c(2))),
+    ("nearest_centroid", classOf[NearestCentroid], 2,
+      (c: Seq[Expression]) => NearestCentroid(c(0), c(1))))
 
   /** Idempotently register every graft function into a live session (no-op
     * when GraftExtensions already injected them). */

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, StructType}
 
 /** Native Catalyst expressions for dense float-vector math (SURVEY §7's one
   * planned custom-Expression item). The higher-order-function formulation
@@ -69,6 +69,92 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |}
        """.stripMargin
     })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Kernel for [[NearestCentroid]], shared by eval and codegen (the
+  * [[BpeMergePairImpl]] pattern). Semantics mirror the interpreted HOF
+  * fold it replaces (IvfStorage.assignCells' `aggregate` — kept as the
+  * spec-pinned reference) BIT-EXACTLY:
+  *  - cosine accumulates dot/na/nb in doubles, in element order;
+  *  - scan is cent_id-ascending (callers pass an array_sort'ed array) and
+  *    replaces only on STRICTLY greater similarity — ties keep the
+  *    smallest cent_id;
+  *  - a NaN cosine (zero vector) never beats: `NaN > best` is false, the
+  *    same outcome the HOF's `when(sim > acc.sim, …)` produces;
+  *  - a length-mismatched centroid contributes null cosine in the HOF
+  *    (when(null, …) → otherwise) — here it is skipped, same outcome;
+  *  - an empty centroid array yields -1 (the HOF's seed cid). */
+object NearestCentroidImpl {
+  def nearest(emb: ArrayData, cents: ArrayData): Int = {
+    val nc = cents.numElements()
+    var best = -2.0
+    var bestId = -1
+    var c = 0
+    while (c < nc) {
+      if (!cents.isNullAt(c)) {
+        val s = cents.getStruct(c, 2)
+        val cent = s.getArray(1)
+        if (cent != null && cent.numElements() == emb.numElements()) {
+          val n = emb.numElements()
+          var dot = 0.0; var na = 0.0; var nb = 0.0
+          var i = 0
+          while (i < n) {
+            val xi = emb.getFloat(i).toDouble
+            val yi = cent.getFloat(i).toDouble
+            dot += xi * yi; na += xi * xi; nb += yi * yi
+            i += 1
+          }
+          val sim = dot / (math.sqrt(na) * math.sqrt(nb))
+          if (sim > best) { best = sim; bestId = s.getInt(0) }
+        }
+      }
+      c += 1
+    }
+    bestId
+  }
+}
+
+/** nearest_centroid(embedding array<float>,
+  *                  cents array<struct<cent_id int, centroid array<float>>>)
+  * → int: argmax-cosine cell assignment against a (broadcast) centroid
+  * array — the IVF build/probe hot loop ([[graft.operators.IvfStorage]]:
+  * every corpus row in assignCells, every Lloyd's iteration in
+  * kmeansCentroids). Native because the HOF `aggregate` formulation is
+  * interpreted per row × per centroid (the CLAUDE.md gotcha), and a
+  * lambda would not canonicalize ([[SortedTokenHashes]]'s lesson).
+  * Struct fields are positional: (cent_id, centroid). */
+case class NearestCentroid(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def prettyName: String = "nearest_centroid"
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(s: StructType, _))
+          if s.length == 2 && s(0).dataType == IntegerType &&
+            (s(1).dataType match {
+              case ArrayType(FloatType, _) => true
+              case _ => false
+            }) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<float>, array<struct<int, array<float>>>), got " +
+          s"(${left.dataType.simpleString(40)}, ${right.dataType.simpleString(40)})")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    NearestCentroidImpl.nearest(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.NearestCentroidImpl.nearest($a, $b);")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

@@ -63,6 +63,45 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(got == Seq(1, 1, 0, 0, 2), s"got $got")
   }
 
+  test("nearest_centroid native ≡ interpreted HOF argmax fold (incl. tie/NaN/mismatch/empty edges)") {
+    // real table: label centroids over the embeddings fixture — every row
+    // assigned by both formulations must agree exactly
+    val cents = graft.operators.IvfStorage.labelCentroids(emb)
+    val centArr = cents.agg(array_sort(
+      collect_list(struct(col("cent_id"), col("centroid")))).as("cents"))
+    val hof = aggregate(col("cents"),
+      struct(lit(-2.0).as("sim"), lit(-1).as("cid")),
+      (acc, c) => {
+        val sim = VectorFunctions.cosineNative(col("embedding"), c.getField("centroid"))
+        when(sim > acc.getField("sim"),
+          struct(sim.as("sim"), c.getField("cent_id").as("cid"))).otherwise(acc)
+      }).getField("cid")
+    val both = emb.crossJoin(broadcast(centArr)).select(
+      call_function("nearest_centroid", col("embedding"), col("cents")).as("native"),
+      hof.as("hofv"))
+    assert(both.count() > 0)
+    assert(both.filter(col("native") =!= col("hofv")).count() == 0)
+    // constructed edges: exact tie (two identical centroids → smallest
+    // cent_id), zero vector (NaN cosine everywhere → -1 seed), a
+    // length-mismatched centroid (skipped), empty centroid array (-1)
+    val c2 = Seq(
+      (1, Seq(1.0f, 0.0f)), (2, Seq(1.0f, 0.0f)), (3, Seq(0.0f, 1.0f)),
+      (4, Seq(1.0f, 1.0f, 1.0f))).toDF("cent_id", "centroid")
+    val e2 = Seq(
+      (10L, Seq(2.0f, 0.1f)),   // nearest = tie-free cell 1
+      (11L, Seq(1.0f, 1.0f)),   // exact tie between 1 and 3 → … cosine equal? 45° to both → tie → 1
+      (12L, Seq(0.0f, 0.0f)),   // zero vector: NaN cosine → -1
+      (13L, Seq(0.1f, 5.0f))).toDF("vec_id", "embedding")
+    val assigned = graft.operators.IvfStorage.assignCells(e2, c2)
+      .orderBy("vec_id").select("cent_id").collect().map(_.getInt(0)).toSeq
+    assert(assigned == Seq(1, 1, -1, 3), s"got $assigned")
+    // empty centroid table → every row -1 (the HOF seed)
+    val none = graft.operators.IvfStorage.assignCells(e2,
+      c2.filter(col("cent_id") > 99))
+      .select("cent_id").collect().map(_.getInt(0)).toSeq
+    assert(none == Seq(-1, -1, -1, -1), s"got $none")
+  }
+
   test("intersect_count_sorted over hashed projections ≡ intersect_count on the strings") {
     // the production composition: per-doc token_hashes (native sorted
     // distinct xxhash64 projection) feeding the merge kernel must count
