@@ -290,6 +290,42 @@ object ScaleBench {
           }
           val ivfTop = ivfProbeTop(2)
           measured(spark, "ivf_probe_batch", m)(ivfTop.count())
+          // int8-quantized lake: build (pack to 1 byte/dim, cell-
+          // partitioned), then the same batch probe shape with the
+          // quantized_cosine pre-rank + exact re-rank on the shortlist —
+          // recall delta vs the float probe at the SAME nProbe isolates
+          // the quantization loss
+          val qparams = IvfStorage.quantizationParams(e)
+          measured(spark, "quant_build", m) {
+            IvfStorage.writeQuantizedCellPartitioned(e, cents, qparams,
+              s"$dir/qivf")
+            spark.read.parquet(s"$dir/qivf").count()
+          }
+          val paramArr = qparams.agg(array_sort(
+            collect_list(struct(col("pos"), col("mn"), col("mx"))))
+            .as("qparams"))
+          def quantProbeTop(nProbe: Int, preK: Int): DataFrame = {
+            val qc = cents.crossJoin(broadcast(queries))
+              .withColumn("rn", row_number().over(Window.partitionBy("q_id")
+                .orderBy(cosineNative(col("centroid"), col("q_emb"))
+                  .desc_nulls_last, col("cent_id"))))
+              .filter(col("rn") <= nProbe).select("q_id", "q_emb", "cent_id")
+            val pre = spark.read.parquet(s"$dir/qivf")
+              .join(broadcast(qc), "cent_id")
+              .crossJoin(broadcast(paramArr))
+              .select(col("q_id"), col("q_emb"), col("vec_id"),
+                call_function("quantized_cosine", col("codes"),
+                  col("qparams"), col("q_emb")).as("qcos"))
+              .withColumn("rn", row_number().over(Window.partitionBy("q_id")
+                .orderBy(col("qcos").desc_nulls_last, col("vec_id"))))
+              .filter(col("rn") <= preK)
+              .select("q_id", "q_emb", "vec_id")
+            topk(pre.join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+              .select(col("q_id"), col("vec_id"),
+                cosineNative(col("embedding"), col("q_emb")).as("cos")))
+          }
+          val quantTop = quantProbeTop(2, 40)
+          measured(spark, "quant_probe_batch", m)(quantTop.count())
           // recall@10 vs exact, averaged over the query set
           def sets(df: DataFrame): Map[Long, Set[Long]] =
             df.collect().groupBy(_.getLong(0))
@@ -301,6 +337,20 @@ object ScaleBench {
             }.sum / ex.size
           val lshR = recall(sets(lshTop))
           val ivfR = recall(sets(ivfTop))
+          val quantR = recall(sets(quantTop))
+          // preK sweep: how fast the exact re-rank recovers the
+          // quantizer's rank errors as the shortlist grows
+          val quantSweep = Seq(10, 20, 80).map(p =>
+            s""""quant_recall_k$p":${recall(sets(quantProbeTop(2, p)))}""")
+            .mkString(",")
+          def dirBytes(p: String): Long = {
+            def walk(f: java.io.File): Long =
+              if (f.isDirectory) f.listFiles().map(walk).sum
+              else if (f.getName.endsWith(".parquet")) f.length else 0L
+            walk(new java.io.File(p))
+          }
+          val quantBytes = dirBytes(s"$dir/qivf")
+          val floatBytes = dirBytes(s"$dir/ivf")
           // parameter-scaling sweep: how fast recall recovers as nProbe
           // grows with the cell count, and what one more Hamming unit of
           // probe radius buys — the measured basis for the scaling rules
@@ -329,6 +379,8 @@ object ScaleBench {
           println(s"""{"bench":"ann_recall","mult":$m,"n":$n,""" +
             s""""queries":${ex.size},"lsh_recall":$lshR,"lsh_recall_r3":$lshR3,""" +
             s""""ivf_recall":$ivfR,$sweep,""" +
+            s""""quant_recall":$quantR,$quantSweep,""" +
+            s""""quant_bytes":$quantBytes,"float_bytes":$floatBytes,""" +
             s""""cells":$nCells,"nprobe":2,""" +
             s""""probe_files_read":$read,"files_total":$total}""")
         }

@@ -6,11 +6,17 @@ import org.apache.spark.sql.functions._
 /** Canonical loaders for the driver testdata (`/root/testdata/sf*`).
   *
   * All queries go through these so per-table normalizations happen exactly
-  * once. The only normalization today: `events.ts` is parquet TIMESTAMP(NANOS)
-  * — with `spark.sql.legacy.parquet.nanosAsLong=true` it surfaces as a long of
-  * nanos-since-epoch, which we truncate (integer `div`) to µs TimestampType.
-  * DuckDB's parquet reader performs the identical ns→µs truncation, so oracle
-  * comparisons are exact.
+  * once. The only normalization today: `events.ts`, which the driver has
+  * generated two ways across rounds —
+  *  - parquet TIMESTAMP(NANOS) (rounds ≤ 10): with
+  *    `spark.sql.legacy.parquet.nanosAsLong=true` it surfaces as a long of
+  *    nanos-since-epoch, which we truncate (integer `div`) to µs
+  *    TimestampType. DuckDB's parquet reader performs the identical ns→µs
+  *    truncation, so oracle comparisons are exact.
+  *  - parquet TIMESTAMP(MICROS) (round 11 regeneration): already µs; only
+  *    the cast to NTZ applies.
+  * The branch keys on the SURFACED type (long ⇒ the nanos legacy path), so
+  * either generation reads correctly under either session config.
   */
 object Tables {
   val all: Seq[String] = Seq(
@@ -44,12 +50,20 @@ object Tables {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     name match {
       case "events" =>
-        // `ts div 1000` is integral division on longs: no double rounding.
-        // Cast to NTZ (identity under the UTC session) so ALL tables carry
-        // TIMESTAMP_NTZ, matching both the TPC-H parquet columns and DuckDB's
-        // naive timestamps.
-        df.withColumn("ts",
-          timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+        // Either way the result is TIMESTAMP_NTZ (identity cast under the
+        // UTC session) so ALL tables carry NTZ, matching both the TPC-H
+        // parquet columns and DuckDB's naive timestamps.
+        df.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            // TIMESTAMP(NANOS) surfaced as long via nanosAsLong:
+            // `ts div 1000` is integral division — no double rounding,
+            // and DuckDB truncates ns→µs identically.
+            df.withColumn("ts",
+              timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+          case _ =>
+            // TIMESTAMP(MICROS): already µs-precision
+            df.withColumn("ts", col("ts").cast("timestamp_ntz"))
+        }
       case _ => df
     }
   }

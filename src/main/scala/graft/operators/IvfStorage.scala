@@ -226,4 +226,122 @@ object IvfStorage {
       .orderBy(col("cos").desc_nulls_last, col("vec_id"))
       .limit(k)
   }
+
+  // ───── int8 scalar quantization ──────────────────────────────────────
+  //
+  // At 100 TB the float lake is the probe-scan cost: array<float> reads 4
+  // bytes per dimension where an int8 code reads 1. Per-dimension affine
+  // quantization (the standard scalar-quantizer layout: code 0..255 spans
+  // [min_d, max_d] of each dimension) keeps ~4× of that back, with the
+  // float originals retained ONLY for the shortlist re-rank — the probe
+  // reads codes, the re-rank joins a k-row shortlist against the float
+  // lake by vec_id.
+  //
+  // Every step is engine-deterministic so the whole codebook is
+  // DuckDB-oracle-able (q101): floats map to integer space as
+  // floor(x·10⁶) (float→double widening is exact, the ×10⁶ multiply and
+  // floor are identically-rounded IEEE ops in both engines, and the cast
+  // of an integral double to BIGINT is exact); per-dimension min/max are
+  // exact BIGINT aggregates; the code is pure integer arithmetic
+  // ((iv−mn)·255 div range, operands comfortably inside BIGINT); the
+  // integer-space reconstruction mn + (code·range) div 255 is likewise
+  // exact, making the reconstruction-error bound oracle-checkable. No
+  // float rounding mode, no decimal-division scale rules, no
+  // transcendental — the classes of divergence the oracle contract
+  // (operators/package.scala) bans never arise.
+
+  /** Integer-space image of a float coordinate: floor(x·10⁶) as BIGINT.
+    * Exactly mirrored by the oracle's
+    * `CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)`. */
+  private def intSpace(v: Column): Column =
+    floor(v.cast("double") * lit(1000000.0)).cast("long")
+
+  /** Per-dimension quantization parameters over a corpus: (pos, mn, mx)
+    * in integer space — one row per dimension, a driver-sized artifact
+    * stored beside the lake like the centroid table and broadcast into
+    * every [[quantize]]/[[probeQuantized]] call. Recompute only on refit:
+    * codes are only comparable under the params that produced them. */
+  def quantizationParams(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("pos"), intSpace(col("v")).as("iv"))
+      .groupBy("pos")
+      .agg(min(col("iv")).as("mn"), max(col("iv")).as("mx"))
+
+  /** Quantize a corpus under frozen params → (vec_id, codes array<int> in
+    * 0..255 ordered by dimension, max_err bigint = the per-vector worst
+    * integer-space reconstruction gap, ≤ range/255 by construction — the
+    * stored health metric that bounds how far the pre-rank cosine can
+    * drift). A dimension the params never saw (constant range 0, or an
+    * out-of-range value from corpus drift) degrades gracefully: range-0
+    * codes are 0, out-of-range values clamp to 0/255 like every scalar
+    * quantizer, and max_err surfaces the clamp loss. */
+  def quantize(embeddings: DataFrame, params: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("iv", intSpace(col("v")))
+      .join(broadcast(params), Seq("pos"))
+      .withColumn("code", when(col("mx") === col("mn"), lit(0)).otherwise(
+        greatest(lit(0), least(lit(255),
+          expr("CAST(((iv - mn) * 255) div (mx - mn) AS INT)")))))
+      .withColumn("err", abs(col("iv") - (col("mn") +
+        expr("(CAST(code AS BIGINT) * (mx - mn)) div 255"))))
+      .groupBy("vec_id")
+      .agg(
+        expr("transform(array_sort(collect_list(struct(pos, code))), s -> s.code)")
+          .as("codes"),
+        max(col("err")).as("max_err"))
+
+  /** One-time reorganization of the QUANTIZED lake: codes packed to ONE
+    * BYTE per dimension (`int8_pack` → binary — the actual 4× storage
+    * claim; an array<int> column would spend 4+ bytes/dim) and partitioned
+    * by IVF cell. The float lake stays wherever it lives (typically the
+    * [[writeCellPartitioned]] layout) — [[probeQuantized]] joins the
+    * shortlist back to it by vec_id for the exact re-rank. */
+  def writeQuantizedCellPartitioned(embeddings: DataFrame,
+      centroids: DataFrame, params: DataFrame, dir: String): Unit =
+    assignCells(embeddings, centroids)
+      .select(col("vec_id"), col("embedding"), col("cent_id"))
+      .join(quantize(embeddings, params), Seq("vec_id"))
+      .select(col("vec_id"),
+        call_function("int8_pack", col("codes")).as("codes"),
+        col("cent_id"))
+      .repartition(col("cent_id"))
+      .write.mode("overwrite").partitionBy("cent_id").parquet(dir)
+
+  /** [[probe]] over the quantized lake: the pruned scan reads CODES (1
+    * byte/dim), pre-ranks by cosine against the dequantized
+    * reconstruction (the native fused `quantized_cosine` kernel — no
+    * per-row float materialization), keeps a `preK`-row shortlist, and
+    * re-ranks exactly on the float originals fetched from `floatLake` by
+    * vec_id. preK is the recall knob: the quantizer's rank errors are
+    * confined to near-boundary neighbors, so a small multiple of k
+    * (default 4×) recovers them; measured recall deltas per multiplier
+    * are the BASELINE.md `ann` quant rows. */
+  def probeQuantized(spark: SparkSession, dir: String, floatLake: DataFrame,
+      centroids: DataFrame, params: DataFrame, queryVec: Array[Float],
+      nProbe: Int = 2, k: Int = 10, preK: Int = 40): DataFrame = {
+    val qDf = spark.createDataFrame(Seq(Tuple1(queryVec))).toDF("q_emb")
+    val cells = centroids.crossJoin(broadcast(qDf))
+      .orderBy(cosineNative(col("centroid"), col("q_emb")).desc_nulls_last,
+        col("cent_id"))
+      .limit(nProbe)
+      .select("cent_id").collect().map(_.get(0)).toSeq
+    val paramArr = params
+      .agg(array_sort(collect_list(struct(col("pos"), col("mn"), col("mx"))))
+        .as("qparams"))
+    val shortlist = spark.read.parquet(dir)
+      .filter(col("cent_id").isin(cells.map(lit): _*))
+      .crossJoin(broadcast(qDf)).crossJoin(broadcast(paramArr))
+      .select(col("vec_id"),
+        call_function("quantized_cosine", col("codes"), col("qparams"),
+          col("q_emb")).as("qcos"))
+      .orderBy(col("qcos").desc_nulls_last, col("vec_id"))
+      .limit(preK)
+    shortlist.join(floatLake.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .crossJoin(broadcast(qDf))
+      .select(col("vec_id"), cosineNative(col("embedding"), col("q_emb")).as("cos"))
+      .orderBy(col("cos").desc_nulls_last, col("vec_id"))
+      .limit(k)
+  }
 }

@@ -54,7 +54,11 @@ object GraftFunctions {
     ("bpe_merge_pair", classOf[BpeMergePair], 3,
       (c: Seq[Expression]) => BpeMergePair(c(0), c(1), c(2))),
     ("nearest_centroid", classOf[NearestCentroid], 2,
-      (c: Seq[Expression]) => NearestCentroid(c(0), c(1))))
+      (c: Seq[Expression]) => NearestCentroid(c(0), c(1))),
+    ("quantized_cosine", classOf[QuantizedCosine], 3,
+      (c: Seq[Expression]) => QuantizedCosine(c(0), c(1), c(2))),
+    ("int8_pack", classOf[Int8Pack], 1,
+      (c: Seq[Expression]) => Int8Pack(c(0))))
 
   /** Idempotently register every graft function into a live session (no-op
     * when GraftExtensions already injected them). */

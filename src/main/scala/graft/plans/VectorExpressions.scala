@@ -1,10 +1,10 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, StructType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, FloatType, IntegerType, LongType, StructType}
 
 /** Native Catalyst expressions for dense float-vector math (SURVEY §7's one
   * planned custom-Expression item). The higher-order-function formulation
@@ -159,6 +159,148 @@ case class NearestCentroid(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** Kernel for [[QuantizedCosine]] — cosine between a query vector and the
+  * real-valued dequantization of an int8 code vector, fused into one loop
+  * (no intermediate float-array materialization per scanned row). The
+  * dequantized coordinate is (mn + code·range/255)/10⁶ — the inverse of
+  * IvfStorage.quantize's integer-space affine map. Length mismatch
+  * (codes vs params vs query — params drift, wrong codebook) → null,
+  * mirroring [[DotProduct]]'s zip_with-twin contract. */
+object QuantizedCosineImpl {
+  def cosine(codes: ArrayData, params: ArrayData,
+      q: ArrayData): java.lang.Double = {
+    val n = codes.numElements()
+    if (params.numElements() != n || q.numElements() != n) return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val s = params.getStruct(i, 3)
+      val mn = s.getLong(1)
+      val range = s.getLong(2) - mn
+      val x = (mn + codes.getInt(i) * range / 255.0) / 1000000.0
+      val y = q.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** The packed-lake variant: codes as one byte each ([[Int8Pack]]'s
+    * layout, & 0xFF recovers 0..255). Same arithmetic, bit-identical. */
+  def cosineBytes(codes: Array[Byte], params: ArrayData,
+      q: ArrayData): java.lang.Double = {
+    val n = codes.length
+    if (params.numElements() != n || q.numElements() != n) return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val s = params.getStruct(i, 3)
+      val mn = s.getLong(1)
+      val range = s.getLong(2) - mn
+      val x = (mn + (codes(i) & 0xFF) * range / 255.0) / 1000000.0
+      val y = q.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  def pack(codes: ArrayData): Array[Byte] = {
+    val n = codes.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) { out(i) = codes.getInt(i).toByte; i += 1 }
+    out
+  }
+}
+
+/** int8_pack(codes array<int>) → binary: one byte per code (low 8 bits) —
+  * the quantized lake's STORAGE layout (1 byte/dimension on disk vs
+  * array<int>'s 4+, the whole point of int8 quantization). Write-path
+  * companion of [[QuantizedCosine]]'s binary input. */
+case class Int8Pack(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def prettyName: String = "int8_pack"
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<int>, got ${t.simpleString(40)}")
+  }
+
+  override def nullSafeEval(codes: Any): Any =
+    QuantizedCosineImpl.pack(codes.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.QuantizedCosineImpl.pack($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** quantized_cosine(codes array<int> | binary,
+  *                  qparams array<struct<pos int, mn bigint, mx bigint>>,
+  *                  q_emb array<float>) → double: the ANN pre-rank score
+  * over the quantized lake (IvfStorage.probeQuantized). Native because
+  * this is the probe's per-scanned-row hot loop — the HOF formulation
+  * would be interpreted per row × per dimension, and dequantize-then-
+  * cosine as two steps materializes a float array per row. The binary
+  * form is the stored lake layout ([[Int8Pack]]); both forms are
+  * bit-identical (spec-pinned). */
+case class QuantizedCosine(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+
+  override def prettyName: String = "quantized_cosine"
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private def paramsOk(t: DataType): Boolean = t match {
+    case ArrayType(s: StructType, _) =>
+      s.length == 3 && s(0).dataType == IntegerType &&
+        s(1).dataType == LongType && s(2).dataType == LongType
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(IntegerType, _), p, ArrayType(FloatType, _))
+          if paramsOk(p) => TypeCheckResult.TypeCheckSuccess
+      case (BinaryType, p, ArrayType(FloatType, _))
+          if paramsOk(p) => TypeCheckResult.TypeCheckSuccess
+      case (f, s, t) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<int> | binary, " +
+          s"array<struct<int,bigint,bigint>>, array<float>), got " +
+          s"(${f.simpleString(40)}, ${s.simpleString(40)}, ${t.simpleString(40)})")
+    }
+
+  private def packed: Boolean = first.dataType == BinaryType
+
+  override def nullSafeEval(codes: Any, params: Any, q: Any): Any =
+    if (packed)
+      QuantizedCosineImpl.cosineBytes(codes.asInstanceOf[Array[Byte]],
+        params.asInstanceOf[ArrayData], q.asInstanceOf[ArrayData])
+    else
+      QuantizedCosineImpl.cosine(codes.asInstanceOf[ArrayData],
+        params.asInstanceOf[ArrayData], q.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (packed) "cosineBytes" else "cosine"
+    nullSafeCodeGen(ctx, ev, (codes, params, q) => s"""
+      |java.lang.Double r =
+      |  graft.plans.QuantizedCosineImpl.$fn($codes, $params, $q);
+      |if (r == null) { ${ev.isNull} = true; }
+      |else { ${ev.value} = r.doubleValue(); }
+      |""".stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }
 
 /** dot_product(array<float>, array<float>) → double (computed in double). */
