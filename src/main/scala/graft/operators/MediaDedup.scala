@@ -1,0 +1,137 @@
+package graft.operators
+
+import graft.multimodal.ImageIoCodec
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Perceptual near-duplicate detection for images — the image-modality
+  * member of the dedup family (the text side is q41/q42; the embedding
+  * side q69/q70). An image's fingerprint is a 64-bit perceptual hash
+  * (aHash: above-mean cells of an 8×8 average-pooled grayscale; dHash:
+  * horizontal gradient signs of a 9×8 pool — [[ImageIoCodec.aHash]]/
+  * [[ImageIoCodec.dHash]], pure-integer and JVM-deterministic), so
+  * re-encoded, format-converted, uniformly-rescaled and mildly
+  * re-brightened copies land within a few bits of their original.
+  *
+  * The pair stage is NOT new machinery: a 64-bit perceptual hash is
+  * banding-compatible with a 64-bit SimHash, so candidate generation
+  * reuses [[DedupQueries.simhashBandPairs]] verbatim — 4×16-bit chunk
+  * buckets, per-bucket pair expansion under the capacity cap with star
+  * reduction for oversized buckets, exact Hamming ≤ 3 filter (pigeonhole:
+  * any pair within Hamming ≤ 3 shares ≥ 1 of 4 chunks, so recall is
+  * exact over the candidate space). At 100 TB of images the scan cost is
+  * the DECODE, not the join: hashes are computed once at ingest (64
+  * bits/image stored beside the metadata — [[imageHashes]] is the
+  * write-time call), and the pair stage shuffles only (id, hash).
+  *
+  * The decode step wraps the JDK codec ([[ImageIoCodec]]) in a udf — the
+  * repo-wide exception to the no-udf rule: a BufferedImage decode cannot
+  * be a Catalyst expression. Everything after the 64-bit hash is native.
+  */
+object MediaDedup {
+
+  private val aHashUdf = udf((b: Array[Byte]) => ImageIoCodec.aHash(b))
+  private val dHashUdf = udf((b: Array[Byte]) => ImageIoCodec.dHash(b))
+
+  /** Per-image perceptual hashes over a [[Multimodal.readMediaDir]] frame:
+    * JDK-decodable images only (the dispatch contract — tiff etc. have no
+    * JDK reader), both hashes in one decode-bearing projection. Columns:
+    * media_id, phash (aHash), dhash (+ passthrough of `keep`). */
+  def imageHashes(media: DataFrame, keep: Seq[String] = Nil): DataFrame = {
+    val decodable = ImageIoCodec.formats.toSeq.sorted
+    media
+      .filter(col("modality") === "image" &&
+        col("meta.format").isin(decodable: _*))
+      .select(Seq(col("media_id"), aHashUdf(col("bytes")).as("phash"),
+        dHashUdf(col("bytes")).as("dhash")) ++ keep.map(col): _*)
+  }
+
+  /** Near-dup pair generation over (media_id, <hashCol>): banding + capped
+    * bucket pair expansion + exact Hamming ≤ 3, via the shared SimHash
+    * pair stage. Emits (a_id, b_id, hamming), a_id < b_id. */
+  def pairs(spark: SparkSession, hashed: DataFrame,
+      hashCol: String = "phash",
+      metric: String = "media_phash_buckets"): DataFrame =
+    DedupQueries.simhashBandPairs(spark,
+      hashed.select(col("media_id").as("doc_id"), lit("img").as("source"),
+        col(hashCol).as("simhash")),
+      chunks = 4, bits = 16, metric = metric)
+
+  /** Deterministic synthetic photo stand-in: a 64-px square of 8×8 gray
+    * blocks whose levels derive from byteswap64(seed, block) — piecewise-
+    * constant content whose pooled grid aligns with the hash grid, the
+    * way real photographs present stable region statistics. Every byte is
+    * a pure function of the seed (the committed media fixtures are
+    * deliberately non-decodable stand-in bytes, so perceptual-dedup
+    * corpora are generated, like MultimodalSpec's gradient PNGs).
+    * `jitter` nudges ONE block's gray by +24 — a near-dup within a few
+    * phash bits, never an identical one. */
+  private[operators] def blockImage(seed: Long, px: Int = 64,
+      jitterBlock: Int = -1): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(px, px,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bs = math.max(1, px / 8)
+    var by = 0
+    while (by < 8) {
+      var bx = 0
+      while (bx < 8) {
+        val blk = by * 8 + bx
+        val h = scala.util.hashing.byteswap64(seed * 64 + blk)
+        var v = ((h >>> 32) & 0xff).toInt
+        if (blk == jitterBlock) v = math.min(255, v + 24)
+        val rgb = (v << 16) | (v << 8) | v
+        var y = by * bs
+        while (y < math.min(px, (by + 1) * bs)) {
+          var x = bx * bs
+          while (x < math.min(px, (bx + 1) * bs)) {
+            img.setRGB(x, y, rgb); x += 1
+          }
+          y += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    ImageIoCodec.toPng(img)
+  }
+
+  /** Q102 (⚙ rows-only: DuckDB cannot decode PNGs): the perceptual-dedup
+    * pipeline driven end-to-end over a deterministic generated image
+    * corpus — 24 distinct base images, each with three constructed
+    * near-dup twins: `reenc` (decode → PNG re-encode: pixel-identical ⇒
+    * Hamming 0), `half` (2× [[ImageIoCodec.downsample]] — integer
+    * pooling, grid-aligned ⇒ Hamming 0), and `jitter` (one block's gray
+    * nudged ⇒ Hamming ≥ 0, within the band). Recall 1 on all twin pairs
+    * and zero cross-seed pairs are spec-pinned (MediaDedupSpec), so the
+    * row count is stable and non-empty. Output keys are "kind:seed". */
+  def q102(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    // generation runs ON EXECUTORS (udf over the seed×kind grid) — the
+    // driver never materializes image bytes, same discipline as the
+    // production decode path
+    val genUdf = udf((kind: String, s: Long) => kind match {
+      case "orig" => blockImage(s)
+      case "reenc" => ImageIoCodec.toPng(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(blockImage(s))))
+      case "half" => ImageIoCodec.downsample(blockImage(s), 32, 32)
+      case _ => blockImage(s, jitterBlock = (s % 64).toInt)
+    })
+    val corpus = (0 until 24).map(_.toLong).toDF("seed")
+      .crossJoin(Seq("orig", "reenc", "half", "jitter").toDF("kind"))
+      .repartition(8)
+      .select(concat(col("kind"), lit(":"), col("seed")).as("key"),
+        genUdf(col("kind"), col("seed")).as("bytes"))
+      .withColumn("media_id", xxhash64(col("key")))
+      .withColumn("modality", lit("image"))
+      .withColumn("meta", struct(lit("png").as("format")))
+    val hashed = imageHashes(corpus, keep = Seq("key"))
+    val keyed = hashed.select(col("media_id"), col("key"))
+    pairs(spark, hashed, "phash", "q102_buckets")
+      .join(keyed.select(col("media_id").as("a_id"), col("key").as("a_key")),
+        Seq("a_id"))
+      .join(keyed.select(col("media_id").as("b_id"), col("key").as("b_key")),
+        Seq("b_id"))
+      .select(col("a_key"), col("b_key"), col("hamming"))
+      .orderBy("a_key", "b_key")
+  }
+}
