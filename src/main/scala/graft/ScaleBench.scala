@@ -480,6 +480,28 @@ object ScaleBench {
             finally rep.release()
           }
         }
+        // incremental extension: a 10% append resolved via extend() vs
+        // re-resolving everything — the ingest-path saving. The 90% build
+        // is charged separately (it is the standing artifact, paid once).
+        val docsAll = Tables.documents(spark, d)
+        val isNew = pmod(xxhash64(col("doc_id"), lit(1)), lit(10)) === 0
+        val oldDocs = docsAll.filter(!isNew)
+        val newDocs = docsAll.filter(isNew)
+        val standing = operators.DedupReport.build(spark, oldDocs)
+        // the deployment shape: the rep index is a stored artifact (built
+        // once with the assignment), so an append probes parquet — never
+        // re-scans the corpus
+        val idxDir = "/tmp/graft-scale/dedup-repindex"
+        operators.DedupReport.repIndex(oldDocs)
+          .write.mode("overwrite").parquet(idxDir)
+        val storedIndex = spark.read.parquet(idxDir)
+        try (1 to 3).foreach { r =>
+          measured(spark, s"extend_10pct_r$r", 1)(
+            operators.DedupReport.extendWithIndex(spark, storedIndex,
+              standing.assignments, newDocs).count())
+          measured(spark, s"rebuild_full_r$r", 1)(
+            operators.DedupReport.assignComponents(spark, docsAll).count())
+        } finally standing.release()
       case other => sys.error(s"unknown mode $other (docs|chains|q74ab|j37ab|bpe|dedupreport|ann)")
     }
     spark.stop()

@@ -69,20 +69,26 @@ object DedupReport {
     * would never see the inner one and the projection would stay pinned
     * forever (exactly the leak DedupBucketCapSpec's cache-drain polls
     * caught in round 10). */
-  private def assignComponentsImpl(s: SparkSession, documents: DataFrame,
-      tau: Double): (DataFrame, DataFrame) = {
+  /** Fingerprint-group collapse (the clique argument in
+    * [[assignComponents]]' doc): every doc labeled with its group's
+    * min-doc_id `rep`; token sets materialized for REPRESENTATIVES only —
+    * members carry just (doc_id, rep), so a persisted projection shrinks
+    * with the dup rate instead of pinning the full corpus text. */
+  private def groupCollapsed(documents: DataFrame): DataFrame = {
     val grpW = Window.partitionBy(col("source"),
       coalesce(when(col("text").isNotNull, TextFunctions.fingerprint(col("text"))),
         concat(lit("\tnull:"), col("doc_id"))))
-    // the persisted projection keeps token sets for REPRESENTATIVES only —
-    // members carry just (doc_id, rep), so the cached footprint shrinks
-    // with the dup rate instead of pinning the full corpus text
-    val docs = documents
+    documents
       .select(col("doc_id"), col("source"), col("text"),
         min(col("doc_id")).over(grpW).as("rep"))
       .select(col("doc_id"), col("source"), col("rep"),
         when(col("doc_id") === col("rep") && col("text").isNotNull,
           TextFunctions.tokenSet(col("text"))).as("w"))
+  }
+
+  private def assignComponentsImpl(s: SparkSession, documents: DataFrame,
+      tau: Double): (DataFrame, DataFrame) = {
+    val docs = groupCollapsed(documents)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val repDocs = docs.filter(col("doc_id") === col("rep") && col("w").isNotNull)
       .select(col("doc_id").as("id"), col("source").as("block"), col("w"))
@@ -128,5 +134,74 @@ object DedupReport {
         ((col("n_docs") - col("n_clusters")).cast("double") /
           col("n_docs")).as("dedup_rate"))
     Report(assignments, keepers, histogram, summary)
+  }
+
+  /** Incremental cluster-assignment extension for an appended batch — the
+    * ingest-path complement to q82's duplicate FLAGS: `newDocs` get real
+    * cluster labels and existing labels are updated where the batch merges
+    * clusters, WITHOUT re-running the corpus-wide pair join or the
+    * component iteration over the full graph.
+    *
+    * Exactness argument (spec-pinned ≡ full re-resolution on randomized
+    * arrival splits, bridges included): new edges can only TOUCH a new
+    * doc, and within a fingerprint group every member pairs identically
+    * to its rep — so the complete set of NEW connectivity is captured by
+    * (new rep ↔ new rep) self-pairs plus (new rep ↔ old rep) bipartite
+    * pairs. Folding each old endpoint to its existing component label
+    * yields a META-graph over {old labels} ∪ {new rep ids} whose
+    * connected components are exactly the merged clusters, and because
+    * every label (old or rebuilt) is the min doc_id of its cluster, the
+    * meta-component's min IS the label a full rebuild would assign — a
+    * batch bridging two old clusters simply merges their labels here, no
+    * rebuild fallback needed. Cost: one scan of the old corpus (the
+    * rep-index window — at scale, a stored artifact maintained
+    * incrementally), a pair probe proportional to the BATCH, and a CC
+    * iteration over the touched-cluster meta-graph only (ScaleBench
+    * `dedupreport` extend row).
+    *
+    * Preconditions: `assignments` from [[build]]/[[assignComponents]]
+    * over `oldDocs` at the SAME `tau`; new doc_ids disjoint from old. */
+  def extend(s: SparkSession, oldDocs: DataFrame, assignments: DataFrame,
+      newDocs: DataFrame, tau: Double = 0.8): DataFrame =
+    extendWithIndex(s, repIndex(oldDocs), assignments, newDocs, tau)
+
+  /** The standing representative index (id, block, w) that [[extend]]
+    * probes: one row per fingerprint group, token set attached. At 100 TB
+    * this is a STORED artifact beside the assignment parquet — written
+    * once at build time and appended per batch (each batch's new-group
+    * reps) — so an append never re-scans the corpus; the ScaleBench
+    * `dedupreport` extend row measures the probe against a materialized
+    * index, which is the deployment shape. */
+  def repIndex(documents: DataFrame): DataFrame =
+    groupCollapsed(documents)
+      .filter(col("doc_id") === col("rep") && col("w").isNotNull)
+      .select(col("doc_id").as("id"), col("source").as("block"), col("w"))
+
+  /** [[extend]] against a prebuilt [[repIndex]] — the incremental-ingest
+    * fast path (no old-corpus scan at all). */
+  def extendWithIndex(s: SparkSession, oldReps: DataFrame,
+      assignments: DataFrame, newDocs: DataFrame,
+      tau: Double = 0.8): DataFrame = {
+    val nd = groupCollapsed(newDocs).persist(StorageLevel.MEMORY_AND_DISK)
+    RunScopedCache.releaseAfterRun(s, nd)
+    val newReps = nd.filter(col("doc_id") === col("rep") && col("w").isNotNull)
+      .select(col("doc_id").as("id"), col("source").as("block"), col("w"))
+    val newNew = SimilarityJoin.jaccardAdaptive(newReps, tau)
+      .select(col("a_id").as("a"), col("b_id").as("b"))
+    val newOld = SimilarityJoin.jaccardBipartite(newReps, oldReps, tau,
+        metricName = "extend_pairs_bipartite")
+      .join(assignments.select(col("doc_id").as("b_id"),
+        col("component").as("b_comp")), Seq("b_id"))
+      .select(col("a_id").as("a"), col("b_comp").as("b"))
+    val comp = ConnectedComponents.run(newNew.unionByName(newOld))
+      .select(col("node"), col("component").as("merged"))
+    val newAssign = nd.select(col("doc_id"), col("rep"))
+      .join(comp, col("rep") === col("node"), "left")
+      .select(col("doc_id"), coalesce(col("merged"), col("rep")).as("component"))
+    val oldAssign = assignments
+      .join(comp, col("component") === col("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("merged"), col("component")).as("component"))
+    oldAssign.unionByName(newAssign)
   }
 }

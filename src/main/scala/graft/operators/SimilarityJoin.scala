@@ -258,6 +258,38 @@ object SimilarityJoin {
       .select(col("id"), col("block"), size(col("w")).as("nw"),
         call_function("token_hashes", col("w")).as("wh"))
 
+  /** Bipartite τ-Jaccard join — candidate pairs between TWO corpora (same
+    * (id, block, w) shape, DISJOINT ids by caller contract; `w` distinct
+    * per the object-header precondition), blocked on equal `block` with
+    * the same hashed-kernel machinery as [[jaccardBlocked]]. The
+    * incremental-dedup probe shape: a 10% append joins against the
+    * existing rep index instead of re-running the O(n²/blocks) self-join
+    * over everything ([[DedupReport.extend]]). Emits (a_id, b_id, jaccard)
+    * with a_id from `left` — NOT id-ordered, unlike the self-join
+    * variants, because the sides are semantically distinct. */
+  def jaccardBipartite(left: DataFrame, right: DataFrame, tau: Double,
+      metricName: String = "sj_pairs_jbipartite"): DataFrame = {
+    val la = pinPairWidth(hashTokenSets(left).select(col("id").as("a_id"),
+      col("block").as("a_block"), col("nw").as("na"), col("wh").as("a_w")),
+      col("a_block"))
+    val rb = pinPairWidth(hashTokenSets(right).select(col("id").as("b_id"),
+      col("block").as("b_block"), col("nw").as("nb"), col("wh").as("b_w")),
+      col("b_block"))
+    // the same sound size prune as the self-join (J ≥ τ bounds the size
+    // ratio); epsilon guards FP rounding landing above an integer bound
+    val prune = col("na") * tau <= col("nb") + lit(1e-7) &&
+      col("nb") * tau <= col("na") + lit(1e-7)
+    la.join(rb.hint("shuffle_merge"),
+        col("a_block") === col("b_block") && prune)
+      .observe(metricName, count(lit(1)).as("pairs"))
+      .withColumn("inter",
+        call_function("intersect_count_sorted", col("a_w"), col("b_w")))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= tau)
+      .select("a_id", "b_id", "jaccard")
+  }
+
   /** [[overlapBlocked]] with TRIANGULAR TILING — the giant-block escalation
     * its doc names. Blocked-by-key hangs every block's whole C(n,2) pair
     * product on ONE join key; a million-doc block is then one task no

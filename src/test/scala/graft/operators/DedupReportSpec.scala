@@ -69,4 +69,65 @@ class DedupReportSpec extends SparkSpec {
     assert(!report.assignments.storageLevel.useMemory &&
       !report.assignments.storageLevel.useDisk)
   }
+
+  test("extend() ≡ full re-resolution on randomized arrival splits") {
+    val docs = Tables.documents(spark, sfDir)
+    val full = DedupReport.assignComponents(spark, docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // two salts: different ~10% batches, including splits that tear
+    // fingerprint groups and clusters across the old/new boundary
+    Seq(1, 7).foreach { salt =>
+      val isNew = pmod(xxhash64(col("doc_id"), lit(salt)), lit(10)) === 0
+      val oldDocs = docs.filter(!isNew)
+      val newDocs = docs.filter(isNew)
+      assert(newDocs.count() > 0 && oldDocs.count() > 0)
+      val report = DedupReport.build(spark, oldDocs)
+      val got = try
+        DedupReport.extend(spark, oldDocs, report.assignments, newDocs)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      finally report.release()
+      assert(got == full,
+        s"salt=$salt drift: ${(got -- full).take(3)} / ${(full -- got).take(3)}")
+    }
+  }
+
+  import spark.implicits._
+
+  test("extend(): a batch doc bridging two existing clusters merges their labels") {
+    // J(1,2) = 8/12 < 0.8 → separate clusters; the new doc 3 has
+    // J(3,1) = J(3,2) = 9/11 ≈ 0.82 ≥ 0.8 → one merged cluster labeled 1
+    val t = (1 to 12).map(i => s"tok$i")
+    val oldDocs = Seq(
+      (1L, "s", t.take(10).mkString(" ")),
+      (2L, "s", (t.take(8) ++ t.slice(10, 12)).mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val newDocs = Seq(
+      (3L, "s", (t.take(9) :+ t(10)).mkString(" ")),
+      (4L, "s", "nothing alike whatsoever"),
+      (5L, "s", null.asInstanceOf[String]))
+      .toDF("doc_id", "source", "text")
+    val report = DedupReport.build(spark, oldDocs)
+    val got = try
+      DedupReport.extend(spark, oldDocs, report.assignments, newDocs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    finally report.release()
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L), got)
+    // and the incremental answer matches the from-scratch one
+    val full = DedupReport.assignComponents(spark, oldDocs.unionByName(newDocs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == full)
+  }
+
+  test("extend() with a batch that matches nothing leaves old labels untouched") {
+    val oldDocs = Seq((1L, "s", "alpha beta gamma delta"),
+      (2L, "s", "alpha beta gamma delta")).toDF("doc_id", "source", "text")
+    val newDocs = Seq((9L, "s", "completely different content here"))
+      .toDF("doc_id", "source", "text")
+    val report = DedupReport.build(spark, oldDocs)
+    val got = try
+      DedupReport.extend(spark, oldDocs, report.assignments, newDocs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    finally report.release()
+    assert(got == Map(1L -> 1L, 2L -> 1L, 9L -> 9L), got)
+  }
 }
