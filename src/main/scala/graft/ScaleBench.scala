@@ -502,7 +502,41 @@ object ScaleBench {
           measured(spark, s"rebuild_full_r$r", 1)(
             operators.DedupReport.assignComponents(spark, docsAll).count())
         } finally standing.release()
-      case other => sys.error(s"unknown mode $other (docs|chains|q74ab|j37ab|bpe|dedupreport|ann)")
+      case "vecstream" =>
+        // streaming vector-lake ingest throughput: file-arrival stream →
+        // VectorStream cell-partitioned lake (assignment + drift observe +
+        // idempotent batch-scoped write), AvailableNow over several
+        // micro-batches; ×3 sequential runs per the noise rules
+        import graft.operators.IvfStorage
+        import graft.streaming.VectorStream
+        import org.apache.spark.sql.streaming.Trigger
+        val n = 200000L
+        val base = "/tmp/graft-scale/vecstream"
+        val e = synthEmbeddings(spark, n)
+        e.repartition(64).write.mode("overwrite").parquet(s"$base/src")
+        val src = spark.read.parquet(s"$base/src")
+        val cents = IvfStorage.labelCentroids(src)
+        (1 to 3).foreach { r =>
+          val lake = s"$base/lake-r$r"; val ckpt = s"$base/ckpt-r$r"
+          val t0 = System.nanoTime()
+          val q = VectorStream.startCellPartitioned(
+            spark.readStream.schema(src.schema)
+              .option("maxFilesPerTrigger", 16).parquet(s"$base/src"),
+            cents, lake, ckpt, Trigger.AvailableNow())
+          q.awaitTermination(600000)
+          val wall = (System.nanoTime() - t0) / 1e9
+          val rows = spark.read.parquet(lake).count()
+          val batches = q.recentProgress.count(_.numInputRows > 0)
+          val drift = q.recentProgress.flatMap(p =>
+            Option(p.observedMetrics.get("vector_ingest_drift")))
+            .filter(_.getAs[Long]("rows") > 0)
+            .map(_.getAs[Double]("mean_assign_cos"))
+          println(s"""{"bench":"vecstream","run":$r,"rows":$rows,""" +
+            s""""wall_sec":$wall,"rows_per_sec":${(rows / wall).toLong},""" +
+            s""""batches":$batches,"mean_assign_cos_min":${drift.min},""" +
+            s""""mean_assign_cos_max":${drift.max}}""")
+        }
+      case other => sys.error(s"unknown mode $other (docs|chains|q74ab|j37ab|bpe|dedupreport|ann|vecstream)")
     }
     spark.stop()
   }
