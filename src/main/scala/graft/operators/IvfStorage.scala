@@ -272,11 +272,34 @@ object IvfStorage {
     * 0..255 ordered by dimension, max_err bigint = the per-vector worst
     * integer-space reconstruction gap, ≤ range/255 by construction — the
     * stored health metric that bounds how far the pre-rank cosine can
-    * drift). A dimension the params never saw (constant range 0, or an
-    * out-of-range value from corpus drift) degrades gracefully: range-0
-    * codes are 0, out-of-range values clamp to 0/255 like every scalar
-    * quantizer, and max_err surfaces the clamp loss. */
-  def quantize(embeddings: DataFrame, params: DataFrame): DataFrame =
+    * drift). Constant dimensions (range 0) code as 0; out-of-range values
+    * from corpus drift clamp to 0/255 like every scalar quantizer, with
+    * max_err surfacing the clamp loss; a params/vector LENGTH mismatch
+    * (wrong codebook) yields a null row rather than silently truncating
+    * dimensions.
+    *
+    * One broadcast projection, ZERO shuffle: the per-row map is the native
+    * `int8_quantize` kernel. The posexplode/join/groupBy formulation —
+    * which reassembles 64× the corpus rows through an exchange, the cost
+    * that would dominate a 100 TB lake write — is kept as
+    * [[quantizeReference]], the oracle-shaped semantic reference the
+    * kernel is spec-pinned against (q101 hashes both against DuckDB). */
+  def quantize(embeddings: DataFrame, params: DataFrame): DataFrame = {
+    val paramArr = params
+      .agg(array_sort(collect_list(struct(col("pos"), col("mn"), col("mx"))))
+        .as("qparams"))
+    embeddings.crossJoin(broadcast(paramArr))
+      .select(col("vec_id"),
+        call_function("int8_quantize", col("embedding"), col("qparams")).as("q"))
+      .select(col("vec_id"), col("q.codes").as("codes"),
+        col("q.max_err").as("max_err"))
+  }
+
+  /** [[quantize]] through the explode/join/groupBy DataFrame formulation —
+    * the semantic reference the native kernel is pinned against
+    * (QuantizationSpec). */
+  private[operators] def quantizeReference(embeddings: DataFrame,
+      params: DataFrame): DataFrame =
     embeddings
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .withColumn("iv", intSpace(col("v")))

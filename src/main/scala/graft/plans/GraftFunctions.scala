@@ -58,7 +58,9 @@ object GraftFunctions {
     ("quantized_cosine", classOf[QuantizedCosine], 3,
       (c: Seq[Expression]) => QuantizedCosine(c(0), c(1), c(2))),
     ("int8_pack", classOf[Int8Pack], 1,
-      (c: Seq[Expression]) => Int8Pack(c(0))))
+      (c: Seq[Expression]) => Int8Pack(c(0))),
+    ("int8_quantize", classOf[Int8Quantize], 2,
+      (c: Seq[Expression]) => Int8Quantize(c(0), c(1))))
 
   /** Idempotently register every graft function into a live session (no-op
     * when GraftExtensions already injected them). */

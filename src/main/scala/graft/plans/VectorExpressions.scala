@@ -1,10 +1,11 @@
 package graft.plans
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, FloatType, IntegerType, LongType, StructType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, FloatType, IntegerType, LongType, StructField, StructType}
 
 /** Native Catalyst expressions for dense float-vector math (SURVEY §7's one
   * planned custom-Expression item). The higher-order-function formulation
@@ -214,6 +215,83 @@ object QuantizedCosineImpl {
     while (i < n) { out(i) = codes.getInt(i).toByte; i += 1 }
     out
   }
+}
+
+/** Kernel for [[Int8Quantize]] — the write-path affine map, replicating
+  * IvfStorage's integer-space arithmetic EXACTLY (Java long division
+  * truncates toward zero like Spark's `div`; the only negative numerator,
+  * an under-range drifted value, clamps to 0 either way): iv = floor(x·10⁶),
+  * code = clamp(((iv−mn)·255)/range), err = |iv − (mn + code·range/255)|.
+  * Null element or params-length mismatch → null row (wrong codebook —
+  * fail explicitly, never truncate dimensions). */
+object Int8QuantizeImpl {
+  def quantize(emb: ArrayData, params: ArrayData): InternalRow = {
+    val n = emb.numElements()
+    if (params.numElements() != n) return null
+    val codes = new Array[Int](n)
+    var maxErr = 0L
+    var i = 0
+    while (i < n) {
+      if (emb.isNullAt(i)) return null
+      val s = params.getStruct(i, 3)
+      val mn = s.getLong(1)
+      val range = s.getLong(2) - mn
+      val iv = math.floor(emb.getFloat(i).toDouble * 1000000.0).toLong
+      val c0 = if (range == 0L) 0L else ((iv - mn) * 255L) / range
+      val code = math.max(0L, math.min(255L, c0))
+      val rec = mn + code * range / 255L
+      val err = math.abs(iv - rec)
+      if (err > maxErr) maxErr = err
+      codes(i) = code.toInt
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](new GenericArrayData(codes), maxErr))
+  }
+}
+
+/** int8_quantize(embedding array<float>,
+  *               qparams array<struct<pos int, mn bigint, mx bigint>>)
+  * → struct<codes: array<int>, max_err: bigint>: one-shot per-vector
+  * quantization against the broadcast parameter array. Native because the
+  * DataFrame formulation (posexplode → broadcast join on pos → groupBy
+  * vec_id) SHUFFLES 64× the corpus rows to reassemble what is a purely
+  * per-row map — at 100 TB the quantized-lake write would be dominated by
+  * that reassembly exchange. Bit-equal to the explode formulation
+  * (spec-pinned, QuantizationSpec). */
+case class Int8Quantize(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def prettyName: String = "int8_quantize"
+  override def dataType: DataType = StructType(Seq(
+    StructField("codes", ArrayType(IntegerType, containsNull = false)),
+    StructField("max_err", LongType)))
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(s: StructType, _))
+          if s.length == 3 && s(0).dataType == IntegerType &&
+            s(1).dataType == LongType && s(2).dataType == LongType =>
+        TypeCheckResult.TypeCheckSuccess
+      case (f, s) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<float>, array<struct<int,bigint,bigint>>), " +
+          s"got (${f.simpleString(40)}, ${s.simpleString(40)})")
+    }
+
+  override def nullSafeEval(emb: Any, params: Any): Any =
+    Int8QuantizeImpl.quantize(emb.asInstanceOf[ArrayData],
+      params.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (emb, params) => s"""
+      |InternalRow r = graft.plans.Int8QuantizeImpl.quantize($emb, $params);
+      |if (r == null) { ${ev.isNull} = true; }
+      |else { ${ev.value} = r; }
+      |""".stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** int8_pack(codes array<int>) → binary: one byte per code (low 8 bits) —

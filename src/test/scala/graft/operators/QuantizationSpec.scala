@@ -41,6 +41,13 @@ class QuantizationSpec extends SparkSpec {
     assert(maxErr > 0, "sf0.001 floats are not all exactly representable")
   }
 
+  test("native int8_quantize ≡ explode/join/groupBy reference (bitwise)") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getSeq[Int](1), r.getLong(2))).toSeq
+    assert(rows(codes) == rows(IvfStorage.quantizeReference(emb, params)))
+  }
+
   test("quantized_cosine native ≡ HOF dequantize-then-fold twin (bitwise)") {
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
     val paramArr = params

@@ -238,4 +238,25 @@ class SimilarityJoinSpec extends SparkSpec {
     // null/empty-set docs never appear
     assert(!staged.exists(r => Set(r.getLong(0), r.getLong(1)).exists(Set(6L, 7L))))
   }
+
+  test("jaccardBipartite(A,B) ≡ the cross-side pairs of the self-join over A∪B") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id").as("id"), col("source").as("block"),
+        TextFunctions.tokenSet(col("text")).as("w"))
+    // hash-split the corpus into two disjoint-id sides
+    val sideA = docs.filter(pmod(xxhash64(col("id")), lit(3)) === 0)
+    val sideB = docs.filter(pmod(xxhash64(col("id")), lit(3)) =!= 0)
+    Seq(0.8, 0.5).foreach { tau =>
+      val got = SimilarityJoin.jaccardBipartite(sideA, sideB, tau)
+        .select(least(col("a_id"), col("b_id")).as("x"),
+          greatest(col("a_id"), col("b_id")).as("y"), col("jaccard"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val aIds = sideA.select("id").collect().map(_.getLong(0)).toSet
+      val want = SimilarityJoin.jaccardBlocked(docs, tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        // keep exactly the pairs with one endpoint on each side
+        .filter(p => aIds.contains(p._1) != aIds.contains(p._2)).toSet
+      assert(got == want, s"tau=$tau: ${(got -- want).take(3)} / ${(want -- got).take(3)}")
+    }
+  }
 }
