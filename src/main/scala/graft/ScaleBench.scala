@@ -301,9 +301,7 @@ object ScaleBench {
               s"$dir/qivf")
             spark.read.parquet(s"$dir/qivf").count()
           }
-          val paramArr = qparams.agg(array_sort(
-            collect_list(struct(col("pos"), col("mn"), col("mx"))))
-            .as("qparams"))
+          val paramArr = IvfStorage.paramArray(qparams)
           def quantProbeTop(nProbe: Int, preK: Int): DataFrame = {
             val qc = cents.crossJoin(broadcast(queries))
               .withColumn("rn", row_number().over(Window.partitionBy("q_id")
@@ -340,8 +338,9 @@ object ScaleBench {
           val quantR = recall(sets(quantTop))
           // preK sweep: how fast the exact re-rank recovers the
           // quantizer's rank errors as the shortlist grows
+          // preK is the shortlist size (k stays 10) — key names say so
           val quantSweep = Seq(10, 20, 80).map(p =>
-            s""""quant_recall_k$p":${recall(sets(quantProbeTop(2, p)))}""")
+            s""""quant_recall_prek$p":${recall(sets(quantProbeTop(2, p)))}""")
             .mkString(",")
           def dirBytes(p: String): Long = {
             def walk(f: java.io.File): Long =

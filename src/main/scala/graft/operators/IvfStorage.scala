@@ -268,6 +268,15 @@ object IvfStorage {
       .groupBy("pos")
       .agg(min(col("iv")).as("mn"), max(col("iv")).as("mx"))
 
+  /** The params table packed into the ONE broadcastable `qparams` row the
+    * kernels consume. The sort and the (pos, mn, mx) field order are the
+    * kernel ABI — `Int8Quantize`/`QuantizedCosine` read mn/mx
+    * positionally — so every call site must build it HERE. */
+  def paramArray(params: DataFrame): DataFrame =
+    params.agg(
+      array_sort(collect_list(struct(col("pos"), col("mn"), col("mx"))))
+        .as("qparams"))
+
   /** Quantize a corpus under frozen params → (vec_id, codes array<int> in
     * 0..255 ordered by dimension, max_err bigint = the per-vector worst
     * integer-space reconstruction gap, ≤ range/255 by construction — the
@@ -284,16 +293,12 @@ object IvfStorage {
     * that would dominate a 100 TB lake write — is kept as
     * [[quantizeReference]], the oracle-shaped semantic reference the
     * kernel is spec-pinned against (q101 hashes both against DuckDB). */
-  def quantize(embeddings: DataFrame, params: DataFrame): DataFrame = {
-    val paramArr = params
-      .agg(array_sort(collect_list(struct(col("pos"), col("mn"), col("mx"))))
-        .as("qparams"))
-    embeddings.crossJoin(broadcast(paramArr))
+  def quantize(embeddings: DataFrame, params: DataFrame): DataFrame =
+    embeddings.crossJoin(broadcast(paramArray(params)))
       .select(col("vec_id"),
         call_function("int8_quantize", col("embedding"), col("qparams")).as("q"))
       .select(col("vec_id"), col("q.codes").as("codes"),
         col("q.max_err").as("max_err"))
-  }
 
   /** [[quantize]] through the explode/join/groupBy DataFrame formulation —
     * the semantic reference the native kernel is pinned against
@@ -323,11 +328,15 @@ object IvfStorage {
     * shortlist back to it by vec_id for the exact re-rank. */
   def writeQuantizedCellPartitioned(embeddings: DataFrame,
       centroids: DataFrame, params: DataFrame, dir: String): Unit =
+    // assignment and quantization are both per-row maps over the same
+    // scan — ONE projection, no self-join reassembly (the kernels exist
+    // precisely so this write is scan → project → partitioned write)
     assignCells(embeddings, centroids)
-      .select(col("vec_id"), col("embedding"), col("cent_id"))
-      .join(quantize(embeddings, params), Seq("vec_id"))
+      .crossJoin(broadcast(paramArray(params)))
       .select(col("vec_id"),
-        call_function("int8_pack", col("codes")).as("codes"),
+        call_function("int8_pack",
+          call_function("int8_quantize", col("embedding"), col("qparams"))
+            .getField("codes")).as("codes"),
         col("cent_id"))
       .repartition(col("cent_id"))
       .write.mode("overwrite").partitionBy("cent_id").parquet(dir)
@@ -350,9 +359,7 @@ object IvfStorage {
         col("cent_id"))
       .limit(nProbe)
       .select("cent_id").collect().map(_.get(0)).toSeq
-    val paramArr = params
-      .agg(array_sort(collect_list(struct(col("pos"), col("mn"), col("mx"))))
-        .as("qparams"))
+    val paramArr = paramArray(params)
     val shortlist = spark.read.parquet(dir)
       .filter(col("cent_id").isin(cells.map(lit): _*))
       .crossJoin(broadcast(qDf)).crossJoin(broadcast(paramArr))

@@ -30,12 +30,20 @@ import org.apache.spark.sql.functions._
   */
 object MediaDedup {
 
-  private val aHashUdf = udf((b: Array[Byte]) => ImageIoCodec.aHash(b))
-  private val dHashUdf = udf((b: Array[Byte]) => ImageIoCodec.dHash(b))
+  // decode failure (truncated file, misdeclared format, CMYK JPEG the JDK
+  // returns null for) → null hash, never an exception: one bad row must
+  // not fail the corpus job — the Multimodal.featuresFor contract
+  private val aHashUdf = udf((b: Array[Byte]) =>
+    try java.lang.Long.valueOf(ImageIoCodec.aHash(b))
+    catch { case scala.util.control.NonFatal(_) => null })
+  private val dHashUdf = udf((b: Array[Byte]) =>
+    try java.lang.Long.valueOf(ImageIoCodec.dHash(b))
+    catch { case scala.util.control.NonFatal(_) => null })
 
   /** Per-image perceptual hashes over a [[Multimodal.readMediaDir]] frame:
     * JDK-decodable images only (the dispatch contract — tiff etc. have no
-    * JDK reader), both hashes in one decode-bearing projection. Columns:
+    * JDK reader), both hashes in one decode-bearing projection; rows whose
+    * bytes fail to decode are dropped (null-hash filter). Columns:
     * media_id, phash (aHash), dhash (+ passthrough of `keep`). */
   def imageHashes(media: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     val decodable = ImageIoCodec.formats.toSeq.sorted
@@ -44,6 +52,7 @@ object MediaDedup {
         col("meta.format").isin(decodable: _*))
       .select(Seq(col("media_id"), aHashUdf(col("bytes")).as("phash"),
         dHashUdf(col("bytes")).as("dhash")) ++ keep.map(col): _*)
+      .filter(col("phash").isNotNull && col("dhash").isNotNull)
   }
 
   /** Near-dup pair generation over (media_id, <hashCol>): banding + capped

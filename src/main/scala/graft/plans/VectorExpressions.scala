@@ -79,13 +79,19 @@ case class CosineSimilarity(left: Expression, right: Expression)
 /** Kernel for [[NearestCentroid]], shared by eval and codegen (the
   * [[BpeMergePairImpl]] pattern). Semantics mirror the interpreted HOF
   * fold it replaces (IvfStorage.assignCells' `aggregate` — kept as the
-  * spec-pinned reference) BIT-EXACTLY:
+  * spec-pinned reference) BIT-EXACTLY, including Spark's NaN ordering —
+  * in Spark SQL `NaN > x` is TRUE for every non-NaN x (SQLOrderingUtil
+  * semantics: NaN is the largest double), which the HOF's
+  * `when(sim > acc.sim, …)` inherits:
   *  - cosine accumulates dot/na/nb in doubles, in element order;
   *  - scan is cent_id-ascending (callers pass an array_sort'ed array) and
-  *    replaces only on STRICTLY greater similarity — ties keep the
+  *    replaces only on Spark-strictly-greater similarity — ties keep the
   *    smallest cent_id;
-  *  - a NaN cosine (zero vector) never beats: `NaN > best` is false, the
-  *    same outcome the HOF's `when(sim > acc.sim, …)` produces;
+  *  - a NaN cosine (zero vector / zero-norm centroid) BEATS every real
+  *    similarity and then sticks (NaN > NaN is false), so the first
+  *    NaN-producing centroid wins — the HOF outcome, and the one the
+  *    q51-family oracles mirror (ORDER BY sim DESC ranks NaN first in
+  *    both engines);
   *  - a length-mismatched centroid contributes null cosine in the HOF
   *    (when(null, …) → otherwise) — here it is skipped, same outcome;
   *  - an empty centroid array yields -1 (the HOF's seed cid). */
@@ -93,9 +99,10 @@ object NearestCentroidImpl {
   def nearest(emb: ArrayData, cents: ArrayData): Int = {
     val nc = cents.numElements()
     var best = -2.0
+    var bestIsNaN = false
     var bestId = -1
     var c = 0
-    while (c < nc) {
+    while (c < nc && !bestIsNaN) {
       if (!cents.isNullAt(c)) {
         val s = cents.getStruct(c, 2)
         val cent = s.getArray(1)
@@ -110,7 +117,10 @@ object NearestCentroidImpl {
             i += 1
           }
           val sim = dot / (math.sqrt(na) * math.sqrt(nb))
-          if (sim > best) { best = sim; bestId = s.getInt(0) }
+          // Spark `sim > best`: NaN beats any non-NaN; once best is NaN
+          // nothing beats it (loop exits via bestIsNaN)
+          if (sim.isNaN) { bestIsNaN = true; bestId = s.getInt(0) }
+          else if (sim > best) { best = sim; bestId = s.getInt(0) }
         }
       }
       c += 1
@@ -222,8 +232,13 @@ object QuantizedCosineImpl {
   * truncates toward zero like Spark's `div`; the only negative numerator,
   * an under-range drifted value, clamps to 0 either way): iv = floor(x·10⁶),
   * code = clamp(((iv−mn)·255)/range), err = |iv − (mn + code·range/255)|.
-  * Null element or params-length mismatch → null row (wrong codebook —
-  * fail explicitly, never truncate dimensions). */
+  * Null element, NaN element, or params-length mismatch → null row (wrong
+  * codebook / corrupt vector — fail explicitly, never truncate dimensions
+  * or code garbage; the ANSI DataFrame reference THROWS on the NaN cast,
+  * so null is this kernel's softened equivalent, documented here). The
+  * out-of-range clamp branches BEFORE the ×255 multiply, so a drifted
+  * value can never overflow the intermediate into the wrong end of the
+  * code range; err under extreme drift saturates rather than wrapping. */
 object Int8QuantizeImpl {
   def quantize(emb: ArrayData, params: ArrayData): InternalRow = {
     val n = emb.numElements()
@@ -233,14 +248,27 @@ object Int8QuantizeImpl {
     var i = 0
     while (i < n) {
       if (emb.isNullAt(i)) return null
+      val x = emb.getFloat(i)
+      if (java.lang.Float.isNaN(x)) return null
       val s = params.getStruct(i, 3)
       val mn = s.getLong(1)
-      val range = s.getLong(2) - mn
-      val iv = math.floor(emb.getFloat(i).toDouble * 1000000.0).toLong
-      val c0 = if (range == 0L) 0L else ((iv - mn) * 255L) / range
-      val code = math.max(0L, math.min(255L, c0))
+      val mx = s.getLong(2)
+      val range = mx - mn
+      // ±Infinity floors to ±Infinity; .toLong saturates to ±Long extremes,
+      // which the clamp below routes to code 255/0 — the drift contract
+      val iv = math.floor(x.toDouble * 1000000.0).toLong
+      val code =
+        if (range == 0L || iv <= mn) 0L
+        else if (iv >= mx) 255L
+        else ((iv - mn) * 255L) / range // iv−mn < range: no overflow
       val rec = mn + code * range / 255L
-      val err = math.abs(iv - rec)
+      // saturating |iv − rec|: a saturated iv minus an in-range rec can
+      // exceed Long — report Long.MaxValue instead of a wrapped negative
+      val err =
+        try {
+          val d = math.subtractExact(iv, rec)
+          if (d == Long.MinValue) Long.MaxValue else math.abs(d)
+        } catch { case _: ArithmeticException => Long.MaxValue }
       if (err > maxErr) maxErr = err
       codes(i) = code.toInt
       i += 1

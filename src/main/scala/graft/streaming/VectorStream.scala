@@ -42,8 +42,11 @@ object VectorStream {
       dir: String, checkpointDir: String,
       trigger: Trigger = Trigger.ProcessingTime("10 seconds"))
       : StreamingQuery = {
+    // LEFT join: an unassignable row (cent_id −1 from a zero/mismatched
+    // vector) must still reach the lake (its own partition) and the row
+    // count — an inner join here would silently drop it from both
     val assigned = IvfStorage.assignCells(embeddings, centroids)
-      .join(broadcast(centroids), "cent_id")
+      .join(broadcast(centroids), Seq("cent_id"), "left")
       .withColumn("assign_cos", cosineNative(col("embedding"), col("centroid")))
       .drop("centroid")
       .observe("vector_ingest_drift",

@@ -50,9 +50,7 @@ class QuantizationSpec extends SparkSpec {
 
   test("quantized_cosine native ≡ HOF dequantize-then-fold twin (bitwise)") {
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
-    val paramArr = params
-      .agg(array_sort(collect_list(struct(col("pos"), col("mn"), col("mx"))))
-        .as("qparams"))
+    val paramArr = IvfStorage.paramArray(params)
     // the twin mirrors the kernel's per-element arithmetic exactly:
     // x = (mn + code·range/255.0)/10⁶ in double, then three sequential
     // folds over the same element order
@@ -75,9 +73,7 @@ class QuantizationSpec extends SparkSpec {
 
   test("packed binary codes round the same: quantized_cosine(int8_pack(c)) ≡ quantized_cosine(c)") {
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
-    val paramArr = params
-      .agg(array_sort(collect_list(struct(col("pos"), col("mn"), col("mx"))))
-        .as("qparams"))
+    val paramArr = IvfStorage.paramArray(params)
     val both = codes.crossJoin(broadcast(paramArr)).crossJoin(broadcast(q))
       .select(
         call_function("quantized_cosine", col("codes"), col("qparams"),
@@ -93,9 +89,7 @@ class QuantizationSpec extends SparkSpec {
   }
 
   test("quantized_cosine is null on length mismatch, not wrong") {
-    val paramArr = params
-      .agg(array_sort(collect_list(struct(col("pos"), col("mn"), col("mx"))))
-        .as("qparams"))
+    val paramArr = IvfStorage.paramArray(params)
     val short = codes.limit(1).crossJoin(broadcast(paramArr))
       .select(call_function("quantized_cosine",
         slice(col("codes"), 1, 10), col("qparams"),

@@ -81,20 +81,42 @@ class NativeExpressionsSpec extends SparkSpec {
       hof.as("hofv"))
     assert(both.count() > 0)
     assert(both.filter(col("native") =!= col("hofv")).count() == 0)
-    // constructed edges: exact tie (two identical centroids → smallest
-    // cent_id), zero vector (NaN cosine everywhere → -1 seed), a
-    // length-mismatched centroid (skipped), empty centroid array (-1)
+    // constructed edges, BOTH formulations compared on every row: exact
+    // tie (two identical centroids → smallest cent_id), zero VECTOR (NaN
+    // cosine — Spark's `>` ranks NaN above everything, so the first
+    // centroid wins and sticks), zero CENTROID mid-corpus (NaN for every
+    // row — same rule), length-mismatched centroid (null cosine in the
+    // HOF, skipped in the kernel), empty centroid array (-1 seed)
+    def hofOn(centArr2: org.apache.spark.sql.DataFrame,
+        e: org.apache.spark.sql.DataFrame) =
+      e.crossJoin(broadcast(centArr2)).select(col("vec_id"),
+        call_function("nearest_centroid", col("embedding"), col("cents"))
+          .as("native"),
+        hof.as("hofv"))
     val c2 = Seq(
       (1, Seq(1.0f, 0.0f)), (2, Seq(1.0f, 0.0f)), (3, Seq(0.0f, 1.0f)),
       (4, Seq(1.0f, 1.0f, 1.0f))).toDF("cent_id", "centroid")
+    val c2Arr = c2.agg(array_sort(
+      collect_list(struct(col("cent_id"), col("centroid")))).as("cents"))
     val e2 = Seq(
       (10L, Seq(2.0f, 0.1f)),   // nearest = tie-free cell 1
-      (11L, Seq(1.0f, 1.0f)),   // exact tie between 1 and 3 → … cosine equal? 45° to both → tie → 1
-      (12L, Seq(0.0f, 0.0f)),   // zero vector: NaN cosine → -1
+      (11L, Seq(1.0f, 1.0f)),   // bit-equal cosine to 1/2/3 → tie → 1
+      (12L, Seq(0.0f, 0.0f)),   // zero vector: NaN beats all → first = 1
       (13L, Seq(0.1f, 5.0f))).toDF("vec_id", "embedding")
-    val assigned = graft.operators.IvfStorage.assignCells(e2, c2)
-      .orderBy("vec_id").select("cent_id").collect().map(_.getInt(0)).toSeq
-    assert(assigned == Seq(1, 1, -1, 3), s"got $assigned")
+    val edge = hofOn(c2Arr, e2).orderBy("vec_id").collect()
+    assert(edge.forall(r => r.getInt(1) == r.getInt(2)),
+      s"native/HOF drift: ${edge.map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq}")
+    assert(edge.map(_.getInt(1)).toSeq == Seq(1, 1, 1, 3),
+      s"got ${edge.map(_.getInt(1)).toSeq}")
+    // a zero-norm centroid mid-array NaNs every row — first NaN wins in
+    // both formulations (cent_id 0 sorts first here)
+    val c3 = c2.unionByName(Seq((0, Seq(0.0f, 0.0f))).toDF("cent_id", "centroid"))
+    val c3Arr = c3.agg(array_sort(
+      collect_list(struct(col("cent_id"), col("centroid")))).as("cents"))
+    val zc = hofOn(c3Arr, e2).orderBy("vec_id").collect()
+    assert(zc.forall(r => r.getInt(1) == r.getInt(2)),
+      s"zero-centroid drift: ${zc.map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq}")
+    assert(zc.map(_.getInt(1)).toSeq == Seq(0, 0, 0, 0))
     // empty centroid table → every row -1 (the HOF seed)
     val none = graft.operators.IvfStorage.assignCells(e2,
       c2.filter(col("cent_id") > 99))
