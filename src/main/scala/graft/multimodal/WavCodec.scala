@@ -126,4 +126,41 @@ object WavCodec {
     AudioSystem.write(stream, AudioFileFormat.Type.WAVE, out)
     out.toByteArray
   }
+
+  /** 64-bit perceptual audio hash — the audio sibling of
+    * [[ImageIoCodec.aHash]]: the clip's duration is split into 64 equal
+    * time windows, bit i set iff window i's mean POWER (Σ sample² / count,
+    * accumulated in double, no sqrt) exceeds the 64-window mean, compared
+    * cross-multiplied in the same scale-free way as the image grid. Time
+    * normalization makes it container- and rate-robust: a WAV→AIFF→AU
+    * re-encode of the same PCM hashes identically, and a resampled copy
+    * lands within a few bits (the energy envelope survives linear
+    * interpolation) — the near-dup regime `MediaDedup`'s Hamming banding
+    * probes. Silence (all-zero or empty) hashes to 0L. */
+  def aHashAudio(bytes: Array[Byte]): Long = {
+    val (mono, _) = decode(bytes)
+    val n = mono.length
+    if (n == 0) return 0L
+    val e = new Array[Double](64)
+    var w = 0
+    while (w < 64) {
+      val s0 = (w.toLong * n / 64).toInt
+      val s1 = math.max(s0 + 1, ((w + 1).toLong * n / 64).toInt)
+      var sum = 0.0
+      var i = s0
+      while (i < s1) { sum += mono(i).toDouble * mono(i); i += 1 }
+      e(w) = sum / (s1 - s0)
+      w += 1
+    }
+    var total = 0.0
+    var i = 0
+    while (i < 64) { total += e(i); i += 1 }
+    var bits = 0L
+    i = 0
+    while (i < 64) {
+      if (e(i) * 64 > total) bits |= (1L << i)
+      i += 1
+    }
+    bits
+  }
 }

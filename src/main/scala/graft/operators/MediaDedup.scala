@@ -55,6 +55,25 @@ object MediaDedup {
       .filter(col("phash").isNotNull && col("dhash").isNotNull)
   }
 
+  private val audioHashUdf = udf((b: Array[Byte]) =>
+    try java.lang.Long.valueOf(graft.multimodal.WavCodec.aHashAudio(b))
+    catch { case scala.util.control.NonFatal(_) => null })
+
+  /** Per-clip perceptual hash over a media frame: JDK-decodable audio only
+    * ([[graft.multimodal.WavCodec.formats]] — mp3/flac/ogg have no JDK
+    * decoder), undecodable rows dropped like [[imageHashes]]. Column
+    * `phash` so [[pairs]] applies unchanged — a 64-bit energy-envelope
+    * hash bands exactly like an image aHash or a SimHash. */
+  def audioHashes(media: DataFrame, keep: Seq[String] = Nil): DataFrame = {
+    val decodable = graft.multimodal.WavCodec.formats.toSeq.sorted
+    media
+      .filter(col("modality") === "audio" &&
+        col("meta.format").isin(decodable: _*))
+      .select(Seq(col("media_id"),
+        audioHashUdf(col("bytes")).as("phash")) ++ keep.map(col): _*)
+      .filter(col("phash").isNotNull)
+  }
+
   /** Near-dup pair generation over (media_id, <hashCol>): banding + capped
     * bucket pair expansion + exact Hamming ≤ 3, via the shared SimHash
     * pair stage. Emits (a_id, b_id, hamming), a_id < b_id. */
@@ -113,6 +132,71 @@ object MediaDedup {
     * nudged ⇒ Hamming ≥ 0, within the band). Recall 1 on all twin pairs
     * and zero cross-seed pairs are spec-pinned (MediaDedupSpec), so the
     * row count is stable and non-empty. Output keys are "kind:seed". */
+  /** Deterministic synthetic clip for [[q103]] — 64 windows × 512 samples
+    * of alternating ±amp with per-window amplitude from byteswap64, as
+    * mono 16-bit WAV: the audio stand-in [[blockImage]] is for images
+    * (power envelope = the content signature; exactly preserved by the
+    * window-aligned resample). */
+  private[operators] def clipWav(seed: Long): Array[Byte] = {
+    import javax.sound.sampled._
+    val nWin = 64; val win = 512
+    val raw = new Array[Byte](nWin * win * 2)
+    var w = 0
+    while (w < nWin) {
+      val h = scala.util.hashing.byteswap64(seed * 64 + w)
+      val amp = 0.1f + 0.8f * (((h >>> 32) & 0xff).toInt / 255f)
+      var i = 0
+      while (i < win) {
+        val v = if (i % 2 == 0) amp else -amp
+        val s = math.max(-32768, math.min(32767, (v * 32767).round)).toShort
+        val k = (w * win + i) * 2
+        raw(k) = (s & 0xff).toByte; raw(k + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      w += 1
+    }
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+      32768f, 16, 1, 2, 32768f, false)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, (nWin * win).toLong),
+      AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Q103 (⚙ rows-only: DuckDB cannot decode WAVs): the audio member of
+    * the perceptual-dedup family, end to end — generated deterministic
+    * clips with resampled twins (2× and 4× down, window-aligned so the
+    * energy envelope survives), hashed by
+    * [[graft.multimodal.WavCodec.aHashAudio]] and paired through the same
+    * shared banding as images/SimHash. Invariances and recall are
+    * spec-pinned in MediaDedupSpec; output keys are "kind:seed". */
+  def q103(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val genUdf = udf((kind: String, s: Long) => kind match {
+      case "orig" => clipWav(s)
+      case "half" => graft.multimodal.WavCodec.resample(clipWav(s), 16384)
+      case _ => graft.multimodal.WavCodec.resample(clipWav(s), 8192)
+    })
+    val corpus = (0 until 16).map(_.toLong).toDF("seed")
+      .crossJoin(Seq("orig", "half", "quarter").toDF("kind"))
+      .repartition(8)
+      .select(concat(col("kind"), lit(":"), col("seed")).as("key"),
+        genUdf(col("kind"), col("seed")).as("bytes"))
+      .withColumn("media_id", xxhash64(col("key")))
+      .withColumn("modality", lit("audio"))
+      .withColumn("meta", struct(lit("wav").as("format")))
+    val hashed = audioHashes(corpus, keep = Seq("key"))
+    val keyed = hashed.select(col("media_id"), col("key"))
+    pairs(spark, hashed, "phash", "q103_buckets")
+      .join(keyed.select(col("media_id").as("a_id"), col("key").as("a_key")),
+        Seq("a_id"))
+      .join(keyed.select(col("media_id").as("b_id"), col("key").as("b_key")),
+        Seq("b_id"))
+      .select(col("a_key"), col("b_key"), col("hamming"))
+      .orderBy("a_key", "b_key")
+  }
+
   def q102(spark: SparkSession): DataFrame = {
     import spark.implicits._
     // generation runs ON EXECUTORS (udf over the seed×kind grid) — the

@@ -52,10 +52,12 @@ object MediaQueries extends QueryGroup {
 
   val queries: Seq[(String, Q)] = Seq(
     "q98_media_ingest_metadata" -> q98,
-    // ⚙ rows-only: perceptual near-dup over the fixture images with
-    // in-query constructed twins (DuckDB cannot decode images); the
-    // recall/precision contract is spec-pinned in MediaDedupSpec
+    // ⚙ rows-only: perceptual near-dup over generated deterministic
+    // media with in-query constructed twins (DuckDB cannot decode
+    // images/audio); recall/precision contracts spec-pinned in
+    // MediaDedupSpec
     "q102_media_perceptual_dedup" -> ((s, _) => MediaDedup.q102(s)),
+    "q103_media_audio_dedup" -> ((s, _) => MediaDedup.q103(s)),
   )
 
   // the CASE arms mirror readMediaDir's extension lists exactly

@@ -92,6 +92,99 @@ class MediaDedupSpec extends SparkSpec {
     }
   }
 
+  // ── audio ──────────────────────────────────────────────────────────
+
+  /** Deterministic clip: 64 windows × 512 samples, window amplitude from
+    * byteswap64(seed, w), samples alternating ±amp (power = amp², exactly
+    * preserved by the aligned 2× resample). */
+  private def clip(seed: Long): Array[Float] = {
+    val out = new Array[Float](64 * 512)
+    for (w <- 0 until 64) {
+      val h = scala.util.hashing.byteswap64(seed * 64 + w)
+      val amp = 0.1f + 0.8f * (((h >>> 32) & 0xff).toInt / 255f)
+      for (i <- 0 until 512)
+        out(w * 512 + i) = if (i % 2 == 0) amp else -amp
+    }
+    out
+  }
+
+  /** Encode mono 16-bit PCM in the container's endianness. */
+  private def enc(samples: Array[Float], hz: Int,
+      tpe: javax.sound.sampled.AudioFileFormat.Type,
+      bigEndian: Boolean): Array[Byte] = {
+    import javax.sound.sampled._
+    val raw = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (v, i) =>
+      val s = math.max(-32768, math.min(32767, (v * 32767).round)).toShort
+      if (bigEndian) {
+        raw(i * 2) = ((s >> 8) & 0xff).toByte; raw(i * 2 + 1) = (s & 0xff).toByte
+      } else {
+        raw(i * 2) = (s & 0xff).toByte; raw(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+      }
+    }
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+      hz.toFloat, 16, 1, 2, hz.toFloat, bigEndian)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, samples.length.toLong),
+      tpe, out)
+    out.toByteArray
+  }
+
+  test("audio hash: container-invariant, resample-robust, discriminative") {
+    import javax.sound.sampled.AudioFileFormat.Type
+    import graft.multimodal.WavCodec
+    val hashes = (0L until 8L).map { s =>
+      val pcm = clip(s)
+      val wav = enc(pcm, 32768, Type.WAVE, bigEndian = false)
+      val aiff = enc(pcm, 32768, Type.AIFF, bigEndian = true)
+      val au = enc(pcm, 32768, Type.AU, bigEndian = true)
+      val h = WavCodec.aHashAudio(wav)
+      // same PCM in three containers → identical hash
+      assert(WavCodec.aHashAudio(aiff) == h, s"seed=$s aiff")
+      assert(WavCodec.aHashAudio(au) == h, s"seed=$s au")
+      // aligned 2× resample preserves the power envelope
+      val res = WavCodec.resample(wav, 16384)
+      assert(ham(h, WavCodec.aHashAudio(res)) <= 3, s"seed=$s resample")
+      h
+    }
+    for (i <- hashes.indices; j <- i + 1 until hashes.size)
+      assert(ham(hashes(i), hashes(j)) > 3, s"clips $i,$j too close")
+  }
+
+  test("audioHashes + pairs: per-clip twin cliques, undecodable/foreign formats dropped") {
+    import javax.sound.sampled.AudioFileFormat.Type
+    val rows = (0L until 8L).flatMap { s =>
+      val pcm = clip(s)
+      Seq(
+        (s"orig:$s", "wav", enc(pcm, 32768, Type.WAVE, bigEndian = false)),
+        (s"aiff:$s", "aiff", enc(pcm, 32768, Type.AIFF, bigEndian = true)),
+        (s"res:$s", "wav",
+          graft.multimodal.WavCodec.resample(
+            enc(pcm, 32768, Type.WAVE, bigEndian = false), 16384)))
+    } ++ Seq(
+      ("corrupt:0", "wav", Array[Byte](1, 2, 3)),       // decode fails → dropped
+      ("foreign:0", "mp3", Array[Byte](4, 5, 6)))       // no JDK decoder → filtered
+    val media = rows.toDF("key", "format", "bytes")
+      .withColumn("media_id", xxhash64(col("key")))
+      .withColumn("modality", lit("audio"))
+      .withColumn("meta", struct(col("format")))
+    val hashed = MediaDedup.audioHashes(media, keep = Seq("key"))
+    assert(hashed.count() == 24) // corrupt + foreign rows gone, no crash
+    val keyed = hashed.select(col("media_id"), col("key"))
+    val got = MediaDedup.pairs(spark, hashed, "phash", "audio_test_buckets")
+      .join(keyed.select(col("media_id").as("a_id"), col("key").as("a_key")), Seq("a_id"))
+      .join(keyed.select(col("media_id").as("b_id"), col("key").as("b_key")), Seq("b_id"))
+      .select("a_key", "b_key").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def seedOf(k: String) = k.split(':')(1).toLong
+    assert(got.nonEmpty)
+    got.foreach { case (a, b) =>
+      assert(seedOf(a) == seedOf(b), s"cross-clip pair $a-$b") }
+    // every clip's three variants form a clique (3 pairs × 8 clips)
+    assert(got.length == 24, s"got ${got.length} pairs")
+  }
+
   test("dHash banding finds the same twins through the shared pair stage") {
     // jitter twins: dHash's regime is same-geometry edits (see the band
     // test above for why rescale drifts it)
