@@ -136,7 +136,13 @@ object WavCodec {
     * re-encode of the same PCM hashes identically, and a resampled copy
     * lands within a few bits (the energy envelope survives linear
     * interpolation) — the near-dup regime `MediaDedup`'s Hamming banding
-    * probes. Silence (all-zero or empty) hashes to 0L. */
+    * probes. Silence (all-zero or empty) hashes to 0L — and so does ANY
+    * flat-envelope clip (loudness-normalized / constant-power content):
+    * a per-clip-thresholded hash carries zero bits of signal for content
+    * whose signature source is uniform, the same inherent property as the
+    * image aHash on a flat image. Dedup pipelines must gate
+    * low-information rows (popcount near 0 or 64) to exact content-hash
+    * dedup instead — see MediaDedup.pairs' caveat. */
   def aHashAudio(bytes: Array[Byte]): Long = {
     val (mono, _) = decode(bytes)
     val n = mono.length

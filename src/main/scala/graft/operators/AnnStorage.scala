@@ -93,19 +93,8 @@ object AnnStorage {
     val qSig = qDf.select(lshSigNative(col("q_emb")).as("sig"))
       .head().getInt(0)
     val ball = hammingBall(qSig, radius).map(lit)
-    val shortlist = spark.read.parquet(dir)
-      .filter(col("sig").isin(ball: _*))
-      .crossJoin(broadcast(qDf))
-      .crossJoin(broadcast(IvfStorage.paramArray(params)))
-      .select(col("vec_id"),
-        call_function("quantized_cosine", col("codes"), col("qparams"),
-          col("q_emb")).as("qcos"))
-      .orderBy(col("qcos").desc_nulls_last, col("vec_id"))
-      .limit(preK)
-    shortlist.join(floatLake.select(col("vec_id"), col("embedding")), Seq("vec_id"))
-      .crossJoin(broadcast(qDf))
-      .select(col("vec_id"), cosineNative(col("embedding"), col("q_emb")).as("cos"))
-      .orderBy(col("cos").desc_nulls_last, col("vec_id"))
-      .limit(k)
+    IvfStorage.quantizedRerank(
+      spark.read.parquet(dir).filter(col("sig").isin(ball: _*)),
+      floatLake, params, qDf, preK, k)
   }
 }

@@ -359,10 +359,23 @@ object IvfStorage {
         col("cent_id"))
       .limit(nProbe)
       .select("cent_id").collect().map(_.get(0)).toSeq
-    val paramArr = paramArray(params)
-    val shortlist = spark.read.parquet(dir)
-      .filter(col("cent_id").isin(cells.map(lit): _*))
-      .crossJoin(broadcast(qDf)).crossJoin(broadcast(paramArr))
+    quantizedRerank(
+      spark.read.parquet(dir).filter(col("cent_id").isin(cells.map(lit): _*)),
+      floatLake, params, qDf, preK, k)
+  }
+
+  /** Shared quantized-probe tail for BOTH lake layouts (IVF cells here,
+    * LSH buckets in [[AnnStorage.probeQuantized]]) — only the pruning
+    * predicate differs between them, so the pre-rank/shortlist/re-rank
+    * semantics (preK knob, vec_id tie-breaks, float re-rank source) live
+    * in exactly one place: `quantized_cosine` over the pruned (vec_id,
+    * codes) scan → top-preK shortlist → exact cosine re-rank on the float
+    * originals joined by vec_id. */
+  private[operators] def quantizedRerank(prunedCodes: DataFrame,
+      floatLake: DataFrame, params: DataFrame, qDf: DataFrame,
+      preK: Int, k: Int): DataFrame = {
+    val shortlist = prunedCodes
+      .crossJoin(broadcast(qDf)).crossJoin(broadcast(paramArray(params)))
       .select(col("vec_id"),
         call_function("quantized_cosine", col("codes"), col("qparams"),
           col("q_emb")).as("qcos"))

@@ -76,14 +76,40 @@ object MediaDedup {
 
   /** Near-dup pair generation over (media_id, <hashCol>): banding + capped
     * bucket pair expansion + exact Hamming ≤ 3, via the shared SimHash
-    * pair stage. Emits (a_id, b_id, hamming), a_id < b_id. */
+    * pair stage. `block` is the bucket-key modality label — pass distinct
+    * labels if one frame ever mixes modalities, so images and audio never
+    * band together. Emits (a_id, b_id, hamming), a_id < b_id.
+    *
+    * Low-information caveat (inherent to the whole aHash family, image
+    * AND audio): content with a flat signature source — a uniform image,
+    * a loudness-normalized/constant-power clip — hashes near 0L or a
+    * coin-flip pattern, so two DIFFERENT flat items can collide at small
+    * Hamming. Corpus pipelines should gate such rows out first (e.g.
+    * `filter(bit_count(col("phash")) between 4 and 60)`) or route them to
+    * content-hash exact dedup; the hash carries no signal to distinguish
+    * them, by construction. */
   def pairs(spark: SparkSession, hashed: DataFrame,
       hashCol: String = "phash",
-      metric: String = "media_phash_buckets"): DataFrame =
+      metric: String = "media_phash_buckets",
+      block: String = "media"): DataFrame =
     DedupQueries.simhashBandPairs(spark,
-      hashed.select(col("media_id").as("doc_id"), lit("img").as("source"),
+      hashed.select(col("media_id").as("doc_id"), lit(block).as("source"),
         col(hashCol).as("simhash")),
       chunks = 4, bits = 16, metric = metric)
+
+  /** Shared tail of the q102/q103 pipelines: banded pairs re-keyed to the
+    * human-readable "kind:seed" endpoints, deterministically ordered. */
+  private def keyedPairs(spark: SparkSession, hashed: DataFrame,
+      metric: String, block: String): DataFrame = {
+    val keyed = hashed.select(col("media_id"), col("key"))
+    pairs(spark, hashed, "phash", metric, block)
+      .join(keyed.select(col("media_id").as("a_id"), col("key").as("a_key")),
+        Seq("a_id"))
+      .join(keyed.select(col("media_id").as("b_id"), col("key").as("b_key")),
+        Seq("b_id"))
+      .select(col("a_key"), col("b_key"), col("hamming"))
+      .orderBy("a_key", "b_key")
+  }
 
   /** Deterministic synthetic photo stand-in: a 64-px square of 8×8 gray
     * blocks whose levels derive from byteswap64(seed, block) — piecewise-
@@ -123,15 +149,6 @@ object MediaDedup {
     ImageIoCodec.toPng(img)
   }
 
-  /** Q102 (⚙ rows-only: DuckDB cannot decode PNGs): the perceptual-dedup
-    * pipeline driven end-to-end over a deterministic generated image
-    * corpus — 24 distinct base images, each with three constructed
-    * near-dup twins: `reenc` (decode → PNG re-encode: pixel-identical ⇒
-    * Hamming 0), `half` (2× [[ImageIoCodec.downsample]] — integer
-    * pooling, grid-aligned ⇒ Hamming 0), and `jitter` (one block's gray
-    * nudged ⇒ Hamming ≥ 0, within the band). Recall 1 on all twin pairs
-    * and zero cross-seed pairs are spec-pinned (MediaDedupSpec), so the
-    * row count is stable and non-empty. Output keys are "kind:seed". */
   /** Deterministic synthetic clip for [[q103]] — 64 windows × 512 samples
     * of alternating ±amp with per-window amplitude from byteswap64, as
     * mono 16-bit WAV: the audio stand-in [[blockImage]] is for images
@@ -186,17 +203,19 @@ object MediaDedup {
       .withColumn("media_id", xxhash64(col("key")))
       .withColumn("modality", lit("audio"))
       .withColumn("meta", struct(lit("wav").as("format")))
-    val hashed = audioHashes(corpus, keep = Seq("key"))
-    val keyed = hashed.select(col("media_id"), col("key"))
-    pairs(spark, hashed, "phash", "q103_buckets")
-      .join(keyed.select(col("media_id").as("a_id"), col("key").as("a_key")),
-        Seq("a_id"))
-      .join(keyed.select(col("media_id").as("b_id"), col("key").as("b_key")),
-        Seq("b_id"))
-      .select(col("a_key"), col("b_key"), col("hamming"))
-      .orderBy("a_key", "b_key")
+    keyedPairs(spark, audioHashes(corpus, keep = Seq("key")),
+      "q103_buckets", "audio")
   }
 
+  /** Q102 (⚙ rows-only: DuckDB cannot decode PNGs): the perceptual-dedup
+    * pipeline driven end-to-end over a deterministic generated image
+    * corpus — 24 distinct base images, each with three constructed
+    * near-dup twins: `reenc` (decode → PNG re-encode: pixel-identical ⇒
+    * Hamming 0), `half` (2× [[ImageIoCodec.downsample]] — integer
+    * pooling, grid-aligned ⇒ Hamming 0), and `jitter` (one block's gray
+    * nudged ⇒ Hamming ≥ 0, within the band). Recall 1 on all twin pairs
+    * and zero cross-seed pairs are spec-pinned (MediaDedupSpec), so the
+    * row count is stable and non-empty. Output keys are "kind:seed". */
   def q102(spark: SparkSession): DataFrame = {
     import spark.implicits._
     // generation runs ON EXECUTORS (udf over the seed×kind grid) — the
@@ -217,14 +236,7 @@ object MediaDedup {
       .withColumn("media_id", xxhash64(col("key")))
       .withColumn("modality", lit("image"))
       .withColumn("meta", struct(lit("png").as("format")))
-    val hashed = imageHashes(corpus, keep = Seq("key"))
-    val keyed = hashed.select(col("media_id"), col("key"))
-    pairs(spark, hashed, "phash", "q102_buckets")
-      .join(keyed.select(col("media_id").as("a_id"), col("key").as("a_key")),
-        Seq("a_id"))
-      .join(keyed.select(col("media_id").as("b_id"), col("key").as("b_key")),
-        Seq("b_id"))
-      .select(col("a_key"), col("b_key"), col("hamming"))
-      .orderBy("a_key", "b_key")
+    keyedPairs(spark, imageHashes(corpus, keep = Seq("key")),
+      "q102_buckets", "img")
   }
 }

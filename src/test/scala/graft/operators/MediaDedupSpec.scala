@@ -185,6 +185,27 @@ class MediaDedupSpec extends SparkSpec {
     assert(got.length == 24, s"got ${got.length} pairs")
   }
 
+  test("q103 pipeline: every clip's orig/half/quarter variants form one clique") {
+    val got = MediaDedup.q103(spark).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    def seedOf(k: String) = k.split(':')(1).toLong
+    got.foreach { case (a, b, h) =>
+      assert(seedOf(a) == seedOf(b), s"cross-clip pair $a-$b")
+      assert(h <= 3)
+    }
+    // 16 clips × C(3,2) pairs — the 4× (quarter) twin must pair with BOTH
+    // orig and half, pinning the row-count contract the ⚙ entry relies on
+    assert(got.length == 48, s"got ${got.length} pairs")
+    val bySeed = got.groupBy { case (a, _, _) => seedOf(a) }
+    assert(bySeed.keySet == (0L until 16L).toSet)
+    bySeed.foreach { case (s, ps) =>
+      val links = ps.map { case (a, b, _) =>
+        Set(a.split(':')(0), b.split(':')(0)) }.toSet
+      assert(links == Set(Set("orig", "half"), Set("orig", "quarter"),
+        Set("half", "quarter")), s"seed=$s links=$links")
+    }
+  }
+
   test("dHash banding finds the same twins through the shared pair stage") {
     // jitter twins: dHash's regime is same-geometry edits (see the band
     // test above for why rescale drifts it)
