@@ -328,6 +328,41 @@ object CorpusQueries extends QueryGroup {
     CorpusOps.spanCorruption(Tables.documents(s, d), "doc_id", 10)
       .orderBy("doc_id")
 
+  /** Q106: deterministic stratified train/val/test split — every doc lands
+    * in train/val/test at 80/10/10 by a content-stable hash of doc_id (the
+    * q58/q80 hash-sampling contract: u = first-8-md5-hex / 2³², exact in
+    * both engines because the divisor is a power of two), and the report is
+    * what a leakage audit reads: per (lang, source) stratum and split, the
+    * doc/token counts, the within-stratum fraction, and an exact BIGINT
+    * membership checksum (Σ doc_id) that pins WHICH docs landed where, not
+    * just how many. Keying the hash on doc_id alone makes assignments
+    * stable under corpus growth — a doc never migrates between splits when
+    * other docs arrive, the invariant that keeps a held-out set clean
+    * across snapshots (contrast position- or sample()-based splits, which
+    * reshuffle membership every ingest).
+    *
+    * Shape: per-row hash + one partial-agg groupBy (lang, source, split);
+    * the stratum-total window runs over the AGGREGATED frame (≤3 rows per
+    * stratum), never the corpus — no scale hazard at any corpus size. */
+  private val q106: Q = (s, d) => {
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long").cast("double") / lit(4294967296.0))
+    val toks = TextFunctions.tokens(col("text"))
+    val w = Window.partitionBy("lang", "source")
+    Tables.documents(s, d).select(
+        col("lang"), col("source"), col("doc_id"),
+        size(toks).cast("long").as("n_tok"),
+        when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test")
+          .as("split"))
+      .groupBy("lang", "source", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("sum_tokens"),
+        sum(col("doc_id")).as("sum_doc_id"))
+      .withColumn("stratum_frac",
+        col("n_docs").cast("double") / sum(col("n_docs")).over(w))
+      .orderBy("lang", "source", "split")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q71_text_repetition" -> q71,
     "q72_dedup_spans" -> q72,
@@ -342,6 +377,7 @@ object CorpusQueries extends QueryGroup {
     "q91_pack_shards" -> q91,
     "q92_chunk_windows" -> q92,
     "q97_span_corruption" -> q97,
+    "q106_split_stratified" -> q106,
   )
 
   // 2-gram positions: range(1, len) = 1..len-1 (DuckDB range excludes the
@@ -574,6 +610,34 @@ object CorpusQueries extends QueryGroup {
         |SELECT doc_id, count(*) AS n_contaminated,
         |  CAST(count(*) AS DOUBLE) / max(n_shingles) AS contam_frac
         |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // split by u = first-8-md5-hex(doc_id) / 2^32 (exact: power-of-two
+    // divisor); counts and the Σdoc_id membership checksum are exact
+    // BIGINTs; the stratum fraction divides ONCE as double over the
+    // window total (cast back from DuckDB's HUGEINT window sum, the q91
+    // gotcha)
+    "q106_split_stratified" ->
+      """WITH d AS (
+        |  SELECT lang, source, doc_id,
+        |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok,
+        |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
+        |      / 4294967296.0 AS u
+        |  FROM documents),
+        |a AS (
+        |  SELECT lang, source, doc_id, n_tok,
+        |    CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM d),
+        |g AS (
+        |  SELECT lang, source, split, count(*) AS n_docs,
+        |    CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+        |    CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+        |  FROM a GROUP BY lang, source, split)
+        |SELECT lang, source, split, n_docs, sum_tokens, sum_doc_id,
+        |  CAST(n_docs AS DOUBLE) /
+        |    CAST(sum(n_docs) OVER (PARTITION BY lang, source) AS BIGINT)
+        |    AS stratum_frac
+        |FROM g ORDER BY lang, source, split""".stripMargin,
 
     "q76_text_rare_terms" ->
       """WITH pairs AS (

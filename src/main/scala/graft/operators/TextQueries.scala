@@ -339,6 +339,66 @@ object TextQueries extends QueryGroup {
     "o" -> "r", "j" -> "o", "jo" -> "i", "joi" -> "n", "a" -> "n",
     "d" -> "at"))
 
+  /** Q105: BM25-family retrieval scoring — top-20 documents for a fixed
+    * 3-term query, the ranked-retrieval primitive behind decontamination
+    * lookups (find the training docs closest to an eval query) and
+    * retrieval-based data selection. Classic BM25 with ONE engine-exact
+    * substitution: idf = ln((N−df+0.5)/(df+0.5)+1) becomes the raw rarity
+    * ratio (N−df+0.5)/(df+0.5) — ln's last ulp is libm-specific (the
+    * q95/q84 contract), and the ratio is a strictly monotone transform of
+    * a per-term constant, so per-term doc ranking is unchanged; across
+    * terms it weights rare terms harder than log damping would, a
+    * documented operating-point choice, not an approximation. Everything
+    * else is textbook Robertson–Spärck Jones: tf saturation with k1 = 1.2,
+    * length normalization with b = 0.75 against avgdl.
+    *
+    * Determinism: tf/df/dl/N are exact BIGINTs; avgdl, the length norm
+    * and each per-term contribution are fixed chains of IEEE double ops
+    * mirrored operation-for-operation in the oracle; the per-doc score
+    * sums its ≤3 contributions via a SEQUENTIAL fold in term order
+    * (aggregate over the term-sorted struct array ≡ DuckDB's list_reduce
+    * over list(… ORDER BY tok)) — never an order-nondeterministic double
+    * aggregate.
+    *
+    * Scale shape: the dl/avgdl statistics are one partial-agg pass; the
+    * scoring side filters the posting explosion to the query terms AT THE
+    * SCAN (a 3-term IN-list — surviving volume is the postings of the
+    * query terms, not the corpus token stream), then one groupBy(doc) and
+    * a global top-k (TakeOrderedAndProject, never a full sort). The df
+    * table is one row per query term and broadcasts; at a real corpus the
+    * dl join is the only shuffle, keyed on doc_id. */
+  private val q105: Q = (s, d) => {
+    val terms = Seq("vector", "merge", "stream")
+    val exploded = Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("tok"))
+    val dl = exploded.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .select(col("n_docs"),
+        (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
+    val tf = exploded.filter(col("tok").isin(terms: _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val contrib = tf.join(broadcast(df), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("tok"),
+        ((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)) *
+          ((col("tf").cast("double") * lit(2.2)) /
+            (col("tf").cast("double") +
+              lit(1.2) * (lit(0.25) +
+                lit(0.75) * (col("dl").cast("double") / col("avgdl"))))))
+          .as("contrib"))
+    contrib.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        aggregate(array_sort(collect_list(struct(col("tok"), col("contrib")))),
+          lit(0.0), (a, x) => a + x.getField("contrib")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q33_text_topwords" -> q33,
     "q34_text_docstats" -> q34,
@@ -357,6 +417,7 @@ object TextQueries extends QueryGroup {
     "q95_token_familiarity" -> q95,
     "q99_bpe_pair_counts" -> q99,
     "q100_bpe_encode" -> q100,
+    "q105_text_bm25" -> q105,
   )
 
   val oracles: Map[String, String] = Map(
@@ -419,6 +480,36 @@ object TextQueries extends QueryGroup {
         |  CAST(sum(df.df) AS DOUBLE) / count(*) AS mean_df
         |FROM t JOIN df USING (tok)
         |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
+
+    // BM25-rational: every arithmetic step mirrors the Spark expression
+    // operation-for-operation (single divisions over exact BIGINTs, the
+    // fixed double chain for the length norm); the per-doc score is a
+    // sequential fold over term-sorted contributions (list_reduce ≡
+    // Spark's aggregate over the array_sort'ed struct array)
+    "q105_text_bm25" ->
+      """WITH e AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+        |  FROM e GROUP BY doc_id),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM e
+        |  WHERE tok IN ('vector', 'merge', 'stream') GROUP BY doc_id, tok),
+        |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+        |c AS (
+        |  SELECT tf.doc_id, tf.tok,
+        |    (CAST(st.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5) /
+        |      (CAST(df.df AS DOUBLE) + 0.5) *
+        |    ((CAST(tf.tf AS DOUBLE) * 2.2) /
+        |      (CAST(tf.tf AS DOUBLE) +
+        |        1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / st.avgdl)))) AS contrib
+        |  FROM tf JOIN df USING (tok) JOIN dl ON tf.doc_id = dl.doc_id, st)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list(contrib ORDER BY tok)),
+        |    (a, x) -> a + x) AS score
+        |FROM c GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     "q33_text_topwords" ->
       s"""SELECT word, count(*) AS n FROM (
