@@ -136,4 +136,31 @@ class IvfStorageSpec extends SparkSpec {
       .sameElements(again.collect().map(_.toString).sorted),
       "refits must reproduce bit-identically")
   }
+
+  test("q104 semantic dedup blocks by GEOMETRIC cell, not by label") {
+    // v3 carries label 1 but sits on label 0's centroid direction — the
+    // crossover case that distinguishes SemDeDup's learned-cluster
+    // blocking from q69's metadata blocking: v3 must land in cell 0 and
+    // join the {v1, v2} duplicate component there.
+    def vec(axis: Int, scale: Float): Array[Float] = {
+      val a = new Array[Float](64); a(axis) = scale; a
+    }
+    val dir = tmpDir("semdedup")
+    Seq(
+      (1L, vec(0, 1.0f), 0),
+      (2L, vec(0, 0.9f), 0),
+      (3L, vec(0, 1.1f), 1), // labelled 1, geometrically cell 0
+      (4L, vec(1, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = SparkEntry.queries("q104_dedup_semantic_cells")(spark, dir)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("cell"), r.getAs[Long]("keeper"),
+          r.getAs[Boolean]("kept")))).toMap
+    assert(rows(3L)._1 == 0L, "crossover vector must assign to cell 0")
+    assert(rows(1L) == ((0L, 1L, true)))
+    assert(rows(2L) == ((0L, 1L, false)))
+    assert(rows(3L) == ((0L, 1L, false)), "crossover joins the cell-0 component")
+    assert(rows(4L) == ((1L, 4L, true)), "isolated vector keeps itself")
+  }
 }
