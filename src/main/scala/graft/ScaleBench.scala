@@ -350,6 +350,56 @@ object ScaleBench {
           }
           val quantBytes = dirBytes(s"$dir/qivf")
           val floatBytes = dirBytes(s"$dir/ivf")
+          // IVFADC (PQ) lake: m=8 BYTES per vector (vs int8's 64, float's
+          // 256), probed via per-query ADC lookup tables + exact re-rank —
+          // the same cell pruning, preK knob and recall methodology as the
+          // int8 rows so the three compression points compare directly
+          import graft.operators.PqStorage
+          val cb = PqStorage.labelCodebooks(e, 8, 64)
+          measured(spark, "pq_build", m) {
+            PqStorage.writePackedCellPartitioned(e, cents, cb, s"$dir/pq")
+            spark.read.parquet(s"$dir/pq").count()
+          }
+          def pqProbeTop(nProbe: Int, preK: Int): DataFrame = {
+            val qc = cents.crossJoin(broadcast(queries))
+              .withColumn("rn", row_number().over(Window.partitionBy("q_id")
+                .orderBy(cosineNative(col("centroid"), col("q_emb"))
+                  .desc_nulls_last, col("cent_id"))))
+              .filter(col("rn") <= nProbe).select("q_id", "q_emb", "cent_id")
+            // one ADC table per query (m·k doubles), built from the
+            // broadcast codebook and broadcast into the code scan
+            val qTables = queries.crossJoin(broadcast(cb))
+              .withColumn("qsub", expr("slice(q_emb, sub * 8 + 1, 8)"))
+              .withColumn("dist", aggregate(
+                zip_with(col("qsub"), col("centroid"),
+                  (x, y) => (x.cast("double") - y.cast("double")) *
+                    (x.cast("double") - y.cast("double"))),
+                lit(0.0), (a, x) => a + x))
+              .groupBy("q_id")
+              .agg(expr(
+                "transform(array_sort(collect_list(struct(sub, code, dist))), s -> s.dist)")
+                .as("adc_table"))
+            val pre = spark.read.parquet(s"$dir/pq")
+              .join(broadcast(qc), "cent_id")
+              .join(broadcast(qTables), "q_id")
+              .select(col("q_id"), col("q_emb"), col("vec_id"),
+                call_function("pq_adc_score", col("codes"), col("adc_table"))
+                  .as("adist"))
+              .withColumn("rn", row_number().over(Window.partitionBy("q_id")
+                .orderBy(col("adist").asc_nulls_last, col("vec_id"))))
+              .filter(col("rn") <= preK)
+              .select("q_id", "q_emb", "vec_id")
+            topk(pre.join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+              .select(col("q_id"), col("vec_id"),
+                cosineNative(col("embedding"), col("q_emb")).as("cos")))
+          }
+          val pqTop = pqProbeTop(2, 40)
+          measured(spark, "pq_probe_batch", m)(pqTop.count())
+          val pqBytes = dirBytes(s"$dir/pq")
+          val pqR = recall(sets(pqTop))
+          val pqSweep = Seq(10, 20, 80).map(p =>
+            s""""pq_recall_prek$p":${recall(sets(pqProbeTop(2, p)))}""")
+            .mkString(",")
           // parameter-scaling sweep: how fast recall recovers as nProbe
           // grows with the cell count, and what one more Hamming unit of
           // probe radius buys — the measured basis for the scaling rules
@@ -379,7 +429,9 @@ object ScaleBench {
             s""""queries":${ex.size},"lsh_recall":$lshR,"lsh_recall_r3":$lshR3,""" +
             s""""ivf_recall":$ivfR,$sweep,""" +
             s""""quant_recall":$quantR,$quantSweep,""" +
-            s""""quant_bytes":$quantBytes,"float_bytes":$floatBytes,""" +
+            s""""pq_recall":$pqR,$pqSweep,""" +
+            s""""quant_bytes":$quantBytes,"pq_bytes":$pqBytes,""" +
+            s""""float_bytes":$floatBytes,""" +
             s""""cells":$nCells,"nprobe":2,""" +
             s""""probe_files_read":$read,"files_total":$total}""")
         }

@@ -60,7 +60,11 @@ object GraftFunctions {
     ("int8_pack", classOf[Int8Pack], 1,
       (c: Seq[Expression]) => Int8Pack(c(0))),
     ("int8_quantize", classOf[Int8Quantize], 2,
-      (c: Seq[Expression]) => Int8Quantize(c(0), c(1))))
+      (c: Seq[Expression]) => Int8Quantize(c(0), c(1))),
+    ("pq_encode", classOf[PqEncode], 2,
+      (c: Seq[Expression]) => PqEncode(c(0), c(1))),
+    ("pq_adc_score", classOf[PqAdcScore], 2,
+      (c: Seq[Expression]) => PqAdcScore(c(0), c(1))))
 
   /** Idempotently register every graft function into a live session (no-op
     * when GraftExtensions already injected them). */
