@@ -73,6 +73,57 @@ object CorpusOps {
           max(col("n_tokens"))).as("span_frac"))
   }
 
+  /** Q109 core: cross-document duplicated-span REMOVAL — the cleaning
+    * action [[duplicatedSpans]] only detects (after Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better": drop
+    * repeated ≥k-token spans, keep ONE occurrence). Ownership is
+    * deterministic: each duplicated k-shingle belongs to the minimum
+    * doc_id containing it; every occurrence in a NON-owner doc marks its
+    * k token positions for removal, and the rebuilt text keeps the
+    * remaining tokens in order. Owners keep their copy, so no content is
+    * lost from the corpus — only repetitions. Emits one row per (non-null
+    * text) doc: (id, n_tokens, n_removed, cleaned_text); a fully-copied
+    * doc comes back with empty cleaned_text rather than disappearing.
+    *
+    * Shape: one groupBy(shingle) for ownership (partial-agg, Zipf-hot
+    * shingles are exactly the boilerplate being removed — AQE skew-split
+    * applies), one shingle-keyed join back, a k-wide position explode
+    * (bounded ×k, never quadratic), one anti-join on (id, pos) and one
+    * groupBy(id) to rebuild. All linear in corpus + duplicated volume —
+    * the q72 scale argument, plus the rebuild. */
+  def removeDuplicatedSpans(docs: DataFrame, idCol: String,
+      k: Int = 5): DataFrame = {
+    val base = docs.filter(col("text").isNotNull)
+      .select(col(idCol), TextFunctions.tokens(col("text")).as("toks"))
+    val sh = base
+      .select(col(idCol),
+        posexplode(call_function("word_shingles", col("toks"), lit(k))))
+      .select(col(idCol), (col("pos") + 1).as("pos"), col("col").as("sh"))
+    val owners = sh.groupBy("sh")
+      .agg(count_distinct(col(idCol)).as("nd"), min(col(idCol)).as("owner"))
+      .filter(col("nd") > 1)
+      .select("sh", "owner")
+    val dropPos = sh.join(owners, "sh")
+      .filter(col(idCol) =!= col("owner"))
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("tk"))
+      .distinct()
+    val toks = base
+      .select(col(idCol), posexplode(col("toks")).as(Seq("p0", "tok")))
+      .select(col(idCol), (col("p0") + 1).as("tk"), col("tok"))
+    val rebuilt = toks.join(dropPos, Seq(idCol, "tk"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(struct(tk, tok))), s -> s.tok)"))
+          .as("cleaned"))
+    base.select(col(idCol), size(col("toks")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("cleaned"), lit("")).as("cleaned_text"))
+  }
+
   /** Q77 core: directional contamination of `corpus` against `benchmark`
     * (any shared k-token shingle). Needs an `id` column on the corpus
     * side; emits (id, n_contaminated, contam_frac). */

@@ -363,6 +363,14 @@ object CorpusQueries extends QueryGroup {
       .orderBy("lang", "source", "split")
   }
 
+  /** Q109: duplicated-span removal — [[CorpusOps.removeDuplicatedSpans]]
+    * over the documents table at k = 5, the REWRITE companion to q72's
+    * detection: non-owner occurrences of cross-doc repeated 5-token spans
+    * are cut and the text rebuilt, owners (min doc_id) keep theirs. */
+  private val q109: Q = (s, d) =>
+    CorpusOps.removeDuplicatedSpans(Tables.documents(s, d), "doc_id")
+      .orderBy("doc_id")
+
   val queries: Seq[(String, Q)] = Seq(
     "q71_text_repetition" -> q71,
     "q72_dedup_spans" -> q72,
@@ -378,6 +386,7 @@ object CorpusQueries extends QueryGroup {
     "q92_chunk_windows" -> q92,
     "q97_span_corruption" -> q97,
     "q106_split_stratified" -> q106,
+    "q109_dedup_span_removal" -> q109,
   )
 
   // 2-gram positions: range(1, len) = 1..len-1 (DuckDB range excludes the
@@ -638,6 +647,38 @@ object CorpusQueries extends QueryGroup {
         |    CAST(sum(n_docs) OVER (PARTITION BY lang, source) AS BIGINT)
         |    AS stratum_frac
         |FROM g ORDER BY lang, source, split""".stripMargin,
+
+    // span removal: q72's shingle/ownership CTEs, then each non-owner
+    // occurrence explodes to its k positions (scalar-context range IS
+    // allowed lateral column refs, unlike the table function), tokens
+    // anti-join the drop set, and the rebuild string_aggs in position
+    // order; fully-copied docs keep a row with empty cleaned_text
+    "q109_dedup_span_removal" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |p AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(toks) - 3),
+        |      i -> {'pos': i, 'sh': array_to_string(toks[i:i+4], ' ')})) AS u
+        |  FROM t WHERE len(toks) >= 5),
+        |q AS (SELECT doc_id, u.pos AS pos, u.sh AS sh FROM p),
+        |own AS (SELECT sh, min(doc_id) AS owner FROM q GROUP BY sh
+        |  HAVING count(DISTINCT doc_id) > 1),
+        |rem AS (SELECT q.doc_id, q.pos FROM q JOIN own USING (sh)
+        |  WHERE q.doc_id <> own.owner),
+        |dp AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + 5)) AS tk
+        |  FROM rem),
+        |tokp AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS tk,
+        |  unnest(toks) AS tok FROM t),
+        |kept AS (SELECT tokp.doc_id, tokp.tk, tokp.tok FROM tokp
+        |  ANTI JOIN dp USING (doc_id, tk)),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |  string_agg(tok, ' ' ORDER BY tk) AS cleaned
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(t.toks) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed,
+        |  coalesce(agg.cleaned, '') AS cleaned_text
+        |FROM t LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q76_text_rare_terms" ->
       """WITH pairs AS (

@@ -245,6 +245,27 @@ class CorpusQueriesSpec extends SparkSpec {
       "corpus docs must not appear in the batch verdicts")
   }
 
+  test("q109: non-owner spans are cut, owners keep text, overlaps merge, full copies empty") {
+    val dir = corpus(
+      (1L, "a1 a2 a3 a4 a5 x1 x2 x3"),           // owner of its shingles
+      (2L, "b1 b2 a1 a2 a3 a4 a5 b3"),           // copies d1's 5-block
+      (3L, "a1 a2 a3 a4 a5 x1 x2 x3"),           // full copy of d1
+      (4L, "e1 e2 e3 e4 e5 e6"),                 // owner
+      (5L, "z1 e1 e2 e3 e4 e5 e6 z2"))           // two OVERLAPPING shared shingles
+    val rows = SparkEntry.queries("q109_dedup_span_removal")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("cleaned_text")))).toMap
+    assert(rows(1L) == ((8L, 0L, "a1 a2 a3 a4 a5 x1 x2 x3")),
+      "the min-id owner keeps its copy untouched")
+    assert(rows(2L) == ((8L, 5L, "b1 b2 b3")))
+    assert(rows(3L) == ((8L, 8L, "")),
+      "a fully-copied doc keeps its row with empty text")
+    assert(rows(4L) == ((6L, 0L, "e1 e2 e3 e4 e5 e6")))
+    assert(rows(5L) == ((8L, 6L, "z1 z2")),
+      "overlapping shared shingles merge into one removed span")
+  }
+
   test("null and empty text never crash the corpus queries") {
     val dir = tmpDir("corpus-null")
     Seq(
