@@ -355,6 +355,62 @@ object CorpusOps {
         reassemble(targetPiece).as("target_text"))
   }
 
+  /** Q110 core: DSIR-style hashed-ngram importance weighting (Xie et al.
+    * 2023, "Data Selection for Language Models via Importance Resampling")
+    * — the published recipe for selecting raw-corpus documents that look
+    * like a target domain: fit two hashed bag-of-ngrams models (target
+    * slice vs the whole raw corpus), weight every document by the
+    * likelihood ratio of its feature stream, and keep the highest-weight
+    * examples.
+    *
+    * Features are unigrams ++ bigrams hashed into `buckets` buckets by the
+    * engine-mirrorable md5 first-8-hex hash (the q58/q80 contract). Both
+    * models are Laplace-smoothed hashed counts, so the per-bucket ratio is
+    * the exact integer expression
+    * `(cnt_t[b]+1)·(total_r+B) / ((cnt_r[b]+1)·(total_t+B))` — BIGINT
+    * products, ONE double division (correctly rounded in both engines).
+    * The document weight is the product of its per-feature ratios folded
+    * in POSITION order (a sequential IEEE-multiply chain, reproducible
+    * cross-engine exactly like the q47/q105 folds; long documents may
+    * under/overflow to 0/∞ — deterministic in IEEE, ties broken by id).
+    *
+    * Scale shape: the feature explode is map-side; model fitting is ONE
+    * partial-aggregated pass producing `buckets` rows (both models come
+    * from the same pass — target counts are a conditional count); the
+    * ratio table broadcasts; the only real shuffle is the per-document
+    * regroup, keyed on the id. ANSI note: the BIGINT count products stay
+    * exact below ~3·10⁹ total features; beyond that (true 100 TB fits)
+    * widen the casts to DECIMAL(38,0) — the division stays single.
+    *
+    * Returns (id, is_target, n_feat, weight). */
+  def importanceWeights(docs: DataFrame, idCol: String, isTarget: Column,
+      buckets: Int = 64): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    val feats = docs.filter(col("text").isNotNull)
+      .select(col(idCol), isTarget.as("is_target"),
+        concat(toks, TextFunctions.shingles(toks, 2)).as("feats"))
+      .select(col(idCol), col("is_target"),
+        posexplode(col("feats")).as(Seq("pos0", "feat")))
+      .select(col(idCol), col("is_target"), (col("pos0") + 1).as("pos"),
+        pmod(conv(substring(md5(col("feat")), 1, 8), 16, 10).cast("long"),
+          lit(buckets.toLong)).as("bucket"))
+    val counts = feats.groupBy("bucket").agg(
+      count(lit(1)).as("cnt_r"),
+      count(when(col("is_target"), 1)).as("cnt_t"))
+    val totals = counts.agg(sum(col("cnt_r")).as("total_r"),
+      sum(col("cnt_t")).as("total_t"))
+    val ratios = counts.crossJoin(broadcast(totals)).select(
+      col("bucket"),
+      (((col("cnt_t") + 1L) * (col("total_r") + buckets.toLong)).cast("double") /
+        ((col("cnt_r") + 1L) * (col("total_t") + buckets.toLong))).as("ratio"))
+    feats.join(broadcast(ratios), "bucket")
+      .groupBy(col(idCol))
+      .agg(first(col("is_target")).as("is_target"),
+        count(lit(1)).as("n_feat"),
+        aggregate(array_sort(collect_list(struct(col("pos"), col("ratio")))),
+          lit(1.0), (a, x) => a * x.getField("ratio")).as("weight"))
+  }
+
   /** Q92 core: context-window chunking — split each document into
     * overlapping token windows of `window` tokens at `stride` steps (the
     * RAG / long-context preprocessing move). Chunk k covers 1-based token

@@ -371,6 +371,24 @@ object CorpusQueries extends QueryGroup {
     CorpusOps.removeDuplicatedSpans(Tables.documents(s, d), "doc_id")
       .orderBy("doc_id")
 
+  /** Q110: DSIR-style importance resampling —
+    * [[CorpusOps.importanceWeights]] with the `lang = 'en'` slice as the
+    * target domain, B = 64 hash buckets, top-50 selection. The published
+    * data-selection recipe (Xie et al. 2023): documents whose hashed
+    * unigram+bigram stream is more likely under the target model than
+    * under the raw-corpus model float to the top; a real pretraining mix
+    * keeps the top slice. Every arithmetic step is in the determinism
+    * contract (md5 bucket hash, BIGINT count products with ONE double
+    * division per bucket, position-ordered sequential product fold), so
+    * DuckDB recomputes model fitting AND weighting end-to-end. Selection
+    * is `orderBy(weight desc, id) limit 50` — TakeOrderedAndProject,
+    * never a global sort. */
+  private val q110: Q = (s, d) =>
+    CorpusOps.importanceWeights(Tables.documents(s, d), "doc_id",
+        col("lang") === "en", 64)
+      .orderBy(col("weight").desc, col("doc_id"))
+      .limit(50)
+
   val queries: Seq[(String, Q)] = Seq(
     "q71_text_repetition" -> q71,
     "q72_dedup_spans" -> q72,
@@ -387,12 +405,57 @@ object CorpusQueries extends QueryGroup {
     "q97_span_corruption" -> q97,
     "q106_split_stratified" -> q106,
     "q109_dedup_span_removal" -> q109,
+    "q110_dsir_importance" -> q110,
   )
 
   // 2-gram positions: range(1, len) = 1..len-1 (DuckDB range excludes the
   // upper bound), toks[i:i+1] = the 2 tokens at i — mirrors word_shingles
   // exactly (same convention as the q67 3-gram oracle).
   val oracles: Map[String, String] = Map(
+    // DSIR importance weights: feats = toks ++ bigrams (two unnest()s zip
+    // row-wise — the q97 trick — giving each feature its 1-based position);
+    // bucket = first-8-md5-hex % 64; both models from ONE grouped pass;
+    // ratio = exact BIGINT products with a single double division; weight =
+    // position-ordered sequential product (list_reduce ≡ Spark aggregate)
+    "q110_dsir_importance" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang = 'en' AS is_target,
+        |    string_split(lower(text), ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |fa AS (
+        |  SELECT doc_id, is_target,
+        |    list_concat(toks, CASE WHEN len(toks) < 2 THEN []
+        |      ELSE list_transform(range(1, len(toks)),
+        |        i -> toks[i] || ' ' || toks[i+1]) END) AS feats
+        |  FROM base),
+        |f AS (
+        |  SELECT doc_id, is_target,
+        |    unnest(range(1, len(feats) + 1)) AS pos,
+        |    unnest(feats) AS feat
+        |  FROM fa),
+        |fb AS (
+        |  SELECT doc_id, is_target, pos,
+        |    ('0x' || substr(md5(feat), 1, 8))::BIGINT % 64 AS bucket
+        |  FROM f),
+        |c AS (
+        |  SELECT bucket, CAST(count(*) AS BIGINT) AS cnt_r,
+        |    CAST(count(CASE WHEN is_target THEN 1 END) AS BIGINT) AS cnt_t
+        |  FROM fb GROUP BY bucket),
+        |t AS (SELECT CAST(sum(cnt_r) AS BIGINT) AS total_r,
+        |    CAST(sum(cnt_t) AS BIGINT) AS total_t FROM c),
+        |r AS (
+        |  SELECT bucket,
+        |    CAST((cnt_t + 1) * (t.total_r + 64) AS DOUBLE) /
+        |      ((cnt_r + 1) * (t.total_t + 64)) AS ratio
+        |  FROM c, t)
+        |SELECT fb.doc_id, bool_or(fb.is_target) AS is_target,
+        |  CAST(count(*) AS BIGINT) AS n_feat,
+        |  list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+        |    list(r.ratio ORDER BY fb.pos)), (a, x) -> a * x) AS weight
+        |FROM fb JOIN r USING (bucket)
+        |GROUP BY fb.doc_id
+        |ORDER BY weight DESC, doc_id LIMIT 50""".stripMargin,
+
     // span corruption: mask position p of doc iff the first-8-hex md5 of
     // "id#p" ≡ 0 (mod 10); runs of masked positions become one sentinel
     // <X_k> in the input and "<X_k> tok…" in the target. Window frames

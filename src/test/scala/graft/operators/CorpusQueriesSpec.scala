@@ -266,6 +266,46 @@ class CorpusQueriesSpec extends SparkSpec {
       "overlapping shared shingles merge into one removed span")
   }
 
+  test("q110: importance weights match a brute-force reference; target-like docs outrank") {
+    val dir = tmpDir("dsir")
+    val rows = Seq(
+      (1L, "alpha beta alpha beta", "en"),
+      (2L, "alpha beta gamma", "en"),
+      (3L, "delta epsilon zeta", "fr"),
+      (4L, "alpha beta alpha", "fr"),  // raw doc built from target-typical features
+      (5L, "delta epsilon delta", "fr")) // raw doc built from raw-only features
+    rows.map { case (id, t, l) => (id, t, l, "srcA", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = CorpusOps.importanceWeights(
+        graft.Tables.documents(spark, dir), "doc_id", col("lang") === "en", 64)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_feat"), r.getAs[Double]("weight")))).toMap
+
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bucket(f: String) = (java.lang.Long.parseLong(md5hex(f).take(8), 16) % 64).toInt
+    def feats(t: String) = {
+      val ts = t.toLowerCase.split(" ", -1).toSeq
+      ts ++ ts.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+    }
+    val all = rows.map { case (id, t, l) => (id, feats(t), l == "en") }
+    val cntR = new Array[Long](64); val cntT = new Array[Long](64)
+    all.foreach { case (_, fs, tgt) => fs.foreach { f =>
+      val b = bucket(f); cntR(b) += 1; if (tgt) cntT(b) += 1 } }
+    val totalR = cntR.sum; val totalT = cntT.sum
+    def ratio(b: Int): Double =
+      ((cntT(b) + 1) * (totalR + 64)).toDouble / ((cntR(b) + 1) * (totalT + 64))
+    all.foreach { case (id, fs, _) =>
+      var w = 1.0
+      fs.foreach(f => w *= ratio(bucket(f))) // position order = the op's fold order
+      assert(out(id)._1 == fs.size.toLong, s"n_feat of doc $id")
+      assert(out(id)._2 == w, s"weight of doc $id (bit-exact)")
+    }
+    assert(out(4L)._2 > out(5L)._2,
+      "a raw doc of target-typical features must outweigh a raw-only one")
+  }
+
   test("null and empty text never crash the corpus queries") {
     val dir = tmpDir("corpus-null")
     Seq(
