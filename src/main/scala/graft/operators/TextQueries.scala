@@ -399,6 +399,62 @@ object TextQueries extends QueryGroup {
       .limit(20)
   }
 
+  /** Q111: bigram-LM familiarity with stupid backoff — the KenLM-shaped
+    * upgrade of q95's unigram proxy: a bigram model is fitted on a
+    * HELD-OUT training slice (even doc_ids — the standard train/score
+    * split, and what makes backoff non-vacuous: a same-corpus fit would
+    * observe every pair), and every document is scored over its adjacent
+    * token pairs in position order. A pair seen in training contributes
+    * the conditional ratio `c2(w1 w2)/c1(w1)`; an unseen pair backs off
+    * to `0.4·c1(w2)/T` (Brants et al.'s "stupid backoff" score — the
+    * published web-scale LM recipe that needs no discounting pass), and
+    * an unseen continuation word contributes 0.
+    *
+    * Determinism contract: all counts are exact BIGINTs; each pair score
+    * is ONE double division (plus one multiply by the exact literal 0.4
+    * on the backoff branch); the per-doc score is a position-ordered
+    * sequential fold (the q47/q105 convention) — no ln, whose libm last
+    * ulp diverges cross-engine; `mean_p` is a single double division of
+    * fold result by pair count.
+    *
+    * Scale shape: model tables are vocabulary-sized (Heaps-sublinear in
+    * the corpus); the score side shuffles on token/bigram strings for
+    * the three count joins — Zipf-hot keys are the q37-documented skew
+    * regime (salting/AQE); the per-doc regroup is the only other
+    * shuffle. Docs with < 2 tokens have no pairs and drop out, mirrored
+    * by the oracle's empty zip. */
+  private val q111: Q = (s, d) => {
+    val toksOf = TextFunctions.tokens(col("text"))
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val uni = train.select(explode(toksOf).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c1"))
+    val total = uni.agg(sum(col("c1")).as("total"))
+    val bi = train.select(explode(TextFunctions.shingles(toksOf, 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c2"))
+    val pairs = docs.select(col("doc_id"),
+        posexplode(TextFunctions.shingles(toksOf, 2)).as(Seq("pos", "bg")))
+      .withColumn("w1", element_at(split(col("bg"), " "), 1))
+      .withColumn("w2", element_at(split(col("bg"), " "), 2))
+    val scored = pairs
+      .join(bi, Seq("bg"), "left")
+      .join(uni.select(col("tok").as("w1"), col("c1").as("c1a")), Seq("w1"), "left")
+      .join(uni.select(col("tok").as("w2"), col("c1").as("c1b")), Seq("w2"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("pos"), col("c2").isNull.as("backoff"),
+        when(col("c2").isNotNull,
+            col("c2").cast("double") / col("c1a").cast("double"))
+          .otherwise(lit(0.4) * (coalesce(col("c1b"), lit(0L)).cast("double") /
+            col("total").cast("double"))).as("p"))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        count(when(col("backoff"), 1)).as("n_backoff"),
+        aggregate(array_sort(collect_list(struct(col("pos"), col("p")))),
+          lit(0.0), (a, x) => a + x.getField("p")).as("score"))
+      .withColumn("mean_p", col("score") / col("n_pairs"))
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q33_text_topwords" -> q33,
     "q34_text_docstats" -> q34,
@@ -418,9 +474,52 @@ object TextQueries extends QueryGroup {
     "q99_bpe_pair_counts" -> q99,
     "q100_bpe_encode" -> q100,
     "q105_text_bm25" -> q105,
+    "q111_text_bigram_backoff" -> q111,
   )
 
   val oracles: Map[String, String] = Map(
+    // bigram stupid backoff: model on even doc_ids; the pair/pos/w1/w2 zip
+    // is four unnest()s over equal-length lists (the q97 trick); each pair
+    // score mirrors the Spark branch op-for-op; per-doc score is the
+    // position-ordered list_reduce fold
+    "q111_text_bigram_backoff" ->
+      """WITH docs AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |tr AS (SELECT toks FROM docs WHERE doc_id % 2 = 0),
+        |c1 AS (SELECT tok, CAST(count(*) AS BIGINT) AS c1 FROM (
+        |    SELECT unnest(toks) AS tok FROM tr) GROUP BY tok),
+        |tt AS (SELECT CAST(sum(c1) AS BIGINT) AS total FROM c1),
+        |c2 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2 FROM (
+        |    SELECT unnest(CASE WHEN len(toks) < 2 THEN []
+        |      ELSE list_transform(range(1, len(toks)),
+        |        i -> toks[i] || ' ' || toks[i+1]) END) AS bg FROM tr)
+        |  GROUP BY bg),
+        |p0 AS (SELECT doc_id,
+        |    unnest(range(0, greatest(len(toks) - 1, 0))) AS pos,
+        |    unnest(CASE WHEN len(toks) < 2 THEN []
+        |      ELSE list_transform(range(1, len(toks)),
+        |        i -> toks[i] || ' ' || toks[i+1]) END) AS bg,
+        |    unnest(CASE WHEN len(toks) < 2 THEN []
+        |      ELSE list_transform(range(1, len(toks)), i -> toks[i]) END) AS w1,
+        |    unnest(CASE WHEN len(toks) < 2 THEN []
+        |      ELSE list_transform(range(1, len(toks)), i -> toks[i+1]) END) AS w2
+        |  FROM docs),
+        |sc AS (SELECT p0.doc_id, p0.pos, c2.c2 IS NULL AS backoff,
+        |    CASE WHEN c2.c2 IS NOT NULL
+        |      THEN CAST(c2.c2 AS DOUBLE) / CAST(a.c1 AS DOUBLE)
+        |      ELSE 0.4 * (CAST(COALESCE(b.c1, 0) AS DOUBLE) /
+        |        CAST(tt.total AS DOUBLE)) END AS p
+        |  FROM p0 LEFT JOIN c2 USING (bg)
+        |    LEFT JOIN c1 a ON p0.w1 = a.tok
+        |    LEFT JOIN c1 b ON p0.w2 = b.tok, tt),
+        |g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(count(CASE WHEN backoff THEN 1 END) AS BIGINT) AS n_backoff,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(p ORDER BY pos)), (a, x) -> a + x) AS score
+        |  FROM sc GROUP BY doc_id)
+        |SELECT doc_id, n_pairs, n_backoff, score, score / n_pairs AS mean_p
+        |FROM g ORDER BY doc_id""".stripMargin,
+
     // doc frequency per (source, 3-gram) over DISTINCT per-doc shingles;
     // rank window mirrors (n_docs DESC, ngram ASC) — a total order
     "q93_boilerplate_ngrams" ->

@@ -85,4 +85,31 @@ class RetrievalSplitSpec extends SparkSpec {
         s"cell $k drifted: ($n,$s) != ($na,$sa)+($nb,$sb)")
     }
   }
+
+  test("q111: bigram backoff scores are bit-exact; unseen pairs back off, short docs drop") {
+    val dir = tmpDir("bigram")
+    writeDocs(dir, Seq(
+      (1L, "a b x", "en", "srcA"),  // "a b" seen; "b x" unseen, x unseen → 0
+      (2L, "a b a c", "en", "srcA"), // train
+      (3L, "c a b", "en", "srcA"),  // "c a" unseen (a seen → 0.4·c1(a)/T); "a b" seen
+      (4L, "a b d", "en", "srcA"),  // train
+      (5L, "z", "en", "srcA")))     // single token: no pairs, absent
+    // model (even ids): c1 = {a:3, b:2, c:1, d:1}, T = 7;
+    // c2 = {"a b":2, "b a":1, "a c":1, "b d":1}
+    val rows = SparkEntry.queries("q111_text_bigram_backoff")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Long]("n_backoff"),
+          r.getAs[Double]("score"), r.getAs[Double]("mean_p")))).toMap
+    val s1 = 0.0 + 2.0 / 3.0 + 0.4 * (0.0 / 7.0)
+    val s2 = 0.0 + 2.0 / 3.0 + 1.0 / 2.0 + 1.0 / 3.0
+    val s3 = 0.0 + 0.4 * (3.0 / 7.0) + 2.0 / 3.0
+    val s4 = 0.0 + 2.0 / 3.0 + 1.0 / 2.0
+    assert(rows(1L) == ((2L, 1L, s1, s1 / 2L)))
+    assert(rows(2L) == ((3L, 0L, s2, s2 / 3L)))
+    assert(rows(3L) == ((2L, 1L, s3, s3 / 2L)))
+    assert(rows(4L) == ((2L, 0L, s4, s4 / 2L)))
+    assert(!rows.contains(5L), "a pairless doc must not score")
+    // in-model text scores above out-of-model text of the same length
+    assert(rows(2L)._4 > rows(1L)._4)
+  }
 }
