@@ -238,6 +238,35 @@ object MlQueries extends QueryGroup {
       .orderBy("k")
   }
 
+  /** Q112: z-order (Morton) lake clustering key — [[LakeLayout]] over the
+    * events table: both dimensions (user_id, the 10⁶-scaled value) map
+    * onto a 2¹⁶ grid by exact BIGINT affine math and interleave into one
+    * z-value; `zbin = zv div 2²⁴` is the 256-bucket file assignment a
+    * z-ordered write would range-partition on. The declared query emits
+    * the whole key derivation so DuckDB recomputes grid → interleave →
+    * bin bit-for-bit (the z-value is pure integer bit algebra). The
+    * layout WIN — a 2-d box predicate materializing ~fx·fy of the rows
+    * instead of a single-sort layout's min(fx,fy) — is measured in
+    * ZOrderSpec via scan numOutputRows on the written files.
+    *
+    * Scale shape: per-row bit math + one 4-value global agg broadcast;
+    * the real write adds one range exchange on zv ([[LakeLayout.writeZOrdered]]).
+    * No shuffle beyond that at any corpus size. */
+  private val q112: Q = (s, d) => {
+    val e = Tables.events(s, d).select(col("event_id"), col("user_id"),
+      floor(col("value") * lit(1000000.0)).cast("long").as("sv"))
+    val mm = e.agg(min("user_id").as("uxmin"), max("user_id").as("uxmax"),
+      min("sv").as("svmin"), max("sv").as("svmax"))
+    e.crossJoin(broadcast(mm))
+      .select(col("event_id"),
+        LakeLayout.gridCoord(col("user_id"), col("uxmin"), col("uxmax")).as("gx"),
+        LakeLayout.gridCoord(col("sv"), col("svmin"), col("svmax")).as("gy"))
+      .select(col("event_id"), col("gx"), col("gy"),
+        LakeLayout.zValue(col("gx"), col("gy")).as("zv"))
+      .withColumn("zbin", call_function("div", col("zv"), lit(16777216L)))
+      .orderBy("event_id")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q64_agg_salted_skew" -> q64,
     "q68_join_salted_skew" -> q68,
@@ -253,7 +282,14 @@ object MlQueries extends QueryGroup {
     "q87_agg_approx_percentile" -> q87,
     "q49_agg_approx_distinct" -> q49,
     "q50_udaf_weighted_avg" -> q50,
+    "q112_lake_zorder" -> q112,
   )
+
+  // the 32 interleave terms of the 16-bit Morton code, generated once and
+  // shared textually with the oracle (disjoint bits: + ≡ |)
+  private val zTerms: String = (0 until 16).flatMap(i => Seq(
+    s"(((gx >> $i) & 1) << ${2 * i})",
+    s"(((gy >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
 
   private val dotEC =
     "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len(e.embedding) + 1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(CAST(c.centroid[i] AS FLOAT) AS DOUBLE))), (a, x) -> a + x)"
@@ -263,6 +299,21 @@ object MlQueries extends QueryGroup {
     "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(c.centroid, x -> CAST(CAST(x AS FLOAT) AS DOUBLE) * CAST(CAST(x AS FLOAT) AS DOUBLE))), (a, x) -> a + x)"
 
   val oracles: Map[String, String] = Map(
+    // Morton key derivation: exact BIGINT grid affine (// ≡ Spark div on
+    // non-negative values), then the generated 32-term bit interleave
+    "q112_lake_zorder" ->
+      s"""WITH e AS (SELECT event_id, user_id,
+         |    CAST(floor(value * 1000000.0) AS BIGINT) AS sv FROM events),
+         |mm AS (SELECT min(user_id) AS uxmin, max(user_id) AS uxmax,
+         |    min(sv) AS svmin, max(sv) AS svmax FROM e),
+         |g AS (SELECT event_id,
+         |    ((user_id - uxmin) * 65535) // greatest(uxmax - uxmin, 1) AS gx,
+         |    ((sv - svmin) * 65535) // greatest(svmax - svmin, 1) AS gy
+         |  FROM e, mm),
+         |z AS (SELECT event_id, gx, gy, $zTerms AS zv FROM g)
+         |SELECT event_id, gx, gy, zv, zv // 16777216 AS zbin
+         |FROM z ORDER BY event_id""".stripMargin,
+
     "q64_agg_salted_skew" ->
       """SELECT l_returnflag, count(*) AS n,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
