@@ -266,6 +266,24 @@ class CorpusQueriesSpec extends SparkSpec {
       "overlapping shared shingles merge into one removed span")
   }
 
+  test("q113: fuzzy decontamination is directional — corpus↔bench only, verified at τ") {
+    val a = (1 to 12).map(i => s"alpha$i").mkString(" ")
+    val b = (1 to 12).map(i => s"beta$i").mkString(" ")
+    val c = (1 to 12).map(i => s"gamma$i").mkString(" ")
+    val dir = corpus(
+      (5L, a),   // benchmark (id % 5 == 0)
+      (1L, a),   // corpus copy of benchmark → must be flagged, j = 1.0
+      (2L, b),   // corpus, unrelated
+      (3L, b),   // corpus copy of a CORPUS doc → never emitted
+      (10L, c),  // benchmark
+      (15L, c))  // benchmark copy of a BENCHMARK doc → never emitted
+    val rows = SparkEntry.queries("q113_decontaminate_fuzzy")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("c_id"), r.getAs[Long]("b_id"),
+        r.getAs[Double]("jaccard")))
+    assert(rows.toSeq == Seq((1L, 5L, 1.0)),
+      s"only the corpus→benchmark copy may surface: ${rows.toSeq}")
+  }
+
   test("q110: importance weights match a brute-force reference; target-like docs outrank") {
     val dir = tmpDir("dsir")
     val rows = Seq(
