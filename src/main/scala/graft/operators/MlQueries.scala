@@ -267,6 +267,25 @@ object MlQueries extends QueryGroup {
       .orderBy("event_id")
   }
 
+  /** Q114: heavy hitters via a bounded-state Misra–Gries sketch —
+    * [[graft.functions.FreqSketch.exactTopK]] over the corpus token
+    * stream (k = 25, m = 4096). The sketch pass keeps ≤ m counters per
+    * task and shuffles ≤ m·partitions rows regardless of vocabulary
+    * size (a direct groupBy top-k shuffles every distinct token —
+    * billions at web scale); nominated candidates are exactly recounted
+    * and ranked, so the declared result is the EXACT top-k whenever the
+    * k-th frequency exceeds n/m (Zipfian token streams at sane (k, m)
+    * always are; the 25th token here is ~300× over the bound). The
+    * oracle is the direct exact SQL — the equality IS the check, the
+    * q41b-twin move applied to a sketch. MG/merge bounds pinned in
+    * FreqSketchSpec. */
+  private val q114: Q = (s, d) =>
+    graft.functions.FreqSketch.exactTopK(
+      Tables.documents(s, d).filter(col("text").isNotNull)
+        .select(explode(graft.functions.TextFunctions.tokens(col("text")))
+          .as("word")),
+      "word", 25, 4096)
+
   val queries: Seq[(String, Q)] = Seq(
     "q64_agg_salted_skew" -> q64,
     "q68_join_salted_skew" -> q68,
@@ -283,6 +302,7 @@ object MlQueries extends QueryGroup {
     "q49_agg_approx_distinct" -> q49,
     "q50_udaf_weighted_avg" -> q50,
     "q112_lake_zorder" -> q112,
+    "q114_agg_heavy_hitters" -> q114,
   )
 
   // the 32 interleave terms of the 16-bit Morton code, generated once and
@@ -299,6 +319,14 @@ object MlQueries extends QueryGroup {
     "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(c.centroid, x -> CAST(CAST(x AS FLOAT) AS DOUBLE) * CAST(CAST(x AS FLOAT) AS DOUBLE))), (a, x) -> a + x)"
 
   val oracles: Map[String, String] = Map(
+    // exact top-25 tokens — the sketch path must EQUAL the direct
+    // computation (its nondeterministic internals never reach the output)
+    "q114_agg_heavy_hitters" ->
+      """SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS word
+        |  FROM documents WHERE text IS NOT NULL)
+        |GROUP BY word ORDER BY cnt DESC, word LIMIT 25""".stripMargin,
+
     // Morton key derivation: exact BIGINT grid affine (// ≡ Spark div on
     // non-negative values), then the generated 32-term bit interleave
     "q112_lake_zorder" ->
