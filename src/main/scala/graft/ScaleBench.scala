@@ -201,6 +201,24 @@ object ScaleBench {
             operators.ConnectedComponents.runStar(edges).count())
           edges.unpersist()
         }
+      case "select" =>
+        // the data-selection family at 1×/3×/10×: q110 DSIR weighting
+        // (explode + 64-bucket fit + per-doc regroup — expect ~linear
+        // wall/shuffle), q111 bigram backoff (vocabulary-sized count
+        // joins; vocab ∝ corpus here, the honest Heaps regime), q113
+        // fuzzy decontamination (benchmark side broadcast — corpus bands
+        // must NOT shuffle, watch shuffle_bytes stay ~flat vs q41's
+        // self-join). Same corpus generator as `docs`.
+        val base = 5000L
+        Seq(1, 3, 10).foreach { m =>
+          val dir = s"/tmp/graft-scale/m$m"
+          synthDocs(spark, base * m).write.mode("overwrite")
+            .parquet(s"$dir/documents.parquet")
+          Seq("q110_dsir_importance", "q111_text_bigram_backoff",
+            "q113_decontaminate_fuzzy").foreach { q =>
+            measured(spark, q, m)(SparkEntry.queries(q)(spark, dir).count())
+          }
+        }
       case "q74ab" =>
         // blocked vs tiled on the 10× corpus at full session width — the
         // straggler diagnosis: blocked's task granularity is whole blocks

@@ -355,6 +355,50 @@ object CorpusOps {
         reassemble(targetPiece).as("target_text"))
   }
 
+  /** Q115 core: the Gopher quality rules (Rae et al. 2021, table A1) —
+    * the published per-document heuristic filter most public corpus
+    * builds start from. Five rules over whitespace tokens, each emitted
+    * as its own flag plus the composite keep verdict:
+    *
+    *   - `r_wordcount`: minWords ≤ n ≤ maxWords;
+    *   - `r_meanlen`: mean word length in [3, 10] characters;
+    *   - `r_alpha`: ≥ 80% of words contain an alphabetic character;
+    *   - `r_stop`: ≥ 2 DISTINCT stopwords present (the "real prose"
+    *     signal);
+    *   - `r_symbol`: symbol words (`#`/`...`-bearing) ≤ 10% of words.
+    *
+    * Determinism: every ratio rule is cross-multiplied into EXACT integer
+    * comparisons (3n ≤ Σlen ≤ 10n, 5·n_alpha ≥ 4·n, 10·n_sym ≤ n) — no
+    * double division at all, so both engines compare identical BIGINTs.
+    * NULL text fails every rule (flags false, not NULL).
+    *
+    * Scale shape: per-row array math only — map-only at any corpus size,
+    * the cheapest gate in the pipeline, which is why it runs FIRST in
+    * composite cleaners (q73's gate ordering). */
+  def gopherFlags(docs: DataFrame, idCol: String,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    val n = size(toks).cast("long")
+    // Σ len(token) ≡ length of the text with separators removed — the q45
+    // identity, avoiding an interpreted HOF fold entirely
+    val sumLen = coalesce(
+      length(regexp_replace(col("text"), " ", "")).cast("long"), lit(0L))
+    val nAlpha = size(filter(toks, t => t.rlike("[a-z]"))).cast("long")
+    val nSym = size(filter(toks, t => t.contains("#") || t.contains("..."))).cast("long")
+    val nStop = size(array_intersect(toks,
+      array(TextFunctions.stopwords.map(lit): _*))).cast("long")
+    docs.select(col(idCol), col("text")).select(
+      col(idCol),
+      coalesce(n >= minWords && n <= maxWords, lit(false)).as("r_wordcount"),
+      coalesce(lit(3L) * n <= sumLen && sumLen <= lit(10L) * n, lit(false))
+        .as("r_meanlen"),
+      coalesce(lit(5L) * nAlpha >= lit(4L) * n, lit(false)).as("r_alpha"),
+      coalesce(nStop >= 2L, lit(false)).as("r_stop"),
+      coalesce(lit(10L) * nSym <= n, lit(false)).as("r_symbol"))
+      .withColumn("kept", col("r_wordcount") && col("r_meanlen") &&
+        col("r_alpha") && col("r_stop") && col("r_symbol"))
+  }
+
   /** Q110 core: DSIR-style hashed-ngram importance weighting (Xie et al.
     * 2023, "Data Selection for Language Models via Importance Resampling")
     * — the published recipe for selecting raw-corpus documents that look

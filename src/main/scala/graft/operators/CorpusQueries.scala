@@ -389,6 +389,15 @@ object CorpusQueries extends QueryGroup {
       .orderBy(col("weight").desc, col("doc_id"))
       .limit(50)
 
+  /** Q115: Gopher quality rules — [[CorpusOps.gopherFlags]] with the
+    * published thresholds (Rae et al. table A1); the driver corpus's
+    * ~50-token docs sit right at the 50-word minimum, so the word-count
+    * rule is non-vacuous in both directions. All-integer rule math; see
+    * the operator scaladoc. */
+  private val q115: Q = (s, d) =>
+    CorpusOps.gopherFlags(Tables.documents(s, d), "doc_id")
+      .orderBy("doc_id")
+
   val queries: Seq[(String, Q)] = Seq(
     "q71_text_repetition" -> q71,
     "q72_dedup_spans" -> q72,
@@ -406,12 +415,42 @@ object CorpusQueries extends QueryGroup {
     "q106_split_stratified" -> q106,
     "q109_dedup_span_removal" -> q109,
     "q110_dsir_importance" -> q110,
+    "q115_gopher_rules" -> q115,
   )
 
   // 2-gram positions: range(1, len) = 1..len-1 (DuckDB range excludes the
   // upper bound), toks[i:i+1] = the 2 tokens at i — mirrors word_shingles
   // exactly (same convention as the q67 3-gram oracle).
   val oracles: Map[String, String] = Map(
+    // Gopher rules: every ratio cross-multiplied to BIGINT comparisons
+    // (no doubles anywhere); list_intersect is distinct like Spark's
+    // array_intersect; NULL text → every flag COALESCEd to false
+    "q115_gopher_rules" ->
+      """WITH t AS (SELECT doc_id, text,
+        |    string_split(lower(text), ' ') AS toks FROM documents),
+        |f AS (SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n,
+        |    CAST(len(replace(text, ' ', '')) AS BIGINT) AS sumlen,
+        |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+        |      AS BIGINT) AS n_alpha,
+        |    CAST(len(list_filter(toks, x -> contains(x, '#')
+        |      OR contains(x, '...'))) AS BIGINT) AS n_sym,
+        |    CAST(len(list_intersect(toks,
+        |      ['the', 'a', 'to', 'of', 'and', 'in', 'is'])) AS BIGINT) AS n_stop
+        |  FROM t)
+        |SELECT doc_id,
+        |  COALESCE(n >= 50 AND n <= 100000, FALSE) AS r_wordcount,
+        |  COALESCE(3 * n <= sumlen AND sumlen <= 10 * n, FALSE) AS r_meanlen,
+        |  COALESCE(5 * n_alpha >= 4 * n, FALSE) AS r_alpha,
+        |  COALESCE(n_stop >= 2, FALSE) AS r_stop,
+        |  COALESCE(10 * n_sym <= n, FALSE) AS r_symbol,
+        |  COALESCE(n >= 50 AND n <= 100000, FALSE)
+        |    AND COALESCE(3 * n <= sumlen AND sumlen <= 10 * n, FALSE)
+        |    AND COALESCE(5 * n_alpha >= 4 * n, FALSE)
+        |    AND COALESCE(n_stop >= 2, FALSE)
+        |    AND COALESCE(10 * n_sym <= n, FALSE) AS kept
+        |FROM f ORDER BY doc_id""".stripMargin,
+
     // DSIR importance weights: feats = toks ++ bigrams (two unnest()s zip
     // row-wise — the q97 trick — giving each feature its 1-based position);
     // bucket = first-8-md5-hex % 64; both models from ONE grouped pass;

@@ -266,6 +266,37 @@ class CorpusQueriesSpec extends SparkSpec {
       "overlapping shared shingles merge into one removed span")
   }
 
+  test("q115: each Gopher rule fails for exactly its own defect, null text fails all") {
+    val good = "the craft of data is a long road and " +
+      (1 to 42).map(i => s"word$i").mkString(" ") // 50 words, prose-like
+    val dir = tmpDir("gopher")
+    Seq(
+      (1L, good),
+      (2L, "the of " + (1 to 10).map(_ => "x").mkString(" ")), // 12 words < 50
+      (3L, good.replace("word", "supercalifragilistic-word")), // mean len > 10
+      (4L, (1 to 50).map(_ => "123").mkString(" ")),           // no alpha (also no stop)
+      (5L, good.replaceAll("\\b(the|of|is|a|and)\\b", "zz")),  // < 2 stopwords
+      (6L, good.replaceAll("word", "#tag")),                   // > 10% symbol words
+      (7L, null.asInstanceOf[String]))
+      .map { case (id, t) =>
+        (id, t, "en", "srcA", Option(t).map(_.length.toLong).getOrElse(0L)) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q115_gopher_rules")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("r_wordcount"), r.getAs[Boolean]("r_meanlen"),
+          r.getAs[Boolean]("r_alpha"), r.getAs[Boolean]("r_stop"),
+          r.getAs[Boolean]("r_symbol"), r.getAs[Boolean]("kept")))).toMap
+    assert(rows(1L) == ((true, true, true, true, true, true)))
+    assert(!rows(2L)._1 && !rows(2L)._6)
+    assert(!rows(3L)._2 && !rows(3L)._6)
+    assert(!rows(4L)._3 && !rows(4L)._4 && !rows(4L)._6)
+    assert(rows(5L)._1 && !rows(5L)._4 && !rows(5L)._6)
+    assert(!rows(6L)._5 && !rows(6L)._6)
+    assert(rows(7L) == ((false, false, false, false, false, false)),
+      "null text must fail every rule with false, not NULL")
+  }
+
   test("q113: fuzzy decontamination is directional — corpus↔bench only, verified at τ") {
     val a = (1 to 12).map(i => s"alpha$i").mkString(" ")
     val b = (1 to 12).map(i => s"beta$i").mkString(" ")
