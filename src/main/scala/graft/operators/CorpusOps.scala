@@ -399,6 +399,48 @@ object CorpusOps {
         col("r_alpha") && col("r_stop") && col("r_symbol"))
   }
 
+  /** Q116 core: within-document repetition collapse — the REWRITE
+    * companion to q71's repetition signals (the Rae et al. repetition
+    * filters only drop documents; generation artifacts and scraped pages
+    * are often salvageable by removing the stutter instead). One pass
+    * over the ORIGINAL token sequence drops position p when
+    *
+    *   - `t[p] = t[p−1]` (immediate token stutter: "x x x" → "x"), or
+    *   - `(t[p], t[p+1]) = (t[p−2], t[p−1])` / its second element — an
+    *     immediately repeated bigram ("x y x y" → "x y"; periodic runs
+    *     collapse fully in the single pass because every later repeat
+    *     still matches the original sequence two positions back).
+    *
+    * A lone trailing partial repeat ("a b a") is NOT touched — only a
+    * complete adjacent repetition is evidence of stutter. Marks are
+    * computed on the original positions, the text rebuilds from the
+    * survivors in order, and the comparison guards are ordered so no
+    * out-of-range index is ever evaluated (ANSI element_at).
+    *
+    * Scale shape: per-row array math only — map-only, no shuffle at any
+    * corpus size. NULL-text docs are dropped (nothing to rewrite).
+    * Emits (id, n_tok, n_removed, cleaned). */
+  def collapseRepeats(docs: DataFrame, idCol: String): DataFrame = {
+    val marked = docs.filter(col("text").isNotNull)
+      .select(col(idCol), TextFunctions.tokens(col("text")).as("toks"))
+      .withColumn("drops", expr(
+        """transform(sequence(1, size(toks)), p ->
+          |  coalesce(p >= 2 AND element_at(toks, p) = element_at(toks, p - 1), false)
+          |  OR coalesce(p >= 3 AND p < size(toks)
+          |    AND element_at(toks, p) = element_at(toks, p - 2)
+          |    AND element_at(toks, p + 1) = element_at(toks, p - 1), false)
+          |  OR coalesce(p >= 4
+          |    AND element_at(toks, p) = element_at(toks, p - 2)
+          |    AND element_at(toks, p - 1) = element_at(toks, p - 3), false))"""
+          .stripMargin))
+    marked.select(col(idCol),
+      size(col("toks")).cast("long").as("n_tok"),
+      expr("size(filter(drops, d -> d))").cast("long").as("n_removed"),
+      expr("""concat_ws(' ', transform(
+        |  filter(sequence(1, size(toks)), p -> NOT element_at(drops, p)),
+        |  p -> element_at(toks, p)))""".stripMargin).as("cleaned"))
+  }
+
   /** Q110 core: DSIR-style hashed-ngram importance weighting (Xie et al.
     * 2023, "Data Selection for Language Models via Importance Resampling")
     * — the published recipe for selecting raw-corpus documents that look

@@ -398,6 +398,12 @@ object CorpusQueries extends QueryGroup {
     CorpusOps.gopherFlags(Tables.documents(s, d), "doc_id")
       .orderBy("doc_id")
 
+  /** Q116: within-doc repetition collapse — [[CorpusOps.collapseRepeats]]
+    * over the documents table; the rewrite q71 only measures. */
+  private val q116: Q = (s, d) =>
+    CorpusOps.collapseRepeats(Tables.documents(s, d), "doc_id")
+      .orderBy("doc_id")
+
   val queries: Seq[(String, Q)] = Seq(
     "q71_text_repetition" -> q71,
     "q72_dedup_spans" -> q72,
@@ -416,12 +422,35 @@ object CorpusQueries extends QueryGroup {
     "q109_dedup_span_removal" -> q109,
     "q110_dsir_importance" -> q110,
     "q115_gopher_rules" -> q115,
+    "q116_collapse_repeats" -> q116,
   )
 
   // 2-gram positions: range(1, len) = 1..len-1 (DuckDB range excludes the
   // upper bound), toks[i:i+1] = the 2 tokens at i — mirrors word_shingles
   // exactly (same convention as the q67 3-gram oracle).
   val oracles: Map[String, String] = Map(
+    // repetition collapse: identical positional drop predicate (guards
+    // FIRST in each conjunct — FALSE AND NULL = FALSE covers DuckDB's
+    // out-of-range NULL/negative-wrap indexing), rebuild from survivors
+    "q116_collapse_repeats" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |m AS (SELECT doc_id, toks, len(toks) AS n,
+        |    list_transform(range(1, len(toks) + 1), p ->
+        |      COALESCE(p >= 2 AND toks[p] = toks[p-1], FALSE)
+        |      OR COALESCE(p >= 3 AND p < len(toks)
+        |        AND toks[p] = toks[p-2] AND toks[p+1] = toks[p-1], FALSE)
+        |      OR COALESCE(p >= 4
+        |        AND toks[p] = toks[p-2] AND toks[p-1] = toks[p-3], FALSE)) AS drops
+        |  FROM t)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tok,
+        |  CAST(len(list_filter(range(1, n + 1), p -> drops[p])) AS BIGINT)
+        |    AS n_removed,
+        |  array_to_string(list_transform(
+        |    list_filter(range(1, n + 1), p -> NOT drops[p]), p -> toks[p]), ' ')
+        |    AS cleaned
+        |FROM m ORDER BY doc_id""".stripMargin,
+
     // Gopher rules: every ratio cross-multiplied to BIGINT comparisons
     // (no doubles anywhere); list_intersect is distinct like Spark's
     // array_intersect; NULL text → every flag COALESCEd to false

@@ -297,6 +297,23 @@ class CorpusQueriesSpec extends SparkSpec {
       "null text must fail every rule with false, not NULL")
   }
 
+  test("q116: stutter and repeated bigrams collapse, partial repeats survive") {
+    val dir = corpus(
+      (1L, "x x x y"),         // token stutter
+      (2L, "x y x y x y z"),   // periodic bigram run collapses in ONE pass
+      (3L, "a b a"),           // partial (incomplete) repeat: untouched
+      (4L, "q"),               // singleton
+      (5L, "a b b a"))         // stutter inside, no false bigram positives
+    val rows = SparkEntry.queries("q116_collapse_repeats")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_removed"), r.getAs[String]("cleaned")))).toMap
+    assert(rows(1L) == ((2L, "x y")))
+    assert(rows(2L) == ((4L, "x y z")))
+    assert(rows(3L) == ((0L, "a b a")))
+    assert(rows(4L) == ((0L, "q")))
+    assert(rows(5L) == ((1L, "a b a")))
+  }
+
   test("q113: fuzzy decontamination is directional — corpus↔bench only, verified at τ") {
     val a = (1 to 12).map(i => s"alpha$i").mkString(" ")
     val b = (1 to 12).map(i => s"beta$i").mkString(" ")
