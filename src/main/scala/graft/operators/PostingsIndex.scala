@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Write-time inverted index for the retrieval family — the text twin of
+  * [[AnnStorage]]/[[IvfStorage]]: q105 computes postings INLINE (explode
+  * the whole corpus per query batch); a real retrieval deployment builds
+  * the postings once and prunes the scan to the queried terms' partitions.
+  *
+  * Layout: `postings/` partitioned by `bucket = pmod(xxhash64(tok), nBuckets)`
+  * with rows (tok, doc_id, tf) — term lookups touch only their hash
+  * bucket's directory (PartitionFilters, measured in PostingsIndexSpec);
+  * `doclen/` holds (doc_id, dl) and `stats/` the exact BIGINT corpus
+  * totals (n_docs, sum_dl) — avgdl is DERIVED at query time with q105's
+  * exact double-op order, never stored, so indexed scoring is
+  * bit-identical to inline scoring.
+  *
+  * Scale shape: the build is one explode + one (doc_id, tok) partial-agg
+  * groupBy — the same shuffle q105 pays ONCE, amortized over every later
+  * query; the query side reads |terms| buckets (≈ |terms|/nBuckets of the
+  * postings bytes), one broadcast of the per-term df counts, and one
+  * doc-keyed join against doclen. Index maintenance under append follows
+  * the [[AnnStorage.appendSigBucketed]] argument: bucket assignment is a
+  * pure function of the term, so appended postings land in the same
+  * directories a full rewrite would produce.
+  */
+object PostingsIndex {
+
+  /** Build the index under `dir`: postings (bucketed), doclen, stats. */
+  def write(docs: DataFrame, idCol: String, dir: String,
+      nBuckets: Int = 64): Unit = {
+    val exploded = docs.filter(col("text").isNotNull)
+      .select(col(idCol).as("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("tok"))
+    val postings = exploded.groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", pmod(xxhash64(col("tok")), lit(nBuckets.toLong)))
+    postings.write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$dir/postings")
+    val dl = exploded.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    dl.write.mode("overwrite").parquet(s"$dir/doclen")
+    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** BM25 top-k over the stored index — q105's exact formula and fold
+    * order (sequential term-sorted contribution sum), with the corpus
+    * scan replaced by a bucket-pruned postings read. */
+  def bm25(spark: SparkSession, dir: String, terms: Seq[String],
+      k: Int, nBuckets: Int = 64): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    import spark.implicits._
+    // the terms' buckets, via the same engine hash the writer used (a
+    // driver-sized mini-job: |terms| rows)
+    val buckets = terms.toDF("tok")
+      .select(pmod(xxhash64(col("tok")), lit(nBuckets.toLong)).as("b"))
+      .collect().map(_.getLong(0)).distinct.toSeq
+    val tf = spark.read.parquet(s"$dir/postings")
+      .filter(col("bucket").isin(buckets: _*) && col("tok").isin(terms: _*))
+      .select("doc_id", "tok", "tf")
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val dl = spark.read.parquet(s"$dir/doclen")
+    val stats = spark.read.parquet(s"$dir/stats")
+      .select(col("n_docs"),
+        (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
+    val contrib = tf.join(broadcast(df), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("tok"),
+        ((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)) *
+          ((col("tf").cast("double") * lit(2.2)) /
+            (col("tf").cast("double") +
+              lit(1.2) * (lit(0.25) +
+                lit(0.75) * (col("dl").cast("double") / col("avgdl"))))))
+          .as("contrib"))
+    contrib.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        aggregate(array_sort(collect_list(struct(col("tok"), col("contrib")))),
+          lit(0.0), (a, x) => a + x.getField("contrib")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+}
