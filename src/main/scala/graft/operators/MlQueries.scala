@@ -286,6 +286,35 @@ object MlQueries extends QueryGroup {
           .as("word")),
       "word", 25, 4096)
 
+  /** Q117: per-group z-score anomaly flags — the monitoring/outlier gate
+    * over the event stream: population moments per event_type from EXACT
+    * decimal sums (the q90 machinery), then flag rows with
+    * `(x − μ)² > 9·σ²` — the 3σ rule squared, so no sqrt and no division
+    * enters the comparison; every double op (one μ division, the μ²/σ²
+    * products) is mirrored op-for-op.
+    *
+    * Scale shape: one partial-agg stats pass (5 groups), broadcast join
+    * back, per-row compare — two scans, no row-level shuffle at all.
+    * Streaming twin: the same stats feed a stream-static join (the
+    * CorpusStream gate pattern). */
+  private val q117: Q = (s, d) => {
+    val e = Tables.events(s, d).select(
+      col("event_id"), col("event_type"), col("value"))
+    val mu = col("sx") / col("n")
+    val stats = e.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      dsum(col("value"), 2).as("sx"),
+      dsum(col("value") * col("value"), 4).as("sxx"))
+      .select(col("event_type"), mu.as("mu"),
+        greatest(col("sxx") / col("n") - mu * mu, lit(0.0)).as("varp"))
+    e.join(broadcast(stats), "event_type")
+      .filter((col("value") - col("mu")) * (col("value") - col("mu")) >
+        lit(9.0) * col("varp"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("mu"), col("varp"))
+      .orderBy("event_id")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q64_agg_salted_skew" -> q64,
     "q68_join_salted_skew" -> q68,
@@ -303,6 +332,7 @@ object MlQueries extends QueryGroup {
     "q50_udaf_weighted_avg" -> q50,
     "q112_lake_zorder" -> q112,
     "q114_agg_heavy_hitters" -> q114,
+    "q117_anomaly_zscore" -> q117,
   )
 
   // the 32 interleave terms of the 16-bit Morton code, generated once and
@@ -319,6 +349,22 @@ object MlQueries extends QueryGroup {
     "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(c.centroid, x -> CAST(CAST(x AS FLOAT) AS DOUBLE) * CAST(CAST(x AS FLOAT) AS DOUBLE))), (a, x) -> a + x)"
 
   val oracles: Map[String, String] = Map(
+    // 3σ-squared anomaly rule over exact-decimal population moments; the
+    // per-row compare repeats the stats expressions (correlated via JOIN)
+    "q117_anomaly_zscore" -> {
+      val n = "CAST(count(*) AS DOUBLE)"
+      val sx = sqlDsum("value", 2)
+      val sxx = sqlDsumBig("value * value", 4)
+      s"""WITH st AS (
+         |  SELECT event_type, $sx / $n AS mu,
+         |    GREATEST($sxx / $n - ($sx / $n) * ($sx / $n), 0.0) AS varp
+         |  FROM events GROUP BY event_type)
+         |SELECT e.event_id, e.event_type, e.value, st.mu, st.varp
+         |FROM events e JOIN st USING (event_type)
+         |WHERE (e.value - st.mu) * (e.value - st.mu) > 9.0 * st.varp
+         |ORDER BY e.event_id""".stripMargin
+    },
+
     // exact top-25 tokens — the sketch path must EQUAL the direct
     // computation (its nondeterministic internals never reach the output)
     "q114_agg_heavy_hitters" ->
