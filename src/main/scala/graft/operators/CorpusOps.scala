@@ -310,6 +310,47 @@ object CorpusOps {
       .drop("cum")
   }
 
+  /** Q118 core: GPT-style sequence packing — the final assembly step of a
+    * pretraining data pipeline: documents are laid out in a deterministic
+    * md5-shuffled order per source, CONCATENATED with one separator token
+    * after each doc (the `<eod>` convention), and the resulting token
+    * stream is cut into fixed-length training examples of `seqLen`
+    * tokens. Unlike [[chunkWindows]] (per-doc windows) or [[packShards]]
+    * (budget buckets), examples CROSS document boundaries — one doc can
+    * span several examples and one example several docs.
+    *
+    * What's emitted is the loader MAPPING, not the spliced text: one row
+    * per (doc, example) overlap with the 1-based token slice of the doc
+    * (`doc_from..doc_to`) and the offset inside the example where it
+    * lands (`ex_off`). All integer interval math over an exact running
+    * offset — fully engine-mirrorable.
+    *
+    * Scale shape: one per-source window (the q91 shape — hash-partition
+    * on source, never a global single-task rank) + a bounded explode
+    * (⌈n_tok/seqLen⌉ + 1 rows per doc). Example ids are per-source, so
+    * shard assembly parallelizes by source. */
+  def packSequences(docs: DataFrame, idCol: String, seqLen: Long): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive: $seqLen")
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val L = lit(seqLen)
+    docs.filter(col("text").isNotNull)
+      .select(col(idCol), col("source"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("cum", sum(col("n_tok") + lit(1L)).over(w))
+      .withColumn("start", col("cum") - (col("n_tok") + lit(1L)))
+      .withColumn("ex", explode(sequence(
+        call_function("div", col("start"), L),
+        call_function("div", col("start") + col("n_tok") - lit(1L), L))))
+      .select(col(idCol), col("source"), col("n_tok"), col("ex"),
+        (greatest(col("start"), col("ex") * L) - col("start") + lit(1L))
+          .as("doc_from"),
+        (least(col("start") + col("n_tok"), (col("ex") + lit(1L)) * L) -
+          col("start")).as("doc_to"),
+        (greatest(col("start"), col("ex") * L) - col("ex") * L).as("ex_off"))
+  }
+
   /** Q97 core: T5-style span corruption — the denoising-objective
     * preprocessing move: ~1/`maskDenom` of token positions are selected by
     * a deterministic hash (md5 of `id#pos`, the engine-mirrorable
@@ -472,14 +513,27 @@ object CorpusOps {
   def importanceWeights(docs: DataFrame, idCol: String, isTarget: Column,
       buckets: Int = 64): DataFrame = {
     val toks = TextFunctions.tokens(col("text"))
+    // persisted: the model-fit pass and the weighting pass both read the
+    // hashed feature stream — without this the explode + per-feature md5
+    // run twice (the q95 run-scoped-cache pattern; at 100 TB this is the
+    // materialize-the-projection artifact). The doc-side repartition pins
+    // explode width: a small-file corpus scans as 1–2 tasks and the whole
+    // per-feature kernel (shingle transform + md5) runs single-threaded
+    // without it (measured 3.4 s single-task explode at sf0.1; at real
+    // scale file count provides the width and AQE coalesces the tiny
+    // shuffle away)
     val feats = docs.filter(col("text").isNotNull)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col(idCol))
       .select(col(idCol), isTarget.as("is_target"),
         concat(toks, TextFunctions.shingles(toks, 2)).as("feats"))
       .select(col(idCol), col("is_target"),
         posexplode(col("feats")).as(Seq("pos0", "feat")))
       .select(col(idCol), col("is_target"), (col("pos0") + 1).as("pos"),
-        pmod(conv(substring(md5(col("feat")), 1, 8), 16, 10).cast("long"),
+        pmod(call_function("md5_prefix32", col("feat")),
           lit(buckets.toLong)).as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    RunScopedCache.releaseAfterRun(docs.sparkSession, feats)
     val counts = feats.groupBy("bucket").agg(
       count(lit(1)).as("cnt_r"),
       count(when(col("is_target"), 1)).as("cnt_t"))

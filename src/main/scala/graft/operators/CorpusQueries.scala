@@ -404,6 +404,13 @@ object CorpusQueries extends QueryGroup {
     CorpusOps.collapseRepeats(Tables.documents(s, d), "doc_id")
       .orderBy("doc_id")
 
+  /** Q118: sequence packing — [[CorpusOps.packSequences]] at a 128-token
+    * example length (the fixture's ~50-token docs span boundaries, so the
+    * multi-doc-per-example AND multi-example-per-doc cases both occur). */
+  private val q118: Q = (s, d) =>
+    CorpusOps.packSequences(Tables.documents(s, d), "doc_id", 128L)
+      .orderBy("source", "ex", "doc_id")
+
   val queries: Seq[(String, Q)] = Seq(
     "q71_text_repetition" -> q71,
     "q72_dedup_spans" -> q72,
@@ -423,12 +430,39 @@ object CorpusQueries extends QueryGroup {
     "q110_dsir_importance" -> q110,
     "q115_gopher_rules" -> q115,
     "q116_collapse_repeats" -> q116,
+    "q118_pack_sequences" -> q118,
   )
 
   // 2-gram positions: range(1, len) = 1..len-1 (DuckDB range excludes the
   // upper bound), toks[i:i+1] = the 2 tokens at i — mirrors word_shingles
   // exactly (same convention as the q67 3-gram oracle).
   val oracles: Map[String, String] = Map(
+    // sequence packing: q91's md5-ordered per-source running offset with a
+    // +1 separator per doc (window sum CAST back from HUGEINT), then each
+    // doc explodes over the examples its token interval crosses — pure
+    // BIGINT interval math
+    "q118_pack_sequences" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok,
+        |    md5(CAST(doc_id AS VARCHAR)) AS o
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (
+        |  SELECT doc_id, source, n_tok,
+        |    CAST(sum(n_tok + 1) OVER (PARTITION BY source ORDER BY o, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum
+        |  FROM d),
+        |s AS (SELECT doc_id, source, n_tok, cum - (n_tok + 1) AS strt FROM c),
+        |e AS (SELECT doc_id, source, n_tok, strt,
+        |    unnest(range(strt // 128, (strt + n_tok - 1) // 128 + 1)) AS ex
+        |  FROM s)
+        |SELECT doc_id, source, n_tok, ex,
+        |  GREATEST(strt, ex * 128) - strt + 1 AS doc_from,
+        |  LEAST(strt + n_tok, (ex + 1) * 128) - strt AS doc_to,
+        |  GREATEST(strt, ex * 128) - ex * 128 AS ex_off
+        |FROM e ORDER BY source, ex, doc_id""".stripMargin,
+
     // repetition collapse: identical positional drop predicate (guards
     // FIRST in each conjunct — FALSE AND NULL = FALSE covers DuckDB's
     // out-of-range NULL/negative-wrap indexing), rebuild from survivors

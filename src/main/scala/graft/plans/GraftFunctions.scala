@@ -37,6 +37,8 @@ object GraftFunctions {
     ("word_shingles", classOf[WordShingles], 2,
       (c: Seq[Expression]) => WordShingles(c(0),
         intLit(c(1), "word_shingles", "n"))),
+    ("md5_prefix32", classOf[Md5Prefix32], 1,
+      (c: Seq[Expression]) => Md5Prefix32(c(0))),
     ("rolling_fp", classOf[RollingFp], 1,
       (c: Seq[Expression]) => RollingFp(c(0))),
     ("lsh_sig", classOf[LshSignature], 1,

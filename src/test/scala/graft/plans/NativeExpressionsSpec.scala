@@ -37,6 +37,21 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(both.filter(col("native") =!= col("sql")).count() == 0)
   }
 
+  test("md5_prefix32 native ≡ conv(substring(md5)) formulation, null-safe") {
+    val toks = docs.filter(col("text").isNotNull)
+      .select(explode(TextFunctions.tokens(col("text"))).as("t"))
+    val both = toks.select(
+      call_function("md5_prefix32", col("t")).as("native"),
+      conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long").as("builtin"))
+    assert(both.filter(col("native") =!= col("builtin")).count() == 0)
+    // empty string has a well-defined digest; null stays null
+    val edge = Seq(Some(""), None).toDF("t").select(
+      call_function("md5_prefix32", col("t")).as("n"),
+      conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long").as("b")).collect()
+    assert(edge(0).getLong(0) == edge(0).getLong(1))
+    assert(edge(1).isNullAt(0) && edge(1).isNullAt(1))
+  }
+
   test("intersect_count native ≡ size(array_intersect) incl. duplicates and empties") {
     // corpus pairs: every doc's token set against the reversed next doc's
     val toks = TextFunctions.tokenSet(col("text"))
