@@ -297,6 +297,40 @@ class CorpusQueriesSpec extends SparkSpec {
       "null text must fail every rule with false, not NULL")
   }
 
+  test("q118 packing invariants: full doc coverage, in-example slices disjoint, boundaries crossed") {
+    val dir = corpus((1L to 40L).map(i =>
+      (i, (1 to 30 + (i % 25).toInt).map(j => s"w$j").mkString(" "))): _*)
+    val rows = SparkEntry.queries("q118_pack_sequences")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("n_tok"), r.getAs[Long]("ex"),
+        r.getAs[Long]("doc_from"), r.getAs[Long]("doc_to"),
+        r.getAs[Long]("ex_off")))
+    // per doc: slices tile [1, n_tok] contiguously in example order
+    rows.groupBy(_._1).foreach { case (id, rs) =>
+      val slices = rs.toSeq.sortBy(_._4).map(r => (r._5, r._6))
+      assert(slices.head._1 == 1L, s"doc $id starts at ${slices.head._1}")
+      assert(slices.last._2 == rs.head._3, s"doc $id must end at n_tok")
+      slices.sliding(2).foreach {
+        case Seq((_, t0), (f1, _)) => assert(f1 == t0 + 1, s"doc $id gap")
+        case _ =>
+      }
+    }
+    // per example: slices fit in [0, 128) and never overlap (gaps = <eod>s)
+    rows.groupBy(r => (r._2, r._4)).foreach { case (k, rs) =>
+      val sorted = rs.toSeq.sortBy(_._7).map(r => (r._7, r._7 + (r._6 - r._5) + 1))
+      sorted.foreach { case (off, end) =>
+        assert(off >= 0 && end <= 128, s"example $k slice [$off,$end)") }
+      sorted.sliding(2).foreach {
+        case Seq((_, e0), (o1, _)) => assert(o1 >= e0, s"example $k overlap")
+        case _ =>
+      }
+    }
+    // the cross-boundary cases both materialize
+    assert(rows.groupBy(_._1).values.exists(_.size > 1), "no doc spans examples")
+    assert(rows.groupBy(r => (r._2, r._4)).values.exists(_.size > 1),
+      "no example holds several docs")
+  }
+
   test("q116: stutter and repeated bigrams collapse, partial repeats survive") {
     val dir = corpus(
       (1L, "x x x y"),         // token stutter
