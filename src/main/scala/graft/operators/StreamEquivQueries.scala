@@ -64,14 +64,64 @@ object StreamEquivQueries extends QueryGroup {
       .orderBy("user_id", "event_type", "minute")
   }
 
+  /** Q119: hourly gap-fill / resample — the time-series densification
+    * every monitoring rollup needs: a complete hourly spine from the
+    * corpus' global [min, max] hour crossed with the event-type dimension
+    * (explode of a `sequence(h0, h1, interval 1 hour)` — ~720 rows per
+    * type here), left-joined against the q29-style hourly aggregate, and
+    * missing buckets filled with explicit zeros plus a `filled` marker.
+    *
+    * Scale shape: the spine is |types| × |hours| — dimension-sized, never
+    * event-sized — built from a broadcast 2-value bounds row; the hourly
+    * aggregate is one partial-agg pass; the left join is spine-sized. At
+    * 100 TB of events the spine is still tiny (types × hours), so the
+    * join broadcasts the spine side if the optimizer picks it — either
+    * direction is dimension-scale. */
+  private val q119: Q = (s, d) => {
+    val e = Tables.events(s, d).select(col("event_type"),
+      date_trunc("hour", col("ts")).as("h"), col("value"))
+    val agg = e.groupBy("event_type", "h")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+    val bounds = e.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    val spine = e.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"), explode(
+        sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
+    spine.join(agg, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("total_value"), lit(0.0)).as("total_value"),
+        col("n").isNull.as("filled"))
+      .orderBy("event_type", "h")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q29_stream_tumbling" -> q29,
     "q30_stream_sliding" -> q30,
     "q31_stream_session" -> q31,
     "q32_stream_dedup" -> q32,
+    "q119_resample_gap_fill" -> q119,
   )
 
   val oracles: Map[String, String] = Map(
+    // hourly spine = types × generate_series over the global bounds; gaps
+    // fill with explicit zeros, `filled` marks fabricated buckets
+    "q119_resample_gap_fill" ->
+      s"""WITH e AS (SELECT event_type, date_trunc('hour', ts) AS h, value
+         |  FROM events),
+         |a AS (SELECT event_type, h, CAST(count(*) AS BIGINT) AS n,
+         |    ${sqlDsum("value")} AS total_value
+         |  FROM e GROUP BY event_type, h),
+         |b AS (SELECT min(h) AS h0, max(h) AS h1 FROM e),
+         |sp AS (SELECT event_type,
+         |    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+         |  FROM (SELECT DISTINCT event_type FROM e), b)
+         |SELECT sp.event_type, sp.h, COALESCE(a.n, 0) AS n,
+         |  COALESCE(a.total_value, 0.0) AS total_value,
+         |  a.n IS NULL AS filled
+         |FROM sp LEFT JOIN a ON sp.event_type = a.event_type AND sp.h = a.h
+         |ORDER BY sp.event_type, sp.h""".stripMargin,
+
     "q29_stream_tumbling" ->
       s"""SELECT date_trunc('hour', ts) AS hr, event_type, count(*) AS n,
          |  ${sqlDsum("value")} AS total_value
