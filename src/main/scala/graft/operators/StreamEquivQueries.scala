@@ -95,15 +95,61 @@ object StreamEquivQueries extends QueryGroup {
       .orderBy("event_type", "h")
   }
 
+  /** Q120: forward-fill (LOCF) over the gap-filled hourly series — the
+    * companion interpolation to q119's zero-fill: each fabricated bucket
+    * carries the last OBSERVED hourly mean forward (`last(_, ignoreNulls)`
+    * over an unbounded-preceding frame per event_type; leading gaps stay
+    * NULL — there is nothing to carry). The per-type window runs over the
+    * DIMENSION-SIZED spine (~720 rows/type), not the event stream, so the
+    * single-partition-per-type window is a non-issue at any event volume.
+    * Mean = exact-decimal sum / count (the davg contract), NULL where no
+    * rows landed in the bucket. */
+  private val q120: Q = (s, d) => {
+    val e = Tables.events(s, d).select(col("event_type"),
+      date_trunc("hour", col("ts")).as("h"), col("value"))
+    val agg = e.groupBy("event_type", "h")
+      .agg(davg(col("value")).as("mean_value"))
+    val bounds = e.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    val spine = e.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"), explode(
+        sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
+    val w = Window.partitionBy("event_type").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(agg, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"), col("mean_value"),
+        last(col("mean_value"), ignoreNulls = true).over(w).as("locf_value"))
+      .orderBy("event_type", "h")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q29_stream_tumbling" -> q29,
     "q30_stream_sliding" -> q30,
     "q31_stream_session" -> q31,
     "q32_stream_dedup" -> q32,
     "q119_resample_gap_fill" -> q119,
+    "q120_resample_locf" -> q120,
   )
 
   val oracles: Map[String, String] = Map(
+    // LOCF: last_value IGNORE NULLS over the same spine (DuckDB's window
+    // frame defaults differ — spelled out ROWS UNBOUNDED PRECEDING)
+    "q120_resample_locf" ->
+      s"""WITH e AS (SELECT event_type, date_trunc('hour', ts) AS h, value
+         |  FROM events),
+         |a AS (SELECT event_type, h, ${sqlDavg("value")} AS mean_value
+         |  FROM e GROUP BY event_type, h),
+         |b AS (SELECT min(h) AS h0, max(h) AS h1 FROM e),
+         |sp AS (SELECT event_type,
+         |    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+         |  FROM (SELECT DISTINCT event_type FROM e), b)
+         |SELECT sp.event_type, sp.h, a.mean_value,
+         |  last_value(a.mean_value IGNORE NULLS) OVER (
+         |    PARTITION BY sp.event_type ORDER BY sp.h
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
+         |FROM sp LEFT JOIN a ON sp.event_type = a.event_type AND sp.h = a.h
+         |ORDER BY sp.event_type, sp.h""".stripMargin,
+
     // hourly spine = types × generate_series over the global bounds; gaps
     // fill with explicit zeros, `filled` marks fabricated buckets
     "q119_resample_gap_fill" ->
