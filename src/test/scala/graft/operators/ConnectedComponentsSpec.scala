@@ -48,6 +48,27 @@ class ConnectedComponentsSpec extends SparkSpec {
     }
   }
 
+  test("runAdaptive equals run on BOTH sides of the driver-size threshold") {
+    for (seed <- 1 to 8) {
+      val rnd = new scala.util.Random(seed)
+      val n = 30
+      val edges = Seq.fill(40)((rnd.nextInt(n).toLong + 1, rnd.nextInt(n).toLong + 1))
+      val df = edges.toDF("a", "b")
+      val distributed = components(edges: _*)
+      // driverMax=0 forces the distributed path; large forces union-find
+      val viaDriver = ConnectedComponents.runAdaptive(df, driverMax = 1000000L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaDistributed = ConnectedComponents.runAdaptive(df, driverMax = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaDriver == distributed, s"seed $seed union-find diverged")
+      assert(viaDistributed == distributed, s"seed $seed escalation diverged")
+    }
+    // self-loop-only input: no edge-touched nodes at all
+    val loops = ConnectedComponents.runAdaptive(
+      Seq((5L, 5L)).toDF("a", "b"), driverMax = 1000000L)
+    assert(loops.count() == 0)
+  }
+
   test("large-star/small-star collapses a long path in few rounds") {
     // a 200-node path has diameter 199 — min-label propagation would need
     // 199 rounds (and default maxIter throws); the star algorithm's round
