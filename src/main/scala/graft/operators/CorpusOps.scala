@@ -522,11 +522,18 @@ object CorpusOps {
     // without it (measured 3.4 s single-task explode at sf0.1; at real
     // scale file count provides the width and AQE coalesces the tiny
     // shuffle away)
+    // word_shingles (native kernel, ≡ the transform/concat_ws HOF —
+    // NativeExpressionsSpec): InferFiltersFromGenerate clones the Generate
+    // child's array expression into a pre-shuffle filter below the
+    // repartition, so the shingle expression is evaluated up to 3× per row
+    // on the SCAN side — with the interpreted HOF that tripled cost was the
+    // query's hot spot (PLANS.md q110), with the kernel it is noise
     val feats = docs.filter(col("text").isNotNull)
       .repartition(docs.sparkSession.sparkContext.defaultParallelism,
         col(idCol))
       .select(col(idCol), isTarget.as("is_target"),
-        concat(toks, TextFunctions.shingles(toks, 2)).as("feats"))
+        concat(toks, call_function("word_shingles", toks, lit(2)))
+          .as("feats"))
       .select(col(idCol), col("is_target"),
         posexplode(col("feats")).as(Seq("pos0", "feat")))
       .select(col(idCol), col("is_target"), (col("pos0") + 1).as("pos"),

@@ -430,10 +430,12 @@ object TextQueries extends QueryGroup {
     val uni = train.select(explode(toksOf).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c1"))
     val total = uni.agg(sum(col("c1")).as("total"))
-    val bi = train.select(explode(TextFunctions.shingles(toksOf, 2)).as("bg"))
+    val bi = train.select(explode(
+      call_function("word_shingles", toksOf, lit(2))).as("bg"))
       .groupBy("bg").agg(count(lit(1)).as("c2"))
     val pairs = docs.select(col("doc_id"),
-        posexplode(TextFunctions.shingles(toksOf, 2)).as(Seq("pos", "bg")))
+        posexplode(call_function("word_shingles", toksOf, lit(2)))
+          .as(Seq("pos", "bg")))
       .withColumn("w1", element_at(split(col("bg"), " "), 1))
       .withColumn("w2", element_at(split(col("bg"), " "), 2))
     val scored = pairs
