@@ -148,6 +148,34 @@ class PlanSpec extends SparkSpec {
       "2*3 should fold to 6 at plan time")
   }
 
+  test("a selective dim filter injects a bloom runtime filter on the fact side") {
+    // Spark 4's InjectRuntimeFilter: when one join side carries a selective
+    // filter, the other side's scan gets a bloom-filter probe so fact rows
+    // that cannot match die at the scan — at 100 TB this is the difference
+    // between shuffling the whole fact table and shuffling the ~matching
+    // slice. Size thresholds are production-scaled (10 MB / 10 GB), so the
+    // test pins the REWRITE by lowering them for this query only.
+    val conf = spark.conf
+    val overrides = Seq(
+      // creation side must be ≤ this (a max): admit our small dim
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      // application side must be ≥ this (a min): admit our small fact
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      // the rule only fires on shuffle joins — suppress broadcast here
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = overrides.map { case (k, _) => k -> conf.get(k) }
+    try {
+      overrides.foreach { case (k, v) => conf.set(k, v) }
+      val plan = graft.Tables.lineitem(spark, sfDir)
+        .join(graft.Tables.orders(spark, sfDir)
+          .filter(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey"))
+        .queryExecution.optimizedPlan.toString
+      assert(plan.contains("bloom_filter") || plan.contains("might_contain"),
+        s"expected an injected bloom runtime filter:\n$plan")
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
+
   test("q49: HLL approximation lands within 10% of exact counts") {
     val rows = SparkEntry.queries("q49_agg_approx_distinct")(spark, sfDir).collect()
     rows.foreach { r =>

@@ -200,4 +200,40 @@ class StreamingOpsSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(last == Map("a" -> 7L, "b" -> 5L))
   }
+
+  test("streaming anomaly gate: q117's batch stats flag a live stream identically") {
+    // the q117 doc's streaming twin: population moments are computed ONCE
+    // over the historical batch (exact-decimal sums), broadcast as the
+    // static side, and each arriving event is gated by the same squared-3σ
+    // rule — the stream-static enrichment shape every monitoring deploy
+    // uses. The flags must match what batch q117 would say for the same
+    // rows.
+    implicit val sc = spark.sqlContext
+    import graft.operators.dsum
+    val hist = (1 to 99).map(i => ("A", 10.0)) ++ Seq(("A", 1000.0)) ++
+      (1 to 10).map(_ => ("B", 1000.0))
+    val mu = col("sx") / col("n")
+    val stats = hist.toDF("event_type", "value")
+      .groupBy("event_type").agg(
+        count(lit(1)).as("n"), dsum(col("value"), 2).as("sx"),
+        dsum(col("value") * col("value"), 4).as("sxx"))
+      .select(col("event_type"), mu.as("mu"),
+        greatest(col("sxx") / col("n") - mu * mu, lit(0.0)).as("varp"))
+    val mem = MemoryStream[(String, Double)]
+    val flagged = mem.toDF().toDF("event_type", "value")
+      .join(broadcast(stats), "event_type")
+      .filter((col("value") - col("mu")) * (col("value") - col("mu")) >
+        lit(9.0) * col("varp"))
+    val q = flagged.writeStream.format("memory").queryName("anomaly")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(("A", 10.0), ("A", 900.0), ("B", 1000.0), ("B", 999.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("anomaly")
+      .select("event_type", "value").as[(String, Double)].collect().toSet
+    // A@900 is ≫3σ under A's stats; B@999 is a hair off a zero-variance
+    // group's mean and flags too (varp 0 → any deviation exceeds 0);
+    // B@1000 sits exactly on the mean and must NOT flag
+    assert(got == Set(("A", 900.0), ("B", 999.0)))
+  }
 }
