@@ -122,6 +122,58 @@ object StreamEquivQueries extends QueryGroup {
       .orderBy("event_type", "h")
   }
 
+  /** Q121: ordered funnel stages — the conversion analysis every event
+    * product ships: per user, the first `view`, the first `click` strictly
+    * AFTER that view, and the first `purchase` strictly after that click
+    * (order matters: a purchase before the click does not count). Three
+    * user-keyed min-aggregations chained by two user-keyed joins — every
+    * stage partitions on user_id, so the whole funnel is one hash family
+    * at any event volume, no windows and no per-user sort.
+    *
+    * Ties: events carry distinct micro-timestamps per user in this data;
+    * strict `>` comparisons make stage ordering unambiguous either way
+    * (an equal-timestamp click does NOT follow its view). */
+  private val q121: Q = (s, d) => {
+    val e = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+    val c = e.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("ts") > col("t_view"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_click"))
+    val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("ts") > col("t_click"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_purchase"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+        col("t_click").isNotNull.as("reached_click"),
+        col("t_purchase").isNotNull.as("reached_purchase"))
+      .orderBy("user_id")
+  }
+
+  /** Q122: weekly cohort retention — users grouped by first-activity week
+    * (the cohort), each later activity week counted distinctly, and the
+    * retention ratio = active members / cohort size as ONE double
+    * division over exact BIGINTs. Two user-keyed aggs and one broadcast
+    * join against the (tiny) cohort-size table; activity weeks are
+    * dimension-sized. `week_offset` uses exact date arithmetic
+    * (datediff / 7 in integer math), never timestamp subtraction. */
+  private val q122: Q = (s, d) => {
+    val e = Tables.events(s, d).select(col("user_id"),
+      date_trunc("week", col("ts")).as("w"))
+    val cohort = e.groupBy("user_id").agg(min(col("w")).as("cohort_w"))
+    val active = e.distinct().join(cohort, "user_id")
+    val sizes = cohort.groupBy("cohort_w").agg(count(lit(1)).as("cohort_n"))
+    active.groupBy("cohort_w", "w")
+      .agg(count(lit(1)).as("active_n"))
+      .join(broadcast(sizes), "cohort_w")
+      .select(col("cohort_w"),
+        call_function("div", datediff(col("w"), col("cohort_w")).cast("long"),
+          lit(7L)).as("week_offset"),
+        col("active_n"), col("cohort_n"),
+        (col("active_n").cast("double") / col("cohort_n")).as("retention"))
+      .orderBy("cohort_w", "week_offset")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q29_stream_tumbling" -> q29,
     "q30_stream_sliding" -> q30,
@@ -129,9 +181,47 @@ object StreamEquivQueries extends QueryGroup {
     "q32_stream_dedup" -> q32,
     "q119_resample_gap_fill" -> q119,
     "q120_resample_locf" -> q120,
+    "q121_funnel_stages" -> q121,
+    "q122_cohort_retention" -> q122,
   )
 
   val oracles: Map[String, String] = Map(
+    // ordered funnel: each stage's min-ts is conditioned on strictly
+    // following the previous stage; left joins keep partial funnels
+    "q121_funnel_stages" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS t_click
+        |  FROM events e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > v.t_view
+        |  GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+        |  FROM events e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        |  GROUP BY e.user_id)
+        |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+        |  c.t_click IS NOT NULL AS reached_click,
+        |  p.t_purchase IS NOT NULL AS reached_purchase
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+
+    // weekly cohorts: ISO Monday weeks in both engines; week_offset is
+    // exact integer day-diff // 7; one double division for the ratio
+    "q122_cohort_retention" ->
+      """WITH e AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w
+        |  FROM events),
+        |ch AS (SELECT user_id, min(w) AS cohort_w FROM e GROUP BY user_id),
+        |sz AS (SELECT cohort_w, CAST(count(*) AS BIGINT) AS cohort_n
+        |  FROM ch GROUP BY cohort_w),
+        |a AS (SELECT ch.cohort_w, e.w, CAST(count(*) AS BIGINT) AS active_n
+        |  FROM e JOIN ch USING (user_id) GROUP BY ch.cohort_w, e.w)
+        |SELECT a.cohort_w,
+        |  CAST(datediff('day', a.cohort_w, a.w) // 7 AS BIGINT) AS week_offset,
+        |  a.active_n, sz.cohort_n,
+        |  CAST(a.active_n AS DOUBLE) / sz.cohort_n AS retention
+        |FROM a JOIN sz USING (cohort_w)
+        |ORDER BY cohort_w, week_offset""".stripMargin,
+
     // LOCF: last_value IGNORE NULLS over the same spine (DuckDB's window
     // frame defaults differ — spelled out ROWS UNBOUNDED PRECEDING)
     "q120_resample_locf" ->
