@@ -174,6 +174,30 @@ object StreamEquivQueries extends QueryGroup {
       .orderBy("cohort_w", "week_offset")
   }
 
+  /** Q123: event-type transition matrix — the first-order Markov
+    * statistics of the event stream (what session-replay and
+    * next-event-prediction features train on): for each (from, to) pair
+    * of CONSECUTIVE events per user, the transition count and the
+    * conditional probability `n / Σ_to n` as one double division over
+    * exact BIGINTs. One user-partitioned lead window (the q31 shape — a
+    * per-user sort, streaming-friendly state), one pair aggregation to a
+    * |types|² matrix, one broadcast-sized totals join. */
+  private val q123: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+    val trans = e.groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = trans.groupBy("from_type").agg(sum(col("n")).as("total"))
+    trans.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        (col("n").cast("double") / col("total")).as("p"))
+      .orderBy("from_type", "to_type")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q29_stream_tumbling" -> q29,
     "q30_stream_sliding" -> q30,
@@ -183,9 +207,27 @@ object StreamEquivQueries extends QueryGroup {
     "q120_resample_locf" -> q120,
     "q121_funnel_stages" -> q121,
     "q122_cohort_retention" -> q122,
+    "q123_event_transitions" -> q123,
   )
 
   val oracles: Map[String, String] = Map(
+    // transition matrix: same (ts, event_id) total order in the lead
+    // window; sums CAST back from HUGEINT; one division for p
+    "q123_event_transitions" ->
+      """WITH t AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |tr AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM t WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+        |tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS total
+        |  FROM tr GROUP BY from_type)
+        |SELECT tr.from_type, tr.to_type, tr.n,
+        |  CAST(tr.n AS DOUBLE) / tot.total AS p
+        |FROM tr JOIN tot USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
+
     // ordered funnel: each stage's min-ts is conditioned on strictly
     // following the previous stage; left joins keep partial funnels
     "q121_funnel_stages" ->
