@@ -198,6 +198,37 @@ object StreamEquivQueries extends QueryGroup {
       .orderBy("from_type", "to_type")
   }
 
+  /** Q124: incremental rollup maintenance — the q82 no-recompute story
+    * applied to AGGREGATES: the stored hourly rollup (computed over the
+    * historical 3/4 of events) absorbs a new batch (the remaining 1/4) by
+    * MERGING partial states — counts add, exact DECIMAL sums add — instead
+    * of re-scanning history. The declared result must equal the full
+    * recompute, and the oracle IS the direct q29-style SQL: the
+    * equality is the check (the q114 move). Decimal partials stay exact
+    * through the merge; the double conversion happens once at the end
+    * (the dsum contract, preserved across merges by construction).
+    *
+    * Scale shape: the stored rollup is buckets × types (dimension-sized);
+    * each ingest aggregates ONLY its batch and merges — at a 100 TB event
+    * history this is the difference between an ingest costing
+    * O(batch) and O(history). */
+  private val q124: Q = (s, d) => {
+    import org.apache.spark.sql.types.DecimalType
+    val e = Tables.events(s, d).select(col("event_id"), col("event_type"),
+      date_trunc("hour", col("ts")).as("hr"), col("value"))
+    def partial(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("hr", "event_type").agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).as("dsum"))
+    val stored = partial(e.filter(col("event_id") % 4 =!= 0))
+    val batch = partial(e.filter(col("event_id") % 4 === 0))
+    stored.unionByName(batch)
+      .groupBy("hr", "event_type")
+      .agg(sum(col("n")).as("n"), sum(col("dsum")).as("merged"))
+      .select(col("hr"), col("event_type"), col("n"),
+        col("merged").cast("double").as("total_value"))
+      .orderBy("hr", "event_type")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q29_stream_tumbling" -> q29,
     "q30_stream_sliding" -> q30,
@@ -208,9 +239,20 @@ object StreamEquivQueries extends QueryGroup {
     "q121_funnel_stages" -> q121,
     "q122_cohort_retention" -> q122,
     "q123_event_transitions" -> q123,
+    "q124_rollup_incremental" -> q124,
   )
 
   val oracles: Map[String, String] = Map(
+    // the incremental merge must EQUAL the direct full-history rollup —
+    // so the oracle is the q29 shape itself (sum CAST back from the
+    // widened decimal; n CAST from HUGEINT)
+    "q124_rollup_incremental" ->
+      s"""SELECT date_trunc('hour', ts) AS hr, event_type,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  ${sqlDsum("value")} AS total_value
+         |FROM events GROUP BY hr, event_type
+         |ORDER BY hr, event_type""".stripMargin,
+
     // transition matrix: same (ts, event_id) total order in the lead
     // window; sums CAST back from HUGEINT; one division for p
     "q123_event_transitions" ->
