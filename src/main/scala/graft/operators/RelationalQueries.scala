@@ -582,7 +582,34 @@ object RelationalQueries extends QueryGroup {
         |ORDER BY d""".stripMargin)
   }
 
+  /** Q125: SCD2 versioned upsert over the customer dimension —
+    * [[ScdMerge.apply2]] with a deterministic update batch: every key
+    * ≡ 0 (mod 10) changes segment + balance (versioned: old row closes at
+    * the effective date, new row opens), every key ≡ 5 (mod 10) arrives
+    * as a NO-OP update (identical attributes — must create no version,
+    * the replayed-feed invariant), everyone else is untouched. The oracle
+    * reconstructs the exact post-merge table with CASE arithmetic —
+    * dimension history as plain relational algebra. */
+  private val q125: Q = (s, d) => {
+    val cur = Tables.customer(s, d).select(
+        col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      .withColumn("valid_from", lit("2024-01-01"))
+      .withColumn("valid_to", lit(null).cast("string"))
+      .withColumn("is_current", lit(true))
+    val upd = Tables.customer(s, d)
+      .filter(col("c_custkey") % 5 === 0)
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 10 === 0, lit("MOVED"))
+          .otherwise(col("c_mktsegment")).as("c_mktsegment"),
+        when(col("c_custkey") % 10 === 0, col("c_acctbal") + 100.0)
+          .otherwise(col("c_acctbal")).as("c_acctbal"))
+    ScdMerge.apply2(cur, upd, "c_custkey",
+        Seq("c_mktsegment", "c_acctbal"), lit("2024-06-01"))
+      .orderBy("c_custkey", "valid_from")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
+    "q125_scd2_upsert" -> q125,
     "q01_scan_project" -> q01,
     "q02_json_get" -> q02,
     "q03_project_expr" -> q03,
@@ -629,6 +656,32 @@ object RelationalQueries extends QueryGroup {
   )
 
   val oracles: Map[String, String] = Map(
+    // SCD2 reconstruction: changed keys (≡0 mod 10) → closed old row +
+    // opened new row; no-op updates (≡5 mod 10) and untouched keys → one
+    // current row. Double arithmetic (+100.0) is a single IEEE add both
+    // engines perform identically
+    "q125_scd2_upsert" ->
+      """WITH base AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+        |unchanged AS (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal,
+        |    '2024-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to,
+        |    TRUE AS is_current
+        |  FROM base WHERE c_custkey % 10 != 0),
+        |closed AS (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal,
+        |    '2024-01-01' AS valid_from, '2024-06-01' AS valid_to,
+        |    FALSE AS is_current
+        |  FROM base WHERE c_custkey % 10 = 0),
+        |opened AS (
+        |  SELECT c_custkey, 'MOVED' AS c_mktsegment,
+        |    c_acctbal + 100.0 AS c_acctbal,
+        |    '2024-06-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to,
+        |    TRUE AS is_current
+        |  FROM base WHERE c_custkey % 10 = 0)
+        |SELECT * FROM unchanged UNION ALL
+        |SELECT * FROM closed UNION ALL SELECT * FROM opened
+        |ORDER BY c_custkey, valid_from""".stripMargin,
+
     "q62_sql_subqueries" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_totalprice > (
