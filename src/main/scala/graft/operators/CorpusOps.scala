@@ -558,6 +558,82 @@ object CorpusOps {
           lit(1.0), (a, x) => a * x.getField("ratio")).as("weight"))
   }
 
+  /** Q126 core: classifier-based quality filtering — the GPT-3/LLaMA-family
+    * data-selection move (Brown et al. 2020 §A; Touvron et al. 2023): train
+    * a linear classifier on hashed text features with a curated slice as the
+    * positive class, score the whole corpus, keep high-margin documents.
+    * The feature space is q110's hashed unigram+bigram stream (binary
+    * per-document presence, B buckets); the per-feature weight is the exact
+    * integer association score
+    *
+    *   w(f) = n_pos(f)·tot_neg − n_neg(f)·tot_pos
+    *
+    * (cross-multiplied difference of the class-conditional document rates:
+    * positive iff P(f|pos) > P(f|neg) — the log-odds *sign* without the
+    * transcendental log, so every weight and margin stays in exact BIGINT
+    * space and DuckDB reproduces training AND inference bit-for-bit). The
+    * margin of a document is the sum of its distinct features' weights;
+    * `predicted` is the sign. Weights are fit on the md5-hash train split
+    * only (same stable-membership convention as q106: first-8-hex md5 of
+    * "id#cls" < ⌊0.8·2³²⌋), scores are emitted for every document — so the
+    * held-out rows are a real generalization readout.
+    *
+    * Scale shape: one explode + per-feature hash (native md5_prefix32
+    * kernel) → distinct (the one corpus-sized shuffle) → feature-count
+    * groupBy whose OUTPUT is bounded by B (≤4096 rows at any corpus size)
+    * → weights always broadcast → per-doc margin regroup keyed on the id.
+    * The persisted feature stream is read by both the training pass and
+    * the scoring pass (run-scoped, q110's pattern). ANSI note: the BIGINT
+    * count products stay exact below ~3·10⁹ train docs; beyond that widen
+    * to DECIMAL(38,0) — the margins stay sums of exact integers.
+    *
+    * Returns (id, is_pos, is_train, n_feat, margin, predicted). */
+  def classifierScores(docs: DataFrame, idCol: String, isPos: Column,
+      buckets: Int = 4096): DataFrame = {
+    val trainCut = 3435973836L // ⌊0.8 · 2³²⌋
+    val toks = TextFunctions.tokens(col("text"))
+    val isTrain = call_function("md5_prefix32",
+      concat(col(idCol).cast("string"), lit("#cls"))) < trainCut
+    val base = docs.filter(col("text").isNotNull)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col(idCol))
+      .select(col(idCol), isPos.as("is_pos"), isTrain.as("is_train"),
+        concat(toks, call_function("word_shingles", toks, lit(2)))
+          .as("feats"))
+    // binary presence features: distinct (doc, bucket) — the corpus-sized
+    // shuffle; everything downstream is B-bounded or doc-keyed
+    val feats = base
+      .select(col(idCol), col("is_pos"), col("is_train"),
+        explode(col("feats")).as("feat"))
+      .select(col(idCol), col("is_pos"), col("is_train"),
+        pmod(call_function("md5_prefix32", col("feat")),
+          lit(buckets.toLong)).as("bucket"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    RunScopedCache.releaseAfterRun(docs.sparkSession, feats)
+    // class priors over train DOCS — from the un-exploded scan, not the
+    // feature stream (cheap second scan beats a distinct-docs shuffle)
+    val totals = docs.filter(col("text").isNotNull).filter(isTrain)
+      .agg(count(when(isPos, 1)).as("tot_pos"),
+        count(when(!isPos, 1)).as("tot_neg"))
+    val counts = feats.filter(col("is_train")).groupBy("bucket")
+      .agg(count(when(col("is_pos"), 1)).as("n_pos"),
+        count(when(!col("is_pos"), 1)).as("n_neg"))
+    val weights = counts.crossJoin(broadcast(totals)).select(
+      col("bucket"),
+      (col("n_pos") * col("tot_neg") - col("n_neg") * col("tot_pos"))
+        .as("w"))
+    // left join: a scoring doc can hold buckets no train doc produced —
+    // unseen features contribute 0 margin
+    feats.join(broadcast(weights), Seq("bucket"), "left")
+      .groupBy(col(idCol))
+      .agg(first(col("is_pos")).as("is_pos"),
+        first(col("is_train")).as("is_train"),
+        count(lit(1)).as("n_feat"),
+        sum(coalesce(col("w"), lit(0L))).as("margin"))
+      .withColumn("predicted", col("margin") > 0L)
+  }
+
   /** Q92 core: context-window chunking — split each document into
     * overlapping token windows of `window` tokens at `stride` steps (the
     * RAG / long-context preprocessing move). Chunk k covers 1-based token

@@ -404,6 +404,22 @@ object CorpusQueries extends QueryGroup {
     CorpusOps.collapseRepeats(Tables.documents(s, d), "doc_id")
       .orderBy("doc_id")
 
+  /** Q126: classifier-based quality filtering —
+    * [[CorpusOps.classifierScores]] with the `lang = 'en'` slice as the
+    * positive (curated) class and B = 4096 hash buckets: the GPT-3-style
+    * "train a classifier against a curated corpus, keep high-margin
+    * documents" selection step, with training, inference and the
+    * train/holdout split all inside the determinism contract (exact
+    * BIGINT association-score weights — no transcendental log — and the
+    * q106 md5 split), so DuckDB refits the model and rescores every
+    * document end-to-end. Selection = `predicted`/`margin`; downstream a
+    * mix builder thresholds or importance-samples on the margin (q80's
+    * weighted sampler composes directly). */
+  private val q126: Q = (s, d) =>
+    CorpusOps.classifierScores(Tables.documents(s, d), "doc_id",
+        col("lang") === "en", 4096)
+      .orderBy("doc_id")
+
   /** Q118: sequence packing — [[CorpusOps.packSequences]] at a 128-token
     * example length (the fixture's ~50-token docs span boundaries, so the
     * multi-doc-per-example AND multi-example-per-doc cases both occur). */
@@ -431,6 +447,7 @@ object CorpusQueries extends QueryGroup {
     "q115_gopher_rules" -> q115,
     "q116_collapse_repeats" -> q116,
     "q118_pack_sequences" -> q118,
+    "q126_classifier_quality" -> q126,
   )
 
   // 2-gram positions: range(1, len) = 1..len-1 (DuckDB range excludes the
@@ -557,6 +574,51 @@ object CorpusQueries extends QueryGroup {
         |FROM fb JOIN r USING (bucket)
         |GROUP BY fb.doc_id
         |ORDER BY weight DESC, doc_id LIMIT 50""".stripMargin,
+
+    // classifier quality filtering: q110's hashed unigram+bigram stream
+    // made binary (DISTINCT per doc), integer association-score weights
+    // fit on the md5 train split, margins summed over a LEFT join so
+    // unseen buckets score 0; sum(BIGINT) is HUGEINT in DuckDB → CAST
+    // back (the q91 rule)
+    "q126_classifier_quality" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang = 'en' AS is_pos,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#cls'), 1, 8))
+        |      ::BIGINT < 3435973836 AS is_train,
+        |    string_split(lower(text), ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |fa AS (
+        |  SELECT doc_id, is_pos, is_train,
+        |    list_concat(toks, CASE WHEN len(toks) < 2 THEN []
+        |      ELSE list_transform(range(1, len(toks)),
+        |        i -> toks[i] || ' ' || toks[i+1]) END) AS feats
+        |  FROM base),
+        |f AS (
+        |  SELECT DISTINCT doc_id, is_pos, is_train,
+        |    ('0x' || substr(md5(feat), 1, 8))::BIGINT % 4096 AS bucket
+        |  FROM (SELECT doc_id, is_pos, is_train, unnest(feats) AS feat
+        |        FROM fa)),
+        |tot AS (
+        |  SELECT CAST(count(CASE WHEN is_pos THEN 1 END) AS BIGINT)
+        |      AS tot_pos,
+        |    CAST(count(CASE WHEN NOT is_pos THEN 1 END) AS BIGINT)
+        |      AS tot_neg
+        |  FROM base WHERE is_train),
+        |cnt AS (
+        |  SELECT bucket,
+        |    CAST(count(CASE WHEN is_pos THEN 1 END) AS BIGINT) AS n_pos,
+        |    CAST(count(CASE WHEN NOT is_pos THEN 1 END) AS BIGINT) AS n_neg
+        |  FROM f WHERE is_train GROUP BY bucket),
+        |w AS (SELECT bucket, n_pos * tot_neg - n_neg * tot_pos AS w
+        |  FROM cnt, tot)
+        |SELECT f.doc_id, bool_or(f.is_pos) AS is_pos,
+        |  bool_or(f.is_train) AS is_train,
+        |  CAST(count(*) AS BIGINT) AS n_feat,
+        |  CAST(coalesce(sum(w.w), 0) AS BIGINT) AS margin,
+        |  CAST(coalesce(sum(w.w), 0) AS BIGINT) > 0 AS predicted
+        |FROM f LEFT JOIN w USING (bucket)
+        |GROUP BY f.doc_id
+        |ORDER BY f.doc_id""".stripMargin,
 
     // span corruption: mask position p of doc iff the first-8-hex md5 of
     // "id#p" ≡ 0 (mod 10); runs of masked positions become one sentinel
