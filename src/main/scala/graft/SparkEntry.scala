@@ -23,6 +23,7 @@ object SparkEntry {
     EtlQueries,
     MlQueries,
     MediaQueries,
+    SketchQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

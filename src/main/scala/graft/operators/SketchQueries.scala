@@ -1,0 +1,252 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Mergeable-summary operators: distributed sketches whose PARTIAL form can
+  * be stored per ingest partition (hour, month, shard) and merged later to
+  * answer queries over any partition range without rescanning raw data —
+  * the q124 incremental-rollup discipline extended beyond algebraic
+  * aggregates to cardinality (KMV) and quantiles (fixed-bin histograms).
+  *
+  * Unlike HLL/t-digest, both summaries here are EXACTLY deterministic and
+  * engine-independent (k-smallest md5 hashes; integer bin counts), so the
+  * merged-sketch queries are DuckDB-oracled end-to-end: the declared query
+  * computes through the partial→merge path while the oracle computes the
+  * sketch directly from raw data — the hash match IS the proof that the
+  * merge loses nothing. Spark's own Datasketches HLL surface
+  * (`hll_sketch_agg`/`hll_union_agg`) is the binary-blob production
+  * alternative and is pinned by spec (MergeableSketchSpec); its estimates
+  * are engine-specific so it stays ⚙.
+  */
+object KmvSketch {
+
+  /** K-minimum-values distinct sketch [Bar-Yossef et al. 2002]: per group,
+    * the `k` smallest DISTINCT 32-bit hashes of the keys. Mergeable
+    * exactly: the k smallest of a union of per-partition k-smallest sets
+    * equal the k smallest over the union of the raw sets (any hash among
+    * the global k smallest is among its own partition's k smallest), so
+    * partial sketches stored per ingest partition answer distinct-count
+    * queries over ANY partition range, loss-free vs a full rescan.
+    *
+    * Scale shape: one distinct shuffle over (group, hash) then a
+    * rank-truncated sort per group — Spark 4 rewrites the `row_number ≤ k`
+    * filter into WindowGroupLimit, so each map task forwards at most k
+    * rows per group BEFORE the exchange: the shuffle after distinct is
+    * k-bounded per group per task, never corpus-sized. Re-merging stored
+    * partials touches k·partitions rows per group, independent of raw
+    * data volume. */
+  def partial(df: DataFrame, groupCols: Seq[String], hashCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(hashCol))
+    df.select((groupCols :+ hashCol).map(col): _*).distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
+  /** Collapse a (group, hash) sketch to per-group stats: sketch size, the
+    * k-th minimum, and the standard KMV estimate (k−1)/U₍k₎ with
+    * U₍k₎ = kth_hash/2³² — computed as the single IEEE division
+    * ((k−1)·2³²)/kth on exact integer values, so the double is
+    * reproducible bit-for-bit in any engine. Below k distinct hashes the
+    * sketch IS the exact set and the estimate is the exact count. */
+  def stats(sketch: DataFrame, groupCols: Seq[String], hashCol: String,
+      k: Int): DataFrame = {
+    val scaled = (k - 1).toLong * 4294967296L // (k−1)·2³², exact in double
+    sketch.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_hashes"), max(col(hashCol)).as("kth_hash"))
+      .withColumn("est_distinct",
+        when(col("n_hashes") < k, col("n_hashes").cast("double"))
+          .otherwise(lit(scaled).cast("double") / col("kth_hash")))
+  }
+}
+
+/** Mergeable fixed-bin histogram: per group, integer counts over
+  * equal-width value bins. Partials stored per ingest partition merge by
+  * ADDING counts (the only algebra), and any quantile is answered from the
+  * merged histogram with one pass over its (bounded) bins — the summary a
+  * 100 TB pipeline stores per (group, day) to serve p50/p95/p99 dashboards
+  * without rescanning raw data. Resolution is the bin width; the
+  * interpolated estimate is exact when values are uniform within a bin and
+  * off by at most one bin width otherwise.
+  */
+object MergeableHistogram {
+
+  /** Per-(group ∪ partition) bin counts — the stored artifact. `binCol`
+    * must already be the integer bin index. */
+  def partial(df: DataFrame, keyCols: Seq[String], binCol: String): DataFrame =
+    df.groupBy((keyCols :+ binCol).map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Merge partials down to `groupCols` granularity: counts add. */
+  def merge(partials: DataFrame, groupCols: Seq[String], binCol: String): DataFrame =
+    partials.groupBy((groupCols :+ binCol).map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Percentile extraction from a merged histogram. For each percentile
+    * p ∈ `percentiles` (integer, 0 < p ≤ 100) and group: the target rank
+    * is ⌈p·N/100⌉ in exact integer arithmetic ((p·N + 99) div 100), the
+    * containing bin is the first with cumulative count ≥ target, and the
+    * estimate linearly interpolates inside it. Every arithmetic step is
+    * integer or a single pinned IEEE double op, so results are
+    * engine-reproducible.
+    *
+    * Scale shape: the window and join run over the MERGED histogram —
+    * bins × groups rows, bounded regardless of raw data volume. */
+  def percentiles(merged: DataFrame, groupCols: Seq[String], binCol: String,
+      binWidth: Long, percentiles: Seq[Int]): DataFrame = {
+    require(percentiles.nonEmpty && percentiles.forall(p => p > 0 && p <= 100),
+      s"percentiles must be in (0, 100]: $percentiles")
+    val grp = groupCols.map(col)
+    val cumW = Window.partitionBy(grp: _*).orderBy(col(binCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hist = merged
+      .withColumn("cum", sum(col("cnt")).over(cumW))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(grp: _*)))
+      .withColumn("cum_below", col("cum") - col("cnt"))
+    val targets = hist.select((grp :+ col("n")): _*).distinct()
+      .select((grp :+ col("n") :+
+        explode(array(percentiles.map(lit): _*)).as("p")): _*)
+      .withColumn("target", expr("(p * n + 99) div 100"))
+      .drop("n")
+    targets.join(hist, groupCols)
+      .filter(col("cum_below") < col("target") && col("cum") >= col("target"))
+      .select((grp :+ col("p") :+ col("target") :+ col(binCol) :+
+        col("cnt").as("bin_count") :+
+        ((col(binCol) * binWidth).cast("double") +
+          lit(binWidth.toDouble) *
+            ((col("target") - col("cum_below")).cast("double") / col("cnt")))
+          .as("est_scaled")): _*)
+  }
+}
+
+/** q127/q128 — the mergeable-summary queries (SURVEY §2B incremental
+  * maintenance family, with q124's rollup).
+  */
+object SketchQueries extends QueryGroup {
+
+  private val K = 64
+
+  /** Q127: KMV distinct-count rollup over the event stream — per-HOUR
+    * partial sketches of the distinct-user hash per event type (the stored
+    * ingest artifact), merged down to one sketch per type, collapsed to
+    * (size, kth-min, estimate) and joined with the exact distinct count
+    * for the error readout. The ORACLE computes the sketch DIRECTLY from
+    * raw events: the hash match proves the hourly partial→merge path is
+    * loss-free (the KMV merge theorem, verified empirically on every
+    * driver run). est_users is the one pinned IEEE division; everything
+    * else is BIGINT. */
+  private val q127: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val hashes = ev.select(col("event_type"),
+      date_trunc("hour", col("ts")).as("hr"),
+      call_function("md5_prefix32", col("user_id").cast("string")).as("h"))
+    val hourly = KmvSketch.partial(hashes, Seq("event_type", "hr"), "h", K)
+    val merged = KmvSketch.partial(hourly.select("event_type", "h"),
+      Seq("event_type"), "h", K)
+    val sk = KmvSketch.stats(merged, Seq("event_type"), "h", K)
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    sk.join(broadcast(exact), "event_type")
+      .select(col("event_type"), col("n_hashes"), col("kth_hash"),
+        col("est_distinct").as("est_users"), col("exact_users"))
+      .orderBy("event_type")
+  }
+
+  /** Q128: histogram percentile rollup over lineitem prices — per-MONTH
+    * partial histograms of l_extendedprice in exact cents ($1000 bins) per
+    * return flag (the stored artifact), merged by adding counts, then
+    * p50/p95/p99 extracted with integer target ranks and one pinned
+    * interpolation per percentile. The ORACLE histograms the raw table
+    * directly: the hash match proves count-addition merging is exact. */
+  private val q128: Q = (s, d) => {
+    val width = 100000L // cents per bin = $1000
+    val li = Tables.lineitem(s, d).select(
+      col("l_returnflag").as("flag"),
+      date_trunc("month", col("l_shipdate")).as("mon"),
+      (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long").as("cents"))
+    val binned = li.select(col("flag"), col("mon"),
+      expr(s"cents div $width").as("bin"))
+    val monthly = MergeableHistogram.partial(binned, Seq("flag", "mon"), "bin")
+    val merged = MergeableHistogram.merge(monthly, Seq("flag"), "bin")
+    MergeableHistogram.percentiles(merged, Seq("flag"), "bin",
+        width, Seq(50, 95, 99))
+      .select(col("flag"), col("p"), col("target"), col("bin"),
+        col("bin_count"), (col("est_scaled") / 100.0).as("est_value"))
+      .orderBy("flag", "p")
+  }
+
+  val queries: Seq[(String, Q)] = Seq(
+    "q127_distinct_kmv_rollup" -> q127,
+    "q128_percentile_rollup" -> q128,
+  )
+
+  val oracles: Map[String, String] = Map(
+    // direct KMV sketch (no hourly stage): row_number over distinct
+    // hashes per type, keep k, collapse — equality with the Spark-side
+    // merged path is the merge-theorem check. (k−1)·2³² = 270582939648.
+    "q127_distinct_kmv_rollup" ->
+      """WITH dd AS (
+        |  SELECT DISTINCT event_type,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+        |      AS h
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, h,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        |  FROM dd),
+        |sk AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_hashes,
+        |    max(h) AS kth_hash
+        |  FROM r WHERE rn <= 64 GROUP BY event_type),
+        |ex AS (
+        |  SELECT event_type,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+        |  FROM events GROUP BY event_type)
+        |SELECT sk.event_type, sk.n_hashes, sk.kth_hash,
+        |  CASE WHEN sk.n_hashes < 64 THEN CAST(sk.n_hashes AS DOUBLE)
+        |       ELSE CAST(270582939648 AS DOUBLE) / sk.kth_hash END
+        |    AS est_users,
+        |  ex.exact_users
+        |FROM sk JOIN ex USING (event_type)
+        |ORDER BY event_type""".stripMargin,
+
+    // direct histogram (no monthly stage): exact-cents bins, integer
+    // target ranks ⌈p·N/100⌉, pinned interpolation mirrored paren-for-
+    // paren; window sums CAST back from HUGEINT (the q91 rule)
+    "q128_percentile_rollup" ->
+      """WITH b AS (
+        |  SELECT l_returnflag AS flag,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      // 100000 AS bin
+        |  FROM lineitem),
+        |h AS (
+        |  SELECT flag, bin, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM b GROUP BY flag, bin),
+        |c AS (
+        |  SELECT flag, bin, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY flag ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum,
+        |    CAST(sum(cnt) OVER (PARTITION BY flag) AS BIGINT) AS n
+        |  FROM h),
+        |c2 AS (
+        |  SELECT flag, bin, cnt, cum, n, cum - cnt AS cum_below FROM c),
+        |t AS (SELECT DISTINCT flag, n FROM c2),
+        |tp AS (SELECT flag, n, unnest([50, 95, 99]) AS p FROM t),
+        |tg AS (SELECT flag, p, (p * n + 99) // 100 AS target FROM tp)
+        |SELECT c2.flag, tg.p, tg.target, c2.bin, c2.cnt AS bin_count,
+        |  (CAST(c2.bin * 100000 AS DOUBLE)
+        |    + 100000.0 * (CAST(tg.target - c2.cum_below AS DOUBLE) / c2.cnt))
+        |    / 100.0 AS est_value
+        |FROM tg JOIN c2 ON tg.flag = c2.flag
+        |  AND c2.cum_below < tg.target AND c2.cum >= tg.target
+        |ORDER BY c2.flag, tg.p""".stripMargin,
+  )
+}

@@ -1,0 +1,122 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[KmvSketch]] + [[MergeableHistogram]] (q127/q128): the merge theorems
+  * on randomized splits, estimate quality, exact-below-k behavior, the
+  * WindowGroupLimit plan shape, and the Datasketches HLL production
+  * alternative (engine-only).
+  */
+class MergeableSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(421107)
+
+  test("KMV merge theorem: partial-per-partition → merge == direct, any split") {
+    // 3 groups × ~400 keys with heavy cross-partition duplication
+    val rows = (1 to 2000).map { _ =>
+      val g = s"g${rnd.nextInt(3)}"
+      val key = rnd.nextInt(400).toString
+      val part = rnd.nextInt(7) // arbitrary ingest partition
+      (g, part, key)
+    }
+    val df = rows.toDF("g", "part", "key")
+      .withColumn("h", call_function("md5_prefix32", col("key")))
+    for (k <- Seq(8, 64)) {
+      val direct = KmvSketch.partial(df, Seq("g"), "h", k)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      val partials = KmvSketch.partial(df, Seq("g", "part"), "h", k)
+      val merged = KmvSketch.partial(partials.select("g", "h"), Seq("g"), "h", k)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(merged == direct, s"merge lost information at k=$k")
+    }
+  }
+
+  test("KMV estimate: exact below k, within sampling error above k") {
+    val df = (0 until 1000).map(i => ("g", i.toString)).toDF("g", "key")
+      .withColumn("h", call_function("md5_prefix32", col("key")))
+    // k > n: the sketch is the whole set → exact
+    val exactStats = KmvSketch.stats(
+      KmvSketch.partial(df, Seq("g"), "h", 2048), Seq("g"), "h", 2048)
+      .collect().head
+    assert(exactStats.getAs[Long]("n_hashes") == 1000L)
+    assert(exactStats.getAs[Double]("est_distinct") == 1000.0)
+    // k = 64: standard error is 1/√(k−2) ≈ 13%; allow 4σ
+    val est = KmvSketch.stats(
+      KmvSketch.partial(df, Seq("g"), "h", 64), Seq("g"), "h", 64)
+      .collect().head.getAs[Double]("est_distinct")
+    assert(math.abs(est - 1000.0) / 1000.0 < 0.52, s"estimate $est too far")
+  }
+
+  test("KMV partial plan truncates ranks BEFORE the final exchange (WindowGroupLimit)") {
+    val df = (0 until 100).map(i => ("g", i.toString)).toDF("g", "key")
+      .withColumn("h", call_function("md5_prefix32", col("key")))
+    val plan = KmvSketch.partial(df, Seq("g"), "h", 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
+  }
+
+  test("histogram merge == direct on a randomized partition split") {
+    val rows = (1 to 5000).map { _ =>
+      (s"g${rnd.nextInt(3)}", rnd.nextInt(12), rnd.nextInt(200).toLong * 7L)
+    }
+    val df = rows.toDF("g", "mon", "v").withColumn("bin", expr("v div 100"))
+    val direct = MergeableHistogram.partial(df, Seq("g"), "bin")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val merged = MergeableHistogram.merge(
+        MergeableHistogram.partial(df, Seq("g", "mon"), "bin"), Seq("g"), "bin")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == direct)
+  }
+
+  test("histogram percentiles: exact on bin boundaries, within a bin width off it") {
+    // uniform 1..1000, width-10 bins → interpolation is exact for every p
+    val df = (1L to 1000L).map(("g", _)).toDF("g", "v")
+      .withColumn("bin", expr("v div 10"))
+    val merged = MergeableHistogram.merge(
+      MergeableHistogram.partial(df, Seq("g"), "bin"), Seq("g"), "bin")
+    val out = MergeableHistogram.percentiles(merged, Seq("g"), "bin", 10L,
+        Seq(50, 95, 99, 100))
+      .collect().map(r => r.getAs[Int]("p") -> r.getAs[Double]("est_scaled")).toMap
+    // value v sits in bin v div 10 at offset; uniform data → the
+    // interpolated rank-r estimate is within one bin width of r
+    for ((p, est) <- out) {
+      val target = (p * 1000 + 99) / 100
+      assert(math.abs(est - target) <= 10.0, s"p$p: est $est vs rank $target")
+    }
+    assert(out(100) >= 990.0) // top percentile lands in the last bin
+  }
+
+  test("histogram percentile targets: ceil semantics at partition edges") {
+    // N=3 values 10,20,30 in width-10 bins: p50 → rank 2, p100 → rank 3
+    val df = Seq(("g", 10L), ("g", 20L), ("g", 30L)).toDF("g", "v")
+      .withColumn("bin", expr("v div 10"))
+    val merged = MergeableHistogram.merge(
+      MergeableHistogram.partial(df, Seq("g"), "bin"), Seq("g"), "bin")
+    val out = MergeableHistogram.percentiles(merged, Seq("g"), "bin", 10L,
+        Seq(50, 100))
+      .collect().map(r => r.getAs[Int]("p") -> r.getAs[Long]("target")).toMap
+    assert(out(50) == 2L && out(100) == 3L)
+  }
+
+  test("Datasketches HLL: hourly sketches union to the direct estimate (⚙ production path)") {
+    val rows = (1 to 3000).map { _ =>
+      (s"t${rnd.nextInt(2)}", rnd.nextInt(24), s"u${rnd.nextInt(500)}")
+    }
+    val df = rows.toDF("t", "hr", "u")
+    val direct = df.groupBy("t")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("u"))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaUnion = df.groupBy("t", "hr").agg(hll_sketch_agg(col("u")).as("sk"))
+      .groupBy("t").agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // HLL unions of same-lgK sketches are lossless in the dense regime and
+    // near-lossless in sparse; pin equality if it holds, else 2% agreement
+    for ((t, d) <- direct) {
+      val u = viaUnion(t)
+      assert(math.abs(u - d).toDouble / math.max(d, 1L) < 0.02,
+        s"$t: union est $u vs direct $d")
+    }
+  }
+}
