@@ -24,6 +24,7 @@ object SparkEntry {
     MlQueries,
     MediaQueries,
     SketchQueries,
+    GraphQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
