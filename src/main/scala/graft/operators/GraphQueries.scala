@@ -29,39 +29,108 @@ object PageRank {
     * no in-edges are still kept (rank = the damping base) via the left
     * join.
     *
-    * Scale shape: edges are pre-partitioned by src ONCE and persisted
-    * (run-scoped) — every iteration's rank join reuses that exchange; the
-    * per-iteration shuffles are the rank-by-src join and the groupBy dst,
-    * both linear in |E|. Iteration count is fixed (the caller picks it),
-    * so the plan is a bounded chain, no checkpointing needed below ~10
-    * rounds. Returns (node, r) with r in fixed-point units. */
-  def run(edges0: DataFrame, iterations: Int): DataFrame = {
+    * Scale shape: outdeg is folded into the edge table ONCE and the result
+    * persisted pre-partitioned by src (run-scoped) — iterations never
+    * re-join or re-shuffle the |E|-sized side. |V| is collected once as a
+    * driver scalar (it is needed as a literal in the damping term anyway).
+    * Below `broadcastNodes` the per-iteration rank table (|V| rows)
+    * broadcasts, so each round is a map-side join over the cached edges
+    * plus one |V|-bounded shuffle (partial aggs collapse the contribution
+    * stream map-side) — the runAdaptive-style small-regime escape. Above
+    * it, rounds fall back to shuffle joins keyed on src, the plan a web-
+    * scale graph needs (|V| in the billions: ranks cannot broadcast).
+    * Iteration count is fixed and ≤ 10, so the plan is a bounded chain —
+    * no checkpointing. Returns (node, r) in fixed-point units. */
+  def run(edges0: DataFrame, iterations: Int,
+      driverMaxEdges: Long = 2000000L,
+      broadcastNodes: Long = 10000000L): DataFrame = {
     require(iterations >= 1 && iterations <= 10,
       s"iterations must be in [1, 10] (bounded plan chain): $iterations")
     val spark = edges0.sparkSession
-    val edges = edges0.select(col("src"), col("dst"))
-      .repartition(spark.sparkContext.defaultParallelism, col("src"))
+    val raw = edges0.select(col("src"), col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    RunScopedCache.releaseAfterRun(spark, raw)
+    val ecnt = raw.count()
+    require(ecnt > 0, "PageRank needs a non-empty edge set")
+    // small-regime escape (the runAdaptive discipline, measured on q104:
+    // a handful-of-MB graph spends its whole wall on per-round job
+    // overhead): collect the edge list and run the IDENTICAL integer
+    // recurrence driver-side, degrees tallied in the same pass —
+    // order-independent integer sums make the two paths bit-equal
+    // (PageRankSpec pins it). Two actions total against the cache (the
+    // deciding count + the collect). Large graphs take the distributed
+    // loop unchanged.
+    if (ecnt <= driverMaxEdges) return runCollected(raw, iterations)
+    // out-degrees: one |E| shuffle whose partial aggs collapse map-side to
+    // a |V|-sized table, read from the cache the count just materialized
+    val deg = raw.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // (src, dst, outdeg) working set for the iteration loop; AQE picks
+    // the join strategy (deg broadcasts while |V| allows)
+    val edges = raw.join(deg, "src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     RunScopedCache.releaseAfterRun(spark, edges)
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val nodes = deg.select(col("src").as("node"))
-    val nTot = deg.agg(count(lit(1)).as("nn"))
-    var ranks = nodes.crossJoin(broadcast(nTot))
-      .select(col("node"), expr(s"$Scale div nn").as("r"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    RunScopedCache.releaseAfterRun(spark, nodes)
+    val nn = nodes.count()
+    val small = nn <= broadcastNodes
+    val base = s"(15 * $Scale) div (${nn}L * 100)"
+    var ranks = nodes.select(col("node"), lit(Scale / nn).as("r"))
     for (_ <- 1 to iterations) {
+      val rsrc = ranks.withColumnRenamed("node", "src")
       val contribs = edges
-        .join(ranks.withColumnRenamed("node", "src"), "src")
-        .join(deg, "src")
+        .join(if (small) broadcast(rsrc) else rsrc, "src")
         .select(col("dst"), expr("r div outdeg").as("c"))
       val inbound = contribs.groupBy("dst").agg(sum(col("c")).as("s"))
       ranks = nodes
-        .join(inbound, col("node") === col("dst"), "left")
-        .crossJoin(broadcast(nTot))
+        .join(if (small) broadcast(inbound) else inbound,
+          col("node") === col("dst"), "left")
         .select(col("node"),
-          expr(s"(15 * $Scale) div (nn * 100) + (85 * coalesce(s, 0L)) div 100")
-            .as("r"))
+          expr(s"$base + (85 * coalesce(s, 0L)) div 100").as("r"))
     }
     ranks
+  }
+
+  /** The identical fixed-point recurrence over a collected, index-encoded
+    * edge list — integer ops in the same order-independent algebra, so
+    * results are bit-equal to the distributed loop. Edges and degrees
+    * collect separately (both map-side over the cache; no join). */
+  private def runCollected(raw: DataFrame, iterations: Int): DataFrame = {
+    val spark = raw.sparkSession
+    val rows = raw.collect()
+    val m = rows.length
+    val idx = scala.collection.mutable.LinkedHashMap[String, Int]()
+    rows.foreach(r => idx.getOrElseUpdate(r.getString(0), idx.size))
+    val nn = idx.size.toLong
+    val srcI = new Array[Int](m); val dstI = new Array[Int](m)
+    val outdeg = new Array[Long](idx.size)
+    var i = 0
+    while (i < m) {
+      val r = rows(i)
+      val s = idx(r.getString(0))
+      srcI(i) = s
+      outdeg(s) += 1L
+      // a dst that never occurs as src has no out-edges and therefore no
+      // rank row (the distributed loop's node set = distinct srcs); index
+      // it as -1 and drop its inbound mass, matching the left-join shape
+      dstI(i) = idx.getOrElse(r.getString(1), -1)
+      i += 1
+    }
+    val base = (15L * Scale) / (nn * 100L)
+    var rank = Array.fill(idx.size)(Scale / nn)
+    for (_ <- 1 to iterations) {
+      val contrib = Array.tabulate(idx.size)(j => rank(j) / outdeg(j))
+      val s = new Array[Long](idx.size)
+      var e = 0
+      while (e < m) {
+        if (dstI(e) >= 0) s(dstI(e)) += contrib(srcI(e))
+        e += 1
+      }
+      rank = Array.tabulate(idx.size)(j => base + (85L * s(j)) / 100L)
+    }
+    import spark.implicits._
+    idx.iterator.map { case (node, j) => (node, rank(j)) }.toSeq
+      .toDF("node", "r")
   }
 }
 
@@ -79,10 +148,13 @@ object GraphQueries extends QueryGroup {
   private val q129: Q = (s, d) => {
     val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
     val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+    // distinct on the INTEGER key pair (the one |lineitem|-sized shuffle
+    // runs on 16 bytes/row); node names stringify after
     val e0 = li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .select(concat(lit("c:"), col("o_custkey").cast("string")).as("a"),
-        concat(lit("s:"), col("l_suppkey").cast("string")).as("b"))
+      .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
       .distinct()
+      .select(concat(lit("c:"), col("ck").cast("string")).as("a"),
+        concat(lit("s:"), col("sk").cast("string")).as("b"))
     val edges = e0.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(e0.select(col("b").as("src"), col("a").as("dst")))
     PageRank.run(edges, 5)

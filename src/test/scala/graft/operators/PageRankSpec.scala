@@ -66,6 +66,25 @@ class PageRankSpec extends SparkSpec {
       assert(math.abs(sp(v) - r(v)) < 1e-6, s"$v: ${sp(v)} vs ${r(v)}")
   }
 
+  test("driver-collected path is bit-equal to the distributed loop") {
+    val rnd = new scala.util.Random(77)
+    val pairs = (1 to 120).map(_ => (s"n${rnd.nextInt(30)}", s"n${rnd.nextInt(30)}"))
+      .filter(p => p._1 != p._2).distinct
+    val fwd = (pairs ++ pairs.map(_.swap)).distinct.toDF("src", "dst")
+    val collected = PageRank.run(fwd, 5).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val distributed = PageRank.run(fwd, 5, driverMaxEdges = 0L).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(collected == distributed)
+    // and on a NON-symmetric graph (pure sinks exercise the -1/left-join shape)
+    val asym = Seq(("a", "b"), ("a", "c"), ("c", "a")).toDF("src", "dst")
+    val c2 = PageRank.run(asym, 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val d2 = PageRank.run(asym, 3, driverMaxEdges = 0L).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(c2 == d2)
+  }
+
   test("non-symmetrized input: pure-source node keeps the damping base rank") {
     val edges = Seq(("a", "b")).toDF("src", "dst")
     val out = PageRank.run(edges, 3).collect()
