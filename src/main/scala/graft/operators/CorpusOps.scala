@@ -578,14 +578,19 @@ object CorpusOps {
     * "id#cls" < ⌊0.8·2³²⌋), scores are emitted for every document — so the
     * held-out rows are a real generalization readout.
     *
-    * Scale shape: one explode + per-feature hash (native md5_prefix32
-    * kernel) → distinct (the one corpus-sized shuffle) → feature-count
-    * groupBy whose OUTPUT is bounded by B (≤4096 rows at any corpus size)
-    * → weights always broadcast → per-doc margin regroup keyed on the id.
-    * The persisted feature stream is read by both the training pass and
-    * the scoring pass (run-scoped, q110's pattern). ANSI note: the BIGINT
-    * count products stay exact below ~3·10⁹ train docs; beyond that widen
-    * to DECIMAL(38,0) — the margins stay sums of exact integers.
+    * Scale shape — train small, score map-side: the per-doc binary
+    * feature set is ONE native kernel call (`md5_buckets`: hash + mod +
+    * dedup inside the row, so there is NO corpus-wide distinct shuffle);
+    * training explodes the cached train slice into a feature-count
+    * groupBy whose OUTPUT is bounded by B (≤4096 rows at any corpus
+    * size) and collects it — the model is a B-long integer array.
+    * Scoring then rides the model back into the plan as a LITERAL:
+    * `weight_lookup_sum` folds each doc's bucket array against it, so
+    * inference is a pure per-row projection — no join, no shuffle, the
+    * broadcast-the-model serving shape. Unseen buckets sit at weight 0
+    * in the array. ANSI note: the BIGINT count products stay exact below
+    * ~3·10⁹ train docs; beyond that widen to DECIMAL(38,0) — the margins
+    * stay sums of exact integers.
     *
     * Returns (id, is_pos, is_train, n_feat, margin, predicted). */
   def classifierScores(docs: DataFrame, idCol: String, isPos: Column,
@@ -598,39 +603,33 @@ object CorpusOps {
       .repartition(docs.sparkSession.sparkContext.defaultParallelism,
         col(idCol))
       .select(col(idCol), isPos.as("is_pos"), isTrain.as("is_train"),
-        concat(toks, call_function("word_shingles", toks, lit(2)))
-          .as("feats"))
-    // binary presence features: distinct (doc, bucket) — the corpus-sized
-    // shuffle; everything downstream is B-bounded or doc-keyed
-    val feats = base
-      .select(col(idCol), col("is_pos"), col("is_train"),
-        explode(col("feats")).as("feat"))
-      .select(col(idCol), col("is_pos"), col("is_train"),
-        pmod(call_function("md5_prefix32", col("feat")),
-          lit(buckets.toLong)).as("bucket"))
-      .distinct()
+        call_function("md5_buckets",
+          concat(toks, call_function("word_shingles", toks, lit(2))),
+          lit(buckets)).as("fb"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    RunScopedCache.releaseAfterRun(docs.sparkSession, feats)
-    // class priors over train DOCS — from the un-exploded scan, not the
-    // feature stream (cheap second scan beats a distinct-docs shuffle)
-    val totals = docs.filter(col("text").isNotNull).filter(isTrain)
-      .agg(count(when(isPos, 1)).as("tot_pos"),
-        count(when(!isPos, 1)).as("tot_neg"))
-    val counts = feats.filter(col("is_train")).groupBy("bucket")
+    RunScopedCache.releaseAfterRun(docs.sparkSession, base)
+    // training pass (eager, B-bounded): per-bucket class doc-frequencies
+    // + class priors, collected into the weight array
+    val trainD = base.filter(col("is_train"))
+    val priors = trainD
+      .agg(count(when(col("is_pos"), 1)).as("tot_pos"),
+        count(when(!col("is_pos"), 1)).as("tot_neg"))
+      .collect().head
+    val (totPos, totNeg) = (priors.getLong(0), priors.getLong(1))
+    val w = new Array[Long](buckets)
+    trainD.select(col("is_pos"), explode(col("fb")).as("bucket"))
+      .groupBy("bucket")
       .agg(count(when(col("is_pos"), 1)).as("n_pos"),
         count(when(!col("is_pos"), 1)).as("n_neg"))
-    val weights = counts.crossJoin(broadcast(totals)).select(
-      col("bucket"),
-      (col("n_pos") * col("tot_neg") - col("n_neg") * col("tot_pos"))
-        .as("w"))
-    // left join: a scoring doc can hold buckets no train doc produced —
-    // unseen features contribute 0 margin
-    feats.join(broadcast(weights), Seq("bucket"), "left")
-      .groupBy(col(idCol))
-      .agg(first(col("is_pos")).as("is_pos"),
-        first(col("is_train")).as("is_train"),
-        count(lit(1)).as("n_feat"),
-        sum(coalesce(col("w"), lit(0L))).as("margin"))
+      .collect()
+      .foreach(r => w(r.getInt(0)) =
+        r.getLong(1) * totNeg - r.getLong(2) * totPos)
+    // scoring pass (lazy, shuffle-free): fold each doc's buckets against
+    // the model literal
+    base.select(col(idCol), col("is_pos"), col("is_train"),
+        size(col("fb")).cast("long").as("n_feat"),
+        call_function("weight_lookup_sum", col("fb"),
+          lit(w)).as("margin"))
       .withColumn("predicted", col("margin") > 0L)
   }
 

@@ -66,7 +66,12 @@ object GraftFunctions {
     ("pq_encode", classOf[PqEncode], 2,
       (c: Seq[Expression]) => PqEncode(c(0), c(1))),
     ("pq_adc_score", classOf[PqAdcScore], 2,
-      (c: Seq[Expression]) => PqAdcScore(c(0), c(1))))
+      (c: Seq[Expression]) => PqAdcScore(c(0), c(1))),
+    ("md5_buckets", classOf[Md5Buckets], 2,
+      (c: Seq[Expression]) => Md5Buckets(c(0),
+        intLit(c(1), "md5_buckets", "buckets"))),
+    ("weight_lookup_sum", classOf[WeightLookupSum], 2,
+      (c: Seq[Expression]) => WeightLookupSum(c(0), c(1))))
 
   /** Idempotently register every graft function into a live session (no-op
     * when GraftExtensions already injected them). */

@@ -221,6 +221,37 @@ class NativeExpressionsSpec extends SparkSpec {
       "empty shingle set has no minimum — must be null in both engines")
   }
 
+  test("md5_buckets native ≡ sorted-distinct md5_prefix32 % B formulation, null-safe") {
+    val toks = TextFunctions.tokens(col("text"))
+    val both = docs.filter(col("text").isNotNull).select(
+      call_function("md5_buckets", toks, lit(64)).as("native"),
+      array_sort(array_distinct(transform(toks, t =>
+        pmod(call_function("md5_prefix32", t), lit(64L)).cast("int"))))
+        .as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    val edge = Seq((Seq("a", "a", "b"), 1), (Seq.empty[String], 2))
+      .toDF("t", "k")
+      .select(col("k"), call_function("md5_buckets", col("t"), lit(16)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Int](1)).toMap
+    assert(edge(1).length == 2, "duplicates collapse")
+    assert(edge(2).isEmpty, "empty array stays empty (not null)")
+    val nul = spark.sql("SELECT md5_buckets(CAST(NULL AS array<string>), 8) AS n")
+    assert(nul.collect().head.isNullAt(0))
+  }
+
+  test("weight_lookup_sum native ≡ aggregate/element_at fold, out-of-range → 0") {
+    val w = Array(10L, -20L, 30L, 0L)
+    val rows = Seq((1, Seq(0, 2)), (2, Seq(1, 1, 3)), (3, Seq(7, -1)),
+      (4, Seq.empty[Int]))
+    val both = rows.toDF("k", "idx").select(col("k"),
+      call_function("weight_lookup_sum", col("idx"), lit(w)).as("native"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(both(1) == 40L)
+    assert(both(2) == -40L, "indices may repeat; each occurrence counts")
+    assert(both(3) == 0L, "out-of-range indices contribute 0")
+    assert(both(4) == 0L)
+  }
+
   test("minhash_bands is stable and sensitive (same input → same bands; different input → different bands)") {
     val sh = call_function("word_shingles", TextFunctions.tokens(col("text")), lit(3))
     val bands = docs.select(col("doc_id"),
