@@ -134,7 +134,65 @@ object PageRank {
   }
 }
 
-/** q129 — the iterative-graph query (SURVEY §2B graph-analytics family,
+/** Exact triangle counting + local clustering coefficients over an
+  * undirected simple graph — the graph-structure signal spam/quality
+  * curation reads off link graphs (a page whose neighborhood closes no
+  * triangles is a link farm; a tight community closes most of them).
+  *
+  * Algorithm: degree orientation [Suri & Vassilvitskii, WWW'11]. Every
+  * edge is directed from its lower (degree, id) endpoint to the higher;
+  * wedges are generated only at each edge's LOW-rank endpoint, and a
+  * wedge (u; v, w) closes iff the canonical edge (v, w) exists. Each
+  * triangle is counted exactly once (at its rank-minimum vertex), and the
+  * per-center wedge fan-out is bounded by O(√m) out-degree — hubs become
+  * wedge ENDPOINTS, not centers, which is what makes the self-join
+  * survive power-law graphs at cluster scale ("the curse of the last
+  * reducer" is precisely the unoriented version's hub wedge explosion).
+  */
+object Triangles {
+
+  /** Per-node triangle count and local clustering coefficient
+    * 2·tri/(deg·(deg−1)). `edges` must be canonical: a < b, distinct, no
+    * self-loops (the [[ConnectedComponents]] edge contract). Only nodes
+    * in ≥ 1 triangle are returned (coefficient 0 nodes carry no signal;
+    * left-join [[degrees]] to surface them if needed).
+    *
+    * Scale shape: one |E| shuffle for degrees, one self-join on the
+    * oriented src (fan-out √m-bounded per task by the orientation), one
+    * (v, w)-keyed semi-join of wedges against edges. All three shuffle
+    * keys are integers; no stage is ever node-count-quadratic. */
+  def perNode(edges0: DataFrame): DataFrame = {
+    val e = edges0.select(col("a"), col("b"))
+    val deg = degrees(e)
+    val lowFirst = struct(col("da"), col("a")) < struct(col("db"), col("b"))
+    val o = e
+      .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
+      .select(when(lowFirst, col("a")).otherwise(col("b")).as("src"),
+        when(lowFirst, col("b")).otherwise(col("a")).as("dst"))
+    // wedge (u; v, w), v < w by id — o1.dst < o2.dst keeps one ordering,
+    // and the closing edge lookup hits the canonical (a < b) input form
+    val wedges = o.as("o1").join(o.as("o2"),
+        col("o1.src") === col("o2.src") && col("o1.dst") < col("o2.dst"))
+      .select(col("o1.src").as("u"), col("o1.dst").as("v"),
+        col("o2.dst").as("w"))
+    val tri = wedges.join(e,
+      col("v") === col("a") && col("w") === col("b"), "left_semi")
+    val perN = tri.select(explode(array(col("u"), col("v"), col("w"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("tri"))
+    perN.join(deg, "n")
+      .select(col("n").as("node"), col("deg"), col("tri"),
+        ((col("tri") * 2).cast("double") /
+          (col("deg") * (col("deg") - 1)).cast("double")).as("clustering"))
+  }
+
+  /** Node degrees of a canonical edge list. */
+  def degrees(e: DataFrame): DataFrame =
+    e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+}
+
+/** q129/q133 — the graph-analytics queries (SURVEY §2B graph family,
   * with q66's connected components).
   */
 object GraphQueries extends QueryGroup {
@@ -164,11 +222,61 @@ object GraphQueries extends QueryGroup {
       .limit(100)
   }
 
+  /** Q133: triangle census of the part co-purchase graph — parts are
+    * adjacent when some order ships both (the basket-analysis projection),
+    * [[Triangles.perNode]] counts each part's closed triangles and local
+    * clustering coefficient, top-100 by count. Everything is exact
+    * integer until the one coefficient division, so the oracle replays
+    * the identical orientation + wedge-closure pipeline. */
+  private val q133: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_partkey").distinct()
+    val e = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+      .distinct()
+    Triangles.perNode(e)
+      .orderBy(col("tri").desc, col("node"))
+      .limit(100)
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q129_graph_pagerank" -> q129,
+    "q133_graph_triangles" -> q133,
   )
 
   val oracles: Map[String, String] = Map(
+    // same degree orientation ((deg, id) row comparison), same
+    // low-rank-centered wedge join, same canonical closing-edge EXISTS;
+    // coefficient arithmetic mirrored op-for-op on exact BIGINTs
+    "q133_graph_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+        |    AND x.l_partkey < y.l_partkey),
+        |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM (
+        |    SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e)
+        |  GROUP BY n),
+        |o AS (SELECT
+        |    CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.a ELSE e.b END
+        |      AS src,
+        |    CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.b ELSE e.a END
+        |      AS dst
+        |  FROM e JOIN deg da ON da.n = e.a JOIN deg db ON db.n = e.b),
+        |wg AS (SELECT o1.src AS u, o1.dst AS v, o2.dst AS w
+        |  FROM o o1 JOIN o o2 ON o1.src = o2.src AND o1.dst < o2.dst),
+        |tri AS (SELECT u, v, w FROM wg
+        |  WHERE EXISTS (SELECT 1 FROM e WHERE wg.v = e.a AND wg.w = e.b)),
+        |tn AS (SELECT unnest([u, v, w]) AS node FROM tri),
+        |tc AS (SELECT node, CAST(count(*) AS BIGINT) AS tri
+        |  FROM tn GROUP BY node)
+        |SELECT tc.node, deg.deg, tc.tri,
+        |  CAST(tc.tri * 2 AS DOUBLE) / CAST(deg.deg * (deg.deg - 1)
+        |    AS DOUBLE) AS clustering
+        |FROM tc JOIN deg ON deg.n = tc.node
+        |ORDER BY tc.tri DESC, tc.node LIMIT 100""".stripMargin,
+
     // the same integer recurrence, unrolled: i1..i5 each join the previous
     // ranks to the symmetrized edge list, divide by outdeg (BIGINT //),
     // regroup on dst. sum() is HUGEINT in DuckDB → CAST before the damping

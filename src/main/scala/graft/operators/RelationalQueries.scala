@@ -608,8 +608,33 @@ object RelationalQueries extends QueryGroup {
       .orderBy("c_custkey", "valid_from")
   }
 
+  /** Q130: CDC latest-wins merge over the customer snapshot —
+    * [[CdcMerge.apply]] with a change feed derived from orders: each
+    * order is a change event for its customer (seq = the unique order
+    * key), every 10th order a DELETE, every 7th targeting a brand-new
+    * key (the insert path), the rest full-row upserts. Per-key highest
+    * seq wins; the oracle replays the identical resolution with a window.
+    * Exercises all four MERGE paths at once: update, delete, insert, and
+    * delete-of-missing-key no-op. */
+  private val q130: Q = (s, d) => {
+    val cust = Tables.customer(s, d)
+      .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    val ch = Tables.orders(s, d).select(
+      when(col("o_orderkey") % 7 === 0, col("o_custkey") + 10000000L)
+        .otherwise(col("o_custkey")).as("c_custkey"),
+      concat(lit("cdc#"), col("o_orderkey").cast("string")).as("c_name"),
+      col("o_totalprice").as("c_acctbal"),
+      col("o_orderpriority").as("c_mktsegment"),
+      col("o_orderkey").as("seq"),
+      when(col("o_orderkey") % 10 === 0, lit("D"))
+        .otherwise(lit("U")).as("op"))
+    CdcMerge.apply(cust, ch, "c_custkey", "seq", "op")
+      .orderBy("c_custkey")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q125_scd2_upsert" -> q125,
+    "q130_cdc_merge" -> q130,
     "q01_scan_project" -> q01,
     "q02_json_get" -> q02,
     "q03_project_expr" -> q03,
@@ -681,6 +706,29 @@ object RelationalQueries extends QueryGroup {
         |SELECT * FROM unchanged UNION ALL
         |SELECT * FROM closed UNION ALL SELECT * FROM opened
         |ORDER BY c_custkey, valid_from""".stripMargin,
+
+    // CDC latest-wins replay: same change derivation, same per-key
+    // max-seq resolution (row_number window), deletes drop, survivors
+    // union with untouched base rows. NOT IN is safe: keys are non-null
+    "q130_cdc_merge" ->
+      """WITH ch AS (
+        |  SELECT CASE WHEN o_orderkey % 7 = 0 THEN o_custkey + 10000000
+        |           ELSE o_custkey END AS c_custkey,
+        |    'cdc#' || CAST(o_orderkey AS VARCHAR) AS c_name,
+        |    o_totalprice AS c_acctbal,
+        |    o_orderpriority AS c_mktsegment,
+        |    o_orderkey AS seq,
+        |    CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op
+        |  FROM orders),
+        |w AS (SELECT *, row_number() OVER (
+        |    PARTITION BY c_custkey ORDER BY seq DESC) AS rn FROM ch),
+        |latest AS (SELECT * FROM w WHERE rn = 1)
+        |SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+        |WHERE c_custkey NOT IN (SELECT c_custkey FROM latest)
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM latest
+        |WHERE op <> 'D'
+        |ORDER BY c_custkey""".stripMargin,
 
     "q62_sql_subqueries" ->
       """SELECT o_orderkey, o_totalprice FROM orders

@@ -49,6 +49,59 @@ object KmvSketch {
       .drop("rn")
   }
 
+  /** Pairwise set-operation estimates from per-group KMV sketches
+    * [Beyer et al. SIGMOD'07]: for every unordered group pair (a < b),
+    * build the k-smallest union sketch U_k from the two stored sketches
+    * (correct by the same merge theorem as [[partial]]), then
+    *
+    *   est_union   = (k−1)·2³²/kth        (the [[stats]] estimator)
+    *   est_jaccard = |U_k ∩ A ∩ B| / |U_k|
+    *   est_inter   = est_jaccard · est_union
+    *
+    * When the union sketch holds fewer than k hashes it IS the exact
+    * union, and the uniform formulas collapse to exact counts — no
+    * special-casing. This answers "how much does source A overlap source
+    * B" from k·|groups| stored rows, never rescanning or joining the raw
+    * corpus: THE way to estimate cross-source overlap at 100 TB.
+    *
+    * Scale shape: the pair stage touches k-bounded sketches only —
+    * |groups|²·k rows worst case, independent of raw volume. Membership
+    * flags survive the union via max(), and the k-smallest truncation is
+    * the same WindowGroupLimit-rewritten row_number as [[partial]]. */
+  def setOps(sketch: DataFrame, groupCol: String, hashCol: String,
+      k: Int): DataFrame = {
+    require(k > 1, s"k must be > 1: $k")
+    val tagged = sketch.select(col(groupCol).as("g"), col(hashCol).as("h"))
+    val pairs = tagged.select(col("g").as("ta")).distinct()
+      .join(tagged.select(col("g").as("tb")).distinct(),
+        col("ta") < col("tb"))
+    val u = pairs.join(tagged.withColumnRenamed("g", "ta"), "ta")
+      .select(col("ta"), col("tb"), col("h"),
+        lit(1).as("in_a"), lit(0).as("in_b"))
+      .unionAll(pairs.join(tagged.withColumnRenamed("g", "tb"), "tb")
+        .select(col("ta"), col("tb"), col("h"),
+          lit(0).as("in_a"), lit(1).as("in_b")))
+      .groupBy("ta", "tb", "h")
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+    val w = Window.partitionBy(col("ta"), col("tb")).orderBy(col("h"))
+    val uk = u.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+    val scaled = (k - 1).toLong * 4294967296L
+    uk.groupBy("ta", "tb")
+      .agg(count(lit(1)).as("n_union_sk"),
+        max(col("h")).as("kth_hash"),
+        sum(when(col("in_a") === 1 && col("in_b") === 1, 1L)
+          .otherwise(0L)).as("n_common"))
+      .withColumn("est_union",
+        when(col("n_union_sk") < k, col("n_union_sk").cast("double"))
+          .otherwise(lit(scaled).cast("double") / col("kth_hash")))
+      .withColumn("est_jaccard",
+        col("n_common").cast("double") / col("n_union_sk"))
+      .withColumn("est_inter",
+        (col("n_common").cast("double") / col("n_union_sk")) *
+          col("est_union"))
+  }
+
   /** Collapse a (group, hash) sketch to per-group stats: sketch size, the
     * k-th minimum, and the standard KMV estimate (k−1)/U₍k₎ with
     * U₍k₎ = kth_hash/2³² — computed as the single IEEE division
@@ -182,9 +235,35 @@ object SketchQueries extends QueryGroup {
       .orderBy("flag", "p")
   }
 
+  /** Q132: KMV set-operation estimates — audience overlap between every
+    * pair of event types from the SAME per-type sketches q127 stores:
+    * union/intersection/Jaccard estimates via [[KmvSketch.setOps]], plus
+    * the exact pairwise intersection as the error readout (the q127
+    * pattern: exact column exists only to exhibit the estimate's error;
+    * at 100 TB you'd store just the k·|types| sketch rows and skip it).
+    * The ORACLE recomputes sketches and set ops directly from raw events
+    * — the hash match proves the stored-sketch pair algebra is loss-free. */
+  private val q132: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val hashes = ev.select(col("event_type"),
+      call_function("md5_prefix32", col("user_id").cast("string")).as("h"))
+    val sk = KmvSketch.partial(hashes, Seq("event_type"), "h", K)
+    val est = KmvSketch.setOps(sk, "event_type", "h", K)
+    val ut = ev.select("event_type", "user_id").distinct()
+    val ex = ut.as("p").join(ut.as("q"),
+        col("p.user_id") === col("q.user_id") &&
+          col("p.event_type") < col("q.event_type"))
+      .select(col("p.event_type").as("ta"), col("q.event_type").as("tb"))
+      .groupBy("ta", "tb").agg(count(lit(1)).as("exact_inter"))
+    est.join(ex, Seq("ta", "tb"), "left")
+      .withColumn("exact_inter", coalesce(col("exact_inter"), lit(0L)))
+      .orderBy("ta", "tb")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q127_distinct_kmv_rollup" -> q127,
     "q128_percentile_rollup" -> q128,
+    "q132_distinct_set_ops" -> q132,
   )
 
   val oracles: Map[String, String] = Map(
@@ -216,6 +295,56 @@ object SketchQueries extends QueryGroup {
         |  ex.exact_users
         |FROM sk JOIN ex USING (event_type)
         |ORDER BY event_type""".stripMargin,
+
+    // KMV set ops recomputed from raw events: per-type k-min sketches,
+    // pairwise union with max()-merged membership flags, k-smallest
+    // truncation, then the estimate arithmetic mirrored op-for-op
+    // ((k−1)·2³² = 270582939648; division-then-multiply order preserved)
+    "q132_distinct_set_ops" ->
+      """WITH h0 AS (
+        |  SELECT DISTINCT event_type AS g,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+        |      AS h
+        |  FROM events),
+        |r AS (SELECT g, h,
+        |    row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM h0),
+        |sk AS (SELECT g, h FROM r WHERE rn <= 64),
+        |tp AS (SELECT a.g AS ta, b.g AS tb
+        |  FROM (SELECT DISTINCT g FROM sk) a
+        |  JOIN (SELECT DISTINCT g FROM sk) b ON a.g < b.g),
+        |u0 AS (
+        |  SELECT tp.ta, tp.tb, sk.h, 1 AS in_a, 0 AS in_b
+        |  FROM tp JOIN sk ON sk.g = tp.ta
+        |  UNION ALL
+        |  SELECT tp.ta, tp.tb, sk.h, 0 AS in_a, 1 AS in_b
+        |  FROM tp JOIN sk ON sk.g = tp.tb),
+        |u AS (SELECT ta, tb, h, max(in_a) AS in_a, max(in_b) AS in_b
+        |  FROM u0 GROUP BY ta, tb, h),
+        |uk AS (SELECT *, row_number() OVER (
+        |    PARTITION BY ta, tb ORDER BY h) AS rn FROM u),
+        |st AS (SELECT ta, tb, CAST(count(*) AS BIGINT) AS n_union_sk,
+        |    max(h) AS kth_hash,
+        |    CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_common
+        |  FROM uk WHERE rn <= 64 GROUP BY ta, tb),
+        |ud AS (SELECT DISTINCT event_type, user_id FROM events),
+        |ex AS (SELECT p.event_type AS ta, q.event_type AS tb,
+        |    CAST(count(*) AS BIGINT) AS exact_inter
+        |  FROM ud p JOIN ud q ON p.user_id = q.user_id
+        |    AND p.event_type < q.event_type
+        |  GROUP BY p.event_type, q.event_type)
+        |SELECT st.ta, st.tb, st.n_union_sk, st.kth_hash, st.n_common,
+        |  CASE WHEN st.n_union_sk < 64 THEN CAST(st.n_union_sk AS DOUBLE)
+        |       ELSE CAST(270582939648 AS DOUBLE) / st.kth_hash END
+        |    AS est_union,
+        |  CAST(st.n_common AS DOUBLE) / st.n_union_sk AS est_jaccard,
+        |  (CAST(st.n_common AS DOUBLE) / st.n_union_sk) *
+        |    (CASE WHEN st.n_union_sk < 64 THEN CAST(st.n_union_sk AS DOUBLE)
+        |          ELSE CAST(270582939648 AS DOUBLE) / st.kth_hash END)
+        |    AS est_inter,
+        |  COALESCE(ex.exact_inter, 0) AS exact_inter
+        |FROM st LEFT JOIN ex ON st.ta = ex.ta AND st.tb = ex.tb
+        |ORDER BY st.ta, st.tb""".stripMargin,
 
     // direct histogram (no monthly stage): exact-cents bins, integer
     // target ranks ⌈p·N/100⌉, pinned interpolation mirrored paren-for-

@@ -457,8 +457,82 @@ object TextQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** Q131: interpolated Kneser–Ney bigram familiarity — the
+    * principled-discounting upgrade of q111's stupid backoff, the smoothing
+    * real LM-perplexity data filters use [Kneser & Ney '95; Chen & Goodman
+    * '99]. Model on the same held-out even-doc_id slice:
+    *
+    *   P(w2|w1) = max(c(w1w2) − D, 0)/c(w1)
+    *            + D·N1+(w1·)/c(w1) · N1+(·w2)/N1+(··)
+    *
+    * with discount D = 3/4. The continuation probability N1+(·w2)/N1+(··)
+    * scores how many DISTINCT contexts precede w2 — the "Francisco"
+    * correction that raw-frequency backoff (q111) gets wrong. An unseen
+    * history word backs off entirely to the continuation distribution.
+    *
+    * Determinism contract: D = 3/4 keeps everything in exact-integer
+    * ratio space — numerators multiply through by 4 (max(4c2−3, 0),
+    * 3·fert), so each term is one double division of exact BIGINTs, the
+    * interpolation is one multiply and one add, in the same written order
+    * both engines evaluate. Per-doc score = the position-ordered
+    * sequential fold (the q47/q105/q111 convention).
+    *
+    * Scale shape: identical to q111 — model tables are vocabulary-sized
+    * (fert/cont/btypes are DISTINCT-bigram-type aggregates, strictly
+    * smaller than the bigram count table), the score side shuffles on
+    * token/bigram strings (Zipf-skew regime documented at q37), one
+    * per-doc regroup. */
+  private val q131: Q = (s, d) => {
+    val toksOf = TextFunctions.tokens(col("text"))
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val uni = train.select(explode(toksOf).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c1"))
+    val bi = train.select(explode(
+        call_function("word_shingles", toksOf, lit(2))).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c2"))
+    // bigram TYPES (one row per distinct bigram) carry the KN counts:
+    // fert = N1+(w1·) distinct continuations, cont = N1+(·w2) distinct
+    // histories, btypes = N1+(··) total distinct bigrams
+    val types = bi.select(
+      element_at(split(col("bg"), " "), 1).as("w1"),
+      element_at(split(col("bg"), " "), 2).as("w2"))
+    val fert = types.groupBy("w1").agg(count(lit(1)).as("fert"))
+    val cont = types.groupBy("w2").agg(count(lit(1)).as("cont"))
+    val btypes = types.agg(count(lit(1)).as("btypes"))
+    val pairs = docs.select(col("doc_id"),
+        posexplode(call_function("word_shingles", toksOf, lit(2)))
+          .as(Seq("pos", "bg")))
+      .withColumn("w1", element_at(split(col("bg"), " "), 1))
+      .withColumn("w2", element_at(split(col("bg"), " "), 2))
+    val pcont = coalesce(col("cont"), lit(0L)).cast("double") /
+      col("btypes").cast("double")
+    val scored = pairs
+      .join(bi, Seq("bg"), "left")
+      .join(uni.select(col("tok").as("w1"), col("c1")), Seq("w1"), "left")
+      .join(fert, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(btypes))
+      .select(col("doc_id"), col("pos"), col("c1").isNull.as("unseen_hist"),
+        when(col("c1").isNull, pcont)
+          .otherwise(
+            (greatest(lit(0L), coalesce(col("c2"), lit(0L)) * 4 - 3)
+                .cast("double") / (col("c1") * 4).cast("double")) +
+            ((coalesce(col("fert"), lit(0L)) * 3).cast("double") /
+              (col("c1") * 4).cast("double")) * pcont)
+          .as("p"))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        count(when(col("unseen_hist"), 1)).as("n_unseen"),
+        aggregate(array_sort(collect_list(struct(col("pos"), col("p")))),
+          lit(0.0), (a, x) => a + x.getField("p")).as("score"))
+      .withColumn("mean_p", col("score") / col("n_pairs"))
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q33_text_topwords" -> q33,
+    "q131_text_kneser_ney" -> q131,
     "q34_text_docstats" -> q34,
     "q35_dedup_exact" -> q35,
     "q36_dedup_fingerprint" -> q36,
@@ -484,6 +558,61 @@ object TextQueries extends QueryGroup {
     // is four unnest()s over equal-length lists (the q97 trick); each pair
     // score mirrors the Spark branch op-for-op; per-doc score is the
     // position-ordered list_reduce fold
+    // interpolated Kneser–Ney, D = 3/4 in exact-ratio space: every CASE
+    // branch mirrors the Spark expression op-for-op (4·c2−3 / 4·c1
+    // discounted term, 3·fert / 4·c1 interpolation weight, cont/btypes
+    // continuation probability); same four-way unnest zip as q111
+    "q131_text_kneser_ney" ->
+      """WITH docs AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |tr AS (SELECT toks FROM docs WHERE doc_id % 2 = 0),
+        |c1 AS (SELECT tok, CAST(count(*) AS BIGINT) AS c1 FROM (
+        |    SELECT unnest(toks) AS tok FROM tr) GROUP BY tok),
+        |c2 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2 FROM (
+        |    SELECT unnest(CASE WHEN len(toks) < 2 THEN []
+        |      ELSE list_transform(range(1, len(toks)),
+        |        i -> toks[i] || ' ' || toks[i+1]) END) AS bg FROM tr)
+        |  GROUP BY bg),
+        |ty AS (SELECT string_split(bg, ' ')[1] AS w1,
+        |    string_split(bg, ' ')[2] AS w2 FROM c2),
+        |fert AS (SELECT w1, CAST(count(*) AS BIGINT) AS fert
+        |  FROM ty GROUP BY w1),
+        |ct AS (SELECT w2, CAST(count(*) AS BIGINT) AS cont
+        |  FROM ty GROUP BY w2),
+        |bt AS (SELECT CAST(count(*) AS BIGINT) AS btypes FROM ty),
+        |p0 AS (SELECT doc_id,
+        |    unnest(range(0, greatest(len(toks) - 1, 0))) AS pos,
+        |    unnest(CASE WHEN len(toks) < 2 THEN []
+        |      ELSE list_transform(range(1, len(toks)),
+        |        i -> toks[i] || ' ' || toks[i+1]) END) AS bg,
+        |    unnest(CASE WHEN len(toks) < 2 THEN []
+        |      ELSE list_transform(range(1, len(toks)), i -> toks[i]) END) AS w1,
+        |    unnest(CASE WHEN len(toks) < 2 THEN []
+        |      ELSE list_transform(range(1, len(toks)), i -> toks[i+1]) END) AS w2
+        |  FROM docs),
+        |sc AS (SELECT p0.doc_id, p0.pos, a.c1 IS NULL AS unseen_hist,
+        |    CASE WHEN a.c1 IS NULL
+        |      THEN CAST(COALESCE(ct.cont, 0) AS DOUBLE)
+        |        / CAST(bt.btypes AS DOUBLE)
+        |      ELSE CAST(greatest(0, COALESCE(c2.c2, 0) * 4 - 3) AS DOUBLE)
+        |          / CAST(a.c1 * 4 AS DOUBLE)
+        |        + (CAST(COALESCE(f.fert, 0) * 3 AS DOUBLE)
+        |            / CAST(a.c1 * 4 AS DOUBLE))
+        |          * (CAST(COALESCE(ct.cont, 0) AS DOUBLE)
+        |            / CAST(bt.btypes AS DOUBLE)) END AS p
+        |  FROM p0 LEFT JOIN c2 USING (bg)
+        |    LEFT JOIN c1 a ON p0.w1 = a.tok
+        |    LEFT JOIN fert f ON p0.w1 = f.w1
+        |    LEFT JOIN ct ON p0.w2 = ct.w2, bt),
+        |g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(count(CASE WHEN unseen_hist THEN 1 END) AS BIGINT)
+        |      AS n_unseen,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(p ORDER BY pos)), (a, x) -> a + x) AS score
+        |  FROM sc GROUP BY doc_id)
+        |SELECT doc_id, n_pairs, n_unseen, score, score / n_pairs AS mean_p
+        |FROM g ORDER BY doc_id""".stripMargin,
+
     "q111_text_bigram_backoff" ->
       """WITH docs AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
         |  FROM documents WHERE text IS NOT NULL),

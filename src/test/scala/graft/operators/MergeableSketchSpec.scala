@@ -100,6 +100,51 @@ class MergeableSketchSpec extends SparkSpec {
     assert(out(50) == 2L && out(100) == 3L)
   }
 
+  test("KMV setOps: exact below k, membership flags correct, estimates track truth") {
+    // two groups with a known overlap: A = 0..599, B = 400..999 (200 shared)
+    val rows = (0 until 600).map(i => ("A", i.toString)) ++
+      (400 until 1000).map(i => ("B", i.toString))
+    val df = rows.toDF("g", "key")
+      .withColumn("h", call_function("md5_prefix32", col("key")))
+    // k far above the union size: everything collapses to exact counts
+    val bigK = 4096
+    val exact = KmvSketch.setOps(
+      KmvSketch.partial(df, Seq("g"), "h", bigK), "g", "h", bigK)
+      .collect().head
+    assert(exact.getAs[Long]("n_union_sk") == 1000L)
+    assert(exact.getAs[Long]("n_common") == 200L)
+    assert(exact.getAs[Double]("est_union") == 1000.0)
+    assert(exact.getAs[Double]("est_inter") == 200.0)
+    assert(exact.getAs[Double]("est_jaccard") == 0.2)
+    // k = 128: estimates within 4σ sampling error of the truth
+    val k = 128
+    val est = KmvSketch.setOps(
+      KmvSketch.partial(df, Seq("g"), "h", k), "g", "h", k)
+      .collect().head
+    assert(est.getAs[Long]("n_union_sk") == k.toLong)
+    assert(math.abs(est.getAs[Double]("est_union") - 1000.0) / 1000.0 < 0.4)
+    assert(math.abs(est.getAs[Double]("est_jaccard") - 0.2) < 0.2)
+  }
+
+  test("KMV setOps union sketch obeys the merge theorem (pair sketch == direct union sketch)") {
+    val rows = (0 until 500).map(i => ("A", (i * 3).toString)) ++
+      (0 until 500).map(i => ("B", (i * 5).toString))
+    val df = rows.toDF("g", "key")
+      .withColumn("h", call_function("md5_prefix32", col("key")))
+    val k = 32
+    val pair = KmvSketch.setOps(
+      KmvSketch.partial(df, Seq("g"), "h", k), "g", "h", k)
+      .collect().head
+    // direct: sketch the raw union of both groups' keys
+    val direct = KmvSketch.stats(
+      KmvSketch.partial(df.withColumn("g", lit("u")), Seq("g"), "h", k),
+      Seq("g"), "h", k).collect().head
+    assert(pair.getAs[Long]("kth_hash") == direct.getAs[Long]("kth_hash"),
+      "pairwise union sketch must equal the sketch of the raw union")
+    assert(pair.getAs[Double]("est_union") ==
+      direct.getAs[Double]("est_distinct"))
+  }
+
   test("Datasketches HLL: hourly sketches union to the direct estimate (⚙ production path)") {
     val rows = (1 to 3000).map { _ =>
       (s"t${rnd.nextInt(2)}", rnd.nextInt(24), s"u${rnd.nextInt(500)}")

@@ -86,6 +86,42 @@ class RetrievalSplitSpec extends SparkSpec {
     }
   }
 
+  test("q131: Kneser–Ney scores are bit-exact across all four branches") {
+    val dir = tmpDir("kneserney")
+    writeDocs(dir, Seq(
+      (1L, "a b x", "en", "srcA"),   // seen pair + unseen continuation
+      (2L, "a b a c", "en", "srcA"), // train
+      (3L, "c a b", "en", "srcA"),   // "c a": c SEEN as unigram but never
+                                     // starts a training bigram → fert=0
+      (4L, "a b d", "en", "srcA"),   // train
+      (7L, "x b", "en", "srcA")))    // unseen HISTORY → pure continuation
+    // model (even ids): c1 = {a:3, b:2, c:1, d:1};
+    // c2 = {"a b":2, "b a":1, "a c":1, "b d":1};
+    // fert = {a:2, b:2}; cont = {a:1, b:1, c:1, d:1}; btypes = 4
+    val rows = SparkEntry.queries("q131_text_kneser_ney")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Long]("n_unseen"),
+          r.getAs[Double]("score"), r.getAs[Double]("mean_p")))).toMap
+    // each p in the query's written op order: discounted term + weight·Pcont
+    val pAb = 5.0 / 12.0 + (6.0 / 12.0) * (1.0 / 4.0) // c2=2: (8−3)/12
+    val pBx = 0.0 / 8.0 + (6.0 / 8.0) * (0.0 / 4.0)   // unseen pair, x no cont
+    val pBa = 1.0 / 8.0 + (6.0 / 8.0) * (1.0 / 4.0)   // c2=1: max(1,0)/8
+    val pAc = 1.0 / 12.0 + (6.0 / 12.0) * (1.0 / 4.0)
+    val pCa = 0.0 / 4.0 + (0.0 / 4.0) * (1.0 / 4.0)   // fert(c)=0 → 0
+    val pXb = 1.0 / 4.0                               // cont(b)/btypes
+    val s1 = (0.0 + pAb) + pBx
+    val s2 = ((0.0 + pAb) + pBa) + pAc
+    val s3 = (0.0 + pCa) + pAb
+    val s4 = (0.0 + pAb) + pBa // "b d" scores exactly like "b a" here
+    assert(rows(1L) == ((2L, 0L, s1, s1 / 2L)))
+    assert(rows(2L) == ((3L, 0L, s2, s2 / 3L)))
+    assert(rows(3L) == ((2L, 0L, s3, s3 / 2L)))
+    assert(rows(4L) == ((2L, 0L, s4, s4 / 2L)))
+    assert(rows(7L) == ((1L, 1L, pXb, pXb)))
+    // KN discount: a doubly-seen pair outscores a once-seen pair
+    assert(pAb > pAc)
+  }
+
   test("q111: bigram backoff scores are bit-exact; unseen pairs back off, short docs drop") {
     val dir = tmpDir("bigram")
     writeDocs(dir, Seq(
