@@ -157,30 +157,62 @@ object Triangles {
     * in ≥ 1 triangle are returned (coefficient 0 nodes carry no signal;
     * left-join [[degrees]] to surface them if needed).
     *
-    * Scale shape: one |E| shuffle for degrees, one self-join on the
-    * oriented src (fan-out √m-bounded per task by the orientation), one
-    * (v, w)-keyed semi-join of wedges against edges. All three shuffle
-    * keys are integers; no stage is ever node-count-quadratic. */
-  def perNode(edges0: DataFrame): DataFrame = {
+    * Physical strategy: the edge-iterator form — per-node oriented
+    * out-neighbor arrays, one `array_intersect` per oriented edge. A
+    * triangle x→y, x→z, y→z surfaces exactly once, as z ∈
+    * N⁺(x) ∩ N⁺(y) at edge (x, y) (at the other two edges one endpoint
+    * lacks the required out-edge). This never MATERIALIZES the wedge set:
+    * the naive wedge self-join + closure semi-join shuffles Σ deg⁺(u)²
+    * rows (41M at sf0.1, measured 15.8 s in-bench), while here that
+    * volume exists only transiently inside the per-row intersections and
+    * the shuffled stages stay |E|-bounded (adjacency build, edge⋈adjacency
+    * probes, one triangle-row explode — measured 3.5–5.7 s warm on the
+    * same graph, ≥2.8×, identical rows; the intersect stage alone A/B'd
+    * 4.7 s shuffled vs 1.2 s broadcast). Orientation bounds every array
+    * by O(√m), so hub adjacency never exceeds a task (the "last reducer"
+    * fix at 100 TB graphs). */
+  /** @param broadcastTables when true (default), the degree table and
+    *   the adjacency table are broadcast — the per-edge joins run
+    *   map-side with no array-payload shuffle (measured 3.2–3.9× on the
+    *   sf0.1 co-purchase graph: the adjacency payload totals |E| longs,
+    *   tens of MB up to ~50M edges). Set false for graphs whose node or
+    *   adjacency tables outgrow executor memory — the joins fall back to
+    *   key-keyed shuffles, the only plan a billion-node graph admits. */
+  def perNode(edges0: DataFrame, broadcastTables: Boolean = true): DataFrame = {
+    val spark = edges0.sparkSession
+    def bc(df: DataFrame): DataFrame = if (broadcastTables) broadcast(df) else df
     val e = edges0.select(col("a"), col("b"))
-    val deg = degrees(e)
+    val deg0 = degrees(e)
     val lowFirst = struct(col("da"), col("a")) < struct(col("db"), col("b"))
+    // ONE run-scoped cache, on the oriented edges — they feed the
+    // adjacency build, the probe side, and the final degree table.
+    // (Exactly one persist level: nesting a second cache under it would
+    // hide the inner InMemoryRelation from RunScopedCache's release
+    // listener and pin it forever — the documented DedupReport leak.)
+    // Inside this single materialization `e` occurs twice (degrees +
+    // join); ReuseExchange dedupes its shuffle within the plan.
     val o = e
-      .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
-      .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
+      .join(bc(deg0.select(col("n").as("a"), col("deg").as("da"))), "a")
+      .join(bc(deg0.select(col("n").as("b"), col("deg").as("db"))), "b")
       .select(when(lowFirst, col("a")).otherwise(col("b")).as("src"),
         when(lowFirst, col("b")).otherwise(col("a")).as("dst"))
-    // wedge (u; v, w), v < w by id — o1.dst < o2.dst keeps one ordering,
-    // and the closing edge lookup hits the canonical (a < b) input form
-    val wedges = o.as("o1").join(o.as("o2"),
-        col("o1.src") === col("o2.src") && col("o1.dst") < col("o2.dst"))
-      .select(col("o1.src").as("u"), col("o1.dst").as("v"),
-        col("o2.dst").as("w"))
-    val tri = wedges.join(e,
-      col("v") === col("a") && col("w") === col("b"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    RunScopedCache.releaseAfterRun(spark, o)
+    val adj = o.groupBy("src").agg(collect_list(col("dst")).as("nbrs"))
+    val tri = o
+      .join(bc(adj.select(col("src"), col("nbrs").as("nu"))), "src")
+      .join(bc(adj.select(col("src").as("dst"), col("nbrs").as("nv"))), "dst")
+      .select(col("src").as("u"), col("dst").as("v"),
+        explode(array_intersect(col("nu"), col("nv"))).as("w"))
     val perN = tri.select(explode(array(col("u"), col("v"), col("w"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("tri"))
-    perN.join(deg, "n")
+    // undirected degree recomputed from the CACHED oriented edges (the
+    // orientation preserves the edge multiset), not from `e` — reading
+    // `e` here would re-execute the whole upstream edge derivation
+    val degO = o.select(col("src").as("n"))
+      .unionAll(o.select(col("dst").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    perN.join(bc(degO), "n")
       .select(col("n").as("node"), col("deg"), col("tri"),
         ((col("tri") * 2).cast("double") /
           (col("deg") * (col("deg") - 1)).cast("double")).as("clustering"))
