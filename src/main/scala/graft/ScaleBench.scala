@@ -605,7 +605,79 @@ object ScaleBench {
             s""""batches":$batches,"mean_assign_cos_min":${drift.min},""" +
             s""""mean_assign_cos_max":${drift.max}}""")
         }
-      case other => sys.error(s"unknown mode $other (docs|chains|q74ab|j37ab|bpe|dedupreport|ann|vecstream)")
+      case "graph" =>
+        // the graph family at 1×/3×/10× the q133 edge volume, on a
+        // synthetic constant-average-degree graph (V ∝ E — the honest
+        // growth regime; freezing V would densify the graph and make
+        // triangle work quadratic by construction). Watch triangles'
+        // shuffle_bytes stay ~linear in E (the edge-iterator claim: the
+        // Σdeg⁺² intersection volume never hits a shuffle) and max_task
+        // stay flat (the orientation's hub bound).
+        val baseE = 1200000L // q133's measured sf0.1 edge count
+        Seq(1, 3, 10).foreach { m =>
+          val ne = baseE * m
+          val nv = ne / 60 // avg undirected degree ~120, the q133 shape
+          val edges = spark.range(0, ne).select(
+              pmod(xxhash64(col("id")), lit(nv)).as("x"),
+              pmod(xxhash64(col("id"), lit(1L)), lit(nv)).as("y"))
+            .filter(col("x") =!= col("y"))
+            .select(least(col("x"), col("y")).as("a"),
+              greatest(col("x"), col("y")).as("b"))
+            .distinct()
+          edges.persist(); edges.count()
+          measured(spark, "triangles", m)(
+            operators.Triangles.perNode(edges).count())
+          val named = edges.select(concat(lit("n"), col("a")).as("a"),
+            concat(lit("n"), col("b")).as("b"))
+          val sym = named.select(col("a").as("src"), col("b").as("dst"))
+            .unionAll(named.select(col("b").as("src"), col("a").as("dst")))
+          measured(spark, "pagerank5", m)(
+            operators.PageRank.run(sym, 5).count())
+          edges.unpersist()
+        }
+      case "cdc" =>
+        // merge-on-read economics: O(batch) delta appends, read-view cost
+        // as deltas accumulate (the read amplification compaction exists
+        // to bound), and the post-compaction plain-scan read. 2M-row
+        // base, 20 batches of 20k changes (10% deletes, ~9% inserts).
+        import org.apache.hadoop.fs.Path
+        import operators.CdcMerge
+        val base = "/tmp/graft-scale/cdc"
+        val fsys = new Path(base).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        fsys.delete(new Path(base), true)
+        val nBase = 2000000L
+        val payload = Seq("k", "name", "v")
+        CdcMerge.writeBase(
+          spark.range(0, nBase).select(col("id").as("k"),
+            concat(lit("n"), col("id")).as("name"),
+            (col("id") % 1000).cast("double").as("v")), base)
+        val bRows = 20000L
+        (1 to 20).foreach { b =>
+          val ch = spark.range(0, bRows).select(
+            pmod(xxhash64(col("id"), lit(b)), lit(nBase * 11 / 10)).as("k"),
+            concat(lit("u"), col("id")).as("name"),
+            col("id").cast("double").as("v"),
+            (lit(b.toLong) * bRows + col("id")).as("seq"),
+            when(pmod(xxhash64(col("id"), lit(b), lit(2L)), lit(10)) === 0,
+              lit("D")).otherwise(lit("U")).as("op"))
+          val t0 = System.nanoTime()
+          CdcMerge.appendDelta(ch, base, b.toLong)
+          if (b == 1)
+            println(s"""{"bench":"cdc","op":"append","batch":$b,""" +
+              s""""wall_sec":${(System.nanoTime() - t0) / 1e9}}""")
+          if (Seq(1, 5, 10, 20).contains(b))
+            measured(spark, s"mor_read_b$b", b)(
+              CdcMerge.readView(spark, base, "k", "seq", "op", payload)
+                .count())
+        }
+        val tc = System.nanoTime()
+        CdcMerge.compact(spark, base, "k", "seq", "op", payload)
+        println(s"""{"bench":"cdc","op":"compact",""" +
+          s""""wall_sec":${(System.nanoTime() - tc) / 1e9}}""")
+        measured(spark, "mor_read_compacted", 20)(
+          CdcMerge.readView(spark, base, "k", "seq", "op", payload).count())
+      case other => sys.error(s"unknown mode $other (docs|chains|q74ab|j37ab|bpe|dedupreport|ann|vecstream|graph|cdc)")
     }
     spark.stop()
   }
