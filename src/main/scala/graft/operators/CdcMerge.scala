@@ -73,20 +73,43 @@ object CdcMerge {
     * and resolve per key against all accumulated change rows; winners with
     * op = D disappear. Row-identical to folding [[apply]] over the delta
     * batches in order (CdcMergeSpec pins it) as long as `seq` is monotone
-    * across batches. `payload` = the base columns. */
+    * across batches.
+    *
+    * `payload` = the table's CURRENT columns. Schema evolution: frames
+    * written before a column existed surface it as a typed null
+    * (mergeSchema across deltas + null-filled projection), so adding a
+    * column is just writing deltas that carry it — no base rewrite.
+    *
+    * @param asOfBatch time travel: resolve only deltas with batch id
+    *   ≤ this bound — the table exactly as it stood after that ingest
+    *   (delta partitions are immutable once written, so historical views
+    *   are stable). None = current. The bound filters the delta PARTITION
+    *   column, so history reads prune to their batch directories. */
   def readView(spark: SparkSession, dir: String, key: String,
-      seqCol: String, opCol: String, payload: Seq[String]): DataFrame = {
-    val base = spark.read.parquet(s"$dir/base")
-      .select(payload.map(col): _*)
-      .withColumn(seqCol, lit(Long.MinValue))
-      .withColumn(opCol, lit("U"))
+      seqCol: String, opCol: String, payload: Seq[String],
+      asOfBatch: Option[Long] = None): DataFrame = {
     val f = fs(spark, dir)
     val deltaDir = new Path(s"$dir/delta")
-    val all =
-      if (f.exists(deltaDir) && f.listStatus(deltaDir).nonEmpty)
-        base.unionByName(spark.read.parquet(s"$dir/delta")
-          .select((payload :+ seqCol :+ opCol).map(col): _*))
-      else base
+    val deltas =
+      if (f.exists(deltaDir) && f.listStatus(deltaDir).nonEmpty) {
+        val d = spark.read.option("mergeSchema", "true")
+          .parquet(s"$dir/delta")
+        Some(asOfBatch.fold(d)(b => d.filter(col("batch") <= b)))
+      } else None
+    val baseRaw = spark.read.parquet(s"$dir/base")
+    def typeOf(c: String) =
+      deltas.filter(_.columns.contains(c)).getOrElse(baseRaw)
+        .schema(c).dataType
+    def proj(df: DataFrame, extra: Seq[String]) = {
+      val have = df.columns.toSet
+      df.select((payload ++ extra).map(c =>
+        if (have(c)) col(c) else lit(null).cast(typeOf(c)).as(c)): _*)
+    }
+    val base = proj(baseRaw, Nil)
+      .withColumn(seqCol, lit(Long.MinValue))
+      .withColumn(opCol, lit("U"))
+    val all = deltas.fold(base)(d =>
+      base.unionByName(proj(d, Seq(seqCol, opCol))))
     latest(all, key, seqCol)
       .filter(col(opCol) =!= "D")
       .select(payload.map(col): _*)
@@ -96,7 +119,10 @@ object CdcMerge {
     * in as the new base, drop the deltas. The view over a compacted table
     * is identical to the view before compaction (spec-pinned); read cost
     * drops back to a plain base scan. Single-writer contract like
-    * LakeCompaction: no concurrent ingest during the swap. */
+    * LakeCompaction: no concurrent ingest during the swap. Compaction
+    * truncates time travel: `asOfBatch` views older than the compaction
+    * point are no longer reconstructable (the Delta/Iceberg VACUUM
+    * trade-off — retain deltas longer if history matters). */
   def compact(spark: SparkSession, dir: String, key: String,
       seqCol: String, opCol: String, payload: Seq[String]): Unit = {
     val resolved = readView(spark, dir, key, seqCol, opCol, payload)

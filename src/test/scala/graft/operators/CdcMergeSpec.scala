@@ -66,6 +66,50 @@ class CdcMergeSpec extends SparkSpec {
     assert(next == cow - ((5L, "e", 5.0)) + ((5L, "e2", 5.5)))
   }
 
+  test("time travel: asOfBatch reproduces every historical view") {
+    val dir = tmpDir("cdc-asof")
+    CdcMerge.writeBase(base, dir)
+    val b1 = Seq((1L, "a1", 1.1, 10L, "U"), (2L, "x", 0.0, 11L, "D"))
+      .toDF("k", "name", "v", "seq", "op")
+    val b2 = Seq((1L, "a2", 1.2, 20L, "U"), (5L, "e", 5.0, 21L, "U"))
+      .toDF("k", "name", "v", "seq", "op")
+    CdcMerge.appendDelta(b1, dir, 1)
+    CdcMerge.appendDelta(b2, dir, 2)
+    val payload = Seq("k", "name", "v")
+    def asOf(b: Long) = snap(
+      CdcMerge.readView(spark, dir, "k", "seq", "op", payload, Some(b)))
+    assert(asOf(0L) == snap(base), "asOf before any delta = the base")
+    assert(asOf(1L) == snap(CdcMerge.apply(base, b1, "k", "seq", "op")))
+    assert(asOf(2L) ==
+      snap(CdcMerge.readView(spark, dir, "k", "seq", "op", payload)),
+      "asOf at the newest batch = the current view")
+  }
+
+  test("schema evolution: a column added mid-stream reads as null before it existed") {
+    val dir = tmpDir("cdc-evolve")
+    CdcMerge.writeBase(base, dir)
+    // batch 1 predates the new column; batch 2 carries it
+    CdcMerge.appendDelta(
+      Seq((1L, "a1", 1.1, 10L, "U")).toDF("k", "name", "v", "seq", "op"),
+      dir, 1)
+    CdcMerge.appendDelta(
+      Seq((2L, "b2", 2.2, "tagged", 20L, "U"))
+        .toDF("k", "name", "v", "tag", "seq", "op"),
+      dir, 2)
+    val payload = Seq("k", "name", "v", "tag")
+    val got = CdcMerge.readView(spark, dir, "k", "seq", "op", payload)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        Option(r.getString(3)))).toSet
+    assert(got == Set(
+      (1L, "a1", 1.1, None),       // winner predates the column
+      (2L, "b2", 2.2, Some("tagged")),
+      (3L, "c", 3.0, None)))       // base row predates the column
+    // history before the column existed still reads (as all-null tag)
+    val old = CdcMerge.readView(spark, dir, "k", "seq", "op", payload,
+      Some(1L)).collect().map(_.getString(3)).toSet
+    assert(old == Set(null))
+  }
+
   test("replayed delta batch is idempotent (partition overwrite)") {
     val dir = tmpDir("cdc-replay")
     CdcMerge.writeBase(base, dir)
