@@ -224,7 +224,56 @@ object Triangles {
       .groupBy("n").agg(count(lit(1)).as("deg"))
 }
 
-/** q129/q133 — the graph-analytics queries (SURVEY §2B graph family,
+/** Synchronous label propagation [Raghavan et al. 2007] — community
+  * detection: the host/domain clustering signal corpus curation uses
+  * where connected components (q66) are too coarse (one bridge edge
+  * merges two communities; LPA needs a MAJORITY of neighbors to pull a
+  * node over). Deterministic variant: every node starts as its own
+  * label; each synchronous round it adopts the most frequent label among
+  * its neighbors, ties to the SMALLEST label (classic LPA breaks ties
+  * randomly — useless under an oracle); a fixed round count bounds the
+  * plan chain and sidesteps the oscillation question entirely.
+  */
+object LabelPropagation {
+
+  /** `iterations` synchronous rounds over canonical undirected `edges`
+    * (a < b, distinct — symmetrized internally). Returns (node, lbl).
+    *
+    * Scale shape: the symmetrized edge list is persisted once
+    * (run-scoped) and each round is one edge⋈labels join (map-side under
+    * `broadcastTables`) + a (node, lbl)-keyed count whose partial aggs
+    * collapse map-side + a |V|-bounded argmax via max(struct) — never a
+    * window. Rounds ≤ 10 keep the lazy plan chain bounded, the PageRank
+    * discipline. */
+  def run(edges0: DataFrame, iterations: Int,
+      broadcastTables: Boolean = true): DataFrame = {
+    require(iterations >= 1 && iterations <= 10,
+      s"iterations must be in [1, 10] (bounded plan chain): $iterations")
+    val spark = edges0.sparkSession
+    def bc(df: DataFrame): DataFrame = if (broadcastTables) broadcast(df) else df
+    val e0 = edges0.select(col("a"), col("b"))
+    val sym = e0.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e0.select(col("b").as("src"), col("a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    RunScopedCache.releaseAfterRun(spark, sym)
+    var labels = sym.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    for (_ <- 1 to iterations) {
+      val nl = sym
+        .join(bc(labels.select(col("node").as("dst"), col("lbl"))), "dst")
+        .select(col("src").as("node"), col("lbl"))
+      val counts = nl.groupBy("node", "lbl").agg(count(lit(1)).as("c"))
+      // argmax(count), tie → min label: max over (c, −lbl) structs (the
+      // q44 move; both engines order struct fields left to right)
+      labels = counts.groupBy("node")
+        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("lbl"))
+    }
+    labels
+  }
+}
+
+/** q129/q133/q134 — the graph-analytics queries (SURVEY §2B graph family,
   * with q66's connected components).
   */
 object GraphQueries extends QueryGroup {
@@ -273,12 +322,64 @@ object GraphQueries extends QueryGroup {
       .limit(100)
   }
 
+  /** Q134: label-propagation communities of the part co-purchase graph —
+    * 3 deterministic [[LabelPropagation]] rounds over the q133 edge set,
+    * reported as community sizes (top-100 by size). The oracle unrolls
+    * the identical rounds as chained CTEs (the q129 pattern) with the
+    * max-(c, −lbl)-struct argmax mirrored. */
+  private val q134: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_partkey").distinct()
+    val e = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+      .distinct()
+    LabelPropagation.run(e, 3)
+      .select(col("lbl").as("community"))
+      .groupBy("community")
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(col("n_members").desc, col("community"))
+      .limit(100)
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q129_graph_pagerank" -> q129,
     "q133_graph_triangles" -> q133,
+    "q134_graph_communities" -> q134,
   )
 
   val oracles: Map[String, String] = Map(
+    // three unrolled LPA rounds (the q129 pattern): neighbor-label
+    // counts, argmax via max({'c': c, 'nl': -lbl}) — max count, tie →
+    // min label — mirrored against Spark's max(struct(c, -lbl))
+    "q134_graph_communities" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e0 AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+        |    AND x.l_partkey < y.l_partkey),
+        |e AS (SELECT a AS src, b AS dst FROM e0
+        |      UNION ALL SELECT b AS src, a AS dst FROM e0),
+        |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e),
+        |c1 AS (SELECT e.src AS node, pr.lbl, CAST(count(*) AS BIGINT) AS c
+        |  FROM e JOIN l0 pr ON e.dst = pr.node GROUP BY e.src, pr.lbl),
+        |l1 AS (SELECT node,
+        |    struct_extract(max({'c': c, 'nl': -lbl}), 'nl') * -1 AS lbl
+        |  FROM c1 GROUP BY node),
+        |c2 AS (SELECT e.src AS node, pr.lbl, CAST(count(*) AS BIGINT) AS c
+        |  FROM e JOIN l1 pr ON e.dst = pr.node GROUP BY e.src, pr.lbl),
+        |l2 AS (SELECT node,
+        |    struct_extract(max({'c': c, 'nl': -lbl}), 'nl') * -1 AS lbl
+        |  FROM c2 GROUP BY node),
+        |c3 AS (SELECT e.src AS node, pr.lbl, CAST(count(*) AS BIGINT) AS c
+        |  FROM e JOIN l2 pr ON e.dst = pr.node GROUP BY e.src, pr.lbl),
+        |l3 AS (SELECT node,
+        |    struct_extract(max({'c': c, 'nl': -lbl}), 'nl') * -1 AS lbl
+        |  FROM c3 GROUP BY node)
+        |SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members
+        |FROM l3 GROUP BY lbl
+        |ORDER BY n_members DESC, community LIMIT 100""".stripMargin,
+
     // same degree orientation ((deg, id) row comparison), same
     // low-rank-centered wedge join, same canonical closing-edge EXISTS;
     // coefficient arithmetic mirrored op-for-op on exact BIGINTs
