@@ -28,14 +28,18 @@ import org.apache.spark.sql.functions._
   */
 object PostingsIndex {
 
-  /** Build the index under `dir`: postings (bucketed), doclen, stats. */
+  /** Build the index under `dir`: POSITIONAL postings (bucketed; tf plus
+    * the sorted in-doc position list — phrase/proximity queries need
+    * positions, and storing them costs one int per token occurrence,
+    * the Lucene default), doclen, stats. */
   def write(docs: DataFrame, idCol: String, dir: String,
       nBuckets: Int = 64): Unit = {
     val exploded = docs.filter(col("text").isNotNull)
       .select(col(idCol).as("doc_id"),
-        explode(TextFunctions.tokens(col("text"))).as("tok"))
+        posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "tok")))
     val postings = exploded.groupBy("doc_id", "tok")
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
       .withColumn("bucket", pmod(xxhash64(col("tok")), lit(nBuckets.toLong)))
     postings.write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$dir/postings")
@@ -43,6 +47,47 @@ object PostingsIndex {
     dl.write.mode("overwrite").parquet(s"$dir/doclen")
     dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       .write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** The positional-alignment core shared by the inline q135 query and
+    * the indexed [[phrase]] path: `pos` carries (doc_id, tok, positions
+    * sorted); `q` the phrase as (tok, off) rows. Each term's positions
+    * shift by −off; docs matching ALL offsets with a non-empty shifted
+    * intersection contain the phrase, and the intersection size is the
+    * occurrence count (overlapping occurrences count — the Lucene
+    * PhraseQuery convention). */
+  def alignPhrase(pos: DataFrame, q: DataFrame, phraseLen: Int): DataFrame = {
+    val cand = pos.join(q, "tok")
+      .select(col("doc_id"), col("off"),
+        transform(col("positions"), p => p - col("off")).as("shifted"))
+    cand.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_off"),
+        aggregate(array_sort(collect_list(struct(col("off"), col("shifted")))),
+          lit(null).cast("array<int>"),
+          (acc, x) => when(acc.isNull, x.getField("shifted"))
+            .otherwise(array_intersect(acc, x.getField("shifted"))))
+          .as("aligned"))
+      .filter(col("n_off") === phraseLen && size(col("aligned")) > 0)
+      .select(col("doc_id"),
+        size(col("aligned")).cast("long").as("phrase_tf"))
+  }
+
+  /** Exact-phrase lookup over the stored index: bucket-pruned postings
+    * read for the phrase's distinct terms, then [[alignPhrase]] —
+    * row-identical to the inline q135 computation (PostingsIndexSpec). */
+  def phrase(spark: SparkSession, dir: String, terms: Seq[String],
+      nBuckets: Int = 64): DataFrame = {
+    require(terms.nonEmpty, "need a non-empty phrase")
+    import spark.implicits._
+    val buckets = terms.distinct.toDF("tok")
+      .select(pmod(xxhash64(col("tok")), lit(nBuckets.toLong)).as("b"))
+      .collect().map(_.getLong(0)).distinct.toSeq
+    val pos = spark.read.parquet(s"$dir/postings")
+      .filter(col("bucket").isin(buckets: _*) &&
+        col("tok").isin(terms.distinct: _*))
+      .select("doc_id", "tok", "positions")
+    val q = terms.zipWithIndex.toDF("tok", "off")
+    alignPhrase(pos, broadcast(q), terms.length)
   }
 
   /** BM25 top-k over the stored index — q105's exact formula and fold

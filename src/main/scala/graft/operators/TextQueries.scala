@@ -530,9 +530,40 @@ object TextQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** Q135: exact-phrase search over positional postings — the retrieval
+    * capability BM25 bag-of-words scoring (q105) cannot express: find
+    * documents containing the CONSECUTIVE token sequence, with the
+    * per-doc occurrence count. The standard positional-index algorithm:
+    * per (doc, term) sorted position lists; each phrase term at offset i
+    * shifts its positions by −i; a phrase occurrence is a position in
+    * the INTERSECTION of all shifted lists (overlapping occurrences
+    * count, the Lucene PhraseQuery convention).
+    *
+    * All-integer: positions, shifts and intersection sizes are exact
+    * ints — nothing to pin beyond the fold. Scale shape: the term IN
+    * filter cuts the position explode at the scan; the only shuffles
+    * are the (doc, term)-keyed position collect and the |phrase|-bounded
+    * per-doc regroup; the phrase table broadcasts. The write-time twin
+    * ([[PostingsIndex.phrase]], bucket-pruned reads, row-identity
+    * spec-pinned) is what a deployment queries. */
+  private val q135: Q = (s, d) => {
+    import s.implicits._
+    val terms = Seq("table", "hash")
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+    val pos = docs.select(col("doc_id"),
+        posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "tok")))
+      .filter(col("tok").isin(terms.distinct: _*))
+      .groupBy("doc_id", "tok")
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+    val q = terms.zipWithIndex.toDF("tok", "off")
+    PostingsIndex.alignPhrase(pos, broadcast(q), terms.length)
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q33_text_topwords" -> q33,
     "q131_text_kneser_ney" -> q131,
+    "q135_text_phrase_search" -> q135,
     "q34_text_docstats" -> q34,
     "q35_dedup_exact" -> q35,
     "q36_dedup_fingerprint" -> q36,
@@ -558,6 +589,30 @@ object TextQueries extends QueryGroup {
     // is four unnest()s over equal-length lists (the q97 trick); each pair
     // score mirrors the Spark branch op-for-op; per-doc score is the
     // position-ordered list_reduce fold
+    // positional phrase match mirrored step-for-step: zipped pos/tok
+    // unnest (q97), per-(doc, term) ordered position lists, −off shifts,
+    // list_reduce intersection fold (first element seeds, matching the
+    // null-seeded Spark fold), all-offsets + non-empty filters
+    "q135_text_phrase_search" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |p0 AS (SELECT doc_id, unnest(range(0, len(toks))) AS pos,
+        |    unnest(toks) AS tok FROM d),
+        |pos AS (SELECT doc_id, tok, list(pos ORDER BY pos) AS positions
+        |  FROM p0 WHERE tok IN ('table', 'hash') GROUP BY doc_id, tok),
+        |q AS (SELECT unnest(['table', 'hash']) AS tok,
+        |    unnest(range(0, 2)) AS off),
+        |c AS (SELECT pos.doc_id, q.off,
+        |    list_transform(pos.positions, x -> x - q.off) AS shifted
+        |  FROM q JOIN pos USING (tok)),
+        |g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_off,
+        |    list_reduce(list(shifted ORDER BY off),
+        |      (a, x) -> list_intersect(a, x)) AS aligned
+        |  FROM c GROUP BY doc_id)
+        |SELECT doc_id, CAST(len(aligned) AS BIGINT) AS phrase_tf
+        |FROM g WHERE n_off = 2 AND len(aligned) > 0
+        |ORDER BY doc_id""".stripMargin,
+
     // interpolated Kneser–Ney, D = 3/4 in exact-ratio space: every CASE
     // branch mirrors the Spark expression op-for-op (4·c2−3 / 4·c1
     // discounted term, 3·fert / 4·c1 interpolation weight, cont/btypes

@@ -20,6 +20,39 @@ class PostingsIndexSpec extends SparkSpec {
     assert(indexed == inline, "indexed scoring must be bit-identical")
   }
 
+  test("indexed phrase lookup is row-identical to the inline q135 computation") {
+    val dir = tmpDir("postings-phrase")
+    PostingsIndex.write(Tables.documents(spark, sfDir), "doc_id", dir)
+    val indexed = PostingsIndex.phrase(spark, dir, Seq("table", "hash"))
+      .orderBy("doc_id").collect().toSeq
+    val inline = SparkEntry.queries("q135_text_phrase_search")(spark, sfDir)
+      .collect().toSeq
+    assert(indexed.nonEmpty, "the fixture phrase must occur at sf0.001")
+    assert(indexed == inline, "indexed phrase must match inline")
+  }
+
+  test("phrase semantics: overlap counting, repeated terms, near-miss adjacency") {
+    import spark.implicits._
+    val dir = tmpDir("postings-sem")
+    val docs = Seq(
+      (1L, "x a a a b"),   // "a a" overlaps: occurrences at pos 1 and 2
+      (2L, "a b a b"),     // "a b" twice, disjoint
+      (3L, "b a"),         // reversed order — must NOT match "a b"
+      (4L, "a x b"))       // gap — adjacency required
+      .toDF("doc_id", "text")
+    PostingsIndex.write(docs, "doc_id", dir)
+    def tfs(terms: Seq[String]) =
+      PostingsIndex.phrase(spark, dir, terms).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tfs(Seq("a", "a")) == Map(1L -> 2L),
+      "overlapping occurrences count (Lucene convention)")
+    assert(tfs(Seq("a", "b")) == Map(1L -> 1L, 2L -> 2L),
+      "adjacent pairs only; reversed and gapped docs excluded")
+    assert(tfs(Seq("a", "a", "a")) == Map(1L -> 1L))
+    assert(tfs(Seq("x", "a", "a", "a", "b")) == Map(1L -> 1L),
+      "full-document phrase")
+  }
+
   test("a term lookup reads only its hash bucket's partitions") {
     val dir = tmpDir("postings-prune")
     PostingsIndex.write(Tables.documents(spark, sfDir), "doc_id", dir)
