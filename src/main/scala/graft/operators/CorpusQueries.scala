@@ -427,9 +427,50 @@ object CorpusQueries extends QueryGroup {
     CorpusOps.packSequences(Tables.documents(s, d), "doc_id", 128L)
       .orderBy("source", "ex", "doc_id")
 
+  /** Q136: temperature-weighted source mixing — the mT5/XLM-R balancing
+    * move: per-source sampling budgets ∝ n_s^α with α = 1/2, upweighting
+    * low-resource sources against the head (α = 1 reproduces natural
+    * proportions, α → 0 uniform). Deterministic BECAUSE α = 1/2: `sqrt`
+    * is correctly rounded under IEEE-754 — the only transcendental-free
+    * power — so per-source weights are bit-identical cross-engine where
+    * a general pow() would not be. The weight normalizer is a
+    * source-ordered sequential fold (the q111 convention; never an
+    * unordered double sum); budgets are floor(share · ⌊N/2⌋); actual
+    * selection is the q75 md5-rank machinery, witnessed per source by an
+    * additive Σ doc_id checksum (the q106 move).
+    *
+    * Scale shape: one count aggregation, a broadcast totals row, one
+    * source-partitioned rank window over (doc_id, source) only. */
+  private val q136: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(
+      sum(col("n_docs")).as("n_total"),
+      aggregate(array_sort(collect_list(struct(col("source"),
+          sqrt(col("n_docs").cast("double")).as("w")))),
+        lit(0.0), (a, x) => a + x.getField("w")).as("w_total"))
+    val budgets = counts.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        sqrt(col("n_docs").cast("double")).as("weight"),
+        floor((sqrt(col("n_docs").cast("double")) / col("w_total")) *
+          expr("cast(n_total div 2 as double)")).cast("long").as("budget"))
+      .withColumn("kept", least(col("n_docs"), col("budget")))
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val sel = docs.select(col("doc_id"), col("source"))
+      .withColumn("rk", row_number().over(w))
+      .join(budgets.select("source", "kept"), "source")
+      .filter(col("rk") <= col("kept"))
+    val sums = sel.groupBy("source").agg(sum(col("doc_id")).as("sel_checksum"))
+    budgets.join(sums, Seq("source"), "left")
+      .withColumn("sel_checksum", coalesce(col("sel_checksum"), lit(0L)))
+      .orderBy("source")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q71_text_repetition" -> q71,
     "q72_dedup_spans" -> q72,
+    "q136_mix_temperature" -> q136,
     "q73_pipeline_clean" -> q73,
     "q75_mix_token_budget" -> q75,
     "q76_text_rare_terms" -> q76,
@@ -454,6 +495,37 @@ object CorpusQueries extends QueryGroup {
   // upper bound), toks[i:i+1] = the 2 tokens at i — mirrors word_shingles
   // exactly (same convention as the q67 3-gram oracle).
   val oracles: Map[String, String] = Map(
+    // temperature mixing: sqrt weights (correctly-rounded IEEE — the one
+    // oracle-safe power), source-ordered fold normalizer, floor budgets,
+    // md5-rank selection, additive checksum — mirrored op-for-op
+    "q136_mix_temperature" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY source)),
+        |      (a, x) -> a + x) AS w_total
+        |  FROM c),
+        |b AS (SELECT c.source, c.n_docs,
+        |    sqrt(CAST(c.n_docs AS DOUBLE)) AS weight,
+        |    CAST(floor((sqrt(CAST(c.n_docs AS DOUBLE)) / t.w_total)
+        |      * CAST(t.n_total // 2 AS DOUBLE)) AS BIGINT) AS budget
+        |  FROM c, t),
+        |b2 AS (SELECT source, n_docs, weight, budget,
+        |    least(n_docs, budget) AS kept FROM b),
+        |r AS (SELECT doc_id, source, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents),
+        |sel AS (SELECT r.source, r.doc_id FROM r JOIN b2 USING (source)
+        |  WHERE r.rk <= b2.kept),
+        |s AS (SELECT source, CAST(sum(doc_id) AS BIGINT) AS sel_checksum
+        |  FROM sel GROUP BY source)
+        |SELECT b2.source, b2.n_docs, b2.weight, b2.budget, b2.kept,
+        |  COALESCE(s.sel_checksum, 0) AS sel_checksum
+        |FROM b2 LEFT JOIN s USING (source)
+        |ORDER BY b2.source""".stripMargin,
+
     // sequence packing: q91's md5-ordered per-source running offset with a
     // +1 separator per doc (window sum CAST back from HUGEINT), then each
     // doc explodes over the examples its token interval crosses — pure

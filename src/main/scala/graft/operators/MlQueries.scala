@@ -315,7 +315,36 @@ object MlQueries extends QueryGroup {
       .orderBy("event_id")
   }
 
+  /** Q137: robust MAD outlier report — the median-based twin of q117's
+    * z-score flags for the heavy-tailed metrics where mean/σ are
+    * themselves dragged by the outliers they should expose (median and
+    * MAD have breakdown point 1/2; mean/σ have 0). Per event type:
+    * med = median(value), MAD = median(|value − med|), outlier ⇔
+    * |value − med| > 3·MAD. Determinism: the same linear-interpolation
+    * percentile q52 pins cross-engine, IEEE subtract/abs/multiply in
+    * written order — no new contract. Scale note: exact per-group
+    * percentiles buffer group values (the q52 caveat); the stored-
+    * summary path at raw-fact volume is the q128 mergeable histogram. */
+  private val q137: Q = (s, d) => {
+    val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+    val med = ev.groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("value") - col("med")))
+    val mad = dev.groupBy("event_type")
+      .agg(expr("percentile(dev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        max(col("med")).as("med"), // constant per group
+        max(col("mad")).as("mad"),
+        count(when(col("dev") > col("mad") * 3.0, 1)).as("n_outliers"),
+        max(col("dev")).as("max_dev"))
+      .orderBy("event_type")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
+    "q137_anomaly_mad" -> q137,
     "q64_agg_salted_skew" -> q64,
     "q68_join_salted_skew" -> q68,
     "q63_ml_split" -> q63,
@@ -349,6 +378,25 @@ object MlQueries extends QueryGroup {
     "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(c.centroid, x -> CAST(CAST(x AS FLOAT) AS DOUBLE) * CAST(CAST(x AS FLOAT) AS DOUBLE))), (a, x) -> a + x)"
 
   val oracles: Map[String, String] = Map(
+    // MAD outliers: the q52 percentile↔quantile_cont equivalence reused
+    // twice (median, then median of absolute deviations), IEEE ops in
+    // the same written order
+    "q137_anomaly_mad" ->
+      """WITH ev AS (SELECT event_type, value FROM events),
+        |m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM ev GROUP BY event_type),
+        |d AS (SELECT ev.event_type, abs(ev.value - m.med) AS dev
+        |  FROM ev JOIN m USING (event_type)),
+        |md AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
+        |  FROM d GROUP BY event_type)
+        |SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
+        |  max(m.med) AS med, max(md.mad) AS mad,
+        |  CAST(count(CASE WHEN d.dev > md.mad * 3.0 THEN 1 END) AS BIGINT)
+        |    AS n_outliers,
+        |  max(d.dev) AS max_dev
+        |FROM d JOIN m USING (event_type) JOIN md USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
+
     // 3σ-squared anomaly rule over exact-decimal population moments; the
     // per-row compare repeats the stats expressions (correlated via JOIN)
     "q117_anomaly_zscore" -> {

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{SparkEntry, SparkSpec}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, md5, sum}
 
 /** Pins the semantics of the corpus-hygiene queries (q71–q73) on
   * constructed fixtures: exact repetition fractions, span island merging
@@ -364,6 +364,34 @@ class CorpusQueriesSpec extends SparkSpec {
         r.getAs[Double]("jaccard")))
     assert(rows.toSeq == Seq((1L, 5L, 1.0)),
       s"only the corpus→benchmark copy may surface: ${rows.toSeq}")
+  }
+
+  test("q136: temperature mixing upweights low-resource sources; selection is capped and checksummed") {
+    // srcBig 90 docs, srcSmall 10 — natural shares 0.9/0.1; α = 1/2
+    // shares √90/(√90+√10) ≈ 0.75/0.25: the small source's share must
+    // RISE and the big source's fall (the mT5 balancing property)
+    val dir = corpusSrc(
+      ((1L to 90L).map(i => (i, s"doc $i text", "srcBig")) ++
+        (91L to 100L).map(i => (i, s"doc $i text", "srcSmall"))): _*)
+    val out = SparkEntry.queries("q136_mix_temperature")(spark, dir)
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("budget"),
+          r.getAs[Long]("kept"), r.getAs[Long]("sel_checksum")))).toMap
+    val (nB, bB, kB, csB) = out("srcBig")
+    val (nS, bS, kS, _) = out("srcSmall")
+    assert(nB == 90L && nS == 10L)
+    assert(bS.toDouble / (bB + bS) > 0.1,
+      "small source's budget share must exceed its natural share")
+    assert(bB.toDouble / (bB + bS) < 0.9)
+    assert(kB <= nB && kS <= nS, "kept never exceeds availability")
+    assert(kS == nS, "the upweighted small source is fully kept here")
+    // checksum witnesses an actual md5-ranked selection of kB docs
+    val sel = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("source") === "srcBig")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .limit(kB.toInt)
+      .agg(sum(col("doc_id"))).collect().head.getLong(0)
+    assert(csB == sel, "checksum must equal the independent md5-rank pick")
   }
 
   test("q110: importance weights match a brute-force reference; target-like docs outrank") {
