@@ -467,10 +467,44 @@ object CorpusQueries extends QueryGroup {
       .orderBy("source")
   }
 
+  /** Q138: k-anonymity audit with one-level generalization — the
+    * data-governance check run before releasing or training on
+    * user-adjacent tables (q81 scrubs direct identifiers; THIS measures
+    * re-identification risk from quasi-identifier combinations
+    * [Sweeney 2002]). Every equivalence class over the QI tuple
+    * (segment, nation) gets its size and a k = 10 verdict; classes that
+    * fail are re-checked one level up the generalization hierarchy
+    * (nation → region, the Samarati lattice step) — the standard
+    * mitigation ladder: release at level 0, generalize to level 1,
+    * suppress only what still fails. All-integer; two grouped counts at
+    * QI granularity plus a broadcast hierarchy join — equivalence
+    * classes are the only shuffled rows at any table size. */
+  private val q138: Q = (s, d) => {
+    val k = 10L
+    val nat = Tables.nation(s, d)
+      .select(col("n_nationkey").cast("long").as("nation"),
+        col("n_regionkey").cast("long").as("region"))
+    val rows = Tables.customer(s, d)
+      .select(col("c_mktsegment").as("segment"),
+        col("c_nationkey").cast("long").as("nation"))
+      .join(broadcast(nat), "nation")
+    val lvl0 = rows.groupBy("segment", "nation")
+      .agg(count(lit(1)).as("class_size"))
+    val lvl1 = rows.groupBy("segment", "region")
+      .agg(count(lit(1)).as("gen_size"))
+    lvl0.join(broadcast(nat), "nation")
+      .join(lvl1, Seq("segment", "region"))
+      .select(col("segment"), col("nation"), col("region"),
+        col("class_size"), (col("class_size") >= k).as("anonymous"),
+        col("gen_size"), (col("gen_size") >= k).as("anonymous_generalized"))
+      .orderBy("segment", "nation")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q71_text_repetition" -> q71,
     "q72_dedup_spans" -> q72,
     "q136_mix_temperature" -> q136,
+    "q138_privacy_k_anonymity" -> q138,
     "q73_pipeline_clean" -> q73,
     "q75_mix_token_budget" -> q75,
     "q76_text_rare_terms" -> q76,
@@ -495,6 +529,26 @@ object CorpusQueries extends QueryGroup {
   // upper bound), toks[i:i+1] = the 2 tokens at i — mirrors word_shingles
   // exactly (same convention as the q67 3-gram oracle).
   val oracles: Map[String, String] = Map(
+    // k-anonymity: level-0 classes over (segment, nation), level-1 over
+    // (segment, region) via the nation→region hierarchy, k = 10 verdicts
+    "q138_privacy_k_anonymity" ->
+      """WITH nat AS (SELECT CAST(n_nationkey AS BIGINT) AS nation,
+        |    CAST(n_regionkey AS BIGINT) AS region FROM nation),
+        |r AS (SELECT c_mktsegment AS segment,
+        |    CAST(c_nationkey AS BIGINT) AS nation FROM customer),
+        |r2 AS (SELECT r.segment, r.nation, nat.region
+        |  FROM r JOIN nat USING (nation)),
+        |l0 AS (SELECT segment, nation, CAST(count(*) AS BIGINT)
+        |    AS class_size FROM r2 GROUP BY segment, nation),
+        |l1 AS (SELECT segment, region, CAST(count(*) AS BIGINT)
+        |    AS gen_size FROM r2 GROUP BY segment, region)
+        |SELECT l0.segment, l0.nation, nat.region, l0.class_size,
+        |  l0.class_size >= 10 AS anonymous,
+        |  l1.gen_size, l1.gen_size >= 10 AS anonymous_generalized
+        |FROM l0 JOIN nat USING (nation)
+        |  JOIN l1 ON l1.segment = l0.segment AND l1.region = nat.region
+        |ORDER BY l0.segment, l0.nation""".stripMargin,
+
     // temperature mixing: sqrt weights (correctly-rounded IEEE — the one
     // oracle-safe power), source-ordered fold normalizer, floor budgets,
     // md5-rank selection, additive checksum — mirrored op-for-op

@@ -47,9 +47,15 @@ object PageRank {
     require(iterations >= 1 && iterations <= 10,
       s"iterations must be in [1, 10] (bounded plan chain): $iterations")
     val spark = edges0.sparkSession
+    // the deciding count() must not be release-registered (it would
+    // release the cache at the count and the collect / deg build would
+    // re-derive the whole edge list — measured ~1.5 s wasted on q129):
+    // the collected branch unpersists explicitly after its warm collect;
+    // the distributed branch drops the cache right after the deg/edges
+    // build consumes it (its IMR would be invisible — nested under the
+    // edges/nodes caches — so a release listener could never fire)
     val raw = edges0.select(col("src"), col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    RunScopedCache.releaseAfterRun(spark, raw)
     val ecnt = raw.count()
     require(ecnt > 0, "PageRank needs a non-empty edge set")
     // small-regime escape (the runAdaptive discipline, measured on q104:
@@ -68,11 +74,17 @@ object PageRank {
     // the join strategy (deg broadcasts while |V| allows)
     val edges = raw.join(deg, "src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    RunScopedCache.releaseAfterRun(spark, edges)
     val nodes = deg.select(col("src").as("node"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    RunScopedCache.releaseAfterRun(spark, nodes)
+    // materialize BOTH working-set caches while raw is still warm, then
+    // drop raw and register the run-scoped releases — registering before
+    // these counts would release each cache at its own deciding action
+    // and every iteration would rebuild it from source
     val nn = nodes.count()
+    edges.count()
+    raw.unpersist()
+    RunScopedCache.releaseAfterRun(spark, edges)
+    RunScopedCache.releaseAfterRun(spark, nodes)
     val small = nn <= broadcastNodes
     val base = s"(15 * $Scale) div (${nn}L * 100)"
     var ranks = nodes.select(col("node"), lit(Scale / nn).as("r"))
@@ -97,7 +109,8 @@ object PageRank {
     * collect separately (both map-side over the cache; no join). */
   private def runCollected(raw: DataFrame, iterations: Int): DataFrame = {
     val spark = raw.sparkSession
-    val rows = raw.collect()
+    val rows = raw.collect() // warm: the deciding count materialized the cache
+    raw.unpersist()
     val m = rows.length
     val idx = scala.collection.mutable.LinkedHashMap[String, Int]()
     rows.foreach(r => idx.getOrElseUpdate(r.getString(0), idx.size))
@@ -237,25 +250,41 @@ object Triangles {
 object LabelPropagation {
 
   /** `iterations` synchronous rounds over canonical undirected `edges`
-    * (a < b, distinct — symmetrized internally). Returns (node, lbl).
+    * (a < b, distinct, LONG node ids — symmetrized internally; numeric
+    * ids are required by the −lbl tie-break encoding). Returns
+    * (node, lbl).
     *
     * Scale shape: the symmetrized edge list is persisted once
     * (run-scoped) and each round is one edge⋈labels join (map-side under
     * `broadcastTables`) + a (node, lbl)-keyed count whose partial aggs
     * collapse map-side + a |V|-bounded argmax via max(struct) — never a
     * window. Rounds ≤ 10 keep the lazy plan chain bounded, the PageRank
-    * discipline. */
+    * discipline — including its small-regime escape: at or below
+    * `driverMaxEdges` the edge list collects and the IDENTICAL rules run
+    * driver-side (a few-MB graph spends its whole distributed wall on
+    * per-round job overhead; bit-equal both sides of the threshold,
+    * LabelPropagationSpec). */
   def run(edges0: DataFrame, iterations: Int,
-      broadcastTables: Boolean = true): DataFrame = {
+      broadcastTables: Boolean = true,
+      driverMaxEdges: Long = 2000000L): DataFrame = {
     require(iterations >= 1 && iterations <= 10,
       s"iterations must be in [1, 10] (bounded plan chain): $iterations")
     val spark = edges0.sparkSession
     def bc(df: DataFrame): DataFrame = if (broadcastTables) broadcast(df) else df
-    val e0 = edges0.select(col("a"), col("b"))
-    val sym = e0.select(col("a").as("src"), col("b").as("dst"))
-      .unionAll(e0.select(col("b").as("src"), col("a").as("dst")))
+    // lifetime: the deciding count() must NOT be release-registered — a
+    // listener registered before it would release the cache at the count
+    // and the collect/rounds would re-derive the edge list from scratch.
+    // Collected branch unpersists explicitly after its collect; the
+    // distributed branch registers the release AFTER the count, so the
+    // final action (whose plan reads e's InMemoryRelation directly via
+    // the un-persisted sym union) drops it.
+    val e = edges0.select(col("a"), col("b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    RunScopedCache.releaseAfterRun(spark, sym)
+    val ecnt = e.count()
+    if (ecnt <= driverMaxEdges) return runCollected(e, iterations)
+    RunScopedCache.releaseAfterRun(spark, e)
+    val sym = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
     var labels = sym.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
     for (_ <- 1 to iterations) {
@@ -270,6 +299,44 @@ object LabelPropagation {
         .select(col("node"), (-col("m.nl")).as("lbl"))
     }
     labels
+  }
+
+  /** The identical deterministic rules over a collected, index-encoded
+    * edge list (the PageRank.runCollected discipline): per round each
+    * node takes the (max count, then min) label among its neighbors —
+    * exact integer comparisons, so results are bit-equal to the
+    * distributed loop. */
+  private def runCollected(e: DataFrame, iterations: Int): DataFrame = {
+    val spark = e.sparkSession
+    val rows = e.collect() // warm: the deciding count materialized the cache
+    e.unpersist()
+    val idx = scala.collection.mutable.LinkedHashMap[Long, Int]()
+    rows.foreach { r =>
+      idx.getOrElseUpdate(r.getLong(0), idx.size)
+      idx.getOrElseUpdate(r.getLong(1), idx.size)
+    }
+    val ids = idx.keys.toArray
+    val nbrs = Array.fill(idx.size)(new scala.collection.mutable.ArrayBuffer[Int]())
+    rows.foreach { r =>
+      val a = idx(r.getLong(0)); val b = idx(r.getLong(1))
+      nbrs(a) += b; nbrs(b) += a
+    }
+    var lbl = Array.tabulate(idx.size)(j => ids(j))
+    for (_ <- 1 to iterations) {
+      lbl = Array.tabulate(idx.size) { j =>
+        val counts = scala.collection.mutable.LongMap[Long]()
+        nbrs(j).foreach { n =>
+          val l = lbl(n); counts(l) = counts.getOrElse(l, 0L) + 1L
+        }
+        var bestL = Long.MaxValue; var bestC = 0L
+        counts.foreach { case (l, c) =>
+          if (c > bestC || (c == bestC && l < bestL)) { bestC = c; bestL = l }
+        }
+        bestL
+      }
+    }
+    import spark.implicits._
+    ids.indices.map(j => (ids(j), lbl(j))).toDF("node", "lbl")
   }
 }
 

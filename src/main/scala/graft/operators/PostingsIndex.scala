@@ -72,6 +72,40 @@ object PostingsIndex {
         size(col("aligned")).cast("long").as("phrase_tf"))
   }
 
+  /** The proximity (NEAR) core shared by the inline q139 query and the
+    * indexed [[proximity]] path: docs containing BOTH terms, with the
+    * closest co-occurrence distance and the number of position pairs
+    * within `w` tokens (any order — NEAR, not phrase). Per-doc cost is
+    * |positions(a)|·|positions(b)| — tf-bounded, never corpus-quadratic. */
+  def alignProximity(pos: DataFrame, termA: String, termB: String,
+      w: Int): DataFrame = {
+    val a = pos.filter(col("tok") === termA)
+      .select(col("doc_id"), explode(col("positions")).as("pa"))
+    val b = pos.filter(col("tok") === termB)
+      .select(col("doc_id"), explode(col("positions")).as("pb"))
+    a.join(b, "doc_id")
+      .groupBy("doc_id")
+      .agg(min(abs(col("pa") - col("pb"))).cast("long").as("min_dist"),
+        count(when(abs(col("pa") - col("pb")) <= w, 1)).as("n_within"))
+      .filter(col("min_dist") <= w)
+  }
+
+  /** Proximity lookup over the stored index (bucket-pruned, like
+    * [[phrase]]): docs where `termA` and `termB` occur within `w`
+    * tokens of each other. */
+  def proximity(spark: SparkSession, dir: String, termA: String,
+      termB: String, w: Int, nBuckets: Int = 64): DataFrame = {
+    import spark.implicits._
+    val terms = Seq(termA, termB).distinct
+    val buckets = terms.toDF("tok")
+      .select(pmod(xxhash64(col("tok")), lit(nBuckets.toLong)).as("b"))
+      .collect().map(_.getLong(0)).distinct.toSeq
+    val pos = spark.read.parquet(s"$dir/postings")
+      .filter(col("bucket").isin(buckets: _*) && col("tok").isin(terms: _*))
+      .select("doc_id", "tok", "positions")
+    alignProximity(pos, termA, termB, w)
+  }
+
   /** Exact-phrase lookup over the stored index: bucket-pruned postings
     * read for the phrase's distinct terms, then [[alignPhrase]] —
     * row-identical to the inline q135 computation (PostingsIndexSpec). */

@@ -560,10 +560,28 @@ object TextQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** Q139: proximity (NEAR) search — the retrieval operator between
+    * bag-of-words (q105) and exact phrase (q135): docs where two terms
+    * co-occur within a 5-token window in either order, with the closest
+    * distance and the within-window pair count. All-integer; same
+    * positional machinery ([[PostingsIndex.alignProximity]] — the
+    * indexed path is bucket-pruned, row-identity spec-pinned). */
+  private val q139: Q = (s, d) => {
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+    val pos = docs.select(col("doc_id"),
+        posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "tok")))
+      .filter(col("tok").isin("table", "hash"))
+      .groupBy("doc_id", "tok")
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+    PostingsIndex.alignProximity(pos, "table", "hash", 5)
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q33_text_topwords" -> q33,
     "q131_text_kneser_ney" -> q131,
     "q135_text_phrase_search" -> q135,
+    "q139_text_proximity" -> q139,
     "q34_text_docstats" -> q34,
     "q35_dedup_exact" -> q35,
     "q36_dedup_fingerprint" -> q36,
@@ -589,6 +607,23 @@ object TextQueries extends QueryGroup {
     // is four unnest()s over equal-length lists (the q97 trick); each pair
     // score mirrors the Spark branch op-for-op; per-doc score is the
     // position-ordered list_reduce fold
+    // proximity: same zipped-position machinery, |pa − pb| over the
+    // per-doc position cross product, min + within-window count
+    "q139_text_proximity" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |p0 AS (SELECT doc_id, unnest(range(0, len(toks))) AS pos,
+        |    unnest(toks) AS tok FROM d),
+        |a AS (SELECT doc_id, pos AS pa FROM p0 WHERE tok = 'table'),
+        |b AS (SELECT doc_id, pos AS pb FROM p0 WHERE tok = 'hash'),
+        |g AS (SELECT a.doc_id,
+        |    CAST(min(abs(a.pa - b.pb)) AS BIGINT) AS min_dist,
+        |    CAST(count(CASE WHEN abs(a.pa - b.pb) <= 5 THEN 1 END)
+        |      AS BIGINT) AS n_within
+        |  FROM a JOIN b USING (doc_id) GROUP BY a.doc_id)
+        |SELECT doc_id, min_dist, n_within FROM g
+        |WHERE min_dist <= 5 ORDER BY doc_id""".stripMargin,
+
     // positional phrase match mirrored step-for-step: zipped pos/tok
     // unnest (q97), per-(doc, term) ordered position lists, −off shifts,
     // list_reduce intersection fold (first element seeds, matching the

@@ -50,15 +50,24 @@ class LabelPropagationSpec extends SparkSpec {
     assert(out == simulate(Seq((5L, 9L)), 1))
   }
 
-  test("random graphs: distributed rounds == driver simulation, 1..3 iterations") {
+  test("random graphs: both paths == driver simulation, 1..3 iterations") {
     val rnd = new Random(1107)
     for (trial <- 1 to 3) {
       val n = 40
       val edges = (for (i <- 0L until n; j <- (i + 1) until n
         if rnd.nextDouble() < 0.12) yield (i, j)).toSeq
-      for (iters <- 1 to 3)
-        assert(run(edges, iters) == simulate(edges, iters),
-          s"trial $trial, iters $iters diverged")
+      for (iters <- 1 to 3) {
+        val want = simulate(edges, iters)
+        // default: below driverMaxEdges → the collected path
+        assert(run(edges, iters) == want,
+          s"trial $trial, iters $iters: collected path diverged")
+        // driverMaxEdges = 0 forces the distributed loop — bit-equal
+        val dist = LabelPropagation.run(edges.toDF("a", "b"), iters,
+            driverMaxEdges = 0L).collect()
+          .map(r => r.getAs[Long]("node") -> r.getAs[Long]("lbl")).toMap
+        assert(dist == want,
+          s"trial $trial, iters $iters: distributed path diverged")
+      }
     }
   }
 }

@@ -53,6 +53,28 @@ class PostingsIndexSpec extends SparkSpec {
       "full-document phrase")
   }
 
+  test("indexed proximity is row-identical to inline q139; NEAR semantics pinned") {
+    import spark.implicits._
+    val dir = tmpDir("postings-prox")
+    PostingsIndex.write(Tables.documents(spark, sfDir), "doc_id", dir)
+    val indexed = PostingsIndex.proximity(spark, dir, "table", "hash", 5)
+      .orderBy("doc_id").collect().toSeq
+    val inline = SparkEntry.queries("q139_text_proximity")(spark, sfDir)
+      .collect().toSeq
+    assert(indexed.nonEmpty && indexed == inline)
+    // semantics: any order counts, window is inclusive, min over pairs
+    val fix = tmpDir("prox-sem")
+    PostingsIndex.write(Seq(
+      (1L, "a x x b"),      // dist 3 ≤ 3: within
+      (2L, "b x x x a"),    // reversed, dist 4 > 3: out
+      (3L, "a b x a"),      // pairs: (0,1)=1, (3,1)=2 → min 1, both ≤ 3
+      (4L, "a x x x x b"))  // dist 5 > 3: out
+      .toDF("doc_id", "text"), "doc_id", fix)
+    val got = PostingsIndex.proximity(spark, fix, "a", "b", 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(1L -> ((3L, 1L)), 3L -> ((1L, 2L))), s"got $got")
+  }
+
   test("a term lookup reads only its hash bucket's partitions") {
     val dir = tmpDir("postings-prune")
     PostingsIndex.write(Tables.documents(spark, sfDir), "doc_id", dir)
