@@ -260,10 +260,48 @@ object SketchQueries extends QueryGroup {
       .orderBy("ta", "tb")
   }
 
+  /** Q140: sliding-window distinct users from MERGED hourly KMV sketches
+    * — the dashboard primitive the mergeable-summary family exists for:
+    * distinct counts over a 3-hour window sliding by 1 hour, answered
+    * entirely from the stored per-hour partials (each hour's sketch
+    * serves every window containing it — k·3 rows per window, raw data
+    * never rescanned; COUNT DISTINCT is not algebraic, so without the
+    * sketch every window needs its own pass over raw events). Hours are
+    * integer epoch-hour ids (`epoch µs div 3600000000`, the NTZ
+    * contract), so window membership is plain integer +offset. The
+    * ORACLE recomputes hourly sketches AND window merges from raw
+    * events; exact per-window counts ride along as the error readout
+    * (q127's pattern). */
+  private val q140: Q = (s, d) => {
+    val ev = Tables.events(s, d).select(col("event_type"), col("user_id"),
+        epochUs(col("ts")).as("us"))
+      .withColumn("hr", expr("us div 3600000000"))
+    val hashes = ev.select(col("event_type"), col("hr"),
+      call_function("md5_prefix32", col("user_id").cast("string")).as("h"))
+    val hourly = KmvSketch.partial(hashes, Seq("event_type", "hr"), "h", K)
+    val member = hourly
+      .withColumn("off", explode(array(lit(0L), lit(1L), lit(2L))))
+      .withColumn("win_end", col("hr") + col("off"))
+      .select("event_type", "win_end", "h")
+    val merged = KmvSketch.partial(member, Seq("event_type", "win_end"), "h", K)
+    val sk = KmvSketch.stats(merged, Seq("event_type", "win_end"), "h", K)
+    val exact = ev
+      .withColumn("off", explode(array(lit(0L), lit(1L), lit(2L))))
+      .withColumn("win_end", col("hr") + col("off"))
+      .groupBy("event_type", "win_end")
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    sk.join(exact, Seq("event_type", "win_end"))
+      .select(col("event_type"), col("win_end"), col("n_hashes"),
+        col("kth_hash"), col("est_distinct").as("est_users"),
+        col("exact_users"))
+      .orderBy("event_type", "win_end")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q127_distinct_kmv_rollup" -> q127,
     "q128_percentile_rollup" -> q128,
     "q132_distinct_set_ops" -> q132,
+    "q140_distinct_sliding" -> q140,
   )
 
   val oracles: Map[String, String] = Map(
@@ -295,6 +333,41 @@ object SketchQueries extends QueryGroup {
         |  ex.exact_users
         |FROM sk JOIN ex USING (event_type)
         |ORDER BY event_type""".stripMargin,
+
+    // sliding distinct: hourly k-min sketches → +0/1/2 window membership
+    // → re-sketch per window (the merge theorem again), exact countDistinct
+    // readout over the same exploded membership
+    "q140_distinct_sliding" ->
+      """WITH ev AS (
+        |  SELECT event_type, user_id,
+        |    epoch_us(ts) // 3600000000 AS hr,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+        |      AS h
+        |  FROM events),
+        |dd AS (SELECT DISTINCT event_type, hr, h FROM ev),
+        |r1 AS (SELECT event_type, hr, h, row_number() OVER (
+        |    PARTITION BY event_type, hr ORDER BY h) AS rn FROM dd),
+        |hourly AS (SELECT event_type, hr, h FROM r1 WHERE rn <= 64),
+        |mem AS (SELECT event_type, hr + unnest([0, 1, 2]) AS win_end, h
+        |  FROM hourly),
+        |md AS (SELECT DISTINCT event_type, win_end, h FROM mem),
+        |r2 AS (SELECT event_type, win_end, h, row_number() OVER (
+        |    PARTITION BY event_type, win_end ORDER BY h) AS rn FROM md),
+        |sk AS (SELECT event_type, win_end,
+        |    CAST(count(*) AS BIGINT) AS n_hashes, max(h) AS kth_hash
+        |  FROM r2 WHERE rn <= 64 GROUP BY event_type, win_end),
+        |exm AS (SELECT DISTINCT event_type,
+        |    hr + unnest([0, 1, 2]) AS win_end, user_id FROM ev),
+        |ex AS (SELECT event_type, win_end,
+        |    CAST(count(*) AS BIGINT) AS exact_users
+        |  FROM exm GROUP BY event_type, win_end)
+        |SELECT sk.event_type, sk.win_end, sk.n_hashes, sk.kth_hash,
+        |  CASE WHEN sk.n_hashes < 64 THEN CAST(sk.n_hashes AS DOUBLE)
+        |       ELSE CAST(270582939648 AS DOUBLE) / sk.kth_hash END
+        |    AS est_users,
+        |  ex.exact_users
+        |FROM sk JOIN ex USING (event_type, win_end)
+        |ORDER BY sk.event_type, sk.win_end""".stripMargin,
 
     // KMV set ops recomputed from raw events: per-type k-min sketches,
     // pairwise union with max()-merged membership flags, k-smallest
