@@ -343,8 +343,69 @@ object MlQueries extends QueryGroup {
       .orderBy("event_type")
   }
 
+  /** Q142: temporal + entity holdout split — the forecasting-correct
+    * split q63/q106's hash splits don't give: train strictly BEFORE a
+    * cutoff, test strictly after, AND no user appears in both (the
+    * churn/recommendation leakage guard — a user's future events leak
+    * their past behavior into any user-level feature). Cutoff = 3/4 of
+    * the observed time span in exact epoch-µs integer math; the user
+    * cohort is the q106 content-stable md5 split (20% test), so
+    * membership never migrates as data grows. Events failing either
+    * guard land in `discarded` — the split is a PARTITION, witnessed per
+    * cell by exact counts and an additive Σ event_id checksum. */
+  private val q142: Q = (s, d) => {
+    val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"), epochUs(col("ts")).as("us"))
+    val bounds = ev.agg(min(col("us")).as("us0"), max(col("us")).as("us1"))
+    val tagged = ev.crossJoin(broadcast(bounds))
+      .withColumn("cutoff", expr("us0 + ((us1 - us0) * 3) div 4"))
+      .withColumn("test_user",
+        pmod(call_function("md5_prefix32", col("user_id").cast("string")),
+          lit(100L)) < 20)
+      .withColumn("split",
+        when(col("us") < col("cutoff") && !col("test_user"), lit("train"))
+          .when(col("us") >= col("cutoff") && col("test_user"), lit("test"))
+          .otherwise(lit("discarded")))
+    tagged.groupBy("split", "event_type")
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_checksum"))
+      .orderBy("split", "event_type")
+  }
+
+  /** Q143: sampled approximate aggregation — the BlinkDB move for
+    * exploratory queries over a 100 TB fact table: aggregate a
+    * deterministic 1% hash sample and scale up, reading 1% of the data.
+    * The sample is md5-content-stable (pmod of the row key's hash), the
+    * scaled estimate stays in exact-decimal space until ONE final double
+    * conversion (sum(DECIMAL)·100 is exact), and the exact aggregate
+    * rides along as the error readout — at real scale you'd skip it and
+    * quote the CLT bound instead. */
+  private val q143: Q = (s, d) => {
+    import org.apache.spark.sql.types.DecimalType
+    val li = Tables.lineitem(s, d).select(col("l_returnflag"),
+      col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    val keyed = li.withColumn("bucket",
+      pmod(call_function("md5_prefix32",
+        concat(col("l_orderkey").cast("string"), lit("#"),
+          col("l_linenumber").cast("string"))), lit(100L)))
+    val sample = keyed.filter(col("bucket") === 0)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_sample"),
+        (sum(col("l_extendedprice").cast(DecimalType(18, 2))) * 100)
+          .cast("double").as("est_revenue"))
+    val exact = li.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_total"), dsum(col("l_extendedprice")).as("exact_revenue"))
+    sample.join(exact, "l_returnflag")
+      .withColumn("rel_err",
+        (col("est_revenue") - col("exact_revenue")) / col("exact_revenue"))
+      .select(col("l_returnflag"), col("n_sample"), col("n_total"),
+        col("est_revenue"), col("exact_revenue"), col("rel_err"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q137_anomaly_mad" -> q137,
+    "q142_split_temporal" -> q142,
+    "q143_agg_sampled" -> q143,
     "q64_agg_salted_skew" -> q64,
     "q68_join_salted_skew" -> q68,
     "q63_ml_split" -> q63,
@@ -378,6 +439,48 @@ object MlQueries extends QueryGroup {
     "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(c.centroid, x -> CAST(CAST(x AS FLOAT) AS DOUBLE) * CAST(CAST(x AS FLOAT) AS DOUBLE))), (a, x) -> a + x)"
 
   val oracles: Map[String, String] = Map(
+    // temporal + entity split: exact integer cutoff at 3/4 span, md5
+    // user cohort, three-way partition with counts + additive checksums
+    "q142_split_temporal" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type,
+        |    epoch_us(ts) AS us FROM events),
+        |b AS (SELECT min(us) AS us0, max(us) AS us1 FROM ev),
+        |t AS (SELECT ev.*, b.us0 + ((b.us1 - b.us0) * 3) // 4 AS cutoff,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+        |      % 100 < 20 AS test_user
+        |  FROM ev, b),
+        |s AS (SELECT event_id, event_type,
+        |    CASE WHEN us < cutoff AND NOT test_user THEN 'train'
+        |         WHEN us >= cutoff AND test_user THEN 'test'
+        |         ELSE 'discarded' END AS split
+        |  FROM t)
+        |SELECT split, event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS id_checksum
+        |FROM s GROUP BY split, event_type
+        |ORDER BY split, event_type""".stripMargin,
+
+    // sampled aggregation: md5-stable 1% sample, decimal-exact ×100
+    // scale-up, one double conversion, error readout vs the exact dsum
+    "q143_agg_sampled" ->
+      """WITH li AS (SELECT l_returnflag, l_extendedprice,
+        |    ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '#' ||
+        |      CAST(l_linenumber AS VARCHAR)), 1, 8))::BIGINT % 100
+        |      AS bucket
+        |  FROM lineitem),
+        |sm AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_sample,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+        |      AS DOUBLE) AS est_revenue
+        |  FROM li WHERE bucket = 0 GROUP BY l_returnflag),
+        |ex AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_total,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS exact_revenue
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT sm.l_returnflag, sm.n_sample, ex.n_total, sm.est_revenue,
+        |  ex.exact_revenue,
+        |  (sm.est_revenue - ex.exact_revenue) / ex.exact_revenue AS rel_err
+        |FROM sm JOIN ex USING (l_returnflag)
+        |ORDER BY sm.l_returnflag""".stripMargin,
+
     // MAD outliers: the q52 percentile↔quantile_cont equivalence reused
     // twice (median, then median of absolute deviations), IEEE ops in
     // the same written order

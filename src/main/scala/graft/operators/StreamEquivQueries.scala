@@ -229,7 +229,41 @@ object StreamEquivQueries extends QueryGroup {
       .orderBy("hr", "event_type")
   }
 
+  /** Q141: funnel with conversion deadlines — q121's ordered stages under
+    * the realistic product metric: a click only converts within 24 h of
+    * the first view, a purchase within 24 h of that click, reported as a
+    * per-view-day conversion table (views, bounded clicks, bounded
+    * purchases, and the two rates as single double divisions over exact
+    * BIGINTs). Timestamp + INTERVAL arithmetic is exact on NTZ values in
+    * both engines; same one-hash-family scale shape as q121. */
+  private val q141: Q = (s, d) => {
+    val e = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+    val c = e.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("ts") > col("t_view") &&
+        col("ts") <= col("t_view") + expr("interval 24 hours"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_click"))
+    val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("ts") > col("t_click") &&
+        col("ts") <= col("t_click") + expr("interval 24 hours"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_purchase"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select(date_trunc("day", col("t_view")).as("view_day"),
+        col("t_click"), col("t_purchase"))
+      .groupBy("view_day")
+      .agg(count(lit(1)).as("n_view"),
+        count(col("t_click")).as("n_click_24h"),
+        count(col("t_purchase")).as("n_purchase_24h"))
+      .withColumn("click_rate",
+        col("n_click_24h").cast("double") / col("n_view"))
+      .withColumn("purchase_rate",
+        col("n_purchase_24h").cast("double") / col("n_view"))
+      .orderBy("view_day")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
+    "q141_funnel_windowed" -> q141,
     "q29_stream_tumbling" -> q29,
     "q30_stream_sliding" -> q30,
     "q31_stream_session" -> q31,
@@ -243,6 +277,31 @@ object StreamEquivQueries extends QueryGroup {
   )
 
   val oracles: Map[String, String] = Map(
+    // bounded funnel: the q121 stage chain with 24 h deadlines, rolled
+    // up per first-view day; counts BIGINT, rates one division each
+    "q141_funnel_windowed" ->
+      """WITH e AS (SELECT user_id, event_type, ts FROM events),
+        |v AS (SELECT user_id, min(ts) AS t_view FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS t_click
+        |  FROM e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > v.t_view
+        |    AND e.ts <= v.t_view + INTERVAL 24 HOURS
+        |  GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+        |  FROM e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        |    AND e.ts <= c.t_click + INTERVAL 24 HOURS
+        |  GROUP BY e.user_id)
+        |SELECT date_trunc('day', v.t_view) AS view_day,
+        |  CAST(count(*) AS BIGINT) AS n_view,
+        |  CAST(count(c.t_click) AS BIGINT) AS n_click_24h,
+        |  CAST(count(p.t_purchase) AS BIGINT) AS n_purchase_24h,
+        |  CAST(count(c.t_click) AS DOUBLE) / count(*) AS click_rate,
+        |  CAST(count(p.t_purchase) AS DOUBLE) / count(*) AS purchase_rate
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        |GROUP BY view_day ORDER BY view_day""".stripMargin,
+
     // the incremental merge must EQUAL the direct full-history rollup —
     // so the oracle is the q29 shape itself (sum CAST back from the
     // widened decimal; n CAST from HUGEINT)
