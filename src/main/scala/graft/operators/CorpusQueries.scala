@@ -500,11 +500,47 @@ object CorpusQueries extends QueryGroup {
       .orderBy("segment", "nation")
   }
 
+  /** Q146: l-diversity audit — the [Machanavajjhala et al. ICDE'06]
+    * refinement of q138's k-anonymity: a class can be large (k-anonymous)
+    * yet leak its sensitive attribute when every member SHARES it (the
+    * homogeneity attack). Per equivalence class over the QI tuple
+    * (nation, $1000 account-balance band): class size, the number of
+    * DISTINCT sensitive values (market segment), the l = 3 verdict, and
+    * the single most common sensitive value's count (the integer readout
+    * behind recursive (c,l)-diversity — no division enters the result).
+    *
+    * Balance bands shift cents by +$1000 before the integer div so the
+    * dividend is non-negative: Spark `div` truncates toward zero while
+    * DuckDB `//` floors, and they only agree on non-negative operands.
+    *
+    * Shape: two grouped counts, the second over (classes × sensitive
+    * values) — bounded by the QI/sensitive domain, never by table size;
+    * partial aggregation absorbs the row volume map-side at any scale. */
+  private val q146: Q = (s, d) => {
+    val l = 3L
+    val rows = Tables.customer(s, d).select(
+      col("c_nationkey").cast("long").as("nation"),
+      expr("(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+        " + 100000) div 100000").as("bal_band"),
+      col("c_mktsegment").as("segment"))
+    val bySens = rows.groupBy("nation", "bal_band", "segment")
+      .agg(count(lit(1)).as("cnt"))
+    bySens.groupBy("nation", "bal_band")
+      .agg(sum(col("cnt")).as("class_size"),
+        count(lit(1)).as("n_sensitive"),
+        max(col("cnt")).as("top_sensitive"))
+      .select(col("nation"), col("bal_band"), col("class_size"),
+        col("n_sensitive"), (col("n_sensitive") >= l).as("diverse"),
+        col("top_sensitive"))
+      .orderBy("nation", "bal_band")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q71_text_repetition" -> q71,
     "q72_dedup_spans" -> q72,
     "q136_mix_temperature" -> q136,
     "q138_privacy_k_anonymity" -> q138,
+    "q146_privacy_l_diversity" -> q146,
     "q73_pipeline_clean" -> q73,
     "q75_mix_token_budget" -> q75,
     "q76_text_rare_terms" -> q76,
@@ -548,6 +584,24 @@ object CorpusQueries extends QueryGroup {
         |FROM l0 JOIN nat USING (nation)
         |  JOIN l1 ON l1.segment = l0.segment AND l1.region = nat.region
         |ORDER BY l0.segment, l0.nation""".stripMargin,
+
+    // l-diversity: per-(nation, balance band) class, distinct-sensitive
+    // count + majority-sensitive count; the +100000 shift keeps the band
+    // div non-negative (Spark div truncates, DuckDB // floors); window-free
+    "q146_privacy_l_diversity" ->
+      """WITH r AS (SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        |    (CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      + 100000) // 100000 AS bal_band,
+        |    c_mktsegment AS segment FROM customer),
+        |g AS (SELECT nation, bal_band, segment,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM r GROUP BY nation, bal_band, segment)
+        |SELECT nation, bal_band, CAST(sum(cnt) AS BIGINT) AS class_size,
+        |  CAST(count(*) AS BIGINT) AS n_sensitive,
+        |  count(*) >= 3 AS diverse,
+        |  max(cnt) AS top_sensitive
+        |FROM g GROUP BY nation, bal_band
+        |ORDER BY nation, bal_band""".stripMargin,
 
     // temperature mixing: sqrt weights (correctly-rounded IEEE — the one
     // oracle-safe power), source-ordered fold normalizer, floor budgets,

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.WeightedAvg
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Remaining §2B inventory: embedding centroids, sketch aggregation, and the
@@ -402,10 +403,41 @@ object MlQueries extends QueryGroup {
       .orderBy("l_returnflag")
   }
 
+  /** Q147: deterministic per-epoch training shuffle — the data-ordering
+    * op a loader needs from a 100 TB corpus: for each epoch, a stable
+    * pseudo-random permutation of the documents materialized as
+    * (shard, position) assignments, reproducible bit-for-bit across
+    * re-runs and engines. Epoch-salted md5 keys re-shuffle every epoch
+    * without touching the source data; shard = the hash's top bits
+    * (fixed-width range split of the 32-bit hash space — uniform hashing
+    * balances shards with NO global sort or exchange-and-count pass),
+    * position = rank within the shard.
+    *
+    * Shape: the only shuffle is the per-(epoch, shard) window — each
+    * shard sorts independently in parallel, so the "global shuffle" never
+    * materializes a global order (the thing that dies at 100 TB);
+    * rewritten by Spark into a partial sort per hash partition. */
+  private val q147: Q = (s, d) => {
+    val nShards = 8
+    val width = 4294967296L / nShards
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+      .withColumn("epoch", explode(array(lit(0), lit(1), lit(2))))
+      .withColumn("h", call_function("md5_prefix32",
+        concat_ws(":", col("epoch"), col("doc_id"))))
+      .withColumn("shard", expr(s"h div $width"))
+    docs.withColumn("pos", row_number().over(
+        Window.partitionBy(col("epoch"), col("shard"))
+          .orderBy(col("h"), col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("epoch"), col("shard"), col("h"),
+        col("pos"))
+      .orderBy("epoch", "shard", "pos")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q137_anomaly_mad" -> q137,
     "q142_split_temporal" -> q142,
     "q143_agg_sampled" -> q143,
+    "q147_shuffle_epochs" -> q147,
     "q64_agg_salted_skew" -> q64,
     "q68_join_salted_skew" -> q68,
     "q63_ml_split" -> q63,
@@ -439,6 +471,21 @@ object MlQueries extends QueryGroup {
     "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(c.centroid, x -> CAST(CAST(x AS FLOAT) AS DOUBLE) * CAST(CAST(x AS FLOAT) AS DOUBLE))), (a, x) -> a + x)"
 
   val oracles: Map[String, String] = Map(
+    // epoch shuffle: epoch-salted md5 keys, fixed-width hash-range shards
+    // (2³²/8 = 536870912), rank within (epoch, shard)
+    "q147_shuffle_epochs" ->
+      """WITH d0 AS (SELECT doc_id, unnest([0, 1, 2]) AS epoch
+        |  FROM documents),
+        |h0 AS (SELECT doc_id, epoch,
+        |    ('0x' || substr(md5(CAST(epoch AS VARCHAR) || ':' ||
+        |      CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+        |  FROM d0)
+        |SELECT doc_id, epoch, h // 536870912 AS shard, h,
+        |  CAST(row_number() OVER (PARTITION BY epoch, h // 536870912
+        |    ORDER BY h, doc_id) AS BIGINT) AS pos
+        |FROM h0
+        |ORDER BY epoch, shard, pos""".stripMargin,
+
     // temporal + entity split: exact integer cutoff at 3/4 span, md5
     // user cohort, three-way partition with counts + additive checksums
     "q142_split_temporal" ->

@@ -119,6 +119,62 @@ object KmvSketch {
   }
 }
 
+/** Count-min sketch [Cormode & Muthukrishnan 2005]: a d×w counter matrix;
+  * item x increments cell (r, h_r(x) mod w) for each of the d salted hash
+  * rows, and the point estimate for x is the MIN over its d counters —
+  * always ≥ the true count, within εN with probability 1−δ at
+  * w = ⌈e/ε⌉, d = ⌈ln 1/δ⌉. Counters ADD, so partials stored per ingest
+  * partition merge loss-free (the q127/q128 discipline): a 100 TB stream
+  * stores d·w integers per (hour, shard) and answers "how often did key x
+  * appear in any hour range" without rescanning raw data. Pairs with q114's
+  * Misra–Gries: MG NOMINATES the heavy keys, CM answers point queries for
+  * ANY key (MG tracks only its m survivors).
+  *
+  * Hashes are salted md5 prefixes (`md5_prefix32(r || ':' || key)`), so the
+  * whole sketch is deterministic and engine-independent — the oracle
+  * recomputes it from raw data and the hash match proves count-addition
+  * merging exact, the same move as [[KmvSketch]].
+  */
+object CmSketch {
+
+  /** Per-(keyCols ∪ (r, c)) counter partials — the stored artifact.
+    * Scale shape: the explode is a d× row amplification collapsed
+    * immediately by a map-side partial count; the shuffle carries at most
+    * keyCols-cardinality · d·w counter rows, never raw volume. */
+  def partial(df: DataFrame, keyCols: Seq[String], itemCol: String,
+      d: Int, w: Int): DataFrame = {
+    require(d > 0 && w > 0, s"d, w must be positive: $d, $w")
+    df.withColumn("r", explode(array((0 until d).map(lit): _*)))
+      .withColumn("c",
+        call_function("md5_prefix32",
+          concat_ws(":", col("r"), col(itemCol))) % w)
+      .groupBy((keyCols.map(col) :+ col("r") :+ col("c")): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge partials down to one d×w matrix: counters add (the only
+    * algebra); bounded at d·w rows regardless of partial count. */
+  def merge(partials: DataFrame): DataFrame =
+    partials.groupBy("r", "c").agg(sum(col("cnt")).as("cnt"))
+
+  /** Point estimates for `keys` (a driver-bounded key table): min over the
+    * d salted counters; an absent cell reads 0 (the CM convention — min
+    * with 0 yields 0, the exact answer for never-seen keys). Bounded:
+    * |keys|·d probe rows against the d·w merged matrix. */
+  def estimate(merged: DataFrame, keys: DataFrame, itemCol: String,
+      d: Int, w: Int): DataFrame = {
+    val probes = keys
+      .withColumn("r", explode(array((0 until d).map(lit): _*)))
+      .withColumn("c",
+        call_function("md5_prefix32",
+          concat_ws(":", col("r"), col(itemCol))) % w)
+    val keyOut = keys.columns.map(col)
+    probes.join(broadcast(merged), Seq("r", "c"), "left")
+      .groupBy(keyOut: _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
+  }
+}
+
 /** Mergeable fixed-bin histogram: per group, integer counts over
   * equal-width value bins. Partials stored per ingest partition merge by
   * ADDING counts (the only algebra), and any quantile is answered from the
@@ -297,11 +353,34 @@ object SketchQueries extends QueryGroup {
       .orderBy("event_type", "win_end")
   }
 
+  /** Q144: count-min frequency rollup over the event stream — per-HOUR
+    * partial d×w counter matrices of per-user event counts (the stored
+    * ingest artifact), merged by adding counters, then point-estimated for
+    * the 10 heaviest users (deterministic pick: exact count desc, user_id
+    * asc — in production q114's Misra–Gries nominates) with the exact
+    * count as the error readout. The ORACLE computes the matrix DIRECTLY
+    * from raw events: the hash match proves counter-addition merging is
+    * loss-free. All-integer end to end. d=4, w=512 (ε≈e/512, δ≈e⁻⁴). */
+  private val q144: Q = (s, d) => {
+    val dRows = 4
+    val wCols = 512
+    val ev = Tables.events(s, d).select(col("user_id"),
+      date_trunc("hour", col("ts")).as("hr"))
+    val hourly = CmSketch.partial(ev, Seq("hr"), "user_id", dRows, wCols)
+    val merged = CmSketch.merge(hourly)
+    val exact = ev.groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
+    val top = exact.orderBy(col("exact_cnt").desc, col("user_id")).limit(10)
+    CmSketch.estimate(merged, top, "user_id", dRows, wCols)
+      .select(col("user_id"), col("est_cnt"), col("exact_cnt"))
+      .orderBy("user_id")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q127_distinct_kmv_rollup" -> q127,
     "q128_percentile_rollup" -> q128,
     "q132_distinct_set_ops" -> q132,
     "q140_distinct_sliding" -> q140,
+    "q144_freq_cm_rollup" -> q144,
   )
 
   val oracles: Map[String, String] = Map(
@@ -418,6 +497,33 @@ object SketchQueries extends QueryGroup {
         |  COALESCE(ex.exact_inter, 0) AS exact_inter
         |FROM st LEFT JOIN ex ON st.ta = ex.ta AND st.tb = ex.tb
         |ORDER BY st.ta, st.tb""".stripMargin,
+
+    // count-min recomputed directly from raw events (no hourly stage —
+    // counter addition is the merge): salted md5 row hashes, min over the
+    // d probed counters with absent cells reading 0; top-10 keys by
+    // (exact desc, user_id)
+    "q144_freq_cm_rollup" ->
+      """WITH cells AS (
+        |  SELECT t.r,
+        |    ('0x' || substr(md5(CAST(t.r AS VARCHAR) || ':' ||
+        |      CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 512 AS c,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events CROSS JOIN range(0, 4) AS t(r)
+        |  GROUP BY t.r, c),
+        |ex AS (SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt
+        |  FROM events GROUP BY user_id),
+        |top AS (SELECT user_id, exact_cnt FROM ex
+        |  ORDER BY exact_cnt DESC, user_id LIMIT 10),
+        |probe AS (
+        |  SELECT top.user_id, top.exact_cnt, u.r,
+        |    ('0x' || substr(md5(CAST(u.r AS VARCHAR) || ':' ||
+        |      CAST(top.user_id AS VARCHAR)), 1, 8))::BIGINT % 512 AS c
+        |  FROM top CROSS JOIN range(0, 4) AS u(r))
+        |SELECT p.user_id,
+        |  min(COALESCE(cells.cnt, 0)) AS est_cnt, p.exact_cnt
+        |FROM probe p LEFT JOIN cells ON cells.r = p.r AND cells.c = p.c
+        |GROUP BY p.user_id, p.exact_cnt
+        |ORDER BY p.user_id""".stripMargin,
 
     // direct histogram (no monthly stage): exact-cents bins, integer
     // target ranks ⌈p·N/100⌉, pinned interpolation mirrored paren-for-

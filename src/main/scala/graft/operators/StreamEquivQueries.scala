@@ -262,8 +262,47 @@ object StreamEquivQueries extends QueryGroup {
       .orderBy("view_day")
   }
 
+  /** Q145: point-in-time feature join — the feature-store correctness op:
+    * every `purchase` (the label event) is enriched with features computed
+    * from STRICTLY-PRECEDING events only (the leakage guard train/serve
+    * skew audits check; q12's as-of allows `<=`, which leaks the label
+    * instant itself): the latest prior `view`'s value and its age, the
+    * latest prior `click`'s value, and the count of prior clicks.
+    *
+    * Shape: one user-keyed window family over (us, event_id) with a
+    * ROWS … 1 PRECEDING frame — a single hash shuffle at any event volume,
+    * no self-joins, no per-feature passes. "Latest prior X" is
+    * max(struct(us, event_id, value)) over the frame (the q44 argmax
+    * move; event_id breaks equal-timestamp ties identically in both
+    * engines), which DuckDB mirrors with struct max + struct_extract. */
+  private val q145: Q = (s, d) => {
+    val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+      epochUs(col("ts")).as("us"), col("event_type"), col("value"))
+    val frame = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lastView = max(when(col("event_type") === "view",
+      struct(col("us"), col("event_id"), col("value")))).over(frame)
+    val lastClick = max(when(col("event_type") === "click",
+      struct(col("us"), col("event_id"), col("value")))).over(frame)
+    val clicksBefore = sum(when(col("event_type") === "click", 1L)
+      .otherwise(0L)).over(frame)
+    ev.withColumn("lv", lastView)
+      .withColumn("lc", lastClick)
+      .withColumn("f_clicks_before", coalesce(clicksBefore, lit(0L)))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("us"),
+        col("value").as("label"),
+        col("lv.value").as("f_view_value"),
+        (col("us") - col("lv.us")).as("f_view_age_us"),
+        col("lc.value").as("f_click_value"),
+        col("f_clicks_before"))
+      .orderBy("event_id")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q141_funnel_windowed" -> q141,
+    "q145_feature_pit_join" -> q145,
     "q29_stream_tumbling" -> q29,
     "q30_stream_sliding" -> q30,
     "q31_stream_session" -> q31,
@@ -277,6 +316,36 @@ object StreamEquivQueries extends QueryGroup {
   )
 
   val oracles: Map[String, String] = Map(
+    // PIT features: struct max over the strictly-preceding ROWS frame
+    // (us, event_id, value — field order IS the comparison order in both
+    // engines), struct_extract for the feature pulls, window sum CAST
+    // back from HUGEINT (the q91 rule)
+    "q145_feature_pit_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+        |    event_type, value FROM events),
+        |w AS (SELECT *,
+        |    max(CASE WHEN event_type = 'view'
+        |        THEN {'us': us, 'eid': event_id, 'val': value} END)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lv,
+        |    max(CASE WHEN event_type = 'click'
+        |        THEN {'us': us, 'eid': event_id, 'val': value} END)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lc,
+        |    CAST(COALESCE(sum(CASE WHEN event_type = 'click' THEN 1
+        |        ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS f_clicks_before
+        |  FROM e)
+        |SELECT event_id, user_id, us, value AS label,
+        |  struct_extract(lv, 'val') AS f_view_value,
+        |  us - struct_extract(lv, 'us') AS f_view_age_us,
+        |  struct_extract(lc, 'val') AS f_click_value,
+        |  f_clicks_before
+        |FROM w WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+
     // bounded funnel: the q121 stage chain with 24 h deadlines, rolled
     // up per first-view day; counts BIGINT, rates one division each
     "q141_funnel_windowed" ->

@@ -164,4 +164,38 @@ class MergeableSketchSpec extends SparkSpec {
         s"$t: union est $u vs direct $d")
     }
   }
+
+  test("CM merge theorem: partial-per-partition → merge == direct, any split") {
+    val rows = (1 to 3000).map { _ =>
+      (rnd.nextInt(7), s"k${rnd.nextInt(300)}")
+    }
+    val df = rows.toDF("part", "key")
+    val direct = CmSketch.merge(
+        CmSketch.partial(df, Seq.empty, "key", 4, 128))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val merged = CmSketch.merge(
+        CmSketch.partial(df, Seq("part"), "key", 4, 128))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == direct, "counter-addition merge lost information")
+  }
+
+  test("CM estimates: ≥ exact always, == exact when a row is collision-free; absent key → 0") {
+    val keys = (0 until 200).map(i => s"k$i")
+    val rows = keys.zipWithIndex.flatMap { case (k, i) => Seq.fill(i % 9 + 1)(k) }
+    val df = rows.toDF("key")
+    val exact = rows.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    val merged = CmSketch.merge(CmSketch.partial(df, Seq.empty, "key", 4, 4096))
+    val probe = (keys :+ "never-seen").toDF("key")
+    val est = CmSketch.estimate(merged, probe, "key", 4, 4096)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("never-seen") == 0L, "absent key must estimate 0")
+    for (k <- keys) {
+      assert(est(k) >= exact(k), s"$k: CM must never underestimate")
+    }
+    // at w=4096 with 200 keys, at least one of the 4 rows is collision-free
+    // for the vast majority of keys — pin that the min recovers exact for
+    // most (CM accuracy, not just the bound)
+    val exactHits = keys.count(k => est(k) == exact(k))
+    assert(exactHits >= 190, s"only $exactHits/200 keys exact at w=4096")
+  }
 }
