@@ -339,6 +339,60 @@ object TextQueries extends QueryGroup {
     "o" -> "r", "j" -> "o", "jo" -> "i", "joi" -> "n", "a" -> "n",
     "d" -> "at"))
 
+  /** Q148: WordPiece corpus encode — the OTHER production tokenizer family
+    * (greedy longest-match-first over a fixed vocabulary with `##`
+    * continuation pieces [Wu et al. 2016; the BERT tokenizer], vs q100's
+    * BPE merge-fold): per document, the subword count, the `[UNK]` word
+    * count (the vocabulary-coverage signal a tokenizer rollout monitors —
+    * the corpus word `query` has no piece cover, so UNK is exercised),
+    * and the md5 fingerprint of the position-ordered piece stream.
+    *
+    * Same dictionary-join shape as [[BpeTrainer.tokenizeViaDictionary]]:
+    * segment each DISTINCT word once through the native
+    * `wordpiece_encode` kernel (vocab indexed once per plan), then join
+    * the per-word pieces back to token positions — corpus cost is one
+    * distinct + one broadcast-sized join at any scale, and the encode
+    * work is distinct-words-sized (Heaps-sublinear), never token-stream-
+    * sized. The ORACLE replays greedy longest-match per distinct word
+    * with a recursive CTE whose step picks the longest matching piece via
+    * a LATERAL struct-max (ties impossible: same position + same length
+    * ⇒ same piece). */
+  private val q148: Q = (s, d) => {
+    val live = Tables.documents(s, d).filter(col("text").isNotNull)
+    val dict = live
+      .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .distinct()
+      .withColumn("pieces", call_function("wordpiece_encode", col("tok"),
+        array(wpVocab.map(lit): _*)))
+    live.select(col("doc_id"),
+        posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "tok")))
+      .join(dict, "tok")
+      .groupBy("doc_id")
+      .agg(sum(size(col("pieces"))).cast("long").as("n_wp"),
+        sum(when(col("pieces") === array(lit("[UNK]")), 1L)
+          .otherwise(0L)).as("n_unk"),
+        md5(concat_ws(" ", expr(
+          "flatten(transform(array_sort(collect_list(struct(pos, pieces)))" +
+            ", s -> s.pieces))")).cast("binary")).as("wp_fp"))
+      .orderBy("doc_id")
+  }
+
+  /** The q148 fixed WordPiece vocabulary, mirrored textually into the
+    * oracle's VALUES list: per-letter singles and continuations (so
+    * segmentation always succeeds by character fallback) EXCEPT `q` —
+    * words containing it become `[UNK]` — plus multi-char pieces the
+    * longest-match rule must prefer. */
+  private[operators] val wpVocab: Seq[String] = {
+    val singles = ('a' to 'z').filterNot(_ == 'q').map(_.toString)
+    val multis = Seq(
+      "join", "hash", "scan", "data", "spark", "small", "slow", "fast",
+      "big", "key", "row", "the", "sort", "part", "line", "agg", "dup",
+      "tab", "##le", "cust", "##omer", "col", "##umn", "fil", "##ter",
+      "##atch", "st", "##ream", "mer", "##ge", "win", "##dow", "or",
+      "##der", "vec", "##tor", "val", "##ue", "gr", "##oup")
+    singles ++ singles.map("##" + _) ++ multis
+  }
+
   /** Q105: BM25-family retrieval scoring — top-20 documents for a fixed
     * 3-term query, the ranked-retrieval primitive behind decontamination
     * lookups (find the training docs closest to an eval query) and
@@ -598,6 +652,7 @@ object TextQueries extends QueryGroup {
     "q95_token_familiarity" -> q95,
     "q99_bpe_pair_counts" -> q99,
     "q100_bpe_encode" -> q100,
+    "q148_wordpiece_encode" -> q148,
     "q105_text_bm25" -> q105,
     "q111_text_bigram_backoff" -> q111,
   )
@@ -957,6 +1012,49 @@ object TextQueries extends QueryGroup {
     // dictionary, then a zipped-unnest position join back to documents —
     // the list_reduce mirrors bpe_merge_pair's left-to-right
     // non-overlapping scan (see q100's scaladoc for the equivalence)
+    // wordpiece: greedy longest-match replay per distinct word — the
+    // recursive step's LATERAL struct-max picks the longest piece legal
+    // at the position (initial vs ## continuation); no match → the whole
+    // word becomes [UNK]; then the q100 position-ordered regroup
+    "q148_wordpiece_encode" -> (
+      s"""WITH RECURSIVE vocab(p) AS (VALUES
+        |  ${wpVocab.map(p => s"('$p')").mkString(",")}),
+        |w(tok) AS (SELECT DISTINCT unnest(string_split(lower(text), ' '))
+        |    AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |enc AS (
+        |  SELECT tok, tok AS rem, CAST([] AS VARCHAR[]) AS pieces FROM w
+        |  UNION ALL
+        |  SELECT e.tok,
+        |    CASE WHEN b.best IS NULL THEN ''
+        |         ELSE substr(e.rem, CASE WHEN len(e.pieces) = 0
+        |           THEN length(struct_extract(b.best, 'p')) + 1
+        |           ELSE length(struct_extract(b.best, 'p')) - 1 END)
+        |    END AS rem,
+        |    CASE WHEN b.best IS NULL THEN ['[UNK]']
+        |         ELSE list_append(e.pieces, struct_extract(b.best, 'p'))
+        |    END AS pieces
+        |  FROM enc e LEFT JOIN LATERAL (
+        |    SELECT max({'l': length(v.p), 'p': v.p}) AS best FROM vocab v
+        |    WHERE (len(e.pieces) = 0 AND v.p NOT LIKE '##%'
+        |        AND v.p = substr(e.rem, 1, length(v.p)))
+        |      OR (len(e.pieces) > 0 AND v.p LIKE '##%'
+        |        AND substr(v.p, 3) = substr(e.rem, 1, length(v.p) - 2))
+        |  ) b ON true
+        |  WHERE e.rem <> ''),
+        |d AS (SELECT tok, pieces FROM enc WHERE rem = ''),
+        |tp AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos,
+        |    unnest(toks) AS tok
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |    FROM documents WHERE text IS NOT NULL))
+        |SELECT tp.doc_id, CAST(sum(len(d.pieces)) AS BIGINT) AS n_wp,
+        |  CAST(sum(CASE WHEN d.pieces = ['[UNK]'] THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_unk,
+        |  md5(array_to_string(flatten(list(d.pieces ORDER BY tp.pos)), ' '))
+        |    AS wp_fp
+        |FROM tp JOIN d USING (tok)
+        |GROUP BY tp.doc_id ORDER BY tp.doc_id""".stripMargin),
+
     "q100_bpe_encode" ->
       """WITH RECURSIVE m(rank, l, r) AS (
         |  VALUES (1,'e','r'),(2,'t','h'),(3,'th','e'),(4,'a','t'),(5,'s','t'),

@@ -71,7 +71,9 @@ object GraftFunctions {
       (c: Seq[Expression]) => Md5Buckets(c(0),
         intLit(c(1), "md5_buckets", "buckets"))),
     ("weight_lookup_sum", classOf[WeightLookupSum], 2,
-      (c: Seq[Expression]) => WeightLookupSum(c(0), c(1))))
+      (c: Seq[Expression]) => WeightLookupSum(c(0), c(1))),
+    ("wordpiece_encode", classOf[WordPieceEncode], 2,
+      (c: Seq[Expression]) => WordPieceEncode(c(0), c(1))))
 
   /** Idempotently register every graft function into a live session (no-op
     * when GraftExtensions already injected them). */

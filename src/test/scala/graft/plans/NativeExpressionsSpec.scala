@@ -261,4 +261,60 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(bands.except(again).isEmpty)
     assert(bands.select("b").distinct().count() > 450) // content-sensitive
   }
+
+  test("wordpiece_encode ≡ independent greedy reference; UNK/empty/longest-match edges") {
+    val vocab = Seq("a", "b", "c", "d", "e", "ab", "abc", "##a", "##b",
+      "##c", "##cd", "##d", "##e", "##bc", "un", "##believ", "##able")
+    // independent reference: straightforward recursive greedy matcher
+    def ref(word: String): Seq[String] = {
+      def longest(pos: Int): Option[String] = {
+        val cands = (word.length to (pos + 1) by -1).iterator.map { end =>
+          val raw = word.substring(pos, end)
+          if (pos == 0) raw else "##" + raw
+        }
+        cands.find(vocab.contains)
+      }
+      if (word.isEmpty) Seq.empty
+      else {
+        val out = scala.collection.mutable.Buffer[String]()
+        var pos = 0
+        while (pos < word.length) {
+          longest(pos) match {
+            case Some(p) =>
+              out += p
+              pos += (if (p.startsWith("##")) p.length - 2 else p.length)
+            case None => return Seq("[UNK]")
+          }
+        }
+        out.toSeq
+      }
+    }
+    val words = Seq("abcd", "abc", "abcde", "ab", "a", "e", "", "unbelievable",
+      "abz", "zab", "aaaa", "abcdcdcd", "eab")
+    val got = words.toDF("w")
+      .select(col("w"), call_function("wordpiece_encode", col("w"),
+        array(vocab.map(lit): _*)).as("p"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    for (w <- words) assert(got(w) == ref(w), s"word '$w': ${got(w)} vs ${ref(w)}")
+    // semantics pins the reference itself must satisfy
+    assert(got("abcd") == Seq("abc", "##d"), "longest initial match wins")
+    assert(got("abcdcdcd") == Seq("abc", "##d", "##cd", "##cd"))
+    assert(got("abz") == Seq("[UNK]"), "whole word fails, not a suffix")
+    assert(got("") == Seq.empty)
+    assert(got("eab") == Seq("e", "##a", "##b"),
+      "initial 'ab' piece is not legal mid-word")
+    // null word → null result
+    val nulls = Seq((1, null: String)).toDF("k", "w")
+      .select(call_function("wordpiece_encode", col("w"),
+        array(vocab.map(lit): _*)).as("p"))
+      .collect()
+    assert(nulls.head.isNullAt(0))
+    // non-foldable vocab rejected at analysis
+    val err = intercept[Exception] {
+      Seq(("x", Seq("x"))).toDF("w", "v")
+        .select(call_function("wordpiece_encode", col("w"), col("v")))
+        .collect()
+    }
+    assert(err.getMessage.contains("foldable"), err.getMessage)
+  }
 }
