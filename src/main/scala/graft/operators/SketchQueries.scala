@@ -42,6 +42,10 @@ object KmvSketch {
   def partial(df: DataFrame, groupCols: Seq[String], hashCol: String,
       k: Int): DataFrame = {
     require(k > 0, s"k must be positive: $k")
+    // "rn" is a reserved working column: a group/hash column named "rn"
+    // would be silently replaced then dropped
+    require(!(groupCols :+ hashCol).contains("rn"),
+      "KmvSketch.partial reserves working column name 'rn'")
     val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(hashCol))
     df.select((groupCols :+ hashCol).map(col): _*).distinct()
       .withColumn("rn", row_number().over(w))
@@ -110,6 +114,10 @@ object KmvSketch {
     * sketch IS the exact set and the estimate is the exact count. */
   def stats(sketch: DataFrame, groupCols: Seq[String], hashCol: String,
       k: Int): DataFrame = {
+    // reserved output names — a group column reusing one would collide
+    require(groupCols.intersect(
+        Seq("n_hashes", "kth_hash", "est_distinct")).isEmpty,
+      "KmvSketch.stats reserves columns n_hashes, kth_hash, est_distinct")
     val scaled = (k - 1).toLong * 4294967296L // (k−1)·2³², exact in double
     sketch.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_hashes"), max(col(hashCol)).as("kth_hash"))
@@ -144,6 +152,12 @@ object CmSketch {
   def partial(df: DataFrame, keyCols: Seq[String], itemCol: String,
       d: Int, w: Int): DataFrame = {
     require(d > 0 && w > 0, s"d, w must be positive: $d, $w")
+    // "r", "c", "cnt" are reserved working/output columns: withColumn
+    // would silently REPLACE same-named input columns and corrupt the
+    // sketch — fail fast instead
+    require(df.columns.intersect(Seq("r", "c", "cnt")).isEmpty,
+      "CmSketch.partial reserves column names r, c, cnt; rename the " +
+        "colliding input columns")
     df.withColumn("r", explode(array((0 until d).map(lit): _*)))
       .withColumn("c",
         call_function("md5_prefix32",
@@ -163,6 +177,12 @@ object CmSketch {
     * |keys|·d probe rows against the d·w merged matrix. */
   def estimate(merged: DataFrame, keys: DataFrame, itemCol: String,
       d: Int, w: Int): DataFrame = {
+    // same reserved-name contract as [[partial]]; est_cnt is the output.
+    // NOTE: the final groupBy spans every column of `keys`, so duplicate
+    // key rows collapse to one estimate row — pass a distinct key table.
+    require(keys.columns.intersect(Seq("r", "c", "cnt", "est_cnt")).isEmpty,
+      "CmSketch.estimate reserves column names r, c, cnt, est_cnt; " +
+        "rename the colliding key columns")
     val probes = keys
       .withColumn("r", explode(array((0 until d).map(lit): _*)))
       .withColumn("c",

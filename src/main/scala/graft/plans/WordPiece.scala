@@ -30,7 +30,8 @@ import org.apache.spark.unsafe.types.UTF8String
 /** The pre-built vocab index referenced from generated code (top-level so
   * the class name is valid Java source inside codegen).
   */
-final class WordPieceVocab(set: java.util.HashSet[String], maxInit: Int,
+final class WordPieceVocab(initSet: java.util.HashSet[String],
+    contSet: java.util.HashSet[String], maxInit: Int,
     maxCont: Int) extends Serializable {
 
     def encode(word: UTF8String): ArrayData = {
@@ -44,11 +45,15 @@ final class WordPieceVocab(set: java.util.HashSet[String], maxInit: Int,
         val cap = if (isInit) maxInit else maxCont
         var end = math.min(n, pos + cap)
         var piece: String = null
+        // initial positions probe ONLY the non-## piece set: a word that
+        // literally begins with "##" must not match a continuation piece
+        // (the oracle's NOT LIKE '##%' initial lookup — kept in lockstep)
         while (end > pos && piece == null) {
           val cand =
             if (isInit) s.substring(pos, end)
             else "##" + s.substring(pos, end)
-          if (set.contains(cand)) piece = cand else end -= 1
+          val hit = if (isInit) initSet.contains(cand) else contSet.contains(cand)
+          if (hit) piece = cand else end -= 1
         }
         if (piece == null) {
           return new GenericArrayData(Array[Any](WordPieceImpl.Unk))
@@ -65,20 +70,25 @@ object WordPieceImpl {
   private[plans] val Unk = UTF8String.fromString("[UNK]")
 
   def build(arr: ArrayData): WordPieceVocab = {
-    val set = new java.util.HashSet[String]
+    val initSet = new java.util.HashSet[String]
+    val contSet = new java.util.HashSet[String]
     var maxInit = 0
     var maxCont = 0
     var i = 0
     while (i < arr.numElements()) {
       if (!arr.isNullAt(i)) {
         val p = arr.getUTF8String(i).toString
-        set.add(p)
-        if (p.startsWith("##")) maxCont = math.max(maxCont, p.length - 2)
-        else maxInit = math.max(maxInit, p.length)
+        if (p.startsWith("##")) {
+          contSet.add(p)
+          maxCont = math.max(maxCont, p.length - 2)
+        } else {
+          initSet.add(p)
+          maxInit = math.max(maxInit, p.length)
+        }
       }
       i += 1
     }
-    new WordPieceVocab(set, maxInit, maxCont)
+    new WordPieceVocab(initSet, contSet, maxInit, maxCont)
   }
 }
 

@@ -265,14 +265,20 @@ class NativeExpressionsSpec extends SparkSpec {
   test("wordpiece_encode ≡ independent greedy reference; UNK/empty/longest-match edges") {
     val vocab = Seq("a", "b", "c", "d", "e", "ab", "abc", "##a", "##b",
       "##c", "##cd", "##d", "##e", "##bc", "un", "##believ", "##able")
-    // independent reference: straightforward recursive greedy matcher
+    // independent reference: straightforward recursive greedy matcher.
+    // Initial positions may only match non-## pieces (a word literally
+    // beginning with "##" must not hit a continuation piece — the kernel
+    // and the q148 oracle both enforce this split).
+    val initVocab = vocab.filterNot(_.startsWith("##")).toSet
+    val contVocab = vocab.filter(_.startsWith("##")).toSet
     def ref(word: String): Seq[String] = {
       def longest(pos: Int): Option[String] = {
         val cands = (word.length to (pos + 1) by -1).iterator.map { end =>
           val raw = word.substring(pos, end)
           if (pos == 0) raw else "##" + raw
         }
-        cands.find(vocab.contains)
+        cands.find(c =>
+          if (pos == 0) initVocab.contains(c) else contVocab.contains(c))
       }
       if (word.isEmpty) Seq.empty
       else {
@@ -290,7 +296,7 @@ class NativeExpressionsSpec extends SparkSpec {
       }
     }
     val words = Seq("abcd", "abc", "abcde", "ab", "a", "e", "", "unbelievable",
-      "abz", "zab", "aaaa", "abcdcdcd", "eab")
+      "abz", "zab", "aaaa", "abcdcdcd", "eab", "##a", "##cd")
     val got = words.toDF("w")
       .select(col("w"), call_function("wordpiece_encode", col("w"),
         array(vocab.map(lit): _*)).as("p"))
@@ -303,6 +309,8 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(got("") == Seq.empty)
     assert(got("eab") == Seq("e", "##a", "##b"),
       "initial 'ab' piece is not legal mid-word")
+    assert(got("##a") == Seq("[UNK]"),
+      "a word literally starting with '##' cannot match continuation pieces")
     // null word → null result
     val nulls = Seq((1, null: String)).toDF("k", "w")
       .select(call_function("wordpiece_encode", col("w"),
