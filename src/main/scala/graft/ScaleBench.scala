@@ -532,6 +532,29 @@ object ScaleBench {
             operators.BpeTrainer.tokenizeViaDictionary(docs, table)
               .agg(sum(size(col("bpe")))).head().getLong(0))
         }
+      case "unigram" =>
+        // Unigram-LM (Kudo) training cost vs corpus size: EM folds to
+        // the distinct-word table (Heaps-sublinear) and a full EM round
+        // is 2 jobs REGARDLESS of vocabulary size — the model rides into
+        // the E-step as ONE broadcast literal, vs BPE's 2-jobs-per-merge
+        // (sequential) / 2-per-pass (batched) scheduler economics
+        Seq(1, 3, 10).foreach { m =>
+          val dir = s"/tmp/graft-scale/m$m"
+          synthDocs(spark, 5000L * m).write.mode("overwrite")
+            .parquet(s"$dir/documents.parquet")
+          val docs = spark.read.parquet(s"$dir/documents.parquet")
+          var model: operators.UnigramLm.Vocab = null
+          measured(spark, "unigram_train", m) {
+            model = operators.UnigramLm.train(docs, vocabSize = 1500,
+              maxPieceLen = 6, seedSize = 2000, emIters = 2)
+            model.pieces.size.toLong
+          }
+          // encode throughput through the dictionary join (q149's
+          // path): rows = TOTAL PIECES EMITTED → tokens/s = rows/wall
+          measured(spark, "unigram_encode_dict", m)(
+            operators.UnigramLm.encodeViaDictionary(docs, model)
+              .agg(sum(size(col("sp")))).head().getLong(0))
+        }
       case "dedupreport" =>
         // one-pass DedupReport vs the contract-mandated independent
         // q66 + q79 re-run, interleaved A/B (CLAUDE.md: never conclude
@@ -677,7 +700,7 @@ object ScaleBench {
           s""""wall_sec":${(System.nanoTime() - tc) / 1e9}}""")
         measured(spark, "mor_read_compacted", 20)(
           CdcMerge.readView(spark, base, "k", "seq", "op", payload).count())
-      case other => sys.error(s"unknown mode $other (docs|chains|q74ab|j37ab|bpe|dedupreport|ann|vecstream|graph|cdc)")
+      case other => sys.error(s"unknown mode $other (docs|chains|q74ab|j37ab|bpe|unigram|dedupreport|ann|vecstream|graph|cdc)")
     }
     spark.stop()
   }

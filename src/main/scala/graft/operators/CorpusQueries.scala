@@ -535,6 +535,45 @@ object CorpusQueries extends QueryGroup {
       .orderBy("nation", "bal_band")
   }
 
+  /** Q150: HTML/markup boilerplate stripping + template-line removal —
+    * the [[MarkupStrip]] operator end-to-end (the trafilatura step of a
+    * web-crawl pipeline, feeding the q115/q116/q73 hygiene chain). The
+    * corpus carries no markup, so the query first SYNTHESIZES a
+    * deterministic page around each document — head with title, style
+    * and script payloads (the script contains raw `<`, `&&` and braces:
+    * exactly the content generic tag-stripping corrupts), an HTML
+    * comment, the body text in a `<p>`, and a shared nav/footer line
+    * with `&amp;`/`&lt;` entities — then strips it and mines template
+    * lines per source (the title and nav lines repeat across every page
+    * of a source → dropped; the body line is the surviving content).
+    * Output per doc: md5 of the cleaned text + its length.
+    *
+    * The ORACLE rebuilds the page and replays the identical
+    * regexp/replace chain — every pattern is in the Java∩RE2
+    * intersection (the q81 contract), entity order `&amp;`-last, exact
+    * distinct-counts for the template mining. Clean text equals the
+    * original document text (whitespace-collapsed), which the hash
+    * match proves end-to-end. */
+  private val q150: Q = (s, d) => {
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+    val page = concat(
+      lit("<html><head><title>doc</title>" +
+        "<style>p { color: #fff; }</style>" +
+        "<script>if (a < b && c > 0) { run(); }</script></head>\n"),
+      lit("<body>\n<!-- generated\n by graft -->\n<p>"),
+      col("text"),
+      lit("</p>\n<div class=\"nav\">Home &amp; Search &lt;beta&gt;</div>" +
+        "\n</body></html>"))
+    val stripped = docs
+      .select(col("doc_id"), col("source"),
+        MarkupStrip.stripMarkup(page).as("text"))
+    MarkupStrip.dropTemplateLines(stripped, minDocs = 30L)
+      .select(col("doc_id"),
+        md5(col("clean").cast("binary")).as("clean_fp"),
+        length(col("clean")).cast("long").as("n_chars"))
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q71_text_repetition" -> q71,
     "q72_dedup_spans" -> q72,
@@ -559,12 +598,59 @@ object CorpusQueries extends QueryGroup {
     "q116_collapse_repeats" -> q116,
     "q118_pack_sequences" -> q118,
     "q126_classifier_quality" -> q126,
+    "q150_strip_markup" -> q150,
   )
 
   // 2-gram positions: range(1, len) = 1..len-1 (DuckDB range excludes the
   // upper bound), toks[i:i+1] = the 2 tokens at i — mirrors word_shingles
   // exactly (same convention as the q67 3-gram oracle).
   val oracles: Map[String, String] = Map(
+    // markup strip: rebuild the same synthetic page, replay the identical
+    // regexp/replace chain (Java∩RE2 patterns, 'g' flag = Spark's
+    // replace-all default, entity order &amp;-LAST so &amp;lt;
+    // single-decodes), then the same line mining: trimmed non-empty
+    // lines, per-(source, line) distinct-doc counts, >= 30 → template,
+    // survivors rejoined by chr(10) in line order
+    "q150_strip_markup" ->
+      """WITH d0 AS (SELECT doc_id, source, text FROM documents
+        |  WHERE text IS NOT NULL),
+        |synth AS (SELECT doc_id, source,
+        |  '<html><head><title>doc</title><style>p { color: #fff; }</style>'
+        |  || '<script>if (a < b && c > 0) { run(); }</script></head>'
+        |  || chr(10) || '<body>' || chr(10) || '<!-- generated' || chr(10)
+        |  || ' by graft -->' || chr(10) || '<p>' || text || '</p>'
+        |  || chr(10) || '<div class="nav">Home &amp; Search &lt;beta&gt;</div>'
+        |  || chr(10) || '</body></html>' AS t
+        |  FROM d0),
+        |st AS (SELECT doc_id, source,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |        t,
+        |        '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+        |        '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
+        |        '(?s)<!--.*?-->', ' ', 'g'),
+        |        '<[^>]+>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |      '&apos;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+        |    '[ \t\r\f]+', ' ', 'g')) AS s
+        |  FROM synth),
+        |lines AS (SELECT doc_id, source,
+        |    unnest(range(1, len(parts) + 1)) AS ln, unnest(parts) AS line
+        |  FROM (SELECT doc_id, source, string_split(s, chr(10)) AS parts
+        |    FROM st)),
+        |nz AS (SELECT doc_id, source, ln, trim(line) AS norm
+        |  FROM lines WHERE trim(line) <> ''),
+        |tpl AS (SELECT source, norm FROM (
+        |    SELECT source, norm, count(DISTINCT doc_id) AS nd
+        |    FROM nz GROUP BY source, norm) WHERE nd >= 30),
+        |kept AS (SELECT nz.* FROM nz ANTI JOIN tpl USING (source, norm)),
+        |reb AS (SELECT doc_id, string_agg(norm, chr(10) ORDER BY ln)
+        |    AS clean FROM kept GROUP BY doc_id)
+        |SELECT d0.doc_id, md5(coalesce(reb.clean, '')) AS clean_fp,
+        |  CAST(length(coalesce(reb.clean, '')) AS BIGINT) AS n_chars
+        |FROM d0 LEFT JOIN reb USING (doc_id) ORDER BY d0.doc_id""".stripMargin,
+
     // k-anonymity: level-0 classes over (segment, nation), level-1 over
     // (segment, region) via the nation→region hierarchy, k = 10 verdicts
     "q138_privacy_k_anonymity" ->

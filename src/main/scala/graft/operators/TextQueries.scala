@@ -631,6 +631,69 @@ object TextQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** The q149 fixed unigram-LM vocabulary as (piece, count) — mirrored
+    * textually into the oracle's VALUES list; probabilities are
+    * count/Σcount (ONE IEEE division per piece, both engines). Designed
+    * to exercise every Viterbi behavior the greedy families cannot:
+    * `stream` (count 1) LOSES to `st`+`ream` (40·40) — probability mass
+    * beats the longest match, the distinguishing unigram property —
+    * while `sort` (40) beats `so`+`rt`; `agg` forces the exact-tie
+    * tie-break (p(ag)·p(g) ≡ p(a)·p(gg) bit-for-bit, shortest final
+    * piece wins → [ag, g]); `query` has no cover ('q' is not in the
+    * vocabulary) → [UNK]. */
+  private[operators] val ugVocab: Seq[(String, Long)] = {
+    val singles = ('a' to 'z').filterNot(_ == 'q')
+      .map(c => (c.toString, 2L))
+    val multis = Seq("join", "hash", "scan", "data", "spark", "small",
+      "slow", "fast", "big", "key", "row", "the", "sort", "part", "line",
+      "dup", "table", "merge", "order", "value", "group", "window",
+      "batch", "filter", "column", "customer", "vector", "st", "ream",
+      "so", "rt", "ag", "gg").map((_, 40L))
+    (singles ++ multis) :+ ("stream", 1L)
+  }
+
+  private[operators] def ugModel: UnigramLm.Vocab = {
+    val denom = ugVocab.map(_._2).sum.toDouble
+    UnigramLm.Vocab(ugVocab.map { case (p, n) => (p, n.toDouble / denom) })
+  }
+
+  /** Q149: unigram-LM (SentencePiece) corpus encode — the THIRD
+    * production tokenizer family [Kudo 2018] beside q100's BPE and
+    * q148's WordPiece: Viterbi maximum-probability segmentation under a
+    * fixed piece-probability model (see [[ugVocab]] for the behaviors
+    * the fixture pins). Output mirrors q148: per-doc subword count,
+    * [UNK] word count, md5 fingerprint of the position-ordered piece
+    * stream.
+    *
+    * Same dictionary-join shape as q148/q100 (distinct words through
+    * the native `unigram_encode` kernel, positions joined back). The
+    * ORACLE replays the exact Viterbi recurrence per distinct word with
+    * a recursive CTE carrying the DP cell list: candidate scores are
+    * the identical double chains (best(j)·p in position/length order),
+    * the argmax is a struct-max over (score, −len) — equal doubles
+    * break to the shortest final piece, the kernel's ascending-length
+    * strict-> scan — and unreachable cells carry score 0. See
+    * [[graft.plans.UnigramVocab]] for the determinism argument. */
+  private val q149: Q = (s, d) => {
+    val live = Tables.documents(s, d).filter(col("text").isNotNull)
+    val dict = live
+      .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .distinct()
+      .withColumn("sp", call_function("unigram_encode", col("tok"),
+        ugModel.lit))
+    live.select(col("doc_id"),
+        posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "tok")))
+      .join(dict, "tok")
+      .groupBy("doc_id")
+      .agg(sum(size(col("sp"))).cast("long").as("n_sp"),
+        sum(when(col("sp") === array(lit("[UNK]")), 1L)
+          .otherwise(0L)).as("n_unk"),
+        md5(concat_ws(" ", expr(
+          "flatten(transform(array_sort(collect_list(struct(pos, sp)))" +
+            ", s -> s.sp))")).cast("binary")).as("sp_fp"))
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q33_text_topwords" -> q33,
     "q131_text_kneser_ney" -> q131,
@@ -653,6 +716,7 @@ object TextQueries extends QueryGroup {
     "q99_bpe_pair_counts" -> q99,
     "q100_bpe_encode" -> q100,
     "q148_wordpiece_encode" -> q148,
+    "q149_unigram_encode" -> q149,
     "q105_text_bm25" -> q105,
     "q111_text_bigram_backoff" -> q111,
   )
@@ -1054,6 +1118,64 @@ object TextQueries extends QueryGroup {
         |    AS wp_fp
         |FROM tp JOIN d USING (tok)
         |GROUP BY tp.doc_id ORDER BY tp.doc_id""".stripMargin),
+
+    // unigram-LM: the exact Viterbi recurrence replayed per distinct
+    // word — the recursive CTE carries each word's DP cell list
+    // (score, piece stream); the step's candidates are the identical
+    // double chains (prev.s · p in the same position/length order as the
+    // kernel), the argmax is list_sort's struct order over
+    // (s, −len, toks) — equal scores break to shortest final piece —
+    // and unreachable cells carry s = 0 (every real score is a product
+    // of positive probabilities)
+    "q149_unigram_encode" -> {
+      val best =
+        """list_sort(list_filter(
+          |        list_transform(range(1, least(i + 1, ml) + 1),
+          |          l -> struct_pack(
+          |            s := cells[i + 2 - CAST(l AS INT)].s *
+          |                 coalesce(list_extract(map_extract(m,
+          |                   substr(tok, i + 2 - CAST(l AS INT), CAST(l AS INT))), 1), 0.0),
+          |            neg := -l,
+          |            toks := cells[i + 2 - CAST(l AS INT)].toks || ' ' ||
+          |                 substr(tok, i + 2 - CAST(l AS INT), CAST(l AS INT)))),
+          |        c -> c.s > 0))[-1]""".stripMargin
+      s"""WITH RECURSIVE vnum(piece, num) AS (VALUES
+        |  ${ugVocab.map { case (p, n) => s"('$p', $n)" }.mkString(",")}),
+        |v AS (SELECT piece, CAST(num AS DOUBLE) /
+        |    (SELECT CAST(sum(num) AS DOUBLE) FROM vnum) AS p FROM vnum),
+        |vm AS (SELECT map(list(piece), list(p)) AS m,
+        |    max(len(piece)) AS ml FROM v),
+        |w(tok) AS (SELECT DISTINCT unnest(string_split(lower(text), ' '))
+        |  FROM documents WHERE text IS NOT NULL),
+        |dp(tok, n, i, m, ml, cells) AS (
+        |  SELECT tok, len(tok), 0, vm.m, vm.ml,
+        |    [struct_pack(s := CAST(1.0 AS DOUBLE), toks := '')]
+        |  FROM w, vm
+        |  UNION ALL
+        |  SELECT tok, n, i + 1, m, ml,
+        |    list_append(cells, struct_pack(
+        |      s := coalesce(($best).s, CAST(0.0 AS DOUBLE)),
+        |      toks := coalesce(($best).toks, '')))
+        |  FROM dp WHERE i < n),
+        |seg AS (
+        |  SELECT tok,
+        |    CASE WHEN n = 0 THEN CAST([] AS VARCHAR[])
+        |         WHEN cells[n + 1].s = 0 THEN ['[UNK]']
+        |         ELSE string_split(ltrim(cells[n + 1].toks, ' '), ' ')
+        |    END AS sp
+        |  FROM dp WHERE i = n),
+        |tp AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos,
+        |    unnest(toks) AS tok
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |    FROM documents WHERE text IS NOT NULL))
+        |SELECT tp.doc_id, CAST(sum(len(seg.sp)) AS BIGINT) AS n_sp,
+        |  CAST(sum(CASE WHEN seg.sp = ['[UNK]'] THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_unk,
+        |  md5(array_to_string(flatten(list(seg.sp ORDER BY tp.pos)), ' '))
+        |    AS sp_fp
+        |FROM tp JOIN seg USING (tok)
+        |GROUP BY tp.doc_id ORDER BY tp.doc_id""".stripMargin
+    },
 
     "q100_bpe_encode" ->
       """WITH RECURSIVE m(rank, l, r) AS (

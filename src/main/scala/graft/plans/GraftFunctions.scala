@@ -73,7 +73,11 @@ object GraftFunctions {
     ("weight_lookup_sum", classOf[WeightLookupSum], 2,
       (c: Seq[Expression]) => WeightLookupSum(c(0), c(1))),
     ("wordpiece_encode", classOf[WordPieceEncode], 2,
-      (c: Seq[Expression]) => WordPieceEncode(c(0), c(1))))
+      (c: Seq[Expression]) => WordPieceEncode(c(0), c(1))),
+    ("unigram_encode", classOf[UnigramEncode], 2,
+      (c: Seq[Expression]) => UnigramEncode(c(0), c(1))),
+    ("unigram_expected", classOf[UnigramExpected], 2,
+      (c: Seq[Expression]) => UnigramExpected(c(0), c(1))))
 
   /** Idempotently register every graft function into a live session (no-op
     * when GraftExtensions already injected them). */
