@@ -628,6 +628,41 @@ object ScaleBench {
             s""""batches":$batches,"mean_assign_cos_min":${drift.min},""" +
             s""""mean_assign_cos_max":${drift.max}}""")
         }
+        // quantized (int8) and PQ-packed ingest: the same stream with
+        // encode-in-batch — per-row kernel cost on top of assignment,
+        // 1-byte/dim (resp. m-byte) rows landing instead of floats
+        // kmeansCodebooks, not labelCodebooks: the synthetic corpus has
+        // ~1000 labels and PQ codes must fit one byte (k ≤ 256) — the
+        // production fit is label-free anyway
+        val params = IvfStorage.quantizationParams(src)
+        val cbs = operators.PqStorage.kmeansCodebooks(src, 8, 64, k = 64,
+          iters = 2)
+        (1 to 3).foreach { r =>
+          val lake = s"$base/qlake-r$r"; val ckpt = s"$base/qckpt-r$r"
+          val t0 = System.nanoTime()
+          val q = VectorStream.startQuantizedCellPartitioned(
+            spark.readStream.schema(src.schema)
+              .option("maxFilesPerTrigger", 16).parquet(s"$base/src"),
+            cents, params, lake, ckpt, Trigger.AvailableNow())
+          q.awaitTermination(600000)
+          val wall = (System.nanoTime() - t0) / 1e9
+          val rows = spark.read.parquet(lake).count()
+          println(s"""{"bench":"vecstream_quant","run":$r,"rows":$rows,""" +
+            s""""wall_sec":$wall,"rows_per_sec":${(rows / wall).toLong}}""")
+        }
+        (1 to 3).foreach { r =>
+          val lake = s"$base/plake-r$r"; val ckpt = s"$base/pckpt-r$r"
+          val t0 = System.nanoTime()
+          val q = VectorStream.startPackedCellPartitioned(
+            spark.readStream.schema(src.schema)
+              .option("maxFilesPerTrigger", 16).parquet(s"$base/src"),
+            cents, cbs, lake, ckpt, Trigger.AvailableNow())
+          q.awaitTermination(600000)
+          val wall = (System.nanoTime() - t0) / 1e9
+          val rows = spark.read.parquet(lake).count()
+          println(s"""{"bench":"vecstream_pq","run":$r,"rows":$rows,""" +
+            s""""wall_sec":$wall,"rows_per_sec":${(rows / wall).toLong}}""")
+        }
       case "graph" =>
         // the graph family at 1×/3×/10× the q133 edge volume, on a
         // synthetic constant-average-degree graph (V ∝ E — the honest

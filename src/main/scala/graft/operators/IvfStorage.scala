@@ -326,11 +326,14 @@ object IvfStorage {
     * by IVF cell. The float lake stays wherever it lives (typically the
     * [[writeCellPartitioned]] layout) — [[probeQuantized]] joins the
     * shortlist back to it by vec_id for the exact re-rank. */
-  def writeQuantizedCellPartitioned(embeddings: DataFrame,
-      centroids: DataFrame, params: DataFrame, dir: String): Unit =
-    // assignment and quantization are both per-row maps over the same
-    // scan — ONE projection, no self-join reassembly (the kernels exist
-    // precisely so this write is scan → project → partitioned write)
+  /** The quantized-lake row projection (vec_id, codes binary, cent_id) —
+    * assignment and quantization are both per-row maps over the same
+    * scan: ONE projection, no self-join reassembly (the kernels exist
+    * precisely so the write is scan → project → partitioned write).
+    * Shared by the batch writer and [[graft.streaming.VectorStream]]'s
+    * quantized ingest so stream and batch lakes are the same bytes. */
+  def quantizedProjection(embeddings: DataFrame, centroids: DataFrame,
+      params: DataFrame): DataFrame =
     assignCells(embeddings, centroids)
       .crossJoin(broadcast(paramArray(params)))
       .select(col("vec_id"),
@@ -338,6 +341,10 @@ object IvfStorage {
           call_function("int8_quantize", col("embedding"), col("qparams"))
             .getField("codes")).as("codes"),
         col("cent_id"))
+
+  def writeQuantizedCellPartitioned(embeddings: DataFrame,
+      centroids: DataFrame, params: DataFrame, dir: String): Unit =
+    quantizedProjection(embeddings, centroids, params)
       .repartition(col("cent_id"))
       .write.mode("overwrite").partitionBy("cent_id").parquet(dir)
 

@@ -123,14 +123,22 @@ object PqStorage {
     * partitioned by coarse IVF cell so probes prune to nProbe cells. The
     * float lake stays separate for the re-rank, as in
     * [[IvfStorage.writeQuantizedCellPartitioned]]. */
-  def writePackedCellPartitioned(embeddings: DataFrame, centroids: DataFrame,
-      codebooks: DataFrame, dir: String): Unit =
+  /** The IVFADC-lake row projection (vec_id, codes binary m bytes,
+    * cent_id) — shared by the batch writer and
+    * [[graft.streaming.VectorStream]]'s packed ingest so stream and
+    * batch lakes are the same bytes. */
+  def packedProjection(embeddings: DataFrame, centroids: DataFrame,
+      codebooks: DataFrame): DataFrame =
     IvfStorage.assignCells(embeddings, centroids)
       .crossJoin(broadcast(codebookArray(codebooks)))
       .select(col("vec_id"),
         call_function("int8_pack",
           call_function("pq_encode", col("embedding"), col("cbs"))).as("codes"),
         col("cent_id"))
+
+  def writePackedCellPartitioned(embeddings: DataFrame, centroids: DataFrame,
+      codebooks: DataFrame, dir: String): Unit =
+    packedProjection(embeddings, centroids, codebooks)
       .repartition(col("cent_id"))
       .write.mode("overwrite").partitionBy("cent_id").parquet(dir)
 

@@ -68,6 +68,67 @@ object VectorStream {
       .start()
   }
 
+  /** Quantized (int8) lake streaming ingest under FROZEN centroids AND
+    * frozen quantization params — each micro-batch encodes in-batch
+    * through the same `int8_quantize`+`int8_pack` projection as the
+    * batch writer ([[IvfStorage.quantizedProjection]] is shared code, so
+    * stream and batch lakes are the same bytes), landing 1-byte/dim
+    * codes cell-partitioned. Same exactly-once `ingest_batch` dynamic
+    * overwrite; the float lake for the exact re-rank is fed separately
+    * (typically [[startCellPartitioned]] off the same source —
+    * [[IvfStorage.probeQuantized]] joins it by vec_id). Params drift
+    * like centroids do: refit-and-rewrite is the planned event, the
+    * frozen-params append never needs one for correctness. */
+  def startQuantizedCellPartitioned(embeddings: DataFrame,
+      centroids: DataFrame, params: DataFrame, dir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds"))
+      : StreamingQuery = {
+    val encoded = IvfStorage.quantizedProjection(embeddings, centroids, params)
+      .observe("vector_ingest_quantized", count(lit(1)).as("rows"))
+    encoded.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.withColumn("ingest_batch", lit(batchId))
+          .repartition(col("cent_id"))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("cent_id", "ingest_batch")
+          .parquet(dir)
+      }
+      .start()
+  }
+
+  /** PQ/IVFADC lake streaming ingest under frozen centroids AND frozen
+    * codebooks — in-batch `pq_encode`+`int8_pack` to m-byte codes via
+    * the shared [[graft.operators.PqStorage.packedProjection]], landed
+    * cell-partitioned with the same exactly-once discipline.
+    * [[graft.operators.PqStorage.probePacked]] reads the result
+    * unchanged (the batch level under cent_id costs nothing at probe
+    * time). */
+  def startPackedCellPartitioned(embeddings: DataFrame,
+      centroids: DataFrame, codebooks: DataFrame, dir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds"))
+      : StreamingQuery = {
+    val encoded = graft.operators.PqStorage
+      .packedProjection(embeddings, centroids, codebooks)
+      .observe("vector_ingest_packed", count(lit(1)).as("rows"))
+    encoded.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.withColumn("ingest_batch", lit(batchId))
+          .repartition(col("cent_id"))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("cent_id", "ingest_batch")
+          .parquet(dir)
+      }
+      .start()
+  }
+
   /** LSH-sig-bucketed streaming ingest (the [[graft.operators.AnnStorage]]
     * layout). The signature is a pure function of the vector — no
     * quantizer to drift — so only row throughput is observed. */

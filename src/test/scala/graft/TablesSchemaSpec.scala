@@ -1,38 +1,84 @@
 package graft
 
-/** Pins the driver-testdata schemas (FIXTURES.md §B) — if the fixtures drift
-  * between rounds, this fails loudly instead of queries mis-parsing. */
+import org.apache.spark.sql.types._
+
+/** Session-start regeneration tripwire: the driver regenerates
+  * `/root/testdata` every round and has already changed a PHYSICAL
+  * parquet type once (events.ts NANOS → MICROS at round 11 — caught only
+  * because `Tables.events` branches on the surfaced type). This spec
+  * pins the SURFACED schema of every table as seen through the
+  * [[Tables]] accessors, so any future regeneration that moves a type
+  * fails loudly HERE, in one place, instead of as a scattering of
+  * oracle hash mismatches. Timestamp columns must surface as NTZ (the
+  * oracle-parity contract: DuckDB reads the same parquet as naive
+  * timestamps).
+  *
+  * If this spec fails after a testdata regeneration: fix the
+  * normalization in `Tables.build` (the events.ts branch is the
+  * pattern), then update the pinned schema here AND the note in
+  * CLAUDE.md.
+  */
 class TablesSchemaSpec extends SparkSpec {
 
-  private val expected = Map(
-    "region" -> "r_regionkey int, r_name string",
-    "nation" -> "n_nationkey int, n_name string, n_regionkey int",
-    "customer" -> "c_custkey bigint, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
-    "supplier" -> "s_suppkey bigint, s_name string, s_nationkey int, s_acctbal double",
-    "part" -> "p_partkey bigint, p_name string, p_brand string, p_type string, p_size int, p_retailprice double",
-    "orders" -> "o_orderkey bigint, o_custkey bigint, o_orderstatus string, o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string",
-    "lineitem" -> "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, l_linenumber int, l_quantity double, l_extendedprice double, l_discount double, l_tax double, l_returnflag string, l_linestatus string, l_shipdate timestamp_ntz",
-    "events" -> "event_id bigint, ts timestamp_ntz, user_id bigint, event_type string, value double, props string",
-    "documents" -> "doc_id bigint, text string, lang string, source string, n_chars bigint",
-    "embeddings" -> "vec_id bigint, embedding array<float>, label int")
+  private val expected: Map[String, Seq[(String, DataType)]] = Map(
+    "region" -> Seq(
+      "r_regionkey" -> IntegerType, "r_name" -> StringType),
+    "nation" -> Seq(
+      "n_nationkey" -> IntegerType, "n_name" -> StringType,
+      "n_regionkey" -> IntegerType),
+    "customer" -> Seq(
+      "c_custkey" -> LongType, "c_name" -> StringType,
+      "c_nationkey" -> IntegerType, "c_acctbal" -> DoubleType,
+      "c_mktsegment" -> StringType),
+    "supplier" -> Seq(
+      "s_suppkey" -> LongType, "s_name" -> StringType,
+      "s_nationkey" -> IntegerType, "s_acctbal" -> DoubleType),
+    "part" -> Seq(
+      "p_partkey" -> LongType, "p_name" -> StringType,
+      "p_brand" -> StringType, "p_type" -> StringType,
+      "p_size" -> IntegerType, "p_retailprice" -> DoubleType),
+    "orders" -> Seq(
+      "o_orderkey" -> LongType, "o_custkey" -> LongType,
+      "o_orderstatus" -> StringType, "o_totalprice" -> DoubleType,
+      "o_orderdate" -> TimestampNTZType, "o_orderpriority" -> StringType),
+    "lineitem" -> Seq(
+      "l_orderkey" -> LongType, "l_partkey" -> LongType,
+      "l_suppkey" -> LongType, "l_linenumber" -> IntegerType,
+      "l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType,
+      "l_discount" -> DoubleType, "l_tax" -> DoubleType,
+      "l_returnflag" -> StringType, "l_linestatus" -> StringType,
+      "l_shipdate" -> TimestampNTZType),
+    "events" -> Seq(
+      "event_id" -> LongType, "ts" -> TimestampNTZType,
+      "user_id" -> LongType, "event_type" -> StringType,
+      "value" -> DoubleType, "props" -> StringType),
+    "documents" -> Seq(
+      "doc_id" -> LongType, "text" -> StringType, "lang" -> StringType,
+      "source" -> StringType, "n_chars" -> LongType),
+    "embeddings" -> Seq(
+      "vec_id" -> LongType,
+      "embedding" -> ArrayType(FloatType, containsNull = true),
+      "label" -> IntegerType))
 
-  Tables.all.foreach { name =>
-    test(s"$name schema matches FIXTURES.md") {
-      val got = Tables(spark, sfDir, name).schema.fields
-        .map(f => s"${f.name} ${f.dataType.simpleString}").mkString(", ")
-      assert(got.toLowerCase == expected(name).toLowerCase, s"\ngot:      $got")
+  test("every table surfaces the pinned schema through Tables (regeneration tripwire)") {
+    assert(Tables.all.toSet == expected.keySet)
+    val diffs = Tables.all.flatMap { name =>
+      val got = Tables(spark, sfDir, name).schema
+        .map(f => f.name -> f.dataType)
+      val want = expected(name)
+      if (got == want) None
+      else Some(s"$name:\n  got  $got\n  want $want")
     }
+    assert(diffs.isEmpty,
+      "SURFACED SCHEMA CHANGED (driver testdata regeneration?) — fix " +
+        "Tables.build normalization, then re-pin here and in CLAUDE.md:\n" +
+        diffs.mkString("\n"))
   }
 
-  test("embedding dimension is 64 (pins the oracle fragments that can't derive len())") {
-    // q48/q54 oracles use generate_series(1, 64) — DuckDB's generate_series
-    // takes no lateral column refs, so the bound can't derive from len().
-    // This pin makes a fixture-dimension change fail loudly instead of
-    // letting those oracles compute silently-wrong expected values.
-    import org.apache.spark.sql.functions._
-    val dims = Tables(spark, sfDir, "embeddings")
-      .select(size(col("embedding")).as("d")).distinct()
-      .collect().map(_.getInt(0)).toSet
-    assert(dims == Set(64), s"embedding dims: $dims")
+  test("timestamp columns are NTZ everywhere (DuckDB naive-timestamp parity)") {
+    for (name <- Tables.all; f <- Tables(spark, sfDir, name).schema)
+      assert(f.dataType != TimestampType,
+        s"$name.${f.name} surfaced as TIMESTAMP_LTZ — the oracle contract " +
+          "requires NTZ (see operators/package.scala docs)")
   }
 }

@@ -70,6 +70,78 @@ class VectorStreamSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters"), plan.take(2000))
   }
 
+  test("quantized int8 ingest: stream lake ≡ batch lake (probe identity), kill-restart adds no dups") {
+    val clean = emb.filter(size(col("embedding")) === 64 &&
+      !exists(col("embedding"), x => x.isNull))
+    val src = tmpDir("vq-src"); val lake = tmpDir("vq-lake")
+    val ckpt = tmpDir("vq-ckpt")
+    val cents = IvfStorage.labelCentroids(clean)
+    val params = IvfStorage.quantizationParams(clean)
+    val n = clean.count()
+    val half = n / 2
+    clean.filter(col("vec_id") < half).write.mode("append").parquet(src)
+    val schema = clean.schema
+    def run() = {
+      val q = VectorStream.startQuantizedCellPartitioned(
+        spark.readStream.schema(schema).parquet(src), cents, params, lake,
+        ckpt, Trigger.AvailableNow())
+      q.awaitTermination(120000)
+    }
+    run()
+    // "crash": deliver the rest, restart from the same checkpoint
+    clean.filter(col("vec_id") >= half).write.mode("append").parquet(src)
+    run()
+    val full = spark.read.parquet(lake)
+    assert(full.count() == n)
+    assert(full.select("vec_id").distinct().count() == n, "duplicate vec_ids")
+    // the streamed lake probes identically to the batch-built one —
+    // shared projection means same codes, same cells, same bytes
+    val batchLake = tmpDir("vq-batch-lake")
+    IvfStorage.writeQuantizedCellPartitioned(clean, cents, params, batchLake)
+    val qv = clean.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val got = IvfStorage.probeQuantized(spark, lake, clean, cents, params,
+      qv, nProbe = 2, k = 5).collect().toSeq
+    val want = IvfStorage.probeQuantized(spark, batchLake, clean, cents,
+      params, qv, nProbe = 2, k = 5).collect().toSeq
+    assert(got == want)
+  }
+
+  test("PQ packed ingest: stream lake ≡ batch lake (IVFADC probe identity) across restart") {
+    val clean = emb.filter(size(col("embedding")) === 64 &&
+      !exists(col("embedding"), x => x.isNull))
+    val src = tmpDir("vp-src"); val lake = tmpDir("vp-lake")
+    val ckpt = tmpDir("vp-ckpt")
+    val cents = IvfStorage.labelCentroids(clean)
+    val cbs = graft.operators.PqStorage.labelCodebooks(clean, 8, 64)
+    val n = clean.count()
+    val half = n / 2
+    clean.filter(col("vec_id") < half).write.mode("append").parquet(src)
+    val schema = clean.schema
+    def run() = {
+      val q = VectorStream.startPackedCellPartitioned(
+        spark.readStream.schema(schema).parquet(src), cents, cbs, lake,
+        ckpt, Trigger.AvailableNow())
+      q.awaitTermination(120000)
+    }
+    run()
+    clean.filter(col("vec_id") >= half).write.mode("append").parquet(src)
+    run()
+    val full = spark.read.parquet(lake)
+    assert(full.count() == n)
+    assert(full.select("vec_id").distinct().count() == n, "duplicate vec_ids")
+    val batchLake = tmpDir("vp-batch-lake")
+    graft.operators.PqStorage.writePackedCellPartitioned(
+      clean, cents, cbs, batchLake)
+    val qv = clean.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val got = graft.operators.PqStorage.probePacked(spark, lake, clean,
+      cents, cbs, qv, m = 8, dim = 64).collect().toSeq
+    val want = graft.operators.PqStorage.probePacked(spark, batchLake, clean,
+      cents, cbs, qv, m = 8, dim = 64).collect().toSeq
+    assert(got == want)
+  }
+
   test("sig ingest: bucketed layout converges across restart, probe matches batch") {
     val src = tmpDir("vss-src"); val lake = tmpDir("vss-lake")
     val ckpt = tmpDir("vss-ckpt")
