@@ -574,6 +574,24 @@ object CorpusQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** Q151: INCREMENTAL duplicated-span removal — [[SpanIndex]] end-to-end
+    * in one plan: the stored-corpus half (doc_id < 250) contributes only
+    * its shingle-ownership INDEX (the lake's derivation,
+    * [[SpanIndex.fromCorpus]]); the ingest half (doc_id ≥ 250) cleans
+    * itself against that index plus q109's in-batch min-id rule
+    * ([[SpanIndex.cleanAgainst]]). Under monotonic ids this is
+    * row-identical to full-batch q109 restricted to the new docs
+    * (SpanIndexSpec pins it two waves deep, plus the bucketed-lake
+    * round trip) — but the corpus TEXT is never re-shingled: at 100 TB
+    * the probe is one map-side pass over the Heaps-sized index, the
+    * q82 no-recompute economics at span granularity. */
+  private val q151: Q = (s, d) => {
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+    val idx = SpanIndex.fromCorpus(docs.filter(col("doc_id") < 250), "doc_id")
+    SpanIndex.cleanAgainst(idx, docs.filter(col("doc_id") >= 250), "doc_id")
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q71_text_repetition" -> q71,
     "q72_dedup_spans" -> q72,
@@ -599,6 +617,7 @@ object CorpusQueries extends QueryGroup {
     "q118_pack_sequences" -> q118,
     "q126_classifier_quality" -> q126,
     "q150_strip_markup" -> q150,
+    "q151_dedup_span_incremental" -> q151,
   )
 
   // 2-gram positions: range(1, len) = 1..len-1 (DuckDB range excludes the
@@ -1146,6 +1165,42 @@ object CorpusQueries extends QueryGroup {
     // allowed lateral column refs, unlike the table function), tokens
     // anti-join the drop set, and the rebuild string_aggs in position
     // order; fully-copied docs keep a row with empty cleaned_text
+    // incremental span removal: same shingle/position conventions as the
+    // q109 oracle; the old half contributes only its (sh, owner) index,
+    // the new half applies index-hit OR in-batch non-owner removal
+    "q151_dedup_span_incremental" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |p AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(toks) - 3),
+        |      i -> {'pos': i, 'sh': array_to_string(toks[i:i+4], ' ')})) AS u
+        |  FROM t WHERE len(toks) >= 5),
+        |q AS (SELECT doc_id, u.pos AS pos, u.sh AS sh FROM p),
+        |idx AS (SELECT sh, min(doc_id) AS owner FROM q
+        |  WHERE doc_id < 250 GROUP BY sh),
+        |nq AS (SELECT * FROM q WHERE doc_id >= 250),
+        |ver AS (SELECT sh, min(doc_id) AS bowner,
+        |    count(DISTINCT doc_id) AS nd FROM nq GROUP BY sh),
+        |rem AS (SELECT nq.doc_id, nq.pos FROM nq
+        |  JOIN ver USING (sh) LEFT JOIN idx USING (sh)
+        |  WHERE idx.owner IS NOT NULL
+        |     OR (ver.nd > 1 AND nq.doc_id <> ver.bowner)),
+        |dp AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + 5)) AS tk
+        |  FROM rem),
+        |tokp AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS tk,
+        |  unnest(toks) AS tok FROM t WHERE doc_id >= 250),
+        |kept AS (SELECT tokp.doc_id, tokp.tk, tokp.tok FROM tokp
+        |  ANTI JOIN dp USING (doc_id, tk)),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |  string_agg(tok, ' ' ORDER BY tk) AS cleaned
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(t.toks) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed,
+        |  coalesce(agg.cleaned, '') AS cleaned_text
+        |FROM t LEFT JOIN agg USING (doc_id)
+        |WHERE t.doc_id >= 250
+        |ORDER BY doc_id""".stripMargin,
+
     "q109_dedup_span_removal" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
         |  FROM documents WHERE text IS NOT NULL),
