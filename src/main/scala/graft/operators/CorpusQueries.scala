@@ -574,6 +574,62 @@ object CorpusQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** Q152: t-closeness audit [Li, Li, Venkatasubramanian ICDE'07] — the
+    * third rung of the release-audit ladder (q138 k-anonymity → q146
+    * l-diversity → THIS): a class can be large AND diverse yet still leak
+    * when its sensitive-value DISTRIBUTION differs sharply from the
+    * table's (the skewness attack). Per equivalence class over the QI
+    * tuple (segment, nation): Earth Mover's Distance between the class's
+    * distribution over the ORDERED sensitive attribute (q146's $1000
+    * account-balance band) and the global distribution, with the t = 0.2
+    * verdict.
+    *
+    * For an ordered attribute EMD has the closed form
+    * `Σᵢ |Σ_{j≤i} (p_j − q_j)| / (m−1)`; kept in EXACT integer space:
+    * p_j − q_j = (cnt_j·N − C_j·n_g)/(n_g·N), so the cumulative sums are
+    * BIGINT and the query emits the rational (emd_num, emd_den) pair plus
+    * the cross-multiplied verdict `emd_num·5 ≤ emd_den` — no division
+    * ever happens, so both engines agree bit-for-bit (the q95
+    * exact-ratio contract). At extreme corpus scale the numerator bound
+    * is n_g·N·m — swap the BIGINT sums for DECIMAL(38,0) past ~10⁹ rows;
+    * the shape is unchanged.
+    *
+    * Shape: two domain-bounded grouped counts (classes, global bands), a
+    * broadcast band-grid expansion (classes × m rows — QI/band domain
+    * sized, never table sized), one window cumsum per class. All row
+    * volume is absorbed map-side by partial aggregation. */
+  private val q152: Q = (s, d) => {
+    val rows = Tables.customer(s, d).select(
+      col("c_mktsegment").as("segment"),
+      col("c_nationkey").cast("long").as("nation"),
+      expr("(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+        " + 100000) div 100000").as("band"))
+    val global = rows.groupBy("band").agg(count(lit(1)).as("gcnt"))
+    val tot = global.agg(sum(col("gcnt")).cast("long").as("n_total"),
+      count(lit(1)).cast("long").as("m_bands"))
+    val classes = rows.groupBy("segment", "nation")
+      .agg(count(lit(1)).as("class_size"))
+    val perCell = rows.groupBy("segment", "nation", "band")
+      .agg(count(lit(1)).as("cnt"))
+    val grid = classes.crossJoin(broadcast(global))
+      .join(perCell, Seq("segment", "nation", "band"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+    val w = Window.partitionBy("segment", "nation").orderBy("band")
+    grid.crossJoin(broadcast(tot))
+      .withColumn("s_i", sum(
+        col("cnt") * col("n_total") - col("gcnt") * col("class_size")).over(w))
+      .groupBy("segment", "nation", "class_size", "n_total", "m_bands")
+      .agg(sum(abs(col("s_i"))).cast("long").as("emd_num"))
+      .select(col("segment"), col("nation"), col("class_size"),
+        col("emd_num"),
+        (col("class_size") * col("n_total") * (col("m_bands") - 1))
+          .as("emd_den"),
+        (col("emd_num") * 5 <=
+          col("class_size") * col("n_total") * (col("m_bands") - 1))
+          .as("t_close"))
+      .orderBy("segment", "nation")
+  }
+
   /** Q151: INCREMENTAL duplicated-span removal — [[SpanIndex]] end-to-end
     * in one plan: the stored-corpus half (doc_id < 250) contributes only
     * its shingle-ownership INDEX (the lake's derivation,
@@ -618,6 +674,7 @@ object CorpusQueries extends QueryGroup {
     "q126_classifier_quality" -> q126,
     "q150_strip_markup" -> q150,
     "q151_dedup_span_incremental" -> q151,
+    "q152_privacy_t_closeness" -> q152,
   )
 
   // 2-gram positions: range(1, len) = 1..len-1 (DuckDB range excludes the
@@ -707,6 +764,40 @@ object CorpusQueries extends QueryGroup {
         |  max(cnt) AS top_sensitive
         |FROM g GROUP BY nation, bal_band
         |ORDER BY nation, bal_band""".stripMargin,
+
+    // t-closeness: exact-integer ordered-EMD — band grid per class, BIGINT
+    // cumulative sums of (cnt·N − C·n_g), rational (num, den) output with a
+    // cross-multiplied t = 0.2 verdict; window sum(BIGINT) is HUGEINT in
+    // DuckDB → cast back (the q91 rule)
+    "q152_privacy_t_closeness" ->
+      """WITH r AS (SELECT c_mktsegment AS segment,
+        |    CAST(c_nationkey AS BIGINT) AS nation,
+        |    (CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      + 100000) // 100000 AS band FROM customer),
+        |g AS (SELECT band, CAST(count(*) AS BIGINT) AS gcnt
+        |  FROM r GROUP BY band),
+        |t AS (SELECT CAST(sum(gcnt) AS BIGINT) AS n_total,
+        |    CAST(count(*) AS BIGINT) AS m_bands FROM g),
+        |cl AS (SELECT segment, nation, CAST(count(*) AS BIGINT)
+        |    AS class_size FROM r GROUP BY segment, nation),
+        |pc AS (SELECT segment, nation, band, CAST(count(*) AS BIGINT)
+        |    AS cnt FROM r GROUP BY segment, nation, band),
+        |grid AS (SELECT cl.segment, cl.nation, cl.class_size, g.band,
+        |    g.gcnt, COALESCE(pc.cnt, 0) AS cnt
+        |  FROM cl CROSS JOIN g
+        |  LEFT JOIN pc ON pc.segment = cl.segment
+        |    AND pc.nation = cl.nation AND pc.band = g.band),
+        |cum AS (SELECT segment, nation, class_size, t.n_total, t.m_bands,
+        |    CAST(sum(cnt * t.n_total - gcnt * class_size) OVER (
+        |      PARTITION BY segment, nation ORDER BY band) AS BIGINT) AS s_i
+        |  FROM grid, t)
+        |SELECT segment, nation, class_size,
+        |  CAST(sum(abs(s_i)) AS BIGINT) AS emd_num,
+        |  class_size * n_total * (m_bands - 1) AS emd_den,
+        |  CAST(sum(abs(s_i)) AS BIGINT) * 5
+        |    <= class_size * n_total * (m_bands - 1) AS t_close
+        |FROM cum GROUP BY segment, nation, class_size, n_total, m_bands
+        |ORDER BY segment, nation""".stripMargin,
 
     // temperature mixing: sqrt weights (correctly-rounded IEEE — the one
     // oracle-safe power), source-ordered fold normalizer, floor budgets,

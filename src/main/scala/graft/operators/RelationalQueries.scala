@@ -632,7 +632,54 @@ object RelationalQueries extends QueryGroup {
       .orderBy("c_custkey")
   }
 
+  /** Q155: interval-overlap self-join via temporal banding — the segment/
+    * session overlap primitive (audio/video segment alignment, in-transit
+    * inventory, concurrent-session analytics) that naive SQL expresses as
+    * a quadratic theta-join. Intervals are lineitem shipments in transit:
+    * [shipdate, shipdate + 1..14 days] (duration derived from the integer
+    * line id so both engines agree exactly); pairs of same-supplier
+    * shipments whose transit windows overlap are emitted with their exact
+    * overlap length in days.
+    *
+    * Scale design (the q11 band-join idea specialized to intervals): each
+    * interval is exploded to the 16-day bands it touches — band width >
+    * max duration bounds the fan-out at 2 rows per interval — and pairs
+    * join on (supplier, band) with the exact overlap predicate applied
+    * inside the band. The duplicate-elimination rule is positional, not a
+    * distinct: a pair is emitted only in the band containing the LATER
+    * start (that band is inside both intervals' spans, so each
+    * overlapping pair appears exactly once — no post-join dedup shuffle).
+    * Shuffle is on (supplier, band): linear in the interval count, never
+    * the quadratic pair space the oracle's naive theta-join walks. */
+  private val q155: Q = (s, d) => {
+    val iv = Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_suppkey").cast("long").as("supp"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).cast("long")
+          .as("line_id"),
+        datediff(col("l_shipdate").cast("date"),
+          lit("1970-01-01").cast("date")).cast("long").as("start_day"))
+      .withColumn("end_day", col("start_day") + col("line_id") % 14 + 1)
+    val banded = iv.withColumn("band",
+      explode(expr("sequence(start_day div 16, end_day div 16)")))
+    val a = banded.select(col("supp"), col("band"),
+      col("line_id").as("a_id"), col("start_day").as("a_start"),
+      col("end_day").as("a_end"))
+    val b = banded.select(col("supp"), col("band"),
+      col("line_id").as("b_id"), col("start_day").as("b_start"),
+      col("end_day").as("b_end"))
+    a.join(b, Seq("supp", "band"))
+      .filter(col("a_id") < col("b_id") &&
+        col("a_start") <= col("b_end") && col("b_start") <= col("a_end") &&
+        col("band") === expr("greatest(a_start, b_start) div 16"))
+      .select(col("supp"), col("a_id"), col("b_id"),
+        (least(col("a_end"), col("b_end")) -
+          greatest(col("a_start"), col("b_start")) + 1).as("overlap_days"))
+      .orderBy("a_id", "b_id")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
+    "q155_join_interval_overlap" -> q155,
     "q125_scd2_upsert" -> q125,
     "q130_cdc_merge" -> q130,
     "q01_scan_project" -> q01,
@@ -681,6 +728,24 @@ object RelationalQueries extends QueryGroup {
   )
 
   val oracles: Map[String, String] = Map(
+    // interval overlap: the oracle runs the NAIVE per-supplier theta-join
+    // (correct by definition); the engine's banded plan must emit the
+    // identical pair set with identical overlap lengths
+    "q155_join_interval_overlap" ->
+      """WITH l AS (SELECT CAST(l_suppkey AS BIGINT) AS supp,
+        |    CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS line_id,
+        |    CAST(date_diff('day', DATE '1970-01-01',
+        |      CAST(l_shipdate AS DATE)) AS BIGINT) AS start_day
+        |  FROM lineitem WHERE l_returnflag = 'R'),
+        |iv AS (SELECT supp, line_id, start_day,
+        |    start_day + line_id % 14 + 1 AS end_day FROM l)
+        |SELECT a.supp, a.line_id AS a_id, b.line_id AS b_id,
+        |  least(a.end_day, b.end_day) - greatest(a.start_day, b.start_day)
+        |    + 1 AS overlap_days
+        |FROM iv a JOIN iv b ON a.supp = b.supp AND a.line_id < b.line_id
+        |  AND a.start_day <= b.end_day AND b.start_day <= a.end_day
+        |ORDER BY a_id, b_id""".stripMargin,
+
     // SCD2 reconstruction: changed keys (≡0 mod 10) → closed old row +
     // opened new row; no-op updates (≡5 mod 10) and untouched keys → one
     // current row. Double arithmetic (+100.0) is a single IEEE add both

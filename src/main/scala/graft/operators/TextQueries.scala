@@ -694,8 +694,47 @@ object TextQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** Q153: regex pretokenization — the GPT-2-family pre-tokenizer stage
+    * that precedes BPE/WordPiece/unigram training and encode (q99/q100/
+    * q148/q149 all start from whitespace words; production tokenizers
+    * first split on THIS kind of class-run pattern so merges never cross
+    * a letter/digit/punctuation boundary [Radford et al. 2019]). The
+    * pattern is the lookahead-free core of the GPT-2 split —
+    * contraction pieces, space-prefixed letter runs, space-prefixed
+    * digit runs, space-prefixed punctuation runs, residual spaces —
+    * kept inside the Java∩RE2 intersection (alternation is
+    * leftmost-first in BOTH engines; RE2 has no lookahead, so the
+    * `\s+(?!\S)` tail of the original is the one piece dropped). The
+    * corpus is letters-and-spaces only, so each doc is decorated with a
+    * deterministic digit/punct/contraction suffix to exercise every
+    * branch cross-engine.
+    *
+    * Emits per doc: token count, per-class counts, and the md5
+    * fingerprint of the exact token stream (chr(1)-joined — absent from
+    * the printable-ASCII corpus), which pins token IDENTITY and ORDER,
+    * not just counts. Pure per-row column math — scan + project + sort,
+    * no shuffle at any corpus size. */
+  private val q153: Q = (s, d) => {
+    val pat = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+    def classCount(toks: org.apache.spark.sql.Column, re: String) =
+      size(filter(toks, t => t.rlike(re))).cast("long")
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" id="), col("doc_id").cast("string"),
+          lit(" we're #1, don't stop!")).as("dec"))
+      .withColumn("toks", regexp_extract_all(col("dec"), lit(pat), lit(0)))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        classCount(col("toks"), "^ ?[A-Za-z]+$").as("n_word"),
+        classCount(col("toks"), "^ ?[0-9]+$").as("n_num"),
+        classCount(col("toks"), "^'").as("n_contr"),
+        md5(array_join(col("toks"), "\u0001").cast("binary")).as("tok_fp"))
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q33_text_topwords" -> q33,
+    "q153_pretokenize_regex" -> q153,
     "q131_text_kneser_ney" -> q131,
     "q135_text_phrase_search" -> q135,
     "q139_text_proximity" -> q139,
@@ -722,6 +761,25 @@ object TextQueries extends QueryGroup {
   )
 
   val oracles: Map[String, String] = Map(
+    // regex pretokenizer: identical leftmost-first alternation in Java and
+    // RE2 (no lookahead anywhere); chr(1)-joined md5 pins token order
+    "q153_pretokenize_regex" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(
+        |    text || ' id=' || CAST(doc_id AS VARCHAR) || ' we''re #1, don''t stop!',
+        |    '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +',
+        |    0) AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(toks,
+        |    x -> regexp_matches(x, '^ ?[A-Za-z]+$'))) AS BIGINT) AS n_word,
+        |  CAST(len(list_filter(toks,
+        |    x -> regexp_matches(x, '^ ?[0-9]+$'))) AS BIGINT) AS n_num,
+        |  CAST(len(list_filter(toks,
+        |    x -> regexp_matches(x, '^'''))) AS BIGINT) AS n_contr,
+        |  md5(array_to_string(toks, chr(1))) AS tok_fp
+        |FROM t ORDER BY doc_id""".stripMargin,
+
     // bigram stupid backoff: model on even doc_ids; the pair/pos/w1/w2 zip
     // is four unnest()s over equal-length lists (the q97 trick); each pair
     // score mirrors the Spark branch op-for-op; per-doc score is the
