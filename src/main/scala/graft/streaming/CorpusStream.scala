@@ -250,4 +250,48 @@ object CorpusStream {
       shs != null && shs.exists(bloomBc.value.mightContainString))
     docs.filter(col("text").isNotNull && !dirty(shingles(col("text"))))
   }
+
+  /** Tokenize-at-ingest: subword-encode each arriving document with a
+    * TRAINED vocabulary, so the lake lands already tokenized (the loader
+    * reads token counts and packs sequences without a second full-corpus
+    * pass — at 100 TB, re-tokenizing the history per training run is the
+    * single largest avoidable cost in the pipeline).
+    *
+    * Both supported families ([[graft.plans.WordPiece]] greedy
+    * longest-match, [[graft.plans.Unigram]] Viterbi max-probability) are
+    * native per-row kernels with the vocabulary shipped as a plan literal
+    * and indexed once per plan — the stage is STATELESS column math: no
+    * state store, no watermark requirement, no shuffle, identical
+    * semantics on a batch frame (parity with the q148/q149 per-word
+    * kernels is spec-pinned). Batch pipelines with a large corpus should
+    * prefer the q148/q100 dictionary-join shape (encode work sized by
+    * DISTINCT words); at ingest the per-row kernel wins because a
+    * micro-batch's distinct-word dictionary is no smaller than its token
+    * stream, and statelessness keeps the stage composable after
+    * [[clean]]/[[decontaminateBloom]] inside one query.
+    *
+    * Emits `pieces` (the full subword stream), `n_pieces` and `n_unk`
+    * ("[UNK]" for WordPiece; unigram vocabularies here always cover by
+    * single-character fallback, so its n_unk counts unreachable words). */
+  private def tokenizeWith(docs: DataFrame, encodeFn: String,
+      vocabLit: Column, textCol: String): DataFrame =
+    docs
+      .withColumn("pieces",
+        flatten(transform(TextFunctions.tokens(col(textCol)),
+          t => call_function(encodeFn, t, vocabLit))))
+      .withColumn("n_pieces", size(col("pieces")).cast("long"))
+      .withColumn("n_unk",
+        size(filter(col("pieces"), p => p === "[UNK]")).cast("long"))
+
+  /** WordPiece greedy longest-match at ingest (vocab = plain pieces,
+    * `##`-prefixed continuations — the q148 vocabulary shape). */
+  def tokenizeWordPiece(docs: DataFrame, vocab: Seq[String],
+      textCol: String = "text"): DataFrame =
+    tokenizeWith(docs, "wordpiece_encode", array(vocab.map(lit): _*), textCol)
+
+  /** Unigram-LM Viterbi segmentation at ingest (model = a trained
+    * [[graft.operators.UnigramLm.Vocab]], q149's kernel). */
+  def tokenizeUnigram(docs: DataFrame, model: graft.operators.UnigramLm.Vocab,
+      textCol: String = "text"): DataFrame =
+    tokenizeWith(docs, "unigram_encode", model.lit, textCol)
 }
