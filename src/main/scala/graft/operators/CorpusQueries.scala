@@ -630,6 +630,39 @@ object CorpusQueries extends QueryGroup {
       .orderBy("segment", "nation")
   }
 
+  /** Q156: corpus snapshot diff — the data-versioning audit a lake run
+    * prints between two corpus snapshots before promoting one (the
+    * read-side complement of q130's CDC merge: THAT applies a change
+    * feed, THIS derives one from two materialized states). Per doc_id
+    * across old ∪ new: `added` / `removed` / `changed` (content md5
+    * differs) / `same`, with both fingerprints as evidence. Snapshots
+    * are derived deterministically from the documents table (old drops
+    * id ≡ 1 mod 7, new drops id ≡ 3 mod 11 and revises id ≡ 2 mod 5) so
+    * every verdict class is exercised.
+    *
+    * Shape: two scans + ONE full-outer equi-join on the id — with both
+    * snapshots id-bucketed (the lake layout convention here), the join
+    * is co-partitioned and shuffle-free at any snapshot size; the diff
+    * report streams out of the join with no further stage. */
+  private val q156: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val oldSnap = docs.filter(col("doc_id") % 7 =!= 1)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("old_fp"))
+    val newSnap = docs.filter(col("doc_id") % 11 =!= 3)
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % 5 === 2, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")).cast("binary")).as("new_fp"))
+    oldSnap.join(newSnap, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("old_fp").isNull, "added")
+          .when(col("new_fp").isNull, "removed")
+          .when(col("old_fp") === col("new_fp"), "same")
+          .otherwise("changed").as("status"),
+        coalesce(col("old_fp"), lit("")).as("old_fp"),
+        coalesce(col("new_fp"), lit("")).as("new_fp"))
+      .orderBy("doc_id")
+  }
+
   /** Q151: INCREMENTAL duplicated-span removal — [[SpanIndex]] end-to-end
     * in one plan: the stored-corpus half (doc_id < 250) contributes only
     * its shingle-ownership INDEX (the lake's derivation,
@@ -675,6 +708,7 @@ object CorpusQueries extends QueryGroup {
     "q150_strip_markup" -> q150,
     "q151_dedup_span_incremental" -> q151,
     "q152_privacy_t_closeness" -> q152,
+    "q156_corpus_snapshot_diff" -> q156,
   )
 
   // 2-gram positions: range(1, len) = 1..len-1 (DuckDB range excludes the
@@ -764,6 +798,24 @@ object CorpusQueries extends QueryGroup {
         |  max(cnt) AS top_sensitive
         |FROM g GROUP BY nation, bal_band
         |ORDER BY nation, bal_band""".stripMargin,
+
+    // snapshot diff: full-outer fingerprint join, verdict per doc
+    "q156_corpus_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id, md5(text) AS old_fp
+        |  FROM documents WHERE doc_id % 7 <> 1),
+        |n AS (SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 5 = 2 THEN text || ' rev2'
+        |      ELSE text END) AS new_fp
+        |  FROM documents WHERE doc_id % 11 <> 3)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.old_fp IS NULL THEN 'added'
+        |    WHEN n.new_fp IS NULL THEN 'removed'
+        |    WHEN o.old_fp = n.new_fp THEN 'same'
+        |    ELSE 'changed' END AS status,
+        |  COALESCE(o.old_fp, '') AS old_fp,
+        |  COALESCE(n.new_fp, '') AS new_fp
+        |FROM o FULL JOIN n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     // t-closeness: exact-integer ordered-EMD — band grid per class, BIGINT
     // cumulative sums of (cnt·N − C·n_g), rational (num, den) output with a

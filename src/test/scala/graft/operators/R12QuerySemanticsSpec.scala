@@ -101,6 +101,47 @@ class R12QuerySemanticsSpec extends SparkSpec {
       comp66(r.getAs[Long]("doc_id")) == r.getAs[Long]("component")))
   }
 
+  test("q156: every verdict is justified by the two snapshot states") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val out = SparkEntry.queries("q156_corpus_snapshot_diff")(spark, sfDir)
+      .collect()
+    val inEither = docs.keys.filter(id => id % 7 != 1 || id % 11 != 3).toSet
+    assert(out.length == inEither.size,
+      "exactly the docs present in old ∪ new are reported")
+    val statuses = out.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+    inEither.foreach { id =>
+      val inOld = id % 7 != 1
+      val inNew = id % 11 != 3
+      val revised = id % 5 == 2
+      val expect =
+        if (!inOld) "added"
+        else if (!inNew) "removed"
+        else if (revised) "changed" else "same"
+      assert(statuses(id) == expect, s"doc $id: ${statuses(id)} != $expect")
+    }
+    assert(Set("added", "removed", "changed", "same")
+      .subsetOf(statuses.values.toSet), "all verdict classes exercised")
+  }
+
+  test("q157: ranks are dense, cosine non-increasing, neighbors share the cell") {
+    val out = SparkEntry.queries("q157_sim_knn_graph")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val bySrc = out.groupBy(_.getAs[Long]("src_id"))
+    bySrc.foreach { case (src, rows) =>
+      val byRk = rows.sortBy(_.getAs[Long]("rk"))
+      assert(byRk.map(_.getAs[Long]("rk")).toSeq ==
+        (1L to byRk.length).toSeq, s"src $src ranks not dense")
+      assert(byRk.length <= 3)
+      val coss = byRk.map(_.getAs[Double]("cos"))
+      assert(coss.zip(coss.tail).forall { case (x, y) => x >= y },
+        s"src $src cosine must be non-increasing over ranks")
+      assert(!byRk.exists(_.getAs[Long]("nbr_id") == src), "no self edges")
+    }
+  }
+
   test("q155: banded plan equals the naive theta-join") {
     val iv = Tables.lineitem(spark, sfDir)
       .filter(col("l_returnflag") === "R")
