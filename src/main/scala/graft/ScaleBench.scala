@@ -693,6 +693,50 @@ object ScaleBench {
             operators.PageRank.run(sym, 5).count())
           edges.unpersist()
         }
+      case "interval" =>
+        // banded interval join vs naive theta-join at CONSTANT temporal
+        // density (history span grows with the interval count — the
+        // realistic regime): banded work stays ~linear, naive per-key
+        // comparisons grow quadratically. Naive is skipped at 10× (it is
+        // the point of the measurement that it stops being runnable).
+        import operators.IntervalJoin
+        val baseN = 200000L
+        val nSupp = 20
+        Seq(1, 3, 10).foreach { m =>
+          val n = baseN * m
+          val span = 3000L * m
+          val iv = spark.range(n).select(
+              (col("id") % nSupp).as("supp"), col("id").as("line_id"),
+              (abs(xxhash64(col("id"))) % span).as("start_day"))
+            .withColumn("end_day", col("start_day") + col("line_id") % 14 + 1)
+          iv.persist(); iv.count()
+          measured(spark, "interval_banded", m)(
+            IntervalJoin.overlapPairs(iv, "supp", "line_id",
+              "start_day", "end_day", maxLen = 14L).count())
+          if (m < 10)
+            measured(spark, "interval_naive", m)(
+              IntervalJoin.overlapPairsNaive(iv, "supp", "line_id",
+                "start_day", "end_day").count())
+          iv.unpersist()
+        }
+      case "tokingest" =>
+        // tokenize-at-ingest throughput: the stateless per-row WordPiece
+        // kernel over the synthetic corpus at 1×/3×/10× — wall should be
+        // linear in the token stream (no shuffle, no state)
+        val wpv = (('a' to 'z').map(_.toString) ++
+          ('a' to 'z').map("##" + _) ++
+          Seq("the", "data", "spark", "join", "##ing", "##ed")).toSeq
+        val baseDocs = 5000L
+        Seq(1, 3, 10).foreach { m =>
+          val dir = s"/tmp/graft-scale/m$m"
+          synthDocs(spark, baseDocs * m).write.mode("overwrite")
+            .parquet(s"$dir/documents.parquet")
+          val docs = spark.read.parquet(s"$dir/documents.parquet")
+          measured(spark, "tokingest_wordpiece", m)(
+            graft.streaming.CorpusStream.tokenizeWordPiece(docs, wpv)
+              .agg(sum(col("n_pieces"))).collect()
+              .head.getLong(0))
+        }
       case "cdc" =>
         // merge-on-read economics: O(batch) delta appends, read-view cost
         // as deltas accumulate (the read amplification compaction exists

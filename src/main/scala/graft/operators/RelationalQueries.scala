@@ -660,21 +660,10 @@ object RelationalQueries extends QueryGroup {
         datediff(col("l_shipdate").cast("date"),
           lit("1970-01-01").cast("date")).cast("long").as("start_day"))
       .withColumn("end_day", col("start_day") + col("line_id") % 14 + 1)
-    val banded = iv.withColumn("band",
-      explode(expr("sequence(start_day div 16, end_day div 16)")))
-    val a = banded.select(col("supp"), col("band"),
-      col("line_id").as("a_id"), col("start_day").as("a_start"),
-      col("end_day").as("a_end"))
-    val b = banded.select(col("supp"), col("band"),
-      col("line_id").as("b_id"), col("start_day").as("b_start"),
-      col("end_day").as("b_end"))
-    a.join(b, Seq("supp", "band"))
-      .filter(col("a_id") < col("b_id") &&
-        col("a_start") <= col("b_end") && col("b_start") <= col("a_end") &&
-        col("band") === expr("greatest(a_start, b_start) div 16"))
+    IntervalJoin.overlapPairs(iv, "supp", "line_id", "start_day", "end_day",
+        maxLen = 14L, bandWidth = 16L)
       .select(col("supp"), col("a_id"), col("b_id"),
-        (least(col("a_end"), col("b_end")) -
-          greatest(col("a_start"), col("b_start")) + 1).as("overlap_days"))
+        col("overlap").as("overlap_days"))
       .orderBy("a_id", "b_id")
   }
 
