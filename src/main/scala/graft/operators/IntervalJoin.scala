@@ -53,6 +53,35 @@ object IntervalJoin {
           greatest(col("a_start"), col("b_start")) + 1).as("overlap"))
   }
 
+  /** Point-in-interval enrichment (the attribution/window-lookup join):
+    * every (point, interval) pair with the same key and
+    * start ≤ t ≤ end. Exactly-once without any dedup: a point has ONE
+    * band, and containment puts that band inside the interval's band
+    * span. The interval side explodes (fan-out len/W + 1); the point
+    * side stays one row — so with a broadcast-sized interval table this
+    * is a stateless map-side enrich, usable verbatim on a STREAMING
+    * point side (no state store, no watermark requirement).
+    *
+    * Inputs: points(key, id, t), intervals(key, id, start, end); output
+    * key, point_id, interval_id, plus the caller joins evidence back by
+    * id. */
+  def pointInIntervals(points: DataFrame, intervals: DataFrame,
+      key: String, pointId: String, t: String,
+      intervalId: String, start: String, end: String,
+      maxLen: Long, bandWidth: Long = 0L): DataFrame = {
+    val w = math.max(maxLen + 1, bandWidth)
+    val iv = intervals.select(col(key).as("k"), col(intervalId).as("interval_id"),
+        col(start).cast("long").as("s"), col(end).cast("long").as("e"))
+      .withColumn("band", explode(expr(s"sequence(s div $w, e div $w)")))
+    val pt = points.select(col(key).as("k"), col(pointId).as("point_id"),
+        col(t).cast("long").as("t"))
+      .withColumn("band", expr(s"t div $w"))
+    pt.join(iv, Seq("k", "band"))
+      .filter(col("s") <= col("t") && col("t") <= col("e"))
+      .select(col("k").as(key), col("point_id"), col("interval_id"),
+        col("t"), col("s"), col("e"))
+  }
+
   /** The naive per-key theta-join (the oracle/correctness reference —
     * quadratic per key, only for measurement and small inputs). */
   def overlapPairsNaive(iv: DataFrame, key: String, id: String,

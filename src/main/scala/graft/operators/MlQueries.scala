@@ -433,7 +433,51 @@ object MlQueries extends QueryGroup {
       .orderBy("epoch", "shard", "pos")
   }
 
+  /** Q158: winsorized robust statistics — the outlier-CLIPPING companion
+    * to q117/q137's outlier DETECTION (training-metadata tables clip at
+    * P1/P99 before normalization so a single corrupt measurement cannot
+    * dominate a scale factor). Per l_returnflag group over
+    * l_extendedprice: the exact order-statistic bounds at integer ranks
+    * klo = ⌈n/100⌉ and khi = n − klo + 1 (PURE INTEGER rank formulas —
+    * a 0.01·n double/decimal product is engine-divergent at boundaries,
+    * `(n + 99) div 100` is not), the out-of-range counts, and the
+    * winsorized sum with every value clipped into [lo, hi] and summed
+    * as exact DECIMAL (the dsum contract). Bounds are EXISTING data
+    * values (no interpolation), so both engines pick bit-identical
+    * doubles.
+    *
+    * Shape note: the rank window partitions by a 3-value group — fine
+    * here, a skew hazard at 100 TB; at scale the bounds stage swaps to
+    * the q83 `decileBinDistributed` range-partition/offset technique or
+    * the q87 mergeable sketch, and the clip+sum pass (the data-sized
+    * part) is unchanged map-side arithmetic. */
+  private val q158: Q = (s, d) => {
+    val g = Tables.lineitem(s, d).select(
+      col("l_returnflag").as("grp"),
+      col("l_extendedprice").as("x"),
+      (col("l_orderkey") * 10 + col("l_linenumber")).cast("long").as("id"))
+    val counts = g.groupBy("grp").agg(count(lit(1)).as("n"))
+    val ranked = g.withColumn("rn",
+      row_number().over(Window.partitionBy("grp")
+        .orderBy(col("x").asc, col("id").asc)).cast("long"))
+    val bounds = ranked.join(broadcast(counts), "grp")
+      .withColumn("klo", expr("(n + 99) div 100"))
+      .withColumn("khi", col("n") - expr("(n + 99) div 100") + 1)
+      .filter(col("rn") === col("klo") || col("rn") === col("khi"))
+      .groupBy("grp")
+      .agg(min(when(col("rn") === col("klo"), col("x"))).as("lo"),
+        min(when(col("rn") === col("khi"), col("x"))).as("hi"))
+    g.join(broadcast(bounds), "grp").join(broadcast(counts), "grp")
+      .groupBy("grp", "n", "lo", "hi")
+      .agg(sum((col("x") < col("lo")).cast("long")).as("n_below"),
+        sum((col("x") > col("hi")).cast("long")).as("n_above"),
+        dsum(greatest(col("lo"), least(col("hi"), col("x"))))
+          .as("winsorized_sum"))
+      .orderBy("grp")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
+    "q158_agg_winsorized" -> q158,
     "q137_anomaly_mad" -> q137,
     "q142_split_temporal" -> q142,
     "q143_agg_sampled" -> q143,
@@ -471,6 +515,33 @@ object MlQueries extends QueryGroup {
     "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(c.centroid, x -> CAST(CAST(x AS FLOAT) AS DOUBLE) * CAST(CAST(x AS FLOAT) AS DOUBLE))), (a, x) -> a + x)"
 
   val oracles: Map[String, String] = Map(
+    // winsorized stats: integer rank formulas, order-statistic bounds by
+    // (x, id) row_number, clip into [lo, hi], exact-decimal sum (dsum)
+    "q158_agg_winsorized" ->
+      s"""WITH g AS (SELECT l_returnflag AS grp, l_extendedprice AS x,
+        |    CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS id
+        |  FROM lineitem),
+        |n_ AS (SELECT grp, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY grp),
+        |r AS (SELECT grp, x, id, CAST(row_number() OVER (
+        |    PARTITION BY grp ORDER BY x, id) AS BIGINT) AS rn FROM g),
+        |b AS (SELECT r.grp,
+        |    min(CASE WHEN r.rn = (n_.n + 99) // 100 THEN r.x END) AS lo,
+        |    min(CASE WHEN r.rn = n_.n - (n_.n + 99) // 100 + 1
+        |      THEN r.x END) AS hi
+        |  FROM r JOIN n_ USING (grp)
+        |  WHERE r.rn = (n_.n + 99) // 100
+        |    OR r.rn = n_.n - (n_.n + 99) // 100 + 1
+        |  GROUP BY r.grp)
+        |SELECT g.grp, n_.n, b.lo, b.hi,
+        |  CAST(sum(CASE WHEN g.x < b.lo THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_below,
+        |  CAST(sum(CASE WHEN g.x > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_above,
+        |  ${sqlDsum("greatest(b.lo, least(b.hi, g.x))")} AS winsorized_sum
+        |FROM g JOIN b USING (grp) JOIN n_ USING (grp)
+        |GROUP BY g.grp, n_.n, b.lo, b.hi
+        |ORDER BY g.grp""".stripMargin,
+
     // epoch shuffle: epoch-salted md5 keys, fixed-width hash-range shards
     // (2³²/8 = 536870912), rank within (epoch, shard)
     "q147_shuffle_epochs" ->

@@ -300,7 +300,42 @@ object StreamEquivQueries extends QueryGroup {
       .orderBy("event_id")
   }
 
+  /** Q159: attribution lookup — clicks matched to every purchase whose
+    * 480-minute lookback window contains them, per user (the
+    * marketing-attribution / window-enrichment primitive; q121's funnel
+    * asks "did the sequence complete", THIS asks "which conversion does
+    * each touch belong to", many-to-many by design). Times collapse to
+    * epoch MINUTES (integer µs div — exact in both engines) so the
+    * window arithmetic is pure BIGINT.
+    *
+    * Bound to [[IntervalJoin.pointInIntervals]]: purchase windows
+    * explode to ≤2 width-512 bands, each click carries its single band,
+    * and the (user, band) equi-join plus the containment filter finds
+    * every pair exactly once — no per-user quadratic, no distinct; on a
+    * streaming click feed the same operator is a stateless map-side
+    * enrich against the broadcast window table. Oracle = the naive
+    * theta-join. */
+  private val q159: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .withColumn("us", epochUs(col("ts")))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("us div 60000000").as("m"))
+    val clicks = ev.filter(col("event_type") === "click")
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        (col("m") - 480).as("w_start"), col("m").as("w_end"))
+    IntervalJoin.pointInIntervals(clicks, purch,
+        key = "user_id", pointId = "event_id", t = "m",
+        intervalId = "purchase_id", start = "w_start", end = "w_end",
+        maxLen = 480L, bandWidth = 512L)
+      .select(col("user_id"), col("point_id").as("click_id"),
+        col("interval_id").as("purchase_id"),
+        (col("e") - col("t")).as("lag_min"))
+      .orderBy("click_id", "purchase_id")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
+    "q159_join_point_in_window" -> q159,
     "q141_funnel_windowed" -> q141,
     "q145_feature_pit_join" -> q145,
     "q29_stream_tumbling" -> q29,
@@ -316,6 +351,20 @@ object StreamEquivQueries extends QueryGroup {
   )
 
   val oracles: Map[String, String] = Map(
+    // attribution lookup: naive per-user theta-join over epoch-minute
+    // lookback windows (the engine runs the banded point-in-interval form)
+    "q159_join_point_in_window" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    epoch_us(ts) // 60000000 AS m FROM events),
+        |c AS (SELECT event_id, user_id, m FROM e WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS purchase_id, user_id, m - 480 AS w_start,
+        |    m AS w_end FROM e WHERE event_type = 'purchase')
+        |SELECT p.user_id, c.event_id AS click_id, p.purchase_id,
+        |  p.w_end - c.m AS lag_min
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND p.w_start <= c.m AND c.m <= p.w_end
+        |ORDER BY click_id, purchase_id""".stripMargin,
+
     // PIT features: struct max over the strictly-preceding ROWS frame
     // (us, event_id, value — field order IS the comparison order in both
     // engines), struct_extract for the feature pulls, window sum CAST

@@ -12,6 +12,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => BandJoinRewrite)
+    e.injectOptimizerRule(_ => IntervalOverlapRewrite)
     GraftFunctions.all.foreach { case (name, clazz, arity, builder) =>
       e.injectFunction((new FunctionIdentifier(name),
         new ExpressionInfo(clazz.getName, name),

@@ -142,6 +142,53 @@ class R12QuerySemanticsSpec extends SparkSpec {
     }
   }
 
+  test("q158: bounds are the exact order statistics and the clip is faithful") {
+    val rows = Tables.lineitem(spark, sfDir).select(
+        col("l_returnflag"), col("l_extendedprice"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).cast("long").as("id"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val out = SparkEntry.queries("q158_agg_winsorized")(spark, sfDir)
+      .collect().map(r => r.getAs[String]("grp") -> r).toMap
+    rows.groupBy(_._1).foreach { case (grp, members) =>
+      val sorted = members.sortBy(m => (m._2, m._3)).map(_._2)
+      val n = sorted.length
+      val klo = (n + 99) / 100
+      val khi = n - klo + 1
+      val (lo, hi) = (sorted(klo - 1), sorted(khi - 1))
+      val r = out(grp)
+      assert(r.getAs[Long]("n") == n)
+      assert(r.getAs[Double]("lo") == lo && r.getAs[Double]("hi") == hi)
+      assert(r.getAs[Long]("n_below") == sorted.count(_ < lo))
+      assert(r.getAs[Long]("n_above") == sorted.count(_ > hi))
+      val wsum = sorted.map(x => BigDecimal(math.max(lo, math.min(hi, x)))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum
+      assert(math.abs(r.getAs[Double]("winsorized_sum") - wsum.toDouble) <
+        1e-6 * math.max(1.0, wsum.toDouble.abs))
+    }
+  }
+
+  test("q159: banded attribution equals the naive window join") {
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("us", epochUs(col("ts")))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("us div 60000000").as("m"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("m"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("event_id").as("purchase_id"),
+        col("m").as("pm"))
+    val naive = c.join(p, col("user_id") === col("pu") &&
+        col("m") >= col("pm") - 480 && col("m") <= col("pm"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (col("pm") - col("m")).as("lag_min"))
+    val banded = SparkEntry.queries("q159_join_point_in_window")(spark, sfDir)
+    assert(banded.exceptAll(naive).count() == 0)
+    assert(naive.exceptAll(banded).count() == 0)
+    assert(banded.filter(col("lag_min") < 0 || col("lag_min") > 480)
+      .count() == 0)
+  }
+
   test("q155: banded plan equals the naive theta-join") {
     val iv = Tables.lineitem(spark, sfDir)
       .filter(col("l_returnflag") === "R")
