@@ -433,6 +433,47 @@ object MlQueries extends QueryGroup {
       .orderBy("epoch", "shard", "pos")
   }
 
+  /** Q160: curriculum training order — the staged data schedule
+    * [Bengio et al. ICML'09] a loader builds when training warms up on
+    * clean data before seeing everything: documents bin into quality
+    * deciles (decile 1 = highest distinct-token ratio, the q83 integer-
+    * division binning on the negated exact-ratio score), epoch e admits
+    * deciles ≤ 3e + 4 (40% → 70% → all), and each epoch's admitted pool
+    * gets q147's epoch-salted md5 shuffle (shard = top hash bits, pos =
+    * rank within (epoch, shard) — reshuffled every epoch, NO global sort
+    * or driver pass anywhere in the ordering). Composes the q83 + q147
+    * machinery into the schedule a curriculum actually ships: (epoch,
+    * shard, pos) is the read order, decile the admission evidence.
+    *
+    * The decile stage here is the window form ([[CorpusOps.decileBin]]);
+    * at 100 TB it swaps for [[CorpusOps.decileBinDistributed]]
+    * (range-partition + offset ranks, bit-identical output — the q83
+    * contract), leaving this query's shape otherwise unchanged. */
+  private val q160: Q = (s, d) => {
+    val nShards = 8
+    val width = 4294967296L / nShards
+    val scored = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        size(array_distinct(split(lower(col("text")), " ")))
+          .cast("long").as("uniq"),
+        size(split(lower(col("text")), " ")).cast("long").as("tot"))
+      .withColumn("q_ratio", expr("uniq * 1000000 div tot"))
+    val binned = CorpusOps.decileBin(scored, expr("-q_ratio"), "doc_id")
+      .select(col("doc_id"), col("q_ratio"), col("decile"))
+    binned
+      .withColumn("epoch", explode(array(lit(0L), lit(1L), lit(2L))))
+      .filter(col("decile") <= col("epoch") * 3 + 4)
+      .withColumn("h", call_function("md5_prefix32",
+        concat_ws(":", col("epoch"), col("doc_id"))))
+      .withColumn("shard", expr(s"h div $width"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("epoch"), col("shard"))
+          .orderBy(col("h"), col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("epoch"), col("decile"), col("shard"),
+        col("pos"))
+      .orderBy("epoch", "shard", "pos")
+  }
+
   /** Q158: winsorized robust statistics — the outlier-CLIPPING companion
     * to q117/q137's outlier DETECTION (training-metadata tables clip at
     * P1/P99 before normalization so a single corrupt measurement cannot
@@ -478,6 +519,7 @@ object MlQueries extends QueryGroup {
 
   val queries: Seq[(String, Q)] = Seq(
     "q158_agg_winsorized" -> q158,
+    "q160_curriculum_order" -> q160,
     "q137_anomaly_mad" -> q137,
     "q142_split_temporal" -> q142,
     "q143_agg_sampled" -> q143,
@@ -515,6 +557,35 @@ object MlQueries extends QueryGroup {
     "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(c.centroid, x -> CAST(CAST(x AS FLOAT) AS DOUBLE) * CAST(CAST(x AS FLOAT) AS DOUBLE))), (a, x) -> a + x)"
 
   val oracles: Map[String, String] = Map(
+    // curriculum order: decile bin on the negated exact-ratio quality
+    // (window rank + count-over), staged admission, q147's salted shuffle
+    "q160_curriculum_order" ->
+      """WITH s AS (SELECT doc_id,
+        |    CAST(len(list_distinct(string_split(lower(text), ' ')))
+        |      AS BIGINT) AS uniq,
+        |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS tot
+        |  FROM documents WHERE text IS NOT NULL),
+        |q AS (SELECT doc_id, uniq * 1000000 // tot AS q_ratio FROM s),
+        |r AS (SELECT doc_id, q_ratio,
+        |    CAST(row_number() OVER (ORDER BY -q_ratio, doc_id) AS BIGINT)
+        |      AS rn,
+        |    CAST(count(*) OVER () AS BIGINT) AS n FROM q),
+        |b AS (SELECT doc_id, q_ratio,
+        |    1 + (10 * (rn - 1)) // n AS decile FROM r),
+        |a AS (SELECT doc_id, q_ratio, decile, CAST(e.epoch AS BIGINT)
+        |      AS epoch
+        |  FROM b, (VALUES (0), (1), (2)) e(epoch)
+        |  WHERE decile <= e.epoch * 3 + 4),
+        |h0 AS (SELECT doc_id, epoch, decile,
+        |    ('0x' || substr(md5(CAST(epoch AS VARCHAR) || ':' ||
+        |      CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+        |  FROM a)
+        |SELECT doc_id, epoch, decile, h // 536870912 AS shard,
+        |  CAST(row_number() OVER (PARTITION BY epoch, h // 536870912
+        |    ORDER BY h, doc_id) AS BIGINT) AS pos
+        |FROM h0
+        |ORDER BY epoch, shard, pos""".stripMargin,
+
     // winsorized stats: integer rank formulas, order-statistic bounds by
     // (x, id) row_number, clip into [lo, hi], exact-decimal sum (dsum)
     "q158_agg_winsorized" ->

@@ -732,9 +732,43 @@ object TextQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** Q161: TF-IDF keyword extraction — the top-3 most characteristic
+    * terms per document (the classic retrieval/topic signal; q33 finds
+    * the corpus's top words, THIS finds each doc's distinguishing ones).
+    * idf enters as the raw rarity ratio N/df rather than its log: log is
+    * monotone, so the RANKING is identical, and the ratio stays inside
+    * the engine-exact arithmetic contract (one IEEE division + one
+    * multiplication — `ln`'s last ulp is libm-specific, the q95 rule).
+    * Ties (score equality is common: equal tf on equal-df terms) break
+    * to the lexicographically smaller term in both engines.
+    *
+    * Shape: token explode → (doc, term) counts → vocabulary-sized df
+    * aggregation joined back on term → per-doc rank window bounded by
+    * the doc's distinct-term count. All shuffles are token- or
+    * vocab-keyed; nothing quadratic, no global stage. */
+  private val q161: Q = (s, d) => {
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+    val tf = docs.select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).cast("long").as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc_nulls_last, col("term").asc)
+    tf.join(df, "term").crossJoin(broadcast(n))
+      .withColumn("score", col("tf").cast("double") *
+        (col("n_docs").cast("double") / col("df").cast("double")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"),
+        col("score"))
+      .orderBy("doc_id", "rk")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q33_text_topwords" -> q33,
     "q153_pretokenize_regex" -> q153,
+    "q161_text_tfidf_keywords" -> q161,
     "q131_text_kneser_ney" -> q131,
     "q135_text_phrase_search" -> q135,
     "q139_text_proximity" -> q139,
@@ -761,6 +795,29 @@ object TextQueries extends QueryGroup {
   )
 
   val oracles: Map[String, String] = Map(
+    // tf-idf keywords: rarity-ratio idf (log-free, rank-identical), ties
+    // to the smaller term; df joined back on the vocab key
+    "q161_text_tfidf_keywords" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(string_split(lower(text), ' ')) AS term
+        |  FROM documents WHERE text IS NOT NULL),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM toks GROUP BY doc_id, term),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        |  FROM tf GROUP BY term),
+        |n_ AS (SELECT CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents WHERE text IS NOT NULL),
+        |sc AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    CAST(tf.tf AS DOUBLE) * (CAST(n_.n_docs AS DOUBLE)
+        |      / CAST(df.df AS DOUBLE)) AS score
+        |  FROM tf JOIN df USING (term), n_),
+        |r AS (SELECT doc_id, term, tf, df, score,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC NULLS LAST, term) AS BIGINT) AS rk
+        |  FROM sc)
+        |SELECT doc_id, rk, term, tf, df, score FROM r WHERE rk <= 3
+        |ORDER BY doc_id, rk""".stripMargin,
+
     // regex pretokenizer: identical leftmost-first alternation in Java and
     // RE2 (no lookahead anywhere); chr(1)-joined md5 pins token order
     "q153_pretokenize_regex" ->

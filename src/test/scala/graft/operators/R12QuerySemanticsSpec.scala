@@ -189,6 +189,63 @@ class R12QuerySemanticsSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("q160: epoch pools are nested, epoch 2 admits everyone, positions dense") {
+    val out = SparkEntry.queries("q160_curriculum_order")(spark, sfDir).collect()
+    val byEpoch = out.groupBy(_.getAs[Long]("epoch"))
+      .view.mapValues(_.map(_.getAs[Long]("doc_id")).toSet).toMap
+    assert(byEpoch(0L).subsetOf(byEpoch(1L)) &&
+      byEpoch(1L).subsetOf(byEpoch(2L)), "curriculum pools must be nested")
+    val all = Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull).count()
+    assert(byEpoch(2L).size == all, "final epoch must admit the whole corpus")
+    assert(byEpoch(0L).size < byEpoch(2L).size, "first epoch must be selective")
+    out.groupBy(r => (r.getAs[Long]("epoch"), r.getAs[Long]("shard")))
+      .foreach { case ((e, sh), rows) =>
+        val pos = rows.map(_.getAs[Long]("pos")).sorted.toSeq
+        assert(pos == (1L to pos.length),
+          s"epoch $e shard $sh positions not dense")
+      }
+    // admission rule: every admitted decile obeys the epoch's threshold
+    out.foreach(r => assert(
+      r.getAs[Long]("decile") <= r.getAs[Long]("epoch") * 3 + 4))
+  }
+
+  test("q161: keyword ranks beat every unselected term of the same doc") {
+    val out = SparkEntry.queries("q161_text_tfidf_keywords")(spark, sfDir)
+      .collect()
+    assert(out.nonEmpty)
+    // recompute tf/df/score independently
+    val docs = Tables.documents(spark, sfDir).filter(col("text").isNotNull)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").toLowerCase.split(" ").toSeq).toMap
+    val df = docs.values.flatMap(_.distinct).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val n = docs.size.toDouble
+    def score(doc: Long, term: String): Double =
+      docs(doc).count(_ == term).toDouble * (n / df(term).toDouble)
+    out.groupBy(_.getAs[Long]("doc_id")).foreach { case (doc, rows) =>
+      val sel = rows.sortBy(_.getAs[Long]("rk"))
+      assert(sel.map(_.getAs[Long]("rk")).toSeq == (1L to sel.length))
+      sel.foreach { r =>
+        assert(r.getAs[Long]("df") == df(r.getAs[String]("term")))
+        assert(r.getAs[Double]("score") ==
+          score(doc, r.getAs[String]("term")))
+      }
+      // the worst selected beats (or ties with smaller term than) every
+      // unselected term of the doc
+      val worst = sel.last
+      val wScore = worst.getAs[Double]("score")
+      val selTerms = sel.map(_.getAs[String]("term")).toSet
+      docs(doc).distinct.filterNot(selTerms).foreach { t =>
+        val s = score(doc, t)
+        assert(s < wScore ||
+          (s == wScore && t > worst.getAs[String]("term")),
+          s"doc $doc: unselected '$t' ($s) outranks selection ($wScore)")
+      }
+    }
+  }
+
   test("q155: banded plan equals the naive theta-join") {
     val iv = Tables.lineitem(spark, sfDir)
       .filter(col("l_returnflag") === "R")
