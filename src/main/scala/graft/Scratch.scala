@@ -18,21 +18,25 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val d = "/root/testdata/sf0.1"
-    spark.range(1000).selectExpr("sum(id)").collect()
-    val e = Tables.embeddings(spark, d)
-      .filter(size(col("embedding")) === 64 && !exists(col("embedding"), x => x.isNull))
-    val cents = IvfStorage.labelCentroids(e)
-    val assigned = IvfStorage.assignCells(e, cents)
-      .select(col("vec_id"), col("embedding"), col("cent_id")).persist()
-    t("assign")(assigned.count())
-    val a = assigned.select(col("vec_id").as("a_id"), col("cent_id"), col("embedding").as("a_emb"))
-    val b = assigned.select(col("vec_id").as("b_id"), col("cent_id").as("b_cent"), col("embedding").as("b_emb"))
-    val pairs = a.join(b, col("cent_id") === col("b_cent") && col("a_id") < col("b_id"))
-      .filter(cosineNative(col("a_emb"), col("b_emb")) >= 0.35)
-      .select(col("a_id").as("a"), col("b_id").as("b")).persist()
-    t("pairs")(println("[scratch] n_pairs=" + pairs.count()))
-    println("[scratch] cells=" + assigned.groupBy("cent_id").count().orderBy(desc("count")).collect().take(5).mkString(","))
-    t("cc")(ConnectedComponents.run(pairs).count())
-    t("cc2")(ConnectedComponents.run(pairs).count())
+    import graft.operators.DedupReport
+    import graft.Tables
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, d)
+    t("construct+cc") { DedupReport.assignComponents(spark, docs, 0.8) }
+    val comp1 = DedupReport.assignComponents(spark, docs, 0.8)
+    t("q66 tail: comp.orderBy.count") { comp1.orderBy("doc_id").count() }
+    val comp2 = DedupReport.assignComponents(spark, docs, 0.8)
+    val scored = docs.select(col("doc_id"),
+      size(array_distinct(split(lower(col("text")), " "))).cast("long").as("n_vocab"))
+    val w = Window.partitionBy("component").orderBy(col("n_vocab").desc, col("doc_id").asc)
+    val joined = comp2.join(scored, "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .withColumn("canonical_id", first(col("doc_id")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("doc_id"), col("component"), col("n_vocab"),
+        (col("rk") === 1).as("keep"), col("canonical_id"))
+      .orderBy("doc_id")
+    t("q154 tail: join+windows.count") { joined.count() }
+    spark.stop()
   }
 }
