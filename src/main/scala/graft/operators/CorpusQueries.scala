@@ -663,6 +663,41 @@ object CorpusQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** Q163: length-bucketed batch assembly — the dynamic-batching loader
+    * move: grouping similar-length documents into batches bounds padding
+    * waste (a batch pads every member to its max length, so mixing a
+    * 500-token doc into a 60-token batch wastes ~88% of the compute).
+    * Docs bin into power-of-two length buckets ([0,64), [64,128),
+    * [128,256), [256,∞)), each (source, bucket) pool is md5-shuffled
+    * (the q91 deterministic-order discipline) and cut into batches of 8;
+    * the emitted per-doc (batch_idx, pos, batch_max, pad) IS the loader
+    * manifest, with `pad` the per-doc padding-waste evidence.
+    *
+    * All-integer; the only shuffle is the per-(source, bucket) rank
+    * window — per-source pools, never a global rank (the q91/q147
+    * contract), and the batch-max window rides the same partitioning. */
+  private val q163: Q = (s, d) => {
+    val b = 8
+    val w = Window.partitionBy("source", "bucket")
+      .orderBy(col("k"), col("doc_id"))
+    Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        size(split(lower(col("text")), " ")).cast("long").as("n_tok"))
+      .withColumn("bucket",
+        when(col("n_tok") < 64, 0L).when(col("n_tok") < 128, 1L)
+          .when(col("n_tok") < 256, 2L).otherwise(3L))
+      .withColumn("k", md5(concat_ws(":", lit("lb"), col("doc_id"))))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("batch_idx", expr(s"(rn - 1) div $b"))
+      .withColumn("pos", (col("rn") - 1) % b)
+      .withColumn("batch_max", max(col("n_tok")).over(
+        Window.partitionBy("source", "bucket", "batch_idx")))
+      .select(col("doc_id"), col("source"), col("n_tok"), col("bucket"),
+        col("batch_idx"), col("pos"), col("batch_max"),
+        (col("batch_max") - col("n_tok")).as("pad"))
+      .orderBy("doc_id")
+  }
+
   /** Q151: INCREMENTAL duplicated-span removal — [[SpanIndex]] end-to-end
     * in one plan: the stored-corpus half (doc_id < 250) contributes only
     * its shingle-ownership INDEX (the lake's derivation,
@@ -709,6 +744,7 @@ object CorpusQueries extends QueryGroup {
     "q151_dedup_span_incremental" -> q151,
     "q152_privacy_t_closeness" -> q152,
     "q156_corpus_snapshot_diff" -> q156,
+    "q163_pack_length_buckets" -> q163,
   )
 
   // 2-gram positions: range(1, len) = 1..len-1 (DuckDB range excludes the
@@ -798,6 +834,27 @@ object CorpusQueries extends QueryGroup {
         |  max(cnt) AS top_sensitive
         |FROM g GROUP BY nation, bal_band
         |ORDER BY nation, bal_band""".stripMargin,
+
+    // length-bucketed batching: power-of-two bins, md5-shuffled per
+    // (source, bucket) pools, batch-of-8 manifest with padding evidence
+    "q163_pack_length_buckets" ->
+      """WITH dd AS (SELECT doc_id, source,
+        |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok,
+        |    md5('lb:' || CAST(doc_id AS VARCHAR)) AS k
+        |  FROM documents WHERE text IS NOT NULL),
+        |b0 AS (SELECT *, CAST(CASE WHEN n_tok < 64 THEN 0
+        |    WHEN n_tok < 128 THEN 1 WHEN n_tok < 256 THEN 2
+        |    ELSE 3 END AS BIGINT) AS bucket FROM dd),
+        |r AS (SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY source, bucket ORDER BY k, doc_id) AS BIGINT)
+        |    AS rn FROM b0),
+        |b1 AS (SELECT doc_id, source, n_tok, bucket,
+        |    (rn - 1) // 8 AS batch_idx, (rn - 1) % 8 AS pos FROM r),
+        |b2 AS (SELECT *, max(n_tok) OVER (
+        |    PARTITION BY source, bucket, batch_idx) AS batch_max FROM b1)
+        |SELECT doc_id, source, n_tok, bucket, batch_idx, pos, batch_max,
+        |  batch_max - n_tok AS pad
+        |FROM b2 ORDER BY doc_id""".stripMargin,
 
     // snapshot diff: full-outer fingerprint join, verdict per doc
     "q156_corpus_snapshot_diff" ->

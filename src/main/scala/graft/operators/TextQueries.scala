@@ -765,10 +765,52 @@ object TextQueries extends QueryGroup {
       .orderBy("doc_id", "rk")
   }
 
+  /** Q162: PMI collocation mining — the top-20 adjacent-bigram
+    * collocations of the corpus by pointwise mutual information (the
+    * phrase-discovery pass tokenizer pipelines run to promote "new york"
+    * into one vocabulary unit [Mikolov et al. NIPS'13's phrase step],
+    * and the statistical complement of q93's frequency-only boilerplate
+    * mining). PMI's log is monotone, so the RANKING uses the raw ratio
+    * n(xy)·N / (n(x)·n(y)) — exact BIGINT products through ONE double
+    * division (engine-identical; the q161/q95 rule). A min-count floor
+    * (n(xy) ≥ 5) applies the standard small-sample guard.
+    *
+    * Shape: one token-positions pass building adjacent pairs per doc
+    * (map-side), vocabulary-sized unigram counts broadcast-joined onto
+    * bigram counts, TakeOrderedAndProject top-20 — never a global rank
+    * window. */
+  private val q162: Q = (s, d) => {
+    val toks = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("ts"))
+    val bigrams = toks
+      .select(explode(expr(
+        "transform(slice(ts, 1, size(ts) - 1), (x, i) -> struct(x AS w1, ts[i + 1] AS w2))"))
+        .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_xy"))
+      .filter(col("n_xy") >= 5)
+    val uni = toks.select(explode(col("ts")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n_w"))
+    val tot = toks.select(explode(col("ts")).as("w"))
+      .agg(count(lit(1)).cast("long").as("n_total"))
+    bigrams
+      .join(uni.select(col("w").as("w1"), col("n_w").as("n_x")), "w1")
+      .join(uni.select(col("w").as("w2"), col("n_w").as("n_y")), "w2")
+      .crossJoin(broadcast(tot))
+      .withColumn("pmi_ratio",
+        (col("n_xy") * col("n_total")).cast("double") /
+          (col("n_x") * col("n_y")).cast("double"))
+      .select(col("w1"), col("w2"), col("n_xy"), col("n_x"), col("n_y"),
+        col("pmi_ratio"))
+      .orderBy(col("pmi_ratio").desc_nulls_last, col("w1"), col("w2"))
+      .limit(20)
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q33_text_topwords" -> q33,
     "q153_pretokenize_regex" -> q153,
     "q161_text_tfidf_keywords" -> q161,
+    "q162_text_pmi_collocations" -> q162,
     "q131_text_kneser_ney" -> q131,
     "q135_text_phrase_search" -> q135,
     "q139_text_proximity" -> q139,
@@ -817,6 +859,27 @@ object TextQueries extends QueryGroup {
         |  FROM sc)
         |SELECT doc_id, rk, term, tf, df, score FROM r WHERE rk <= 3
         |ORDER BY doc_id, rk""".stripMargin,
+
+    // PMI collocations: zipped-unnest adjacent bigrams (the q97 posexplode
+    // mirror — range() takes no lateral refs), BIGINT count products, one
+    // double division for the monotone rank ratio
+    "q162_text_pmi_collocations" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ts
+        |  FROM documents WHERE text IS NOT NULL),
+        |p AS (SELECT unnest(ts[1:len(ts)-1]) AS w1,
+        |    unnest(ts[2:len(ts)]) AS w2 FROM t),
+        |bg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_xy
+        |  FROM p GROUP BY w1, w2 HAVING count(*) >= 5),
+        |u AS (SELECT unnest(ts) AS w FROM t),
+        |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS n_w
+        |  FROM u GROUP BY w),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM u)
+        |SELECT bg.w1, bg.w2, bg.n_xy, ux.n_w AS n_x, uy.n_w AS n_y,
+        |  CAST(bg.n_xy * tot.n_total AS DOUBLE)
+        |    / CAST(ux.n_w * uy.n_w AS DOUBLE) AS pmi_ratio
+        |FROM bg JOIN uni ux ON ux.w = bg.w1
+        |  JOIN uni uy ON uy.w = bg.w2, tot
+        |ORDER BY pmi_ratio DESC NULLS LAST, w1, w2 LIMIT 20""".stripMargin,
 
     // regex pretokenizer: identical leftmost-first alternation in Java and
     // RE2 (no lookahead anywhere); chr(1)-joined md5 pins token order

@@ -246,6 +246,59 @@ class R12QuerySemanticsSpec extends SparkSpec {
     }
   }
 
+  test("q162: counts recompute independently and nothing outranks the cut") {
+    val docs = Tables.documents(spark, sfDir).filter(col("text").isNotNull)
+      .select("text").collect()
+      .map(_.getString(0).toLowerCase.split(" ").toSeq)
+    val uni = docs.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nTotal = docs.map(_.size).sum.toDouble
+    val bg = docs.flatMap(ts => ts.zip(ts.drop(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def ratio(p: (String, String)) =
+      bg(p) * nTotal / (uni(p._1).toDouble * uni(p._2).toDouble)
+    val out = SparkEntry.queries("q162_text_pmi_collocations")(spark, sfDir)
+      .collect()
+    assert(out.length == 20)
+    out.foreach { r =>
+      val p = (r.getAs[String]("w1"), r.getAs[String]("w2"))
+      assert(r.getAs[Long]("n_xy") == bg(p))
+      assert(r.getAs[Long]("n_x") == uni(p._1) &&
+        r.getAs[Long]("n_y") == uni(p._2))
+      assert(r.getAs[Double]("pmi_ratio") ==
+        bg(p) * nTotal / (uni(p._1).toDouble * uni(p._2).toDouble))
+    }
+    // the weakest selected ratio beats every unselected qualifying bigram
+    val worst = out.map(_.getAs[Double]("pmi_ratio")).min
+    val selected = out.map(r =>
+      (r.getAs[String]("w1"), r.getAs[String]("w2"))).toSet
+    bg.keys.filter(p => bg(p) >= 5 && !selected(p)).foreach { p =>
+      assert(ratio(p) <= worst, s"unselected $p outranks the cut")
+    }
+  }
+
+  test("q163: batches respect size, density, max and padding arithmetic") {
+    val out = SparkEntry.queries("q163_pack_length_buckets")(spark, sfDir)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, b) = (r.getAs[Long]("n_tok"), r.getAs[Long]("bucket"))
+      val expect = if (n < 64) 0L else if (n < 128) 1L
+        else if (n < 256) 2L else 3L
+      assert(b == expect)
+      assert(r.getAs[Long]("pad") ==
+        r.getAs[Long]("batch_max") - n && r.getAs[Long]("pad") >= 0)
+    }
+    out.groupBy(r => (r.getAs[String]("source"), r.getAs[Long]("bucket"),
+        r.getAs[Long]("batch_idx")))
+      .foreach { case (key, rows) =>
+        assert(rows.length <= 8, s"$key overfull")
+        val pos = rows.map(_.getAs[Long]("pos")).sorted.toSeq
+        assert(pos == (0L until pos.length), s"$key positions not dense")
+        val mx = rows.map(_.getAs[Long]("n_tok")).max
+        assert(rows.forall(_.getAs[Long]("batch_max") == mx))
+      }
+  }
+
   test("q155: banded plan equals the naive theta-join") {
     val iv = Tables.lineitem(spark, sfDir)
       .filter(col("l_returnflag") === "R")
