@@ -698,6 +698,55 @@ object CorpusQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** Q164: URL canonicalization — the crawl-dedup primitive run before
+    * any content fetch (the same page is crawled under case variants,
+    * default ports, utm decorations, param orderings and fragments; URL
+    * normalization collapses them so fetch+dedup cost is paid once
+    * [RFC 3986 §6 syntax-based normalization]). The corpus has no URL
+    * column, so each doc synthesizes a deterministic messy variant
+    * (three styles per id-triple: clean / SHOUTING+:80+utm+reordered /
+    * bare-host+trailing-slash+fragment — every normalization rule is
+    * exercised and consecutive id-triples collide after normalization).
+    *
+    * Rules, each in the Java∩RE2 regex intersection and mirrored
+    * verbatim: lowercase scheme+host, strip `www.`, strip the default
+    * :80 port, drop the fragment, drop `utm_*` params, sort the
+    * remaining params, strip one trailing path slash (root stays `/`).
+    * Emits the normalized URL, its md5, and each URL's collision-group
+    * size. Pure per-row string algebra + one domain-bounded count —
+    * the normalize step itself is shuffle-free at any crawl size. */
+  private val q164: Q = (s, d) => {
+    val style = col("doc_id") % 3
+    val grp = expr("doc_id div 3")
+    val raw = when(style === 0,
+        concat(lit("http://www.example.com/p"), grp, lit("?a=1&b=2")))
+      .when(style === 1,
+        concat(lit("HTTP://WWW.EXAMPLE.COM:80/p"), grp,
+          lit("?b=2&a=1&utm_source=x")))
+      .otherwise(
+        concat(lit("http://example.com/p"), grp, lit("/?a=1&b=2#frag")))
+    val u = Tables.documents(s, d).select(col("doc_id"), raw.as("url"))
+    val scheme = lower(regexp_extract(col("url"), "^([A-Za-z]+)://", 1))
+    val host = regexp_replace(regexp_replace(
+      lower(regexp_extract(col("url"), "^[A-Za-z]+://([^/?#]+)", 1)),
+      "^www\\.", ""), ":80$", "")
+    val path0 = regexp_extract(col("url"), "^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+    val path = when(path0 === "" || path0 === "/", "/")
+      .otherwise(regexp_replace(path0, "/$", ""))
+    val qs = array_join(array_sort(filter(
+      split(regexp_extract(col("url"), "\\?([^#]*)", 1), "&"),
+      x => x =!= "" && !x.rlike("^utm_"))), "&")
+    val normed = u.withColumn("url_norm", concat(scheme, lit("://"), host,
+        path, when(qs === "", "").otherwise(concat(lit("?"), qs))))
+    normed
+      .withColumn("n_variants", count(lit(1)).over(
+        Window.partitionBy("url_norm")))
+      .select(col("doc_id"), col("url"), col("url_norm"),
+        md5(col("url_norm").cast("binary")).as("norm_fp"),
+        col("n_variants"))
+      .orderBy("doc_id")
+  }
+
   /** Q151: INCREMENTAL duplicated-span removal — [[SpanIndex]] end-to-end
     * in one plan: the stored-corpus half (doc_id < 250) contributes only
     * its shingle-ownership INDEX (the lake's derivation,
@@ -745,6 +794,7 @@ object CorpusQueries extends QueryGroup {
     "q152_privacy_t_closeness" -> q152,
     "q156_corpus_snapshot_diff" -> q156,
     "q163_pack_length_buckets" -> q163,
+    "q164_url_normalize" -> q164,
   )
 
   // 2-gram positions: range(1, len) = 1..len-1 (DuckDB range excludes the
@@ -855,6 +905,39 @@ object CorpusQueries extends QueryGroup {
         |SELECT doc_id, source, n_tok, bucket, batch_idx, pos, batch_max,
         |  batch_max - n_tok AS pad
         |FROM b2 ORDER BY doc_id""".stripMargin,
+
+    // URL canonicalization: identical regex chain in the Java∩RE2
+    // intersection; utm filter + param sort via list ops; window count
+    "q164_url_normalize" ->
+      """WITH u AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'http://www.example.com/p'
+        |        || CAST(doc_id // 3 AS VARCHAR) || '?a=1&b=2'
+        |      WHEN doc_id % 3 = 1 THEN 'HTTP://WWW.EXAMPLE.COM:80/p'
+        |        || CAST(doc_id // 3 AS VARCHAR) || '?b=2&a=1&utm_source=x'
+        |      ELSE 'http://example.com/p'
+        |        || CAST(doc_id // 3 AS VARCHAR) || '/?a=1&b=2#frag'
+        |    END AS url
+        |  FROM documents),
+        |parts AS (SELECT doc_id, url,
+        |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+        |    regexp_replace(regexp_replace(lower(regexp_extract(url,
+        |      '^[A-Za-z]+://([^/?#]+)', 1)), '^www\.', ''), ':80$', '')
+        |      AS host,
+        |    regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS p0,
+        |    regexp_extract(url, '\?([^#]*)', 1) AS q0
+        |  FROM u),
+        |norm AS (SELECT doc_id, url,
+        |    scheme || '://' || host ||
+        |    (CASE WHEN p0 = '' OR p0 = '/' THEN '/'
+        |      ELSE regexp_replace(p0, '/$', '') END) ||
+        |    (CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END) AS url_norm
+        |  FROM (SELECT *, array_to_string(list_sort(list_filter(
+        |      string_split(q0, '&'),
+        |      x -> x <> '' AND NOT regexp_matches(x, '^utm_'))), '&') AS q2
+        |    FROM parts))
+        |SELECT doc_id, url, url_norm, md5(url_norm) AS norm_fp,
+        |  count(*) OVER (PARTITION BY url_norm) AS n_variants
+        |FROM norm ORDER BY doc_id""".stripMargin,
 
     // snapshot diff: full-outer fingerprint join, verdict per doc
     "q156_corpus_snapshot_diff" ->

@@ -641,6 +641,12 @@ object RelationalQueries extends QueryGroup {
     * shipments whose transit windows overlap are emitted with their exact
     * overlap length in days.
     *
+    * Note: the synthetic lineitem is NOT key-unique (q165's audit flags
+    * ~23% duplicate (orderkey, linenumber) pairs), so `line_id` carries
+    * duplicates; pairs between two rows SHARING an id are excluded by the
+    * `a_id < b_id` rule in the banded plan and the oracle's naive join
+    * alike, so the contract stays engine-identical.
+    *
     * Scale design (the q11 band-join idea specialized to intervals): each
     * interval is exploded to the 16-day bands it touches — band width >
     * max duration bounds the fan-out at 2 rows per interval — and pairs
@@ -667,8 +673,54 @@ object RelationalQueries extends QueryGroup {
       .orderBy("a_id", "b_id")
   }
 
+  /** Q165: data-quality audit — the expectation-suite report (the
+    * Great-Expectations/dbt-test move) a lake runs before promoting a
+    * load: one row per declared rule with checked/failed counts and the
+    * verdict. Rules cover the four families a real suite mixes: domain
+    * ranges (quantity ∈ [1,50], price > 0, discount ∈ [0,0.1]),
+    * completeness (ship date present), key uniqueness
+    * ((orderkey, linenumber) count = distinct count), and referential
+    * integrity (every lineitem orderkey resolves in orders — LEFT ANTI
+    * join, the only rule that is not a single scan).
+    *
+    * Shape: the five scan rules fold into ONE pass over lineitem
+    * (conditional-count aggregation — no per-rule rescans); uniqueness
+    * is one count-distinct; the FK rule is an anti join against the
+    * broadcast-able key side. Scales as two scans + one join at any
+    * fact size. */
+  private val q165: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    def failed(cond: org.apache.spark.sql.Column) =
+      sum(when(!cond, 1L).otherwise(0L))
+    val scanRules = li.agg(
+      count(lit(1)).as("n"),
+      failed(col("l_quantity") >= 1 && col("l_quantity") <= 50).as("f_qty"),
+      failed(col("l_extendedprice") > 0).as("f_price"),
+      failed(col("l_discount") >= 0 && col("l_discount") <= 0.1).as("f_disc"),
+      failed(col("l_shipdate").isNotNull).as("f_ship"),
+      (count(lit(1)) - countDistinct(col("l_orderkey"), col("l_linenumber")))
+        .as("f_uniq"))
+    val fkFails = li.select(col("l_orderkey"))
+      .join(Tables.orders(s, d).select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("f_fk"))
+    val w = scanRules.crossJoin(fkFails)
+    def rule(name: String, fCol: String) =
+      w.select(lit(name).as("rule"), col("n").cast("long").as("n_checked"),
+        col(fCol).cast("long").as("n_failed"),
+        (col(fCol) === 0).as("pass"))
+    rule("fk_orderkey_resolves", "f_fk")
+      .unionByName(rule("key_unique_orderkey_linenumber", "f_uniq"))
+      .unionByName(rule("range_discount_0_to_0.1", "f_disc"))
+      .unionByName(rule("range_price_positive", "f_price"))
+      .unionByName(rule("range_quantity_1_to_50", "f_qty"))
+      .unionByName(rule("shipdate_not_null", "f_ship"))
+      .orderBy("rule")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q155_join_interval_overlap" -> q155,
+    "q165_data_quality_audit" -> q165,
     "q125_scd2_upsert" -> q125,
     "q130_cdc_merge" -> q130,
     "q01_scan_project" -> q01,
@@ -717,6 +769,35 @@ object RelationalQueries extends QueryGroup {
   )
 
   val oracles: Map[String, String] = Map(
+    // data-quality audit: one conditional-count scan + distinct + anti
+    // join, one row per rule
+    "q165_data_quality_audit" ->
+      """WITH s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN l_quantity >= 1 AND l_quantity <= 50
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS f_qty,
+        |    CAST(sum(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS f_price,
+        |    CAST(sum(CASE WHEN l_discount >= 0 AND l_discount <= 0.1
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS f_disc,
+        |    CAST(sum(CASE WHEN l_shipdate IS NOT NULL THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS f_ship,
+        |    CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+        |      AS BIGINT) AS f_uniq
+        |  FROM lineitem),
+        |fk AS (SELECT CAST(count(*) AS BIGINT) AS f_fk FROM lineitem l
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_orderkey = l.l_orderkey)),
+        |w AS (SELECT * FROM s, fk)
+        |SELECT rule, n_checked, n_failed, n_failed = 0 AS pass FROM (
+        |  SELECT 'fk_orderkey_resolves' AS rule, n AS n_checked,
+        |    f_fk AS n_failed FROM w
+        |  UNION ALL SELECT 'key_unique_orderkey_linenumber', n, f_uniq FROM w
+        |  UNION ALL SELECT 'range_discount_0_to_0.1', n, f_disc FROM w
+        |  UNION ALL SELECT 'range_price_positive', n, f_price FROM w
+        |  UNION ALL SELECT 'range_quantity_1_to_50', n, f_qty FROM w
+        |  UNION ALL SELECT 'shipdate_not_null', n, f_ship FROM w)
+        |ORDER BY rule""".stripMargin,
+
     // interval overlap: the oracle runs the NAIVE per-supplier theta-join
     // (correct by definition); the engine's banded plan must emit the
     // identical pair set with identical overlap lengths

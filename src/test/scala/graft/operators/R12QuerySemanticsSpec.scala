@@ -299,6 +299,71 @@ class R12QuerySemanticsSpec extends SparkSpec {
       }
   }
 
+  test("q164: variants collapse per id-triple and rules all fire") {
+    val out = SparkEntry.queries("q164_url_normalize")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val byNorm = out.groupBy(_.getAs[String]("url_norm"))
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val norm = r.getAs[String]("url_norm")
+      // canonical shape: lowercase, no www, no port, no utm, sorted params,
+      // no fragment, no trailing slash
+      assert(norm == s"http://example.com/p${id / 3}?a=1&b=2", norm)
+      assert(r.getAs[Long]("n_variants") == byNorm(norm).length)
+    }
+    // full triples collapse 3-into-1 (the corpus id range is contiguous)
+    val ids = out.map(_.getAs[Long]("doc_id"))
+    val fullTriples = ids.groupBy(_ / 3).values.count(_.length == 3)
+    assert(fullTriples > 0 && byNorm.values.count(_.length == 3) == fullTriples)
+  }
+
+  test("q165: every rule fires on a corrupted fixture and is exact") {
+    import spark.implicits._
+    val dir = tmpDir("dq")
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // 6 rows: one violates each scan rule, one duplicates a key,
+    // one dangles its orderkey
+    Seq(
+      (1L, 1, 5.0, 10.0, 0.05, ts: java.sql.Timestamp),   // clean
+      (1L, 2, 99.0, 10.0, 0.05, ts),                      // qty out of range
+      (2L, 1, 5.0, -1.0, 0.05, ts),                       // price <= 0
+      (2L, 2, 5.0, 10.0, 0.5, ts),                        // discount > 0.1
+      (3L, 1, 5.0, 10.0, 0.05, null.asInstanceOf[java.sql.Timestamp]), // null ship
+      (3L, 1, 5.0, 10.0, 0.05, ts),                       // dup key
+      (99L, 1, 5.0, 10.0, 0.05, ts))                      // dangling fk
+      .toDF("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_discount", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq(1L, 2L, 3L).toDF("o_orderkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = SparkEntry.queries("q165_data_quality_audit")(spark, dir)
+      .collect().map(r => r.getAs[String]("rule") ->
+        ((r.getAs[Long]("n_checked"), r.getAs[Long]("n_failed"),
+          r.getAs[Boolean]("pass")))).toMap
+    assert(out("range_quantity_1_to_50") == ((7L, 1L, false)))
+    assert(out("range_price_positive") == ((7L, 1L, false)))
+    assert(out("range_discount_0_to_0.1") == ((7L, 1L, false)))
+    assert(out("shipdate_not_null") == ((7L, 1L, false)))
+    assert(out("key_unique_orderkey_linenumber") == ((7L, 1L, false)))
+    assert(out("fk_orderkey_resolves") == ((7L, 1L, false)))
+    // the shipped corpus: verify the report against independently
+    // computed ground truth (the driver's synthetic lineitem genuinely
+    // FAILS key uniqueness — ~23% duplicate (orderkey, linenumber)
+    // pairs at sf0.001 — which is exactly what an audit is for)
+    val li = Tables.lineitem(spark, sfDir)
+    val expectUniqFails = li.count() -
+      li.select("l_orderkey", "l_linenumber").distinct().count()
+    val real = SparkEntry.queries("q165_data_quality_audit")(spark, sfDir)
+      .collect().map(r => r.getAs[String]("rule") ->
+        r.getAs[Long]("n_failed")).toMap
+    assert(real.size == 6)
+    assert(real("key_unique_orderkey_linenumber") == expectUniqFails)
+    assert(real("range_quantity_1_to_50") == li.filter(
+      !(col("l_quantity") >= 1 && col("l_quantity") <= 50)).count())
+    assert(real("fk_orderkey_resolves") == 0L,
+      "synthetic lineitem orderkeys must resolve in orders")
+  }
+
   test("q155: banded plan equals the naive theta-join") {
     val iv = Tables.lineitem(spark, sfDir)
       .filter(col("l_returnflag") === "R")
