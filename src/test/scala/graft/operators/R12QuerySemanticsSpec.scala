@@ -364,6 +364,26 @@ class R12QuerySemanticsSpec extends SparkSpec {
       "synthetic lineitem orderkeys must resolve in orders")
   }
 
+  test("q166: RRF arithmetic is exact and both legs contribute") {
+    val out = SparkEntry.queries("q166_sim_hybrid_rrf")(spark, sfDir).collect()
+    assert(out.length == 10)
+    out.foreach { r =>
+      val rbm = Option(r.getAs[java.lang.Long]("r_bm")).map(_.toLong)
+      val rcs = Option(r.getAs[java.lang.Long]("r_cos")).map(_.toLong)
+      assert(rbm.isDefined || rcs.isDefined)
+      val expect = rbm.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        rcs.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      assert(r.getAs[Double]("rrf") == expect)
+    }
+    val rrfs = out.map(_.getAs[Double]("rrf")).toSeq
+    assert(rrfs.zip(rrfs.tail).forall { case (a, b) => a >= b },
+      "results must be rrf-descending")
+    // a doc present in BOTH lists outranks any doc at the same single-leg
+    // rank; at least the fused list draws from both legs
+    assert(out.exists(r => r.getAs[java.lang.Long]("r_bm") != null) &&
+      out.exists(r => r.getAs[java.lang.Long]("r_cos") != null))
+  }
+
   test("q155: banded plan equals the naive theta-join") {
     val iv = Tables.lineitem(spark, sfDir)
       .filter(col("l_returnflag") === "R")
