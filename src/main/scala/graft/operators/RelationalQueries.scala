@@ -718,9 +718,40 @@ object RelationalQueries extends QueryGroup {
       .orderBy("rule")
   }
 
+  /** Q167: null-aware anti join — the NOT IN three-valued-logic exhibit
+    * (q09's LEFT ANTI is NOT EXISTS; `NOT IN (subquery)` differs the
+    * moment the subquery can yield NULL, and silently returning zero
+    * rows is the classic production SQL trap). Three variants, one count
+    * row each, computed in ONE query: (a) NOT IN over a null-free
+    * subquery ≡ anti join; (b) the same subquery with a NULL injected —
+    * the whole predicate goes UNKNOWN, count MUST be 0; (c) the NOT
+    * EXISTS form over the null-poisoned set — unaffected by the NULL,
+    * equal to (a). Spark plans (b) as a null-aware anti join
+    * (ExistenceJoin/NAAJ); DuckDB implements the identical SQL
+    * semantics, so the oracle is the same text. */
+  private val q167: Q = (s, d) => {
+    graft.Tables.registerAll(s, d)
+    s.sql(
+      """WITH big AS (SELECT o_custkey FROM orders WHERE o_totalprice > 300000),
+        |poison AS (SELECT o_custkey FROM big
+        |  UNION ALL SELECT CAST(NULL AS BIGINT)),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n FROM customer
+        |  WHERE c_custkey NOT IN (SELECT o_custkey FROM big)),
+        |b AS (SELECT CAST(count(*) AS BIGINT) AS n FROM customer
+        |  WHERE c_custkey NOT IN (SELECT o_custkey FROM poison)),
+        |c AS (SELECT CAST(count(*) AS BIGINT) AS n FROM customer cu
+        |  WHERE NOT EXISTS (SELECT 1 FROM poison p
+        |    WHERE p.o_custkey = cu.c_custkey))
+        |SELECT 'not_in_clean' AS variant, n FROM a
+        |UNION ALL SELECT 'not_in_null_poisoned', n FROM b
+        |UNION ALL SELECT 'not_exists_null_poisoned', n FROM c
+        |ORDER BY variant""".stripMargin)
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q155_join_interval_overlap" -> q155,
     "q165_data_quality_audit" -> q165,
+    "q167_join_null_aware_anti" -> q167,
     "q125_scd2_upsert" -> q125,
     "q130_cdc_merge" -> q130,
     "q01_scan_project" -> q01,
@@ -769,6 +800,24 @@ object RelationalQueries extends QueryGroup {
   )
 
   val oracles: Map[String, String] = Map(
+    // null-aware anti join: identical SQL text — the NOT IN/NOT EXISTS
+    // three-valued-logic semantics are the thing under test
+    "q167_join_null_aware_anti" ->
+      """WITH big AS (SELECT o_custkey FROM orders WHERE o_totalprice > 300000),
+        |poison AS (SELECT o_custkey FROM big
+        |  UNION ALL SELECT CAST(NULL AS BIGINT)),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n FROM customer
+        |  WHERE c_custkey NOT IN (SELECT o_custkey FROM big)),
+        |b AS (SELECT CAST(count(*) AS BIGINT) AS n FROM customer
+        |  WHERE c_custkey NOT IN (SELECT o_custkey FROM poison)),
+        |c AS (SELECT CAST(count(*) AS BIGINT) AS n FROM customer cu
+        |  WHERE NOT EXISTS (SELECT 1 FROM poison p
+        |    WHERE p.o_custkey = cu.c_custkey))
+        |SELECT 'not_in_clean' AS variant, n FROM a
+        |UNION ALL SELECT 'not_in_null_poisoned', n FROM b
+        |UNION ALL SELECT 'not_exists_null_poisoned', n FROM c
+        |ORDER BY variant""".stripMargin,
+
     // data-quality audit: one conditional-count scan + distinct + anti
     // join, one row per rule
     "q165_data_quality_audit" ->

@@ -384,6 +384,17 @@ class R12QuerySemanticsSpec extends SparkSpec {
       out.exists(r => r.getAs[java.lang.Long]("r_cos") != null))
   }
 
+  test("q167: NOT IN goes empty under a NULL, NOT EXISTS does not") {
+    val out = SparkEntry.queries("q167_join_null_aware_anti")(spark, sfDir)
+      .collect().map(r => r.getAs[String]("variant") -> r.getAs[Long]("n"))
+      .toMap
+    assert(out("not_in_null_poisoned") == 0L,
+      "a NULL in the NOT IN subquery must empty the result (3VL)")
+    assert(out("not_in_clean") == out("not_exists_null_poisoned"),
+      "NOT EXISTS ignores the NULL and equals the clean anti join")
+    assert(out("not_in_clean") > 0, "the anti join itself must select rows")
+  }
+
   test("q155: banded plan equals the naive theta-join") {
     val iv = Tables.lineitem(spark, sfDir)
       .filter(col("l_returnflag") === "R")
