@@ -590,6 +590,30 @@ object RelationalQueries extends QueryGroup {
     * the replayed-feed invariant), everyone else is untouched. The oracle
     * reconstructs the exact post-merge table with CASE arithmetic —
     * dimension history as plain relational algebra. */
+  /** Q168: FORWARD as-of join — q12's mirror image ("the next purchase
+    * at or after each click", per user): the time-to-conversion /
+    * next-maintenance-window enrichment. Same single-pass window trick,
+    * frame reversed (min over current..unboundedFollowing); no future
+    * purchase → NULLs, and the exact integer µs wait rides along. The
+    * oracle is DuckDB's native ASOF LEFT JOIN with the ≥ inequality —
+    * the two engines' entirely different physical strategies (range-
+    * frame window vs ASOF merge) must agree row-for-row. */
+  private val q168: Q = (s, d) => {
+    val e = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        epochUs(col("ts")).as("us"),
+        when(col("event_type") === "purchase", col("ts")).as("pts"))
+    val w = Window.partitionBy("user_id").orderBy("us")
+      .rangeBetween(Window.currentRow, Window.unboundedFollowing)
+    e.withColumn("next_purchase_ts", min(col("pts")).over(w))
+      .filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("next_purchase_ts"),
+        (epochUs(col("next_purchase_ts")) - col("us")).as("wait_us"))
+      .orderBy("event_id")
+  }
+
   private val q125: Q = (s, d) => {
     val cur = Tables.customer(s, d).select(
         col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
@@ -767,6 +791,7 @@ object RelationalQueries extends QueryGroup {
     "q10_join_cross" -> q10,
     "q11_join_range" -> q11,
     "q12_join_asof" -> q12,
+    "q168_join_asof_forward" -> q168,
     "q13_agg_hash" -> q13,
     "q14_agg_distinct" -> q14,
     "q15_agg_rollup" -> q15,
@@ -800,6 +825,16 @@ object RelationalQueries extends QueryGroup {
   )
 
   val oracles: Map[String, String] = Map(
+    // forward as-of: DuckDB native ASOF with >= vs Spark's reversed
+    // range-frame window — different physical strategies, same rows
+    "q168_join_asof_forward" ->
+      """SELECT c.event_id, c.user_id, c.ts, p.ts AS next_purchase_ts,
+        |  epoch_us(p.ts) - epoch_us(c.ts) AS wait_us
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND p.ts >= c.ts
+        |ORDER BY c.event_id""".stripMargin,
+
     // null-aware anti join: identical SQL text — the NOT IN/NOT EXISTS
     // three-valued-logic semantics are the thing under test
     "q167_join_null_aware_anti" ->
