@@ -148,17 +148,11 @@ object PostingsIndex {
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .select(col("doc_id"), col("tok"),
-        ((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
-          (col("df").cast("double") + lit(0.5)) *
-          ((col("tf").cast("double") * lit(2.2)) /
-            (col("tf").cast("double") +
-              lit(1.2) * (lit(0.25) +
-                lit(0.75) * (col("dl").cast("double") / col("avgdl"))))))
-          .as("contrib"))
+        bm25Contrib(col("tf"), col("df"), col("dl"), col("n_docs"),
+          col("avgdl")).as("contrib"))
     contrib.groupBy("doc_id")
       .agg(count(lit(1)).as("n_terms"),
-        aggregate(array_sort(collect_list(struct(col("tok"), col("contrib")))),
-          lit(0.0), (a, x) => a + x.getField("contrib")).as("score"))
+        bm25Fold(col("tok"), col("contrib")).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }

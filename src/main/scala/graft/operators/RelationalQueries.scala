@@ -582,14 +582,6 @@ object RelationalQueries extends QueryGroup {
         |ORDER BY d""".stripMargin)
   }
 
-  /** Q125: SCD2 versioned upsert over the customer dimension —
-    * [[ScdMerge.apply2]] with a deterministic update batch: every key
-    * ≡ 0 (mod 10) changes segment + balance (versioned: old row closes at
-    * the effective date, new row opens), every key ≡ 5 (mod 10) arrives
-    * as a NO-OP update (identical attributes — must create no version,
-    * the replayed-feed invariant), everyone else is untouched. The oracle
-    * reconstructs the exact post-merge table with CASE arithmetic —
-    * dimension history as plain relational algebra. */
   /** Q168: FORWARD as-of join — q12's mirror image ("the next purchase
     * at or after each click", per user): the time-to-conversion /
     * next-maintenance-window enrichment. Same single-pass window trick,
@@ -614,6 +606,14 @@ object RelationalQueries extends QueryGroup {
       .orderBy("event_id")
   }
 
+  /** Q125: SCD2 versioned upsert over the customer dimension —
+    * [[ScdMerge.apply2]] with a deterministic update batch: every key
+    * ≡ 0 (mod 10) changes segment + balance (versioned: old row closes at
+    * the effective date, new row opens), every key ≡ 5 (mod 10) arrives
+    * as a NO-OP update (identical attributes — must create no version,
+    * the replayed-feed invariant), everyone else is untouched. The oracle
+    * reconstructs the exact post-merge table with CASE arithmetic —
+    * dimension history as plain relational algebra. */
   private val q125: Q = (s, d) => {
     val cur = Tables.customer(s, d).select(
         col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
@@ -714,8 +714,13 @@ object RelationalQueries extends QueryGroup {
     * fact size. */
   private val q165: Q = (s, d) => {
     val li = Tables.lineitem(s, d)
+    // NULL must count as FAILED (a NULL quantity does not satisfy a range
+    // rule), which is also the oracle's CASE WHEN cond THEN 0 ELSE 1
+    // polarity — `when(!cond, 1).otherwise(0)` would invert NULL handling
+    // (NULL cond → otherwise → pass) and diverge the moment a
+    // regeneration ships a NULL
     def failed(cond: org.apache.spark.sql.Column) =
-      sum(when(!cond, 1L).otherwise(0L))
+      sum(when(cond, 0L).otherwise(1L))
     val scanRules = li.agg(
       count(lit(1)).as("n"),
       failed(col("l_quantity") >= 1 && col("l_quantity") <= 50).as("f_qty"),

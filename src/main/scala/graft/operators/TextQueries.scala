@@ -438,17 +438,11 @@ object TextQueries extends QueryGroup {
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .select(col("doc_id"), col("tok"),
-        ((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
-          (col("df").cast("double") + lit(0.5)) *
-          ((col("tf").cast("double") * lit(2.2)) /
-            (col("tf").cast("double") +
-              lit(1.2) * (lit(0.25) +
-                lit(0.75) * (col("dl").cast("double") / col("avgdl"))))))
-          .as("contrib"))
+        bm25Contrib(col("tf"), col("df"), col("dl"), col("n_docs"),
+          col("avgdl")).as("contrib"))
     contrib.groupBy("doc_id")
       .agg(count(lit(1)).as("n_terms"),
-        aggregate(array_sort(collect_list(struct(col("tok"), col("contrib")))),
-          lit(0.0), (a, x) => a + x.getField("contrib")).as("score"))
+        bm25Fold(col("tok"), col("contrib")).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(20)
   }
@@ -791,8 +785,10 @@ object TextQueries extends QueryGroup {
       .filter(col("n_xy") >= 5)
     val uni = toks.select(explode(col("ts")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n_w"))
-    val tot = toks.select(explode(col("ts")).as("w"))
-      .agg(count(lit(1)).cast("long").as("n_total"))
+    // n_total from the already-aggregated vocabulary table — a second
+    // full-corpus explode for one scalar would double the token-stream
+    // scan (identical exact BIGINT either way)
+    val tot = uni.agg(sum(col("n_w")).cast("long").as("n_total"))
     bigrams
       .join(uni.select(col("w").as("w1"), col("n_w").as("n_x")), "w1")
       .join(uni.select(col("w").as("w2"), col("n_w").as("n_y")), "w2")

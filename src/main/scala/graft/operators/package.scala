@@ -63,4 +63,27 @@ package object operators {
   /** Epoch µs of an NTZ timestamp, interpreting it as UTC (session tz) —
     * exactly DuckDB's epoch_us of a naive timestamp. */
   def epochUs(c: Column): Column = unix_micros(c.cast("timestamp"))
+
+  /** BM25 per-(doc, term) contribution at the shipped operating point
+    * (k1 = 1.2, b = 0.75, rarity in the engine-exact raw-ratio form — no
+    * log, the q95/q161 contract). ONE definition shared by q105, q166 and
+    * `PostingsIndex.bm25`, so the operating point and the exact double
+    * expression (which the oracles mirror operation-for-operation) change
+    * in a single place. */
+  def bm25Contrib(tf: Column, df: Column, dl: Column, nDocs: Column,
+      avgdl: Column): Column =
+    (nDocs.cast("double") - df.cast("double") + lit(0.5)) /
+      (df.cast("double") + lit(0.5)) *
+      ((tf.cast("double") * lit(2.2)) /
+        (tf.cast("double") +
+          lit(1.2) * (lit(0.25) + lit(0.75) * (dl.cast("double") / avgdl))))
+
+  /** The order-fixed per-doc BM25 score: sequential fold over TERM-SORTED
+    * (tok, contrib) structs — the field names and sort are part of the
+    * cross-engine contract (DuckDB mirror: list_reduce over
+    * list(contrib ORDER BY tok)). */
+  def bm25Fold(tok: Column, contrib: Column): Column =
+    aggregate(
+      array_sort(collect_list(struct(tok.as("tok"), contrib.as("contrib")))),
+      lit(0.0), (a, x) => a + x.getField("contrib"))
 }

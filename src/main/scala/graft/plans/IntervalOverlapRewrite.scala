@@ -35,10 +35,22 @@ import org.apache.spark.sql.types.LongType
   * interval length (fan-out per row is len/W + 1; correctness never
   * depends on the choice). Off by default so hand-banded plans (q155,
   * IntervalJoin itself) are never double-exploded.
+  *
+  * FAN-OUT GUARD: the pattern is purely structural — any pair of
+  * opposite-direction `≤` conjuncts between Long attributes matches, so
+  * a non-interval join (`a.qty <= b.cap AND b.floor <= a.budget`) can be
+  * rebanded with "interval endpoints" arbitrarily far apart, silently
+  * exploding each row into |span|/W bands. Every generated sequence is
+  * therefore wrapped in a runtime check against
+  * `spark.graft.interval.maxFanout` (default 1024): a row whose interval
+  * spans more bands RAISES a descriptive error instead of expanding —
+  * a wrong plan must fail loudly, never quietly multiply rows. Genuine
+  * long intervals raise the width or the cap.
   */
 object IntervalOverlapRewrite extends Rule[LogicalPlan] {
 
   val WidthConf = "spark.graft.interval.bandWidth"
+  val MaxFanoutConf = "spark.graft.interval.maxFanout"
   private val BAND_COL = "__graft_interval_band"
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {
@@ -86,11 +98,27 @@ object IntervalOverlapRewrite extends Rule[LogicalPlan] {
         pat match {
           case Some((ls, le, rs, re)) =>
             val w = Literal(width, LongType)
+            val maxFanout =
+              conf.getConfString(MaxFanoutConf, "1024").toLong
             // timeZoneId set explicitly: analysis's ResolveTimeZone already
-            // ran, and a TimeZoneAwareExpression without it never resolves
-            def bands(s: Attribute, e: Expression): Expression =
-              Sequence(IntegralDivide(s, w), IntegralDivide(e, w), None,
+            // ran, and a TimeZoneAwareExpression without it never resolves.
+            // The sequence is guarded: a row spanning more than maxFanout
+            // bands raises instead of silently multiplying (see scaladoc)
+            def bands(s: Attribute, e: Expression): Expression = {
+              val lo = IntegralDivide(s, w)
+              val hi = IntegralDivide(e, w)
+              val seq = Sequence(lo, hi, None,
                 Some(conf.sessionLocalTimeZone))
+              val tooWide =
+                GreaterThan(Subtract(hi, lo), Literal(maxFanout, LongType))
+              If(tooWide,
+                Cast(new RaiseError(Literal(
+                  s"IntervalOverlapRewrite: a row's interval spans more " +
+                    s"than $MaxFanoutConf=$maxFanout bands at " +
+                    s"$WidthConf=$width; raise the band width or the " +
+                    "fan-out cap, or disable the rewrite")), seq.dataType),
+                seq)
+            }
             def explodeSide(side: LogicalPlan, s: Attribute, e: Attribute,
                 out: AttributeReference): LogicalPlan = Generate(
               Explode(bands(s, e)),

@@ -88,6 +88,26 @@ class IntervalOverlapRewriteSpec extends SparkSpec with AdaptiveSparkPlanHelper 
     }
   }
 
+  test("fan-out guard: a span wider than maxFanout raises, not multiplies") {
+    // two "intervals" a million bands apart — the non-interval-join shape
+    // the structural pattern can mistake (qty <= cap AND floor <= budget)
+    val wide = intervals((1L, 1L, 0L, 50000000L), (1L, 2L, 10L, 20L))
+    val err = intercept[Exception] {
+      withWidth(16L)(overlapJoin(wide).collect())
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(_.contains("IntervalOverlapRewrite")),
+      s"expected the guard's message, got: ${messages(err)}")
+    // raising the cap makes the same query complete (and agree with naive)
+    spark.conf.set(IntervalOverlapRewrite.MaxFanoutConf, "5000000")
+    try {
+      val got = withWidth(16L)(pairs(overlapJoin(wide)))
+      assert(got == pairs(overlapJoin(wide)))
+    } finally spark.conf.unset(IntervalOverlapRewrite.MaxFanoutConf)
+  }
+
   test("null starts/ends: no bands, no naive matches — identical results") {
     val iv = spark.createDataFrame(
       java.util.Arrays.asList(

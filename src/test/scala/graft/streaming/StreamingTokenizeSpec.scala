@@ -45,7 +45,6 @@ class StreamingTokenizeSpec extends SparkSpec {
 
   test("stream ≡ batch: identical pieces per doc, composes after clean()") {
     implicit val sc = spark.sqlContext
-    val good1 = (1 to 30).map(i => s"ab").mkString(" ")
     val rows = Seq((1L, "abcde cab", ts(0)), (2L, "ab abcd xe", ts(1)))
     val mem = MemoryStream[(Long, String, Timestamp)]
     val stream = CorpusStream.tokenizeWordPiece(
