@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Write–Audit–Publish: the lake-governance gate a production load runs so
+  * a bad batch can never become visible to readers (the Netflix/Iceberg WAP
+  * pattern, here over the plain-parquet lake layout the rest of graft
+  * uses). A batch is written to an INVISIBLE staging directory, the
+  * expectation suite (q165's rule shapes, generalized) runs against the
+  * BYTES THAT WERE ACTUALLY WRITTEN — auditing the input frame would miss
+  * writer bugs, which is the entire point of WAP — and only a fully-passing
+  * batch is promoted into the readable `data/` tree with one atomic
+  * directory rename. A failing batch stays quarantined in `staging/` with
+  * its report; readers never observe it.
+  *
+  * Idempotence contract (the replay story at any scale): batches are keyed
+  * by a caller-supplied `batchId`; a replayed publish of an
+  * already-published id is a NO-OP (the rename target exists), and a
+  * replayed attempt of a quarantined id re-stages over its own directory —
+  * the whole-directory overwrite is the idempotence unit, exactly the
+  * CdcStream/VectorStream convention.
+  *
+  * Scale shape: the audit is ONE conditional-count pass over the staged
+  * files (all row-level rules fold into a single aggregation — no per-rule
+  * rescans) plus one count-distinct when a uniqueness key is declared.
+  * Publication is metadata-only (a rename), never a data rewrite.
+  *
+  * NULL semantics: a NULL under a row rule counts as FAILED (a NULL
+  * quantity does not satisfy a range check — the q165 polarity rule).
+  */
+object LakeAudit {
+
+  /** A row-level expectation: `cond` must hold (non-NULL true) per row. */
+  final case class Rule(name: String, cond: Column)
+
+  final case class RuleReport(rule: String, nChecked: Long, nFailed: Long) {
+    def pass: Boolean = nFailed == 0
+  }
+
+  final case class WapResult(batchId: String, published: Boolean,
+      reports: Seq[RuleReport]) {
+    def failedRules: Seq[String] = reports.filterNot(_.pass).map(_.rule)
+  }
+
+  private def stagingPath(dir: String, batchId: String) =
+    new Path(s"$dir/staging/batch=$batchId")
+  private def dataPath(dir: String, batchId: String) =
+    new Path(s"$dir/data/batch=$batchId")
+
+  /** One-pass expectation report over `df` (no uniqueness rule). */
+  def audit(df: DataFrame, rules: Seq[Rule],
+      uniqueKey: Seq[String] = Nil): Seq[RuleReport] = {
+    require(rules.nonEmpty || uniqueKey.nonEmpty, "no expectations declared")
+    val rowReports: Seq[RuleReport] = if (rules.isEmpty) Nil else {
+      val aggs = count(lit(1)).as("__n") +:
+        rules.zipWithIndex.map { case (r, i) =>
+          // NULL → otherwise → failed (the q165 polarity)
+          sum(when(r.cond, 0L).otherwise(1L)).as(s"__f$i")
+        }
+      val row = df.agg(aggs.head, aggs.tail: _*).collect().head
+      val n = row.getAs[Long]("__n")
+      rules.zipWithIndex.map { case (r, i) =>
+        RuleReport(r.name, n, row.getAs[Long](s"__f$i"))
+      }
+    }
+    val uniqReport = if (uniqueKey.isEmpty) Nil else {
+      val n = df.count()
+      val distinct = df.select(uniqueKey.map(col): _*).distinct().count()
+      Seq(RuleReport(s"unique(${uniqueKey.mkString(",")})", n, n - distinct))
+    }
+    rowReports ++ uniqReport
+  }
+
+  /** Stage `df` under `dir/staging/batch=<batchId>`, audit the staged
+    * files, and promote to `dir/data/batch=<batchId>` only if every rule
+    * passes. Returns the decision plus the full report. */
+  def writeAuditPublish(spark: SparkSession, df: DataFrame, dir: String,
+      batchId: String, rules: Seq[Rule],
+      uniqueKey: Seq[String] = Nil): WapResult = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staged = stagingPath(dir, batchId)
+    val target = dataPath(dir, batchId)
+    if (fs.exists(target))
+      // replayed publish of a published batch: nothing to do, report as
+      // published with the audit of the LIVE data (cheap re-attestation)
+      return WapResult(batchId, published = true,
+        audit(spark.read.parquet(target.toString), rules, uniqueKey))
+    df.write.mode("overwrite").parquet(staged.toString)
+    val reports = audit(spark.read.parquet(staged.toString), rules, uniqueKey)
+    val ok = reports.forall(_.pass)
+    if (ok) {
+      fs.mkdirs(target.getParent)
+      require(fs.rename(staged, target),
+        s"atomic publish rename failed: $staged -> $target")
+    }
+    WapResult(batchId, published = ok, reports)
+  }
+
+  /** The readable table: published batches only — staging is invisible. */
+  def readPublished(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/data")
+
+  /** Streaming WAP: every micro-batch goes through
+    * [[writeAuditPublish]] keyed by the STREAMING batch id, so a dirty
+    * micro-batch quarantines (readers never see it, the stream keeps
+    * running) and a kill-restart replay of a published batch is the
+    * no-op the id contract guarantees — exactly-once publication on top
+    * of at-least-once micro-batch delivery, the CdcStream/VectorStream
+    * idempotence story with the audit gate in the middle. Failed batch
+    * ids are reported through `onResult` (the operational hook a real
+    * pipeline alerts on). */
+  def startStream(docs: DataFrame, dir: String, checkpoint: String,
+      rules: Seq[Rule], uniqueKey: Seq[String] = Nil,
+      onResult: WapResult => Unit = _ => ())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        onResult(writeAuditPublish(batch.sparkSession, batch, dir,
+          id.toString, rules, uniqueKey))
+      }
+      .start()
+}

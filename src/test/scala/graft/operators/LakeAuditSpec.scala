@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Write–Audit–Publish: a failing batch must never become readable, a
+  * passing one publishes atomically, and replays are no-ops. */
+class LakeAuditSpec extends SparkSpec {
+  import spark.implicits._
+  import LakeAudit._
+
+  private val rules = Seq(
+    Rule("qty_range", col("qty") >= 1 && col("qty") <= 50),
+    Rule("price_positive", col("price") > 0))
+
+  test("clean batch publishes and is readable; dirty batch is quarantined") {
+    val dir = tmpDir("wap")
+    val clean = Seq((1L, 5.0, 10.0), (2L, 7.0, 20.0)).toDF("id", "qty", "price")
+    val r1 = writeAuditPublish(spark, clean, dir, "b1", rules, Seq("id"))
+    assert(r1.published && r1.failedRules.isEmpty)
+    assert(readPublished(spark, dir).count() == 2)
+
+    val dirty = Seq((3L, 99.0, 10.0), (4L, 5.0, -1.0), (4L, 5.0, 2.0))
+      .toDF("id", "qty", "price")
+    val r2 = writeAuditPublish(spark, dirty, dir, "b2", rules, Seq("id"))
+    assert(!r2.published)
+    assert(r2.failedRules.toSet ==
+      Set("qty_range", "price_positive", "unique(id)"))
+    assert(r2.reports.map(r => r.rule -> r.nFailed).toMap ==
+      Map("qty_range" -> 1L, "price_positive" -> 1L, "unique(id)" -> 1L))
+    // readers still see ONLY the clean batch
+    assert(readPublished(spark, dir).count() == 2)
+    // the evidence is quarantined in staging, invisible to readPublished
+    assert(spark.read.parquet(s"$dir/staging/batch=b2").count() == 3)
+  }
+
+  test("NULL under a row rule counts as failed") {
+    val dir = tmpDir("wapnull")
+    val withNull = Seq[(java.lang.Long, java.lang.Double, java.lang.Double)](
+      (1L, null, 10.0)).toDF("id", "qty", "price")
+    val r = writeAuditPublish(spark, withNull, dir, "b1", rules)
+    assert(!r.published)
+    assert(r.failedRules == Seq("qty_range"))
+  }
+
+  test("streaming WAP: dirty micro-batch quarantines, stream keeps flowing") {
+    implicit val sc = spark.sqlContext
+    val dir = tmpDir("wapstream")
+    val ckpt = tmpDir("wapckpt")
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Double, Double)]
+    val results = scala.collection.mutable.ArrayBuffer.empty[WapResult]
+    val q = LakeAudit.startStream(
+      mem.toDS().toDF("id", "qty", "price"), dir, ckpt, rules,
+      onResult = r => results.synchronized { results += r })
+    try {
+      mem.addData((1L, 5.0, 10.0))
+      q.processAllAvailable()
+      mem.addData((2L, 99.0, 10.0)) // dirty: qty out of range
+      q.processAllAvailable()
+      mem.addData((3L, 7.0, 20.0))
+      q.processAllAvailable()
+      val ids = readPublished(spark, dir).select("id")
+        .as[Long].collect().toSet
+      assert(ids == Set(1L, 3L), s"dirty batch must quarantine, got $ids")
+      val verdicts = results.synchronized {
+        results.map(r => r.batchId -> r.published).toMap }
+      assert(verdicts.values.count(_ == false) == 1,
+        "exactly one micro-batch fails its audit")
+    } finally q.stop()
+  }
+
+  test("replays: published id is a no-op, quarantined id re-stages") {
+    val dir = tmpDir("wapreplay")
+    val clean = Seq((1L, 5.0, 10.0)).toDF("id", "qty", "price")
+    assert(writeAuditPublish(spark, clean, dir, "b1", rules).published)
+    // replay with DIFFERENT (bad) content: published data must not change
+    val bad = Seq((9L, 99.0, -5.0)).toDF("id", "qty", "price")
+    val replay = writeAuditPublish(spark, bad, dir, "b1", rules)
+    assert(replay.published, "already-published id reports published")
+    assert(readPublished(spark, dir).select("id").as[Long].collect().toSeq
+      == Seq(1L), "replay must not alter published data")
+    // a quarantined id re-stages over itself and can then publish
+    val dirty = Seq((2L, 99.0, 10.0)).toDF("id", "qty", "price")
+    assert(!writeAuditPublish(spark, dirty, dir, "b2", rules).published)
+    val fixed = Seq((2L, 9.0, 10.0)).toDF("id", "qty", "price")
+    assert(writeAuditPublish(spark, fixed, dir, "b2", rules).published)
+    assert(readPublished(spark, dir).count() == 2)
+  }
+}
