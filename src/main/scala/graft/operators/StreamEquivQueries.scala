@@ -334,8 +334,43 @@ object StreamEquivQueries extends QueryGroup {
       .orderBy("click_id", "purchase_id")
   }
 
+  /** Q169: sequential-pattern support — "A followed by B within 30
+    * minutes" counts for every ordered event-type pair (the 2-length
+    * sequential-pattern mining primitive [Agrawal & Srikant ICDE'95's
+    * support counting], generalizing q123's ADJACENT-only transition
+    * matrix to any-gap-within-window follows). Emits raw occurrence
+    * support and distinct-user support per (antecedent, consequent).
+    *
+    * The follow relation is the q155/q159 banding again, composed the
+    * other way round: each event opens a (m, m+30] lookback-forward
+    * window (strictness via the integer-minute +1 shift — closed-band
+    * machinery, strict semantics), windows explode to ≤2 width-32
+    * bands, followers join on (user, band) with the exact containment
+    * filter. Shuffle stays linear in events; the |types|² aggregation
+    * is domain-bounded. Oracle = the naive per-user theta-join. */
+  private val q169: Q = (s, d) => {
+    val W = 32
+    val ev = Tables.events(s, d)
+      .withColumn("us", epochUs(col("ts")))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("us div 60000000").as("m"))
+    val iv = ev.select(col("user_id"), col("event_type").as("a_type"),
+        (col("m") + 1).as("s"), (col("m") + 30).as("e"))
+      .withColumn("band", explode(expr(s"sequence(s div $W, e div $W)")))
+    val pt = ev.select(col("user_id").as("pu"),
+        col("event_type").as("b_type"), col("m"))
+      .withColumn("band", expr(s"m div $W"))
+    pt.join(iv, col("pu") === col("user_id") && pt("band") === iv("band"))
+      .filter(col("s") <= col("m") && col("m") <= col("e"))
+      .groupBy("a_type", "b_type")
+      .agg(count(lit(1)).as("support"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("a_type", "b_type")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q159_join_point_in_window" -> q159,
+    "q169_seq_pattern_support" -> q169,
     "q141_funnel_windowed" -> q141,
     "q145_feature_pit_join" -> q145,
     "q29_stream_tumbling" -> q29,
@@ -351,6 +386,18 @@ object StreamEquivQueries extends QueryGroup {
   )
 
   val oracles: Map[String, String] = Map(
+    // sequential-pattern support: naive per-user strict-follow theta-join
+    // within 30 minutes; the engine runs the banded form
+    "q169_seq_pattern_support" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    epoch_us(ts) // 60000000 AS m FROM events)
+        |SELECT a.event_type AS a_type, b.event_type AS b_type,
+        |  CAST(count(*) AS BIGINT) AS support,
+        |  CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+        |FROM e a JOIN e b ON a.user_id = b.user_id
+        |  AND b.m > a.m AND b.m <= a.m + 30
+        |GROUP BY a_type, b_type ORDER BY a_type, b_type""".stripMargin,
+
     // attribution lookup: naive per-user theta-join over epoch-minute
     // lookback windows (the engine runs the banded point-in-interval form)
     "q159_join_point_in_window" ->

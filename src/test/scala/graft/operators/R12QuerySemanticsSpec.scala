@@ -395,6 +395,28 @@ class R12QuerySemanticsSpec extends SparkSpec {
     assert(out("not_in_clean") > 0, "the anti join itself must select rows")
   }
 
+  test("q169: banded support equals the naive follow-join") {
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("us", epochUs(col("ts")))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("us div 60000000").as("m"))
+    val a = ev.select(col("user_id"), col("event_type").as("a_type"),
+      col("m").as("am"))
+    val b = ev.select(col("user_id").as("bu"),
+      col("event_type").as("b_type"), col("m").as("bm"))
+    val naive = a.join(b, col("user_id") === col("bu") &&
+        col("bm") > col("am") && col("bm") <= col("am") + 30)
+      .groupBy("a_type", "b_type")
+      .agg(count(lit(1)).as("support"),
+        countDistinct(col("user_id")).as("n_users"))
+    val banded = SparkEntry.queries("q169_seq_pattern_support")(spark, sfDir)
+    assert(banded.exceptAll(naive).count() == 0)
+    assert(naive.exceptAll(banded).count() == 0)
+    val rows = banded.collect()
+    assert(rows.forall(r =>
+      r.getAs[Long]("n_users") <= r.getAs[Long]("support")))
+  }
+
   test("q155: banded plan equals the naive theta-join") {
     val iv = Tables.lineitem(spark, sfDir)
       .filter(col("l_returnflag") === "R")
