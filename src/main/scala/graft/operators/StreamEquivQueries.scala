@@ -368,9 +368,45 @@ object StreamEquivQueries extends QueryGroup {
       .orderBy("a_type", "b_type")
   }
 
+  /** Q170: GDPR erasure with INCREMENTAL rollup maintenance — the
+    * right-to-be-forgotten operation at lake scale: when a user-id set
+    * must be erased, the derived hourly rollup is maintained by
+    * SUBTRACTING the erased rows' partial aggregates (counts and exact
+    * DECIMAL sums are abelian-group values — q124's merge run in
+    * reverse), never by re-aggregating history: O(erased) work instead
+    * of O(all events), the only viable erasure at 100 TB. Buckets whose
+    * count reaches zero drop from the rollup entirely (an empty bucket
+    * must not linger as a zero row — it would leak that the hour HAD
+    * activity). The erased cohort is user_id ≡ 3 (mod 17).
+    *
+    * The ORACLE aggregates the surviving events directly — the hash
+    * match IS the proof that subtract-partials erasure is exact (the
+    * decimal sums make the subtraction lossless; double sums would
+    * not survive this). */
+  private val q170: Q = (s, d) => {
+    import org.apache.spark.sql.types.DecimalType
+    val e = Tables.events(s, d).select(col("user_id"), col("event_type"),
+      date_trunc("hour", col("ts")).as("hr"), col("value"))
+    def partial(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("hr", "event_type").agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).as("psum"))
+    val full = partial(e)
+    val erased = partial(e.filter(col("user_id") % 17 === 3))
+      .select(col("hr"), col("event_type"),
+        (-col("n")).as("n"), (-col("psum")).as("psum"))
+    full.unionByName(erased)
+      .groupBy("hr", "event_type")
+      .agg(sum(col("n")).as("n"), sum(col("psum")).as("merged"))
+      .filter(col("n") > 0)
+      .select(col("hr"), col("event_type"), col("n"),
+        col("merged").cast("double").as("total_value"))
+      .orderBy("hr", "event_type")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q159_join_point_in_window" -> q159,
     "q169_seq_pattern_support" -> q169,
+    "q170_gdpr_erase_rollup" -> q170,
     "q141_funnel_windowed" -> q141,
     "q145_feature_pit_join" -> q145,
     "q29_stream_tumbling" -> q29,
@@ -386,6 +422,15 @@ object StreamEquivQueries extends QueryGroup {
   )
 
   val oracles: Map[String, String] = Map(
+    // GDPR erasure: the oracle aggregates SURVIVING events directly —
+    // hash-match proves subtract-partials maintenance is exact
+    "q170_gdpr_erase_rollup" ->
+      """SELECT date_trunc('hour', ts) AS hr, event_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events WHERE user_id % 17 <> 3
+        |GROUP BY hr, event_type ORDER BY hr, event_type""".stripMargin,
+
     // sequential-pattern support: naive per-user strict-follow theta-join
     // within 30 minutes; the engine runs the banded form
     "q169_seq_pattern_support" ->

@@ -417,6 +417,21 @@ class R12QuerySemanticsSpec extends SparkSpec {
       r.getAs[Long]("n_users") <= r.getAs[Long]("support")))
   }
 
+  test("q170: subtract-partials erasure equals direct recompute exactly") {
+    val direct = Tables.events(spark, sfDir)
+      .filter(col("user_id") % 17 =!= 3)
+      .groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("total_value"))
+    val maintained =
+      SparkEntry.queries("q170_gdpr_erase_rollup")(spark, sfDir)
+    assert(maintained.exceptAll(direct).count() == 0)
+    assert(direct.exceptAll(maintained).count() == 0)
+    assert(maintained.filter(col("n") <= 0).count() == 0,
+      "zeroed buckets must drop, not linger")
+  }
+
   test("q155: banded plan equals the naive theta-join") {
     val iv = Tables.lineitem(spark, sfDir)
       .filter(col("l_returnflag") === "R")
