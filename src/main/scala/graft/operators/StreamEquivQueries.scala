@@ -403,10 +403,41 @@ object StreamEquivQueries extends QueryGroup {
       .orderBy("hr", "event_type")
   }
 
+  /** Q171: attribution models — q159 finds WHICH touches belong to each
+    * conversion (many-to-many); THIS resolves the credit question every
+    * marketing report actually asks: per purchase, the FIRST-touch and
+    * LAST-touch click inside the 480-minute lookback, plus the touch
+    * count (the multi-touch denominator). Both picks are argmin/argmax
+    * over (minute, click_id) structs — the q44/q145 move, ties broken by
+    * the id identically cross-engine — grouped per purchase from the
+    * SAME banded point-in-interval pairs q159 emits, so the pair stage
+    * stays linear in events. Purchases with no touch in window emit
+    * nothing (no credit to assign — the honest readout). */
+  private val q171: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .withColumn("us", epochUs(col("ts")))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("us div 60000000").as("m"))
+    val clicks = ev.filter(col("event_type") === "click")
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        (col("m") - 480).as("w_start"), col("m").as("w_end"))
+    IntervalJoin.pointInIntervals(clicks, purch,
+        key = "user_id", pointId = "event_id", t = "m",
+        intervalId = "purchase_id", start = "w_start", end = "w_end",
+        maxLen = 480L, bandWidth = 512L)
+      .groupBy(col("user_id"), col("interval_id").as("purchase_id"))
+      .agg(count(lit(1)).as("n_touches"),
+        expr("min(struct(t, point_id)).point_id").as("first_touch_id"),
+        expr("max(struct(t, point_id)).point_id").as("last_touch_id"))
+      .orderBy("purchase_id")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q159_join_point_in_window" -> q159,
     "q169_seq_pattern_support" -> q169,
     "q170_gdpr_erase_rollup" -> q170,
+    "q171_attribution_models" -> q171,
     "q141_funnel_windowed" -> q141,
     "q145_feature_pit_join" -> q145,
     "q29_stream_tumbling" -> q29,
@@ -422,6 +453,25 @@ object StreamEquivQueries extends QueryGroup {
   )
 
   val oracles: Map[String, String] = Map(
+    // attribution models: naive window join, then struct argmin/argmax
+    // per purchase (field order (m, id) IS the comparison order)
+    "q171_attribution_models" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    epoch_us(ts) // 60000000 AS m FROM events),
+        |c AS (SELECT event_id, user_id, m FROM e WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS purchase_id, user_id, m - 480 AS w_start,
+        |    m AS w_end FROM e WHERE event_type = 'purchase'),
+        |pairs AS (SELECT p.user_id, p.purchase_id, c.event_id AS click_id,
+        |    c.m FROM c JOIN p ON c.user_id = p.user_id
+        |  AND p.w_start <= c.m AND c.m <= p.w_end)
+        |SELECT user_id, purchase_id, CAST(count(*) AS BIGINT) AS n_touches,
+        |  struct_extract(min({'m': m, 'id': click_id}), 'id')
+        |    AS first_touch_id,
+        |  struct_extract(max({'m': m, 'id': click_id}), 'id')
+        |    AS last_touch_id
+        |FROM pairs GROUP BY user_id, purchase_id
+        |ORDER BY purchase_id""".stripMargin,
+
     // GDPR erasure: the oracle aggregates SURVIVING events directly —
     // hash-match proves subtract-partials maintenance is exact
     "q170_gdpr_erase_rollup" ->

@@ -432,6 +432,28 @@ class R12QuerySemanticsSpec extends SparkSpec {
       "zeroed buckets must drop, not linger")
   }
 
+  test("q171: first/last touch agree with the q159 pair set") {
+    val pairs = SparkEntry.queries("q159_join_point_in_window")(spark, sfDir)
+      .collect()
+      .groupBy(_.getAs[Long]("purchase_id"))
+    val out = SparkEntry.queries("q171_attribution_models")(spark, sfDir)
+      .collect()
+    assert(out.map(_.getAs[Long]("purchase_id")).toSet == pairs.keySet,
+      "exactly the purchases with >= 1 touch get attribution rows")
+    out.foreach { r =>
+      val pid = r.getAs[Long]("purchase_id")
+      val touches = pairs(pid)
+      assert(r.getAs[Long]("n_touches") == touches.length)
+      // first = max lag (earliest click), last = min lag; ties to id
+      val byKey = touches.map(t =>
+        (t.getAs[Long]("lag_min"), t.getAs[Long]("click_id")))
+      val first = byKey.maxBy { case (lag, id) => (lag, -id) }._2
+      val last = byKey.minBy { case (lag, id) => (lag, -id) }._2
+      assert(r.getAs[Long]("first_touch_id") == first, s"purchase $pid first")
+      assert(r.getAs[Long]("last_touch_id") == last, s"purchase $pid last")
+    }
+  }
+
   test("q155: banded plan equals the naive theta-join") {
     val iv = Tables.lineitem(spark, sfDir)
       .filter(col("l_returnflag") === "R")
