@@ -765,6 +765,33 @@ object CorpusQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** Q172: blocklist screening via the Aho–Corasick kernel
+    * ([[graft.plans.AcAutomaton]]) — the C4/Gopher bad-word filter shape:
+    * every document is scanned ONCE per statistic for the whole pattern
+    * list (total occurrences incl. overlapping, distinct patterns hit,
+    * earliest match position), instead of once per pattern — the only
+    * per-row cost model that survives a hundreds-entry blocklist on a
+    * 100 TB corpus. Substring-level, so cross-token phrases ("slow scan")
+    * match where shingle decontamination cannot; the pattern list rides
+    * the plan as a foldable literal (broadcast-small-side discipline).
+    * Patterns deliberately nest ("scan" inside "row scan") and self-
+    * overlap ("a a"), exercising the fail/dict links; the oracle mirrors
+    * with a position-enumerating substr scan. */
+  private val q172: Q = (s, d) => {
+    val pats = array(AcBlocklist.map(lit): _*)
+    val t = lower(col("text"))
+    Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        call_function("ac_count_all", t, pats).as("n_occ"),
+        call_function("ac_distinct_hits", t, pats).as("n_pats"),
+        call_function("ac_first_pos", t, pats).as("first_pos"))
+      .withColumn("blocked", col("n_pats") >= 2 || col("n_occ") >= 8)
+      .orderBy("doc_id")
+  }
+
+  private val AcBlocklist =
+    Seq("slow scan", "big table", "row scan", "scan", "fast merge", "a a")
+
   val queries: Seq[(String, Q)] = Seq(
     "q71_text_repetition" -> q71,
     "q72_dedup_spans" -> q72,
@@ -795,6 +822,7 @@ object CorpusQueries extends QueryGroup {
     "q156_corpus_snapshot_diff" -> q156,
     "q163_pack_length_buckets" -> q163,
     "q164_url_normalize" -> q164,
+    "q172_text_blocklist" -> q172,
   )
 
   // 2-gram positions: range(1, len) = 1..len-1 (DuckDB range excludes the
@@ -938,6 +966,34 @@ object CorpusQueries extends QueryGroup {
         |SELECT doc_id, url, url_norm, md5(url_norm) AS norm_fp,
         |  count(*) OVER (PARTITION BY url_norm) AS n_variants
         |FROM norm ORDER BY doc_id""".stripMargin,
+
+    // blocklist screening: the oracle enumerates every start position per
+    // (doc, pattern) via scalar-context range + substr equality — all
+    // occurrences INCLUDING overlapping, the Aho–Corasick semantics; the
+    // kernel's UTF-16 positions coincide with DuckDB's code-point
+    // positions on this ASCII corpus
+    "q172_text_blocklist" ->
+      """WITH pats AS (SELECT * FROM (VALUES ('slow scan'), ('big table'),
+        |    ('row scan'), ('scan'), ('fast merge'), ('a a')) p(pat)),
+        |m AS (SELECT d.doc_id, p.pat,
+        |    list_filter(range(1, length(d.text) - length(p.pat) + 2),
+        |      i -> substr(lower(d.text), CAST(i AS INT), length(p.pat))
+        |        = p.pat) AS hits
+        |  FROM documents d, pats p
+        |  WHERE d.text IS NOT NULL),
+        |agg AS (SELECT doc_id, CAST(sum(len(hits)) AS INT) AS n_occ,
+        |    CAST(count(*) FILTER (WHERE len(hits) > 0) AS INT) AS n_pats,
+        |    CAST(min(CASE WHEN len(hits) > 0 THEN hits[1] END) AS INT)
+        |      AS first_pos
+        |  FROM m GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.n_occ, 0) AS n_occ,
+        |  coalesce(a.n_pats, 0) AS n_pats,
+        |  coalesce(a.first_pos, 0) AS first_pos,
+        |  (coalesce(a.n_pats, 0) >= 2 OR coalesce(a.n_occ, 0) >= 8)
+        |    AS blocked
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |WHERE d.text IS NOT NULL
+        |ORDER BY d.doc_id""".stripMargin,
 
     // snapshot diff: full-outer fingerprint join, verdict per doc
     "q156_corpus_snapshot_diff" ->

@@ -77,7 +77,13 @@ object GraftFunctions {
     ("unigram_encode", classOf[UnigramEncode], 2,
       (c: Seq[Expression]) => UnigramEncode(c(0), c(1))),
     ("unigram_expected", classOf[UnigramExpected], 2,
-      (c: Seq[Expression]) => UnigramExpected(c(0), c(1))))
+      (c: Seq[Expression]) => UnigramExpected(c(0), c(1))),
+    ("ac_count_all", classOf[AcCountAll], 2,
+      (c: Seq[Expression]) => AcCountAll(c(0), c(1))),
+    ("ac_distinct_hits", classOf[AcDistinctHits], 2,
+      (c: Seq[Expression]) => AcDistinctHits(c(0), c(1))),
+    ("ac_first_pos", classOf[AcFirstPos], 2,
+      (c: Seq[Expression]) => AcFirstPos(c(0), c(1))))
 
   /** Idempotently register every graft function into a live session (no-op
     * when GraftExtensions already injected them). */
