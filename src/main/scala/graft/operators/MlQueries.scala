@@ -517,8 +517,37 @@ object MlQueries extends QueryGroup {
       .orderBy("grp")
   }
 
+  /** Q173: EXACT order statistics without a row sort — the scale path the
+    * q158 shape note promises, realized: for an integer-valued (or
+    * bounded-cardinality) metric, group by VALUE first, then pick each
+    * percentile as the least value whose cumulative count reaches the
+    * integer target rank ⌈n·k/100⌉ (the pure-integer q158 rank contract —
+    * never `0.01·n`). The shuffle carries one row per DISTINCT value per
+    * group (here 3×50 rows from 60k; at 100 TB still ~the value domain),
+    * and the only window runs over that tiny histogram — vs q158's
+    * row_number over every row of the group. Skewed values are harmless:
+    * they are exactly one histogram row regardless of multiplicity. */
+  private val q173: Q = (s, d) => {
+    val h = Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("grp"),
+        col("l_quantity").cast("long").as("v"))
+      .groupBy("grp", "v").agg(count(lit(1)).as("c"))
+    val cum = h
+      .withColumn("cum", sum("c").over(
+        Window.partitionBy("grp").orderBy("v")))
+      .withColumn("n", sum("c").over(Window.partitionBy("grp")))
+    def pick(k: Int) =
+      min(when(col("cum") >= expr(s"(n * $k + 99) div 100"), col("v")))
+        .as(s"p$k")
+    cum.groupBy("grp")
+      .agg(max("n").as("n_rows"), count(lit(1)).as("n_values"),
+        pick(50), pick(90), pick(99))
+      .orderBy("grp")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q158_agg_winsorized" -> q158,
+    "q173_quantile_value_histogram" -> q173,
     "q160_curriculum_order" -> q160,
     "q137_anomaly_mad" -> q137,
     "q142_split_temporal" -> q142,
@@ -612,6 +641,25 @@ object MlQueries extends QueryGroup {
         |FROM g JOIN b USING (grp) JOIN n_ USING (grp)
         |GROUP BY g.grp, n_.n, b.lo, b.hi
         |ORDER BY g.grp""".stripMargin,
+
+    // exact quantiles from the value histogram: same grouped counts +
+    // cumulative sums (HUGEINT window sums cast back, the q91 gotcha) +
+    // pure-integer target ranks; CAST(l_quantity AS BIGINT) is exact on
+    // this integral-valued column in both engines
+    "q173_quantile_value_histogram" ->
+      """WITH h AS (SELECT l_returnflag AS grp,
+        |    CAST(l_quantity AS BIGINT) AS v, count(*) AS c
+        |  FROM lineitem GROUP BY grp, v),
+        |cum AS (SELECT grp, v, c,
+        |    CAST(sum(c) OVER (PARTITION BY grp ORDER BY v) AS BIGINT)
+        |      AS cum,
+        |    CAST(sum(c) OVER (PARTITION BY grp) AS BIGINT) AS n
+        |  FROM h)
+        |SELECT grp, max(n) AS n_rows, CAST(count(*) AS BIGINT) AS n_values,
+        |  min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN v END) AS p50,
+        |  min(CASE WHEN cum >= (n * 90 + 99) // 100 THEN v END) AS p90,
+        |  min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN v END) AS p99
+        |FROM cum GROUP BY grp ORDER BY grp""".stripMargin,
 
     // epoch shuffle: epoch-salted md5 keys, fixed-width hash-range shards
     // (2³²/8 = 536870912), rank within (epoch, shard)

@@ -479,4 +479,55 @@ class R12QuerySemanticsSpec extends SparkSpec {
     assert(banded.filter(col("overlap_days") < 1).count() == 0)
     assert(banded.filter(col("overlap_days") > 15).count() == 0)
   }
+
+  test("q173: histogram-rank quantiles equal the sort-based order statistics") {
+    val out = SparkEntry.queries("q173_quantile_value_histogram")(spark, sfDir)
+      .collect().map(r => r.getAs[String]("grp") -> r).toMap
+    // independent reference: full row_number sort, value at rank ⌈n·k/100⌉
+    val g = Tables.lineitem(spark, sfDir).select(
+      col("l_returnflag").as("grp"), col("l_quantity").cast("long").as("v"))
+    val ranked = g.withColumn("rn", row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy("grp")
+        .orderBy("v")).cast("long"))
+    val n = g.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.keySet == n.keySet)
+    Seq(50, 90, 99).foreach { k =>
+      val want = ranked.join(
+          n.toSeq.toDF("grp", "n"), "grp")
+        .filter(col("rn") === expr(s"(n * $k + 99) div 100"))
+        .groupBy("grp").agg(min("v").as("v")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      want.foreach { case (grp, v) =>
+        assert(out(grp).getAs[Long](s"p$k") == v, s"p$k($grp)")
+      }
+    }
+    assert(out.values.map(_.getAs[Long]("n_rows")).sum == n.values.sum)
+    out.values.foreach(r => assert(r.getAs[Long]("n_values") <= 50))
+  }
+
+  test("q174: splits are cluster-coherent and equal the md5 formula") {
+    val out = SparkEntry.queries("q174_split_cluster_coherent")(spark, sfDir)
+    out.cache()
+    try {
+      assert(out.count() == Tables.documents(spark, sfDir).count())
+      // (1) no component straddles splits
+      val straddle = out.groupBy("component")
+        .agg(countDistinct("split").as("k")).filter(col("k") > 1).count()
+      assert(straddle == 0, "a near-dup cluster straddles splits")
+      // (2) the verdict is exactly the q106 hash formula on the component
+      val u = (conv(substring(md5(col("component").cast("string")), 1, 8),
+        16, 10).cast("long").cast("double") / lit(4294967296.0))
+      val expect = when(u < 0.8, "train").when(u < 0.9, "val")
+        .otherwise("test")
+      assert(out.filter(col("split") =!= expect).count() == 0)
+      // (3) component labels are q66's (the split rides the dedup pass)
+      val q66 = SparkEntry.queries("q66_dedup_components")(spark, sfDir)
+        .withColumnRenamed("component", "c66")
+      assert(out.join(q66, "doc_id")
+        .filter(col("component") =!= col("c66")).count() == 0)
+      // all three splits materialize on this corpus
+      assert(out.select("split").distinct().count() == 3)
+    } finally out.unpersist()
+  }
 }
