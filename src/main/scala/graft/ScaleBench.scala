@@ -779,7 +779,85 @@ object ScaleBench {
           s""""wall_sec":${(System.nanoTime() - tc) / 1e9}}""")
         measured(spark, "mor_read_compacted", 20)(
           CdcMerge.readView(spark, base, "k", "seq", "op", payload).count())
-      case other => sys.error(s"unknown mode $other (docs|chains|q74ab|j37ab|bpe|unigram|dedupreport|ann|vecstream|graph|cdc)")
+      case "blocklist" =>
+        // Aho–Corasick one-pass scan vs the P-column contains-sum: corpus
+        // scaling at fixed P = 200 (both linear in text), then the P sweep
+        // at a fixed 3× corpus — the axis where contains-sum pays P
+        // rescans per row and the automaton stays one pass (mult = P
+        // in the psweep rows).
+        def acPats(p: Int): Seq[String] = (0 until p).map(k => s"t$k ")
+        def acCount(docs: DataFrame, pats: Seq[String]): Long = {
+          // ac_distinct_hits = per-doc #patterns present — the exact
+          // semantics of the contains-sum competitor (row counts match)
+          val arr = array(pats.map(lit): _*)
+          docs.select(call_function("ac_distinct_hits", col("text"), arr)
+            .as("h")).agg(sum("h")).collect().head.getLong(0)
+        }
+        def containsCount(docs: DataFrame, pats: Seq[String]): Long = {
+          val hits = pats.map(p =>
+            when(col("text").contains(p), 1L).otherwise(0L))
+            .reduce(_ + _)
+          docs.select(hits.as("h")).agg(sum("h")).collect().head.getLong(0)
+        }
+        val baseDocs = 20000L
+        Seq(1, 3, 10).foreach { m =>
+          val docs = synthDocs(spark, baseDocs * m)
+          docs.persist(); docs.count()
+          measured(spark, "blocklist_ac_p200", m)(
+            acCount(docs, acPats(200)))
+          measured(spark, "blocklist_contains_p200", m)(
+            containsCount(docs, acPats(200)))
+          docs.unpersist()
+        }
+        val sweepDocs = synthDocs(spark, baseDocs * 3)
+        sweepDocs.persist(); sweepDocs.count()
+        Seq(10, 50, 200, 800).foreach { p =>
+          measured(spark, "blocklist_ac_psweep", p)(
+            acCount(sweepDocs, acPats(p)))
+          measured(spark, "blocklist_contains_psweep", p)(
+            containsCount(sweepDocs, acPats(p)))
+        }
+        sweepDocs.unpersist()
+      case "quantile" =>
+        // q173's claim measured: exact percentiles from the value
+        // histogram (shuffle ≈ the value domain) vs the q158-shape
+        // row_number sort (shuffle ≈ every row), at 1×/3×/10×.
+        import org.apache.spark.sql.expressions.Window
+        val baseN = 2000000L
+        Seq(1, 3, 10).foreach { m =>
+          val t = spark.range(baseN * m).select(
+            (col("id") % 3).cast("string").as("grp"),
+            (pmod(xxhash64(col("id")), lit(50)) + 1).as("v"))
+          t.persist(); t.count()
+          measured(spark, "quantile_hist", m) {
+            val cum = t.groupBy("grp", "v").agg(count(lit(1)).as("c"))
+              .withColumn("cum", sum("c").over(
+                Window.partitionBy("grp").orderBy("v")))
+              .withColumn("n", sum("c").over(Window.partitionBy("grp")))
+            cum.groupBy("grp").agg(
+                min(when(col("cum") >= expr("(n * 50 + 99) div 100"),
+                  col("v"))).as("p50"),
+                min(when(col("cum") >= expr("(n * 99 + 99) div 100"),
+                  col("v"))).as("p99"))
+              .count()
+          }
+          measured(spark, "quantile_sort", m) {
+            val counts = t.groupBy("grp").agg(count(lit(1)).as("n"))
+            val ranked = t.withColumn("rn", row_number().over(
+              Window.partitionBy("grp").orderBy("v")).cast("long"))
+            ranked.join(broadcast(counts), "grp")
+              .filter(col("rn") === expr("(n * 50 + 99) div 100") ||
+                col("rn") === expr("(n * 99 + 99) div 100"))
+              .groupBy("grp")
+              .agg(min(when(col("rn") === expr("(n * 50 + 99) div 100"),
+                col("v"))).as("p50"),
+                min(when(col("rn") === expr("(n * 99 + 99) div 100"),
+                  col("v"))).as("p99"))
+              .count()
+          }
+          t.unpersist()
+        }
+      case other => sys.error(s"unknown mode $other (docs|chains|q74ab|j37ab|bpe|unigram|dedupreport|ann|vecstream|graph|cdc|blocklist|quantile)")
     }
     spark.stop()
   }
