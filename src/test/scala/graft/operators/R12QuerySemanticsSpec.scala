@@ -506,6 +506,29 @@ class R12QuerySemanticsSpec extends SparkSpec {
     out.values.foreach(r => assert(r.getAs[Long]("n_values") <= 50))
   }
 
+  test("q175: linkage recall and precision follow the degradation model exactly") {
+    val out = SparkEntry.queries("q175_entity_record_linkage")(spark, sfDir)
+      .collect()
+    val keys = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").cast("long")).collect().map(_.getLong(0))
+    // an entity relinks iff it exists in B (k%5≠4), kept its code (k%13≠0),
+    // kept its nation — both blocking passes need it (k%11≠0) — and did
+    // not lose balance AND segment together (k%21≠0): 40+15 alone is < 65
+    val expected = keys.filter(k =>
+      k % 5 != 4 && k % 13 != 0 && k % 11 != 0 && k % 21 != 0).toSet
+    val trueLinks = out.filter(_.getAs[Boolean]("is_true"))
+      .map(_.getAs[Long]("a_key")).toSet
+    assert(trueLinks == expected, "recall must be exactly the model's")
+    // the ONLY possible false link is the code-typo collision: b's code+1
+    // equals entity b_key+1's code (40 pts is mandatory for 65)
+    out.filter(r => !r.getAs[Boolean]("is_true")).foreach { r =>
+      assert(r.getAs[Long]("a_key") == r.getAs[Long]("b_key") + 1 &&
+        r.getAs[Long]("b_key") % 13 == 0,
+        s"unexplained false link: ${r}")
+    }
+    out.foreach(r => assert(r.getAs[Int]("score") >= 65))
+  }
+
   test("q174: splits are cluster-coherent and equal the md5 formula") {
     val out = SparkEntry.queries("q174_split_cluster_coherent")(spark, sfDir)
     out.cache()
