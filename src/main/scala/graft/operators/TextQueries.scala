@@ -802,8 +802,62 @@ object TextQueries extends QueryGroup {
       .limit(20)
   }
 
+  /** Q176: Simpson lexical concentration — the mode-collapse screen a
+    * synthetic-data pipeline runs before admitting generated text: per
+    * doc, the probability two random tokens coincide is Σc_i²/n², and
+    * diversity = 1 − that. Kept ENTIRELY in exact integer space (the q95
+    * contract): the query emits the rational (div_num, div_den) =
+    * (n² − Σc_i², n²) and a cross-multiplied ≥ 0.95 verdict — zero
+    * divisions, so both engines agree bit-for-bit. Two partial-aggregated
+    * groupBys, shuffle bounded by distinct (doc, token) pairs; the
+    * complement to q71's n-gram repetition fractions at unigram
+    * granularity. */
+  private val q176: Q = (s, d) => {
+    val counts = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    counts.groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_distinct"),
+        sum(col("c") * col("c")).as("sum_sq"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        (col("n_tokens") * col("n_tokens") - col("sum_sq")).as("div_num"),
+        (col("n_tokens") * col("n_tokens")).as("div_den"),
+        ((col("n_tokens") * col("n_tokens") - col("sum_sq")) * 20 >=
+          col("n_tokens") * col("n_tokens") * 19).as("is_diverse"))
+      .orderBy("doc_id")
+  }
+
+  /** Q177: vocabulary growth curve — the measured Heaps'-law evidence
+    * behind every "index size stays bounded" claim in this repo (postings,
+    * shingle ownership, BPE merges): tokens are attributed to the ingest
+    * WAVE (doc_id div 100) where they first appear, giving per-wave new
+    * types, the cumulative vocabulary, per-wave token volume, and the
+    * exact novelty rational (n_new, n_occ) — integer-only, the q95
+    * contract. One distinct-token pass + a min-groupBy (shuffle bounded
+    * by the vocabulary, not the corpus); the cumulative window runs over
+    * a handful of wave rows. */
+  private val q177: Q = (s, d) => {
+    val toks = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"), expr("doc_id div 100").as("wave"),
+        explode(TextFunctions.tokens(col("text"))).as("tok"))
+    val novel = toks.groupBy("tok").agg(min("doc_id").as("first_doc"))
+      .select(expr("first_doc div 100").as("wave"))
+      .groupBy("wave").agg(count(lit(1)).as("n_new"))
+    val volume = toks.groupBy("wave")
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct("doc_id").as("n_docs"))
+    volume.join(novel, Seq("wave"), "left")
+      .na.fill(0L, Seq("n_new"))
+      .withColumn("vocab_cum",
+        sum("n_new").over(Window.orderBy("wave")))
+      .orderBy("wave")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q33_text_topwords" -> q33,
+    "q176_text_simpson_diversity" -> q176,
+    "q177_vocab_growth" -> q177,
     "q153_pretokenize_regex" -> q153,
     "q161_text_tfidf_keywords" -> q161,
     "q162_text_pmi_collocations" -> q162,
@@ -833,6 +887,43 @@ object TextQueries extends QueryGroup {
   )
 
   val oracles: Map[String, String] = Map(
+    // Simpson concentration as an exact rational — same grouped counts,
+    // HUGEINT sums cast back (the q91 gotcha), cross-multiplied verdict
+    "q176_text_simpson_diversity" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(lower(text), ' '))
+        |    AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY doc_id, tok),
+        |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_distinct,
+        |    CAST(sum(c * c) AS BIGINT) AS sum_sq
+        |  FROM c GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_distinct,
+        |  n_tokens * n_tokens - sum_sq AS div_num,
+        |  n_tokens * n_tokens AS div_den,
+        |  ((n_tokens * n_tokens - sum_sq) * 20 >= n_tokens * n_tokens * 19)
+        |    AS is_diverse
+        |FROM a ORDER BY doc_id""".stripMargin,
+
+    // vocabulary growth: first-seen wave per type, per-wave volumes,
+    // cumulative vocabulary via a window sum over the few wave rows
+    "q177_vocab_growth" ->
+      """WITH t AS (SELECT doc_id, doc_id // 100 AS wave,
+        |    unnest(string_split(lower(text), ' ')) AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |novel AS (SELECT tok, min(doc_id) AS first_doc FROM t GROUP BY tok),
+        |nw AS (SELECT first_doc // 100 AS wave,
+        |    CAST(count(*) AS BIGINT) AS n_new
+        |  FROM novel GROUP BY 1),
+        |vol AS (SELECT wave, CAST(count(*) AS BIGINT) AS n_occ,
+        |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |  FROM t GROUP BY wave)
+        |SELECT v.wave, v.n_occ, v.n_docs, coalesce(nw.n_new, 0) AS n_new,
+        |  CAST(sum(coalesce(nw.n_new, 0)) OVER (ORDER BY v.wave)
+        |    AS BIGINT) AS vocab_cum
+        |FROM vol v LEFT JOIN nw USING (wave)
+        |ORDER BY wave""".stripMargin,
+
     // tf-idf keywords: rarity-ratio idf (log-free, rank-identical), ties
     // to the smaller term; df joined back on the vocab key
     "q161_text_tfidf_keywords" ->

@@ -294,4 +294,24 @@ object CorpusStream {
   def tokenizeUnigram(docs: DataFrame, model: graft.operators.UnigramLm.Vocab,
       textCol: String = "text"): DataFrame =
     tokenizeWith(docs, "unigram_encode", model.lit, textCol)
+
+  /** Blocklist screening at ingest — the q172 Aho–Corasick kernel as a
+    * STATELESS stream stage (per-row column expressions, no watermark, no
+    * state; composes anywhere in the clean/dedup chain): drops documents
+    * matching ≥ `maxDistinct` distinct blocklist entries or ≥ `maxTotal`
+    * total occurrences, and annotates survivors with both counts. The
+    * substring-level complement to [[decontaminate]]'s shingle blocklist —
+    * cross-token phrases ("how to build a …") match here; the pattern
+    * list rides the plan as a literal, ONE text pass per statistic
+    * regardless of list size (the ScaleBench `blocklist` P-sweep). */
+  def screenBlocklist(docs: DataFrame, patterns: Seq[String],
+      maxDistinct: Int = 2, maxTotal: Int = 8,
+      textCol: String = "text"): DataFrame = {
+    val pats = array(patterns.map(lit): _*)
+    val t = lower(col(textCol))
+    docs
+      .withColumn("bl_hits", call_function("ac_distinct_hits", t, pats))
+      .withColumn("bl_occ", call_function("ac_count_all", t, pats))
+      .filter(col("bl_hits") < maxDistinct && col("bl_occ") < maxTotal)
+  }
 }

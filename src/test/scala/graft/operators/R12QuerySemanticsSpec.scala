@@ -529,6 +529,50 @@ class R12QuerySemanticsSpec extends SparkSpec {
     out.foreach(r => assert(r.getAs[Int]("score") >= 65))
   }
 
+  test("q176: the Simpson rational is valid and matches a per-doc recount") {
+    val out = SparkEntry.queries("q176_text_simpson_diversity")(spark, sfDir)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val n = r.getAs[Long]("n_tokens")
+      val num = r.getAs[Long]("div_num")
+      val den = r.getAs[Long]("div_den")
+      assert(den == n * n)
+      assert(num >= 0 && num < den || (n == 1 && num == 0))
+      assert(r.getAs[Boolean]("is_diverse") == (num * 20 >= den * 19))
+    }
+    // independent recount of one document in driver code
+    val doc = Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull).orderBy("doc_id").limit(1)
+      .collect().head
+    val toks = doc.getAs[String]("text").toLowerCase.split(" ", -1)
+    val counts = toks.groupBy(identity).map(_._2.length.toLong)
+    val n = toks.length.toLong
+    val want = n * n - counts.map(c => c * c).sum
+    val got = out.find(_.getAs[Long]("doc_id") == doc.getAs[Long]("doc_id")).get
+    assert(got.getAs[Long]("div_num") == want)
+    assert(got.getAs[Long]("n_distinct") == counts.size.toLong)
+  }
+
+  test("q177: per-wave novelty adds up to the exact vocabulary") {
+    val out = SparkEntry.queries("q177_vocab_growth")(spark, sfDir)
+      .orderBy("wave").collect()
+    assert(out.nonEmpty)
+    val docs = Tables.documents(spark, sfDir).filter(col("text").isNotNull)
+    val vocab = docs.select(explode(split(lower(col("text")), " ")).as("t"))
+      .agg(countDistinct("t")).collect().head.getLong(0)
+    val totalOcc = docs.select(size(split(lower(col("text")), " "))
+      .cast("long").as("n")).agg(sum("n")).collect().head.getLong(0)
+    assert(out.map(_.getAs[Long]("n_new")).sum == vocab,
+      "novelty must partition the vocabulary across waves")
+    assert(out.last.getAs[Long]("vocab_cum") == vocab)
+    assert(out.map(_.getAs[Long]("n_occ")).sum == totalOcc)
+    // cumulative is the running sum and never decreases
+    val cums = out.map(_.getAs[Long]("vocab_cum"))
+    val news = out.map(_.getAs[Long]("n_new"))
+    assert(cums.toSeq == news.scanLeft(0L)(_ + _).tail.toSeq)
+  }
+
   test("q174: splits are cluster-coherent and equal the md5 formula") {
     val out = SparkEntry.queries("q174_split_cluster_coherent")(spark, sfDir)
     out.cache()

@@ -67,4 +67,32 @@ class StreamingTokenizeSpec extends SparkSpec {
       assert(streamed.nonEmpty)
     } finally q.stop()
   }
+
+  test("screenBlocklist: stateless AC screening drops by the q172 thresholds, stream ≡ batch") {
+    implicit val sc = spark.sqlContext
+    val pats = Seq("bad word", "worse")
+    val rows = Seq(
+      (1L, "a clean document", ts(0)),            // keep: 0 hits
+      (2L, "one bad word here", ts(1)),           // keep: 1 distinct < 2
+      (3L, "bad word and worse stuff", ts(2)),    // drop: 2 distinct
+      (4L, "worse worse worse worse worse worse worse worse x", ts(3))) // drop: 8 occ
+    val batch = CorpusStream.screenBlocklist(
+      rows.toDF("doc_id", "text", "ts"), pats)
+    val kept = batch.select("doc_id", "bl_hits", "bl_occ").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(kept == Set((1L, 0, 0), (2L, 1, 1)))
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val q = CorpusStream.screenBlocklist(
+        mem.toDS().toDF("doc_id", "text", "ts"), pats)
+      .select("doc_id", "bl_hits", "bl_occ")
+      .writeStream.format("memory").queryName("blscreen")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("blscreen").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+      assert(streamed == kept)
+    } finally q.stop()
+  }
 }
