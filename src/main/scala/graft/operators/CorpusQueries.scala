@@ -792,6 +792,45 @@ object CorpusQueries extends QueryGroup {
   private val AcBlocklist =
     Seq("slow scan", "big table", "row scan", "scan", "fast merge", "a a")
 
+  /** Q178: link-graph extraction from markup — the web-graph build step
+    * between q150's page cleaning and q129's PageRank: anchors are pulled
+    * from deterministic synthesized pages (every doc links to
+    * (3i+1) mod 500 and (7i+2) mod 500, every 4th adds a third link —
+    * so hubs, broken links and self-links all occur) with ONE
+    * `regexp_extract_all` in the Java∩RE2 intersection (the q81/q164
+    * contract), exploded to an edge list, then degree statistics: out,
+    * in (links from elsewhere in the corpus), and broken outlinks
+    * (targets not in the corpus — at small SFs most links dangle, the
+    * honest crawl shape). Map-side extract + two hash aggregations; the
+    * edge list is links-per-page-bounded, never quadratic. */
+  private val q178: Q = (s, d) => {
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+    val html = concat(lit("<p>"), col("text"), lit("</p><a href=\"/doc/"),
+      (col("doc_id") * 3 + 1) % 500, lit("\">x</a> <a href=\"/doc/"),
+      (col("doc_id") * 7 + 2) % 500, lit("\">y</a>"),
+      when(col("doc_id") % 4 === 0,
+        concat(lit(" <a href=\"/doc/"), (col("doc_id") * 13 + 5) % 500,
+          lit("\">z</a>"))).otherwise(lit("")))
+    val pages = docs.select(col("doc_id"), html.as("html"))
+    val edges = pages.select(col("doc_id").as("src"),
+        explode(expr("regexp_extract_all(html, 'href=\"/doc/([0-9]+)\"', 1)"))
+          .as("dst_s"))
+      .select(col("src"), col("dst_s").cast("long").as("dst"))
+    val ids = docs.select(col("doc_id").as("dst"))
+    val out = edges.join(ids, Seq("dst"), "left_semi")
+      .groupBy("src").agg(count(lit(1)).as("out_deg"))
+    val broken = edges.join(ids, Seq("dst"), "left_anti")
+      .groupBy("src").agg(count(lit(1)).as("n_broken"))
+    val in = edges.join(ids, Seq("dst"), "left_semi")
+      .groupBy("dst").agg(count(lit(1)).as("in_deg"))
+    docs.select(col("doc_id"))
+      .join(out.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left")
+      .join(broken.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left")
+      .join(in.withColumnRenamed("dst", "doc_id"), Seq("doc_id"), "left")
+      .na.fill(0L, Seq("out_deg", "n_broken", "in_deg"))
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q71_text_repetition" -> q71,
     "q72_dedup_spans" -> q72,
@@ -823,6 +862,7 @@ object CorpusQueries extends QueryGroup {
     "q163_pack_length_buckets" -> q163,
     "q164_url_normalize" -> q164,
     "q172_text_blocklist" -> q172,
+    "q178_link_graph" -> q178,
   )
 
   // 2-gram positions: range(1, len) = 1..len-1 (DuckDB range excludes the
@@ -966,6 +1006,40 @@ object CorpusQueries extends QueryGroup {
         |SELECT doc_id, url, url_norm, md5(url_norm) AS norm_fp,
         |  count(*) OVER (PARTITION BY url_norm) AS n_variants
         |FROM norm ORDER BY doc_id""".stripMargin,
+
+    // link graph: identical page synthesis, regexp_extract_all anchors,
+    // SEMI/ANTI join degree splits (corpus vs broken targets)
+    "q178_link_graph" ->
+      """WITH pages AS (SELECT doc_id,
+        |    '<p>' || text || '</p><a href="/doc/'
+        |    || CAST((doc_id * 3 + 1) % 500 AS VARCHAR)
+        |    || '">x</a> <a href="/doc/'
+        |    || CAST((doc_id * 7 + 2) % 500 AS VARCHAR) || '">y</a>'
+        |    || CASE WHEN doc_id % 4 = 0 THEN ' <a href="/doc/'
+        |      || CAST((doc_id * 13 + 5) % 500 AS VARCHAR) || '">z</a>'
+        |      ELSE '' END AS html
+        |  FROM documents WHERE text IS NOT NULL),
+        |edges AS (SELECT doc_id AS src,
+        |    CAST(unnest(regexp_extract_all(html,
+        |      'href="/doc/([0-9]+)"', 1)) AS BIGINT) AS dst
+        |  FROM pages),
+        |ids AS (SELECT doc_id AS dst FROM documents
+        |  WHERE text IS NOT NULL),
+        |outd AS (SELECT src, CAST(count(*) AS BIGINT) AS out_deg
+        |  FROM edges SEMI JOIN ids USING (dst) GROUP BY src),
+        |brok AS (SELECT src, CAST(count(*) AS BIGINT) AS n_broken
+        |  FROM edges ANTI JOIN ids USING (dst) GROUP BY src),
+        |ind AS (SELECT dst AS doc_id, CAST(count(*) AS BIGINT) AS in_deg
+        |  FROM edges SEMI JOIN ids USING (dst) GROUP BY dst)
+        |SELECT d.doc_id, coalesce(o.out_deg, 0) AS out_deg,
+        |  coalesce(b.n_broken, 0) AS n_broken,
+        |  coalesce(i.in_deg, 0) AS in_deg
+        |FROM documents d
+        |LEFT JOIN outd o ON d.doc_id = o.src
+        |LEFT JOIN brok b ON d.doc_id = b.src
+        |LEFT JOIN ind i USING (doc_id)
+        |WHERE d.text IS NOT NULL
+        |ORDER BY d.doc_id""".stripMargin,
 
     // blocklist screening: the oracle enumerates every start position per
     // (doc, pattern) via scalar-context range + substr equality — all

@@ -573,6 +573,29 @@ class R12QuerySemanticsSpec extends SparkSpec {
     assert(cums.toSeq == news.scanLeft(0L)(_ + _).tail.toSeq)
   }
 
+  test("q178: degree columns account for every synthesized anchor") {
+    val out = SparkEntry.queries("q178_link_graph")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val ids = out.map(_.getAs[Long]("doc_id")).toSet
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val links = if (id % 4 == 0) 3L else 2L
+      assert(r.getAs[Long]("out_deg") + r.getAs[Long]("n_broken") == links,
+        s"doc $id must place every anchor in exactly one bucket")
+    }
+    // each internal edge counts once on each side
+    assert(out.map(_.getAs[Long]("in_deg")).sum ==
+      out.map(_.getAs[Long]("out_deg")).sum)
+    // driver recount of internal links from the same synthesis formula
+    val targets = out.flatMap { r =>
+      val i = r.getAs[Long]("doc_id")
+      Seq((i * 3 + 1) % 500, (i * 7 + 2) % 500) ++
+        (if (i % 4 == 0) Seq((i * 13 + 5) % 500) else Nil)
+    }
+    assert(out.map(_.getAs[Long]("out_deg")).sum ==
+      targets.count(ids.contains).toLong)
+  }
+
   test("q174: splits are cluster-coherent and equal the md5 formula") {
     val out = SparkEntry.queries("q174_split_cluster_coherent")(spark, sfDir)
     out.cache()
