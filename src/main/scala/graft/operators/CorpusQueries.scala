@@ -792,6 +792,35 @@ object CorpusQueries extends QueryGroup {
   private val AcBlocklist =
     Seq("slow scan", "big table", "row scan", "scan", "fast merge", "a a")
 
+  /** Q179: classifier calibration (the reliability report): the q126
+    * quality classifier's HOLDOUT margins ranked into q83-style
+    * integer-division deciles, each bin reporting exact positive counts,
+    * margin bounds and the observed positive rate (one double division) —
+    * the evidence that the filter's score actually orders quality, read
+    * before anyone picks a keep threshold. Bin totals stay exact BIGINTs;
+    * the rank window runs over the HOLDOUT slice only (at 100 TB the
+    * binning swaps to `decileBinDistributed`, the q83 contract — scoring,
+    * the data-sized pass, is unchanged). */
+  private val q179: Q = (s, d) => {
+    val scored = CorpusOps.classifierScores(Tables.documents(s, d),
+        "doc_id", col("lang") === "en", 4096)
+      .filter(!col("is_train"))
+      .select("doc_id", "is_pos", "margin")
+    val cnt = scored.agg(count(lit(1)).as("n"))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("margin"), col("doc_id"))).cast("long"))
+      .crossJoin(broadcast(cnt))
+      .withColumn("decile", expr("((rn - 1) * 10) div n"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_pos"), 1L).otherwise(0L)).as("n_pos"),
+        min("margin").as("margin_lo"), max("margin").as("margin_hi"))
+      .withColumn("pos_rate",
+        col("n_pos").cast("double") / col("n_docs"))
+      .orderBy("decile")
+  }
+
   /** Q178: link-graph extraction from markup — the web-graph build step
     * between q150's page cleaning and q129's PageRank: anchors are pulled
     * from deterministic synthesized pages (every doc links to
@@ -863,7 +892,45 @@ object CorpusQueries extends QueryGroup {
     "q164_url_normalize" -> q164,
     "q172_text_blocklist" -> q172,
     "q178_link_graph" -> q178,
+    "q179_classifier_calibration" -> q179,
   )
+
+  /** The q126 classifier refit, shared by the q126 and q179 oracles:
+    * identical hashing, split, priors and per-bucket weights; callers
+    * append their own final SELECT over `f` (doc features) and `w`
+    * (bucket weights). */
+  private val clsOracleCore: String =
+    """WITH base AS (
+      |  SELECT doc_id, lang = 'en' AS is_pos,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#cls'), 1, 8))
+      |      ::BIGINT < 3435973836 AS is_train,
+      |    string_split(lower(text), ' ') AS toks
+      |  FROM documents WHERE text IS NOT NULL),
+      |fa AS (
+      |  SELECT doc_id, is_pos, is_train,
+      |    list_concat(toks, CASE WHEN len(toks) < 2 THEN []
+      |      ELSE list_transform(range(1, len(toks)),
+      |        i -> toks[i] || ' ' || toks[i+1]) END) AS feats
+      |  FROM base),
+      |f AS (
+      |  SELECT DISTINCT doc_id, is_pos, is_train,
+      |    ('0x' || substr(md5(feat), 1, 8))::BIGINT % 4096 AS bucket
+      |  FROM (SELECT doc_id, is_pos, is_train, unnest(feats) AS feat
+      |        FROM fa)),
+      |tot AS (
+      |  SELECT CAST(count(CASE WHEN is_pos THEN 1 END) AS BIGINT)
+      |      AS tot_pos,
+      |    CAST(count(CASE WHEN NOT is_pos THEN 1 END) AS BIGINT)
+      |      AS tot_neg
+      |  FROM base WHERE is_train),
+      |cnt AS (
+      |  SELECT bucket,
+      |    CAST(count(CASE WHEN is_pos THEN 1 END) AS BIGINT) AS n_pos,
+      |    CAST(count(CASE WHEN NOT is_pos THEN 1 END) AS BIGINT) AS n_neg
+      |  FROM f WHERE is_train GROUP BY bucket),
+      |w AS (SELECT bucket, n_pos * tot_neg - n_neg * tot_pos AS w
+      |  FROM cnt, tot)
+      |""".stripMargin
 
   // 2-gram positions: range(1, len) = 1..len-1 (DuckDB range excludes the
   // upper bound), toks[i:i+1] = the 2 tokens at i — mirrors word_shingles
@@ -1279,44 +1346,36 @@ object CorpusQueries extends QueryGroup {
     // unseen buckets score 0; sum(BIGINT) is HUGEINT in DuckDB → CAST
     // back (the q91 rule)
     "q126_classifier_quality" ->
-      """WITH base AS (
-        |  SELECT doc_id, lang = 'en' AS is_pos,
-        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#cls'), 1, 8))
-        |      ::BIGINT < 3435973836 AS is_train,
-        |    string_split(lower(text), ' ') AS toks
-        |  FROM documents WHERE text IS NOT NULL),
-        |fa AS (
-        |  SELECT doc_id, is_pos, is_train,
-        |    list_concat(toks, CASE WHEN len(toks) < 2 THEN []
-        |      ELSE list_transform(range(1, len(toks)),
-        |        i -> toks[i] || ' ' || toks[i+1]) END) AS feats
-        |  FROM base),
-        |f AS (
-        |  SELECT DISTINCT doc_id, is_pos, is_train,
-        |    ('0x' || substr(md5(feat), 1, 8))::BIGINT % 4096 AS bucket
-        |  FROM (SELECT doc_id, is_pos, is_train, unnest(feats) AS feat
-        |        FROM fa)),
-        |tot AS (
-        |  SELECT CAST(count(CASE WHEN is_pos THEN 1 END) AS BIGINT)
-        |      AS tot_pos,
-        |    CAST(count(CASE WHEN NOT is_pos THEN 1 END) AS BIGINT)
-        |      AS tot_neg
-        |  FROM base WHERE is_train),
-        |cnt AS (
-        |  SELECT bucket,
-        |    CAST(count(CASE WHEN is_pos THEN 1 END) AS BIGINT) AS n_pos,
-        |    CAST(count(CASE WHEN NOT is_pos THEN 1 END) AS BIGINT) AS n_neg
-        |  FROM f WHERE is_train GROUP BY bucket),
-        |w AS (SELECT bucket, n_pos * tot_neg - n_neg * tot_pos AS w
-        |  FROM cnt, tot)
-        |SELECT f.doc_id, bool_or(f.is_pos) AS is_pos,
+      (clsOracleCore +
+      """SELECT f.doc_id, bool_or(f.is_pos) AS is_pos,
         |  bool_or(f.is_train) AS is_train,
         |  CAST(count(*) AS BIGINT) AS n_feat,
         |  CAST(coalesce(sum(w.w), 0) AS BIGINT) AS margin,
         |  CAST(coalesce(sum(w.w), 0) AS BIGINT) > 0 AS predicted
         |FROM f LEFT JOIN w USING (bucket)
         |GROUP BY f.doc_id
-        |ORDER BY f.doc_id""".stripMargin,
+        |ORDER BY f.doc_id""".stripMargin),
+
+    // calibration: the q126 refit shared verbatim (clsOracleCore), then
+    // margin-ranked holdout deciles via the q83 integer-division bin
+    "q179_classifier_calibration" ->
+      (clsOracleCore +
+      """, scored AS (SELECT f.doc_id, bool_or(f.is_pos) AS is_pos,
+        |    bool_or(f.is_train) AS is_train,
+        |    CAST(coalesce(sum(w.w), 0) AS BIGINT) AS margin
+        |  FROM f LEFT JOIN w USING (bucket) GROUP BY f.doc_id),
+        |h AS (SELECT doc_id, is_pos, margin FROM scored
+        |  WHERE NOT is_train),
+        |r AS (SELECT *, CAST(row_number() OVER (ORDER BY margin, doc_id)
+        |      AS BIGINT) AS rn,
+        |    CAST(count(*) OVER () AS BIGINT) AS n FROM h)
+        |SELECT ((rn - 1) * 10) // n AS decile,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(CASE WHEN is_pos THEN 1 END) AS BIGINT) AS n_pos,
+        |  min(margin) AS margin_lo, max(margin) AS margin_hi,
+        |  CAST(count(CASE WHEN is_pos THEN 1 END) AS DOUBLE) / count(*)
+        |    AS pos_rate
+        |FROM r GROUP BY 1 ORDER BY decile""".stripMargin),
 
     // span corruption: mask position p of doc iff the first-8-hex md5 of
     // "id#p" ≡ 0 (mod 10); runs of masked positions become one sentinel

@@ -262,7 +262,31 @@ object StreamEquivQueries extends QueryGroup {
       .orderBy("view_day")
   }
 
-  /** Q145: point-in-time feature join — the feature-store correctness op:
+  /** Q180: time-decayed user activity (EWMA, α = 1/2) — the recency-
+    * weighted feature every engagement model wants where a plain sum
+    * treats year-old events like yesterday's. Halving is the ONE decay
+    * factor that is oracle-safe: s_k = (s_{k-1} + v_k) / 2 is an exact
+    * exponent decrement after one correctly-rounded addition, so both
+    * engines produce bit-identical doubles GIVEN the same fold order —
+    * which the (ts, event_id) total order pins (the q47 sequential-fold
+    * contract; a general α multiplies by an inexact double and still
+    * works, but 1/2 makes the determinism argument airtight). One
+    * user-keyed shuffle; per-user state = that user's event list (the
+    * inherently-sequential-per-key shape — at 100 TB the fold is still
+    * one pass per user, and hot users are one list each). */
+  private val q180: Q = (s, d) =>
+    Tables.events(s, d).filter(col("value").isNotNull)
+      .groupBy("user_id")
+      .agg(array_sort(collect_list(
+        struct(col("ts"), col("event_id"), col("value")))).as("evs"))
+      .select(col("user_id"),
+        size(col("evs")).cast("long").as("n_events"),
+        expr("""aggregate(transform(evs, e -> e.value), CAST(0.0 AS DOUBLE),
+          (acc, v) -> (acc + v) / 2)""").as("ewma"),
+        element_at(col("evs"), -1).getField("value").as("last_value"))
+      .orderBy("user_id")
+
+  /** Q145:point-in-time feature join — the feature-store correctness op:
     * every `purchase` (the label event) is enriched with features computed
     * from STRICTLY-PRECEDING events only (the leakage guard train/serve
     * skew audits check; q12's as-of allows `<=`, which leaks the label
@@ -440,6 +464,7 @@ object StreamEquivQueries extends QueryGroup {
     "q171_attribution_models" -> q171,
     "q141_funnel_windowed" -> q141,
     "q145_feature_pit_join" -> q145,
+    "q180_ewma_decay" -> q180,
     "q29_stream_tumbling" -> q29,
     "q30_stream_sliding" -> q30,
     "q31_stream_session" -> q31,
@@ -660,6 +685,18 @@ object StreamEquivQueries extends QueryGroup {
          |  a.n IS NULL AS filled
          |FROM sp LEFT JOIN a ON sp.event_type = a.event_type AND sp.h = a.h
          |ORDER BY sp.event_type, sp.h""".stripMargin,
+
+    // EWMA: ordered list aggregation + list_reduce fold seeded with 0.0
+    // via list_prepend (the q47 move); halving is exact in both engines
+    "q180_ewma_decay" ->
+      """WITH u AS (SELECT user_id,
+        |    list(value ORDER BY ts, event_id) AS vs
+        |  FROM events WHERE value IS NOT NULL GROUP BY user_id)
+        |SELECT user_id, CAST(len(vs) AS BIGINT) AS n_events,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), vs),
+        |    (acc, v) -> (acc + v) / 2) AS ewma,
+        |  vs[-1] AS last_value
+        |FROM u ORDER BY user_id""".stripMargin,
 
     "q29_stream_tumbling" ->
       s"""SELECT date_trunc('hour', ts) AS hr, event_type, count(*) AS n,

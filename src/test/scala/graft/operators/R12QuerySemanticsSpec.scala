@@ -596,6 +596,58 @@ class R12QuerySemanticsSpec extends SparkSpec {
       targets.count(ids.contains).toLong)
   }
 
+  test("q179: calibration bins partition the holdout and order by margin") {
+    val out = SparkEntry.queries("q179_classifier_calibration")(spark, sfDir)
+      .orderBy("decile").collect()
+    assert(out.map(_.getAs[Long]("decile")).toSeq == (0L to 9L))
+    val scored = CorpusOps.classifierScores(
+        Tables.documents(spark, sfDir), "doc_id", col("lang") === "en", 4096)
+      .filter(!col("is_train")).cache()
+    try {
+      val n = scored.count()
+      val nPos = scored.filter(col("is_pos")).count()
+      assert(out.map(_.getAs[Long]("n_docs")).sum == n)
+      assert(out.map(_.getAs[Long]("n_pos")).sum == nPos)
+      // integer-division deciles are balanced within one row
+      val sizes = out.map(_.getAs[Long]("n_docs"))
+      assert(sizes.max - sizes.min <= 1)
+      out.foreach { r =>
+        assert(r.getAs[Long]("n_pos") <= r.getAs[Long]("n_docs"))
+        assert(r.getAs[Double]("pos_rate") ==
+          r.getAs[Long]("n_pos").toDouble / r.getAs[Long]("n_docs"))
+        assert(r.getAs[Long]("margin_lo") <= r.getAs[Long]("margin_hi"))
+      }
+      // rank binning ⇒ margin ranges are non-overlapping in order
+      out.sliding(2).foreach { case Array(a, b) =>
+        assert(a.getAs[Long]("margin_hi") <= b.getAs[Long]("margin_lo"))
+      }
+    } finally scored.unpersist()
+  }
+
+  test("q180: the halving fold recomputes bitwise per user in driver code") {
+    val out = SparkEntry.queries("q180_ewma_decay")(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(out.nonEmpty)
+    val evs = Tables.events(spark, sfDir)
+      .filter(col("value").isNotNull)
+      .select("user_id", "ts", "event_id", "value").collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        (r.getAs[java.time.LocalDateTime]("ts"), r.getAs[Long]("event_id"),
+          r.getAs[Double]("value"))))
+      .groupBy(_._1)
+    evs.foreach { case (u, rows) =>
+      val ordered = rows.map(_._2).sortBy(t =>
+        (t._1.toEpochSecond(java.time.ZoneOffset.UTC), t._1.getNano, t._2))
+      var acc = 0.0
+      ordered.foreach { case (_, _, v) => acc = (acc + v) / 2 }
+      val r = out(u)
+      assert(r.getAs[Long]("n_events") == ordered.length.toLong)
+      assert(java.lang.Double.doubleToRawLongBits(r.getAs[Double]("ewma")) ==
+        java.lang.Double.doubleToRawLongBits(acc), s"user $u EWMA must be bit-identical")
+      assert(r.getAs[Double]("last_value") == ordered.last._3)
+    }
+  }
+
   test("q174: splits are cluster-coherent and equal the md5 formula") {
     val out = SparkEntry.queries("q174_split_cluster_coherent")(spark, sfDir)
     out.cache()
