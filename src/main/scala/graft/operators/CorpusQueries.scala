@@ -792,6 +792,41 @@ object CorpusQueries extends QueryGroup {
   private val AcBlocklist =
     Seq("slow scan", "big table", "row scan", "scan", "fast merge", "a a")
 
+  /** Q181: systematic PPS sampling [Madow 1949] — weighted sampling made
+    * oracle-exact: Efraimidis–Spirakis keys (u^(1/w)) need transcendental
+    * pow, but SYSTEMATIC probability-proportional-to-size sampling is
+    * pure integer arithmetic: docs are laid out on a line in
+    * content-stable md5 order, each owning a [cum−w, cum) segment of
+    * token mass, and a deterministic offset grid with stride T/k picks
+    * whoever a grid point lands on — inclusion probability ∝ w exactly,
+    * heavy docs (w ≥ 2·stride) legitimately get multiplicity > 1 (the
+    * classic PPS-with-multiplicity semantics). The per-source offset
+    * comes from md5(source); all divisions keep operands non-negative
+    * (`div` truncates, DuckDB `//` floors — the q175 band contract).
+    * Per-SOURCE windows only (the q91 rule: never a global rank), so the
+    * sampler is one hash family at any corpus size. */
+  private val q181: Q = (s, d) => {
+    val k = 5 // target draws per source
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        size(split(lower(col("text")), " ")).cast("long").as("w"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long").as("ord"))
+    val wcum = Window.partitionBy("source").orderBy("ord", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.withColumn("cum", sum("w").over(wcum))
+      .withColumn("t", sum("w").over(Window.partitionBy("source")))
+      .withColumn("stride", greatest(expr(s"t div $k"), lit(1L)))
+      .withColumn("r",
+        conv(substring(md5(col("source")), 1, 8), 16, 10).cast("long")
+          % col("stride") + 1)
+      .withColumn("n_hits", expr(
+        "(cum - r + stride) div stride - (cum - w - r + stride) div stride"))
+      .withColumn("selected", col("n_hits") > 0)
+      .select("source", "doc_id", "w", "cum", "n_hits", "selected")
+      .orderBy("source", "doc_id")
+  }
+
   /** Q179: classifier calibration (the reliability report): the q126
     * quality classifier's HOLDOUT margins ranked into q83-style
     * integer-division deciles, each bin reporting exact positive counts,
@@ -893,6 +928,7 @@ object CorpusQueries extends QueryGroup {
     "q172_text_blocklist" -> q172,
     "q178_link_graph" -> q178,
     "q179_classifier_calibration" -> q179,
+    "q181_sample_pps_systematic" -> q181,
   )
 
   /** The q126 classifier refit, shared by the q126 and q179 oracles:
@@ -1355,6 +1391,31 @@ object CorpusQueries extends QueryGroup {
         |FROM f LEFT JOIN w USING (bucket)
         |GROUP BY f.doc_id
         |ORDER BY f.doc_id""".stripMargin),
+
+    // systematic PPS: identical md5 layout, per-source cumulative token
+    // mass (HUGEINT window sums cast back), integer grid-hit counting
+    "q181_sample_pps_systematic" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS w,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |      AS ord
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT *, CAST(sum(w) OVER (PARTITION BY source
+        |      ORDER BY ord, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum,
+        |    CAST(sum(w) OVER (PARTITION BY source) AS BIGINT) AS t
+        |  FROM d),
+        |p AS (SELECT *, greatest(t // 5, 1) AS stride,
+        |    ('0x' || substr(md5(source), 1, 8))::BIGINT
+        |      % greatest(t // 5, 1) + 1 AS r
+        |  FROM c)
+        |SELECT source, doc_id, w, cum,
+        |  (cum - r + stride) // stride
+        |    - (cum - w - r + stride) // stride AS n_hits,
+        |  ((cum - r + stride) // stride
+        |    - (cum - w - r + stride) // stride) > 0 AS selected
+        |FROM p ORDER BY source, doc_id""".stripMargin,
 
     // calibration: the q126 refit shared verbatim (clsOracleCore), then
     // margin-ranked holdout deciles via the q83 integer-division bin

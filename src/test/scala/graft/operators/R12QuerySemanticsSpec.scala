@@ -648,6 +648,34 @@ class R12QuerySemanticsSpec extends SparkSpec {
     }
   }
 
+  test("q181: the PPS grid accounting holds per source") {
+    val out = SparkEntry.queries("q181_sample_pps_systematic")(spark, sfDir)
+      .collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getAs[String]("source")).foreach { case (src, rows) =>
+      val t = rows.map(_.getAs[Long]("w")).sum
+      val stride = math.max(t / 5, 1L)
+      val r = (BigInt(java.security.MessageDigest.getInstance("MD5")
+        .digest(src.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString, 16)
+        .toLong % stride) + 1
+      // total multiplicity = number of grid points r, r+s, … inside (0, T]
+      val gridPoints = if (r > t) 0L else (t - r) / stride + 1
+      assert(rows.map(_.getAs[Long]("n_hits")).sum == gridPoints,
+        s"source $src grid accounting")
+      rows.foreach { row =>
+        val hits = row.getAs[Long]("n_hits")
+        val w = row.getAs[Long]("w")
+        assert(row.getAs[Boolean]("selected") == (hits > 0))
+        // a segment at least one stride long MUST contain a grid point,
+        // and multiplicity is bounded by its stride count + 1
+        if (w >= stride) assert(hits >= 1, s"w=$w >= stride=$stride must hit")
+        assert(hits <= w / stride + 1)
+      }
+      // cum is a faithful running total: max(cum) == T
+      assert(rows.map(_.getAs[Long]("cum")).max == t)
+    }
+  }
+
   test("q174: splits are cluster-coherent and equal the md5 formula") {
     val out = SparkEntry.queries("q174_split_cluster_coherent")(spark, sfDir)
     out.cache()
