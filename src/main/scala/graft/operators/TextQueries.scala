@@ -828,6 +828,34 @@ object TextQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** Q182: code-switching detection — the language-CONSISTENCY check
+    * lang-ID alone misses: a document whose halves identify as different
+    * languages is either mixed-language (drop or segment it before
+    * monolingual training) or a concatenation artifact from upstream
+    * joining. Each half runs the q44 argmax-overlap scorer independently
+    * (per-row array ops, no shuffle, the q44 scale shape); a switch is
+    * flagged only when BOTH halves identify (≠ 'und') and disagree —
+    * an unidentifiable half is missing evidence, not a switch. */
+  /** q182 core over any (doc_id, lang, text) frame — separated so the
+    * fixture spec can exercise the switch/und branches the synthetic
+    * corpus rarely produces. */
+  private[operators] def codeSwitchFlags(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    val n = size(toks)
+    val first = slice(toks, lit(1), (n / 2).cast("int"))
+    val second = slice(toks, (n / 2).cast("int") + 1, n - (n / 2).cast("int"))
+    val la = TextFunctions.langGuess(first)
+    val lb = TextFunctions.langGuess(second)
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang").as("labelled_lang"),
+        la.as("first_lang"), lb.as("second_lang"),
+        (la =!= "und" && lb =!= "und" && la =!= lb).as("is_switch"))
+  }
+
+  private val q182: Q = (s, d) =>
+    codeSwitchFlags(Tables.documents(s, d)).orderBy("doc_id")
+
   /** Q177: vocabulary growth curve — the measured Heaps'-law evidence
     * behind every "index size stays bounded" claim in this repo (postings,
     * shingle ownership, BPE merges): tokens are attributed to the ingest
@@ -858,6 +886,7 @@ object TextQueries extends QueryGroup {
     "q33_text_topwords" -> q33,
     "q176_text_simpson_diversity" -> q176,
     "q177_vocab_growth" -> q177,
+    "q182_text_code_switch" -> q182,
     "q153_pretokenize_regex" -> q153,
     "q161_text_tfidf_keywords" -> q161,
     "q162_text_pmi_collocations" -> q162,
@@ -1245,6 +1274,34 @@ object TextQueries extends QueryGroup {
          |FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
          |WHERE ${sqlJaccard("a.w", "b.w")} >= 0.8
          |ORDER BY a_id, b_id""".stripMargin,
+
+    // code-switching: the q44 struct-max scorer replayed per HALF of the
+    // token list (inclusive 1-based slices, n//2 split)
+    "q182_text_code_switch" -> {
+      def guess(half: String): String = {
+        val structs = TextFunctions.langKeywords.toSeq.sortBy(_._1)
+          .map { case (lang, words) =>
+            val list = words.map(w => s"'$w'").mkString(", ")
+            s"{'score': len(list_filter($half, t -> t IN ($list))), 'lang': '$lang'}"
+          }.mkString(",\n      ")
+        s"CASE WHEN list_max([$structs]).score > 0 " +
+          s"THEN list_max([$structs]).lang ELSE 'und' END"
+      }
+      val ga = guess("fh")
+      val gb = guess("sh")
+      s"""SELECT doc_id, labelled_lang, first_lang, second_lang,
+         |  (first_lang <> 'und' AND second_lang <> 'und'
+         |    AND first_lang <> second_lang) AS is_switch
+         |FROM (
+         |  SELECT doc_id, labelled_lang, $ga AS first_lang, $gb AS second_lang
+         |  FROM (
+         |    SELECT doc_id, lang AS labelled_lang,
+         |      toks[1 : len(toks) // 2] AS fh,
+         |      toks[len(toks) // 2 + 1 : len(toks)] AS sh
+         |    FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks
+         |          FROM documents WHERE text IS NOT NULL)))
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "q44_text_langid" -> {
       val structs = TextFunctions.langKeywords.toSeq.sortBy(_._1)

@@ -676,6 +676,33 @@ class R12QuerySemanticsSpec extends SparkSpec {
     }
   }
 
+  test("q182: switch flags fire only on two identified, disagreeing halves") {
+    import spark.implicits._
+    val fixture = Seq(
+      // en first half, fr second → switch
+      (1L, "en", "the cat is a pet and all le chat est un et la"),
+      // en first half, unidentifiable second → NOT a switch
+      (2L, "en", "the cat is a pet and xx yy zz qq ww vv"),
+      // both halves en → no switch
+      (3L, "en", "the cat is a pet and the dog is a pet too"),
+      // nothing identifies → und/und, no switch
+      (4L, "und", "xx yy zz qq ww vv")).toDF("doc_id", "lang", "text")
+    val out = TextQueries.codeSwitchFlags(fixture).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("first_lang"), r.getAs[String]("second_lang"),
+          r.getAs[Boolean]("is_switch")))).toMap
+    assert(out(1L) == (("en", "fr", true)))
+    assert(out(2L)._1 == "en" && out(2L)._2 == "und" && !out(2L)._3)
+    assert(out(3L) == (("en", "en", false)))
+    assert(out(4L) == (("und", "und", false)))
+    // the declared query binds the same core to the real table
+    val real = SparkEntry.queries("q182_text_code_switch")(spark, sfDir)
+    assert(real.count() > 0)
+    assert(real.filter(col("is_switch") &&
+      (col("first_lang") === "und" || col("second_lang") === "und"))
+      .count() == 0)
+  }
+
   test("q174: splits are cluster-coherent and equal the md5 formula") {
     val out = SparkEntry.queries("q174_split_cluster_coherent")(spark, sfDir)
     out.cache()
