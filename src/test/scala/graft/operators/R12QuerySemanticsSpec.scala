@@ -703,6 +703,37 @@ class R12QuerySemanticsSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("q183: the wave-0→1 shift recomputes bitwise in driver code") {
+    val out = SparkEntry.queries("q183_vec_drift_waves")(spark, sfDir)
+      .orderBy("wave").collect()
+    assert(out.length == 4) // 5 waves → 4 transitions
+    val e = Tables.embeddings(spark, sfDir)
+      .filter(size(col("embedding")) === 64)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Seq[Float]]("embedding").toArray))
+    def centroid(wave: Long): Array[Double] = {
+      val vs = e.filter(t => t._1 / 100 == wave).map(_._2)
+      (0 until 64).map { p =>
+        // the q51 exact-decimal mean: per-value decimal(18,9) quantization
+        val s = vs.map(v => BigDecimal(v(p).toDouble)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)).sum
+        (s / 1).toDouble / vs.length  // decimal sum → double, ONE division
+      }.toArray
+    }
+    val (c0, c1) = (centroid(0), centroid(1))
+    var acc = 0.0
+    (0 until 64).foreach { p =>
+      val dx = c1(p) - c0(p); acc = acc + dx * dx
+    }
+    val got = out.head.getAs[Double]("shift_sq")
+    assert(java.lang.Double.doubleToRawLongBits(got) ==
+      java.lang.Double.doubleToRawLongBits(acc),
+      s"shift_sq must recompute bitwise: got=$got want=$acc")
+    assert(out.map(_.getAs[Long]("n_vecs")).sum ==
+      e.count(t => t._1 / 100 >= 1).toLong)
+  }
+
   test("q174: splits are cluster-coherent and equal the md5 formula") {
     val out = SparkEntry.queries("q174_split_cluster_coherent")(spark, sfDir)
     out.cache()
