@@ -818,6 +818,65 @@ object ScaleBench {
             containsCount(sweepDocs, acPats(p)))
         }
         sweepDocs.unpersist()
+      case "linkage" =>
+        // q175's block-size honesty, measured: candidate volume under the
+        // LOW-cardinality demographic blocking (nation × segment/band)
+        // grows ~quadratically with the table, because block SIZE grows
+        // linearly while the block count is domain-bounded; adding the
+        // HIGH-cardinality code-prefix pass (code div 100 — cardinality
+        // ∝ table) keeps per-block membership ~constant and the pair
+        // stage ~linear. Same degradation model as q175.
+        val baseC = 100000L
+        Seq(1, 3, 10).foreach { m =>
+          val n = baseC * m
+          val base = spark.range(n).select(
+            col("id").as("key"), (col("id") % 25).as("nation"),
+            (col("id") % 5).cast("string").as("segment"),
+            (pmod(xxhash64(col("id")), lit(1100000L)) - 100000L).as("bal"),
+            col("id").as("code"))
+          val a = base.withColumn("band", expr("(bal + 100000) div 200000"))
+          val b = base.filter(col("key") % 5 =!= 4).select(
+            col("key").as("b_key"),
+            when(col("key") % 11 === 0, (col("nation") + 1) % 25)
+              .otherwise(col("nation")).as("b_nation"),
+            when(col("key") % 7 === 0, concat(lit("X"), col("segment")))
+              .otherwise(col("segment")).as("b_segment"),
+            when(col("key") % 3 === 0, col("bal") + 1000)
+              .otherwise(col("bal")).as("b_bal"),
+            when(col("key") % 13 === 0, col("code") + 1)
+              .otherwise(col("code")).as("b_code"))
+            .withColumn("b_band", expr("(b_bal + 100000) div 200000"))
+          a.persist(); b.persist(); a.count(); b.count()
+          def score = when(col("code") === col("b_code"), 40).otherwise(0) +
+            when(abs(col("bal") - col("b_bal")) <= 500, 25).otherwise(0) +
+            when(col("nation") === col("b_nation"), 15).otherwise(0) +
+            when(col("segment") === col("b_segment"), 10).otherwise(0)
+          def matched(cand: DataFrame): Long =
+            cand.withColumn("score", score).filter(col("score") >= 65)
+              .count()
+          if (m < 10) // demographic-only blocking: quadratic by design
+            measured(spark, "linkage_demo_blocks", m)(matched(
+              a.join(b, col("nation") === col("b_nation") &&
+                  (col("segment") === col("b_segment") ||
+                    col("band") === col("b_band")))
+                .select("key", "b_key", "nation", "b_nation", "segment",
+                  "b_segment", "bal", "b_bal", "code", "b_code").distinct()))
+          // high-cardinality code-prefix blocking (code div 100, computed
+          // from each side's OBSERVED code): ~100-code blocks of constant
+          // expected size, block count ∝ table → the pair stage is
+          // linear. A ≥65 match REQUIRES code agreement (40 pts is
+          // mandatory), and agreeing codes share their prefix, so recall
+          // over achievable matches is perfect — and it additionally
+          // recovers wrong-nation entities the demographic passes
+          // structurally cannot see (they block on nation).
+          measured(spark, "linkage_prefix_blocks", m)(matched(
+            a.withColumn("pfx", expr("code div 100")).join(
+              b.withColumn("b_pfx", expr("b_code div 100")),
+              col("pfx") === col("b_pfx"))
+              .select("key", "b_key", "nation", "b_nation", "segment",
+                "b_segment", "bal", "b_bal", "code", "b_code").distinct()))
+          a.unpersist(); b.unpersist()
+        }
       case "quantile" =>
         // q173's claim measured: exact percentiles from the value
         // histogram (shuffle ≈ the value domain) vs the q158-shape
@@ -857,7 +916,7 @@ object ScaleBench {
           }
           t.unpersist()
         }
-      case other => sys.error(s"unknown mode $other (docs|chains|q74ab|j37ab|bpe|unigram|dedupreport|ann|vecstream|graph|cdc|blocklist|quantile)")
+      case other => sys.error(s"unknown mode $other (docs|chains|q74ab|j37ab|bpe|unigram|dedupreport|ann|vecstream|graph|cdc|blocklist|quantile|linkage)")
     }
     spark.stop()
   }
