@@ -856,6 +856,39 @@ object TextQueries extends QueryGroup {
   private val q182: Q = (s, d) =>
     codeSwitchFlags(Tables.documents(s, d)).orderBy("doc_id")
 
+  /** Q184: Unicode normalization + accent folding — the canonicalization
+    * every hash/dedup/vocabulary key needs on real-world text: the same
+    * visible string arrives precomposed (é = U+00E9) or decomposed
+    * (e + U+0301) and would otherwise fingerprint as two documents. The
+    * native kernels ([[graft.plans.TextNormalizeImpl]]) run the standard
+    * java.text.Normalizer algorithms; DuckDB's nfc_normalize /
+    * strip_accents implement the SAME Unicode standard, so the oracle is
+    * the built-in pair — an independent implementation agreeing
+    * bit-for-bit. The fixture decorates each doc with deterministic
+    * accent material covering all the branches: precomposed, decomposed
+    * (NFC must fuse it), mark-vs-letter (ø/œ/ß are letters, NOT accents —
+    * folding must keep them), and pure ASCII (the zero-copy fast path).
+    * Map-only; on mostly-ASCII corpora the kernel is one byte-scan. */
+  private val q184: Q = (s, d) => {
+    val decor = element_at(array(
+      lit("caf\u00e9 r\u00e9sum\u00e9"),           // precomposed
+      lit("cafe\u0301 re\u0301sume\u0301"),        // decomposed: NFC fuses
+      lit("u\u0308ber n\u00f1o\u00f1o"),           // mark + precomposed mix
+      lit("s\u00f8ster \u0153uvre stra\u00dfe")),  // letters, not accents
+      (col("doc_id") % 4 + 1).cast("int"))
+    val raw = concat(decor, lit(" "), substring(col("text"), 1, 40))
+    Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"), raw.as("raw"))
+      .select(col("doc_id"), col("raw"),
+        call_function("nfc_normalize", col("raw")).as("nfc"),
+        call_function("strip_accents", col("raw")).as("folded"),
+        length(col("raw")).as("n_raw"),
+        length(call_function("nfc_normalize", col("raw"))).as("n_nfc"),
+        (call_function("nfc_normalize", col("raw")) =!= col("raw"))
+          .as("nfc_changed"))
+      .orderBy("doc_id")
+  }
+
   /** Q177: vocabulary growth curve — the measured Heaps'-law evidence
     * behind every "index size stays bounded" claim in this repo (postings,
     * shingle ownership, BPE merges): tokens are attributed to the ingest
@@ -887,6 +920,7 @@ object TextQueries extends QueryGroup {
     "q176_text_simpson_diversity" -> q176,
     "q177_vocab_growth" -> q177,
     "q182_text_code_switch" -> q182,
+    "q184_text_normalize" -> q184,
     "q153_pretokenize_regex" -> q153,
     "q161_text_tfidf_keywords" -> q161,
     "q162_text_pmi_collocations" -> q162,
@@ -1274,6 +1308,29 @@ object TextQueries extends QueryGroup {
          |FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
          |WHERE ${sqlJaccard("a.w", "b.w")} >= 0.8
          |ORDER BY a_id, b_id""".stripMargin,
+
+    // normalization: DuckDB's built-in nfc_normalize/strip_accents are an
+    // independent implementation of the same Unicode standard; the
+    // fixture decor is rebuilt with chr() so no source encoding ambiguity
+    "q184_text_normalize" ->
+      """WITH r AS (SELECT doc_id,
+        |    (CASE doc_id % 4
+        |      WHEN 0 THEN 'caf' || chr(233) || ' r' || chr(233)
+        |        || 'sum' || chr(233)
+        |      WHEN 1 THEN 'cafe' || chr(769) || ' re' || chr(769)
+        |        || 'sume' || chr(769)
+        |      WHEN 2 THEN 'u' || chr(776) || 'ber n' || chr(241)
+        |        || 'o' || chr(241) || 'o'
+        |      ELSE 's' || chr(248) || 'ster ' || chr(339)
+        |        || 'uvre stra' || chr(223) || 'e'
+        |    END) || ' ' || substr(text, 1, 40) AS raw
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT doc_id, raw, nfc_normalize(raw) AS nfc,
+        |  strip_accents(raw) AS folded,
+        |  CAST(length(raw) AS INT) AS n_raw,
+        |  CAST(length(nfc_normalize(raw)) AS INT) AS n_nfc,
+        |  (nfc_normalize(raw) <> raw) AS nfc_changed
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // code-switching: the q44 struct-max scorer replayed per HALF of the
     // token list (inclusive 1-based slices, n//2 split)

@@ -83,7 +83,11 @@ object GraftFunctions {
     ("ac_distinct_hits", classOf[AcDistinctHits], 2,
       (c: Seq[Expression]) => AcDistinctHits(c(0), c(1))),
     ("ac_first_pos", classOf[AcFirstPos], 2,
-      (c: Seq[Expression]) => AcFirstPos(c(0), c(1))))
+      (c: Seq[Expression]) => AcFirstPos(c(0), c(1))),
+    ("nfc_normalize", classOf[NfcNormalize], 1,
+      (c: Seq[Expression]) => NfcNormalize(c(0))),
+    ("strip_accents", classOf[StripAccents], 1,
+      (c: Seq[Expression]) => StripAccents(c(0))))
 
   /** Idempotently register every graft function into a live session (no-op
     * when GraftExtensions already injected them). */
