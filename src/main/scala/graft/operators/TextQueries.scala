@@ -889,6 +889,36 @@ object TextQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** Q185: effective token budget — the question every scaling-law plan
+    * asks before anyone trains: after exact dedup, how many tokens do we
+    * ACTUALLY have per source, and how inflated was the raw count? Raw
+    * doc/token counts sit next to the effective counts where each
+    * q35-convention content hash (md5 of lower/trim) is counted ONCE —
+    * attributed to its keeper's source (min doc_id, the q35 keeper rule,
+    * so cross-source copies are not double-budgeted) — plus the exact
+    * duplication rational (raw_tokens, effective_tokens): zero divisions,
+    * the q95 contract. Two partial-aggregated groupBys (hash, then
+    * source); shuffle is bounded by distinct contents, the dedup-floor
+    * shape. */
+  private val q185: Q = (s, d) => {
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        md5(lower(trim(col("text")))).as("h"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("n_tok"))
+    val raw = docs.groupBy("source")
+      .agg(count(lit(1)).as("raw_docs"), sum("n_tok").as("raw_tokens"))
+    val keepers = docs
+      .groupBy("h")
+      .agg(min(struct(col("doc_id"), col("source"), col("n_tok")))
+        .as("k"))
+      .select(col("k.source").as("source"), col("k.n_tok").as("n_tok"))
+    val eff = keepers.groupBy("source")
+      .agg(count(lit(1)).as("eff_docs"), sum("n_tok").as("eff_tokens"))
+    raw.join(eff, Seq("source"), "left")
+      .na.fill(0L, Seq("eff_docs", "eff_tokens"))
+      .orderBy("source")
+  }
+
   /** Q177: vocabulary growth curve — the measured Heaps'-law evidence
     * behind every "index size stays bounded" claim in this repo (postings,
     * shingle ownership, BPE merges): tokens are attributed to the ingest
@@ -921,6 +951,7 @@ object TextQueries extends QueryGroup {
     "q177_vocab_growth" -> q177,
     "q182_text_code_switch" -> q182,
     "q184_text_normalize" -> q184,
+    "q185_token_budget_dedup" -> q185,
     "q153_pretokenize_regex" -> q153,
     "q161_text_tfidf_keywords" -> q161,
     "q162_text_pmi_collocations" -> q162,
@@ -1308,6 +1339,26 @@ object TextQueries extends QueryGroup {
          |FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
          |WHERE ${sqlJaccard("a.w", "b.w")} >= 0.8
          |ORDER BY a_id, b_id""".stripMargin,
+
+    // effective budget: q35's content hash, keeper via arg_min on the
+    // unique doc_id (the struct-min mirror), HUGEINT sums cast back
+    "q185_token_budget_dedup" ->
+      """WITH d AS (SELECT doc_id, source, md5(lower(trim(text))) AS h,
+        |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |raw AS (SELECT source, CAST(count(*) AS BIGINT) AS raw_docs,
+        |    CAST(sum(n_tok) AS BIGINT) AS raw_tokens FROM d
+        |  GROUP BY source),
+        |k AS (SELECT h, arg_min(source, doc_id) AS source,
+        |    arg_min(n_tok, doc_id) AS n_tok FROM d GROUP BY h),
+        |eff AS (SELECT source, CAST(count(*) AS BIGINT) AS eff_docs,
+        |    CAST(sum(n_tok) AS BIGINT) AS eff_tokens FROM k
+        |  GROUP BY source)
+        |SELECT raw.source, raw.raw_docs, raw.raw_tokens,
+        |  coalesce(eff.eff_docs, 0) AS eff_docs,
+        |  coalesce(eff.eff_tokens, 0) AS eff_tokens
+        |FROM raw LEFT JOIN eff USING (source)
+        |ORDER BY source""".stripMargin,
 
     // normalization: DuckDB's built-in nfc_normalize/strip_accents are an
     // independent implementation of the same Unicode standard; the

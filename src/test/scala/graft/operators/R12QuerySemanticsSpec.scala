@@ -734,6 +734,25 @@ class R12QuerySemanticsSpec extends SparkSpec {
       e.count(t => t._1 / 100 >= 1).toLong)
   }
 
+  test("q185: effective counts are the q35 keepers, raw bounds effective") {
+    val out = SparkEntry.queries("q185_token_budget_dedup")(spark, sfDir)
+      .collect()
+    assert(out.nonEmpty)
+    val docs = Tables.documents(spark, sfDir).filter(col("text").isNotNull)
+    assert(out.map(_.getAs[Long]("raw_docs")).sum == docs.count())
+    val distinctContents = docs
+      .select(md5(lower(trim(col("text")))).as("h")).distinct().count()
+    assert(out.map(_.getAs[Long]("eff_docs")).sum == distinctContents,
+      "effective docs must partition the distinct contents across sources")
+    out.foreach { r =>
+      assert(r.getAs[Long]("eff_docs") <= r.getAs[Long]("raw_docs"))
+      // keeper attribution can move tokens ACROSS sources, but globally
+      // effective never exceeds raw
+    }
+    assert(out.map(_.getAs[Long]("eff_tokens")).sum <=
+      out.map(_.getAs[Long]("raw_tokens")).sum)
+  }
+
   test("q174: splits are cluster-coherent and equal the md5 formula") {
     val out = SparkEntry.queries("q174_split_cluster_coherent")(spark, sfDir)
     out.cache()
