@@ -753,6 +753,45 @@ class R12QuerySemanticsSpec extends SparkSpec {
       out.map(_.getAs[Long]("raw_tokens")).sum)
   }
 
+  test("q186: triplets pair same-label positives with cross-label negatives") {
+    val out = SparkEntry.queries("q186_triplet_mining")(spark, sfDir)
+      .collect()
+    assert(out.nonEmpty)
+    val labels = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    out.foreach { r =>
+      val a = r.getAs[Long]("a_id")
+      assert(labels(r.getAs[Long]("pos_id")) == labels(a), "positive label")
+      assert(labels(r.getAs[Long]("neg_id")) != labels(a), "negative label")
+      assert(r.getAs[Long]("pos_id") != a)
+      assert(r.getAs[Double]("margin") ==
+        r.getAs[Double]("pos_cos") - r.getAs[Double]("neg_cos"))
+    }
+    // brute-force the positive for a few anchors: it must be the max
+    // cosine over ALL same-label candidates (cell plays no role there)
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Seq[Float]]("embedding").toArray).toMap
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < x.length) {
+        d += x(i).toDouble * y(i); nx += x(i).toDouble * x(i)
+        ny += y(i).toDouble * y(i); i += 1
+      }
+      d / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    out.take(10).foreach { r =>
+      val a = r.getAs[Long]("a_id")
+      val best = labels.keys
+        .filter(v => v != a && labels(v) == labels(a))
+        .map(v => cos(vecs(a), vecs(v))).max
+      assert(math.abs(r.getAs[Double]("pos_cos") - best) < 1e-9,
+        s"anchor $a positive must be the same-label max")
+    }
+  }
+
   test("q174: splits are cluster-coherent and equal the md5 formula") {
     val out = SparkEntry.queries("q174_split_cluster_coherent")(spark, sfDir)
     out.cache()
