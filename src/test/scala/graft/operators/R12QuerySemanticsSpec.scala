@@ -792,6 +792,30 @@ class R12QuerySemanticsSpec extends SparkSpec {
     }
   }
 
+  test("q187: calibration bins cover every same-source pair and order sanely") {
+    val out = SparkEntry.queries("q187_minhash_calibration")(spark, sfDir)
+      .orderBy("est_num").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val avg = r.getAs[Double]("avg_true")
+      assert(avg >= 0.0 && avg <= 1.0)
+      assert(r.getAs[Int]("est_num") >= 0 && r.getAs[Int]("est_num") <= 16)
+    }
+    // every same-source pair lands in exactly one bin
+    val perSource = Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull)
+      .filter(size(split(lower(col("text")), " ")) > 0)
+      .groupBy("source").count().collect().map(_.getLong(1))
+    val expectedPairs = perSource.map(n => n * (n - 1) / 2).sum
+    assert(out.map(_.getAs[Long]("n_pairs")).sum == expectedPairs)
+    // the MinHash theorem, observed: full-agreement pairs are more
+    // similar on average than zero-agreement pairs
+    val byBin = out.map(r => r.getAs[Int]("est_num") -> r).toMap
+    val lo = byBin(byBin.keys.min).getAs[Double]("avg_true")
+    val hi = byBin(byBin.keys.max).getAs[Double]("avg_true")
+    assert(hi > lo, s"calibration must separate: lo=$lo hi=$hi")
+  }
+
   test("q174: splits are cluster-coherent and equal the md5 formula") {
     val out = SparkEntry.queries("q174_split_cluster_coherent")(spark, sfDir)
     out.cache()
