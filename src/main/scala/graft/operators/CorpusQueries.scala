@@ -827,6 +827,35 @@ object CorpusQueries extends QueryGroup {
       .orderBy("source", "doc_id")
   }
 
+  /** Q188: holdout confusion matrix — the one-row evaluation summary next
+    * to q179's per-bin reliability: TP/FP/TN/FN on the q126 HOLDOUT slice
+    * plus precision, recall and F1 kept as EXACT cross-multiplied
+    * rationals (F1 = 2TP/(2TP+FP+FN) — all integers, zero divisions; the
+    * single-division doubles ride alongside for humans). One grouped
+    * pass over the already-scored holdout; the verdict a filter owner
+    * reads before trusting q126's keep decisions. */
+  private val q188: Q = (s, d) => {
+    val scored = CorpusOps.classifierScores(Tables.documents(s, d),
+        "doc_id", col("lang") === "en", 4096)
+      .filter(!col("is_train"))
+    scored.agg(
+        sum(when(col("predicted") && col("is_pos"), 1L).otherwise(0L))
+          .as("tp"),
+        sum(when(col("predicted") && !col("is_pos"), 1L).otherwise(0L))
+          .as("fp"),
+        sum(when(!col("predicted") && !col("is_pos"), 1L).otherwise(0L))
+          .as("tn"),
+        sum(when(!col("predicted") && col("is_pos"), 1L).otherwise(0L))
+          .as("fn"))
+      .select(col("tp"), col("fp"), col("tn"), col("fn"),
+        (col("tp") + col("fp") + col("tn") + col("fn")).as("n_holdout"),
+        (col("tp").cast("double") / (col("tp") + col("fp")))
+          .as("precision"),
+        (col("tp").cast("double") / (col("tp") + col("fn"))).as("recall"),
+        (lit(2L) * col("tp")).as("f1_num"),
+        (lit(2L) * col("tp") + col("fp") + col("fn")).as("f1_den"))
+  }
+
   /** Q179: classifier calibration (the reliability report): the q126
     * quality classifier's HOLDOUT margins ranked into q83-style
     * integer-division deciles, each bin reporting exact positive counts,
@@ -929,6 +958,7 @@ object CorpusQueries extends QueryGroup {
     "q178_link_graph" -> q178,
     "q179_classifier_calibration" -> q179,
     "q181_sample_pps_systematic" -> q181,
+    "q188_classifier_confusion" -> q188,
   )
 
   /** The q126 classifier refit, shared by the q126 and q179 oracles:
@@ -1416,6 +1446,31 @@ object CorpusQueries extends QueryGroup {
         |  ((cum - r + stride) // stride
         |    - (cum - w - r + stride) // stride) > 0 AS selected
         |FROM p ORDER BY source, doc_id""".stripMargin,
+
+    // confusion matrix: clsOracleCore refit, scored holdout, one grouped
+    // pass; precision/recall are single divisions, F1 stays rational
+    "q188_classifier_confusion" ->
+      (clsOracleCore +
+      """, scored AS (SELECT f.doc_id, bool_or(f.is_pos) AS is_pos,
+        |    bool_or(f.is_train) AS is_train,
+        |    CAST(coalesce(sum(w.w), 0) AS BIGINT) > 0 AS predicted
+        |  FROM f LEFT JOIN w USING (bucket) GROUP BY f.doc_id),
+        |h AS (SELECT * FROM scored WHERE NOT is_train),
+        |c AS (SELECT
+        |    CAST(count(CASE WHEN predicted AND is_pos THEN 1 END)
+        |      AS BIGINT) AS tp,
+        |    CAST(count(CASE WHEN predicted AND NOT is_pos THEN 1 END)
+        |      AS BIGINT) AS fp,
+        |    CAST(count(CASE WHEN NOT predicted AND NOT is_pos THEN 1 END)
+        |      AS BIGINT) AS tn,
+        |    CAST(count(CASE WHEN NOT predicted AND is_pos THEN 1 END)
+        |      AS BIGINT) AS fn
+        |  FROM h)
+        |SELECT tp, fp, tn, fn, tp + fp + tn + fn AS n_holdout,
+        |  CAST(tp AS DOUBLE) / (tp + fp) AS precision,
+        |  CAST(tp AS DOUBLE) / (tp + fn) AS recall,
+        |  2 * tp AS f1_num, 2 * tp + fp + fn AS f1_den
+        |FROM c""".stripMargin),
 
     // calibration: the q126 refit shared verbatim (clsOracleCore), then
     // margin-ranked holdout deciles via the q83 integer-division bin

@@ -816,6 +816,22 @@ class R12QuerySemanticsSpec extends SparkSpec {
     assert(hi > lo, s"calibration must separate: lo=$lo hi=$hi")
   }
 
+  test("q188: the confusion matrix partitions the holdout and agrees with q179") {
+    val r = SparkEntry.queries("q188_classifier_confusion")(spark, sfDir)
+      .collect().head
+    val (tp, fp, tn, fn) = (r.getAs[Long]("tp"), r.getAs[Long]("fp"),
+      r.getAs[Long]("tn"), r.getAs[Long]("fn"))
+    assert(r.getAs[Long]("n_holdout") == tp + fp + tn + fn)
+    val cal = SparkEntry.queries("q179_classifier_calibration")(spark, sfDir)
+      .collect()
+    assert(cal.map(_.getAs[Long]("n_docs")).sum == tp + fp + tn + fn)
+    assert(cal.map(_.getAs[Long]("n_pos")).sum == tp + fn)
+    assert(r.getAs[Long]("f1_num") == 2 * tp)
+    assert(r.getAs[Long]("f1_den") == 2 * tp + fp + fn)
+    assert(r.getAs[Double]("precision") == tp.toDouble / (tp + fp))
+    assert(r.getAs[Double]("recall") == tp.toDouble / (tp + fn))
+  }
+
   test("q174: splits are cluster-coherent and equal the md5 formula") {
     val out = SparkEntry.queries("q174_split_cluster_coherent")(spark, sfDir)
     out.cache()
