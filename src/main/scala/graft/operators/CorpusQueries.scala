@@ -849,9 +849,11 @@ object CorpusQueries extends QueryGroup {
           .as("fn"))
       .select(col("tp"), col("fp"), col("tn"), col("fn"),
         (col("tp") + col("fp") + col("tn") + col("fn")).as("n_holdout"),
-        (col("tp").cast("double") / (col("tp") + col("fp")))
+        when(col("tp") + col("fp") > 0,
+          col("tp").cast("double") / (col("tp") + col("fp")))
           .as("precision"),
-        (col("tp").cast("double") / (col("tp") + col("fn"))).as("recall"),
+        when(col("tp") + col("fn") > 0,
+          col("tp").cast("double") / (col("tp") + col("fn"))).as("recall"),
         (lit(2L) * col("tp")).as("f1_num"),
         (lit(2L) * col("tp") + col("fp") + col("fn")).as("f1_den"))
   }
@@ -1467,8 +1469,8 @@ object CorpusQueries extends QueryGroup {
         |      AS BIGINT) AS fn
         |  FROM h)
         |SELECT tp, fp, tn, fn, tp + fp + tn + fn AS n_holdout,
-        |  CAST(tp AS DOUBLE) / (tp + fp) AS precision,
-        |  CAST(tp AS DOUBLE) / (tp + fn) AS recall,
+        |  CAST(tp AS DOUBLE) / nullif(tp + fp, 0) AS precision,
+        |  CAST(tp AS DOUBLE) / nullif(tp + fn, 0) AS recall,
         |  2 * tp AS f1_num, 2 * tp + fp + fn AS f1_den
         |FROM c""".stripMargin),
 

@@ -828,8 +828,12 @@ class R12QuerySemanticsSpec extends SparkSpec {
     assert(cal.map(_.getAs[Long]("n_pos")).sum == tp + fn)
     assert(r.getAs[Long]("f1_num") == 2 * tp)
     assert(r.getAs[Long]("f1_den") == 2 * tp + fp + fn)
-    assert(r.getAs[Double]("precision") == tp.toDouble / (tp + fp))
-    assert(r.getAs[Double]("recall") == tp.toDouble / (tp + fn))
+    if (tp + fp > 0)
+      assert(r.getAs[Double]("precision") == tp.toDouble / (tp + fp))
+    else assert(r.isNullAt(r.fieldIndex("precision")))
+    if (tp + fn > 0)
+      assert(r.getAs[Double]("recall") == tp.toDouble / (tp + fn))
+    else assert(r.isNullAt(r.fieldIndex("recall")))
   }
 
   test("q174: splits are cluster-coherent and equal the md5 formula") {
