@@ -809,7 +809,7 @@ object CorpusQueries extends QueryGroup {
     val k = 5 // target draws per source
     val docs = Tables.documents(s, d).filter(col("text").isNotNull)
       .select(col("doc_id"), col("source"),
-        size(split(lower(col("text")), " ")).cast("long").as("w"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("w"),
         conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
           .cast("long").as("ord"))
     val wcum = Window.partitionBy("source").orderBy("ord", "doc_id")
@@ -838,15 +838,17 @@ object CorpusQueries extends QueryGroup {
     val scored = CorpusOps.classifierScores(Tables.documents(s, d),
         "doc_id", col("lang") === "en", 4096)
       .filter(!col("is_train"))
+    // coalesce: on an EMPTY holdout sum() is NULL while the oracle's
+    // count(CASE) is 0 — the counts must stay integers either way
     scored.agg(
-        sum(when(col("predicted") && col("is_pos"), 1L).otherwise(0L))
-          .as("tp"),
-        sum(when(col("predicted") && !col("is_pos"), 1L).otherwise(0L))
-          .as("fp"),
-        sum(when(!col("predicted") && !col("is_pos"), 1L).otherwise(0L))
-          .as("tn"),
-        sum(when(!col("predicted") && col("is_pos"), 1L).otherwise(0L))
-          .as("fn"))
+        coalesce(sum(when(col("predicted") && col("is_pos"), 1L)
+          .otherwise(0L)), lit(0L)).as("tp"),
+        coalesce(sum(when(col("predicted") && !col("is_pos"), 1L)
+          .otherwise(0L)), lit(0L)).as("fp"),
+        coalesce(sum(when(!col("predicted") && !col("is_pos"), 1L)
+          .otherwise(0L)), lit(0L)).as("tn"),
+        coalesce(sum(when(!col("predicted") && col("is_pos"), 1L)
+          .otherwise(0L)), lit(0L)).as("fn"))
       .select(col("tp"), col("fp"), col("tn"), col("fn"),
         (col("tp") + col("fp") + col("tn") + col("fn")).as("n_holdout"),
         when(col("tp") + col("fp") > 0,

@@ -877,15 +877,21 @@ object TextQueries extends QueryGroup {
       lit("s\u00f8ster \u0153uvre stra\u00dfe")),  // letters, not accents
       (col("doc_id") % 4 + 1).cast("int"))
     val raw = concat(decor, lit(" "), substring(col("text"), 1, 40))
-    Tables.documents(s, d).filter(col("text").isNotNull)
+    // the kernel outputs persist before fan-out: CollapseProject would
+    // otherwise inline nfc_normalize(raw) into nfc, n_nfc AND nfc_changed
+    // and run the kernel 3x per row (the q110 gotcha; q84's persist +
+    // release-after-run pattern)
+    val base = Tables.documents(s, d).filter(col("text").isNotNull)
       .select(col("doc_id"), raw.as("raw"))
       .select(col("doc_id"), col("raw"),
         call_function("nfc_normalize", col("raw")).as("nfc"),
-        call_function("strip_accents", col("raw")).as("folded"),
+        call_function("strip_accents", col("raw")).as("folded"))
+      .persist()
+    RunScopedCache.releaseAfterRun(s, base)
+    base.select(col("doc_id"), col("raw"), col("nfc"), col("folded"),
         length(col("raw")).as("n_raw"),
-        length(call_function("nfc_normalize", col("raw"))).as("n_nfc"),
-        (call_function("nfc_normalize", col("raw")) =!= col("raw"))
-          .as("nfc_changed"))
+        length(col("nfc")).as("n_nfc"),
+        (col("nfc") =!= col("raw")).as("nfc_changed"))
       .orderBy("doc_id")
   }
 

@@ -215,7 +215,24 @@ abstract class AcExpression extends BinaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (StringType, ArrayType(StringType, _)) if right.foldable =>
-        TypeCheckResult.TypeCheckSuccess
+        // validate the literal NOW: an empty pattern failing only at the
+        // lazy automaton build would surface as a bare runtime
+        // IllegalArgumentException mid-execution instead of an analysis
+        // error naming the function
+        val arr = right.eval(null)
+        if (arr == null)
+          TypeCheckResult.TypeCheckFailure(
+            s"$prettyName: pattern literal must not be null")
+        else {
+          val a = arr.asInstanceOf[ArrayData]
+          val bad = (0 until a.numElements()).find(i =>
+            !a.isNullAt(i) && a.getUTF8String(i).numBytes() == 0)
+          bad match {
+            case Some(i) => TypeCheckResult.TypeCheckFailure(
+              s"$prettyName: empty pattern at index $i")
+            case None => TypeCheckResult.TypeCheckSuccess
+          }
+        }
       case (StringType, ArrayType(StringType, _)) =>
         TypeCheckResult.TypeCheckFailure(
           s"$prettyName requires the pattern list to be a foldable literal " +

@@ -14,10 +14,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - `nfc_normalize(s)`: Unicode Normalization Form C
   *     (java.text.Normalizer — the same standard algorithm DuckDB's
   *     nfc_normalize implements, so the oracle replays it exactly).
-  *   - `strip_accents(s)`: NFD decomposition, then every non-spacing
-  *     combining mark (category Mn) dropped — é→e, ü→u, ñ→n; standalone
-  *     letters like ø/œ/ß are NOT marks and pass through, matching
-  *     DuckDB's strip_accents bit-for-bit (probed, not assumed).
+  *   - `strip_accents(s)`: NFD decomposition, then every combining mark
+  *     (categories Mn, Mc, Me — iterated at CODEPOINT level so
+  *     supplementary-plane marks strip too) dropped — é→e, ü→u, ñ→n;
+  *     standalone letters like ø/œ/ß are NOT marks and pass through,
+  *     matching DuckDB's utf8proc-based strip_accents bit-for-bit
+  *     (probed per category, not assumed).
   *
   * Both are per-row scalar kernels (no shuffle, run at the scan); the
   * fast path returns the input UTF8String UNCHANGED (zero-copy) when a
@@ -38,9 +40,18 @@ object TextNormalizeImpl {
     val sb = new java.lang.StringBuilder(d.length)
     var i = 0
     while (i < d.length) {
-      val c = d.charAt(i)
-      if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c)
-      i += 1
+      // iterate CODE POINTS: a supplementary-plane combining mark (e.g.
+      // U+1D165) is two chars whose per-char type is SURROGATE — the
+      // per-char loop would keep it while DuckDB strips at codepoint level
+      val cp = d.codePointAt(i)
+      val t = Character.getType(cp)
+      // all three mark categories (Mn, Mc, Me) — probed against DuckDB's
+      // utf8proc-based strip_accents, which drops every mark
+      if (t != Character.NON_SPACING_MARK &&
+          t != Character.COMBINING_SPACING_MARK &&
+          t != Character.ENCLOSING_MARK)
+        sb.appendCodePoint(cp)
+      i += Character.charCount(cp)
     }
     UTF8String.fromString(sb.toString)
   }

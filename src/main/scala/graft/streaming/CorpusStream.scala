@@ -307,7 +307,9 @@ object CorpusStream {
   def screenBlocklist(docs: DataFrame, patterns: Seq[String],
       maxDistinct: Int = 2, maxTotal: Int = 8,
       textCol: String = "text"): DataFrame = {
-    val pats = array(patterns.map(lit): _*)
+    // the text is lowercased before matching, so a mixed-case blocklist
+    // entry passed through verbatim could never fire — lowercase both
+    val pats = array(patterns.map(p => lit(p.toLowerCase)): _*)
     val t = lower(col(textCol))
     docs
       .withColumn("bl_hits", call_function("ac_distinct_hits", t, pats))

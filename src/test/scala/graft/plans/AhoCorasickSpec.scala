@@ -102,6 +102,15 @@ class AhoCorasickSpec extends SparkSpec {
     assert(n.head.isNullAt(0))
   }
 
+  test("an empty pattern is rejected at ANALYSIS time, naming the index") {
+    val err = intercept[Exception] {
+      Seq("x").toDF("text")
+        .selectExpr("ac_count_all(text, array('scan', ''))").collect()
+    }
+    assert(err.getMessage.contains("empty pattern at index 1"),
+      err.getMessage.take(200))
+  }
+
   test("non-literal pattern list is rejected (automaton is built once per plan)") {
     val err = intercept[Exception] {
       Seq(("x", Array("x"))).toDF("text", "pats")

@@ -43,6 +43,18 @@ class TextNormalizeSpec extends SparkSpec {
     assert(TextNormalizeImpl.stripAccents(s) eq s)
   }
 
+  test("supplementary-plane combining marks strip at CODEPOINT level") {
+    // U+1D165 MUSICAL SYMBOL COMBINING STEM (category Mc) encodes as a
+    // surrogate pair; a per-char loop would type each half SURROGATE and
+    // keep it, diverging from DuckDB's codepoint-level mark strip
+    val withMark = "ab" + new String(Character.toChars(0x1D165)) + "cd"
+    assert(TextNormalizeImpl.stripAccents(u(withMark)).toString == "abcd")
+    // non-mark supplementary chars survive (e.g. U+1D11E G CLEF, category So)
+    val clef = new String(Character.toChars(0x1D11E))
+    assert(TextNormalizeImpl.stripAccents(u("a" + clef + "b")).toString
+      == "a" + clef + "b")
+  }
+
   test("both are idempotent on their own output") {
     val messy = u("caf\u00e9 stra\u00dfe u\u0308ber n\u00f1o")
     val n1 = TextNormalizeImpl.nfc(messy)
