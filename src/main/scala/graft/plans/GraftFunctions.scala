@@ -84,6 +84,9 @@ object GraftFunctions {
       (c: Seq[Expression]) => AcDistinctHits(c(0), c(1))),
     ("ac_first_pos", classOf[AcFirstPos], 2,
       (c: Seq[Expression]) => AcFirstPos(c(0), c(1))),
+    ("minhash_sig_md5", classOf[Md5MinHashSig], 2,
+      (c: Seq[Expression]) => Md5MinHashSig(c(0),
+        intLit(c(1), "minhash_sig_md5", "numHashes"))),
     ("nfc_normalize", classOf[NfcNormalize], 1,
       (c: Seq[Expression]) => NfcNormalize(c(0))),
     ("strip_accents", classOf[StripAccents], 1,

@@ -252,6 +252,25 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(both(4) == 0L)
   }
 
+  test("minhash_sig_md5 native ≡ transform/array_min/conv HOF formulation") {
+    val both = docs.limit(50).select(
+        org.apache.spark.sql.functions.call_function("minhash_sig_md5",
+          org.apache.spark.sql.functions.array_distinct(
+            org.apache.spark.sql.functions.split(
+              org.apache.spark.sql.functions.lower(col("text")), " ")),
+          org.apache.spark.sql.functions.lit(16)).as("native"),
+        expr("""transform(sequence(1, 16), i -> array_min(transform(
+          array_distinct(split(lower(text), ' ')),
+          t -> cast(conv(substring(md5(concat(cast(i as string), '#', t)),
+            1, 8), 16, 10) as bigint))))""").as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    // empty input → null (the minhash_bands_md5 convention)
+    import spark.implicits._
+    val e = Seq(Seq.empty[String]).toDF("w")
+      .selectExpr("minhash_sig_md5(w, 16) AS s").collect()
+    assert(e.head.isNullAt(0))
+  }
+
   test("minhash_bands is stable and sensitive (same input → same bands; different input → different bands)") {
     val sh = call_function("word_shingles", TextFunctions.tokens(col("text")), lit(3))
     val bands = docs.select(col("doc_id"),
