@@ -827,6 +827,86 @@ object CorpusQueries extends QueryGroup {
       .orderBy("source", "doc_id")
   }
 
+  /** Q189: SFT pair format audit — the QC gate every instruction-tuning
+    * dataset passes before training: (prompt, response) pairs are checked
+    * for the defects that actually poison SFT runs — EMPTY responses,
+    * TOO-SHORT responses, and ECHOES (the response containing the prompt
+    * verbatim, the classic scrape artifact that teaches the model to
+    * parrot). Pairs are synthesized deterministically from the documents
+    * (prompt = first ⌊n/3⌋ tokens, response = the rest) with every
+    * defect class injected on id residues so all branches fire; checks
+    * are pure per-row string/integer algebra (position/instr for the
+    * containment probe — code-point-identical on ASCII), zero shuffle at
+    * any corpus size. */
+  private val q189: Q = (s, d) => {
+    val toks = TextFunctions.tokens(col("text"))
+    val n = size(toks)
+    val cut = (n / 3).cast("int")
+    val basePrompt = concat_ws(" ", slice(toks, lit(1), cut))
+    val baseResp = concat_ws(" ", slice(toks, cut + 1, n - cut))
+    val prompt = basePrompt
+    val resp = when(col("doc_id") % 7 === 0,
+        concat(lit("sure: "), basePrompt)) // echo: contains the prompt
+      .when(col("doc_id") % 11 === 0, lit("")) // empty
+      .when(col("doc_id") % 13 === 0,
+        concat_ws(" ", slice(toks, cut + 1, lit(2)))) // too short
+      .otherwise(baseResp)
+    Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"), prompt.as("prompt"), resp.as("resp"))
+      .filter(length(col("prompt")) > 0)
+      .select(col("doc_id"),
+        size(split(col("prompt"), " ")).as("n_prompt_toks"),
+        when(col("resp") === "", 0)
+          .otherwise(size(split(col("resp"), " "))).as("n_resp_toks"),
+        (col("resp") === "").as("is_empty"),
+        (col("resp") =!= "" &&
+          when(col("resp") === "", 0)
+            .otherwise(size(split(col("resp"), " "))) < 5).as("too_short"),
+        (instr(col("resp"), col("prompt")) > 0).as("is_echo"))
+      .withColumn("keep",
+        !col("is_empty") && !col("too_short") && !col("is_echo"))
+      .orderBy("doc_id")
+  }
+
+  /** Q190: chat-turn alternation audit — multi-turn conversation QC: a
+    * transcript must alternate user/assistant turns, start with the user
+    * and end with the assistant, or the loss masking downstream is
+    * wrong. Transcripts are synthesized deterministically (4-token turns
+    * with `u:`/`a:` markers; every 5th doc repeats a role mid-dialogue,
+    * every 9th ends on the user), roles re-parsed with ONE
+    * regexp_extract_all in the Java∩RE2 intersection, and the violations
+    * counted as pure integer algebra over the role sequence — per-row
+    * only, the q153 parsing discipline. */
+  private val q190: Q = (s, d) => {
+    val transcript = concat_ws(" ", expr(
+      """transform(sequence(0, 2 * least(greatest(size(split(lower(text), ' '))
+        |  div 8, 1), 3) - 1), i -> concat(
+        |    CASE WHEN doc_id % 5 = 0 AND i = 1 THEN 'u:'
+        |      WHEN i % 2 = 0 THEN 'u:' ELSE 'a:' END, ' ',
+        |    concat_ws(' ', slice(split(lower(text), ' '),
+        |      i * 4 + 1, 4))))""".stripMargin))
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"), transcript.as("chat"))
+      .withColumn("chat",
+        when(col("doc_id") % 9 === 0, concat(col("chat"), lit(" u: bye")))
+          .otherwise(col("chat")))
+    val roles = expr("""regexp_extract_all(chat, '(?:^| )([ua]):', 1)""")
+    docs
+      .select(col("doc_id"), col("chat"), roles.as("roles"))
+      .select(col("doc_id"),
+        size(col("roles")).as("n_turns"),
+        element_at(col("roles"), 1).as("first_role"),
+        element_at(col("roles"), -1).as("last_role"),
+        size(filter(
+          zip_with(col("roles"), slice(col("roles"), lit(2), size(col("roles"))),
+            (x, y) => x === y && y.isNotNull),
+          v => v)).as("n_violations"))
+      .withColumn("well_formed",
+        col("first_role") === "u" && col("last_role") === "a" &&
+          col("n_violations") === 0)
+      .orderBy("doc_id")
+  }
+
   /** Q188: holdout confusion matrix — the one-row evaluation summary next
     * to q179's per-bin reliability: TP/FP/TN/FN on the q126 HOLDOUT slice
     * plus precision, recall and F1 kept as EXACT cross-multiplied
@@ -963,6 +1043,8 @@ object CorpusQueries extends QueryGroup {
     "q179_classifier_calibration" -> q179,
     "q181_sample_pps_systematic" -> q181,
     "q188_classifier_confusion" -> q188,
+    "q189_sft_format_audit" -> q189,
+    "q190_chat_turn_audit" -> q190,
   )
 
   /** The q126 classifier refit, shared by the q126 and q179 oracles:
@@ -1450,6 +1532,63 @@ object CorpusQueries extends QueryGroup {
         |  ((cum - r + stride) // stride
         |    - (cum - w - r + stride) // stride) > 0 AS selected
         |FROM p ORDER BY source, doc_id""".stripMargin,
+
+    // SFT audit: identical pair synthesis (list slices), checks as pure
+    // string/integer algebra; position() is instr's 1-based mirror
+    "q189_sft_format_audit" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |p0 AS (SELECT doc_id, toks, len(toks) // 3 AS cut FROM t),
+        |pairs AS (SELECT doc_id,
+        |    array_to_string(toks[1 : cut], ' ') AS prompt,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'sure: '
+        |        || array_to_string(toks[1 : cut], ' ')
+        |      WHEN doc_id % 11 = 0 THEN ''
+        |      WHEN doc_id % 13 = 0 THEN
+        |        array_to_string(toks[cut + 1 : cut + 2], ' ')
+        |      ELSE array_to_string(toks[cut + 1 : len(toks)], ' ')
+        |    END AS resp
+        |  FROM p0),
+        |f AS (SELECT doc_id, prompt, resp,
+        |    CAST(len(string_split(prompt, ' ')) AS INT) AS n_prompt_toks,
+        |    CAST(CASE WHEN resp = '' THEN 0
+        |      ELSE len(string_split(resp, ' ')) END AS INT) AS n_resp_toks
+        |  FROM pairs WHERE length(prompt) > 0)
+        |SELECT doc_id, n_prompt_toks, n_resp_toks,
+        |  (resp = '') AS is_empty,
+        |  (resp <> '' AND n_resp_toks < 5) AS too_short,
+        |  (position(prompt IN resp) > 0) AS is_echo,
+        |  (NOT resp = '' AND NOT (resp <> '' AND n_resp_toks < 5)
+        |    AND NOT position(prompt IN resp) > 0) AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    // chat audit: identical transcript synthesis, roles re-parsed with
+    // the same RE2∩Java pattern, adjacent-equal count via zipped slices
+    "q190_chat_turn_audit" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |built AS (SELECT doc_id, array_to_string(
+        |    list_transform(range(0, 2 * least(greatest(len(toks) // 8, 1), 3)),
+        |      i -> (CASE WHEN doc_id % 5 = 0 AND i = 1 THEN 'u:'
+        |          WHEN i % 2 = 0 THEN 'u:' ELSE 'a:' END) || ' '
+        |        || array_to_string(toks[CAST(i * 4 + 1 AS INT)
+        |          : CAST(i * 4 + 4 AS INT)], ' ')), ' ') AS chat0
+        |  FROM t),
+        |c AS (SELECT doc_id, CASE WHEN doc_id % 9 = 0
+        |    THEN chat0 || ' u: bye' ELSE chat0 END AS chat FROM built),
+        |r AS (SELECT doc_id, chat,
+        |    regexp_extract_all(chat, '(?:^| )([ua]):', 1) AS roles
+        |  FROM c),
+        |g AS (SELECT doc_id, CAST(len(roles) AS INT) AS n_turns,
+        |    roles[1] AS first_role, roles[-1] AS last_role,
+        |    CAST(len(list_filter(range(1, len(roles)),
+        |      i -> roles[CAST(i AS INT)] = roles[CAST(i + 1 AS INT)]))
+        |      AS INT) AS n_violations
+        |  FROM r)
+        |SELECT doc_id, n_turns, first_role, last_role, n_violations,
+        |  (first_role = 'u' AND last_role = 'a' AND n_violations = 0)
+        |    AS well_formed
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     // confusion matrix: clsOracleCore refit, scored holdout, one grouped
     // pass; precision/recall are single divisions, F1 stays rational

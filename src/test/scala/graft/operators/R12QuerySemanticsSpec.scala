@@ -836,6 +836,47 @@ class R12QuerySemanticsSpec extends SparkSpec {
     else assert(r.isNullAt(r.fieldIndex("recall")))
   }
 
+  test("q189: every injected SFT defect class carries exactly its flag") {
+    val out = SparkEntry.queries("q189_sft_format_audit")(spark, sfDir)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      if (id % 7 == 0) assert(r.getAs[Boolean]("is_echo"), s"doc $id")
+      else if (id % 11 == 0) assert(r.getAs[Boolean]("is_empty"), s"doc $id")
+      else if (id % 13 == 0) assert(r.getAs[Boolean]("too_short"), s"doc $id")
+      // keep is exactly the conjunction of the three clean flags
+      assert(r.getAs[Boolean]("keep") ==
+        (!r.getAs[Boolean]("is_empty") && !r.getAs[Boolean]("too_short") &&
+          !r.getAs[Boolean]("is_echo")))
+      if (r.getAs[Boolean]("is_empty")) assert(r.getAs[Int]("n_resp_toks") == 0)
+    }
+    // all three defect classes and the clean class materialize
+    assert(out.exists(_.getAs[Boolean]("is_echo")))
+    assert(out.exists(_.getAs[Boolean]("is_empty")))
+    assert(out.exists(_.getAs[Boolean]("too_short")))
+    assert(out.exists(_.getAs[Boolean]("keep")))
+  }
+
+  test("q190: alternation violations fire exactly on the corrupted transcripts") {
+    val out = SparkEntry.queries("q190_chat_turn_audit")(spark, sfDir)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[String]("first_role") == "u")
+      if (id % 5 == 0)
+        assert(r.getAs[Int]("n_violations") >= 1, s"doc $id must violate")
+      if (id % 9 == 0)
+        assert(r.getAs[String]("last_role") == "u", s"doc $id must end user")
+      if (id % 5 != 0 && id % 9 != 0) {
+        assert(r.getAs[Int]("n_violations") == 0, s"doc $id clean")
+        assert(r.getAs[Boolean]("well_formed"), s"doc $id well-formed")
+      } else assert(!r.getAs[Boolean]("well_formed"))
+      assert(r.getAs[Int]("n_turns") >= 2)
+    }
+  }
+
   test("q174: splits are cluster-coherent and equal the md5 formula") {
     val out = SparkEntry.queries("q174_split_cluster_coherent")(spark, sfDir)
     out.cache()
