@@ -907,6 +907,41 @@ object CorpusQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** Q191: the dataset card — the one-row release manifest every corpus
+    * publication carries (docs, exact token count, source/language
+    * spread, exact-duplicate count, quality-gate share at the
+    * cross-multiplied q115-style integer threshold, median document
+    * length via the q173 value-histogram rank pick): the numbers a
+    * README quotes, produced by ONE query so they can never drift from
+    * the data. Two grouped passes (global aggregates + the token-count
+    * histogram) — the card costs seconds at any corpus size. */
+  private val q191: Q = (s, d) => {
+    val toks = TextFunctions.tokens(col("text"))
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), col("lang"),
+        size(toks).cast("long").as("n_tok"),
+        size(array_distinct(toks)).cast("long").as("n_uniq"),
+        md5(lower(trim(col("text")))).as("h"))
+    val card = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_tok").as("n_tokens"),
+      countDistinct("source").as("n_sources"),
+      countDistinct("lang").as("n_langs"),
+      countDistinct("h").as("n_distinct_contents"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+      sum(when(col("n_uniq") * 20 >= col("n_tok") * 7, 1L).otherwise(0L))
+        .as("n_quality"))
+    val p50 = docs.groupBy("n_tok").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(Window.orderBy("n_tok")))
+      .withColumn("n", sum("c").over(
+        Window.partitionBy()))
+      .agg(min(when(col("cum") >= expr("(n + 1) div 2"), col("n_tok")))
+        .as("p50_tokens"))
+    card.crossJoin(broadcast(p50))
+      .withColumn("n_exact_dups",
+        col("n_docs") - col("n_distinct_contents"))
+  }
+
   /** Q188: holdout confusion matrix — the one-row evaluation summary next
     * to q179's per-bin reliability: TP/FP/TN/FN on the q126 HOLDOUT slice
     * plus precision, recall and F1 kept as EXACT cross-multiplied
@@ -1045,6 +1080,7 @@ object CorpusQueries extends QueryGroup {
     "q188_classifier_confusion" -> q188,
     "q189_sft_format_audit" -> q189,
     "q190_chat_turn_audit" -> q190,
+    "q191_dataset_card" -> q191,
   )
 
   /** The q126 classifier refit, shared by the q126 and q179 oracles:
@@ -1532,6 +1568,35 @@ object CorpusQueries extends QueryGroup {
         |  ((cum - r + stride) // stride
         |    - (cum - w - r + stride) // stride) > 0 AS selected
         |FROM p ORDER BY source, doc_id""".stripMargin,
+
+    // dataset card: same global aggregates + the q173 histogram median
+    // (HUGEINT window sums cast back); quality share cross-multiplied
+    "q191_dataset_card" ->
+      """WITH d AS (SELECT doc_id, source, lang,
+        |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok,
+        |    CAST(len(list_distinct(string_split(lower(text), ' ')))
+        |      AS BIGINT) AS n_uniq,
+        |    md5(lower(trim(text))) AS h
+        |  FROM documents WHERE text IS NOT NULL),
+        |card AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |    CAST(count(DISTINCT h) AS BIGINT) AS n_distinct_contents,
+        |    CAST(count(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT)
+        |      AS n_en,
+        |    CAST(count(CASE WHEN n_uniq * 20 >= n_tok * 7 THEN 1 END)
+        |      AS BIGINT) AS n_quality
+        |  FROM d),
+        |hist AS (SELECT n_tok, count(*) AS c FROM d GROUP BY n_tok),
+        |cum AS (SELECT n_tok,
+        |    CAST(sum(c) OVER (ORDER BY n_tok) AS BIGINT) AS cum,
+        |    CAST(sum(c) OVER () AS BIGINT) AS n FROM hist),
+        |p50 AS (SELECT min(CASE WHEN cum >= (n + 1) // 2 THEN n_tok END)
+        |    AS p50_tokens FROM cum)
+        |SELECT card.*, p50.p50_tokens,
+        |  card.n_docs - card.n_distinct_contents AS n_exact_dups
+        |FROM card, p50""".stripMargin,
 
     // SFT audit: identical pair synthesis (list slices), checks as pure
     // string/integer algebra; position() is instr's 1-based mirror

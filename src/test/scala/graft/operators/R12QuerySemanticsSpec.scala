@@ -877,6 +877,24 @@ class R12QuerySemanticsSpec extends SparkSpec {
     }
   }
 
+  test("q191: the card's numbers agree with their standalone queries") {
+    val r = SparkEntry.queries("q191_dataset_card")(spark, sfDir)
+      .collect().head
+    val docs = Tables.documents(spark, sfDir).filter(col("text").isNotNull)
+    assert(r.getAs[Long]("n_docs") == docs.count())
+    // dedup numbers agree with q35's content-hash view
+    val q35n = SparkEntry.queries("q35_dedup_exact")(spark, sfDir).count()
+    assert(r.getAs[Long]("n_distinct_contents") == q35n)
+    assert(r.getAs[Long]("n_exact_dups") ==
+      r.getAs[Long]("n_docs") - q35n)
+    // the median agrees with the q173-style sort-based order statistic
+    val lens = docs.select(size(split(lower(col("text")), " ")).cast("long"))
+      .collect().map(_.getLong(0)).sorted
+    assert(r.getAs[Long]("p50_tokens") == lens((lens.length + 1) / 2 - 1))
+    assert(r.getAs[Long]("n_quality") <= r.getAs[Long]("n_docs"))
+    assert(r.getAs[Long]("n_en") <= r.getAs[Long]("n_docs"))
+  }
+
   test("q174: splits are cluster-coherent and equal the md5 formula") {
     val out = SparkEntry.queries("q174_split_cluster_coherent")(spark, sfDir)
     out.cache()
