@@ -877,19 +877,28 @@ object CorpusQueries extends QueryGroup {
     * regexp_extract_all in the Java∩RE2 intersection, and the violations
     * counted as pure integer algebra over the role sequence — per-row
     * only, the q153 parsing discipline. */
+  /** The synthesized chat-turn array shared by q190 (audit) and q192
+    * (loss-mask manifest) — ONE definition so the two views can never
+    * disagree about the transcript. */
+  private val ChatTurnsSql: String =
+    """transform(sequence(0, 2 * least(greatest(size(split(lower(text), ' '))
+      |  div 8, 1), 3) - 1), i -> concat(
+      |    CASE WHEN doc_id % 5 = 0 AND i = 1 THEN 'u:'
+      |      WHEN i % 2 = 0 THEN 'u:' ELSE 'a:' END, ' ',
+      |    concat_ws(' ', slice(split(lower(text), ' '),
+      |      i * 4 + 1, 4))))""".stripMargin
+
+  /** Turns with the q190 corruption set applied (the %9 user-final tail
+    * rides as its own element; joining with ' ' reproduces q190's chat
+    * string exactly). */
+  private def chatTurns: org.apache.spark.sql.Column =
+    when(col("doc_id") % 9 === 0,
+      concat(expr(ChatTurnsSql), array(lit("u: bye"))))
+      .otherwise(expr(ChatTurnsSql))
+
   private val q190: Q = (s, d) => {
-    val transcript = concat_ws(" ", expr(
-      """transform(sequence(0, 2 * least(greatest(size(split(lower(text), ' '))
-        |  div 8, 1), 3) - 1), i -> concat(
-        |    CASE WHEN doc_id % 5 = 0 AND i = 1 THEN 'u:'
-        |      WHEN i % 2 = 0 THEN 'u:' ELSE 'a:' END, ' ',
-        |    concat_ws(' ', slice(split(lower(text), ' '),
-        |      i * 4 + 1, 4))))""".stripMargin))
     val docs = Tables.documents(s, d).filter(col("text").isNotNull)
-      .select(col("doc_id"), transcript.as("chat"))
-      .withColumn("chat",
-        when(col("doc_id") % 9 === 0, concat(col("chat"), lit(" u: bye")))
-          .otherwise(col("chat")))
+      .select(col("doc_id"), concat_ws(" ", chatTurns).as("chat"))
     val roles = expr("""regexp_extract_all(chat, '(?:^| )([ua]):', 1)""")
     docs
       .select(col("doc_id"), col("chat"), roles.as("roles"))
@@ -905,6 +914,32 @@ object CorpusQueries extends QueryGroup {
         col("first_role") === "u" && col("last_role") === "a" &&
           col("n_violations") === 0)
       .orderBy("doc_id")
+  }
+
+  /** Q192: loss-mask span manifest — the artifact a trainer actually
+    * consumes from the q190 transcripts: per turn, its 1-based character
+    * span inside the chat string plus the role and the assistant-mask
+    * flag (assistant spans take loss, user spans are masked). Spans come
+    * from construction (a per-doc running sum over turn lengths — the
+    * window is bounded by the ≤7-turn transcript), so they tile the
+    * transcript EXACTLY: start_k = end_{k-1} + 2 (the joining space),
+    * last end = length(chat) — tiling is spec-pinned and shares
+    * [[ChatTurnsSql]] with q190 so the two views cannot drift. */
+  private val q192: Q = (s, d) => {
+    val w = Window.partitionBy("doc_id").orderBy("turn_idx")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"), posexplode(chatTurns).as(Seq("turn_idx", "t")))
+      .withColumn("n_chars", length(col("t")))
+      .withColumn("char_start",
+        (coalesce(sum(col("n_chars") + 1).over(w), lit(0L)) + 1)
+          .cast("int"))
+      .select(col("doc_id"), col("turn_idx"),
+        substring(col("t"), 1, 1).as("role"),
+        col("n_chars"), col("char_start"),
+        (col("char_start") + col("n_chars") - 1).as("char_end"),
+        (substring(col("t"), 1, 1) === "a").as("is_assistant"))
+      .orderBy("doc_id", "turn_idx")
   }
 
   /** Q191: the dataset card — the one-row release manifest every corpus
@@ -1081,6 +1116,7 @@ object CorpusQueries extends QueryGroup {
     "q189_sft_format_audit" -> q189,
     "q190_chat_turn_audit" -> q190,
     "q191_dataset_card" -> q191,
+    "q192_chat_loss_mask" -> q192,
   )
 
   /** The q126 classifier refit, shared by the q126 and q179 oracles:
@@ -1568,6 +1604,39 @@ object CorpusQueries extends QueryGroup {
         |  ((cum - r + stride) // stride
         |    - (cum - w - r + stride) // stride) > 0 AS selected
         |FROM p ORDER BY source, doc_id""".stripMargin,
+
+    // loss-mask spans: same turn synthesis (list_append tail), zipped
+    // unnests for (idx, turn), per-doc running length sum for offsets
+    "q192_chat_loss_mask" ->
+      """WITH t AS (SELECT doc_id, lower(text) AS text
+        |  FROM documents WHERE text IS NOT NULL),
+        |tt AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 9 = 0 THEN list_append(turns, 'u: bye')
+        |      ELSE turns END AS turns
+        |  FROM (SELECT doc_id, list_transform(
+        |      range(0, 2 * least(greatest(
+        |        len(string_split(text, ' ')) // 8, 1), 3)),
+        |      i -> (CASE WHEN doc_id % 5 = 0 AND i = 1 THEN 'u:'
+        |          WHEN i % 2 = 0 THEN 'u:' ELSE 'a:' END) || ' '
+        |        || array_to_string(string_split(text, ' ')
+        |          [CAST(i * 4 + 1 AS INT) : CAST(i * 4 + 4 AS INT)], ' '))
+        |      AS turns
+        |    FROM t)),
+        |e AS (SELECT doc_id,
+        |    CAST(unnest(range(1, len(turns) + 1)) AS INT) - 1 AS turn_idx,
+        |    unnest(turns) AS tstr
+        |  FROM tt),
+        |w AS (SELECT doc_id, turn_idx, tstr,
+        |    CAST(length(tstr) AS INT) AS n_chars,
+        |    CAST(coalesce(sum(length(tstr) + 1) OVER (
+        |      PARTITION BY doc_id ORDER BY turn_idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS INT) + 1 AS char_start
+        |  FROM e)
+        |SELECT doc_id, turn_idx, substr(tstr, 1, 1) AS role, n_chars,
+        |  char_start, char_start + n_chars - 1 AS char_end,
+        |  (substr(tstr, 1, 1) = 'a') AS is_assistant
+        |FROM w ORDER BY doc_id, turn_idx""".stripMargin,
 
     // dataset card: same global aggregates + the q173 histogram median
     // (HUGEINT window sums cast back); quality share cross-multiplied

@@ -895,6 +895,39 @@ class R12QuerySemanticsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_en") <= r.getAs[Long]("n_docs"))
   }
 
+  test("q192: spans tile the q190 transcript exactly") {
+    val spans = SparkEntry.queries("q192_chat_loss_mask")(spark, sfDir)
+      .collect().groupBy(_.getAs[Long]("doc_id"))
+    // rebuild the chat string exactly as q190 publishes it
+    val chats = SparkEntry.queries("q190_chat_turn_audit")(spark, sfDir)
+      .select("doc_id", "n_turns").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n_turns")).toMap
+    assert(spans.nonEmpty)
+    spans.foreach { case (id, rows) =>
+      val byIdx = rows.sortBy(_.getAs[Int]("turn_idx"))
+      assert(byIdx.head.getAs[Int]("char_start") == 1)
+      byIdx.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Int]("char_start") ==
+            a.getAs[Int]("char_end") + 2, s"doc $id: spans must abut")
+        case _ =>
+      }
+      byIdx.foreach { r =>
+        assert(r.getAs[Int]("char_end") ==
+          r.getAs[Int]("char_start") + r.getAs[Int]("n_chars") - 1)
+        assert(r.getAs[Boolean]("is_assistant") ==
+          (r.getAs[String]("role") == "a"))
+      }
+      // turn count agrees with q190's parsed roles
+      assert(byIdx.length == chats(id), s"doc $id turn count")
+      // every dialogue opens with a user turn; uncorrupted dialogues
+      // also carry assistant turns (a %5 two-turn doc is all-user —
+      // exactly the defect q190 flags)
+      assert(byIdx.exists(!_.getAs[Boolean]("is_assistant")))
+      if (id % 5 != 0) assert(byIdx.exists(_.getAs[Boolean]("is_assistant")))
+    }
+  }
+
   test("q174: splits are cluster-coherent and equal the md5 formula") {
     val out = SparkEntry.queries("q174_split_cluster_coherent")(spark, sfDir)
     out.cache()
