@@ -145,6 +145,44 @@ object CorpusOps {
           .as("contam_frac"))
   }
 
+  /** Q193 core: directional response→corpus leakage probe — for each
+    * (id, response) pair, how many of the response's k-shingle POSITIONS
+    * appear anywhere in the pretraining corpus, with the pure-integer
+    * ≥20% removal flag. The inverse direction of [[contamination]]
+    * (there the corpus is scored against a small benchmark; here small
+    * responses are scored against the full corpus).
+    *
+    * Scale shape (the q82 no-rescan discipline): the pair side is SMALL
+    * by definition (an SFT set, not a pretraining set), so its distinct
+    * shingle set broadcasts; the corpus is scanned ONCE with a map-side
+    * semi-join probe — never shuffled on shingles, never globally
+    * distinct-reduced (the matched set is bounded by the pair side).
+    *
+    * Caller contract: every response has ≥ k tokens (the leak fraction
+    * divides by shingle count; ANSI mode throws on 0). */
+  def responseLeakage(pairs: DataFrame, corpus: DataFrame, idCol: String,
+      respCol: String = "resp", k: Int = 4): DataFrame = {
+    def nSh = (size(split(col(respCol), " ")) - (k - 1)).cast("long")
+    val respSh = pairs.select(col(idCol), explode(call_function(
+      "word_shingles", split(col(respCol), " "), lit(k))).as("sh"))
+    val pairDistinct = respSh.select("sh").distinct()
+    val matched = corpus
+      .select(explode(call_function("word_shingles",
+        TextFunctions.tokens(col("text")), lit(k))).as("sh"))
+      .join(broadcast(pairDistinct), Seq("sh"), "left_semi")
+      .distinct()
+    val hits = respSh.join(broadcast(matched), Seq("sh"))
+      .groupBy(idCol).agg(count(lit(1)).as("n_leaked"))
+    pairs.select(col(idCol), nSh.as("n_resp_shingles"))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_resp_shingles"),
+        coalesce(col("n_leaked"), lit(0L)).as("n_leaked"),
+        (coalesce(col("n_leaked"), lit(0L)).cast("double") /
+          col("n_resp_shingles")).as("leak_frac"),
+        (coalesce(col("n_leaked"), lit(0L)) * 5 >=
+          col("n_resp_shingles")).as("is_leaked"))
+  }
+
   /** Q75 core: greedy per-group token-budget sampling by md5-of-id rank.
     * Emits the surviving rows with (n_tokens, cum_before) attached. */
   def tokenBudgetSample(docs: DataFrame, idCol: String, groupCol: String,

@@ -1078,6 +1078,125 @@ object CorpusQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** Q193: SFT-response ↔ pretraining contamination — the leakage
+    * direction that actually inflates evals: an SFT response whose
+    * content ALREADY APPEARS in the pretraining corpus teaches nothing
+    * and double-counts its source at loss time (and, when the response
+    * came from a benchmark, silently contaminates the eval). q77 probes
+    * corpus→benchmark; THIS probes each q189-clean (prompt, response)
+    * pair's response 4-shingles against the pretraining corpus and
+    * reports per-pair leaked-shingle counts with a pure-integer ≥20%
+    * removal flag (`n_leaked·5 ≥ n_shingles` — never `0.2·n`, the q158
+    * decimal-literal rule). Pairs are the q189 synthesis restricted to
+    * `src0` (the SFT slice); the corpus is every other source.
+    *
+    * Shape (the q82 no-rescan discipline): the SFT side is SMALL by
+    * definition, so its distinct shingle set BROADCASTS; the 100 TB
+    * corpus is scanned ONCE with a map-side semi-join probe (never
+    * shuffled on shingles, never distinct-reduced globally — the
+    * match set is bounded by the SFT side, and only IT is distinct-
+    * reduced before the final per-pair count join). */
+  private val q193: Q = (s, d) => {
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+    // --- the q189 pair synthesis, verbatim, restricted to src0 ---
+    val toks = TextFunctions.tokens(col("text"))
+    val n = size(toks)
+    val cut = (n / 3).cast("int")
+    val basePrompt = concat_ws(" ", slice(toks, lit(1), cut))
+    val resp = when(col("doc_id") % 7 === 0,
+        concat(lit("sure: "), basePrompt))
+      .when(col("doc_id") % 11 === 0, lit(""))
+      .when(col("doc_id") % 13 === 0,
+        concat_ws(" ", slice(toks, cut + 1, lit(2))))
+      .otherwise(concat_ws(" ", slice(toks, cut + 1, n - cut)))
+    val nRespToks = when(col("resp") === "", 0)
+      .otherwise(size(split(col("resp"), " ")))
+    val clean = docs.filter(col("source") === "src0")
+      .select(col("doc_id"), basePrompt.as("prompt"), resp.as("resp"))
+      .filter(length(col("prompt")) > 0)
+      .withColumn("n_resp_toks", nRespToks)
+      .filter(col("resp") =!= "" && col("n_resp_toks") >= 5 &&
+        instr(col("resp"), col("prompt")) === 0)
+    // --- the probe itself: CorpusOps.responseLeakage (spec-driven with
+    // constructed leaked/clean pairs in ResponseLeakageSpec) ---
+    CorpusOps.responseLeakage(clean,
+        docs.filter(col("source") =!= "src0"), "doc_id")
+      .orderBy("doc_id")
+  }
+
+  // --- q194: time travel over the WAP lake ------------------------------
+
+  // one WAP lake per (session, sfDir), built once and reused across the
+  // declared query's runs (the GraphQueries co-purchase memo pattern)
+  private val wapMemo = new java.util.WeakHashMap[
+    org.apache.spark.sql.SparkSession,
+    scala.collection.mutable.Map[String, String]]()
+
+  /** Builds the deterministic WAP lake q194 reads: batches b0/b1/b2 slice
+    * the documents on doc_id mod 3 (b1 carries injected QC defects on the
+    * ≡0-mod-5 residue, so the audit quarantines exactly it), then a
+    * LATER revision batch b3 publishes — so as-of reads genuinely differ
+    * from the live table — and the data tree is small-file-compacted,
+    * so the spec's "as-of survives compaction" claim is exercised by the
+    * DRIVER gate too, not just locally. Publish log: b0→seq 1, b2→seq 2,
+    * b3→seq 3; b1 never appears. */
+  private[operators] def asOfLakeDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val perSession = wapMemo.synchronized {
+      var m = wapMemo.get(s)
+      if (m == null) {
+        m = scala.collection.mutable.Map.empty[String, String]
+        wapMemo.put(s, m)
+      }
+      m
+    }
+    perSession.synchronized {
+      perSession.getOrElseUpdate(d, {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-wap-asof").toString
+        val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+          .select(col("doc_id"), col("source"), col("text"))
+        val rules = Seq(LakeAudit.Rule("qc_flag_true", col("qc_flag")))
+        def slice(k: Int) = docs.filter(col("doc_id") % 3 === k)
+        val b0 = slice(0).withColumn("qc_flag", lit(true))
+        val b1 = slice(1).withColumn("qc_flag", col("doc_id") % 5 =!= 0)
+        val b2 = slice(2).withColumn("qc_flag", lit(true))
+        val b3 = docs.filter(col("doc_id") % 7 === 0)
+          .withColumn("text", concat(col("text"), lit(" rev")))
+          .withColumn("qc_flag", lit(true))
+        LakeAudit.writeAuditPublish(s, b0, dir, "b0", rules)
+        LakeAudit.writeAuditPublish(s, b1, dir, "b1", rules)
+        LakeAudit.writeAuditPublish(s, b2, dir, "b2", rules)
+        LakeAudit.writeAuditPublish(s, b3, dir, "b3", rules)
+        // a LATER compaction must not change any as-of snapshot
+        graft.etl.LakeCompaction.compact(s, s"$dir/data", 64L << 20)
+        dir
+      })
+    }
+  }
+
+  /** Q194: `readAsOf(publishSeq)` — the reproducibility primitive of a
+    * dataset release ("train on exactly the corpus as of publish N"):
+    * reads the WAP lake as of publish seq 2, i.e. batches b0 and b2 —
+    * AFTER batch b3 was published on top and AFTER the data tree was
+    * compacted — and aggregates per (batch, source). The oracle rebuilds
+    * the same membership algebra from the documents table, so a
+    * readAsOf that leaked a later batch (b3's revised rows), included
+    * the quarantined batch (b1), or lost rows to compaction
+    * hash-mismatches. Publication and time travel are metadata-only at
+    * any scale: the as-of read is a pruned parquet scan of exactly the
+    * logged batch directories ([[LakeAudit.readAsOf]]). */
+  private val q194: Q = (s, d) => {
+    val dir = asOfLakeDir(s, d)
+    LakeAudit.readAsOf(s, dir, 2L)
+      .groupBy(col("batch"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("sum_doc_id"),
+        sum(size(split(lower(col("text")), " ")).cast("long"))
+          .as("sum_tokens"))
+      .orderBy("batch", "source")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q71_text_repetition" -> q71,
     "q72_dedup_spans" -> q72,
@@ -1117,6 +1236,8 @@ object CorpusQueries extends QueryGroup {
     "q190_chat_turn_audit" -> q190,
     "q191_dataset_card" -> q191,
     "q192_chat_loss_mask" -> q192,
+    "q193_sft_contamination" -> q193,
+    "q194_lake_read_asof" -> q194,
   )
 
   /** The q126 classifier refit, shared by the q126 and q179 oracles:
@@ -2104,5 +2225,64 @@ object CorpusQueries extends QueryGroup {
         | FROM p JOIN df USING (tok))
         |SELECT doc_id, tok AS rare_tok, df_docs
         |FROM j WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // SFT-response→pretrain leakage: the q189 pair synthesis (src0 only,
+    // clean pairs), response 4-shingles per position joined against the
+    // DISTINCT shingle set of every other source; the ≥20% flag is pure
+    // integer (n_leaked·5 ≥ n_sh), the fraction a single division
+    "q193_sft_contamination" ->
+      """WITH t AS (SELECT doc_id, source, string_split(lower(text), ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |p0 AS (SELECT doc_id, toks, len(toks) // 3 AS cut FROM t
+        |  WHERE source = 'src0'),
+        |pairs AS (SELECT doc_id,
+        |    array_to_string(toks[1 : cut], ' ') AS prompt,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'sure: '
+        |        || array_to_string(toks[1 : cut], ' ')
+        |      WHEN doc_id % 11 = 0 THEN ''
+        |      WHEN doc_id % 13 = 0 THEN
+        |        array_to_string(toks[cut + 1 : cut + 2], ' ')
+        |      ELSE array_to_string(toks[cut + 1 : len(toks)], ' ')
+        |    END AS resp
+        |  FROM p0),
+        |f AS (SELECT doc_id, prompt, resp,
+        |    CAST(CASE WHEN resp = '' THEN 0
+        |      ELSE len(string_split(resp, ' ')) END AS INT) AS n_resp_toks
+        |  FROM pairs WHERE length(prompt) > 0),
+        |clean AS (SELECT doc_id, resp, n_resp_toks FROM f
+        |  WHERE resp <> '' AND n_resp_toks >= 5
+        |    AND position(prompt IN resp) = 0),
+        |rsh AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, n_resp_toks - 2),
+        |      i -> array_to_string(string_split(resp, ' ')[i:i+3], ' ')))
+        |      AS sh
+        |  FROM clean),
+        |csh0 AS (SELECT unnest(list_transform(range(1, len(toks) - 2),
+        |      i -> array_to_string(toks[i:i+3], ' '))) AS sh
+        |  FROM t WHERE source <> 'src0' AND len(toks) >= 4),
+        |csh AS (SELECT DISTINCT sh FROM csh0),
+        |hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_leaked
+        |  FROM rsh JOIN csh USING (sh) GROUP BY doc_id)
+        |SELECT c.doc_id,
+        |  CAST(c.n_resp_toks - 3 AS BIGINT) AS n_resp_shingles,
+        |  coalesce(h.n_leaked, 0) AS n_leaked,
+        |  CAST(coalesce(h.n_leaked, 0) AS DOUBLE) / (c.n_resp_toks - 3)
+        |    AS leak_frac,
+        |  coalesce(h.n_leaked, 0) * 5 >= (c.n_resp_toks - 3) AS is_leaked
+        |FROM clean c LEFT JOIN hits h USING (doc_id)
+        |ORDER BY c.doc_id""".stripMargin,
+
+    // as-of membership algebra: publish seq 2 = batches b0 (ids ≡0 mod 3)
+    // and b2 (≡2) — never the quarantined b1 or the later b3 revision;
+    // BIGINT sums cast back from DuckDB's HUGEINT
+    "q194_lake_read_asof" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    len(string_split(lower(text), ' ')) AS n_tok
+        |  FROM documents WHERE text IS NOT NULL AND doc_id % 3 <> 1)
+        |SELECT 'b' || CAST(doc_id % 3 AS VARCHAR) AS batch, source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+        |  CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+        |FROM d GROUP BY 1, 2 ORDER BY batch, source""".stripMargin,
   )
 }

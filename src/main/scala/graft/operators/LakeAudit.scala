@@ -94,6 +94,9 @@ object LakeAudit {
       fs.mkdirs(target.getParent)
       require(fs.rename(staged, target),
         s"atomic publish rename failed: $staged -> $target")
+      // record publish order; publishLog() self-heals the missing entry
+      // if a crash lands between the rename above and this append
+      publishLog(spark, dir)
     }
     WapResult(batchId, published = ok, reports)
   }
@@ -101,6 +104,86 @@ object LakeAudit {
   /** The readable table: published batches only — staging is invisible. */
   def readPublished(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/data")
+
+  // --- publish log + time travel --------------------------------------
+
+  /** One publish-log record: `seq` is the monotone publish ORDER (1-based),
+    * the reproducibility handle a dataset release pins ("train on the
+    * corpus as of publish N"); `batchId` names the published directory. */
+  final case class PublishEntry(seq: Long, batchId: String)
+
+  private def logDir(dir: String) = new Path(s"$dir/_publish_log")
+
+  // entry file name: <seq zero-padded to 20>_<batchId>.json — the name IS
+  // the record (the body duplicates it for humans); zero-padding keeps
+  // lexical order = numeric order, and batchIds may themselves contain '_'
+  // so parsing splits at the FIXED 20-digit prefix
+  private def entryName(e: PublishEntry): String =
+    f"${e.seq}%020d_${e.batchId}.json"
+
+  private def appendLog(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      e: PublishEntry): Unit = {
+    val ld = logDir(dir)
+    fs.mkdirs(ld)
+    val fin = new Path(ld, entryName(e))
+    val tmp = new Path(ld, s".${entryName(e)}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(
+      s"""{"seq":${e.seq},"batch":"${e.batchId}"}""".getBytes("UTF-8"))
+    finally out.close()
+    require(fs.rename(tmp, fin), s"publish-log append failed: $fin")
+  }
+
+  /** The publish log, oldest first — one entry per published batch, in
+    * publish order. SELF-HEALING: a batch directory that is published
+    * (visible under `data/`) but missing from the log — the crash window
+    * is between the publish rename and the log append — is re-appended
+    * here (in batchId order when several are missing), so the log can
+    * never silently lose a published batch. Single-writer discipline,
+    * like the rest of the lake (LakeCompaction's quiescence contract). */
+  def publishLog(spark: SparkSession, dir: String): Seq[PublishEntry] = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ld = logDir(dir)
+    val logged: Seq[PublishEntry] =
+      if (!fs.exists(ld)) Nil
+      else fs.listStatus(ld).toSeq.map(_.getPath.getName)
+        .filter(n => n.endsWith(".json") && !n.startsWith("."))
+        .map { n =>
+          val base = n.stripSuffix(".json")
+          PublishEntry(base.substring(0, 20).toLong, base.substring(21))
+        }
+        .sortBy(_.seq)
+    val known = logged.map(_.batchId).toSet
+    val dataDir = new Path(s"$dir/data")
+    val published: Seq[String] =
+      if (!fs.exists(dataDir)) Nil
+      else fs.listStatus(dataDir).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("batch=")).map(_.stripPrefix("batch="))
+    var next = logged.lastOption.map(_.seq + 1).getOrElse(1L)
+    val healed = published.filterNot(known).sorted.map { b =>
+      val e = PublishEntry(next, b); appendLog(fs, dir, e); next += 1; e
+    }
+    logged ++ healed
+  }
+
+  /** Time travel: the lake exactly as of publish `publishSeq` — the union
+    * of published batches with seq ≤ publishSeq, later publishes
+    * invisible. Robust to later small-file compaction (compaction packs
+    * files WITHIN each batch directory; membership is the batch set, which
+    * this reads from the log, not from file names). The `batch` partition
+    * column is surfaced (basePath), so a reader can still attribute rows.
+    *
+    * Scale shape: pure metadata — one log listing picks the batch
+    * directories; the read itself is a plain pruned parquet scan of
+    * exactly those directories, no data rewrite, no filter-over-everything.
+    */
+  def readAsOf(spark: SparkSession, dir: String, publishSeq: Long): DataFrame = {
+    val batches = publishLog(spark, dir).filter(_.seq <= publishSeq)
+    require(batches.nonEmpty,
+      s"readAsOf($publishSeq): no batch published at or before that seq in $dir")
+    spark.read.option("basePath", s"$dir/data")
+      .parquet(batches.map(b => s"$dir/data/batch=${b.batchId}"): _*)
+  }
 
   /** Streaming WAP: every micro-batch goes through
     * [[writeAuditPublish]] keyed by the STREAMING batch id, so a dirty

@@ -58,7 +58,119 @@ object MediaQueries extends QueryGroup {
     // MediaDedupSpec
     "q102_media_perceptual_dedup" -> ((s, _) => MediaDedup.q102(s)),
     "q103_media_audio_dedup" -> ((s, _) => MediaDedup.q103(s)),
+    // the oracled TWINS of q102/q103 (the q41b/q42b move applied to media):
+    // the SAME live pipeline — generated corpus, JDK codec decode, 64-bit
+    // perceptual hash, shared banding/pair/Hamming stage — with the pair
+    // endpoints re-oriented by key (DuckDB has no xxhash64, so the engine's
+    // id order has no mirror), hash-matched against a frozen fingerprint
+    // fixture: the oracle carries the 144 (key, phash) values as literals
+    // and re-derives the exact pair set as all-pairs Hamming ≤ 3 (banding
+    // recall is EXACT there by the 4-chunk pigeonhole, and the 96/48-item
+    // corpora never hit the bucket cap), so a codec/hash drift OR a pair-
+    // stage bug goes driver-red — the decode step itself is pinned, not
+    // just the join
+    "q102b_media_dedup_twin" -> ((s, _) => keyOriented(MediaDedup.q102(s))),
+    "q103b_media_audio_twin" -> ((s, _) => keyOriented(MediaDedup.q103(s))),
   )
+
+  /** Pair endpoints re-oriented by key order (the engine orders by
+    * xxhash64 media_id, which DuckDB cannot mirror). */
+  private def keyOriented(pairs: org.apache.spark.sql.DataFrame) =
+    pairs.select(
+      least(col("a_key"), col("b_key")).as("a_key"),
+      greatest(col("a_key"), col("b_key")).as("b_key"),
+      col("hamming"))
+      .orderBy("a_key", "b_key")
+
+  private val imgFixture: Seq[(String, Long)] = Seq(
+    "orig:0" -> -6148841203556981420L, "reenc:0" -> -6148841203556981420L,
+    "half:0" -> -6148841203556981420L, "jitter:0" -> -6148841203556981420L,
+    "orig:1" -> 6721012512594512274L, "reenc:1" -> 6721012512594512274L,
+    "half:1" -> 6721012512594512274L, "jitter:1" -> 6721012512594512274L,
+    "orig:2" -> -8458408612321701516L, "reenc:2" -> -8458408612321701516L,
+    "half:2" -> -8458408612321701516L, "jitter:2" -> -8458408612321701516L,
+    "orig:3" -> 1681363069021371050L, "reenc:3" -> 1681363069021371050L,
+    "half:3" -> 1681363069021371050L, "jitter:3" -> 1681363069021239978L,
+    "orig:4" -> -6437150261955474083L, "reenc:4" -> -6437150261955474083L,
+    "half:4" -> -6437150261955474083L, "jitter:4" -> -6437150261955474083L,
+    "orig:5" -> 7823163747249928731L, "reenc:5" -> 7823163747249928731L,
+    "half:5" -> 7823163747249928731L, "jitter:5" -> 7823163747249928731L,
+    "orig:6" -> -6109576531022621609L, "reenc:6" -> -6109576531022621609L,
+    "half:6" -> -6109576531022621609L, "jitter:6" -> -6109576531022621609L,
+    "orig:7" -> 5021102038229117099L, "reenc:7" -> 5021102038229117099L,
+    "half:7" -> 5021102038229117099L, "jitter:7" -> 5021102038229117099L,
+    "orig:8" -> -3913534118187116233L, "reenc:8" -> -3913534118187116233L,
+    "half:8" -> -3913534118187116233L, "jitter:8" -> -3913534118187116233L,
+    "orig:9" -> -4926609329992527004L, "reenc:9" -> -4926609329992527004L,
+    "half:9" -> -4926609329992527004L, "jitter:9" -> -4926609329992527004L,
+    "orig:10" -> 6288535366795649256L, "reenc:10" -> 6288535366795649256L,
+    "half:10" -> 6288535366795649256L, "jitter:10" -> 6288535332435910888L,
+    "orig:11" -> -5860692575445733291L, "reenc:11" -> -5860692575445733291L,
+    "half:11" -> -5860692575445733291L, "jitter:11" -> -5860692575445733291L,
+    "orig:12" -> 7336739112471967432L, "reenc:12" -> 7336739112471967432L,
+    "half:12" -> 7336739112471967432L, "jitter:12" -> 7336739111935096520L,
+    "orig:13" -> 3360363422732993753L, "reenc:13" -> 3360363422732993753L,
+    "half:13" -> 3360363422732993753L, "jitter:13" -> 3360363422732993753L,
+    "orig:14" -> 6144397764065929914L, "reenc:14" -> 6144397764065929914L,
+    "half:14" -> 6144397764065929914L, "jitter:14" -> 6144397764065929914L,
+    "orig:15" -> -6079095452975482507L, "reenc:15" -> -6079095452975482507L,
+    "half:15" -> -6079095452975482507L, "jitter:15" -> -6079099851021993611L,
+    "orig:16" -> -908357164477257044L, "reenc:16" -> -908357164477257044L,
+    "half:16" -> -908357164477257044L, "jitter:16" -> -908357166624740692L,
+    "orig:17" -> -3256784859874078363L, "reenc:17" -> -3256784859874078363L,
+    "half:17" -> -3256784859874078363L, "jitter:17" -> -3256784859874078363L,
+    "orig:18" -> 1578831411355036331L, "reenc:18" -> 1578831411355036331L,
+    "half:18" -> 1578831411355036331L, "jitter:18" -> 1578831411355036331L,
+    "orig:19" -> 2806399325072352349L, "reenc:19" -> 2806399325072352349L,
+    "half:19" -> 2806399325072352349L, "jitter:19" -> 2806399325072352349L,
+    "orig:20" -> 7843065182590396571L, "reenc:20" -> 7843065182590396571L,
+    "half:20" -> 7843065182590396571L, "jitter:20" -> 7843065113871968411L,
+    "orig:21" -> 6706237477425109410L, "reenc:21" -> 6706237477425109410L,
+    "half:21" -> 6706237477425109410L, "jitter:21" -> 6706237477427206562L,
+    "orig:22" -> 3074526846518487133L, "reenc:22" -> 3074526846518487133L,
+    "half:22" -> 3074526846518487133L, "jitter:22" -> 3074526846522681437L,
+    "orig:23" -> 6793070156566026546L, "reenc:23" -> 6793070156566026546L,
+    "half:23" -> 6793070156566026546L, "jitter:23" -> 6793070156566026546L)
+
+  private val audFixture: Seq[(String, Long)] = Seq(
+    "orig:0" -> -6148846701383621376L, "half:0" -> -6148846701383621376L,
+    "quarter:0" -> -6148846701383621376L, "orig:1" -> 6721012512594512274L,
+    "half:1" -> 6721012512594512274L, "quarter:1" -> 6721012512594512274L,
+    "orig:2" -> -8494718884334153356L, "half:2" -> -8494718884334153356L,
+    "quarter:2" -> -8494718884334153356L, "orig:3" -> 1681044210648660650L,
+    "half:3" -> 1681044210648660650L, "quarter:3" -> 1681044210648660650L,
+    "orig:4" -> -6437154660003033771L, "half:4" -> -6437154660003033771L,
+    "quarter:4" -> -6437154660003033771L, "orig:5" -> 2635016796130488843L,
+    "half:5" -> 2635016796130488843L, "quarter:5" -> 2635016796130488843L,
+    "orig:6" -> -6691666783195802537L, "half:6" -> -6691666783195802537L,
+    "quarter:6" -> -6691666783195802537L, "orig:7" -> 5009280089056274602L,
+    "half:7" -> 5009280089056274602L, "quarter:7" -> 5009280089056274602L,
+    "orig:8" -> -3913556108419968713L, "half:8" -> -3913556108419968713L,
+    "quarter:8" -> -3913556108419968713L, "orig:9" -> -4962922075889892508L,
+    "half:9" -> -4962922075889892508L, "quarter:9" -> -4962922075889892508L,
+    "orig:10" -> 6288460015889367272L, "half:10" -> 6288460015889367272L,
+    "quarter:10" -> 6288460015889367272L, "orig:11" -> -5860693675024535488L,
+    "half:11" -> -5860693675024535488L,
+    "quarter:11" -> -5860693675024535488L, "orig:12" -> 2689024294341260872L,
+    "half:12" -> 2689024294341260872L, "quarter:12" -> 2689024294341260872L,
+    "orig:13" -> 3360363422732993753L, "half:13" -> 3360363422732993753L,
+    "quarter:13" -> 3360363422732993753L, "orig:14" -> 6144397764065897146L,
+    "half:14" -> 6144397764065897146L, "quarter:14" -> 6144397764065897146L,
+    "orig:15" -> -6079117443208300235L, "half:15" -> -6079117443208300235L,
+    "quarter:15" -> -6079117443208300235L)
+
+  /** All-pairs Hamming ≤ 3 over the frozen fingerprints — exactly the
+    * banded pipeline's pair set (pigeonhole recall + precision filter). */
+  private def hammingTwinOracle(fixture: Seq[(String, Long)]): String = {
+    val values = fixture.map { case (k, h) =>
+      s"('$k', CAST($h AS BIGINT))" }.mkString(", ")
+    s"""WITH h(key, ph) AS (VALUES $values)
+       |SELECT a.key AS a_key, b.key AS b_key,
+       |  CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+       |FROM h a JOIN h b ON a.key < b.key
+       |  AND bit_count(xor(a.ph, b.ph)) <= 3
+       |ORDER BY a_key, b_key""".stripMargin
+  }
 
   // the CASE arms mirror readMediaDir's extension lists exactly
   // (ImageIoCodec.formats + tif/tiff; WavCodec.formats + mp3/flac/ogg)
@@ -79,5 +191,7 @@ object MediaQueries extends QueryGroup {
         |  ext AS format,
         |  CAST(len AS BIGINT) AS n_bytes
         |FROM blobs ORDER BY file_key""".stripMargin,
+    "q102b_media_dedup_twin" -> hammingTwinOracle(imgFixture),
+    "q103b_media_audio_twin" -> hammingTwinOracle(audFixture),
   )
 }

@@ -727,7 +727,14 @@ object RelationalQueries extends QueryGroup {
       failed(col("l_extendedprice") > 0).as("f_price"),
       failed(col("l_discount") >= 0 && col("l_discount") <= 0.1).as("f_disc"),
       failed(col("l_shipdate").isNotNull).as("f_ship"),
-      (count(lit(1)) - countDistinct(col("l_orderkey"), col("l_linenumber")))
+      // countDistinct(a, b) drops rows where EITHER key is NULL (it
+      // counts only all-non-null tuples), while the oracle's
+      // count(DISTINCT (a, b)) counts null-field structs — wrap the keys
+      // in a struct, whose distinct semantics treat NULL fields as equal
+      // on both engines, so a regeneration shipping NULL keys still
+      // matches AND the audit counts the offending rows
+      (count(lit(1)) -
+        countDistinct(struct(col("l_orderkey"), col("l_linenumber"))))
         .as("f_uniq"))
     val fkFails = li.select(col("l_orderkey"))
       .join(Tables.orders(s, d).select(col("o_orderkey")),

@@ -53,6 +53,16 @@ object IntervalOverlapRewrite extends Rule[LogicalPlan] {
   val MaxFanoutConf = "spark.graft.interval.maxFanout"
   private val BAND_COL = "__graft_interval_band"
 
+  /** Conf parse with a descriptive failure: a non-numeric value must name
+    * the conf key and the offending string, not surface as a raw
+    * NumberFormatException from inside an optimizer rule. */
+  private def longConf(key: String, raw: String): Long =
+    try raw.trim.toLong
+    catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"$key must be a long, got '$raw'")
+    }
+
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {
     case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
     case other => Seq(other)
@@ -87,7 +97,7 @@ object IntervalOverlapRewrite extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val width = conf.getConfString(WidthConf, "0").toLong
+    val width = longConf(WidthConf, conf.getConfString(WidthConf, "0"))
     if (width <= 0) plan
     else plan.transformUp {
       case j @ Join(left, right, Inner, Some(cond), hint) if j.resolved =>
@@ -98,8 +108,8 @@ object IntervalOverlapRewrite extends Rule[LogicalPlan] {
         pat match {
           case Some((ls, le, rs, re)) =>
             val w = Literal(width, LongType)
-            val maxFanout =
-              conf.getConfString(MaxFanoutConf, "1024").toLong
+            val maxFanout = longConf(MaxFanoutConf,
+              conf.getConfString(MaxFanoutConf, "1024"))
             // timeZoneId set explicitly: analysis's ResolveTimeZone already
             // ran, and a TimeZoneAwareExpression without it never resolves.
             // The sequence is guarded: a row spanning more than maxFanout

@@ -308,8 +308,12 @@ object CorpusStream {
       maxDistinct: Int = 2, maxTotal: Int = 8,
       textCol: String = "text"): DataFrame = {
     // the text is lowercased before matching, so a mixed-case blocklist
-    // entry passed through verbatim could never fire — lowercase both
-    val pats = array(patterns.map(p => lit(p.toLowerCase)): _*)
+    // entry passed through verbatim could never fire — lowercase both.
+    // Locale.ROOT: Spark's lower() is locale-independent, so the pattern
+    // fold must be too (a Turkish default locale folds 'I' to dotless
+    // 'ı' and the pattern could never match)
+    val pats = array(patterns.map(p =>
+      lit(p.toLowerCase(java.util.Locale.ROOT))): _*)
     val t = lower(col(textCol))
     docs
       .withColumn("bl_hits", call_function("ac_distinct_hits", t, pats))

@@ -87,4 +87,66 @@ class LakeAuditSpec extends SparkSpec {
     assert(writeAuditPublish(spark, fixed, dir, "b2", rules).published)
     assert(readPublished(spark, dir).count() == 2)
   }
+
+  // --- publish log + time travel ---------------------------------------
+
+  private def batchOf(i: Long) =
+    Seq((i * 10 + 1, 5.0, 10.0), (i * 10 + 2, 7.0, 20.0))
+      .toDF("id", "qty", "price")
+
+  private def idsOf(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("id").as[Long].collect().toSet
+
+  test("readAsOf(n) equals the lake state after publish n, incl. after compaction") {
+    val dir = tmpDir("wapasof")
+    // publish 1, quarantine one, publish 2 and 3 — quarantined batches
+    // must never earn a seq
+    val states = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    assert(writeAuditPublish(spark, batchOf(0), dir, "a", rules).published)
+    states += idsOf(readPublished(spark, dir))
+    val dirty = Seq((99L, 99.0, 10.0)).toDF("id", "qty", "price")
+    assert(!writeAuditPublish(spark, dirty, dir, "bad", rules).published)
+    assert(writeAuditPublish(spark, batchOf(1), dir, "b", rules).published)
+    states += idsOf(readPublished(spark, dir))
+    assert(writeAuditPublish(spark, batchOf(2), dir, "c", rules).published)
+    states += idsOf(readPublished(spark, dir))
+    assert(publishLog(spark, dir).map(e => e.seq -> e.batchId) ==
+      Seq(1L -> "a", 2L -> "b", 3L -> "c"))
+    for (n <- 1 to 3)
+      assert(idsOf(readAsOf(spark, dir, n)) == states(n - 1),
+        s"readAsOf($n) must reproduce the state after publish $n")
+    // latest as-of ≡ the live table
+    assert(idsOf(readAsOf(spark, dir, 3)) == idsOf(readPublished(spark, dir)))
+    // the batch partition column is surfaced for attribution
+    assert(readAsOf(spark, dir, 2).select("batch").distinct()
+      .as[String].collect().toSet == Set("a", "b"))
+    // a LATER compaction packs files within batch dirs — every as-of
+    // snapshot must be unchanged
+    graft.etl.LakeCompaction.compact(spark, s"$dir/data", 64L << 20)
+    for (n <- 1 to 3)
+      assert(idsOf(readAsOf(spark, dir, n)) == states(n - 1),
+        s"readAsOf($n) must survive compaction")
+    intercept[IllegalArgumentException](readAsOf(spark, dir, 0))
+  }
+
+  test("publish log self-heals a published batch missing its log entry") {
+    val dir = tmpDir("wapheal")
+    assert(writeAuditPublish(spark, batchOf(0), dir, "a", rules).published)
+    assert(writeAuditPublish(spark, batchOf(1), dir, "b", rules).published)
+    // simulate the crash window between the publish rename and the log
+    // append: drop b's log entry
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ld = new org.apache.hadoop.fs.Path(s"$dir/_publish_log")
+    val victim = fs.listStatus(ld).map(_.getPath)
+      .filter(_.getName.contains("_b.json"))
+    assert(victim.length == 1)
+    fs.delete(victim.head, false)
+    // the log heals: b re-appears (re-appended at the tail) and time
+    // travel still covers every published batch
+    val healed = publishLog(spark, dir)
+    assert(healed.map(_.batchId) == Seq("a", "b"))
+    assert(idsOf(readAsOf(spark, dir, healed.last.seq)) ==
+      idsOf(readPublished(spark, dir)))
+  }
 }

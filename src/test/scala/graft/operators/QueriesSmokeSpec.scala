@@ -26,4 +26,44 @@ class QueriesSmokeSpec extends SparkSpec {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
+
+  // --- the scalar-output contract, enforced mechanically ---------------
+  // The DRIVER's pandas canonicalizer sorts result rows by every column
+  // and dies on array/map/struct cells (unhashable numpy.ndarray — the
+  // r11 q101/q107 reds). tools/oracle_check.py stringifies object
+  // columns, so only this assertion catches the shape locally. Schema
+  // derivation is plan-only (no execution), so this covers ALL declared
+  // queries cheaply — ⚙ rows-only queries included (the driver loads
+  // their parquet too).
+
+  private def nonScalarFields(schema: org.apache.spark.sql.types.StructType)
+      : Seq[String] = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    schema.fields.collect {
+      case f if f.dataType.isInstanceOf[ArrayType] ||
+        f.dataType.isInstanceOf[MapType] ||
+        f.dataType.isInstanceOf[StructType] =>
+        s"${f.name}: ${f.dataType.simpleString}"
+    }.toSeq
+  }
+
+  test("every declared query's output columns are atomic (driver contract)") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val bad = nonScalarFields(fn(spark, sfDir).schema)
+        if (bad.isEmpty) Nil else Seq(s"$name -> ${bad.mkString(", ")}")
+    }
+    assert(offenders.isEmpty,
+      s"non-scalar output columns (the driver canonicalizer dies on these):\n" +
+        offenders.mkString("\n"))
+  }
+
+  test("the scalar guard itself rejects an array-output schema") {
+    import org.apache.spark.sql.functions._
+    val synthetic = spark.range(3).select(col("id"),
+      array(col("id"), col("id") + 1).as("arr"),
+      map(col("id"), col("id")).as("m"),
+      struct(col("id")).as("st"))
+    assert(nonScalarFields(synthetic.schema).size == 3)
+  }
 }
