@@ -1197,6 +1197,125 @@ object CorpusQueries extends QueryGroup {
       .orderBy("batch", "source")
   }
 
+  /** Q195: preference-pair audit — the QC gate RLHF/DPO data passes
+    * before reward-model or preference training: per (prompt, chosen,
+    * rejected) triple, the defects that poison preference losses — TIES
+    * (chosen ≡ rejected: the gradient is zero but the pair still costs
+    * compute and dilutes batches) and DEGENERATE rejected texts (leading
+    * token stutter — the classic synthetic-negative artifact) — plus the
+    * length-gap evidence a length-bias audit aggregates (reward models
+    * infamously learn "longer = better" when len_gap skews positive).
+    * Triples are synthesized deterministically from documents (prompt =
+    * first ⌊n/4⌋ tokens, chosen = the rest; rejected per id residue:
+    * ≡0 mod 9 → tie, ≡0 mod 5 → truncated-to-third, else stutter) so
+    * every branch fires. Pure per-row string/integer algebra — zero
+    * shuffle at any corpus size (the q189 discipline). */
+  private val q195: Q = (s, d) => {
+    val toks = TextFunctions.tokens(col("text"))
+    val n = size(toks)
+    val p = (n / 4).cast("int")
+    val chosenArr = slice(toks, p + 1, n - p)
+    val chosen = concat_ws(" ", chosenArr)
+    val firstC = element_at(chosenArr, 1)
+    val rejected = when(col("doc_id") % 9 === 0, chosen)
+      .when(col("doc_id") % 5 === 0, concat_ws(" ",
+        slice(chosenArr, lit(1),
+          greatest((size(chosenArr) / 3).cast("int"), lit(1)))))
+      .otherwise(concat_ws(" ", concat(array(firstC, firstC), chosenArr)))
+    Tables.documents(s, d)
+      .filter(col("text").isNotNull && n >= 8)
+      .select(col("doc_id"), chosen.as("chosen"), rejected.as("rejected"))
+      .select(col("doc_id"),
+        size(split(col("chosen"), " ")).cast("long").as("n_chosen"),
+        size(split(col("rejected"), " ")).cast("long").as("n_rejected"),
+        (col("chosen") === col("rejected")).as("is_tie"),
+        (element_at(split(col("rejected"), " "), 1) ===
+          element_at(split(col("rejected"), " "), 2)).as("has_stutter"))
+      .select(col("doc_id"), col("n_chosen"), col("n_rejected"),
+        (col("n_chosen") - col("n_rejected")).as("len_gap"),
+        col("is_tie"), col("has_stutter"),
+        (!col("is_tie") && !col("has_stutter")).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Q196: inter-annotator agreement — Cohen's κ [Cohen 1960] over two
+    * label streams, the QC statistic labeled-data (SFT ratings, RLHF
+    * comparisons, eval sets) is accepted or rejected on: raw agreement
+    * overstates reliability when the label distribution is skewed, κ
+    * discounts chance agreement. Annotator A = the per-row lexical-
+    * diversity rater (distinct·2 ≥ total tokens — array_distinct per
+    * row, NO shuffle); annotator B = A with deterministic disagreement
+    * on the ≡0-mod-7 residue. κ stays EXACT: po·n² and pe·n² are BIGINT
+    * products, so the query emits (kappa_num, kappa_den) = (n·agree −
+    * pe_n2, n² − pe_n2) and performs ONE double division, mirrored
+    * op-for-op (the q152 rational discipline). One global aggregate —
+    * map-side partials, a single reduced row at any corpus size. */
+  private val q196: Q = (s, d) => {
+    val toks = split(lower(col("text")), " ")
+    val a = (size(array_distinct(toks)) * 2 >= size(toks)).as("a")
+    val labeled = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(a, (col("doc_id") % 7 === 0).as("flip"))
+      .select(col("a"), (col("a") =!= col("flip")).as("b"))
+    labeled.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("a") === col("b"), 1L).otherwise(0L)).as("n_agree"),
+        sum(when(col("a"), 1L).otherwise(0L)).as("a_pos"),
+        sum(when(col("b"), 1L).otherwise(0L)).as("b_pos"))
+      .select(col("n"), col("n_agree"), col("a_pos"), col("b_pos"),
+        (col("a_pos") * col("b_pos") +
+          (col("n") - col("a_pos")) * (col("n") - col("b_pos"))).as("pe_n2"))
+      .select(col("n"), col("n_agree"), col("a_pos"), col("b_pos"),
+        (col("n") * col("n_agree") - col("pe_n2")).as("kappa_num"),
+        (col("n") * col("n") - col("pe_n2")).as("kappa_den"))
+      .withColumn("kappa",
+        when(col("kappa_den") === 0, lit(0.0))
+          .otherwise(col("kappa_num").cast("double") / col("kappa_den")))
+  }
+
+  /** Q197: corpus drift report — total-variation distance between the
+    * token-length distributions of two corpus snapshots (the q156
+    * old/new derivation, shared residues), the release-gate question
+    * "did the length mix shift enough to re-tune packing/batching?".
+    * TVD = ½ Σ |p_i − q_i| stays EXACT by the q152 cross-multiplication:
+    * per bucket |n_old·N_new − n_new·N_old|, summed, over den = 2·N_old·
+    * N_new, with a pure-integer ≥10% drift verdict (never 0.1·x). Shape:
+    * two scans → two 8-row histograms → full-outer on bucket + broadcast
+    * totals; the only row-level work is the map-side partial count. */
+  private val q197: Q = (s, d) => {
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+    def nTok(t: org.apache.spark.sql.Column) =
+      size(split(lower(t), " ")).cast("long")
+    def bucketOf(c: org.apache.spark.sql.Column) =
+      least(call_function("div", c, lit(32L)), lit(7L)).cast("long")
+    val oldH = docs.filter(col("doc_id") % 7 =!= 1)
+      .select(bucketOf(nTok(col("text"))).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_old"))
+    val newText = when(col("doc_id") % 5 === 2,
+      concat(col("text"), lit(" rev2"))).otherwise(col("text"))
+    val newH = docs.filter(col("doc_id") % 11 =!= 3)
+      .select(bucketOf(nTok(newText)).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_new"))
+    val joined = oldH.join(newH, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+    val totals = joined.agg(sum(col("n_old")).as("tot_old"),
+      sum(col("n_new")).as("tot_new"))
+    val w = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    joined.crossJoin(broadcast(totals))
+      .withColumn("cross_abs",
+        abs(col("n_old") * col("tot_new") - col("n_new") * col("tot_old")))
+      .withColumn("tvd_num", sum(col("cross_abs")).over(w))
+      .select(col("bucket"), col("n_old"), col("n_new"), col("cross_abs"),
+        col("tvd_num"),
+        (col("tot_old") * col("tot_new") * 2).as("tvd_den"),
+        (col("tvd_num") * 10 >= col("tot_old") * col("tot_new") * 2)
+          .as("drifted"))
+      .orderBy("bucket")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q71_text_repetition" -> q71,
     "q72_dedup_spans" -> q72,
@@ -1238,6 +1357,9 @@ object CorpusQueries extends QueryGroup {
     "q192_chat_loss_mask" -> q192,
     "q193_sft_contamination" -> q193,
     "q194_lake_read_asof" -> q194,
+    "q195_preference_pair_audit" -> q195,
+    "q196_annotator_agreement" -> q196,
+    "q197_corpus_drift_tvd" -> q197,
   )
 
   /** The q126 classifier refit, shared by the q126 and q179 oracles:
@@ -2284,5 +2406,96 @@ object CorpusQueries extends QueryGroup {
         |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
         |  CAST(sum(n_tok) AS BIGINT) AS sum_tokens
         |FROM d GROUP BY 1, 2 ORDER BY batch, source""".stripMargin,
+
+    // preference-pair synthesis mirrored branch-for-branch (CASE order =
+    // the when-chain order, so overlapping residues resolve identically);
+    // chosen has ≥6 tokens (n ≥ 8, p = n//4), so rejected always has ≥2
+    // and the stutter probe needs no guard
+    "q195_preference_pair_audit" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |p0 AS (SELECT doc_id, toks, len(toks) // 4 AS p FROM t
+        |  WHERE len(toks) >= 8),
+        |pr AS (SELECT doc_id,
+        |    array_to_string(toks[p + 1 : len(toks)], ' ') AS chosen,
+        |    toks[p + 1] AS firstc,
+        |    len(toks) - p AS nc
+        |  FROM p0),
+        |pair AS (SELECT doc_id, chosen,
+        |    CASE WHEN doc_id % 9 = 0 THEN chosen
+        |      WHEN doc_id % 5 = 0 THEN array_to_string(
+        |        (string_split(chosen, ' '))[1 : greatest(nc // 3, 1)], ' ')
+        |      ELSE firstc || ' ' || firstc || ' ' || chosen END AS rejected
+        |  FROM pr),
+        |f AS (SELECT doc_id,
+        |    CAST(len(string_split(chosen, ' ')) AS BIGINT) AS n_chosen,
+        |    CAST(len(string_split(rejected, ' ')) AS BIGINT) AS n_rejected,
+        |    chosen = rejected AS is_tie,
+        |    (string_split(rejected, ' '))[1] =
+        |      (string_split(rejected, ' '))[2] AS has_stutter
+        |  FROM pair)
+        |SELECT doc_id, n_chosen, n_rejected,
+        |  n_chosen - n_rejected AS len_gap, is_tie, has_stutter,
+        |  (NOT is_tie AND NOT has_stutter) AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    // Cohen's kappa in exact integer space: po·n² and pe·n² as BIGINT
+    // products, one final double division; annotator B = A XOR the mod-7
+    // residue
+    "q196_annotator_agreement" ->
+      """WITH l AS (SELECT
+        |    len(list_distinct(string_split(lower(text), ' '))) * 2 >=
+        |      len(string_split(lower(text), ' ')) AS a,
+        |    doc_id % 7 = 0 AS flip
+        |  FROM documents WHERE text IS NOT NULL),
+        |l2 AS (SELECT a, a <> flip AS b FROM l),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_agree,
+        |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS a_pos,
+        |    CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS b_pos
+        |  FROM l2),
+        |k AS (SELECT n, n_agree, a_pos, b_pos,
+        |    a_pos * b_pos + (n - a_pos) * (n - b_pos) AS pe_n2
+        |  FROM g)
+        |SELECT n, n_agree, a_pos, b_pos,
+        |  n * n_agree - pe_n2 AS kappa_num,
+        |  n * n - pe_n2 AS kappa_den,
+        |  CASE WHEN n * n - pe_n2 = 0 THEN 0.0
+        |    ELSE CAST(n * n_agree - pe_n2 AS DOUBLE) / (n * n - pe_n2)
+        |  END AS kappa
+        |FROM k""".stripMargin,
+
+    // TVD drift between the q156-residue snapshots: per-bucket
+    // cross-multiplied |n_old·N_new − n_new·N_old| terms, window-summed
+    // (HUGEINT cast back — the q91 gotcha), pure-integer ≥10% verdict
+    "q197_corpus_drift_tvd" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |  WHERE text IS NOT NULL),
+        |o AS (SELECT least(len(string_split(lower(text), ' ')) // 32, 7)
+        |    AS bucket FROM d WHERE doc_id % 7 <> 1),
+        |nw AS (SELECT least(len(string_split(lower(
+        |      CASE WHEN doc_id % 5 = 2 THEN text || ' rev2' ELSE text END
+        |    ), ' ')) // 32, 7) AS bucket
+        |  FROM d WHERE doc_id % 11 <> 3),
+        |ho AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_old
+        |  FROM o GROUP BY bucket),
+        |hn AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_new
+        |  FROM nw GROUP BY bucket),
+        |j AS (SELECT CAST(coalesce(ho.bucket, hn.bucket) AS BIGINT)
+        |    AS bucket,
+        |    coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new
+        |  FROM ho FULL OUTER JOIN hn ON ho.bucket = hn.bucket),
+        |tt AS (SELECT CAST(sum(n_old) AS BIGINT) AS tot_old,
+        |    CAST(sum(n_new) AS BIGINT) AS tot_new FROM j),
+        |x AS (SELECT j.*, tt.tot_old, tt.tot_new,
+        |    abs(n_old * tt.tot_new - n_new * tt.tot_old) AS cross_abs
+        |  FROM j, tt)
+        |SELECT bucket, n_old, n_new, cross_abs,
+        |  CAST(sum(cross_abs) OVER () AS BIGINT) AS tvd_num,
+        |  tot_old * tot_new * 2 AS tvd_den,
+        |  CAST(sum(cross_abs) OVER () AS BIGINT) * 10 >=
+        |    tot_old * tot_new * 2 AS drifted
+        |FROM x ORDER BY bucket""".stripMargin,
   )
 }

@@ -339,6 +339,40 @@ object TextQueries extends QueryGroup {
     "o" -> "r", "j" -> "o", "jo" -> "i", "joi" -> "n", "a" -> "n",
     "d" -> "at"))
 
+  /** Q198: tokenizer fertility report — the tokenizer-QA numbers read
+    * before committing a vocabulary: per language, pieces-per-word
+    * (fertility — the multilingual-tokenizer headline metric: a vocab
+    * under-serving a language shows fertility ≫ the English baseline and
+    * that language pays more compute per word) and chars-per-piece
+    * (compression), over the q100 BPE encode under the same fixed merge
+    * table. Ratios are POOLED (Σpieces/Σwords — one double division on
+    * exact BIGINTs, the q78 discipline), never averaged per-doc doubles.
+    *
+    * Shape: the q100 dictionary join (encode cost ∝ DISTINCT words, not
+    * corpus size) + one per-lang aggregate; the corpus-sized stages are
+    * map-side token counting and the position join q100 already pays. */
+  private val q198: Q = (s, d) => {
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+    val enc = BpeTrainer.tokenizeViaDictionary(docs, q100Table)
+      .select(col("doc_id"), size(col("bpe")).cast("long").as("n_bpe"))
+    docs.select(col("doc_id"), col("lang"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("n_words"),
+        length(col("text")).cast("long").as("n_chars"))
+      .join(enc, "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("sum_words"),
+        sum(col("n_bpe")).as("sum_pieces"),
+        sum(col("n_chars")).as("sum_chars"))
+      .select(col("lang"), col("n_docs"), col("sum_words"),
+        col("sum_pieces"), col("sum_chars"),
+        (col("sum_pieces").cast("double") / col("sum_words"))
+          .as("fertility"),
+        (col("sum_chars").cast("double") / col("sum_pieces"))
+          .as("chars_per_piece"))
+      .orderBy("lang")
+  }
+
   /** Q148: WordPiece corpus encode — the OTHER production tokenizer family
     * (greedy longest-match-first over a fixed vocabulary with `##`
     * continuation pieces [Wu et al. 2016; the BERT tokenizer], vs q100's
@@ -980,6 +1014,7 @@ object TextQueries extends QueryGroup {
     "q95_token_familiarity" -> q95,
     "q99_bpe_pair_counts" -> q99,
     "q100_bpe_encode" -> q100,
+    "q198_tokenizer_fertility" -> q198,
     "q148_wordpiece_encode" -> q148,
     "q149_unigram_encode" -> q149,
     "q105_text_bm25" -> q105,
@@ -1643,5 +1678,51 @@ object TextQueries extends QueryGroup {
         |  md5(array_to_string(flatten(list(d.syms ORDER BY tp.pos)), ' ')) AS bpe_fp
         |FROM tp JOIN d USING (tok)
         |GROUP BY tp.doc_id ORDER BY tp.doc_id""".stripMargin,
+
+    // fertility: the q100 recursive-CTE encode refit (same merge VALUES),
+    // per-word piece counts summed per doc, pooled per-lang ratios as
+    // single double divisions over BIGINT sums (HUGEINT cast back)
+    "q198_tokenizer_fertility" ->
+      """WITH RECURSIVE m(rank, l, r) AS (
+        |  VALUES (1,'e','r'),(2,'t','h'),(3,'th','e'),(4,'a','t'),(5,'s','t'),
+        |         (6,'o','r'),(7,'j','o'),(8,'jo','i'),(9,'joi','n'),(10,'a','n'),
+        |         (11,'d','at')),
+        |w AS (SELECT DISTINCT unnest(string_split(lower(text), ' ')) AS tok
+        |      FROM documents WHERE text IS NOT NULL),
+        |enc AS (
+        |  SELECT tok,
+        |    list_transform(range(1, length(tok) + 1), i -> substring(tok, i, 1)) AS syms,
+        |    0 AS k
+        |  FROM w
+        |  UNION ALL
+        |  SELECT e.tok,
+        |    list_reduce(
+        |      list_prepend(CAST([] AS VARCHAR[]), list_transform(e.syms, s -> [s])),
+        |      (acc, x) -> CASE WHEN len(acc) > 0 AND acc[len(acc)] = m.l AND x[1] = m.r
+        |                  THEN list_append(acc[1:len(acc)-1], m.l || m.r)
+        |                  ELSE list_append(acc, x[1]) END),
+        |    e.k + 1
+        |  FROM enc e JOIN m ON m.rank = e.k + 1),
+        |dict AS (SELECT tok, CAST(len(syms) AS BIGINT) AS n_p
+        |  FROM enc WHERE k = 11),
+        |tp AS (SELECT doc_id, unnest(toks) AS tok
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |        FROM documents WHERE text IS NOT NULL)),
+        |db AS (SELECT tp.doc_id, CAST(sum(dict.n_p) AS BIGINT) AS n_bpe
+        |  FROM tp JOIN dict USING (tok) GROUP BY tp.doc_id),
+        |base AS (SELECT doc_id, lang,
+        |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_words,
+        |    CAST(length(text) AS BIGINT) AS n_chars
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT b.lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(b.n_words) AS BIGINT) AS sum_words,
+        |  CAST(sum(db.n_bpe) AS BIGINT) AS sum_pieces,
+        |  CAST(sum(b.n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(CAST(sum(db.n_bpe) AS BIGINT) AS DOUBLE) /
+        |    CAST(sum(b.n_words) AS BIGINT) AS fertility,
+        |  CAST(CAST(sum(b.n_chars) AS BIGINT) AS DOUBLE) /
+        |    CAST(sum(db.n_bpe) AS BIGINT) AS chars_per_piece
+        |FROM base b JOIN db USING (doc_id)
+        |GROUP BY b.lang ORDER BY b.lang""".stripMargin,
   )
 }

@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants for the round-13 queries (q195–q198) beyond the
+  * driver's hash check: per-branch exactness for the preference-pair
+  * synthesis, a brute-force kappa recount, TVD accounting, and
+  * fertility consistency against q100's per-doc piece counts. */
+class R13QuerySemanticsSpec extends SparkSpec {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  test("q195: defect branches fire exactly on their residues") {
+    val rows = run("q195_preference_pair_audit").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val nc = r.getAs[Long]("n_chosen")
+      val nr = r.getAs[Long]("n_rejected")
+      val tie = r.getAs[Boolean]("is_tie")
+      val stutter = r.getAs[Boolean]("has_stutter")
+      if (id % 9 == 0) {
+        assert(tie, s"doc $id: the mod-9 branch is a tie")
+        assert(nr == nc && r.getAs[Long]("len_gap") == 0)
+      } else if (id % 5 == 0) {
+        // truncated-to-third rejected: strictly shorter than chosen
+        assert(nr == math.max(nc / 3, 1L), s"doc $id truncation length")
+        assert(!tie)
+      } else {
+        assert(stutter, s"doc $id: the stutter branch duplicates token 1")
+        assert(nr == nc + 2, s"doc $id: stutter adds exactly 2 tokens")
+        assert(!tie)
+      }
+      assert(r.getAs[Boolean]("keep") == (!tie && !stutter))
+    }
+    // chosen always has >= 6 tokens under the n >= 8 gate
+    assert(rows.forall(_.getAs[Long]("n_chosen") >= 6))
+  }
+
+  test("q196: kappa matches a driver-side brute-force recount") {
+    val row = run("q196_annotator_agreement").collect().head
+    val docs = graft.Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        (size(array_distinct(split(lower(col("text")), " "))) * 2 >=
+          size(split(lower(col("text")), " "))).as("a"))
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(1)))
+    val labeled = docs.map { case (id, a) => (a, a != (id % 7 == 0)) }
+    val n = labeled.length.toLong
+    val agree = labeled.count { case (a, b) => a == b }.toLong
+    val aPos = labeled.count(_._1).toLong
+    val bPos = labeled.count(_._2).toLong
+    assert(row.getAs[Long]("n") == n)
+    assert(row.getAs[Long]("n_agree") == agree)
+    assert(row.getAs[Long]("a_pos") == aPos)
+    assert(row.getAs[Long]("b_pos") == bPos)
+    // disagreements are exactly the flipped residue rows
+    assert(n - agree == docs.count { case (id, _) => id % 7 == 0 })
+    val peN2 = aPos * bPos + (n - aPos) * (n - bPos)
+    val kappa = (n * agree - peN2).toDouble / (n * n - peN2)
+    assert(row.getAs[Double]("kappa") == kappa)
+    assert(kappa > -1.0 - 1e-12 && kappa < 1.0 + 1e-12)
+  }
+
+  test("q197: TVD accounting — terms sum, totals match the snapshots") {
+    val rows = run("q197_corpus_drift_tvd").collect()
+    assert(rows.nonEmpty)
+    val crossSum = rows.map(_.getAs[Long]("cross_abs")).sum
+    rows.foreach { r =>
+      assert(r.getAs[Long]("tvd_num") == crossSum)
+      assert(r.getAs[Long]("tvd_den") > 0)
+      assert(r.getAs[Boolean]("drifted") ==
+        (r.getAs[Long]("tvd_num") * 10 >= r.getAs[Long]("tvd_den")))
+    }
+    val totOld = rows.map(_.getAs[Long]("n_old")).sum
+    val totNew = rows.map(_.getAs[Long]("n_new")).sum
+    val docs = graft.Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull)
+    assert(totOld == docs.filter(col("doc_id") % 7 =!= 1).count())
+    assert(totNew == docs.filter(col("doc_id") % 11 =!= 3).count())
+    // TVD = tvd_num / tvd_den lands in [0, 1]
+    assert(crossSum <= rows.head.getAs[Long]("tvd_den"))
+  }
+
+  test("q198: pooled fertility is consistent with q100's per-doc encode") {
+    val rep = run("q198_tokenizer_fertility").collect()
+    assert(rep.nonEmpty)
+    rep.foreach { r =>
+      val words = r.getAs[Long]("sum_words")
+      val pieces = r.getAs[Long]("sum_pieces")
+      val chars = r.getAs[Long]("sum_chars")
+      // merges only ever SHRINK the char-split, never below 1 piece/word
+      assert(pieces >= words, s"${r.getAs[String]("lang")}: fertility >= 1")
+      assert(chars >= pieces)
+      assert(r.getAs[Double]("fertility") ==
+        pieces.toDouble / words)
+      assert(r.getAs[Double]("chars_per_piece") ==
+        chars.toDouble / pieces)
+    }
+    // total pieces agree with the q100 per-doc encode
+    val totalPieces = rep.map(_.getAs[Long]("sum_pieces")).sum
+    val q100Total = run("q100_bpe_encode")
+      .agg(sum(col("n_bpe"))).collect().head.getLong(0)
+    assert(totalPieces == q100Total)
+  }
+}
