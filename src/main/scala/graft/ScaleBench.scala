@@ -219,6 +219,25 @@ object ScaleBench {
             measured(spark, q, m)(SparkEntry.queries(q)(spark, dir).count())
           }
         }
+      case "leak" =>
+        // q193's responseLeakage at 1×/3×/10× corpus: the SFT side is the
+        // src0 slice (grows with the corpus here, still ≪ corpus), the
+        // pretraining side is everything else. The scale claim under
+        // test: the corpus is scanned ONCE with a map-side broadcast
+        // probe and NEVER shuffled on shingles — wall should track the
+        // corpus linearly while shuffle_bytes stays bounded by the SFT
+        // side (compare against q77, whose benchmark side is also
+        // distinct-reduced but joins the other way).
+        val base = 5000L
+        Seq(1, 3, 10).foreach { m =>
+          val dir = s"/tmp/graft-scale/m$m"
+          synthDocs(spark, base * m).write.mode("overwrite")
+            .parquet(s"$dir/documents.parquet")
+          Seq("q193_sft_contamination", "q77_text_contamination")
+            .foreach { q =>
+              measured(spark, q, m)(SparkEntry.queries(q)(spark, dir).count())
+            }
+        }
       case "q74ab" =>
         // blocked vs tiled on the 10× corpus at full session width — the
         // straggler diagnosis: blocked's task granularity is whole blocks
