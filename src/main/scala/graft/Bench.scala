@@ -40,9 +40,13 @@ object Bench {
     "q126_classifier_quality", "q129_graph_pagerank", "q133_graph_triangles",
   )
 
+  /** Lower median — defined for ANY sample count ≥ 1, so a headline query
+    * that succeeded in the main pass but threw in an extra pass still
+    * reports (from its surviving samples) instead of silently vanishing
+    * from the compact line. */
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
-    s(s.size / 2) // odd sample counts only (3 here)
+    s((s.size - 1) / 2)
   }
 
   /** Newest committed BENCH_r*.json with a parsed compact line, for the
@@ -52,9 +56,12 @@ object Bench {
       // the driver pretty-prints its JSON (": " and newlines) — allow
       // whitespace around the colon
       val rx = """"(q[0-9a-z_]+)"\s*:\s*([0-9.]+)""".r
+      // sort by the PARSED round number — a lexicographic name sort would
+      // rank an unpadded BENCH_r9.json above BENCH_r13.json
       val files = Option(new java.io.File(".").listFiles()).getOrElse(Array())
         .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
-        .sortBy(_.getName)
+        .sortBy(f => f.getName.stripPrefix("BENCH_r")
+          .stripSuffix(".json").toInt)
       files.lastOption.flatMap { f =>
         val txt = scala.io.Source.fromFile(f)
         val body = try txt.mkString finally txt.close()
@@ -121,9 +128,17 @@ object Bench {
       }.toMap
     }
     val sample1 = ok.map { case (n, sec, _) => n -> sec }.toMap
+    // median over the samples that SURVIVED (an extra-pass throw must not
+    // erase a query from the compact line — that would read as a clean
+    // shorter run); lostSamples records the shortfall honestly
     val medians: Seq[(String, Double)] = headline.flatMap { n =>
       val samples = sample1.get(n).toSeq ++ extra.flatMap(_.get(n))
-      if (samples.size == 3) Some(n -> median(samples)) else None
+      if (samples.nonEmpty) Some(n -> median(samples)) else None
+    }
+    val lostSamples = headline.flatMap { n =>
+      val have = sample1.get(n).toSeq ++ extra.flatMap(_.get(n))
+      if (sample1.contains(n) && have.size < 3) Some(n -> (3 - have.size))
+      else None
     }
     // movers: headline medians vs the newest committed round record —
     // emitted mid-stream (the compact line stays last)
@@ -141,7 +156,10 @@ object Bench {
     // under a 2000-char tail window even on a many-failure run.
     val qsShort = obj(medians.map { case (n, med) => n -> f"$med%.3f" })
     val errShort = obj(failed.take(3).map { case (n, e) => n -> s""""$e"""" })
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","nq":${ok.size},"nerr":${failed.size},"med":3,"queries":$qsShort,"errors":$errShort,"sf":"$sfDir"}""")
+    val lost = if (lostSamples.isEmpty) ""
+      else s""","lost_samples":${obj(lostSamples.map { case (n, k) =>
+        n -> k.toString })}"""
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","nq":${ok.size},"nerr":${failed.size},"med":3$lost,"queries":$qsShort,"errors":$errShort,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

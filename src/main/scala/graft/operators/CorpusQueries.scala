@@ -838,21 +838,29 @@ object CorpusQueries extends QueryGroup {
     * are pure per-row string/integer algebra (position/instr for the
     * containment probe — code-point-identical on ASCII), zero shuffle at
     * any corpus size. */
+  /** The q189/q193 SFT pair synthesis — ONE definition (the ChatTurnsSql
+    * convention) so the format audit and the leakage probe can never
+    * disagree about what a pair is. Column expressions over (doc_id,
+    * text); [[SftPairs.resp]] carries the q189 defect branches. */
+  private object SftPairs {
+    val toks: org.apache.spark.sql.Column = TextFunctions.tokens(col("text"))
+    val n: org.apache.spark.sql.Column = size(toks)
+    private val cut = (n / 3).cast("int")
+    val prompt: org.apache.spark.sql.Column =
+      concat_ws(" ", slice(toks, lit(1), cut))
+    val resp: org.apache.spark.sql.Column =
+      when(col("doc_id") % 7 === 0,
+        concat(lit("sure: "), prompt)) // echo: contains the prompt
+        .when(col("doc_id") % 11 === 0, lit("")) // empty
+        .when(col("doc_id") % 13 === 0,
+          concat_ws(" ", slice(toks, cut + 1, lit(2)))) // too short
+        .otherwise(concat_ws(" ", slice(toks, cut + 1, n - cut)))
+  }
+
   private val q189: Q = (s, d) => {
-    val toks = TextFunctions.tokens(col("text"))
-    val n = size(toks)
-    val cut = (n / 3).cast("int")
-    val basePrompt = concat_ws(" ", slice(toks, lit(1), cut))
-    val baseResp = concat_ws(" ", slice(toks, cut + 1, n - cut))
-    val prompt = basePrompt
-    val resp = when(col("doc_id") % 7 === 0,
-        concat(lit("sure: "), basePrompt)) // echo: contains the prompt
-      .when(col("doc_id") % 11 === 0, lit("")) // empty
-      .when(col("doc_id") % 13 === 0,
-        concat_ws(" ", slice(toks, cut + 1, lit(2)))) // too short
-      .otherwise(baseResp)
     Tables.documents(s, d).filter(col("text").isNotNull)
-      .select(col("doc_id"), prompt.as("prompt"), resp.as("resp"))
+      .select(col("doc_id"), SftPairs.prompt.as("prompt"),
+        SftPairs.resp.as("resp"))
       .filter(length(col("prompt")) > 0)
       .select(col("doc_id"),
         size(split(col("prompt"), " ")).as("n_prompt_toks"),
@@ -1098,21 +1106,14 @@ object CorpusQueries extends QueryGroup {
     * reduced before the final per-pair count join). */
   private val q193: Q = (s, d) => {
     val docs = Tables.documents(s, d).filter(col("text").isNotNull)
-    // --- the q189 pair synthesis, verbatim, restricted to src0 ---
-    val toks = TextFunctions.tokens(col("text"))
-    val n = size(toks)
-    val cut = (n / 3).cast("int")
-    val basePrompt = concat_ws(" ", slice(toks, lit(1), cut))
-    val resp = when(col("doc_id") % 7 === 0,
-        concat(lit("sure: "), basePrompt))
-      .when(col("doc_id") % 11 === 0, lit(""))
-      .when(col("doc_id") % 13 === 0,
-        concat_ws(" ", slice(toks, cut + 1, lit(2))))
-      .otherwise(concat_ws(" ", slice(toks, cut + 1, n - cut)))
+    // the q189 pair synthesis — the SHARED SftPairs definition — restricted
+    // to src0 and to pairs q189 would keep (clean = not empty / too-short /
+    // echo)
     val nRespToks = when(col("resp") === "", 0)
       .otherwise(size(split(col("resp"), " ")))
     val clean = docs.filter(col("source") === "src0")
-      .select(col("doc_id"), basePrompt.as("prompt"), resp.as("resp"))
+      .select(col("doc_id"), SftPairs.prompt.as("prompt"),
+        SftPairs.resp.as("resp"))
       .filter(length(col("prompt")) > 0)
       .withColumn("n_resp_toks", nRespToks)
       .filter(col("resp") =!= "" && col("n_resp_toks") >= 5 &&
@@ -1361,6 +1362,31 @@ object CorpusQueries extends QueryGroup {
     "q196_annotator_agreement" -> q196,
     "q197_corpus_drift_tvd" -> q197,
   )
+
+  /** The q189/q193 pair-synthesis CTEs, shared by both oracles (the
+    * [[SftPairs]] mirror — ONE SQL definition so the audit and the
+    * leakage probe can never disagree); `srcFilter` restricts the
+    * document slice (q193 passes `" WHERE source = 'src0'"`). Callers
+    * append either a final SELECT or further CTEs (`",\n..."`). */
+  private def sftPairSqlCore(srcFilter: String): String =
+    s"""WITH t AS (SELECT doc_id, source, string_split(lower(text), ' ') AS toks
+       |  FROM documents WHERE text IS NOT NULL),
+       |p0 AS (SELECT doc_id, toks, len(toks) // 3 AS cut FROM t$srcFilter),
+       |pairs AS (SELECT doc_id,
+       |    array_to_string(toks[1 : cut], ' ') AS prompt,
+       |    CASE WHEN doc_id % 7 = 0 THEN 'sure: '
+       |        || array_to_string(toks[1 : cut], ' ')
+       |      WHEN doc_id % 11 = 0 THEN ''
+       |      WHEN doc_id % 13 = 0 THEN
+       |        array_to_string(toks[cut + 1 : cut + 2], ' ')
+       |      ELSE array_to_string(toks[cut + 1 : len(toks)], ' ')
+       |    END AS resp
+       |  FROM p0),
+       |f AS (SELECT doc_id, prompt, resp,
+       |    CAST(len(string_split(prompt, ' ')) AS INT) AS n_prompt_toks,
+       |    CAST(CASE WHEN resp = '' THEN 0
+       |      ELSE len(string_split(resp, ' ')) END AS INT) AS n_resp_toks
+       |  FROM pairs WHERE length(prompt) > 0)""".stripMargin
 
   /** The q126 classifier refit, shared by the q126 and q179 oracles:
     * identical hashing, split, priors and per-bucket weights; callers
@@ -1913,31 +1939,15 @@ object CorpusQueries extends QueryGroup {
     // SFT audit: identical pair synthesis (list slices), checks as pure
     // string/integer algebra; position() is instr's 1-based mirror
     "q189_sft_format_audit" ->
-      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
-        |  FROM documents WHERE text IS NOT NULL),
-        |p0 AS (SELECT doc_id, toks, len(toks) // 3 AS cut FROM t),
-        |pairs AS (SELECT doc_id,
-        |    array_to_string(toks[1 : cut], ' ') AS prompt,
-        |    CASE WHEN doc_id % 7 = 0 THEN 'sure: '
-        |        || array_to_string(toks[1 : cut], ' ')
-        |      WHEN doc_id % 11 = 0 THEN ''
-        |      WHEN doc_id % 13 = 0 THEN
-        |        array_to_string(toks[cut + 1 : cut + 2], ' ')
-        |      ELSE array_to_string(toks[cut + 1 : len(toks)], ' ')
-        |    END AS resp
-        |  FROM p0),
-        |f AS (SELECT doc_id, prompt, resp,
-        |    CAST(len(string_split(prompt, ' ')) AS INT) AS n_prompt_toks,
-        |    CAST(CASE WHEN resp = '' THEN 0
-        |      ELSE len(string_split(resp, ' ')) END AS INT) AS n_resp_toks
-        |  FROM pairs WHERE length(prompt) > 0)
+      (sftPairSqlCore("") +
+      """
         |SELECT doc_id, n_prompt_toks, n_resp_toks,
         |  (resp = '') AS is_empty,
         |  (resp <> '' AND n_resp_toks < 5) AS too_short,
         |  (position(prompt IN resp) > 0) AS is_echo,
         |  (NOT resp = '' AND NOT (resp <> '' AND n_resp_toks < 5)
         |    AND NOT position(prompt IN resp) > 0) AS keep
-        |FROM f ORDER BY doc_id""".stripMargin,
+        |FROM f ORDER BY doc_id""".stripMargin),
 
     // chat audit: identical transcript synthesis, roles re-parsed with
     // the same RE2∩Java pattern, adjacent-equal count via zipped slices
@@ -2353,24 +2363,8 @@ object CorpusQueries extends QueryGroup {
     // DISTINCT shingle set of every other source; the ≥20% flag is pure
     // integer (n_leaked·5 ≥ n_sh), the fraction a single division
     "q193_sft_contamination" ->
-      """WITH t AS (SELECT doc_id, source, string_split(lower(text), ' ') AS toks
-        |  FROM documents WHERE text IS NOT NULL),
-        |p0 AS (SELECT doc_id, toks, len(toks) // 3 AS cut FROM t
-        |  WHERE source = 'src0'),
-        |pairs AS (SELECT doc_id,
-        |    array_to_string(toks[1 : cut], ' ') AS prompt,
-        |    CASE WHEN doc_id % 7 = 0 THEN 'sure: '
-        |        || array_to_string(toks[1 : cut], ' ')
-        |      WHEN doc_id % 11 = 0 THEN ''
-        |      WHEN doc_id % 13 = 0 THEN
-        |        array_to_string(toks[cut + 1 : cut + 2], ' ')
-        |      ELSE array_to_string(toks[cut + 1 : len(toks)], ' ')
-        |    END AS resp
-        |  FROM p0),
-        |f AS (SELECT doc_id, prompt, resp,
-        |    CAST(CASE WHEN resp = '' THEN 0
-        |      ELSE len(string_split(resp, ' ')) END AS INT) AS n_resp_toks
-        |  FROM pairs WHERE length(prompt) > 0),
+      (sftPairSqlCore(" WHERE source = 'src0'") +
+      """,
         |clean AS (SELECT doc_id, resp, n_resp_toks FROM f
         |  WHERE resp <> '' AND n_resp_toks >= 5
         |    AND position(prompt IN resp) = 0),
@@ -2392,7 +2386,7 @@ object CorpusQueries extends QueryGroup {
         |    AS leak_frac,
         |  coalesce(h.n_leaked, 0) * 5 >= (c.n_resp_toks - 3) AS is_leaked
         |FROM clean c LEFT JOIN hits h USING (doc_id)
-        |ORDER BY c.doc_id""".stripMargin,
+        |ORDER BY c.doc_id""".stripMargin),
 
     // as-of membership algebra: publish seq 2 = batches b0 (ids ≡0 mod 3)
     // and b2 (≡2) — never the quarantined b1 or the later b3 revision;

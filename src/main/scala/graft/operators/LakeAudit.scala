@@ -94,9 +94,15 @@ object LakeAudit {
       fs.mkdirs(target.getParent)
       require(fs.rename(staged, target),
         s"atomic publish rename failed: $staged -> $target")
-      // record publish order; publishLog() self-heals the missing entry
-      // if a crash lands between the rename above and this append
-      publishLog(spark, dir)
+      // record publish order with ONE log-dir listing + a direct append —
+      // never the full data-dir reconciliation (O(batches) listings per
+      // publish would make a long-lived stream quadratic on exactly the
+      // stores where listings are the expensive op); the reconcile lives
+      // in publishLog(), the read/repair path, which also heals THIS
+      // entry if a crash lands between the rename above and this append
+      val fresh = readLog(fs, dir)
+      appendLog(fs, dir,
+        PublishEntry(fresh.lastOption.map(_.seq + 1).getOrElse(1L), batchId))
     }
     WapResult(batchId, published = ok, reports)
   }
@@ -126,12 +132,19 @@ object LakeAudit {
     val ld = logDir(dir)
     fs.mkdirs(ld)
     val fin = new Path(ld, entryName(e))
+    if (fs.exists(fin)) return // idempotent: the entry is deterministic
     val tmp = new Path(ld, s".${entryName(e)}.tmp")
     val out = fs.create(tmp, true)
     try out.write(
       s"""{"seq":${e.seq},"batch":"${e.batchId}"}""".getBytes("UTF-8"))
     finally out.close()
-    require(fs.rename(tmp, fin), s"publish-log append failed: $fin")
+    // a concurrent healer writing the SAME (seq, batchId) entry makes the
+    // rename fail with the target already present — that is success, not
+    // an error (the entry content is a pure function of its name)
+    if (!fs.rename(tmp, fin)) {
+      require(fs.exists(fin), s"publish-log append failed: $fin")
+      fs.delete(tmp, false)
+    }
   }
 
   /** The publish log, oldest first — one entry per published batch, in
@@ -139,20 +152,28 @@ object LakeAudit {
     * (visible under `data/`) but missing from the log — the crash window
     * is between the publish rename and the log append — is re-appended
     * here (in batchId order when several are missing), so the log can
-    * never silently lose a published batch. Single-writer discipline,
-    * like the rest of the lake (LakeCompaction's quiescence contract). */
+    * never silently lose a published batch. Healing makes readers
+    * writers, so the append is IDEMPOTENT (an entry is a pure function
+    * of its name; a concurrent healer writing the same entry is success,
+    * [[appendLog]]) — beyond that, single-writer discipline, like the
+    * rest of the lake (LakeCompaction's quiescence contract). */
+  /** The raw logged entries (one log-dir listing, no reconciliation). */
+  private def readLog(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Seq[PublishEntry] = {
+    val ld = logDir(dir)
+    if (!fs.exists(ld)) Nil
+    else fs.listStatus(ld).toSeq.map(_.getPath.getName)
+      .filter(n => n.endsWith(".json") && !n.startsWith("."))
+      .map { n =>
+        val base = n.stripSuffix(".json")
+        PublishEntry(base.substring(0, 20).toLong, base.substring(21))
+      }
+      .sortBy(_.seq)
+  }
+
   def publishLog(spark: SparkSession, dir: String): Seq[PublishEntry] = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val ld = logDir(dir)
-    val logged: Seq[PublishEntry] =
-      if (!fs.exists(ld)) Nil
-      else fs.listStatus(ld).toSeq.map(_.getPath.getName)
-        .filter(n => n.endsWith(".json") && !n.startsWith("."))
-        .map { n =>
-          val base = n.stripSuffix(".json")
-          PublishEntry(base.substring(0, 20).toLong, base.substring(21))
-        }
-        .sortBy(_.seq)
+    val logged = readLog(fs, dir)
     val known = logged.map(_.batchId).toSet
     val dataDir = new Path(s"$dir/data")
     val published: Seq[String] =

@@ -31,10 +31,12 @@ class QueriesSmokeSpec extends SparkSpec {
   // The DRIVER's pandas canonicalizer sorts result rows by every column
   // and dies on array/map/struct cells (unhashable numpy.ndarray — the
   // r11 q101/q107 reds). tools/oracle_check.py stringifies object
-  // columns, so only this assertion catches the shape locally. Schema
-  // derivation is plan-only (no execution), so this covers ALL declared
-  // queries cheaply — ⚙ rows-only queries included (the driver loads
-  // their parquet too).
+  // columns, so only this assertion catches the shape locally. Covers
+  // ALL declared queries, ⚙ rows-only included (the driver loads their
+  // parquet too). Schema derivation itself never runs a job, but
+  // CONSTRUCTING a frame can: queries with memoized side-effect inputs
+  // (q194 builds its WAP lake once per session) pay that build here —
+  // once, shared with the runs-at-sf0.001 smoke tests above.
 
   private def nonScalarFields(schema: org.apache.spark.sql.types.StructType)
       : Seq[String] = {
