@@ -808,7 +808,7 @@ object MlQueries extends QueryGroup {
       s"""WITH cent AS (
          |  SELECT label AS cent_id, list(c ORDER BY pos) AS centroid FROM (
          |    SELECT label, g.pos AS pos,
-         |      CAST(sum(CAST(embedding[CAST(g.pos AS INTEGER)] AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS c
+         |      CAST(sum(CAST(CAST(embedding[CAST(g.pos AS INTEGER)] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS c
          |    FROM embeddings, generate_series(1, 64) g(pos)
          |    GROUP BY label, g.pos)
          |  GROUP BY label),
@@ -879,7 +879,7 @@ object MlQueries extends QueryGroup {
 
     "q48_ml_centroids" ->
       """SELECT label, CAST(g.pos AS BIGINT) AS pos,
-        |  CAST(sum(CAST(embedding[CAST(g.pos AS INTEGER)] AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS c
+        |  CAST(sum(CAST(CAST(embedding[CAST(g.pos AS INTEGER)] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS c
         |FROM embeddings, generate_series(1, 64) g(pos)
         |GROUP BY label, pos ORDER BY label, pos""".stripMargin,
 
