@@ -46,6 +46,16 @@ def main():
         if not files:
             print(f"EMPTY   {name} (no parquet written)"); n_fail += 1; continue
         got = pd.concat([pd.read_parquet(f) for f in sorted(files)])
+        # the DRIVER's canonicalizer sorts rows by every column and dies on
+        # array/struct cells; this local gate stringifies them (canon), so
+        # fail the SHAPE explicitly here instead of passing what the driver
+        # would kill (QueriesSmokeSpec enforces the same contract in-suite)
+        bad_cols = [c for c in got.columns
+                    if got[c].map(lambda v: isinstance(v, (np.ndarray, list, dict))).any()]
+        if bad_cols:
+            print(f"NONSCALAR {name}: driver-fatal array/struct columns {bad_cols}")
+            n_fail += 1
+            continue
         if name not in oracle:
             status = "ROWSONLY" if len(got) > 0 else "ROWSONLY-EMPTY!"
             print(f"{status} {name}: rows={len(got)}"); n_skip += 1; continue
