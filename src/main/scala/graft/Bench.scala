@@ -119,26 +119,28 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rows,"errors":$errors,"sf":"$sfDir"}""")
     // samples 2 and 3 for the headline subset, interleaved in the same
     // (alphabetical) positions as the main pass so JIT/cache warmth is
-    // comparable across samples
-    val headSel = selected.filter { case (n, _) => headline.contains(n) }
+    // comparable across samples. Only queries that SUCCEEDED in the main
+    // pass re-run: a main-pass crash is already in errors/nerr, and letting
+    // extra-pass successes resurrect it in the compact queries map would
+    // make a crash read as a fast run (the honesty contract above).
+    val sample1 = ok.map { case (n, sec, _) => n -> sec }.toMap
+    val headSel = selected.filter { case (n, _) =>
+      headline.contains(n) && sample1.contains(n) }
     val extra: Seq[Map[String, Double]] = (1 to 2).map { _ =>
       headSel.flatMap { case (n, fn) =>
         val (sec, outcome) = time(n, fn)
         outcome.toOption.map(_ => n -> sec)
       }.toMap
     }
-    val sample1 = ok.map { case (n, sec, _) => n -> sec }.toMap
-    // median over the samples that SURVIVED (an extra-pass throw must not
-    // erase a query from the compact line — that would read as a clean
-    // shorter run); lostSamples records the shortfall honestly
-    val medians: Seq[(String, Double)] = headline.flatMap { n =>
-      val samples = sample1.get(n).toSeq ++ extra.flatMap(_.get(n))
-      if (samples.nonEmpty) Some(n -> median(samples)) else None
+    // one sample assembly feeds BOTH the medians and the shortfall record
+    // (an extra-pass throw must not erase a query from the compact line —
+    // that would read as a clean shorter run; lost_samples says so instead)
+    val headSamples: Seq[(String, Seq[Double])] = headline.flatMap { n =>
+      sample1.get(n).map(s1 => n -> (s1 +: extra.flatMap(_.get(n))))
     }
-    val lostSamples = headline.flatMap { n =>
-      val have = sample1.get(n).toSeq ++ extra.flatMap(_.get(n))
-      if (sample1.contains(n) && have.size < 3) Some(n -> (3 - have.size))
-      else None
+    val medians = headSamples.map { case (n, ss) => n -> median(ss) }
+    val lostSamples = headSamples.collect {
+      case (n, ss) if ss.size < 3 => n -> (3 - ss.size)
     }
     // movers: headline medians vs the newest committed round record —
     // emitted mid-stream (the compact line stays last)

@@ -82,11 +82,22 @@ object LakeAudit {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staged = stagingPath(dir, batchId)
     val target = dataPath(dir, batchId)
-    if (fs.exists(target))
-      // replayed publish of a published batch: nothing to do, report as
-      // published with the audit of the LIVE data (cheap re-attestation)
+    if (fs.exists(target)) {
+      // replayed publish of a published batch: data is a no-op, but a
+      // replay is exactly how a publish that crashed between its rename
+      // and its log append COMPLETES the protocol — append the missing
+      // entry now (at-least-once delivery guarantees this replay, so the
+      // log catches up without any reader ever writing)
+      val logged = readLog(fs, dir)
+      if (!logged.exists(_.batchId == batchId))
+        appendLog(fs, dir,
+          PublishEntry(logged.lastOption.map(_.seq + 1).getOrElse(1L),
+            batchId))
+      // report as published with the audit of the LIVE data (cheap
+      // re-attestation)
       return WapResult(batchId, published = true,
         audit(spark.read.parquet(target.toString), rules, uniqueKey))
+    }
     df.write.mode("overwrite").parquet(staged.toString)
     val reports = audit(spark.read.parquet(staged.toString), rules, uniqueKey)
     val ok = reports.forall(_.pass)
@@ -95,11 +106,12 @@ object LakeAudit {
       require(fs.rename(staged, target),
         s"atomic publish rename failed: $staged -> $target")
       // record publish order with ONE log-dir listing + a direct append —
-      // never the full data-dir reconciliation (O(batches) listings per
-      // publish would make a long-lived stream quadratic on exactly the
-      // stores where listings are the expensive op); the reconcile lives
-      // in publishLog(), the read/repair path, which also heals THIS
-      // entry if a crash lands between the rename above and this append
+      // never a data-dir reconciliation (O(batches) listings per publish
+      // would make a long-lived stream quadratic on exactly the stores
+      // where listings are the expensive op). Race-free because readers
+      // never write: a crash between the rename above and this append is
+      // completed by the batch's REPLAY (the early-return path) or by the
+      // explicit repairPublishLog
       val fresh = readLog(fs, dir)
       appendLog(fs, dir,
         PublishEntry(fresh.lastOption.map(_.seq + 1).getOrElse(1L), batchId))
@@ -138,25 +150,16 @@ object LakeAudit {
     try out.write(
       s"""{"seq":${e.seq},"batch":"${e.batchId}"}""".getBytes("UTF-8"))
     finally out.close()
-    // a concurrent healer writing the SAME (seq, batchId) entry makes the
-    // rename fail with the target already present — that is success, not
-    // an error (the entry content is a pure function of its name)
+    // defensive idempotence: a duplicate append of the SAME (seq, batchId)
+    // entry (e.g. a replayed repair) renames onto an existing identical
+    // file — success, not an error (the content is a pure function of the
+    // name); single-writer discipline excludes any other collision
     if (!fs.rename(tmp, fin)) {
       require(fs.exists(fin), s"publish-log append failed: $fin")
       fs.delete(tmp, false)
     }
   }
 
-  /** The publish log, oldest first — one entry per published batch, in
-    * publish order. SELF-HEALING: a batch directory that is published
-    * (visible under `data/`) but missing from the log — the crash window
-    * is between the publish rename and the log append — is re-appended
-    * here (in batchId order when several are missing), so the log can
-    * never silently lose a published batch. Healing makes readers
-    * writers, so the append is IDEMPOTENT (an entry is a pure function
-    * of its name; a concurrent healer writing the same entry is success,
-    * [[appendLog]]) — beyond that, single-writer discipline, like the
-    * rest of the lake (LakeCompaction's quiescence contract). */
   /** The raw logged entries (one log-dir listing, no reconciliation). */
   private def readLog(fs: org.apache.hadoop.fs.FileSystem,
       dir: String): Seq[PublishEntry] = {
@@ -171,7 +174,29 @@ object LakeAudit {
       .sortBy(_.seq)
   }
 
-  def publishLog(spark: SparkSession, dir: String): Seq[PublishEntry] = {
+  /** The publish log, oldest first — one entry per published batch, in
+    * publish order. A PURE READ: readers never write (a reader-side heal
+    * would race the writer's post-rename append and could log one batch
+    * under two seqs or two batches under one). A batch whose publish
+    * crashed between the rename and the log append completes its protocol
+    * when the batch is REPLAYED ([[writeAuditPublish]]'s replay path
+    * appends the missing entry — and at-least-once delivery guarantees
+    * the replay); a hole that will never be replayed takes the explicit
+    * [[repairPublishLog]], the owner-invoked recovery path (the
+    * LakeCompaction.repairManifestCompacts convention). Such a batch is
+    * readable via [[readPublished]] but UNSEQUENCED until then — publish
+    * ORDER is defined by log-append order, and an incomplete protocol has
+    * not published-in-order yet. */
+  def publishLog(spark: SparkSession, dir: String): Seq[PublishEntry] =
+    readLog(new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration), dir)
+
+  /** Owner-invoked recovery: append a log entry (at the tail, in batchId
+    * order when several are missing) for every batch visible under
+    * `data/` but absent from the log — the crash window between a publish
+    * rename and its log append, for ids that will never be replayed.
+    * Single-writer like every mutation here. Returns the repaired log. */
+  def repairPublishLog(spark: SparkSession, dir: String): Seq[PublishEntry] = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val logged = readLog(fs, dir)
     val known = logged.map(_.batchId).toSet

@@ -129,24 +129,45 @@ class LakeAuditSpec extends SparkSpec {
     intercept[IllegalArgumentException](readAsOf(spark, dir, 0))
   }
 
-  test("publish log self-heals a published batch missing its log entry") {
-    val dir = tmpDir("wapheal")
-    assert(writeAuditPublish(spark, batchOf(0), dir, "a", rules).published)
-    assert(writeAuditPublish(spark, batchOf(1), dir, "b", rules).published)
-    // simulate the crash window between the publish rename and the log
-    // append: drop b's log entry
+  private def dropLogEntry(dir: String, batchId: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val ld = new org.apache.hadoop.fs.Path(s"$dir/_publish_log")
     val victim = fs.listStatus(ld).map(_.getPath)
-      .filter(_.getName.contains("_b.json"))
+      .filter(_.getName.endsWith(s"_$batchId.json"))
     assert(victim.length == 1)
     fs.delete(victim.head, false)
-    // the log heals: b re-appears (re-appended at the tail) and time
-    // travel still covers every published batch
-    val healed = publishLog(spark, dir)
-    assert(healed.map(_.batchId) == Seq("a", "b"))
-    assert(idsOf(readAsOf(spark, dir, healed.last.seq)) ==
+  }
+
+  test("a crashed publish completes its log append on REPLAY") {
+    val dir = tmpDir("wapreplaylog")
+    assert(writeAuditPublish(spark, batchOf(0), dir, "a", rules).published)
+    assert(writeAuditPublish(spark, batchOf(1), dir, "b", rules).published)
+    // simulate the crash window between b's publish rename and its log
+    // append; the log is a pure read, so the hole is visible...
+    dropLogEntry(dir, "b")
+    assert(publishLog(spark, dir).map(_.batchId) == Seq("a"))
+    // ...until at-least-once delivery replays the batch id, which
+    // completes the protocol (re-appended at the tail)
+    assert(writeAuditPublish(spark, batchOf(1), dir, "b", rules).published)
+    val log = publishLog(spark, dir)
+    assert(log.map(_.batchId) == Seq("a", "b"))
+    assert(idsOf(readAsOf(spark, dir, log.last.seq)) ==
+      idsOf(readPublished(spark, dir)))
+  }
+
+  test("repairPublishLog recovers a hole that is never replayed") {
+    val dir = tmpDir("waprepair")
+    assert(writeAuditPublish(spark, batchOf(0), dir, "a", rules).published)
+    assert(writeAuditPublish(spark, batchOf(1), dir, "b", rules).published)
+    dropLogEntry(dir, "b")
+    // readers stay pure: the hole batch is unsequenced until repair
+    assert(publishLog(spark, dir).map(_.batchId) == Seq("a"))
+    val repaired = repairPublishLog(spark, dir)
+    assert(repaired.map(_.batchId) == Seq("a", "b"))
+    // repair is idempotent
+    assert(repairPublishLog(spark, dir) == repaired)
+    assert(idsOf(readAsOf(spark, dir, repaired.last.seq)) ==
       idsOf(readPublished(spark, dir)))
   }
 }

@@ -140,5 +140,7 @@ class R13QuerySemanticsSpec extends SparkSpec {
     val orphan = vecs.distinct().join(docs.select("doc_id"),
       col("vec_id") === col("doc_id"), "left_anti").count()
     assert(rows.forall(_.getAs[Long]("n_orphan_emb") == orphan))
+    val dups = vecs.groupBy("vec_id").count().filter(col("count") > 1).count()
+    assert(rows.forall(_.getAs[Long]("n_dup_vec_ids") == dups))
   }
 }
