@@ -1317,6 +1317,46 @@ object CorpusQueries extends QueryGroup {
       .orderBy("bucket")
   }
 
+  /** Q201: incremental dataset card — q191's release manifest maintained
+    * ACROSS INGEST WAVES without rescanning history: per wave, the
+    * cumulative corpus numbers a release dashboard tracks (docs, tokens,
+    * unique contents, duplicate docs, an integer dup-per-mille). The
+    * additivity trick that makes exact dedup accounting incremental: a
+    * content hash is OWNED by its first (min) wave, so "new unique
+    * contents per wave" is additive and the cumulative unique count is a
+    * plain running sum — no re-dedup of history per wave (cumulative
+    * distinct is NOT otherwise sum-mergeable; this is the q177
+    * first-seen-wave move applied to whole-document hashes, and at ingest
+    * time the per-wave partial comes from the q82 fingerprint-index probe,
+    * so history text is never re-read).
+    *
+    * Shape: one ownership groupBy bounded by DISTINCT contents, one
+    * per-wave partial aggregate, then window running sums over the tiny
+    * wave table. Linear in the corpus, constant state per wave. */
+  private val q201: Q = (s, d) => {
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(call_function("div", col("doc_id"), lit(100L)).as("wave"),
+        md5(col("text").cast("binary")).as("fp"),
+        size(split(lower(col("text")), " ")).cast("long").as("n_tok"))
+    val perWave = docs.groupBy("wave").agg(
+      count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val owned = docs.groupBy("fp").agg(min(col("wave")).as("wave"))
+      .groupBy("wave").agg(count(lit(1)).as("n_new_contents"))
+    val w = Window.orderBy("wave")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perWave.join(owned, Seq("wave"), "left")
+      .withColumn("n_new_contents", coalesce(col("n_new_contents"), lit(0L)))
+      .withColumn("cum_docs", sum(col("n_docs")).over(w))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("cum_unique", sum(col("n_new_contents")).over(w))
+      .select(col("wave"), col("n_docs"), col("n_new_contents"),
+        col("cum_docs"), col("cum_tokens"), col("cum_unique"),
+        (col("cum_docs") - col("cum_unique")).as("cum_dup_docs"),
+        expr("((cum_docs - cum_unique) * 1000) div cum_docs")
+          .as("dup_permille"))
+      .orderBy("wave")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q71_text_repetition" -> q71,
     "q72_dedup_spans" -> q72,
@@ -1361,6 +1401,7 @@ object CorpusQueries extends QueryGroup {
     "q195_preference_pair_audit" -> q195,
     "q196_annotator_agreement" -> q196,
     "q197_corpus_drift_tvd" -> q197,
+    "q201_card_incremental" -> q201,
   )
 
   /** The q189/q193 pair-synthesis CTEs, shared by both oracles (the
@@ -2491,5 +2532,33 @@ object CorpusQueries extends QueryGroup {
         |  CAST(sum(cross_abs) OVER () AS BIGINT) * 10 >=
         |    tot_old * tot_new * 2 AS drifted
         |FROM x ORDER BY bucket""".stripMargin,
+
+    // incremental card: min-wave content ownership makes unique counts
+    // additive; running sums over the wave table (HUGEINT cast back);
+    // dup_permille is a non-negative integer division (the q146 contract)
+    "q201_card_incremental" ->
+      """WITH d AS (SELECT doc_id // 100 AS wave, md5(text) AS fp,
+        |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |pw AS (SELECT wave, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |  FROM d GROUP BY wave),
+        |own AS (SELECT fp, min(wave) AS wave FROM d GROUP BY fp),
+        |nw AS (SELECT wave, CAST(count(*) AS BIGINT) AS n_new
+        |  FROM own GROUP BY wave),
+        |j AS (SELECT pw.wave, pw.n_docs, pw.n_tokens,
+        |    coalesce(nw.n_new, 0) AS n_new_contents
+        |  FROM pw LEFT JOIN nw USING (wave)),
+        |c AS (SELECT wave, n_docs, n_new_contents,
+        |    CAST(sum(n_docs) OVER (ORDER BY wave) AS BIGINT) AS cum_docs,
+        |    CAST(sum(n_tokens) OVER (ORDER BY wave) AS BIGINT)
+        |      AS cum_tokens,
+        |    CAST(sum(n_new_contents) OVER (ORDER BY wave) AS BIGINT)
+        |      AS cum_unique
+        |  FROM j)
+        |SELECT wave, n_docs, n_new_contents, cum_docs, cum_tokens,
+        |  cum_unique, cum_docs - cum_unique AS cum_dup_docs,
+        |  ((cum_docs - cum_unique) * 1000) // cum_docs AS dup_permille
+        |FROM c ORDER BY wave""".stripMargin,
   )
 }

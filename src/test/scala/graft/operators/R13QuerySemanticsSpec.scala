@@ -143,4 +143,31 @@ class R13QuerySemanticsSpec extends SparkSpec {
     val dups = vecs.groupBy("vec_id").count().filter(col("count") > 1).count()
     assert(rows.forall(_.getAs[Long]("n_dup_vec_ids") == dups))
   }
+
+  test("q201: every cumulative row equals a from-scratch recompute at that wave") {
+    val rows = run("q201_card_incremental").collect()
+    assert(rows.nonEmpty)
+    // the incremental claim IS this equality: running sums of per-wave
+    // partials (unique counted by min-wave ownership) ≡ recomputing the
+    // whole card over waves ≤ N
+    val base = graft.Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull)
+      .select((col("doc_id") / 100).cast("long").as("wave"),
+        md5(col("text").cast("binary")).as("fp"),
+        size(split(lower(col("text")), " ")).cast("long").as("n_tok"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    rows.foreach { r =>
+      val w = r.getAs[Long]("wave")
+      val upTo = base.filter(_._1 <= w)
+      assert(r.getAs[Long]("cum_docs") == upTo.length.toLong)
+      assert(r.getAs[Long]("cum_tokens") == upTo.map(_._3).sum)
+      assert(r.getAs[Long]("cum_unique") ==
+        upTo.map(_._2).distinct.length.toLong)
+      assert(r.getAs[Long]("cum_dup_docs") ==
+        r.getAs[Long]("cum_docs") - r.getAs[Long]("cum_unique"))
+      assert(r.getAs[Long]("dup_permille") ==
+        r.getAs[Long]("cum_dup_docs") * 1000 / r.getAs[Long]("cum_docs"))
+    }
+  }
 }
