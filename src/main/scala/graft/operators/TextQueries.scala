@@ -985,7 +985,51 @@ object TextQueries extends QueryGroup {
       .orderBy("wave")
   }
 
+  /** Q202: cross-source mirror detection — the crawl-curation matrix
+    * telling a corpus build WHICH sources duplicate each other (mirror
+    * sites, syndication networks, re-hosted dumps), so whole sources can
+    * be dropped or merged BEFORE document-level dedup pays for their
+    * overlap: per source pair, the exact-content intersection size, both
+    * set sizes, an integer Jaccard-per-mille, and a mirror verdict
+    * (≥ half of the smaller source contained in the other — pure-integer
+    * cross-multiplication). q185 budgets duplicate tokens per source;
+    * THIS names the pairs responsible.
+    *
+    * Shape: sources reduce to DISTINCT (source, content-hash) rows first,
+    * the pair join runs on the hash key — shuffle bounded by duplicated
+    * contents, never the corpus; the per-hash fanout is C(sources
+    * sharing it, 2), so at domain scale a universal boilerplate hash is
+    * a hot key — gate such contents with the q41 bucket-cap discipline
+    * (own them to a star, or pre-drop contents shared by > K sources)
+    * before pairing; the fixture's 20 sources never approach that. */
+  private val q202: Q = (s, d) => {
+    val hs = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("source"), md5(col("text").cast("binary")).as("fp"))
+      .distinct()
+    val sizes = hs.groupBy("source").agg(count(lit(1)).as("n"))
+    val shared = hs.as("a").join(hs.as("b"),
+        col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    // the COMPLETE pair matrix (zero-overlap pairs included): the report
+    // is read as a matrix, and absence-of-overlap is itself the answer
+    // for most pairs — the grid is C(|sources|, 2), dimension-bounded
+    val grid = sizes.select(col("source").as("src_a"), col("n").as("n_a"))
+      .crossJoin(sizes.select(col("source").as("src_b"), col("n").as("n_b")))
+      .filter(col("src_a") < col("src_b"))
+    grid.join(shared, Seq("src_a", "src_b"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .select(col("src_a"), col("src_b"), col("n_shared"), col("n_a"),
+        col("n_b"),
+        expr("(n_shared * 1000) div (n_a + n_b - n_shared)")
+          .as("jac_permille"),
+        (col("n_shared") * 2 >= least(col("n_a"), col("n_b")))
+          .as("is_mirror"))
+      .orderBy("src_a", "src_b")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
+    "q202_source_mirror" -> q202,
     "q33_text_topwords" -> q33,
     "q176_text_simpson_diversity" -> q176,
     "q177_vocab_growth" -> q177,
@@ -1724,5 +1768,28 @@ object TextQueries extends QueryGroup {
         |    CAST(sum(db.n_bpe) AS BIGINT) AS chars_per_piece
         |FROM base b JOIN db USING (doc_id)
         |GROUP BY b.lang ORDER BY b.lang""".stripMargin,
+
+    // mirror matrix: distinct (source, content) sets, hash-keyed pair
+    // join, integer Jaccard-per-mille and the half-contained verdict
+    "q202_source_mirror" ->
+      """WITH hs AS (SELECT DISTINCT source, md5(text) AS fp
+        |  FROM documents WHERE text IS NOT NULL),
+        |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+        |  FROM hs GROUP BY source),
+        |p AS (SELECT a.source AS src_a, b.source AS src_b,
+        |    CAST(count(*) AS BIGINT) AS ns
+        |  FROM hs a JOIN hs b ON a.fp = b.fp AND a.source < b.source
+        |  GROUP BY 1, 2),
+        |grid AS (SELECT sa.source AS src_a, sa.n AS n_a,
+        |    sb.source AS src_b, sb.n AS n_b
+        |  FROM sz sa, sz sb WHERE sa.source < sb.source)
+        |SELECT g.src_a, g.src_b, coalesce(p.ns, 0) AS n_shared,
+        |  g.n_a, g.n_b,
+        |  (coalesce(p.ns, 0) * 1000) // (g.n_a + g.n_b - coalesce(p.ns, 0))
+        |    AS jac_permille,
+        |  coalesce(p.ns, 0) * 2 >= least(g.n_a, g.n_b) AS is_mirror
+        |FROM grid g LEFT JOIN p
+        |  ON p.src_a = g.src_a AND p.src_b = g.src_b
+        |ORDER BY g.src_a, g.src_b""".stripMargin,
   )
 }

@@ -170,4 +170,29 @@ class R13QuerySemanticsSpec extends SparkSpec {
         r.getAs[Long]("cum_dup_docs") * 1000 / r.getAs[Long]("cum_docs"))
     }
   }
+
+  test("q202: a complete pair grid whose counts recount from the raw sets") {
+    val rows = run("q202_source_mirror").collect()
+    val sets = graft.Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull)
+      .select(col("source"), md5(col("text").cast("binary")).as("fp"))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).map { case (s, g) => s -> g.map(_._2).toSet }
+    val sources = sets.keys.toSeq.sorted
+    // the grid is exactly C(|sources|, 2), each unordered pair once
+    assert(rows.length == sources.length * (sources.length - 1) / 2)
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("src_a"), r.getAs[String]("src_b"))
+      assert(a < b)
+      val inter = (sets(a) & sets(b)).size.toLong
+      assert(r.getAs[Long]("n_shared") == inter, s"($a,$b) intersection")
+      assert(r.getAs[Long]("n_a") == sets(a).size.toLong)
+      assert(r.getAs[Long]("n_b") == sets(b).size.toLong)
+      val union = sets(a).size + sets(b).size - inter
+      assert(r.getAs[Long]("jac_permille") == inter * 1000 / union)
+      assert(r.getAs[Boolean]("is_mirror") ==
+        (inter * 2 >= math.min(sets(a).size, sets(b).size)))
+    }
+  }
 }
