@@ -38,6 +38,10 @@ object Bench {
     "q41b_dedup_minhash_md5", "q66_dedup_components", "q74_dedup_containment",
     "q100_bpe_encode", "q104_dedup_semantic_cells", "q110_dsir_importance",
     "q126_classifier_quality", "q129_graph_pagerank", "q133_graph_triangles",
+    // the known swing set (host memory-bandwidth-sensitive tails): medians
+    // here too, so a round's driver-recorded numbers compare across rounds
+    "q79_dedup_cluster_sizes", "q134_graph_communities",
+    "q154_dedup_keep_best", "q174_split_cluster_coherent",
   )
 
   /** Lower median — defined for ANY sample count ≥ 1, so a headline query
@@ -65,11 +69,16 @@ object Bench {
       files.lastOption.flatMap { f =>
         val txt = scala.io.Source.fromFile(f)
         val body = try txt.mkString finally txt.close()
-        // the driver file nests the compact line under "parsed"; pull all
-        // query:seconds pairs from the parsed region (headline-only there)
+        // the driver file nests the compact line under "parsed"; scan the
+        // "queries" OBJECT inside that region only — the parsed line also
+        // carries lost_samples (query-name -> small-int shortfall counts),
+        // and a bare scan-everything-after-"parsed" would sweep those in
+        // and depend on key serialization order to mask them
         val i = body.indexOf("\"parsed\"")
-        if (i < 0) None else {
-          val qs = rx.findAllMatchIn(body.substring(i))
+        val j = if (i < 0) -1 else body.indexOf("\"queries\"", i)
+        if (j < 0) None else {
+          val region = body.substring(j, body.indexOf('}', j) max j)
+          val qs = rx.findAllMatchIn(region)
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
           if (qs.isEmpty) None else Some(f.getName -> qs)
         }

@@ -158,8 +158,12 @@ object CorpusOps {
     * semi-join probe — never shuffled on shingles, never globally
     * distinct-reduced (the matched set is bounded by the pair side).
     *
-    * Caller contract: every response has ≥ k tokens (the leak fraction
-    * divides by shingle count; ANSI mode throws on 0). */
+    * Responses shorter than k tokens have NO k-shingles — no leak
+    * evidence can exist for them, so they are dropped from the report
+    * rather than scored (previously a doc-only caller contract; a short
+    * response slipped through to a non-positive shingle denominator and,
+    * because double division never throws even under ANSI, came back as
+    * plausible-looking garbage instead of failing loudly). */
   def responseLeakage(pairs: DataFrame, corpus: DataFrame, idCol: String,
       respCol: String = "resp", k: Int = 4): DataFrame = {
     def nSh = (size(split(col(respCol), " ")) - (k - 1)).cast("long")
@@ -174,6 +178,7 @@ object CorpusOps {
     val hits = respSh.join(broadcast(matched), Seq("sh"))
       .groupBy(idCol).agg(count(lit(1)).as("n_leaked"))
     pairs.select(col(idCol), nSh.as("n_resp_shingles"))
+      .filter(col("n_resp_shingles") >= 1) // < k tokens: no evidence, drop
       .join(hits, Seq(idCol), "left")
       .select(col(idCol), col("n_resp_shingles"),
         coalesce(col("n_leaked"), lit(0L)).as("n_leaked"),

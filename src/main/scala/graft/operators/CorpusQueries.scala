@@ -1153,8 +1153,7 @@ object CorpusQueries extends QueryGroup {
     }
     perSession.synchronized {
       perSession.getOrElseUpdate(d, {
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft-wap-asof").toString
+        val dir = TempDirs.scoped("graft-wap-asof")
         val docs = Tables.documents(s, d).filter(col("text").isNotNull)
           .select(col("doc_id"), col("source"), col("text"))
         val rules = Seq(LakeAudit.Rule("qc_flag_true", col("qc_flag")))
@@ -1268,6 +1267,56 @@ object CorpusQueries extends QueryGroup {
       .select(col("n"), col("n_agree"), col("a_pos"), col("b_pos"),
         (col("n") * col("n_agree") - col("pe_n2")).as("kappa_num"),
         (col("n") * col("n") - col("pe_n2")).as("kappa_den"))
+      .withColumn("kappa",
+        when(col("kappa_den") === 0, lit(0.0))
+          .otherwise(col("kappa_num").cast("double") / col("kappa_den")))
+  }
+
+  /** Q203: multi-rater agreement — Fleiss' κ [Fleiss 1971] over THREE
+    * label streams, q196's Cohen-κ generalized past two annotators (real
+    * preference datasets have ≥3 raters; Cohen's pairwise form does not
+    * apply). Raters: A = the q196 lexical-diversity rater; B and C flip A
+    * deterministically on the ≡0-mod-7 / ≡0-mod-5 residues. With n = 3
+    * raters and 2 categories, each doc reduces to r = #TRUE ∈ {0..3}:
+    * per-doc agreement P_i = (r² + (3−r)² − 3) / 6, chance agreement
+    * P̄e = (R² + (3N−R)²) / 9N² with R = Σr. Everything stays in exact
+    * BIGINT rationals (the q95/q196 contract) by clearing denominators
+    * with 18N²: κ = (3N·S_a − 2(R²+(3N−R)²)) / (18N² − 2(R²+(3N−R)²))
+    * where S_a = Σ(r²+(3−r)²−3) — one double division at the very end,
+    * mirrored op-for-op. One global aggregate: map-side partials, a
+    * single reduced row at any corpus size (per-doc work is per-row
+    * string algebra, no shuffle before the final reduce). */
+  private val q203: Q = (s, d) => {
+    val toks = split(lower(col("text")), " ")
+    val a = (size(array_distinct(toks)) * 2 >= size(toks)).as("a")
+    val rated = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(a, (col("doc_id") % 7 === 0).as("f7"),
+        (col("doc_id") % 5 === 0).as("f5"))
+      .select(col("a"), (col("a") =!= col("f7")).as("b"),
+        (col("a") =!= col("f5")).as("c"))
+      .select(col("a"), col("b"), col("c"),
+        (when(col("a"), 1L).otherwise(0L) +
+          when(col("b"), 1L).otherwise(0L) +
+          when(col("c"), 1L).otherwise(0L)).as("r"))
+    rated.agg(
+        count(lit(1)).as("n"),
+        sum(col("r")).as("r_sum"),
+        sum(col("r") * col("r") +
+          (lit(3L) - col("r")) * (lit(3L) - col("r")) - lit(3L)).as("s_a"),
+        sum(when(col("a"), 1L).otherwise(0L)).as("a_pos"),
+        sum(when(col("b"), 1L).otherwise(0L)).as("b_pos"),
+        sum(when(col("c"), 1L).otherwise(0L)).as("c_pos"))
+      .select(col("n"), col("r_sum"), col("s_a"),
+        col("a_pos"), col("b_pos"), col("c_pos"),
+        (col("r_sum") * col("r_sum") +
+          (lit(3L) * col("n") - col("r_sum")) *
+          (lit(3L) * col("n") - col("r_sum"))).as("pe_18n2_half"))
+      .select(col("n"), col("r_sum"), col("s_a"),
+        col("a_pos"), col("b_pos"), col("c_pos"),
+        (lit(3L) * col("n") * col("s_a") - lit(2L) * col("pe_18n2_half"))
+          .as("kappa_num"),
+        (lit(18L) * col("n") * col("n") - lit(2L) * col("pe_18n2_half"))
+          .as("kappa_den"))
       .withColumn("kappa",
         when(col("kappa_den") === 0, lit(0.0))
           .otherwise(col("kappa_num").cast("double") / col("kappa_den")))
@@ -1400,6 +1449,7 @@ object CorpusQueries extends QueryGroup {
     "q194_lake_read_asof" -> q194,
     "q195_preference_pair_audit" -> q195,
     "q196_annotator_agreement" -> q196,
+    "q203_fleiss_kappa" -> q203,
     "q197_corpus_drift_tvd" -> q197,
     "q201_card_incremental" -> q201,
   )
@@ -2498,6 +2548,41 @@ object CorpusQueries extends QueryGroup {
         |  n * n - pe_n2 AS kappa_den,
         |  CASE WHEN n * n - pe_n2 = 0 THEN 0.0
         |    ELSE CAST(n * n_agree - pe_n2 AS DOUBLE) / (n * n - pe_n2)
+        |  END AS kappa
+        |FROM k""".stripMargin,
+
+    // Fleiss' κ, 3 raters / 2 categories in exact-BIGINT rationals: the
+    // identical per-doc r = #TRUE reduction, denominators cleared by 18N²
+    // (sum(BIGINT) is HUGEINT in DuckDB — cast every aggregate back)
+    "q203_fleiss_kappa" ->
+      """WITH l AS (SELECT
+        |    len(list_distinct(string_split(lower(text), ' '))) * 2 >=
+        |      len(string_split(lower(text), ' ')) AS a,
+        |    doc_id % 7 = 0 AS f7, doc_id % 5 = 0 AS f5
+        |  FROM documents WHERE text IS NOT NULL),
+        |l2 AS (SELECT a, a <> f7 AS b, a <> f5 AS c FROM l),
+        |l3 AS (SELECT a, b, c,
+        |    CAST(CASE WHEN a THEN 1 ELSE 0 END
+        |      + CASE WHEN b THEN 1 ELSE 0 END
+        |      + CASE WHEN c THEN 1 ELSE 0 END AS BIGINT) AS r
+        |  FROM l2),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(r) AS BIGINT) AS r_sum,
+        |    CAST(sum(r * r + (3 - r) * (3 - r) - 3) AS BIGINT) AS s_a,
+        |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS a_pos,
+        |    CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS b_pos,
+        |    CAST(sum(CASE WHEN c THEN 1 ELSE 0 END) AS BIGINT) AS c_pos
+        |  FROM l3),
+        |k AS (SELECT n, r_sum, s_a, a_pos, b_pos, c_pos,
+        |    r_sum * r_sum + (3 * n - r_sum) * (3 * n - r_sum)
+        |      AS pe_18n2_half
+        |  FROM g)
+        |SELECT n, r_sum, s_a, a_pos, b_pos, c_pos,
+        |  3 * n * s_a - 2 * pe_18n2_half AS kappa_num,
+        |  18 * n * n - 2 * pe_18n2_half AS kappa_den,
+        |  CASE WHEN 18 * n * n - 2 * pe_18n2_half = 0 THEN 0.0
+        |    ELSE CAST(3 * n * s_a - 2 * pe_18n2_half AS DOUBLE) /
+        |      (18 * n * n - 2 * pe_18n2_half)
         |  END AS kappa
         |FROM k""".stripMargin,
 

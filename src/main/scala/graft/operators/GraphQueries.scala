@@ -382,8 +382,7 @@ object GraphQueries extends QueryGroup {
               col("x.l_partkey") < col("y.l_partkey"))
           .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
           .distinct()
-        val p = java.nio.file.Files
-          .createTempDirectory("graft-copurchase").toString
+        val p = TempDirs.scoped("graft-copurchase")
         e.write.mode("overwrite").parquet(p)
         p
       })

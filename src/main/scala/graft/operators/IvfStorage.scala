@@ -189,6 +189,97 @@ object IvfStorage {
       .repartition(col("cent_id"))
       .write.mode("append").partitionBy("cent_id").parquet(dir)
 
+  /** The outcome of [[recenter]]: the refreshed centroid table (store it
+    * beside the lake — codes/assignments are only comparable under the
+    * centroids that produced them), which cells were physically
+    * rewritten, and how many rows changed cell. */
+  final case class RecenterResult(centroids: DataFrame,
+      rewrittenCells: Seq[Int], movedRows: Long)
+
+  /** Incremental re-centroiding under drift — the maintenance move between
+    * "stale centroids" and "full rebuild": re-fit ONLY the cells the
+    * [[driftReport]] signal flags (each flagged centroid becomes the exact
+    * mean of its current members — one Lloyd's half-step, the
+    * [[labelCentroids]] decimal-sum shape), then restore the lake's
+    * layout invariant (every vector lives in its nearest-centroid
+    * partition) by rewriting ONLY the cells whose membership changed.
+    *
+    * Exactness: the result is row-identical to a full
+    * [[writeCellPartitioned]] rebuild of the same data under the SAME
+    * refreshed centroid table (IvfStorageSpec pins lake equality and probe
+    * equality) — membership change is detected by re-assigning every
+    * vector against the refreshed table, so a vector in an UNFLAGGED cell
+    * that now prefers a moved centroid is caught too, not just residents
+    * of flagged cells.
+    *
+    * Scale shape: two linear SCANS of the lake (detect, then stage) plus a
+    * REWRITE proportional to the affected cells only — at 100 TB reads are
+    * cheap and sequential; it is the shuffled, partitioned re-WRITE that a
+    * full rebuild pays on every byte, and here it touches only
+    * `rewrittenCells` (the ScaleBench `recenter` rows measure rewrite ∝
+    * drifted cells, constant across lake growth). The rewrite is
+    * staged-rename (write affected cells to a scratch tree, delete the
+    * stale partition dirs, rename in) so a reader never observes a
+    * half-rewritten cell and a crash leaves the lake either old or new per
+    * cell, never truncated. Requires the engine's int `cent_id` layout
+    * (the [[assignCells]] kernel path). */
+  def recenter(spark: SparkSession, dir: String, centroids: DataFrame,
+      driftedCells: Seq[Int]): RecenterResult = {
+    require(driftedCells.nonEmpty, "no drifted cells flagged")
+    import spark.implicits._
+    val lake = spark.read.parquet(dir)
+    // 1. re-fit flagged centroids to their current members (exact decimal
+    // means; an emptied flagged cell keeps its previous centroid)
+    val refit = lake.filter(col("cent_id").isin(driftedCells.map(Integer.valueOf): _*))
+      .select(col("cent_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("cent_id", "pos")
+      .agg((sum(col("v").cast("decimal(18,9)")).cast("double") /
+        count(lit(1))).as("c"))
+      .groupBy("cent_id")
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(pos, c))), s -> CAST(s.c AS FLOAT))")
+        .as("new_centroid"))
+    val newCents = centroids.join(refit, Seq("cent_id"), "left")
+      .select(col("cent_id"),
+        coalesce(col("new_centroid"), col("centroid")).as("centroid"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .toSeq.toDF("cent_id", "centroid")
+    // 2. detect membership change: one broadcast-assign scan; the affected
+    // cell set (sources and destinations of every mover) is driver-sized
+    // by the centroid-table contract
+    val current = lake.select(col("vec_id"), col("embedding"),
+      col("cent_id").cast("int").as("old_cent"))
+    val moved = assignCells(current, newCents)
+      .filter(col("cent_id") =!= col("old_cent"))
+    val movedStats = moved
+      .select(explode(array(col("old_cent"), col("cent_id"))).as("cell"))
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+      .collect()
+    val affected = movedStats.map(_.getInt(0)).distinct.sorted.toSeq
+    val movedRows = movedStats.map(_.getLong(1)).sum / 2
+    if (affected.isEmpty)
+      return RecenterResult(newCents, Nil, 0L)
+    // 3. stage the affected cells' NEW contents (stayers + arrivals: every
+    // vector whose refreshed assignment lands in an affected cell), then
+    // swap: delete stale partition dirs, rename staged ones in
+    val staging = TempDirs.scoped("graft-ivf-recenter")
+    assignCells(lake.select(col("vec_id"), col("embedding")), newCents)
+      .filter(col("cent_id").isin(affected.map(Integer.valueOf): _*))
+      .repartition(col("cent_id"))
+      .write.mode("overwrite").partitionBy("cent_id").parquet(staging)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    affected.foreach { cell =>
+      val live = new org.apache.hadoop.fs.Path(dir, s"cent_id=$cell")
+      val staged = new org.apache.hadoop.fs.Path(staging, s"cent_id=$cell")
+      if (fs.exists(live)) fs.delete(live, true)
+      // a cell that lost every member has no staged dir — absent is correct
+      if (fs.exists(staged))
+        require(fs.rename(staged, live), s"recenter swap failed: $staged -> $live")
+    }
+    RecenterResult(newCents, affected, movedRows)
+  }
+
   /** Quantizer-health report over the CURRENT lake: per cell, occupancy
     * and the mean/min cosine between members and their centroid — the two
     * signals (skew, assignment quality) that decide when the incremental

@@ -231,6 +231,39 @@ object LakeAudit {
       .parquet(batches.map(b => s"$dir/data/batch=${b.batchId}"): _*)
   }
 
+  /** Quarantine retention: remove failed staged batches older than
+    * `retentionMs` — without this, `staging/` grows without bound (every
+    * quarantined batch stays forever), an ops leak at scale. Mirrors
+    * [[graft.etl.LakeCompaction.vacuumUnreferenced]]'s safety posture:
+    *   - touches ONLY `staging/batch=*` directories — `data/` and the
+    *     publish log are never candidates;
+    *   - a batchId present in the publish log is SKIPPED even if a stale
+    *     staging directory carries its name (anomalous, but deleting it
+    *     is not this tool's call);
+    *   - age is the directory's filesystem modification time vs `nowMs`
+    *     (explicit for testability and for replayed runs), so a batch
+    *     re-staged by a replay gets a fresh retention window.
+    * Owner-invoked like every mutation here (single-writer discipline —
+    * do not run concurrently with a publisher replaying the same id).
+    * Returns the vacuumed batchIds. */
+  def vacuumQuarantine(spark: SparkSession, dir: String, retentionMs: Long,
+      nowMs: Long = System.currentTimeMillis()): Seq[String] = {
+    require(retentionMs >= 0, s"retentionMs=$retentionMs")
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stagingDir = new Path(s"$dir/staging")
+    if (!fs.exists(stagingDir)) return Nil
+    val published = readLog(fs, dir).map(_.batchId).toSet
+    fs.listStatus(stagingDir).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .filter(st => nowMs - st.getModificationTime > retentionMs)
+      .map(st => st.getPath)
+      .filterNot(p => published.contains(p.getName.stripPrefix("batch=")))
+      .flatMap { p =>
+        if (fs.delete(p, true)) Seq(p.getName.stripPrefix("batch=")) else Nil
+      }
+      .sorted
+  }
+
   /** Streaming WAP: every micro-batch goes through
     * [[writeAuditPublish]] keyed by the STREAMING batch id, so a dirty
     * micro-batch quarantines (readers never see it, the stream keeps

@@ -188,14 +188,21 @@ object MediaDedup {
     * [[graft.multimodal.WavCodec.aHashAudio]] and paired through the same
     * shared banding as images/SimHash. Invariances and recall are
     * spec-pinned in MediaDedupSpec; output keys are "kind:seed". */
-  def q103(spark: SparkSession): DataFrame = {
+  def q103(spark: SparkSession): DataFrame =
+    keyedPairs(spark, audioHashes(audioCorpus(spark), keep = Seq("key")),
+      "q103_buckets", "audio")
+
+  /** The deterministic generated audio corpus q103 runs on — exposed so
+    * MediaFixtureSpec can re-derive the frozen fingerprint fixture
+    * ([[MediaQueries.audFixture]]) and print a refresh on codec drift. */
+  private[graft] def audioCorpus(spark: SparkSession): DataFrame = {
     import spark.implicits._
     val genUdf = udf((kind: String, s: Long) => kind match {
       case "orig" => clipWav(s)
       case "half" => graft.multimodal.WavCodec.resample(clipWav(s), 16384)
       case _ => graft.multimodal.WavCodec.resample(clipWav(s), 8192)
     })
-    val corpus = (0 until 16).map(_.toLong).toDF("seed")
+    (0 until 16).map(_.toLong).toDF("seed")
       .crossJoin(Seq("orig", "half", "quarter").toDF("kind"))
       .repartition(8)
       .select(concat(col("kind"), lit(":"), col("seed")).as("key"),
@@ -203,8 +210,6 @@ object MediaDedup {
       .withColumn("media_id", xxhash64(col("key")))
       .withColumn("modality", lit("audio"))
       .withColumn("meta", struct(lit("wav").as("format")))
-    keyedPairs(spark, audioHashes(corpus, keep = Seq("key")),
-      "q103_buckets", "audio")
   }
 
   /** Q102 (⚙ rows-only: DuckDB cannot decode PNGs): the perceptual-dedup
@@ -216,7 +221,13 @@ object MediaDedup {
     * nudged ⇒ Hamming ≥ 0, within the band). Recall 1 on all twin pairs
     * and zero cross-seed pairs are spec-pinned (MediaDedupSpec), so the
     * row count is stable and non-empty. Output keys are "kind:seed". */
-  def q102(spark: SparkSession): DataFrame = {
+  def q102(spark: SparkSession): DataFrame =
+    keyedPairs(spark, imageHashes(imageCorpus(spark), keep = Seq("key")),
+      "q102_buckets", "img")
+
+  /** The deterministic generated image corpus q102 runs on — exposed for
+    * the same fixture-refresh path as [[audioCorpus]]. */
+  private[graft] def imageCorpus(spark: SparkSession): DataFrame = {
     import spark.implicits._
     // generation runs ON EXECUTORS (udf over the seed×kind grid) — the
     // driver never materializes image bytes, same discipline as the
@@ -228,7 +239,7 @@ object MediaDedup {
       case "half" => ImageIoCodec.downsample(blockImage(s), 32, 32)
       case _ => blockImage(s, jitterBlock = (s % 64).toInt)
     })
-    val corpus = (0 until 24).map(_.toLong).toDF("seed")
+    (0 until 24).map(_.toLong).toDF("seed")
       .crossJoin(Seq("orig", "reenc", "half", "jitter").toDF("kind"))
       .repartition(8)
       .select(concat(col("kind"), lit(":"), col("seed")).as("key"),
@@ -236,7 +247,5 @@ object MediaDedup {
       .withColumn("media_id", xxhash64(col("key")))
       .withColumn("modality", lit("image"))
       .withColumn("meta", struct(lit("png").as("format")))
-    keyedPairs(spark, imageHashes(corpus, keep = Seq("key")),
-      "q102_buckets", "img")
   }
 }

@@ -71,7 +71,61 @@ object MediaQueries extends QueryGroup {
     // just the join
     "q102b_media_dedup_twin" -> ((s, _) => keyOriented(MediaDedup.q102(s))),
     "q103b_media_audio_twin" -> ((s, _) => keyOriented(MediaDedup.q103(s))),
+    "q204_crossmodal_dedup" -> ((s, d) => q204(s, d)),
   )
+
+  /** Q204: cross-modal dedup report — the join NEITHER dedup family makes
+    * alone: perceptual image near-dup pairs (the q102 pipeline) matched
+    * against the TEXT relationship of the documents the assets belong to
+    * (media key "kind:seed" ↔ doc_id = seed — the caption/page the asset
+    * was ingested with). The case this catches is "same asset re-hosted
+    * with a re-OCR'd caption": the image side says duplicate, the text
+    * side says merely-near (here the jitter variant's caption carries a
+    * deterministic leading-char OCR corruption, so every branch fires).
+    * Per image pair: both doc ids, exact-caption verdict, an integer
+    * token-Jaccard per-mille between the captions, and the triage class
+    * (`confirmed` exact / `reocr` near / `divergent`).
+    *
+    * Scale shape: pairs come from the banded perceptual-dedup stage
+    * (never all-pairs); the caption attach is two id-keyed joins
+    * (media→doc), broadcastable while the asset catalog is the small
+    * side and a plain hash join past that. Oracle: the frozen-fingerprint
+    * discipline — the pair set re-derives from the q102b fixture
+    * literals, captions re-derive from documents in SQL, so a codec
+    * drift, a pair-stage bug, or a caption-algebra bug all go driver-red. */
+  // def, not val: the queries Seq above initializes first (declaration
+  // order) — a val here would be captured as null at registration
+  private def q204: Q = (s, d) => {
+    val pairs = keyOriented(MediaDedup.q102(s))
+    val items = graft.Tables.documents(s, d)
+      .filter(col("text").isNotNull && col("doc_id").between(0, 23))
+      .select(col("doc_id"), col("text"),
+        explode(array(lit("orig"), lit("reenc"), lit("half"),
+          lit("jitter"))).as("kind"))
+      .select(concat(col("kind"), lit(":"), col("doc_id")).as("key"),
+        col("doc_id").as("doc"),
+        when(col("kind") === "jitter",
+          concat(lit("0"), expr("substring(text, 2)")))
+          .otherwise(col("text")).as("caption"))
+    pairs
+      .join(items.select(col("key").as("a_key"), col("doc").as("a_doc"),
+        col("caption").as("a_caption")), Seq("a_key"))
+      .join(items.select(col("key").as("b_key"), col("doc").as("b_doc"),
+        col("caption").as("b_caption")), Seq("b_key"))
+      .withColumn("aw", array_distinct(split(col("a_caption"), " ")))
+      .withColumn("bw", array_distinct(split(col("b_caption"), " ")))
+      .withColumn("caption_exact", col("a_caption") === col("b_caption"))
+      .withColumn("jac_permille", expr(
+        "(CAST(size(array_intersect(aw, bw)) AS BIGINT) * 1000) div " +
+          "CAST(size(array_union(aw, bw)) AS BIGINT)"))
+      .select(col("a_key"), col("b_key"), col("hamming"),
+        col("a_doc"), col("b_doc"), col("caption_exact"),
+        col("jac_permille"),
+        when(col("caption_exact"), "confirmed")
+          .when(col("jac_permille") >= 500, "reocr")
+          .otherwise("divergent").as("verdict"))
+      .orderBy("a_key", "b_key")
+  }
 
   /** Pair endpoints re-oriented by key order (the engine orders by
     * xxhash64 media_id, which DuckDB cannot mirror). */
@@ -82,7 +136,18 @@ object MediaQueries extends QueryGroup {
       col("hamming"))
       .orderBy("a_key", "b_key")
 
-  private val imgFixture: Seq[(String, Long)] = Seq(
+  /** ENVIRONMENT PIN (not a logic pin): these 144+48 perceptual-hash
+    * literals are the q102b/q103b oracle's frozen twin of the LIVE
+    * generate→JDK-decode→hash pipeline, and they are a function of this
+    * machine's JDK codec stack — frozen under OpenJDK 17 (Temurin/Debian
+    * `17.0.20+8`, javax.imageio PNG + javax.sound.sampled WAV built-ins,
+    * no ImageIO plugin jars on the classpath). On a different JVM or an
+    * ImageIO-plugin-bearing classpath both queries can go driver-red with
+    * no code bug. The refresh is one step: `MediaFixtureSpec` diffs the
+    * live hashes against these Seqs and, on drift, PRINTS the
+    * ready-to-paste Scala literals (grep its output for
+    * `MEDIA_FIXTURE_REGEN`) — paste them here and re-run. */
+  private[graft] val imgFixture: Seq[(String, Long)] = Seq(
     "orig:0" -> -6148841203556981420L, "reenc:0" -> -6148841203556981420L,
     "half:0" -> -6148841203556981420L, "jitter:0" -> -6148841203556981420L,
     "orig:1" -> 6721012512594512274L, "reenc:1" -> 6721012512594512274L,
@@ -132,7 +197,9 @@ object MediaQueries extends QueryGroup {
     "orig:23" -> 6793070156566026546L, "reenc:23" -> 6793070156566026546L,
     "half:23" -> 6793070156566026546L, "jitter:23" -> 6793070156566026546L)
 
-  private val audFixture: Seq[(String, Long)] = Seq(
+  /** See [[imgFixture]]'s environment-pin note — same freeze, same
+    * refresh path. */
+  private[graft] val audFixture: Seq[(String, Long)] = Seq(
     "orig:0" -> -6148846701383621376L, "half:0" -> -6148846701383621376L,
     "quarter:0" -> -6148846701383621376L, "orig:1" -> 6721012512594512274L,
     "half:1" -> 6721012512594512274L, "quarter:1" -> 6721012512594512274L,
@@ -193,5 +260,44 @@ object MediaQueries extends QueryGroup {
         |FROM blobs ORDER BY file_key""".stripMargin,
     "q102b_media_dedup_twin" -> hammingTwinOracle(imgFixture),
     "q103b_media_audio_twin" -> hammingTwinOracle(audFixture),
+    "q204_crossmodal_dedup" -> crossModalOracle(imgFixture),
   )
+
+  /** The q204 mirror: pairs re-derive from the frozen fingerprints (the
+    * [[hammingTwinOracle]] move), captions re-derive from documents with
+    * the same leading-char OCR corruption on the jitter variant. */
+  private def crossModalOracle(fixture: Seq[(String, Long)]): String = {
+    val values = fixture.map { case (k, h) =>
+      s"('$k', CAST($h AS BIGINT))" }.mkString(", ")
+    s"""WITH h(key, ph) AS (VALUES $values),
+       |p AS (SELECT a.key AS a_key, b.key AS b_key,
+       |    CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+       |  FROM h a JOIN h b ON a.key < b.key
+       |    AND bit_count(xor(a.ph, b.ph)) <= 3),
+       |cap AS (SELECT h.key,
+       |    CAST(split_part(h.key, ':', 2) AS BIGINT) AS doc,
+       |    CASE WHEN split_part(h.key, ':', 1) = 'jitter'
+       |      THEN '0' || substr(d.text, 2) ELSE d.text END AS caption
+       |  FROM h JOIN documents d
+       |    ON d.doc_id = CAST(split_part(h.key, ':', 2) AS BIGINT)
+       |  WHERE d.text IS NOT NULL AND d.doc_id BETWEEN 0 AND 23),
+       |j AS (SELECT p.a_key, p.b_key, p.hamming,
+       |    ca.doc AS a_doc, cb.doc AS b_doc,
+       |    ca.caption = cb.caption AS caption_exact,
+       |    list_distinct(string_split(ca.caption, ' ')) AS aw,
+       |    list_distinct(string_split(cb.caption, ' ')) AS bw
+       |  FROM p JOIN cap ca ON ca.key = p.a_key
+       |    JOIN cap cb ON cb.key = p.b_key),
+       |j2 AS (SELECT a_key, b_key, hamming, a_doc, b_doc, caption_exact,
+       |    (CAST(len(list_intersect(aw, bw)) AS BIGINT) * 1000) //
+       |      CAST(len(list_distinct(list_concat(aw, bw))) AS BIGINT)
+       |      AS jac_permille
+       |  FROM j)
+       |SELECT a_key, b_key, hamming, a_doc, b_doc, caption_exact,
+       |  jac_permille,
+       |  CASE WHEN caption_exact THEN 'confirmed'
+       |    WHEN jac_permille >= 500 THEN 'reocr'
+       |    ELSE 'divergent' END AS verdict
+       |FROM j2 ORDER BY a_key, b_key""".stripMargin
+  }
 }

@@ -997,17 +997,34 @@ object TextQueries extends QueryGroup {
     *
     * Shape: sources reduce to DISTINCT (source, content-hash) rows first,
     * the pair join runs on the hash key — shuffle bounded by duplicated
-    * contents, never the corpus; the per-hash fanout is C(sources
-    * sharing it, 2), so at domain scale a universal boilerplate hash is
-    * a hot key — gate such contents with the q41 bucket-cap discipline
-    * (own them to a star, or pre-drop contents shared by > K sources)
-    * before pairing; the fixture's 20 sources never approach that. */
-  private val q202: Q = (s, d) => {
-    val hs = Tables.documents(s, d).filter(col("text").isNotNull)
+    * contents, never the corpus. The per-hash fanout is C(sources sharing
+    * it, 2), so at domain scale a UNIVERSAL boilerplate hash (a cookie
+    * banner, a license stub shared by every crawl domain) is a hot key:
+    * contents spread across more than `capSources` sources are DROPPED
+    * from the pairing universe before the join — they are boilerplate,
+    * not mirror evidence (the same reasoning that keeps stop-words out of
+    * keyword overlap), and one such hash at a 10k-source crawl would
+    * otherwise be a C(10k, 2) ≈ 50M-pair key. The drop is never silent:
+    * an `observe` metric carries (dropped_contents, max_sources) per run
+    * (the q41 bucket-cap discipline; MirrorCapSpec pins the capped pair
+    * set and the counter on a constructed >cap hash). */
+  private[operators] def sourceMirrorMatrix(
+      docs: org.apache.spark.sql.DataFrame, capSources: Int,
+      metricName: String): org.apache.spark.sql.DataFrame = {
+    val hs = docs.filter(col("text").isNotNull)
       .select(col("source"), md5(col("text").cast("binary")).as("fp"))
       .distinct()
-    val sizes = hs.groupBy("source").agg(count(lit(1)).as("n"))
-    val shared = hs.as("a").join(hs.as("b"),
+    // hs is (source, fp)-distinct, so count(*) per fp IS the source spread
+    val spread = hs.groupBy("fp").agg(count(lit(1)).as("n_src"))
+      .observe(metricName,
+        sum(when(col("n_src") > capSources, 1L).otherwise(0L))
+          .as("dropped_contents"),
+        max(col("n_src")).as("max_sources"))
+    val kept = hs.join(
+      spread.filter(col("n_src") <= capSources).select("fp"),
+      Seq("fp"), "left_semi")
+    val sizes = kept.groupBy("source").agg(count(lit(1)).as("n"))
+    val shared = kept.as("a").join(kept.as("b"),
         col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
       .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
       .agg(count(lit(1)).as("n_shared"))
@@ -1027,6 +1044,10 @@ object TextQueries extends QueryGroup {
           .as("is_mirror"))
       .orderBy("src_a", "src_b")
   }
+
+  private val q202: Q = (s, d) =>
+    sourceMirrorMatrix(Tables.documents(s, d), capSources = 16,
+      metricName = "q202_mirror_cap")
 
   val queries: Seq[(String, Q)] = Seq(
     "q202_source_mirror" -> q202,
@@ -1771,9 +1792,14 @@ object TextQueries extends QueryGroup {
 
     // mirror matrix: distinct (source, content) sets, hash-keyed pair
     // join, integer Jaccard-per-mille and the half-contained verdict
+    // the universal-content cap (> 16 sources → boilerplate, dropped
+    // before pairing) mirrors sourceMirrorMatrix's capSources = 16
     "q202_source_mirror" ->
-      """WITH hs AS (SELECT DISTINCT source, md5(text) AS fp
+      """WITH hs0 AS (SELECT DISTINCT source, md5(text) AS fp
         |  FROM documents WHERE text IS NOT NULL),
+        |hs AS (SELECT source, fp FROM hs0
+        |  WHERE fp IN (SELECT fp FROM hs0 GROUP BY fp
+        |               HAVING count(*) <= 16)),
         |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n
         |  FROM hs GROUP BY source),
         |p AS (SELECT a.source AS src_a, b.source AS src_b,

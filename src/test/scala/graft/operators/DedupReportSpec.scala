@@ -130,4 +130,15 @@ class DedupReportSpec extends SparkSpec {
     finally report.release()
     assert(got == Map(1L -> 1L, 2L -> 1L, 9L -> 9L), got)
   }
+  test("assignComponentsMemo ≡ fresh assignComponents (and is stable across calls)") {
+    val fresh = DedupReport
+      .assignComponents(spark, Tables.documents(spark, sfDir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val memo1 = DedupReport.assignComponentsMemo(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val memo2 = DedupReport.assignComponentsMemo(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(memo1 == fresh)
+    assert(memo2 == fresh)
+  }
 }

@@ -163,4 +163,59 @@ class IvfStorageSpec extends SparkSpec {
     assert(rows(3L) == ((0L, 1L, false)), "crossover joins the cell-0 component")
     assert(rows(4L) == ((1L, 4L, true)), "isolated vector keeps itself")
   }
+  test("recenter: flagged-cell refit + targeted rewrite ≡ full rebuild under refreshed centroids") {
+    val e = Tables.embeddings(spark, sfDir)
+    val cents0 = IvfStorage.labelCentroids(e)
+    // drifted batch arrives through the incremental append path: an
+    // additive bias bends vector DIRECTIONS (a pure scale would not move
+    // cosine), stretching the membership of the cells it lands in
+    val shifted = e.filter(col("vec_id") < 80)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        expr("transform(embedding, x -> CAST(x + 0.3 AS FLOAT))").as("embedding"),
+        col("label"))
+    val dir = tmpDir("ivf-recenter")
+    IvfStorage.writeCellPartitioned(e, cents0, dir)
+    IvfStorage.appendCellPartitioned(shifted, cents0, dir)
+    // flag the cells the drifted batch landed in — exactly the cells a
+    // driftReport occupancy/quality threshold would name
+    val flagged = IvfStorage.assignCells(shifted, cents0)
+      .select("cent_id").distinct().as[Int].collect().toSeq.sorted
+    assert(flagged.nonEmpty)
+    val res = IvfStorage.recenter(spark, dir, cents0, flagged)
+
+    // only flagged centroids changed in the refreshed table
+    val c0 = cents0.as[(Int, Array[Float])].collect().toMap
+    val c1 = res.centroids.as[(Int, Array[Float])].collect().toMap
+    assert(c0.keySet == c1.keySet)
+    c0.keys.filterNot(flagged.contains).foreach { cid =>
+      assert(c0(cid).toSeq == c1(cid).toSeq, s"unflagged cell $cid moved") }
+
+    // exactness: the maintained lake ≡ a full rebuild of the same data
+    // under the SAME refreshed centroid table
+    val fresh = tmpDir("ivf-rebuild")
+    IvfStorage.writeCellPartitioned(e.unionByName(shifted), res.centroids, fresh)
+    def lakeMap(d: String): Map[Long, Int] = spark.read.parquet(d)
+      .select(col("vec_id"), col("cent_id").cast("int"))
+      .as[(Long, Int)].collect().toMap
+    assert(lakeMap(dir) == lakeMap(fresh))
+
+    // probe equality on several query vectors (ties included)
+    for (qid <- Seq(0L, 7L, 21L)) {
+      val qVec = e.filter(col("vec_id") === qid).select("embedding")
+        .as[Array[Float]].head()
+      def ids(d: String): Seq[Long] =
+        IvfStorage.probe(spark, d, res.centroids, qVec, nProbe = 2, k = 10)
+          .select("vec_id").as[Long].collect().toSeq
+      assert(ids(dir) == ids(fresh), s"probe diverged for query $qid")
+    }
+
+    // the physical rewrite is the affected-cell set, not the lake
+    assert(res.rewrittenCells.nonEmpty && res.movedRows > 0)
+    assert(res.rewrittenCells.toSet.subsetOf(c0.keySet))
+
+    // a recenter with nothing flagged is a contract error, not a no-op
+    intercept[IllegalArgumentException] {
+      IvfStorage.recenter(spark, dir, res.centroids, Nil)
+    }
+  }
 }

@@ -170,4 +170,35 @@ class LakeAuditSpec extends SparkSpec {
     assert(idsOf(readAsOf(spark, dir, repaired.last.seq)) ==
       idsOf(readPublished(spark, dir)))
   }
+  test("vacuumQuarantine ages out failed staging, never published data or the log") {
+    val dir = tmpDir("wapvac")
+    val clean = Seq((1L, 5.0, 10.0)).toDF("id", "qty", "price")
+    val dirty = Seq((2L, 99.0, 10.0)).toDF("id", "qty", "price")
+    assert(writeAuditPublish(spark, clean, dir, "good", rules).published)
+    assert(!writeAuditPublish(spark, dirty, dir, "bad", rules).published)
+    val now = System.currentTimeMillis()
+
+    // within the retention window: the quarantined batch survives
+    assert(vacuumQuarantine(spark, dir, retentionMs = 3600000L, nowMs = now)
+      .isEmpty)
+    assert(spark.read.parquet(s"$dir/staging/batch=bad").count() == 1)
+
+    // past the window (simulated by advancing nowMs): it vacuums
+    assert(vacuumQuarantine(spark, dir, retentionMs = 3600000L,
+      nowMs = now + 7200000L) == Seq("bad"))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/staging/batch=bad")))
+
+    // published data and the publish log are untouched
+    assert(readPublished(spark, dir).count() == 1)
+    assert(publishLog(spark, dir).map(_.batchId) == Seq("good"))
+    assert(repairPublishLog(spark, dir).map(_.batchId) == Seq("good"))
+
+    // a stale staging dir carrying a PUBLISHED id is skipped (not ours to delete)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/staging/batch=good"))
+    assert(vacuumQuarantine(spark, dir, retentionMs = 0L,
+      nowMs = now + 7200000L).isEmpty)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/staging/batch=good")))
+  }
 }
