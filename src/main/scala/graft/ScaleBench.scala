@@ -682,6 +682,86 @@ object ScaleBench {
           println(s"""{"bench":"vecstream_pq","run":$r,"rows":$rows,""" +
             s""""wall_sec":$wall,"rows_per_sec":${(rows / wall).toLong}}""")
         }
+      case "recenter" =>
+        // incremental IVF re-centroiding under drift at 1×/3×/10× lake
+        // size, with cells ∝ corpus (constant cell size — the layout the
+        // IvfStorage scaladoc prescribes at scale). A drifted batch lands
+        // in a BOUNDED cell set; recenter's REWRITE tracks membership
+        // CHANGE (in a well-separated cosine regime a mean-refit moves
+        // few or zero members — rewritten_rows stays ~0 across 10× lake
+        // growth) while the ivf_full_rebuild twin rows rewrite lake_rows
+        // every time. That rewritten-rows/wall gap is the operator's
+        // value; exactness vs the rebuild is spec-pinned (IvfStorageSpec,
+        // on real embeddings where boundary movers DO occur).
+        import graft.operators.IvfStorage
+        import spark.implicits._
+        Seq(1, 3, 10).foreach { m =>
+          val n = 5000L * m
+          val dir = s"/tmp/graft-scale/recenter-m$m"
+          val k = math.max(16L, n / 500).toInt
+          // CLUSTERED corpus (k true centers, tight per-dim noise): IVF
+          // cells are only meaningful over clustered embeddings — on
+          // uniform data every point sits on a Voronoi boundary and ANY
+          // centroid move reassigns globally, which measures the data
+          // regime, not the operator
+          val cents = spark.range(k).select(
+            col("id").cast("int").as("cent_id"),
+            expr("""transform(sequence(0, 63), i ->
+              |  CAST(CAST(pmod(xxhash64(id, i), 1000) AS DOUBLE) / 1000.0
+              |    - 0.5 AS FLOAT))""".stripMargin).as("centroid"))
+          val e = spark.range(n).select(
+            col("id").as("vec_id"),
+            pmod(xxhash64(col("id")), lit(k.toLong)).as("cl"))
+            .select(col("vec_id"),
+              expr("""transform(sequence(0, 63), i ->
+                |  CAST(CAST(pmod(xxhash64(cl, i), 1000) AS DOUBLE) / 1000.0
+                |    - 0.5
+                |    + (CAST(pmod(xxhash64(vec_id, i + 100), 100) AS DOUBLE)
+                |       / 100.0 - 0.5) * 0.05 AS FLOAT))""".stripMargin)
+                .as("embedding"))
+          IvfStorage.writeCellPartitioned(e, cents, dir)
+          // drift: biased near-copies of TWO cells' members arrive via the
+          // incremental append path (the monitored-drift scenario) — the
+          // +0.15/dim bias drags the flagged centroids without ejecting
+          // members past the (well-separated) neighboring centers
+          val lowCells = Seq(0, 1)
+          val batch = IvfStorage.assignCells(e, cents)
+            .filter(col("cent_id").isin(lowCells.map(Integer.valueOf): _*))
+            .select(
+              (col("vec_id") + 100000000L).as("vec_id"),
+              expr("transform(embedding, x -> CAST(x + 0.15 AS FLOAT))")
+                .as("embedding"))
+          IvfStorage.appendCellPartitioned(batch, cents, dir)
+          // flag exactly the cells the batch landed in — what a
+          // driftReport occupancy/quality threshold would name
+          val flagged = IvfStorage.assignCells(batch, cents)
+            .select("cent_id").distinct().as[Int].collect().toSeq.sorted
+          val t0 = System.nanoTime()
+          val res = IvfStorage.recenter(spark, dir, cents, flagged)
+          val wall = (System.nanoTime() - t0) / 1e9
+          val rewrittenRows =
+            if (res.rewrittenCells.isEmpty) 0L
+            else spark.read.parquet(dir).filter(col("cent_id")
+              .isin(res.rewrittenCells.map(Integer.valueOf): _*)).count()
+          val lakeRows = spark.read.parquet(dir).count()
+          println(s"""{"bench":"scale","pipeline":"ivf_recenter",""" +
+            s""""mult":$m,"wall_sec":$wall,"cells":$k,""" +
+            s""""flagged_cells":${flagged.size},""" +
+            s""""rewritten_cells":${res.rewrittenCells.size},""" +
+            s""""rewritten_rows":$rewrittenRows,""" +
+            s""""moved_rows":${res.movedRows},"lake_rows":$lakeRows}""")
+          // the alternative recenter replaces: a FULL rebuild under the
+          // same refreshed centroids rewrites lake_rows at every mult —
+          // that row-count gap (and its wall) is the operator's value
+          val rdir = s"/tmp/graft-scale/recenter-rebuild-m$m"
+          val all = spark.read.parquet(dir).select("vec_id", "embedding")
+          val r0 = System.nanoTime()
+          IvfStorage.writeCellPartitioned(all, res.centroids, rdir)
+          val rwall = (System.nanoTime() - r0) / 1e9
+          println(s"""{"bench":"scale","pipeline":"ivf_full_rebuild",""" +
+            s""""mult":$m,"wall_sec":$rwall,"cells":$k,""" +
+            s""""rewritten_rows":$lakeRows,"lake_rows":$lakeRows}""")
+        }
       case "graph" =>
         // the graph family at 1×/3×/10× the q133 edge volume, on a
         // synthetic constant-average-degree graph (V ∝ E — the honest

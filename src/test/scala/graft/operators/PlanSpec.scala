@@ -126,8 +126,14 @@ class PlanSpec extends SparkSpec {
       "per-shingle doc counting lost its partial aggregation")
   }
 
-  test("q66: component labels join back on rep, not per-doc") {
-    val p = executedPlan("q66_dedup_components")
+  test("component resolution: labels join back on rep, not per-doc") {
+    // the declared q66 now scans the shared memo parquet (its plan is a
+    // file scan by design) — the rep-keyed-join claim is pinned on the
+    // RESOLUTION pipeline itself, which the memo materializes from
+    val df = DedupReport.assignComponents(spark,
+      graft.Tables.documents(spark, sfDir))
+    df.collect() // force AQE to finalize
+    val p = df.queryExecution.executedPlan.toString
     // members inherit their representative's label: ONE final join keyed on
     // rep — joining on doc_id would mean CC iterated over the full graph
     assert("Join \\[rep#\\d+L\\], \\[node#\\d+L\\], LeftOuter".r
