@@ -1008,7 +1008,12 @@ object TextQueries extends QueryGroup {
     * an `observe` metric carries (dropped_contents, max_sources) per run
     * (the q41 bucket-cap discipline; MirrorCapSpec pins the capped pair
     * set and the counter on a constructed >cap hash). */
-  private[operators] def sourceMirrorMatrix(
+  /** The capped (source, content-hash) pairing universe shared by q202's
+    * matrix and q205's merge plan: distinct (source, fp) rows with
+    * contents spread over more than `capSources` sources dropped (see
+    * [[sourceMirrorMatrix]]'s boilerplate rationale) — the drop observed,
+    * never silent. */
+  private[operators] def cappedSourceContents(
       docs: org.apache.spark.sql.DataFrame, capSources: Int,
       metricName: String): org.apache.spark.sql.DataFrame = {
     val hs = docs.filter(col("text").isNotNull)
@@ -1020,9 +1025,14 @@ object TextQueries extends QueryGroup {
         sum(when(col("n_src") > capSources, 1L).otherwise(0L))
           .as("dropped_contents"),
         max(col("n_src")).as("max_sources"))
-    val kept = hs.join(
-      spread.filter(col("n_src") <= capSources).select("fp"),
+    hs.join(spread.filter(col("n_src") <= capSources).select("fp"),
       Seq("fp"), "left_semi")
+  }
+
+  private[operators] def sourceMirrorMatrix(
+      docs: org.apache.spark.sql.DataFrame, capSources: Int,
+      metricName: String): org.apache.spark.sql.DataFrame = {
+    val kept = cappedSourceContents(docs, capSources, metricName)
     val sizes = kept.groupBy("source").agg(count(lit(1)).as("n"))
     val shared = kept.as("a").join(kept.as("b"),
         col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
@@ -1049,8 +1059,69 @@ object TextQueries extends QueryGroup {
     sourceMirrorMatrix(Tables.documents(s, d), capSources = 16,
       metricName = "q202_mirror_cap")
 
+  /** Q205: source merge plan — the DECISION step on q202's evidence: the
+    * matrix names mirror pairs; this resolves them into merge groups
+    * (mirror relations chain — A mirrors B mirrors C is ONE syndication
+    * network even when the A–C pair alone misses the bar, the q66
+    * transitivity argument at source granularity) and picks one survivor
+    * per group: keep the source with the most distinct capped contents,
+    * ties to the lexicographically smallest name (q154's keep-richest
+    * policy lifted from documents to sources). Emits per source its merge
+    * group (min member name), the surviving canonical source, group size,
+    * its content count and the keep verdict — the corpus build then drops
+    * every non-keeper source before document-level dedup pays for their
+    * overlap.
+    *
+    * Scale shape: everything after the (hash-keyed, capped) pair stage is
+    * DIMENSION-bounded — sources number thousands where documents number
+    * billions — so the component resolution runs on a source-count graph
+    * ([[ConnectedComponents.runAdaptive]]: driver union-find at this size,
+    * the distributed iteration past `driverMax`); node ids are the
+    * sources' rank in name order, so the min-id component label IS the
+    * min-name label the oracle's recursive CTE computes. */
+  private val q205: Q = (s, d) => {
+    val kept = cappedSourceContents(Tables.documents(s, d), capSources = 16,
+      metricName = "q205_mirror_cap")
+    val sizes = kept.groupBy("source").agg(count(lit(1)).as("n"))
+    val shared = kept.as("a").join(kept.as("b"),
+        col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    val mirrors = shared
+      .join(sizes.select(col("source").as("src_a"), col("n").as("n_a")), "src_a")
+      .join(sizes.select(col("source").as("src_b"), col("n").as("n_b")), "src_b")
+      .filter(col("n_shared") * 2 >= least(col("n_a"), col("n_b")))
+      .select("src_a", "src_b")
+    // dense ids in NAME order: min id ≡ min name, the oracle's label
+    val ids = sizes.select(col("source"), col("n"),
+      row_number().over(Window.orderBy("source")).cast("long").as("sid"))
+    val edges = mirrors
+      .join(ids.select(col("source").as("src_a"), col("sid").as("a")), "src_a")
+      .join(ids.select(col("source").as("src_b"), col("sid").as("b")), "src_b")
+      .select("a", "b")
+    val comp = ConnectedComponents.runAdaptive(edges)
+    val labeled = ids.join(comp, col("sid") === col("node"), "left")
+      .select(col("source"), col("n"),
+        coalesce(col("component"), col("sid")).as("cid"))
+    val names = labeled.groupBy("cid").agg(
+      min(col("source")).as("merge_group"),
+      count(lit(1)).as("group_size"))
+    val w = Window.partitionBy("cid")
+      .orderBy(col("n").desc, col("source").asc)
+    labeled.withColumn("rk", row_number().over(w))
+      .withColumn("canonical_source",
+        first(col("source")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(names, "cid")
+      .select(col("source"), col("merge_group"), col("canonical_source"),
+        col("group_size"), col("n").as("n_contents"),
+        (col("rk") === 1).as("keep"))
+      .orderBy("source")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q202_source_mirror" -> q202,
+    "q205_source_merge_plan" -> q205,
     "q33_text_topwords" -> q33,
     "q176_text_simpson_diversity" -> q176,
     "q177_vocab_growth" -> q177,
@@ -1817,5 +1888,47 @@ object TextQueries extends QueryGroup {
         |FROM grid g LEFT JOIN p
         |  ON p.src_a = g.src_a AND p.src_b = g.src_b
         |ORDER BY g.src_a, g.src_b""".stripMargin,
+
+    // the merge-plan resolution on the same capped universe: mirror pairs
+    // transitively closed by a recursive reachability CTE (the q66
+    // pattern over SOURCE strings — min name labels), survivor = most
+    // capped contents, ties to the smallest name
+    "q205_source_merge_plan" ->
+      """WITH RECURSIVE hs0 AS (SELECT DISTINCT source, md5(text) AS fp
+        |  FROM documents WHERE text IS NOT NULL),
+        |hs AS (SELECT source, fp FROM hs0
+        |  WHERE fp IN (SELECT fp FROM hs0 GROUP BY fp
+        |               HAVING count(*) <= 16)),
+        |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+        |  FROM hs GROUP BY source),
+        |p AS (SELECT a.source AS src_a, b.source AS src_b,
+        |    CAST(count(*) AS BIGINT) AS ns
+        |  FROM hs a JOIN hs b ON a.fp = b.fp AND a.source < b.source
+        |  GROUP BY 1, 2),
+        |m AS (SELECT p.src_a, p.src_b FROM p
+        |  JOIN sz sa ON sa.source = p.src_a
+        |  JOIN sz sb ON sb.source = p.src_b
+        |  WHERE p.ns * 2 >= least(sa.n, sb.n)),
+        |sym AS (SELECT src_a AS a, src_b AS b FROM m
+        |  UNION SELECT src_b AS a, src_a AS b FROM m),
+        |reach(src, node) AS (
+        |  SELECT source, source FROM sz
+        |  UNION
+        |  SELECT r.src, s.b FROM reach r JOIN sym s ON s.a = r.node),
+        |comp AS (SELECT src AS source, min(node) AS merge_group
+        |  FROM reach GROUP BY src),
+        |g AS (SELECT c.source, c.merge_group, sz.n
+        |  FROM comp c JOIN sz USING (source)),
+        |names AS (SELECT merge_group, CAST(count(*) AS BIGINT) AS group_size
+        |  FROM g GROUP BY 1),
+        |wk AS (SELECT source, merge_group, n, row_number() OVER (
+        |    PARTITION BY merge_group ORDER BY n DESC, source) AS rk
+        |  FROM g),
+        |win AS (SELECT merge_group, source AS canonical_source
+        |  FROM wk WHERE rk = 1)
+        |SELECT wk.source, wk.merge_group, win.canonical_source,
+        |  names.group_size, wk.n AS n_contents, wk.rk = 1 AS keep
+        |FROM wk JOIN win USING (merge_group) JOIN names USING (merge_group)
+        |ORDER BY wk.source""".stripMargin,
   )
 }

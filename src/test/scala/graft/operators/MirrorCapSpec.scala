@@ -77,4 +77,31 @@ class MirrorCapSpec extends SparkSpec {
     val m = metrics("mirror_cap_test2")
     assert(m.getAs[Long]("dropped_contents") == 0L, m.toString)
   }
+  /** q205: mirror chains merge transitively (A~B~C is one group even when
+    * A-C alone misses the bar) and the survivor is the member with the
+    * most capped contents, ties to the smallest name. */
+  test("q205 merge plan: transitive chain, one survivor per group, singletons keep") {
+    val dir = tmpDir("mirrorplan")
+    // s0={a,b,c,d}, s1={a,b} (mirrors s0), s2={b,e,f,g} (mirrors s1 via b,
+    // NOT s0: shared 1, 2*1 < min(4,4)), s3={z} singleton
+    val rows = Seq(
+      (1L, "a", "s0"), (2L, "b", "s0"), (3L, "c", "s0"), (4L, "d", "s0"),
+      (5L, "a", "s1"), (6L, "b", "s1"),
+      (7L, "b", "s2"), (8L, "e", "s2"), (9L, "f", "s2"), (10L, "g", "s2"),
+      (11L, "z", "s3"))
+      .map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.SparkEntry.queries("q205_source_merge_plan")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    // one chained group {s0,s1,s2}: min-name label s0, survivor s0
+    // (n=4 ties with s2's 4 -> smallest name)
+    assert(got("s0") == (("s0", "s0", 3L, 4L, true)), got("s0"))
+    assert(got("s1") == (("s0", "s0", 3L, 2L, false)), got("s1"))
+    assert(got("s2") == (("s0", "s0", 3L, 4L, false)), got("s2"))
+    // the singleton keeps itself
+    assert(got("s3") == (("s3", "s3", 1L, 1L, true)), got("s3"))
+  }
 }
