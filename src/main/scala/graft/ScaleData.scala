@@ -50,8 +50,6 @@ object ScaleData {
 
   def main(args: Array[String]): Unit = {
     require(args.length == 3, "usage: ScaleData <srcSfDir> <outDir> <copies>")
-    val (src, out, copies) = (args(0), args(1), args(2).toInt)
-    require(copies >= 1, s"copies=$copies")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.withGraftConfs(
       SparkSession.builder()
@@ -59,7 +57,16 @@ object ScaleData {
         .config("spark.sql.shuffle.partitions", cpus)
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    try run(spark, args(0), args(1), args(2).toInt)
+    finally spark.stop()
+  }
 
+  /** The materialization itself, session supplied by the caller (the main
+    * above owns-and-stops its own; ScaleDataSpec passes the shared test
+    * session, which must NOT be stopped). */
+  def run(spark: SparkSession, src: String, out: String,
+      copies: Int): Unit = {
+    require(copies >= 1, s"copies=$copies")
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
     val offset: Map[String, Long] = domains.map { case (d, (t, c)) =>
       d -> (read(t).agg(max(col(c).cast("long"))).head().getLong(0) + 1L)
@@ -78,6 +85,5 @@ object ScaleData {
       scaled.write.mode("overwrite").parquet(s"$out/$t.parquet")
       println(s"[scaledata] $t x$copies -> ${base.count() * copies} rows")
     }
-    spark.stop()
   }
 }
