@@ -72,8 +72,9 @@ object GraftSession {
         .appName(appName)
         .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
         // managed tables (bucketing demos/tests) land in a temp warehouse,
-        // never in the working directory
+        // never in the working directory; removed at JVM exit like every
+        // session-scoped scratch tree (TempDirs)
         .config("spark.sql.warehouse.dir",
-          java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+          graft.operators.TempDirs.scoped("graft-warehouse"))
     ).getOrCreate()
 }

@@ -1119,9 +1119,49 @@ object TextQueries extends QueryGroup {
       .orderBy("source")
   }
 
+  /** Q206: incremental mirror-matrix maintenance — q202's source-pair
+    * overlap tracked ACROSS INGEST WAVES without re-pairing history: a
+    * shared content becomes pair-visible at the LATER of the two sources'
+    * first-sighting waves (max(first_a, first_b)) — the q201 first-seen-
+    * wave ownership move applied to PAIRS — so per-wave deltas are
+    * additive and the cumulative overlap is a plain running sum. At
+    * ingest time the per-wave delta comes from probing the arriving
+    * wave's new (source, content) rows against the standing first-
+    * sighting index (the q82 shape); history text is never re-read and
+    * the matrix a release dashboard shows is the running sum. Emits one
+    * row per (source pair, wave with a delta): the delta and the
+    * cumulative shared count. Final-wave cumulative ≡ q202's n_shared per
+    * pair (spec-pinned) — the full recompute is the exactness oracle of
+    * the incremental maintenance, the q124/q201 merge-partials contract.
+    * Same capped universe as q202/q205. */
+  private val q206: Q = (s, d) => {
+    val kept = cappedSourceContents(Tables.documents(s, d),
+      capSources = 16, metricName = "q206_mirror_cap")
+    // first-sighting wave per (source, content), restricted to the capped
+    // universe (the standing index an ingest path would maintain)
+    val waved = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("source"), md5(col("text").cast("binary")).as("fp"),
+        expr("doc_id div 100").as("wave"))
+      .join(kept.select("fp").distinct(), Seq("fp"), "left_semi")
+      .groupBy("source", "fp").agg(min(col("wave")).as("w"))
+    val deltas = waved.as("a").join(waved.as("b"),
+        col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+        greatest(col("a.w"), col("b.w")).as("wave"))
+      .groupBy("src_a", "src_b", "wave")
+      .agg(count(lit(1)).as("delta_shared"))
+    val w = Window.partitionBy("src_a", "src_b").orderBy("wave")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas
+      .withColumn("cum_shared", sum(col("delta_shared")).over(w))
+      .select("src_a", "src_b", "wave", "delta_shared", "cum_shared")
+      .orderBy("src_a", "src_b", "wave")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q202_source_mirror" -> q202,
     "q205_source_merge_plan" -> q205,
+    "q206_mirror_incremental" -> q206,
     "q33_text_topwords" -> q33,
     "q176_text_simpson_diversity" -> q176,
     "q177_vocab_growth" -> q177,
@@ -1930,5 +1970,29 @@ object TextQueries extends QueryGroup {
         |  names.group_size, wk.n AS n_contents, wk.rk = 1 AS keep
         |FROM wk JOIN win USING (merge_group) JOIN names USING (merge_group)
         |ORDER BY wk.source""".stripMargin,
+
+    // incremental mirror maintenance: pair-visibility wave =
+    // max(first-sighting waves), per-wave deltas summed by a window
+    // (HUGEINT cast back — the q91 rule); same <=16 cap as q202/q205
+    "q206_mirror_incremental" ->
+      """WITH hs0 AS (SELECT DISTINCT source, md5(text) AS fp
+        |  FROM documents WHERE text IS NOT NULL),
+        |capped AS (SELECT fp FROM hs0 GROUP BY fp
+        |  HAVING count(*) <= 16),
+        |fw AS (SELECT source, md5(text) AS fp,
+        |    CAST(min(doc_id // 100) AS BIGINT) AS w
+        |  FROM documents WHERE text IS NOT NULL
+        |    AND md5(text) IN (SELECT fp FROM capped)
+        |  GROUP BY 1, 2),
+        |d AS (SELECT a.source AS src_a, b.source AS src_b,
+        |    greatest(a.w, b.w) AS wave,
+        |    CAST(count(*) AS BIGINT) AS delta_shared
+        |  FROM fw a JOIN fw b ON a.fp = b.fp AND a.source < b.source
+        |  GROUP BY 1, 2, 3)
+        |SELECT src_a, src_b, wave, delta_shared,
+        |  CAST(sum(delta_shared) OVER (PARTITION BY src_a, src_b
+        |    ORDER BY wave ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cum_shared
+        |FROM d ORDER BY src_a, src_b, wave""".stripMargin,
   )
 }

@@ -171,4 +171,56 @@ class R14QuerySemanticsSpec extends SparkSpec {
     // total pair count is exactly Σ weights + within
     assert(got.values.map(_._1).sum == 10L + 12L + 8L + 6L)
   }
+  test("q206: final cumulative overlap equals q202's full recompute per pair") {
+    val m202 = run("q202_source_mirror").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Long]("n_shared")).toMap
+    val rows206 = run("q206_mirror_incremental").collect()
+    // deltas are strictly positive (delta-only rows) and cumulative is the
+    // running sum of deltas within each pair
+    rows206.groupBy(r => (r.getString(0), r.getString(1))).foreach {
+      case (p, rs) =>
+        val sorted = rs.sortBy(_.getAs[Long]("wave"))
+        var cum = 0L
+        sorted.foreach { r =>
+          assert(r.getAs[Long]("delta_shared") > 0, s"$p")
+          cum += r.getAs[Long]("delta_shared")
+          assert(r.getAs[Long]("cum_shared") == cum, s"$p")
+        }
+        // the incremental maintenance converges to the full recompute
+        assert(cum == m202(p), s"$p final cum vs q202")
+    }
+    // zero-overlap pairs never appear incrementally but are 0 in the matrix
+    val present = rows206.map(r => (r.getString(0), r.getString(1))).toSet
+    m202.foreach { case (p, n) =>
+      if (n == 0L) assert(!present.contains(p), s"$p")
+      else assert(present.contains(p), s"$p")
+    }
+  }
+  /** The sf0.001/sf0.01 corpora have no cross-source shared content, so
+    * the corpus-level q206 check above is structural; THIS fixture drives
+    * the wave algebra: shares arriving at different first-sighting waves
+    * become visible at max(first_a, first_b) and accumulate. */
+  test("q206 wave algebra on a constructed multi-wave corpus") {
+    val dir = tmpDir("mirrorwaves")
+    val rows = Seq(
+      (10L, "shared both wave zero", "s0"), (20L, "shared both wave zero", "s1"),
+      (5L, "late on one side", "s0"), (205L, "late on one side", "s1"),
+      (101L, "mid wave share", "s0"), (150L, "mid wave share", "s1"),
+      (7L, "unshared zero", "s0"), (300L, "unshared three", "s1"))
+    rows.map { case (id, t, s) => (id, t, "en", s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q206_mirror_incremental")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("wave")) ->
+        ((r.getAs[Long]("delta_shared"), r.getAs[Long]("cum_shared"))))
+      .toMap
+    // wave 0: the both-at-wave-0 share; wave 1: the mid share; wave 2:
+    // the late side makes the first content pair-visible only now
+    assert(got == Map(
+      ("s0", "s1", 0L) -> ((1L, 1L)),
+      ("s0", "s1", 1L) -> ((1L, 2L)),
+      ("s0", "s1", 2L) -> ((1L, 3L))), got)
+  }
 }
