@@ -1018,6 +1018,99 @@ object CorpusQueries extends QueryGroup {
         (lit(2L) * col("tp") + col("fp") + col("fn")).as("f1_den"))
   }
 
+  /** Q208: exact ROC-AUC of the q126 quality classifier on its HOLDOUT —
+    * the threshold-free ranking metric that completes the eval ladder
+    * (q179 calibration, q188 confusion at the fixed t=0 operating point,
+    * THIS the whole curve's area). Computed rank-free from the
+    * distinct-margin histogram: AUC = P(margin_pos > margin_neg) +
+    * ½P(=), i.e. auc_num2 = Σₛ pₛ·(2·cumNegBelow(s) + nₛ) over the
+    * per-margin (pos, neg) counts, auc = auc_num2 / (2·P·N) — the
+    * Mann–Whitney U with midrank tie handling, every term BIGINT until
+    * ONE final division (the q95/q196 contract). Gini = 2·AUC − 1 rides
+    * along from the same integers. Shape: one grouped pass to the
+    * distinct-margin histogram, then a prefix-sum window over DISTINCT
+    * margins only (≪ rows; at 100 TB the same prefix sum range-partitions
+    * exactly like [[CorpusOps.decileBinDistributed]] — the scan and
+    * histogram, the data-sized passes, are already distributed). */
+  private val q208: Q = (s, d) => {
+    val h = CorpusOps.classifierScores(Tables.documents(s, d),
+        "doc_id", col("lang") === "en", 4096)
+      .filter(!col("is_train"))
+      .groupBy("margin").agg(
+        sum(when(col("is_pos"), 1L).otherwise(0L)).as("p"),
+        sum(when(!col("is_pos"), 1L).otherwise(0L)).as("q"))
+    val wb = Window.orderBy(col("margin"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    h.withColumn("cnb", coalesce(sum(col("q")).over(wb), lit(0L)))
+      .agg(
+        coalesce(sum(col("p")), lit(0L)).as("n_pos"),
+        coalesce(sum(col("q")), lit(0L)).as("n_neg"),
+        coalesce(sum(col("p") * (lit(2L) * col("cnb") + col("q"))),
+          lit(0L)).as("auc_num2"))
+      .select(col("n_pos"), col("n_neg"), col("auc_num2"),
+        (lit(2L) * col("n_pos") * col("n_neg")).as("auc_den2"))
+      .withColumn("auc",
+        when(col("auc_den2") === 0, lit(0.5))
+          .otherwise(col("auc_num2").cast("double") / col("auc_den2")))
+      .withColumn("gini",
+        when(col("auc_den2") === 0, lit(0.0))
+          .otherwise((lit(2L) * col("auc_num2") - col("auc_den2"))
+            .cast("double") / col("auc_den2")))
+  }
+
+  /** Q209: operating-point selection — the max-F1 threshold sweep every
+    * quality-filter owner runs between q208's "does the score rank at
+    * all" and q126's keep decision: every distinct holdout margin t is a
+    * candidate threshold (predicted = margin ≥ t), its confusion counts
+    * fall out of the SAME two prefix sums (TP = P − cumPosBelow, FP =
+    * N − cumNegBelow, FN/TN the complements), and the argmax is decided
+    * in integers: f1_scaled = (2·TP·10⁹) div (2·TP + FP + FN) — exact
+    * fixed-point, never a double compare (a cross-engine ulp can flip an
+    * argmax; 10⁹ headroom holds to TP ≈ 4.6·10⁹, i.e. any real eval
+    * holdout). Ties break to the smallest threshold. The sweep table is
+    * distinct-margin-sized; the windows run over it only (the q208 scale
+    * note applies verbatim). */
+  private val q209: Q = (s, d) => {
+    val h = CorpusOps.classifierScores(Tables.documents(s, d),
+        "doc_id", col("lang") === "en", 4096)
+      .filter(!col("is_train"))
+      .groupBy("margin").agg(
+        sum(when(col("is_pos"), 1L).otherwise(0L)).as("p"),
+        sum(when(!col("is_pos"), 1L).otherwise(0L)).as("q"))
+    val wb = Window.orderBy(col("margin"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = h.agg(
+      coalesce(sum(col("p")), lit(0L)).as("n_pos"),
+      coalesce(sum(col("q")), lit(0L)).as("n_neg"))
+    val sweep = h
+      .withColumn("cpb", coalesce(sum(col("p")).over(wb), lit(0L)))
+      .withColumn("cnb", coalesce(sum(col("q")).over(wb), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .select(col("margin").as("threshold"),
+        (col("n_pos") - col("cpb")).as("tp"),
+        (col("n_neg") - col("cnb")).as("fp"),
+        col("cnb").as("tn"), col("cpb").as("fn"))
+      .withColumn("f1_scaled",
+        expr("(2 * tp * 1000000000) div (2 * tp + fp + fn)"))
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    sweep
+      .withColumn("best", max(col("f1_scaled")).over(wAll))
+      .withColumn("n_thresholds", count(lit(1)).over(wAll))
+      .filter(col("f1_scaled") === col("best"))
+      .withColumn("rk", row_number().over(Window.orderBy(col("threshold"))))
+      .filter(col("rk") === 1)
+      .select(col("threshold"), col("tp"), col("fp"), col("tn"), col("fn"),
+        col("f1_scaled"), col("n_thresholds"),
+        when(col("tp") + col("fp") > 0,
+          col("tp").cast("double") / (col("tp") + col("fp")))
+          .as("precision"),
+        when(col("tp") + col("fn") > 0,
+          col("tp").cast("double") / (col("tp") + col("fn"))).as("recall"),
+        ((lit(2L) * col("tp")).cast("double") /
+          (lit(2L) * col("tp") + col("fp") + col("fn"))).as("f1"))
+  }
+
   /** Q179: classifier calibration (the reliability report): the q126
     * quality classifier's HOLDOUT margins ranked into q83-style
     * integer-division deciles, each bin reporting exact positive counts,
@@ -1197,6 +1290,75 @@ object CorpusQueries extends QueryGroup {
       .orderBy("batch", "source")
   }
 
+  /** Builds the schema-evolution lake q210 reads — three parquet batches
+    * whose schemas GREW additively across ingest generations, the way
+    * every long-lived corpus lake actually evolves: b0 (doc_id, source,
+    * text) predates language ID, b1 adds `lang`, b2 adds a BIGINT
+    * `quality` score. Memoized per (session, sfDir) under a
+    * [[TempDirs.scoped]] dir (the asOfLakeDir pattern — built once,
+    * cleaned at JVM exit). */
+  private val evoMemo = new java.util.WeakHashMap[
+    org.apache.spark.sql.SparkSession,
+    scala.collection.mutable.Map[String, String]]()
+
+  private[operators] def schemaEvoLakeDir(
+      s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val perSession = evoMemo.synchronized {
+      var m = evoMemo.get(s)
+      if (m == null) {
+        m = scala.collection.mutable.Map.empty[String, String]
+        evoMemo.put(s, m)
+      }
+      m
+    }
+    perSession.synchronized {
+      perSession.getOrElseUpdate(d, {
+        val dir = TempDirs.scoped("graft-schema-evo")
+        val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+        docs.filter(col("doc_id") % 3 === 0)
+          .select(lit("b0").as("batch"), col("doc_id"), col("source"),
+            col("text"))
+          .write.parquet(s"$dir/b0")
+        docs.filter(col("doc_id") % 3 === 1)
+          .select(lit("b1").as("batch"), col("doc_id"), col("source"),
+            col("text"), col("lang"))
+          .write.parquet(s"$dir/b1")
+        docs.filter(col("doc_id") % 3 === 2)
+          .select(lit("b2").as("batch"), col("doc_id"), col("source"),
+            col("text"), col("lang"), col("n_chars").as("quality"))
+          .write.parquet(s"$dir/b2")
+        dir
+      })
+    }
+  }
+
+  /** Q210: schema-evolution lake read — one unified scan over parquet
+    * batches written under ADDITIVE schema growth (see
+    * [[schemaEvoLakeDir]]): `mergeSchema` reconciles the three
+    * generations into one frame (absent columns surface as nulls), then
+    * TYPED defaults make the nulls meaningful (`lang` → 'und',
+    * `quality` → −1 — the explicit default-fill every reader of an
+    * evolved lake must do; a silent null would poison downstream
+    * grouping), and the report aggregates per (batch, lang) with an
+    * exact Σ doc_id membership checksum (the q106 move) so a reader
+    * that dropped or duplicated a generation's rows hash-mismatches.
+    * Schema reconciliation is footer-metadata work; the data pass is one
+    * grouped scan — no shuffle beyond the batch/lang aggregate at any
+    * lake size. */
+  private val q210: Q = (s, d) => {
+    val dir = schemaEvoLakeDir(s, d)
+    s.read.option("mergeSchema", "true")
+      .parquet(s"$dir/b0", s"$dir/b1", s"$dir/b2")
+      .select(col("batch"), col("doc_id"),
+        coalesce(col("lang"), lit("und")).as("lang"),
+        coalesce(col("quality"), lit(-1L)).as("quality"))
+      .groupBy(col("batch"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("quality")).as("sum_quality"),
+        sum(col("doc_id")).as("id_checksum"))
+      .orderBy("batch", "lang")
+  }
+
   /** Q195: preference-pair audit — the QC gate RLHF/DPO data passes
     * before reward-model or preference training: per (prompt, chosen,
     * rejected) triple, the defects that poison preference losses — TIES
@@ -1320,6 +1482,61 @@ object CorpusQueries extends QueryGroup {
       .withColumn("kappa",
         when(col("kappa_den") === 0, lit(0.0))
           .otherwise(col("kappa_num").cast("double") / col("kappa_den")))
+  }
+
+  /** Q207: Krippendorff's α [Krippendorff 1970/2004] — the agreement
+    * statistic for the regime neither Cohen (exactly 2 raters, q196) nor
+    * Fleiss (every item rated by the SAME number of raters, q203)
+    * covers: MISSING ratings. Real annotation queues assign raters per
+    * item — rater B skips the ≡0-mod-3 residue, rater C skips ≡1-mod-4 —
+    * so items carry m ∈ {1,2,3} ratings; items with m < 2 contribute no
+    * pairable values and are DROPPED (counted, not scored — the ≡9-mod-12
+    * residue exercises the drop path). Nominal/binary data via the
+    * coincidence-matrix form: with r = #TRUE of m ratings, the per-item
+    * disagreement is r(m−r)/(m−1), and α = 1 − (n−1)·Σᵢ rᵢ(mᵢ−rᵢ)/(mᵢ−1)
+    * / (n_T·n_F) over n = Σ mᵢ pairable values. Denominators stay exact:
+    * (m−1) ∈ {1,2}, so S2 = Σ 2·r(m−r)/(m−1) is a pure BIGINT (m=3 →
+    * r(3−r); m=2 → 2r(2−r)) and α = (2·n_T·n_F − (n−1)·S2) / (2·n_T·n_F)
+    * — one double division at the very end, mirrored op-for-op (the
+    * q95/q196/q203 rational contract). One global aggregate: per-row
+    * string algebra, map-side partials, a single reduced row at any
+    * corpus size. */
+  private val q207: Q = (s, d) => {
+    val toks = split(lower(col("text")), " ")
+    val a = (size(array_distinct(toks)) * 2 >= size(toks)).as("a")
+    val rated = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(a, (col("doc_id") % 3 =!= 0).as("hasb"),
+        (col("doc_id") % 4 =!= 1).as("hasc"),
+        (col("doc_id") % 7 === 0).as("f7"),
+        (col("doc_id") % 5 === 0).as("f5"))
+      .select(col("a"), col("hasb"), col("hasc"),
+        (col("a") =!= col("f7")).as("b"), (col("a") =!= col("f5")).as("c"))
+      .select(
+        (lit(1L) + when(col("hasb"), 1L).otherwise(0L) +
+          when(col("hasc"), 1L).otherwise(0L)).as("m"),
+        (when(col("a"), 1L).otherwise(0L) +
+          when(col("hasb") && col("b"), 1L).otherwise(0L) +
+          when(col("hasc") && col("c"), 1L).otherwise(0L)).as("r"))
+    rated.agg(
+        sum(when(col("m") >= 2, 1L).otherwise(0L)).as("n_items_used"),
+        sum(when(col("m") < 2, 1L).otherwise(0L)).as("n_items_dropped"),
+        sum(when(col("m") >= 2, col("m")).otherwise(0L)).as("n_vals"),
+        sum(when(col("m") >= 2, col("r")).otherwise(0L)).as("n_true"),
+        sum(when(col("m") >= 2,
+            when(col("m") === 3, col("r") * (lit(3L) - col("r")))
+              .otherwise(lit(2L) * col("r") * (lit(2L) - col("r"))))
+          .otherwise(0L)).as("s2"))
+      .select(col("n_items_used"), col("n_items_dropped"), col("n_vals"),
+        col("n_true"), (col("n_vals") - col("n_true")).as("n_false"),
+        col("s2"))
+      .select(col("n_items_used"), col("n_items_dropped"), col("n_vals"),
+        col("n_true"), col("n_false"), col("s2"),
+        (lit(2L) * col("n_true") * col("n_false") -
+          (col("n_vals") - 1) * col("s2")).as("alpha_num"),
+        (lit(2L) * col("n_true") * col("n_false")).as("alpha_den"))
+      .withColumn("alpha",
+        when(col("alpha_den") === 0, lit(0.0))
+          .otherwise(col("alpha_num").cast("double") / col("alpha_den")))
   }
 
   /** Q197: corpus drift report — total-variation distance between the
@@ -1450,6 +1667,10 @@ object CorpusQueries extends QueryGroup {
     "q195_preference_pair_audit" -> q195,
     "q196_annotator_agreement" -> q196,
     "q203_fleiss_kappa" -> q203,
+    "q207_krippendorff_alpha" -> q207,
+    "q208_classifier_auc" -> q208,
+    "q209_operating_point" -> q209,
+    "q210_lake_schema_evolution" -> q210,
     "q197_corpus_drift_tvd" -> q197,
     "q201_card_incremental" -> q201,
   )
@@ -2585,6 +2806,147 @@ object CorpusQueries extends QueryGroup {
         |      (18 * n * n - 2 * pe_18n2_half)
         |  END AS kappa
         |FROM k""".stripMargin,
+
+    // Krippendorff's α with missing ratings: m = #raters present per
+    // item (B skips ≡0 mod 3, C skips ≡1 mod 4), items with m < 2
+    // dropped; S2 = Σ 2·r(m−r)/(m−1) stays integer because (m−1)∈{1,2}
+    // (sum(BIGINT) is HUGEINT in DuckDB — cast every aggregate back)
+    "q207_krippendorff_alpha" ->
+      """WITH l AS (SELECT doc_id,
+        |    len(list_distinct(string_split(lower(text), ' '))) * 2 >=
+        |      len(string_split(lower(text), ' ')) AS a,
+        |    doc_id % 3 <> 0 AS hasb, doc_id % 4 <> 1 AS hasc,
+        |    doc_id % 7 = 0 AS f7, doc_id % 5 = 0 AS f5
+        |  FROM documents WHERE text IS NOT NULL),
+        |l2 AS (SELECT a, hasb, hasc, a <> f7 AS b, a <> f5 AS c FROM l),
+        |l3 AS (SELECT
+        |    CAST(1 + CASE WHEN hasb THEN 1 ELSE 0 END
+        |      + CASE WHEN hasc THEN 1 ELSE 0 END AS BIGINT) AS m,
+        |    CAST(CASE WHEN a THEN 1 ELSE 0 END
+        |      + CASE WHEN hasb AND b THEN 1 ELSE 0 END
+        |      + CASE WHEN hasc AND c THEN 1 ELSE 0 END AS BIGINT) AS r
+        |  FROM l2),
+        |g AS (SELECT
+        |    CAST(count(CASE WHEN m >= 2 THEN 1 END) AS BIGINT)
+        |      AS n_items_used,
+        |    CAST(count(CASE WHEN m < 2 THEN 1 END) AS BIGINT)
+        |      AS n_items_dropped,
+        |    CAST(coalesce(sum(CASE WHEN m >= 2 THEN m ELSE 0 END), 0)
+        |      AS BIGINT) AS n_vals,
+        |    CAST(coalesce(sum(CASE WHEN m >= 2 THEN r ELSE 0 END), 0)
+        |      AS BIGINT) AS n_true,
+        |    CAST(coalesce(sum(CASE WHEN m >= 2 THEN
+        |        CASE WHEN m = 3 THEN r * (3 - r)
+        |          ELSE 2 * r * (2 - r) END
+        |      ELSE 0 END), 0) AS BIGINT) AS s2
+        |  FROM l3),
+        |k AS (SELECT n_items_used, n_items_dropped, n_vals, n_true,
+        |    n_vals - n_true AS n_false, s2 FROM g)
+        |SELECT n_items_used, n_items_dropped, n_vals, n_true, n_false, s2,
+        |  2 * n_true * n_false - (n_vals - 1) * s2 AS alpha_num,
+        |  2 * n_true * n_false AS alpha_den,
+        |  CASE WHEN 2 * n_true * n_false = 0 THEN 0.0
+        |    ELSE CAST(2 * n_true * n_false - (n_vals - 1) * s2 AS DOUBLE)
+        |      / (2 * n_true * n_false)
+        |  END AS alpha
+        |FROM k""".stripMargin,
+
+    // exact midrank ROC-AUC from the distinct-margin histogram over the
+    // refit classifier's holdout (clsOracleCore = the shared q126 refit);
+    // window-sum HUGEINTs cast back per the q91 gotcha
+    "q208_classifier_auc" ->
+      (clsOracleCore +
+      """, scored AS (SELECT f.doc_id, bool_or(f.is_pos) AS is_pos,
+        |    bool_or(f.is_train) AS is_train,
+        |    CAST(coalesce(sum(w.w), 0) AS BIGINT) AS margin
+        |  FROM f LEFT JOIN w USING (bucket) GROUP BY f.doc_id),
+        |h0 AS (SELECT margin,
+        |    CAST(count(CASE WHEN is_pos THEN 1 END) AS BIGINT) AS p,
+        |    CAST(count(CASE WHEN NOT is_pos THEN 1 END) AS BIGINT) AS q
+        |  FROM scored WHERE NOT is_train GROUP BY margin),
+        |h AS (SELECT p, q,
+        |    CAST(coalesce(sum(q) OVER (ORDER BY margin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cnb
+        |  FROM h0),
+        |g AS (SELECT CAST(coalesce(sum(p), 0) AS BIGINT) AS n_pos,
+        |    CAST(coalesce(sum(q), 0) AS BIGINT) AS n_neg,
+        |    CAST(coalesce(sum(p * (2 * cnb + q)), 0) AS BIGINT)
+        |      AS auc_num2
+        |  FROM h)
+        |SELECT n_pos, n_neg, auc_num2,
+        |  2 * n_pos * n_neg AS auc_den2,
+        |  CASE WHEN 2 * n_pos * n_neg = 0 THEN 0.5
+        |    ELSE CAST(auc_num2 AS DOUBLE) / (2 * n_pos * n_neg)
+        |  END AS auc,
+        |  CASE WHEN 2 * n_pos * n_neg = 0 THEN 0.0
+        |    ELSE CAST(2 * auc_num2 - 2 * n_pos * n_neg AS DOUBLE)
+        |      / (2 * n_pos * n_neg)
+        |  END AS gini
+        |FROM g""".stripMargin),
+
+    // max-F1 operating point: same histogram + BOTH prefix sums; the
+    // argmax is integer fixed-point ((2·TP·10⁹) // den) with ties to the
+    // smallest threshold (ORDER BY threshold LIMIT 1)
+    "q209_operating_point" ->
+      (clsOracleCore +
+      """, scored AS (SELECT f.doc_id, bool_or(f.is_pos) AS is_pos,
+        |    bool_or(f.is_train) AS is_train,
+        |    CAST(coalesce(sum(w.w), 0) AS BIGINT) AS margin
+        |  FROM f LEFT JOIN w USING (bucket) GROUP BY f.doc_id),
+        |h0 AS (SELECT margin,
+        |    CAST(count(CASE WHEN is_pos THEN 1 END) AS BIGINT) AS p,
+        |    CAST(count(CASE WHEN NOT is_pos THEN 1 END) AS BIGINT) AS q
+        |  FROM scored WHERE NOT is_train GROUP BY margin),
+        |t AS (SELECT CAST(coalesce(sum(p), 0) AS BIGINT) AS n_pos,
+        |    CAST(coalesce(sum(q), 0) AS BIGINT) AS n_neg
+        |  FROM h0),
+        |pre AS (SELECT margin,
+        |    CAST(coalesce(sum(p) OVER (ORDER BY margin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cpb,
+        |    CAST(coalesce(sum(q) OVER (ORDER BY margin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cnb
+        |  FROM h0),
+        |sw AS (SELECT margin AS threshold,
+        |    n_pos - cpb AS tp, n_neg - cnb AS fp, cnb AS tn, cpb AS fn
+        |  FROM pre, t),
+        |sw2 AS (SELECT *,
+        |    (2 * tp * 1000000000) // (2 * tp + fp + fn) AS f1_scaled
+        |  FROM sw),
+        |b AS (SELECT *,
+        |    CAST(max(f1_scaled) OVER () AS BIGINT) AS best,
+        |    CAST(count(*) OVER () AS BIGINT) AS n_thresholds
+        |  FROM sw2)
+        |SELECT threshold, tp, fp, tn, fn, f1_scaled, n_thresholds,
+        |  CASE WHEN tp + fp > 0
+        |    THEN CAST(tp AS DOUBLE) / (tp + fp) END AS precision,
+        |  CASE WHEN tp + fn > 0
+        |    THEN CAST(tp AS DOUBLE) / (tp + fn) END AS recall,
+        |  CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) AS f1
+        |FROM b WHERE f1_scaled = best
+        |ORDER BY threshold LIMIT 1""".stripMargin),
+
+    // schema-evolution read: rebuild the three batch memberships from
+    // the residues and apply the same typed defaults (b0 predates lang
+    // → 'und'; quality exists only in b2, else −1)
+    "q210_lake_schema_evolution" ->
+      """WITH d AS (SELECT doc_id, source, text, lang, n_chars
+        |  FROM documents WHERE text IS NOT NULL),
+        |u AS (SELECT
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'b0'
+        |      WHEN 1 THEN 'b1' ELSE 'b2' END AS batch,
+        |    doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'und' ELSE lang END AS lang,
+        |    CASE WHEN doc_id % 3 = 2 THEN n_chars ELSE -1 END AS quality
+        |  FROM d)
+        |SELECT batch, lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(quality) AS BIGINT) AS sum_quality,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        |FROM u GROUP BY batch, lang
+        |ORDER BY batch, lang""".stripMargin,
 
     // TVD drift between the q156-residue snapshots: per-bucket
     // cross-multiplied |n_old·N_new − n_new·N_old| terms, window-summed

@@ -223,4 +223,121 @@ class R14QuerySemanticsSpec extends SparkSpec {
       ("s0", "s1", 1L) -> ((1L, 2L)),
       ("s0", "s1", 2L) -> ((1L, 3L))), got)
   }
+
+  test("q207: BigInt brute-force Krippendorff alpha with missing ratings") {
+    val items = graft.Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        (size(array_distinct(split(lower(col("text")), " "))) * 2 >=
+          size(split(lower(col("text")), " "))).as("a"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    val perItem = items.map { case (id, a) =>
+      val ratings = Seq(Some(a),
+        if (id % 3 != 0) Some(a != (id % 7 == 0)) else None,
+        if (id % 4 != 1) Some(a != (id % 5 == 0)) else None).flatten
+      (ratings.length.toLong, ratings.count(identity).toLong)
+    }
+    val used = perItem.filter(_._1 >= 2)
+    val dropped = perItem.count(_._1 < 2).toLong
+    assert(dropped > 0, "fixture must exercise the m<2 drop path")
+    val nVals = BigInt(used.map(_._1).sum)
+    val nTrue = BigInt(used.map(_._2).sum)
+    val nFalse = nVals - nTrue
+    val s2 = BigInt(used.map { case (m, r) =>
+      if (m == 3) r * (3 - r) else 2 * r * (2 - r)
+    }.sum)
+    val num = 2 * nTrue * nFalse - (nVals - 1) * s2
+    val den = 2 * nTrue * nFalse
+    val row = run("q207_krippendorff_alpha").collect().head
+    assert(row.getAs[Long]("n_items_used") == used.length.toLong)
+    assert(row.getAs[Long]("n_items_dropped") == dropped)
+    assert(row.getAs[Long]("n_vals") == nVals.toLong)
+    assert(row.getAs[Long]("n_true") == nTrue.toLong)
+    assert(row.getAs[Long]("n_false") == nFalse.toLong)
+    assert(row.getAs[Long]("s2") == s2.toLong)
+    assert(row.getAs[Long]("alpha_num") == num.toLong)
+    assert(row.getAs[Long]("alpha_den") == den.toLong)
+    assert(row.getAs[Double]("alpha") ==
+      num.toLong.toDouble / den.toLong.toDouble)
+    assert(row.getAs[Double]("alpha") > 0.0 && row.getAs[Double]("alpha") < 1.0)
+  }
+
+  /** q208/q209 share the holdout margins; brute-force both from one
+    * collect: AUC over ALL (pos, neg) pairs, the sweep over every
+    * distinct threshold. */
+  test("q208/q209: pairwise AUC + exhaustive threshold sweep recount") {
+    val holdout = CorpusOps.classifierScores(
+        graft.Tables.documents(spark, sfDir), "doc_id",
+        col("lang") === "en", 4096)
+      .filter(!col("is_train")).select("margin", "is_pos")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    val pos = holdout.filter(_._2).map(_._1)
+    val neg = holdout.filterNot(_._2).map(_._1)
+    assert(pos.nonEmpty && neg.nonEmpty)
+    val num2 = BigInt((for { p <- pos; n <- neg } yield
+      if (p > n) 2L else if (p == n) 1L else 0L).sum)
+    val den2 = BigInt(2L) * pos.length * neg.length
+    val a = run("q208_classifier_auc").collect().head
+    assert(a.getAs[Long]("n_pos") == pos.length.toLong)
+    assert(a.getAs[Long]("n_neg") == neg.length.toLong)
+    assert(a.getAs[Long]("auc_num2") == num2.toLong)
+    assert(a.getAs[Long]("auc_den2") == den2.toLong)
+    assert(a.getAs[Double]("auc") ==
+      num2.toLong.toDouble / den2.toLong.toDouble)
+    // sf0.001's ~50-doc train split ranks BELOW chance (0.43 — too few
+    // docs to fit 4096 buckets); the recount above is the correctness
+    // pin, this only guards the division wiring
+    assert(a.getAs[Double]("auc") > 0.0 && a.getAs[Double]("auc") < 1.0)
+
+    val sweep = holdout.map(_._1).distinct.sorted.map { t =>
+      val tp = pos.count(_ >= t).toLong
+      val fp = neg.count(_ >= t).toLong
+      val fn = pos.length - tp
+      val tn = neg.length - fp
+      val f1s = (2L * tp * 1000000000L) / (2L * tp + fp + fn)
+      (t, tp, fp, tn, fn, f1s)
+    }
+    val bestF1 = sweep.map(_._6).max
+    val want = sweep.filter(_._6 == bestF1).minBy(_._1)
+    val b = run("q209_operating_point").collect()
+    assert(b.length == 1)
+    val r = b.head
+    assert((r.getAs[Long]("threshold"), r.getAs[Long]("tp"),
+      r.getAs[Long]("fp"), r.getAs[Long]("tn"), r.getAs[Long]("fn"),
+      r.getAs[Long]("f1_scaled")) == want)
+    assert(r.getAs[Long]("n_thresholds") == sweep.length.toLong)
+  }
+
+  test("q210: mergeSchema surfaces evolved columns; aggregates recount") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull)
+      .select("doc_id", "lang", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = docs.groupBy { case (id, lang, _) =>
+      (s"b${id % 3}", if (id % 3 == 0) "und" else lang)
+    }.map { case (k, rows) =>
+      k -> ((rows.length.toLong,
+        rows.map { case (id, _, nc) => if (id % 3 == 2) nc else -1L }.sum,
+        rows.map(_._1).sum))
+    }
+    val got = run("q210_lake_schema_evolution").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("sum_quality"),
+          r.getAs[Long]("id_checksum")))).toMap
+    assert(got == expected)
+    // the raw merged read really reconciles three schemas: lang is null
+    // exactly on b0 rows, quality exactly on b0 ∪ b1
+    val dir = CorpusQueries.schemaEvoLakeDir(spark, sfDir)
+    val raw = spark.read.option("mergeSchema", "true")
+      .parquet(s"$dir/b0", s"$dir/b1", s"$dir/b2")
+    val nulls = raw.groupBy("batch").agg(
+        sum(when(col("lang").isNull, 1L).otherwise(0L)).as("nl"),
+        sum(when(col("quality").isNull, 1L).otherwise(0L)).as("nq"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(nulls("b0")._1 == nulls("b0")._3 && nulls("b0")._2 == nulls("b0")._3)
+    assert(nulls("b1")._1 == 0L && nulls("b1")._2 == nulls("b1")._3)
+    assert(nulls("b2")._1 == 0L && nulls("b2")._2 == 0L)
+  }
 }
