@@ -1359,6 +1359,113 @@ object CorpusQueries extends QueryGroup {
       .orderBy("batch", "lang")
   }
 
+  /** Builds the erasure lake q212 reads: the documents written as an
+    * id-range-sorted parquet lake (8 files via repartitionByRange — the
+    * layout that keeps [[LakeDeletes]]'s footer pruning tight), then a
+    * GDPR-style deletion batch (the ≡13-mod-97 residue, ~1% of ids)
+    * erased through the staged-rename path. Memoized per (session,
+    * sfDir) under [[TempDirs.scoped]]. */
+  private val eraseMemo = new java.util.WeakHashMap[
+    org.apache.spark.sql.SparkSession,
+    scala.collection.mutable.Map[String, String]]()
+
+  private[operators] def erasureLakeDir(
+      s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val perSession = eraseMemo.synchronized {
+      var m = eraseMemo.get(s)
+      if (m == null) {
+        m = scala.collection.mutable.Map.empty[String, String]
+        eraseMemo.put(s, m)
+      }
+      m
+    }
+    perSession.synchronized {
+      perSession.getOrElseUpdate(d, {
+        val dir = TempDirs.scoped("graft-erasure")
+        val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+          .select(col("doc_id"), col("source"), col("text"))
+        docs.repartitionByRange(8, col("doc_id"))
+          .sortWithinPartitions("doc_id")
+          .write.parquet(s"$dir/data")
+        val ids = docs.filter(col("doc_id") % 97 === 13)
+          .select("doc_id").collect().map(_.getLong(0)).toSeq
+        LakeDeletes.erase(s, s"$dir/data", ids, "doc_id")
+        dir
+      })
+    }
+  }
+
+  /** Q212: right-to-be-forgotten erasure audit — reads the lake AFTER
+    * [[LakeDeletes.erase]] removed the deletion batch and reports per
+    * source what remains (doc/token counts + the exact Σ doc_id
+    * membership checksum), so an erase that missed an id, dropped a
+    * survivor, or resurrected a row from a half-committed file
+    * hash-mismatches against the oracle's logical recount. The physical
+    * claims (only range-intersecting files rewritten, staged-rename
+    * crash safety, idempotent re-run) are pinned by LakeDeletesSpec —
+    * THIS query pins the logical outcome under the driver's DuckDB
+    * gate. */
+  private val q212: Q = (s, d) => {
+    val dir = erasureLakeDir(s, d)
+    s.read.parquet(s"$dir/data")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(lower(col("text")), " ")).cast("long"))
+          .as("n_tokens"),
+        sum(col("doc_id")).as("id_checksum"))
+      .orderBy("source")
+  }
+
+  /** Q211: epoch-allocation plan under data constraints — the
+    * data-constrained-scaling planner [Muennighoff 2023]: given a token
+    * budget B = 2× the corpus (the deliberate OVER-subscription regime —
+    * some sources must repeat) and a hard repeat ceiling of 2 epochs per
+    * source (binding for the long-doc sources whose doc-share exceeds
+    * twice their token mass — so cap, surplus and redistribution are all
+    * live on the bench corpus), split B across sources ∝ document share, cap each source at
+    * its ceiling, and redistribute the capped surplus to uncapped
+    * sources ∝ their token mass (ONE redistribution round, re-capped —
+    * the fixed-point iteration truncated where its yield stops mattering;
+    * the scaladoc'd contract, not a hidden loop). Everything is integer:
+    * shares are cross-multiplied floors (never 0.01·x — the q158 rule),
+    * epochs surface as (1000·alloc) div tokens. Shape: one per-source
+    * aggregate (map-side partials), a broadcast totals row, arithmetic on
+    * the source-count-sized frame — nothing data-sized past the first
+    * scan at any corpus size. */
+  private val q211: Q = (s, d) => {
+    val perSrc = Tables.documents(s, d).filter(col("text").isNotNull)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(lower(col("text")), " ")).cast("long"))
+          .as("n_tokens"))
+    val tot = perSrc.agg(sum(col("n_docs")).as("tot_docs"),
+      sum(col("n_tokens")).as("tot_tokens"))
+    val base = perSrc.crossJoin(broadcast(tot))
+      .withColumn("budget", lit(2L) * col("tot_tokens"))
+      .withColumn("base_tokens",
+        expr("(budget * n_docs) div tot_docs"))
+      .withColumn("cap_tokens", lit(2L) * col("n_tokens"))
+      .withColumn("capped", col("base_tokens") > col("cap_tokens"))
+      .withColumn("alloc1",
+        least(col("base_tokens"), col("cap_tokens")))
+    val pools = base.agg(
+      (max(col("budget")) - sum(col("alloc1"))).as("leftover"),
+      coalesce(sum(when(!col("capped"), col("n_tokens"))
+        .otherwise(0L)), lit(0L)).as("uncapped_tokens"))
+    base.crossJoin(broadcast(pools))
+      .withColumn("extra",
+        when(col("capped") || col("uncapped_tokens") === 0, lit(0L))
+          .otherwise(expr("(leftover * n_tokens) div uncapped_tokens")))
+      .withColumn("alloc_tokens",
+        least(col("alloc1") + col("extra"), col("cap_tokens")))
+      .withColumn("epochs_x1000",
+        expr("(1000 * alloc_tokens) div n_tokens"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("base_tokens"), col("capped"), col("alloc_tokens"),
+        col("epochs_x1000"))
+      .orderBy("source")
+  }
+
   /** Q195: preference-pair audit — the QC gate RLHF/DPO data passes
     * before reward-model or preference training: per (prompt, chosen,
     * rejected) triple, the defects that poison preference losses — TIES
@@ -1671,6 +1778,8 @@ object CorpusQueries extends QueryGroup {
     "q208_classifier_auc" -> q208,
     "q209_operating_point" -> q209,
     "q210_lake_schema_evolution" -> q210,
+    "q211_epoch_allocation" -> q211,
+    "q212_lake_erasure" -> q212,
     "q197_corpus_drift_tvd" -> q197,
     "q201_card_incremental" -> q201,
   )
@@ -2947,6 +3056,48 @@ object CorpusQueries extends QueryGroup {
         |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
         |FROM u GROUP BY batch, lang
         |ORDER BY batch, lang""".stripMargin,
+
+    // epoch allocation: doc-share floors, 2-epoch cap, one surplus
+    // redistribution round ∝ uncapped token mass, re-capped; pure
+    // integer (aggregate HUGEINTs cast back per the q91 gotcha)
+    "q211_epoch_allocation" ->
+      """WITH ps AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents WHERE text IS NOT NULL GROUP BY source),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tot_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS tot_tokens FROM ps),
+        |b AS (SELECT ps.*, 2 * tot_tokens AS budget,
+        |    (2 * tot_tokens * n_docs) // tot_docs AS base_tokens,
+        |    2 * n_tokens AS cap_tokens
+        |  FROM ps, t),
+        |b2 AS (SELECT *, base_tokens > cap_tokens AS capped,
+        |    least(base_tokens, cap_tokens) AS alloc1 FROM b),
+        |p AS (SELECT CAST(max(budget) - sum(alloc1) AS BIGINT)
+        |      AS leftover,
+        |    CAST(coalesce(sum(CASE WHEN NOT capped THEN n_tokens
+        |      ELSE 0 END), 0) AS BIGINT) AS uncapped_tokens
+        |  FROM b2),
+        |f AS (SELECT b2.*, CASE WHEN capped OR uncapped_tokens = 0
+        |      THEN 0
+        |      ELSE (leftover * n_tokens) // uncapped_tokens END AS extra
+        |  FROM b2, p)
+        |SELECT source, n_docs, n_tokens, base_tokens, capped,
+        |  least(alloc1 + extra, cap_tokens) AS alloc_tokens,
+        |  (1000 * least(alloc1 + extra, cap_tokens)) // n_tokens
+        |    AS epochs_x1000
+        |FROM f ORDER BY source""".stripMargin,
+
+    // erasure audit: the logical recount of the post-erase lake — all
+    // non-null-text docs minus the ≡13-mod-97 deletion batch
+    "q212_lake_erasure" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
+        |    AS n_tokens,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        |FROM documents
+        |WHERE text IS NOT NULL AND doc_id % 97 <> 13
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     // TVD drift between the q156-residue snapshots: per-bucket
     // cross-multiplied |n_old·N_new − n_new·N_old| terms, window-summed

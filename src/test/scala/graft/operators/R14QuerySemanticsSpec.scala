@@ -308,6 +308,55 @@ class R14QuerySemanticsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_thresholds") == sweep.length.toLong)
   }
 
+  test("q211: brute-force allocation recount; caps and budget respected") {
+    val perSrc = graft.Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull)
+      .select(col("source"),
+        size(split(lower(col("text")), " ")).cast("long").as("nt"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (s, rs) =>
+        (s, rs.length.toLong, rs.map(_._2).sum)
+      }.toSeq.sortBy(_._1)
+    val totDocs = perSrc.map(_._2).sum
+    val totToks = perSrc.map(_._3).sum
+    val budget = 2L * totToks
+    val stage1 = perSrc.map { case (s, nd, nt) =>
+      val base = budget * nd / totDocs
+      val cap = 2L * nt
+      (s, nd, nt, base, base > cap, math.min(base, cap), cap)
+    }
+    val leftover = budget - stage1.map(_._6).sum
+    val uncapped = stage1.filterNot(_._5).map(_._3).sum
+    val expect = stage1.map { case (s, nd, nt, base, capped, a1, cap) =>
+      val extra = if (capped || uncapped == 0) 0L
+        else leftover * nt / uncapped
+      val alloc = math.min(a1 + extra, cap)
+      (s, nd, nt, base, capped, alloc, 1000L * alloc / nt)
+    }
+    val got = run("q211_epoch_allocation").collect().map(r =>
+      (r.getString(0), r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("base_tokens"), r.getAs[Boolean]("capped"),
+        r.getAs[Long]("alloc_tokens"), r.getAs[Long]("epochs_x1000"))).toSeq
+    assert(got == expect)
+    assert(got.map(_._6).sum <= budget)
+    got.filter(_._5).foreach { r => assert(r._6 == 2L * r._3) }
+  }
+
+  test("q212: post-erase lake content equals documents minus the batch") {
+    val dir = CorpusQueries.erasureLakeDir(spark, sfDir)
+    val left = spark.read.parquet(s"$dir/data")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    val want = graft.Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull && col("doc_id") % 97 =!= 13)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(left == want)
+    assert(want.nonEmpty)
+    // the deletion batch was non-empty (the residue exists at sf0.001)
+    val all = graft.Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull).count()
+    assert(all > want.length)
+  }
+
   test("q210: mergeSchema surfaces evolved columns; aggregates recount") {
     val docs = graft.Tables.documents(spark, sfDir)
       .filter(col("text").isNotNull)
