@@ -340,8 +340,159 @@ object LabelPropagation {
   }
 }
 
-/** q129/q133/q134 — the graph-analytics queries (SURVEY §2B graph family,
-  * with q66's connected components).
+/** Synchronous k-core peeling [Seidman 1983; Batagelj & Zaveršnik 2003] —
+  * the dense-subgraph signal web-graph curation uses to separate tightly
+  * interlinked hubs (link farms, mirror rings, genuinely popular cores)
+  * from the sparse periphery PageRank alone ranks too smoothly. Each
+  * synchronous round removes EVERY live node whose current degree is
+  * below k (classic peeling removes one minimum node at a time — a
+  * sequential order no distributed engine should replay); degrees are
+  * recomputed over the surviving subgraph and the cascade repeats. A
+  * fixed round bound keeps the plan chain bounded (the PageRank/LPA
+  * discipline); rounds after convergence are no-ops, so a converged run
+  * and a bound-limited run agree wherever peeling has finished.
+  */
+object KCore {
+
+  /** `rounds` synchronous peel rounds toward the k-core of canonical
+    * undirected `edges0` (a < b, distinct, LONG node ids). Returns one
+    * row per node incident to at least one input edge:
+    * (node, peel_round, deg) — peel_round = the 1-based round the node
+    * was removed in with its start-of-round degree, or 0 for a survivor
+    * with its degree inside the surviving subgraph.
+    *
+    * Scale shape: each round is one degree aggregation over the live
+    * edge set (partial aggs collapse map-side) + two node-keyed joins
+    * that shrink the edge list; live edges are persisted per round and
+    * the PREVIOUS round's cache is dropped as soon as the next is
+    * materialized, so at most one |E|-sized cache is live at a time. The
+    * small per-round (node, deg) tables stay cached until the consuming
+    * action (they are the peel evidence the result reads) and release
+    * run-scoped. Peeling stops early once a round removes nothing —
+    * results are identical to running all `rounds` (no-op rounds change
+    * nothing), which is what the unrolled oracle does. At or below
+    * `driverMaxEdges` the edge list collects and the IDENTICAL
+    * synchronous rules run driver-side over int-indexed adjacency
+    * (bit-equal: integer degree comparisons only — KCoreSpec pins both
+    * paths). At web scale an executor loss re-derives a dropped round
+    * from lineage; a production run over billions of edges would
+    * checkpoint the live edge set every few rounds instead. */
+  def run(edges0: DataFrame, k: Int, rounds: Int,
+      driverMaxEdges: Long = 2000000L): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(rounds >= 1 && rounds <= 12,
+      s"rounds must be in [1, 12] (bounded plan chain): $rounds")
+    val spark = edges0.sparkSession
+    val first = edges0.select(col("a"), col("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ecnt = first.count() // deciding count — never release-registered
+    if (ecnt <= driverMaxEdges) return runCollected(first, k, rounds)
+    def degreesOf(e: DataFrame): DataFrame =
+      e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("dc"))
+    var curEdges = first
+    var curAlive = first.select(col("a").as("node"))
+      .unionAll(first.select(col("b").as("node"))).distinct()
+    val degCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val peeled = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var converged = false
+    var r = 1
+    while (r <= rounds && !converged) {
+      val deg = curAlive.join(degreesOf(curEdges), Seq("node"), "left")
+        .select(col("node"), coalesce(col("dc"), lit(0L)).as("deg"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      degCaches += deg
+      val p = deg.filter(col("deg") < k)
+        .select(col("node"), lit(r).as("peel_round"), col("deg"))
+      if (p.count() == 0L) {
+        // nothing peels: remaining rounds are no-ops; this round's deg
+        // table IS the survivor degree table. The live edge cache is no
+        // longer referenced by anything the final action reads (its deg
+        // aggregation just materialized), so a release LISTENER on it
+        // would never fire — drop it directly.
+        converged = true
+        peeled += deg.select(col("node"), lit(0).as("peel_round"), col("deg"))
+        curEdges.unpersist()
+      } else {
+        peeled += p
+        val aliveNext = deg.filter(col("deg") >= k).select(col("node"))
+        val eNext = curEdges
+          .join(aliveNext.select(col("node").as("a")), Seq("a"), "left_semi")
+          .join(aliveNext.select(col("node").as("b")), Seq("b"), "left_semi")
+          .select(col("a"), col("b"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        eNext.count() // materialize (reads curEdges + this round's deg)
+        curEdges.unpersist()
+        curEdges = eNext
+        curAlive = aliveNext
+      }
+      r += 1
+    }
+    if (!converged) {
+      // round bound hit with peeling still live: survivors get their
+      // degree inside the final surviving subgraph
+      peeled += curAlive.join(degreesOf(curEdges), Seq("node"), "left")
+        .select(col("node"), lit(0).as("peel_round"),
+          coalesce(col("dc"), lit(0L)).as("deg"))
+    }
+    // register releases only now: during the loop each round's action
+    // READS earlier deg caches (alive sets are filters over them) and a
+    // listener would have dropped them mid-iteration, forcing the final
+    // union to re-derive whole unpersisted edge chains
+    degCaches.foreach(RunScopedCache.releaseAfterRun(spark, _))
+    if (!converged) RunScopedCache.releaseAfterRun(spark, curEdges)
+    peeled.reduce(_.unionAll(_))
+  }
+
+  /** The identical synchronous peel over a collected, int-indexed edge
+    * list (the PageRank.runCollected discipline): per round, every live
+    * node below k records its start-of-round degree and leaves; live
+    * neighbors decrement. Integer comparisons only, so results are
+    * bit-equal to the distributed loop. */
+  private def runCollected(e: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val spark = e.sparkSession
+    val rows = e.collect() // warm: the deciding count materialized the cache
+    e.unpersist()
+    val idx = scala.collection.mutable.LinkedHashMap[Long, Int]()
+    rows.foreach { row =>
+      idx.getOrElseUpdate(row.getLong(0), idx.size)
+      idx.getOrElseUpdate(row.getLong(1), idx.size)
+    }
+    val ids = idx.keys.toArray
+    val nbrs = Array.fill(idx.size)(
+      new scala.collection.mutable.ArrayBuffer[Int]())
+    rows.foreach { row =>
+      val a = idx(row.getLong(0)); val b = idx(row.getLong(1))
+      nbrs(a) += b; nbrs(b) += a
+    }
+    val deg = Array.tabulate(idx.size)(j => nbrs(j).size.toLong)
+    val alive = Array.fill(idx.size)(true)
+    val peelRound = Array.fill(idx.size)(0)
+    val degOut = new Array[Long](idx.size)
+    var r = 1
+    var any = true
+    while (r <= rounds && any) {
+      val toPeel = ids.indices.filter(j => alive(j) && deg(j) < k)
+      any = toPeel.nonEmpty
+      // record START-of-round degrees first (synchronous semantics:
+      // same-round peels must not see each other's decrements)
+      toPeel.foreach { j =>
+        peelRound(j) = r; degOut(j) = deg(j); alive(j) = false
+      }
+      toPeel.foreach { j =>
+        nbrs(j).foreach(n => if (alive(n)) deg(n) -= 1)
+      }
+      r += 1
+    }
+    ids.indices.foreach(j => if (alive(j)) degOut(j) = deg(j))
+    import spark.implicits._
+    ids.indices.map(j => (ids(j), peelRound(j), degOut(j)))
+      .toDF("node", "peel_round", "deg")
+  }
+}
+
+/** q129/q133/q134/q213 — the graph-analytics queries (SURVEY §2B graph
+  * family, with q66's connected components).
   */
 object GraphQueries extends QueryGroup {
 
@@ -443,13 +594,90 @@ object GraphQueries extends QueryGroup {
       .limit(100)
   }
 
+  /** Q213: k-core peeling of the REPEAT co-purchase graph — parts are
+    * adjacent only when ≥ 2 distinct orders ship both (the single-order
+    * graph is near-regular and its cores collapse in one step; repeat
+    * co-purchase is heterogeneous, so the k = 3 cascade runs the full
+    * round budget — the honest web-graph shape where k-core separates a
+    * dense hub core from the periphery). 10 synchronous [[KCore]]
+    * rounds; full per-node trace (peel round + degree then, survivors
+    * with their core degree). The oracle unrolls the identical rounds as
+    * generated CTEs (the q129 pattern, loop-emitted). */
+  private val q213: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_partkey").distinct()
+    val e = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .groupBy(col("x.l_partkey").cast("long").as("a"),
+        col("y.l_partkey").cast("long").as("b"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+      .select(col("a"), col("b"))
+    KCore.run(e, k = 3, rounds = 10)
+      .orderBy(col("node"))
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q129_graph_pagerank" -> q129,
     "q133_graph_triangles" -> q133,
     "q134_graph_communities" -> q134,
+    "q213_graph_kcore" -> q213,
   )
 
+  /** The q213 oracle, loop-generated (the q129 unrolled-CTE pattern at
+    * 10 rounds): per round, degrees of the live subgraph, peel < k with
+    * the start-of-round degree, filter the edge list by the survivor
+    * set; survivors report their final-subgraph degree. Rounds after
+    * convergence are no-ops, matching [[KCore]]'s early exit. Every
+    * per-round CTE is MATERIALIZED: DuckDB inlines plain CTEs, so a
+    * 10-round chain whose every table references the previous round ~3×
+    * would expand 3¹⁰ scans and exhaust file handles on the base
+    * parquet. */
+  private def kcoreOracleSql(k: Int, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT CAST(x.l_partkey AS BIGINT) AS a,
+        |    CAST(y.l_partkey AS BIGINT) AS b
+        |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+        |    AND x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |a0 AS (SELECT DISTINCT a AS node FROM e0
+        |       UNION SELECT DISTINCT b FROM e0),
+        |""".stripMargin)
+    for (r <- 1 to rounds) {
+      sb.append(
+        s"""d$r AS MATERIALIZED (SELECT a${r - 1}.node,
+           |    CAST(coalesce(dd.deg, 0) AS BIGINT) AS deg
+           |  FROM a${r - 1} LEFT JOIN (SELECT node, count(*) AS deg
+           |      FROM (SELECT a AS node FROM e${r - 1}
+           |            UNION ALL SELECT b FROM e${r - 1})
+           |      GROUP BY node) dd USING (node)),
+           |p$r AS (SELECT node, $r AS peel_round, deg
+           |  FROM d$r WHERE deg < $k),
+           |a$r AS MATERIALIZED (SELECT node FROM d$r WHERE deg >= $k),
+           |e$r AS MATERIALIZED (SELECT e.a, e.b FROM e${r - 1} e
+           |  JOIN a$r x ON e.a = x.node JOIN a$r y ON e.b = y.node),
+           |""".stripMargin)
+    }
+    sb.append(
+      s"""surv AS (SELECT a$rounds.node, 0 AS peel_round,
+         |    CAST(coalesce(dd.deg, 0) AS BIGINT) AS deg
+         |  FROM a$rounds LEFT JOIN (SELECT node, count(*) AS deg
+         |      FROM (SELECT a AS node FROM e$rounds
+         |            UNION ALL SELECT b FROM e$rounds)
+         |      GROUP BY node) dd USING (node))
+         |SELECT node, CAST(peel_round AS INT) AS peel_round, deg FROM
+         |  (${(1 to rounds).map(r => s"SELECT * FROM p$r")
+            .mkString("\n   UNION ALL ")}
+         |   UNION ALL SELECT * FROM surv)
+         |ORDER BY node""".stripMargin)
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
+    "q213_graph_kcore" -> kcoreOracleSql(3, 10),
     // three unrolled LPA rounds (the q129 pattern): neighbor-label
     // counts, argmax via max({'c': c, 'nl': -lbl}) — max count, tie →
     // min label — mirrored against Spark's max(struct(c, -lbl))
