@@ -1111,6 +1111,68 @@ object CorpusQueries extends QueryGroup {
           (lit(2L) * col("tp") + col("fp") + col("fn"))).as("f1"))
   }
 
+  /** Q214: split-conformal keep-threshold selection — the
+    * distribution-free answer to "what margin cutoff keeps ≥ 90% of the
+    * good documents" ([Vovk et al. 2005; Papadopoulos 2008] split
+    * conformal prediction applied to the q126 quality filter). The
+    * HOLDOUT splits into CALIBRATION and EVALUATION halves by the q106
+    * content-stable hash move (md5("id#conf") < 2³¹ — membership never
+    * migrates as the corpus grows); the keep threshold is the exact
+    * r-th smallest calibration-POSITIVE margin with the conformal +1
+    * correction, r = max(⌊(n_cal_pos + 1)/10⌋, 1) for α = 10% — a pure
+    * integer rank (never `0.1·n`: a float rank literal is
+    * engine-divergent at boundaries, the q158 lesson), so at most r − 1
+    * ≤ α·(n+1) calibration positives fall below it. The EVAL half then
+    * reports realized positive coverage and the negative false-keep rate
+    * (exact counts, integer per-mille, ONE double division each — the
+    * q95 contract). Shape: ONE scored frame feeds both halves inside one
+    * action (the classifierScores base cache is run-scoped); the rank
+    * window runs over CALIBRATION POSITIVES only (eval-set-sized, never
+    * the corpus — at 100 TB the order statistic swaps to the q83
+    * `decileBinDistributed` range-partition form); the 1-row threshold
+    * broadcasts. */
+  private val q214: Q = (s, d) => {
+    val scored = CorpusOps.classifierScores(Tables.documents(s, d),
+        "doc_id", col("lang") === "en", 4096)
+      .filter(!col("is_train"))
+      .select(col("doc_id"), col("is_pos"), col("margin"),
+        (call_function("md5_prefix32",
+          concat(col("doc_id").cast("string"), lit("#conf")))
+          < 2147483648L).as("is_cal"))
+    val calPos = scored.filter(col("is_cal") && col("is_pos"))
+    val nCal = calPos.agg(count(lit(1)).as("n_cal_pos"))
+      .withColumn("rank_r", expr("greatest((n_cal_pos + 1) div 10, 1L)"))
+    val thr = calPos
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("margin"), col("doc_id"))).cast("long"))
+      .join(broadcast(nCal), col("rn") === col("rank_r"))
+      .select(col("n_cal_pos"), col("rank_r"),
+        col("margin").as("threshold"))
+    scored.filter(!col("is_cal"))
+      .crossJoin(broadcast(thr))
+      .groupBy("n_cal_pos", "rank_r", "threshold")
+      .agg(
+        sum(when(col("is_pos"), 1L).otherwise(0L)).as("n_eval_pos"),
+        sum(when(col("is_pos") && col("margin") >= col("threshold"), 1L)
+          .otherwise(0L)).as("eval_covered"),
+        sum(when(!col("is_pos"), 1L).otherwise(0L)).as("n_eval_neg"),
+        sum(when(!col("is_pos") && col("margin") >= col("threshold"), 1L)
+          .otherwise(0L)).as("eval_false_keep"))
+      .select(col("n_cal_pos"), col("rank_r"), col("threshold"),
+        col("n_eval_pos"), col("eval_covered"),
+        when(col("n_eval_pos") > 0,
+          expr("(1000 * eval_covered) div n_eval_pos")).as("cov_pm"),
+        when(col("n_eval_pos") > 0,
+          col("eval_covered").cast("double") / col("n_eval_pos"))
+          .as("coverage"),
+        col("n_eval_neg"), col("eval_false_keep"),
+        when(col("n_eval_neg") > 0,
+          expr("(1000 * eval_false_keep) div n_eval_neg")).as("fk_pm"),
+        when(col("n_eval_neg") > 0,
+          col("eval_false_keep").cast("double") / col("n_eval_neg"))
+          .as("false_keep_rate"))
+  }
+
   /** Q179: classifier calibration (the reliability report): the q126
     * quality classifier's HOLDOUT margins ranked into q83-style
     * integer-division deciles, each bin reporting exact positive counts,
@@ -1780,6 +1842,7 @@ object CorpusQueries extends QueryGroup {
     "q210_lake_schema_evolution" -> q210,
     "q211_epoch_allocation" -> q211,
     "q212_lake_erasure" -> q212,
+    "q214_conformal_threshold" -> q214,
     "q197_corpus_drift_tvd" -> q197,
     "q201_card_incremental" -> q201,
   )
@@ -3036,6 +3099,54 @@ object CorpusQueries extends QueryGroup {
         |  CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) AS f1
         |FROM b WHERE f1_scaled = best
         |ORDER BY threshold LIMIT 1""".stripMargin),
+
+    // split-conformal keep threshold: the shared q126 refit, the
+    // md5("id#conf") < 2³¹ calibration/eval halving, the exact integer
+    // rank r = greatest((n+1)//10, 1) into the row_number()-ranked
+    // calibration-positive margins, then eval-half coverage /
+    // false-keep counts with integer per-mille and one division each
+    "q214_conformal_threshold" ->
+      (clsOracleCore +
+      """, scored AS (SELECT f.doc_id, bool_or(f.is_pos) AS is_pos,
+        |    bool_or(f.is_train) AS is_train,
+        |    CAST(coalesce(sum(w.w), 0) AS BIGINT) AS margin
+        |  FROM f LEFT JOIN w USING (bucket) GROUP BY f.doc_id),
+        |ho AS (SELECT doc_id, is_pos, margin,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#conf'), 1, 8))
+        |      ::BIGINT < 2147483648 AS is_cal
+        |  FROM scored WHERE NOT is_train),
+        |rr AS (SELECT CAST(count(*) AS BIGINT) AS n_cal_pos,
+        |    greatest((CAST(count(*) AS BIGINT) + 1) // 10, 1) AS rank_r
+        |  FROM ho WHERE is_cal AND is_pos),
+        |rk AS (SELECT margin,
+        |    row_number() OVER (ORDER BY margin, doc_id) AS rn
+        |  FROM ho WHERE is_cal AND is_pos),
+        |thr AS (SELECT rr.n_cal_pos, rr.rank_r, rk.margin AS threshold
+        |  FROM rr JOIN rk ON rk.rn = rr.rank_r),
+        |ev AS (SELECT thr.n_cal_pos, thr.rank_r, thr.threshold,
+        |    CAST(count(CASE WHEN is_pos THEN 1 END) AS BIGINT)
+        |      AS n_eval_pos,
+        |    CAST(count(CASE WHEN is_pos AND margin >= thr.threshold
+        |      THEN 1 END) AS BIGINT) AS eval_covered,
+        |    CAST(count(CASE WHEN NOT is_pos THEN 1 END) AS BIGINT)
+        |      AS n_eval_neg,
+        |    CAST(count(CASE WHEN NOT is_pos AND margin >= thr.threshold
+        |      THEN 1 END) AS BIGINT) AS eval_false_keep
+        |  FROM ho, thr WHERE NOT is_cal
+        |  GROUP BY 1, 2, 3)
+        |SELECT n_cal_pos, rank_r, threshold, n_eval_pos, eval_covered,
+        |  CASE WHEN n_eval_pos > 0
+        |    THEN (1000 * eval_covered) // n_eval_pos END AS cov_pm,
+        |  CASE WHEN n_eval_pos > 0
+        |    THEN CAST(eval_covered AS DOUBLE) / n_eval_pos
+        |  END AS coverage,
+        |  n_eval_neg, eval_false_keep,
+        |  CASE WHEN n_eval_neg > 0
+        |    THEN (1000 * eval_false_keep) // n_eval_neg END AS fk_pm,
+        |  CASE WHEN n_eval_neg > 0
+        |    THEN CAST(eval_false_keep AS DOUBLE) / n_eval_neg
+        |  END AS false_keep_rate
+        |FROM ev""".stripMargin),
 
     // schema-evolution read: rebuild the three batch memberships from
     // the residues and apply the same typed defaults (b0 predates lang

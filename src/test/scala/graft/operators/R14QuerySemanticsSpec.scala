@@ -308,6 +308,44 @@ class R14QuerySemanticsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_thresholds") == sweep.length.toLong)
   }
 
+  test("q214: conformal rank, threshold and eval counts recount") {
+    def md5p32(s: String): Long = {
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        dig.take(4).map(b => f"${b & 0xff}%02x").mkString, 16)
+    }
+    val holdout = CorpusOps.classifierScores(
+        graft.Tables.documents(spark, sfDir), "doc_id",
+        col("lang") === "en", 4096)
+      .filter(!col("is_train")).select("doc_id", "is_pos", "margin")
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2)))
+    val (cal, eval0) = holdout.partition { case (id, _, _) =>
+      md5p32(s"$id#conf") < 2147483648L
+    }
+    val calPos = cal.filter(_._2).map(_._3).sorted
+    assert(calPos.nonEmpty, "fixture must have calibration positives")
+    val r = math.max((calPos.length + 1L) / 10L, 1L)
+    val t = calPos((r - 1).toInt)
+    val evalPos = eval0.filter(_._2)
+    val evalNeg = eval0.filterNot(_._2)
+    val covered = evalPos.count(_._3 >= t).toLong
+    val falseKeep = evalNeg.count(_._3 >= t).toLong
+    val row = run("q214_conformal_threshold").collect().head
+    assert(row.getAs[Long]("n_cal_pos") == calPos.length.toLong)
+    assert(row.getAs[Long]("rank_r") == r)
+    assert(row.getAs[Long]("threshold") == t)
+    assert(row.getAs[Long]("n_eval_pos") == evalPos.length.toLong)
+    assert(row.getAs[Long]("eval_covered") == covered)
+    assert(row.getAs[Long]("n_eval_neg") == evalNeg.length.toLong)
+    assert(row.getAs[Long]("eval_false_keep") == falseKeep)
+    assert(row.getAs[Long]("cov_pm") == 1000L * covered / evalPos.length)
+    // the conformal guarantee's finite-sample side: at most r−1
+    // calibration positives sit strictly below the threshold
+    assert(calPos.count(_ < t) <= r - 1)
+  }
+
   test("q211: brute-force allocation recount; caps and budget respected") {
     val perSrc = graft.Tables.documents(spark, sfDir)
       .filter(col("text").isNotNull)
