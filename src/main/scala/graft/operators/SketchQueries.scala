@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -254,6 +254,65 @@ object MergeableHistogram {
   }
 }
 
+/** Deterministic Bloom filter [Bloom 1970] over md5-derived bit positions —
+  * the runtime-filter / semi-join-pruning sketch: build the bit array over
+  * a small dimension-side key set once, probe the fact side map-only, and
+  * only the (rare) Bloom-passing rows pay the real join. Membership has NO
+  * false negatives, so the pass set is a superset of the true semi-join —
+  * the audit this object's query runs quantifies the false-positive rate
+  * that determines how much shuffle the prefilter actually saves.
+  *
+  * Determinism: position i of a key is md5_prefix32(key || "#b" || i) mod
+  * mBits — exactly reproducible in DuckDB. The array packs 32 bits per
+  * BIGINT word (bit 63 is unusable cross-engine: DuckDB raises on
+  * `1::BIGINT << 63`, and 32-bit masks keep every word non-negative).
+  */
+object BloomPrefilter {
+
+  val WordBits = 32
+
+  private def positions(key: Column, mBits: Int, hashes: Int): Seq[Column] =
+    (0 until hashes).map { i =>
+      pmod(call_function("md5_prefix32",
+        concat(key.cast("string"), lit(s"#b$i"))), lit(mBits.toLong))
+    }
+
+  /** The packed word array (mBits/32 longs) over the values of `keyCol`.
+    * One small shuffle over the KEY side (partial bit_or collapses
+    * map-side), then a bounded driver collect — the broadcast-literal
+    * model discipline (q126: "model as a literal array — scan → score,
+    * no join"). */
+  def build(keys: DataFrame, keyCol: String, mBits: Int,
+      hashes: Int): Array[Long] = {
+    require(mBits % WordBits == 0, s"mBits must pack whole words: $mBits")
+    val arr = new Array[Long](mBits / WordBits)
+    keys
+      .select(explode(array(
+        positions(col(keyCol), mBits, hashes): _*)).as("p"))
+      .select(expr(s"p div $WordBits").as("w"),
+        expr(s"shiftleft(1L, cast(pmod(p, $WordBits) as int))").as("m"))
+      .groupBy("w").agg(expr("bit_or(m)").as("bits"))
+      .collect()
+      .foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+    arr
+  }
+
+  /** Membership test against the literal `words` — per-row builtin
+    * column algebra only (md5 + element_at + bitwise AND), so the probe
+    * stays inside whole-stage codegen with zero joins; the repeated md5
+    * subtrees per hash collapse under codegen subexpression
+    * elimination. */
+  def memberCol(key: Column, words: Array[Long], mBits: Int,
+      hashes: Int): Column =
+    positions(key, mBits, hashes).map { p =>
+      // word = p >> 5, bit = p & 31 — pure integer bitwise, no double
+      // division anywhere; element_at is 1-based
+      (element_at(lit(words), (shiftright(p, 5) + 1).cast("int"))
+        .bitwiseAND(call_function("shiftleft", lit(1L),
+          p.bitwiseAND(lit(31L)).cast("int"))) =!= 0L)
+    }.reduce(_ && _)
+}
+
 /** q127/q128 — the mergeable-summary queries (SURVEY §2B incremental
   * maintenance family, with q124's rollup).
   */
@@ -395,15 +454,121 @@ object SketchQueries extends QueryGroup {
       .orderBy("user_id")
   }
 
+  /** Q215: Bloom-prefilter audit — the runtime-filter question every
+    * large fact⋈dim join at 100 TB turns on: build a 4096-bit / 3-hash
+    * [[BloomPrefilter]] over the BUILDING-segment customer keys (the
+    * small predicate side), probe every order MAP-ONLY against the
+    * literal word array, and report exactly what the prefilter buys —
+    * true semi-join matches (Bloom passes them ALL: no false negatives,
+    * asserted by construction n_pass ≥ n_true), false positives among
+    * the true-negative probes, and the realized fp per-mille against
+    * the m/n/k design point. The dim side is one bounded build pass;
+    * the fact side is a single scan with per-row builtin algebra plus
+    * one broadcast hash join for the exact-truth flag (the comparison
+    * baseline the audit exists to price). Integer counts, integer
+    * per-mille, ONE double division (the q95 contract). */
+  private val q215: Q = (s, d) => {
+    val mBits = 4096; val nHash = 3
+    val cust = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val words = BloomPrefilter.build(cust, "c_custkey", mBits, nHash)
+    val bitsSet = words.map(java.lang.Long.bitCount(_).toLong).sum
+    val nKeys = cust.agg(count(lit(1)).as("n_keys"))
+    Tables.orders(s, d).select(col("o_custkey"))
+      .join(broadcast(cust.withColumn("dim_hit", lit(1))),
+        col("o_custkey") === col("c_custkey"), "left")
+      .select(col("o_custkey"), col("dim_hit").isNotNull.as("is_true"),
+        BloomPrefilter.memberCol(col("o_custkey"), words, mBits, nHash)
+          .as("pass"))
+      .crossJoin(broadcast(nKeys))
+      .groupBy("n_keys")
+      .agg(count(lit(1)).as("n_probe"),
+        sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"),
+        sum(when(col("is_true"), 1L).otherwise(0L)).as("n_true"),
+        sum(when(col("pass") && !col("is_true"), 1L).otherwise(0L))
+          .as("n_false_pos"))
+      .select(lit(mBits.toLong).as("m_bits"), lit(nHash).as("n_hashes"),
+        col("n_keys"), lit(bitsSet).as("bits_set"),
+        col("n_probe"), col("n_pass"), col("n_true"), col("n_false_pos"),
+        when(col("n_probe") - col("n_true") > 0,
+          expr("(1000 * n_false_pos) div (n_probe - n_true)")).as("fp_pm"),
+        when(col("n_probe") - col("n_true") > 0,
+          col("n_false_pos").cast("double") /
+            (col("n_probe") - col("n_true"))).as("fp_rate"))
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q127_distinct_kmv_rollup" -> q127,
     "q128_percentile_rollup" -> q128,
     "q132_distinct_set_ops" -> q132,
     "q140_distinct_sliding" -> q140,
     "q144_freq_cm_rollup" -> q144,
+    "q215_bloom_prefilter" -> q215,
   )
 
   val oracles: Map[String, String] = Map(
+    // Bloom prefilter: identical md5 positions ("key#b0..2" mod 8192),
+    // 32-bit word packing via bit_or(1 << p%32) (bit 63 would raise in
+    // DuckDB), probe via three LEFT JOINs onto the word table, truth
+    // via a LEFT JOIN on the key set
+    "q215_bloom_prefilter" ->
+      """WITH keys AS (SELECT c_custkey FROM customer
+        |  WHERE c_mktsegment = 'BUILDING'),
+        |pos AS (SELECT c_custkey, unnest([
+        |    ('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '#b0'),
+        |      1, 8))::BIGINT % 4096,
+        |    ('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '#b1'),
+        |      1, 8))::BIGINT % 4096,
+        |    ('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '#b2'),
+        |      1, 8))::BIGINT % 4096]) AS p
+        |  FROM keys),
+        |words AS (SELECT p // 32 AS w,
+        |    CAST(bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS BIGINT)
+        |      AS bits
+        |  FROM pos GROUP BY 1),
+        |bs AS (SELECT CAST(coalesce(sum(bit_count(bits)), 0) AS BIGINT)
+        |    AS bits_set FROM words),
+        |nk AS (SELECT CAST(count(*) AS BIGINT) AS n_keys FROM keys),
+        |ph AS (SELECT o_custkey,
+        |    ('0x' || substr(md5(CAST(o_custkey AS VARCHAR) || '#b0'),
+        |      1, 8))::BIGINT % 4096 AS p0,
+        |    ('0x' || substr(md5(CAST(o_custkey AS VARCHAR) || '#b1'),
+        |      1, 8))::BIGINT % 4096 AS p1,
+        |    ('0x' || substr(md5(CAST(o_custkey AS VARCHAR) || '#b2'),
+        |      1, 8))::BIGINT % 4096 AS p2
+        |  FROM orders),
+        |pj AS (SELECT ph.o_custkey,
+        |    k.c_custkey IS NOT NULL AS is_true,
+        |    (coalesce(w0.bits, 0) &
+        |      (1::BIGINT << CAST(ph.p0 % 32 AS INT))) <> 0
+        |    AND (coalesce(w1.bits, 0) &
+        |      (1::BIGINT << CAST(ph.p1 % 32 AS INT))) <> 0
+        |    AND (coalesce(w2.bits, 0) &
+        |      (1::BIGINT << CAST(ph.p2 % 32 AS INT))) <> 0 AS pass
+        |  FROM ph
+        |  LEFT JOIN keys k ON k.c_custkey = ph.o_custkey
+        |  LEFT JOIN words w0 ON w0.w = ph.p0 // 32
+        |  LEFT JOIN words w1 ON w1.w = ph.p1 // 32
+        |  LEFT JOIN words w2 ON w2.w = ph.p2 // 32),
+        |ag AS (SELECT n_keys,
+        |    CAST(count(*) AS BIGINT) AS n_probe,
+        |    CAST(count(CASE WHEN pass THEN 1 END) AS BIGINT) AS n_pass,
+        |    CAST(count(CASE WHEN is_true THEN 1 END) AS BIGINT)
+        |      AS n_true,
+        |    CAST(count(CASE WHEN pass AND NOT is_true THEN 1 END)
+        |      AS BIGINT) AS n_false_pos
+        |  FROM pj, nk GROUP BY n_keys)
+        |SELECT CAST(4096 AS BIGINT) AS m_bits, 3 AS n_hashes, n_keys,
+        |  (SELECT bits_set FROM bs) AS bits_set,
+        |  n_probe, n_pass, n_true, n_false_pos,
+        |  CASE WHEN n_probe - n_true > 0
+        |    THEN (1000 * n_false_pos) // (n_probe - n_true) END AS fp_pm,
+        |  CASE WHEN n_probe - n_true > 0
+        |    THEN CAST(n_false_pos AS DOUBLE) / (n_probe - n_true)
+        |  END AS fp_rate
+        |FROM ag""".stripMargin,
+
     // direct KMV sketch (no hourly stage): row_number over distinct
     // hashes per type, keep k, collapse — equality with the Spark-side
     // merged path is the merge-theorem check. (k−1)·2³² = 270582939648.
