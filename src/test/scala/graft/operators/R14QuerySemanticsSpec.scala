@@ -346,6 +346,46 @@ class R14QuerySemanticsSpec extends SparkSpec {
     assert(calPos.count(_ < t) <= r - 1)
   }
 
+  test("q216: JVM projection + distance recount from the quantized codes") {
+    def md5p32(v: String): Long = {
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(v.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        dig.take(4).map(b => f"${b & 0xff}%02x").mkString, 16)
+    }
+    val signs = Array.tabulate(64, 16)((i, j) =>
+      if (md5p32(s"jl:$i:$j") % 2 == 0) 1L else -1L)
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val codes = IvfStorage.quantize(e, IvfStorage.quantizationParams(e))
+      .select("vec_id", "codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toArray).toMap
+    def proj(c: Array[Int]): Array[Long] =
+      Array.tabulate(16)(j =>
+        (0 until 64).map(i => c(i).toLong * signs(i)(j)).sum)
+    val rows = run("q216_vec_jl_projection").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(a % 5 == 0 && b == a + 1)
+      val (ca, cb) = (codes(a), codes(b))
+      val d2o = (0 until 64).map { i =>
+        val d = ca(i).toLong - cb(i); d * d
+      }.sum
+      val (pa, pb) = (proj(ca), proj(cb))
+      val d2p = (0 until 16).map { j =>
+        val d = pa(j) - pb(j); d * d
+      }.sum
+      assert(r.getAs[Long]("d2_orig") == d2o, s"d2_orig pair ($a,$b)")
+      assert(r.getAs[Long]("d2_proj") == d2p, s"d2_proj pair ($a,$b)")
+      assert(r.getAs[Long]("distortion_pm") == 1000L * d2p / (16L * d2o))
+    }
+    // the JL identity E[d²_proj] = K·d²_orig: the per-pair distortion
+    // averages near 1000‰ (generous band — 10 pairs at sf0.001)
+    val mean = rows.map(_.getAs[Long]("distortion_pm")).sum /
+      rows.length.toDouble
+    assert(mean > 400 && mean < 2500, s"mean distortion $mean off-identity")
+  }
+
   test("q211: brute-force allocation recount; caps and budget respected") {
     val perSrc = graft.Tables.documents(spark, sfDir)
       .filter(col("text").isNotNull)
