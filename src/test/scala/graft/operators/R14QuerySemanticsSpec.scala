@@ -386,6 +386,56 @@ class R14QuerySemanticsSpec extends SparkSpec {
     assert(mean > 400 && mean < 2500, s"mean distortion $mean off-identity")
   }
 
+  test("q217: blocking metrics recount from a collected fixture rebuild") {
+    case class A(key: Long, nation: Long, seg: String, bal: Long,
+      code: Long, band: Long)
+    val base = graft.Tables.customer(spark, sfDir)
+      .select(col("c_custkey").cast("long"), col("c_nationkey").cast("long"),
+        col("c_mktsegment"),
+        (col("c_acctbal").cast(
+          org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long"),
+        substring(col("c_name"), -6, 6).cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4)))
+    val as = base.map { case (k, n, s0, b, c) =>
+      A(k, n, s0, b, c, (b + 100000L) / 200000L)
+    }
+    val bs = base.filter(_._1 % 5 != 4).map { case (k, n, s0, b, c) =>
+      val bn = if (k % 11 == 0) (n + 1) % 25 else n
+      val bseg = if (k % 7 == 0) "X" + s0 else s0
+      val bb = if (k % 3 == 0) b + 1000 else b
+      val bc = if (k % 13 == 0) c + 1 else c
+      A(k, bn, bseg, bb, bc, (bb + 100000L) / 200000L)
+    }
+    val p1 = for { x <- as; y <- bs
+      if x.nation == y.nation && x.seg == y.seg } yield (x.key, y.key)
+    val p2 = for { x <- as; y <- bs
+      if x.nation == y.nation && x.band == y.band } yield (x.key, y.key)
+    val pu = (p1 ++ p2).distinct
+    val want = Map(
+      "nation_segment" -> p1, "nation_band" -> p2, "union" -> pu)
+    val rows = run("q217_blocking_eval").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == want.keySet)
+    want.foreach { case (name, pairs) =>
+      val r = rows(name)
+      assert(r.getAs[Long]("n_cand") == pairs.length.toLong, name)
+      val found = pairs.count(p => p._1 == p._2).toLong
+      assert(r.getAs[Long]("n_true_found") == found, name)
+      assert(r.getAs[Long]("n_true_total") == bs.length.toLong, name)
+      assert(r.getAs[Long]("pc_pm") == 1000L * found / bs.length, name)
+      assert(r.getAs[Long]("rr_pm") ==
+        1000L - 1000L * pairs.length / (as.length.toLong * bs.length), name)
+    }
+    // the structural ceiling: both passes block on nation, so a corrupted
+    // nation (every 11th B key) is unreachable even by the union
+    val unreachable = bs.count(b => b.key % 11 == 0).toLong
+    assert(rows("union").getAs[Long]("n_true_found") <=
+      bs.length - unreachable)
+  }
+
   test("q211: brute-force allocation recount; caps and budget respected") {
     val perSrc = graft.Tables.documents(spark, sfDir)
       .filter(col("text").isNotNull)
