@@ -436,6 +436,29 @@ class R14QuerySemanticsSpec extends SparkSpec {
       bs.length - unreachable)
   }
 
+  test("q218: code-band pass is complete by construction and equi-planned") {
+    val df = run("q218_blocking_code_band")
+    val rows = df.collect().map(r => r.getString(0) -> r).toMap
+    // the degradation model moves code by at most +1, so the ±1 band
+    // can never lose a true pair — and neither can the union on top
+    assert(rows("code_band").getAs[Long]("n_true_found") ==
+      rows("code_band").getAs[Long]("n_true_total"))
+    assert(rows("code_band").getAs[Long]("pc_pm") == 1000L)
+    assert(rows("all_union").getAs[Long]("pc_pm") == 1000L)
+    // the high-cardinality pass must be cheaper than the union it joins
+    assert(rows("code_band").getAs[Long]("n_cand") <
+      rows("all_union").getAs[Long]("n_cand"))
+    // BandJoinRewrite must turn the band theta-join into an equi join:
+    // an INNER nested-loop factor in this plan is the 100 TB failure
+    // mode (the 1-row totals crossJoin legitimately plans as a Cross
+    // BNLJ — that one is not the band join)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoopJoin BuildRight, Inner") &&
+      !plan.contains("NestedLoopJoin BuildLeft, Inner") &&
+      !plan.contains("CartesianProduct"),
+      "band blocking pass must not plan as an inner nested-loop join")
+  }
+
   test("q211: brute-force allocation recount; caps and budget respected") {
     val perSrc = graft.Tables.documents(spark, sfDir)
       .filter(col("text").isNotNull)
