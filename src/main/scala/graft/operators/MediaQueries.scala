@@ -50,8 +50,46 @@ object MediaQueries extends QueryGroup {
         length(col("bytes")).cast("long").as("n_bytes"))
       .orderBy("file_key")
 
+  /** Q219: video frame-sample manifest — the third modality's ingest
+    * plumbing (images decode via ImageIO, audio via the WAV codec; video
+    * has NO JDK demuxer, so the decode step here is a CLEARLY-MARKED
+    * DETERMINISTIC STUB while everything Spark-side is real and oracled:
+    * blob ingest, modality dispatch, the per-file manifest explode, the
+    * 2 fps sampling grid, partition shape). Stub contract: duration_ms =
+    * 1000 + md5_prefix32(file_key || ':' || n_bytes) mod 9000 and
+    * frame_fp = md5(file_key || ':' || frame_idx) stand in for the
+    * demuxer's stream duration and decoded-frame perceptual hash; a
+    * production build swaps BOTH behind the same manifest schema
+    * (file_key, frame_idx, t_ms, frame_fp) and nothing downstream
+    * changes — exactly how the q102 image pipeline consumes phashes.
+    * Scale shape: per-row column algebra + one bounded explode
+    * (⌈duration/stride⌉ rows per clip), no shuffle at all; a 100 TB
+    * video lake runs this as the same map-only scan. */
+  private val q219: Q = (s, _) =>
+    Multimodal.readMediaDir(s, fixtureDir, keepPath = true)
+      .filter(col("modality") === "video")
+      .select(
+        md5(regexp_extract(col("path"), "[^/]+$", 0).cast("binary"))
+          .as("file_key"),
+        col("meta.format").as("format"),
+        length(col("bytes")).cast("long").as("n_bytes"))
+      .withColumn("duration_ms",
+        pmod(call_function("md5_prefix32",
+          concat(col("file_key"), lit(":"), col("n_bytes").cast("string"))),
+          lit(9000L)) + 1000L)
+      .withColumn("n_frames", expr("(duration_ms + 499) div 500"))
+      .select(col("file_key"), col("format"), col("n_bytes"),
+        col("duration_ms"), col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1)).as("frame_idx"))
+      .withColumn("t_ms", col("frame_idx") * 500L)
+      .withColumn("frame_fp",
+        md5(concat(col("file_key"), lit(":"),
+          col("frame_idx").cast("string")).cast("binary")))
+      .orderBy("file_key", "frame_idx")
+
   val queries: Seq[(String, Q)] = Seq(
     "q98_media_ingest_metadata" -> q98,
+    "q219_media_video_frames" -> q219,
     // ⚙ rows-only: perceptual near-dup over generated deterministic
     // media with in-query constructed twins (DuckDB cannot decode
     // images/audio); recall/precision contracts spec-pinned in
@@ -258,6 +296,30 @@ object MediaQueries extends QueryGroup {
         |  ext AS format,
         |  CAST(len AS BIGINT) AS n_bytes
         |FROM blobs ORDER BY file_key""".stripMargin,
+    // frame manifest: same blob read + stub algebra (md5-prefix duration,
+    // md5 frame fingerprints) — scalar-context range() per the q172 rule
+    "q219_media_video_frames" ->
+      """WITH blobs AS (
+        |  SELECT regexp_extract(filename, '[^/]+$') AS fname,
+        |         lower(regexp_extract(filename, '\.([A-Za-z0-9]+)$', 1))
+        |           AS ext,
+        |         octet_length(content) AS len
+        |  FROM read_blob('/root/repo/fixtures/media/*')),
+        |vids AS (SELECT md5(fname) AS file_key, ext AS format,
+        |    CAST(len AS BIGINT) AS n_bytes
+        |  FROM blobs WHERE ext IN ('mp4','mkv','webm','avi')),
+        |dur AS (SELECT *,
+        |    ('0x' || substr(md5(file_key || ':' || n_bytes), 1, 8))
+        |      ::BIGINT % 9000 + 1000 AS duration_ms
+        |  FROM vids),
+        |nf AS (SELECT *, (duration_ms + 499) // 500 AS n_frames FROM dur),
+        |fr AS (SELECT file_key, format, n_bytes, duration_ms, n_frames,
+        |    unnest(range(0, n_frames)) AS frame_idx
+        |  FROM nf)
+        |SELECT file_key, format, n_bytes, duration_ms, n_frames,
+        |  frame_idx, frame_idx * 500 AS t_ms,
+        |  md5(file_key || ':' || frame_idx) AS frame_fp
+        |FROM fr ORDER BY file_key, frame_idx""".stripMargin,
     "q102b_media_dedup_twin" -> hammingTwinOracle(imgFixture),
     "q103b_media_audio_twin" -> hammingTwinOracle(audFixture),
     "q204_crossmodal_dedup" -> crossModalOracle(imgFixture),

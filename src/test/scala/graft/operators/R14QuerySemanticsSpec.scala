@@ -459,6 +459,25 @@ class R14QuerySemanticsSpec extends SparkSpec {
       "band blocking pass must not plan as an inner nested-loop join")
   }
 
+  test("q219: frame grid tiles each clip's stub duration exactly") {
+    val rows = run("q219_media_video_frames").collect()
+    assert(rows.nonEmpty)
+    val byClip = rows.groupBy(_.getAs[String]("file_key"))
+    assert(byClip.size == 4, "fixture ships 4 video extensions")
+    byClip.foreach { case (_, fs) =>
+      val dur = fs.head.getAs[Long]("duration_ms")
+      val n = fs.head.getAs[Long]("n_frames")
+      assert(n == (dur + 499) / 500)
+      assert(fs.length.toLong == n, "one row per sampled frame")
+      val ts = fs.map(_.getAs[Long]("t_ms")).sorted
+      assert(ts.toSeq == (0L until n).map(_ * 500L),
+        "2 fps grid from t=0")
+      assert(ts.last < dur, "last sample inside the clip")
+      assert(fs.map(_.getAs[String]("frame_fp")).distinct.length ==
+        fs.length, "stub fingerprints are per-frame distinct")
+    }
+  }
+
   test("q211: brute-force allocation recount; caps and budget respected") {
     val perSrc = graft.Tables.documents(spark, sfDir)
       .filter(col("text").isNotNull)
