@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics beyond connected components: fixed-point
@@ -603,19 +604,105 @@ object GraphQueries extends QueryGroup {
     * rounds; full per-node trace (peel round + degree then, survivors
     * with their core degree). The oracle unrolls the identical rounds as
     * generated CTEs (the q129 pattern, loop-emitted). */
-  private val q213: Q = (s, d) => {
-    val li = Tables.lineitem(s, d)
-      .select("l_orderkey", "l_partkey").distinct()
-    val e = li.as("x").join(li.as("y"),
-        col("x.l_orderkey") === col("y.l_orderkey") &&
-          col("x.l_partkey") < col("y.l_partkey"))
-      .groupBy(col("x.l_partkey").cast("long").as("a"),
-        col("y.l_partkey").cast("long").as("b"))
-      .agg(count(lit(1)).as("w"))
-      .filter(col("w") >= 2)
-      .select(col("a"), col("b"))
-    KCore.run(e, k = 3, rounds = 10)
+  /** The REPEAT co-purchase edge list (canonical a < b LONG pairs sharing
+    * ≥ 2 distinct orders) shared by q213 and q220 — the
+    * [[coPurchaseEdges]] derived-table discipline applied to the
+    * weighted-threshold variant (the single-order graph is near-regular;
+    * repeat co-purchase is the heterogeneous shape iterative
+    * peeling/BFS are interesting on). Derived once per (session, dir). */
+  private[operators] def coPurchaseRepeatEdges(s: SparkSession,
+      d: String): DataFrame = {
+    val perSession = edgeMemo.synchronized {
+      var m = edgeMemo.get(s)
+      if (m == null) {
+        m = scala.collection.mutable.Map.empty
+        edgeMemo.put(s, m)
+      }
+      m
+    }
+    val path = perSession.synchronized {
+      perSession.getOrElseUpdate("repeat:" + d, {
+        val li = Tables.lineitem(s, d)
+          .select("l_orderkey", "l_partkey").distinct()
+        val e = li.as("x").join(li.as("y"),
+            col("x.l_orderkey") === col("y.l_orderkey") &&
+              col("x.l_partkey") < col("y.l_partkey"))
+          .groupBy(col("x.l_partkey").cast("long").as("a"),
+            col("y.l_partkey").cast("long").as("b"))
+          .agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 2)
+          .select(col("a"), col("b"))
+        val p = TempDirs.scoped("graft-copurchase-repeat")
+        e.write.mode("overwrite").parquet(p)
+        p
+      })
+    }
+    s.read.parquet(path)
+  }
+
+  private val q213: Q = (s, d) =>
+    KCore.run(coPurchaseRepeatEdges(s, d), k = 3, rounds = 10)
       .orderBy(col("node"))
+
+  /** Q220: landmark hop-distance features — multi-source BFS from the 4
+    * smallest node ids of the repeat co-purchase graph, bounded to 4
+    * synchronous rounds: per node, the exact hop distance to each
+    * landmark (−1 beyond the bound/unreachable). This is the graph
+    * feature web curation derives against seed hosts ("how far is this
+    * page from a trusted core") and the landmark-sketch building block
+    * for approximate shortest paths [Potamias et al. CIKM'09]. Distances
+    * and the round recurrence are pure integer mins, so the oracle
+    * unrolls the identical rounds (MATERIALIZED, the q213 lesson).
+    *
+    * Scale shape: the distance table is ≤ L·|V| rows; each round is one
+    * edge⋈dist join + a (node, landmark)-keyed min whose partials
+    * collapse map-side — a bounded lazy chain (4 rounds, the PageRank
+    * discipline), no caching or driver loop state. The landmark pick is
+    * a 4-row TakeOrderedAndProject broadcast. */
+  private val q220: Q = (s, d) => {
+    val e = coPurchaseRepeatEdges(s, d)
+    val sym = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+    val marks = e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .distinct().orderBy(col("node")).limit(4)
+      .withColumn("lr",
+        row_number().over(Window.orderBy(col("node"))).cast("long") - 1)
+    // each round references dist twice (carry + expand); both reads are
+    // the SAME post-shuffle plan, so ReuseExchange collapses them and
+    // the chain stays linear work. AQE picks broadcast for the dist
+    // side while it fits and falls back to a shuffle join beyond — the
+    // PageRank small/large regime without a hand-rolled threshold.
+    var dist = marks.select(col("node"), col("lr"), lit(0L).as("hop"))
+    for (_ <- 1 to 4) {
+      val step = sym
+        .join(dist.select(col("node").as("src"), col("lr"), col("hop")),
+          "src")
+        .select(col("dst").as("node"), col("lr"),
+          (col("hop") + 1L).as("hop"))
+      dist = dist.unionAll(step)
+        .groupBy("node", "lr").agg(min(col("hop")).as("hop"))
+    }
+    val pivot = dist.groupBy("node")
+      .agg(
+        coalesce(max(when(col("lr") === 0L, col("hop"))), lit(-1L))
+          .as("p0"),
+        coalesce(max(when(col("lr") === 1L, col("hop"))), lit(-1L))
+          .as("p1"),
+        coalesce(max(when(col("lr") === 2L, col("hop"))), lit(-1L))
+          .as("p2"),
+        coalesce(max(when(col("lr") === 3L, col("hop"))), lit(-1L))
+          .as("p3"))
+    // nodes no landmark reaches within the bound never enter dist —
+    // the left join keeps them with all −1
+    sym.select(col("src").as("node")).distinct()
+      .join(pivot, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("p0"), lit(-1L)).as("d0"),
+        coalesce(col("p1"), lit(-1L)).as("d1"),
+        coalesce(col("p2"), lit(-1L)).as("d2"),
+        coalesce(col("p3"), lit(-1L)).as("d3"))
+      .orderBy("node")
   }
 
   val queries: Seq[(String, Q)] = Seq(
@@ -623,6 +710,7 @@ object GraphQueries extends QueryGroup {
     "q133_graph_triangles" -> q133,
     "q134_graph_communities" -> q134,
     "q213_graph_kcore" -> q213,
+    "q220_graph_landmark_dist" -> q220,
   )
 
   /** The q213 oracle, loop-generated (the q129 unrolled-CTE pattern at
@@ -676,8 +764,59 @@ object GraphQueries extends QueryGroup {
     sb.toString
   }
 
+  /** The q220 oracle: the q213 repeat-edge derivation, the 4-smallest
+    * landmark pick, then `rounds` unrolled synchronous BFS relaxations
+    * (MATERIALIZED, the q213 inlining lesson) and the per-node pivot
+    * with −1 for beyond-bound/unreachable. */
+  private def landmarkOracleSql(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT CAST(x.l_partkey AS BIGINT) AS a,
+        |    CAST(y.l_partkey AS BIGINT) AS b
+        |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+        |    AND x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0
+        |  UNION ALL SELECT b, a FROM e0),
+        |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM sym),
+        |mk AS MATERIALIZED (SELECT node,
+        |    CAST(row_number() OVER (ORDER BY node) - 1 AS BIGINT) AS lr
+        |  FROM (SELECT node FROM nodes ORDER BY node LIMIT 4)),
+        |t0 AS MATERIALIZED (SELECT node, lr, CAST(0 AS BIGINT) AS hop
+        |  FROM mk),
+        |""".stripMargin)
+    for (r <- 1 to rounds) {
+      sb.append(
+        s"""t$r AS MATERIALIZED (SELECT node, lr,
+           |    CAST(min(hop) AS BIGINT) AS hop FROM (
+           |  SELECT node, lr, hop FROM t${r - 1}
+           |  UNION ALL
+           |  SELECT sym.dst AS node, t${r - 1}.lr, t${r - 1}.hop + 1
+           |  FROM sym JOIN t${r - 1} ON sym.src = t${r - 1}.node)
+           |  GROUP BY node, lr),
+           |""".stripMargin)
+    }
+    sb.append(
+      s"""pv AS (SELECT node,
+         |    max(CASE WHEN lr = 0 THEN hop END) AS p0,
+         |    max(CASE WHEN lr = 1 THEN hop END) AS p1,
+         |    max(CASE WHEN lr = 2 THEN hop END) AS p2,
+         |    max(CASE WHEN lr = 3 THEN hop END) AS p3
+         |  FROM t$rounds GROUP BY node)
+         |SELECT nodes.node,
+         |  CAST(coalesce(p0, -1) AS BIGINT) AS d0,
+         |  CAST(coalesce(p1, -1) AS BIGINT) AS d1,
+         |  CAST(coalesce(p2, -1) AS BIGINT) AS d2,
+         |  CAST(coalesce(p3, -1) AS BIGINT) AS d3
+         |FROM nodes LEFT JOIN pv USING (node)
+         |ORDER BY node""".stripMargin)
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
     "q213_graph_kcore" -> kcoreOracleSql(3, 10),
+    "q220_graph_landmark_dist" -> landmarkOracleSql(4),
     // three unrolled LPA rounds (the q129 pattern): neighbor-label
     // counts, argmax via max({'c': c, 'nl': -lbl}) — max count, tie →
     // min label — mirrored against Spark's max(struct(c, -lbl))

@@ -478,6 +478,42 @@ class R14QuerySemanticsSpec extends SparkSpec {
     }
   }
 
+  test("q220: driver BFS recount of every landmark distance") {
+    val edges = GraphQueries.coPurchaseRepeatEdges(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nbrs = scala.collection.mutable.Map
+      .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+    edges.foreach { case (a, b) =>
+      nbrs.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer()) += b
+      nbrs.getOrElseUpdate(b, scala.collection.mutable.ArrayBuffer()) += a
+    }
+    val landmarks = nbrs.keys.toSeq.sorted.take(4)
+    def bfs(src: Long): Map[Long, Long] = {
+      val d = scala.collection.mutable.Map(src -> 0L)
+      var frontier = Seq(src)
+      for (h <- 1L to 4L) {
+        frontier = frontier.flatMap(nbrs(_))
+          .filterNot(d.contains).distinct
+        frontier.foreach(n => d(n) = h)
+      }
+      d.toMap
+    }
+    val ref = landmarks.map(bfs)
+    val rows = run("q220_graph_landmark_dist").collect()
+    assert(rows.length == nbrs.size, "one row per graph node")
+    rows.foreach { r =>
+      val n = r.getLong(0)
+      val got = Seq(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val want = ref.map(_.getOrElse(n, -1L))
+      assert(got == want, s"distances for node $n")
+    }
+    // every landmark is its own 0-distance witness
+    landmarks.zipWithIndex.foreach { case (l, i) =>
+      val row = rows.find(_.getLong(0) == l).get
+      assert(row.getLong(i + 1) == 0L)
+    }
+  }
+
   test("q211: brute-force allocation recount; caps and budget respected") {
     val perSrc = graft.Tables.documents(spark, sfDir)
       .filter(col("text").isNotNull)
