@@ -467,6 +467,60 @@ object CorpusQueries extends QueryGroup {
       .orderBy("source")
   }
 
+  /** Q221: Neyman-optimal eval-set allocation [Neyman 1934] — the survey-
+    * sampling answer to "how many eval documents per source" that q136's
+    * temperature mixing does not give: a fixed budget (1000 draws) split
+    * ∝ N_h·σ_h, so high-variance strata get proportionally MORE probes
+    * and the stratified estimator's variance is minimized at that
+    * budget. Strata = source, target metric = per-doc token count. The
+    * determinism ladder: within-stratum population variance stays an
+    * EXACT rational (var_num = n·Σx² − (Σx)², den = n²) until σ =
+    * sqrt(ONE division) — division and sqrt are both correctly rounded
+    * under IEEE-754, so σ is bit-identical cross-engine (the q136 α=1/2
+    * argument); the weight normalizer is a source-ordered sequential
+    * fold (never an unordered double sum); allocations are
+    * floor((w/w_total)·1000) capped at N_h; the actual draw is the q75
+    * md5-rank machinery witnessed by an additive Σ doc_id checksum.
+    * Shape: one grouped moment pass (partials collapse map-side), a
+    * broadcast totals row, one source-partitioned rank window. */
+  private val q221: Q = (s, d) => {
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+    val st = docs
+      .select(col("source"),
+        size(split(lower(col("text")), " ")).cast("long").as("x"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+    val withW = st
+      .withColumn("var_num",
+        col("n_docs") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("sigma",
+        sqrt(col("var_num").cast("double") /
+          (col("n_docs") * col("n_docs")).cast("double")))
+      .withColumn("weight", col("n_docs").cast("double") * col("sigma"))
+    val tot = withW.agg(
+      aggregate(array_sort(collect_list(struct(col("source"),
+          col("weight").as("w")))),
+        lit(0.0), (a, x) => a + x.getField("w")).as("w_total"))
+    val budgets = withW.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("sx"), col("var_num"),
+        col("sigma"), col("weight"),
+        floor(col("weight") / col("w_total") * lit(1000.0))
+          .cast("long").as("alloc"))
+      .withColumn("kept", least(col("alloc"), col("n_docs")))
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val sel = docs.select(col("doc_id"), col("source"))
+      .withColumn("rk", row_number().over(w))
+      .join(budgets.select("source", "kept"), "source")
+      .filter(col("rk") <= col("kept"))
+    val sums = sel.groupBy("source")
+      .agg(sum(col("doc_id")).as("sel_checksum"))
+    budgets.join(sums, Seq("source"), "left")
+      .withColumn("sel_checksum", coalesce(col("sel_checksum"), lit(0L)))
+      .orderBy("source")
+  }
+
   /** Q138: k-anonymity audit with one-level generalization — the
     * data-governance check run before releasing or training on
     * user-adjacent tables (q81 scrubs direct identifiers; THIS measures
@@ -1843,6 +1897,7 @@ object CorpusQueries extends QueryGroup {
     "q211_epoch_allocation" -> q211,
     "q212_lake_erasure" -> q212,
     "q214_conformal_threshold" -> q214,
+    "q221_neyman_allocation" -> q221,
     "q197_corpus_drift_tvd" -> q197,
     "q201_card_incremental" -> q201,
   )
@@ -2168,6 +2223,44 @@ object CorpusQueries extends QueryGroup {
     // temperature mixing: sqrt weights (correctly-rounded IEEE — the one
     // oracle-safe power), source-ordered fold normalizer, floor budgets,
     // md5-rank selection, additive checksum — mirrored op-for-op
+    // Neyman allocation: exact-rational within-source variance, σ and
+    // weights as single correctly-rounded ops, source-ordered sequential
+    // normalizer fold (the q136 machinery), md5-rank draw + checksum;
+    // moment sums CAST back from HUGEINT (the q91 rule)
+    "q221_neyman_allocation" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS x
+        |  FROM documents WHERE text IS NOT NULL),
+        |st AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM d GROUP BY source),
+        |v AS (SELECT *, n_docs * sxx - sx * sx AS var_num,
+        |    sqrt(CAST(n_docs * sxx - sx * sx AS DOUBLE)
+        |      / CAST(n_docs * n_docs AS DOUBLE)) AS sigma
+        |  FROM st),
+        |wv AS (SELECT *, CAST(n_docs AS DOUBLE) * sigma AS weight FROM v),
+        |t AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(weight ORDER BY source)), (a, x) -> a + x) AS w_total
+        |  FROM wv),
+        |b AS (SELECT wv.source, n_docs, sx, var_num, sigma, weight,
+        |    CAST(floor(weight / t.w_total * 1000.0) AS BIGINT) AS alloc
+        |  FROM wv, t),
+        |b2 AS (SELECT *, least(alloc, n_docs) AS kept FROM b),
+        |r AS (SELECT doc_id, source, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM d),
+        |sel AS (SELECT r.source, r.doc_id FROM r JOIN b2 USING (source)
+        |  WHERE r.rk <= b2.kept),
+        |cs AS (SELECT source, CAST(sum(doc_id) AS BIGINT) AS sel_checksum
+        |  FROM sel GROUP BY source)
+        |SELECT b2.source, b2.n_docs, b2.sx, b2.var_num, b2.sigma,
+        |  b2.weight, b2.alloc, b2.kept,
+        |  COALESCE(cs.sel_checksum, 0) AS sel_checksum
+        |FROM b2 LEFT JOIN cs USING (source)
+        |ORDER BY b2.source""".stripMargin,
+
     "q136_mix_temperature" ->
       """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
         |  FROM documents GROUP BY source),

@@ -108,6 +108,11 @@ class KCoreSpec extends SparkSpec {
       (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
     val df = KCore.run(edgesDf(pairs), 3, 10, driverMaxEdges = 0L)
     df.count() // the consuming action releases every run-scoped cache
+    // releases fire on the async listener bus — poll (the
+    // DedupBucketCapSpec discipline)
+    val deadline = System.nanoTime() + 30e9.toLong
+    while (!spark.sharedState.cacheManager.isEmpty &&
+      System.nanoTime() < deadline) Thread.sleep(50)
     assert(spark.sharedState.cacheManager.isEmpty,
       "KCore.run(distributed) must release all per-round caches")
   }

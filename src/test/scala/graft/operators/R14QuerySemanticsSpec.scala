@@ -514,6 +514,37 @@ class R14QuerySemanticsSpec extends SparkSpec {
     }
   }
 
+  test("q221: Neyman weights and allocations recount; budget respected") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull)
+      .select(col("source"),
+        size(split(lower(col("text")), " ")).cast("long").as("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val strata = docs.groupBy(_._1).toSeq.sortBy(_._1).map { case (s0, xs) =>
+      val n = xs.length.toLong
+      val sx = xs.map(_._2).sum
+      val sxx = xs.map(v => v._2 * v._2).sum
+      val varNum = n * sxx - sx * sx
+      val sigma = math.sqrt(varNum.toDouble / (n * n).toDouble)
+      (s0, n, sx, varNum, sigma, n.toDouble * sigma)
+    }
+    val wTotal = strata.map(_._6).foldLeft(0.0)(_ + _)
+    val rows = run("q221_neyman_allocation").collect()
+    assert(rows.length == strata.length)
+    rows.zip(strata).foreach { case (r, (s0, n, sx, vn, sg, w)) =>
+      assert(r.getString(0) == s0)
+      assert(r.getAs[Long]("n_docs") == n && r.getAs[Long]("sx") == sx)
+      assert(r.getAs[Long]("var_num") == vn)
+      assert(r.getAs[Double]("sigma") == sg, s0)
+      assert(r.getAs[Double]("weight") == w, s0)
+      assert(r.getAs[Long]("alloc") ==
+        math.floor(w / wTotal * 1000.0).toLong, s0)
+      assert(r.getAs[Long]("kept") <= n)
+    }
+    // floors can only undershoot: the allocations respect the budget
+    assert(rows.map(_.getAs[Long]("alloc")).sum <= 1000L)
+  }
+
   test("q211: brute-force allocation recount; caps and budget respected") {
     val perSrc = graft.Tables.documents(spark, sfDir)
       .filter(col("text").isNotNull)
