@@ -1165,6 +1165,59 @@ object CorpusQueries extends QueryGroup {
           (lit(2L) * col("tp") + col("fp") + col("fn"))).as("f1"))
   }
 
+  /** Q225: cumulative gains / lift of the q126 classifier — the "how much
+    * of the good data do the top-k% margins capture" curve that turns
+    * q208's AUC into an operational budget decision (keep the top 3
+    * deciles → capture_pm of the positives, at lift× the base rate).
+    * Deciles rank by DESCENDING margin (q179 ranks ascending — the
+    * reliability view; this is the selection view). capture_pm =
+    * (1000·cumPos) div totPos and lift_pm = (1000·cumPos·n) div
+    * (totPos·cumN) are exact integer fixed-point (the q209 argmax
+    * argument: a cross-engine ulp can never reorder them); the
+    * single-division doubles ride alongside. The fixed-point product
+    * 1000·cumPos·n clears BIGINT to ~10⁶-row holdouts — beyond that the
+    * product pair swaps to DECIMAL(38,0) (the q222/q224 move).
+    *
+    * Scale shape: identical to q179 — scoring is the data-sized pass;
+    * the rank window runs over the HOLDOUT only and swaps to
+    * [[CorpusOps.decileBinDistributed]] at scale; the cumulative window
+    * runs over 10 decile rows. */
+  private val q225: Q = (s, d) => {
+    val scored = CorpusOps.classifierScores(Tables.documents(s, d),
+        "doc_id", col("lang") === "en", 4096)
+      .filter(!col("is_train"))
+      .select("doc_id", "is_pos", "margin")
+    val cnt = scored.agg(count(lit(1)).as("n"),
+      sum(when(col("is_pos"), 1L).otherwise(0L)).as("n_pos_tot"))
+    val bins = scored
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("margin").desc, col("doc_id"))).cast("long"))
+      .crossJoin(broadcast(cnt))
+      .withColumn("decile", expr("((rn - 1) * 10) div n"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_pos"), 1L).otherwise(0L)).as("n_pos"),
+        max(col("n")).as("n"), max(col("n_pos_tot")).as("n_pos_tot"))
+    val w = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bins
+      .withColumn("cum_n", sum("n_docs").over(w))
+      .withColumn("cum_pos", sum("n_pos").over(w))
+      .select(col("decile"), col("n_docs"), col("n_pos"), col("cum_n"),
+        col("cum_pos"),
+        expr("""case when n_pos_tot > 0
+          then (1000 * cum_pos) div n_pos_tot end""").as("capture_pm"),
+        expr("""case when n_pos_tot > 0
+          then (1000 * cum_pos * n) div (n_pos_tot * cum_n) end""")
+          .as("lift_pm"),
+        expr("""case when n_pos_tot > 0
+          then cast(cum_pos as double) / n_pos_tot end""").as("capture"),
+        expr("""case when n_pos_tot > 0
+          then cast(cum_pos * n as double) / (n_pos_tot * cum_n) end""")
+          .as("lift"))
+      .orderBy("decile")
+  }
+
   /** Q214: split-conformal keep-threshold selection — the
     * distribution-free answer to "what margin cutoff keeps ≥ 90% of the
     * good documents" ([Vovk et al. 2005; Papadopoulos 2008] split
@@ -1893,6 +1946,7 @@ object CorpusQueries extends QueryGroup {
     "q207_krippendorff_alpha" -> q207,
     "q208_classifier_auc" -> q208,
     "q209_operating_point" -> q209,
+    "q225_classifier_gain_lift" -> q225,
     "q210_lake_schema_evolution" -> q210,
     "q211_epoch_allocation" -> q211,
     "q212_lake_erasure" -> q212,
@@ -2599,6 +2653,47 @@ object CorpusQueries extends QueryGroup {
         |  CAST(count(CASE WHEN is_pos THEN 1 END) AS DOUBLE) / count(*)
         |    AS pos_rate
         |FROM r GROUP BY 1 ORDER BY decile""".stripMargin),
+
+    // gains/lift: same refit + scoring, rank DESC, window sums cast back
+    // from HUGEINT (the q91 gotcha), identical integer fixed-point
+    "q225_classifier_gain_lift" ->
+      (clsOracleCore +
+      """, scored AS (SELECT f.doc_id, bool_or(f.is_pos) AS is_pos,
+        |    bool_or(f.is_train) AS is_train,
+        |    CAST(coalesce(sum(w.w), 0) AS BIGINT) AS margin
+        |  FROM f LEFT JOIN w USING (bucket) GROUP BY f.doc_id),
+        |h AS (SELECT doc_id, is_pos, margin FROM scored
+        |  WHERE NOT is_train),
+        |r AS (SELECT *, CAST(row_number() OVER (ORDER BY margin DESC,
+        |      doc_id) AS BIGINT) AS rn,
+        |    CAST(count(*) OVER () AS BIGINT) AS n,
+        |    CAST(count(CASE WHEN is_pos THEN 1 END) OVER () AS BIGINT)
+        |      AS n_pos_tot
+        |  FROM h),
+        |b AS (SELECT ((rn - 1) * 10) // n AS decile,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(count(CASE WHEN is_pos THEN 1 END) AS BIGINT) AS n_pos,
+        |    max(n) AS n, max(n_pos_tot) AS n_pos_tot
+        |  FROM r GROUP BY 1),
+        |c AS (SELECT decile, n_docs, n_pos, n, n_pos_tot,
+        |    CAST(sum(n_docs) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_n,
+        |    CAST(sum(n_pos) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_pos
+        |  FROM b)
+        |SELECT decile, n_docs, n_pos, cum_n, cum_pos,
+        |  CASE WHEN n_pos_tot > 0
+        |    THEN (1000 * cum_pos) // n_pos_tot END AS capture_pm,
+        |  CASE WHEN n_pos_tot > 0
+        |    THEN (1000 * cum_pos * n) // (n_pos_tot * cum_n) END AS lift_pm,
+        |  CASE WHEN n_pos_tot > 0
+        |    THEN CAST(cum_pos AS DOUBLE) / n_pos_tot END AS capture,
+        |  CASE WHEN n_pos_tot > 0
+        |    THEN CAST(cum_pos * n AS DOUBLE) / (n_pos_tot * cum_n) END
+        |    AS lift
+        |FROM c ORDER BY decile""".stripMargin),
 
     // span corruption: mask position p of doc iff the first-8-hex md5 of
     // "id#p" ≡ 0 (mod 10); runs of masked positions become one sentinel

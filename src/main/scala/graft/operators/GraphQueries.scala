@@ -705,12 +705,76 @@ object GraphQueries extends QueryGroup {
       .orderBy("node")
   }
 
+  /** Q222: degree assortativity [Newman, PRL 89:208701 2002] of the
+    * repeat co-purchase graph — the one-number graph-health summary next
+    * to q133's per-node coefficients: the Pearson correlation of the
+    * degrees at the two ends of an edge. Assortative (r > 0) graphs are
+    * hub-with-hub (social shape); disassortative (r < 0) are hub-spoke
+    * (web/purchase shape) — the signal that decides whether q213's core
+    * peel or q220's landmark features separate anything.
+    *
+    * Determinism: over the SYMMETRIZED stub list Σdx = Σdy and
+    * Σdx² = Σdy², so Pearson's sqrt-of-products denominator collapses
+    * and r = (m2·Σdxdy − (Σdx)²) / (m2·Σdx² − (Σdx)²) — exact integer
+    * sums, the two cross-multiplied terms in DECIMAL(38,0) (BIGINT holds
+    * to ~10⁹-stub graphs; 128-bit covers any real one), ONE double
+    * division (the q95 contract). NO sqrt anywhere — the only Pearson
+    * variant with that property, and why the stub form is the right one.
+    *
+    * Scale shape: one degree aggregation, two node-keyed joins of the
+    * stub list against the node-sized degree table (broadcast while it
+    * fits, AQE shuffle beyond), one global partial-agg fold to a single
+    * row. No windows, no pairs beyond the edges themselves. */
+  private val q222: Q = (s, d) =>
+    assortativity(coPurchaseRepeatEdges(s, d))
+
+  /** q222 core over any canonical (a < b, distinct) edge list — separated
+    * so the spec can pin the sign and exact rational on constructed
+    * star/clique graphs against a driver BigDecimal Pearson. */
+  private[operators] def assortativity(e: DataFrame): DataFrame = {
+    val sym = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+    val deg = sym.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val nn = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(col("deg")).as("deg_sum"))
+    val ne = e.agg(count(lit(1)).as("n_edges"))
+    val sums = sym
+      .join(deg.select(col("node").as("src"), col("deg").as("dx")), "src")
+      .join(deg.select(col("node").as("dst"), col("deg").as("dy")), "dst")
+      .agg(count(lit(1)).as("m2"),
+        sum(col("dx")).as("sx"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dx") * col("dy")).as("sxy"))
+    sums.crossJoin(broadcast(nn)).crossJoin(broadcast(ne))
+      .select(col("n_nodes"), col("n_edges"), col("m2"), col("sx"),
+        col("sxx"), col("sxy"),
+        // surfaced as BIGINT (the gate canonicalizes DECIMAL(38,0) and
+        // HUGEINT differently); the subtraction runs in 128-bit first,
+        // and an out-of-BIGINT result fails LOUDLY under the ANSI cast
+        expr("""cast(cast(m2 as decimal(38,0)) * cast(sxy as decimal(38,0))
+          - cast(sx as decimal(38,0)) * cast(sx as decimal(38,0))
+          as bigint)""").as("r_num"),
+        expr("""cast(cast(m2 as decimal(38,0)) * cast(sxx as decimal(38,0))
+          - cast(sx as decimal(38,0)) * cast(sx as decimal(38,0))
+          as bigint)""").as("r_den"),
+        // mean stub degree in exact per-mille (⟨k⟩ = Σdeg/|V| is the
+        // edge-count identity; THIS is the edge-end mean ⟨k²⟩/⟨k⟩ side)
+        expr("(1000 * sx) div m2").as("mean_end_deg_x1000"))
+      .withColumn("assortativity",
+        when(col("r_den") === 0, lit(0.0))
+          .otherwise(col("r_num").cast("double") /
+            col("r_den").cast("double")))
+      .withColumn("is_assortative", col("r_num") > 0)
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q129_graph_pagerank" -> q129,
     "q133_graph_triangles" -> q133,
     "q134_graph_communities" -> q134,
     "q213_graph_kcore" -> q213,
     "q220_graph_landmark_dist" -> q220,
+    "q222_graph_assortativity" -> q222,
   )
 
   /** The q213 oracle, loop-generated (the q129 unrolled-CTE pattern at
@@ -817,6 +881,45 @@ object GraphQueries extends QueryGroup {
   val oracles: Map[String, String] = Map(
     "q213_graph_kcore" -> kcoreOracleSql(3, 10),
     "q220_graph_landmark_dist" -> landmarkOracleSql(4),
+    // assortativity: same repeat-edge derivation, same stub-list degree
+    // joins; the cross-multiplied terms run in HUGEINT (DuckDB's native
+    // 128-bit ≡ Spark's DECIMAL(38,0) here) and every sum is cast back
+    // to BIGINT (the q91 HUGEINT-sum gotcha)
+    "q222_graph_assortativity" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT CAST(x.l_partkey AS BIGINT) AS a,
+        |    CAST(y.l_partkey AS BIGINT) AS b
+        |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+        |    AND x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0
+        |  UNION ALL SELECT b, a FROM e0),
+        |deg AS MATERIALIZED (SELECT src AS node,
+        |    CAST(count(*) AS BIGINT) AS deg
+        |  FROM sym GROUP BY src),
+        |sums AS (SELECT CAST(count(*) AS BIGINT) AS m2,
+        |    CAST(sum(dx.deg) AS BIGINT) AS sx,
+        |    CAST(sum(dx.deg * dx.deg) AS BIGINT) AS sxx,
+        |    CAST(sum(dx.deg * dy.deg) AS BIGINT) AS sxy
+        |  FROM sym JOIN deg dx ON sym.src = dx.node
+        |    JOIN deg dy ON sym.dst = dy.node),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg),
+        |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e0)
+        |SELECT n_nodes, n_edges, m2, sx, sxx, sxy,
+        |  CAST(CAST(m2 AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sx
+        |    AS BIGINT) AS r_num,
+        |  CAST(CAST(m2 AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+        |    AS BIGINT) AS r_den,
+        |  (1000 * sx) // m2 AS mean_end_deg_x1000,
+        |  CASE WHEN CAST(m2 AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx = 0
+        |    THEN 0.0
+        |    ELSE CAST(CAST(m2 AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sx
+        |        AS DOUBLE) /
+        |      CAST(CAST(m2 AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+        |        AS DOUBLE) END AS assortativity,
+        |  CAST(m2 AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sx > 0
+        |    AS is_assortative
+        |FROM sums, nn, ne""".stripMargin,
     // three unrolled LPA rounds (the q129 pattern): neighbor-label
     // counts, argmax via max({'c': c, 'nl': -lbl}) — max count, tie →
     // min label — mirrored against Spark's max(struct(c, -lbl))

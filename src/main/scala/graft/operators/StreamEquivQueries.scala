@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -172,6 +173,61 @@ object StreamEquivQueries extends QueryGroup {
         col("active_n"), col("cohort_n"),
         (col("active_n").cast("double") / col("cohort_n")).as("retention"))
       .orderBy("cohort_w", "week_offset")
+  }
+
+  /** Q224: exact-integer 3σ outlier audit — the statistical QC gate an
+    * event pipeline runs per type before aggregates are trusted, with the
+    * flag decided ENTIRELY in integer space: |x − μ| > 3σ cross-multiplies
+    * to (n·x − Σx)² > 9·(n·Σx² − (Σx)²), so no engine ever computes a
+    * mean, a variance or a square root and the verdict is bit-identical
+    * (the q95 contract pushed through a SECOND moment; q221 stops at σ —
+    * this never leaves the integers at all). Values enter as exact cents
+    * via one DECIMAL(18,2) cast (the events `value` column is 2-decimal
+    * data in a DOUBLE; a 2-dp double is never a rounding tie at 2-dp —
+    * the q199 boundary argument); the cross-multiplied squares run in
+    * DECIMAL(38,0) (dev² ≈ (n·cents)² clears BIGINT at ~2·10⁵ rows/type
+    * already — measured here, not hypothetical).
+    *
+    * Scale shape: one grouped moment pass (map-side partials), the
+    * 5-row stats table broadcast back over the stream, one grouped
+    * verdict fold. Two data-sized passes, zero windows/pairs. */
+  private val q224: Q = (s, d) =>
+    outlierAudit(Tables.events(s, d)
+      .select(col("event_id"), col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents")))
+
+  /** q224 core over any (event_id, event_type, cents) frame — separated
+    * so the spec can pin the flag set against a driver BigDecimal
+    * mean/σ recount on constructed fixtures (including the exact
+    * |x−μ| = 3σ boundary, which the strict > must NOT flag). */
+  private[operators] def outlierAudit(e: DataFrame): DataFrame = {
+    val st = e.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("sx"),
+        sum(col("cents") * col("cents")).as("sxx"))
+    val flagged = e.join(broadcast(st), "event_type")
+      .withColumn("dev",
+        expr("""cast(n as decimal(38,0)) * cast(cents as decimal(38,0))
+          - cast(sx as decimal(38,0))"""))
+      .withColumn("var9",
+        expr("""9 * (cast(n as decimal(38,0)) * cast(sxx as decimal(38,0))
+          - cast(sx as decimal(38,0)) * cast(sx as decimal(38,0)))"""))
+      .select(col("event_type"), col("event_id"), col("cents"),
+        (col("dev") * col("dev") > col("var9")).as("is_outlier"))
+    val outs = flagged.groupBy("event_type")
+      .agg(sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"),
+        min(when(col("is_outlier"), col("cents"))).as("min_outlier_cents"),
+        max(when(col("is_outlier"), col("cents"))).as("max_outlier_cents"),
+        coalesce(sum(when(col("is_outlier"), col("event_id"))), lit(0L))
+          .as("outlier_id_checksum"))
+    st.join(outs, "event_type")
+      .select(col("event_type"), col("n").as("n_events"),
+        col("sx").as("sum_cents"),
+        expr("(1000 * sx) div n").as("mean_cents_x1000"),
+        col("n_outliers"),
+        expr("(1000 * n_outliers) div n").as("outlier_pm"),
+        col("min_outlier_cents"), col("max_outlier_cents"),
+        col("outlier_id_checksum"))
+      .orderBy("event_type")
   }
 
   /** Q123: event-type transition matrix — the first-order Markov
@@ -475,9 +531,42 @@ object StreamEquivQueries extends QueryGroup {
     "q122_cohort_retention" -> q122,
     "q123_event_transitions" -> q123,
     "q124_rollup_incremental" -> q124,
+    "q224_event_outlier_audit" -> q224,
   )
 
   val oracles: Map[String, String] = Map(
+    // outlier audit: same cents cast, same cross-multiplied second-moment
+    // verdict in HUGEINT (DuckDB's native 128-bit ≡ Spark's
+    // DECIMAL(38,0) here); every sum cast back to BIGINT (the q91 gotcha)
+    "q224_event_outlier_audit" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS sx,
+        |    CAST(sum(cents * cents) AS BIGINT) AS sxx
+        |  FROM e GROUP BY event_type),
+        |fl AS (SELECT e.event_type, e.event_id, e.cents,
+        |    (CAST(st.n AS HUGEINT) * e.cents - st.sx) *
+        |      (CAST(st.n AS HUGEINT) * e.cents - st.sx) >
+        |    9 * (CAST(st.n AS HUGEINT) * st.sxx -
+        |      CAST(st.sx AS HUGEINT) * st.sx) AS is_outlier
+        |  FROM e JOIN st USING (event_type)),
+        |outs AS (SELECT event_type,
+        |    CAST(count(CASE WHEN is_outlier THEN 1 END) AS BIGINT)
+        |      AS n_outliers,
+        |    min(CASE WHEN is_outlier THEN cents END) AS min_outlier_cents,
+        |    max(CASE WHEN is_outlier THEN cents END) AS max_outlier_cents,
+        |    CAST(coalesce(sum(CASE WHEN is_outlier THEN event_id END), 0)
+        |      AS BIGINT) AS outlier_id_checksum
+        |  FROM fl GROUP BY event_type)
+        |SELECT st.event_type, st.n AS n_events, st.sx AS sum_cents,
+        |  (1000 * st.sx) // st.n AS mean_cents_x1000,
+        |  outs.n_outliers, (1000 * outs.n_outliers) // st.n AS outlier_pm,
+        |  outs.min_outlier_cents, outs.max_outlier_cents,
+        |  outs.outlier_id_checksum
+        |FROM st JOIN outs USING (event_type)
+        |ORDER BY event_type""".stripMargin,
     // attribution models: naive window join, then struct argmin/argmax
     // per purchase (field order (m, id) IS the comparison order)
     "q171_attribution_models" ->

@@ -985,6 +985,46 @@ object TextQueries extends QueryGroup {
       .orderBy("wave")
   }
 
+  /** Q223: vocabulary richness estimation — the unseen-species answer to
+    * the question q177's measured growth curve only extrapolates: per
+    * SOURCE, how much vocabulary exists that this corpus slice has not
+    * seen yet. Bias-corrected Chao1 [Chao 1984] estimates total richness
+    * as V + f1·(f1−1)/(2·(f2+1)) from the frequency-of-frequencies alone
+    * (f1 = hapax types, f2 = dis legomena; the +1 form never divides by
+    * zero), and the Good–Turing unseen-probability mass [Gale & Sampson
+    * 1995] is P₀ = f1/N — together the "is this source's vocabulary
+    * saturating or still open" signal that decides whether more crawl of
+    * a source buys new types or re-buys the head. Every estimator is an
+    * exact rational over BIGINT type counts (the q95 contract): the
+    * Chao1 correction ships as (chao1_add_num, chao1_add_den), the
+    * per-mille fields are integer divisions, and the ONE-division
+    * doubles ride alongside for humans.
+    *
+    * Scale shape: one (source, token) partial-agg groupBy (shuffle
+    * bounded by the per-source vocabulary, not the corpus), then a
+    * source-sized fold of the frequency histogram. No windows, no joins. */
+  private val q223: Q = (s, d) => {
+    val counts = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("source"),
+        explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    counts.groupBy("source")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2L, 1L).otherwise(0L)).as("f2"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("f1"),
+        col("f2"),
+        expr("(1000 * f1) div n_types").as("hapax_pm"),
+        (col("f1") * (col("f1") - 1L)).as("chao1_add_num"),
+        (lit(2L) * (col("f2") + 1L)).as("chao1_add_den"),
+        (col("n_types").cast("double") +
+          (col("f1") * (col("f1") - 1L)).cast("double") /
+            (lit(2L) * (col("f2") + 1L)).cast("double")).as("chao1"),
+        expr("(1000 * f1) div n_tokens").as("gt_unseen_pm"),
+        (col("f1").cast("double") / col("n_tokens")).as("gt_unseen_mass"))
+      .orderBy("source")
+  }
+
   /** Q202: cross-source mirror detection — the crawl-curation matrix
     * telling a corpus build WHICH sources duplicate each other (mirror
     * sites, syndication networks, re-hosted dumps), so whole sources can
@@ -1165,6 +1205,7 @@ object TextQueries extends QueryGroup {
     "q33_text_topwords" -> q33,
     "q176_text_simpson_diversity" -> q176,
     "q177_vocab_growth" -> q177,
+    "q223_vocab_richness" -> q223,
     "q182_text_code_switch" -> q182,
     "q184_text_normalize" -> q184,
     "q185_token_budget_dedup" -> q185,
@@ -1215,6 +1256,28 @@ object TextQueries extends QueryGroup {
         |  ((n_tokens * n_tokens - sum_sq) * 20 >= n_tokens * n_tokens * 19)
         |    AS is_diverse
         |FROM a ORDER BY doc_id""".stripMargin,
+    // vocabulary richness: same (source, token) counts, HUGEINT sums
+    // cast back (the q91 gotcha); Chao1/Good-Turing are the identical
+    // integer rationals with the single-division doubles mirrored
+    "q223_vocab_richness" ->
+      """WITH t AS (SELECT source, unnest(string_split(lower(text), ' '))
+        |    AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT source, tok, count(*) AS c FROM t GROUP BY source, tok),
+        |f AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_types,
+        |    CAST(count(CASE WHEN c = 1 THEN 1 END) AS BIGINT) AS f1,
+        |    CAST(count(CASE WHEN c = 2 THEN 1 END) AS BIGINT) AS f2
+        |  FROM c GROUP BY source)
+        |SELECT source, n_tokens, n_types, f1, f2,
+        |  (1000 * f1) // n_types AS hapax_pm,
+        |  f1 * (f1 - 1) AS chao1_add_num,
+        |  2 * (f2 + 1) AS chao1_add_den,
+        |  CAST(n_types AS DOUBLE) + CAST(f1 * (f1 - 1) AS DOUBLE) /
+        |    CAST(2 * (f2 + 1) AS DOUBLE) AS chao1,
+        |  (1000 * f1) // n_tokens AS gt_unseen_pm,
+        |  CAST(f1 AS DOUBLE) / n_tokens AS gt_unseen_mass
+        |FROM f ORDER BY source""".stripMargin,
 
     // vocabulary growth: first-seen wave per type, per-wave volumes,
     // cumulative vocabulary via a window sum over the few wave rows

@@ -113,7 +113,12 @@ class KCoreSpec extends SparkSpec {
     val deadline = System.nanoTime() + 30e9.toLong
     while (!spark.sharedState.cacheManager.isEmpty &&
       System.nanoTime() < deadline) Thread.sleep(50)
+    // the check is GLOBAL (shared session): name the pinned RDDs so a
+    // foreign suite's leak is attributable, not just detected
+    val pinned = spark.sparkContext.getPersistentRDDs.values
+      .map(r => s"rdd_${r.id}: ${r.name}").mkString("; ")
     assert(spark.sharedState.cacheManager.isEmpty,
-      "KCore.run(distributed) must release all per-round caches")
+      s"KCore.run(distributed) must release all per-round caches " +
+        s"(still pinned: $pinned)")
   }
 }

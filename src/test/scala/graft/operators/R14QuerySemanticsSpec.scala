@@ -626,4 +626,89 @@ class R14QuerySemanticsSpec extends SparkSpec {
     assert(nulls("b1")._1 == 0L && nulls("b1")._2 == nulls("b1")._3)
     assert(nulls("b2")._1 == 0L && nulls("b2")._2 == 0L)
   }
+
+  test("q222: assortativity — star r=-1, clique union r=1, BigInt recount") {
+    def run(ps: Seq[(Long, Long)]) =
+      GraphQueries.assortativity(ps.toDF("a", "b")).collect().head
+    // K1,5 star: every edge joins the hub (deg 5) to a leaf (deg 1) —
+    // perfectly disassortative
+    val star = run((1L to 5L).map(i => (0L, i)))
+    assert(star.getAs[Long]("r_num") == -star.getAs[Long]("r_den"))
+    assert(star.getAs[Double]("assortativity") == -1.0)
+    assert(!star.getAs[Boolean]("is_assortative"))
+    // K3 ∪ K4: every edge joins equal degrees with cross-group degree
+    // variance — perfectly assortative
+    val cl = for {
+      g <- Seq(Seq(1L, 2L, 3L), Seq(10L, 11L, 12L, 13L))
+      x <- g; y <- g if x < y
+    } yield (x, y)
+    val cu = run(cl)
+    assert(cu.getAs[Long]("r_num") == cu.getAs[Long]("r_den"))
+    assert(cu.getAs[Double]("assortativity") == 1.0)
+    assert(cu.getAs[Boolean]("is_assortative"))
+    // seeded irregular graph: every surfaced integer recounted in BigInt
+    val rnd = new scala.util.Random(11)
+    val ps = (1 to 60).map(_ =>
+        (rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
+      .filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).distinct
+    val row = run(ps)
+    val deg = ps.flatMap(p => Seq(p._1, p._2)).groupBy(identity)
+      .map { case (k, v) => (k, BigInt(v.size)) }
+    val stubs = ps.flatMap(p => Seq((p._1, p._2), (p._2, p._1)))
+    val m2 = BigInt(stubs.size)
+    val sx = stubs.map(s => deg(s._1)).sum
+    val sxx = stubs.map(s => deg(s._1) * deg(s._1)).sum
+    val sxy = stubs.map(s => deg(s._1) * deg(s._2)).sum
+    val num = m2 * sxy - sx * sx
+    val den = m2 * sxx - sx * sx
+    assert(row.getAs[Long]("n_nodes") == deg.size.toLong)
+    assert(row.getAs[Long]("n_edges") == ps.size.toLong)
+    assert(row.getAs[Long]("m2") == m2.toLong)
+    assert(row.getAs[Long]("sx") == sx.toLong)
+    assert(row.getAs[Long]("sxx") == sxx.toLong)
+    assert(row.getAs[Long]("sxy") == sxy.toLong)
+    assert(row.getAs[Long]("r_num") == num.toLong)
+    assert(row.getAs[Long]("r_den") == den.toLong)
+    assert(row.getAs[Double]("assortativity") ==
+      num.toLong.toDouble / den.toLong.toDouble)
+  }
+
+  test("q224: outlier audit — exact 3σ boundary NOT flagged, recount") {
+    // nine 0s + one v: dev(v)² = (9v)² = 81v² and 9·Vn = 9·9v² = 81v² —
+    // exactly 3σ, so the STRICT > must not flag it
+    val a = (1L to 9L).map(i => (i, "a", 0L)) :+ ((10L, "a", 700L))
+    // ten 0s + one v: dev² = 100v² > 9·Vn = 90v² — flagged
+    val b = (101L to 110L).map(i => (i, "b", 0L)) :+ ((111L, "b", 700L))
+    val rows = StreamEquivQueries
+      .outlierAudit((a ++ b).toDF("event_id", "event_type", "cents"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows("a").getAs[Long]("n_outliers") == 0L)
+    assert(rows("a").isNullAt(rows("a").fieldIndex("min_outlier_cents")))
+    assert(rows("a").getAs[Long]("outlier_id_checksum") == 0L)
+    assert(rows("b").getAs[Long]("n_outliers") == 1L)
+    assert(rows("b").getAs[Long]("outlier_id_checksum") == 111L)
+    assert(rows("b").getAs[Long]("min_outlier_cents") == 700L)
+    assert(rows("b").getAs[Long]("max_outlier_cents") == 700L)
+    // seeded fixture: flags recounted via the same BigInt inequality
+    val rnd = new scala.util.Random(3)
+    val ev = (1L to 200L).map(i =>
+      (i, s"t${i % 3}", rnd.nextInt(1000).toLong + (if (i % 97 == 0) 50000L else 0L)))
+    val got = StreamEquivQueries
+      .outlierAudit(ev.toDF("event_id", "event_type", "cents"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_outliers"), r.getAs[Long]("outlier_id_checksum"))))
+      .toMap
+    val want = ev.groupBy(_._2).map { case (t, rs) =>
+      val n = BigInt(rs.size)
+      val sxi = rs.map(r => BigInt(r._3)).sum
+      val sxxi = rs.map(r => BigInt(r._3) * BigInt(r._3)).sum
+      val out = rs.filter { r =>
+        val dev = n * BigInt(r._3) - sxi
+        dev * dev > 9 * (n * sxxi - sxi * sxi)
+      }
+      t -> ((out.size.toLong, out.map(_._1).sum))
+    }
+    assert(got == want)
+  }
 }
