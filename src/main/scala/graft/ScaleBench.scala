@@ -790,6 +790,11 @@ object ScaleBench {
             .unionAll(named.select(col("b").as("src"), col("a").as("dst")))
           measured(spark, "pagerank5", m)(
             operators.PageRank.run(sym, 5).count())
+          // assortativity: two node-keyed joins + one global fold — the
+          // watch item is the degree-table join strategy flipping from
+          // broadcast to shuffle as |V| grows, with walls staying ~linear
+          measured(spark, "assortativity", m)(
+            operators.GraphQueries.assortativity(edges).count())
           edges.unpersist()
         }
       case "interval" =>

@@ -731,7 +731,7 @@ object GraphQueries extends QueryGroup {
   /** q222 core over any canonical (a < b, distinct) edge list — separated
     * so the spec can pin the sign and exact rational on constructed
     * star/clique graphs against a driver BigDecimal Pearson. */
-  private[operators] def assortativity(e: DataFrame): DataFrame = {
+  private[graft] def assortativity(e: DataFrame): DataFrame = {
     val sym = e.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
     val deg = sym.groupBy(col("src").as("node"))

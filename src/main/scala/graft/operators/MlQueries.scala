@@ -316,6 +316,69 @@ object MlQueries extends QueryGroup {
       .orderBy("event_id")
   }
 
+  /** Q226: Benford first-digit audit [Benford 1938; Nigrini 2012] over
+    * lineitem prices — the forensic data-quality screen for FABRICATED or
+    * truncated numeric columns that the q117/q137/q224 moment family
+    * cannot see (a generator that draws uniform prices has perfect
+    * moments and a wildly non-Benford digit histogram — exactly what this
+    * fixture shows). First digits come from the cents string (×100 shifts
+    * the decimal point; the leading digit is unchanged) after one exact
+    * DECIMAL(12,2) cast — 2-dp doubles never tie at 2 dp (the q224
+    * argument). The expected law ships as integer per-mille LITERALS
+    * (⌊1000·log10(1+1/d)⌉ — a runtime log10 would be libm-divergent, the
+    * q95 rule; the rounded table is the shared constant both engines
+    * read), so observed/expected deviations and the total-variation
+    * distance stay exact: tvd_num = Σ_d |1000·c_d − p_d·n| over a 9-row
+    * digit spine (zero-count digits still contribute p_d·n),
+    * tvd_den = 2000·n, ONE double division. A uniform-histogram
+    * comparison (TVD vs uniform 111‰) rides along to separate
+    * "non-Benford because synthetic-uniform" from "non-Benford because
+    * truncated".
+    *
+    * Scale shape: one map-side digit extraction + a 9-key partial-agg
+    * groupBy; the spine join and window run over 9 rows. */
+  private val q226: Q = (s, d) => {
+    val benford = Map(1 -> 301L, 2 -> 176L, 3 -> 125L, 4 -> 97L,
+      5 -> 79L, 6 -> 67L, 7 -> 58L, 8 -> 51L, 9 -> 46L)
+    val li = Tables.lineitem(s, d)
+      .select(expr("""cast(substr(cast(cast(cast(l_extendedprice
+        as decimal(12,2)) * 100 as bigint) as string), 1, 1) as bigint)""")
+        .as("digit"))
+    val counts = li.groupBy("digit").agg(count(lit(1)).as("c"))
+    val spine = s.range(1, 10).toDF("digit")
+      .withColumn("exp_pm", element_at(
+        map(benford.toSeq.sortBy(_._1).flatMap { case (k, v) =>
+          Seq(lit(k.toLong), lit(v)) }: _*), col("digit")))
+    val tot = counts.agg(sum("c").as("n"))
+    val rows = spine.join(counts, Seq("digit"), "left")
+      .na.fill(0L, Seq("c"))
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"), col("c"),
+        expr("(1000 * c) div n").as("obs_pm"), col("exp_pm"),
+        expr("(1000 * c) div n - exp_pm").as("dev_pm"),
+        abs(lit(1000L) * col("c") - col("exp_pm") * col("n"))
+          .as("abs_dev_num"),
+        // uniform-law deviation: p_d = 1/9 exactly → |9000·c − 1000·n|
+        // over den 18000·n keeps the rational exact (⅑ has no finite
+        // per-mille form, so the uniform leg scales by 9)
+        abs(lit(9000L) * col("c") - lit(1000L) * col("n"))
+          .as("abs_udev_num"))
+    val w = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    rows
+      .withColumn("tvd_num", sum(col("abs_dev_num")).over(w))
+      .withColumn("tvd_den", lit(2000L) * col("n"))
+      .withColumn("tvd",
+        col("tvd_num").cast("double") / (lit(2000L) * col("n"))
+          .cast("double"))
+      .withColumn("utvd_num", sum(col("abs_udev_num")).over(w))
+      .withColumn("utvd_den", lit(18000L) * col("n"))
+      .withColumn("utvd",
+        col("utvd_num").cast("double") / (lit(18000L) * col("n"))
+          .cast("double"))
+      .orderBy("digit")
+  }
+
   /** Q137: robust MAD outlier report — the median-based twin of q117's
     * z-score flags for the heavy-tailed metrics where mean/σ are
     * themselves dragged by the outliers they should expose (median and
@@ -570,6 +633,7 @@ object MlQueries extends QueryGroup {
     "q112_lake_zorder" -> q112,
     "q114_agg_heavy_hitters" -> q114,
     "q117_anomaly_zscore" -> q117,
+    "q226_benford_audit" -> q226,
   )
 
   // the 32 interleave terms of the 16-bit Morton code, generated once and
@@ -586,6 +650,43 @@ object MlQueries extends QueryGroup {
     "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(c.centroid, x -> CAST(CAST(x AS FLOAT) AS DOUBLE) * CAST(CAST(x AS FLOAT) AS DOUBLE))), (a, x) -> a + x)"
 
   val oracles: Map[String, String] = Map(
+    // Benford audit: same cents-string digit extraction, the same shared
+    // per-mille literal table, window sums cast back from HUGEINT (the
+    // q91 gotcha), every integer column pinned BIGINT
+    "q226_benford_audit" ->
+      """WITH li AS (SELECT CAST(substr(CAST(CAST(CAST(l_extendedprice
+        |      AS DECIMAL(12,2)) * 100 AS BIGINT) AS VARCHAR), 1, 1)
+        |    AS BIGINT) AS digit
+        |  FROM lineitem),
+        |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS c FROM li
+        |  GROUP BY digit),
+        |sp AS (SELECT unnest(range(1, 10)) AS digit),
+        |ex AS (SELECT CAST(digit AS BIGINT) AS digit,
+        |    CAST(exp_pm AS BIGINT) AS exp_pm
+        |  FROM (VALUES (1, 301), (2, 176), (3, 125), (4, 97), (5, 79),
+        |    (6, 67), (7, 58), (8, 51), (9, 46)) t(digit, exp_pm)),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c),
+        |r AS (SELECT sp.digit, tot.n,
+        |    CAST(coalesce(c.c, 0) AS BIGINT) AS c, ex.exp_pm
+        |  FROM sp JOIN ex USING (digit) LEFT JOIN c USING (digit)
+        |  CROSS JOIN tot),
+        |f AS (SELECT digit, n, c, (1000 * c) // n AS obs_pm, exp_pm,
+        |    (1000 * c) // n - exp_pm AS dev_pm,
+        |    abs(1000 * c - exp_pm * n) AS abs_dev_num,
+        |    abs(9000 * c - 1000 * n) AS abs_udev_num
+        |  FROM r)
+        |SELECT digit, n, c, obs_pm, exp_pm, dev_pm, abs_dev_num,
+        |  abs_udev_num,
+        |  CAST(sum(abs_dev_num) OVER () AS BIGINT) AS tvd_num,
+        |  2000 * n AS tvd_den,
+        |  CAST(CAST(sum(abs_dev_num) OVER () AS BIGINT) AS DOUBLE) /
+        |    (2000 * n) AS tvd,
+        |  CAST(sum(abs_udev_num) OVER () AS BIGINT) AS utvd_num,
+        |  18000 * n AS utvd_den,
+        |  CAST(CAST(sum(abs_udev_num) OVER () AS BIGINT) AS DOUBLE) /
+        |    (18000 * n) AS utvd
+        |FROM f ORDER BY digit""".stripMargin,
+
     // curriculum order: decile bin on the negated exact-ratio quality
     // (window rank + count-over), staged admission, q147's salted shuffle
     "q160_curriculum_order" ->

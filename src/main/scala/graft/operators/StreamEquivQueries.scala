@@ -175,13 +175,15 @@ object StreamEquivQueries extends QueryGroup {
       .orderBy("cohort_w", "week_offset")
   }
 
-  /** Q224: exact-integer 3σ outlier audit — the statistical QC gate an
-    * event pipeline runs per type before aggregates are trusted, with the
-    * flag decided ENTIRELY in integer space: |x − μ| > 3σ cross-multiplies
-    * to (n·x − Σx)² > 9·(n·Σx² − (Σx)²), so no engine ever computes a
-    * mean, a variance or a square root and the verdict is bit-identical
-    * (the q95 contract pushed through a SECOND moment; q221 stops at σ —
-    * this never leaves the integers at all). Values enter as exact cents
+  /** Q224: exact-integer 3σ outlier audit — the per-type SUMMARY form of
+    * the q117/q137 outlier family, with the flag decided ENTIRELY in
+    * integer space: |x − μ| > 3σ cross-multiplies to
+    * (n·x − Σx)² > 9·(n·Σx² − (Σx)²), so no engine ever computes a mean,
+    * a variance or a square root and the verdict is bit-identical (q117
+    * flags rows through mirrored DOUBLE μ/σ² ops — determinism by
+    * discipline; here it holds by construction. The q95 contract pushed
+    * through a SECOND moment; q221 stops at σ — this never leaves the
+    * integers at all). Values enter as exact cents
     * via one DECIMAL(18,2) cast (the events `value` column is 2-decimal
     * data in a DOUBLE; a 2-dp double is never a rounding tie at 2-dp —
     * the q199 boundary argument); the cross-multiplied squares run in
