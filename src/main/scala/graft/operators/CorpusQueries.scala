@@ -1218,6 +1218,120 @@ object CorpusQueries extends QueryGroup {
       .orderBy("decile")
   }
 
+  /** Q228: isotonic (PAV) margin calibration — the step that turns
+    * q179's reliability DIAGNOSIS into a fix: the monotone-nondecreasing
+    * probability curve closest (in L2) to the holdout outcomes, i.e.
+    * sklearn's isotonic regression / Zadrozny–Elkan calibration of the
+    * q126 margin. Computed via the minimax CLOSED FORM of pool-adjacent-
+    * violators [Ayer et al. 1955; Robertson et al. 1988]:
+    * iso(k) = max_{i≤k} min_{j≥k} mean(y[i..j]) over the distinct-margin
+    * histogram — no iteration, so DuckDB replays it exactly. Every mean
+    * is ONE IEEE division of exact BIGINT prefix-sum differences:
+    * identical integers give bit-identical doubles in both engines, and
+    * min/max over identical double sets are identical — the q95 contract
+    * extended to a minimax over single divisions. Monotonicity and the
+    * pool structure follow from the formula; the spec recounts a driver
+    * PAV against it.
+    *
+    * Scale shape: scoring is the data-sized pass (q208's note); the
+    * minimax runs over DISTINCT margins D only — O(D²) pair rows with
+    * two partitioned windows, never corpus-sized. At web-scale D a
+    * production run swaps the closed form for the linear PAV scan over
+    * the SAME histogram (a driver-side D-length array — the histogram
+    * is already the small side); the closed form IS the spec both
+    * implement. */
+  private val q228: Q = (s, d) => {
+    val h = CorpusOps.classifierScores(Tables.documents(s, d),
+        "doc_id", col("lang") === "en", 4096)
+      .filter(!col("is_train"))
+      .groupBy("margin").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("is_pos"), 1L).otherwise(0L)).as("p"))
+    val wOrd = Window.orderBy("margin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = h
+      .withColumn("ord", row_number().over(Window.orderBy("margin"))
+        .cast("long"))
+      .withColumn("cp", sum("p").over(wOrd))
+      .withColumn("cn", sum("n").over(wOrd))
+    val i = pre.select(col("ord").as("i"), col("margin").as("m_i"),
+      (col("cp") - col("p")).as("cp_i0"), (col("cn") - col("n")).as("cn_i0"))
+    val j = pre.select(col("ord").as("j"),
+      col("cp").as("cp_j"), col("cn").as("cn_j"))
+    // A(i,j) = mean of y over blocks i..j (inclusive) — one division of
+    // exact prefix-sum differences
+    val a = i.join(j, col("i") <= col("j"))
+      .select(col("i"), col("j"),
+        ((col("cp_j") - col("cp_i0")).cast("double") /
+          (col("cn_j") - col("cn_i0")).cast("double")).as("avg"))
+    // suffix min over j ≥ k for each i: order j DESC, cumulative min;
+    // the row at (i, j=k) then carries min_{j≥k} A(i,j)
+    val wSuf = Window.partitionBy("i").orderBy(col("j").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val m = a.withColumn("sufmin", min("avg").over(wSuf))
+      .select(col("i"), col("j").as("k"), col("sufmin"))
+    // cumulative max over i ≤ k for each k; the diagonal row i = k is iso(k)
+    val wPre = Window.partitionBy("k").orderBy("i")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val iso = m.withColumn("iso", max("sufmin").over(wPre))
+      .filter(col("i") === col("k"))
+      .select(col("k").as("ord"), col("iso"))
+    pre.join(iso, "ord")
+      .select(col("margin"), col("n"), col("p"),
+        (col("p").cast("double") / col("n")).as("raw_rate"),
+        col("iso").as("iso_prob"))
+      .orderBy("margin")
+  }
+
+  /** Q227: source-concentration report — the market-concentration view of
+    * the corpus that q78's per-source ratios and q136's temperature
+    * budgets both presuppose but never state: how dominated is the token
+    * mass by its head sources. Per source (ranked by mass, ties to the
+    * smaller name): exact share and cumulative share in integer
+    * per-mille; globally the Herfindahl–Hirschman index ×10⁶
+    * (Σshare² — the antitrust statistic, = the q176 Simpson collision
+    * probability applied to SOURCES) and the Gini coefficient as the
+    * exact rational (2·Σrankᵃˢᶜ·x − (n+1)·T, n·T) — integer rank-sum
+    * form, no sorting-by-double anywhere. Σx² and T² run in
+    * DECIMAL(38,0)/HUGEINT and surface as BIGINT (the q222/CLAUDE rule:
+    * hhi ≤ 10⁶ by construction, gini terms are rank-weighted masses).
+    * Entropy is deliberately absent — log is libm-divergent (q95);
+    * HHI/Gini carry the same decision signal exactly.
+    *
+    * Scale shape: one map-side token count + a source-keyed partial agg;
+    * every window runs over the source-sized table (dozens of rows at
+    * any corpus scale — sources are a governance vocabulary, not data). */
+  private val q227: Q = (s, d) => {
+    val st = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("source"),
+        size(split(lower(col("text")), " ")).cast("long").as("x"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("x").as("tok_mass"))
+    val tot = st.agg(sum("tok_mass").as("t"), count(lit(1)).as("n_src"),
+      sum(expr("""cast(tok_mass as decimal(38,0)) *
+        cast(tok_mass as decimal(38,0))""")).as("sq"))
+    val wAsc = Window.orderBy(col("tok_mass").asc, col("source").asc)
+    val wDesc = Window.orderBy(col("tok_mass").desc, col("source").asc)
+    val ranked = st
+      .withColumn("rank_asc", row_number().over(wAsc).cast("long"))
+      .withColumn("rank", row_number().over(wDesc).cast("long"))
+      .withColumn("cum_mass", sum("tok_mass").over(
+        wDesc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val g = ranked.agg(sum(col("rank_asc") * col("tok_mass")).as("srx"))
+    ranked.crossJoin(broadcast(tot)).crossJoin(broadcast(g))
+      .select(col("source"), col("n_docs"), col("tok_mass"), col("rank"),
+        expr("(1000 * tok_mass) div t").as("share_pm"),
+        expr("(1000 * cum_mass) div t").as("cum_share_pm"),
+        expr("""cast((1000000 * sq) div (cast(t as decimal(38,0)) *
+          cast(t as decimal(38,0))) as bigint)""").as("hhi_x1e6"),
+        (lit(2L) * col("srx") - (col("n_src") + 1L) * col("t"))
+          .as("gini_num"),
+        (col("n_src") * col("t")).as("gini_den"))
+      .withColumn("gini",
+        col("gini_num").cast("double") / col("gini_den").cast("double"))
+      .orderBy("rank")
+  }
+
   /** Q214: split-conformal keep-threshold selection — the
     * distribution-free answer to "what margin cutoff keeps ≥ 90% of the
     * good documents" ([Vovk et al. 2005; Papadopoulos 2008] split
@@ -1947,6 +2061,8 @@ object CorpusQueries extends QueryGroup {
     "q208_classifier_auc" -> q208,
     "q209_operating_point" -> q209,
     "q225_classifier_gain_lift" -> q225,
+    "q227_source_concentration" -> q227,
+    "q228_isotonic_calibration" -> q228,
     "q210_lake_schema_evolution" -> q210,
     "q211_epoch_allocation" -> q211,
     "q212_lake_erasure" -> q212,
@@ -2281,6 +2397,77 @@ object CorpusQueries extends QueryGroup {
     // weights as single correctly-rounded ops, source-ordered sequential
     // normalizer fold (the q136 machinery), md5-rank draw + checksum;
     // moment sums CAST back from HUGEINT (the q91 rule)
+    // isotonic calibration: same refit + margin histogram, the identical
+    // minimax closed form — every mean ONE division of exact prefix-sum
+    // differences, so doubles (and their min/max) agree bit-for-bit
+    "q228_isotonic_calibration" ->
+      (clsOracleCore +
+      """, scored AS (SELECT f.doc_id, bool_or(f.is_pos) AS is_pos,
+        |    bool_or(f.is_train) AS is_train,
+        |    CAST(coalesce(sum(w.w), 0) AS BIGINT) AS margin
+        |  FROM f LEFT JOIN w USING (bucket) GROUP BY f.doc_id),
+        |h AS (SELECT margin, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(CASE WHEN is_pos THEN 1 END) AS BIGINT) AS p
+        |  FROM scored WHERE NOT is_train GROUP BY margin),
+        |pre AS (SELECT *,
+        |    CAST(row_number() OVER (ORDER BY margin) AS BIGINT) AS ord,
+        |    CAST(sum(p) OVER (ORDER BY margin ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cp,
+        |    CAST(sum(n) OVER (ORDER BY margin ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cn
+        |  FROM h),
+        |a AS (SELECT i.ord AS i, j.ord AS j,
+        |    CAST(j.cp - (i.cp - i.p) AS DOUBLE) /
+        |      (j.cn - (i.cn - i.n)) AS avg
+        |  FROM pre i JOIN pre j ON i.ord <= j.ord),
+        |m AS (SELECT i, j AS k,
+        |    min(avg) OVER (PARTITION BY i ORDER BY j DESC ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS sufmin
+        |  FROM a),
+        |iso AS (SELECT k AS ord, iso FROM (
+        |    SELECT i, k, max(sufmin) OVER (PARTITION BY k ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS iso
+        |    FROM m) WHERE i = k)
+        |SELECT pre.margin, pre.n, pre.p,
+        |  CAST(pre.p AS DOUBLE) / pre.n AS raw_rate,
+        |  iso.iso AS iso_prob
+        |FROM pre JOIN iso USING (ord) ORDER BY margin""".stripMargin),
+
+    // concentration: same token mass, HUGEINT for Σx²/T² (≡ Spark's
+    // DECIMAL(38,0)), window sums cast back (the q91 gotcha), ranks
+    // deterministic via (mass, source) ties
+    "q227_source_concentration" ->
+      """WITH dm AS (SELECT source,
+        |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS x
+        |  FROM documents WHERE text IS NOT NULL),
+        |st AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(x) AS BIGINT) AS tok_mass
+        |  FROM dm GROUP BY source),
+        |tot AS (SELECT CAST(sum(tok_mass) AS BIGINT) AS t,
+        |    CAST(count(*) AS BIGINT) AS n_src,
+        |    sum(CAST(tok_mass AS HUGEINT) * tok_mass) AS sq
+        |  FROM st),
+        |r AS (SELECT *,
+        |    CAST(row_number() OVER (ORDER BY tok_mass, source) AS BIGINT)
+        |      AS rank_asc,
+        |    CAST(row_number() OVER (ORDER BY tok_mass DESC, source)
+        |      AS BIGINT) AS rnk,
+        |    CAST(sum(tok_mass) OVER (ORDER BY tok_mass DESC, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_mass
+        |  FROM st),
+        |g AS (SELECT CAST(sum(rank_asc * tok_mass) AS BIGINT) AS srx FROM r)
+        |SELECT r.source, r.n_docs, r.tok_mass, r.rnk AS rank,
+        |  (1000 * r.tok_mass) // tot.t AS share_pm,
+        |  (1000 * r.cum_mass) // tot.t AS cum_share_pm,
+        |  CAST((1000000 * tot.sq) //
+        |    (CAST(tot.t AS HUGEINT) * tot.t) AS BIGINT) AS hhi_x1e6,
+        |  2 * g.srx - (tot.n_src + 1) * tot.t AS gini_num,
+        |  tot.n_src * tot.t AS gini_den,
+        |  CAST(2 * g.srx - (tot.n_src + 1) * tot.t AS DOUBLE) /
+        |    (tot.n_src * tot.t) AS gini
+        |FROM r, tot, g ORDER BY rank""".stripMargin,
+
     "q221_neyman_allocation" ->
       """WITH d AS (SELECT doc_id, source,
         |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS x

@@ -7,9 +7,18 @@ import org.apache.spark.sql.functions._
   * signatures); JDK-decodable image formats additionally take a REAL codec
   * (ImageIoCodec — the last three tests decode actual PNG pixels), the rest
   * a deterministic fake. */
-class MultimodalSpec extends SparkSpec {
+class MultimodalSpec extends SparkSpec
+    with org.scalatest.BeforeAndAfterAll {
 
   private lazy val media = Multimodal.synthesize(spark, sfDir).cache()
+
+  // the session is SHARED across suites: a suite-scoped fixture cache left
+  // pinned here fails KCoreSpec's global cache-emptiness check, not this
+  // suite (the DedupBucketCapSpec lesson)
+  override def afterAll(): Unit = {
+    media.unpersist(blocking = true)
+    super.afterAll()
+  }
 
   /** A real w×h PNG with a horizontal black→white gradient. */
   private def gradientPng(w: Int, h: Int): Array[Byte] = {

@@ -627,6 +627,38 @@ class R14QuerySemanticsSpec extends SparkSpec {
     assert(nulls("b2")._1 == 0L && nulls("b2")._2 == 0L)
   }
 
+  test("q228: driver pool-adjacent-violators ≡ the minimax closed form") {
+    val rows = run("q228_isotonic_calibration").collect()
+    assert(rows.length > 3, "needs a real margin histogram")
+    val ns = rows.map(_.getAs[Long]("n"))
+    val ps = rows.map(_.getAs[Long]("p"))
+    // classic PAV over the same histogram: integer pool sums, merge while
+    // the previous pool's mean >= the new one's (cross-multiplied — exact)
+    val w = scala.collection.mutable.ArrayBuffer[Long]()
+    val sm = scala.collection.mutable.ArrayBuffer[Long]()
+    val cnt = scala.collection.mutable.ArrayBuffer[Int]()
+    for (idx <- rows.indices) {
+      var cw = ns(idx); var cs = ps(idx); var cc = 1
+      while (w.nonEmpty && sm.last * cw >= cs * w.last) {
+        cw += w.remove(w.length - 1)
+        cs += sm.remove(sm.length - 1)
+        cc += cnt.remove(cnt.length - 1)
+      }
+      w += cw; sm += cs; cnt += cc
+    }
+    val fitted = w.indices.flatMap(b =>
+      Seq.fill(cnt(b))(sm(b).toDouble / w(b).toDouble))
+    val iso = rows.map(_.getAs[Double]("iso_prob"))
+    iso.zip(fitted).zipWithIndex.foreach { case ((a, b), k) =>
+      assert(a == b, s"block $k: minimax $a vs PAV $b") }
+    assert(iso.zip(iso.tail).forall { case (x, y) => x <= y },
+      "calibrated curve must be monotone nondecreasing")
+    // calibration actually pools something on this corpus (raw rates are
+    // not already monotone), so the operator is non-vacuous
+    val raw = rows.map(_.getAs[Double]("raw_rate"))
+    assert(raw.zip(raw.tail).exists { case (x, y) => x > y })
+  }
+
   test("q222: assortativity — star r=-1, clique union r=1, BigInt recount") {
     def run(ps: Seq[(Long, Long)]) =
       GraphQueries.assortativity(ps.toDF("a", "b")).collect().head
