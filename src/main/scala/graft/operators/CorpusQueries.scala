@@ -1283,6 +1283,57 @@ object CorpusQueries extends QueryGroup {
       .orderBy("margin")
   }
 
+  /** Q229: McNemar's paired test between two quality filters — the
+    * statistically-honest form of "did the new filter beat the old one":
+    * the q126 classifier and the q115 Gopher rule set judge the SAME
+    * holdout documents against the curated-membership label, and only
+    * the DISAGREEMENT cells decide ([McNemar 1947]: b = classifier-only-
+    * right, c = gopher-only-right; the concordant cells carry no
+    * evidence — the mistake naive accuracy deltas make on overlapping
+    * errors). The statistic (b−c)²/(b+c) ships ×1000 in integer
+    * fixed-point and the α = 0.05 verdict cross-multiplies against the
+    * χ²₁ critical value as the shared literal 3841 (a runtime CDF would
+    * be transcendental — the q226 Benford-table move), so engines agree
+    * bit-for-bit. BIGINT headroom to ~10⁶-doc holdouts; beyond, the
+    * square swaps to DECIMAL(38,0) (the q224 move).
+    *
+    * Scale shape: both scorings are data-sized map/agg passes the
+    * operators already define; the pairing is ONE doc_id-keyed join and
+    * a single fold to one row. */
+  private val q229: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val cls = CorpusOps.classifierScores(docs, "doc_id",
+        col("lang") === "en", 4096)
+      .filter(!col("is_train"))
+      .select(col("doc_id"), col("is_pos"), col("predicted").as("cls_keep"))
+    val gop = CorpusOps.gopherFlags(docs, "doc_id")
+      .select(col("doc_id"), col("kept").as("gopher_keep"))
+    cls.join(gop, "doc_id")
+      .select((col("cls_keep") === col("is_pos")).as("cls_right"),
+        (col("gopher_keep") === col("is_pos")).as("gop_right"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(when(col("cls_right") && col("gop_right"), 1L)
+          .otherwise(0L)), lit(0L)).as("both_right"),
+        coalesce(sum(when(!col("cls_right") && !col("gop_right"), 1L)
+          .otherwise(0L)), lit(0L)).as("both_wrong"),
+        coalesce(sum(when(col("cls_right") && !col("gop_right"), 1L)
+          .otherwise(0L)), lit(0L)).as("b_cls_only"),
+        coalesce(sum(when(!col("cls_right") && col("gop_right"), 1L)
+          .otherwise(0L)), lit(0L)).as("c_gop_only"))
+      .select(col("n"), col("both_right"), col("both_wrong"),
+        col("b_cls_only"), col("c_gop_only"),
+        expr("""case when b_cls_only + c_gop_only > 0 then
+          ((b_cls_only - c_gop_only) * (b_cls_only - c_gop_only) * 1000)
+            div (b_cls_only + c_gop_only) end""").as("mcnemar_x1000"),
+        expr("""(b_cls_only - c_gop_only) * (b_cls_only - c_gop_only)
+          * 1000 > 3841 * (b_cls_only + c_gop_only)""").as("significant"),
+        expr("""case when (b_cls_only - c_gop_only) *
+            (b_cls_only - c_gop_only) * 1000 <=
+            3841 * (b_cls_only + c_gop_only) then 'tie'
+          when b_cls_only > c_gop_only then 'classifier'
+          else 'gopher' end""").as("winner"))
+  }
+
   /** Q227: source-concentration report — the market-concentration view of
     * the corpus that q78's per-source ratios and q136's temperature
     * budgets both presuppose but never state: how dominated is the token
@@ -2063,6 +2114,7 @@ object CorpusQueries extends QueryGroup {
     "q225_classifier_gain_lift" -> q225,
     "q227_source_concentration" -> q227,
     "q228_isotonic_calibration" -> q228,
+    "q229_mcnemar_filters" -> q229,
     "q210_lake_schema_evolution" -> q210,
     "q211_epoch_allocation" -> q211,
     "q212_lake_erasure" -> q212,
@@ -2397,6 +2449,61 @@ object CorpusQueries extends QueryGroup {
     // weights as single correctly-rounded ops, source-ordered sequential
     // normalizer fold (the q136 machinery), md5-rank draw + checksum;
     // moment sums CAST back from HUGEINT (the q91 rule)
+    // McNemar: the clsOracleCore refit's keep verdict paired with the
+    // q115 gopher CTEs on the same doc_ids; disagreement cells and the
+    // cross-multiplied chi-square verdict in pure integers
+    "q229_mcnemar_filters" ->
+      (clsOracleCore +
+      """, scored AS (SELECT f.doc_id, bool_or(f.is_pos) AS is_pos,
+        |    bool_or(f.is_train) AS is_train,
+        |    CAST(coalesce(sum(w.w), 0) AS BIGINT) > 0 AS cls_keep
+        |  FROM f LEFT JOIN w USING (bucket) GROUP BY f.doc_id),
+        |gt AS (SELECT doc_id, text,
+        |    string_split(lower(text), ' ') AS toks FROM documents),
+        |gf AS (SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n,
+        |    CAST(len(replace(text, ' ', '')) AS BIGINT) AS sumlen,
+        |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+        |      AS BIGINT) AS n_alpha,
+        |    CAST(len(list_filter(toks, x -> contains(x, '#')
+        |      OR contains(x, '...'))) AS BIGINT) AS n_sym,
+        |    CAST(len(list_intersect(toks,
+        |      ['the', 'a', 'to', 'of', 'and', 'in', 'is'])) AS BIGINT)
+        |      AS n_stop
+        |  FROM gt),
+        |gk AS (SELECT doc_id,
+        |    COALESCE(n >= 50 AND n <= 100000, FALSE)
+        |      AND COALESCE(3 * n <= sumlen AND sumlen <= 10 * n, FALSE)
+        |      AND COALESCE(5 * n_alpha >= 4 * n, FALSE)
+        |      AND COALESCE(n_stop >= 2, FALSE)
+        |      AND COALESCE(10 * n_sym <= n, FALSE) AS gopher_keep
+        |  FROM gf),
+        |p AS (SELECT (s.cls_keep = s.is_pos) AS cls_right,
+        |    (gk.gopher_keep = s.is_pos) AS gop_right
+        |  FROM scored s JOIN gk USING (doc_id) WHERE NOT s.is_train),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(CASE WHEN cls_right AND gop_right THEN 1 END)
+        |      AS BIGINT) AS both_right,
+        |    CAST(count(CASE WHEN NOT cls_right AND NOT gop_right THEN 1
+        |      END) AS BIGINT) AS both_wrong,
+        |    CAST(count(CASE WHEN cls_right AND NOT gop_right THEN 1 END)
+        |      AS BIGINT) AS b_cls_only,
+        |    CAST(count(CASE WHEN NOT cls_right AND gop_right THEN 1 END)
+        |      AS BIGINT) AS c_gop_only
+        |  FROM p)
+        |SELECT n, both_right, both_wrong, b_cls_only, c_gop_only,
+        |  CASE WHEN b_cls_only + c_gop_only > 0 THEN
+        |    ((b_cls_only - c_gop_only) * (b_cls_only - c_gop_only) * 1000)
+        |      // (b_cls_only + c_gop_only) END AS mcnemar_x1000,
+        |  (b_cls_only - c_gop_only) * (b_cls_only - c_gop_only) * 1000 >
+        |    3841 * (b_cls_only + c_gop_only) AS significant,
+        |  CASE WHEN (b_cls_only - c_gop_only) *
+        |      (b_cls_only - c_gop_only) * 1000 <=
+        |      3841 * (b_cls_only + c_gop_only) THEN 'tie'
+        |    WHEN b_cls_only > c_gop_only THEN 'classifier'
+        |    ELSE 'gopher' END AS winner
+        |FROM a""".stripMargin),
+
     // isotonic calibration: same refit + margin histogram, the identical
     // minimax closed form — every mean ONE division of exact prefix-sum
     // differences, so doubles (and their min/max) agree bit-for-bit
