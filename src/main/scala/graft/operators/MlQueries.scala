@@ -52,6 +52,35 @@ object MlQueries extends QueryGroup {
         expr("percentile(l_quantity, 0.25)").as("p25_qty"))
       .orderBy("l_returnflag")
 
+  /** Q230: distributed EXACT median by integer bisection — the
+    * 100 TB-true exact order statistic: q52's `percentile` buffers every
+    * group's values in one aggregation buffer (exact but memory ∝ group
+    * size — its documented caveat), and q128's mergeable histogram is
+    * approximate; THIS is exact at any group size with bounded memory.
+    * [Blum et al. selection lowered to value-domain bisection]: per
+    * group, binary-search the CENTS domain — each round ONE grouped
+    * count-≤-mid scan (map-side partials, a group-count-sized result to
+    * the driver), ⌈log₂(range)⌉ ≤ ~24 rounds total, all groups searched
+    * SIMULTANEOUSLY in the same scan and dropped from the probe as they
+    * converge. Selection rank k = (n+1) div 2 (lower median) — a pure
+    * integer rank, never a float percentile literal (the q158 rule).
+    * Exactness: the domain is exact cents (the q224 DECIMAL(18,2) cast),
+    * counts are BIGINTs — the result is THE k-th order statistic, not an
+    * interpolation, so the oracle recomputes it with a plain
+    * cumulative-count subquery.
+    *
+    * Scale shape: the driver holds (lo, hi) per GROUP (dimension-sized);
+    * every pass is one partial-agg scan; no shuffle of raw rows, no
+    * per-group buffering anywhere. The q137 MAD at raw-fact volume
+    * composes from two of these searches. */
+  private val q230: Q = (s, d) => {
+    val cents = Tables.lineitem(s, d).select(col("l_returnflag").as("grp"),
+      (col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("long").as("v"))
+    graft.functions.ExactSelect.medianByGroup(cents, "grp", "v")
+      .orderBy("grp")
+  }
+
   /** Q53: pivot (wide aggregation) — explicit value list so the plan is a
     * single pass, no distinct-values pre-query. */
   private val q53: Q = (s, d) =>
@@ -634,6 +663,7 @@ object MlQueries extends QueryGroup {
     "q114_agg_heavy_hitters" -> q114,
     "q117_anomaly_zscore" -> q117,
     "q226_benford_audit" -> q226,
+    "q230_exact_median_bisect" -> q230,
   )
 
   // the 32 interleave terms of the 16-bit Morton code, generated once and
@@ -650,6 +680,23 @@ object MlQueries extends QueryGroup {
     "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(c.centroid, x -> CAST(CAST(x AS FLOAT) AS DOUBLE) * CAST(CAST(x AS FLOAT) AS DOUBLE))), (a, x) -> a + x)"
 
   val oracles: Map[String, String] = Map(
+    // exact median: the k-th order statistic (k = (n+1) div 2) recomputed
+    // directly with a rank subquery — the bisection must land on exactly
+    // this row or the hash mismatches
+    "q230_exact_median_bisect" ->
+      """WITH c AS (SELECT l_returnflag AS grp,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      AS v
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |s AS (SELECT grp, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY grp),
+        |r AS (SELECT grp, v,
+        |    CAST(row_number() OVER (PARTITION BY grp ORDER BY v) AS BIGINT)
+        |      AS rk
+        |  FROM c)
+        |SELECT s.grp, s.n, (s.n + 1) // 2 AS k, r.v AS median
+        |FROM s JOIN r ON r.grp = s.grp AND r.rk = (s.n + 1) // 2
+        |ORDER BY s.grp""".stripMargin,
+
     // Benford audit: same cents-string digit extraction, the same shared
     // per-mille literal table, window sums cast back from HUGEINT (the
     // q91 gotcha), every integer column pinned BIGINT

@@ -202,11 +202,18 @@ object StreamEquivQueries extends QueryGroup {
     * so the spec can pin the flag set against a driver BigDecimal
     * mean/σ recount on constructed fixtures (including the exact
     * |x−μ| = 3σ boundary, which the strict > must NOT flag). */
-  private[operators] def outlierAudit(e: DataFrame): DataFrame = {
-    val st = e.groupBy("event_type")
+  /** The q224 per-type second moments — the FROZEN model a streaming gate
+    * judges against (refit in batch, broadcast to the stream). */
+  private[graft] def outlierStats(e: DataFrame): DataFrame =
+    e.groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum("cents").as("sx"),
         sum(col("cents") * col("cents")).as("sxx"))
-    val flagged = e.join(broadcast(st), "event_type")
+
+  /** The q224 integer 3σ verdict per row against a stats table — works
+    * unchanged on a STREAMING `e` (stream-static broadcast join, stateless
+    * map-side; StreamingOutlierSpec pins batch ≡ streamed flags). */
+  private[graft] def flagOutliers(e: DataFrame, st: DataFrame): DataFrame =
+    e.join(broadcast(st), "event_type")
       .withColumn("dev",
         expr("""cast(n as decimal(38,0)) * cast(cents as decimal(38,0))
           - cast(sx as decimal(38,0))"""))
@@ -215,6 +222,10 @@ object StreamEquivQueries extends QueryGroup {
           - cast(sx as decimal(38,0)) * cast(sx as decimal(38,0)))"""))
       .select(col("event_type"), col("event_id"), col("cents"),
         (col("dev") * col("dev") > col("var9")).as("is_outlier"))
+
+  private[operators] def outlierAudit(e: DataFrame): DataFrame = {
+    val st = outlierStats(e)
+    val flagged = flagOutliers(e, st)
     val outs = flagged.groupBy("event_type")
       .agg(sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"),
         min(when(col("is_outlier"), col("cents"))).as("min_outlier_cents"),
