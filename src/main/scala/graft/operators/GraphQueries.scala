@@ -728,6 +728,30 @@ object GraphQueries extends QueryGroup {
   private val q222: Q = (s, d) =>
     assortativity(coPurchaseRepeatEdges(s, d))
 
+  /** Q231: landmark harmonic-closeness features — the centrality estimate
+    * the q220 sketch exists FOR ([Potamias et al. CIKM'09]: approximate
+    * closeness from landmark distances alone, never all-pairs). The
+    * HARMONIC form Σ 1/d is the right one under a hop bound: unreachable
+    * and beyond-bound landmarks contribute exactly 0 instead of poisoning
+    * a reciprocal-of-sum, and with d ∈ {1..4} every term is exact in
+    * TWELFTHS — harmonic_x12 = Σ (12 div d) is a pure integer, no double
+    * ever exists (lcm(1..4) = 12). Landmarks flag themselves via their
+    * own 0 distance and contribute only their ≥1 hops to OTHER landmarks.
+    * One projection over q220's bounded-BFS pivot — same scale shape. */
+  private val q231: Q = (s, d) => {
+    val cols = Seq("d0", "d1", "d2", "d3")
+    val reach = cols.map(n =>
+      when(col(n) >= 1L, 1L).otherwise(0L)).reduce(_ + _)
+    val harm = cols.map(n =>
+      when(col(n) >= 1L, expr(s"12 div $n")).otherwise(0L)).reduce(_ + _)
+    val isMark = cols.map(n => col(n) === 0L).reduce(_ || _)
+    q220(s, d).select(col("node"),
+        reach.cast("long").as("n_reached"),
+        harm.cast("long").as("harmonic_x12"),
+        isMark.as("is_landmark"))
+      .orderBy("node")
+  }
+
   /** q222 core over any canonical (a < b, distinct) edge list — separated
     * so the spec can pin the sign and exact rational on constructed
     * star/clique graphs against a driver BigDecimal Pearson. */
@@ -775,6 +799,7 @@ object GraphQueries extends QueryGroup {
     "q213_graph_kcore" -> q213,
     "q220_graph_landmark_dist" -> q220,
     "q222_graph_assortativity" -> q222,
+    "q231_graph_landmark_closeness" -> q231,
   )
 
   /** The q213 oracle, loop-generated (the q129 unrolled-CTE pattern at
@@ -832,7 +857,9 @@ object GraphQueries extends QueryGroup {
     * landmark pick, then `rounds` unrolled synchronous BFS relaxations
     * (MATERIALIZED, the q213 inlining lesson) and the per-node pivot
     * with −1 for beyond-bound/unreachable. */
-  private def landmarkOracleSql(rounds: Int): String = {
+  /** The q220/q231 shared WITH-body: repeat edges, landmark pick, `rounds`
+    * unrolled BFS relaxations, the per-node distance pivot `dd`. */
+  private def landmarkDistBodySql(rounds: Int): String = {
     val sb = new StringBuilder
     sb.append(
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -867,20 +894,42 @@ object GraphQueries extends QueryGroup {
          |    max(CASE WHEN lr = 1 THEN hop END) AS p1,
          |    max(CASE WHEN lr = 2 THEN hop END) AS p2,
          |    max(CASE WHEN lr = 3 THEN hop END) AS p3
-         |  FROM t$rounds GROUP BY node)
-         |SELECT nodes.node,
+         |  FROM t$rounds GROUP BY node),
+         |dd AS (SELECT nodes.node,
          |  CAST(coalesce(p0, -1) AS BIGINT) AS d0,
          |  CAST(coalesce(p1, -1) AS BIGINT) AS d1,
          |  CAST(coalesce(p2, -1) AS BIGINT) AS d2,
          |  CAST(coalesce(p3, -1) AS BIGINT) AS d3
-         |FROM nodes LEFT JOIN pv USING (node)
-         |ORDER BY node""".stripMargin)
+         |FROM nodes LEFT JOIN pv USING (node))
+         |""".stripMargin)
     sb.toString
   }
+
+  private def landmarkOracleSql(rounds: Int): String =
+    landmarkDistBodySql(rounds) +
+      "SELECT node, d0, d1, d2, d3 FROM dd ORDER BY node"
+
+  /** The q231 oracle: the q220 distance body, then the exact-twelfths
+    * harmonic fold over the four landmark columns. */
+  private def landmarkClosenessOracleSql(rounds: Int): String =
+    landmarkDistBodySql(rounds) +
+      """SELECT node,
+        |  CAST(CASE WHEN d0 >= 1 THEN 1 ELSE 0 END
+        |    + CASE WHEN d1 >= 1 THEN 1 ELSE 0 END
+        |    + CASE WHEN d2 >= 1 THEN 1 ELSE 0 END
+        |    + CASE WHEN d3 >= 1 THEN 1 ELSE 0 END AS BIGINT) AS n_reached,
+        |  CAST(CASE WHEN d0 >= 1 THEN 12 // d0 ELSE 0 END
+        |    + CASE WHEN d1 >= 1 THEN 12 // d1 ELSE 0 END
+        |    + CASE WHEN d2 >= 1 THEN 12 // d2 ELSE 0 END
+        |    + CASE WHEN d3 >= 1 THEN 12 // d3 ELSE 0 END AS BIGINT)
+        |    AS harmonic_x12,
+        |  (d0 = 0 OR d1 = 0 OR d2 = 0 OR d3 = 0) AS is_landmark
+        |FROM dd ORDER BY node""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q213_graph_kcore" -> kcoreOracleSql(3, 10),
     "q220_graph_landmark_dist" -> landmarkOracleSql(4),
+    "q231_graph_landmark_closeness" -> landmarkClosenessOracleSql(4),
     // assortativity: same repeat-edge derivation, same stub-list degree
     // joins; the cross-multiplied terms run in HUGEINT (DuckDB's native
     // 128-bit ≡ Spark's DECIMAL(38,0) here) and every sum is cast back

@@ -659,6 +659,26 @@ class R14QuerySemanticsSpec extends SparkSpec {
     assert(raw.zip(raw.tail).exists { case (x, y) => x > y })
   }
 
+  test("q231: harmonic fold recounted from q220's distances; 4 landmarks") {
+    val dist = run("q220_graph_landmark_dist").collect()
+      .map(r => r.getLong(0) -> Seq(r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    val got = run("q231_graph_landmark_closeness").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_reached"), r.getAs[Long]("harmonic_x12"),
+          r.getAs[Boolean]("is_landmark")))).toMap
+    assert(got.keySet == dist.keySet)
+    dist.foreach { case (node, ds) =>
+      val want = ((ds.count(_ >= 1L).toLong,
+        ds.filter(_ >= 1L).map(12L / _).sum,
+        ds.contains(0L)))
+      assert(got(node) == want, s"node $node: dists $ds")
+    }
+    assert(got.values.count(_._3) == 4, "exactly four landmark nodes")
+    // the feature is non-degenerate: scores actually vary
+    assert(got.values.map(_._2).toSet.size > 2)
+  }
+
   test("q222: assortativity — star r=-1, clique union r=1, BigInt recount") {
     def run(ps: Seq[(Long, Long)]) =
       GraphQueries.assortativity(ps.toDF("a", "b")).collect().head
