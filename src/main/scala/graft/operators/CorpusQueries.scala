@@ -1240,16 +1240,68 @@ object CorpusQueries extends QueryGroup {
     * the SAME histogram (a driver-side D-length array — the histogram
     * is already the small side); the closed form IS the spec both
     * implement. */
-  private val q228: Q = (s, d) => {
-    val h = CorpusOps.classifierScores(Tables.documents(s, d),
+  private val q228: Q = (s, d) =>
+    isotonicFit(CorpusOps.classifierScores(Tables.documents(s, d),
         "doc_id", col("lang") === "en", 4096)
       .filter(!col("is_train"))
       .groupBy("margin").agg(
         count(lit(1)).as("n"),
-        sum(when(col("is_pos"), 1L).otherwise(0L)).as("p"))
+        sum(when(col("is_pos"), 1L).otherwise(0L)).as("p")))
+
+  /** q228 core over any (margin, n, p) histogram. Two provably-identical
+    * paths (R14QuerySemanticsSpec forces both): at or below `maxQuadratic`
+    * distinct margins, the in-plan O(D²) minimax (what the DuckDB oracle
+    * replays); above it, the classic LINEAR pool-adjacent-violators scan
+    * over the COLLECTED histogram — the histogram is the small side by
+    * construction (distinct margins ≪ rows), and PAV's pooled means are
+    * the same single IEEE divisions of the same integer sums the minimax
+    * selects, so the swap is bit-exact, not approximate. */
+  private[operators] def isotonicFit(h: org.apache.spark.sql.DataFrame,
+      maxQuadratic: Long = 4096L): org.apache.spark.sql.DataFrame = {
+    val s = h.sparkSession
+    val hp = h.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dCount = hp.count() // deciding action — not release-registered
+    if (dCount > maxQuadratic) {
+      // linear PAV driver-side: integer pool sums, merge while the
+      // previous pool's mean >= the new one's (cross-multiplied — exact)
+      val rows = hp.orderBy("margin").collect()
+      hp.unpersist()
+      val w = scala.collection.mutable.ArrayBuffer[Long]()
+      val sm = scala.collection.mutable.ArrayBuffer[Long]()
+      val cnt = scala.collection.mutable.ArrayBuffer[Int]()
+      rows.foreach { r =>
+        var cw = r.getLong(1); var cs = r.getLong(2); var cc = 1
+        while (w.nonEmpty && sm.last * cw >= cs * w.last) {
+          cw += w.remove(w.length - 1)
+          cs += sm.remove(sm.length - 1)
+          cc += cnt.remove(cnt.length - 1)
+        }
+        w += cw; sm += cs; cnt += cc
+      }
+      val fitted = w.indices.iterator.flatMap(b =>
+        Iterator.fill(cnt(b))(sm(b).toDouble / w(b).toDouble)).toArray
+      val out = rows.zipWithIndex.map { case (r, ix) =>
+        org.apache.spark.sql.Row(r.get(0), r.getLong(1), r.getLong(2),
+          r.getLong(2).toDouble / r.getLong(1), fitted(ix))
+      }
+      import scala.jdk.CollectionConverters._
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("margin",
+          h.schema("margin").dataType),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("p",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("raw_rate",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("iso_prob",
+          org.apache.spark.sql.types.DoubleType)))
+      return s.createDataFrame(out.toSeq.asJava, schema)
+    }
+    RunScopedCache.releaseAfterRun(s, hp)
     val wOrd = Window.orderBy("margin")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val pre = h
+    val pre = hp
       .withColumn("ord", row_number().over(Window.orderBy("margin"))
         .cast("long"))
       .withColumn("cp", sum("p").over(wOrd))

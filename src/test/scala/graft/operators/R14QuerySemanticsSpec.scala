@@ -659,6 +659,24 @@ class R14QuerySemanticsSpec extends SparkSpec {
     assert(raw.zip(raw.tail).exists { case (x, y) => x > y })
   }
 
+  test("q228: linear-PAV path ≡ minimax path on randomized histograms") {
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 3) {
+      val hist = (1 to 40 + trial).map { m =>
+        val n = 1L + rnd.nextInt(30)
+        (m.toLong * 7, n, rnd.nextInt(n.toInt + 1).toLong)
+      }
+      val h = hist.toDF("margin", "n", "p")
+      val mini = CorpusQueries.isotonicFit(h).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4))).sortBy(_._1)
+      val pav = CorpusQueries.isotonicFit(h, maxQuadratic = 1L).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4))).sortBy(_._1)
+      assert(mini.toSeq == pav.toSeq, s"trial $trial")
+    }
+  }
+
   test("q231: harmonic fold recounted from q220's distances; 4 landmarks") {
     val dist = run("q220_graph_landmark_dist").collect()
       .map(r => r.getLong(0) -> Seq(r.getLong(1), r.getLong(2),
