@@ -659,6 +659,32 @@ class R14QuerySemanticsSpec extends SparkSpec {
     assert(raw.zip(raw.tail).exists { case (x, y) => x > y })
   }
 
+  test("q186: candidate top-2 collapse ≡ direct mining on replica-heavy vectors") {
+    val rnd = new scala.util.Random(5)
+    val base = (1 to 12).map { i =>
+      val emb = Array.fill(4)((rnd.nextInt(9) - 4).toFloat)
+      (i.toLong, s"l${i % 3}", emb, (i % 2).toLong)
+    }
+    // three identical-embedding replicas per base row, fresh ids — the
+    // sf1 ScaleData stress shape, where the argmax tie-breaks and the
+    // self-exclusion both matter
+    val rows = base ++ base.flatMap { case (id, l, e, c) =>
+      (1 to 3).map(r => (id + 100L * r, l, e, c)) }
+    val asg = rows.toDF("vec_id", "label", "embedding", "cent_id")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5))).sortBy(_._1).toSeq
+    val direct = canon(
+      VectorQueries.tripletMine(asg, collapseCandidates = false))
+    val collapsed = canon(
+      VectorQueries.tripletMine(asg, collapseCandidates = true))
+    assert(direct.nonEmpty, "fixture must mine triplets")
+    assert(direct == collapsed)
+    // the replica case actually exercises self-exclusion: some anchor's
+    // positive is its own twin at cos ~1
+    assert(direct.exists(t => t._2 % 100L == t._1 % 100L && t._1 != t._2))
+  }
+
   test("q228: linear-PAV path ≡ minimax path on randomized histograms") {
     val rnd = new scala.util.Random(23)
     for (trial <- 1 to 3) {
