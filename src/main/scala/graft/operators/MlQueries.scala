@@ -52,15 +52,16 @@ object MlQueries extends QueryGroup {
         expr("percentile(l_quantity, 0.25)").as("p25_qty"))
       .orderBy("l_returnflag")
 
-  /** Q230: distributed EXACT median by integer bisection — the
+  /** Q230: distributed EXACT median by value-domain refinement — the
     * 100 TB-true exact order statistic: q52's `percentile` buffers every
     * group's values in one aggregation buffer (exact but memory ∝ group
     * size — its documented caveat), and q128's mergeable histogram is
     * approximate; THIS is exact at any group size with bounded memory.
-    * [Blum et al. selection lowered to value-domain bisection]: per
-    * group, binary-search the CENTS domain — each round ONE grouped
-    * count-≤-mid scan (map-side partials, a group-count-sized result to
-    * the driver), ⌈log₂(range)⌉ ≤ ~24 rounds total, all groups searched
+    * [selection lowered to value-domain refinement]: per group, narrow
+    * the CENTS domain through 256-bucket histogram rounds — each round
+    * ONE grouped histogram scan (map-side partials, a (groups × ≤257)-row
+    * result to the driver), interval ÷256 per round so
+    * ⌈log₂₅₆(range)⌉ ≈ 2 rounds for a cents domain, all groups searched
     * SIMULTANEOUSLY in the same scan and dropped from the probe as they
     * converge. Selection rank k = (n+1) div 2 (lower median) — a pure
     * integer rank, never a float percentile literal (the q158 rule).

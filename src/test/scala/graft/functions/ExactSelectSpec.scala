@@ -2,7 +2,7 @@ package graft.functions
 
 import graft.SparkSpec
 
-/** Pins [[ExactSelect.medianByGroup]] — value-domain bisection — against a
+/** Pins [[ExactSelect.medianByGroup]] — value-domain refinement — against a
   * driver sorted-reference k-th order statistic on adversarial fixtures:
   * odd/even group sizes, duplicates, negative values, single-row groups,
   * and a seeded randomized sweep. */
@@ -45,7 +45,7 @@ class ExactSelectSpec extends SparkSpec {
     check(data)
   }
 
-  test("wide domain converges in logarithmic rounds and stays exact") {
+  test("wide domain converges in few refinement rounds and stays exact") {
     val vs = Seq(Long.MinValue / 4, -1L, 0L, 1L, Long.MaxValue / 4, 17L, 23L)
     check(Map("wide" -> vs))
   }
