@@ -685,6 +685,28 @@ class R14QuerySemanticsSpec extends SparkSpec {
     assert(direct.exists(t => t._2 % 100L == t._1 % 100L && t._1 != t._2))
   }
 
+  test("q104: identical-embedding collapse ≡ direct semantic dedup") {
+    val rnd = new scala.util.Random(9)
+    val base = (1 to 15).map { i =>
+      val emb = Array.fill(4)((rnd.nextInt(7) - 3).toFloat)
+      (i.toLong, i % 3, emb) // label INT, the embeddings-table type
+    }
+    val rows = base ++ base.flatMap { case (id, l, e) =>
+      (1 to 3).map(r => (id + 100L * r, l, e)) }
+    val e = rows.toDF("vec_id", "label", "embedding")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).sortBy(_._1).toSeq
+    val direct = canon(
+      VectorQueries.semanticDedup(e, 0.35, collapseIdentical = false))
+    val collapsed = canon(
+      VectorQueries.semanticDedup(e, 0.35, collapseIdentical = true))
+    assert(direct.nonEmpty && direct == collapsed)
+    // replicas genuinely cluster: every replica's keeper is its base id,
+    // so the collapse exercised multi-member groups, not just singletons
+    assert(direct.count(!_._4) >= base.size * 3)
+  }
+
   test("q228: linear-PAV path ≡ minimax path on randomized histograms") {
     val rnd = new scala.util.Random(23)
     for (trial <- 1 to 3) {
