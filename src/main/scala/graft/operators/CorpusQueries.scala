@@ -1335,6 +1335,41 @@ object CorpusQueries extends QueryGroup {
       .orderBy("margin")
   }
 
+  /** Q232: packing-efficiency report — the EVALUATION beside q118's
+    * packing mechanics: for a context window C = 128, what each source
+    * pays under the two standard layouts. Single-doc-per-example:
+    * truncation loss Σ max(len − C, 0) (tokens thrown away) and padding
+    * waste Σ (C − min(len, C)) (compute burned on pad) — the report that
+    * decides C and justifies packing at all. Packed (the q118 stream:
+    * docs concatenated with one separator each, split every C): examples
+    * = ⌈stream/C⌉, waste = only the final partial example + the
+    * separators. Utilizations ship as exact integer per-mille (the q95
+    * contract); every quantity is a BIGINT sum — the whole report is one
+    * partial-agg groupBy over per-row token counts, no windows. */
+  private val q232: Q = (s, d) => {
+    val C = 128L
+    Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("source"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("sum_tokens"),
+        sum(least(col("n_tok"), lit(C))).as("kept_single"),
+        sum(greatest(col("n_tok") - C, lit(0L))).as("trunc_loss"))
+      .select(col("source"), col("n_docs"), col("sum_tokens"),
+        col("kept_single"), col("trunc_loss"),
+        (col("n_docs") * C - col("kept_single")).as("pad_single"),
+        expr(s"(1000 * kept_single) div (n_docs * $C)")
+          .as("util_single_pm"),
+        (col("sum_tokens") + col("n_docs")).as("stream_len"),
+        expr(s"(sum_tokens + n_docs + ${C - 1}) div $C").as("n_ex_packed"))
+      .withColumn("pad_packed",
+        col("n_ex_packed") * C - col("stream_len"))
+      .withColumn("util_packed_pm",
+        expr(s"(1000 * sum_tokens) div (n_ex_packed * $C)"))
+      .orderBy("source")
+  }
+
   /** Q229: McNemar's paired test between two quality filters — the
     * statistically-honest form of "did the new filter beat the old one":
     * the q126 classifier and the q115 Gopher rule set judge the SAME
@@ -2167,6 +2202,7 @@ object CorpusQueries extends QueryGroup {
     "q227_source_concentration" -> q227,
     "q228_isotonic_calibration" -> q228,
     "q229_mcnemar_filters" -> q229,
+    "q232_packing_efficiency" -> q232,
     "q210_lake_schema_evolution" -> q210,
     "q211_epoch_allocation" -> q211,
     "q212_lake_erasure" -> q212,
@@ -2501,6 +2537,29 @@ object CorpusQueries extends QueryGroup {
     // weights as single correctly-rounded ops, source-ordered sequential
     // normalizer fold (the q136 machinery), md5-rank draw + checksum;
     // moment sums CAST back from HUGEINT (the q91 rule)
+    // packing efficiency: same token counts, the identical integer
+    // ceilings/floors; HUGEINT sums cast back (the q91 gotcha)
+    "q232_packing_efficiency" ->
+      """WITH t AS (SELECT source,
+        |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+        |    CAST(sum(least(n_tok, 128)) AS BIGINT) AS kept_single,
+        |    CAST(sum(greatest(n_tok - 128, 0)) AS BIGINT) AS trunc_loss
+        |  FROM t GROUP BY source),
+        |b AS (SELECT source, n_docs, sum_tokens, kept_single, trunc_loss,
+        |    n_docs * 128 - kept_single AS pad_single,
+        |    (1000 * kept_single) // (n_docs * 128) AS util_single_pm,
+        |    sum_tokens + n_docs AS stream_len,
+        |    (sum_tokens + n_docs + 127) // 128 AS n_ex_packed
+        |  FROM a)
+        |SELECT source, n_docs, sum_tokens, kept_single, trunc_loss,
+        |  pad_single, util_single_pm, stream_len, n_ex_packed,
+        |  n_ex_packed * 128 - stream_len AS pad_packed,
+        |  (1000 * sum_tokens) // (n_ex_packed * 128) AS util_packed_pm
+        |FROM b ORDER BY source""".stripMargin,
+
     // McNemar: the clsOracleCore refit's keep verdict paired with the
     // q115 gopher CTEs on the same doc_ids; disagreement cells and the
     // cross-multiplied chi-square verdict in pure integers
