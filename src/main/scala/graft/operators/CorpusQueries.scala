@@ -1335,6 +1335,50 @@ object CorpusQueries extends QueryGroup {
       .orderBy("margin")
   }
 
+  /** Q235: k-anonymity generalization CHOOSER — the numeric-QI arm of the
+    * Samarati ladder that turns q138's audit into a release decision:
+    * for quasi-identifier (nation, balance band), sweep band widths
+    * 2^j · $1 (j = 0..14) IN ONE PASS (widths exploded against the rows,
+    * classes counted per width simultaneously) and pick the SMALLEST
+    * width whose minimum class size clears k = 10 — minimal information
+    * loss subject to anonymity, [Sweeney 2002; Samarati 2001]. Balances
+    * enter as exact cents (the q224 cast) shifted non-negative before
+    * the band division — integer `div` on NEGATIVE operands is an
+    * engine-divergence hazard (truncate vs floor), so no negative ever
+    * reaches it. Per width: class count, min class size, failing classes
+    * and rows at risk — the information-loss-vs-safety table, with the
+    * chosen row flagged (and w_star = −1 when even the coarsest band
+    * fails, the suppress-instead signal). All-integer; the only shuffle
+    * is (width × class)-keyed partial-agg counts. */
+  private val q235: Q = (s, d) => {
+    val k = 10L
+    val widths = (0 to 14).map(j => 100L << j).toArray
+    val rows = Tables.customer(s, d).select(
+      col("c_nationkey").cast("long").as("nation"),
+      ((col("c_acctbal").cast("decimal(12,2)") * 100).cast("long") +
+        100000L).as("cents"))
+    val per = rows
+      .select(col("nation"), col("cents"),
+        explode(lit(widths)).as("w"))
+      .groupBy(col("w"), col("nation"), expr("cents div w").as("band"))
+      .agg(count(lit(1)).as("class_size"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("n_classes"),
+        min("class_size").as("min_class"),
+        sum(when(col("class_size") < k, 1L).otherwise(0L))
+          .as("n_fail_classes"),
+        sum(when(col("class_size") < k, col("class_size")).otherwise(0L))
+          .as("n_rows_at_risk"))
+    val star = per.agg(
+      min(when(col("min_class") >= k, col("w"))).as("w_min_ok"))
+    per.crossJoin(broadcast(star))
+      .select(col("w"), col("n_classes"), col("min_class"),
+        col("n_fail_classes"), col("n_rows_at_risk"),
+        coalesce(col("w") === col("w_min_ok"), lit(false)).as("chosen"),
+        coalesce(col("w_min_ok"), lit(-1L)).as("w_star"))
+      .orderBy("w")
+  }
+
   /** Q232: packing-efficiency report — the EVALUATION beside q118's
     * packing mechanics: for a context window C = 128, what each source
     * pays under the two standard layouts. Single-doc-per-example:
@@ -2203,6 +2247,7 @@ object CorpusQueries extends QueryGroup {
     "q228_isotonic_calibration" -> q228,
     "q229_mcnemar_filters" -> q229,
     "q232_packing_efficiency" -> q232,
+    "q235_privacy_generalization" -> q235,
     "q210_lake_schema_evolution" -> q210,
     "q211_epoch_allocation" -> q211,
     "q212_lake_erasure" -> q212,
@@ -2537,6 +2582,34 @@ object CorpusQueries extends QueryGroup {
     // weights as single correctly-rounded ops, source-ordered sequential
     // normalizer fold (the q136 machinery), md5-rank draw + checksum;
     // moment sums CAST back from HUGEINT (the q91 rule)
+    // generalization chooser: same shifted-cents bands, widths unnested,
+    // the same one-pass class counts; min-satisfying width via a scalar
+    // subselect mirrored by the broadcast min
+    "q235_privacy_generalization" ->
+      """WITH r AS (SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      + 100000 AS cents
+        |  FROM customer),
+        |ws AS (SELECT unnest([WIDTHS_LIST]) AS w),
+        |cl AS (SELECT ws.w, r.nation, r.cents // ws.w AS band,
+        |    CAST(count(*) AS BIGINT) AS class_size
+        |  FROM r, ws GROUP BY ws.w, r.nation, r.cents // ws.w),
+        |per AS (SELECT w, CAST(count(*) AS BIGINT) AS n_classes,
+        |    min(class_size) AS min_class,
+        |    CAST(count(CASE WHEN class_size < 10 THEN 1 END) AS BIGINT)
+        |      AS n_fail_classes,
+        |    CAST(coalesce(sum(CASE WHEN class_size < 10
+        |      THEN class_size END), 0) AS BIGINT) AS n_rows_at_risk
+        |  FROM cl GROUP BY w),
+        |st AS (SELECT min(CASE WHEN min_class >= 10 THEN w END)
+        |    AS w_min_ok FROM per)
+        |SELECT CAST(per.w AS BIGINT) AS w, per.n_classes, per.min_class,
+        |  per.n_fail_classes, per.n_rows_at_risk,
+        |  coalesce(per.w = st.w_min_ok, FALSE) AS chosen,
+        |  CAST(coalesce(st.w_min_ok, -1) AS BIGINT) AS w_star
+        |FROM per, st ORDER BY w""".stripMargin
+        .replace("WIDTHS_LIST", "100, 200, 400, 800, 1600, 3200, 6400, 12800, 25600, 51200, 102400, 204800, 409600, 819200, 1638400"),
+
     // packing efficiency: same token counts, the identical integer
     // ceilings/floors; HUGEINT sums cast back (the q91 gotcha)
     "q232_packing_efficiency" ->
