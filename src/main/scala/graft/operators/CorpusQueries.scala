@@ -1483,12 +1483,18 @@ object CorpusQueries extends QueryGroup {
     * Scale shape: one map-side token count + a source-keyed partial agg;
     * every window runs over the source-sized table (dozens of rows at
     * any corpus scale — sources are a governance vocabulary, not data). */
-  private val q227: Q = (s, d) => {
-    val st = Tables.documents(s, d).filter(col("text").isNotNull)
+  private val q227: Q = (s, d) =>
+    concentrationReport(Tables.documents(s, d).filter(col("text").isNotNull)
       .select(col("source"),
         size(split(lower(col("text")), " ")).cast("long").as("x"))
       .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"), sum("x").as("tok_mass"))
+      .agg(count(lit(1)).as("n_docs"), sum("x").as("tok_mass")))
+
+  /** q227 core over any (source, n_docs, tok_mass) frame — separated so
+    * the spec can pin the closed-form edges: one source ⇒ gini_num = 0
+    * and hhi = 10⁶ exactly; equal masses ⇒ gini_num = 0 at any n. */
+  private[operators] def concentrationReport(
+      st: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val tot = st.agg(sum("tok_mass").as("t"), count(lit(1)).as("n_src"),
       sum(expr("""cast(tok_mass as decimal(38,0)) *
         cast(tok_mass as decimal(38,0))""")).as("sq"))

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.WeightedAvg
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -367,13 +368,21 @@ object MlQueries extends QueryGroup {
     *
     * Scale shape: one map-side digit extraction + a 9-key partial-agg
     * groupBy; the spine join and window run over 9 rows. */
-  private val q226: Q = (s, d) => {
-    val benford = Map(1 -> 301L, 2 -> 176L, 3 -> 125L, 4 -> 97L,
-      5 -> 79L, 6 -> 67L, 7 -> 58L, 8 -> 51L, 9 -> 46L)
-    val li = Tables.lineitem(s, d)
+  private val q226: Q = (s, d) =>
+    benfordAudit(Tables.lineitem(s, d)
       .select(expr("""cast(substr(cast(cast(cast(l_extendedprice
         as decimal(12,2)) * 100 as bigint) as string), 1, 1) as bigint)""")
-        .as("digit"))
+        .as("digit")))
+
+  /** q226 core over any single-column (digit ∈ 1..9) frame — separated so
+    * the spec can pin the digit-SPINE contract: a digit absent from the
+    * data still emits its row with c = 0 and still contributes p_d·n to
+    * the TVD (dropping it would understate the distance exactly when the
+    * data is most un-Benford). */
+  private[operators] def benfordAudit(li: DataFrame): DataFrame = {
+    val s = li.sparkSession
+    val benford = Map(1 -> 301L, 2 -> 176L, 3 -> 125L, 4 -> 97L,
+      5 -> 79L, 6 -> 67L, 7 -> 58L, 8 -> 51L, 9 -> 46L)
     val counts = li.groupBy("digit").agg(count(lit(1)).as("c"))
     val spine = s.range(1, 10).toDF("digit")
       .withColumn("exp_pm", element_at(

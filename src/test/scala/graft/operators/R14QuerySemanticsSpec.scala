@@ -685,6 +685,46 @@ class R14QuerySemanticsSpec extends SparkSpec {
     assert(direct.exists(t => t._2 % 100L == t._1 % 100L && t._1 != t._2))
   }
 
+  test("q226: absent digits keep their spine row and still pay TVD mass") {
+    // only digit 5 occurs: every other digit row must exist with c = 0
+    // and contribute exp_pm·n to the Benford TVD; the uniform TVD's
+    // closed form on a one-digit histogram is 2·(n·8000)/(2·9000·n) = 8/9
+    val li = Seq.fill(40)(5L).toDF("digit")
+    val rows = MlQueries.benfordAudit(li).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows.keySet == (1L to 9L).toSet)
+    (1L to 9L).filter(_ != 5L).foreach { dd =>
+      assert(rows(dd).getAs[Long]("c") == 0L)
+      assert(rows(dd).getAs[Long]("abs_dev_num") ==
+        rows(dd).getAs[Long]("exp_pm") * 40L)
+    }
+    assert(rows(5L).getAs[Long]("c") == 40L)
+    // Benford TVD num = |1000·40 − 79·40| + Σ_{d≠5} p_d·40 = 40·(921+921)
+    assert(rows(5L).getAs[Long]("tvd_num") == 40L * (921L + 921L))
+    assert(rows(5L).getAs[Double]("utvd") == 8.0 / 9.0)
+  }
+
+  test("q227: single source and equal masses pin the Gini/HHI closed forms") {
+    def run(rows: Seq[(String, Long, Long)]) =
+      CorpusQueries.concentrationReport(
+        rows.toDF("source", "n_docs", "tok_mass")).collect()
+    val one = run(Seq(("a", 10L, 1000L)))
+    assert(one.length == 1)
+    assert(one.head.getAs[Long]("gini_num") == 0L)
+    assert(one.head.getAs[Long]("hhi_x1e6") == 1000000L)
+    assert(one.head.getAs[Long]("share_pm") == 1000L)
+    val eq = run(Seq(("a", 1L, 500L), ("b", 1L, 500L), ("c", 1L, 500L)))
+    assert(eq.forall(_.getAs[Long]("gini_num") == 0L))
+    assert(eq.forall(_.getAs[Long]("hhi_x1e6") == 333333L))
+    // a dominated corpus: head share and positive gini
+    val dom = run(Seq(("big", 1L, 9000L), ("s1", 1L, 500L),
+      ("s2", 1L, 500L)))
+    val byRank = dom.sortBy(_.getAs[Long]("rank"))
+    assert(byRank.head.getString(0) == "big")
+    assert(byRank.head.getAs[Long]("share_pm") == 900L)
+    assert(byRank.head.getAs[Long]("gini_num") > 0L)
+  }
+
   test("q104: identical-embedding collapse ≡ direct semantic dedup") {
     val rnd = new scala.util.Random(9)
     val base = (1 to 15).map { i =>
