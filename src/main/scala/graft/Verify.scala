@@ -6,6 +6,11 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir, rest @ _*) = args
+    // a mistyped flag (e.g. `--count`) must error loudly, not become a
+    // weird output directory at the repo root (the round-14 `--count/`)
+    require(!sfDir.startsWith("-") && !outDir.startsWith("-"),
+      s"Verify takes <sfDir> <outDir> [query...]; got flag-like arg " +
+        s"('$sfDir', '$outDir')")
     val only = rest.toSet // optional query-name filter (local iteration)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.withGraftConfs(

@@ -35,10 +35,41 @@ object ExactSelect {
 
   /** Exact k-th smallest `valueCol` (LONG) per `grpCol` group, with
     * per-group rank k = (n+1) div 2 — the lower median. Returns one row
-    * per group: (grp, n, k, median). ⌈log₂₅₆(max−min)⌉ grouped-histogram
-    * jobs; driver state is one (lo, hi, k') triple per group. */
+    * per group: (grp, n, k, median). The p = 50 instantiation of
+    * [[ranksByGroup]] (ceil-rank ⌈50n/100⌉ ≡ (n+1) div 2 for every n). */
   def medianByGroup(df: DataFrame, grpCol: String,
-      valueCol: String): DataFrame = {
+      valueCol: String): DataFrame =
+    ranksByGroup(df, grpCol, valueCol, Seq(50))
+      .select(col("grp"), col("n"), col("k"), col("pval").as("median"))
+
+  /** Exact p-th percentile (nearest-rank definition: the k-th smallest
+    * value with k = ⌈p·n/100⌉ = (p·n + 99) div 100 — a PURE-INTEGER rank,
+    * never a float percentile literal, the q158 engine-divergence rule)
+    * for EVERY p in `percents`, per group, in ONE shared refinement walk.
+    *
+    * Each (group, percentile) probe is an independent (lo, hi, k')
+    * interval, but every round is still ONE grouped histogram scan: the
+    * driver builds a per-group LITERAL array of its open probes
+    * (pct, lo, hi, width), rows explode onto the probes whose interval
+    * contains them (≤ percents.size copies, usually 1 once intervals
+    * separate), and the 256-bucket counts come back keyed by
+    * (group, pct, bucket). Pass count therefore stays ⌈log₂₅₆(max−min)⌉
+    * regardless of how many percentiles are requested — p50/p95/p99 over
+    * a cents domain is still ~2 grouped scans at any group size.
+    *
+    * The invariant per probe: the k'-th smallest value INSIDE [lo, hi] is
+    * the answer; a round buckets v by `(v − lo) div width`,
+    * width = (hi − lo) div 256 + 1 (exact integer `div` — a double `/`
+    * loses exactness past 2^53 and mis-buckets wide domains); the driver
+    * walks cumulative bucket counts to rank k', subtracts the mass below,
+    * and narrows to that bucket. width = 1 ⇒ a bucket IS a value ⇒
+    * converged. Returns one row per (group, percentile):
+    * (grp, n, pct, k, pval), pval = the exact order statistic. */
+  def ranksByGroup(df: DataFrame, grpCol: String, valueCol: String,
+      percents: Seq[Int]): DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
+      s"percents must be within [1, 100], got $percents")
+    val pcts = percents.distinct.sorted
     val spark = df.sparkSession
     val base = df.select(col(grpCol).as("grp"), col(valueCol).as("v"))
       .filter(col("v").isNotNull)
@@ -49,66 +80,71 @@ object ExactSelect {
         .collect()
         .map(r => (r.get(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
         .toMap
-      val kOrig = bounds.map { case (g, (n, _, _)) => g -> ((n + 1) / 2) }
-      // (lo, hi, rank-within-[lo,hi])
-      var live: Map[Any, (Long, Long, Long)] =
-        bounds.map { case (g, (_, lo, hi)) => g -> ((lo, hi, kOrig(g))) }
+      val kOrig: Map[(Any, Int), Long] = bounds.flatMap {
+        case (g, (n, _, _)) =>
+          pcts.map(p => (g, p) -> ((p.toLong * n + 99L) / 100L)) }
+      // probe state: (grp, pct) -> (lo, hi, rank-within-[lo,hi])
+      var live: Map[(Any, Int), (Long, Long, Long)] =
+        kOrig.map { case ((g, p), k) =>
+          val (_, lo, hi) = bounds(g); (g, p) -> ((lo, hi, k)) }
       while (live.exists { case (_, (lo, hi, _)) => lo < hi }) {
         val open = live.filter { case (_, (lo, hi, _)) => lo < hi }
-        val widths = open.map { case (g, (lo, hi, _)) =>
-          g -> ((hi - lo) / 256L + 1L) }
-        // per-group (lo, hi, bucket) literal CASE tables — dimension-sized;
-        // the bucket uses SQL `div` with inlined long literals so the
-        // division stays EXACT integer arithmetic (a double `/` loses
-        // exactness past 2^53 and mis-buckets wide domains)
-        val loCol = open.foldLeft(lit(null).cast("long")) {
-          case (acc, (g, (lo, _, _))) =>
-            when(col("grp") === lit(g), lit(lo)).otherwise(acc) }
-        val hiCol = open.foldLeft(lit(null).cast("long")) {
-          case (acc, (g, (_, hi, _))) =>
-            when(col("grp") === lit(g), lit(hi)).otherwise(acc) }
-        val bCol = open.foldLeft(lit(null).cast("long")) {
-          case (acc, (g, (lo, _, _))) =>
-            when(col("grp") === lit(g),
-              expr(s"(v - (${lo}L)) div ${widths(g)}L")).otherwise(acc) }
+        val widths = open.map { case (gp, (lo, hi, _)) =>
+          gp -> ((hi - lo) / 256L + 1L) }
+        val byG: Map[Any, Seq[(Int, Long, Long, Long)]] = open.toSeq
+          .map { case ((g, p), (lo, hi, _)) =>
+            g -> ((p, lo, hi, widths((g, p)))) }
+          .groupBy(_._1).map { case (g, s) => g -> s.map(_._2).sortBy(_._1) }
+        // per-group literal probe tables — dimension-sized CASE arrays
+        val nullProbes = lit(null)
+          .cast("array<struct<p:int,lo:bigint,hi:bigint,w:bigint>>")
+        val probesCol = byG.foldLeft(nullProbes) {
+          case (acc, (g, ps)) =>
+            when(col("grp") === lit(g), array(ps.map {
+              case (p, lo, hi, w) => struct(lit(p).as("p"), lit(lo).as("lo"),
+                lit(hi).as("hi"), lit(w).as("w")) }: _*)).otherwise(acc) }
         val hist = base
-          .filter(col("grp").isInCollection(open.keys.toSeq) &&
-            col("v") >= loCol && col("v") <= hiCol)
-          .groupBy(col("grp"), bCol.as("b"))
+          .filter(col("grp").isInCollection(byG.keys.toSeq))
+          .select(col("grp"), col("v"), explode(probesCol).as("pr"))
+          .filter(col("v") >= col("pr.lo") && col("v") <= col("pr.hi"))
+          .groupBy(col("grp"), col("pr.p").as("p"),
+            expr("(v - pr.lo) div pr.w").as("b"))
           .agg(count(lit(1)).as("c"))
           .collect()
-          .groupBy(_.get(0))
-          .map { case (g, rows) =>
-            g -> rows.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1) }
+          .groupBy(r => (r.get(0), r.getInt(1)))
+          .map { case (gp, rows) =>
+            gp -> rows.map(r => (r.getLong(2), r.getLong(3))).sortBy(_._1) }
         live = live.map {
-          case (g, (lo, hi, k)) if lo < hi =>
-            val width = widths(g)
+          case (gp, (lo, hi, k)) if lo < hi =>
+            val width = widths(gp)
             var rem = k
             var chosen = -1L
-            val it = hist(g).iterator
+            val it = hist(gp).iterator
             while (chosen < 0 && it.hasNext) {
               val (b, c) = it.next()
               if (c >= rem) chosen = b else rem -= c
             }
-            require(chosen >= 0, s"rank $k not found in group $g histogram")
+            require(chosen >= 0, s"rank $k not found in probe $gp histogram")
             val nlo = lo + chosen * width
             val nhi = math.min(hi, nlo + width - 1L)
-            g -> ((nlo, nhi, rem))
+            gp -> ((nlo, nhi, rem))
           case done => done
         }
       }
       import scala.jdk.CollectionConverters._
-      val rows = live.toSeq.map { case (g, (lo, _, _)) =>
-        org.apache.spark.sql.Row(g, bounds(g)._1, kOrig(g), lo)
-      }
+      val rows = live.toSeq
+        .map { case ((g, p), (lo, _, _)) =>
+          org.apache.spark.sql.Row(g, bounds(g)._1, p, kOrig((g, p)), lo) }
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("grp",
           df.schema(grpCol).dataType),
         org.apache.spark.sql.types.StructField("n",
           org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("pct",
+          org.apache.spark.sql.types.IntegerType),
         org.apache.spark.sql.types.StructField("k",
           org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("median",
+        org.apache.spark.sql.types.StructField("pval",
           org.apache.spark.sql.types.LongType)))
       spark.createDataFrame(rows.asJava, schema)
     } finally base.unpersist()

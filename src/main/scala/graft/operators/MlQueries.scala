@@ -83,6 +83,27 @@ object MlQueries extends QueryGroup {
       .orderBy("grp")
   }
 
+  /** Q237: distributed EXACT p50/p95/p99 — [[graft.functions.ExactSelect
+    * .ranksByGroup]], the arbitrary-rank generalization of q230's median
+    * walk: every (group, percentile) probe refines its own (lo, hi, k')
+    * interval but ALL probes share each round's single grouped histogram
+    * scan (rows explode onto a per-group literal probe table), so
+    * p50/p95/p99 over the cents domain still costs ~⌈log₂₅₆(range)⌉ ≈ 2
+    * scans at ANY group size — the 100 TB replacement for q52's
+    * group-buffering `percentile` and the exact companion to q87's
+    * sketch. Rank k = (p·n + 99) div 100 (nearest-rank ceil) is pure
+    * integer — never a float percentile literal (the q158 rule) — so the
+    * oracle recomputes each order statistic with a rank subquery and must
+    * land on exactly the same row. */
+  private val q237: Q = (s, d) => {
+    val cents = Tables.lineitem(s, d).select(col("l_returnflag").as("grp"),
+      (col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("long").as("v"))
+    graft.functions.ExactSelect.ranksByGroup(cents, "grp", "v",
+        Seq(50, 95, 99))
+      .orderBy("grp", "pct")
+  }
+
   /** Q53: pivot (wide aggregation) — explicit value list so the plan is a
     * single pass, no distinct-values pre-query. */
   private val q53: Q = (s, d) =>
@@ -674,6 +695,7 @@ object MlQueries extends QueryGroup {
     "q117_anomaly_zscore" -> q117,
     "q226_benford_audit" -> q226,
     "q230_exact_median_bisect" -> q230,
+    "q237_exact_percentiles" -> q237,
   )
 
   // the 32 interleave terms of the 16-bit Morton code, generated once and
@@ -706,6 +728,28 @@ object MlQueries extends QueryGroup {
         |SELECT s.grp, s.n, (s.n + 1) // 2 AS k, r.v AS median
         |FROM s JOIN r ON r.grp = s.grp AND r.rk = (s.n + 1) // 2
         |ORDER BY s.grp""".stripMargin,
+
+    // exact p50/p95/p99: each nearest-rank order statistic
+    // (k = (p·n + 99) div 100, pure integer) recomputed with the same
+    // rank subquery, one row per (group, percentile)
+    "q237_exact_percentiles" ->
+      """WITH c AS (SELECT l_returnflag AS grp,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      AS v
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |s AS (SELECT grp, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY grp),
+        |p AS (SELECT CAST(unnest([50, 95, 99]) AS INTEGER) AS pct),
+        |kk AS (SELECT s.grp, s.n, p.pct,
+        |    (CAST(p.pct AS BIGINT) * s.n + 99) // 100 AS k
+        |  FROM s CROSS JOIN p),
+        |r AS (SELECT grp, v,
+        |    CAST(row_number() OVER (PARTITION BY grp ORDER BY v) AS BIGINT)
+        |      AS rk
+        |  FROM c)
+        |SELECT kk.grp, kk.n, kk.pct, CAST(kk.k AS BIGINT) AS k,
+        |  r.v AS pval
+        |FROM kk JOIN r ON r.grp = kk.grp AND r.rk = kk.k
+        |ORDER BY kk.grp, kk.pct""".stripMargin,
 
     // Benford audit: same cents-string digit extraction, the same shared
     // per-mille literal table, window sums cast back from HUGEINT (the

@@ -49,4 +49,64 @@ class ExactSelectSpec extends SparkSpec {
     val vs = Seq(Long.MinValue / 4, -1L, 0L, 1L, Long.MaxValue / 4, 17L, 23L)
     check(Map("wide" -> vs))
   }
+
+  private def refRank(vs: Seq[Long], p: Int): (Long, Long, Long) = {
+    val n = vs.size.toLong
+    val k = (p.toLong * n + 99L) / 100L
+    (n, k, vs.sorted.apply(k.toInt - 1))
+  }
+
+  private def checkRanks(data: Map[String, Seq[Long]],
+      pcts: Seq[Int]): Unit = {
+    val df = data.toSeq.flatMap { case (g, vs) => vs.map(v => (g, v)) }
+      .toDF("grp", "v")
+    val got = ExactSelect.ranksByGroup(df, "grp", "v", pcts).collect()
+      .map(r => (r.getString(0), r.getInt(2)) ->
+        ((r.getLong(1), r.getLong(3), r.getLong(4)))).toMap
+    val want = for (g <- data.keySet; p <- pcts.distinct) yield (g, p)
+    assert(got.keySet == want)
+    data.foreach { case (g, vs) =>
+      pcts.distinct.foreach { p =>
+        assert(got((g, p)) == refRank(vs, p),
+          s"group $g p$p: ${vs.sorted}")
+      }
+    }
+  }
+
+  test("arbitrary percentiles: p1/p50/p95/p99/p100 across group shapes") {
+    checkRanks(Map(
+      "odd" -> Seq(5L, 1L, 9L, 3L, 7L),
+      "even" -> Seq(4L, 2L, 8L, 6L),
+      "dups" -> Seq(2L, 2L, 2L, 7L, 2L),
+      "neg" -> Seq(-10L, -3L, -7L, 0L, -1L, 4L),
+      "one" -> Seq(42L)),
+      Seq(1, 50, 95, 99, 100))
+  }
+
+  test("randomized multi-percentile sweep matches sorted reference") {
+    val rnd = new scala.util.Random(31)
+    val data = (1 to 5).map { gi =>
+      val n = 1 + rnd.nextInt(300)
+      s"g$gi" -> Seq.fill(n)(rnd.nextInt(5000).toLong - 2500L)
+    }.toMap
+    val pcts = Seq(3, 25, 50, 75, 90, 97)
+    checkRanks(data, pcts)
+  }
+
+  test("multi-percentile over a wide domain stays exact") {
+    val vs = Seq(Long.MinValue / 4, -5L, -1L, 0L, 1L, 2L, 17L, 23L,
+      Long.MaxValue / 8, Long.MaxValue / 4)
+    checkRanks(Map("wide" -> vs), Seq(10, 50, 90))
+  }
+
+  test("duplicate percents collapse and medianByGroup delegates to p50") {
+    val vs = Seq(9L, 7L, 5L, 3L, 1L)
+    checkRanks(Map("g" -> vs), Seq(50, 50, 95))
+    val med = ExactSelect.medianByGroup(
+      vs.map(("g", _)).toDF("grp", "v"), "grp", "v").collect()
+    assert(med.length == 1)
+    val r = med.head
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (("g", 5L, 3L, 5L)))
+  }
 }

@@ -747,6 +747,30 @@ class R14QuerySemanticsSpec extends SparkSpec {
     assert(direct.count(!_._4) >= base.size * 3)
   }
 
+  test("q104: degenerate embeddings (zero-norm, NaN) collapse ≡ direct") {
+    // zero-norm and NaN-containing vectors produce cos = NaN; the collapse
+    // guard must keep both paths identical whatever NaN comparison does
+    val zero = Array.fill(4)(0.0f)
+    val nanV = Array(1.0f, Float.NaN, 0.5f, -1.0f)
+    val ok = Array(1.0f, 2.0f, -1.0f, 0.5f)
+    val rows = Seq(
+      (1L, 0, zero), (2L, 0, zero), (3L, 0, zero.clone()),
+      (4L, 1, nanV), (5L, 1, nanV.clone()),
+      (6L, 0, ok), (7L, 0, ok.clone()), (8L, 1, ok.map(_ * 2)))
+    val e = rows.toDF("vec_id", "label", "embedding")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).sortBy(_._1).toSeq
+    val direct = canon(
+      VectorQueries.semanticDedup(e, 0.35, collapseIdentical = false))
+    val collapsed = canon(
+      VectorQueries.semanticDedup(e, 0.35, collapseIdentical = true))
+    assert(direct.length == rows.length && direct == collapsed)
+    // the well-formed duplicates still collapse into one keeper
+    val keepers = direct.map(t => t._1 -> t._3).toMap
+    assert(keepers(7L) == keepers(6L))
+  }
+
   test("q228: linear-PAV path ≡ minimax path on randomized histograms") {
     val rnd = new scala.util.Random(23)
     for (trial <- 1 to 3) {

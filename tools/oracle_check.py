@@ -32,6 +32,9 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    if sf_dir.startswith("-") or out_dir.startswith("-"):
+        sys.exit(f"usage: oracle_check.py <sfDir> <outDir> [query ...]; "
+                 f"got flag-like arg ({sf_dir!r}, {out_dir!r})")
     only = set(sys.argv[3:])
     con = duckdb.connect()
     for t in TABLES:
