@@ -231,6 +231,62 @@ object LakeAudit {
       .parquet(batches.map(b => s"$dir/data/batch=${b.batchId}"): _*)
   }
 
+  /** Content-addressed release manifest — the byte-verifiability artifact
+    * a training run pins next to [[readAsOf]]: one row per publish seq
+    * with (a) the batch's order-independent CONTENT digest and (b) the
+    * cumulative Merkle-style RELEASE digest, md5-chained over batch
+    * digests in publish order, so `release_digest` at seq k certifies
+    * "exactly these bytes as of publish k" and any verifier can recompute
+    * it from the rows alone.
+    *
+    * Content addressing: a row's canonical text is its non-`batch`
+    * columns stringified and chr(1)-joined (chr(2) marks NULL); the row
+    * hash is the first 60 md5 bits; the batch digest folds
+    * (n_rows, Σh₁, Σh₂) with two independent hash salts — sums are
+    * order-INdependent multiset digests in exact 128-bit decimals, so the
+    * digest depends on row CONTENT only, never on file layout: compaction
+    * / repartitioning leaves every digest fixed, while any single row
+    * edit flips its batch digest and every release digest from that seq
+    * on (Round15LakeManifestSpec pins both directions).
+    *
+    * Scale shape: one pruned scan of exactly the published batch
+    * directories, a per-batch partial aggregation (map-side combine into
+    * #batches rows), then log-sized digest algebra — the chain window
+    * orders #publishes rows, metadata-sized at any corpus size. */
+  def releaseManifest(spark: SparkSession, dir: String): DataFrame = {
+    val log = publishLog(spark, dir)
+    require(log.nonEmpty, s"releaseManifest: empty publish log in $dir")
+    import spark.implicits._
+    val seqs = log.map(e => (e.seq, e.batchId))
+      .toDF("publish_seq", "batch")
+    val rows = spark.read.option("basePath", s"$dir/data")
+      .parquet(log.map(b => s"$dir/data/batch=${b.batchId}"): _*)
+    val cols = rows.columns.filterNot(_ == "batch").toSeq
+    val canon = concat_ws("",
+      cols.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
+    def h(salt: Int) = conv(substring(
+      md5(concat(lit(s"$salt#"), canon)), 1, 15), 16, 10).cast("long")
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    def msum(c: Column) = coalesce(sum(c.cast(dec38)), lit(0).cast(dec38))
+      .cast("string")
+    val per = rows.groupBy(col("batch"))
+      .agg(count(lit(1)).as("n_rows"),
+        msum(h(1)).as("content_sum"), msum(h(2)).as("content_sum2"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("publish_seq")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    seqs.join(per, "batch")
+      .withColumn("batch_digest", md5(concat_ws("|", col("batch"),
+        col("n_rows").cast("string"), col("content_sum"),
+        col("content_sum2"))))
+      .withColumn("chain", collect_list(col("batch_digest")).over(w))
+      .withColumn("release_digest",
+        expr("aggregate(chain, '', (a, x) -> md5(concat(a, x)))"))
+      .select("publish_seq", "batch", "n_rows", "content_sum",
+        "content_sum2", "batch_digest", "release_digest")
+      .orderBy("publish_seq")
+  }
+
   /** Quarantine retention: remove failed staged batches older than
     * `retentionMs` — without this, `staging/` grows without bound (every
     * quarantined batch stays forever), an ops leak at scale. Mirrors
