@@ -119,6 +119,12 @@ object ExactSelect {
             val width = widths(gp)
             var rem = k
             var chosen = -1L
+            // an open probe whose interval matches no rows is an invariant
+            // violation (concurrent input mutation) — diagnose, don't
+            // NoSuchElementException (the rank-not-found require's twin)
+            require(hist.contains(gp),
+              s"probe $gp matched no rows in (lo=$lo, hi=$hi, k=$k) — " +
+                "input mutated during the refinement walk?")
             val it = hist(gp).iterator
             while (chosen < 0 && it.hasNext) {
               val (b, c) = it.next()

@@ -305,6 +305,24 @@ object CorpusQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** Q240: the 100 TB decile path ITSELF under the DuckDB gate — q83's
+    * exact semantics bound to [[CorpusOps.decileBinDistributed]] (range-
+    * partitioned sort + per-partition rank offsets, no single-task
+    * WindowExec anywhere in the executed plan). The spec pins the two
+    * forms row-identical; this query makes the driver's oracle attest the
+    * SCALE form directly, not just its window-form twin. */
+  private val q240: Q = (s, d) => {
+    val toks = TextFunctions.tokens(col("text"))
+    CorpusOps.decileBinDistributed(
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        (size(array_distinct(toks)).cast("double") / size(toks)).as("q")),
+      col("q"), "doc_id")
+      .select("doc_id", "n_tokens", "w", "decile")
+      .orderBy("doc_id")
+  }
+
   /** Q91: token-budget shard packing — [[CorpusOps.packShards]] over the
     * documents table at a 400-token budget: deterministic md5-shuffled
     * order, per-source shards, shard = the budget bucket the doc's running
@@ -1761,6 +1779,21 @@ object CorpusQueries extends QueryGroup {
       .orderBy("batch", "source")
   }
 
+  /** Q239: [[LakeAudit.releaseManifest]] over the q194 WAP lake — the
+    * content-addressed release chain a training run pins for byte
+    * verifiability ("release digest at publish k certifies exactly these
+    * rows"). The manifest runs AFTER the lake's small-file compaction, so
+    * the driver gate itself attests the layout-invariance claim: the
+    * oracle recomputes every digest from the documents TABLE (no files),
+    * and any dependence on file layout, the quarantined b1, row order, or
+    * a NULL/empty-string conflation would hash-mismatch. All digest
+    * algebra is engine-agnostic: md5 over chr(1)-joined strings, 60-bit
+    * hex prefixes as BIGINT, exact 128-bit sums surfaced as strings. */
+  private val q239: Q = (s, d) => {
+    val dir = asOfLakeDir(s, d)
+    LakeAudit.releaseManifest(s, dir)
+  }
+
   /** Builds the schema-evolution lake q210 reads — three parquet batches
     * whose schemas GREW additively across ingest generations, the way
     * every long-lived corpus lake actually evolves: b0 (doc_id, source,
@@ -2215,6 +2248,7 @@ object CorpusQueries extends QueryGroup {
     "q80_sample_quality_weighted" -> q80,
     "q81_text_redact" -> q81,
     "q83_ml_decile_bin" -> q83,
+    "q240_ml_decile_bin_dist" -> q240,
     "q91_pack_shards" -> q91,
     "q92_chunk_windows" -> q92,
     "q97_span_corruption" -> q97,
@@ -2242,6 +2276,7 @@ object CorpusQueries extends QueryGroup {
     "q192_chat_loss_mask" -> q192,
     "q193_sft_contamination" -> q193,
     "q194_lake_read_asof" -> q194,
+    "q239_lake_release_manifest" -> q239,
     "q195_preference_pair_audit" -> q195,
     "q196_annotator_agreement" -> q196,
     "q203_fleiss_kappa" -> q203,
@@ -3366,6 +3401,18 @@ object CorpusQueries extends QueryGroup {
         |  CAST(1 + (10 * (rn - 1)) // n AS BIGINT) AS decile
         |FROM r ORDER BY doc_id""".stripMargin,
 
+    // the distributed form is row-identical to the window form by
+    // construction (DecileBinSpec) — same oracle text as q83
+    "q240_ml_decile_bin_dist" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        | q AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |   CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS w FROM t),
+        | r AS (SELECT *, row_number() OVER (ORDER BY w NULLS FIRST, doc_id) AS rn,
+        |   count(*) OVER () AS n FROM q)
+        |SELECT doc_id, n_tokens, w,
+        |  CAST(1 + (10 * (rn - 1)) // n AS BIGINT) AS decile
+        |FROM r ORDER BY doc_id""".stripMargin,
+
     // pooled ratios: Σ numerator / Σ denominator over exact BIGINTs,
     // divided ONCE as double — never a cross-engine sum of doubles
     "q78_corpus_report" ->
@@ -3556,6 +3603,52 @@ object CorpusQueries extends QueryGroup {
         |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
         |  CAST(sum(n_tok) AS BIGINT) AS sum_tokens
         |FROM d GROUP BY 1, 2 ORDER BY batch, source""".stripMargin,
+
+    // release-manifest digest chain rebuilt from the TABLE: batch
+    // membership = the q194 WAP publish log (b0 seq 1, b2 seq 2, b3 seq 3;
+    // quarantined b1 absent); canonical row text chr(1)-joins the
+    // stringified columns in the lake's physical order (doc_id, source,
+    // text, qc_flag) with chr(2) marking NULL; 60-bit md5 prefixes sum in
+    // HUGEINT ≡ Spark decimal(38,0), surfaced as VARCHAR; the release
+    // digest is the ''-seeded sequential md5 fold over batch digests in
+    // publish order (list_reduce ≡ Spark aggregate)
+    "q239_lake_release_manifest" ->
+      """WITH d AS (SELECT doc_id, source, text FROM documents
+        |  WHERE text IS NOT NULL),
+        |r AS (
+        |  SELECT 1 AS publish_seq, 'b0' AS batch, doc_id, source, text,
+        |    TRUE AS qc_flag FROM d WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT 2, 'b2', doc_id, source, text, TRUE FROM d
+        |  WHERE doc_id % 3 = 2
+        |  UNION ALL
+        |  SELECT 3, 'b3', doc_id, source, text || ' rev', TRUE FROM d
+        |  WHERE doc_id % 7 = 0),
+        |c AS (SELECT publish_seq, batch,
+        |    coalesce(CAST(doc_id AS VARCHAR), chr(2)) || chr(1) ||
+        |    coalesce(source, chr(2)) || chr(1) ||
+        |    coalesce(text, chr(2)) || chr(1) ||
+        |    coalesce(CAST(qc_flag AS VARCHAR), chr(2)) AS canon
+        |  FROM r),
+        |per AS (SELECT publish_seq, batch,
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(('0x' || substr(md5('1#' || canon), 1, 15))::BIGINT)
+        |      AS VARCHAR) AS content_sum,
+        |    CAST(sum(('0x' || substr(md5('2#' || canon), 1, 15))::BIGINT)
+        |      AS VARCHAR) AS content_sum2
+        |  FROM c GROUP BY 1, 2),
+        |dig AS (SELECT *,
+        |    md5(batch || '|' || CAST(n_rows AS VARCHAR) || '|' ||
+        |      content_sum || '|' || content_sum2) AS batch_digest
+        |  FROM per),
+        |ch AS (SELECT *, list(batch_digest) OVER (ORDER BY publish_seq
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chain
+        |  FROM dig)
+        |SELECT CAST(publish_seq AS BIGINT) AS publish_seq, batch, n_rows,
+        |  content_sum, content_sum2, batch_digest,
+        |  list_reduce(list_prepend('', chain),
+        |    (a, x) -> md5(a || x)) AS release_digest
+        |FROM ch ORDER BY publish_seq""".stripMargin,
 
     // preference-pair synthesis mirrored branch-for-branch (CASE order =
     // the when-chain order, so overlapping residues resolve identically);

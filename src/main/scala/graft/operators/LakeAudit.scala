@@ -247,7 +247,11 @@ object LakeAudit {
     * digest depends on row CONTENT only, never on file layout: compaction
     * / repartitioning leaves every digest fixed, while any single row
     * edit flips its batch digest and every release digest from that seq
-    * on (Round15LakeManifestSpec pins both directions).
+    * on (LakeManifestSpec pins both directions, plus the NULL-vs-empty
+    * and column-boundary-shift sensitivity the separator/marker exist
+    * for). A published batch with ZERO rows keeps its seq in the chain
+    * (left join; n_rows=0, sums "0") — a verifier replaying the full
+    * publish log must traverse every seq. Oracled end-to-end as q239.
     *
     * Scale shape: one pruned scan of exactly the published batch
     * directories, a per-batch partial aggregation (map-side combine into
@@ -262,8 +266,8 @@ object LakeAudit {
     val rows = spark.read.option("basePath", s"$dir/data")
       .parquet(log.map(b => s"$dir/data/batch=${b.batchId}"): _*)
     val cols = rows.columns.filterNot(_ == "batch").toSeq
-    val canon = concat_ws("",
-      cols.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
+    val canon = concat_ws("\u0001",
+      cols.map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*)
     def h(salt: Int) = conv(substring(
       md5(concat(lit(s"$salt#"), canon)), 1, 15), 16, 10).cast("long")
     val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
@@ -275,7 +279,14 @@ object LakeAudit {
     val w = org.apache.spark.sql.expressions.Window.orderBy("publish_seq")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    seqs.join(per, "batch")
+    // LEFT join: a zero-row published batch has no groupBy row but MUST
+    // keep its place in the digest chain (else a verifier replaying the
+    // full publish log skips its seq and every later release digest
+    // diverges)
+    seqs.join(per, Seq("batch"), "left")
+      .withColumn("n_rows", coalesce(col("n_rows"), lit(0L)))
+      .withColumn("content_sum", coalesce(col("content_sum"), lit("0")))
+      .withColumn("content_sum2", coalesce(col("content_sum2"), lit("0")))
       .withColumn("batch_digest", md5(concat_ws("|", col("batch"),
         col("n_rows").cast("string"), col("content_sum"),
         col("content_sum2"))))

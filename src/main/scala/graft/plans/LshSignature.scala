@@ -89,10 +89,12 @@ case class LshSignature(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
+      // freshName: two instances in one generated function must not collide
+      val r = ctx.freshName("lshSig")
       s"""
-         |java.lang.Integer r = graft.plans.LshSignatureImpl.sig($c);
-         |if (r == null) { ${ev.isNull} = true; }
-         |else { ${ev.value} = r.intValue(); }
+         |java.lang.Integer $r = graft.plans.LshSignatureImpl.sig($c);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.intValue(); }
        """.stripMargin
     })
 
@@ -174,10 +176,12 @@ case class Md5LshSignature(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
+      // freshName: two instances in one generated function must not collide
+      val r = ctx.freshName("md5LshSig")
       s"""
-         |java.lang.Integer r = graft.plans.Md5LshSignatureImpl.sig($c);
-         |if (r == null) { ${ev.isNull} = true; }
-         |else { ${ev.value} = r.intValue(); }
+         |java.lang.Integer $r = graft.plans.Md5LshSignatureImpl.sig($c);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.intValue(); }
        """.stripMargin
     })
 

@@ -121,11 +121,15 @@ case class PqEncode(left: Expression, right: Expression)
     PqEncodeImpl.encode(emb.asInstanceOf[ArrayData], cbs.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (emb, cbs) => s"""
-      |ArrayData r = graft.plans.PqEncodeImpl.encode($emb, $cbs);
-      |if (r == null) { ${ev.isNull} = true; }
-      |else { ${ev.value} = r; }
-      |""".stripMargin)
+    nullSafeCodeGen(ctx, ev, (emb, cbs) => {
+      // freshName: two instances in one generated function must not collide
+      val r = ctx.freshName("pqCodes")
+      s"""
+      |ArrayData $r = graft.plans.PqEncodeImpl.encode($emb, $cbs);
+      |if ($r == null) { ${ev.isNull} = true; }
+      |else { ${ev.value} = $r; }
+      |""".stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
@@ -212,11 +216,15 @@ case class PqAdcScore(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val fn = if (packed) "scoreBytes" else "score"
-    nullSafeCodeGen(ctx, ev, (codes, table) => s"""
-      |java.lang.Double r = graft.plans.PqAdcScoreImpl.$fn($codes, $table);
-      |if (r == null) { ${ev.isNull} = true; }
-      |else { ${ev.value} = r.doubleValue(); }
-      |""".stripMargin)
+    nullSafeCodeGen(ctx, ev, (codes, table) => {
+      // freshName: two instances in one generated function must not collide
+      val r = ctx.freshName("adcScore")
+      s"""
+      |java.lang.Double $r = graft.plans.PqAdcScoreImpl.$fn($codes, $table);
+      |if ($r == null) { ${ev.isNull} = true; }
+      |else { ${ev.value} = $r.doubleValue(); }
+      |""".stripMargin
+    })
   }
 
   override protected def withNewChildrenInternal(

@@ -53,20 +53,31 @@ case class CosineSimilarity(left: Expression, right: Expression)
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  // Every emitted local goes through ctx.freshName: two kernel instances can
+  // land in ONE generated function (CollapseProject duplicating a shared
+  // expression — repo gotcha), and fixed names made Janino fail with
+  // "Redefinition of local variable" → silent interpreted fallback (r15 q234).
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  int n = $a.numElements();
-         |  double dot = 0.0, na = 0.0, nb = 0.0;
-         |  for (int i = 0; i < n; i++) {
-         |    double xi = (double) $a.getFloat(i);
-         |    double yi = (double) $b.getFloat(i);
-         |    dot += xi * yi; na += xi * xi; nb += yi * yi;
+         |  int $n = $a.numElements();
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xi = (double) $a.getFloat($i);
+         |    double $yi = (double) $b.getFloat($i);
+         |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
          |  }
-         |  ${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
          |}
        """.stripMargin
     })
@@ -310,12 +321,16 @@ case class Int8Quantize(left: Expression, right: Expression)
     Int8QuantizeImpl.quantize(emb.asInstanceOf[ArrayData],
       params.asInstanceOf[ArrayData])
 
+  // freshName for the result local — see CosineSimilarity.doGenCode's note.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (emb, params) => s"""
-      |InternalRow r = graft.plans.Int8QuantizeImpl.quantize($emb, $params);
-      |if (r == null) { ${ev.isNull} = true; }
-      |else { ${ev.value} = r; }
-      |""".stripMargin)
+    nullSafeCodeGen(ctx, ev, (emb, params) => {
+      val r = ctx.freshName("quantized")
+      s"""
+      |InternalRow $r = graft.plans.Int8QuantizeImpl.quantize($emb, $params);
+      |if ($r == null) { ${ev.isNull} = true; }
+      |else { ${ev.value} = $r; }
+      |""".stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
@@ -394,14 +409,18 @@ case class QuantizedCosine(first: Expression, second: Expression,
       QuantizedCosineImpl.cosine(codes.asInstanceOf[ArrayData],
         params.asInstanceOf[ArrayData], q.asInstanceOf[ArrayData])
 
+  // freshName for the result local — see CosineSimilarity.doGenCode's note.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val fn = if (packed) "cosineBytes" else "cosine"
-    nullSafeCodeGen(ctx, ev, (codes, params, q) => s"""
-      |java.lang.Double r =
+    nullSafeCodeGen(ctx, ev, (codes, params, q) => {
+      val r = ctx.freshName("qcos")
+      s"""
+      |java.lang.Double $r =
       |  graft.plans.QuantizedCosineImpl.$fn($codes, $params, $q);
-      |if (r == null) { ${ev.isNull} = true; }
-      |else { ${ev.value} = r.doubleValue(); }
-      |""".stripMargin)
+      |if ($r == null) { ${ev.isNull} = true; }
+      |else { ${ev.value} = $r.doubleValue(); }
+      |""".stripMargin
+    })
   }
 
   override protected def withNewChildrenInternal(newFirst: Expression,
@@ -429,18 +448,22 @@ case class DotProduct(left: Expression, right: Expression)
     dot
   }
 
+  // freshName for every local — see CosineSimilarity.doGenCode's note.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val i = ctx.freshName("i")
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  int n = $a.numElements();
-         |  double dot = 0.0;
-         |  for (int i = 0; i < n; i++) {
-         |    dot += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+         |  int $n = $a.numElements();
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |  }
-         |  ${ev.value} = dot;
+         |  ${ev.value} = $dot;
          |}
        """.stripMargin
     })

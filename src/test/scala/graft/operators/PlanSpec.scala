@@ -39,6 +39,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("q240: the distributed decile form never plans a WindowExec (no single-task rank stage)") {
+    // q83's window form is the measured small-corpus binding; q240 is the
+    // 100 TB path — range-partitioned sort + per-partition offsets. Its
+    // executed plan must contain NO Window operator at all: the global
+    // rank comes from zipWithIndex over the range-sorted partitions.
+    val p = executedPlan("q240_ml_decile_bin_dist")
+    assert(!p.contains("Window"), p)
+  }
+
   test("q11: range join runs as an equi-join on (user, bucket), never BNLJ") {
     val p = executedPlan("q11_join_range")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))

@@ -344,4 +344,96 @@ class NativeExpressionsSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("foldable"), err.getMessage)
   }
+
+  test("two instances of each hand-codegen'd kernel compile in ONE projection (no Janino local redefinition)") {
+    // Round-15 defect: kernels emitted FIXED local names (int n, double dot,
+    // for (int i ...), java.lang.Double r). When CollapseProject lands two
+    // instances in the same generated function, Janino fails with
+    // "Redefinition of local variable" and Spark silently falls back to an
+    // INTERPRETED UnsafeProjection (reproduced on q234). This spec compiles
+    // two instances of every such kernel through GenerateUnsafeProjection
+    // .generate, which — unlike UnsafeProjection.create — has NO interpreted
+    // fallback: a name collision fails the test instead of hiding.
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression, GenericInternalRow}
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types._
+
+    val floatArr = ArrayType(FloatType)
+    val qparamT = ArrayType(StructType(Seq(
+      StructField("pos", IntegerType), StructField("mn", LongType),
+      StructField("mx", LongType))))
+    val cbT = ArrayType(StructType(Seq(
+      StructField("sub", IntegerType), StructField("code", IntegerType),
+      StructField("centroid", ArrayType(FloatType)))))
+
+    // row: a, b (array<float>), qparams, codes4 (len-4 int8 codes),
+    //      pqCodes (len-2 subspace codes), adcTable, codebooks
+    val a = BoundReference(0, floatArr, nullable = true)
+    val b = BoundReference(1, floatArr, nullable = true)
+    val qp = BoundReference(2, qparamT, nullable = true)
+    val codes4 = BoundReference(3, ArrayType(IntegerType), nullable = true)
+    val pqCodes = BoundReference(4, ArrayType(IntegerType), nullable = true)
+    val adcTable = BoundReference(5, ArrayType(DoubleType), nullable = true)
+    val cbs = BoundReference(6, cbT, nullable = true)
+    // lsh_sig needs >= 64 dims — its own pair of wide columns
+    val wa = BoundReference(7, floatArr, nullable = true)
+    val wb = BoundReference(8, floatArr, nullable = true)
+
+    val exprs: Seq[Expression] = Seq(
+      CosineSimilarity(a, b), CosineSimilarity(b, a),
+      DotProduct(a, b), DotProduct(b, a),
+      Int8Quantize(a, qp), Int8Quantize(b, qp),
+      QuantizedCosine(codes4, qp, a), QuantizedCosine(codes4, qp, b),
+      LshSignature(wa), LshSignature(wb),
+      Md5LshSignature(wa), Md5LshSignature(wb),
+      PqEncode(a, cbs), PqEncode(b, cbs),
+      PqAdcScore(pqCodes, adcTable), PqAdcScore(pqCodes, adcTable))
+    exprs.foreach(e => assert(e.checkInputDataTypes().isSuccess, e.toString))
+
+    // throws CompileException on any local-name collision — the assertion
+    val proj = GenerateUnsafeProjection.generate(exprs)
+
+    def fa(xs: Float*) = new GenericArrayData(xs.map(Float.box).toArray[Any])
+    val row = new GenericInternalRow(Array[Any](
+      fa(1.0f, 2.0f, 3.0f, 4.0f),
+      fa(0.5f, -1.0f, 2.5f, 0.0f),
+      new GenericArrayData((0 until 4).map(i => new GenericInternalRow(
+        Array[Any](i, -5000000L, 5000000L))).toArray[Any]),
+      new GenericArrayData(Array[Any](10, 200, 0, 255)),
+      new GenericArrayData(Array[Any](1, 0)),
+      new GenericArrayData(Array[Any](0.25, 1.5, -0.5, 2.0, 3.5, 0.0)),
+      new GenericArrayData(Array[Any](
+        new GenericInternalRow(Array[Any](0, 0, fa(1.0f, 2.0f))),
+        new GenericInternalRow(Array[Any](0, 1, fa(0.0f, -1.0f))),
+        new GenericInternalRow(Array[Any](1, 0, fa(3.0f, 4.0f))),
+        new GenericInternalRow(Array[Any](1, 1, fa(-2.0f, 0.5f))))),
+      fa((0 until 64).map(i => (i % 7).toFloat - 3.0f): _*),
+      fa((0 until 64).map(i => 1.0f - (i % 5).toFloat): _*)))
+
+    // generated output must equal the interpreted eval, slot for slot
+    val out = proj(row)
+    exprs.zipWithIndex.foreach { case (e, i) =>
+      val expected = e.eval(row)
+      assert(expected != null, s"fixture must exercise the non-null path: $e")
+      e.dataType match {
+        case DoubleType =>
+          assert(out.getDouble(i) == expected.asInstanceOf[Double], e.toString)
+        case IntegerType =>
+          assert(out.getInt(i) == expected.asInstanceOf[Int], e.toString)
+        case ArrayType(IntegerType, _) =>
+          assert(out.getArray(i).toIntArray.toSeq ==
+            expected.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+              .toIntArray.toSeq, e.toString)
+        case StructType(fields) =>
+          val got = out.getStruct(i, fields.length)
+          val exp = expected.asInstanceOf[InternalRow]
+          assert(got.getArray(0).toIntArray.toSeq ==
+            exp.getArray(0).toIntArray.toSeq, e.toString)
+          assert(got.getLong(1) == exp.getLong(1), e.toString)
+        case t => fail(s"unhandled result type $t for $e")
+      }
+    }
+  }
 }
