@@ -218,14 +218,21 @@ object IvfStorage {
     * full rebuild pays on every byte, and here it touches only
     * `rewrittenCells` (the ScaleBench `recenter` rows measure rewrite ∝
     * drifted cells, constant across lake growth). The rewrite is
-    * staged-rename (write affected cells to a scratch tree, delete the
-    * stale partition dirs, rename in) so a reader never observes a
-    * half-rewritten cell and a crash leaves the lake either old or new per
-    * cell, never truncated. Requires the engine's int `cent_id` layout
+    * staged-rename INSIDE the lake (`.recenter-staging/stage-*`, invisible
+    * to readers) with a manifest commit point: a crash before the manifest
+    * leaves live cells untouched (the orphaned stage ages out via
+    * [[vacuumRecenterStaging]]); a crash after it is completed
+    * idempotently by the next recenter's [[replayRecenterStaging]] — a
+    * reader never observes a half-rewritten cell and recovery data never
+    * lives outside the lake directory (RecenterStagingSpec pins all
+    * three directions). Requires the engine's int `cent_id` layout
     * (the [[assignCells]] kernel path). */
   def recenter(spark: SparkSession, dir: String, centroids: DataFrame,
       driftedCells: Seq[Int]): RecenterResult = {
     require(driftedCells.nonEmpty, "no drifted cells flagged")
+    // heal any committed-but-interrupted previous recenter BEFORE reading
+    // the lake (its staged cells are the lake's truth)
+    replayRecenterStaging(spark, dir)
     import spark.implicits._
     val lake = spark.read.parquet(dir)
     // 1. re-fit flagged centroids to their current members (exact decimal
@@ -260,24 +267,146 @@ object IvfStorage {
     if (affected.isEmpty)
       return RecenterResult(newCents, Nil, 0L)
     // 3. stage the affected cells' NEW contents (stayers + arrivals: every
-    // vector whose refreshed assignment lands in an affected cell), then
-    // swap: delete stale partition dirs, rename staged ones in
-    val staging = TempDirs.scoped("graft-ivf-recenter")
+    // vector whose refreshed assignment lands in an affected cell) INSIDE
+    // the lake under .recenter-staging/ (dot-prefixed: invisible to every
+    // parquet reader), commit with a manifest, then swap. The manifest is
+    // the commit point: a crash before it leaves an uncommitted stage
+    // ([[vacuumRecenterStaging]] ages it out, live cells untouched); a
+    // crash after it is completed by the NEXT recenter's replay or an
+    // explicit [[replayRecenterStaging]] — recovery data never lives
+    // outside the lake directory.
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stage = new org.apache.hadoop.fs.Path(recenterStagingRoot(dir),
+      s"stage-${java.util.UUID.randomUUID}")
     assignCells(lake.select(col("vec_id"), col("embedding")), newCents)
       .filter(col("cent_id").isin(affected.map(Integer.valueOf): _*))
       .repartition(col("cent_id"))
-      .write.mode("overwrite").partitionBy("cent_id").parquet(staging)
+      .write.mode("overwrite").partitionBy("cent_id").parquet(stage.toString)
+    // a cell that lost every member has no staged dir — flagged `emptied`
+    // so replay knows to DELETE its live dir, never to skip it
+    val lines = affected.map { cell =>
+      val staged = fs.exists(new org.apache.hadoop.fs.Path(stage, s"cent_id=$cell"))
+      s"$cell,${if (staged) "staged" else "emptied"}"
+    }
+    writeManifest(fs, stage, lines)
+    completeSwap(fs, new org.apache.hadoop.fs.Path(dir), stage)
+    removeEmptyStagingRoot(fs, dir)
+    RecenterResult(newCents, affected, movedRows)
+  }
+
+  // --- recenter staging protocol: crash recovery + retention ------------
+
+  private def recenterStagingRoot(dir: String) =
+    new org.apache.hadoop.fs.Path(dir, ".recenter-staging")
+
+  private def removeEmptyStagingRoot(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Unit = {
+    val root = recenterStagingRoot(dir)
+    if (fs.exists(root) && fs.listStatus(root).isEmpty)
+      fs.delete(root, true)
+  }
+
+  /** The commit manifest: written (atomically, tmp+rename) AFTER the
+    * staged parquet tree is complete and BEFORE any live cell is touched
+    * — its existence IS the commit point. One `<cell>,staged|emptied`
+    * line per affected cell: `staged` cells have new contents to rename
+    * in; `emptied` cells lost every member and their live dir is deleted. */
+  private val RecenterManifest = "_affected"
+
+  private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
+      stage: org.apache.hadoop.fs.Path, lines: Seq[String]): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(stage, s".$RecenterManifest.tmp")
+    val fin = new org.apache.hadoop.fs.Path(stage, RecenterManifest)
+    val out = fs.create(tmp, true)
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    require(fs.rename(tmp, fin), s"recenter manifest commit failed: $fin")
+  }
+
+  /** Idempotent swap: per manifest line, `emptied` deletes the live cell
+    * dir (an emptied cell has no new data, so re-deleting never loses
+    * anything); `staged` renames the staged dir in if it still exists and
+    * skips if a previous attempt already moved it (the live dir then
+    * already holds the NEW data — deleting it would lose the cell). Ends
+    * by removing the stage dir. */
+  private def completeSwap(fs: org.apache.hadoop.fs.FileSystem,
+      lakeDir: org.apache.hadoop.fs.Path,
+      stage: org.apache.hadoop.fs.Path): Unit = {
+    val manifest = new org.apache.hadoop.fs.Path(stage, RecenterManifest)
+    val in = fs.open(manifest)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    text.linesIterator.filter(_.nonEmpty).foreach { line =>
+      val Array(cell, kind) = line.split(",", 2)
+      val live = new org.apache.hadoop.fs.Path(lakeDir, s"cent_id=$cell")
+      val staged = new org.apache.hadoop.fs.Path(stage, s"cent_id=$cell")
+      kind match {
+        case "emptied" => if (fs.exists(live)) fs.delete(live, true)
+        case "staged" =>
+          if (fs.exists(staged)) {
+            if (fs.exists(live)) fs.delete(live, true)
+            require(fs.rename(staged, live),
+              s"recenter swap failed: $staged -> $live")
+          } // else: already swapped by a previous attempt — live is NEW
+        case other => throw new IllegalStateException(
+          s"corrupt recenter manifest line '$line' in $manifest")
+      }
+    }
+    fs.delete(stage, true)
+  }
+
+  /** Finish every COMMITTED (manifest-bearing) recenter stage a crash
+    * interrupted — run automatically at the start of every [[recenter]],
+    * or explicitly after a crash. Uncommitted stages (no manifest: the
+    * staged write itself died) are left for [[vacuumRecenterStaging]].
+    * Single-writer discipline like every mutation here. Returns the
+    * number of stages completed. */
+  def replayRecenterStaging(spark: SparkSession, dir: String): Int = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    affected.foreach { cell =>
-      val live = new org.apache.hadoop.fs.Path(dir, s"cent_id=$cell")
-      val staged = new org.apache.hadoop.fs.Path(staging, s"cent_id=$cell")
-      if (fs.exists(live)) fs.delete(live, true)
-      // a cell that lost every member has no staged dir — absent is correct
-      if (fs.exists(staged))
-        require(fs.rename(staged, live), s"recenter swap failed: $staged -> $live")
+    val root = recenterStagingRoot(dir)
+    if (!fs.exists(root)) return 0
+    var n = 0
+    fs.listStatus(root).foreach { st =>
+      if (st.isDirectory &&
+          fs.exists(new org.apache.hadoop.fs.Path(st.getPath, RecenterManifest))) {
+        completeSwap(fs, new org.apache.hadoop.fs.Path(dir), st.getPath)
+        n += 1
+      }
     }
-    RecenterResult(newCents, affected, movedRows)
+    removeEmptyStagingRoot(fs, dir)
+    n
+  }
+
+  /** Retention sweep for crash-orphaned recenter stages (the
+    * [[LakeAudit.vacuumQuarantine]] posture): COMMITTED stages are
+    * completed regardless of age (they are the lake's truth — deleting
+    * one would lose rewritten cells); UNCOMMITTED stages older than
+    * `retentionMs` are deleted (their write died before the commit point,
+    * live cells were never touched). Owner-invoked, single-writer.
+    * Returns the stage names acted on. */
+  def vacuumRecenterStaging(spark: SparkSession, dir: String,
+      retentionMs: Long,
+      nowMs: Long = System.currentTimeMillis()): Seq[String] = {
+    require(retentionMs >= 0, s"retentionMs=$retentionMs")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = recenterStagingRoot(dir)
+    if (!fs.exists(root)) return Nil
+    val acted = fs.listStatus(root).toSeq.filter(_.isDirectory).flatMap { st =>
+      val committed =
+        fs.exists(new org.apache.hadoop.fs.Path(st.getPath, RecenterManifest))
+      if (committed) {
+        completeSwap(fs, new org.apache.hadoop.fs.Path(dir), st.getPath)
+        Seq(st.getPath.getName)
+      } else if (nowMs - st.getModificationTime > retentionMs) {
+        fs.delete(st.getPath, true)
+        Seq(st.getPath.getName)
+      } else Nil
+    }
+    if (fs.listStatus(root).isEmpty) fs.delete(root, true)
+    acted.sorted
   }
 
   /** Quantizer-health report over the CURRENT lake: per cell, occupancy

@@ -126,6 +126,43 @@ object LakeDeletes {
     n
   }
 
+  /** Retention sweep for crash-orphaned erase stages — the aging story
+    * for a lake whose LAST erase crashed and that never runs another one
+    * (every [[erase]] replays automatically, so this only matters for
+    * abandoned staging). Entries older than `retentionMs`:
+    *   - staged FILES are COMPLETED, never deleted — a staged survivor
+    *     file is the only copy of its post-erase rows from the moment it
+    *     was fully written ([[replayStaging]]'s contract); age changes
+    *     nothing about that;
+    *   - tmp write DIRECTORIES (a torn in-progress write) are deleted.
+    * Younger entries are left alone ([[LakeAudit.vacuumQuarantine]]'s age
+    * posture); the staging root itself is removed once empty.
+    * Owner-invoked, single-writer like every mutation here. Returns the
+    * number of entries acted on. */
+  def vacuumStaging(spark: SparkSession, dir: String, retentionMs: Long,
+      nowMs: Long = System.currentTimeMillis()): Int = {
+    require(retentionMs >= 0, s"retentionMs=$retentionMs")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    val stage = stagingDir(dir)
+    if (!fs.exists(stage)) return 0
+    var n = 0
+    fs.listStatus(stage).foreach { st =>
+      if (nowMs - st.getModificationTime > retentionMs) {
+        if (st.isFile) {
+          val dest = new Path(root, decodeDest(st.getPath.getName))
+          if (fs.exists(dest)) fs.delete(dest, false)
+          if (!fs.rename(st.getPath, dest))
+            throw new java.io.IOException(s"vacuum replay rename failed: $dest")
+        } else fs.delete(st.getPath, true)
+        n += 1
+      }
+    }
+    if (fs.listStatus(stage).isEmpty) fs.delete(stage, true)
+    n
+  }
+
   /** Delete every row whose `idCol` is in `ids`, rewriting only the files
     * that actually contain one. Idempotent: a re-run of the same batch
     * touches zero files. */

@@ -95,4 +95,36 @@ class LakeDeletesSpec extends SparkSpec {
     val total = spark.read.parquet(s"$dir/data").count()
     assert(total == 250L) // 300 − the 50 odd ids staged out of one file
   }
+
+  test("vacuumStaging: aged staged file COMPLETES, aged tmp dir deletes, young entries untouched") {
+    val dir = buildLake()
+    val dataDir = s"$dir/data"
+    val victim = fs.listStatus(new Path(dataDir)).filter(_.isFile)
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    // fabricate an abandoned crash: one committed staged survivor file
+    // (only evens of the victim) + one torn in-progress tmp write dir
+    val tmp = new Path(s"$dir/stagetmp")
+    spark.read.parquet(victim.toString).filter(col("doc_id") % 2 === 0)
+      .coalesce(1).write.parquet(tmp.toString)
+    val part = fs.listStatus(tmp).map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).get
+    val stage = new Path(s"$dataDir/.erase-staging")
+    fs.mkdirs(stage)
+    fs.rename(part, new Path(stage,
+      java.net.URLEncoder.encode(victim.getName, "UTF-8")))
+    fs.delete(tmp, true)
+    fs.mkdirs(new Path(stage, ".tmp-torn-write"))
+    val now = System.currentTimeMillis()
+    // entries younger than retention: nothing moves
+    assert(LakeDeletes.vacuumStaging(spark, dataDir, 3600L * 1000, now) == 0)
+    assert(fs.exists(stage))
+    assert(spark.read.parquet(dataDir).count() == 300L)
+    // aged past retention: the staged file is COMPLETED into its
+    // destination (never deleted — it is the only copy of the survivors),
+    // the torn dir is removed, and the emptied staging root goes away
+    val aged = now + 7200L * 1000
+    assert(LakeDeletes.vacuumStaging(spark, dataDir, 3600L * 1000, aged) == 2)
+    assert(!fs.exists(stage))
+    assert(spark.read.parquet(dataDir).count() == 250L)
+  }
 }
