@@ -95,21 +95,7 @@ object ExactSelect {
           .map { case ((g, p), (lo, hi, _)) =>
             g -> ((p, lo, hi, widths((g, p)))) }
           .groupBy(_._1).map { case (g, s) => g -> s.map(_._2).sortBy(_._1) }
-        // per-group literal probe tables — dimension-sized CASE arrays
-        val nullProbes = lit(null)
-          .cast("array<struct<p:int,lo:bigint,hi:bigint,w:bigint>>")
-        val probesCol = byG.foldLeft(nullProbes) {
-          case (acc, (g, ps)) =>
-            when(col("grp") === lit(g), array(ps.map {
-              case (p, lo, hi, w) => struct(lit(p).as("p"), lit(lo).as("lo"),
-                lit(hi).as("hi"), lit(w).as("w")) }: _*)).otherwise(acc) }
-        val hist = base
-          .filter(col("grp").isInCollection(byG.keys.toSeq))
-          .select(col("grp"), col("v"), explode(probesCol).as("pr"))
-          .filter(col("v") >= col("pr.lo") && col("v") <= col("pr.hi"))
-          .groupBy(col("grp"), col("pr.p").as("p"),
-            expr("(v - pr.lo) div pr.w").as("b"))
-          .agg(count(lit(1)).as("c"))
+        val hist = roundHistogramFrame(base, byG)
           .collect()
           .groupBy(r => (r.get(0), r.getInt(1)))
           .map { case (gp, rows) =>
@@ -154,5 +140,32 @@ object ExactSelect {
           org.apache.spark.sql.types.LongType)))
       spark.createDataFrame(rows.asJava, schema)
     } finally base.unpersist()
+  }
+
+  /** One refinement round's grouped 256-bucket histogram — the frame the
+    * walk collects each pass, factored out so its PLAN is pinnable
+    * (ExactSelectSpec): one Generate (the probe explode) feeding one
+    * partial+final HashAggregate over the cached base — no Sort, no
+    * Window, no join; this is the entire distributed cost of a round.
+    * `byG`: per group, its open probes as (pct, lo, hi, width) — a
+    * dimension-sized driver literal (the per-group CASE array; at
+    * millions of groups this becomes a broadcast-join probe table, the
+    * documented scale caveat). */
+  private[functions] def roundHistogramFrame(base: DataFrame,
+      byG: Map[Any, Seq[(Int, Long, Long, Long)]]): DataFrame = {
+    val nullProbes = lit(null)
+      .cast("array<struct<p:int,lo:bigint,hi:bigint,w:bigint>>")
+    val probesCol = byG.foldLeft(nullProbes) {
+      case (acc, (g, ps)) =>
+        when(col("grp") === lit(g), array(ps.map {
+          case (p, lo, hi, w) => struct(lit(p).as("p"), lit(lo).as("lo"),
+            lit(hi).as("hi"), lit(w).as("w")) }: _*)).otherwise(acc) }
+    base
+      .filter(col("grp").isInCollection(byG.keys.toSeq))
+      .select(col("grp"), col("v"), explode(probesCol).as("pr"))
+      .filter(col("v") >= col("pr.lo") && col("v") <= col("pr.hi"))
+      .groupBy(col("grp"), col("pr.p").as("p"),
+        expr("(v - pr.lo) div pr.w").as("b"))
+      .agg(count(lit(1)).as("c"))
   }
 }

@@ -135,6 +135,107 @@ object CorpusStream {
     deduped.drop("fp")
   }
 
+  /** Ingestion-time cross-document SPAN dedup — the streaming twin of
+    * batch q151 ([[graft.operators.SpanIndex.cleanAgainst]]): every
+    * arriving document probes the corpus's k-shingle ownership index and
+    * cuts the token positions covered by corpus-owned shingles, emitting
+    * q151's exact output shape (id, n_tokens, n_removed, cleaned_text).
+    *
+    * Plan shape (the 100 TB contract): the doc explodes to its k-shingle
+    * starts ONCE, a stream-static left join flags the indexed ones (the
+    * index side re-plans per micro-batch, so a [[SpanIndex.extend]]
+    * between waves takes effect on the next batch without a restart),
+    * and ONE watermark-bounded append aggregation per doc collects the
+    * hit starts and rebuilds the text with a per-row fold — no second
+    * aggregation, and state (the doc's tokens + its hit starts) lives
+    * only inside the watermark horizon.
+    *
+    * Semantics vs batch: identical to `cleanAgainst` for every shingle
+    * the INDEX owns. The batch form's in-batch rule (a batch-only
+    * shingle shared by two NEW docs cuts in all but the min-id doc) is
+    * deliberately not replicated in-plan: "the same batch" is a
+    * micro-batch here, whose boundaries are a scheduling artifact — the
+    * verdict would depend on admission timing. The incremental pipeline
+    * gets cross-doc ownership deterministically instead by extending the
+    * index per wave: [[startSpanDedupStream]] does both and is
+    * wave-for-wave row-identical to q151 (StreamingSpanDedupSpec pins
+    * both operators against the batch form). */
+  def spanDedupAgainstIndex(docs: DataFrame, index: DataFrame, idCol: String,
+      eventTimeCol: String, delay: String, k: Int = 5): DataFrame = {
+    val base = docs.filter(col("text").isNotNull)
+      .select(col(idCol), col(eventTimeCol),
+        TextFunctions.tokens(col("text")).as("_graft_toks"))
+    // 1-based shingle starts; explode_outer keeps shingle-less short docs
+    // (their single NULL shingle row can never match the index)
+    val sh = base.select(col(idCol), col(eventTimeCol), col("_graft_toks"),
+      posexplode_outer(
+        call_function("word_shingles", col("_graft_toks"), lit(k)))
+        .as(Seq("_graft_p0", "_graft_sh")))
+    val flagged = sh.join(
+      index.select(col("sh").as("_graft_sh"), lit(true).as("_graft_hit")),
+      Seq("_graft_sh"), "left_outer")
+    val watermarked = watermarkedOnce(flagged, eventTimeCol, delay)
+    // collect_list skips the NULLs the when() leaves on non-hits — the
+    // aggregate is exactly the doc's indexed shingle starts
+    watermarked
+      .groupBy(col(idCol), col(eventTimeCol), col("_graft_toks"))
+      .agg(collect_list(when(col("_graft_hit"), col("_graft_p0") + 1))
+        .as("_graft_starts"))
+      .select(col(idCol),
+        size(col("_graft_toks")).cast("long").as("n_tokens"),
+        expr(
+          s"""filter(transform(_graft_toks, (tok, i) ->
+             |  struct(i + 1 AS tk, tok AS tok)),
+             |  s -> NOT exists(_graft_starts,
+             |    st -> st <= s.tk AND s.tk <= st + ${k - 1}))""".stripMargin)
+          .as("_graft_kept"))
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - size(col("_graft_kept")).cast("long"))
+          .as("n_removed"),
+        concat_ws(" ", expr("transform(_graft_kept, s -> s.tok)"))
+          .as("cleaned_text"))
+  }
+
+  /** The FULL incremental q151 pipeline on a stream: per micro-batch,
+    * clean the wave against the CURRENT index (exact batch semantics,
+    * including the in-batch min-id ownership rule — the micro-batch IS
+    * the ingest wave), publish the cleaned wave, then extend the index
+    * with the wave's novel shingles ([[SpanIndex]]'s two-wave batch
+    * protocol driven by the stream scheduler; the
+    * [[graft.operators.LakeAudit.startStream]] foreachBatch shape).
+    * Wave-for-wave row-identical to batch q151 by construction — it runs
+    * the same operator.
+    *
+    * Replay contract (at-least-once micro-batch delivery): output is
+    * keyed by streaming batch id and skipped when its `_SUCCESS` marker
+    * exists, so a replayed wave never re-cleans against an index that
+    * already contains its own delta (which would over-cut the wave's
+    * owner docs); the extend always runs — it is idempotent (the delta
+    * anti-joins already-indexed shingles) and healing it unconditionally
+    * covers a crash between the publish and the extend. */
+  def startSpanDedupStream(docs: DataFrame, indexDir: String, outDir: String,
+      checkpoint: String, idCol: String, k: Int = 5, buckets: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val s = batch.sparkSession
+        val target = new org.apache.hadoop.fs.Path(s"$outDir/batch=$id")
+        val fs = target.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val wave = batch.persist() // cleaned + delta both scan the wave
+        try {
+          val published =
+            new org.apache.hadoop.fs.Path(target, "_SUCCESS")
+          if (!fs.exists(published))
+            graft.operators.SpanIndex.cleanAgainst(
+                graft.operators.SpanIndex.read(s, indexDir), wave, idCol, k)
+              .write.mode("overwrite").parquet(target.toString)
+          graft.operators.SpanIndex.extend(s, indexDir, wave, idCol, k,
+            buckets)
+        } finally { val _ = wave.unpersist() }
+      }
+      .start()
+
   /** Ingestion-time decontamination — the streaming twin of batch q77:
     * drop documents sharing any k-token shingle with a held-out benchmark
     * corpus BEFORE they land. The benchmark's distinct shingles are

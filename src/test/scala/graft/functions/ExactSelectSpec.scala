@@ -109,4 +109,24 @@ class ExactSelectSpec extends SparkSpec {
     assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
       (("g", 5L, 3L, 5L)))
   }
+
+  test("round histogram plan: one explode into one grouped aggregation — no Sort, no Window, no join") {
+    // the ENTIRE distributed cost of a refinement round (the q237 scale
+    // claim): plan-pinned on the factored frame the walk collects
+    import org.apache.spark.sql.functions.col
+    val base = (1L to 1000L).map(v => ("g", v)).toDF("grp", "v")
+      .select(col("grp"), col("v"))
+    val byG: Map[Any, Seq[(Int, Long, Long, Long)]] =
+      Map("g" -> Seq((50, 1L, 1000L, 4L), (95, 1L, 1000L, 4L)))
+    val frame = ExactSelect.roundHistogramFrame(base, byG)
+    frame.collect()
+    val p = frame.queryExecution.executedPlan.toString
+    assert(!p.contains("Sort"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Generate explode"), p)
+    assert(p.contains("HashAggregate"), p)
+    assert("partial_count".r.findAllIn(p).nonEmpty,
+      s"map-side combine must be present:\n$p")
+  }
 }

@@ -39,6 +39,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("q238: candidate scoring is a BROADCAST cross join (5-row side), never a shuffled Cartesian") {
+    val p = executedPlan("q238_lsh_band_chooser")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q237: the declared result is driver-assembled — no Sort/Window/shuffle in its final plan") {
+    // the distributed work (the per-round grouped histogram) is pinned at
+    // operator level in ExactSelectSpec; the declared query's own plan
+    // must stay a local scan of the walk's driver state
+    val p = executedPlan("q237_exact_percentiles")
+    assert(p.contains("LocalTableScan") || p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("q240: the distributed decile form never plans a WindowExec (no single-task rank stage)") {
     // q83's window form is the measured small-corpus binding; q240 is the
     // 100 TB path — range-partitioned sort + per-partition offsets. Its
