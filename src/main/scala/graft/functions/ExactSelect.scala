@@ -142,30 +142,66 @@ object ExactSelect {
     } finally base.unpersist()
   }
 
+  /** Past this many open groups the per-group literal CASE probe table
+    * yields to the broadcast-join path: Janino codegen degrades (and
+    * eventually dies) on huge CASE chains, while a broadcast hash join on
+    * `grp` is flat at any group count. Both paths produce identical
+    * histograms (spec-pinned). */
+  private[functions] val CaseProbeMaxGroups = 64
+
   /** One refinement round's grouped 256-bucket histogram — the frame the
     * walk collects each pass, factored out so its PLAN is pinnable
-    * (ExactSelectSpec): one Generate (the probe explode) feeding one
-    * partial+final HashAggregate over the cached base — no Sort, no
-    * Window, no join; this is the entire distributed cost of a round.
-    * `byG`: per group, its open probes as (pct, lo, hi, width) — a
-    * dimension-sized driver literal (the per-group CASE array; at
-    * millions of groups this becomes a broadcast-join probe table, the
-    * documented scale caveat). */
+    * (ExactSelectSpec). `byG`: per group, its open probes as
+    * (pct, lo, hi, width).
+    *
+    * Two shapes, same result (spec-pinned identical):
+    *  - ≤ [[CaseProbeMaxGroups]] open groups (the dimension-sized common
+    *    case): a literal per-group CASE array explodes onto the probes —
+    *    one Generate into one partial+final HashAggregate over the cached
+    *    base; no Sort, no Window, no join;
+    *  - beyond it (millions of groups — the 100 TB shape): the probes
+    *    ship as a BROADCAST probe table joined on `grp` — the driver
+    *    state is (groups × percentiles) rows either way, only the plan
+    *    encoding changes; still no Sort, no Window, map-side combine
+    *    intact. */
   private[functions] def roundHistogramFrame(base: DataFrame,
-      byG: Map[Any, Seq[(Int, Long, Long, Long)]]): DataFrame = {
-    val nullProbes = lit(null)
-      .cast("array<struct<p:int,lo:bigint,hi:bigint,w:bigint>>")
-    val probesCol = byG.foldLeft(nullProbes) {
-      case (acc, (g, ps)) =>
-        when(col("grp") === lit(g), array(ps.map {
-          case (p, lo, hi, w) => struct(lit(p).as("p"), lit(lo).as("lo"),
-            lit(hi).as("hi"), lit(w).as("w")) }: _*)).otherwise(acc) }
-    base
-      .filter(col("grp").isInCollection(byG.keys.toSeq))
-      .select(col("grp"), col("v"), explode(probesCol).as("pr"))
-      .filter(col("v") >= col("pr.lo") && col("v") <= col("pr.hi"))
-      .groupBy(col("grp"), col("pr.p").as("p"),
-        expr("(v - pr.lo) div pr.w").as("b"))
-      .agg(count(lit(1)).as("c"))
+      byG: Map[Any, Seq[(Int, Long, Long, Long)]],
+      maxCaseGroups: Int = CaseProbeMaxGroups): DataFrame = {
+    if (byG.size <= maxCaseGroups) {
+      val nullProbes = lit(null)
+        .cast("array<struct<p:int,lo:bigint,hi:bigint,w:bigint>>")
+      val probesCol = byG.foldLeft(nullProbes) {
+        case (acc, (g, ps)) =>
+          when(col("grp") === lit(g), array(ps.map {
+            case (p, lo, hi, w) => struct(lit(p).as("p"), lit(lo).as("lo"),
+              lit(hi).as("hi"), lit(w).as("w")) }: _*)).otherwise(acc) }
+      base
+        .filter(col("grp").isInCollection(byG.keys.toSeq))
+        .select(col("grp"), col("v"), explode(probesCol).as("pr"))
+        .filter(col("v") >= col("pr.lo") && col("v") <= col("pr.hi"))
+        .groupBy(col("grp"), col("pr.p").as("p"),
+          expr("(v - pr.lo) div pr.w").as("b"))
+        .agg(count(lit(1)).as("c"))
+    } else {
+      val spark = base.sparkSession
+      import scala.jdk.CollectionConverters._
+      val probeRows = byG.toSeq.flatMap { case (g, ps) =>
+        ps.map { case (p, lo, hi, w) =>
+          org.apache.spark.sql.Row(g, p, lo, hi, w) } }
+      val lt = org.apache.spark.sql.types.LongType
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("grp",
+          base.schema("grp").dataType),
+        org.apache.spark.sql.types.StructField("p",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("lo", lt),
+        org.apache.spark.sql.types.StructField("hi", lt),
+        org.apache.spark.sql.types.StructField("w", lt)))
+      val probes = spark.createDataFrame(probeRows.asJava, schema)
+      base.join(broadcast(probes), Seq("grp"))
+        .filter(col("v") >= col("lo") && col("v") <= col("hi"))
+        .groupBy(col("grp"), col("p"), expr("(v - lo) div w").as("b"))
+        .agg(count(lit(1)).as("c"))
+    }
   }
 }

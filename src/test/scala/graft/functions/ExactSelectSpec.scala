@@ -110,6 +110,47 @@ class ExactSelectSpec extends SparkSpec {
       (("g", 5L, 3L, 5L)))
   }
 
+  test("broadcast-probe path ≡ CASE path histograms; kicks in past CaseProbeMaxGroups; end-to-end exact") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(29)
+    // many groups: past the CASE threshold, the walk itself must take the
+    // broadcast-join path and stay exact against the sorted reference
+    val data = (1 to ExactSelect.CaseProbeMaxGroups + 36).map { gi =>
+      s"g$gi" -> Seq.fill(1 + rnd.nextInt(60))(rnd.nextInt(5000).toLong - 2500L)
+    }.toMap
+    val df = data.toSeq.flatMap { case (g, vs) => vs.map(v => (g, v)) }
+      .toDF("grp", "v")
+    val got = ExactSelect.ranksByGroup(df, "grp", "v", Seq(50, 95)).collect()
+      .map(r => (r.getString(0), r.getInt(2)) -> r.getLong(4)).toMap
+    data.foreach { case (g, vs) =>
+      val sorted = vs.sorted
+      for (p <- Seq(50, 95)) {
+        val k = ((p.toLong * vs.size + 99L) / 100L).toInt
+        assert(got((g, p)) == sorted(k - 1), s"($g, p$p)")
+      }
+    }
+    // the two frame shapes produce IDENTICAL histograms on the same probes
+    val base = df.select(col("grp"), col("v"))
+    val byG: Map[Any, Seq[(Int, Long, Long, Long)]] = data.keys.map { g =>
+      (g: Any) -> Seq((50, -2500L, 2500L, 20L), (95, -2500L, 2500L, 20L))
+    }.toMap
+    val caseFrame = ExactSelect.roundHistogramFrame(base, byG,
+      maxCaseGroups = Int.MaxValue)
+    val joinFrame = ExactSelect.roundHistogramFrame(base, byG,
+      maxCaseGroups = 0)
+    def rows(f: org.apache.spark.sql.DataFrame) = f.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(rows(caseFrame) == rows(joinFrame))
+    // join path plan: broadcast hash join, still no Sort/Window, and the
+    // map-side combine survives the join
+    val p = joinFrame.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Sort"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
   test("round histogram plan: one explode into one grouped aggregation — no Sort, no Window, no join") {
     // the ENTIRE distributed cost of a refinement round (the q237 scale
     // claim): plan-pinned on the factored frame the walk collects
