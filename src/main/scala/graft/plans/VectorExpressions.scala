@@ -428,6 +428,67 @@ case class QuantizedCosine(first: Expression, second: Expression,
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** Kernel for [[CenteredIntDot]] — Σ (2aᵢ−255)(2bᵢ−255) over two int8
+  * code vectors in exact Long (max |term| < 2¹⁶, so 64 dims sum far
+  * inside Long range): the similarity an int8 engine actually computes,
+  * and the ranking key q234's code-side argmax orders by. Null on length
+  * mismatch or a null element — exactly the zip_with/aggregate twin's
+  * null propagation. */
+object CenteredIntDotImpl {
+  def dot(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += (2L * a.getInt(i) - 255L) * (2L * b.getInt(i) - 255L)
+      i += 1
+    }
+    java.lang.Long.valueOf(s)
+  }
+}
+
+/** centered_int_dot(array<int>, array<int>) → bigint. Native because the
+  * HOF formulation (zip_with + aggregate) runs interpreted per pair — on
+  * a probes × corpus product (q234's audit) that interpreted 64-element
+  * fold IS the query's cost. Bit-equal to the HOF twin (spec-pinned). */
+case class CenteredIntDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def prettyName: String = "centered_int_dot"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (f, s) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<int> arguments, got " +
+          s"(${f.simpleString(40)}, ${s.simpleString(40)})")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CenteredIntDotImpl.dot(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData])
+
+  // freshName for the result local — see CosineSimilarity.doGenCode's note.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("cidot")
+      s"""
+      |java.lang.Long $r = graft.plans.CenteredIntDotImpl.dot($a, $b);
+      |if ($r == null) { ${ev.isNull} = true; }
+      |else { ${ev.value} = $r.longValue(); }
+      |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** dot_product(array<float>, array<float>) → double (computed in double). */
 case class DotProduct(left: Expression, right: Expression)
     extends VectorBinaryExpression {

@@ -345,6 +345,38 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(err.getMessage.contains("foldable"), err.getMessage)
   }
 
+  test("centered_int_dot native ≡ zip_with/aggregate formulation, null edges") {
+    val hof = expr("""aggregate(zip_with(a, b,
+        (x, y) -> (2 * x - 255) * (2 * y - 255)),
+      0L, (acc, v) -> acc + cast(v as bigint))""")
+    // real codes: quantize the embeddings fixture and pair each vector's
+    // codes against the reversed next vector's
+    val codes = graft.operators.IvfStorage.quantize(emb,
+      graft.operators.IvfStorage.quantizationParams(emb))
+      .select(col("vec_id"), col("codes"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
+    val pairs = codes.select(col("codes").as("a"),
+      reverse(lead(col("codes"), 1).over(w)).as("b"))
+      .filter(col("b").isNotNull)
+    val both = pairs.select(
+      call_function("centered_int_dot", col("a"), col("b")).as("native"),
+      hof.as("twin"))
+    assert(both.count() > 0)
+    assert(both.filter(col("native") =!= col("twin")).count() == 0)
+    // length mismatch and null element → null, like the twin
+    val edge = Seq(
+      (Seq(0, 255), Seq(255, 0)),
+      (Seq(1, 2, 3), Seq(1, 2))).toDF("a", "b")
+      .select(call_function("centered_int_dot", col("a"), col("b")).as("n"))
+      .collect()
+    assert(edge(0).getLong(0) == (2L * 0 - 255) * (2L * 255 - 255) +
+      (2L * 255 - 255) * (2L * 0 - 255))
+    assert(edge(1).isNullAt(0), "length mismatch must be null")
+    val nel = spark.sql(
+      "SELECT centered_int_dot(array(1, CAST(NULL AS INT)), array(1, 2)) AS n")
+    assert(nel.collect().head.isNullAt(0), "null element must be null")
+  }
+
   test("two instances of each hand-codegen'd kernel compile in ONE projection (no Janino local redefinition)") {
     // Round-15 defect: kernels emitted FIXED local names (int n, double dot,
     // for (int i ...), java.lang.Double r). When CollapseProject lands two
@@ -389,7 +421,8 @@ class NativeExpressionsSpec extends SparkSpec {
       LshSignature(wa), LshSignature(wb),
       Md5LshSignature(wa), Md5LshSignature(wb),
       PqEncode(a, cbs), PqEncode(b, cbs),
-      PqAdcScore(pqCodes, adcTable), PqAdcScore(pqCodes, adcTable))
+      PqAdcScore(pqCodes, adcTable), PqAdcScore(pqCodes, adcTable),
+      CenteredIntDot(codes4, codes4), CenteredIntDot(pqCodes, pqCodes))
     exprs.foreach(e => assert(e.checkInputDataTypes().isSuccess, e.toString))
 
     // throws CompileException on any local-name collision — the assertion
@@ -422,6 +455,8 @@ class NativeExpressionsSpec extends SparkSpec {
           assert(out.getDouble(i) == expected.asInstanceOf[Double], e.toString)
         case IntegerType =>
           assert(out.getInt(i) == expected.asInstanceOf[Int], e.toString)
+        case LongType =>
+          assert(out.getLong(i) == expected.asInstanceOf[Long], e.toString)
         case ArrayType(IntegerType, _) =>
           assert(out.getArray(i).toIntArray.toSeq ==
             expected.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
