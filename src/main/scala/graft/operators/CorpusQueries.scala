@@ -1970,6 +1970,41 @@ object CorpusQueries extends QueryGroup {
       .orderBy("source")
   }
 
+  /** Q244: water-filling mixture planner — the question q211's
+    * cap-and-redistribute does NOT answer: what is the LARGEST corpus
+    * buildable at an EXACT target mixture, and which source caps it? With
+    * per-source available tokens and integer mixture weights w_s, a total
+    * of T needs T·w_s/W from source s, so each source bounds T at
+    * `cap_total_s = avail_s·W div w_s` and the achievable maximum is
+    * T = min_s cap_total_s — the water level; the limiting source is the
+    * one whose cap IS the level (the source to go buy more of). Exact
+    * integer algebra end to end (cross-multiplied, never a ratio double):
+    * alloc_s = T·w_s div W, util_pct = 100·alloc div avail.
+    *
+    * Scale shape: one partial-agg groupBy(source) then arithmetic over
+    * the ≤|sources| aggregated rows against two broadcast scalars — no
+    * row-level shuffle beyond the aggregation at any corpus size. */
+  private val q244: Q = (s, d) => {
+    val perSrc = Tables.documents(s, d).filter(col("text").isNotNull)
+      .groupBy("source")
+      .agg(sum(size(split(lower(col("text")), " ")).cast("long"))
+        .as("avail_tokens"))
+      .withColumn("weight", (length(col("source")) % 5 + 1).cast("long"))
+    val tot = perSrc.agg(sum(col("weight")).as("w_total"))
+    val caps = perSrc.crossJoin(broadcast(tot))
+      .withColumn("cap_total",
+        expr("(avail_tokens * w_total) div weight"))
+    val level = caps.agg(min(col("cap_total")).as("t_max"))
+    caps.crossJoin(broadcast(level))
+      .withColumn("alloc_tokens", expr("(t_max * weight) div w_total"))
+      .withColumn("limiting", col("cap_total") === col("t_max"))
+      .withColumn("util_pct",
+        expr("(100 * ((t_max * weight) div w_total)) div avail_tokens"))
+      .select("source", "avail_tokens", "weight", "cap_total", "t_max",
+        "alloc_tokens", "limiting", "util_pct")
+      .orderBy("source")
+  }
+
   /** Q195: preference-pair audit — the QC gate RLHF/DPO data passes
     * before reward-model or preference training: per (prompt, chosen,
     * rejected) triple, the defects that poison preference losses — TIES
@@ -2291,6 +2326,7 @@ object CorpusQueries extends QueryGroup {
     "q235_privacy_generalization" -> q235,
     "q210_lake_schema_evolution" -> q210,
     "q211_epoch_allocation" -> q211,
+    "q244_mix_water_fill" -> q244,
     "q212_lake_erasure" -> q212,
     "q214_conformal_threshold" -> q214,
     "q221_neyman_allocation" -> q221,
@@ -3963,6 +3999,26 @@ object CorpusQueries extends QueryGroup {
         |  (1000 * least(alloc1 + extra, cap_tokens)) // n_tokens
         |    AS epochs_x1000
         |FROM f ORDER BY source""".stripMargin,
+
+    // water-filling: per-source cross-multiplied caps, min = the water
+    // level, exact integer allocation at the level
+    "q244_mix_water_fill" ->
+      """WITH ps AS (SELECT source,
+        |    CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
+        |      AS avail_tokens,
+        |    CAST(length(source) % 5 + 1 AS BIGINT) AS weight
+        |  FROM documents WHERE text IS NOT NULL GROUP BY source),
+        |t AS (SELECT CAST(sum(weight) AS BIGINT) AS w_total FROM ps),
+        |c AS (SELECT ps.*, w_total,
+        |    (avail_tokens * w_total) // weight AS cap_total
+        |  FROM ps, t),
+        |m AS (SELECT CAST(min(cap_total) AS BIGINT) AS t_max FROM c)
+        |SELECT source, avail_tokens, weight, cap_total, t_max,
+        |  (t_max * weight) // w_total AS alloc_tokens,
+        |  cap_total = t_max AS limiting,
+        |  (100 * ((t_max * weight) // w_total)) // avail_tokens
+        |    AS util_pct
+        |FROM c, m ORDER BY source""".stripMargin,
 
     // erasure audit: the logical recount of the post-erase lake — all
     // non-null-text docs minus the ≡13-mod-97 deletion batch

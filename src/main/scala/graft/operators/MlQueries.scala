@@ -320,6 +320,164 @@ object MlQueries extends QueryGroup {
       .orderBy("event_id")
   }
 
+  /** Q242: Hilbert-curve lake clustering key — q112's derivation with the
+    * Morton interleave swapped for the [[graft.plans.HilbertIndex]] native
+    * kernel (`hilbert_d`): both grid coordinates map onto the 2¹⁶ grid by
+    * the same exact BIGINT affine math, then walk the order-16 Hilbert
+    * rotate/reflect recursion to one index; `hbin = hv div 2²⁴` is the
+    * 256-bucket file assignment a Hilbert-clustered write would
+    * range-partition on. Hilbert beats z-order for pruning because
+    * consecutive indices are always grid NEIGHBOURS — a contiguous index
+    * range is a connected region, no diagonal seam jumps inflating file
+    * bounding boxes (q243 measures the win). The ORACLE replays the
+    * identical walk as a 16-step recursive CTE — pure integer bit algebra,
+    * bit-for-bit across engines.
+    *
+    * Scale shape: per-row static-call kernel + one 4-value global agg
+    * broadcast; the real write adds one range exchange on hv — identical
+    * economics to q112. */
+  private val q242: Q = (s, d) => {
+    val e = Tables.events(s, d).select(col("event_id"), col("user_id"),
+      floor(col("value") * lit(1000000.0)).cast("long").as("sv"))
+    val mm = e.agg(min("user_id").as("uxmin"), max("user_id").as("uxmax"),
+      min("sv").as("svmin"), max("sv").as("svmax"))
+    e.crossJoin(broadcast(mm))
+      .select(col("event_id"),
+        LakeLayout.gridCoord(col("user_id"), col("uxmin"), col("uxmax")).as("gx"),
+        LakeLayout.gridCoord(col("sv"), col("svmin"), col("svmax")).as("gy"))
+      .withColumn("hv", call_function("hilbert_d", col("gx"), col("gy")))
+      .withColumn("hbin", call_function("div", col("hv"), lit(16777216L)))
+      .orderBy("event_id")
+  }
+
+  /** Q243: layout pruning audit — the read-amplification readout that
+    * decides WHICH clustering key a 100 TB lake should range-write on.
+    * Every event row gets its q112/q242 grid point and a file id under
+    * three candidate layouts (50 fixed-width key ranges each — 50
+    * deliberately NOT a power of four: 4^k-aligned widths make Morton
+    * and Hilbert files the same axis-aligned quadtree tiles and the
+    * comparison vacuous; unaligned boundaries force files to span curve
+    * runs crossing cell borders, exactly where Hilbert's
+    * neighbours-only continuity shrinks the bounding box and Morton's
+    * diagonal seam jumps inflate it), files reduce to min/max bounding
+    * boxes + row counts — the
+    * parquet footer stats a scan planner prunes on — and three box
+    * predicates replay stats-based admission: a file is READ iff its
+    * bbox intersects the box. Output per (layout, box): files present,
+    * files read, rows scanned (Σ rows of admitted files) vs rows actually
+    * matching — the scan-amplification evidence (linear layouts admit
+    * everything for cross-dimension bands; Hilbert's connected ranges
+    * admit the fewest). Pure integer bit algebra end to end; the ORACLE
+    * recomputes both curves (32-term interleave + recursive-CTE Hilbert
+    * walk) and the same admission joins.
+    *
+    * Scale shape: per-row key math, one groupBy into ≤ 3·64 file rows,
+    * then broadcast joins against a 3-row box table — the audit never
+    * shuffles row-level data more than once at any corpus size. */
+  private val q243: Q = (s, d) => {
+    import s.implicits._
+    val e = Tables.events(s, d).select(col("event_id"), col("user_id"),
+      floor(col("value") * lit(1000000.0)).cast("long").as("sv"))
+    val mm = e.agg(min("user_id").as("uxmin"), max("user_id").as("uxmax"),
+      min("sv").as("svmin"), max("sv").as("svmax"))
+    val keyed = e.crossJoin(broadcast(mm))
+      .select(col("event_id"),
+        LakeLayout.gridCoord(col("user_id"), col("uxmin"), col("uxmax")).as("gx"),
+        LakeLayout.gridCoord(col("sv"), col("svmin"), col("svmax")).as("gy"))
+      .select(col("gx"), col("gy"),
+        LakeLayout.zValue(col("gx"), col("gy")).as("zv"),
+        call_function("hilbert_d", col("gx"), col("gy")).as("hv"))
+    val rows = keyed.select(col("gx"), col("gy"),
+      call_function("div", col("gx"), lit(1311L)).as("f_linear"),
+      call_function("div", col("zv"), lit(85899346L)).as("f_zorder"),
+      call_function("div", col("hv"), lit(85899346L)).as("f_hilbert"))
+    val lf = rows.select(lit("linear").as("layout"),
+        col("f_linear").as("f"), col("gx"), col("gy"))
+      .unionAll(rows.select(lit("zorder").as("layout"),
+        col("f_zorder").as("f"), col("gx"), col("gy")))
+      .unionAll(rows.select(lit("hilbert").as("layout"),
+        col("f_hilbert").as("f"), col("gx"), col("gy")))
+    val files = lf.groupBy("layout", "f").agg(
+      min("gx").as("gx_min"), max("gx").as("gx_max"),
+      min("gy").as("gy_min"), max("gy").as("gy_max"),
+      count(lit(1)).as("n_rows"))
+    val boxes = Seq(
+      ("corner", 0L, 4095L, 0L, 4095L),
+      ("band_y", 0L, 65535L, 32768L, 36863L),
+      ("mid_box", 40960L, 49151L, 40960L, 49151L))
+      .toDF("box", "bx_lo", "bx_hi", "by_lo", "by_hi")
+    val audit = files.crossJoin(broadcast(boxes))
+      .withColumn("admit",
+        col("gx_min") <= col("bx_hi") && col("gx_max") >= col("bx_lo") &&
+          col("gy_min") <= col("by_hi") && col("gy_max") >= col("by_lo"))
+      .groupBy("layout", "box").agg(
+        count(lit(1)).as("files_present"),
+        sum(when(col("admit"), 1L).otherwise(0L)).as("files_read"),
+        sum(when(col("admit"), col("n_rows")).otherwise(0L)).as("rows_scanned"))
+    val matched = rows.crossJoin(broadcast(boxes))
+      .filter(col("gx") >= col("bx_lo") && col("gx") <= col("bx_hi") &&
+        col("gy") >= col("by_lo") && col("gy") <= col("by_hi"))
+      .groupBy("box").agg(count(lit(1)).as("rows_matched"))
+    audit.join(broadcast(matched), Seq("box"), "left")
+      .withColumn("rows_matched", coalesce(col("rows_matched"), lit(0L)))
+      .select("layout", "box", "files_present", "files_read",
+        "rows_scanned", "rows_matched")
+      .orderBy("layout", "box")
+  }
+
+  /** Q245: Bradley–Terry preference strengths — the pairwise-preference →
+    * global-scale fit RLHF/DPO data curation runs before training a reward
+    * model: which item (here: event type, standing in for model/source/
+    * policy arms) is globally strongest given only noisy pairwise duels?
+    * Duels are derived exactly: per user, type i beats type j iff the user
+    * fired i more often (ties contribute nothing); duel counts aggregate
+    * distributed (BIGINT), and [[graft.functions.BradleyTerry.solve]] runs
+    * 20 MM steps [Hunter 2004] on the ≤ |types|² aggregate driver-side —
+    * the ExactSelect discipline (cluster-size reduction, constant driver
+    * state). Every double sum is a sequential sorted-order fold, so the
+    * ORACLE replays the identical iteration with `list_reduce(list(...
+    * ORDER BY j))` chains — bit-identical strengths, not approximately
+    * equal ones.
+    *
+    * Scale shape: one groupBy(user, type) partial agg, a broadcast
+    * type-domain densification, one pair-per-user self-join bounded by
+    * |types|²·|users| tiny rows, then a 10-row collect. No corpus-sized
+    * shuffle beyond the first aggregation at any event volume. */
+  private val q245: Q = (s, d) => {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val cnt = ev.groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+    val users = ev.select("user_id").distinct()
+    val types = ev.select("event_type").distinct()
+    val dense = users.crossJoin(broadcast(types))
+      .join(cnt, Seq("user_id", "event_type"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val a = dense.select(col("user_id"), col("event_type").as("ti"),
+      col("c").as("ci"))
+    val b = dense.select(col("user_id"), col("event_type").as("tj"),
+      col("c").as("cj"))
+    val duel = a.join(b, "user_id").filter(col("ti") < col("tj"))
+      .groupBy("ti", "tj").agg(
+        sum(when(col("ci") > col("cj"), 1L).otherwise(0L)).as("wi"),
+        sum(when(col("cj") > col("ci"), 1L).otherwise(0L)).as("wj"))
+      .collect()
+    val games = duel.map(r => (r.getString(0), r.getString(1)) ->
+      (r.getLong(2) + r.getLong(3))).toMap
+    val wins = (duel.map(r => r.getString(0) -> r.getLong(2)) ++
+        duel.map(r => r.getString(1) -> r.getLong(3)))
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sum }
+    val ts = duel.flatMap(r => Seq(r.getString(0), r.getString(1)))
+      .distinct.sorted.toSeq
+    val p = graft.functions.BradleyTerry.solve(ts, games, wins, 20)
+    val gamesPer = ts.map(i => i -> ts.filter(_ != i).map(j =>
+      games.getOrElse((i, j), games.getOrElse((j, i), 0L))).sum).toMap
+    val rank = ts.sortBy(i => (-p(i), i)).zipWithIndex
+      .map { case (t, k) => t -> (k + 1) }.toMap
+    ts.map(i => (i, wins.getOrElse(i, 0L), gamesPer(i), p(i), rank(i)))
+      .toDF("event_type", "wins", "games", "strength", "rnk")
+      .orderBy("event_type")
+  }
+
   /** Q114: heavy hitters via a bounded-state Misra–Gries sketch —
     * [[graft.functions.FreqSketch.exactTopK]] over the corpus token
     * stream (k = 25, m = 4096). The sketch pass keeps ≤ m counters per
@@ -691,6 +849,9 @@ object MlQueries extends QueryGroup {
     "q49_agg_approx_distinct" -> q49,
     "q50_udaf_weighted_avg" -> q50,
     "q112_lake_zorder" -> q112,
+    "q242_lake_hilbert" -> q242,
+    "q243_layout_pruning" -> q243,
+    "q245_bt_strength" -> q245,
     "q114_agg_heavy_hitters" -> q114,
     "q117_anomaly_zscore" -> q117,
     "q226_benford_audit" -> q226,
@@ -703,6 +864,65 @@ object MlQueries extends QueryGroup {
   private val zTerms: String = (0 until 16).flatMap(i => Seq(
     s"(((gx >> $i) & 1) << ${2 * i})",
     s"(((gy >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+
+  // The order-16 Hilbert xy2d walk as a recursive CTE over the `g`
+  // (event_id, gx, gy) frame: 16 rotate/reflect steps, s = 2^15 … 1, the
+  // exact integer recursion HilbertImpl.xy2d runs per row. Emits one row
+  // per event at s = 0 carrying the final index d.
+  private val hilbertWalk: String =
+    """hw AS (
+      |  SELECT event_id, gx, gy, gx AS x, gy AS y,
+      |    CAST(32768 AS BIGINT) AS s, CAST(0 AS BIGINT) AS d FROM g
+      |  UNION ALL
+      |  SELECT event_id, gx, gy,
+      |    CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN s - 1 - y ELSE y END
+      |         ELSE x END AS x,
+      |    CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN s - 1 - x ELSE x END
+      |         ELSE y END AS y,
+      |    s // 2 AS s,
+      |    d + s * s * xor(3 * rx, ry) AS d
+      |  FROM (SELECT event_id, gx, gy, x, y, s, d,
+      |      CASE WHEN (x & s) > 0 THEN CAST(1 AS BIGINT)
+      |           ELSE CAST(0 AS BIGINT) END AS rx,
+      |      CASE WHEN (y & s) > 0 THEN CAST(1 AS BIGINT)
+      |           ELSE CAST(0 AS BIGINT) END AS ry
+      |    FROM hw WHERE s > 0) q
+      |)""".stripMargin
+
+  // q245's 20 Hunter-MM steps, unrolled: each iteration is (fold of
+  // N_ij/(p_i+p_j) over opponents ORDERED BY j) → praw = W_i/s (0 when
+  // s = 0, mirroring BradleyTerry.solve's no-games branch) → normalize by
+  // the ORDERED-BY-i fold of praw. Sequential list_reduce folds make every
+  // double sum order-pinned — bit-identical to the Scala solve.
+  private val btIters: String = (1 to 20).map { k =>
+    val prev = if (k == 1) "it0" else s"it${k - 1}"
+    s"""it${k}s AS MATERIALIZED (SELECT nm.i,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list(CAST(nm.n AS DOUBLE) / (pi.p + pj.p) ORDER BY nm.j)),
+       |      (a, x) -> a + x) AS s
+       |  FROM nm JOIN $prev pi ON pi.i = nm.i
+       |    JOIN $prev pj ON pj.i = nm.j
+       |  GROUP BY nm.i),
+       |it${k}r AS MATERIALIZED (SELECT w.i,
+       |    CASE WHEN s.s = 0 THEN CAST(0.0 AS DOUBLE)
+       |         ELSE CAST(w.w AS DOUBLE) / s.s END AS praw
+       |  FROM it${k}s s JOIN wt w ON w.i = s.i),
+       |it$k AS MATERIALIZED (SELECT i, praw / (SELECT list_reduce(list_prepend(
+       |      CAST(0.0 AS DOUBLE), list(praw ORDER BY i)), (a, x) -> a + x)
+       |    FROM it${k}r) AS p
+       |  FROM it${k}r)""".stripMargin
+  }.mkString(",\n")
+
+  // q112/q242/q243's shared grid derivation over events
+  private val gridCte: String =
+    """e AS (SELECT event_id, user_id,
+      |    CAST(floor(value * 1000000.0) AS BIGINT) AS sv FROM events),
+      |mm AS (SELECT min(user_id) AS uxmin, max(user_id) AS uxmax,
+      |    min(sv) AS svmin, max(sv) AS svmax FROM e),
+      |g AS (SELECT event_id,
+      |    ((user_id - uxmin) * 65535) // greatest(uxmax - uxmin, 1) AS gx,
+      |    ((sv - svmin) * 65535) // greatest(svmax - svmin, 1) AS gy
+      |  FROM e, mm)""".stripMargin
 
   private val dotEC =
     "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len(e.embedding) + 1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(CAST(c.centroid[i] AS FLOAT) AS DOUBLE))), (a, x) -> a + x)"
@@ -977,6 +1197,93 @@ object MlQueries extends QueryGroup {
          |z AS (SELECT event_id, gx, gy, $zTerms AS zv FROM g)
          |SELECT event_id, gx, gy, zv, zv // 16777216 AS zbin
          |FROM z ORDER BY event_id""".stripMargin,
+
+    // Bradley–Terry: exact duel counts from the dense (user × type) count
+    // matrix, then the unrolled 20-step MM chain with order-pinned folds
+    "q245_bt_strength" ->
+      s"""WITH cnt AS MATERIALIZED (SELECT user_id, event_type,
+         |    CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+         |ty AS (SELECT DISTINCT event_type FROM events),
+         |us AS (SELECT DISTINCT user_id FROM events),
+         |dense AS (SELECT u.user_id, t.event_type, coalesce(c.c, 0) AS c
+         |  FROM us u CROSS JOIN ty t
+         |  LEFT JOIN cnt c ON c.user_id = u.user_id
+         |    AND c.event_type = t.event_type),
+         |duel AS MATERIALIZED (SELECT a.event_type AS ti, b.event_type AS tj,
+         |    CAST(sum(CASE WHEN a.c > b.c THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS wi,
+         |    CAST(sum(CASE WHEN b.c > a.c THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS wj
+         |  FROM dense a JOIN dense b ON a.user_id = b.user_id
+         |    AND a.event_type < b.event_type
+         |  GROUP BY 1, 2),
+         |nm AS MATERIALIZED (SELECT ti AS i, tj AS j, wi + wj AS n FROM duel
+         |  UNION ALL SELECT tj, ti, wi + wj FROM duel),
+         |wt AS MATERIALIZED (SELECT i, CAST(sum(w) AS BIGINT) AS w FROM (
+         |    SELECT ti AS i, wi AS w FROM duel
+         |    UNION ALL SELECT tj, wj FROM duel) GROUP BY i),
+         |gm AS (SELECT i, CAST(sum(n) AS BIGINT) AS games FROM nm
+         |  GROUP BY i),
+         |it0 AS MATERIALIZED (SELECT event_type AS i, CAST(1.0 AS DOUBLE) AS p FROM ty),
+         |$btIters
+         |SELECT w.i AS event_type, w.w AS wins, gm.games AS games,
+         |  it20.p AS strength,
+         |  CAST(row_number() OVER (ORDER BY it20.p DESC, w.i) AS INT)
+         |    AS rnk
+         |FROM wt w JOIN gm ON gm.i = w.i JOIN it20 ON it20.i = w.i
+         |ORDER BY event_type""".stripMargin,
+
+    // Hilbert key derivation: the same exact-BIGINT grid affine, then the
+    // order-16 rotate/reflect walk replayed as a 16-step recursive CTE
+    "q242_lake_hilbert" ->
+      s"""WITH RECURSIVE $gridCte,
+         |$hilbertWalk
+         |SELECT event_id, gx, gy, d AS hv, d // 16777216 AS hbin
+         |FROM hw WHERE s = 0 ORDER BY event_id""".stripMargin,
+
+    // layout pruning audit: both curves recomputed (32-term interleave +
+    // recursive Hilbert walk), 64 fixed-width files per layout reduced to
+    // min/max bboxes, stats-based admission against three box predicates
+    "q243_layout_pruning" ->
+      s"""WITH RECURSIVE $gridCte,
+         |$hilbertWalk,
+         |k AS (SELECT g.event_id, g.gx, g.gy, $zTerms AS zv, h.hv
+         |  FROM g JOIN (SELECT event_id, d AS hv FROM hw WHERE s = 0) h
+         |    USING (event_id)),
+         |r AS (SELECT gx, gy, gx // 1311 AS f_linear,
+         |    zv // 85899346 AS f_zorder, hv // 85899346 AS f_hilbert
+         |  FROM k),
+         |lf AS (SELECT 'linear' AS layout, f_linear AS f, gx, gy FROM r
+         |  UNION ALL SELECT 'zorder', f_zorder, gx, gy FROM r
+         |  UNION ALL SELECT 'hilbert', f_hilbert, gx, gy FROM r),
+         |files AS (SELECT layout, f,
+         |    min(gx) AS gx_min, max(gx) AS gx_max,
+         |    min(gy) AS gy_min, max(gy) AS gy_max,
+         |    CAST(count(*) AS BIGINT) AS n_rows
+         |  FROM lf GROUP BY 1, 2),
+         |boxes AS (SELECT * FROM (VALUES
+         |    ('corner', 0, 4095, 0, 4095),
+         |    ('band_y', 0, 65535, 32768, 36863),
+         |    ('mid_box', 40960, 49151, 40960, 49151))
+         |  b(box, bx_lo, bx_hi, by_lo, by_hi)),
+         |audit AS (SELECT layout, box,
+         |    CAST(count(*) AS BIGINT) AS files_present,
+         |    CAST(sum(CASE WHEN gx_min <= bx_hi AND gx_max >= bx_lo
+         |      AND gy_min <= by_hi AND gy_max >= by_lo
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS files_read,
+         |    CAST(sum(CASE WHEN gx_min <= bx_hi AND gx_max >= bx_lo
+         |      AND gy_min <= by_hi AND gy_max >= by_lo
+         |      THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned
+         |  FROM files, boxes GROUP BY 1, 2),
+         |m AS (SELECT box, CAST(count(*) AS BIGINT) AS rows_matched
+         |  FROM r, boxes
+         |  WHERE gx BETWEEN bx_lo AND bx_hi AND gy BETWEEN by_lo AND by_hi
+         |  GROUP BY box)
+         |SELECT a.layout, a.box, a.files_present, a.files_read,
+         |  a.rows_scanned,
+         |  CAST(coalesce(m.rows_matched, 0) AS BIGINT) AS rows_matched
+         |FROM audit a LEFT JOIN m USING (box)
+         |ORDER BY layout, box""".stripMargin,
 
     "q64_agg_salted_skew" ->
       """SELECT l_returnflag, count(*) AS n,

@@ -784,7 +784,48 @@ object RelationalQueries extends QueryGroup {
         |ORDER BY variant""".stripMargin)
   }
 
+  /** Q247: incremental view maintenance for a JOIN view — the delta
+    * algebra that keeps a 100 TB materialized join fresh in O(Δ) instead
+    * of O(everything): for inserts ΔO into orders and ΔL into lineitem,
+    *
+    *   V(O₀∪ΔO, L₀∪ΔL) = V(O₀,L₀) ∪ ΔO⋈L₀ ∪ O₀⋈ΔL ∪ ΔO⋈ΔL
+    *
+    * [the classic counting/delta rule — Gupta & Mumick, "Maintenance of
+    * Materialized Views: Problems, Techniques, and Applications", IEEE DE
+    * Bulletin 1995]. The deltas are carved deterministically (ΔO:
+    * o_orderkey ≡ 5 mod 13; ΔL: l_orderkey ≡ 3 mod 17), the view is
+    * computed AS the four-branch union, aggregated per order-month, and
+    * the ORACLE is the direct full join + aggregate — the hash match IS
+    * the maintenance-correctness equation. At scale V(O₀,L₀) is the
+    * stored view (never recomputed); the three delta branches join
+    * delta-sized inputs against base tables on the view key — work ∝ |Δ|,
+    * and exact DECIMAL sums make the aggregate layer mergeable the same
+    * way (add the delta branches' partial aggregates to the stored
+    * rollup, q124/q170's abelian-group maintenance). */
+  private val q247: Q = (s, d) => {
+    val o = Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_orderdate"),
+      (col("o_orderkey") % 13 === 5).as("is_new"))
+    val l = Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_quantity"),
+      (col("l_orderkey") % 17 === 3).as("is_new"))
+    val o0 = o.filter(!col("is_new")).drop("is_new")
+    val dO = o.filter(col("is_new")).drop("is_new")
+    val l0 = l.filter(!col("is_new")).drop("is_new")
+    val dL = l.filter(col("is_new")).drop("is_new")
+    def j(x: org.apache.spark.sql.DataFrame,
+        y: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      x.join(y, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderdate"), col("l_quantity"))
+    Seq(j(o0, l0), j(dO, l0), j(o0, dL), j(dO, dL))
+      .reduce(_ unionByName _)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("mon"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("total_qty"))
+      .orderBy("mon")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
+    "q247_ivm_join_delta" -> q247,
     "q155_join_interval_overlap" -> q155,
     "q165_data_quality_audit" -> q165,
     "q167_join_null_aware_anti" -> q167,
@@ -837,6 +878,15 @@ object RelationalQueries extends QueryGroup {
   )
 
   val oracles: Map[String, String] = Map(
+    // IVM: the oracle is the DIRECT full join — equality with the
+    // four-branch delta union is the maintenance-correctness equation
+    "q247_ivm_join_delta" ->
+      s"""SELECT date_trunc('month', o_orderdate) AS mon,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  ${sqlDsum("l_quantity")} AS total_qty
+         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |GROUP BY 1 ORDER BY mon""".stripMargin,
+
     // forward as-of: DuckDB native ASOF with >= vs Spark's reversed
     // range-frame window — different physical strategies, same rows
     "q168_join_asof_forward" ->

@@ -13,6 +13,16 @@ import org.apache.spark.sql.util.QueryExecutionListener
   */
 object RunScopedCache {
 
+  // Live listeners per session, so a re-registration for an EQUIVALENT
+  // plan can supersede a stale one (see releaseAfterRun). Sessions are
+  // few and long-lived (one per test JVM / one per job), so a plain
+  // concurrent map does not leak meaningfully.
+  private val live = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession,
+    java.util.concurrent.ConcurrentLinkedQueue[
+      (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        QueryExecutionListener)]]()
+
   /** Releases `cached` once the first action that actually read THAT cache
     * completes (success or failure), then unregisters itself. Ownership is
     * checked by `sameResult` against the cache entry's logical plan, so an
@@ -20,12 +30,41 @@ object RunScopedCache {
     * invocation with its own projection — cannot drop this one before the
     * owning query has run.
     *
+    * Registration SUPERSEDES any still-live listener owning an equivalent
+    * plan: Spark's cache registry is PLAN-keyed, so a listener left behind
+    * by a query that was constructed but never run (a schema-only
+    * consumer) — or whose entry was dropped by clearCache — would fire on
+    * the NEW query's first action over the shared entry and unpersist it
+    * mid-composition (an adaptive operator's sizing job is such an action:
+    * the QueriesSmokeSpec→PlanSpec q37 interaction, round 16). The newest
+    * registration takes over the release duty; the superseded listener is
+    * unregistered, never fired.
+    *
     * Contract: the release fires on Dataset ACTIONS (collect/count/write…).
     * Consuming the query through RDD-level materialization (`df.rdd`,
     * `localCheckpoint`) bypasses QueryExecutionListener, leaving the cache
     * pinned until the session drops it. */
+  /** Unregister any live listener owning a plan equivalent to `cached`'s,
+    * WITHOUT firing it. Call right after persisting a projection whose
+    * composition runs actions (an adaptive sizing job) BEFORE its own
+    * [[releaseAfterRun]] registration — otherwise a stale equivalent
+    * listener fires on that sizing action and unpersists the fresh entry. */
+  def supersede(s: SparkSession, cached: DataFrame): Unit = {
+    val owned = cached.queryExecution.analyzed
+    val q = live.computeIfAbsent(s,
+      _ => new java.util.concurrent.ConcurrentLinkedQueue)
+    q.removeIf { case (p, l) =>
+      val stale = p.sameResult(owned)
+      if (stale) s.listenerManager.unregister(l)
+      stale
+    }
+  }
+
   def releaseAfterRun(s: SparkSession, cached: DataFrame): Unit = {
     val owned = cached.queryExecution.analyzed
+    supersede(s, cached)
+    val q = live.computeIfAbsent(s,
+      _ => new java.util.concurrent.ConcurrentLinkedQueue)
     val listener = new QueryExecutionListener {
       private val done = new java.util.concurrent.atomic.AtomicBoolean(false)
       private def release(qe: QueryExecution): Unit = {
@@ -36,6 +75,8 @@ object RunScopedCache {
         if (readCache && done.compareAndSet(false, true)) {
           cached.unpersist()
           s.listenerManager.unregister(this)
+          val q0 = live.get(s)
+          if (q0 != null) q0.removeIf { case (_, l) => l eq this }
         }
       }
       override def onSuccess(funcName: String, qe: QueryExecution,
@@ -44,5 +85,6 @@ object RunScopedCache {
           exception: Exception): Unit = release(qe)
     }
     s.listenerManager.register(listener)
+    q.add((owned, listener))
   }
 }

@@ -538,6 +538,11 @@ object SimilarityJoin {
       .select(col("id"), col("block"), col("fp"), col("rep"),
         when(col("id") === col("rep"), col("w")).as("w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // a stale release listener from an equivalent DISCARDED construction
+    // (schema-only consumers compose but never run) must not fire on the
+    // adaptive inner's sizing job below and kill the fresh cache entry —
+    // supersede it before any action touches the cache (round 16)
+    RunScopedCache.supersede(s, collapsed)
     // NOTE: the run-scoped release is registered AFTER the inner strategy
     // is composed, at the end of this method — an ADAPTIVE inner runs its
     // sizing job against the cache at compose time, and a listener

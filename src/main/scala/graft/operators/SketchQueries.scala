@@ -498,6 +498,80 @@ object SketchQueries extends QueryGroup {
             (col("n_probe") - col("n_true"))).as("fp_rate"))
   }
 
+  /** Q241: sketch-estimated JOIN CARDINALITY — the planner question the
+    * KMV family answers before committing a 100 TB shuffle: how big is
+    * A ⋈ B on this key? For every event-type pair, the k-smallest union
+    * sketch of the two types' stored per-type KMV sketches (the q132
+    * merge theorem) is read as a uniform without-replacement sample of
+    * the DISTINCT join keys [Beyer et al. SIGMOD'07]; probing the exact
+    * per-(type, key) frequencies for just those ≤ k sampled keys gives
+    * the correlated-sampling estimator |A ⋈ B| ≈ D̂_union · Σ_sample
+    * aᵤ·bᵤ / k [the min-hash join-size scheme of Vengerov et al.,
+    * VLDB'15] — distinct-count estimator × mean per-sampled-key pair
+    * product. When the union holds fewer than k hashes the sample IS the
+    * key universe and the formula collapses to the exact join size.
+    * Exact join cardinality rides along as the error readout (the q127
+    * pattern: at 100 TB you'd store only the sketches and skip it).
+    *
+    * Determinism: hashes are md5 prefixes, the sample is a rank
+    * truncation, every aggregate is BIGINT; the two IEEE divisions
+    * (est_union, est_join) are mirrored op-for-op in the oracle.
+    *
+    * Scale shape: per-type sketches are k-row stored artifacts; the pair
+    * stage touches |types|²·k sketch rows, and the frequency probe joins
+    * ≤ k sampled keys per pair against the per-key count table — a
+    * broadcast-sized probe, never a row-level shuffle of either input.
+    * The exact column is the only corpus-sized join, and it exists only
+    * to exhibit the estimate's error. */
+  private val q241: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val cnt = ev.groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("c"))
+    val uh = ev.select("user_id").distinct()
+      .withColumn("h",
+        call_function("md5_prefix32", col("user_id").cast("string")))
+    val tu = ev.select("event_type", "user_id").distinct().join(uh, "user_id")
+    val sk = KmvSketch.partial(tu, Seq("event_type"), "h", K)
+    val types = ev.select("event_type").distinct()
+    val pairs = types.select(col("event_type").as("ta"))
+      .join(types.select(col("event_type").as("tb")), col("ta") < col("tb"))
+    val both = pairs.join(sk.withColumnRenamed("event_type", "ta"), "ta")
+        .select("ta", "tb", "h")
+      .unionAll(pairs.join(sk.withColumnRenamed("event_type", "tb"), "tb")
+        .select("ta", "tb", "h"))
+      .distinct()
+    val w = Window.partitionBy("ta", "tb").orderBy("h")
+    val uni = both.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K).drop("rn")
+    val ust = uni.groupBy("ta", "tb")
+      .agg(count(lit(1)).as("k_used"), max("h").as("kth_hash"))
+    val dotS = uni.join(uh, "h")
+      .join(cnt.select(col("event_type").as("ta"), col("user_id"),
+        col("c").as("ca")), Seq("ta", "user_id"))
+      .join(cnt.select(col("event_type").as("tb"), col("user_id"),
+        col("c").as("cb")), Seq("tb", "user_id"))
+      .groupBy("ta", "tb").agg(sum(col("ca") * col("cb")).as("sample_dot"))
+    val exact = cnt.as("x").join(cnt.as("y"),
+        col("x.user_id") === col("y.user_id") &&
+          col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("ta"), col("y.event_type").as("tb"))
+      .agg(sum(col("x.c") * col("y.c")).as("exact_join"))
+    val scaled = (K - 1).toLong * 4294967296L // (k−1)·2³², exact in double
+    ust.join(dotS, Seq("ta", "tb"), "left")
+      .join(exact, Seq("ta", "tb"), "left")
+      .withColumn("sample_dot", coalesce(col("sample_dot"), lit(0L)))
+      .withColumn("exact_join", coalesce(col("exact_join"), lit(0L)))
+      .withColumn("est_union",
+        when(col("k_used") < K, col("k_used").cast("double"))
+          .otherwise(lit(scaled).cast("double") / col("kth_hash")))
+      .withColumn("est_join",
+        col("est_union") * col("sample_dot").cast("double") /
+          col("k_used").cast("double"))
+      .select("ta", "tb", "k_used", "kth_hash", "est_union", "sample_dot",
+        "est_join", "exact_join")
+      .orderBy("ta", "tb")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q127_distinct_kmv_rollup" -> q127,
     "q128_percentile_rollup" -> q128,
@@ -505,6 +579,7 @@ object SketchQueries extends QueryGroup {
     "q140_distinct_sliding" -> q140,
     "q144_freq_cm_rollup" -> q144,
     "q215_bloom_prefilter" -> q215,
+    "q241_join_size_estimate" -> q241,
   )
 
   val oracles: Map[String, String] = Map(
@@ -597,6 +672,63 @@ object SketchQueries extends QueryGroup {
         |  ex.exact_users
         |FROM sk JOIN ex USING (event_type)
         |ORDER BY event_type""".stripMargin,
+
+    // join-size estimate: per-type KMV sketches → pair union sketch (rank
+    // truncation) → correlated-sampling Σ aᵤ·bᵤ over the ≤64 sampled keys,
+    // scaled by the q127 distinct estimator; exact self-join as readout
+    "q241_join_size_estimate" ->
+      """WITH cnt AS (SELECT event_type, user_id,
+        |    CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+        |uh AS (SELECT user_id,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+        |      AS h
+        |  FROM (SELECT DISTINCT user_id FROM events)),
+        |dd AS (SELECT DISTINCT t.event_type, u.h
+        |  FROM (SELECT DISTINCT event_type, user_id FROM events) t
+        |  JOIN uh u USING (user_id)),
+        |sk AS (SELECT event_type, h FROM (
+        |    SELECT event_type, h,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        |    FROM dd) WHERE rn <= 64),
+        |ty AS (SELECT DISTINCT event_type FROM events),
+        |pairs AS (SELECT a.event_type AS ta, b.event_type AS tb
+        |  FROM ty a JOIN ty b ON a.event_type < b.event_type),
+        |bo AS (SELECT DISTINCT ta, tb, h FROM (
+        |    SELECT p.ta, p.tb, s.h FROM pairs p
+        |      JOIN sk s ON s.event_type = p.ta
+        |    UNION ALL
+        |    SELECT p.ta, p.tb, s.h FROM pairs p
+        |      JOIN sk s ON s.event_type = p.tb)),
+        |uni AS (SELECT ta, tb, h FROM (
+        |    SELECT ta, tb, h,
+        |      row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rn
+        |    FROM bo) WHERE rn <= 64),
+        |ust AS (SELECT ta, tb, CAST(count(*) AS BIGINT) AS k_used,
+        |    max(h) AS kth_hash
+        |  FROM uni GROUP BY 1, 2),
+        |dt AS (SELECT u.ta, u.tb, CAST(sum(a.c * b.c) AS BIGINT)
+        |      AS sample_dot
+        |  FROM uni u JOIN uh x ON x.h = u.h
+        |  JOIN cnt a ON a.event_type = u.ta AND a.user_id = x.user_id
+        |  JOIN cnt b ON b.event_type = u.tb AND b.user_id = x.user_id
+        |  GROUP BY 1, 2),
+        |ex AS (SELECT x.event_type AS ta, y.event_type AS tb,
+        |    CAST(sum(x.c * y.c) AS BIGINT) AS exact_join
+        |  FROM cnt x JOIN cnt y ON x.user_id = y.user_id
+        |    AND x.event_type < y.event_type
+        |  GROUP BY 1, 2)
+        |SELECT u.ta, u.tb, u.k_used, u.kth_hash,
+        |  CASE WHEN u.k_used < 64 THEN CAST(u.k_used AS DOUBLE)
+        |       ELSE CAST(270582939648 AS DOUBLE) / u.kth_hash END
+        |    AS est_union,
+        |  CAST(coalesce(dt.sample_dot, 0) AS BIGINT) AS sample_dot,
+        |  (CASE WHEN u.k_used < 64 THEN CAST(u.k_used AS DOUBLE)
+        |        ELSE CAST(270582939648 AS DOUBLE) / u.kth_hash END)
+        |    * CAST(coalesce(dt.sample_dot, 0) AS DOUBLE)
+        |    / CAST(u.k_used AS DOUBLE) AS est_join,
+        |  CAST(coalesce(ex.exact_join, 0) AS BIGINT) AS exact_join
+        |FROM ust u LEFT JOIN dt USING (ta, tb) LEFT JOIN ex USING (ta, tb)
+        |ORDER BY ta, tb""".stripMargin,
 
     // sliding distinct: hourly k-min sketches → +0/1/2 window membership
     // → re-sketch per window (the merge theorem again), exact countDistinct

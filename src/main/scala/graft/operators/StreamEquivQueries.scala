@@ -461,6 +461,44 @@ object StreamEquivQueries extends QueryGroup {
       .orderBy("a_type", "b_type")
   }
 
+  /** Q246: MATCH_RECOGNIZE-style sequence pattern detection — the
+    * SQL:2016 `PATTERN (V N* P)` question ("purchases preceded by a view
+    * with no error in between" — conversion integrity) answered with
+    * running-state windows instead of a quadratic self-join: for every
+    * event, the running last-position of 'view' and of 'error' among
+    * STRICTLY preceding events (max-if over ROWS UNBOUNDED PRECEDING → 1
+    * PRECEDING); a purchase matches iff a view precedes it and the last
+    * error (if any) precedes that view. Per user: purchases, clean
+    * conversions, first match position (−1 when none).
+    *
+    * Scale shape: one shuffle on user_id, then per-user linear window
+    * state — the MATCH_RECOGNIZE evaluation model itself, and exactly the
+    * per-key running state a streaming twin would keep in
+    * mapGroupsWithState. Total order inside a user is (epoch µs,
+    * event_id), so results are deterministic under any parallelism. */
+  private val q246: Q = (s, d) => {
+    val ord = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val prev = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val matched = col("event_type") === "purchase" &&
+      col("lv").isNotNull && col("lv") > coalesce(col("le"), lit(-1L))
+    Tables.events(s, d)
+      .withColumn("us", epochUs(col("ts")))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("us"))
+      .withColumn("pos", row_number().over(ord).cast("long"))
+      .withColumn("lv",
+        max(when(col("event_type") === "view", col("pos"))).over(prev))
+      .withColumn("le",
+        max(when(col("event_type") === "error", col("pos"))).over(prev))
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"),
+        sum(when(matched, 1L).otherwise(0L)).as("n_clean_conversions"),
+        coalesce(min(when(matched, col("pos"))), lit(-1L))
+          .as("first_match_pos"))
+      .orderBy("user_id")
+  }
+
   /** Q170: GDPR erasure with INCREMENTAL rollup maintenance — the
     * right-to-be-forgotten operation at lake scale: when a user-id set
     * must be erased, the derived hourly rollup is maintained by
@@ -529,6 +567,7 @@ object StreamEquivQueries extends QueryGroup {
   val queries: Seq[(String, Q)] = Seq(
     "q159_join_point_in_window" -> q159,
     "q169_seq_pattern_support" -> q169,
+    "q246_seq_match_recognize" -> q246,
     "q170_gdpr_erase_rollup" -> q170,
     "q171_attribution_models" -> q171,
     "q141_funnel_windowed" -> q141,
@@ -619,6 +658,35 @@ object StreamEquivQueries extends QueryGroup {
         |FROM e a JOIN e b ON a.user_id = b.user_id
         |  AND b.m > a.m AND b.m <= a.m + 30
         |GROUP BY a_type, b_type ORDER BY a_type, b_type""".stripMargin,
+
+    // MATCH_RECOGNIZE V N* P: running last-view / last-error positions
+    // over the strictly-preceding ROWS frame, purchase matches iff the
+    // last view outranks the last error (q145's window-state move)
+    "q246_seq_match_recognize" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts)
+        |    AS us FROM events),
+        |p AS (SELECT event_id, user_id, event_type, us,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) AS BIGINT) AS pos
+        |  FROM e),
+        |s AS (SELECT *,
+        |    max(CASE WHEN event_type = 'view' THEN pos END)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lv,
+        |    max(CASE WHEN event_type = 'error' THEN pos END)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS le
+        |  FROM p)
+        |SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_purchases,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' AND lv IS NOT NULL
+        |    AND lv > coalesce(le, -1) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clean_conversions,
+        |  CAST(coalesce(min(CASE WHEN event_type = 'purchase'
+        |    AND lv IS NOT NULL AND lv > coalesce(le, -1) THEN pos END),
+        |    -1) AS BIGINT) AS first_match_pos
+        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // attribution lookup: naive per-user theta-join over epoch-minute
     // lookback windows (the engine runs the banded point-in-interval form)

@@ -24,6 +24,8 @@ object GraftFunctions {
       (c: Seq[Expression]) => DotProduct(c(0), c(1))),
     ("centered_int_dot", classOf[CenteredIntDot], 2,
       (c: Seq[Expression]) => CenteredIntDot(c(0), c(1))),
+    ("hilbert_d", classOf[HilbertIndex], 2,
+      (c: Seq[Expression]) => HilbertIndex(c(0), c(1))),
     ("simhash64", classOf[SimHash64], 1,
       (c: Seq[Expression]) => SimHash64(c(0))),
     ("simhash_md5_60", classOf[Md5SimHash60], 1,

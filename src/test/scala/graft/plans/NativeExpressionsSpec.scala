@@ -412,6 +412,9 @@ class NativeExpressionsSpec extends SparkSpec {
     // lsh_sig needs >= 64 dims — its own pair of wide columns
     val wa = BoundReference(7, floatArr, nullable = true)
     val wb = BoundReference(8, floatArr, nullable = true)
+    // hilbert_d grid coordinates
+    val gx = BoundReference(9, LongType, nullable = true)
+    val gy = BoundReference(10, LongType, nullable = true)
 
     val exprs: Seq[Expression] = Seq(
       CosineSimilarity(a, b), CosineSimilarity(b, a),
@@ -422,7 +425,8 @@ class NativeExpressionsSpec extends SparkSpec {
       Md5LshSignature(wa), Md5LshSignature(wb),
       PqEncode(a, cbs), PqEncode(b, cbs),
       PqAdcScore(pqCodes, adcTable), PqAdcScore(pqCodes, adcTable),
-      CenteredIntDot(codes4, codes4), CenteredIntDot(pqCodes, pqCodes))
+      CenteredIntDot(codes4, codes4), CenteredIntDot(pqCodes, pqCodes),
+      HilbertIndex(gx, gy), HilbertIndex(gy, gx))
     exprs.foreach(e => assert(e.checkInputDataTypes().isSuccess, e.toString))
 
     // throws CompileException on any local-name collision — the assertion
@@ -443,7 +447,8 @@ class NativeExpressionsSpec extends SparkSpec {
         new GenericInternalRow(Array[Any](1, 0, fa(3.0f, 4.0f))),
         new GenericInternalRow(Array[Any](1, 1, fa(-2.0f, 0.5f))))),
       fa((0 until 64).map(i => (i % 7).toFloat - 3.0f): _*),
-      fa((0 until 64).map(i => 1.0f - (i % 5).toFloat): _*)))
+      fa((0 until 64).map(i => 1.0f - (i % 5).toFloat): _*),
+      12345L, 54321L))
 
     // generated output must equal the interpreted eval, slot for slot
     val out = proj(row)
