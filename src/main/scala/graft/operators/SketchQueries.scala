@@ -572,6 +572,53 @@ object SketchQueries extends QueryGroup {
       .orderBy("ta", "tb")
   }
 
+  /** Q248: HyperLogLog distinct-count — the q41b move applied to HLL:
+    * q49's built-in approx_count_distinct is ⚙ (its HLL++ register layout
+    * is engine-private), but HyperLogLog ITSELF [Flajolet, Fusy, Gandouet,
+    * Meunier 2007] is a pure function of the hashes, so an md5-keyed HLL
+    * hash-matches DuckDB exactly. m = 256 registers: bucket = top 8 hash
+    * bits, rank window w = low 24 bits; the register update and the
+    * harmonic sum stay INTEGER — `term = roundUpPow2(w) = (w | w≫1 | w≫2 |
+    * w≫4 | w≫8 | w≫16) + 1` is 2^(25−ρ) (w = 0 → 1, the ρ = 25 sentinel),
+    * registers keep min(term) ≡ max ρ, and S = Σ_buckets term (empty
+    * buckets contribute 2²⁵ ≡ ρ = 0) is ≤ 2³³ in BIGINT — so the ONE
+    * IEEE step is the final α·m²·2²⁵/S, mirrored op-for-op. No
+    * order-sensitive double sum anywhere (Σ2^−ρ has a 25-bit exponent
+    * spread — summed as doubles it would round order-dependently; the
+    * scaled-integer sum is the determinism trick). Raw estimate plus the
+    * zero-register count V (the linear-counting branch input — ln is
+    * libm-divergent, so the CORRECTION is left to the reader) and the
+    * exact count as error readout.
+    *
+    * Scale shape: one partial-agg pass to 256·|groups| register rows (the
+    * stored mergeable artifact — min() merges partials loss-free), one
+    * 256→1 fold per group. The exact column is the only corpus-wide
+    * distinct and exists as the readout. */
+  private val q248: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val t = ev.select(col("event_type"),
+        call_function("md5_prefix32", col("user_id").cast("string")).as("h"))
+      .withColumn("bucket", expr("h div 16777216"))
+      .withColumn("w", col("h") % lit(16777216L))
+      .withColumn("term",
+        expr("(w | (w >> 1) | (w >> 2) | (w >> 4) | (w >> 8) | (w >> 16)) + 1"))
+    val reg = t.groupBy("event_type", "bucket").agg(min(col("term")).as("t"))
+    val agg = reg.groupBy("event_type").agg(
+        count(lit(1)).as("n_hit"), sum(col("t")).as("s_present"))
+      .withColumn("v_zero", lit(256L) - col("n_hit"))
+      .withColumn("s_scaled",
+        col("s_present") + col("v_zero") * lit(33554432L))
+      .withColumn("est_raw",
+        lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) *
+          lit(2199023255552.0) / col("s_scaled").cast("double"))
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    agg.join(broadcast(exact), "event_type")
+      .select("event_type", "n_hit", "v_zero", "s_scaled", "est_raw",
+        "exact_users")
+      .orderBy("event_type")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q127_distinct_kmv_rollup" -> q127,
     "q128_percentile_rollup" -> q128,
@@ -580,6 +627,7 @@ object SketchQueries extends QueryGroup {
     "q144_freq_cm_rollup" -> q144,
     "q215_bloom_prefilter" -> q215,
     "q241_join_size_estimate" -> q241,
+    "q248_distinct_hll_md5" -> q248,
   )
 
   val oracles: Map[String, String] = Map(
@@ -671,6 +719,38 @@ object SketchQueries extends QueryGroup {
         |    AS est_users,
         |  ex.exact_users
         |FROM sk JOIN ex USING (event_type)
+        |ORDER BY event_type""".stripMargin,
+
+    // HLL with scaled-integer harmonic sum: register term = round-up
+    // power of two of the 24-bit rank window, min per bucket, one IEEE
+    // division at the very end
+    "q248_distinct_hll_md5" ->
+      """WITH h AS (SELECT event_type,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+        |      AS h
+        |  FROM events),
+        |t AS (SELECT event_type, h // 16777216 AS bucket,
+        |    h % 16777216 AS w FROM h),
+        |t2 AS (SELECT event_type, bucket,
+        |    ((w | (w >> 1) | (w >> 2) | (w >> 4) | (w >> 8) | (w >> 16))
+        |      + 1) AS term
+        |  FROM t),
+        |reg AS (SELECT event_type, bucket, min(term) AS t FROM t2
+        |  GROUP BY 1, 2),
+        |agg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_hit,
+        |    CAST(sum(t) AS BIGINT) AS s_present FROM reg GROUP BY 1),
+        |ex AS (SELECT event_type,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+        |  FROM events GROUP BY 1)
+        |SELECT a.event_type, a.n_hit,
+        |  CAST(256 - a.n_hit AS BIGINT) AS v_zero,
+        |  CAST(a.s_present + (256 - a.n_hit) * 33554432 AS BIGINT)
+        |    AS s_scaled,
+        |  0.7213 / (1.0 + 1.079 / 256.0) * 2199023255552.0
+        |    / CAST(a.s_present + (256 - a.n_hit) * 33554432 AS DOUBLE)
+        |    AS est_raw,
+        |  ex.exact_users
+        |FROM agg a JOIN ex USING (event_type)
         |ORDER BY event_type""".stripMargin,
 
     // join-size estimate: per-type KMV sketches → pair union sketch (rank
