@@ -619,6 +619,63 @@ object SketchQueries extends QueryGroup {
       .orderBy("event_type")
   }
 
+  /** Q250: histogram-based selectivity estimation — the third leg of the
+    * planner toolkit (q241 join sizes, q243 layout pruning, q215 runtime
+    * filters): how many rows will a range predicate admit, answered from
+    * a 64-bucket equi-width histogram (the stored column-stats artifact
+    * every warehouse keeps) with uniform-within-bucket interpolation
+    * [Selinger et al. SIGMOD'79's selectivity model, histogram form].
+    * All integer: bucket width `w = span div 64 + 1`, per-bucket overlap
+    * `max(0, min(hi, b_hi) − max(lo, b_lo) + 1)`, contribution
+    * `cnt·overlap div w`; five derived range predicates (one empty —
+    * outside the domain — pinning the zero edges) with actual counts and
+    * the per-mille absolute error as readout.
+    *
+    * Scale shape: the histogram is one partial-agg pass stored as ≤ 65
+    * rows; every estimate is arithmetic over histogram × 5 predicates —
+    * no data rescans at plan time. The actual column is the declared
+    * readout (one conditional-count pass, q165-style fold). */
+  private val q250: Q = (s, d) => {
+    val li = Tables.lineitem(s, d).select(
+      (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long").as("c"))
+    val mm = li.agg(min("c").as("mn"), max("c").as("mx"))
+      .withColumn("w", expr("(mx - mn) div 64 + 1"))
+    val hist = li.crossJoin(broadcast(mm))
+      .select(expr("(c - mn) div w").as("b"), col("mn"), col("w"))
+      .groupBy("b", "mn", "w").agg(count(lit(1)).as("cnt"))
+      .select(col("b"), col("cnt"),
+        (col("mn") + col("b") * col("w")).as("b_lo"),
+        (col("mn") + (col("b") + 1) * col("w") - 1).as("b_hi"))
+    // five predicates from the domain: four in-range eighths, one empty
+    val preds = mm.select(
+        explode(sequence(lit(1L), lit(5L))).as("pred_id"),
+        col("mn"), col("mx"), (col("mx") - col("mn")).as("span"))
+      .select(col("pred_id"),
+        when(col("pred_id") === 5, col("mx") + 1)
+          .otherwise(col("mn") +
+            expr("(pred_id * span) div 8")).as("lo"),
+        when(col("pred_id") === 5, col("mx") + 100)
+          .otherwise(col("mn") +
+            expr("((pred_id + 2) * span) div 8")).as("hi"))
+    val est = hist.crossJoin(broadcast(preds))
+      .withColumn("ov", greatest(lit(0L),
+        least(col("hi"), col("b_hi")) - greatest(col("lo"), col("b_lo"))
+          + 1))
+      .groupBy("pred_id", "lo", "hi")
+      .agg(sum(expr("(cnt * ov) div (b_hi - b_lo + 1)")).as("est_rows"))
+    val actual = li.crossJoin(broadcast(preds))
+      .groupBy("pred_id")
+      .agg(sum(when(col("c") >= col("lo") && col("c") <= col("hi"), 1L)
+        .otherwise(0L)).as("actual_rows"))
+    est.join(actual, "pred_id")
+      .withColumn("abs_err_pm",
+        expr("(1000 * abs(est_rows - actual_rows)) div greatest(actual_rows, 1)"))
+      .select("pred_id", "lo", "hi", "est_rows", "actual_rows",
+        "abs_err_pm")
+      .orderBy("pred_id")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q127_distinct_kmv_rollup" -> q127,
     "q128_percentile_rollup" -> q128,
@@ -628,6 +685,7 @@ object SketchQueries extends QueryGroup {
     "q215_bloom_prefilter" -> q215,
     "q241_join_size_estimate" -> q241,
     "q248_distinct_hll_md5" -> q248,
+    "q250_selectivity_est" -> q250,
   )
 
   val oracles: Map[String, String] = Map(
@@ -720,6 +778,44 @@ object SketchQueries extends QueryGroup {
         |  ex.exact_users
         |FROM sk JOIN ex USING (event_type)
         |ORDER BY event_type""".stripMargin,
+
+    // selectivity estimation: 64-bucket equi-width histogram, integer
+    // uniform-within-bucket interpolation, five derived predicates
+    "q250_selectivity_est" ->
+      """WITH li AS (SELECT
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS c
+        |  FROM lineitem),
+        |mm AS (SELECT min(c) AS mn, max(c) AS mx,
+        |    (max(c) - min(c)) // 64 + 1 AS w,
+        |    max(c) - min(c) AS span
+        |  FROM li),
+        |hist AS (SELECT b, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(max(mn) + b * max(w) AS BIGINT) AS b_lo,
+        |    CAST(max(mn) + (b + 1) * max(w) - 1 AS BIGINT) AS b_hi
+        |  FROM (SELECT (c - mn) // w AS b, mn, w FROM li, mm)
+        |  GROUP BY b),
+        |preds AS (SELECT pred_id,
+        |    CASE WHEN pred_id = 5 THEN mx + 1
+        |         ELSE mn + (pred_id * span) // 8 END AS lo,
+        |    CASE WHEN pred_id = 5 THEN mx + 100
+        |         ELSE mn + ((pred_id + 2) * span) // 8 END AS hi
+        |  FROM (SELECT CAST(unnest([1, 2, 3, 4, 5]) AS BIGINT)
+        |      AS pred_id), mm),
+        |est AS (SELECT pred_id, lo, hi,
+        |    CAST(sum((cnt * greatest(0,
+        |      least(hi, b_hi) - greatest(lo, b_lo) + 1))
+        |      // (b_hi - b_lo + 1)) AS BIGINT) AS est_rows
+        |  FROM hist, preds GROUP BY 1, 2, 3),
+        |act AS (SELECT pred_id,
+        |    CAST(sum(CASE WHEN c >= lo AND c <= hi THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS actual_rows
+        |  FROM li, preds GROUP BY 1)
+        |SELECT e.pred_id, e.lo, e.hi, e.est_rows, a.actual_rows,
+        |  (1000 * abs(e.est_rows - a.actual_rows))
+        |    // greatest(a.actual_rows, 1) AS abs_err_pm
+        |FROM est e JOIN act a USING (pred_id)
+        |ORDER BY pred_id""".stripMargin,
 
     // HLL with scaled-integer harmonic sum: register term = round-up
     // power of two of the 24-bit rank window, min per bucket, one IEEE

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** Streaming MATCH_RECOGNIZE (the q246 twin): the V N* P pattern
+  * ("purchase preceded by a view with no error in between") evaluated as
+  * per-key RUNNING STATE under Structured Streaming — exactly the state
+  * q246's batch windows materialize per row, kept instead as one constant-
+  * size record per user in `mapGroupsWithState`.
+  *
+  * State per user: (events seen, last view position, last error position,
+  * purchases, clean conversions, first match position). Each micro-batch's
+  * rows for a user are folded in (event-time, event_id) order; positions
+  * are global per-user ordinals, so as long as batches arrive in event-time
+  * order per user (the replay/backfill contract; watermarked sources give
+  * it), the final state is IDENTICAL to the batch q246 aggregate —
+  * StreamingMatchSpec pins stream ≡ batch on time-split micro-batches.
+  *
+  * Scale shape: constant state per key (6 longs), no window buffers, no
+  * shuffle beyond the keyed state exchange — the MATCH_RECOGNIZE shape
+  * that survives unbounded streams.
+  */
+object SequenceMatch {
+
+  /** (events, lastViewPos, lastErrorPos, purchases, clean, firstMatchPos)
+    * — positions are 1-based; 0 = none. */
+  type MatchState = (Long, Long, Long, Long, Long, Long)
+
+  case class MatchResult(user_id: Long, n_purchases: Long,
+      n_clean_conversions: Long, first_match_pos: Long)
+
+  private def fold(st: MatchState,
+      rows: Seq[(Long, Long, String)]): MatchState = {
+    var (pos, lv, le, np, nc, first) = st
+    // (us, event_id) order inside the batch — the q246 total order
+    rows.sortBy(r => (r._1, r._2)).foreach { case (_, _, tpe) =>
+      pos += 1
+      tpe match {
+        case "purchase" =>
+          np += 1
+          if (lv > 0 && lv > le) {
+            nc += 1
+            if (first == 0) first = pos
+          }
+        case "view" => lv = pos
+        case "error" => le = pos
+        case _ =>
+      }
+    }
+    (pos, lv, le, np, nc, first)
+  }
+
+  /** events: (user_id, us, event_id, event_type). Update-mode output of
+    * the current per-user aggregate after each micro-batch. */
+  def matches(events: DataFrame): Dataset[MatchResult] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast("long"), col("us").cast("long"),
+        col("event_id").cast("long"), col("event_type").cast("string"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[MatchState, MatchResult](
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[(Long, Long, Long, String)],
+            state: GroupState[MatchState]) =>
+          val prev = state.getOption.getOrElse((0L, 0L, 0L, 0L, 0L, 0L))
+          val next = fold(prev, it.map(r => (r._2, r._3, r._4)).toSeq)
+          state.update(next)
+          // -1 = no match yet, the q246 output convention
+          MatchResult(user, next._4, next._5,
+            if (next._6 == 0L) -1L else next._6)
+      }
+  }
+}

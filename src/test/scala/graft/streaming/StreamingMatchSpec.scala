@@ -1,0 +1,58 @@
+package graft.streaming
+
+import graft.{SparkEntry, SparkSpec, Tables}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming MATCH_RECOGNIZE ≡ batch q246: the per-key running state form
+  * must converge to the batch window aggregate over the same events when
+  * micro-batches arrive in event-time order (the replay contract).
+  */
+class StreamingMatchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stateful V N* P matcher ≡ batch q246 over time-split micro-batches") {
+    implicit val sc = spark.sqlContext
+    // the real event fixture, split into three event-time waves
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("us", graft.operators.epochUs(col("ts")))
+      .select(col("user_id"), col("us"), col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .collect().sortBy(r => (r._2, r._3))
+    val waves = {
+      val n = ev.length
+      Seq(ev.slice(0, n / 3), ev.slice(n / 3, 2 * n / 3),
+        ev.slice(2 * n / 3, n))
+    }
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val q = SequenceMatch.matches(
+        mem.toDF().toDF("user_id", "us", "event_id", "event_type"))
+      .writeStream.format("memory").queryName("seq_match")
+      .outputMode(OutputMode.Update()).start()
+    waves.foreach { w => mem.addData(w.toSeq: _*); q.processAllAvailable() }
+    q.stop()
+    // Update mode re-emits a user's row each batch it appears in — the
+    // LAST emission per user is the final state (memory sink appends)
+    val streamed = spark.table("seq_match")
+      .withColumn("rn", monotonically_increasing_id())
+      .groupBy("user_id")
+      .agg(max(struct(col("rn"), col("n_purchases"),
+        col("n_clean_conversions"), col("first_match_pos"))).as("s"))
+      .select(col("user_id"), col("s.n_purchases"),
+        col("s.n_clean_conversions"), col("s.first_match_pos"))
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+
+    val batch = SparkEntry.queries("q246_seq_match_recognize")(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+
+    assert(streamed.keySet == batch.keySet)
+    batch.keySet.foreach { u =>
+      assert(streamed(u) == batch(u), s"user $u: stream ≠ batch")
+    }
+    // the fixture must exercise the interesting paths
+    assert(batch.values.exists(_._3 > 0), "no clean conversions in fixture")
+    assert(batch.values.exists(r => r._2 > r._3),
+      "no error-blocked purchases in fixture")
+  }
+}
