@@ -676,6 +676,43 @@ object SketchQueries extends QueryGroup {
       .orderBy("pred_id")
   }
 
+  /** Q251: sliding-window exact percentiles from MERGED hourly value
+    * histograms — q128's percentile rollup composed with q140's window
+    * membership: per-hour value histograms ($10 cent bins) are the stored
+    * ingest artifact; each 3-hour window sliding by 1 merges its member
+    * hours by COUNT ADDITION and reads p50/p95 off the merged histogram
+    * with integer target ranks and one pinned interpolation per
+    * percentile. The moving-percentile dashboard primitive: percentiles
+    * are not algebraic, so without the histogram every window re-sorts
+    * raw events; with it each window touches bins·3 rows and raw data is
+    * never rescanned. The ORACLE recomputes hourly histograms AND window
+    * merges from raw events — the hash match proves the rollup path
+    * loss-free.
+    *
+    * Scale shape: one partial-agg pass to (hour × bin) rows, +0/1/2
+    * integer window membership, cumulative windows over histogram-sized
+    * frames only. */
+  private val q251: Q = (s, d) => {
+    val width = 1000L // cents per bin = $10
+    val binned = Tables.events(s, d).select(
+        epochUs(col("ts")).as("us"),
+        (col("value").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("cents"))
+      .select(expr("us div 3600000000").as("hr"),
+        expr(s"cents div $width").as("bin"))
+    val hourly = MergeableHistogram.partial(binned, Seq("hr"), "bin")
+    val member = hourly
+      .withColumn("off", explode(array(lit(0L), lit(1L), lit(2L))))
+      .withColumn("win_end", col("hr") + col("off"))
+      .select("win_end", "bin", "cnt")
+    val merged = MergeableHistogram.merge(member, Seq("win_end"), "bin")
+    MergeableHistogram.percentiles(merged, Seq("win_end"), "bin",
+        width, Seq(50, 95))
+      .select(col("win_end"), col("p"), col("target"), col("bin"),
+        col("bin_count"), (col("est_scaled") / 100.0).as("est_value"))
+      .orderBy("win_end", "p")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q127_distinct_kmv_rollup" -> q127,
     "q128_percentile_rollup" -> q128,
@@ -686,6 +723,7 @@ object SketchQueries extends QueryGroup {
     "q241_join_size_estimate" -> q241,
     "q248_distinct_hll_md5" -> q248,
     "q250_selectivity_est" -> q250,
+    "q251_sliding_percentiles" -> q251,
   )
 
   val oracles: Map[String, String] = Map(
@@ -778,6 +816,38 @@ object SketchQueries extends QueryGroup {
         |  ex.exact_users
         |FROM sk JOIN ex USING (event_type)
         |ORDER BY event_type""".stripMargin,
+
+
+    // sliding percentiles: hourly histograms -> +0/1/2 window membership
+    // -> count-addition merge -> q128's integer-rank percentile read
+    "q251_sliding_percentiles" ->
+      """WITH b AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS hr,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 1000
+        |      AS bin
+        |  FROM events),
+        |h AS (SELECT hr, bin, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM b GROUP BY 1, 2),
+        |m AS (SELECT hr + off AS win_end, bin,
+        |    CAST(sum(cnt) AS BIGINT) AS cnt
+        |  FROM h, (SELECT unnest([0, 1, 2]) AS off) GROUP BY 1, 2),
+        |c AS (SELECT win_end, bin, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY win_end ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum,
+        |    CAST(sum(cnt) OVER (PARTITION BY win_end) AS BIGINT) AS n
+        |  FROM m),
+        |c2 AS (SELECT *, cum - cnt AS cum_below FROM c),
+        |t AS (SELECT DISTINCT win_end, n FROM c2),
+        |tp AS (SELECT win_end, n, unnest([50, 95]) AS p FROM t),
+        |tg AS (SELECT win_end, p, (p * n + 99) // 100 AS target FROM tp)
+        |SELECT c2.win_end, tg.p, tg.target, c2.bin, c2.cnt AS bin_count,
+        |  (CAST(c2.bin * 1000 AS DOUBLE) + 1000.0 *
+        |    (CAST(tg.target - c2.cum_below AS DOUBLE) / c2.cnt)) / 100.0
+        |    AS est_value
+        |FROM tg JOIN c2 ON tg.win_end = c2.win_end
+        |  AND c2.cum_below < tg.target AND c2.cum >= tg.target
+        |ORDER BY c2.win_end, tg.p""".stripMargin,
 
     // selectivity estimation: 64-bucket equi-width histogram, integer
     // uniform-within-bucket interpolation, five derived predicates

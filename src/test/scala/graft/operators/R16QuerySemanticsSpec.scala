@@ -41,6 +41,47 @@ class R16QuerySemanticsSpec extends SparkSpec {
       "fixture must include probes that are non-min members of their group")
   }
 
+  test("q236: candidate collapse ≡ direct nprobe sweep on a replicated corpus") {
+    val e0 = Tables.embeddings(spark, sfDir).limit(300)
+    val e = (0 until 3).map { r =>
+      e0.select((col("vec_id") + lit(r * 100000L)).as("vec_id"),
+        col("embedding"), col("label"))
+    }.reduce(_ unionByName _)
+    val direct = VectorQueries.ivfNprobeSweep(spark, e,
+      collapseIdentical = false).collect().map(_.toSeq).toSeq
+    val collapsed = VectorQueries.ivfNprobeSweep(spark, e,
+      collapseIdentical = true).collect().map(_.toSeq).toSeq
+    assert(direct.nonEmpty)
+    assert(direct == collapsed,
+      s"collapse changed the sweep:\n direct    $direct\n collapsed $collapsed")
+    // replicas guarantee every probe's true neighbor is its exact twin in
+    // the SAME cell, so recall@1 must be 1000 per-mille at every nprobe —
+    // the fixture exercises in-group winners, the collapse's risk case
+    assert(collapsed.forall(r => r(3).asInstanceOf[Long] == 1000L),
+      "replicated fixture must give perfect recall")
+  }
+
+  test("q157: candidate collapse ≡ direct kNN graph on a 6x-replicated corpus") {
+    // 6 replicas > keep-4: the collapse actually drops members, and every
+    // top-3 list is IN-GROUP (exact twins at cos ~1) — the risk case
+    val e0 = Tables.embeddings(spark, sfDir).limit(100)
+    val e = (0 until 6).map { r =>
+      e0.select((col("vec_id") + lit(r * 100000L)).as("vec_id"),
+        col("embedding"), col("label"))
+    }.reduce(_ unionByName _)
+    val direct = VectorQueries.knnGraph(spark, e,
+      collapseIdentical = false).collect().map(_.toSeq).toSeq
+    val collapsed = VectorQueries.knnGraph(spark, e,
+      collapseIdentical = true).collect().map(_.toSeq).toSeq
+    assert(direct.nonEmpty)
+    assert(direct == collapsed)
+    // a replica with id ABOVE its group's 4 smallest still gets a full
+    // list (it is a probe, not a candidate) of in-group smallest ids
+    val bySrc = collapsed.groupBy(_.head.asInstanceOf[Long])
+    val high = bySrc.keys.filter(_ >= 500000L)
+    assert(high.nonEmpty && high.forall(u => bySrc(u).size == 3))
+  }
+
   test("a discarded equivalent construction cannot kill the next query's cache (supersede)") {
     // Simulate a schema-only consumer (the QueriesSmokeSpec sweep): compose
     // q37's staged plan, never act on it — this leaves a RunScopedCache
