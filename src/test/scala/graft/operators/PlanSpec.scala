@@ -206,6 +206,42 @@ class PlanSpec extends SparkSpec {
     } finally saved.foreach { case (k, v) => conf.set(k, v) }
   }
 
+  test("round-16 shapes: q242 codegen kernel, q243/q248 agg-only, q246 joinless single scan, q251 single scan") {
+    val p242 = executedPlan("q242_lake_hilbert")
+    // the Hilbert kernel must sit inside a whole-stage-codegen'd Project,
+    // with the 4-value stats agg broadcast — never a Window or sort-based
+    // derivation
+    assert(p242.contains("hilbert_d("), "kernel missing from the plan")
+    assert(!p242.contains("Window"), "q242 must not window the corpus")
+    assert(p242.contains("BroadcastExchange") ||
+      p242.contains("BroadcastNestedLoopJoin"), "stats must broadcast")
+
+    val p243 = executedPlan("q243_layout_pruning")
+    assert(!p243.contains("Window"),
+      "file assignment must be per-row key math, not a rank window")
+
+    // MATCH_RECOGNIZE: running window state over ONE scan — the quadratic
+    // formulation would show a self-join
+    val p246 = executedPlan("q246_seq_match_recognize")
+      .split("== Initial Plan ==")(0) // final plan only: no AQE double-count
+    assert(!p246.contains("Join"), "pattern detection must not self-join")
+    assert(p246.contains("Window"), "running-state windows missing")
+    assert("FileScan parquet".r.findAllIn(p246).size == 1,
+      "events must be scanned exactly once")
+
+    // HLL: a pure two-level aggregation rollup (register min → harmonic
+    // sum) — no Window, no row-level sort
+    val p248 = executedPlan("q248_distinct_hll_md5")
+    assert(!p248.contains("Window"), "HLL rollup must not window")
+
+    // sliding percentiles: raw events scanned exactly ONCE — every window
+    // is answered from the merged histogram rows
+    val p251 = executedPlan("q251_sliding_percentiles")
+      .split("== Initial Plan ==")(0)
+    assert("FileScan parquet".r.findAllIn(p251).size == 1,
+      "windows must be served from stored histograms, not raw rescans")
+  }
+
   test("q49: HLL approximation lands within 10% of exact counts") {
     val rows = SparkEntry.queries("q49_agg_approx_distinct")(spark, sfDir).collect()
     rows.foreach { r =>
