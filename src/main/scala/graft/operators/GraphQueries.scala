@@ -42,9 +42,17 @@ object PageRank {
     * scale graph needs (|V| in the billions: ranks cannot broadcast).
     * Iteration count is fixed and ≤ 10, so the plan is a bounded chain —
     * no checkpointing. Returns (node, r) in fixed-point units. */
+  /** @param seeds optional personalization set (one `node` column):
+    *              teleport mass Scale/|S| concentrates on seeds (r₀ = unit
+    *              on seeds, 0 elsewhere; damping base = (15·unit) div 100
+    *              on seeds, 0 elsewhere — the Jeh & Widom WWW'03 form in
+    *              the same exact BIGINT algebra). None = standard
+    *              PageRank, whose base formula (15·Scale) div (nn·100)
+    *              is kept bit-for-bit (q129's oracle pins it). */
   def run(edges0: DataFrame, iterations: Int,
       driverMaxEdges: Long = 2000000L,
-      broadcastNodes: Long = 10000000L): DataFrame = {
+      broadcastNodes: Long = 10000000L,
+      seeds: Option[DataFrame] = None): DataFrame = {
     require(iterations >= 1 && iterations <= 10,
       s"iterations must be in [1, 10] (bounded plan chain): $iterations")
     val spark = edges0.sparkSession
@@ -67,7 +75,9 @@ object PageRank {
     // (PageRankSpec pins it). Two actions total against the cache (the
     // deciding count + the collect). Large graphs take the distributed
     // loop unchanged.
-    if (ecnt <= driverMaxEdges) return runCollected(raw, iterations)
+    val seedSet = seeds.map(_.select(col("node")).distinct()
+      .collect().map(_.getString(0)).toSet)
+    if (ecnt <= driverMaxEdges) return runCollected(raw, iterations, seedSet)
     // out-degrees: one |E| shuffle whose partial aggs collapse map-side to
     // a |V|-sized table, read from the cache the count just materialized
     val deg = raw.groupBy("src").agg(count(lit(1)).as("outdeg"))
@@ -75,7 +85,12 @@ object PageRank {
     // the join strategy (deg broadcasts while |V| allows)
     val edges = raw.join(deg, "src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val isSeed = seedSet match {
+      case Some(ss) => col("node").isInCollection(ss)
+      case None => lit(true)
+    }
     val nodes = deg.select(col("src").as("node"))
+      .withColumn("is_seed", isSeed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // materialize BOTH working-set caches while raw is still warm, then
     // drop raw and register the run-scoped releases — registering before
@@ -87,8 +102,20 @@ object PageRank {
     RunScopedCache.releaseAfterRun(spark, edges)
     RunScopedCache.releaseAfterRun(spark, nodes)
     val small = nn <= broadcastNodes
-    val base = s"(15 * $Scale) div (${nn}L * 100)"
-    var ranks = nodes.select(col("node"), lit(Scale / nn).as("r"))
+    // personalized: unit-based seed algebra; standard: q129's pinned form.
+    // ns counts seeds PRESENT IN THE GRAPH (the collected path indexes
+    // graph nodes only, so both paths normalize over the same set)
+    val (baseCol, initCol) = seedSet match {
+      case Some(_) =>
+        val ns = nodes.filter(col("is_seed")).count()
+        require(ns > 0, "personalization needs a non-empty seed set")
+        val unit = Scale / ns
+        (when(col("is_seed"), lit((15L * unit) / 100L)).otherwise(lit(0L)),
+          when(col("is_seed"), lit(unit)).otherwise(lit(0L)))
+      case None =>
+        (expr(s"(15 * $Scale) div (${nn}L * 100)"), lit(Scale / nn))
+    }
+    var ranks = nodes.select(col("node"), initCol.as("r"))
     for (_ <- 1 to iterations) {
       val rsrc = ranks.withColumnRenamed("node", "src")
       val contribs = edges
@@ -99,7 +126,7 @@ object PageRank {
         .join(if (small) broadcast(inbound) else inbound,
           col("node") === col("dst"), "left")
         .select(col("node"),
-          expr(s"$base + (85 * coalesce(s, 0L)) div 100").as("r"))
+          (baseCol + expr("(85 * coalesce(s, 0L)) div 100")).as("r"))
     }
     ranks
   }
@@ -108,7 +135,8 @@ object PageRank {
     * edge list — integer ops in the same order-independent algebra, so
     * results are bit-equal to the distributed loop. Edges and degrees
     * collect separately (both map-side over the cache; no join). */
-  private def runCollected(raw: DataFrame, iterations: Int): DataFrame = {
+  private def runCollected(raw: DataFrame, iterations: Int,
+      seedSet: Option[Set[String]] = None): DataFrame = {
     val spark = raw.sparkSession
     val rows = raw.collect() // warm: the deciding count materialized the cache
     raw.unpersist()
@@ -130,8 +158,24 @@ object PageRank {
       dstI(i) = idx.getOrElse(r.getString(1), -1)
       i += 1
     }
-    val base = (15L * Scale) / (nn * 100L)
-    var rank = Array.fill(idx.size)(Scale / nn)
+    val seedIdx = seedSet.map { ss =>
+      val b = new Array[Boolean](idx.size)
+      idx.foreach { case (n, j) => b(j) = ss.contains(n) }
+      b
+    }
+    val (baseArr, rank0) = seedIdx match {
+      case Some(b) =>
+        val ns = b.count(identity).toLong
+        require(ns > 0, "personalization needs a non-empty seed set")
+        val unit = Scale / ns
+        val baseL = (15L * unit) / 100L
+        (Array.tabulate(idx.size)(j => if (b(j)) baseL else 0L),
+          Array.tabulate(idx.size)(j => if (b(j)) unit else 0L))
+      case None =>
+        val base = (15L * Scale) / (nn * 100L)
+        (Array.fill(idx.size)(base), Array.fill(idx.size)(Scale / nn))
+    }
+    var rank = rank0
     for (_ <- 1 to iterations) {
       val contrib = Array.tabulate(idx.size)(j => rank(j) / outdeg(j))
       val s = new Array[Long](idx.size)
@@ -140,7 +184,7 @@ object PageRank {
         if (dstI(e) >= 0) s(dstI(e)) += contrib(srcI(e))
         e += 1
       }
-      rank = Array.tabulate(idx.size)(j => base + (85L * s(j)) / 100L)
+      rank = Array.tabulate(idx.size)(j => baseArr(j) + (85L * s(j)) / 100L)
     }
     import spark.implicits._
     idx.iterator.map { case (node, j) => (node, rank(j)) }.toSeq
@@ -792,7 +836,128 @@ object GraphQueries extends QueryGroup {
       .withColumn("is_assortative", col("r_num") > 0)
   }
 
+  /** Q253: PERSONALIZED PageRank — q129's fixed-point recurrence with the
+    * teleport mass concentrated on a seed set [Page et al. 1999 §6; the
+    * Jeh & Widom WWW'03 personalization]: r₀ = Scale/|S| on seeds,
+    * r' = seed·(15·unit div 100) + (85·Σ r div outdeg) div 100. The
+    * retrieval/expansion primitive ("entities relevant TO THESE
+    * customers") that global PageRank can't answer: rank mass stays in
+    * the seeds' neighborhoods. Seeds = customer nodes with custkey ≡ 0
+    * (mod 10). Exact BIGINT fixed-point end to end — the ORACLE unrolls
+    * the identical 3 rounds as chained CTEs (the q129 pattern, with the
+    * seed CASE in the damping term).
+    *
+    * Scale shape: q129's economics — one (src, dst, outdeg) working set
+    * persisted, three |V|-bounded contribution shuffles, top-100 by
+    * TakeOrderedAndProject. */
+  private val q253: Q = (s, d) => {
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+    val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+    val e0 = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
+      .distinct()
+      .select(concat(lit("c:"), col("ck").cast("string")).as("a"),
+        concat(lit("s:"), col("sk").cast("string")).as("b"))
+    val edges0 = e0.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e0.select(col("b").as("src"), col("a").as("dst")))
+    // seed DEFINITION from the customer table (cheap scan); seeds not in
+    // the graph are excluded by run() in both paths identically
+    val seeds = Tables.customer(s, d)
+      .filter(col("c_custkey") % 10 === 0)
+      .select(concat(lit("c:"), col("c_custkey").cast("string")).as("node"))
+    PageRank.run(edges0, 3, seeds = Some(seeds))
+      .withColumn("is_seed", col("node").startsWith("c:") &&
+        expr("CAST(substring(node, 3) AS BIGINT) % 10 = 0"))
+      .select(col("node"), col("is_seed"), col("r").as("rank_fp"),
+        (col("r").cast("double") / 1.0e12).as("rank"))
+      .orderBy(col("rank_fp").desc, col("node"))
+      .limit(100)
+  }
+
+  /** Q254: HyperBall neighborhood-function centrality [Boldi & Vigna
+    * 2013; the HyperANF lineage] — per node, an md5-HLL counter of its
+    * ball B(v, r), grown by ITERATED REGISTER MERGE along edges:
+    * counters(v, r+1) = HLL-merge(counters(v, r), counters(w, r) for
+    * every neighbor w). Registers use q248's scaled-integer encoding at
+    * m = 64 (26-bit rank window, term = roundUpPow2 ≡ 2^(27−ρ), empty =
+    * 2²⁷), and are PACKED: one 64-int array per node, merged elementwise
+    * by [[graft.functions.ArrayMinAgg]] — min is commutative/idempotent,
+    * so the iteration is deterministic at any parallelism, and a round
+    * shuffles |E| array rows, never |E|·m register rows (the exploded
+    * form measured 51 s at sf0.1; packed: ~2 s). Per-node harmonic sums
+    * S₁, S₂, S₃ are exact BIGINTs (smaller S ⟺ bigger estimated ball);
+    * the three per-row IEEE divisions (α₆₄·m²·2²⁷/S) produce the
+    * ball-size estimates. This is THE way to compute centralities and
+    * distance distributions on graphs too big for all-pairs BFS
+    * (HyperBall measured Facebook's four degrees of separation);
+    * exact_ball1 = outdeg + 1 rides along as the radius-1 error readout.
+    * Top-100 most central by (S₃ ASC, node) — an integer sort key.
+    *
+    * Scale shape: constant 256-byte state per node, one |E|-join + one
+    * node-bounded min-merge shuffle per round, bounded rounds. The
+    * ORACLE replays the identical three merges in EXPLODED register form
+    * as MATERIALIZED CTE rounds — packed ≡ exploded because elementwise
+    * min with an absent-register sentinel is exactly per-(node, bucket)
+    * min with sentinel fill. */
+  private val q254: Q = (s, d) => {
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+    val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+    val e0 = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
+      .distinct()
+      .select(concat(lit("c:"), col("ck").cast("string")).as("a"),
+        concat(lit("s:"), col("sk").cast("string")).as("b"))
+    val edges = e0.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e0.select(col("b").as("src"), col("a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // PACKED registers: one row per node carrying all 64 registers
+    // (absent = the 2^27 empty-register sentinel), merged elementwise —
+    // an iteration shuffles |E| array rows, never |E|·m register rows
+    val amin = udaf(new graft.functions.ArrayMinAgg(64))
+    var reg = deg.select(col("src").as("node"))
+      .withColumn("h", call_function("md5_prefix32", col("node")))
+      .withColumn("bucket", expr("CAST(h div 67108864 AS INT)"))
+      .withColumn("w", col("h") % lit(67108864L))
+      .withColumn("term", expr(
+        "CAST((w | (w >> 1) | (w >> 2) | (w >> 4) | (w >> 8) | (w >> 16)) + 1 AS INT)"))
+      .select(col("node"), expr(
+        "transform(sequence(0, 63), i -> IF(i = bucket, term, 134217728))")
+        .as("regs"))
+    val rounds = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (_ <- 1 to 3) {
+      val nb = edges.join(reg, edges("src") === reg("node"))
+        .select(col("dst").as("node"), col("regs"))
+      reg = reg.unionAll(nb).groupBy("node")
+        .agg(amin(col("regs")).as("regs"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rounds += reg
+    }
+    def ballSum(r: DataFrame, tag: String): DataFrame =
+      r.select(col("node"), expr(
+        "aggregate(regs, CAST(0 AS BIGINT), (a, x) -> a + CAST(x AS BIGINT))")
+        .as(s"s$tag"))
+    val est = (c: org.apache.spark.sql.Column) =>
+      lit(0.709) * lit(4096.0) * lit(134217728.0) / c.cast("double")
+    val out = ballSum(rounds(0), "1")
+      .join(ballSum(rounds(1), "2"), "node")
+      .join(ballSum(rounds(2), "3"), "node")
+      .join(deg.select(col("src").as("node"),
+        (col("outdeg") + 1L).as("exact_ball1")), "node")
+      .select(col("node"), col("exact_ball1"),
+        col("s1"), col("s2"), col("s3"),
+        est(col("s1")).as("est1"), est(col("s2")).as("est2"),
+        est(col("s3")).as("est3"))
+      .orderBy(col("s3").asc, col("node"))
+      .limit(100)
+    RunScopedCache.releaseAfterRun(s, edges)
+    rounds.foreach(r => RunScopedCache.releaseAfterRun(s, r))
+    out
+  }
+
   val queries: Seq[(String, Q)] = Seq(
+    "q254_graph_hyperball" -> q254,
+    "q253_graph_ppr" -> q253,
     "q129_graph_pagerank" -> q129,
     "q133_graph_triangles" -> q133,
     "q134_graph_communities" -> q134,
@@ -1034,6 +1199,95 @@ object GraphQueries extends QueryGroup {
     // regroup on dst. sum() is HUGEINT in DuckDB → CAST before the damping
     // arithmetic (the q91 rule). Every node has in-edges (symmetrized), so
     // the plain JOIN keeps the full node set, matching Spark's left join.
+    // HyperBall: identical register-merge rounds (per-(node, bucket) MIN
+    // over q248's integer terms) as MATERIALIZED CTEs, harmonic sums and
+    // estimates mirrored from q248
+    "q254_graph_hyperball" -> {
+      val round = (k: Int) =>
+        s"""r$k AS MATERIALIZED (SELECT node, bucket, min(term) AS term
+           |  FROM (
+           |    SELECT node, bucket, term FROM r${k - 1}
+           |    UNION ALL
+           |    SELECT e.dst AS node, r.bucket, r.term
+           |    FROM e JOIN r${k - 1} r ON e.src = r.node)
+           |  GROUP BY 1, 2)""".stripMargin
+      val sums = (k: Int) =>
+        s"""s$k AS (SELECT node,
+           |    CAST(sum(term) + (64 - count(*)) * 134217728 AS BIGINT)
+           |      AS s$k
+           |  FROM r$k GROUP BY node)""".stripMargin
+      def estSql(c: String) =
+        s"0.709 * 4096.0 * 134217728.0 / CAST($c AS DOUBLE)"
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS a,
+         |    's:' || CAST(l_suppkey AS VARCHAR) AS b
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |e AS (SELECT a AS src, b AS dst FROM e0
+         |      UNION ALL SELECT b AS src, a AS dst FROM e0),
+         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+         |        FROM e GROUP BY src),
+         |r0 AS MATERIALIZED (SELECT src AS node, h // 67108864 AS bucket,
+         |    (((h % 67108864) | ((h % 67108864) >> 1)
+         |      | ((h % 67108864) >> 2) | ((h % 67108864) >> 4)
+         |      | ((h % 67108864) >> 8) | ((h % 67108864) >> 16)) + 1)
+         |      AS term
+         |  FROM (SELECT src, ('0x' || substr(md5(src), 1, 8))::BIGINT AS h
+         |        FROM deg)),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)},
+         |${sums(1)},
+         |${sums(2)},
+         |${sums(3)}
+         |SELECT node, CAST(d.outdeg + 1 AS BIGINT) AS exact_ball1,
+         |  s1.s1, s2.s2, s3.s3,
+         |  ${estSql("s1.s1")} AS est1,
+         |  ${estSql("s2.s2")} AS est2,
+         |  ${estSql("s3.s3")} AS est3
+         |FROM s1 JOIN s2 USING (node) JOIN s3 USING (node)
+         |  JOIN deg d ON d.src = node
+         |ORDER BY s3.s3 ASC, node LIMIT 100""".stripMargin
+    },
+
+    // personalized PageRank: the q129 chained-CTE unroll with the seed
+    // CASE in the damping term and teleport mass Scale/|S| on seeds
+    "q253_graph_ppr" -> {
+      val iter = (k: Int) =>
+        s"""i$k AS (SELECT e.dst AS node,
+           |    CASE WHEN e.dst LIKE 'c:%'
+           |      AND CAST(substr(e.dst, 3) AS BIGINT) % 10 = 0
+           |      THEN (SELECT base FROM u) ELSE 0 END
+           |    + (85 * CAST(sum(pr.r // dg.outdeg) AS BIGINT)) // 100 AS r
+           |  FROM e JOIN i${k - 1} pr ON e.src = pr.node
+           |         JOIN deg dg ON dg.src = e.src
+           |  GROUP BY e.dst)""".stripMargin
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS a,
+         |    's:' || CAST(l_suppkey AS VARCHAR) AS b
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |e AS (SELECT a AS src, b AS dst FROM e0
+         |      UNION ALL SELECT b AS src, a AS dst FROM e0),
+         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+         |        FROM e GROUP BY src),
+         |nd AS (SELECT src AS node,
+         |    src LIKE 'c:%' AND CAST(substr(src, 3) AS BIGINT) % 10 = 0
+         |      AS is_seed
+         |  FROM deg),
+         |np AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM nd
+         |  WHERE is_seed),
+         |u AS (SELECT 1000000000000 // ns AS unit,
+         |    (15 * (1000000000000 // ns)) // 100 AS base FROM np),
+         |i0 AS (SELECT node, CASE WHEN is_seed THEN (SELECT unit FROM u)
+         |    ELSE 0 END AS r FROM nd),
+         |${iter(1)},
+         |${iter(2)},
+         |${iter(3)}
+         |SELECT nd.node, nd.is_seed, i3.r AS rank_fp,
+         |  CAST(i3.r AS DOUBLE) / 1000000000000.0 AS rank
+         |FROM i3 JOIN nd ON nd.node = i3.node
+         |ORDER BY rank_fp DESC, nd.node LIMIT 100""".stripMargin
+    },
+
     "q129_graph_pagerank" ->
       """WITH e0 AS (
         |  SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS a,

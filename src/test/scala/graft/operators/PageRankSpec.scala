@@ -85,6 +85,36 @@ class PageRankSpec extends SparkSpec {
     assert(c2 == d2)
   }
 
+  test("personalized: paths bit-equal, mass concentrates on seeds, off-graph seeds ignored") {
+    val rnd = new scala.util.Random(11)
+    val pairs = (1 to 120).map(_ => (s"n${rnd.nextInt(30)}", s"n${rnd.nextInt(30)}"))
+      .filter(p => p._1 != p._2).distinct
+    val fwd = (pairs ++ pairs.map(_.swap)).distinct.toDF("src", "dst")
+    // n99 is NOT in the graph: both paths must normalize over seeds ∩ V
+    val seeds = Seq("n0", "n1", "n2", "n99").toDF("node")
+    val collected = PageRank.run(fwd, 4, seeds = Some(seeds)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val distributed = PageRank.run(fwd, 4, driverMaxEdges = 0L,
+        seeds = Some(seeds)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(collected == distributed)
+    assert(!collected.contains("n99"))
+    // teleport mass only flows from seeds: seed mean rank must exceed the
+    // non-seed mean on a (near-)regular random graph
+    val seedSet = Set("n0", "n1", "n2")
+    val (sd, other) = collected.partition { case (n, _) => seedSet(n) }
+    assert(sd.values.sum / sd.size > other.values.sum / other.size)
+    // uniform seeds = all nodes uses the UNIT algebra, not q129's base
+    // formula — still bit-equal across paths
+    val allSeeds = collected.keySet.toSeq.toDF("node")
+    val cAll = PageRank.run(fwd, 3, seeds = Some(allSeeds)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dAll = PageRank.run(fwd, 3, driverMaxEdges = 0L,
+        seeds = Some(allSeeds)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cAll == dAll)
+  }
+
   test("non-symmetrized input: pure-source node keeps the damping base rank") {
     val edges = Seq(("a", "b")).toDF("src", "dst")
     val out = PageRank.run(edges, 3).collect()
