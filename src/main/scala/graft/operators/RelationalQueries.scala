@@ -824,7 +824,39 @@ object RelationalQueries extends QueryGroup {
       .orderBy("mon")
   }
 
+  /** Q255: table profiling — the per-column statistics sweep (pandas-
+    * profiling / Deequ's analyzer shape) a warehouse runs before trusting
+    * a new table: for every lineitem column, row count, null count,
+    * exact distinct count and the modal frequency (the max group size —
+    * a skew/constant-column detector). One value-grouped aggregation per
+    * column yields ALL four stats (Σcnt, Σcnt where null, count of
+    * non-null groups, max cnt) — integer end to end, and grouping by the
+    * TYPED value (never its string form) sidesteps cross-engine double/
+    * timestamp formatting divergence entirely.
+    *
+    * Scale shape: each column is one column-pruned scan + one partial-agg
+    * groupBy whose output is value-domain-sized — columns profile in
+    * parallel and the fact table is never materialized wide. */
+  private val q255: Q = (s, d) => {
+    val t = Tables.lineitem(s, d)
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate")
+    cols.map { c =>
+      t.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+        .agg(sum(col("cnt")).as("n_rows"),
+          coalesce(sum(when(col(c).isNull, col("cnt"))), lit(0L))
+            .as("n_nulls"),
+          count(when(col(c).isNotNull, lit(1))).as("n_distinct"),
+          max(col("cnt")).as("max_freq"))
+        .select(lit(c).as("column_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("max_freq"))
+    }.reduce(_ unionByName _)
+      .orderBy("column_name")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
+    "q255_profile_table" -> q255,
     "q247_ivm_join_delta" -> q247,
     "q155_join_interval_overlap" -> q155,
     "q165_data_quality_audit" -> q165,
@@ -886,6 +918,25 @@ object RelationalQueries extends QueryGroup {
          |  ${sqlDsum("l_quantity")} AS total_qty
          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          |GROUP BY 1 ORDER BY mon""".stripMargin,
+
+    // per-column profile: one value-grouped agg per column, union'd —
+    // typed-value grouping avoids any cross-engine value formatting
+    "q255_profile_table" -> {
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+        "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+        "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
+      cols.map { c =>
+        s"""SELECT '$c' AS column_name,
+           |  CAST(sum(cnt) AS BIGINT) AS n_rows,
+           |  CAST(coalesce(sum(CASE WHEN $c IS NULL THEN cnt END), 0)
+           |    AS BIGINT) AS n_nulls,
+           |  CAST(count(CASE WHEN $c IS NOT NULL THEN 1 END) AS BIGINT)
+           |    AS n_distinct,
+           |  CAST(max(cnt) AS BIGINT) AS max_freq
+           |FROM (SELECT $c, CAST(count(*) AS BIGINT) AS cnt
+           |      FROM lineitem GROUP BY $c)""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+    },
 
     // forward as-of: DuckDB native ASOF with >= vs Spark's reversed
     // range-frame window — different physical strategies, same rows
