@@ -267,6 +267,40 @@ object StreamEquivQueries extends QueryGroup {
       .orderBy("from_type", "to_type")
   }
 
+  /** Q256: transition DWELL times — q123 says WHERE sessions go; this
+    * says HOW LONG they linger before each transition, the product-
+    * analytics latency readout (time from view to purchase, error to
+    * retry). Per consecutive event pair inside a user's (event-time, id)
+    * order: the exact µs gap, aggregated per (from, to) transition as
+    * count, exact total/min/max µs dwell, and the count of sub-minute
+    * transitions (the "immediate bounce" share numerator) — all BIGINT;
+    * the one division (mean dwell seconds) is pinned.
+    *
+    * Scale shape: one shuffle on user_id, one lag window, one partial-agg
+    * groupBy over ≤ |types|² transitions — streaming-friendly (the same
+    * per-key state as q246's matcher). */
+  private val q256: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        epochUs(col("ts")).as("us"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .withColumn("dwell_us", lead(col("us"), 1).over(w) - col("us"))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("dwell_us")).as("sum_us"),
+        min(col("dwell_us")).as("min_us"),
+        max(col("dwell_us")).as("max_us"),
+        sum(when(col("dwell_us") < 60000000L, 1L).otherwise(0L))
+          .as("n_sub_minute"))
+      .withColumn("mean_dwell_sec",
+        col("sum_us").cast("double") /
+          (lit(1000000.0) * col("n").cast("double")))
+      .orderBy("from_type", "to_type")
+  }
+
   /** Q124: incremental rollup maintenance — the q82 no-recompute story
     * applied to AGGREGATES: the stored hourly rollup (computed over the
     * historical 3/4 of events) absorbs a new batch (the remaining 1/4) by
@@ -568,6 +602,7 @@ object StreamEquivQueries extends QueryGroup {
     "q159_join_point_in_window" -> q159,
     "q169_seq_pattern_support" -> q169,
     "q246_seq_match_recognize" -> q246,
+    "q256_transition_dwell" -> q256,
     "q170_gdpr_erase_rollup" -> q170,
     "q171_attribution_models" -> q171,
     "q141_funnel_windowed" -> q141,
@@ -658,6 +693,27 @@ object StreamEquivQueries extends QueryGroup {
         |FROM e a JOIN e b ON a.user_id = b.user_id
         |  AND b.m > a.m AND b.m <= a.m + 30
         |GROUP BY a_type, b_type ORDER BY a_type, b_type""".stripMargin,
+
+    // transition dwell: lead-gap µs per consecutive pair, BIGINT stats
+    // per (from, to), one pinned mean division
+    "q256_transition_dwell" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(ts) AS us FROM events),
+        |p AS (SELECT *, lead(event_type) OVER w AS next_type,
+        |    lead(us) OVER w - us AS dwell_us
+        |  FROM e WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY us, event_id))
+        |SELECT event_type AS from_type, next_type AS to_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(dwell_us) AS BIGINT) AS sum_us,
+        |  CAST(min(dwell_us) AS BIGINT) AS min_us,
+        |  CAST(max(dwell_us) AS BIGINT) AS max_us,
+        |  CAST(sum(CASE WHEN dwell_us < 60000000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_sub_minute,
+        |  CAST(CAST(sum(dwell_us) AS BIGINT) AS DOUBLE)
+        |    / (1000000.0 * CAST(count(*) AS DOUBLE)) AS mean_dwell_sec
+        |FROM p WHERE next_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // MATCH_RECOGNIZE V N* P: running last-view / last-error positions
     // over the strictly-preceding ROWS frame, purchase matches iff the
