@@ -793,15 +793,51 @@ object RelationalQueries extends QueryGroup {
     * [the classic counting/delta rule — Gupta & Mumick, "Maintenance of
     * Materialized Views: Problems, Techniques, and Applications", IEEE DE
     * Bulletin 1995]. The deltas are carved deterministically (ΔO:
-    * o_orderkey ≡ 5 mod 13; ΔL: l_orderkey ≡ 3 mod 17), the view is
-    * computed AS the four-branch union, aggregated per order-month, and
-    * the ORACLE is the direct full join + aggregate — the hash match IS
-    * the maintenance-correctness equation. At scale V(O₀,L₀) is the
-    * stored view (never recomputed); the three delta branches join
-    * delta-sized inputs against base tables on the view key — work ∝ |Δ|,
+    * o_orderkey ≡ 5 mod 13; ΔL: l_orderkey ≡ 3 mod 17), V(O₀,L₀) is a
+    * STORED view (a session-memoized parquet the query SCANS — the real
+    * incremental access path, not a recompute), the three delta branches
+    * join delta-sized inputs against base tables, and the ORACLE is the
+    * direct full join + aggregate — the hash match IS the maintenance-
+    * correctness equation. Work ∝ |Δ| + |stored view| at any base size,
     * and exact DECIMAL sums make the aggregate layer mergeable the same
     * way (add the delta branches' partial aggregates to the stored
     * rollup, q124/q170's abelian-group maintenance). */
+  // V(O₀, L₀) materialized ONCE per (session, dir) as a temp parquet —
+  // the STORED view the incremental path reads instead of recomputing
+  // (the coPurchaseEdges memo pattern); rows are deterministic, so the
+  // oracle's full-join recompute still hash-matches.
+  private val ivmMemo =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.mutable.Map[String, String]]()
+
+  private def ivmBaseView(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val perSession = ivmMemo.synchronized {
+      var m = ivmMemo.get(s)
+      if (m == null) {
+        m = scala.collection.mutable.Map.empty
+        ivmMemo.put(s, m)
+      }
+      m
+    }
+    val path = perSession.synchronized {
+      perSession.getOrElseUpdate(d, {
+        val o0 = Tables.orders(s, d)
+          .filter(!(col("o_orderkey") % 13 === 5))
+          .select("o_orderkey", "o_orderdate")
+        val l0 = Tables.lineitem(s, d)
+          .filter(!(col("l_orderkey") % 17 === 3))
+          .select("l_orderkey", "l_quantity")
+        val p = TempDirs.scoped("graft-ivm-base")
+        o0.join(l0, col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_orderdate"), col("l_quantity"))
+          .write.mode("overwrite").parquet(p)
+        p
+      })
+    }
+    s.read.parquet(path)
+  }
+
   private val q247: Q = (s, d) => {
     val o = Tables.orders(s, d).select(
       col("o_orderkey"), col("o_orderdate"),
@@ -817,7 +853,9 @@ object RelationalQueries extends QueryGroup {
         y: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
       x.join(y, col("o_orderkey") === col("l_orderkey"))
         .select(col("o_orderdate"), col("l_quantity"))
-    Seq(j(o0, l0), j(dO, l0), j(o0, dL), j(dO, dL))
+    // the stored view is SCANNED, not recomputed — only the three
+    // delta-sized branches join live tables
+    Seq(ivmBaseView(s, d), j(dO, l0), j(o0, dL), j(dO, dL))
       .reduce(_ unionByName _)
       .groupBy(date_trunc("month", col("o_orderdate")).as("mon"))
       .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("total_qty"))
