@@ -22,8 +22,10 @@ import org.apache.spark.sql.functions._
   *
   * The (100,100) box straddles the 128-midline in BOTH dimensions: the
   * z-curve jumps between all four quadrants there, its files' bounding
-  * boxes span the seam, and skipping decays to WORSE than the single-sort
-  * layout. Hilbert's neighbours-only steps keep file bboxes compact
+  * boxes span the seam, and skipping decays toward — and in some runs
+  * past — the single-sort layout (7120–9221 across boundary-sampling
+  * variations vs linear's 8192). Hilbert's neighbours-only steps keep
+  * file bboxes compact
   * across the same seam — the concrete reason Iceberg/Delta moved to
   * Hilbert for multi-dim clustering.
   */
@@ -76,12 +78,14 @@ class HilbertLayoutSpec extends SparkSpec {
     m.foreach { case (b, (_, h, l)) =>
       assert(h < l, s"hilbert $h !< linear $l at $b")
     }
-    // the midline seam: Morton decays to ~linear-or-worse, Hilbert holds
-    val (zMid, hMid, lMid) = m((100, 100))
+    // the midline seam: Morton decays badly (measured 7120–9221 across
+    // boundary-sampling variations, i.e. ~87%–113% of the linear layout's
+    // 8192 — repartitionByRange's reservoir shifts file bounds with
+    // session history, the ZOrderSpec-documented flake), Hilbert holds
+    // around ~5000. Pin only the ordering, which is stable.
+    val (zMid, hMid, _) = m((100, 100))
     assert(hMid < zMid,
       s"hilbert $hMid must beat Morton $zMid on the midline box")
-    assert(zMid * 10 > lMid * 9,
-      s"the Morton seam pathology should be visible: z=$zMid lin=$lMid")
     // and in aggregate over all probed boxes hilbert strictly wins
     val (zSum, hSum) = (m.values.map(_._1).sum, m.values.map(_._2).sum)
     assert(hSum < zSum, s"aggregate: hilbert $hSum !< z $zSum")
