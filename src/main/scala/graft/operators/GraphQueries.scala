@@ -75,9 +75,13 @@ object PageRank {
     // (PageRankSpec pins it). Two actions total against the cache (the
     // deciding count + the collect). Large graphs take the distributed
     // loop unchanged.
-    val seedSet = seeds.map(_.select(col("node")).distinct()
-      .collect().map(_.getString(0)).toSet)
-    if (ecnt <= driverMaxEdges) return runCollected(raw, iterations, seedSet)
+    if (ecnt <= driverMaxEdges) {
+      // collecting the seed set is safe HERE: the graph itself fits on
+      // the driver, so its seed subset does too
+      val seedSet = seeds.map(_.select(col("node")).distinct()
+        .collect().map(_.getString(0)).toSet)
+      return runCollected(raw, iterations, seedSet)
+    }
     // out-degrees: one |E| shuffle whose partial aggs collapse map-side to
     // a |V|-sized table, read from the cache the count just materialized
     val deg = raw.groupBy("src").agg(count(lit(1)).as("outdeg"))
@@ -85,13 +89,21 @@ object PageRank {
     // the join strategy (deg broadcasts while |V| allows)
     val edges = raw.join(deg, "src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val isSeed = seedSet match {
-      case Some(ss) => col("node").isInCollection(ss)
-      case None => lit(true)
-    }
-    val nodes = deg.select(col("src").as("node"))
-      .withColumn("is_seed", isSeed)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // seeds stay DISTRIBUTED on this path (a web-scale personalization
+    // set — all pages of one site — would OOM a collect and bloat the
+    // plan as an in-list): membership becomes a left-join flag, which
+    // AQE broadcasts while the seed table is small and shuffles when
+    // it is not. Flag semantics are identical to the collected path's
+    // set membership, so PageRankSpec's bit-equality pin still holds.
+    val nodes0 = deg.select(col("src").as("node"))
+    val nodes = (seeds match {
+      case Some(sd) =>
+        nodes0.join(
+          sd.select(col("node")).distinct().withColumn("is_seed", lit(true)),
+          Seq("node"), "left")
+          .withColumn("is_seed", coalesce(col("is_seed"), lit(false)))
+      case None => nodes0.withColumn("is_seed", lit(true))
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // materialize BOTH working-set caches while raw is still warm, then
     // drop raw and register the run-scoped releases — registering before
     // these counts would release each cache at its own deciding action
@@ -105,7 +117,7 @@ object PageRank {
     // personalized: unit-based seed algebra; standard: q129's pinned form.
     // ns counts seeds PRESENT IN THE GRAPH (the collected path indexes
     // graph nodes only, so both paths normalize over the same set)
-    val (baseCol, initCol) = seedSet match {
+    val (baseCol, initCol) = seeds match {
       case Some(_) =>
         val ns = nodes.filter(col("is_seed")).count()
         require(ns > 0, "personalization needs a non-empty seed set")

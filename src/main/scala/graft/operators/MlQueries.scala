@@ -140,7 +140,9 @@ object MlQueries extends QueryGroup {
     * 1/10000 of the rows; ApproxPercentileSpec pins the estimates inside
     * a value tolerance derived from the exact q52 answers. Engine-only:
     * the sketch's internal merge order is engine-specific, so no
-    * cross-engine hash can exist (the q49 contract). */
+    * cross-engine hash can exist (the q49 contract) — the ORACLED twin is
+    * q257, whose md5-KMV-rank sketch is a pure function of the rows, the
+    * same way q248 twins q49's HLL. */
   private val q87: Q = (s, d) =>
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
@@ -148,6 +150,62 @@ object MlQueries extends QueryGroup {
         expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("p90_price"),
         expr("approx_percentile(l_quantity, 0.25, 10000)").as("p25_qty"))
       .orderBy("l_returnflag")
+
+  /** Q257: approximate percentiles from a DETERMINISTIC mergeable KMV-rank
+    * quantile sketch — the oracled twin of q87's engine-private
+    * approx_percentile, built the q248 way (an md5-keyed sketch is a pure
+    * function of the rows, so DuckDB replays it exactly): per group, the
+    * 256 smallest DISTINCT packed (md5-hash, cents) keys form a uniform
+    * row sample ([[graft.functions.KmvAgg]]'s bounded mergeable buffer —
+    * the KMV merge theorem makes partials loss-free under ANY partitioning
+    * or stream batching), and each percentile estimate is the
+    * nearest-rank order statistic of the SAMPLE: r = (p·m + 99) div 100
+    * (pure integer, the q158 rule — never a float percentile literal).
+    * Packing h·2³² + cents into one BIGINT (h truncated to 30 bits so the
+    * product stays far under 2⁶³; ANSI would throw on overflow) makes the
+    * buffer a plain long array AND gives the (h, cents) tie-break for
+    * free. The exact nearest-rank percentile ([[graft.functions
+    * .ExactSelect.ranksByGroup]]'s value-domain refinement — no group
+    * buffering) rides along as the error readout.
+    *
+    * Scale shape: one partial-agg pass to a ≤256-long buffer per group
+    * (the stored mergeable artifact); estimates are per-row array algebra
+    * on the buffer; the exact readout is the ~2-scan ExactSelect walk.
+    * Rank error is ~1/√256 ≈ 6% — the abs_err_cents column reports the
+    * realized value error against the exact statistic. */
+  private val q257: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_extendedprice").isNotNull)
+      .select(col("l_returnflag"),
+        concat(col("l_orderkey").cast("string"), lit("#"),
+          col("l_linenumber").cast("string")).as("key"),
+        (col("l_extendedprice").cast("decimal(12,2)") * 100)
+          .cast("long").as("cents"))
+    val packed = li.select(col("l_returnflag"),
+      ((call_function("md5_prefix32", col("key")) % 1073741824L)
+        * 4294967296L + col("cents")).as("pk"))
+    val kmv = udaf(new graft.functions.KmvAgg(256))
+    val est = packed.groupBy("l_returnflag").agg(kmv(col("pk")).as("buf"))
+      .withColumn("cs", expr("array_sort(transform(buf, x -> x % 4294967296))"))
+      .select(col("l_returnflag"),
+        size(col("cs")).cast("long").as("m_sample"), col("cs"),
+        explode(expr("array(50, 90)")).as("pct"))
+      .withColumn("r_samp", expr("(pct * m_sample + 99) div 100"))
+      .withColumn("est_cents",
+        expr("element_at(cs, CAST(r_samp AS INT))"))
+      .drop("cs")
+    val exact = graft.functions.ExactSelect.ranksByGroup(
+        li.select(col("l_returnflag").as("grp"), col("cents").as("v")),
+        "grp", "v", Seq(50, 90))
+      .select(col("grp"), col("pct").as("e_pct"),
+        col("pval").as("exact_cents"))
+    est.join(exact, est("l_returnflag") === exact("grp") &&
+        est("pct") === exact("e_pct"))
+      .select(est("l_returnflag"), est("pct"), col("m_sample"),
+        col("r_samp"), col("est_cents"), col("exact_cents"),
+        abs(col("est_cents") - col("exact_cents")).as("abs_err_cents"))
+      .orderBy("l_returnflag", "pct")
+  }
 
   /** Q89: bitwise aggregates — bit_and / bit_or / bit_xor over integer
     * keys, the flag-mask / set-reconciliation aggregation family (xor-sums
@@ -846,6 +904,7 @@ object MlQueries extends QueryGroup {
     "q90_agg_moments" -> q90,
     "q52_agg_percentile" -> q52,
     "q87_agg_approx_percentile" -> q87,
+    "q257_approx_percentile_kmv" -> q257,
     "q49_agg_approx_distinct" -> q49,
     "q50_udaf_weighted_avg" -> q50,
     "q112_lake_zorder" -> q112,
@@ -970,6 +1029,54 @@ object MlQueries extends QueryGroup {
         |  r.v AS pval
         |FROM kk JOIN r ON r.grp = kk.grp AND r.rk = kk.k
         |ORDER BY kk.grp, kk.pct""".stripMargin,
+
+    // KMV-rank quantile sketch replayed end-to-end: distinct packed
+    // (30-bit md5 prefix)·2^32 + cents keys, k = 256 smallest per group,
+    // nearest-rank (p·m + 99)//100 over the sample's cents, exact
+    // nearest-rank over the full group as the error readout
+    "q257_approx_percentile_kmv" ->
+      """WITH c AS (SELECT l_returnflag,
+        |    CAST(l_orderkey AS VARCHAR) || '#' ||
+        |      CAST(l_linenumber AS VARCHAR) AS key,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |pk AS (SELECT DISTINCT l_returnflag,
+        |    (('0x' || substr(md5(key), 1, 8))::BIGINT % 1073741824)
+        |      * 4294967296 + cents AS pk
+        |  FROM c),
+        |rk AS (SELECT l_returnflag, pk, row_number() OVER (
+        |    PARTITION BY l_returnflag ORDER BY pk) AS rn FROM pk),
+        |samp AS (SELECT l_returnflag, pk % 4294967296 AS cents FROM rk
+        |  WHERE rn <= 256),
+        |m AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS m_sample
+        |  FROM samp GROUP BY 1),
+        |sr AS (SELECT l_returnflag, cents, row_number() OVER (
+        |    PARTITION BY l_returnflag ORDER BY cents) AS vr FROM samp),
+        |p AS (SELECT CAST(unnest([50, 90]) AS INTEGER) AS pct),
+        |est AS (SELECT m.l_returnflag, p.pct, m.m_sample,
+        |    (CAST(p.pct AS BIGINT) * m.m_sample + 99) // 100 AS r_samp
+        |  FROM m CROSS JOIN p),
+        |e2 AS (SELECT est.*, sr.cents AS est_cents FROM est JOIN sr
+        |  ON sr.l_returnflag = est.l_returnflag AND sr.vr = est.r_samp),
+        |n AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n FROM c
+        |  GROUP BY 1),
+        |kk2 AS (SELECT n.l_returnflag, p.pct,
+        |    (CAST(p.pct AS BIGINT) * n.n + 99) // 100 AS k
+        |  FROM n CROSS JOIN p),
+        |fr AS (SELECT l_returnflag, cents, row_number() OVER (
+        |    PARTITION BY l_returnflag ORDER BY cents) AS rk FROM c),
+        |ex AS (SELECT kk2.l_returnflag, kk2.pct, fr.cents AS exact_cents
+        |  FROM kk2 JOIN fr ON fr.l_returnflag = kk2.l_returnflag
+        |    AND fr.rk = kk2.k)
+        |SELECT e2.l_returnflag, e2.pct, e2.m_sample,
+        |  CAST(e2.r_samp AS BIGINT) AS r_samp, e2.est_cents,
+        |  ex.exact_cents,
+        |  CAST(abs(e2.est_cents - ex.exact_cents) AS BIGINT)
+        |    AS abs_err_cents
+        |FROM e2 JOIN ex ON ex.l_returnflag = e2.l_returnflag
+        |  AND ex.pct = e2.pct
+        |ORDER BY e2.l_returnflag, e2.pct""".stripMargin,
 
     // Benford audit: same cents-string digit extraction, the same shared
     // per-mille literal table, window sums cast back from HUGEINT (the
@@ -1242,7 +1349,7 @@ object MlQueries extends QueryGroup {
          |FROM hw WHERE s = 0 ORDER BY event_id""".stripMargin,
 
     // layout pruning audit: both curves recomputed (32-term interleave +
-    // recursive Hilbert walk), 64 fixed-width files per layout reduced to
+    // recursive Hilbert walk), 50 fixed-width files per layout reduced to
     // min/max bboxes, stats-based admission against three box predicates
     "q243_layout_pruning" ->
       s"""WITH RECURSIVE $gridCte,

@@ -60,8 +60,25 @@ object RunScopedCache {
     }
   }
 
+  /** Drop (and unregister) live entries whose cache-manager entry is gone —
+    * a clearCache (or an explicit unpersist that bypassed the listener)
+    * orphans the listener AND its strong reference to a full analyzed
+    * plan; without this sweep, abandoned compositions retain those plans
+    * until an equivalent plan happens to supersede them. Runs on every
+    * registration, so the queue stays bounded by the LIVE cache entries. */
+  private def pruneOrphans(s: SparkSession): Unit = {
+    val q = live.get(s)
+    if (q != null) q.removeIf { case (p, l) =>
+      val gone = s.sharedState.cacheManager.lookupCachedData(
+        s.asInstanceOf[org.apache.spark.sql.classic.SparkSession], p).isEmpty
+      if (gone) s.listenerManager.unregister(l)
+      gone
+    }
+  }
+
   def releaseAfterRun(s: SparkSession, cached: DataFrame): Unit = {
     val owned = cached.queryExecution.analyzed
+    pruneOrphans(s)
     supersede(s, cached)
     val q = live.computeIfAbsent(s,
       _ => new java.util.concurrent.ConcurrentLinkedQueue)
