@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** SURVEY §2B batch relational surface: scans, projection/filter, all join
   * shapes, aggregation, window functions, sort/limit/top-k, set operations and
@@ -862,6 +863,100 @@ object RelationalQueries extends QueryGroup {
       .orderBy("mon")
   }
 
+  /** Q258: aggregate IVM under RETRACTIONS — q247 maintains a join view
+    * under insert-only deltas; THIS maintains a stored AGGREGATE against
+    * the q130 CDC feed, which carries updates, deletes, and inserts — the
+    * shape a 100 TB dashboard actually needs. count and exact-decimal sum
+    * are abelian-group aggregates (q170's erasure algebra), so a change
+    * batch maintains the stored rollup by ±delta contribution alone:
+    * RETRACT each affected key's old row (−1, −balance, old segment; a
+    * delete-of-missing-key retracts nothing — the inner join is the
+    * no-op), ADD the post-image of every upsert (+1, +balance, new
+    * segment — updates that MOVE a key between segments retract from one
+    * group and add to another), and drop groups whose count reaches zero
+    * (a fully-retracted group must not linger as a zero row). The stored
+    * per-segment aggregate is a SCANNED session-memoized parquet (the
+    * q247 stored-view pattern, PlanSpec-pinned as a file scan); the
+    * customer base is touched only by the feed-key join. The ORACLE
+    * recomputes the aggregate over the fully-merged table (q130's
+    * latest-wins resolution) — the hash match IS the retraction-
+    * correctness equation: stored − old + new ≡ recompute(merge).
+    *
+    * Scale shape: work ∝ |change batch| + |stored rollup| (segment-
+    * domain-sized); the exact DECIMAL sums make the ± algebra lossless —
+    * double sums would not survive a retraction. */
+  private val q258: Q = (s, d) => {
+    val W = org.apache.spark.sql.expressions.Window
+    // one change BATCH (every third order), not the whole feed — so the
+    // maintained rollup mixes surviving base rows with retractions and
+    // upserts (all-touched would just empty every base segment)
+    val feed = Tables.orders(s, d)
+      .filter(col("o_orderkey") % 3 === 0)
+      .select(
+      when(col("o_orderkey") % 7 === 0, col("o_custkey") + 10000000L)
+        .otherwise(col("o_custkey")).as("c_custkey"),
+      col("o_totalprice").as("c_acctbal"),
+      col("o_orderpriority").as("c_mktsegment"),
+      col("o_orderkey").as("seq"),
+      when(col("o_orderkey") % 10 === 0, lit("D"))
+        .otherwise(lit("U")).as("op"))
+    val latest = feed.withColumn("rn", row_number().over(
+        W.partitionBy("c_custkey").orderBy(col("seq").desc)))
+      .filter(col("rn") === 1).drop("rn", "seq")
+    // retract the OLD contribution of every key the batch touches (keys
+    // absent from the base — inserts, deletes of missing keys — retract
+    // nothing); at production scale the key set broadcasts
+    val retract = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      .join(latest.select("c_custkey"), Seq("c_custkey"))
+      .select(col("c_mktsegment"), lit(-1L).as("dn"),
+        (-col("c_acctbal").cast(DecimalType(18, 2))).as("ds"))
+    // add the post-image of every surviving upsert
+    val add = latest.filter(col("op") === "U")
+      .select(col("c_mktsegment"), lit(1L).as("dn"),
+        col("c_acctbal").cast(DecimalType(18, 2)).as("ds"))
+    ivmAggView(s, d).select(col("c_mktsegment"), col("n").as("dn"),
+        col("s").as("ds"))
+      .unionByName(retract).unionByName(add)
+      .groupBy("c_mktsegment")
+      .agg(sum(col("dn")).as("n_rows"), sum(col("ds")).as("sum_bal"))
+      .filter(col("n_rows") > 0)
+      .select(col("c_mktsegment"), col("n_rows"),
+        col("sum_bal").cast("double").as("total_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  // The stored per-segment rollup q258 maintains: (segment, count, exact
+  // DECIMAL balance sum) over the customer base, materialized ONCE per
+  // (session, dir) as a temp parquet the incremental path SCANS.
+  private val ivmAggMemo =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.mutable.Map[String, String]]()
+
+  private def ivmAggView(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val perSession = ivmAggMemo.synchronized {
+      var m = ivmAggMemo.get(s)
+      if (m == null) {
+        m = scala.collection.mutable.Map.empty[String, String]
+        ivmAggMemo.put(s, m)
+      }
+      m
+    }
+    val path = perSession.synchronized {
+      perSession.getOrElseUpdate(d, {
+        val p = TempDirs.scoped("graft-ivm-agg")
+        Tables.customer(s, d)
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"),
+            sum(col("c_acctbal").cast(DecimalType(18, 2))).as("s"))
+          .write.mode("overwrite").parquet(p)
+        p
+      })
+    }
+    s.read.parquet(path)
+  }
+
   /** Q255: table profiling — the per-column statistics sweep (pandas-
     * profiling / Deequ's analyzer shape) a warehouse runs before trusting
     * a new table: for every lineitem column, row count, null count,
@@ -896,6 +991,7 @@ object RelationalQueries extends QueryGroup {
   val queries: Seq[(String, Q)] = Seq(
     "q255_profile_table" -> q255,
     "q247_ivm_join_delta" -> q247,
+    "q258_ivm_agg_retract" -> q258,
     "q155_join_interval_overlap" -> q155,
     "q165_data_quality_audit" -> q165,
     "q167_join_null_aware_anti" -> q167,
@@ -1099,6 +1195,33 @@ object RelationalQueries extends QueryGroup {
         |SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM latest
         |WHERE op <> 'D'
         |ORDER BY c_custkey""".stripMargin,
+
+    // aggregate IVM with retractions: the oracle is the FULL RECOMPUTE
+    // over the latest-wins merged table (q130's resolution) — equality
+    // with stored − old + new is the retraction-correctness equation
+    "q258_ivm_agg_retract" ->
+      """WITH ch AS (
+        |  SELECT CASE WHEN o_orderkey % 7 = 0 THEN o_custkey + 10000000
+        |           ELSE o_custkey END AS c_custkey,
+        |    o_totalprice AS c_acctbal,
+        |    o_orderpriority AS c_mktsegment,
+        |    o_orderkey AS seq,
+        |    CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |w AS (SELECT *, row_number() OVER (
+        |    PARTITION BY c_custkey ORDER BY seq DESC) AS rn FROM ch),
+        |latest AS (SELECT * FROM w WHERE rn = 1),
+        |merged AS (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+        |  WHERE c_custkey NOT IN (SELECT c_custkey FROM latest)
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment, c_acctbal FROM latest
+        |  WHERE op <> 'D')
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_bal
+        |FROM merged GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
 
     "q62_sql_subqueries" ->
       """SELECT o_orderkey, o_totalprice FROM orders

@@ -63,6 +63,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("q258/q252: the incremental paths SCAN their stored base artifacts (file scan, no recompute)") {
+    // aggregate IVM: the stored per-segment rollup must arrive as a
+    // parquet scan of the memoized view, not a re-aggregation of customer
+    val p = executedPlan("q258_ivm_agg_retract")
+    assert(p.contains("graft-ivm-agg"), p.take(4000))
+    // incremental kNN: the untouched half must arrive as a parquet scan
+    // of the stored pre-delta base graph
+    val p2 = executedPlan("q252_knn_incremental")
+    assert(p2.contains("graft-knn-base"), p2.take(4000))
+  }
+
   test("q11: range join runs as an equi-join on (user, bucket), never BNLJ") {
     val p = executedPlan("q11_join_range")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
