@@ -957,6 +957,103 @@ object RelationalQueries extends QueryGroup {
     s.read.parquet(path)
   }
 
+  /** Q259: typed CSV read under the differential gate — the one §2B
+    * source format that was spec-only until now. The fixture is a
+    * deterministic CSV written BYTE-BY-BYTE with plain java.nio (never
+    * Spark's CSV writer — the gate must bind the READER, not a write/read
+    * identity): a key-sliced customer projection plus hand-authored edge
+    * rows exercising quoted commas, RFC-4180 doubled-quote escapes, a
+    * literal NULL token vs a quoted empty string, a non-ASCII name
+    * (\u escapes in source, chr() in the oracle — the q184 encoding
+    * rule), negative and zero decimals. Read with an EXPLICIT schema,
+    * `nullValue=NULL`, quote/escape `"` — the production contract (a
+    * schema-inferring read is a second scan; an inferred nullable string
+    * table is not a typed source). Under these options Spark maps BOTH
+    * the quoted empty string and the empty unquoted field to null for
+    * typed columns and "" for strings — the oracle encodes the observed
+    * contract per column. No embedded-newline row: multiLine=true forces
+    * whole-file parsing (unsplittable at 100 TB), so the library's
+    * contract is newline-free fields — documented here, enforced by the
+    * writer side in CsvRoundTripSpec.
+    *
+    * The ORACLE recomputes the fixture's logical rows from the customer
+    * TABLE plus inline VALUES — if Spark's parser mis-handled any edge
+    * (quote state machine, null vs empty, decimal text), the hash
+    * mismatches. Scale shape: one splittable file scan with the explicit
+    * schema; the fixture build is a bounded key-sliced collect, memoized
+    * per (session, dir). */
+  private val q259: Q = (s, d) => {
+    val dir = csvFixtureDir(s, d)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("c_custkey",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("c_name",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("c_acctbal",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("c_mktsegment",
+        org.apache.spark.sql.types.StringType)))
+    s.read.schema(schema)
+      .option("header", "true")
+      .option("nullValue", "NULL")
+      .option("quote", "\"")
+      .option("escape", "\"")
+      .csv(dir)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("c_mktsegment"),
+        length(coalesce(col("c_name"), lit(""))).cast("long")
+          .as("name_len"))
+      .orderBy("c_custkey")
+  }
+
+  // The deterministic CSV fixture q259 reads: derived customer rows (key
+  // ≡ 7 mod 150) + fixed edge rows, written with java.nio so the READER
+  // is the only Spark CSV code under test. Memoized per (session, dir).
+  private val csvMemo =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.mutable.Map[String, String]]()
+
+  private def csvFixtureDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val perSession = csvMemo.synchronized {
+      var m = csvMemo.get(s)
+      if (m == null) {
+        m = scala.collection.mutable.Map.empty[String, String]
+        csvMemo.put(s, m)
+      }
+      m
+    }
+    perSession.synchronized {
+      perSession.getOrElseUpdate(d, {
+        val dir = TempDirs.scoped("graft-csv-fixture")
+        def q(v: String): String = "\"" + v.replace("\"", "\"\"") + "\""
+        val derived = Tables.customer(s, d)
+          .filter(col("c_custkey") % 150 === 7)
+          .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+          .orderBy("c_custkey")
+          .collect()
+          .map { r =>
+            val bal = java.math.BigDecimal.valueOf(r.getDouble(2))
+              .toPlainString
+            s"${r.getLong(0)},${q(r.getString(1))},$bal,${q(r.getString(3))}"
+          }
+        val edges = Seq(
+          "9000001,\"comma, name\",1.5,\"SEG A\"",
+          "9000002,\"quote \"\" name\",-7.25,\"SEG\"\"B\"",
+          "9000003,NULL,0.0,NULL",
+          "9000004,\"\",NULL,\"\"",
+          "9000005,\"caf\u00e9\",12345678.09,\"SEG C\"")
+        val lines = ("c_custkey,c_name,c_acctbal,c_mktsegment" +: derived)
+          .++(edges)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, "part-000.csv"),
+          lines.mkString("", "\n", "\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        dir
+      })
+    }
+  }
+
   /** Q255: table profiling — the per-column statistics sweep (pandas-
     * profiling / Deequ's analyzer shape) a warehouse runs before trusting
     * a new table: for every lineitem column, row count, null count,
@@ -992,6 +1089,7 @@ object RelationalQueries extends QueryGroup {
     "q255_profile_table" -> q255,
     "q247_ivm_join_delta" -> q247,
     "q258_ivm_agg_retract" -> q258,
+    "q259_scan_csv_typed" -> q259,
     "q155_join_interval_overlap" -> q155,
     "q165_data_quality_audit" -> q165,
     "q167_join_null_aware_anti" -> q167,
@@ -1222,6 +1320,30 @@ object RelationalQueries extends QueryGroup {
         |    AS total_bal
         |FROM merged GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
+
+    // typed CSV read: the oracle recomputes the fixture's logical rows
+    // from the customer table + inline VALUES encoding the OBSERVED
+    // parse contract (quoted "" -> empty string for strings / null for
+    // typed; literal NULL token -> null; doubled-quote escapes; chr(233)
+    // for the non-ASCII name — the q184 rule)
+    "q259_scan_csv_typed" ->
+      """WITH derived AS (
+        |  SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+        |  WHERE c_custkey % 150 = 7),
+        |edges AS (SELECT * FROM (VALUES
+        |    (9000001, 'comma, name', CAST('1.5' AS DOUBLE), 'SEG A'),
+        |    (9000002, 'quote " name', CAST('-7.25' AS DOUBLE), 'SEG"B'),
+        |    (9000003, NULL, CAST('0.0' AS DOUBLE), NULL),
+        |    (9000004, '', CAST(NULL AS DOUBLE), ''),
+        |    (9000005, 'caf' || chr(233), CAST('12345678.09' AS DOUBLE),
+        |      'SEG C'))
+        |  t(c_custkey, c_name, c_acctbal, c_mktsegment)),
+        |u AS (SELECT * FROM derived
+        |  UNION ALL SELECT * FROM edges)
+        |SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, c_acctbal,
+        |  c_mktsegment,
+        |  CAST(length(coalesce(c_name, '')) AS BIGINT) AS name_len
+        |FROM u ORDER BY c_custkey""".stripMargin,
 
     "q62_sql_subqueries" ->
       """SELECT o_orderkey, o_totalprice FROM orders

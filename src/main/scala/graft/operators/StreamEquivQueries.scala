@@ -533,6 +533,66 @@ object StreamEquivQueries extends QueryGroup {
       .orderBy("user_id")
   }
 
+  /** Q260: QUANTIFIED MATCH_RECOGNIZE — `PATTERN (V C+ P)` ("a view, one
+    * or MORE consecutive clicks, then a purchase" — the engaged-funnel
+    * question), extending q246's fixed-sequence matcher with a
+    * variable-length quantifier. Evaluation is gaps-and-islands, the
+    * relational form of greedy quantification: maximal consecutive click
+    * runs per user (island id = pos − click-ordinal), a run matches iff
+    * the row immediately BEFORE it is a view and the row immediately
+    * AFTER it is a purchase. Maximal islands give C+ its standard
+    * greedy/maximal-munch semantics for free, and because the terminator
+    * P is disjoint from C, greedy and reluctant coincide here (SQL:2016's
+    * default); matches are provably disjoint, so AFTER MATCH SKIP PAST
+    * LAST ROW is vacuous. The quantifier's VARIABLE consumption is the
+    * readout: clicks consumed and the longest run, per user, plus the
+    * match count and the first match's V position (−1 when none) — users
+    * with no match still report (the honest denominator).
+    *
+    * Scale shape: one shuffle on user_id for the position/ordinal
+    * windows, then island aggregation and two (user, pos)-equi-joins for
+    * the boundary probes — everything linear in events, never a
+    * variable-length self-join. The streaming twin keeps the same
+    * machine as constant per-key state ([[graft.streaming.SequenceMatch
+    * .quantified]], StreamingMatchSpec pins stream ≡ batch). */
+  private val q260: Q = (s, d) => {
+    val ord = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val e = Tables.events(s, d)
+      .withColumn("us", epochUs(col("ts")))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("us"))
+      .withColumn("pos", row_number().over(ord).cast("long"))
+    val clicks = e.filter(col("event_type") === "click")
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("user_id").orderBy("pos")).cast("long"))
+      .withColumn("isl", col("pos") - col("crn"))
+    val runs = clicks.groupBy("user_id", "isl")
+      .agg(min("pos").as("a"), max("pos").as("b"),
+        count(lit(1)).as("len"))
+    val pv = e.select(col("user_id").as("vu"), col("pos").as("vp"),
+      col("event_type").as("vt"))
+    val nx = e.select(col("user_id").as("nu"), col("pos").as("np"),
+      col("event_type").as("nt"))
+    val m = runs
+      .join(pv, col("vu") === col("user_id") &&
+        col("vp") === col("a") - 1 && col("vt") === "view")
+      .join(nx, col("nu") === col("user_id") &&
+        col("np") === col("b") + 1 && col("nt") === "purchase")
+      .select(col("user_id"), (col("a") - 1).as("vstart"), col("len"))
+    val agg = m.groupBy("user_id").agg(
+      count(lit(1)).as("n_matches"),
+      sum(col("len")).as("n_clicks_consumed"),
+      min(col("vstart")).as("first_match_start"),
+      max(col("len")).as("max_run_len"))
+    e.select(col("user_id")).distinct()
+      .join(agg, Seq("user_id"), "left")
+      .select(col("user_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        coalesce(col("n_clicks_consumed"), lit(0L)).as("n_clicks_consumed"),
+        coalesce(col("first_match_start"), lit(-1L)).as("first_match_start"),
+        coalesce(col("max_run_len"), lit(0L)).as("max_run_len"))
+      .orderBy("user_id")
+  }
+
   /** Q170: GDPR erasure with INCREMENTAL rollup maintenance — the
     * right-to-be-forgotten operation at lake scale: when a user-id set
     * must be erased, the derived hourly rollup is maintained by
@@ -603,6 +663,7 @@ object StreamEquivQueries extends QueryGroup {
     "q169_seq_pattern_support" -> q169,
     "q246_seq_match_recognize" -> q246,
     "q256_transition_dwell" -> q256,
+    "q260_seq_match_quantified" -> q260,
     "q170_gdpr_erase_rollup" -> q170,
     "q171_attribution_models" -> q171,
     "q141_funnel_windowed" -> q141,
@@ -743,6 +804,42 @@ object StreamEquivQueries extends QueryGroup {
         |    AND lv IS NOT NULL AND lv > coalesce(le, -1) THEN pos END),
         |    -1) AS BIGINT) AS first_match_pos
         |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // quantified MATCH_RECOGNIZE V C+ P: the same gaps-and-islands mirror
+    // (maximal click runs, boundary rows probed at a-1 / b+1)
+    "q260_seq_match_quantified" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts)
+        |    AS us FROM events),
+        |p AS (SELECT event_id, user_id, event_type, us,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) AS BIGINT) AS pos
+        |  FROM e),
+        |c AS (SELECT user_id, pos,
+        |    pos - row_number() OVER (PARTITION BY user_id ORDER BY pos)
+        |      AS isl
+        |  FROM p WHERE event_type = 'click'),
+        |runs AS (SELECT user_id, isl, min(pos) AS a, max(pos) AS b,
+        |    CAST(count(*) AS BIGINT) AS len
+        |  FROM c GROUP BY user_id, isl),
+        |m AS (SELECT r.user_id, r.a - 1 AS vstart, r.len
+        |  FROM runs r
+        |  JOIN p pv ON pv.user_id = r.user_id AND pv.pos = r.a - 1
+        |    AND pv.event_type = 'view'
+        |  JOIN p nx ON nx.user_id = r.user_id AND nx.pos = r.b + 1
+        |    AND nx.event_type = 'purchase'),
+        |agg AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_matches,
+        |    CAST(sum(len) AS BIGINT) AS n_clicks_consumed,
+        |    CAST(min(vstart) AS BIGINT) AS first_match_start,
+        |    CAST(max(len) AS BIGINT) AS max_run_len
+        |  FROM m GROUP BY user_id),
+        |u AS (SELECT DISTINCT user_id FROM e)
+        |SELECT u.user_id,
+        |  coalesce(agg.n_matches, 0) AS n_matches,
+        |  coalesce(agg.n_clicks_consumed, 0) AS n_clicks_consumed,
+        |  coalesce(agg.first_match_start, -1) AS first_match_start,
+        |  coalesce(agg.max_run_len, 0) AS max_run_len
+        |FROM u LEFT JOIN agg ON agg.user_id = u.user_id
+        |ORDER BY u.user_id""".stripMargin,
 
     // attribution lookup: naive per-user theta-join over epoch-minute
     // lookback windows (the engine runs the banded point-in-interval form)

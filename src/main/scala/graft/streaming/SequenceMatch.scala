@@ -52,6 +52,72 @@ object SequenceMatch {
     (pos, lv, le, np, nc, first)
   }
 
+  // ------- quantified pattern: V C+ P (the q260 twin) -------------------
+
+  /** (pos, phase, runLen, vPos, nMatches, clicksConsumed, firstStart,
+    * maxRun) — phase: 0 = IDLE, 1 = just saw a view, 2 = inside a click
+    * run opened by a view. Positions 1-based; firstStart 0 = none. */
+  type QuantState = (Long, Long, Long, Long, Long, Long, Long, Long)
+
+  case class QuantResult(user_id: Long, n_matches: Long,
+      n_clicks_consumed: Long, first_match_start: Long, max_run_len: Long)
+
+  /** The V C+ P recognizer as a per-event automaton — exactly the
+    * gaps-and-islands evaluation q260 runs batch-side, folded event by
+    * event: a view arms the machine, consecutive clicks extend the
+    * quantified run, a purchase closing a non-empty run emits a match
+    * (greedy ≡ reluctant here: the terminator is disjoint from the
+    * quantified symbol); anything else disarms. Constant state per key —
+    * 8 longs — regardless of run length: the quantifier consumes rows,
+    * never buffers them. */
+  private def foldQuant(st: QuantState,
+      rows: Seq[(Long, Long, String)]): QuantState = {
+    var (pos, phase, runLen, vPos, nm, cc, first, maxRun) = st
+    rows.sortBy(r => (r._1, r._2)).foreach { case (_, _, tpe) =>
+      pos += 1
+      tpe match {
+        case "view" => phase = 1; vPos = pos
+        case "click" =>
+          if (phase == 1) { phase = 2; runLen = 1 }
+          else if (phase == 2) runLen += 1
+        // phase 0: a click with no arming view cannot start a match
+        case "purchase" =>
+          if (phase == 2) {
+            nm += 1; cc += runLen
+            if (first == 0) first = vPos
+            if (runLen > maxRun) maxRun = runLen
+          }
+          phase = 0
+        case _ => phase = 0
+      }
+    }
+    (pos, phase, runLen, vPos, nm, cc, first, maxRun)
+  }
+
+  /** events: (user_id, us, event_id, event_type). Update-mode output of
+    * the current per-user quantified-match aggregate after each
+    * micro-batch — StreamingMatchSpec pins convergence to batch q260. */
+  def quantified(events: DataFrame): Dataset[QuantResult] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast("long"), col("us").cast("long"),
+        col("event_id").cast("long"), col("event_type").cast("string"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[QuantState, QuantResult](
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[(Long, Long, Long, String)],
+            state: GroupState[QuantState]) =>
+          val prev = state.getOption
+            .getOrElse((0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L))
+          val next = foldQuant(prev, it.map(r => (r._2, r._3, r._4)).toSeq)
+          state.update(next)
+          // -1 = no match yet, the q260 output convention
+          QuantResult(user, next._5, next._6,
+            if (next._7 == 0L) -1L else next._7, next._8)
+      }
+  }
+
   /** events: (user_id, us, event_id, event_type). Update-mode output of
     * the current per-user aggregate after each micro-batch. */
   def matches(events: DataFrame): Dataset[MatchResult] = {

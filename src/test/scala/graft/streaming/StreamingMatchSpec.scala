@@ -55,4 +55,50 @@ class StreamingMatchSpec extends SparkSpec {
     assert(batch.values.exists(r => r._2 > r._3),
       "no error-blocked purchases in fixture")
   }
+
+  test("stateful quantified V C+ P matcher ≡ batch q260 over time-split micro-batches") {
+    implicit val sc = spark.sqlContext
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("us", graft.operators.epochUs(col("ts")))
+      .select(col("user_id"), col("us"), col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .collect().sortBy(r => (r._2, r._3))
+    // FOUR waves with uneven cuts, so some click runs split across
+    // micro-batch boundaries — the quantifier's state must carry the
+    // open run (phase + runLen) across batches
+    val waves = {
+      val n = ev.length
+      Seq(ev.slice(0, n / 5), ev.slice(n / 5, n / 2),
+        ev.slice(n / 2, n / 2 + 7), ev.slice(n / 2 + 7, n))
+    }
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val q = SequenceMatch.quantified(
+        mem.toDF().toDF("user_id", "us", "event_id", "event_type"))
+      .writeStream.format("memory").queryName("seq_quant")
+      .outputMode(OutputMode.Update()).start()
+    waves.foreach { w => mem.addData(w.toSeq: _*); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("seq_quant")
+      .withColumn("rn", monotonically_increasing_id())
+      .groupBy("user_id")
+      .agg(max(struct(col("rn"), col("n_matches"),
+        col("n_clicks_consumed"), col("first_match_start"),
+        col("max_run_len"))).as("s"))
+      .select(col("user_id"), col("s.n_matches"), col("s.n_clicks_consumed"),
+        col("s.first_match_start"), col("s.max_run_len"))
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+
+    val batch = SparkEntry.queries("q260_seq_match_quantified")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+
+    // the stream only emits users it has SEEN; every seen user must agree
+    // with the batch row, and every batch user with activity is seen
+    assert(streamed.keySet == batch.keySet)
+    batch.keySet.foreach { u =>
+      assert(streamed(u) == batch(u), s"user $u: stream ≠ batch")
+    }
+    // the quantifier must actually consume variable-length runs
+    assert(batch.values.exists(_._5 >= 2), "no multi-click run in fixture")
+    assert(batch.values.exists(r => r._2 == 0), "no matchless user")
+  }
 }
