@@ -226,7 +226,14 @@ object IvfStorage {
     * reader never observes a half-rewritten cell and recovery data never
     * lives outside the lake directory (RecenterStagingSpec pins all
     * three directions). Requires the engine's int `cent_id` layout
-    * (the [[assignCells]] kernel path). */
+    * (the [[assignCells]] kernel path).
+    *
+    * Reader contract: the swap REPLACES the affected cell directories, so
+    * a DataFrame created over the lake BEFORE a recenter pins the
+    * pre-swap file listing and must be re-derived afterwards (re-running
+    * it raises FAILED_READ_FILE — the standard Spark contract for any
+    * path overwritten in place; StreamingVectorIngestSpec's maintenance
+    * loop demonstrates the re-derive discipline). */
   def recenter(spark: SparkSession, dir: String, centroids: DataFrame,
       driftedCells: Seq[Int]): RecenterResult = {
     require(driftedCells.nonEmpty, "no drifted cells flagged")
