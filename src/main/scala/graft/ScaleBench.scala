@@ -613,6 +613,102 @@ object ScaleBench {
           measured(spark, s"rebuild_full_r$r", 1)(
             operators.DedupReport.assignComponents(spark, docsAll).count())
         } finally standing.release()
+      case "graphlake" =>
+        // Does a CLUSTERED stored layout of the co-purchase edge list buy
+        // the graph consumers anything (the HilbertLayoutSpec question
+        // asked of iteration shuffle, not scan skipping)? Three physical
+        // layouts of the SAME symmetrized edges (src, dst LONG):
+        //   plain    — the shipped memo's unordered parquet
+        //   sorted   — range-partitioned + sorted by dst (a 2-column edge
+        //              list's space-filling key degenerates to the join
+        //              key itself — this IS the Hilbert/degree clustering
+        //              candidate, and measures the compression win)
+        //   bucketed — an external bucketed TABLE on dst: the ONLY layout
+        //              the planner can exploit (bucket metadata elides
+        //              the edge-side exchange of a dst-keyed shuffle join)
+        // measured in the two regimes that matter:
+        //   rescan — the 100 TB regime where edges do NOT fit in cache:
+        //            3 LPA rounds each re-reading the lake, broadcast OFF,
+        //            so every round's label join shuffles; bucketing
+        //            should strip the |E|-row edge-side exchange per round
+        //   cached — the shipped q134 pipeline (edges persisted once,
+        //            rounds broadcast): the working set lives in the block
+        //            manager, so stored layout should be INVISIBLE here
+        val d = args.lift(1).getOrElse("/root/testdata/sf0.1")
+        val base = "/tmp/graft-scale/graphlake"
+        val li = Tables.lineitem(spark, d)
+          .select("l_orderkey", "l_partkey").distinct()
+        val e0 = li.as("x").join(li.as("y"),
+            col("x.l_orderkey") === col("y.l_orderkey") &&
+              col("x.l_partkey") < col("y.l_partkey"))
+          .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+          .distinct()
+        val sym = e0.select(col("a").as("src"), col("b").as("dst"))
+          .unionAll(e0.select(col("b").as("src"), col("a").as("dst")))
+        sym.write.mode("overwrite").parquet(s"$base/plain")
+        spark.read.parquet(s"$base/plain")
+          .repartitionByRange(32, col("dst")).sortWithinPartitions("dst")
+          .write.mode("overwrite").parquet(s"$base/sorted")
+        spark.sql("DROP TABLE IF EXISTS graft_scale_edges_bkt")
+        spark.read.parquet(s"$base/plain")
+          .write.mode("overwrite").bucketBy(32, "dst").sortBy("dst")
+          .option("path", s"$base/bucketed")
+          .saveAsTable("graft_scale_edges_bkt")
+        def bytesOf(p: String): Long = {
+          val hp = new org.apache.hadoop.fs.Path(p)
+          val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          fs.getContentSummary(hp).getLength
+        }
+        println(s"""{"bench":"graphlake","edge_rows":${sym.count()},""" +
+          s""""bytes_plain":${bytesOf(s"$base/plain")},""" +
+          s""""bytes_sorted":${bytesOf(s"$base/sorted")},""" +
+          s""""bytes_bucketed":${bytesOf(s"$base/bucketed")}}""")
+        val reads: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+          "plain" -> (() => spark.read.parquet(s"$base/plain")),
+          "sorted" -> (() => spark.read.parquet(s"$base/sorted")),
+          "bucketed" -> (() => spark.table("graft_scale_edges_bkt")))
+        // 3 deterministic LPA rounds, the lake re-read EVERY round (the
+        // cache-doesn't-fit simulation); labels localCheckpoint per round
+        // so each round is its own job, never one fused lineage
+        def lpaRescan(read: () => org.apache.spark.sql.DataFrame): Long = {
+          var labels = read().select(col("src").as("node")).distinct()
+            .select(col("node"), col("node").as("lbl")).localCheckpoint()
+          for (_ <- 1 to 3) {
+            val nl = read().join(
+                labels.select(col("node").as("dst"), col("lbl")), "dst")
+              .select(col("src").as("node"), col("lbl"))
+            val counts = nl.groupBy("node", "lbl").agg(count(lit(1)).as("c"))
+            labels = counts.groupBy("node")
+              .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+              .select(col("node"), (-col("m.nl")).as("lbl")).localCheckpoint()
+          }
+          labels.count()
+        }
+        val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        try {
+          (1 to 2).foreach { r =>
+            reads.foreach { case (nme, rd) =>
+              measured(spark, s"lpa_rescan_${nme}_r$r", 1)(lpaRescan(rd))
+            }
+          }
+        } finally {
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+          spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        }
+        // the shipped cached pipeline over each layout (persist once,
+        // broadcast rounds) — expect layout-invariance
+        (1 to 2).foreach { r =>
+          reads.foreach { case (nme, rd) =>
+            measured(spark, s"lpa_cached_${nme}_r$r", 1)(
+              operators.LabelPropagation.run(
+                rd().filter(col("src") < col("dst"))
+                  .select(col("src").as("a"), col("dst").as("b")),
+                3, driverMaxEdges = 0L).count())
+          }
+        }
+        spark.sql("DROP TABLE graft_scale_edges_bkt")
       case "vecstream" =>
         // streaming vector-lake ingest throughput: file-arrival stream →
         // VectorStream cell-partitioned lake (assignment + drift observe +

@@ -593,6 +593,75 @@ object StreamEquivQueries extends QueryGroup {
       .orderBy("user_id")
   }
 
+  /** Q261: MATCH_RECOGNIZE with PREDICATE-defined symbols —
+    * `PATTERN (STRT DOWN+ UP+)`, the classic V-shape price pattern
+    * (Oracle's canonical MATCH_RECOGNIZE example): symbols are defined by
+    * comparison against the PREVIOUS row (DOWN ⇔ value < PREV(value),
+    * UP ⇔ value > PREV(value)), not by a type column — the other half of
+    * the quantifier story q260 opened. Per user over (us, event_id)
+    * order: direction-classify each row against its predecessor (lag),
+    * gaps-and-islands the consecutive same-direction runs (FLAT and the
+    * first row break runs), and every down-run immediately followed by an
+    * up-run is a V — trough depth = run-start value − run-end value in
+    * exact cents. Match semantics are AFTER MATCH SKIP TO LAST UP (the
+    * canonical example's own skip mode: the V's peak seeds the next
+    * match), which gaps-and-islands gives for free — every adjacent
+    * (down-run, up-run) pair matches, W-shapes count twice by design.
+    * Per user: V count, total and max drop, longest down-run (the
+    * quantifier's variable consumption), −1/0 defaults for users with
+    * none.
+    *
+    * Scale shape: one shuffle on user_id (the lag + island windows), run
+    * aggregation is \|runs\|-sized, the match join is an equi-join on
+    * (user, run boundary) — linear in events, never a self-join over the
+    * value series. */
+  private val q261: Q = (s, d) => {
+    val ord = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val e = Tables.events(s, d)
+      .withColumn("us", epochUs(col("ts")))
+      .select(col("event_id"), col("user_id"), col("us"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+          * 100).cast("long").as("cents"))
+      .withColumn("pos", row_number().over(ord).cast("long"))
+      .withColumn("prev_cents", lag(col("cents"), 1).over(ord))
+    val dirs = e.withColumn("dir",
+        when(col("prev_cents").isNull, lit("X"))
+          .when(col("cents") < col("prev_cents"), lit("D"))
+          .when(col("cents") > col("prev_cents"), lit("U"))
+          .otherwise(lit("F")))
+      .filter(col("dir").isin("D", "U"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("user_id", "dir").orderBy("pos")).cast("long"))
+      .withColumn("isl", col("pos") - col("crn"))
+    val runs = dirs.groupBy("user_id", "dir", "isl")
+      .agg(min("pos").as("a"), max("pos").as("b"),
+        count(lit(1)).as("len"),
+        expr("min_by(prev_cents, pos)").as("from_cents"),
+        expr("max_by(cents, pos)").as("to_cents"))
+    val down = runs.filter(col("dir") === "D")
+      .select(col("user_id"), col("b").as("b_d"), col("len").as("down_len"),
+        col("from_cents").as("peak_cents"), col("to_cents").as("trough_cents"))
+    val up = runs.filter(col("dir") === "U")
+      .select(col("user_id").as("uu"), col("a").as("a_u"))
+    val m = down.join(up, col("uu") === col("user_id") &&
+        col("a_u") === col("b_d") + 1)
+      .select(col("user_id"), col("down_len"),
+        (col("peak_cents") - col("trough_cents")).as("drop_cents"))
+    val agg = m.groupBy("user_id").agg(
+      count(lit(1)).as("n_vshapes"),
+      sum(col("drop_cents")).as("total_drop_cents"),
+      max(col("drop_cents")).as("max_drop_cents"),
+      max(col("down_len")).as("max_down_len"))
+    e.select(col("user_id")).distinct()
+      .join(agg, Seq("user_id"), "left")
+      .select(col("user_id"),
+        coalesce(col("n_vshapes"), lit(0L)).as("n_vshapes"),
+        coalesce(col("total_drop_cents"), lit(0L)).as("total_drop_cents"),
+        coalesce(col("max_drop_cents"), lit(-1L)).as("max_drop_cents"),
+        coalesce(col("max_down_len"), lit(0L)).as("max_down_len"))
+      .orderBy("user_id")
+  }
+
   /** Q170: GDPR erasure with INCREMENTAL rollup maintenance — the
     * right-to-be-forgotten operation at lake scale: when a user-id set
     * must be erased, the derived hourly rollup is maintained by
@@ -664,6 +733,7 @@ object StreamEquivQueries extends QueryGroup {
     "q246_seq_match_recognize" -> q246,
     "q256_transition_dwell" -> q256,
     "q260_seq_match_quantified" -> q260,
+    "q261_seq_match_vshape" -> q261,
     "q170_gdpr_erase_rollup" -> q170,
     "q171_attribution_models" -> q171,
     "q141_funnel_windowed" -> q141,
@@ -838,6 +908,45 @@ object StreamEquivQueries extends QueryGroup {
         |  coalesce(agg.n_clicks_consumed, 0) AS n_clicks_consumed,
         |  coalesce(agg.first_match_start, -1) AS first_match_start,
         |  coalesce(agg.max_run_len, 0) AS max_run_len
+        |FROM u LEFT JOIN agg ON agg.user_id = u.user_id
+        |ORDER BY u.user_id""".stripMargin,
+
+    // V-shape pattern (STRT DOWN+ UP+, predicate-defined symbols): lag
+    // direction classes, same-direction islands, adjacent (down, up)
+    // run pairs; window sums CAST back from HUGEINT (the q91 gotcha)
+    "q261_seq_match_vshape" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |p AS (SELECT *, CAST(row_number() OVER w AS BIGINT) AS pos,
+        |    lag(cents) OVER w AS prev_cents
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |d AS (SELECT *, CASE WHEN prev_cents IS NULL THEN 'X'
+        |      WHEN cents < prev_cents THEN 'D'
+        |      WHEN cents > prev_cents THEN 'U' ELSE 'F' END AS dir
+        |  FROM p),
+        |f AS (SELECT *, pos - row_number() OVER (
+        |    PARTITION BY user_id, dir ORDER BY pos) AS isl
+        |  FROM d WHERE dir IN ('D', 'U')),
+        |runs AS (SELECT user_id, dir, isl, min(pos) AS a, max(pos) AS b,
+        |    CAST(count(*) AS BIGINT) AS len,
+        |    min_by(prev_cents, pos) AS from_cents,
+        |    max_by(cents, pos) AS to_cents
+        |  FROM f GROUP BY user_id, dir, isl),
+        |m AS (SELECT dn.user_id, dn.len AS down_len,
+        |    dn.from_cents - dn.to_cents AS drop_cents
+        |  FROM runs dn JOIN runs up_ ON up_.user_id = dn.user_id
+        |    AND dn.dir = 'D' AND up_.dir = 'U' AND up_.a = dn.b + 1),
+        |agg AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_vshapes,
+        |    CAST(sum(drop_cents) AS BIGINT) AS total_drop_cents,
+        |    CAST(max(drop_cents) AS BIGINT) AS max_drop_cents,
+        |    CAST(max(down_len) AS BIGINT) AS max_down_len
+        |  FROM m GROUP BY user_id),
+        |u AS (SELECT DISTINCT user_id FROM e)
+        |SELECT u.user_id, coalesce(agg.n_vshapes, 0) AS n_vshapes,
+        |  coalesce(agg.total_drop_cents, 0) AS total_drop_cents,
+        |  coalesce(agg.max_drop_cents, -1) AS max_drop_cents,
+        |  coalesce(agg.max_down_len, 0) AS max_down_len
         |FROM u LEFT JOIN agg ON agg.user_id = u.user_id
         |ORDER BY u.user_id""".stripMargin,
 

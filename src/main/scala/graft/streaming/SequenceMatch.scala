@@ -118,6 +118,72 @@ object SequenceMatch {
       }
   }
 
+  // ------- predicate-defined pattern: STRT DOWN+ UP+ (the q261 twin) ----
+
+  /** (pos, prevCents, hasPrev, curDir, runLen, peak, trough, nV,
+    * totalDrop, maxDrop, maxDownLen) — curDir: 0 = none/flat, 1 = in a
+    * down run, 2 = after an up step. The V fires on the FIRST up step
+    * closing a down run (the match's readouts — down length and drop —
+    * are down-side measures, so later up steps extend the up run without
+    * changing anything; AFTER MATCH SKIP TO LAST UP exactly as batch
+    * q261's gaps-and-islands). */
+  type VState = (Long, Long, Boolean, Long, Long, Long, Long, Long, Long,
+    Long, Long)
+
+  case class VResult(user_id: Long, n_vshapes: Long, total_drop_cents: Long,
+      max_drop_cents: Long, max_down_len: Long)
+
+  private def foldV(st: VState,
+      rows: Seq[(Long, Long, Long)]): VState = {
+    var (pos, prev, hasPrev, dir, runLen, peak, trough, nv, tot, mx,
+      mxLen) = st
+    rows.sortBy(r => (r._1, r._2)).foreach { case (_, _, cents) =>
+      pos += 1
+      if (!hasPrev) { hasPrev = true; dir = 0L }
+      else if (cents < prev) {
+        if (dir == 1L) { runLen += 1 } // extend the down run
+        else { peak = prev; runLen = 1L } // open a down run off the peak
+        dir = 1L; trough = cents
+      } else if (cents > prev) {
+        if (dir == 1L) { // first up step closes the V
+          nv += 1
+          val drop = peak - trough
+          tot += drop
+          if (drop > mx) mx = drop
+          if (runLen > mxLen) mxLen = runLen
+        }
+        dir = 2L
+      } else dir = 0L // flat breaks both runs
+      prev = cents
+    }
+    (pos, prev, hasPrev, dir, runLen, peak, trough, nv, tot, mx, mxLen)
+  }
+
+  /** events: (user_id, us, event_id, cents). Update-mode output of the
+    * current per-user V-shape aggregate after each micro-batch —
+    * StreamingMatchSpec pins convergence to batch q261. Constant
+    * 11-field state per key: the value series is consumed, never
+    * buffered. */
+  def vshapes(events: DataFrame): Dataset[VResult] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast("long"), col("us").cast("long"),
+        col("event_id").cast("long"), col("cents").cast("long"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[VState, VResult](GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[(Long, Long, Long, Long)],
+            state: GroupState[VState]) =>
+          val prev = state.getOption.getOrElse(
+            (0L, 0L, false, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L))
+          val next = foldV(prev, it.map(r => (r._2, r._3, r._4)).toSeq)
+          state.update(next)
+          // -1 = no V yet, the q261 output convention
+          VResult(user, next._8, next._9,
+            if (next._8 == 0L) -1L else next._10, next._11)
+      }
+  }
+
   /** events: (user_id, us, event_id, event_type). Update-mode output of
     * the current per-user aggregate after each micro-batch. */
   def matches(events: DataFrame): Dataset[MatchResult] = {

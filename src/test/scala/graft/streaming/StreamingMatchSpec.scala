@@ -101,4 +101,48 @@ class StreamingMatchSpec extends SparkSpec {
     assert(batch.values.exists(_._5 >= 2), "no multi-click run in fixture")
     assert(batch.values.exists(r => r._2 == 0), "no matchless user")
   }
+
+  test("stateful V-shape matcher (predicate symbols) ≡ batch q261 across micro-batches") {
+    implicit val sc = spark.sqlContext
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("us", graft.operators.epochUs(col("ts")))
+      .select(col("user_id"), col("us"), col("event_id"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+          * 100).cast("long").as("cents"))
+      .as[(Long, Long, Long, Long)]
+      .collect().sortBy(r => (r._2, r._3))
+    // uneven cuts so down runs and V apexes split across batches — the
+    // automaton's peak/trough/runLen must carry over
+    val waves = {
+      val n = ev.length
+      Seq(ev.slice(0, n / 7), ev.slice(n / 7, n / 3),
+        ev.slice(n / 3, n / 3 + 5), ev.slice(n / 3 + 5, n))
+    }
+    val mem = MemoryStream[(Long, Long, Long, Long)]
+    val q = SequenceMatch.vshapes(
+        mem.toDF().toDF("user_id", "us", "event_id", "cents"))
+      .writeStream.format("memory").queryName("seq_vshape")
+      .outputMode(OutputMode.Update()).start()
+    waves.foreach { w => mem.addData(w.toSeq: _*); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("seq_vshape")
+      .withColumn("rn", monotonically_increasing_id())
+      .groupBy("user_id")
+      .agg(max(struct(col("rn"), col("n_vshapes"), col("total_drop_cents"),
+        col("max_drop_cents"), col("max_down_len"))).as("s"))
+      .select(col("user_id"), col("s.n_vshapes"), col("s.total_drop_cents"),
+        col("s.max_drop_cents"), col("s.max_down_len"))
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+
+    val batch = SparkEntry.queries("q261_seq_match_vshape")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+
+    assert(streamed.keySet == batch.keySet)
+    batch.keySet.foreach { u =>
+      assert(streamed(u) == batch(u), s"user $u: stream ≠ batch")
+    }
+    // predicate symbols must actually quantify: some multi-step down run
+    assert(batch.values.exists(_._5 >= 2), "no multi-step down run in fixture")
+    assert(batch.values.exists(_._2 >= 2), "no repeat V-shaper in fixture")
+  }
 }
