@@ -172,7 +172,9 @@ object MlQueries extends QueryGroup {
     * (the stored mergeable artifact); estimates are per-row array algebra
     * on the buffer; the exact readout is the ~2-scan ExactSelect walk.
     * Rank error is ~1/√256 ≈ 6% — the abs_err_cents column reports the
-    * realized value error against the exact statistic. */
+    * realized value error against the exact statistic. The same sketch
+    * maintained on a LIVE ingest is pinned stream ≡ batch (buffers AND
+    * estimates) in StreamingSketchSpec. */
   private val q257: Q = (s, d) => {
     val li = Tables.lineitem(s, d)
       .filter(col("l_extendedprice").isNotNull)
