@@ -85,9 +85,18 @@ object PageRank {
     // out-degrees: one |E| shuffle whose partial aggs collapse map-side to
     // a |V|-sized table, read from the cache the count just materialized
     val deg = raw.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    // (src, dst, outdeg) working set for the iteration loop; AQE picks
-    // the join strategy (deg broadcasts while |V| allows)
+    // (src, dst, outdeg) working set for the iteration loop, persisted
+    // PRE-PARTITIONED on dst: the per-round rank join is a broadcast
+    // (narrow on edges — partitioning survives it), so the round's
+    // groupBy(dst) then REUSES the cached hash(dst) layout instead of
+    // exchanging |E| rows every iteration — one build-time shuffle buys
+    // out `iterations` per-round shuffles (sf1 A/B: q129 37.5 → see
+    // BASELINE round-17 row). AQE picks the join strategy for the build
+    // (deg broadcasts while |V| allows); the giant-graph non-broadcast
+    // branch re-exchanges per round regardless, where the extra build
+    // shuffle is noise.
     val edges = raw.join(deg, "src")
+      .repartition(col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // seeds stay DISTRIBUTED on this path (a web-scale personalization
     // set — all pages of one site — would OOM a collect and bloat the
@@ -339,9 +348,22 @@ object LabelPropagation {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ecnt = e.count()
     if (ecnt <= driverMaxEdges) return runCollected(e, iterations)
-    RunScopedCache.releaseAfterRun(spark, e)
+    // the symmetrized working set persists PRE-PARTITIONED on src (the
+    // PageRank.run move): the per-round label join is broadcast (narrow
+    // on sym), so BOTH per-round aggregations — (node, lbl) counts and
+    // the per-node argmax — reuse the cached hash(src≡node) layout and
+    // the rounds run exchange-free over 2|E| rows. Materialize sym while
+    // e is warm, then drop e EXPLICITLY (its IMR nests under sym's and a
+    // release listener could never see it — the DedupReport leak) and
+    // register the run-scoped release on sym, whose IMR the final action
+    // reads directly.
     val sym = e.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sym.count()
+    e.unpersist()
+    RunScopedCache.releaseAfterRun(spark, sym)
     var labels = sym.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
     for (_ <- 1 to iterations) {

@@ -276,6 +276,11 @@ object LakeAudit {
     val per = rows.groupBy(col("batch"))
       .agg(count(lit(1)).as("n_rows"),
         msum(h(1)).as("content_sum"), msum(h(2)).as("content_sum2"))
+    // a GLOBAL (unpartitioned) window by design: a hash chain is
+    // inherently sequential and this frame orders the publish LOG —
+    // one row per publish, metadata-sized at any corpus size (the
+    // "No Partition Defined" warning it triggers is about data-sized
+    // frames, which this never is)
     val w = org.apache.spark.sql.expressions.Window.orderBy("publish_seq")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
