@@ -884,7 +884,11 @@ object RelationalQueries extends QueryGroup {
     *
     * Scale shape: work ∝ |change batch| + |stored rollup| (segment-
     * domain-sized); the exact DECIMAL sums make the ± algebra lossless —
-    * double sums would not survive a retraction. */
+    * double sums would not survive a retraction. The same algebra runs
+    * LIVE as a streaming aggregation over pre/post-image change events
+    * ([[graft.streaming.RollupStream]], StreamingIvmSpec pins stream ≡
+    * this query including a fully-retracted group reading back as an
+    * exact zero). */
   private val q258: Q = (s, d) => {
     val W = org.apache.spark.sql.expressions.Window
     // one change BATCH (every third order), not the whole feed — so the

@@ -1,0 +1,44 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Streaming aggregate IVM under RETRACTIONS — the q258 maintenance
+  * algebra run as a live Structured Streaming aggregation: a CDC feed
+  * carrying PRE- and POST-images (the Debezium/change-feed shape) maps
+  * each change to its ±delta contributions — retract the old image,
+  * add the new one — and a plain streaming aggregation over those deltas
+  * IS the maintained rollup: per-group state is the running (count,
+  * exact-decimal sum) pair, counts and decimal sums being the abelian
+  * group that makes subtraction lossless (double sums would not survive
+  * a retraction). Updates that MOVE a key between groups retract from
+  * one and add to the other in the same batch; deletes retract only;
+  * inserts add only. Bootstrap is just the base table streamed as
+  * inserts — the same algebra covers initial build and increments.
+  *
+  * Scale shape: state is GROUP-domain-sized (two numbers per segment),
+  * never key-sized — the rollup a 100 TB dashboard actually keeps hot.
+  * Groups whose count reaches zero surface as n = 0 rows in update mode;
+  * readers drop them (the q258 zero-row rule) — StreamingIvmSpec pins
+  * stream ≡ batch q258 including a fully-retracted group.
+  */
+object RollupStream {
+
+  /** changes: (old_seg, old_bal, new_seg, new_bal) — old_* null for
+    * inserts (no pre-image), new_* null for deletes (no post-image).
+    * Returns the running per-segment rollup aggregation: (c_mktsegment,
+    * n_rows, sum_bal DECIMAL) — cast/round at the consumer. */
+  def maintain(changes: DataFrame): DataFrame =
+    changes
+      .select(explode(array(
+        struct(col("old_seg").as("seg"), lit(-1L).as("dn"),
+          (-col("old_bal").cast(DecimalType(18, 2))).as("ds")),
+        struct(col("new_seg").as("seg"), lit(1L).as("dn"),
+          col("new_bal").cast(DecimalType(18, 2)).as("ds"))))
+        .as("d"))
+      .filter(col("d.seg").isNotNull)
+      .select(col("d.seg").as("c_mktsegment"), col("d.dn"), col("d.ds"))
+      .groupBy("c_mktsegment")
+      .agg(sum(col("dn")).as("n_rows"), sum(col("ds")).as("sum_bal"))
+}

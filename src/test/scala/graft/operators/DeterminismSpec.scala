@@ -21,7 +21,11 @@ class DeterminismSpec extends SparkSpec {
     "q90_agg_moments", "q117_anomaly_zscore", "q127_distinct_kmv_rollup",
     "q128_percentile_rollup", "q173_quantile_value_histogram",
     "q64_agg_salted_skew", "q38_sim_cosine_topk",
-    "q248_distinct_hll_md5", "q245_bt_strength", "q158_agg_winsorized")
+    "q248_distinct_hll_md5", "q245_bt_strength", "q158_agg_winsorized",
+    // round 17: retraction-maintained rollup (exact-decimal ± algebra
+    // surfaced as ONE double cast — the family where an order-dependent
+    // sum would be catastrophic because retractions subtract)
+    "q258_ivm_agg_retract")
 
   test("double-emitting queries are bit-identical across shuffle widths") {
     val conf = spark.conf

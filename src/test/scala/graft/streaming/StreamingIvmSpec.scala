@@ -1,0 +1,89 @@
+package graft.streaming
+
+import graft.{SparkEntry, SparkSpec, Tables}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming aggregate IVM ≡ batch q258: the retraction algebra
+  * ([[RollupStream.maintain]]) applied to a live pre/post-image CDC feed
+  * must converge to exactly the batch-maintained rollup — bootstrap
+  * (base rows as inserts) and the change batch arrive as uneven
+  * micro-batch waves, updates move keys between segments mid-stream,
+  * deletes retract, and a fully-retracted group must read back as zero. */
+class StreamingIvmSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streamed ±retraction rollup ≡ batch q258 (bootstrap + CDC waves)") {
+    implicit val sc = spark.sqlContext
+    // bootstrap: every base customer as an insert (no pre-image)
+    val base = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"),
+        lit(null).cast("string").as("old_seg"),
+        lit(null).cast("double").as("old_bal"),
+        col("c_mktsegment").as("new_seg"),
+        col("c_acctbal").as("new_bal"))
+    // the q258 change batch resolved latest-wins, enriched with the base
+    // PRE-image for every key that had one (the Debezium shape)
+    val feed = Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") % 3 === 0)
+      .select(
+        when(col("o_orderkey") % 7 === 0, col("o_custkey") + 10000000L)
+          .otherwise(col("o_custkey")).as("c_custkey"),
+        col("o_totalprice").as("bal"),
+        col("o_orderpriority").as("seg"),
+        col("o_orderkey").as("seq"),
+        when(col("o_orderkey") % 10 === 0, lit("D"))
+          .otherwise(lit("U")).as("op"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("c_custkey").orderBy(col("seq").desc)))
+      .filter(col("rn") === 1)
+    val changes = feed.join(
+        Tables.customer(spark, sfDir).select(col("c_custkey"),
+          col("c_mktsegment").as("old_seg0"),
+          col("c_acctbal").as("old_bal0")),
+        Seq("c_custkey"), "left")
+      .select(col("c_custkey"), col("old_seg0").as("old_seg"),
+        col("old_bal0").as("old_bal"),
+        when(col("op") === "U", col("seg")).as("new_seg"),
+        when(col("op") === "U", col("bal")).as("new_bal"))
+    val rows = base.unionByName(changes)
+      .as[(Long, String, java.lang.Double, String, java.lang.Double)]
+      .collect()
+    // base must stream BEFORE the change that retracts it: wave 1+2 are
+    // the bootstrap, waves 3+4 the CDC batch (uneven cuts)
+    val nb = base.count().toInt
+    val waves = Seq(rows.slice(0, nb / 3), rows.slice(nb / 3, nb),
+      rows.slice(nb, nb + 40), rows.slice(nb + 40, rows.length))
+    val mem = MemoryStream[(Long, String, java.lang.Double, String,
+      java.lang.Double)]
+    val q = RollupStream.maintain(
+        mem.toDF().toDF("k", "old_seg", "old_bal", "new_seg", "new_bal"))
+      .writeStream.format("memory").queryName("ivm_rollup")
+      .outputMode(OutputMode.Complete()).start()
+    waves.foreach { w => mem.addData(w.toSeq: _*); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("ivm_rollup")
+      .filter(col("n_rows") > 0) // the q258 zero-count drop, at read time
+      .select(col("c_mktsegment"), col("n_rows"),
+        col("sum_bal").cast("double").as("total_bal"))
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val zeroed = spark.table("ivm_rollup").filter(col("n_rows") === 0)
+      .select("c_mktsegment").as[String].collect().toSet
+
+    val batch = SparkEntry.queries("q258_ivm_agg_retract")(spark, sfDir)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r).toMap
+
+    assert(streamed == batch,
+      s"stream ≠ batch:\n stream ${streamed.toSeq.sortBy(_._1)}\n batch ${batch.toSeq.sortBy(_._1)}")
+    // a fully-retracted base segment must exist at this scale and read
+    // back as an exact zero (n = 0 AND sum = 0 — the lossless-subtraction
+    // proof), surfacing only through the n > 0 filter
+    assert(zeroed.nonEmpty, "no fully-retracted group in fixture")
+    assert(zeroed.intersect(batch.keySet).isEmpty)
+    val zeroSums = spark.table("ivm_rollup").filter(col("n_rows") === 0)
+      .select(col("sum_bal").cast("double")).as[Double].collect()
+    assert(zeroSums.forall(_ == 0.0), s"retracted groups must sum to exactly 0: ${zeroSums.toSeq}")
+  }
+}
