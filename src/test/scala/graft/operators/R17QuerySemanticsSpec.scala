@@ -53,6 +53,34 @@ class R17QuerySemanticsSpec extends SparkSpec {
     assert(uniq.nonEmpty)
   }
 
+  test("q186: grouped anchor collapse ≡ direct triplet mining on a mixed-replication fixture") {
+    // same fixture discipline as the q157 pin: 5× replicas for ids ≡ 0
+    // mod 3 (anchor groups deeper than keep-2), singletons elsewhere —
+    // exercises the positive's self-exclusion substitution, the
+    // negative's inheritance, and anchors whose positive list empties
+    val e0 = Tables.embeddings(spark, sfDir).limit(120)
+    val rep = (1 until 5).map { r =>
+      e0.filter(col("vec_id") % 3 === 0)
+        .select((col("vec_id") + lit(r * 100000L)).as("vec_id"),
+          col("embedding"), col("label"))
+    }.reduce(_ unionByName _)
+    val e = e0.unionByName(rep)
+      .filter(size(col("embedding")) === 64 &&
+        !exists(col("embedding"), x => x.isNull))
+    val asg = IvfStorage.assignCells(e, IvfStorage.labelCentroids(e))
+      .select("vec_id", "label", "embedding", "cent_id")
+    val direct = VectorQueries.tripletMine(asg, collapseCandidates = false)
+      .collect().map(_.toSeq).toSeq
+    val grouped = VectorQueries.tripletMine(asg, collapseCandidates = true)
+      .collect().map(_.toSeq).toSeq
+    assert(direct.nonEmpty && direct == grouped,
+      s"grouped anchors changed the triplets\n first diffs: ${
+        direct.zip(grouped).filter(p => p._1 != p._2).take(3)}")
+    // replicated anchors beyond their group's keep-2 must still mine
+    val ids = grouped.map(_.head.asInstanceOf[Long]).toSet
+    assert(ids.exists(_ >= 400000L))
+  }
+
   test("q252: stored-untouched ∪ recomputed-touched ≡ full rebuild under frozen base centroids") {
     val out = graft.SparkEntry.queries("q252_knn_incremental")(spark, sfDir)
       .collect().map(_.toSeq).toSeq
