@@ -613,6 +613,40 @@ object ScaleBench {
           measured(spark, s"rebuild_full_r$r", 1)(
             operators.DedupReport.assignComponents(spark, docsAll).count())
         } finally standing.release()
+      case "q69prof" =>
+        // stage breakdown for q69 at the given dir: pair volumes and the
+        // component-resolution cost under both collapse modes
+        val d = args.lift(1).getOrElse("/tmp/graft-sf1")
+        val e = Tables.embeddings(spark, d)
+        import graft.functions.VectorFunctions.cosineNative
+        val W = org.apache.spark.sql.expressions.Window
+          .partitionBy("label", "embedding")
+        val numbered = e.withColumn("grp_id", min("vec_id").over(W))
+        val reps = numbered.filter(col("vec_id") === col("grp_id"))
+        measured(spark, "q69_direct_pairs", 1) {
+          val a = e.select(col("vec_id").as("a_id"), col("label"),
+            col("embedding").as("a_emb"))
+          val b = e.select(col("vec_id").as("b_id"),
+            col("label").as("b_label"), col("embedding").as("b_emb"))
+          a.join(b, col("label") === col("b_label") &&
+              col("a_id") < col("b_id"))
+            .filter(cosineNative(col("a_emb"), col("b_emb")) >= 0.35)
+            .count()
+        }
+        measured(spark, "q69_rep_pairs", 1) {
+          val ra = reps.select(col("grp_id").as("a_id"), col("label"),
+            col("embedding").as("a_emb"))
+          val rb = reps.select(col("grp_id").as("b_id"),
+            col("label").as("b_label"), col("embedding").as("b_emb"))
+          ra.join(rb, col("label") === col("b_label") &&
+              col("a_id") < col("b_id"))
+            .filter(cosineNative(col("a_emb"), col("b_emb")) >= 0.35)
+            .count()
+        }
+        measured(spark, "q69_full_grouped", 1) {
+          graft.operators.VectorQueries
+            .cosineDedup(e, collapseIdentical = true).count()
+        }
       case "graphlake" =>
         // Does a CLUSTERED stored layout of the co-purchase edge list buy
         // the graph consumers anything (the HilbertLayoutSpec question

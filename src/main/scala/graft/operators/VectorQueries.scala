@@ -49,24 +49,54 @@ object VectorQueries extends QueryGroup {
     * resolution shape as q66; at scale the pair stage swaps to the LSH
     * multi-probe candidates with the exact-cosine filter as the re-rank —
     * that variant exists as [[q70]] / [[annCosinePairs]]. */
-  private val q69: Q = (s, d) => {
-    val e = Tables.embeddings(s, d)
-    // plain label-blocked pair join, bound by measurement: the tiled
-    // variant (SimilarityJoin.tiledSelfPairs on (vec_id, label, embedding),
-    // C=8 — the escalation when distinct labels ≪ cluster cores) measured
-    // 3.5–3.6 s vs 2.7–3.0 s here (interleaved, like-positioned at sf0.1):
-    // embedding replication + the second scan outweigh the parallelism
-    // gain while 10 labels still saturate a 32-core box. On a cluster
-    // where 10 labels cap a 1000-way pair stage, swap to tiledSelfPairs —
-    // row-identity of the tiling is spec-pinned in SimilarityJoinSpec.
-    val a = e.select(col("vec_id").as("a_id"), col("label"),
-      col("embedding").as("a_emb"))
-    val b = e.select(col("vec_id").as("b_id"), col("label").as("b_label"),
-      col("embedding").as("b_emb"))
-    val pairs = a.join(b,
-        col("label") === col("b_label") && col("a_id") < col("b_id"))
-      .filter(cosineNative(col("a_emb"), col("b_emb")) >= 0.35)
-      .select(col("a_id").as("a"), col("b_id").as("b"))
+  private val q69: Q = (s, d) =>
+    cosineDedup(Tables.embeddings(s, d), collapseIdentical = true)
+
+  /** q69 core. The components only READ the pair set, so exact-embedding
+    * content groups collapse losslessly: a group is a clique (every
+    * member-member cosine equals the group's self-cosine), so a STAR to
+    * the group's min-id rep carries the same connectivity — star edges
+    * are genuine graph edges (identical embeddings), emitted only when
+    * the group's self-cosine actually clears τ (a zero/NaN embedding's
+    * self-cosine does not, and the direct join would not connect those
+    * either) — and cross-group reachability is decided entirely by REP
+    * pairs, because cosine is a function of the embeddings alone. Pair
+    * volume drops members² → groups² per label (the q157/q186 move on a
+    * components consumer); grouped ≡ direct spec-pinned
+    * (R17QuerySemanticsSpec, incl. the degenerate zero-vector edge). */
+  private[graft] def cosineDedup(e: DataFrame,
+      collapseIdentical: Boolean): DataFrame = {
+    val pairs = if (!collapseIdentical) {
+      // the uncollapsed reference: plain label-blocked pair join, bound
+      // by measurement (the tiled variant measured slower at local
+      // widths — SimilarityJoinSpec keeps the tiling's row-identity;
+      // swap to tiledSelfPairs where few labels cap a 1000-way stage)
+      val a = e.select(col("vec_id").as("a_id"), col("label"),
+        col("embedding").as("a_emb"))
+      val b = e.select(col("vec_id").as("b_id"), col("label").as("b_label"),
+        col("embedding").as("b_emb"))
+      a.join(b,
+          col("label") === col("b_label") && col("a_id") < col("b_id"))
+        .filter(cosineNative(col("a_emb"), col("b_emb")) >= 0.35)
+        .select(col("a_id").as("a"), col("b_id").as("b"))
+    } else {
+      val gw = org.apache.spark.sql.expressions.Window
+        .partitionBy("label", "embedding")
+      val numbered = e.withColumn("grp_id", min("vec_id").over(gw))
+      val star = numbered.filter(col("vec_id") =!= col("grp_id"))
+        .filter(cosineNative(col("embedding"), col("embedding")) >= 0.35)
+        .select(col("grp_id").as("a"), col("vec_id").as("b"))
+      val reps = numbered.filter(col("vec_id") === col("grp_id"))
+      val ra = reps.select(col("grp_id").as("a_id"), col("label"),
+        col("embedding").as("a_emb"))
+      val rb = reps.select(col("grp_id").as("b_id"),
+        col("label").as("b_label"), col("embedding").as("b_emb"))
+      val repPairs = ra.join(rb,
+          col("label") === col("b_label") && col("a_id") < col("b_id"))
+        .filter(cosineNative(col("a_emb"), col("b_emb")) >= 0.35)
+        .select(col("a_id").as("a"), col("b_id").as("b"))
+      star.unionByName(repPairs)
+    }
     val comp = ConnectedComponents.run(pairs)
     e.select(col("vec_id"))
       .join(comp, col("vec_id") === col("node"), "left")

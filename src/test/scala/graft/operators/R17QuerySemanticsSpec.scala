@@ -81,6 +81,40 @@ class R17QuerySemanticsSpec extends SparkSpec {
     assert(ids.exists(_ >= 400000L))
   }
 
+  test("q69: star+rep-pair collapse ≡ direct cosine dedup, incl. the degenerate zero-vector edge") {
+    val e0 = Tables.embeddings(spark, sfDir).limit(120)
+    val rep = (1 until 5).map { r =>
+      e0.filter(col("vec_id") % 3 === 0)
+        .select((col("vec_id") + lit(r * 100000L)).as("vec_id"),
+          col("embedding"), col("label"))
+    }.reduce(_ unionByName _)
+    // two IDENTICAL zero vectors in one label: their cosines are NaN,
+    // and Spark's NaN-is-greatest comparison makes NaN ≥ τ TRUE — the
+    // direct join therefore connects them (to each other AND to every
+    // label-mate), and the star filter uses the very same predicate on
+    // the self-cosine, so the grouped path must agree exactly
+    val zeros = spark.range(2).select(
+      (col("id") + 900000L).as("vec_id"),
+      expr("transform(sequence(1, 64), i -> CAST(0.0 AS FLOAT))")
+        .as("embedding"),
+      lit(1).cast(e0.schema("label").dataType).as("label"))
+    val e = e0.unionByName(rep).unionByName(zeros)
+    val direct = VectorQueries.cosineDedup(e, collapseIdentical = false)
+      .collect().map(_.toSeq).toSeq
+    val grouped = VectorQueries.cosineDedup(e, collapseIdentical = true)
+      .collect().map(_.toSeq).toSeq
+    assert(direct.nonEmpty && direct == grouped,
+      s"collapse changed components\n first diffs: ${
+        direct.zip(grouped).filter(p => p._1 != p._2).take(3)}")
+    val byId = grouped.map(r =>
+      r.head.asInstanceOf[Long] -> r(1).asInstanceOf[Long]).toMap
+    // NaN-as-greatest: the zero vectors join their label's component
+    // (identically in both paths — the equality above is the real pin)
+    assert(byId(900000L) == byId(900001L))
+    // replicas collapse into their group's component
+    assert(byId(400003L) == byId(3L))
+  }
+
   test("q252: stored-untouched ∪ recomputed-touched ≡ full rebuild under frozen base centroids") {
     val out = graft.SparkEntry.queries("q252_knn_incremental")(spark, sfDir)
       .collect().map(_.toSeq).toSeq
