@@ -959,9 +959,21 @@ object GraphQueries extends QueryGroup {
     * min with an absent-register sentinel is exactly per-(node, bucket)
     * min with sentinel fill. */
   private val q254: Q = (s, d) => {
+    // pre-partitioned on dst (the PageRank.run move): the per-round
+    // register join is broadcast below the node threshold, so the
+    // min-merge aggregation reuses the cached hash(dst) layout and the
+    // round never shuffles |E| REGISTER ARRAYS (64 ints/row — the
+    // heaviest shuffle payload in the suite; sf1 measured ~3 GB/round
+    // on the union-then-groupBy form)
     val edges = purchaseEdgesSym(s, d)
+      .repartition(col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // registers broadcast while |V|·~270 B fits an executor; past it the
+    // rounds fall back to the shuffled union form (the only plan a
+    // billion-node graph admits)
+    val nn = deg.count()
+    val small = nn <= 2000000L
     // PACKED registers: one row per node carrying all 64 registers
     // (absent = the 2^27 empty-register sentinel), merged elementwise —
     // an iteration shuffles |E| array rows, never |E|·m register rows
@@ -977,11 +989,30 @@ object GraphQueries extends QueryGroup {
         .as("regs"))
     val rounds = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (_ <- 1 to 3) {
-      val nb = edges.join(reg, edges("src") === reg("node"))
-        .select(col("dst").as("node"), col("regs"))
-      reg = reg.unionAll(nb).groupBy("node")
-        .agg(amin(col("regs")).as("regs"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      reg = if (small) {
+        // broadcast registers; inbound min-merge aggregates IN PLACE on
+        // the edges' cached hash(dst) partitions, then one node-keyed
+        // left join (both sides hash(node) — no exchange) folds it into
+        // the previous round elementwise. On the SYMMETRIZED graph every
+        // dst is a src, so reg's node set already covers every receiver
+        // and the left join loses nothing — min-merge associativity
+        // makes this exactly the union-then-groupBy result.
+        val nbAgg = edges
+          .join(broadcast(reg), edges("src") === reg("node"))
+          .select(col("dst").as("node"), col("regs"))
+          .groupBy("node").agg(amin(col("regs")).as("nregs"))
+        reg.join(nbAgg, Seq("node"), "left")
+          .select(col("node"), coalesce(
+            expr("zip_with(regs, nregs, (x, y) -> least(x, y))"),
+            col("regs")).as("regs"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      } else {
+        val nb = edges.join(reg, edges("src") === reg("node"))
+          .select(col("dst").as("node"), col("regs"))
+        reg.unionAll(nb).groupBy("node")
+          .agg(amin(col("regs")).as("regs"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
       rounds += reg
     }
     def ballSum(r: DataFrame, tag: String): DataFrame =
