@@ -1794,6 +1794,49 @@ object CorpusQueries extends QueryGroup {
     LakeAudit.releaseManifest(s, dir)
   }
 
+  /** Q262: snapshot DIFF between releases — the `table_changes` read every
+    * versioned lake eventually needs ("what changed between the corpus I
+    * trained on and this release?"): the LIVE row per doc_id at publish
+    * seq 2 vs seq 3 of the q194 WAP lake (live = the row from the
+    * highest-seq batch containing the doc — last-writer-wins over the
+    * additive batch log, one doc-keyed rank window per snapshot), joined
+    * by doc_id and classified added / revised / unchanged (removed cannot
+    * occur in an additive log — deletes live in the GDPR path, q164/q170).
+    * The b3 revision batch touches doc_id ≡ 0 (mod 7) including docs from
+    * the quarantined-b1 residue, so both ADDED (never published before)
+    * and REVISED (text changed) classes occur naturally. Per (source,
+    * status): count + Σdoc_id membership checksum.
+    *
+    * The ORACLE recomputes both live sets from the documents TABLE (the
+    * q194 membership algebra) — a diff that leaked the quarantined batch,
+    * compared non-live rows, or missed a revision hash-mismatches. Scale
+    * shape: two pruned batch-directory scans + one doc-keyed window each
+    * + a doc-keyed join; at any corpus size the diff is snapshot-sized,
+    * never history-sized. */
+  private val q262: Q = (s, d) => {
+    val dir = asOfLakeDir(s, d)
+    import s.implicits._
+    val seqDf = LakeAudit.publishLog(s, dir).map(e => (e.batchId, e.seq))
+      .toDF("batch", "publish_seq")
+    def live(at: Long): org.apache.spark.sql.DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("publish_seq").desc)
+      LakeAudit.readAsOf(s, dir, at)
+        .join(broadcast(seqDf), "batch")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("source"), col("text"))
+    }
+    val prev = live(2L).select(col("doc_id"), col("text").as("text_prev"))
+    live(3L).join(prev, Seq("doc_id"), "left")
+      .withColumn("status",
+        when(col("text_prev").isNull, lit("added"))
+          .when(col("text") =!= col("text_prev"), lit("revised"))
+          .otherwise(lit("unchanged")))
+      .groupBy("source", "status")
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_doc_id"))
+      .orderBy("source", "status")
+  }
+
   /** Builds the schema-evolution lake q210 reads — three parquet batches
     * whose schemas GREW additively across ingest generations, the way
     * every long-lived corpus lake actually evolves: b0 (doc_id, source,
@@ -2312,6 +2355,7 @@ object CorpusQueries extends QueryGroup {
     "q193_sft_contamination" -> q193,
     "q194_lake_read_asof" -> q194,
     "q239_lake_release_manifest" -> q239,
+    "q262_lake_snapshot_diff" -> q262,
     "q195_preference_pair_audit" -> q195,
     "q196_annotator_agreement" -> q196,
     "q203_fleiss_kappa" -> q203,
@@ -3639,6 +3683,21 @@ object CorpusQueries extends QueryGroup {
         |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
         |  CAST(sum(n_tok) AS BIGINT) AS sum_tokens
         |FROM d GROUP BY 1, 2 ORDER BY batch, source""".stripMargin,
+
+    // snapshot diff seq2 → seq3: live(2) = residues {0,2}; live(3) adds
+    // the b3 revisions (doc_id ≡ 0 mod 7, text || ' rev') which also
+    // PUBLISH quarantined-residue docs for the first time (added)
+    "q262_lake_snapshot_diff" ->
+      """WITH d AS (SELECT doc_id, source, text FROM documents
+        |  WHERE text IS NOT NULL),
+        |s3 AS (SELECT doc_id, source,
+        |    CASE WHEN doc_id % 3 IN (0, 2) THEN
+        |      CASE WHEN doc_id % 7 = 0 THEN 'revised' ELSE 'unchanged' END
+        |    ELSE 'added' END AS status
+        |  FROM d WHERE doc_id % 3 IN (0, 2) OR doc_id % 7 = 0)
+        |SELECT source, status, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+        |FROM s3 GROUP BY 1, 2 ORDER BY source, status""".stripMargin,
 
     // release-manifest digest chain rebuilt from the TABLE: batch
     // membership = the q194 WAP publish log (b0 seq 1, b2 seq 2, b3 seq 3;
