@@ -1058,6 +1058,54 @@ object RelationalQueries extends QueryGroup {
     }
   }
 
+  /** Q263: inclusion-dependency discovery — q255's cross-TABLE companion
+    * (the Deequ/metadata-crawler step that proposes FOREIGN KEYS on an
+    * undocumented lake): for each candidate (child column → parent
+    * column) pair, the child's distinct-value count, how many distinct
+    * child values have NO parent match (an exact anti-join count — zero
+    * ⇔ the inclusion dependency holds), and the verdict. Five candidates:
+    * the four real TPC-H FKs plus a deliberate NEGATIVE (orders.o_custkey
+    * → supplier.s_suppkey) that must report violations, pinning that the
+    * probe cannot vacuously pass.
+    *
+    * Scale shape: each candidate is one child-side DISTINCT (map-side
+    * partials collapse to the value domain) + one anti join against the
+    * parent key set — parent sides are dimension-sized and broadcast; the
+    * fact table is scanned once per candidate column, column-pruned.
+    * Violations are counted, never collected. */
+  private val q263: Q = (s, d) => {
+    def probe(name: String, child: org.apache.spark.sql.DataFrame,
+        childCol: String, parent: org.apache.spark.sql.DataFrame,
+        parentCol: String): org.apache.spark.sql.DataFrame = {
+      val c = child.select(col(childCol).as("v"))
+        .filter(col("v").isNotNull).distinct()
+      val p = parent.select(col(parentCol).as("v")).distinct()
+      val unmatched = c.join(broadcast(p), Seq("v"), "left_anti")
+        .agg(count(lit(1)).as("n_unmatched"))
+      c.agg(count(lit(1)).as("n_child_distinct"))
+        .crossJoin(unmatched)
+        .select(lit(name).as("candidate"), col("n_child_distinct"),
+          col("n_unmatched"),
+          (col("n_unmatched") === 0L).as("holds"))
+    }
+    val li = Tables.lineitem(s, d)
+    Seq(
+      probe("lineitem.l_orderkey -> orders.o_orderkey",
+        li, "l_orderkey", Tables.orders(s, d), "o_orderkey"),
+      probe("lineitem.l_partkey -> part.p_partkey",
+        li, "l_partkey", Tables.part(s, d), "p_partkey"),
+      probe("lineitem.l_suppkey -> supplier.s_suppkey",
+        li, "l_suppkey", Tables.supplier(s, d), "s_suppkey"),
+      probe("orders.o_custkey -> customer.c_custkey",
+        Tables.orders(s, d), "o_custkey", Tables.customer(s, d),
+        "c_custkey"),
+      probe("orders.o_custkey -> supplier.s_suppkey",
+        Tables.orders(s, d), "o_custkey", Tables.supplier(s, d),
+        "s_suppkey")
+    ).reduce(_ unionByName _)
+      .orderBy("candidate")
+  }
+
   /** Q255: table profiling — the per-column statistics sweep (pandas-
     * profiling / Deequ's analyzer shape) a warehouse runs before trusting
     * a new table: for every lineitem column, row count, null count,
@@ -1094,6 +1142,7 @@ object RelationalQueries extends QueryGroup {
     "q247_ivm_join_delta" -> q247,
     "q258_ivm_agg_retract" -> q258,
     "q259_scan_csv_typed" -> q259,
+    "q263_profile_inclusion_deps" -> q263,
     "q155_join_interval_overlap" -> q155,
     "q165_data_quality_audit" -> q165,
     "q167_join_null_aware_anti" -> q167,
@@ -1324,6 +1373,60 @@ object RelationalQueries extends QueryGroup {
         |    AS total_bal
         |FROM merged GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
+
+    // inclusion-dependency probes: per candidate, distinct child values
+    // and the exact count of distinct values with no parent match
+    "q263_profile_inclusion_deps" ->
+      """WITH probes AS (
+        |  SELECT 'lineitem.l_orderkey -> orders.o_orderkey' AS candidate,
+        |    (SELECT count(DISTINCT l_orderkey) FROM lineitem
+        |       WHERE l_orderkey IS NOT NULL) AS n_child_distinct,
+        |    (SELECT count(*) FROM
+        |       (SELECT DISTINCT l_orderkey AS v FROM lineitem
+        |          WHERE l_orderkey IS NOT NULL) c
+        |       WHERE NOT EXISTS (SELECT 1 FROM orders p
+        |         WHERE p.o_orderkey = c.v)) AS n_unmatched
+        |  UNION ALL
+        |  SELECT 'lineitem.l_partkey -> part.p_partkey',
+        |    (SELECT count(DISTINCT l_partkey) FROM lineitem
+        |       WHERE l_partkey IS NOT NULL),
+        |    (SELECT count(*) FROM
+        |       (SELECT DISTINCT l_partkey AS v FROM lineitem
+        |          WHERE l_partkey IS NOT NULL) c
+        |       WHERE NOT EXISTS (SELECT 1 FROM part p
+        |         WHERE p.p_partkey = c.v))
+        |  UNION ALL
+        |  SELECT 'lineitem.l_suppkey -> supplier.s_suppkey',
+        |    (SELECT count(DISTINCT l_suppkey) FROM lineitem
+        |       WHERE l_suppkey IS NOT NULL),
+        |    (SELECT count(*) FROM
+        |       (SELECT DISTINCT l_suppkey AS v FROM lineitem
+        |          WHERE l_suppkey IS NOT NULL) c
+        |       WHERE NOT EXISTS (SELECT 1 FROM supplier p
+        |         WHERE p.s_suppkey = c.v))
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey -> customer.c_custkey',
+        |    (SELECT count(DISTINCT o_custkey) FROM orders
+        |       WHERE o_custkey IS NOT NULL),
+        |    (SELECT count(*) FROM
+        |       (SELECT DISTINCT o_custkey AS v FROM orders
+        |          WHERE o_custkey IS NOT NULL) c
+        |       WHERE NOT EXISTS (SELECT 1 FROM customer p
+        |         WHERE p.c_custkey = c.v))
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey -> supplier.s_suppkey',
+        |    (SELECT count(DISTINCT o_custkey) FROM orders
+        |       WHERE o_custkey IS NOT NULL),
+        |    (SELECT count(*) FROM
+        |       (SELECT DISTINCT o_custkey AS v FROM orders
+        |          WHERE o_custkey IS NOT NULL) c
+        |       WHERE NOT EXISTS (SELECT 1 FROM supplier p
+        |         WHERE p.s_suppkey = c.v)))
+        |SELECT candidate, CAST(n_child_distinct AS BIGINT)
+        |    AS n_child_distinct,
+        |  CAST(n_unmatched AS BIGINT) AS n_unmatched,
+        |  n_unmatched = 0 AS holds
+        |FROM probes ORDER BY candidate""".stripMargin,
 
     // typed CSV read: the oracle recomputes the fixture's logical rows
     // from the customer table + inline VALUES encoding the OBSERVED
