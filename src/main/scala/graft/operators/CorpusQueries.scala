@@ -1837,6 +1837,106 @@ object CorpusQueries extends QueryGroup {
       .orderBy("source", "status")
   }
 
+  // One diff-with-erasure lake per (session, sfDir): publishes b0 (seq 1)
+  // and b2 (seq 2), then a LOGGED GDPR erasure of the ≡4-mod-11 residue
+  // (seq 3, receipt retained under erasures/), then the b3 revision batch
+  // (seq 4) which re-publishes the ≡0-mod-7 residue — so every diff class
+  // incl. `removed` and erase-then-republish occurs naturally.
+  private val diffMemo = new java.util.WeakHashMap[
+    org.apache.spark.sql.SparkSession,
+    scala.collection.mutable.Map[String, String]]()
+
+  private[operators] def diffLakeDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val perSession = diffMemo.synchronized {
+      var m = diffMemo.get(s)
+      if (m == null) {
+        m = scala.collection.mutable.Map.empty[String, String]
+        diffMemo.put(s, m)
+      }
+      m
+    }
+    perSession.synchronized {
+      perSession.getOrElseUpdate(d, {
+        val dir = TempDirs.scoped("graft-wap-diff")
+        val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+          .select(col("doc_id"), col("source"), col("text"))
+        val rules = Seq(LakeAudit.Rule("doc_id_not_null",
+          col("doc_id").isNotNull))
+        LakeAudit.writeAuditPublish(s,
+          docs.filter(col("doc_id") % 3 === 0), dir, "b0", rules)
+        LakeAudit.writeAuditPublish(s,
+          docs.filter(col("doc_id") % 3 === 2), dir, "b2", rules)
+        // the GDPR batch: published docs with doc_id ≡ 4 (mod 11) —
+        // driver-sized (the LakeDeletes deletion-list shape)
+        val ids = docs
+          .filter((col("doc_id") % 3 === 0 || col("doc_id") % 3 === 2) &&
+            col("doc_id") % 11 === 4)
+          .select("doc_id").collect().map(_.getLong(0)).toSeq
+        LakeAudit.eraseLogged(s, dir, "e0", ids, "doc_id", Seq("source"))
+        LakeAudit.writeAuditPublish(s,
+          docs.filter(col("doc_id") % 7 === 0)
+            .withColumn("text", concat(col("text"), lit(" rev"))),
+          dir, "b3", rules)
+        dir
+      })
+    }
+  }
+
+  /** Q265: snapshot diff ACROSS AN ERASURE — q262 completed to the full
+    * `table_changes` contract (added / revised / unchanged / REMOVED):
+    * the live set at publish seq 2 vs seq 4 of a WAP lake whose history
+    * contains a LOGGED GDPR erasure ([[LakeAudit.eraseLogged]], seq 3)
+    * between the two. Because erasure REWRITES history (a post-erasure
+    * readAsOf at ANY seq no longer contains the rows — the right-to-be-
+    * forgotten semantic), the live-set join alone cannot see removals;
+    * the diff reads the erasure RECEIPT (id + source, the lawful-to-
+    * retain audit columns — the deletion-vector analogue) sequenced
+    * inside the diff window and classifies as `removed` every receipt id
+    * NOT live at the newer snapshot — an id the b3 revision batch
+    * republished after its erasure surfaces as `added` instead (it IS
+    * new content with no live predecessor), never as both. Per (source,
+    * status): count + Σdoc_id membership checksum.
+    *
+    * The ORACLE recomputes all four classes from the documents TABLE by
+    * residue algebra — a diff that leaked an erased row into any live
+    * class, lost a removal, or double-classified a republished id
+    * hash-mismatches (R18QuerySemanticsSpec additionally pins the
+    * only-as-removed leak check row-by-row). Scale shape: two pruned
+    * batch-directory scans + one doc-keyed window each, a doc-keyed
+    * join, and one receipt scan (deletion-batch-sized) with an anti
+    * join — snapshot-sized at any corpus, never history-sized. */
+  private val q265: Q = (s, d) => {
+    val dir = diffLakeDir(s, d)
+    import s.implicits._
+    val seqDf = LakeAudit.publishLog(s, dir)
+      .filterNot(LakeAudit.isErasure)
+      .map(e => (e.batchId, e.seq)).toDF("batch", "publish_seq")
+    def live(at: Long): org.apache.spark.sql.DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("publish_seq").desc)
+      LakeAudit.readAsOf(s, dir, at)
+        .join(broadcast(seqDf), "batch")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("source"), col("text"))
+    }
+    val prev = live(2L).select(col("doc_id"), col("text").as("text_prev"))
+    val cur = live(4L)
+    val changed = cur.join(prev, Seq("doc_id"), "left")
+      .withColumn("status",
+        when(col("text_prev").isNull, lit("added"))
+          .when(col("text") =!= col("text_prev"), lit("revised"))
+          .otherwise(lit("unchanged")))
+      .select(col("doc_id"), col("source"), col("status"))
+    val removed = LakeAudit.erasureReceipts(s, dir, 2L, 4L)
+      .join(cur.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), lit("removed").as("status"))
+    changed.unionByName(removed)
+      .groupBy("source", "status")
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_doc_id"))
+      .orderBy("source", "status")
+  }
+
   /** Builds the schema-evolution lake q210 reads — three parquet batches
     * whose schemas GREW additively across ingest generations, the way
     * every long-lived corpus lake actually evolves: b0 (doc_id, source,
@@ -2356,6 +2456,7 @@ object CorpusQueries extends QueryGroup {
     "q194_lake_read_asof" -> q194,
     "q239_lake_release_manifest" -> q239,
     "q262_lake_snapshot_diff" -> q262,
+    "q265_lake_diff_removals" -> q265,
     "q195_preference_pair_audit" -> q195,
     "q196_annotator_agreement" -> q196,
     "q203_fleiss_kappa" -> q203,
@@ -3698,6 +3799,25 @@ object CorpusQueries extends QueryGroup {
         |SELECT source, status, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
         |FROM s3 GROUP BY 1, 2 ORDER BY source, status""".stripMargin,
+
+    // diff across an erasure: all four table_changes classes recomputed
+    // by residue algebra — published = mod-3 ∈ {0,2}, erased = mod-11 ≡ 4,
+    // republished = mod-7 ≡ 0; CASE order makes erase-then-republish
+    // 'added' (no live predecessor) and erased-never-republished 'removed'
+    "q265_lake_diff_removals" ->
+      """WITH d AS (SELECT doc_id, source FROM documents
+        |  WHERE text IS NOT NULL),
+        |cls AS (SELECT doc_id, source,
+        |    CASE
+        |      WHEN doc_id % 7 = 0 AND (doc_id % 3 = 1 OR doc_id % 11 = 4)
+        |        THEN 'added'
+        |      WHEN doc_id % 7 = 0 THEN 'revised'
+        |      WHEN doc_id % 11 = 4 THEN 'removed'
+        |      ELSE 'unchanged' END AS status
+        |  FROM d WHERE doc_id % 3 IN (0, 2) OR doc_id % 7 = 0)
+        |SELECT source, status, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+        |FROM cls GROUP BY 1, 2 ORDER BY source, status""".stripMargin,
 
     // release-manifest digest chain rebuilt from the TABLE: batch
     // membership = the q194 WAP publish log (b0 seq 1, b2 seq 2, b3 seq 3;

@@ -864,6 +864,105 @@ object GraphQueries extends QueryGroup {
       .orderBy("node")
   }
 
+  /** The WEIGHTED repeat co-purchase edge list — the q213/q220 derivation
+    * keeping the shared-order count, INVERTED to a small integer rank
+    * (≥4 shared orders → weight 1, 3 → 2, 2 → 3: stronger ties are
+    * shorter) — the standard affinity-to-length transform a curation
+    * graph uses so weighted distances prefer well-evidenced paths.
+    * Derived once per (session, dir) — the [[coPurchaseEdges]]
+    * derived-table discipline. */
+  private[operators] def coPurchaseWeightedEdges(s: SparkSession,
+      d: String): DataFrame = {
+    val perSession = edgeMemo.synchronized {
+      var m = edgeMemo.get(s)
+      if (m == null) {
+        m = scala.collection.mutable.Map.empty
+        edgeMemo.put(s, m)
+      }
+      m
+    }
+    val path = perSession.synchronized {
+      perSession.getOrElseUpdate("repeatw:" + d, {
+        val li = Tables.lineitem(s, d)
+          .select("l_orderkey", "l_partkey").distinct()
+        val e = li.as("x").join(li.as("y"),
+            col("x.l_orderkey") === col("y.l_orderkey") &&
+              col("x.l_partkey") < col("y.l_partkey"))
+          .groupBy(col("x.l_partkey").cast("long").as("a"),
+            col("y.l_partkey").cast("long").as("b"))
+          .agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 2)
+          .select(col("a"), col("b"),
+            when(col("w") >= 4, 1L).when(col("w") === 3, 2L)
+              .otherwise(3L).as("wt"))
+        val p = TempDirs.scoped("graft-copurchase-weighted")
+        e.write.mode("overwrite").parquet(p)
+        p
+      })
+    }
+    s.read.parquet(path)
+  }
+
+  /** Q267: WEIGHTED shortest paths — bounded Bellman–Ford over the
+    * weighted repeat co-purchase edges ([[coPurchaseWeightedEdges]]) from
+    * the q220 landmark set (the 4 smallest node ids): per node, the exact
+    * minimum weighted distance to each landmark over paths of ≤ 4 edges
+    * (−1 beyond the bound/unreachable). This is the graph-curation
+    * standard q220's hop distance approximates — with integer weights
+    * inverting tie strength, the distance prefers few-hop
+    * well-evidenced routes over long weak chains, and a 3-weight path of
+    * 2 edges can genuinely beat a 1-hop weak edge's 3 (the property the
+    * spec pins). Distances and the relaxation recurrence are pure
+    * integer mins (the q129 fixed-point discipline), so the ORACLE
+    * unrolls the identical 4 synchronous relaxations as MATERIALIZED
+    * CTEs (the q220 pattern with `dm + wt` in place of `hop + 1`).
+    *
+    * Scale shape: identical to q220 — the distance table is ≤ L·|V|
+    * rows; each round is one edge⋈dist join + a (node, landmark)-keyed
+    * min whose partials collapse map-side, a bounded lazy chain with
+    * ReuseExchange collapsing the carry/expand reads; the landmark pick
+    * is a 4-row TakeOrderedAndProject broadcast. Bounded-round
+    * Bellman–Ford is exactly the distributed plan a billion-edge graph
+    * admits (per round: one |E| join + a node-keyed min). */
+  private val q267: Q = (s, d) => {
+    val e = coPurchaseWeightedEdges(s, d)
+    val sym = e.select(col("a").as("src"), col("b").as("dst"), col("wt"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst"), col("wt")))
+    val marks = e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .distinct().orderBy(col("node")).limit(4)
+      .withColumn("lr",
+        row_number().over(Window.orderBy(col("node"))).cast("long") - 1)
+    var dist = marks.select(col("node"), col("lr"), lit(0L).as("dm"))
+    for (_ <- 1 to 4) {
+      val step = sym
+        .join(dist.select(col("node").as("src"), col("lr"), col("dm")),
+          "src")
+        .select(col("dst").as("node"), col("lr"),
+          (col("dm") + col("wt")).as("dm"))
+      dist = dist.unionAll(step)
+        .groupBy("node", "lr").agg(min(col("dm")).as("dm"))
+    }
+    val pivot = dist.groupBy("node")
+      .agg(
+        coalesce(max(when(col("lr") === 0L, col("dm"))), lit(-1L))
+          .as("p0"),
+        coalesce(max(when(col("lr") === 1L, col("dm"))), lit(-1L))
+          .as("p1"),
+        coalesce(max(when(col("lr") === 2L, col("dm"))), lit(-1L))
+          .as("p2"),
+        coalesce(max(when(col("lr") === 3L, col("dm"))), lit(-1L))
+          .as("p3"))
+    sym.select(col("src").as("node")).distinct()
+      .join(pivot, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("p0"), lit(-1L)).as("d0"),
+        coalesce(col("p1"), lit(-1L)).as("d1"),
+        coalesce(col("p2"), lit(-1L)).as("d2"),
+        coalesce(col("p3"), lit(-1L)).as("d3"))
+      .orderBy("node")
+  }
+
   /** q222 core over any canonical (a < b, distinct) edge list — separated
     * so the spec can pin the sign and exact rational on constructed
     * star/clique graphs against a driver BigDecimal Pearson. */
@@ -1047,6 +1146,7 @@ object GraphQueries extends QueryGroup {
     "q220_graph_landmark_dist" -> q220,
     "q222_graph_assortativity" -> q222,
     "q231_graph_landmark_closeness" -> q231,
+    "q267_graph_weighted_paths" -> q267,
   )
 
   /** The q213 oracle, loop-generated (the q129 unrolled-CTE pattern at
@@ -1156,6 +1256,59 @@ object GraphQueries extends QueryGroup {
     landmarkDistBodySql(rounds) +
       "SELECT node, d0, d1, d2, d3 FROM dd ORDER BY node"
 
+  /** The q267 oracle: the weighted repeat-edge derivation (shared-order
+    * count inverted to the 1/2/3 rank), the q220 landmark pick, then
+    * `rounds` unrolled synchronous Bellman–Ford relaxations
+    * (MATERIALIZED — the q213 inlining lesson) with `dm + wt` in place
+    * of the BFS `hop + 1`, and the per-node pivot with −1. */
+  private def weightedPathOracleSql(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT CAST(x.l_partkey AS BIGINT) AS a,
+        |    CAST(y.l_partkey AS BIGINT) AS b,
+        |    CAST(CASE WHEN count(*) >= 4 THEN 1
+        |         WHEN count(*) = 3 THEN 2 ELSE 3 END AS BIGINT) AS wt
+        |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+        |    AND x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sym AS MATERIALIZED (SELECT a AS src, b AS dst, wt FROM e0
+        |  UNION ALL SELECT b, a, wt FROM e0),
+        |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM sym),
+        |mk AS MATERIALIZED (SELECT node,
+        |    CAST(row_number() OVER (ORDER BY node) - 1 AS BIGINT) AS lr
+        |  FROM (SELECT node FROM nodes ORDER BY node LIMIT 4)),
+        |t0 AS MATERIALIZED (SELECT node, lr, CAST(0 AS BIGINT) AS dm
+        |  FROM mk),
+        |""".stripMargin)
+    for (r <- 1 to rounds) {
+      sb.append(
+        s"""t$r AS MATERIALIZED (SELECT node, lr,
+           |    CAST(min(dm) AS BIGINT) AS dm FROM (
+           |  SELECT node, lr, dm FROM t${r - 1}
+           |  UNION ALL
+           |  SELECT sym.dst AS node, t${r - 1}.lr, t${r - 1}.dm + sym.wt
+           |  FROM sym JOIN t${r - 1} ON sym.src = t${r - 1}.node)
+           |  GROUP BY node, lr),
+           |""".stripMargin)
+    }
+    sb.append(
+      s"""pv AS (SELECT node,
+         |    max(CASE WHEN lr = 0 THEN dm END) AS p0,
+         |    max(CASE WHEN lr = 1 THEN dm END) AS p1,
+         |    max(CASE WHEN lr = 2 THEN dm END) AS p2,
+         |    max(CASE WHEN lr = 3 THEN dm END) AS p3
+         |  FROM t$rounds GROUP BY node)
+         |SELECT nodes.node,
+         |  CAST(coalesce(p0, -1) AS BIGINT) AS d0,
+         |  CAST(coalesce(p1, -1) AS BIGINT) AS d1,
+         |  CAST(coalesce(p2, -1) AS BIGINT) AS d2,
+         |  CAST(coalesce(p3, -1) AS BIGINT) AS d3
+         |FROM nodes LEFT JOIN pv USING (node)
+         |ORDER BY node""".stripMargin)
+    sb.toString
+  }
+
   /** The q231 oracle: the q220 distance body, then the exact-twelfths
     * harmonic fold over the four landmark columns. */
   private def landmarkClosenessOracleSql(rounds: Int): String =
@@ -1177,6 +1330,7 @@ object GraphQueries extends QueryGroup {
     "q213_graph_kcore" -> kcoreOracleSql(3, 10),
     "q220_graph_landmark_dist" -> landmarkOracleSql(4),
     "q231_graph_landmark_closeness" -> landmarkClosenessOracleSql(4),
+    "q267_graph_weighted_paths" -> weightedPathOracleSql(4),
     // assortativity: same repeat-edge derivation, same stub-list degree
     // joins; the cross-multiplied terms run in HUGEINT (DuckDB's native
     // 128-bit ≡ Spark's DECIMAL(38,0) here) and every sum is cast back

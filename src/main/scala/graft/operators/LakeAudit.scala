@@ -219,16 +219,91 @@ object LakeAudit {
     * this reads from the log, not from file names). The `batch` partition
     * column is surfaced (basePath), so a reader can still attribute rows.
     *
+    * Erasure semantics: [[eraseLogged]] entries in the log name no data
+    * directory and are skipped — an erasure REWRITES history (GDPR: a
+    * snapshot at a seq before the erasure also no longer contains the
+    * erased rows; the receipt under `erasures/` is the only witness, the
+    * deletion-vector analogue a diff reads — see [[erasureReceipts]]).
+    *
     * Scale shape: pure metadata — one log listing picks the batch
     * directories; the read itself is a plain pruned parquet scan of
     * exactly those directories, no data rewrite, no filter-over-everything.
     */
   def readAsOf(spark: SparkSession, dir: String, publishSeq: Long): DataFrame = {
-    val batches = publishLog(spark, dir).filter(_.seq <= publishSeq)
+    val batches = publishLog(spark, dir)
+      .filter(e => e.seq <= publishSeq && !isErasure(e))
     require(batches.nonEmpty,
       s"readAsOf($publishSeq): no batch published at or before that seq in $dir")
     spark.read.option("basePath", s"$dir/data")
       .parquet(batches.map(b => s"$dir/data/batch=${b.batchId}"): _*)
+  }
+
+  // --- logged erasure (the table_changes `removed` witness) --------------
+
+  // erasure log entries carry a reserved batchId prefix so every data
+  // reader (readAsOf, releaseManifest, repairPublishLog's known set) can
+  // tell them from data batches; '~' never appears in caller batchIds by
+  // convention and the prefix is checked on write
+  private val ErasePrefix = "~erase~"
+
+  /** True when a publish-log entry records an erasure, not a data batch. */
+  def isErasure(e: PublishEntry): Boolean = e.batchId.startsWith(ErasePrefix)
+
+  private def receiptPath(dir: String, eraseId: String) =
+    s"$dir/erasures/erase=$eraseId"
+
+  /** GDPR erasure against the WAP lake, RECORDED in the publish log so a
+    * snapshot diff can classify removals: (1) write the erasure RECEIPT —
+    * the id column plus caller-chosen audit columns of every row currently
+    * live with an id in the batch (ids are lawful to retain; the erased
+    * CONTENT never enters the receipt), (2) physically erase through
+    * [[LakeDeletes.erase]] (footer-pruned rewrite of only the files that
+    * contain a hit), (3) append a `~erase~`-prefixed publish-log entry
+    * sequencing the erasure between its surrounding publishes. The receipt
+    * is written BEFORE the physical erase (a crash between them replays:
+    * the re-run finds the log entry absent, the receipt overwrite is
+    * byte-identical while rows are still live, and [[LakeDeletes.erase]]
+    * is idempotent); a replay AFTER the log entry exists is a no-op — the
+    * receipt must not be clobbered by a second pass that sees zero live
+    * rows. Erasure rewrites HISTORY ([[readAsOf]] at any seq no longer
+    * sees the rows) — the receipt is the only witness, which is exactly
+    * the deletion-vector / delete-file role in Delta/Iceberg.
+    *
+    * Scale shape: one footer-metadata candidate pass + rewrite of hit
+    * files (the [[LakeDeletes]] cost model); the receipt is one pruned
+    * membership scan, deletion-batch-sized. */
+  def eraseLogged(spark: SparkSession, dir: String, eraseId: String,
+      ids: Seq[Long], idCol: String,
+      receiptCols: Seq[String]): LakeDeletes.EraseReport = {
+    require(!eraseId.contains("~"), s"eraseId may not contain '~': $eraseId")
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entryId = s"$ErasePrefix$eraseId"
+    val logged = readLog(fs, dir)
+    if (logged.exists(_.batchId == entryId))
+      return LakeDeletes.EraseReport(0, 0, 0, 0L) // replayed: no-op
+    val idSeq = ids.distinct.map(Long.box).toSeq
+    spark.read.parquet(s"$dir/data")
+      .filter(org.apache.spark.sql.functions.col(idCol).isin(idSeq: _*))
+      .selectExpr((idCol +: receiptCols): _*)
+      .write.mode("overwrite").parquet(receiptPath(dir, eraseId))
+    val report = LakeDeletes.erase(spark, s"$dir/data", ids, idCol)
+    appendLog(fs, dir,
+      PublishEntry(logged.lastOption.map(_.seq + 1).getOrElse(1L), entryId))
+    report
+  }
+
+  /** The erasure receipts sequenced in (fromSeq, toSeq] — the rows a
+    * snapshot diff over that window must surface as `removed` (minus any
+    * id a later batch republished). Metadata-sized: one log listing plus
+    * a pruned scan of exactly the in-window receipt directories. */
+  def erasureReceipts(spark: SparkSession, dir: String, fromSeq: Long,
+      toSeq: Long): DataFrame = {
+    val es = publishLog(spark, dir)
+      .filter(e => isErasure(e) && e.seq > fromSeq && e.seq <= toSeq)
+    require(es.nonEmpty,
+      s"no erasure sequenced in ($fromSeq, $toSeq] in $dir")
+    spark.read.parquet(es.map(e =>
+      receiptPath(dir, e.batchId.stripPrefix(ErasePrefix))): _*)
   }
 
   /** Content-addressed release manifest — the byte-verifiability artifact
@@ -258,7 +333,10 @@ object LakeAudit {
     * #batches rows), then log-sized digest algebra — the chain window
     * orders #publishes rows, metadata-sized at any corpus size. */
   def releaseManifest(spark: SparkSession, dir: String): DataFrame = {
-    val log = publishLog(spark, dir)
+    // erasure entries name no data directory — the manifest certifies
+    // data batches (an erasure REWRITES the touched batches, so their
+    // digests change from that point on, which is the correct audit trail)
+    val log = publishLog(spark, dir).filterNot(isErasure)
     require(log.nonEmpty, s"releaseManifest: empty publish log in $dir")
     import spark.implicits._
     val seqs = log.map(e => (e.seq, e.batchId))

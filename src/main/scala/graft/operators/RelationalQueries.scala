@@ -897,7 +897,11 @@ object RelationalQueries extends QueryGroup {
     val feed = Tables.orders(s, d)
       .filter(col("o_orderkey") % 3 === 0)
       .select(
-      when(col("o_orderkey") % 7 === 0, col("o_custkey") + 10000000L)
+      // synthesized-insert keys shift by 10¹² — far above any reachable
+      // custkey domain (replica-offset scaled keys included: sf1000 TPC-H
+      // is ~1.5·10⁸ customers), so an "insert" can never alias a genuine
+      // base key at any SF and the insert/update mix is scale-stable
+      when(col("o_orderkey") % 7 === 0, col("o_custkey") + 1000000000000L)
         .otherwise(col("o_custkey")).as("c_custkey"),
       col("o_totalprice").as("c_acctbal"),
       col("o_orderpriority").as("c_mktsegment"),
@@ -928,6 +932,130 @@ object RelationalQueries extends QueryGroup {
       .select(col("c_mktsegment"), col("n_rows"),
         col("sum_bal").cast("double").as("total_bal"))
       .orderBy("c_mktsegment")
+  }
+
+  /** Q264: JOIN-view IVM under RETRACTIONS — the IVM ladder's last rung
+    * after q247 (insert-only join deltas) and q258 (retraction aggregates):
+    * a stored join+rollup view V = π[seg, count, Σprice](C ⋈ O) maintained
+    * against a CDC feed on the CUSTOMER side (updates + deletes + inserts,
+    * the q130/q258 feed shape) PLUS an insert-only arrival batch on the
+    * ORDERS side — the Materialize/Flink changelog-join shape, and the
+    * most common materialized view in practice (join + rollup).
+    *
+    * Algebra: with ΔC the SIGNED customer delta (every touched key's
+    * pre-image at −1 — the retraction branch, read from the BASE customer
+    * state, i.e. the other side of the CDC feed's own history — and every
+    * surviving upsert's post-image at +1) and ΔO the orders arrival batch,
+    * the Gupta–Mumick four-branch rule extends to retractions because the
+    * join is BILINEAR over signed multisets:
+    *
+    *   V(C₀+ΔC, O₀+ΔO) = V(C₀,O₀) + ΔC⋈O₀ + C₀⋈ΔO + ΔC⋈ΔO
+    *                   = V(C₀,O₀) + ΔC⋈(O₀+ΔO) + C₀⋈ΔO
+    *
+    * — the fused form computed here: the signed customer delta joins the
+    * OTHER side's LATEST stored state (O₁ = O₀+ΔO) once, which folds the
+    * ΔC⋈ΔO cross branch in for free; delete pre-images retract every join
+    * row they had (−1, −price — the q258 ± algebra at JOIN granularity);
+    * updates that MOVE a customer between segments retract from one group
+    * and add to another; inserted keys (offset 10¹² — can never alias a
+    * real custkey at any SF) join no orders and contribute nothing, as
+    * they must. Groups whose count reaches zero are dropped (the q258
+    * zero-row rule). V(C₀,O₀) is a SCANNED session-memoized parquet
+    * (PlanSpec pins the file scan); exact DECIMAL sums make the ± algebra
+    * lossless. The ORACLE is the FULL RECOMPUTE over the latest-wins
+    * merged customer table joined to all orders — the hash match IS the
+    * retraction-correctness equation at join granularity.
+    *
+    * Scale shape: work ∝ |ΔC|·(orders per touched customer) + |ΔO| +
+    * |stored rollup| (segment-domain-sized); the delta-side joins are
+    * delta-keyed (AQE broadcasts the touched-key set while it fits). The
+    * same changelog algebra runs LIVE as a stream-static join in
+    * [[graft.streaming.JoinViewStream]] (StreamingIvmSpec pins stream ≡
+    * this query, bootstrap + CDC waves). */
+  private val q264: Q = (s, d) => {
+    val W = org.apache.spark.sql.expressions.Window
+    val feed = Tables.orders(s, d)
+      .filter(col("o_orderkey") % 3 === 0)
+      .select(
+        when(col("o_orderkey") % 7 === 0, col("o_custkey") + 1000000000000L)
+          .otherwise(col("o_custkey")).as("c_custkey"),
+        col("o_orderpriority").as("seg"),
+        col("o_orderkey").as("seq"),
+        when(col("o_orderkey") % 10 === 0, lit("D"))
+          .otherwise(lit("U")).as("op"))
+    val latest = feed.withColumn("rn", row_number().over(
+        W.partitionBy("c_custkey").orderBy(col("seq").desc)))
+      .filter(col("rn") === 1).drop("rn", "seq")
+    // retraction branch: pre-images of every touched key that EXISTS in
+    // the base (inserts / deletes of missing keys retract nothing)
+    val pre = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment").as("seg"))
+      .join(latest.select("c_custkey"), Seq("c_custkey"))
+      .select(col("c_custkey"), col("seg"), lit(-1L).as("sgn"))
+    val post = latest.filter(col("op") === "U")
+      .select(col("c_custkey"), col("seg"), lit(1L).as("sgn"))
+    val dC = pre.unionByName(post)
+    // ΔC joins the orders side's LATEST stored state (O₀ ∪ ΔO) — the
+    // fused retraction+cross branch
+    val oAll = Tables.orders(s, d)
+      .select(col("o_custkey").as("c_custkey"), col("o_totalprice"))
+    val dPrice = col("o_totalprice").cast(DecimalType(18, 2))
+    val branchA = dC.join(oAll, Seq("c_custkey"))
+      .select(col("seg"), col("sgn").as("dn"),
+        (col("sgn") * dPrice).as("ds"))
+    // C₀ ⋈ ΔO: the insert-only arrival batch against the base customers
+    val dO = Tables.orders(s, d).filter(col("o_orderkey") % 17 === 3)
+      .select(col("o_custkey").as("c_custkey"), col("o_totalprice"))
+    val branchB = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment").as("seg"))
+      .join(dO, Seq("c_custkey"))
+      .select(col("seg"), lit(1L).as("dn"), dPrice.as("ds"))
+    ivmJoinView(s, d).select(col("seg"), col("n").as("dn"),
+        col("s").as("ds"))
+      .unionByName(branchA).unionByName(branchB)
+      .groupBy(col("seg").as("c_mktsegment"))
+      .agg(sum(col("dn")).as("n_rows"), sum(col("ds")).as("sum_p"))
+      .filter(col("n_rows") > 0)
+      .select(col("c_mktsegment"), col("n_rows"),
+        col("sum_p").cast("double").as("total_price"))
+      .orderBy("c_mktsegment")
+  }
+
+  // The stored join+rollup view q264 maintains: (segment, join-row count,
+  // exact DECIMAL Σ o_totalprice) over C₀ ⋈ O₀ (O₀ = orders before the
+  // ≡3-mod-17 arrival batch), materialized ONCE per (session, dir) as a
+  // temp parquet the incremental path SCANS.
+  private val ivmJoinMemo =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.mutable.Map[String, String]]()
+
+  private def ivmJoinView(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val perSession = ivmJoinMemo.synchronized {
+      var m = ivmJoinMemo.get(s)
+      if (m == null) {
+        m = scala.collection.mutable.Map.empty[String, String]
+        ivmJoinMemo.put(s, m)
+      }
+      m
+    }
+    val path = perSession.synchronized {
+      perSession.getOrElseUpdate(d, {
+        val p = TempDirs.scoped("graft-ivm-join")
+        val o0 = Tables.orders(s, d)
+          .filter(!(col("o_orderkey") % 17 === 3))
+          .select(col("o_custkey").as("c_custkey"), col("o_totalprice"))
+        Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment").as("seg"))
+          .join(o0, Seq("c_custkey"))
+          .groupBy("seg")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).as("s"))
+          .write.mode("overwrite").parquet(p)
+        p
+      })
+    }
+    s.read.parquet(path)
   }
 
   // The stored per-segment rollup q258 maintains: (segment, count, exact
@@ -1070,17 +1198,25 @@ object RelationalQueries extends QueryGroup {
     *
     * Scale shape: each candidate is one child-side DISTINCT (map-side
     * partials collapse to the value domain) + one anti join against the
-    * parent key set — parent sides are dimension-sized and broadcast; the
-    * fact table is scanned once per candidate column, column-pruned.
-    * Violations are counted, never collected. */
+    * parent key set. The broadcast hint is applied ONLY to genuinely
+    * dimension-sized parents (supplier/customer/part — bounded at any
+    * SF); the orders parent is FACT-sized (its key domain grows linearly
+    * with scale), so that probe leaves the join strategy to AQE, which
+    * broadcasts while the key set fits and degrades to a shuffled anti
+    * join beyond — a forced hint there would bypass AQE's size check and
+    * risk a driver OOM at large SF. The fact table is scanned once per
+    * candidate column, column-pruned. Violations are counted, never
+    * collected. */
   private val q263: Q = (s, d) => {
     def probe(name: String, child: org.apache.spark.sql.DataFrame,
         childCol: String, parent: org.apache.spark.sql.DataFrame,
-        parentCol: String): org.apache.spark.sql.DataFrame = {
+        parentCol: String,
+        dimParent: Boolean = true): org.apache.spark.sql.DataFrame = {
       val c = child.select(col(childCol).as("v"))
         .filter(col("v").isNotNull).distinct()
-      val p = parent.select(col(parentCol).as("v")).distinct()
-      val unmatched = c.join(broadcast(p), Seq("v"), "left_anti")
+      val p0 = parent.select(col(parentCol).as("v")).distinct()
+      val p = if (dimParent) broadcast(p0) else p0
+      val unmatched = c.join(p, Seq("v"), "left_anti")
         .agg(count(lit(1)).as("n_unmatched"))
       c.agg(count(lit(1)).as("n_child_distinct"))
         .crossJoin(unmatched)
@@ -1091,7 +1227,8 @@ object RelationalQueries extends QueryGroup {
     val li = Tables.lineitem(s, d)
     Seq(
       probe("lineitem.l_orderkey -> orders.o_orderkey",
-        li, "l_orderkey", Tables.orders(s, d), "o_orderkey"),
+        li, "l_orderkey", Tables.orders(s, d), "o_orderkey",
+        dimParent = false),
       probe("lineitem.l_partkey -> part.p_partkey",
         li, "l_partkey", Tables.part(s, d), "p_partkey"),
       probe("lineitem.l_suppkey -> supplier.s_suppkey",
@@ -1137,8 +1274,67 @@ object RelationalQueries extends QueryGroup {
       .orderBy("column_name")
   }
 
+  /** Q266: candidate-KEY discovery — q263's other half (THAT proposes
+    * foreign keys; THIS verifies which column sets are candidate keys —
+    * together the metadata crawler a warehouse runs on an undocumented
+    * lake): per candidate column set, exact row count, distinct count of
+    * fully-non-null tuples, null-row count, and the verdict
+    * `is_key ⇔ no nulls ∧ n_distinct = n_rows` (SQL key semantics: a
+    * nullable column cannot be a key regardless of distinctness — pinned
+    * by a derived witness candidate that is UNIQUE among its non-nulls
+    * yet carries nulls, so only the null rule can reject it). Seven
+    * candidates: three genuine keys (c_custkey, o_orderkey, event_id),
+    * the two lineitem unary columns (fail on duplicates), the COMPOSITE
+    * (l_orderkey, l_linenumber) — the textbook TPC-H key, which on THIS
+    * synthetic corpus genuinely duplicates (~23% dup pairs, the q165
+    * audit) and must honestly FAIL — and the null witness.
+    *
+    * Scale shape: each candidate is ONE map-side-collapsing groupBy over
+    * the candidate tuple (partials shrink to the value domain) + a
+    * domain-sized fold — never a self-join, never a collect; the fact
+    * scans are column-pruned to the candidate columns. */
+  private val q266: Q = (s, d) => {
+    def probe(name: String, t: org.apache.spark.sql.DataFrame,
+        cs: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.DataFrame = {
+      val gcols = cs.zipWithIndex.map { case (c, i) => c.as(s"k$i") }
+      val gnames = cs.indices.map(i => col(s"k$i"))
+      val gNull = gnames.map(_.isNull).reduce(_ || _)
+      t.select(gcols: _*)
+        .groupBy(gnames: _*)
+        .agg(count(lit(1)).as("cnt"))
+        .agg(sum(col("cnt")).as("n_rows"),
+          coalesce(sum(when(gNull, col("cnt"))), lit(0L)).as("n_null_rows"),
+          count(when(!gNull, lit(1))).as("n_distinct"))
+        .select(lit(name).as("candidate"), col("n_rows"),
+          col("n_distinct"), col("n_null_rows"),
+          (col("n_null_rows") === 0L &&
+            col("n_distinct") === col("n_rows")).as("is_key"))
+    }
+    val li = Tables.lineitem(s, d)
+    Seq(
+      probe("customer(c_custkey)", Tables.customer(s, d),
+        Seq(col("c_custkey"))),
+      probe("orders(o_orderkey)", Tables.orders(s, d),
+        Seq(col("o_orderkey"))),
+      probe("events(event_id)", Tables.events(s, d),
+        Seq(col("event_id"))),
+      probe("lineitem(l_orderkey)", li, Seq(col("l_orderkey"))),
+      probe("lineitem(l_linenumber)", li, Seq(col("l_linenumber"))),
+      probe("lineitem(l_orderkey,l_linenumber)", li,
+        Seq(col("l_orderkey"), col("l_linenumber"))),
+      // the null witness: unique among non-nulls (it IS o_orderkey),
+      // every ≡0 (mod 50) key masked to NULL — only the null rule rejects
+      probe("orders(nullif_witness)", Tables.orders(s, d),
+        Seq(when(col("o_orderkey") % 50 === 0, lit(null).cast("long"))
+          .otherwise(col("o_orderkey"))))
+    ).reduce(_ unionByName _)
+      .orderBy("candidate")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q255_profile_table" -> q255,
+    "q264_ivm_join_retract" -> q264,
+    "q266_profile_candidate_keys" -> q266,
     "q247_ivm_join_delta" -> q247,
     "q258_ivm_agg_retract" -> q258,
     "q259_scan_csv_typed" -> q259,
@@ -1352,7 +1548,8 @@ object RelationalQueries extends QueryGroup {
     // with stored − old + new is the retraction-correctness equation
     "q258_ivm_agg_retract" ->
       """WITH ch AS (
-        |  SELECT CASE WHEN o_orderkey % 7 = 0 THEN o_custkey + 10000000
+        |  SELECT CASE WHEN o_orderkey % 7 = 0
+        |           THEN o_custkey + 1000000000000
         |           ELSE o_custkey END AS c_custkey,
         |    o_totalprice AS c_acctbal,
         |    o_orderpriority AS c_mktsegment,
@@ -1373,6 +1570,68 @@ object RelationalQueries extends QueryGroup {
         |    AS total_bal
         |FROM merged GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
+
+    // join-view IVM with retractions: the oracle is the FULL RECOMPUTE —
+    // latest-wins merged customers joined to ALL orders (O₀ ∪ ΔO) —
+    // equality with stored + ΔC⋈O₁ + C₀⋈ΔO is the join-granularity
+    // retraction-correctness equation
+    "q264_ivm_join_retract" ->
+      s"""WITH ch AS (
+         |  SELECT CASE WHEN o_orderkey % 7 = 0
+         |           THEN o_custkey + 1000000000000
+         |           ELSE o_custkey END AS c_custkey,
+         |    o_orderpriority AS c_mktsegment,
+         |    o_orderkey AS seq,
+         |    CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op
+         |  FROM orders WHERE o_orderkey % 3 = 0),
+         |w AS (SELECT *, row_number() OVER (
+         |    PARTITION BY c_custkey ORDER BY seq DESC) AS rn FROM ch),
+         |latest AS (SELECT * FROM w WHERE rn = 1),
+         |merged AS (
+         |  SELECT c_custkey, c_mktsegment FROM customer
+         |  WHERE c_custkey NOT IN (SELECT c_custkey FROM latest)
+         |  UNION ALL
+         |  SELECT c_custkey, c_mktsegment FROM latest
+         |  WHERE op <> 'D')
+         |SELECT m.c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
+         |  ${sqlDsum("o.o_totalprice")} AS total_price
+         |FROM merged m JOIN orders o ON m.c_custkey = o.o_custkey
+         |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+
+    // candidate keys: the same grouped-tuple fold per candidate — null
+    // tuples counted by the group keys' nullness, distinct = non-null
+    // groups; the NULLIF witness mirrors the engine's masking exactly
+    "q266_profile_candidate_keys" -> {
+      def p(name: String, table: String, cols: Seq[String]): String = {
+        val keys = cols.mkString(", ")
+        val gNull = cols.map(c => s"$c IS NULL").mkString(" OR ")
+        s"""SELECT '$name' AS candidate,
+           |  CAST(sum(cnt) AS BIGINT) AS n_rows,
+           |  CAST(count(CASE WHEN NOT ($gNull) THEN 1 END) AS BIGINT)
+           |    AS n_distinct,
+           |  CAST(coalesce(sum(CASE WHEN $gNull THEN cnt END), 0)
+           |    AS BIGINT) AS n_null_rows,
+           |  coalesce(sum(CASE WHEN $gNull THEN cnt END), 0) = 0
+           |    AND count(CASE WHEN NOT ($gNull) THEN 1 END) = sum(cnt)
+           |    AS is_key
+           |FROM (SELECT $keys, count(*) AS cnt FROM $table
+           |      GROUP BY $keys)""".stripMargin
+      }
+      Seq(
+        p("customer(c_custkey)", "customer", Seq("c_custkey")),
+        p("orders(o_orderkey)", "orders", Seq("o_orderkey")),
+        p("events(event_id)", "events", Seq("event_id")),
+        p("lineitem(l_orderkey)", "lineitem", Seq("l_orderkey")),
+        p("lineitem(l_linenumber)", "lineitem", Seq("l_linenumber")),
+        p("lineitem(l_orderkey,l_linenumber)", "lineitem",
+          Seq("l_orderkey", "l_linenumber")),
+        p("orders(nullif_witness)",
+          "(SELECT CASE WHEN o_orderkey % 50 = 0 THEN NULL" +
+            " ELSE o_orderkey END AS wit FROM orders)",
+          Seq("wit"))
+      ).mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+        "\n) ORDER BY candidate")
+    },
 
     // inclusion-dependency probes: per candidate, distinct child values
     // and the exact count of distinct values with no parent match

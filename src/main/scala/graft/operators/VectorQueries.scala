@@ -56,10 +56,13 @@ object VectorQueries extends QueryGroup {
     * content groups collapse losslessly: a group is a clique (every
     * member-member cosine equals the group's self-cosine), so a STAR to
     * the group's min-id rep carries the same connectivity — star edges
-    * are genuine graph edges (identical embeddings), emitted only when
-    * the group's self-cosine actually clears τ (a zero/NaN embedding's
-    * self-cosine does not, and the direct join would not connect those
-    * either) — and cross-group reachability is decided entirely by REP
+    * are genuine graph edges (identical embeddings), emitted under the
+    * SAME `cos ≥ τ` predicate the direct join applies — for a zero/NaN
+    * embedding the self-cosine is NaN and Spark's NaN-is-greatest
+    * ordering makes `NaN >= τ` TRUE, so BOTH paths connect zero-vector
+    * groups identically (R17QuerySemanticsSpec pins it; do not "optimize"
+    * the star filter away for NaN groups — it is what keeps grouped ≡
+    * direct) — and cross-group reachability is decided entirely by REP
     * pairs, because cosine is a function of the embeddings alone. Pair
     * volume drops members² → groups² per label (the q157/q186 move on a
     * components consumer); grouped ≡ direct spec-pinned

@@ -201,4 +201,44 @@ class LakeAuditSpec extends SparkSpec {
       nowMs = now + 7200000L).isEmpty)
     assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/staging/batch=good")))
   }
+
+  test("eraseLogged: receipt + history rewrite + log sequencing; replay is a no-op that keeps the receipt") {
+    val dir = tmpDir("waperase")
+    assert(writeAuditPublish(spark, batchOf(0), dir, "a", rules).published)
+    assert(writeAuditPublish(spark, batchOf(1), dir, "b", rules).published)
+    // erase one row of batch a and one NEVER-PRESENT id (must not appear
+    // in the receipt — receipts witness rows actually live)
+    val rep = eraseLogged(spark, dir, "g1", Seq(1L, 999L), "id", Seq("qty"))
+    assert(rep.rowsDeleted == 1L)
+    // history is REWRITTEN: the erased id is gone from every as-of read
+    assert(idsOf(readAsOf(spark, dir, 1L)) == Set(2L))
+    assert(idsOf(readAsOf(spark, dir, 3L)) == Set(2L, 11L, 12L))
+    // the erasure is sequenced in the log but invisible to data readers
+    val log = publishLog(spark, dir)
+    assert(log.map(_.seq) == Seq(1L, 2L, 3L))
+    assert(log.count(isErasure) == 1 && isErasure(log(2)))
+    // the receipt carries exactly the erased row (id + audit cols)
+    val rcpt = erasureReceipts(spark, dir, 0L, 99L)
+      .as[(Long, Double)].collect().toSeq
+    assert(rcpt == Seq((1L, 5.0)))
+    // a later publish sequences AFTER the erasure
+    assert(writeAuditPublish(spark, batchOf(2), dir, "c", rules).published)
+    assert(publishLog(spark, dir).map(_.seq) == Seq(1L, 2L, 3L, 4L))
+    assert(idsOf(readAsOf(spark, dir, 4L)) == Set(2L, 11L, 12L, 21L, 22L))
+    // REPLAY: a second eraseLogged of the same id is a pure no-op — no
+    // new log entry, no file touched, and the receipt is NOT clobbered
+    // by a pass that now sees zero live rows
+    val rep2 = eraseLogged(spark, dir, "g1", Seq(1L, 999L), "id", Seq("qty"))
+    assert(rep2.rowsDeleted == 0L && rep2.filesTouched == 0)
+    assert(publishLog(spark, dir).map(_.seq) == Seq(1L, 2L, 3L, 4L))
+    assert(erasureReceipts(spark, dir, 0L, 99L)
+      .as[(Long, Double)].collect().toSeq == Seq((1L, 5.0)))
+    // the receipt window is (from, to]: a window before the erasure
+    // seq finds nothing
+    intercept[IllegalArgumentException](
+      erasureReceipts(spark, dir, 0L, 2L))
+    // the release manifest skips erasure entries (data batches only)
+    assert(releaseManifest(spark, dir).select("batch")
+      .as[String].collect().toSet == Set("a", "b", "c"))
+  }
 }

@@ -72,6 +72,28 @@ class PlanSpec extends SparkSpec {
     // of the stored pre-delta base graph
     val p2 = executedPlan("q252_knn_incremental")
     assert(p2.contains("graft-knn-base"), p2.take(4000))
+    // join-view IVM: the stored join+rollup view must arrive as a parquet
+    // scan of the memoized view, not a re-join of customer × orders
+    val p3 = executedPlan("q264_ivm_join_retract")
+    assert(p3.contains("graft-ivm-join"), p3.take(4000))
+  }
+
+  test("q262/q265/q259: fixture lakes are memoized — a second run scans the SAME files (no rebuild)") {
+    // the fixture build happens imperatively at first compose; the
+    // regression this catches is a lost memo (every run would write a
+    // FRESH TempDirs.scoped dir — visible as a different random-suffixed
+    // path in the second run's scans)
+    for ((q, marker) <- Seq(
+        ("q262_lake_snapshot_diff", "graft-wap-asof"),
+        ("q265_lake_diff_removals", "graft-wap-diff"),
+        ("q259_scan_csv_typed", "graft-csv-fixture"))) {
+      val re = (marker + "\\d+").r
+      val first = re.findAllIn(executedPlan(q)).toSet
+      val second = re.findAllIn(executedPlan(q)).toSet
+      assert(first.nonEmpty, s"$q: no $marker scan in the executed plan")
+      assert(first == second,
+        s"$q rebuilt its fixture between runs: $first vs $second")
+    }
   }
 
   test("q11: range join runs as an equi-join on (user, bucket), never BNLJ") {

@@ -166,7 +166,7 @@ class R17QuerySemanticsSpec extends SparkSpec {
     val ch = Tables.orders(spark, sfDir)
       .filter(col("o_orderkey") % 3 === 0)
       .select(
-        when(col("o_orderkey") % 7 === 0, col("o_custkey") + 10000000L)
+        when(col("o_orderkey") % 7 === 0, col("o_custkey") + 1000000000000L)
           .otherwise(col("o_custkey")).as("c_custkey"),
         concat(lit("cdc#"), col("o_orderkey").cast("string")).as("c_name"),
         col("o_totalprice").as("c_acctbal"),

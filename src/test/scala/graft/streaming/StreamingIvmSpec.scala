@@ -29,7 +29,7 @@ class StreamingIvmSpec extends SparkSpec {
     val feed = Tables.orders(spark, sfDir)
       .filter(col("o_orderkey") % 3 === 0)
       .select(
-        when(col("o_orderkey") % 7 === 0, col("o_custkey") + 10000000L)
+        when(col("o_orderkey") % 7 === 0, col("o_custkey") + 1000000000000L)
           .otherwise(col("o_custkey")).as("c_custkey"),
         col("o_totalprice").as("bal"),
         col("o_orderpriority").as("seg"),
@@ -85,5 +85,67 @@ class StreamingIvmSpec extends SparkSpec {
     val zeroSums = spark.table("ivm_rollup").filter(col("n_rows") === 0)
       .select(col("sum_bal").cast("double")).as[Double].collect()
     assert(zeroSums.forall(_ == 0.0), s"retracted groups must sum to exactly 0: ${zeroSums.toSeq}")
+  }
+
+  test("streamed ±retraction JOIN view ≡ batch q264 (bootstrap + CDC waves, stream-static join)") {
+    implicit val sc = spark.sqlContext
+    // bootstrap: every base customer as an insert (no pre-image)
+    val base = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"),
+        lit(null).cast("string").as("old_seg"),
+        col("c_mktsegment").as("new_seg"))
+    // the q264 customer CDC batch resolved latest-wins, enriched with the
+    // base PRE-image for every key that had one (the Debezium shape)
+    val feed = Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") % 3 === 0)
+      .select(
+        when(col("o_orderkey") % 7 === 0,
+          col("o_custkey") + 1000000000000L)
+          .otherwise(col("o_custkey")).as("c_custkey"),
+        col("o_orderpriority").as("seg"),
+        col("o_orderkey").as("seq"),
+        when(col("o_orderkey") % 10 === 0, lit("D"))
+          .otherwise(lit("U")).as("op"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("c_custkey").orderBy(col("seq").desc)))
+      .filter(col("rn") === 1)
+    val changes = feed.join(
+        Tables.customer(spark, sfDir).select(col("c_custkey"),
+          col("c_mktsegment").as("old_seg0")),
+        Seq("c_custkey"), "left")
+      .select(col("c_custkey"), col("old_seg0").as("old_seg"),
+        when(col("op") === "U", col("seg")).as("new_seg"))
+    val rows = base.unionByName(changes)
+      .as[(Long, String, String)].collect()
+    // base must stream BEFORE the change that retracts it: waves 1+2 are
+    // the bootstrap, waves 3+4 the CDC batch (uneven cuts)
+    val nb = base.count().toInt
+    val waves = Seq(rows.slice(0, nb / 3), rows.slice(nb / 3, nb),
+      rows.slice(nb, nb + 40), rows.slice(nb + 40, rows.length))
+    // the OTHER side's latest stored state: ALL orders (O₀ ∪ ΔO)
+    val rightState = Tables.orders(spark, sfDir)
+      .select(col("o_custkey").as("c_custkey"), col("o_totalprice"))
+    val mem = MemoryStream[(Long, String, String)]
+    val q = JoinViewStream.maintain(
+        mem.toDF().toDF("c_custkey", "old_seg", "new_seg"), rightState)
+      .writeStream.format("memory").queryName("ivm_join_view")
+      .outputMode(OutputMode.Complete()).start()
+    waves.foreach { w => mem.addData(w.toSeq: _*); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("ivm_join_view")
+      .filter(col("n_rows") > 0) // the q264 zero-count drop, at read time
+      .select(col("c_mktsegment"), col("n_rows"),
+        col("sum_price").cast("double").as("total_price"))
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val batch = SparkEntry.queries("q264_ivm_join_retract")(spark, sfDir)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(streamed == batch,
+      s"stream ≠ batch:\n stream ${streamed.toSeq.sortBy(_._1)}\n batch ${batch.toSeq.sortBy(_._1)}")
+    // the readout must mix surviving base segments with upsert-created
+    // priority groups — otherwise the retraction algebra wasn't exercised
+    val segs = batch.keySet
+    assert(segs.exists(_.contains("URGENT")) &&
+      segs.exists(Set("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+        "MACHINERY").contains))
   }
 }
