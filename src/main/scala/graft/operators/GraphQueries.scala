@@ -1057,6 +1057,34 @@ object GraphQueries extends QueryGroup {
     * as MATERIALIZED CTE rounds — packed ≡ exploded because elementwise
     * min with an absent-register sentinel is exactly per-(node, bucket)
     * min with sentinel fill. */
+  /** q254's round-0 packed-register frame: one (node, regs[64]) row per
+    * node, the node's own md5-HLL observation in its bucket, the 2²⁷
+    * empty-register sentinel elsewhere — factored out so the sizing spec
+    * measures the EXACT frame every round broadcasts. */
+  private[operators] def hyperBallInitRegs(nodes: DataFrame): DataFrame =
+    nodes
+      .withColumn("h", call_function("md5_prefix32", col("node")))
+      .withColumn("bucket", expr("CAST(h div 67108864 AS INT)"))
+      .withColumn("w", col("h") % lit(67108864L))
+      .withColumn("term", expr(
+        "CAST((w | (w >> 1) | (w >> 2) | (w >> 4) | (w >> 8) | (w >> 16)) + 1 AS INT)"))
+      .select(col("node"), expr(
+        "transform(sequence(0, 63), i -> IF(i = bucket, term, 134217728))")
+        .as("regs"))
+
+  /** Conservative planning size of one packed-register UnsafeRow:
+    * measured 304 B at ≤8-char node ids (sf0.01 and sf0.1 both,
+    * BASELINE r18), padded to 320 B for the id widths a 10⁸-node graph
+    * reaches (string slots round up in 8-byte words). */
+  private[operators] val HyperBallRegRowBytes = 320L
+
+  /** Per-executor broadcast budget for the register table: 128 MB — an
+    * order of magnitude above autoBroadcastJoinThreshold's 10 MB default
+    * (this is the round's ONLY broadcast and it replaces an |E|-array-row
+    * shuffle measured at ~3 GB/round at sf1), still <1% of a 16 GB
+    * executor. */
+  private[operators] val HyperBallBroadcastBudgetBytes = 128L << 20
+
   private val q254: Q = (s, d) => {
     // pre-partitioned on dst (the PageRank.run move): the per-round
     // register join is broadcast below the node threshold, so the
@@ -1068,24 +1096,26 @@ object GraphQueries extends QueryGroup {
       .repartition(col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    // registers broadcast while |V|·~270 B fits an executor; past it the
+    // registers broadcast while the packed-register table fits a
+    // per-executor broadcast BUDGET — the threshold is BYTES, not a node
+    // count (ADVICE r17): a broadcast ships one full copy to every
+    // executor, so the budget is what one executor pins beside its
+    // shuffle working set. Register row footprint is MEASURED, not
+    // guessed: the (node, regs[64]) UnsafeRow is exactly 304 B at ≤8-char
+    // node ids (8 null bits + 2×8 fixed slots + 8 string + 272
+    // UnsafeArrayData; R18QuerySemanticsSpec pins it; BASELINE r18 row),
+    // growing to ~320 B at 10⁸-node id widths — the planning constant.
+    // At the 128 MB budget the cutoff is ~420k nodes (the r17 round
+    // figure of 2M would have shipped ~600 MB copies); past it the
     // rounds fall back to the shuffled union form (the only plan a
-    // billion-node graph admits)
+    // billion-node graph admits).
     val nn = deg.count()
-    val small = nn <= 2000000L
+    val small = nn * HyperBallRegRowBytes <= HyperBallBroadcastBudgetBytes
     // PACKED registers: one row per node carrying all 64 registers
     // (absent = the 2^27 empty-register sentinel), merged elementwise —
     // an iteration shuffles |E| array rows, never |E|·m register rows
     val amin = udaf(new graft.functions.ArrayMinAgg(64))
-    var reg = deg.select(col("src").as("node"))
-      .withColumn("h", call_function("md5_prefix32", col("node")))
-      .withColumn("bucket", expr("CAST(h div 67108864 AS INT)"))
-      .withColumn("w", col("h") % lit(67108864L))
-      .withColumn("term", expr(
-        "CAST((w | (w >> 1) | (w >> 2) | (w >> 4) | (w >> 8) | (w >> 16)) + 1 AS INT)"))
-      .select(col("node"), expr(
-        "transform(sequence(0, 63), i -> IF(i = bucket, term, 134217728))")
-        .as("regs"))
+    var reg = hyperBallInitRegs(deg.select(col("src").as("node")))
     val rounds = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (_ <- 1 to 3) {
       reg = if (small) {

@@ -163,4 +163,26 @@ class R18QuerySemanticsSpec extends SparkSpec {
     // longer weighted than hopped (weight-3 edges exist on optimal routes)
     assert(strict > 0, "weighted ≡ hop everywhere — weights inert")
   }
+
+  test("q254: the broadcast threshold's register-row constant matches the measured UnsafeRow size") {
+    def rowSizes(ids: Seq[String]): Set[Long] =
+      GraphQueries.hyperBallInitRegs(ids.toDF("node"))
+        .queryExecution.toRdd
+        .map(_.asInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.UnsafeRow]
+          .getSizeInBytes.toLong)
+        .collect().toSet
+    // ≤8-char node ids (every SF this suite runs): exactly 304 B —
+    // 8 null bits + 2×8 fixed slots + 8 string + 272 UnsafeArrayData
+    assert(rowSizes((1 to 64).map(i => f"c:$i%06d")) == Set(304L))
+    // the id widths a 10⁸-node graph reaches stay under the padded
+    // planning constant the broadcast threshold divides by
+    assert(rowSizes((1 to 8).map(i => f"c:$i%08d"))
+      .forall(_ <= GraphQueries.HyperBallRegRowBytes))
+    // and the resulting cutoff sits in the honest few-hundred-k regime —
+    // far below the r17 round figure of 2M nodes (~600 MB copies)
+    val cutoff = GraphQueries.HyperBallBroadcastBudgetBytes /
+      GraphQueries.HyperBallRegRowBytes
+    assert(cutoff >= 200000L && cutoff <= 1000000L, s"cutoff=$cutoff")
+  }
 }
