@@ -139,9 +139,16 @@ object LakeCompaction {
     * `targetBytes` per bin and changes nothing else (content identity is
     * row-set identity; parquet row order is not part of the table
     * contract). */
+  /** @param writeOptions extra parquet writer options applied to every
+    *   rewritten file — the lake-layout levers that only matter at
+    *   rewrite time, e.g. [[graft.operators.LakeLayout.bloomOptions]]'s
+    *   `parquet.bloom.filter.enabled#<col>` for point-lookup skipping on
+    *   a NON-sort column (BloomLakeSpec measures the effect; sort columns
+    *   already skip via row-group min/max). */
   def compact(spark: SparkSession, dir: String, targetBytes: Long,
       maxConcurrentBins: Int = 8, sortBy: Seq[String] = Nil,
-      allowManifested: Boolean = false): Report = {
+      allowManifested: Boolean = false,
+      writeOptions: Map[String, String] = Map.empty): Report = {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // a FileStreamSink lake (writeStream.format("parquet")) is read through
@@ -171,12 +178,13 @@ object LakeCompaction {
           "stopped. Stop the sink, then pass allowManifested = true.")
         assertNoActiveWriter(spark, fs, mroot)
         compactManifested(spark, fs, mroot, fs.makeQualified(root),
-          targetBytes, maxConcurrentBins, sortBy)
+          targetBytes, maxConcurrentBins, sortBy, writeOptions)
       case None =>
         val bins = plan(spark, dir, targetBytes)
         if (bins.isEmpty) return Report(0, 0, 0, 0, 0L)
         runBins(bins, maxConcurrentBins)(bin =>
-          rewrite(spark, fs, bin, sortBy, deleteOriginals = true))
+          rewrite(spark, fs, bin, sortBy, deleteOriginals = true,
+            writeOptions))
         Report(bins.map(_.partitionDir).distinct.size, bins.size,
           bins.map(_.files.size).sum, bins.size, bins.map(_.bytes).sum)
     }
@@ -294,7 +302,8 @@ object LakeCompaction {
   }
 
   private def rewrite(spark: SparkSession, fs: FileSystem, bin: Bin,
-      sortBy: Seq[String], deleteOriginals: Boolean): Unit = {
+      sortBy: Seq[String], deleteOriginals: Boolean,
+      writeOptions: Map[String, String] = Map.empty): Unit = {
     val partDir = new Path(bin.partitionDir)
     val staging = new Path(partDir, s".compacting-${bin.outputName}")
     fs.delete(staging, true)
@@ -309,7 +318,8 @@ object LakeCompaction {
       if (sortBy.isEmpty) one
       else one.sortWithinPartitions(sortBy.map(
         org.apache.spark.sql.functions.col): _*)
-    clustered.write.mode("overwrite").parquet(staging.toString)
+    clustered.write.mode("overwrite").options(writeOptions)
+      .parquet(staging.toString)
     val part = fs.listStatus(staging)
       .map(_.getPath).find(p => p.getName.startsWith("part-"))
       .getOrElse(throw new java.io.IOException(s"no staged file under $staging"))
@@ -377,7 +387,8 @@ object LakeCompaction {
     * interval re-derived from the single compact's position). */
   private def compactManifested(spark: SparkSession, fs: FileSystem,
       manifestRoot: Path, subtree: Path, targetBytes: Long,
-      maxConcurrentBins: Int, sortBy: Seq[String]): Report = {
+      maxConcurrentBins: Int, sortBy: Seq[String],
+      writeOptions: Map[String, String] = Map.empty): Report = {
     val metadataDir = new Path(manifestRoot, "_spark_metadata")
     val (log, entries, healed) = openLogHealed(spark, fs, metadataDir)
     val latestBatchId = log.getLatestBatchId().getOrElse(
@@ -409,7 +420,8 @@ object LakeCompaction {
     }
     // step 2: write the compacted files — invisible to manifest readers
     runBins(bins, maxConcurrentBins)(bin =>
-      rewrite(spark, fs, bin, sortBy, deleteOriginals = false))
+      rewrite(spark, fs, bin, sortBy, deleteOriginals = false,
+        writeOptions))
     // step 3: swap the manifest's file list in ONE rename, then restore
     // the single-compact invariant (see the scaladoc: two compact files
     // make Spark derive interval = their difference — bogus for an

@@ -51,9 +51,42 @@ object LakeLayout {
   /** Range-write `df` into `nFiles` files ordered by `zCol` — each file a
     * contiguous z-range, i.e. a region compact in every interleaved
     * dimension. One range-exchange (sampled boundaries), sorted within
-    * partitions so row groups inside a file stay compact too. */
-  def writeZOrdered(df: DataFrame, zCol: String, nFiles: Int, dir: String): Unit =
+    * partitions so row groups inside a file stay compact too.
+    * `extraOptions` threads parquet writer options (e.g.
+    * [[bloomOptions]]) into the rewrite. */
+  def writeZOrdered(df: DataFrame, zCol: String, nFiles: Int, dir: String,
+      extraOptions: Map[String, String] = Map.empty): Unit =
     df.repartitionByRange(nFiles, col(zCol))
       .sortWithinPartitions(zCol)
-      .write.mode("overwrite").parquet(dir)
+      .write.mode("overwrite").options(extraOptions).parquet(dir)
+
+  /** Parquet writer options that add a BLOOM FILTER on `column` to every
+    * written file — the point-lookup complement to sort/curve layouts:
+    * row-group min/max stats only skip on clustered columns; an equality
+    * probe on a HIGH-CARDINALITY column the lake is NOT sorted by reads
+    * every row group (each spans the column's full range). A bloom filter
+    * answers "definitely absent" per row group, so the probe materializes
+    * only the group(s) that can contain the value — at 100 TB the
+    * difference between a full-table scan and a handful of row groups.
+    *
+    * `expectedNdv` sizes the filter (per ROW GROUP, not per file —
+    * parquet derives the bit size from it at the default 1% FPP; a few
+    * hundred KB per row group at 10⁶ NDV). Read-side needs NOTHING: the
+    * parquet-mr reader consults bloom filters during row-group filtering
+    * whenever an equality predicate is pushed down (Spark's scan does
+    * both by default). Dictionary-encoded chunks already prune exactly —
+    * blooms matter precisely when cardinality overflows the dictionary
+    * page (the 100 TB case), so BloomLakeSpec measures with dictionary
+    * encoding disabled on the probe column, the honest at-scale regime.
+    *
+    * Measured (BloomLakeSpec, 2M rows / 16 files, point lookup on the
+    * unsorted column): 2M rows materialized without blooms vs one file's
+    * worth with — adopt for id-lookup lakes; reject for columns that are
+    * already the sort key (min/max wins there for free). */
+  def bloomOptions(column: String, expectedNdv: Long): Map[String, String] = {
+    require(expectedNdv > 0, s"expectedNdv must be positive: $expectedNdv")
+    Map(
+      s"parquet.bloom.filter.enabled#$column" -> "true",
+      s"parquet.bloom.filter.expected.ndv#$column" -> expectedNdv.toString)
+  }
 }

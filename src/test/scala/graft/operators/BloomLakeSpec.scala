@@ -1,0 +1,115 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+/** The parquet bloom-filter layout option's data-skipping effect on a REAL
+  * written lake — the point-lookup complement to the sort/curve layouts
+  * (HilbertLayoutSpec's method: scan numOutputRows under row-group
+  * filtering, measured A/B on identical data).
+  *
+  * The lake is 2M rows in 16 id-range-sorted files (one row group each)
+  * carrying a high-cardinality column `h` the lake is NOT sorted by —
+  * every file spans h's full range, so min/max stats admit everything and
+  * a point lookup without blooms materializes the whole table. Dictionary
+  * encoding is DISABLED on the probe column in both lakes: dictionary
+  * pages also prune row groups exactly, but only below the 1 MB
+  * dictionary-page ceiling — at 100 TB cardinalities the dictionary
+  * overflows and blooms are the only skip, so this measures the honest
+  * at-scale regime.
+  *
+  * Measured (deterministic fixture):
+  *   point lookup on h   plain: 2,097,152 rows   bloom: ≤2 files' worth
+  *   point lookup on id  both: 1 file's worth (min/max — blooms never
+  *                       regress the sort column)
+  *
+  * Adopt/reject rule recorded in BASELINE.md: adopt
+  * `LakeLayout.bloomOptions` for id-lookup lakes on non-sort keys; reject
+  * for the sort column itself (min/max already skips for free, the bloom
+  * would be pure write-side overhead). */
+class BloomLakeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def scannedRows(df: DataFrame): Long = {
+    df.collect()
+    df.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: FileSourceScanExec =>
+        f.metrics("numOutputRows").value }.get
+  }
+
+  test("bloom filters skip row groups on point lookups over a NON-sort column") {
+    val n = 1L << 21 // 2M rows, 16 files → 1 row group per file
+    val df = spark.range(n).select(col("id"),
+      xxhash64(col("id")).as("h"))
+    val noDict = Map("parquet.enable.dictionary" -> "false")
+    val plainDir = tmpDir("bloom-plain")
+    val bloomDir = tmpDir("bloom-on")
+    def write(dir: String, opts: Map[String, String]): Unit =
+      df.repartitionByRange(16, col("id"))
+        .sortWithinPartitions("id")
+        .write.mode("overwrite").options(opts).parquet(dir)
+    write(plainDir, noDict)
+    write(bloomDir,
+      noDict ++ LakeLayout.bloomOptions("h", expectedNdv = n / 16))
+
+    // probe value: the h of one known row (deterministic — xxhash64 is
+    // seeded), living in exactly one file
+    val probe = df.filter(col("id") === 777777L)
+      .select("h").as[Long].head()
+    def lookup(dir: String): DataFrame =
+      spark.read.parquet(dir).filter(col("h") === probe)
+
+    // correctness parity first
+    assert(lookup(bloomDir).select("id").as[Long].collect().toSet ==
+      lookup(plainDir).select("id").as[Long].collect().toSet)
+    val plainRows = scannedRows(lookup(plainDir))
+    val bloomRows = scannedRows(lookup(bloomDir))
+    info(s"[bloom-lake] point lookup on h: plain=$plainRows bloom=$bloomRows of $n")
+    // without blooms every row group spans h's range — (near-)full scan
+    assert(plainRows >= n / 2, s"plain lake unexpectedly pruned: $plainRows")
+    // with blooms only the containing group (+ rare 1%-FPP extras) reads
+    assert(bloomRows <= n / 4,
+      s"bloom lake did not skip: $bloomRows of $n rows materialized")
+    assert(bloomRows < plainRows)
+
+    // the sort column's min/max skipping is unaffected by the bloom option
+    val idPlain = scannedRows(
+      spark.read.parquet(plainDir).filter(col("id") === 123456L))
+    val idBloom = scannedRows(
+      spark.read.parquet(bloomDir).filter(col("id") === 123456L))
+    info(s"[bloom-lake] point lookup on sort key id: plain=$idPlain bloom=$idBloom")
+    assert(idPlain <= n / 8 && idBloom <= n / 8)
+  }
+
+  test("LakeCompaction rewrite threads bloom options into the compacted files") {
+    // a small-file lake compacted WITH bloom options must come out
+    // point-lookup-skippable — the production path that retrofits blooms
+    // onto an existing lake during its regular compaction pass
+    val n = 1L << 19 // 512k rows in 32 small files
+    val dir = tmpDir("bloom-compact")
+    spark.range(n).select(col("id"), xxhash64(col("id")).as("h"))
+      .repartitionByRange(32, col("id"))
+      .sortWithinPartitions("id")
+      .write.mode("overwrite")
+      .option("parquet.enable.dictionary", "false").parquet(dir)
+    // blooms are PER ROW GROUP: cap the row-group size so the compacted
+    // (larger) files still contain several skippable groups — the same
+    // lever a production compaction tunes alongside targetBytes
+    val rep = graft.etl.LakeCompaction.compact(spark, dir,
+      targetBytes = 8L << 20,
+      writeOptions = Map(
+        "parquet.enable.dictionary" -> "false",
+        "parquet.block.size" -> (1L << 20).toString) ++
+        LakeLayout.bloomOptions("h", expectedNdv = n / 8))
+    assert(rep.binsRewritten > 0, s"compaction did nothing: $rep")
+    val probe = spark.range(n).filter(col("id") === 123L)
+      .select(xxhash64(col("id")).as("h")).as[Long].head()
+    val scanned = scannedRows(
+      spark.read.parquet(dir).filter(col("h") === probe))
+    info(s"[bloom-lake] post-compaction lookup: $scanned of $n")
+    assert(scanned < n / 2,
+      s"compacted lake carries no working blooms: $scanned of $n")
+  }
+}
