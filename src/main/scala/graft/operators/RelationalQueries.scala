@@ -1021,6 +1021,102 @@ object RelationalQueries extends QueryGroup {
       .orderBy("c_mktsegment")
   }
 
+  /** Q268: MIN/MAX IVM under RETRACTIONS — the NON-abelian rung of the
+    * IVM ladder (q258 count/sum, q264 join views): max has no inverse, so
+    * "retract the old max" cannot be answered from (group, max) state —
+    * the classic reason naive materialized views re-scan the group on
+    * every delete. The standard fix (the Materialize/DBSP hierarchical
+    * min/max shape, here at one level) maintains the VALUE HISTOGRAM
+    * instead: a stored (segment, balance_cents, count) table — counts ARE
+    * abelian, so the q258 ± algebra applies unchanged — and the readout
+    * recovers min/max as the extreme value with a surviving positive
+    * count. A retraction that kills the current max automatically
+    * surfaces the runner-up; the fixture exercises exactly that (every
+    * base segment's max holder is touched by the feed — pinned in
+    * R18QuerySemanticsSpec). Values are exact integer CENTS (the decimal
+    * route: double → DECIMAL(18,2) → ×100 → BIGINT, no float compare
+    * anywhere). The stored histogram is a SCANNED memoized parquet
+    * (PlanSpec); the ORACLE recomputes min/max over the latest-wins
+    * merged table — the hash match is the non-abelian-retraction
+    * correctness equation.
+    *
+    * Scale shape: work ∝ |batch| + |histogram| (value-domain-sized per
+    * group; at 100 TB domains the histogram buckets hierarchically —
+    * maintain counts per 2ᵏ-wide bucket and drill down on readout, the
+    * same algebra one level deeper). The same ± histogram runs LIVE in
+    * [[graft.streaming.RollupStream.maintainValueCounts]] (StreamingIvmSpec
+    * pins stream ≡ batch incl. the retracted-max handoff). */
+  private val q268: Q = (s, d) => {
+    val W = org.apache.spark.sql.expressions.Window
+    def cents(c: org.apache.spark.sql.Column) =
+      (c.cast(DecimalType(18, 2)) * 100).cast("long")
+    val feed = Tables.orders(s, d)
+      .filter(col("o_orderkey") % 3 === 0)
+      .select(
+        when(col("o_orderkey") % 7 === 0, col("o_custkey") + 1000000000000L)
+          .otherwise(col("o_custkey")).as("c_custkey"),
+        col("o_totalprice").as("bal"),
+        col("o_orderpriority").as("seg"),
+        col("o_orderkey").as("seq"),
+        when(col("o_orderkey") % 10 === 0, lit("D"))
+          .otherwise(lit("U")).as("op"))
+    val latest = feed.withColumn("rn", row_number().over(
+        W.partitionBy("c_custkey").orderBy(col("seq").desc)))
+      .filter(col("rn") === 1).drop("rn", "seq")
+    val retract = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment").as("seg"),
+        col("c_acctbal"))
+      .join(latest.select("c_custkey"), Seq("c_custkey"))
+      .select(col("seg"), cents(col("c_acctbal")).as("bal_cents"),
+        lit(-1L).as("dn"))
+    val add = latest.filter(col("op") === "U")
+      .select(col("seg"), cents(col("bal")).as("bal_cents"),
+        lit(1L).as("dn"))
+    ivmHistView(s, d).select(col("seg"), col("bal_cents"),
+        col("n").as("dn"))
+      .unionByName(retract).unionByName(add)
+      .groupBy("seg", "bal_cents")
+      .agg(sum(col("dn")).as("n"))
+      .filter(col("n") > 0)
+      .groupBy(col("seg").as("c_mktsegment"))
+      .agg(sum(col("n")).as("n_rows"),
+        min(col("bal_cents")).as("min_bal_cents"),
+        max(col("bal_cents")).as("max_bal_cents"))
+      .orderBy("c_mktsegment")
+  }
+
+  // The stored value histogram q268 maintains: (segment, exact balance
+  // cents, count) over the customer base, materialized ONCE per
+  // (session, dir) as a temp parquet the incremental path SCANS.
+  private val ivmHistMemo =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.mutable.Map[String, String]]()
+
+  private def ivmHistView(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val perSession = ivmHistMemo.synchronized {
+      var m = ivmHistMemo.get(s)
+      if (m == null) {
+        m = scala.collection.mutable.Map.empty[String, String]
+        ivmHistMemo.put(s, m)
+      }
+      m
+    }
+    val path = perSession.synchronized {
+      perSession.getOrElseUpdate(d, {
+        val p = TempDirs.scoped("graft-ivm-hist")
+        Tables.customer(s, d)
+          .groupBy(col("c_mktsegment").as("seg"),
+            (col("c_acctbal").cast(DecimalType(18, 2)) * 100).cast("long")
+              .as("bal_cents"))
+          .agg(count(lit(1)).as("n"))
+          .write.mode("overwrite").parquet(p)
+        p
+      })
+    }
+    s.read.parquet(path)
+  }
+
   // The stored join+rollup view q264 maintains: (segment, join-row count,
   // exact DECIMAL Σ o_totalprice) over C₀ ⋈ O₀ (O₀ = orders before the
   // ≡3-mod-17 arrival batch), materialized ONCE per (session, dir) as a
@@ -1331,10 +1427,56 @@ object RelationalQueries extends QueryGroup {
       .orderBy("candidate")
   }
 
+  /** Q269: functional-dependency discovery — the metadata crawler's third
+    * probe after q263 (inclusion dependencies → FK candidates) and q266
+    * (candidate keys): for each candidate determinant → dependent column
+    * pair, the exact count of determinant values mapping to MORE than one
+    * dependent value (zero ⇔ the FD holds), plus the worst fan-out — the
+    * signal that drives normalization proposals and dimension extraction
+    * on an undocumented lake. Five candidates: two genuine FDs (a key
+    * determinant and the nation dimension's id → name) and three
+    * deliberate negatives with measured fan-outs, so the probe can never
+    * vacuously pass.
+    *
+    * Scale shape: per candidate ONE two-level grouped fold — groupBy
+    * (det, dep) collapses map-side to the distinct pair domain, groupBy
+    * det to the determinant domain, then a domain-sized aggregate; never
+    * a self-join, scans pruned to the two columns. */
+  private val q269: Q = (s, d) => {
+    def probe(name: String, t: org.apache.spark.sql.DataFrame,
+        det: String, dep: String): org.apache.spark.sql.DataFrame =
+      t.select(col(det).as("det"), col(dep).as("dep"))
+        .filter(col("det").isNotNull)
+        .groupBy("det", "dep").agg(count(lit(1)).as("c"))
+        .groupBy("det").agg(count(lit(1)).as("nd"))
+        .agg(count(lit(1)).as("n_determinants"),
+          coalesce(sum(when(col("nd") > 1, 1L).otherwise(0L)), lit(0L))
+            .as("n_violating"),
+          max(col("nd")).as("max_distinct_dep"))
+        .select(lit(name).as("candidate"), col("n_determinants"),
+          col("n_violating"), col("max_distinct_dep"),
+          (col("n_violating") === 0L).as("holds"))
+    Seq(
+      probe("orders: o_orderkey -> o_custkey",
+        Tables.orders(s, d), "o_orderkey", "o_custkey"),
+      probe("nation: n_nationkey -> n_name",
+        Tables.nation(s, d), "n_nationkey", "n_name"),
+      probe("customer: c_nationkey -> c_mktsegment",
+        Tables.customer(s, d), "c_nationkey", "c_mktsegment"),
+      probe("lineitem: l_partkey -> l_suppkey",
+        Tables.lineitem(s, d), "l_partkey", "l_suppkey"),
+      probe("supplier: s_nationkey -> s_name",
+        Tables.supplier(s, d), "s_nationkey", "s_name")
+    ).reduce(_ unionByName _)
+      .orderBy("candidate")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q255_profile_table" -> q255,
     "q264_ivm_join_retract" -> q264,
     "q266_profile_candidate_keys" -> q266,
+    "q268_ivm_minmax_retract" -> q268,
+    "q269_profile_functional_deps" -> q269,
     "q247_ivm_join_delta" -> q247,
     "q258_ivm_agg_retract" -> q258,
     "q259_scan_csv_typed" -> q259,
@@ -1629,6 +1771,68 @@ object RelationalQueries extends QueryGroup {
           "(SELECT CASE WHEN o_orderkey % 50 = 0 THEN NULL" +
             " ELSE o_orderkey END AS wit FROM orders)",
           Seq("wit"))
+      ).mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+        "\n) ORDER BY candidate")
+    },
+
+    // min/max IVM with retractions: the oracle recomputes min/max over
+    // the latest-wins merged table in exact integer cents — equality with
+    // the maintained value histogram's surviving-count readout is the
+    // non-abelian-retraction correctness equation
+    "q268_ivm_minmax_retract" ->
+      """WITH ch AS (
+        |  SELECT CASE WHEN o_orderkey % 7 = 0
+        |           THEN o_custkey + 1000000000000
+        |           ELSE o_custkey END AS c_custkey,
+        |    o_totalprice AS c_acctbal,
+        |    o_orderpriority AS c_mktsegment,
+        |    o_orderkey AS seq,
+        |    CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |w AS (SELECT *, row_number() OVER (
+        |    PARTITION BY c_custkey ORDER BY seq DESC) AS rn FROM ch),
+        |latest AS (SELECT * FROM w WHERE rn = 1),
+        |merged AS (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+        |  WHERE c_custkey NOT IN (SELECT c_custkey FROM latest)
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment, c_acctbal FROM latest
+        |  WHERE op <> 'D')
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(min(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS min_bal_cents,
+        |  CAST(max(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS max_bal_cents
+        |FROM merged GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    // functional dependencies: the same two-level grouped fold per
+    // candidate — determinant groups counted over the distinct
+    // (det, dep) pair domain
+    "q269_profile_functional_deps" -> {
+      def p(name: String, table: String, det: String, dep: String): String =
+        s"""SELECT '$name' AS candidate,
+           |  CAST(count(*) AS BIGINT) AS n_determinants,
+           |  CAST(coalesce(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END), 0)
+           |    AS BIGINT) AS n_violating,
+           |  CAST(max(nd) AS BIGINT) AS max_distinct_dep,
+           |  coalesce(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END), 0) = 0
+           |    AS holds
+           |FROM (SELECT det, count(*) AS nd
+           |      FROM (SELECT DISTINCT $det AS det, $dep AS dep
+           |            FROM $table WHERE $det IS NOT NULL)
+           |      GROUP BY det)""".stripMargin
+      Seq(
+        p("orders: o_orderkey -> o_custkey", "orders",
+          "o_orderkey", "o_custkey"),
+        p("nation: n_nationkey -> n_name", "nation",
+          "n_nationkey", "n_name"),
+        p("customer: c_nationkey -> c_mktsegment", "customer",
+          "c_nationkey", "c_mktsegment"),
+        p("lineitem: l_partkey -> l_suppkey", "lineitem",
+          "l_partkey", "l_suppkey"),
+        p("supplier: s_nationkey -> s_name", "supplier",
+          "s_nationkey", "s_name")
       ).mkString("SELECT * FROM (\n", "\nUNION ALL\n",
         "\n) ORDER BY candidate")
     },

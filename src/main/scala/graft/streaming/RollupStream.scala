@@ -41,4 +41,31 @@ object RollupStream {
       .select(col("d.seg").as("c_mktsegment"), col("d.dn"), col("d.ds"))
       .groupBy("c_mktsegment")
       .agg(sum(col("dn")).as("n_rows"), sum(col("ds")).as("sum_bal"))
+
+  /** The NON-abelian twin (batch q268): max/min have no inverse, so the
+    * maintained state is the per-(group, value) COUNT — counts are
+    * abelian, so the same ± algebra applies — and the reader recovers
+    * min/max as the extreme value with a surviving positive count (a
+    * retraction that kills the current max automatically surfaces the
+    * runner-up). Values are exact integer cents; state is
+    * value-domain-sized per group (bucket hierarchically past that —
+    * the scaladoc on q268). Returns the running (c_mktsegment,
+    * bal_cents, n) counts; the consumer filters n > 0 and folds. */
+  def maintainValueCounts(changes: DataFrame): DataFrame =
+    changes
+      .select(explode(array(
+        struct(col("old_seg").as("seg"),
+          (col("old_bal").cast(DecimalType(18, 2)) * 100).cast("long")
+            .as("bal_cents"),
+          lit(-1L).as("dn")),
+        struct(col("new_seg").as("seg"),
+          (col("new_bal").cast(DecimalType(18, 2)) * 100).cast("long")
+            .as("bal_cents"),
+          lit(1L).as("dn"))))
+        .as("d"))
+      .filter(col("d.seg").isNotNull)
+      .select(col("d.seg").as("c_mktsegment"), col("d.bal_cents"),
+        col("d.dn"))
+      .groupBy("c_mktsegment", "bal_cents")
+      .agg(sum(col("dn")).as("n"))
 }

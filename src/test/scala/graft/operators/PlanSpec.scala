@@ -76,6 +76,9 @@ class PlanSpec extends SparkSpec {
     // scan of the memoized view, not a re-join of customer × orders
     val p3 = executedPlan("q264_ivm_join_retract")
     assert(p3.contains("graft-ivm-join"), p3.take(4000))
+    // min/max IVM: the stored value histogram likewise
+    val p4 = executedPlan("q268_ivm_minmax_retract")
+    assert(p4.contains("graft-ivm-hist"), p4.take(4000))
   }
 
   test("q262/q265/q259: fixture lakes are memoized — a second run scans the SAME files (no rebuild)") {

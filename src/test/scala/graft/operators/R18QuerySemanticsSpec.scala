@@ -164,6 +164,30 @@ class R18QuerySemanticsSpec extends SparkSpec {
     assert(strict > 0, "weighted ≡ hop everywhere — weights inert")
   }
 
+  test("q269: FD verdicts — genuine dependencies hold, negatives carry measured fan-outs") {
+    val out = SparkEntry.queries("q269_profile_functional_deps")(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))).toMap
+    for (k <- Seq("orders: o_orderkey -> o_custkey",
+        "nation: n_nationkey -> n_name")) {
+      val (n, nv, mx, holds) = out(k)
+      assert(holds && nv == 0L && mx == 1L && n > 0L, s"$k: ${out(k)}")
+    }
+    for (k <- Seq("customer: c_nationkey -> c_mktsegment",
+        "lineitem: l_partkey -> l_suppkey")) {
+      val (_, nv, mx, holds) = out(k)
+      assert(!holds && nv > 0L && mx > 1L, s"$k: ${out(k)}")
+    }
+    // the supplier probe's verdict is genuinely data-dependent (at tiny
+    // SFs each nation has ≤1 supplier and the FD vacuously holds — which
+    // is exactly what a discovery tool must report); pin internal
+    // consistency, not a fixed verdict
+    val (_, snv, smx, sholds) = out("supplier: s_nationkey -> s_name")
+    assert(sholds == (snv == 0L) && (smx > 1L) == (snv > 0L),
+      s"supplier probe inconsistent: ${out("supplier: s_nationkey -> s_name")}")
+  }
+
   test("q254: the broadcast threshold's register-row constant matches the measured UnsafeRow size") {
     def rowSizes(ids: Seq[String]): Set[Long] =
       GraphQueries.hyperBallInitRegs(ids.toDF("node"))

@@ -87,6 +87,80 @@ class StreamingIvmSpec extends SparkSpec {
     assert(zeroSums.forall(_ == 0.0), s"retracted groups must sum to exactly 0: ${zeroSums.toSeq}")
   }
 
+  test("streamed ±value-count histogram ≡ batch q268 min/max (retracted max hands off to the runner-up)") {
+    implicit val sc = spark.sqlContext
+    // same pre/post-image feed as the q258 twin above
+    val base = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"),
+        lit(null).cast("string").as("old_seg"),
+        lit(null).cast("double").as("old_bal"),
+        col("c_mktsegment").as("new_seg"),
+        col("c_acctbal").as("new_bal"))
+    val feed = Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") % 3 === 0)
+      .select(
+        when(col("o_orderkey") % 7 === 0,
+          col("o_custkey") + 1000000000000L)
+          .otherwise(col("o_custkey")).as("c_custkey"),
+        col("o_totalprice").as("bal"),
+        col("o_orderpriority").as("seg"),
+        col("o_orderkey").as("seq"),
+        when(col("o_orderkey") % 10 === 0, lit("D"))
+          .otherwise(lit("U")).as("op"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("c_custkey").orderBy(col("seq").desc)))
+      .filter(col("rn") === 1)
+    val changes = feed.join(
+        Tables.customer(spark, sfDir).select(col("c_custkey"),
+          col("c_mktsegment").as("old_seg0"),
+          col("c_acctbal").as("old_bal0")),
+        Seq("c_custkey"), "left")
+      .select(col("c_custkey"), col("old_seg0").as("old_seg"),
+        col("old_bal0").as("old_bal"),
+        when(col("op") === "U", col("seg")).as("new_seg"),
+        when(col("op") === "U", col("bal")).as("new_bal"))
+    val rows = base.unionByName(changes)
+      .as[(Long, String, java.lang.Double, String, java.lang.Double)]
+      .collect()
+    val nb = base.count().toInt
+    val waves = Seq(rows.slice(0, nb / 3), rows.slice(nb / 3, nb),
+      rows.slice(nb, nb + 40), rows.slice(nb + 40, rows.length))
+    val mem = MemoryStream[(Long, String, java.lang.Double, String,
+      java.lang.Double)]
+    val q = RollupStream.maintainValueCounts(
+        mem.toDF().toDF("k", "old_seg", "old_bal", "new_seg", "new_bal"))
+      .writeStream.format("memory").queryName("ivm_hist")
+      .outputMode(OutputMode.Complete()).start()
+    waves.foreach { w => mem.addData(w.toSeq: _*); q.processAllAvailable() }
+    q.stop()
+    // the reader's fold: surviving counts only, min/max per segment
+    val streamed = spark.table("ivm_hist")
+      .filter(col("n") > 0)
+      .groupBy("c_mktsegment")
+      .agg(sum(col("n")).as("n_rows"),
+        min(col("bal_cents")).as("min_bal_cents"),
+        max(col("bal_cents")).as("max_bal_cents"))
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val batch = SparkEntry.queries("q268_ivm_minmax_retract")(spark, sfDir)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(streamed == batch,
+      s"stream ≠ batch:\n stream ${streamed.toSeq.sortBy(_._1)}\n batch ${batch.toSeq.sortBy(_._1)}")
+    // the NON-abelian hard case must actually occur: some base segment's
+    // max holder was retracted, so its surviving max is strictly below
+    // the base max (the runner-up handoff — a (group, max) state could
+    // not have answered this)
+    val baseMax = Tables.customer(spark, sfDir)
+      .groupBy(col("c_mktsegment"))
+      .agg(max((col("c_acctbal").cast(
+        org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+        .cast("long")).as("mx"))
+      .as[(String, Long)].collect().toMap
+    val dropped = baseMax.filter { case (seg, mx) =>
+      batch.get(seg).exists(_._4 < mx) }
+    assert(dropped.nonEmpty,
+      "no segment's max was retracted — the fixture stopped exercising the handoff")
+  }
+
   test("streamed ±retraction JOIN view ≡ batch q264 (bootstrap + CDC waves, stream-static join)") {
     implicit val sc = spark.sqlContext
     // bootstrap: every base customer as an insert (no pre-image)
