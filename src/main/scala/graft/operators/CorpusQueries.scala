@@ -1937,6 +1937,72 @@ object CorpusQueries extends QueryGroup {
       .orderBy("source", "status")
   }
 
+  // The bloom-indexed lookup lake q270 reads: documents written id-range-
+  // sorted (8 files) carrying a content-fingerprint column `h` the lake is
+  // NOT sorted by, with parquet BLOOM FILTERS on h and dictionary encoding
+  // disabled (the over-dictionary-ceiling regime 100 TB cardinalities live
+  // in — see LakeLayout.bloomOptions). Memoized per (session, sfDir).
+  private val bloomMemo = new java.util.WeakHashMap[
+    org.apache.spark.sql.SparkSession,
+    scala.collection.mutable.Map[String, String]]()
+
+  private[operators] def fingerprint64(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  private[operators] def bloomLakeDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val perSession = bloomMemo.synchronized {
+      var m = bloomMemo.get(s)
+      if (m == null) {
+        m = scala.collection.mutable.Map.empty[String, String]
+        bloomMemo.put(s, m)
+      }
+      m
+    }
+    perSession.synchronized {
+      perSession.getOrElseUpdate(d, {
+        val dir = TempDirs.scoped("graft-bloom-lake")
+        Tables.documents(s, d).filter(col("text").isNotNull)
+          .select(col("doc_id"), col("source"),
+            fingerprint64(col("text")).as("h"))
+          .repartitionByRange(8, col("doc_id"))
+          .sortWithinPartitions("doc_id")
+          .write.mode("overwrite")
+          .option("parquet.enable.dictionary", "false")
+          .options(LakeLayout.bloomOptions("h", expectedNdv = 100000L))
+          .parquet(dir)
+        dir
+      })
+    }
+  }
+
+  /** Q270: point lookup on a BLOOM-indexed non-sort column — the read
+    * path of the r18 layout option under the differential gate: the lake
+    * is id-range-sorted (so min/max stats say nothing about `h`, the
+    * 60-bit md5 content fingerprint), the probe is a bounded driver-sized
+    * request list (the GDPR-request / dedup-probe shape, like
+    * [[LakeDeletes]]' deletion lists) pushed down as literal equality
+    * predicates — exactly what parquet's bloom row-group filtering
+    * answers, so at scale the lookup reads the containing row groups
+    * only (BloomLakeSpec measures 14.8× on 2M rows; a spec pins skipping
+    * on THIS lake too). The ORACLE recomputes every fingerprint from the
+    * documents TABLE and replays the membership probe — a bloom writer
+    * that corrupted data, dropped rows, or a reader that false-NEGATIVED
+    * a present value (the one error blooms must never make)
+    * hash-mismatches. */
+  private val q270: Q = (s, d) => {
+    val dir = bloomLakeDir(s, d)
+    val probes = Tables.documents(s, d).filter(col("text").isNotNull)
+      .filter(col("doc_id") % 53 === 5)
+      .select(fingerprint64(col("text")).as("h"))
+      .collect().map(_.getLong(0)).distinct.sorted
+    s.read.parquet(dir)
+      .filter(col("h").isin(probes.map(Long.box).toSeq: _*))
+      .select(col("doc_id"), col("source"), col("h"))
+      .orderBy("doc_id")
+  }
+
   /** Builds the schema-evolution lake q210 reads — three parquet batches
     * whose schemas GREW additively across ingest generations, the way
     * every long-lived corpus lake actually evolves: b0 (doc_id, source,
@@ -2457,6 +2523,7 @@ object CorpusQueries extends QueryGroup {
     "q239_lake_release_manifest" -> q239,
     "q262_lake_snapshot_diff" -> q262,
     "q265_lake_diff_removals" -> q265,
+    "q270_lake_bloom_lookup" -> q270,
     "q195_preference_pair_audit" -> q195,
     "q196_annotator_agreement" -> q196,
     "q203_fleiss_kappa" -> q203,
@@ -3818,6 +3885,17 @@ object CorpusQueries extends QueryGroup {
         |SELECT source, status, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
         |FROM cls GROUP BY 1, 2 ORDER BY source, status""".stripMargin,
+
+    // bloom-lake lookup: fingerprints recomputed from the table, the
+    // probe replayed as a membership subquery (the engine's literal IN
+    // list is the same deterministic h set)
+    "q270_lake_bloom_lookup" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT doc_id, source, h FROM d
+        |WHERE h IN (SELECT h FROM d WHERE doc_id % 53 = 5)
+        |ORDER BY doc_id""".stripMargin,
 
     // release-manifest digest chain rebuilt from the TABLE: batch
     // membership = the q194 WAP publish log (b0 seq 1, b2 seq 2, b3 seq 3;

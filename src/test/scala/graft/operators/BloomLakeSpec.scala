@@ -83,6 +83,19 @@ class BloomLakeSpec extends SparkSpec {
     assert(idPlain <= n / 8 && idBloom <= n / 8)
   }
 
+  test("q270's declared lake actually skips on its bloom column") {
+    val dir = CorpusQueries.bloomLakeDir(spark, sfDir)
+    val lake = spark.read.parquet(dir)
+    val total = lake.count()
+    val probe = lake.orderBy("doc_id").select("h").as[Long].head()
+    val scanned = scannedRows(
+      spark.read.parquet(dir).filter(col("h") === probe))
+    info(s"[bloom-lake] q270 lake single-probe scan: $scanned of $total")
+    // the lake is id-sorted, so every file spans h's range — without the
+    // bloom filters this scan would materialize ALL rows
+    assert(scanned <= total / 2, s"q270 lake did not skip: $scanned of $total")
+  }
+
   test("LakeCompaction rewrite threads bloom options into the compacted files") {
     // a small-file lake compacted WITH bloom options must come out
     // point-lookup-skippable — the production path that retrofits blooms
