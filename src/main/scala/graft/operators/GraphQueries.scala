@@ -722,35 +722,13 @@ object GraphQueries extends QueryGroup {
     * weighted-threshold variant (the single-order graph is near-regular;
     * repeat co-purchase is the heterogeneous shape iterative
     * peeling/BFS are interesting on). Derived once per (session, dir). */
+  // the repeat edges are the weighted table minus its weight column —
+  // ONE stored derivation serves both families (the |lineitem| self-join
+  // + groupBy is the expensive part; r18 measured ~6 s of it duplicated
+  // per session at sf1 before this unification)
   private[operators] def coPurchaseRepeatEdges(s: SparkSession,
-      d: String): DataFrame = {
-    val perSession = edgeMemo.synchronized {
-      var m = edgeMemo.get(s)
-      if (m == null) {
-        m = scala.collection.mutable.Map.empty
-        edgeMemo.put(s, m)
-      }
-      m
-    }
-    val path = perSession.synchronized {
-      perSession.getOrElseUpdate("repeat:" + d, {
-        val li = Tables.lineitem(s, d)
-          .select("l_orderkey", "l_partkey").distinct()
-        val e = li.as("x").join(li.as("y"),
-            col("x.l_orderkey") === col("y.l_orderkey") &&
-              col("x.l_partkey") < col("y.l_partkey"))
-          .groupBy(col("x.l_partkey").cast("long").as("a"),
-            col("y.l_partkey").cast("long").as("b"))
-          .agg(count(lit(1)).as("w"))
-          .filter(col("w") >= 2)
-          .select(col("a"), col("b"))
-        val p = TempDirs.scoped("graft-copurchase-repeat")
-        e.write.mode("overwrite").parquet(p)
-        p
-      })
-    }
-    s.read.parquet(path)
-  }
+      d: String): DataFrame =
+    coPurchaseWeightedEdges(s, d).select(col("a"), col("b"))
 
   private val q213: Q = (s, d) =>
     KCore.run(coPurchaseRepeatEdges(s, d), k = 3, rounds = 10)
