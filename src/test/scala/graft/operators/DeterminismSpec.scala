@@ -25,7 +25,11 @@ class DeterminismSpec extends SparkSpec {
     // round 17: retraction-maintained rollup (exact-decimal ± algebra
     // surfaced as ONE double cast — the family where an order-dependent
     // sum would be catastrophic because retractions subtract)
-    "q258_ivm_agg_retract")
+    "q258_ivm_agg_retract",
+    // round 18: the join-granularity retraction view (same ± algebra one
+    // join deeper — signed deltas meeting a fact side) and the
+    // non-abelian min/max readout over surviving histogram counts
+    "q264_ivm_join_retract", "q268_ivm_minmax_retract")
 
   test("double-emitting queries are bit-identical across shuffle widths") {
     val conf = spark.conf
