@@ -1282,6 +1282,73 @@ object RelationalQueries extends QueryGroup {
     }
   }
 
+  /** Q271: typed ORC read under the differential gate — the remaining
+    * Spark-native columnar source format next to parquet (q01), JSON
+    * (q02) and CSV (q259). ORC is a binary format (no hand-authored
+    * bytes like q259's CSV), so the gate binds the read CONTENT to the
+    * customer TABLE plus inline VALUES: a type-mapping defect on EITHER
+    * side of the round trip — long/string/double/boolean encoding, a
+    * null dropped or conflated with empty string, non-ASCII mangling,
+    * negative/zero doubles — hash-mismatches against an oracle that
+    * never touches the ORC bytes. The exact-cents projection mirrors the
+    * q268 decimal route so the double column is also pinned through
+    * exact arithmetic, not just its formatted form.
+    *
+    * Scale shape: ORC is splittable with predicate pushdown and column
+    * pruning like parquet — one pruned scan; the fixture build is a
+    * bounded key-sliced write, memoized per (session, dir). */
+  private val q271: Q = (s, d) => {
+    val dir = orcFixtureDir(s, d)
+    s.read.orc(dir)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("active"),
+        (col("c_acctbal").cast(DecimalType(18, 2)) * 100).cast("long")
+          .as("bal_cents"),
+        length(coalesce(col("c_name"), lit(""))).cast("long")
+          .as("name_len"))
+      .orderBy("c_custkey")
+  }
+
+  // The ORC fixture q271 reads: a key-sliced customer projection plus
+  // edge rows (null string vs empty string, null double, non-ASCII as
+  // \u escapes, negative and zero doubles, both boolean values).
+  // Memoized per (session, dir).
+  private val orcMemo =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.mutable.Map[String, String]]()
+
+  private def orcFixtureDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val perSession = orcMemo.synchronized {
+      var m = orcMemo.get(s)
+      if (m == null) {
+        m = scala.collection.mutable.Map.empty[String, String]
+        orcMemo.put(s, m)
+      }
+      m
+    }
+    perSession.synchronized {
+      perSession.getOrElseUpdate(d, {
+        val dir = TempDirs.scoped("graft-orc-fixture")
+        val derived = Tables.customer(s, d)
+          .filter(col("c_custkey") % 150 === 11)
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+            lit(true).as("active"))
+        val schema = derived.schema
+        val edges = s.createDataFrame(
+          java.util.Arrays.asList(
+            org.apache.spark.sql.Row(9000001L, "caf\u00e9 row", 1.5, false),
+            org.apache.spark.sql.Row(9000002L, null, -7.25, true),
+            org.apache.spark.sql.Row(9000003L, "zero", 0.0, false),
+            org.apache.spark.sql.Row(9000004L, "", null, true)),
+          schema)
+        derived.unionByName(edges)
+          .coalesce(1).write.mode("overwrite").orc(dir)
+        dir
+      })
+    }
+  }
+
   /** Q263: inclusion-dependency discovery — q255's cross-TABLE companion
     * (the Deequ/metadata-crawler step that proposes FOREIGN KEYS on an
     * undocumented lake): for each candidate (child column → parent
@@ -1477,6 +1544,7 @@ object RelationalQueries extends QueryGroup {
     "q266_profile_candidate_keys" -> q266,
     "q268_ivm_minmax_retract" -> q268,
     "q269_profile_functional_deps" -> q269,
+    "q271_scan_orc_typed" -> q271,
     "q247_ivm_join_delta" -> q247,
     "q258_ivm_agg_retract" -> q258,
     "q259_scan_csv_typed" -> q259,
@@ -1912,6 +1980,29 @@ object RelationalQueries extends QueryGroup {
         |  UNION ALL SELECT * FROM edges)
         |SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, c_acctbal,
         |  c_mktsegment,
+        |  CAST(length(coalesce(c_name, '')) AS BIGINT) AS name_len
+        |FROM u ORDER BY c_custkey""".stripMargin,
+
+    // typed ORC read: the oracle recomputes the fixture's logical rows
+    // from the customer table + inline VALUES without ever touching the
+    // ORC bytes — any type-mapping defect in the round trip mismatches
+    "q271_scan_orc_typed" ->
+      """WITH derived AS (
+        |  SELECT c_custkey, c_name, c_acctbal, TRUE AS active
+        |  FROM customer WHERE c_custkey % 150 = 11),
+        |edges AS (SELECT * FROM (VALUES
+        |    (9000001, 'caf' || chr(233) || ' row',
+        |      CAST('1.5' AS DOUBLE), FALSE),
+        |    (9000002, NULL, CAST('-7.25' AS DOUBLE), TRUE),
+        |    (9000003, 'zero', CAST('0.0' AS DOUBLE), FALSE),
+        |    (9000004, '', CAST(NULL AS DOUBLE), TRUE))
+        |  t(c_custkey, c_name, c_acctbal, active)),
+        |u AS (SELECT * FROM derived
+        |  UNION ALL SELECT * FROM edges)
+        |SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, c_acctbal,
+        |  active,
+        |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    AS bal_cents,
         |  CAST(length(coalesce(c_name, '')) AS BIGINT) AS name_len
         |FROM u ORDER BY c_custkey""".stripMargin,
 
