@@ -87,7 +87,8 @@ object PlanDump {
       "q264_ivm_join_retract", "q265_lake_diff_removals",
       "q266_profile_candidate_keys", "q267_graph_weighted_paths",
       "q268_ivm_minmax_retract", "q269_profile_functional_deps",
-      "q270_lake_bloom_lookup", "q271_scan_orc_typed")
+      "q270_lake_bloom_lookup", "q271_scan_orc_typed",
+      "q272_lake_table_changes")
     val sb = new StringBuilder
     sb.append("# PLANS — headline physical plans (generated by graft.PlanDump)\n\n")
     sb.append("Formatted executed plans at sf0.001, AQE final. What to look for:\n")

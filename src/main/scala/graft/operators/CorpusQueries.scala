@@ -1937,6 +1937,59 @@ object CorpusQueries extends QueryGroup {
       .orderBy("source", "status")
   }
 
+  /** Q272: ROW-level table_changes — q265 classifies and AGGREGATES; this
+    * emits the change feed itself (the Delta CDF / Iceberg
+    * changelog-read shape a downstream incremental consumer actually
+    * ingests): one row per changed doc between publish seq 2 and seq 4
+    * of the erasure lake, `change_type ∈ insert / update / delete`, with
+    * 60-bit md5 content fingerprints of the pre- and post-images
+    * (`old_fp` / `new_fp`). Deletes come from the erasure receipt and
+    * carry a NULL `old_fp` BY DESIGN: the receipt is content-free (a
+    * fingerprint of erased text would itself retain derived content —
+    * the GDPR posture of [[LakeAudit.eraseLogged]]); an
+    * erase-then-republish id is an `insert` (no live predecessor), never
+    * a delete+insert pair. Unchanged rows are absent — the feed is
+    * change-sized, not snapshot-sized.
+    *
+    * The ORACLE rebuilds the exact feed from the documents TABLE by
+    * residue algebra with recomputed fingerprints — a feed that leaked
+    * an unchanged row, mis-fingerprinted an image, or emitted an erased
+    * doc as anything but a delete hash-mismatches. Scale shape: the
+    * q265 plan plus one md5 projection per side. */
+  private val q272: Q = (s, d) => {
+    val dir = diffLakeDir(s, d)
+    import s.implicits._
+    val seqDf = LakeAudit.publishLog(s, dir)
+      .filterNot(LakeAudit.isErasure)
+      .map(e => (e.batchId, e.seq)).toDF("batch", "publish_seq")
+    def live(at: Long): org.apache.spark.sql.DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("publish_seq").desc)
+      LakeAudit.readAsOf(s, dir, at)
+        .join(broadcast(seqDf), "batch")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("source"), col("text"))
+    }
+    val fp = (c: org.apache.spark.sql.Column) => fingerprint64(c)
+    val prev = live(2L).select(col("doc_id"),
+      fp(col("text")).as("old_fp"))
+    val cur = live(4L)
+    val upserts = cur.join(prev, Seq("doc_id"), "left")
+      .withColumn("new_fp", fp(col("text")))
+      .filter(col("old_fp").isNull || col("old_fp") =!= col("new_fp"))
+      .select(col("doc_id"), col("source"),
+        when(col("old_fp").isNull, lit("insert")).otherwise(lit("update"))
+          .as("change_type"),
+        col("old_fp"), col("new_fp"))
+    val deletes = LakeAudit.erasureReceipts(s, dir, 2L, 4L)
+      .join(cur.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"),
+        lit("delete").as("change_type"),
+        lit(null).cast("long").as("old_fp"),
+        lit(null).cast("long").as("new_fp"))
+    upserts.unionByName(deletes).orderBy("doc_id")
+  }
+
   // The bloom-indexed lookup lake q270 reads: documents written id-range-
   // sorted (8 files) carrying a content-fingerprint column `h` the lake is
   // NOT sorted by, with parquet BLOOM FILTERS on h and dictionary encoding
@@ -2524,6 +2577,7 @@ object CorpusQueries extends QueryGroup {
     "q262_lake_snapshot_diff" -> q262,
     "q265_lake_diff_removals" -> q265,
     "q270_lake_bloom_lookup" -> q270,
+    "q272_lake_table_changes" -> q272,
     "q195_preference_pair_audit" -> q195,
     "q196_annotator_agreement" -> q196,
     "q203_fleiss_kappa" -> q203,
@@ -3885,6 +3939,32 @@ object CorpusQueries extends QueryGroup {
         |SELECT source, status, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
         |FROM cls GROUP BY 1, 2 ORDER BY source, status""".stripMargin,
+
+    // row-level change feed: rebuilt from the table by residue algebra
+    // with recomputed pre/post-image fingerprints; deletes are
+    // content-free by the GDPR receipt posture
+    "q272_lake_table_changes" ->
+      """WITH d AS (SELECT doc_id, source, text FROM documents
+        |  WHERE text IS NOT NULL),
+        |feed AS (
+        |  SELECT doc_id, source, 'insert' AS change_type,
+        |    CAST(NULL AS BIGINT) AS old_fp,
+        |    ('0x' || substr(md5(text || ' rev'), 1, 15))::BIGINT AS new_fp
+        |  FROM d WHERE doc_id % 7 = 0
+        |    AND (doc_id % 3 = 1 OR doc_id % 11 = 4)
+        |  UNION ALL
+        |  SELECT doc_id, source, 'update',
+        |    ('0x' || substr(md5(text), 1, 15))::BIGINT,
+        |    ('0x' || substr(md5(text || ' rev'), 1, 15))::BIGINT
+        |  FROM d WHERE doc_id % 7 = 0 AND doc_id % 3 IN (0, 2)
+        |    AND doc_id % 11 <> 4
+        |  UNION ALL
+        |  SELECT doc_id, source, 'delete', CAST(NULL AS BIGINT),
+        |    CAST(NULL AS BIGINT)
+        |  FROM d WHERE doc_id % 3 IN (0, 2) AND doc_id % 11 = 4
+        |    AND doc_id % 7 <> 0)
+        |SELECT doc_id, source, change_type, old_fp, new_fp
+        |FROM feed ORDER BY doc_id""".stripMargin,
 
     // bloom-lake lookup: fingerprints recomputed from the table, the
     // probe replayed as a membership subquery (the engine's literal IN
