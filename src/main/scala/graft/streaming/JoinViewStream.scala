@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.DecimalType
 
 /** Streaming JOIN-view IVM under RETRACTIONS — the q264 maintenance
@@ -49,4 +50,79 @@ object JoinViewStream {
       .agg(sum(col("sgn")).as("n_rows"),
         sum(col("sgn") * col("o_totalprice").cast(DecimalType(18, 2)))
           .as("sum_price"))
+
+  /** One signed changelog event on either join side: `side` "L" (customer:
+    * `seg` set, `cents` 0) or "R" (order: `cents` = exact price cents,
+    * `seg` null), `sgn` +1 insert / −1 retract; `k` the join key. */
+  final case class BiEvent(k: Long, side: String, sgn: Long, seg: String,
+      cents: Long)
+
+  /** Per-key state: the signed MULTISET of live rows on each side
+    * (segment → count; price-cents → count) — exactly the state a
+    * changelog stream-stream join keeps per key (the Materialize/Flink
+    * shape): bounded by the number of live rows per key on each side,
+    * independent of stream length. Counts may pass through negative
+    * values when a retraction's micro-batch overtakes its insertion —
+    * the join is bilinear over signed multisets, so the SUM of emitted
+    * deltas is exact regardless of arrival interleaving. */
+  final case class BiState(lefts: Map[String, Long],
+      rights: Map[Long, Long])
+
+  /** TWO-side changelog JOIN-view maintenance — the full
+    * stream-stream rung above [[maintain]]'s stream-static form: both
+    * join sides arrive as signed changelogs, per-key state holds each
+    * side's live multiset, and every event emits the signed join-row
+    * deltas it creates against the OTHER side's current state
+    * (`sgn × count` per partner row, values in exact integer cents).
+    * The emitted delta stream is the view's changelog; a consumer folds
+    * it per group (the [[RollupStream]] readout pattern) and the fold
+    * equals the batch-maintained view — StreamingIvmSpec pins it against
+    * batch q264 end-to-end over uneven interleaved waves.
+    *
+    * Scale shape: state is per-join-key and row-bounded (never
+    * stream-length-bounded); each event does O(partner rows for its key)
+    * work — the changelog join's inherent cost; emitted deltas are
+    * pre-aggregated per (key batch, segment) so the downstream fold is
+    * group-domain-sized. Exactly-once folds come from the memory/agg
+    * layer the consumer chooses, as with every changelog source. */
+  def biChangelog(events: Dataset[BiEvent]): DataFrame = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.k)
+      .flatMapGroupsWithState[BiState, (String, Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[BiEvent], state: GroupState[BiState]) =>
+          var st = state.getOption.getOrElse(
+            BiState(Map.empty, Map.empty))
+          val acc = scala.collection.mutable.Map
+            .empty[String, (Long, Long)]
+          def emit(seg: String, dn: Long, dc: Long): Unit = {
+            val (n0, c0) = acc.getOrElse(seg, (0L, 0L))
+            acc(seg) = (n0 + dn, c0 + dc)
+          }
+          it.foreach { e =>
+            if (e.side == "L") {
+              st.rights.foreach { case (cents, m) =>
+                if (m != 0L) emit(e.seg, e.sgn * m, e.sgn * m * cents)
+              }
+              val n = st.lefts.getOrElse(e.seg, 0L) + e.sgn
+              st = st.copy(lefts =
+                if (n == 0L) st.lefts - e.seg
+                else st.lefts.updated(e.seg, n))
+            } else {
+              st.lefts.foreach { case (seg, m) =>
+                if (m != 0L) emit(seg, e.sgn * m, e.sgn * m * e.cents)
+              }
+              val n = st.rights.getOrElse(e.cents, 0L) + e.sgn
+              st = st.copy(rights =
+                if (n == 0L) st.rights - e.cents
+                else st.rights.updated(e.cents, n))
+            }
+          }
+          state.update(st)
+          acc.iterator.collect {
+            case (seg, (dn, dc)) if dn != 0L || dc != 0L => (seg, dn, dc)
+          }
+      }
+      .toDF("c_mktsegment", "dn", "dcents")
+  }
 }

@@ -161,6 +161,83 @@ class StreamingIvmSpec extends SparkSpec {
       "no segment's max was retracted — the fixture stopped exercising the handoff")
   }
 
+  test("TWO-side changelog join (flatMapGroupsWithState bi-multiset) ≡ batch q264, deliberately mis-ordered waves") {
+    implicit val sc = spark.sqlContext
+    import JoinViewStream.BiEvent
+    val cents = (c: org.apache.spark.sql.Column) =>
+      (c.cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+        .cast("long")
+    // LEFT changelog: customer bootstrap + the q264 CDC batch
+    val lBoot = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .as[(Long, String)].collect()
+      .map { case (k, seg) => BiEvent(k, "L", 1L, seg, 0L) }
+    val feed = Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") % 3 === 0)
+      .select(
+        when(col("o_orderkey") % 7 === 0,
+          col("o_custkey") + 1000000000000L)
+          .otherwise(col("o_custkey")).as("c_custkey"),
+        col("o_orderpriority").as("seg"),
+        col("o_orderkey").as("seq"),
+        when(col("o_orderkey") % 10 === 0, lit("D"))
+          .otherwise(lit("U")).as("op"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("c_custkey").orderBy(col("seq").desc)))
+      .filter(col("rn") === 1)
+    val lPre = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .join(feed.select("c_custkey"), Seq("c_custkey"))
+      .as[(Long, String)].collect()
+      .map { case (k, seg) => BiEvent(k, "L", -1L, seg, 0L) }
+    val lPost = feed.filter(col("op") === "U")
+      .select(col("c_custkey"), col("seg"))
+      .as[(Long, String)].collect()
+      .map { case (k, seg) => BiEvent(k, "L", 1L, seg, 0L) }
+    // RIGHT changelog: the pre-delta orders bootstrap + the arrival batch
+    val rBoot = Tables.orders(spark, sfDir)
+      .filter(!(col("o_orderkey") % 17 === 3))
+      .select(col("o_custkey"), cents(col("o_totalprice")))
+      .as[(Long, Long)].collect()
+      .map { case (k, c) => BiEvent(k, "R", 1L, null, c) }
+    val rNew = Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") % 17 === 3)
+      .select(col("o_custkey"), cents(col("o_totalprice")))
+      .as[(Long, Long)].collect()
+      .map { case (k, c) => BiEvent(k, "R", 1L, null, c) }
+    // DELIBERATE mis-ordering: half the customer retractions and the
+    // whole arrival batch land BEFORE the right bootstrap finishes, and
+    // some retractions precede their own key's bootstrap — bilinearity
+    // over signed multisets makes the folded deltas exact anyway (counts
+    // pass through negative values; the op doc's claim, exercised)
+    val nb = rBoot.length
+    val waves: Seq[Seq[BiEvent]] = Seq(
+      lBoot.take(lBoot.length / 2).toSeq ++ lPre.take(lPre.length / 2),
+      rNew.toSeq ++ rBoot.take(nb / 3),
+      lBoot.drop(lBoot.length / 2).toSeq ++ rBoot.slice(nb / 3, nb / 2),
+      lPre.drop(lPre.length / 2).toSeq ++ lPost ++ rBoot.drop(nb / 2))
+    val mem = MemoryStream[JoinViewStream.BiEvent]
+    val q = JoinViewStream.biChangelog(mem.toDS())
+      .writeStream.format("memory").queryName("ivm_bi")
+      .outputMode(OutputMode.Update()).start()
+    waves.foreach { w => mem.addData(w: _*); q.processAllAvailable() }
+    q.stop()
+    // fold the emitted view changelog (every update-mode batch appended)
+    val streamed = spark.table("ivm_bi")
+      .groupBy("c_mktsegment")
+      .agg(sum(col("dn")).as("n"), sum(col("dcents")).as("c"))
+      .filter(col("n") > 0)
+      .as[(String, Long, Long)].collect()
+      .map { case (seg, n, c) =>
+        seg -> ((n, java.math.BigDecimal.valueOf(c, 2).doubleValue)) }
+      .toMap
+    val batch = SparkEntry.queries("q264_ivm_join_retract")(spark, sfDir)
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(streamed == batch,
+      s"bi-changelog ≠ batch:\n stream ${streamed.toSeq.sortBy(_._1)}\n batch ${batch.toSeq.sortBy(_._1)}")
+  }
+
   test("streamed ±retraction JOIN view ≡ batch q264 (bootstrap + CDC waves, stream-static join)") {
     implicit val sc = spark.sqlContext
     // bootstrap: every base customer as an insert (no pre-image)
