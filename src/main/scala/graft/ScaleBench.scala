@@ -114,6 +114,7 @@ object ScaleBench {
   /** Task-level shuffle/skew accounting for everything run inside `body`. */
   private final class TaskStats extends SparkListener {
     @volatile var shuffleBytes = 0L
+    @volatile var inputBytes = 0L
     @volatile var maxTaskMs = 0L
     @volatile var tasks = 0L
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit = synchronized {
@@ -121,6 +122,7 @@ object ScaleBench {
       if (m != null) {
         shuffleBytes += m.shuffleReadMetrics.totalBytesRead +
           m.shuffleWriteMetrics.bytesWritten
+        inputBytes += m.inputMetrics.bytesRead
         maxTaskMs = math.max(maxTaskMs, m.executorRunTime)
         tasks += 1
       }
@@ -155,6 +157,7 @@ object ScaleBench {
     println(s"""{"bench":"scale","pipeline":"$name","mult":$mult,""" +
       s""""wall_sec":$wall,"cold_sec":$cold,"rows":$rows,""" +
       s""""shuffle_bytes":${stats.shuffleBytes},""" +
+      s""""input_bytes":${stats.inputBytes},""" +
       s""""max_task_ms":${stats.maxTaskMs},"tasks":${stats.tasks}}""")
   }
 
@@ -1013,6 +1016,105 @@ object ScaleBench {
           s""""wall_sec":${(System.nanoTime() - tc) / 1e9}}""")
         measured(spark, "mor_read_compacted", 20)(
           CdcMerge.readView(spark, base, "k", "seq", "op", payload).count())
+      case "ivm" =>
+        // join-view IVM economics (q264's claim, MEASURED): a stored
+        // join+rollup view refreshed by delta algebra vs rebuilt from
+        // scratch, at 1×/3×/10× the base size with a FIXED-size change
+        // batch (the production regime: batches don't grow with the
+        // base). The orders lake is custkey-range-sorted and the touched
+        // cohort is key-range-bounded (the "recent keys" shape), so the
+        // incremental probe pushes the cohort's bounds into the fact
+        // scan and row-group min/max stats skip everything else — the
+        // layout lever that makes the probe genuinely delta-sized
+        // (hash-spread cohorts take the q270 bloom complement instead,
+        // measured in BloomLakeSpec). Expect: full rebuild ~linear in
+        // base, incremental ~flat.
+        import org.apache.hadoop.fs.Path
+        val root = "/tmp/graft-scale/ivm"
+        val fsys = new Path(root).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        for (mult <- Seq(1, 3, 10)) {
+          val nC = 200000L * mult
+          val nO = 2000000L * mult
+          val dir = s"$root/m$mult"
+          fsys.delete(new Path(dir), true)
+          spark.range(nC).select(col("id").as("c_custkey"),
+              concat(lit("SEG"), (col("id") % 7).cast("string")).as("seg"))
+            .write.parquet(s"$dir/customer")
+          // random (incompressible) cents so the fact side carries the
+          // realistic I/O weight — a near-constant column dictionary-
+          // compresses to nothing and hides the scan economics
+          spark.range(nO).select(
+              pmod(xxhash64(col("id")), lit(nC)).as("c_custkey"),
+              (pmod(xxhash64(col("id"), lit(7L)), lit(90000L)) + 100L)
+                .as("cents"))
+            .repartitionByRange(16 * mult, col("c_custkey"))
+            .sortWithinPartitions("c_custkey")
+            .write.parquet(s"$dir/orders")
+          def C = spark.read.parquet(s"$dir/customer")
+          def O = spark.read.parquet(s"$dir/orders")
+          // initial materialization = one full build, the cost every
+          // refresh AVOIDS paying again
+          val tb = System.nanoTime()
+          C.join(O, "c_custkey").groupBy("seg")
+            .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+            .write.mode("overwrite").parquet(s"$dir/view")
+          println(s"""{"bench":"ivm","op":"build_view","mult":$mult,""" +
+            s""""wall_sec":${(System.nanoTime() - tb) / 1e9}}""")
+          // FIXED delta at every mult: the top-1%-of-keyspace cohort
+          // moves segment (retract+add), plus a 20k-row arrival file
+          val lo = nC - 200000L / 100 // constant 2k-key cohort
+          spark.range(20000).select(
+              (lit(lo) + pmod(xxhash64(col("id")), lit(nC - lo)))
+                .as("c_custkey"),
+              lit(50000L).as("cents"))
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$dir/delta_orders")
+          def dO = spark.read.parquet(s"$dir/delta_orders")
+          def fullRebuild: Long = {
+            val merged = C.withColumn("seg",
+              when(col("c_custkey") >= lo, lit("SEGX"))
+                .otherwise(col("seg")))
+            merged.join(O.unionAll(dO), "c_custkey")
+              .groupBy("seg")
+              .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+              .count()
+          }
+          def incremental: Long = {
+            // ΔC: the cohort's pre-images at −1 and post-images at +1;
+            // its key BOUNDS are pushed into the fact scan (row-group
+            // skipping on the sorted lake), the exact set refines in the
+            // map-side join
+            val dC = C.filter(col("c_custkey") >= lo)
+              .select(col("c_custkey"), col("seg"), lit(-1L).as("sgn"))
+              .unionAll(C.filter(col("c_custkey") >= lo)
+                .select(col("c_custkey"), lit("SEGX").as("seg"),
+                  lit(1L).as("sgn")))
+            val oPruned = O.filter(col("c_custkey") >= lo).unionAll(dO)
+            val branchA = dC.join(oPruned, Seq("c_custkey"))
+              .select(col("seg"), col("sgn").as("dn"),
+                (col("sgn") * col("cents")).as("ds"))
+            val branchB = C.join(dO, Seq("c_custkey"))
+              .select(col("seg"), lit(1L).as("dn"), col("cents").as("ds"))
+            spark.read.parquet(s"$dir/view")
+              .select(col("seg"), col("n").as("dn"), col("s").as("ds"))
+              .unionAll(branchA).unionAll(branchB)
+              .groupBy("seg")
+              .agg(sum(col("dn")).as("n"), sum(col("ds")).as("s"))
+              .count()
+          }
+          measured(spark, "ivm_full_rebuild", mult)(fullRebuild)
+          measured(spark, "ivm_incremental", mult)(incremental)
+          // the probe-side pruning, stated in FILES (footer min/max — the
+          // exact statistics the pushed cohort bounds prune with): the
+          // sorted-lake lever that keeps the incremental fact probe
+          // delta-sized while the rebuild reads everything
+          val ranges = operators.LakeDeletes.fileRanges(
+            spark, s"$dir/orders", "c_custkey")
+          val probeFiles = ranges.count { case (_, _, hi, _) => hi >= lo }
+          println(s"""{"bench":"ivm","op":"probe_files","mult":$mult,""" +
+            s""""files_probe":$probeFiles,"files_full":${ranges.size}}""")
+        }
       case "blocklist" =>
         // Aho–Corasick one-pass scan vs the P-column contains-sum: corpus
         // scaling at fixed P = 200 (both linear in text), then the P sweep

@@ -66,7 +66,7 @@ object LakeDeletes {
     * statistics only, no data pages read. Files missing stats (never the
     * case for Spark-written INT64 columns) are conservatively treated as
     * full-range candidates. */
-  private[operators] def fileRanges(spark: SparkSession, dir: String,
+  private[graft] def fileRanges(spark: SparkSession, dir: String,
       idCol: String): Seq[(Path, Long, Long, Long)] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(dir).getFileSystem(conf)

@@ -221,7 +221,14 @@ class StreamingIvmSpec extends SparkSpec {
       .writeStream.format("memory").queryName("ivm_bi")
       .outputMode(OutputMode.Update()).start()
     waves.foreach { w => mem.addData(w: _*); q.processAllAvailable() }
+    // the bounded-state claim, MEASURED: the state store holds one row
+    // per live JOIN KEY — never per event (events here outnumber keys
+    // ~100×; a buffering implementation would show event-sized state)
+    val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+    val nKeys = waves.flatten.map(_.k).distinct.size.toLong
     q.stop()
+    assert(stateRows == nKeys,
+      s"state rows $stateRows != live join keys $nKeys — state must be key-bounded")
     // fold the emitted view changelog (every update-mode batch appended)
     val streamed = spark.table("ivm_bi")
       .groupBy("c_mktsegment")
