@@ -1085,6 +1085,72 @@ object RelationalQueries extends QueryGroup {
       .orderBy("c_mktsegment")
   }
 
+  /** Q273: EXACT PERCENTILES under RETRACTIONS — the readout that makes
+    * the q268 value-histogram state load-bearing: mergeable quantile
+    * sketches (q87/q257's KMV, t-digest, HLL-family summaries) are
+    * insert-only — a retraction can only be answered by a full re-sketch,
+    * because a sketch cannot know whether the retracted value was one it
+    * kept. The maintained (segment, value, count) histogram CAN retract
+    * (counts are abelian), and exact nearest-rank percentiles fall out of
+    * one cumulative pass over the SURVIVING counts: p50 = smallest value
+    * whose cumulative count reaches ⌈n/2⌉ = (n+1) div 2, p90 at
+    * ⌈9n/10⌉ = (9n+9) div 10 — pure integer rank algebra (the q158
+    * rule: a float percentile literal would flip rank boundaries
+    * cross-engine). Same feed and stored state as q268; the ORACLE
+    * recomputes the percentiles over the latest-wins merged table.
+    *
+    * Scale shape: work ∝ |batch| + |histogram|; the cumulative window
+    * partitions by segment over value-domain-sized rows (never row
+    * count). At 100 TB value domains the same algebra runs over
+    * hierarchical buckets (maintain 2ᵏ-wide bucket counts, drill into
+    * the one bucket holding the rank — the q230 refinement shape). */
+  private val q273: Q = (s, d) => {
+    val W = org.apache.spark.sql.expressions.Window
+    def cents(c: org.apache.spark.sql.Column) =
+      (c.cast(DecimalType(18, 2)) * 100).cast("long")
+    val feed = Tables.orders(s, d)
+      .filter(col("o_orderkey") % 3 === 0)
+      .select(
+        when(col("o_orderkey") % 7 === 0, col("o_custkey") + 1000000000000L)
+          .otherwise(col("o_custkey")).as("c_custkey"),
+        col("o_totalprice").as("bal"),
+        col("o_orderpriority").as("seg"),
+        col("o_orderkey").as("seq"),
+        when(col("o_orderkey") % 10 === 0, lit("D"))
+          .otherwise(lit("U")).as("op"))
+    val latest = feed.withColumn("rn", row_number().over(
+        W.partitionBy("c_custkey").orderBy(col("seq").desc)))
+      .filter(col("rn") === 1).drop("rn", "seq")
+    val retract = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment").as("seg"),
+        col("c_acctbal"))
+      .join(latest.select("c_custkey"), Seq("c_custkey"))
+      .select(col("seg"), cents(col("c_acctbal")).as("bal_cents"),
+        lit(-1L).as("dn"))
+    val add = latest.filter(col("op") === "U")
+      .select(col("seg"), cents(col("bal")).as("bal_cents"),
+        lit(1L).as("dn"))
+    val surviving = ivmHistView(s, d).select(col("seg"), col("bal_cents"),
+        col("n").as("dn"))
+      .unionByName(retract).unionByName(add)
+      .groupBy("seg", "bal_cents")
+      .agg(sum(col("dn")).as("n"))
+      .filter(col("n") > 0)
+    val cum = W.partitionBy("seg").orderBy("bal_cents")
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val tot = W.partitionBy("seg")
+    surviving
+      .withColumn("cum", sum(col("n")).over(cum))
+      .withColumn("nr", sum(col("n")).over(tot))
+      .groupBy(col("seg").as("c_mktsegment"))
+      .agg(max(col("nr")).as("n_rows"),
+        min(when(col("cum") >= expr("(nr + 1) div 2"),
+          col("bal_cents"))).as("p50_cents"),
+        min(when(col("cum") >= expr("(9 * nr + 9) div 10"),
+          col("bal_cents"))).as("p90_cents"))
+      .orderBy("c_mktsegment")
+  }
+
   // The stored value histogram q268 maintains: (segment, exact balance
   // cents, count) over the customer base, materialized ONCE per
   // (session, dir) as a temp parquet the incremental path SCANS.
@@ -1545,6 +1611,7 @@ object RelationalQueries extends QueryGroup {
     "q268_ivm_minmax_retract" -> q268,
     "q269_profile_functional_deps" -> q269,
     "q271_scan_orc_typed" -> q271,
+    "q273_ivm_percentile_retract" -> q273,
     "q247_ivm_join_delta" -> q247,
     "q258_ivm_agg_retract" -> q258,
     "q259_scan_csv_typed" -> q259,
@@ -1873,6 +1940,47 @@ object RelationalQueries extends QueryGroup {
         |    AS BIGINT) AS max_bal_cents
         |FROM merged GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
+
+    // retraction-safe exact percentiles: the oracle recomputes nearest-
+    // rank p50/p90 over the latest-wins merged table with the SAME pure-
+    // integer rank formulas; window sums CAST back to BIGINT (the q91
+    // HUGEINT gotcha)
+    "q273_ivm_percentile_retract" ->
+      """WITH ch AS (
+        |  SELECT CASE WHEN o_orderkey % 7 = 0
+        |           THEN o_custkey + 1000000000000
+        |           ELSE o_custkey END AS c_custkey,
+        |    o_totalprice AS c_acctbal,
+        |    o_orderpriority AS c_mktsegment,
+        |    o_orderkey AS seq,
+        |    CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |w AS (SELECT *, row_number() OVER (
+        |    PARTITION BY c_custkey ORDER BY seq DESC) AS rn FROM ch),
+        |latest AS (SELECT * FROM w WHERE rn = 1),
+        |merged AS (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+        |  WHERE c_custkey NOT IN (SELECT c_custkey FROM latest)
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment, c_acctbal FROM latest
+        |  WHERE op <> 'D'),
+        |hist AS (SELECT c_mktsegment AS seg,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS bal_cents,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM merged GROUP BY 1, 2),
+        |c AS (SELECT seg, bal_cents,
+        |    CAST(sum(n) OVER (PARTITION BY seg ORDER BY bal_cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(sum(n) OVER (PARTITION BY seg) AS BIGINT) AS nr
+        |  FROM hist)
+        |SELECT seg AS c_mktsegment, CAST(max(nr) AS BIGINT) AS n_rows,
+        |  CAST(min(CASE WHEN cum >= (nr + 1) // 2 THEN bal_cents END)
+        |    AS BIGINT) AS p50_cents,
+        |  CAST(min(CASE WHEN cum >= (9 * nr + 9) // 10 THEN bal_cents END)
+        |    AS BIGINT) AS p90_cents
+        |FROM c GROUP BY seg ORDER BY c_mktsegment""".stripMargin,
 
     // functional dependencies: the same two-level grouped fold per
     // candidate — determinant groups counted over the distinct

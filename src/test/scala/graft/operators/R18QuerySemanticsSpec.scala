@@ -188,6 +188,58 @@ class R18QuerySemanticsSpec extends SparkSpec {
       s"supplier probe inconsistent: ${out("supplier: s_nationkey -> s_name")}")
   }
 
+  test("q273: maintained percentiles ≡ direct recompute, and retraction actually moves a percentile") {
+    val out = SparkEntry.queries("q273_ivm_percentile_retract")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // direct recompute from the merged table, driver-side nearest-rank
+    val feed = Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") % 3 === 0)
+      .select(
+        when(col("o_orderkey") % 7 === 0,
+          col("o_custkey") + 1000000000000L)
+          .otherwise(col("o_custkey")).as("c_custkey"),
+        col("o_totalprice").as("bal"),
+        col("o_orderpriority").as("seg"),
+        col("o_orderkey").as("seq"),
+        when(col("o_orderkey") % 10 === 0, lit("D"))
+          .otherwise(lit("U")).as("op"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("c_custkey").orderBy(col("seq").desc)))
+      .filter(col("rn") === 1)
+    val cents = (c: org.apache.spark.sql.Column) =>
+      (c.cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+        .cast("long")
+    val merged = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment").as("seg"),
+        cents(col("c_acctbal")).as("v"))
+      .join(feed.select("c_custkey"), Seq("c_custkey"), "left_anti")
+      .unionByName(feed.filter(col("op") === "U")
+        .select(col("c_custkey"), col("seg"), cents(col("bal")).as("v")))
+      .select(col("seg"), col("v"))
+      .as[(String, Long)].collect().groupBy(_._1)
+    def rank(xs: Seq[Long], k: Long): Long = xs.sorted.apply(k.toInt - 1)
+    merged.foreach { case (seg, rows) =>
+      val vs = rows.map(_._2).toSeq
+      val n = vs.size.toLong
+      val want = (n, rank(vs, (n + 1) / 2), rank(vs, (9 * n + 9) / 10))
+      assert(out(seg) == want, s"$seg: ${out(seg)} != $want")
+    }
+    assert(out.keySet == merged.keySet)
+    // the retraction must MOVE a percentile somewhere (a sketch could
+    // not have answered this; the base-state readout must not leak
+    // through): compare against the pre-delta base percentiles
+    val base = Tables.customer(spark, sfDir)
+      .select(col("c_mktsegment").as("seg"), cents(col("c_acctbal")).as("v"))
+      .as[(String, Long)].collect().groupBy(_._1)
+    val moved = base.exists { case (seg, rows) =>
+      val vs = rows.map(_._2).toSeq
+      val n = vs.size.toLong
+      out.get(seg).exists(o => o._3 != rank(vs, (9 * n + 9) / 10))
+    }
+    assert(moved, "no segment's p90 moved — retraction readout inert")
+  }
+
   test("q254: the broadcast threshold's register-row constant matches the measured UnsafeRow size") {
     def rowSizes(ids: Seq[String]): Set[Long] =
       GraphQueries.hyperBallInitRegs(ids.toDF("node"))
