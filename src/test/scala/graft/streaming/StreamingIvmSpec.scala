@@ -159,6 +159,27 @@ class StreamingIvmSpec extends SparkSpec {
       batch.get(seg).exists(_._4 < mx) }
     assert(dropped.nonEmpty,
       "no segment's max was retracted — the fixture stopped exercising the handoff")
+    // the SAME streamed histogram state serves q273's exact-percentile
+    // readout: nearest-rank p50/p90 over surviving counts ≡ batch q273
+    val W = Window.partitionBy("c_mktsegment").orderBy("bal_cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val T = Window.partitionBy("c_mktsegment")
+    val streamedPct = spark.table("ivm_hist")
+      .filter(col("n") > 0)
+      .withColumn("cum", sum(col("n")).over(W))
+      .withColumn("nr", sum(col("n")).over(T))
+      .groupBy("c_mktsegment")
+      .agg(max(col("nr")).as("n_rows"),
+        min(when(col("cum") >= expr("(nr + 1) div 2"),
+          col("bal_cents"))).as("p50"),
+        min(when(col("cum") >= expr("(9 * nr + 9) div 10"),
+          col("bal_cents"))).as("p90"))
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val batchPct = SparkEntry.queries("q273_ivm_percentile_retract")(
+        spark, sfDir)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(streamedPct == batchPct,
+      s"streamed percentile readout ≠ batch q273:\n stream ${streamedPct.toSeq.sortBy(_._1)}\n batch ${batchPct.toSeq.sortBy(_._1)}")
   }
 
   test("TWO-side changelog join (flatMapGroupsWithState bi-multiset) ≡ batch q264, deliberately mis-ordered waves") {
