@@ -966,12 +966,18 @@ object RelationalQueries extends QueryGroup {
     * merged customer table joined to all orders — the hash match IS the
     * retraction-correctness equation at join granularity.
     *
-    * Scale shape: work ∝ |ΔC|·(orders per touched customer) + |ΔO| +
-    * |stored rollup| (segment-domain-sized); the delta-side joins are
-    * delta-keyed (AQE broadcasts the touched-key set while it fits). The
-    * same changelog algebra runs LIVE as a stream-static join in
-    * [[graft.streaming.JoinViewStream]] (StreamingIvmSpec pins stream ≡
-    * this query, bootstrap + CDC waves). */
+    * Scale shape: the shuffle/agg work is ∝ |ΔC|·(orders per touched
+    * customer) + |ΔO| + |stored rollup| (segment-domain-sized; AQE
+    * broadcasts the touched-key set while it fits) — but the ΔC⋈O₁ probe
+    * still SCANS the orders side unless the lake's layout can prune it:
+    * on a custkey-clustered lake the touched cohort's pushed bounds cut
+    * the scan to the intersecting row groups (`ScaleBench ivm` measures
+    * 1-of-160 files at 10×; hash-spread cohorts take the q270 bloom
+    * complement) — the layout lever that makes the refresh genuinely
+    * delta-sized end to end. The same changelog algebra runs LIVE as a
+    * stream-static join in [[graft.streaming.JoinViewStream]], and with
+    * BOTH sides as changelogs in its `biChangelog` (key-bounded state;
+    * StreamingIvmSpec pins both ≡ this query). */
   private val q264: Q = (s, d) => {
     val W = org.apache.spark.sql.expressions.Window
     val feed = Tables.orders(s, d)
