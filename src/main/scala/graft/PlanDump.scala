@@ -88,7 +88,8 @@ object PlanDump {
       "q266_profile_candidate_keys", "q267_graph_weighted_paths",
       "q268_ivm_minmax_retract", "q269_profile_functional_deps",
       "q270_lake_bloom_lookup", "q271_scan_orc_typed",
-      "q272_lake_table_changes", "q273_ivm_percentile_retract")
+      "q272_lake_table_changes", "q273_ivm_percentile_retract",
+      "q274_lake_restore")
     val sb = new StringBuilder
     sb.append("# PLANS — headline physical plans (generated by graft.PlanDump)\n\n")
     sb.append("Formatted executed plans at sf0.001, AQE final. What to look for:\n")

@@ -1990,6 +1990,81 @@ object CorpusQueries extends QueryGroup {
     upserts.unionByName(deletes).orderBy("doc_id")
   }
 
+  // The restore lake q274 reads: b0 (seq 1, doc_id ≡ 0 mod 3), b2 (seq 2,
+  // ≡ 2 mod 3), b3 (seq 3, the ≡0-mod-7 revision batch incl. brand-new
+  // ≡1-mod-3 docs), then RESTORED to seq 2 — so the latest live set must
+  // be exactly the seq-2 snapshot: revisions superseded by the restore
+  // batch, later additions erased. Memoized per (session, sfDir).
+  private val restoreMemo = new java.util.WeakHashMap[
+    org.apache.spark.sql.SparkSession,
+    scala.collection.mutable.Map[String, String]]()
+
+  private[operators] def restoreLakeDir(
+      s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val perSession = restoreMemo.synchronized {
+      var m = restoreMemo.get(s)
+      if (m == null) {
+        m = scala.collection.mutable.Map.empty[String, String]
+        restoreMemo.put(s, m)
+      }
+      m
+    }
+    perSession.synchronized {
+      perSession.getOrElseUpdate(d, {
+        val dir = TempDirs.scoped("graft-wap-restore")
+        val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+          .select(col("doc_id"), col("source"), col("text"))
+        val rules = Seq(LakeAudit.Rule("doc_id_not_null",
+          col("doc_id").isNotNull))
+        LakeAudit.writeAuditPublish(s,
+          docs.filter(col("doc_id") % 3 === 0), dir, "b0", rules)
+        LakeAudit.writeAuditPublish(s,
+          docs.filter(col("doc_id") % 3 === 2), dir, "b2", rules)
+        LakeAudit.writeAuditPublish(s,
+          docs.filter(col("doc_id") % 7 === 0)
+            .withColumn("text", concat(col("text"), lit(" rev"))),
+          dir, "b3", rules)
+        LakeAudit.restoreTo(s, dir, targetSeq = 2L, restoreId = "r1",
+          idCol = "doc_id", rules = rules)
+        dir
+      })
+    }
+  }
+
+  /** Q274: RESTORE to a publish — the time-travel family's write half
+    * (read-as-of q194, diff q262/q265, change feed q272, and now
+    * [[LakeAudit.restoreTo]]): after a bad revision batch (b3) the lake
+    * is restored to publish seq 2, and THIS query reads the resulting
+    * LATEST live set — which must be byte-equal to the seq-2 snapshot:
+    * revised texts superseded by the restore batch's re-publish
+    * (last-writer-wins), post-target additions erased (the additive
+    * log's only un-add). Per source: doc count, Σdoc_id membership
+    * checksum, and the 128-bit-exact sum of 60-bit md5 TEXT fingerprints
+    * (surfaced as a string, the q239 digest discipline) — a restore that
+    * leaked one revised text or kept one later addition hash-mismatches
+    * against the oracle's residue-algebra recomputation from the
+    * documents TABLE. */
+  private val q274: Q = (s, d) => {
+    val dir = restoreLakeDir(s, d)
+    import s.implicits._
+    val seqDf = LakeAudit.publishLog(s, dir)
+      .filterNot(LakeAudit.isErasure)
+      .map(e => (e.batchId, e.seq)).toDF("batch", "publish_seq")
+    val latest = seqDf.agg(max("publish_seq")).collect().head.getLong(0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("publish_seq").desc)
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    LakeAudit.readAsOf(s, dir, latest)
+      .join(broadcast(seqDf), "batch")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("sum_doc_id"),
+        sum(fingerprint64(col("text")).cast(dec38)).cast("string")
+          .as("fp_sum"))
+      .orderBy("source")
+  }
+
   // The bloom-indexed lookup lake q270 reads: documents written id-range-
   // sorted (8 files) carrying a content-fingerprint column `h` the lake is
   // NOT sorted by, with parquet BLOOM FILTERS on h and dictionary encoding
@@ -2578,6 +2653,7 @@ object CorpusQueries extends QueryGroup {
     "q265_lake_diff_removals" -> q265,
     "q270_lake_bloom_lookup" -> q270,
     "q272_lake_table_changes" -> q272,
+    "q274_lake_restore" -> q274,
     "q195_preference_pair_audit" -> q195,
     "q196_annotator_agreement" -> q196,
     "q203_fleiss_kappa" -> q203,
@@ -3965,6 +4041,19 @@ object CorpusQueries extends QueryGroup {
         |    AND doc_id % 7 <> 0)
         |SELECT doc_id, source, change_type, old_fp, new_fp
         |FROM feed ORDER BY doc_id""".stripMargin,
+
+    // restore-to-publish: the latest live set must equal the seq-2
+    // snapshot exactly — original texts (no ' rev'), no ≡1-mod-3
+    // additions; fingerprint sums in HUGEINT ≡ Spark decimal(38,0),
+    // surfaced as VARCHAR (the q239 digest discipline)
+    "q274_lake_restore" ->
+      """WITH d AS (SELECT doc_id, source, text FROM documents
+        |  WHERE text IS NOT NULL AND doc_id % 3 IN (0, 2))
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+        |  CAST(sum(('0x' || substr(md5(text), 1, 15))::BIGINT)
+        |    AS VARCHAR) AS fp_sum
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
 
     // bloom-lake lookup: fingerprints recomputed from the table, the
     // probe replayed as a membership subquery (the engine's literal IN

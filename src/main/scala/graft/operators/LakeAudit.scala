@@ -292,6 +292,60 @@ object LakeAudit {
     report
   }
 
+  /** RESTORE the lake to its state at publish `targetSeq`, sequenced as a
+    * NEW publish (the Delta `RESTORE TABLE … VERSION AS OF` shape,
+    * expressed in this lake's additive-log + erasure vocabulary): the
+    * target live set is re-published as batch `restore-<restoreId>` —
+    * last-writer-wins makes its rows supersede every later revision —
+    * and ids that exist ONLY after the target (later additions) are
+    * removed through [[eraseLogged]], because an additive log has no
+    * other way to un-add. NOTE the semantic this inherits: the erasure
+    * REWRITES history (post-target additions disappear from every as-of
+    * read), while superseded revisions stay time-travelable — document
+    * both to consumers. Idempotent: a replay with the same `restoreId`
+    * is a no-op (the publish exists); a crash between the erase and the
+    * publish re-runs cleanly (the extra-id set is recomputed as empty
+    * and the publish completes).
+    *
+    * Scale shape: two snapshot-sized doc-keyed windows + one
+    * snapshot-sized rewrite (the restore batch) + a driver-sized erase
+    * list (the LakeDeletes posture; corpus-scale restores take an
+    * anti-join rewrite instead). */
+  def restoreTo(spark: SparkSession, dir: String, targetSeq: Long,
+      restoreId: String, idCol: String, rules: Seq[Rule]): Unit = {
+    require(!restoreId.contains("~"),
+      s"restoreId may not contain '~': $restoreId")
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val batchId = s"restore-$restoreId"
+    if (readLog(fs, dir).exists(_.batchId == batchId)) return // replayed
+    val log = publishLog(spark, dir).filterNot(isErasure)
+    require(log.exists(_.seq <= targetSeq),
+      s"restoreTo($targetSeq): nothing published at or before that seq")
+    val latest = log.map(_.seq).max
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{broadcast, col, row_number}
+    val seqDf = log.map(e => (e.batchId, e.seq)).toDF("batch", "__pseq")
+    def live(at: Long): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(idCol).orderBy(col("__pseq").desc)
+      readAsOf(spark, dir, at)
+        .join(broadcast(seqDf), "batch")
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .drop("__rn", "__pseq", "batch")
+    }
+    val target = live(targetSeq)
+    val extraIds = live(latest).select(idCol)
+      .except(target.select(idCol))
+      .collect().map(_.getLong(0)).toSeq
+    if (extraIds.nonEmpty)
+      eraseLogged(spark, dir, batchId, extraIds, idCol, Nil)
+    val res = writeAuditPublish(spark, target, dir, batchId, rules)
+    require(res.published,
+      s"restore batch failed its own audit: ${res.failedRules}")
+  }
+
   /** The erasure receipts sequenced in (fromSeq, toSeq] — the rows a
     * snapshot diff over that window must surface as `removed` (minus any
     * id a later batch republished). Metadata-sized: one log listing plus

@@ -241,4 +241,48 @@ class LakeAuditSpec extends SparkSpec {
     assert(releaseManifest(spark, dir).select("batch")
       .as[String].collect().toSet == Set("a", "b", "c"))
   }
+
+  test("restoreTo: latest live ≡ target snapshot; superseded revisions stay time-travelable; replay no-op") {
+    val dir = tmpDir("waprestore")
+    // seq 1: ids 1, 2; seq 2: id 1 REVISED + id 99 ADDED
+    assert(writeAuditPublish(spark,
+      Seq((1L, 5.0, 10.0), (2L, 7.0, 20.0)).toDF("id", "qty", "price"),
+      dir, "a", rules).published)
+    assert(writeAuditPublish(spark,
+      Seq((1L, 9.0, 10.0), (99L, 3.0, 30.0)).toDF("id", "qty", "price"),
+      dir, "b", rules).published)
+    restoreTo(spark, dir, targetSeq = 1L, restoreId = "t", idCol = "id",
+      rules = rules)
+    def latestLive(): Map[Long, Double] = {
+      import org.apache.spark.sql.expressions.Window
+      val log = publishLog(spark, dir).filterNot(isErasure)
+      val seqDf = log.map(e => (e.batchId, e.seq))
+        .toDF("batch", "publish_seq")
+      readAsOf(spark, dir, log.map(_.seq).max)
+        .join(seqDf, "batch")
+        .withColumn("rn", org.apache.spark.sql.functions.row_number()
+          .over(Window.partitionBy("id")
+            .orderBy(col("publish_seq").desc)))
+        .filter(col("rn") === 1)
+        .select("id", "qty").as[(Long, Double)].collect().toMap
+    }
+    // latest live set is EXACTLY the seq-1 snapshot: the revision of id 1
+    // superseded by the restore batch, the later addition 99 erased
+    assert(latestLive() == Map(1L -> 5.0, 2L -> 7.0))
+    // superseded revisions remain time-travelable (additive history) —
+    // readAsOf(2) still carries b's revised id-1 row; the ERASED later
+    // addition is gone from history too (the documented erasure semantic)
+    val asOf2 = readAsOf(spark, dir, 2L)
+      .select("id", "qty").as[(Long, Double)].collect().toSet
+    assert(asOf2.contains((1L, 9.0)) && !asOf2.exists(_._1 == 99L))
+    // the restore is sequenced: one erasure entry + the restore publish
+    val log = publishLog(spark, dir)
+    assert(log.count(isErasure) == 1)
+    assert(log.last.batchId == "restore-t")
+    // replay: byte-level no-op (no new log entries, same live set)
+    restoreTo(spark, dir, targetSeq = 1L, restoreId = "t", idCol = "id",
+      rules = rules)
+    assert(publishLog(spark, dir) == log)
+    assert(latestLive() == Map(1L -> 5.0, 2L -> 7.0))
+  }
 }
