@@ -61,10 +61,16 @@ object JoinViewStream {
     * (segment → count; price-cents → count) — exactly the state a
     * changelog stream-stream join keeps per key (the Materialize/Flink
     * shape): bounded by the number of live rows per key on each side,
-    * independent of stream length. Counts may pass through negative
-    * values when a retraction's micro-batch overtakes its insertion —
-    * the join is bilinear over signed multisets, so the SUM of emitted
-    * deltas is exact regardless of arrival interleaving. */
+    * independent of stream length — and by LIVE KEYS, not keys ever
+    * touched: a key whose last live row retracts on both sides has its
+    * state row REMOVED (state.remove), so key churn (the CDC norm —
+    * entities created and deleted over a stream's lifetime) cannot grow
+    * state beyond the currently-live key set. Counts may pass through
+    * negative values when a retraction's micro-batch overtakes its
+    * insertion — the join is bilinear over signed multisets, so the SUM
+    * of emitted deltas is exact regardless of arrival interleaving (a
+    * key overdrawn to a negative count keeps its state row until the
+    * matching insertion arrives and cancels it back to empty). */
   final case class BiState(lefts: Map[String, Long],
       rights: Map[Long, Long])
 
@@ -118,7 +124,12 @@ object JoinViewStream {
                 else st.rights.updated(e.cents, n))
             }
           }
-          state.update(st)
+          // dead-key eviction: both multisets empty ⇒ this key holds no
+          // live row on either side and every future event re-derives
+          // from the empty state — keeping the row would grow state with
+          // keys EVER SEEN instead of keys LIVE (the CDC churn leak)
+          if (st.lefts.isEmpty && st.rights.isEmpty) state.remove()
+          else state.update(st)
           acc.iterator.collect {
             case (seg, (dn, dc)) if dn != 0L || dc != 0L => (seg, dn, dc)
           }

@@ -237,19 +237,42 @@ class StreamingIvmSpec extends SparkSpec {
       rNew.toSeq ++ rBoot.take(nb / 3),
       lBoot.drop(lBoot.length / 2).toSeq ++ rBoot.slice(nb / 3, nb / 2),
       lPre.drop(lPre.length / 2).toSeq ++ lPost ++ rBoot.drop(nb / 2))
+    // driver-side reference fold of the per-key live multisets — the
+    // LIVE key set (a key whose multisets both drain to empty is dead
+    // and must hold NO state row; "keys ever touched" is the leak the
+    // r18 pin masked)
+    def foldLive(evs: Seq[BiEvent])
+        : Map[Long, (Map[String, Long], Map[Long, Long])] = {
+      val m = scala.collection.mutable.Map
+        .empty[Long, (Map[String, Long], Map[Long, Long])]
+      evs.foreach { e =>
+        val (l, r) = m.getOrElse(e.k,
+          (Map.empty[String, Long], Map.empty[Long, Long]))
+        val nu = if (e.side == "L") {
+          val n = l.getOrElse(e.seg, 0L) + e.sgn
+          (if (n == 0L) l - e.seg else l.updated(e.seg, n), r)
+        } else {
+          val n = r.getOrElse(e.cents, 0L) + e.sgn
+          (l, if (n == 0L) r - e.cents else r.updated(e.cents, n))
+        }
+        if (nu._1.isEmpty && nu._2.isEmpty) m.remove(e.k) else m(e.k) = nu
+      }
+      m.toMap
+    }
     val mem = MemoryStream[JoinViewStream.BiEvent]
     val q = JoinViewStream.biChangelog(mem.toDS())
       .writeStream.format("memory").queryName("ivm_bi")
       .outputMode(OutputMode.Update()).start()
     waves.foreach { w => mem.addData(w: _*); q.processAllAvailable() }
     // the bounded-state claim, MEASURED: the state store holds one row
-    // per live JOIN KEY — never per event (events here outnumber keys
+    // per LIVE join key — never per event (events here outnumber keys
     // ~100×; a buffering implementation would show event-sized state)
+    // and never per ever-touched key (fully-deleted customers with no
+    // orders are already dead here and must not linger)
+    val live = foldLive(waves.flatten)
     val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
-    val nKeys = waves.flatten.map(_.k).distinct.size.toLong
-    q.stop()
-    assert(stateRows == nKeys,
-      s"state rows $stateRows != live join keys $nKeys — state must be key-bounded")
+    assert(stateRows == live.size.toLong,
+      s"state rows $stateRows != live join keys ${live.size} — state must be live-key-bounded")
     // fold the emitted view changelog (every update-mode batch appended)
     val streamed = spark.table("ivm_bi")
       .groupBy("c_mktsegment")
@@ -264,6 +287,53 @@ class StreamingIvmSpec extends SparkSpec {
       .map(r => r._1 -> ((r._2, r._3))).toMap
     assert(streamed == batch,
       s"bi-changelog ≠ batch:\n stream ${streamed.toSeq.sortBy(_._1)}\n batch ${batch.toSeq.sortBy(_._1)}")
+    // DRAIN wave: fully retract every live row of a key sample on BOTH
+    // sides — their state rows must be REMOVED (the CDC-churn leak fix),
+    // and the folded changelog must lose exactly their join contributions
+    val drainKeys = live.keys.toSeq.sorted.take(50)
+    val drain = drainKeys.flatMap { k =>
+      val (l, r) = live(k)
+      l.toSeq.flatMap { case (seg, n) =>
+        Seq.fill(n.toInt)(BiEvent(k, "L", -1L, seg, 0L)) } ++
+      r.toSeq.flatMap { case (cents, n) =>
+        Seq.fill(n.toInt)(BiEvent(k, "R", -1L, null, cents)) }
+    }
+    mem.addData(drain: _*); q.processAllAvailable()
+    val stateAfter = q.lastProgress.stateOperators.head.numRowsTotal
+    q.stop()
+    assert(stateAfter == (live.size - drainKeys.size).toLong,
+      s"state rows $stateAfter after draining ${drainKeys.size} of ${live.size} live keys — dead keys must be evicted")
+    // exactness through the drain: each drained key loses lefts × rights
+    // join rows per (segment, cents) — the refolded view must equal the
+    // batch view minus exactly those contributions
+    val lost = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    drainKeys.foreach { k =>
+      val (l, r) = live(k)
+      l.foreach { case (seg, ln) =>
+        r.foreach { case (cents, rn) =>
+          val (n0, c0) = lost.getOrElse(seg, (0L, 0L))
+          lost(seg) = (n0 + ln * rn, c0 + ln * rn * cents)
+        }
+      }
+    }
+    val expectAfter = (batch.keySet ++ lost.keySet).flatMap { seg =>
+      val (bn, bd) = batch.getOrElse(seg, (0L, 0.0))
+      val (dn, dc) = lost.getOrElse(seg, (0L, 0L))
+      val n = bn - dn
+      val c = java.math.BigDecimal.valueOf(
+        Math.round(bd * 100) - dc, 2).doubleValue
+      if (n > 0) Some(seg -> ((n, c))) else None
+    }.toMap
+    val refolded = spark.table("ivm_bi")
+      .groupBy("c_mktsegment")
+      .agg(sum(col("dn")).as("n"), sum(col("dcents")).as("c"))
+      .filter(col("n") > 0)
+      .as[(String, Long, Long)].collect()
+      .map { case (seg, n, c) =>
+        seg -> ((n, java.math.BigDecimal.valueOf(c, 2).doubleValue)) }
+      .toMap
+    assert(refolded == expectAfter,
+      s"post-drain fold ≠ batch − drained contributions:\n stream ${refolded.toSeq.sortBy(_._1)}\n expect ${expectAfter.toSeq.sortBy(_._1)}")
   }
 
   test("streamed ±retraction JOIN view ≡ batch q264 (bootstrap + CDC waves, stream-static join)") {
