@@ -85,14 +85,10 @@ object LakeAudit {
     if (fs.exists(target)) {
       // replayed publish of a published batch: data is a no-op, but a
       // replay is exactly how a publish that crashed between its rename
-      // and its log append COMPLETES the protocol — append the missing
+      // and its log append COMPLETES the protocol — commit the missing
       // entry now (at-least-once delivery guarantees this replay, so the
       // log catches up without any reader ever writing)
-      val logged = readLog(fs, dir)
-      if (!logged.exists(_.batchId == batchId))
-        appendLog(fs, dir,
-          PublishEntry(logged.lastOption.map(_.seq + 1).getOrElse(1L),
-            batchId))
+      commitEntry(fs, dir, batchId)
       // report as published with the audit of the LIVE data (cheap
       // re-attestation)
       return WapResult(batchId, published = true,
@@ -105,16 +101,13 @@ object LakeAudit {
       fs.mkdirs(target.getParent)
       require(fs.rename(staged, target),
         s"atomic publish rename failed: $staged -> $target")
-      // record publish order with ONE log-dir listing + a direct append —
+      // record publish order through the optimistic-concurrency commit —
       // never a data-dir reconciliation (O(batches) listings per publish
       // would make a long-lived stream quadratic on exactly the stores
-      // where listings are the expensive op). Race-free because readers
-      // never write: a crash between the rename above and this append is
-      // completed by the batch's REPLAY (the early-return path) or by the
-      // explicit repairPublishLog
-      val fresh = readLog(fs, dir)
-      appendLog(fs, dir,
-        PublishEntry(fresh.lastOption.map(_.seq + 1).getOrElse(1L), batchId))
+      // where listings are the expensive op). A crash between the rename
+      // above and this commit is completed by the batch's REPLAY (the
+      // early-return path) or by the explicit repairPublishLog
+      commitEntry(fs, dir, batchId)
     }
     WapResult(batchId, published = ok, reports)
   }
@@ -132,70 +125,145 @@ object LakeAudit {
 
   private def logDir(dir: String) = new Path(s"$dir/_publish_log")
 
-  // entry file name: <seq zero-padded to 20>_<batchId>.json — the name IS
-  // the record (the body duplicates it for humans); zero-padding keeps
-  // lexical order = numeric order, and batchIds may themselves contain '_'
-  // so parsing splits at the FIXED 20-digit prefix
-  private def entryName(e: PublishEntry): String =
-    f"${e.seq}%020d_${e.batchId}.json"
+  // entry file name: <seq zero-padded to 20>.json — the NAME is the
+  // mutual-exclusion unit (exactly one winner per seq; two contending
+  // batchIds contend for the same file), the BODY carries the batchId.
+  // Zero-padding keeps lexical order = numeric order.
+  private def entryName(seq: Long): String = f"$seq%020d.json"
 
-  private def appendLog(fs: org.apache.hadoop.fs.FileSystem, dir: String,
-      e: PublishEntry): Unit = {
-    val ld = logDir(dir)
-    fs.mkdirs(ld)
-    val fin = new Path(ld, entryName(e))
-    if (fs.exists(fin)) return // idempotent: the entry is deterministic
-    val tmp = new Path(ld, s".${entryName(e)}.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(
-      s"""{"seq":${e.seq},"batch":"${e.batchId}"}""".getBytes("UTF-8"))
-    finally out.close()
-    // defensive idempotence: a duplicate append of the SAME (seq, batchId)
-    // entry (e.g. a replayed repair) renames onto an existing identical
-    // file — success, not an error (the content is a pure function of the
-    // name); single-writer discipline excludes any other collision
-    if (!fs.rename(tmp, fin)) {
-      require(fs.exists(fin), s"publish-log append failed: $fin")
-      fs.delete(tmp, false)
+  /** Create `fin` with `bytes` ATOMICALLY-EXCLUSIVELY: succeed iff no
+    * other writer has committed this name, and never expose a
+    * partially-written file. Returns true on win, false on lose.
+    *
+    * Store-specific mutual exclusion (the Delta/Iceberg LogStore shape):
+    *  - `file://` — write a hidden tmp, then `link(2)` it to the final
+    *    name: hard-link creation is atomic O_EXCL in POSIX AND the file
+    *    appears with its FULL content (no torn-read window). Hadoop's
+    *    own RawLocalFileSystem.create(overwrite=false) is a
+    *    check-then-act (exists → throw → open) and is NOT safe under
+    *    contention — the reason this path drops to java.nio.
+    *  - other schemes — write the tmp through the Hadoop FS, then
+    *    rename(tmp, fin): HDFS rename is namenode-atomic and FAILS when
+    *    the target exists, which is exactly the CAS. Object stores whose
+    *    rename is copy-and-not-exclusive need their store's conditional
+    *    PUT wired here (the documented seam, as in Delta's LogStore). */
+  private def createExclusive(fs: org.apache.hadoop.fs.FileSystem,
+      fin: Path, bytes: Array[Byte]): Boolean = {
+    val tmp = new Path(fin.getParent,
+      s".${fin.getName}.${java.util.UUID.randomUUID()}.tmp")
+    if (fs.getScheme == "file") {
+      val finNio = java.nio.file.Paths.get(fin.toUri.getPath)
+      val tmpNio = java.nio.file.Paths.get(tmp.toUri.getPath)
+      java.nio.file.Files.write(tmpNio, bytes)
+      try { java.nio.file.Files.createLink(finNio, tmpNio); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      finally java.nio.file.Files.deleteIfExists(tmpNio)
+    } else {
+      val out = fs.create(tmp, true)
+      try out.write(bytes) finally out.close()
+      val won = !fs.exists(fin) && fs.rename(tmp, fin)
+      if (!won) fs.delete(tmp, false)
+      won
     }
   }
 
-  /** The raw logged entries (one log-dir listing, no reconciliation). */
+  /** Optimistic-concurrency commit of `batchId` at the log tail — the
+    * Delta/Iceberg commit protocol on a plain filesystem: read the log,
+    * propose seq = last + 1, attempt the atomic create-exclusive of that
+    * seq's entry file; the LOSER re-reads (the winner's entry is now
+    * visible, possibly carrying this very batchId committed by a racing
+    * replica) and retries at the new tail. Exactly one writer wins each
+    * seq; no entry is ever lost or duplicated; a batchId already in the
+    * log returns its existing entry (idempotent replay). */
+  private[operators] def commitEntry(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, batchId: String): PublishEntry = {
+    val ld = logDir(dir)
+    fs.mkdirs(ld)
+    var attempts = 0
+    while (attempts < 10000) {
+      val logged = readLog(fs, dir)
+      logged.find(_.batchId == batchId).foreach(e => return e)
+      val e = PublishEntry(
+        logged.lastOption.map(_.seq + 1).getOrElse(1L), batchId)
+      if (createExclusive(fs, new Path(ld, entryName(e.seq)),
+          s"""{"seq":${e.seq},"batch":"${e.batchId}"}"""
+            .getBytes("UTF-8")))
+        return e
+      attempts += 1 // lost the race: someone else owns that seq now
+    }
+    sys.error(s"publish-log commit of '$batchId' lost ${attempts} races " +
+      s"in $dir — a livelock this long means a runaway writer, not contention")
+  }
+
+  /** The raw logged entries: one log-dir listing plus one entry-sized
+    * content read per commit (the Delta `_delta_log` read profile —
+    * entries are ~60 bytes; very long histories take periodic checkpoint
+    * compaction, the standard lever, before this listing ever hurts).
+    * Tolerates the legacy name-encoded format (<seq>_<batchId>.json)
+    * for lakes written before the CAS protocol. */
   private def readLog(fs: org.apache.hadoop.fs.FileSystem,
       dir: String): Seq[PublishEntry] = {
     val ld = logDir(dir)
     if (!fs.exists(ld)) Nil
-    else fs.listStatus(ld).toSeq.map(_.getPath.getName)
-      .filter(n => n.endsWith(".json") && !n.startsWith("."))
-      .map { n =>
-        val base = n.stripSuffix(".json")
-        PublishEntry(base.substring(0, 20).toLong, base.substring(21))
+    else fs.listStatus(ld).toSeq.map(_.getPath)
+      .filter(p => p.getName.endsWith(".json") && !p.getName.startsWith("."))
+      .map { p =>
+        val base = p.getName.stripSuffix(".json")
+        if (base.length > 20 && base.charAt(20) == '_')
+          PublishEntry(base.substring(0, 20).toLong, base.substring(21))
+        else {
+          val body = {
+            val in = fs.open(p)
+            try {
+              val buf = new java.io.ByteArrayOutputStream()
+              val chunk = new Array[Byte](4096)
+              var n = in.read(chunk)
+              while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+              new String(buf.toByteArray, "UTF-8")
+            } finally in.close()
+          }
+          val marker = "\"batch\":\""
+          val i = body.indexOf(marker)
+          require(i >= 0, s"unparseable publish-log entry: $p -> $body")
+          PublishEntry(base.toLong,
+            body.substring(i + marker.length, body.lastIndexOf("\"")))
+        }
       }
       .sortBy(_.seq)
   }
 
   /** The publish log, oldest first — one entry per published batch, in
     * publish order. A PURE READ: readers never write (a reader-side heal
-    * would race the writer's post-rename append and could log one batch
-    * under two seqs or two batches under one). A batch whose publish
-    * crashed between the rename and the log append completes its protocol
-    * when the batch is REPLAYED ([[writeAuditPublish]]'s replay path
-    * appends the missing entry — and at-least-once delivery guarantees
-    * the replay); a hole that will never be replayed takes the explicit
-    * [[repairPublishLog]], the owner-invoked recovery path (the
+    * would race the writer's post-rename commit and could log one batch
+    * under two seqs or two batches under one). Writers — publish, logged
+    * erasure, restore, repair — all sequence through the SAME
+    * optimistic-concurrency commit ([[commitEntry]]): each seq's entry
+    * file is created atomically-exclusively, so two racing writers can
+    * never both win a seq and no entry is lost; the loser re-reads the
+    * tail and retries (CONCURRENT WRITERS ARE SAFE at the log level —
+    * what stays caller-scheduled is data-level overlap, e.g. an erasure
+    * physically covers only batches present when it scanned). A batch
+    * whose publish crashed between the rename and the log commit
+    * completes its protocol when the batch is REPLAYED
+    * ([[writeAuditPublish]]'s replay path commits the missing entry —
+    * and at-least-once delivery guarantees the replay); a hole that will
+    * never be replayed takes the explicit [[repairPublishLog]], the
+    * owner-invoked recovery path (the
     * LakeCompaction.repairManifestCompacts convention). Such a batch is
     * readable via [[readPublished]] but UNSEQUENCED until then — publish
-    * ORDER is defined by log-append order, and an incomplete protocol has
+    * ORDER is defined by log-commit order, and an incomplete protocol has
     * not published-in-order yet. */
   def publishLog(spark: SparkSession, dir: String): Seq[PublishEntry] =
     readLog(new Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration), dir)
 
-  /** Owner-invoked recovery: append a log entry (at the tail, in batchId
+  /** Owner-invoked recovery: commit a log entry (at the tail, in batchId
     * order when several are missing) for every batch visible under
     * `data/` but absent from the log — the crash window between a publish
-    * rename and its log append, for ids that will never be replayed.
-    * Single-writer like every mutation here. Returns the repaired log. */
+    * rename and its log commit, for ids that will never be replayed.
+    * Each heal goes through the same CAS commit as a publish, so a repair
+    * racing a live publisher is safe (seqs stay unique and contiguous).
+    * Returns the repaired log. */
   def repairPublishLog(spark: SparkSession, dir: String): Seq[PublishEntry] = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val logged = readLog(fs, dir)
@@ -205,10 +273,8 @@ object LakeAudit {
       if (!fs.exists(dataDir)) Nil
       else fs.listStatus(dataDir).toSeq.map(_.getPath.getName)
         .filter(_.startsWith("batch=")).map(_.stripPrefix("batch="))
-    var next = logged.lastOption.map(_.seq + 1).getOrElse(1L)
-    val healed = published.filterNot(known).sorted.map { b =>
-      val e = PublishEntry(next, b); appendLog(fs, dir, e); next += 1; e
-    }
+    val healed = published.filterNot(known).sorted
+      .map(b => commitEntry(fs, dir, b))
     logged ++ healed
   }
 
@@ -259,19 +325,34 @@ object LakeAudit {
     * CONTENT never enters the receipt), (2) physically erase through
     * [[LakeDeletes.erase]] (footer-pruned rewrite of only the files that
     * contain a hit), (3) append a `~erase~`-prefixed publish-log entry
-    * sequencing the erasure between its surrounding publishes. The receipt
-    * is written BEFORE the physical erase (a crash between them replays:
-    * the re-run finds the log entry absent, the receipt overwrite is
-    * byte-identical while rows are still live, and [[LakeDeletes.erase]]
-    * is idempotent); a replay AFTER the log entry exists is a no-op — the
-    * receipt must not be clobbered by a second pass that sees zero live
-    * rows. Erasure rewrites HISTORY ([[readAsOf]] at any seq no longer
-    * sees the rows) — the receipt is the only witness, which is exactly
-    * the deletion-vector / delete-file role in Delta/Iceberg.
+    * sequencing the erasure between its surrounding publishes.
+    *
+    * Crash windows, exhaustively (receipt → erase → log commit): the
+    * receipt directory's `_SUCCESS` marker is the idempotence token —
+    * a replay (log entry absent) SKIPS receipt regeneration when the
+    * marker exists. (a) crash between receipt and erase: the replay
+    * keeps the receipt (regenerating would be byte-identical — rows
+    * still live — but the skip costs nothing), re-runs the idempotent
+    * erase, commits the entry. (b) crash between erase and log commit —
+    * the window a receipt OVERWRITE would destroy the witness in (the
+    * erased rows are gone; a regenerated receipt would be EMPTY): the
+    * marker check makes the replay keep the original receipt, so the
+    * witness survives every interleaving. (c) crash mid-receipt-write:
+    * no `_SUCCESS`, rows still live, the replay regenerates cleanly.
+    * A replay AFTER the log entry exists is a pure no-op. Erasure
+    * rewrites HISTORY ([[readAsOf]] at any seq no longer sees the
+    * rows) — the receipt is the only witness, which is exactly the
+    * deletion-vector / delete-file role in Delta/Iceberg.
+    *
+    * The receipt holds the LIVE row per id (latest-wins over publish
+    * seq): an id republished across several batches witnesses ONCE,
+    * with the newest image's audit columns — never one row per
+    * superseded revision, which would double-count in every receipt
+    * consumer (q265's removed class, q272's delete rows).
     *
     * Scale shape: one footer-metadata candidate pass + rewrite of hit
     * files (the [[LakeDeletes]] cost model); the receipt is one pruned
-    * membership scan, deletion-batch-sized. */
+    * membership scan + a deletion-batch-sized latest-wins window. */
   def eraseLogged(spark: SparkSession, dir: String, eraseId: String,
       ids: Seq[Long], idCol: String,
       receiptCols: Seq[String]): LakeDeletes.EraseReport = {
@@ -281,14 +362,30 @@ object LakeAudit {
     val logged = readLog(fs, dir)
     if (logged.exists(_.batchId == entryId))
       return LakeDeletes.EraseReport(0, 0, 0, 0L) // replayed: no-op
-    val idSeq = ids.distinct.map(Long.box).toSeq
-    spark.read.parquet(s"$dir/data")
-      .filter(org.apache.spark.sql.functions.col(idCol).isin(idSeq: _*))
-      .selectExpr((idCol +: receiptCols): _*)
-      .write.mode("overwrite").parquet(receiptPath(dir, eraseId))
+    val receiptOk = new Path(receiptPath(dir, eraseId), "_SUCCESS")
+    if (!fs.exists(receiptOk)) {
+      import spark.implicits._
+      val idSeq = ids.distinct.map(Long.box).toSeq
+      val seqDf = logged.filterNot(isErasure).map(e => (e.batchId, e.seq))
+        .toDF("batch", "__pseq")
+      // LEFT join + seq-0 fallback: a batch in the crash window between
+      // its data rename and its log commit is unsequenced but its rows
+      // are physically live and about to be erased — the witness must
+      // not lose them (they order before every sequenced revision;
+      // batch name breaks the all-unsequenced tie deterministically)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(idCol).orderBy(
+          coalesce(col("__pseq"), lit(0L)).desc, col("batch").desc)
+      spark.read.parquet(s"$dir/data")
+        .filter(col(idCol).isin(idSeq: _*))
+        .join(broadcast(seqDf), Seq("batch"), "left")
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .selectExpr((idCol +: receiptCols): _*)
+        .write.mode("overwrite").parquet(receiptPath(dir, eraseId))
+    }
     val report = LakeDeletes.erase(spark, s"$dir/data", ids, idCol)
-    appendLog(fs, dir,
-      PublishEntry(logged.lastOption.map(_.seq + 1).getOrElse(1L), entryId))
+    commitEntry(fs, dir, entryId)
     report
   }
 
@@ -306,6 +403,14 @@ object LakeAudit {
     * is a no-op (the publish exists); a crash between the erase and the
     * publish re-runs cleanly (the extra-id set is recomputed as empty
     * and the publish completes).
+    *
+    * ERASURE OUTRANKS RESTORE: rows GDPR-erased BEFORE the target seq
+    * are never resurrected — [[eraseLogged]] rewrites history, so the
+    * target snapshot this re-publishes already excludes them (their
+    * bytes are physically gone; no as-of read can recover them), and
+    * the erasure receipt lives under `erasures/`, which a restore never
+    * touches — the right-to-be-forgotten witness survives any restore
+    * (LakeAuditSpec pins both directions; q277 gates it end to end).
     *
     * Scale shape: two snapshot-sized doc-keyed windows + one
     * snapshot-sized rewrite (the restore batch) + a driver-sized erase

@@ -133,8 +133,16 @@ class LakeAuditSpec extends SparkSpec {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val ld = new org.apache.hadoop.fs.Path(s"$dir/_publish_log")
+    // CAS-format entries are named by seq alone; the batchId is in the
+    // body — find the victim by content
     val victim = fs.listStatus(ld).map(_.getPath)
-      .filter(_.getName.endsWith(s"_$batchId.json"))
+      .filter(p => p.getName.endsWith(".json") && !p.getName.startsWith("."))
+      .filter { p =>
+        val in = fs.open(p)
+        val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        body.contains("\"batch\":\"" + batchId + "\"}")
+      }
     assert(victim.length == 1)
     fs.delete(victim.head, false)
   }
@@ -284,5 +292,76 @@ class LakeAuditSpec extends SparkSpec {
       rules = rules)
     assert(publishLog(spark, dir) == log)
     assert(latestLive() == Map(1L -> 5.0, 2L -> 7.0))
+  }
+
+  test("eraseLogged crash between erase and log commit: the replay must NOT clobber the receipt (ADVICE r18)") {
+    val dir = tmpDir("wapcrash")
+    assert(writeAuditPublish(spark, batchOf(0), dir, "a", rules).published)
+    assert(eraseLogged(spark, dir, "g1", Seq(1L), "id", Seq("qty"))
+      .rowsDeleted == 1L)
+    // simulate the crash window: the erase ran (rows are GONE) but the
+    // log commit was lost — the replay sees no log entry and ZERO live
+    // rows for the id; before the _SUCCESS idempotence token it would
+    // regenerate an EMPTY receipt, destroying the GDPR witness
+    dropLogEntry(dir, "~erase~g1")
+    val rep = eraseLogged(spark, dir, "g1", Seq(1L), "id", Seq("qty"))
+    assert(rep.rowsDeleted == 0L)
+    assert(erasureReceipts(spark, dir, 0L, 99L)
+      .as[(Long, Double)].collect().toSeq == Seq((1L, 5.0)),
+      "the erasure witness must survive the crash-window replay")
+    // and the replay completed the protocol: the entry is re-sequenced
+    assert(publishLog(spark, dir).count(isErasure) == 1)
+  }
+
+  test("erasure receipt is latest-wins: an id republished across batches witnesses ONCE with the newest image (ADVICE r18)") {
+    val dir = tmpDir("wapdedup")
+    assert(writeAuditPublish(spark,
+      Seq((1L, 5.0, 10.0), (2L, 7.0, 20.0)).toDF("id", "qty", "price"),
+      dir, "a", rules).published)
+    // id 1 REVISED in a later batch — two physical rows, one live
+    assert(writeAuditPublish(spark,
+      Seq((1L, 9.0, 10.0)).toDF("id", "qty", "price"),
+      dir, "b", rules).published)
+    assert(eraseLogged(spark, dir, "g1", Seq(1L), "id", Seq("qty"))
+      .rowsDeleted == 2L) // BOTH physical revisions are erased
+    // ...but the receipt witnesses the one LIVE row, newest image's qty
+    assert(erasureReceipts(spark, dir, 0L, 99L)
+      .as[(Long, Double)].collect().toSeq == Seq((1L, 9.0)),
+      "receipt must be the latest-wins live row, never one row per revision")
+  }
+
+  test("erasure OUTRANKS restore: a restore past a prior erasure never resurrects erased rows; the receipt survives") {
+    val dir = tmpDir("waprestoreerase")
+    // seq 1: ids 1, 2 — then id 2 is GDPR-erased (seq 2) — then seq 3
+    // revises id 1 and adds id 99
+    assert(writeAuditPublish(spark,
+      Seq((1L, 5.0, 10.0), (2L, 7.0, 20.0)).toDF("id", "qty", "price"),
+      dir, "a", rules).published)
+    assert(eraseLogged(spark, dir, "g2", Seq(2L), "id", Seq("qty"))
+      .rowsDeleted == 1L)
+    assert(writeAuditPublish(spark,
+      Seq((1L, 9.0, 10.0), (99L, 3.0, 30.0)).toDF("id", "qty", "price"),
+      dir, "b", rules).published)
+    // restore to the state as of publish seq 1 — which is AFTER the
+    // erasure rewrote history, so id 2 must NOT come back
+    restoreTo(spark, dir, targetSeq = 1L, restoreId = "t", idCol = "id",
+      rules = rules)
+    import org.apache.spark.sql.expressions.Window
+    val log = publishLog(spark, dir).filterNot(isErasure)
+    val seqDf = log.map(e => (e.batchId, e.seq)).toDF("batch", "publish_seq")
+    val live = readAsOf(spark, dir, log.map(_.seq).max)
+      .join(seqDf, "batch")
+      .withColumn("rn", org.apache.spark.sql.functions.row_number()
+        .over(Window.partitionBy("id")
+          .orderBy(col("publish_seq").desc)))
+      .filter(col("rn") === 1)
+      .select("id", "qty").as[(Long, Double)].collect().toMap
+    assert(live == Map(1L -> 5.0),
+      s"restore must give the post-erasure seq-1 state (no resurrected id 2, no later adds): $live")
+    // the pre-restore erasure receipt survives the restore untouched
+    val rcpts = erasureReceipts(spark, dir, 0L, 2L)
+      .as[(Long, Double)].collect().toSeq
+    assert(rcpts == Seq((2L, 7.0)),
+      "the right-to-be-forgotten witness must survive the restore")
   }
 }
