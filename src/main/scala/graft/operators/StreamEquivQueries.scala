@@ -727,8 +727,48 @@ object StreamEquivQueries extends QueryGroup {
       .orderBy("purchase_id")
   }
 
+  /** Q278: batch equivalent of Spark's NATIVE watermarked stream-stream
+    * join — the one streaming feature family the engine had no coverage
+    * for (VERDICT r18 item 2): two live feeds (purchases ⋈ errors per
+    * user, error inside the purchase's trailing 240-minute window — the
+    * "events ⋈ enrichment" shape a real pipeline joins two streams on).
+    * THIS query computes the reference answer in batch via the banded
+    * interval join (pair stage linear in events, the q159/q171 machinery
+    * — never a per-user theta product), aggregated per user with exact
+    * integer checksums; StreamStreamJoinSpec pins Spark's built-in
+    * stream-stream join — two `withWatermark` sides, the same time-range
+    * condition, append mode — against exactly this result, plus the
+    * state-eviction and late-drop semantics batch has no analogue for.
+    *
+    * Scale shape: the banded join shuffles on (user, time-band) so pair
+    * work is ∝ events + pairs; the streaming twin's state is bounded by
+    * the watermark horizon (rows older than watermark − window are
+    * evicted — the spec MEASURES the shrink). All-integer outputs: µs
+    * epoch arithmetic, id checksums, no float anywhere. */
+  private val q278: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        epochUs(col("ts")).as("us"))
+    val errs = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("eid"), col("us"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pid"),
+        (col("us") - 14400000000L).as("w_start"), col("us").as("w_end"))
+    IntervalJoin.pointInIntervals(errs, purch,
+        key = "user_id", pointId = "eid", t = "us",
+        intervalId = "pid", start = "w_start", end = "w_end",
+        maxLen = 14400000000L)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("interval_id")).as("n_purchases"),
+        sum(col("interval_id")).as("sum_pid"),
+        sum(col("point_id")).as("sum_eid"))
+      .orderBy("user_id")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q159_join_point_in_window" -> q159,
+    "q278_stream_stream_join" -> q278,
     "q169_seq_pattern_support" -> q169,
     "q246_seq_match_recognize" -> q246,
     "q256_transition_dwell" -> q256,
@@ -753,6 +793,24 @@ object StreamEquivQueries extends QueryGroup {
   )
 
   val oracles: Map[String, String] = Map(
+    // stream-stream join batch twin: naive per-user window theta-join
+    // (the engine runs the banded form); inclusive bounds both ends,
+    // every sum cast back to BIGINT (the q91 gotcha)
+    "q278_stream_stream_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    epoch_us(ts) AS us FROM events),
+        |r AS (SELECT user_id, event_id AS eid, us FROM e
+        |  WHERE event_type = 'error'),
+        |p AS (SELECT user_id, event_id AS pid, us - 14400000000 AS w_start,
+        |    us AS w_end FROM e WHERE event_type = 'purchase'),
+        |pairs AS (SELECT p.user_id, p.pid, r.eid
+        |  FROM r JOIN p ON r.user_id = p.user_id
+        |    AND p.w_start <= r.us AND r.us <= p.w_end)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(count(DISTINCT pid) AS BIGINT) AS n_purchases,
+        |  CAST(sum(pid) AS BIGINT) AS sum_pid,
+        |  CAST(sum(eid) AS BIGINT) AS sum_eid
+        |FROM pairs GROUP BY user_id ORDER BY user_id""".stripMargin,
     // outlier audit: same cents cast, same cross-multiplied second-moment
     // verdict in HUGEINT (DuckDB's native 128-bit ≡ Spark's
     // DECIMAL(38,0) here); every sum cast back to BIGINT (the q91 gotcha)

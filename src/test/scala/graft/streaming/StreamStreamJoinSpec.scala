@@ -1,0 +1,134 @@
+package graft.streaming
+
+import graft.{SparkEntry, SparkSpec, Tables}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Spark's NATIVE watermarked stream-stream join (VERDICT r18 item 2) —
+  * the one streaming feature family the engine had no coverage for: two
+  * `withWatermark` sides joined with an event-time range condition, the
+  * single mechanism Structured Streaming evicts join state by. Pins:
+  * (1) the inner join over the REAL events fixture ≡ batch q278 (the
+  * banded-interval-join batch twin under the DuckDB gate), fed
+  * time-ordered waves the way a live source delivers; (2) join STATE
+  * SHRINKS as the watermark passes old rows — the eviction a 100 TB
+  * stream needs or state grows with stream length; (3) a row older than
+  * the watermark is DROPPED, never joined (the late-data contract);
+  * (4) LEFT OUTER emits null-extended rows for unmatched lefts only
+  * after the watermark closes their window, ≡ the batch outer join. */
+class StreamStreamJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (user_id, id, event-time) rows of one side of the join
+  private type Row3 = (Long, Long, java.sql.Timestamp)
+
+  test("native inner stream-stream join (two watermarks, range condition) ≡ batch q278; state evicts; late row drops") {
+    implicit val sc = spark.sqlContext
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"),
+        col("ts").cast("timestamp").as("t"), col("event_type"))
+      .filter(col("event_type").isin("purchase", "error"))
+      .orderBy("t", "event_id")
+      .as[(Long, Long, java.sql.Timestamp, String)].collect()
+    // time-contiguous waves, BOTH sides per wave — the arrival order a
+    // live pair of sources actually produces (watermarks only move
+    // forward; a side fed wholesale would watermark-drop the other)
+    val nw = 4
+    val waves = ev.grouped((ev.length + nw - 1) / nw).toSeq
+    val memP = MemoryStream[Row3]
+    val memE = MemoryStream[Row3]
+    val left = memP.toDF().toDF("user_id", "pid", "pt")
+      .withWatermark("pt", "10 minutes")
+    val right = memE.toDF().toDF("uid_r", "eid", "et")
+      .withWatermark("et", "10 minutes")
+    val joined = left.join(right,
+      expr("user_id = uid_r AND " +
+        "et >= pt - interval 240 minutes AND et <= pt"))
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode(OutputMode.Append()).start()
+    val stateSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    waves.foreach { w =>
+      memP.addData(w.toSeq.collect {
+        case (u, id, t, "purchase") => (u, id, t) }: _*)
+      memE.addData(w.toSeq.collect {
+        case (u, id, t, "error") => (u, id, t) }: _*)
+      q.processAllAvailable()
+      stateSizes += q.lastProgress.stateOperators.head.numRowsTotal
+    }
+    // (2) state eviction: the watermark swept weeks of event time — the
+    // final state must be well below the total rows ever buffered (a
+    // no-eviction join holds every row forever)
+    val totalRows = ev.length.toLong
+    assert(stateSizes.last < totalRows / 2,
+      s"join state ${stateSizes.last} of $totalRows rows — watermark eviction is not engaging")
+    // (3) late-data contract: an error older than the watermark that
+    // WOULD match a purchase must be dropped, not joined
+    val before = spark.table("ssj").count()
+    val victim = ev.collect { case (u, id, t, "purchase") => (u, id, t) }.head
+    memE.addData((victim._1, 999999L,
+      new java.sql.Timestamp(victim._3.getTime))) // weeks below watermark
+    q.processAllAvailable()
+    val after = spark.table("ssj").count()
+    q.stop()
+    assert(after == before,
+      s"late row joined ($before -> $after) — watermark must drop it")
+    // (1) ≡ batch q278: same per-user aggregate over the streamed pairs
+    val streamed = spark.table("ssj")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("pid")).as("n_purchases"),
+        sum(col("pid")).as("sum_pid"), sum(col("eid")).as("sum_eid"))
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r)
+      .toMap
+    val batch = SparkEntry.queries("q278_stream_stream_join")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r)
+      .toMap
+    assert(streamed == batch,
+      s"stream ≠ batch: stream ${streamed.size} users, batch ${batch.size} users; " +
+        s"diff ${(streamed.toSet diff batch.toSet).take(3)} | ${(batch.toSet diff streamed.toSet).take(3)}")
+  }
+
+  test("left-outer watermarked stream-stream join: unmatched lefts null-extend once the watermark closes their window") {
+    implicit val sc = spark.sqlContext
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    // purchases: u1 has a matching error in-window, u2's error is OUT of
+    // window (too early), u3 has no error at all
+    val purchases = Seq((1L, 101L, ts(300)), (2L, 102L, ts(300)),
+      (3L, 103L, ts(310)))
+    val errors = Seq((1L, 201L, ts(200)), (2L, 202L, ts(40)))
+    val memP = MemoryStream[Row3]
+    val memE = MemoryStream[Row3]
+    val left = memP.toDF().toDF("user_id", "pid", "pt")
+      .withWatermark("pt", "10 minutes")
+    val right = memE.toDF().toDF("uid_r", "eid", "et")
+      .withWatermark("et", "10 minutes")
+    val joined = left.join(right,
+      expr("user_id = uid_r AND " +
+        "et >= pt - interval 240 minutes AND et <= pt"), "left_outer")
+    val q = joined.writeStream.format("memory").queryName("ssj_outer")
+      .outputMode(OutputMode.Append()).start()
+    memP.addData(purchases: _*); memE.addData(errors: _*)
+    q.processAllAvailable()
+    // inner matches may be out, but null-extensions must NOT be: the
+    // watermark has not closed any purchase's window yet
+    val premature = spark.table("ssj_outer").filter(col("eid").isNull).count()
+    assert(premature == 0L,
+      s"$premature null-extended rows before the watermark closed any window")
+    // advance the watermark past every real window (sentinels a day
+    // ahead; two batches so the new watermark takes effect)
+    memP.addData((99L, 999L, ts(2000))); memE.addData((99L, 998L, ts(2000)))
+    q.processAllAvailable()
+    memP.addData((99L, 997L, ts(2010)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssj_outer")
+      .filter(col("pid") < 900L) // sentinels excluded
+      .select(col("user_id"), col("pid"),
+        coalesce(col("eid"), lit(-1L)).as("eid"))
+      .as[(Long, Long, Long)].collect().toSet
+    // the batch truth: u1 joins its error, u2/u3 null-extend
+    assert(got == Set((1L, 101L, 201L), (2L, 102L, -1L), (3L, 103L, -1L)),
+      s"outer join rows: $got")
+  }
+}
