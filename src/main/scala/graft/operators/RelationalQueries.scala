@@ -1381,6 +1381,77 @@ object RelationalQueries extends QueryGroup {
       .orderBy("c_custkey")
   }
 
+  /** Q275: typed AVRO read under the differential gate — the reference's
+    * actual record format (its sink writes Parquet VIA Avro records:
+    * `StreamingEtl.java:219-226` `ParquetAvroWriters.forSpecificRecord`,
+    * and `TripEvent` IS an Avro SpecificRecord), covered through
+    * [[graft.sources.AvroLake]] on the public Avro 1.12 API because this
+    * Spark distribution does not bundle the spark-avro connector module.
+    * Same gate discipline as the q271 ORC twin: a binary format, so the
+    * oracle recomputes the logical rows from the customer TABLE + inline
+    * VALUES without touching the Avro bytes — a union(null,T) branch
+    * dropped, an empty string conflated with null, a double mangled in
+    * the codec, or non-ASCII mis-encoded all hash-mismatch; the
+    * exact-cents projection pins the double column through exact decimal
+    * arithmetic. The fixture writes MULTIPLE container files (the
+    * per-partition writer layout) so the file-granular read path is the
+    * one under test.
+    *
+    * Scale shape: write is shuffle-free per-partition container files;
+    * read is one task per container file (see AvroLake's scaladoc for
+    * the sync-marker-splitting trade). */
+  private val q275: Q = (s, d) => {
+    val dir = avroFixtureDir(s, d)
+    graft.sources.AvroLake.read(s, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("active"),
+        (col("c_acctbal").cast(DecimalType(18, 2)) * 100).cast("long")
+          .as("bal_cents"),
+        length(coalesce(col("c_name"), lit(""))).cast("long")
+          .as("name_len"))
+      .orderBy("c_custkey")
+  }
+
+  // The Avro fixture q275 reads: a key-sliced customer projection plus
+  // the q271 edge-row set (null string vs empty string, null double,
+  // non-ASCII as \u escapes, negative and zero doubles, both booleans),
+  // written as TWO container files. Memoized per (session, dir).
+  private val avroMemo =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.mutable.Map[String, String]]()
+
+  private def avroFixtureDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val perSession = avroMemo.synchronized {
+      var m = avroMemo.get(s)
+      if (m == null) {
+        m = scala.collection.mutable.Map.empty[String, String]
+        avroMemo.put(s, m)
+      }
+      m
+    }
+    perSession.synchronized {
+      perSession.getOrElseUpdate(d, {
+        val dir = TempDirs.scoped("graft-avro-fixture")
+        val derived = Tables.customer(s, d)
+          .filter(col("c_custkey") % 150 === 13)
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+            lit(true).as("active"))
+        val schema = derived.schema
+        val edges = s.createDataFrame(
+          java.util.Arrays.asList(
+            org.apache.spark.sql.Row(9000001L, "caf\u00e9 row", 1.5, false),
+            org.apache.spark.sql.Row(9000002L, null, -7.25, true),
+            org.apache.spark.sql.Row(9000003L, "zero", 0.0, false),
+            org.apache.spark.sql.Row(9000004L, "", null, true)),
+          schema)
+        graft.sources.AvroLake.write(
+          derived.unionByName(edges).repartition(2), dir)
+        dir
+      })
+    }
+  }
+
   // The ORC fixture q271 reads: a key-sliced customer projection plus
   // edge rows (null string vs empty string, null double, non-ASCII as
   // \u escapes, negative and zero doubles, both boolean values).
@@ -1617,6 +1688,7 @@ object RelationalQueries extends QueryGroup {
     "q268_ivm_minmax_retract" -> q268,
     "q269_profile_functional_deps" -> q269,
     "q271_scan_orc_typed" -> q271,
+    "q275_scan_avro_typed" -> q275,
     "q273_ivm_percentile_retract" -> q273,
     "q247_ivm_join_delta" -> q247,
     "q258_ivm_agg_retract" -> q258,
@@ -2104,6 +2176,29 @@ object RelationalQueries extends QueryGroup {
       """WITH derived AS (
         |  SELECT c_custkey, c_name, c_acctbal, TRUE AS active
         |  FROM customer WHERE c_custkey % 150 = 11),
+        |edges AS (SELECT * FROM (VALUES
+        |    (9000001, 'caf' || chr(233) || ' row',
+        |      CAST('1.5' AS DOUBLE), FALSE),
+        |    (9000002, NULL, CAST('-7.25' AS DOUBLE), TRUE),
+        |    (9000003, 'zero', CAST('0.0' AS DOUBLE), FALSE),
+        |    (9000004, '', CAST(NULL AS DOUBLE), TRUE))
+        |  t(c_custkey, c_name, c_acctbal, active)),
+        |u AS (SELECT * FROM derived
+        |  UNION ALL SELECT * FROM edges)
+        |SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, c_acctbal,
+        |  active,
+        |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    AS bal_cents,
+        |  CAST(length(coalesce(c_name, '')) AS BIGINT) AS name_len
+        |FROM u ORDER BY c_custkey""".stripMargin,
+
+    // typed Avro read: the oracle recomputes the fixture's logical rows
+    // from the customer table + inline VALUES without ever touching the
+    // Avro bytes — any union(null,T)/codec/encoding defect mismatches
+    "q275_scan_avro_typed" ->
+      """WITH derived AS (
+        |  SELECT c_custkey, c_name, c_acctbal, TRUE AS active
+        |  FROM customer WHERE c_custkey % 150 = 13),
         |edges AS (SELECT * FROM (VALUES
         |    (9000001, 'caf' || chr(233) || ' row',
         |      CAST('1.5' AS DOUBLE), FALSE),

@@ -1,0 +1,193 @@
+package graft.sources
+
+import org.apache.avro.Schema
+import org.apache.avro.file.{CodecFactory, DataFileStream, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import scala.jdk.CollectionConverters._
+
+/** Avro container-file lake: typed read/write of `.avro` files built
+  * directly on the PUBLIC Apache Avro 1.12 API bundled with this Spark
+  * distribution — the `spark-avro` connector module is NOT part of the
+  * distribution (checked: no spark-avro jar under the Spark jars), so
+  * the at-rest format the reference actually serializes through
+  * (StreamingEtl.java:219-226 writes Parquet VIA Avro records with
+  * ParquetAvroWriters.forSpecificRecord; TripEvent IS an Avro
+  * SpecificRecord) gets a first-class seam here instead of a
+  * `format("avro")` call that would not resolve.
+  *
+  * Scope: flat records over the scalar lake types (long/int/double/
+  * float/boolean/string/binary), nullable via Avro's standard
+  * union(null, T) — the TripEvent shape and the whole testdata surface.
+  * Nested records/arrays/maps are out of scope for this seam (the
+  * reference's record is flat).
+  *
+  * Scale shape: the WRITE is one Avro container file per partition
+  * (mapPartitions — embarrassingly parallel, no shuffle, the exact
+  * per-subtask layout Flink's StreamingFileSink produces); the READ
+  * parallelizes file-granularly (one task per container file — the
+  * unit the writer produced; a production reader additionally splits
+  * large containers on Avro sync markers, which this seam trades away
+  * for simplicity since the writer bounds file size by partition).
+  * Schemas travel as JSON strings (avro.Schema is not serializable);
+  * the reader derives the Spark schema from the FIRST file's embedded
+  * header — self-describing files, the Avro contract. */
+object AvroLake {
+
+  private val SupportedTypes: Set[DataType] = Set(LongType, IntegerType,
+    DoubleType, FloatType, BooleanType, StringType, BinaryType)
+
+  /** The Avro record schema for a flat Spark schema: every field a
+    * union(null, base) when nullable, base otherwise. */
+  def avroSchema(st: StructType, record: String = "graft_record"): Schema = {
+    val fields = st.fields.map { f =>
+      require(SupportedTypes.contains(f.dataType),
+        s"AvroLake: unsupported type ${f.dataType} for field ${f.name}")
+      val base = f.dataType match {
+        case LongType    => Schema.create(Schema.Type.LONG)
+        case IntegerType => Schema.create(Schema.Type.INT)
+        case DoubleType  => Schema.create(Schema.Type.DOUBLE)
+        case FloatType   => Schema.create(Schema.Type.FLOAT)
+        case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+        case StringType  => Schema.create(Schema.Type.STRING)
+        case BinaryType  => Schema.create(Schema.Type.BYTES)
+        case other => throw new IllegalArgumentException(other.toString)
+      }
+      val sch = if (f.nullable)
+        Schema.createUnion(java.util.Arrays.asList(
+          Schema.create(Schema.Type.NULL), base))
+      else base
+      new Schema.Field(f.name, sch, null, null)
+    }
+    Schema.createRecord(record, null, "graft", false, fields.toSeq.asJava)
+  }
+
+  /** The Spark schema a flat Avro record schema round-trips to. */
+  def sparkSchema(avro: Schema): StructType = {
+    require(avro.getType == Schema.Type.RECORD,
+      s"AvroLake: not a record schema: ${avro.getType}")
+    StructType(avro.getFields.asScala.toSeq.map { f =>
+      val (base, nullable) = f.schema().getType match {
+        case Schema.Type.UNION =>
+          val branches = f.schema().getTypes.asScala
+          require(branches.size == 2 &&
+            branches.exists(_.getType == Schema.Type.NULL),
+            s"AvroLake: only union(null, T) unions supported: ${f.schema()}")
+          (branches.find(_.getType != Schema.Type.NULL).get, true)
+        case _ => (f.schema(), false)
+      }
+      val dt = base.getType match {
+        case Schema.Type.LONG    => LongType
+        case Schema.Type.INT     => IntegerType
+        case Schema.Type.DOUBLE  => DoubleType
+        case Schema.Type.FLOAT   => FloatType
+        case Schema.Type.BOOLEAN => BooleanType
+        case Schema.Type.STRING  => StringType
+        case Schema.Type.BYTES   => BinaryType
+        case other => throw new IllegalArgumentException(
+          s"AvroLake: unsupported avro type $other for field ${f.name}")
+      }
+      StructField(f.name, dt, nullable)
+    })
+  }
+
+  /** Write `df` as one Avro container file per partition under `dir`
+    * (deflate-compressed, the codec every Avro runtime bundles). */
+  def write(df: DataFrame, dir: String): Unit = {
+    val spark = df.sparkSession
+    val schemaJson = avroSchema(df.schema).toString
+    val sparkSch = df.schema
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val bc = spark.sparkContext.broadcast(hconf)
+    val base = new Path(dir)
+    val fs0 = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs0.delete(base, true)
+    fs0.mkdirs(base)
+    df.rdd.mapPartitionsWithIndex { (pid, rows) =>
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val schema = new Schema.Parser().parse(schemaJson)
+        val p = new Path(base, f"part-$pid%05d.avro")
+        val fs = p.getFileSystem(bc.value.value)
+        val out = fs.create(p, true)
+        val w = new DataFileWriter[GenericRecord](
+          new GenericDatumWriter[GenericRecord](schema))
+        w.setCodec(CodecFactory.deflateCodec(6))
+        w.create(schema, out)
+        var n = 0L
+        try rows.foreach { r =>
+          val rec = new GenericData.Record(schema)
+          var i = 0
+          while (i < sparkSch.length) {
+            val v = if (r.isNullAt(i)) null else sparkSch(i).dataType match {
+              case BinaryType =>
+                java.nio.ByteBuffer.wrap(r.getAs[Array[Byte]](i))
+              case _ => r.get(i).asInstanceOf[AnyRef]
+            }
+            rec.put(i, v)
+            i += 1
+          }
+          w.append(rec)
+          n += 1
+        } finally w.close()
+        Iterator.single(n)
+      }
+    }.count()
+  }
+
+  /** Read an AvroLake directory back as a DataFrame: the schema comes
+    * from the first container file's self-describing header; each file
+    * is one read task. */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val base = new Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(base).toSeq.map(_.getPath)
+      .filter(p => p.getName.endsWith(".avro") && !p.getName.startsWith("."))
+      .map(_.toString).sorted
+    require(files.nonEmpty, s"AvroLake.read: no .avro files under $dir")
+    val header = {
+      val in = fs.open(new Path(files.head))
+      val s = new DataFileStream[GenericRecord](in,
+        new GenericDatumReader[GenericRecord]())
+      try s.getSchema finally s.close()
+    }
+    val sch = sparkSchema(header)
+    val schemaJson = header.toString
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val bc = spark.sparkContext.broadcast(hconf)
+    val rdd = spark.sparkContext
+      .parallelize(files, files.length)
+      .flatMap { f =>
+        val schema = new Schema.Parser().parse(schemaJson)
+        val p = new Path(f)
+        val in = p.getFileSystem(bc.value.value).open(p)
+        val stream = new DataFileStream[GenericRecord](in,
+          new GenericDatumReader[GenericRecord](schema))
+        new Iterator[Row] {
+          def hasNext: Boolean = {
+            val h = stream.hasNext
+            if (!h) stream.close()
+            h
+          }
+          def next(): Row = {
+            val rec = stream.next()
+            Row.fromSeq((0 until schema.getFields.size()).map { i =>
+              rec.get(i) match {
+                case null => null
+                case u: org.apache.avro.util.Utf8 => u.toString
+                case b: java.nio.ByteBuffer =>
+                  val a = new Array[Byte](b.remaining()); b.get(a); a
+                case v => v
+              }
+            })
+          }
+        }
+      }
+    spark.createDataFrame(rdd, sch)
+  }
+}

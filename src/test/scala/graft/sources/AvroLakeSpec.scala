@@ -1,0 +1,87 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** AvroLake: typed Avro container-file round trip on the public Avro
+  * API (no spark-avro module in this distribution) — full scalar type
+  * surface incl. binary, union(null,T) nullability, empty partitions,
+  * multi-file parallel read, self-describing schema derivation. */
+class AvroLakeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("i", IntegerType, nullable = true),
+    StructField("d", DoubleType, nullable = true),
+    StructField("f", FloatType, nullable = true),
+    StructField("b", BooleanType, nullable = true),
+    StructField("s", StringType, nullable = true),
+    StructField("bin", BinaryType, nullable = true)))
+
+  private val rows = Seq(
+    Row(1L, 7, 1.5, 2.5f, true, "plain", Array[Byte](1, 2, 3)),
+    Row(2L, -1, -7.25, -0.5f, false, "caf\u00e9 \u00f1", Array[Byte]()),
+    Row(3L, null, null, null, null, null, null),
+    Row(4L, 0, 0.0, 0.0f, true, "", Array[Byte](-128, 127, 0)),
+    Row(5L, Int.MaxValue, Double.MinPositiveValue, Float.MaxValue, false,
+      "line\nbreak\ttab", Array[Byte](42)))
+
+  test("round trip preserves every scalar type, nulls, non-ASCII, binary, empty string vs null") {
+    val dir = tmpDir("avrort")
+    val df = spark.createDataFrame(rows.asJava, schema).repartition(3)
+    AvroLake.write(df, dir)
+    val back = AvroLake.read(spark, dir)
+    // schema derived from the container header, not caller-supplied
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      schema.map(f => (f.name, f.dataType)))
+    val got = back.collect().map(r => r.getLong(0) -> r).toMap
+    assert(got.size == rows.size)
+    rows.foreach { exp =>
+      val r = got(exp.getLong(0))
+      (1 until schema.length).foreach { i =>
+        (exp.get(i), r.get(i)) match {
+          case (a: Array[Byte], b: Array[Byte]) =>
+            assert(a.toSeq == b.toSeq, s"row ${exp.getLong(0)} col $i")
+          case (a, b) =>
+            assert(a == b, s"row ${exp.getLong(0)} col $i: $a != $b")
+        }
+      }
+    }
+    // null survived as null, empty string as empty — never conflated
+    assert(got(3L).isNullAt(5) && got(4L).getString(5) == "")
+  }
+
+  test("multiple container files, empty partitions skipped, file-granular read") {
+    val dir = tmpDir("avrofiles")
+    // 40-way repartition of 10 rows: most partitions empty — they must
+    // not produce empty container files or phantom rows
+    val df = spark.range(10).select(col("id"),
+      concat(lit("v"), col("id")).as("s"))
+    AvroLake.write(df.repartition(40), dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).filter(_.endsWith(".avro"))
+    assert(files.length > 1 && files.length <= 10,
+      s"expected >1 non-empty container files, got ${files.length}")
+    val back = AvroLake.read(spark, dir)
+    assert(back.rdd.getNumPartitions == files.length,
+      "read parallelism must be file-granular")
+    assert(back.select("id").as[Long].collect().sorted.toSeq ==
+      (0L to 9L))
+    assert(back.select("s").as[String].collect().sorted.toSeq ==
+      (0 to 9).map(i => s"v$i").sorted)
+  }
+
+  test("rejects unsupported types loudly") {
+    val df = spark.range(3).select(col("id"), array(col("id")).as("a"))
+    intercept[IllegalArgumentException] {
+      AvroLake.write(df, tmpDir("avrobad"))
+    }
+  }
+}
