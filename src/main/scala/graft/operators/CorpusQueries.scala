@@ -2065,6 +2065,93 @@ object CorpusQueries extends QueryGroup {
       .orderBy("source")
   }
 
+  // The restore-over-erasure lake q277 reads: b0 (seq 1, doc_id ≡ 0
+  // mod 3), b2 (seq 2, ≡ 2 mod 3), a LOGGED GDPR erasure of published
+  // ≡4-mod-11 docs (seq 3), b3 (seq 4, the ≡0-mod-7 revision batch —
+  // which REPUBLISHES some previously-erased ids), then RESTORED to
+  // seq 2. Erasure outranks restore: the target snapshot already
+  // excludes the erased docs (history rewritten), and the republished-
+  // then-restored ids are re-erased as post-target additions — the
+  // final live set must be exactly (≡0 or ≡2 mod 3) ∖ (≡4 mod 11) with
+  // ORIGINAL texts. Memoized per (session, sfDir).
+  private val restoreEraseMemo = new java.util.WeakHashMap[
+    org.apache.spark.sql.SparkSession,
+    scala.collection.mutable.Map[String, String]]()
+
+  private[operators] def restoreEraseLakeDir(
+      s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val perSession = restoreEraseMemo.synchronized {
+      var m = restoreEraseMemo.get(s)
+      if (m == null) {
+        m = scala.collection.mutable.Map.empty[String, String]
+        restoreEraseMemo.put(s, m)
+      }
+      m
+    }
+    perSession.synchronized {
+      perSession.getOrElseUpdate(d, {
+        val dir = TempDirs.scoped("graft-wap-restore-erase")
+        val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+          .select(col("doc_id"), col("source"), col("text"))
+        val rules = Seq(LakeAudit.Rule("doc_id_not_null",
+          col("doc_id").isNotNull))
+        LakeAudit.writeAuditPublish(s,
+          docs.filter(col("doc_id") % 3 === 0), dir, "b0", rules)
+        LakeAudit.writeAuditPublish(s,
+          docs.filter(col("doc_id") % 3 === 2), dir, "b2", rules)
+        val ids = docs
+          .filter((col("doc_id") % 3 === 0 || col("doc_id") % 3 === 2) &&
+            col("doc_id") % 11 === 4)
+          .select("doc_id").collect().map(_.getLong(0)).toSeq
+        LakeAudit.eraseLogged(s, dir, "e0", ids, "doc_id", Seq("source"))
+        LakeAudit.writeAuditPublish(s,
+          docs.filter(col("doc_id") % 7 === 0)
+            .withColumn("text", concat(col("text"), lit(" rev"))),
+          dir, "b3", rules)
+        LakeAudit.restoreTo(s, dir, targetSeq = 2L, restoreId = "r1",
+          idCol = "doc_id", rules = rules)
+        dir
+      })
+    }
+  }
+
+  /** Q277: RESTORE past a PRIOR ERASURE — the interplay q274 and q265
+    * each cover half of (VERDICT r18 item 6): the lake's history holds a
+    * logged GDPR erasure BEFORE the restore target, and the bad revision
+    * batch after the target REPUBLISHED some of the erased ids. The
+    * restore must (a) NOT resurrect rows erased before the target —
+    * erasure rewrites history, so the re-published target snapshot
+    * already excludes them and their bytes are physically gone — and
+    * (b) re-erase the republished ids as post-target additions (the
+    * additive log's only un-add), so right-to-be-forgotten outranks
+    * restore in BOTH directions. THIS query reads the final latest live
+    * set (the q274 readout: per source, count + Σdoc_id + 128-bit-exact
+    * fingerprint sum); the ORACLE recomputes it from the documents
+    * TABLE by pure residue algebra — one resurrected erased doc, one
+    * surviving republished id, or one leaked revision text
+    * hash-mismatches. LakeAuditSpec pins the same precedence plus
+    * receipt survival on a hand-built lake. */
+  private val q277: Q = (s, d) => {
+    val dir = restoreEraseLakeDir(s, d)
+    import s.implicits._
+    val seqDf = LakeAudit.publishLog(s, dir)
+      .filterNot(LakeAudit.isErasure)
+      .map(e => (e.batchId, e.seq)).toDF("batch", "publish_seq")
+    val latest = seqDf.agg(max("publish_seq")).collect().head.getLong(0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("publish_seq").desc)
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    LakeAudit.readAsOf(s, dir, latest)
+      .join(broadcast(seqDf), "batch")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("sum_doc_id"),
+        sum(fingerprint64(col("text")).cast(dec38)).cast("string")
+          .as("fp_sum"))
+      .orderBy("source")
+  }
+
   // The bloom-indexed lookup lake q270 reads: documents written id-range-
   // sorted (8 files) carrying a content-fingerprint column `h` the lake is
   // NOT sorted by, with parquet BLOOM FILTERS on h and dictionary encoding
@@ -2654,6 +2741,7 @@ object CorpusQueries extends QueryGroup {
     "q270_lake_bloom_lookup" -> q270,
     "q272_lake_table_changes" -> q272,
     "q274_lake_restore" -> q274,
+    "q277_lake_restore_erasure" -> q277,
     "q195_preference_pair_audit" -> q195,
     "q196_annotator_agreement" -> q196,
     "q203_fleiss_kappa" -> q203,
@@ -4049,6 +4137,20 @@ object CorpusQueries extends QueryGroup {
     "q274_lake_restore" ->
       """WITH d AS (SELECT doc_id, source, text FROM documents
         |  WHERE text IS NOT NULL AND doc_id % 3 IN (0, 2))
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+        |  CAST(sum(('0x' || substr(md5(text), 1, 15))::BIGINT)
+        |    AS VARCHAR) AS fp_sum
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
+
+    // restore over a prior erasure: pure residue algebra — the final
+    // live set is the seq-2 membership MINUS the erased residue class,
+    // with ORIGINAL texts (restored images); a resurrected erased doc,
+    // a surviving republished id, or a leaked " rev" text mismatches
+    "q277_lake_restore_erasure" ->
+      """WITH d AS (SELECT doc_id, source, text FROM documents
+        |  WHERE text IS NOT NULL AND doc_id % 3 IN (0, 2)
+        |    AND doc_id % 11 <> 4)
         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
         |  CAST(sum(('0x' || substr(md5(text), 1, 15))::BIGINT)

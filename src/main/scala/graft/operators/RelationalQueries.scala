@@ -1157,6 +1157,139 @@ object RelationalQueries extends QueryGroup {
       .orderBy("c_mktsegment")
   }
 
+  /** Q276: the WIDE-DOMAIN form of q268/q273's maintained histogram —
+    * the hierarchical bucketed state both scaladocs promised (VERDICT
+    * r18 item 4): at 100 TB value domains a flat (segment, value, count)
+    * histogram is value-domain-sized, so the maintained state here is
+    * counts per 2¹³-cent-wide BUCKET (floor division via arithmetic
+    * shift — exact for negative balances, where `div` truncates toward
+    * zero and would fuse bucket −0 with +0) — the q258 ± algebra applies
+    * to bucket counts unchanged, and state is |buckets| per group
+    * regardless of how many distinct values the domain carries.
+    *
+    * Readout (the q230 refinement shape, one level): a cumulative pass
+    * over SURVIVING bucket counts locates, per segment, the one bucket
+    * holding each nearest-rank target (p50, p90) and the RESIDUAL rank
+    * within it; then ONE drill-down scan of the current latest-wins
+    * rows, PRUNED to exactly those (segment, bucket) pairs (a broadcast
+    * membership join — on a value-clustered lake the same predicate
+    * prunes row groups by footer min/max), ranks inside each target
+    * bucket and picks the exact value. Work ∝ |batch| + |buckets| +
+    * |target-bucket rows| — never |distinct values|.
+    *
+    * The ORACLE is the q273 recompute (identical output contract) — the
+    * hash match proves bucketed-state + drill-down ≡ exact percentiles;
+    * R19QuerySemanticsSpec additionally pins bucketed ≡ flat on a
+    * synthetic ~100k-distinct-value domain where the bucketed state is
+    * measured at a small fraction of the flat histogram's rows. The
+    * BUCKET counts stream live through
+    * [[graft.streaming.RollupStream.maintainValueCounts]] fed bucket ids
+    * (same ± algebra); the drill-down is a batch read against the lake
+    * by design — it touches base data a stream never holds. */
+  private val q276: Q = (s, d) => {
+    val W = org.apache.spark.sql.expressions.Window
+    def cents(c: org.apache.spark.sql.Column) =
+      (c.cast(DecimalType(18, 2)) * 100).cast("long")
+    val feed = Tables.orders(s, d)
+      .filter(col("o_orderkey") % 3 === 0)
+      .select(
+        when(col("o_orderkey") % 7 === 0, col("o_custkey") + 1000000000000L)
+          .otherwise(col("o_custkey")).as("c_custkey"),
+        col("o_totalprice").as("bal"),
+        col("o_orderpriority").as("seg"),
+        col("o_orderkey").as("seq"),
+        when(col("o_orderkey") % 10 === 0, lit("D"))
+          .otherwise(lit("U")).as("op"))
+    val latest = feed.withColumn("rn", row_number().over(
+        W.partitionBy("c_custkey").orderBy(col("seq").desc)))
+      .filter(col("rn") === 1).drop("rn", "seq")
+    val base = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment").as("seg"),
+        col("c_acctbal"))
+    // ± deltas at BUCKET granularity (the state the stream maintains)
+    val retract = base
+      .join(latest.select("c_custkey"), Seq("c_custkey"))
+      .select(col("seg"),
+        shiftright(cents(col("c_acctbal")), 13).as("bucket"),
+        lit(-1L).as("dn"))
+    val add = latest.filter(col("op") === "U")
+      .select(col("seg"), shiftright(cents(col("bal")), 13).as("bucket"),
+        lit(1L).as("dn"))
+    val surviving = ivmBucketView(s, d).select(col("seg"), col("bucket"),
+        col("n").as("dn"))
+      .unionByName(retract).unionByName(add)
+      .groupBy("seg", "bucket")
+      .agg(sum(col("dn")).as("n"))
+      .filter(col("n") > 0)
+    // locate the rank-holding bucket + residual rank per target
+    val cum = W.partitionBy("seg").orderBy("bucket")
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val tot = W.partitionBy("seg")
+    val located = surviving
+      .withColumn("cum", sum(col("n")).over(cum))
+      .withColumn("nr", sum(col("n")).over(tot))
+    def target(which: String, rank: org.apache.spark.sql.Column) =
+      located.withColumn("r", rank)
+        .filter(col("cum") >= col("r") && col("cum") - col("n") < col("r"))
+        .select(col("seg"), col("bucket"),
+          (col("r") - (col("cum") - col("n"))).as("resid"),
+          lit(which).as("which"), col("nr"))
+    val targets = target("p50", expr("(nr + 1) div 2"))
+      .unionByName(target("p90", expr("(9 * nr + 9) div 10")))
+    // drill down: current latest-wins rows pruned to the target buckets
+    val current = base
+      .join(latest.select("c_custkey"), Seq("c_custkey"), "left_anti")
+      .select(col("seg"), cents(col("c_acctbal")).as("bal_cents"))
+      .unionByName(latest.filter(col("op") === "U")
+        .select(col("seg"), cents(col("bal")).as("bal_cents")))
+      .withColumn("bucket", shiftright(col("bal_cents"), 13))
+    current
+      .join(broadcast(targets), Seq("seg", "bucket"))
+      .withColumn("rn", row_number().over(
+        W.partitionBy("seg", "bucket", "which").orderBy("bal_cents")))
+      .filter(col("rn") === col("resid"))
+      .groupBy(col("seg").as("c_mktsegment"))
+      .agg(max(col("nr")).as("n_rows"),
+        min(when(col("which") === "p50", col("bal_cents")))
+          .as("p50_cents"),
+        min(when(col("which") === "p90", col("bal_cents")))
+          .as("p90_cents"))
+      .orderBy("c_mktsegment")
+  }
+
+  // The stored BUCKET histogram q276 maintains: (segment,
+  // bal_cents >> 13, count) over the customer base — |buckets| rows per
+  // segment, never |distinct values| — materialized ONCE per
+  // (session, dir) as a temp parquet the incremental path SCANS.
+  private val ivmBucketMemo =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.mutable.Map[String, String]]()
+
+  private def ivmBucketView(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val perSession = ivmBucketMemo.synchronized {
+      var m = ivmBucketMemo.get(s)
+      if (m == null) {
+        m = scala.collection.mutable.Map.empty[String, String]
+        ivmBucketMemo.put(s, m)
+      }
+      m
+    }
+    val path = perSession.synchronized {
+      perSession.getOrElseUpdate(d, {
+        val p = TempDirs.scoped("graft-ivm-bucket")
+        Tables.customer(s, d)
+          .groupBy(col("c_mktsegment").as("seg"),
+            shiftright((col("c_acctbal").cast(DecimalType(18, 2)) * 100)
+              .cast("long"), 13).as("bucket"))
+          .agg(count(lit(1)).as("n"))
+          .write.mode("overwrite").parquet(p)
+        p
+      })
+    }
+    s.read.parquet(path)
+  }
+
   // The stored value histogram q268 maintains: (segment, exact balance
   // cents, count) over the customer base, materialized ONCE per
   // (session, dir) as a temp parquet the incremental path SCANS.
@@ -1690,6 +1823,7 @@ object RelationalQueries extends QueryGroup {
     "q271_scan_orc_typed" -> q271,
     "q275_scan_avro_typed" -> q275,
     "q273_ivm_percentile_retract" -> q273,
+    "q276_ivm_bucket_percentile" -> q276,
     "q247_ivm_join_delta" -> q247,
     "q258_ivm_agg_retract" -> q258,
     "q259_scan_csv_typed" -> q259,
@@ -2024,6 +2158,46 @@ object RelationalQueries extends QueryGroup {
     // integer rank formulas; window sums CAST back to BIGINT (the q91
     // HUGEINT gotcha)
     "q273_ivm_percentile_retract" ->
+      """WITH ch AS (
+        |  SELECT CASE WHEN o_orderkey % 7 = 0
+        |           THEN o_custkey + 1000000000000
+        |           ELSE o_custkey END AS c_custkey,
+        |    o_totalprice AS c_acctbal,
+        |    o_orderpriority AS c_mktsegment,
+        |    o_orderkey AS seq,
+        |    CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |w AS (SELECT *, row_number() OVER (
+        |    PARTITION BY c_custkey ORDER BY seq DESC) AS rn FROM ch),
+        |latest AS (SELECT * FROM w WHERE rn = 1),
+        |merged AS (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+        |  WHERE c_custkey NOT IN (SELECT c_custkey FROM latest)
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment, c_acctbal FROM latest
+        |  WHERE op <> 'D'),
+        |hist AS (SELECT c_mktsegment AS seg,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS bal_cents,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM merged GROUP BY 1, 2),
+        |c AS (SELECT seg, bal_cents,
+        |    CAST(sum(n) OVER (PARTITION BY seg ORDER BY bal_cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(sum(n) OVER (PARTITION BY seg) AS BIGINT) AS nr
+        |  FROM hist)
+        |SELECT seg AS c_mktsegment, CAST(max(nr) AS BIGINT) AS n_rows,
+        |  CAST(min(CASE WHEN cum >= (nr + 1) // 2 THEN bal_cents END)
+        |    AS BIGINT) AS p50_cents,
+        |  CAST(min(CASE WHEN cum >= (9 * nr + 9) // 10 THEN bal_cents END)
+        |    AS BIGINT) AS p90_cents
+        |FROM c GROUP BY seg ORDER BY c_mktsegment""".stripMargin,
+
+    // bucketed wide-domain percentiles: SAME logical answer as q273 —
+    // the oracle is the exact recompute; the engine path differs
+    // (bucket state + drill-down), which is the point of the gate
+    "q276_ivm_bucket_percentile" ->
       """WITH ch AS (
         |  SELECT CASE WHEN o_orderkey % 7 = 0
         |           THEN o_custkey + 1000000000000
