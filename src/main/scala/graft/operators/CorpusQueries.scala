@@ -2201,7 +2201,16 @@ object CorpusQueries extends QueryGroup {
     * predicates — exactly what parquet's bloom row-group filtering
     * answers, so at scale the lookup reads the containing row groups
     * only (BloomLakeSpec measures 14.8× on 2M rows; a spec pins skipping
-    * on THIS lake too). The ORACLE recomputes every fingerprint from the
+    * on THIS lake too). The probe list exceeds
+    * `spark.sql.parquet.pushdown.inFilterThreshold`, above which Spark
+    * pushes parquet's NATIVE in(col, set) predicate instead of an
+    * equality chain — MEASURED bloom-evaluable either way (the
+    * BloomLakeSpec IN-list A/B; an r18 advisory claimed the opposite,
+    * refuted there). Skipping is bounded by probe DENSITY, not pushdown
+    * form: a group reads iff it contains ≥1 probe value, so this
+    * fixture's handful of row groups all read at sf0.01 (every group
+    * has a hit), while at corpus scale — groups ≫ request-list size —
+    * almost all skip. The ORACLE recomputes every fingerprint from the
     * documents TABLE and replays the membership probe — a bloom writer
     * that corrupted data, dropped rows, or a reader that false-NEGATIVED
     * a present value (the one error blooms must never make)

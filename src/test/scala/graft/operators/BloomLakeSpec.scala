@@ -83,6 +83,53 @@ class BloomLakeSpec extends SparkSpec {
     assert(idPlain <= n / 8 && idBloom <= n / 8)
   }
 
+  test("IN-list probes above the pushdown threshold STILL engage blooms (ADVICE r18 refuted by measurement)") {
+    // ADVICE r18 claimed an IN above
+    // spark.sql.parquet.pushdown.inFilterThreshold (default 10) degrades
+    // to a [min,max] range that blooms cannot answer. MEASURED here:
+    // Spark 4.1.2's threshold selects between an OR-of-equalities chain
+    // (≤ threshold) and parquet's NATIVE `in(col, set)` predicate
+    // (> threshold) — and parquet-mr's row-group bloom evaluator handles
+    // BOTH, so q270's hundreds-of-values probe list keeps its skipping
+    // either way. The regime that matters at scale: a ~dozen-value
+    // request list against 64 row groups (tiny parquet.block.size) —
+    // only the groups actually containing a probe value read, under
+    // BOTH threshold settings, bit-identical results.
+    val n = 1L << 20
+    val dir = tmpDir("bloom-inlist")
+    spark.range(n).select(col("id"), xxhash64(col("id")).as("h"))
+      .repartitionByRange(8, col("id"))
+      .sortWithinPartitions("id")
+      .write.mode("overwrite")
+      .options(Map("parquet.enable.dictionary" -> "false",
+        "parquet.block.size" -> (256 * 1024).toString) ++
+        LakeLayout.bloomOptions("h", expectedNdv = n / 8))
+      .parquet(dir)
+    val probes = spark.range(n).filter(col("id") % 87381 === 11)
+      .select(xxhash64(col("id"))).as[Long].collect().toSeq
+    assert(probes.length == 12, s"fixture drift: ${probes.length} probes")
+    val key = "spark.sql.parquet.pushdown.inFilterThreshold"
+    val session = spark.conf.get(key)
+    def scanWith(threshold: String): (Long, Set[Long]) = {
+      spark.conf.set(key, threshold)
+      try {
+        val q = spark.read.parquet(dir)
+          .filter(col("h").isin(probes.map(Long.box): _*))
+        val ids = q.select("id").as[Long].collect().toSet
+        (scannedRows(q), ids)
+      } finally spark.conf.set(key, session)
+    }
+    val (eqChain, idsA) = scanWith("100") // 12 ≤ 100: OR-of-equalities
+    val (nativeIn, idsB) = scanWith("10") // 12 > 10: parquet native IN
+    info(s"[bloom-lake] 12-probe IN over 64 groups: eq-chain=$eqChain native-in=$nativeIn of $n")
+    assert(idsA == idsB && idsA.size == 12, "IN probe correctness parity")
+    // both pushdown forms reach the blooms: only probe-bearing groups read
+    assert(eqChain <= n / 4,
+      s"eq-chain pushdown did not engage blooms: $eqChain of $n")
+    assert(nativeIn <= n / 4,
+      s"native-IN pushdown did not engage blooms: $nativeIn of $n")
+  }
+
   test("q270's declared lake actually skips on its bloom column") {
     val dir = CorpusQueries.bloomLakeDir(spark, sfDir)
     val lake = spark.read.parquet(dir)
