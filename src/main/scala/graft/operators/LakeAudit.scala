@@ -195,41 +195,112 @@ object LakeAudit {
       s"in $dir — a livelock this long means a runaway writer, not contention")
   }
 
-  /** The raw logged entries: one log-dir listing plus one entry-sized
-    * content read per commit (the Delta `_delta_log` read profile —
-    * entries are ~60 bytes; very long histories take periodic checkpoint
-    * compaction, the standard lever, before this listing ever hurts).
-    * Tolerates the legacy name-encoded format (<seq>_<batchId>.json)
-    * for lakes written before the CAS protocol. */
+  private def readFully(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](4096)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      new String(buf.toByteArray, "UTF-8")
+    } finally in.close()
+  }
+
+  private def parseEntryLine(src: String, line: String): PublishEntry = {
+    val marker = "\"batch\":\""
+    val i = line.indexOf(marker)
+    require(i >= 0, s"unparseable publish-log entry in $src: $line")
+    val seqMarker = "\"seq\":"
+    val j = line.indexOf(seqMarker)
+    require(j >= 0, s"unparseable publish-log entry in $src: $line")
+    PublishEntry(
+      line.substring(j + seqMarker.length, line.indexOf(',', j)).trim.toLong,
+      line.substring(i + marker.length, line.lastIndexOf("\"")))
+  }
+
+  /** The raw logged entries: one log-dir listing, one content read of
+    * the NEWEST checkpoint (when one exists — see
+    * [[checkpointPublishLog]]), plus one entry-sized content read per
+    * post-checkpoint commit (the Delta `_delta_log` read profile —
+    * entries are ~60 bytes, and the checkpoint bounds the per-read tail
+    * on long-lived lakes). Tolerates the legacy name-encoded format
+    * (<seq>_<batchId>.json) for lakes written before the CAS protocol. */
   private def readLog(fs: org.apache.hadoop.fs.FileSystem,
       dir: String): Seq[PublishEntry] = {
     val ld = logDir(dir)
-    if (!fs.exists(ld)) Nil
-    else fs.listStatus(ld).toSeq.map(_.getPath)
-      .filter(p => p.getName.endsWith(".json") && !p.getName.startsWith("."))
+    if (!fs.exists(ld)) return Nil
+    val statuses = fs.listStatus(ld).toSeq.map(_.getPath)
+      .filterNot(_.getName.startsWith("."))
+    val cp = statuses.filter(_.getName.endsWith(".checkpoint"))
+      .sortBy(_.getName).lastOption
+    val base: Seq[PublishEntry] = cp match {
+      case None => Nil
+      case Some(p) => readFully(fs, p).split('\n').toSeq
+        .filter(_.nonEmpty).map(parseEntryLine(p.toString, _))
+    }
+    val cpSeq = base.lastOption.map(_.seq).getOrElse(0L)
+    val tail = statuses
+      .filter(_.getName.endsWith(".json"))
       .map { p =>
-        val base = p.getName.stripSuffix(".json")
-        if (base.length > 20 && base.charAt(20) == '_')
-          PublishEntry(base.substring(0, 20).toLong, base.substring(21))
-        else {
-          val body = {
-            val in = fs.open(p)
-            try {
-              val buf = new java.io.ByteArrayOutputStream()
-              val chunk = new Array[Byte](4096)
-              var n = in.read(chunk)
-              while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-              new String(buf.toByteArray, "UTF-8")
-            } finally in.close()
-          }
-          val marker = "\"batch\":\""
-          val i = body.indexOf(marker)
-          require(i >= 0, s"unparseable publish-log entry: $p -> $body")
-          PublishEntry(base.toLong,
-            body.substring(i + marker.length, body.lastIndexOf("\"")))
-        }
+        val b = p.getName.stripSuffix(".json")
+        if (b.length > 20 && b.charAt(20) == '_')
+          PublishEntry(b.substring(0, 20).toLong, b.substring(21))
+        else parseEntryLine(p.toString, readFully(fs, p))
       }
-      .sortBy(_.seq)
+      .filter(_.seq > cpSeq) // pre-checkpoint entry files not yet vacuumed
+    (base ++ tail).sortBy(_.seq)
+  }
+
+  /** CHECKPOINT the publish log (the Delta checkpoint shape): one
+    * atomically-committed `<seq>.checkpoint` file snapshotting every
+    * entry up to the current tail, so [[readLog]] reads one checkpoint +
+    * the post-checkpoint tail instead of one file per commit ever made —
+    * the compaction lever that keeps log reads O(recent) on a long-lived
+    * lake. Entry files at or below the checkpoint become redundant and
+    * can be removed by [[vacuumCheckpointedEntries]] (owner-invoked,
+    * like every destructive op here); until then readLog dedupes them.
+    * Safe under the CAS protocol: the checkpoint file name is the
+    * covered seq, committed create-exclusively with deterministic
+    * content, and never competes with entry commits for a seq. Returns
+    * the checkpointed seq (0 when the log is empty). */
+  def checkpointPublishLog(spark: SparkSession, dir: String): Long = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val logged = readLog(fs, dir)
+    if (logged.isEmpty) return 0L
+    val seq = logged.last.seq
+    val body = logged
+      .map(e => s"""{"seq":${e.seq},"batch":"${e.batchId}"}""")
+      .mkString("", "\n", "\n")
+    // same-name loser means an identical checkpoint already exists
+    createExclusive(fs, new Path(logDir(dir), f"$seq%020d.checkpoint"),
+      body.getBytes("UTF-8"))
+    seq
+  }
+
+  /** Remove entry files made redundant by the newest checkpoint (their
+    * seqs are covered by it). Owner-invoked; readLog is correct with or
+    * without the vacuum. Returns the number of files removed. */
+  def vacuumCheckpointedEntries(spark: SparkSession, dir: String): Int = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ld = logDir(dir)
+    if (!fs.exists(ld)) return 0
+    val statuses = fs.listStatus(ld).toSeq.map(_.getPath)
+      .filterNot(_.getName.startsWith("."))
+    val cpSeq = statuses.filter(_.getName.endsWith(".checkpoint"))
+      .map(_.getName.stripSuffix(".checkpoint").toLong)
+      .sorted.lastOption.getOrElse(return 0)
+    val entries = statuses.filter(_.getName.endsWith(".json"))
+      .filter { p =>
+        val b = p.getName.stripSuffix(".json")
+        val seq = if (b.length > 20 && b.charAt(20) == '_')
+          b.substring(0, 20).toLong else b.toLong
+        seq <= cpSeq
+      }
+    // superseded checkpoints are covered by the newest one
+    val oldCps = statuses.filter(_.getName.endsWith(".checkpoint"))
+      .filter(_.getName.stripSuffix(".checkpoint").toLong < cpSeq)
+    (entries ++ oldCps).count(p => fs.delete(p, false))
   }
 
   /** The publish log, oldest first — one entry per published batch, in

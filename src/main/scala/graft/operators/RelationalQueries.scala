@@ -1183,9 +1183,11 @@ object RelationalQueries extends QueryGroup {
     * synthetic ~100k-distinct-value domain where the bucketed state is
     * measured at a small fraction of the flat histogram's rows. The
     * BUCKET counts stream live through
-    * [[graft.streaming.RollupStream.maintainValueCounts]] fed bucket ids
-    * (same ± algebra); the drill-down is a batch read against the lake
-    * by design — it touches base data a stream never holds. */
+    * [[graft.streaming.RollupStream.maintainBucketCounts]] (same ±
+    * algebra, bucket granularity — StreamingIvmSpec pins the streamed
+    * locate+drill readout ≡ this query); the drill-down is a batch read
+    * against the lake by design — it touches base data a stream never
+    * holds. */
   private val q276: Q = (s, d) => {
     val W = org.apache.spark.sql.expressions.Window
     def cents(c: org.apache.spark.sql.Column) =

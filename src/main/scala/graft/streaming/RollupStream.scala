@@ -68,4 +68,29 @@ object RollupStream {
         col("d.dn"))
       .groupBy("c_mktsegment", "bal_cents")
       .agg(sum(col("dn")).as("n"))
+
+  /** The WIDE-DOMAIN twin (batch q276): the same ± count algebra at
+    * 2^`shift`-cent BUCKET granularity — state is |buckets| per group
+    * regardless of the value domain (arithmetic shift = floor division,
+    * exact for negative cents). The consumer locates the rank-holding
+    * bucket from the streamed counts and drills into the LAKE for the
+    * exact value (a batch read by design — the stream never holds base
+    * data). Returns the running (c_mktsegment, bucket, n) counts. */
+  def maintainBucketCounts(changes: DataFrame, shift: Int = 13): DataFrame =
+    changes
+      .select(explode(array(
+        struct(col("old_seg").as("seg"),
+          shiftright((col("old_bal").cast(DecimalType(18, 2)) * 100)
+            .cast("long"), shift).as("bucket"),
+          lit(-1L).as("dn")),
+        struct(col("new_seg").as("seg"),
+          shiftright((col("new_bal").cast(DecimalType(18, 2)) * 100)
+            .cast("long"), shift).as("bucket"),
+          lit(1L).as("dn"))))
+        .as("d"))
+      .filter(col("d.seg").isNotNull)
+      .select(col("d.seg").as("c_mktsegment"), col("d.bucket"),
+        col("d.dn"))
+      .groupBy("c_mktsegment", "bucket")
+      .agg(sum(col("dn")).as("n"))
 }

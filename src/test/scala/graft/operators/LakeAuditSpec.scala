@@ -294,6 +294,46 @@ class LakeAuditSpec extends SparkSpec {
     assert(latestLive() == Map(1L -> 5.0, 2L -> 7.0))
   }
 
+  test("publish-log checkpoint: one-file snapshot + tail, vacuum removes covered entries, readers unchanged") {
+    val dir = tmpDir("wapckptlog")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a history incl. an erasure entry (its ~erase~ prefix must survive
+    // the checkpoint round trip) built through the real protocol
+    assert(writeAuditPublish(spark, batchOf(0), dir, "a", rules).published)
+    assert(writeAuditPublish(spark, batchOf(1), dir, "b", rules).published)
+    assert(eraseLogged(spark, dir, "g1", Seq(1L), "id", Seq("qty"))
+      .rowsDeleted == 1L)
+    assert(writeAuditPublish(spark, batchOf(2), dir, "c", rules).published)
+    val before = publishLog(spark, dir)
+    assert(before.size == 4 && before.count(isErasure) == 1)
+
+    assert(checkpointPublishLog(spark, dir) == 4L)
+    assert(publishLog(spark, dir) == before, "checkpoint must not change the log")
+    // vacuum: covered entry files go, the log still reads identically
+    assert(vacuumCheckpointedEntries(spark, dir) == 4)
+    val ld = new org.apache.hadoop.fs.Path(s"$dir/_publish_log")
+    assert(fs.listStatus(ld).count(_.getPath.getName.endsWith(".json")) == 0)
+    assert(publishLog(spark, dir) == before, "vacuumed log must read identically")
+    // time travel and receipts still work from the checkpointed log
+    assert(idsOf(readAsOf(spark, dir, 4L)) == Set(2L, 11L, 12L, 21L, 22L))
+    assert(erasureReceipts(spark, dir, 0L, 99L)
+      .as[(Long, Double)].collect().toSeq == Seq((1L, 5.0)))
+
+    // post-checkpoint commits land as tail entries and read after it
+    assert(writeAuditPublish(spark, batchOf(3), dir, "d", rules).published)
+    val after = publishLog(spark, dir)
+    assert(after.map(e => e.seq -> e.batchId) ==
+      before.map(e => e.seq -> e.batchId) :+ (5L -> "d"))
+    // a second checkpoint supersedes; its vacuum removes the old one + tail
+    assert(checkpointPublishLog(spark, dir) == 5L)
+    assert(vacuumCheckpointedEntries(spark, dir) == 2) // entry d + old cp
+    assert(publishLog(spark, dir) == after)
+    // the CAS keeps committing correctly on a fully-checkpointed log
+    assert(writeAuditPublish(spark, batchOf(4), dir, "e", rules).published)
+    assert(publishLog(spark, dir).map(_.seq) == (1L to 6L))
+  }
+
   test("eraseLogged crash between erase and log commit: the replay must NOT clobber the receipt (ADVICE r18)") {
     val dir = tmpDir("wapcrash")
     assert(writeAuditPublish(spark, batchOf(0), dir, "a", rules).published)

@@ -182,6 +182,101 @@ class StreamingIvmSpec extends SparkSpec {
       s"streamed percentile readout ≠ batch q273:\n stream ${streamedPct.toSeq.sortBy(_._1)}\n batch ${batchPct.toSeq.sortBy(_._1)}")
   }
 
+  test("streamed ±BUCKET counts + drill-down ≡ batch q276 (the wide-domain percentile twin)") {
+    implicit val sc = spark.sqlContext
+    // same pre/post-image feed as the q258/q268 twins above
+    val base = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"),
+        lit(null).cast("string").as("old_seg"),
+        lit(null).cast("double").as("old_bal"),
+        col("c_mktsegment").as("new_seg"),
+        col("c_acctbal").as("new_bal"))
+    val feed = Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") % 3 === 0)
+      .select(
+        when(col("o_orderkey") % 7 === 0,
+          col("o_custkey") + 1000000000000L)
+          .otherwise(col("o_custkey")).as("c_custkey"),
+        col("o_totalprice").as("bal"),
+        col("o_orderpriority").as("seg"),
+        col("o_orderkey").as("seq"),
+        when(col("o_orderkey") % 10 === 0, lit("D"))
+          .otherwise(lit("U")).as("op"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("c_custkey").orderBy(col("seq").desc)))
+      .filter(col("rn") === 1)
+    val changes = feed.join(
+        Tables.customer(spark, sfDir).select(col("c_custkey"),
+          col("c_mktsegment").as("old_seg0"),
+          col("c_acctbal").as("old_bal0")),
+        Seq("c_custkey"), "left")
+      .select(col("c_custkey"), col("old_seg0").as("old_seg"),
+        col("old_bal0").as("old_bal"),
+        when(col("op") === "U", col("seg")).as("new_seg"),
+        when(col("op") === "U", col("bal")).as("new_bal"))
+    val rows = base.unionByName(changes)
+      .as[(Long, String, java.lang.Double, String, java.lang.Double)]
+      .collect()
+    val nb = base.count().toInt
+    val waves = Seq(rows.slice(0, nb / 3), rows.slice(nb / 3, nb),
+      rows.slice(nb, nb + 40), rows.slice(nb + 40, rows.length))
+    val mem = MemoryStream[(Long, String, java.lang.Double, String,
+      java.lang.Double)]
+    val q = RollupStream.maintainBucketCounts(
+        mem.toDF().toDF("k", "old_seg", "old_bal", "new_seg", "new_bal"))
+      .writeStream.format("memory").queryName("ivm_bucket")
+      .outputMode(OutputMode.Complete()).start()
+    waves.foreach { w => mem.addData(w.toSeq: _*); q.processAllAvailable() }
+    q.stop()
+    // locate the rank-holding buckets from the STREAMED state...
+    val cum = Window.partitionBy("c_mktsegment").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy("c_mktsegment")
+    val located = spark.table("ivm_bucket")
+      .filter(col("n") > 0)
+      .withColumn("cum", sum(col("n")).over(cum))
+      .withColumn("nr", sum(col("n")).over(tot))
+    def target(which: String, rank: org.apache.spark.sql.Column) =
+      located.withColumn("r", rank)
+        .filter(col("cum") >= col("r") &&
+          col("cum") - col("n") < col("r"))
+        .select(col("c_mktsegment").as("seg"), col("bucket"),
+          (col("r") - (col("cum") - col("n"))).as("resid"),
+          lit(which).as("which"), col("nr"))
+    val targets = target("p50", expr("(nr + 1) div 2"))
+      .unionByName(target("p90", expr("(9 * nr + 9) div 10")))
+    // ...and drill into the current latest-wins rows (the batch lake
+    // read the operator documents), pruned to the target buckets
+    def cents(c: org.apache.spark.sql.Column) =
+      (c.cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+        .cast("long")
+    val current = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment").as("seg"),
+        col("c_acctbal"))
+      .join(feed.select("c_custkey"), Seq("c_custkey"), "left_anti")
+      .select(col("seg"), cents(col("c_acctbal")).as("bal_cents"))
+      .unionByName(feed.filter(col("op") === "U")
+        .select(col("seg"), cents(col("bal")).as("bal_cents")))
+      .withColumn("bucket", shiftright(col("bal_cents"), 13))
+    val streamed = current
+      .join(broadcast(targets), Seq("seg", "bucket"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("seg", "bucket", "which").orderBy("bal_cents")))
+      .filter(col("rn") === col("resid"))
+      .groupBy(col("seg").as("c_mktsegment"))
+      .agg(max(col("nr")).as("n_rows"),
+        min(when(col("which") === "p50", col("bal_cents")))
+          .as("p50_cents"),
+        min(when(col("which") === "p90", col("bal_cents")))
+          .as("p90_cents"))
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val batch = SparkEntry.queries("q276_ivm_bucket_percentile")(
+        spark, sfDir)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(streamed == batch,
+      s"streamed bucket readout ≠ batch q276:\n stream ${streamed.toSeq.sortBy(_._1)}\n batch ${batch.toSeq.sortBy(_._1)}")
+  }
+
   test("TWO-side changelog join (flatMapGroupsWithState bi-multiset) ≡ batch q264, deliberately mis-ordered waves") {
     implicit val sc = spark.sqlContext
     import JoinViewStream.BiEvent
