@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
 import org.apache.spark.sql.types.DecimalType
 
 /** Streaming JOIN-view IVM under RETRACTIONS — the q264 maintenance
@@ -134,6 +134,75 @@ object JoinViewStream {
             case (seg, (dn, dc)) if dn != 0L || dc != 0L => (seg, dn, dc)
           }
       }
+      .toDF("c_mktsegment", "dn", "dcents")
+  }
+
+  /** The per-key live multisets as two MAP states (Spark 4's
+    * transformWithState + MapState, RocksDB-backed): one state-store
+    * entry PER MULTISET ELEMENT, so an event's bookkeeping is a point
+    * read + a point write of the one touched (element → count) entry —
+    * where [[biChangelog]]'s flatMapGroupsWithState must deserialize and
+    * re-serialize the key's ENTIRE BiState blob on every event, a
+    * rewrite that grows with live rows per key (the hot-key tax at
+    * scale). Dead elements are removeKey'd at count zero, so state rows
+    * = Σ live multiset elements across keys — element-granular, pinned
+    * by StreamingIvmSpec against a driver-side fold. The emitted join
+    * deltas are identical to [[biChangelog]] by construction; the spec
+    * pins both ≡ batch q264 on the same mis-ordered waves. */
+  private class BiJoinProcessor
+      extends StatefulProcessor[Long, BiEvent, (String, Long, Long)] {
+    @transient private var lefts: MapState[String, Long] = _
+    @transient private var rights: MapState[Long, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      lefts = getHandle.getMapState[String, Long]("lefts",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+      rights = getHandle.getMapState[Long, Long]("rights",
+        Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[BiEvent],
+        timerValues: TimerValues): Iterator[(String, Long, Long)] = {
+      val acc = scala.collection.mutable.Map.empty[String, (Long, Long)]
+      def emit(seg: String, dn: Long, dc: Long): Unit = {
+        val (n0, c0) = acc.getOrElse(seg, (0L, 0L))
+        acc(seg) = (n0 + dn, c0 + dc)
+      }
+      rows.foreach { e =>
+        if (e.side == "L") {
+          rights.iterator().foreach { case (cents, m) =>
+            if (m != 0L) emit(e.seg, e.sgn * m, e.sgn * m * cents)
+          }
+          val n = (if (lefts.containsKey(e.seg)) lefts.getValue(e.seg)
+            else 0L) + e.sgn
+          if (n == 0L) lefts.removeKey(e.seg)
+          else lefts.updateValue(e.seg, n)
+        } else {
+          lefts.iterator().foreach { case (seg, m) =>
+            if (m != 0L) emit(seg, e.sgn * m, e.sgn * m * e.cents)
+          }
+          val n = (if (rights.containsKey(e.cents))
+            rights.getValue(e.cents) else 0L) + e.sgn
+          if (n == 0L) rights.removeKey(e.cents)
+          else rights.updateValue(e.cents, n)
+        }
+      }
+      acc.iterator.collect {
+        case (seg, (dn, dc)) if dn != 0L || dc != 0L => (seg, dn, dc)
+      }
+    }
+  }
+
+  /** [[biChangelog]] re-expressed on transformWithState (see
+    * [[BiJoinProcessor]] for why the MapState form scales past the
+    * GroupState blob). Requires the RocksDB state store provider —
+    * Spark's constraint for transformWithState; the caller sets
+    * `spark.sql.streaming.stateStore.providerClass`. */
+  def biChangelogTws(events: Dataset[BiEvent]): DataFrame = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.k)
+      .transformWithState[(String, Long, Long)](new BiJoinProcessor(),
+        TimeMode.None(), OutputMode.Update())
       .toDF("c_mktsegment", "dn", "dcents")
   }
 }

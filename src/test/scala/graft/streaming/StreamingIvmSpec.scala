@@ -277,8 +277,13 @@ class StreamingIvmSpec extends SparkSpec {
       s"streamed bucket readout ≠ batch q276:\n stream ${streamed.toSeq.sortBy(_._1)}\n batch ${batch.toSeq.sortBy(_._1)}")
   }
 
-  test("TWO-side changelog join (flatMapGroupsWithState bi-multiset) ≡ batch q264, deliberately mis-ordered waves") {
-    implicit val sc = spark.sqlContext
+  // the bi-changelog fixture shared by the flatMapGroupsWithState and
+  // transformWithState tests: DELIBERATELY mis-ordered waves — half the
+  // customer retractions and the whole arrival batch land BEFORE the
+  // right bootstrap finishes, and some retractions precede their own
+  // key's bootstrap; bilinearity over signed multisets makes the folded
+  // deltas exact anyway (counts pass through negative values)
+  private def biWaves(): Seq[Seq[JoinViewStream.BiEvent]] = {
     import JoinViewStream.BiEvent
     val cents = (c: org.apache.spark.sql.Column) =>
       (c.cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
@@ -321,39 +326,41 @@ class StreamingIvmSpec extends SparkSpec {
       .select(col("o_custkey"), cents(col("o_totalprice")))
       .as[(Long, Long)].collect()
       .map { case (k, c) => BiEvent(k, "R", 1L, null, c) }
-    // DELIBERATE mis-ordering: half the customer retractions and the
-    // whole arrival batch land BEFORE the right bootstrap finishes, and
-    // some retractions precede their own key's bootstrap — bilinearity
-    // over signed multisets makes the folded deltas exact anyway (counts
-    // pass through negative values; the op doc's claim, exercised)
     val nb = rBoot.length
-    val waves: Seq[Seq[BiEvent]] = Seq(
+    Seq(
       lBoot.take(lBoot.length / 2).toSeq ++ lPre.take(lPre.length / 2),
       rNew.toSeq ++ rBoot.take(nb / 3),
       lBoot.drop(lBoot.length / 2).toSeq ++ rBoot.slice(nb / 3, nb / 2),
       lPre.drop(lPre.length / 2).toSeq ++ lPost ++ rBoot.drop(nb / 2))
-    // driver-side reference fold of the per-key live multisets — the
-    // LIVE key set (a key whose multisets both drain to empty is dead
-    // and must hold NO state row; "keys ever touched" is the leak the
-    // r18 pin masked)
-    def foldLive(evs: Seq[BiEvent])
-        : Map[Long, (Map[String, Long], Map[Long, Long])] = {
-      val m = scala.collection.mutable.Map
-        .empty[Long, (Map[String, Long], Map[Long, Long])]
-      evs.foreach { e =>
-        val (l, r) = m.getOrElse(e.k,
-          (Map.empty[String, Long], Map.empty[Long, Long]))
-        val nu = if (e.side == "L") {
-          val n = l.getOrElse(e.seg, 0L) + e.sgn
-          (if (n == 0L) l - e.seg else l.updated(e.seg, n), r)
-        } else {
-          val n = r.getOrElse(e.cents, 0L) + e.sgn
-          (l, if (n == 0L) r - e.cents else r.updated(e.cents, n))
-        }
-        if (nu._1.isEmpty && nu._2.isEmpty) m.remove(e.k) else m(e.k) = nu
+  }
+
+  // driver-side reference fold of the per-key live multisets — the LIVE
+  // key set (a key whose multisets both drain to empty is dead and must
+  // hold NO state row; "keys ever touched" is the leak the r18 pin
+  // masked)
+  private def foldLive(evs: Seq[JoinViewStream.BiEvent])
+      : Map[Long, (Map[String, Long], Map[Long, Long])] = {
+    val m = scala.collection.mutable.Map
+      .empty[Long, (Map[String, Long], Map[Long, Long])]
+    evs.foreach { e =>
+      val (l, r) = m.getOrElse(e.k,
+        (Map.empty[String, Long], Map.empty[Long, Long]))
+      val nu = if (e.side == "L") {
+        val n = l.getOrElse(e.seg, 0L) + e.sgn
+        (if (n == 0L) l - e.seg else l.updated(e.seg, n), r)
+      } else {
+        val n = r.getOrElse(e.cents, 0L) + e.sgn
+        (l, if (n == 0L) r - e.cents else r.updated(e.cents, n))
       }
-      m.toMap
+      if (nu._1.isEmpty && nu._2.isEmpty) m.remove(e.k) else m(e.k) = nu
     }
+    m.toMap
+  }
+
+  test("TWO-side changelog join (flatMapGroupsWithState bi-multiset) ≡ batch q264, deliberately mis-ordered waves") {
+    implicit val sc = spark.sqlContext
+    import JoinViewStream.BiEvent
+    val waves = biWaves()
     val mem = MemoryStream[JoinViewStream.BiEvent]
     val q = JoinViewStream.biChangelog(mem.toDS())
       .writeStream.format("memory").queryName("ivm_bi")
@@ -429,6 +436,48 @@ class StreamingIvmSpec extends SparkSpec {
       .toMap
     assert(refolded == expectAfter,
       s"post-drain fold ≠ batch − drained contributions:\n stream ${refolded.toSeq.sortBy(_._1)}\n expect ${expectAfter.toSeq.sortBy(_._1)}")
+  }
+
+  test("transformWithState MapState bi-changelog ≡ batch q264; state is ELEMENT-granular (RocksDB)") {
+    implicit val sc = spark.sqlContext
+    val waves = biWaves()
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[JoinViewStream.BiEvent]
+      val q = JoinViewStream.biChangelogTws(mem.toDS())
+        .writeStream.format("memory").queryName("ivm_bi_tws")
+        .outputMode(OutputMode.Update()).start()
+      waves.foreach { w => mem.addData(w: _*); q.processAllAvailable() }
+      // MapState holds one state-store row PER LIVE MULTISET ELEMENT —
+      // sharper than the per-key BiState blob: dead elements are
+      // removeKey'd, so the count equals the reference fold's Σ sizes
+      val live = foldLive(waves.flatten)
+      val expectRows = live.valuesIterator
+        .map { case (l, r) => l.size + r.size }.sum.toLong
+      val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+      q.stop()
+      assert(stateRows == expectRows,
+        s"state rows $stateRows != Σ live multiset elements $expectRows")
+      val streamed = spark.table("ivm_bi_tws")
+        .groupBy("c_mktsegment")
+        .agg(sum(col("dn")).as("n"), sum(col("dcents")).as("c"))
+        .filter(col("n") > 0)
+        .as[(String, Long, Long)].collect()
+        .map { case (seg, n, c) =>
+          seg -> ((n, java.math.BigDecimal.valueOf(c, 2).doubleValue)) }
+        .toMap
+      val batch = SparkEntry.queries("q264_ivm_join_retract")(spark, sfDir)
+        .as[(String, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(streamed == batch,
+        s"tws bi-changelog ≠ batch:\n stream ${streamed.toSeq.sortBy(_._1)}\n batch ${batch.toSeq.sortBy(_._1)}")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   test("streamed ±retraction JOIN view ≡ batch q264 (bootstrap + CDC waves, stream-static join)") {
