@@ -766,9 +766,51 @@ object StreamEquivQueries extends QueryGroup {
       .orderBy("user_id")
   }
 
+  /** Q279: the LEFT-OUTER readout of the q278 stream-stream join family —
+    * the enrichment-coverage report a pipeline joining two live feeds
+    * actually monitors: per user, how many purchases found an error
+    * inside their trailing 240-minute window and how many closed
+    * UNMATCHED (the null-extended rows Spark's left-outer stream-stream
+    * join emits once the watermark passes a purchase's window —
+    * StreamStreamJoinSpec pins that emission discipline). Batch form:
+    * the banded inner pairs LEFT-joined back onto the purchase side
+    * (pair stage linear in events, unmatched purchases never enter the
+    * pair shuffle), with an unmatched-id checksum so one mis-classified
+    * purchase hash-mismatches.
+    *
+    * Scale shape: q278's banded join + one purchase-keyed left join —
+    * both shuffles on bounded keys; output is user-domain-sized. */
+  private val q279: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        epochUs(col("ts")).as("us"))
+    val errs = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("eid"), col("us"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pid"),
+        (col("us") - 14400000000L).as("w_start"), col("us").as("w_end"))
+    val matched = IntervalJoin.pointInIntervals(errs, purch,
+        key = "user_id", pointId = "eid", t = "us",
+        intervalId = "pid", start = "w_start", end = "w_end",
+        maxLen = 14400000000L)
+      .groupBy(col("user_id"), col("interval_id").as("pid"))
+      .agg(count(lit(1)).as("n_errs"))
+    purch.select(col("user_id"), col("pid"))
+      .join(matched, Seq("user_id", "pid"), "left")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_purchases"),
+        count(col("n_errs")).as("n_matched"),
+        sum(when(col("n_errs").isNull, 1L).otherwise(0L))
+          .as("n_unmatched"),
+        coalesce(sum(when(col("n_errs").isNull, col("pid"))), lit(0L))
+          .as("unmatched_pid_sum"))
+      .orderBy("user_id")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q159_join_point_in_window" -> q159,
     "q278_stream_stream_join" -> q278,
+    "q279_stream_join_outer" -> q279,
     "q169_seq_pattern_support" -> q169,
     "q246_seq_match_recognize" -> q246,
     "q256_transition_dwell" -> q256,
@@ -811,6 +853,30 @@ object StreamEquivQueries extends QueryGroup {
         |  CAST(sum(pid) AS BIGINT) AS sum_pid,
         |  CAST(sum(eid) AS BIGINT) AS sum_eid
         |FROM pairs GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // left-outer stream-join readout: naive window theta-join LEFT-joined
+    // back onto purchases; unmatched = purchases with zero in-window
+    // errors, checksummed; sums cast back to BIGINT (the q91 gotcha)
+    "q279_stream_join_outer" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    epoch_us(ts) AS us FROM events),
+        |r AS (SELECT user_id, event_id AS eid, us FROM e
+        |  WHERE event_type = 'error'),
+        |p AS (SELECT user_id, event_id AS pid, us - 14400000000 AS w_start,
+        |    us AS w_end FROM e WHERE event_type = 'purchase'),
+        |m AS (SELECT p.user_id, p.pid,
+        |    CAST(count(*) AS BIGINT) AS n_errs
+        |  FROM r JOIN p ON r.user_id = p.user_id
+        |    AND p.w_start <= r.us AND r.us <= p.w_end
+        |  GROUP BY p.user_id, p.pid)
+        |SELECT p.user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(count(m.n_errs) AS BIGINT) AS n_matched,
+        |  CAST(sum(CASE WHEN m.n_errs IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_unmatched,
+        |  CAST(coalesce(sum(CASE WHEN m.n_errs IS NULL THEN p.pid END), 0)
+        |    AS BIGINT) AS unmatched_pid_sum
+        |FROM p LEFT JOIN m ON p.user_id = m.user_id AND p.pid = m.pid
+        |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin,
     // outlier audit: same cents cast, same cross-multiplied second-moment
     // verdict in HUGEINT (DuckDB's native 128-bit ≡ Spark's
     // DECIMAL(38,0) here); every sum cast back to BIGINT (the q91 gotcha)

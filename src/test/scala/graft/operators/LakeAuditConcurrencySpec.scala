@@ -54,6 +54,19 @@ class LakeAuditConcurrencySpec extends SparkSpec {
     // replayed commit of an existing batchId returns its ORIGINAL entry
     val replay = LakeAudit.commitEntry(fs, dir, "t0-b0")
     assert(publishLog(spark, dir).size == n && replay.seq <= n)
+    // the checkpoint lever, MEASURED on this 320-commit log: one
+    // checkpoint read replaces 320 entry reads
+    def timeMs(body: => Unit): Double = {
+      val t = System.nanoTime(); body; (System.nanoTime() - t) / 1e6
+    }
+    val plainMs = (1 to 5).map(_ => timeMs(publishLog(spark, dir))).min
+    assert(checkpointPublishLog(spark, dir) == n.toLong)
+    assert(vacuumCheckpointedEntries(spark, dir) == n)
+    assert(publishLog(spark, dir) == log, "checkpoint+vacuum must not change the log")
+    val ckptMs = (1 to 5).map(_ => timeMs(publishLog(spark, dir))).min
+    info(f"[cas-log] publishLog($n entries): per-entry reads $plainMs%.1f ms, checkpointed $ckptMs%.1f ms")
+    assert(ckptMs < plainMs,
+      s"checkpointed read ($ckptMs ms) not faster than per-entry ($plainMs ms)")
   }
 
   test("two racing publishers + a racing erasure: full protocol, every batch readable, log consistent") {
