@@ -1238,12 +1238,27 @@ object RelationalQueries extends QueryGroup {
           lit(which).as("which"), col("nr"))
     val targets = target("p50", expr("(nr + 1) div 2"))
       .unionByName(target("p90", expr("(9 * nr + 9) div 10")))
+    // the target-bucket set is driver-sized BY CONSTRUCTION (≤ 2 ranks
+    // per segment) — collect it and filter with LITERAL value ranges on
+    // the stored column (bucket b covers cents [b·2¹³, b·2¹³ + 2¹³−1],
+    // floor semantics exact for negative b), because a join filter never
+    // reaches the parquet reader and a filter on the DERIVED bucket
+    // column doesn't push either: on a value-clustered lake the range
+    // disjunction is what turns the drill-down into a row-group-pruned
+    // scan (R19QuerySemanticsSpec pins the metric); the exact
+    // (seg, bucket) refinement still happens in the join
+    val targetBuckets = targets.select("bucket").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val inTargetRange = targetBuckets
+      .map(b => col("bal_cents").between(b * 8192L, b * 8192L + 8191L))
+      .reduce(_ || _)
     // drill down: current latest-wins rows pruned to the target buckets
     val current = base
       .join(latest.select("c_custkey"), Seq("c_custkey"), "left_anti")
       .select(col("seg"), cents(col("c_acctbal")).as("bal_cents"))
       .unionByName(latest.filter(col("op") === "U")
         .select(col("seg"), cents(col("bal")).as("bal_cents")))
+      .filter(inTargetRange)
       .withColumn("bucket", shiftright(col("bal_cents"), 13))
     current
       .join(broadcast(targets), Seq("seg", "bucket"))

@@ -124,6 +124,38 @@ class R19QuerySemanticsSpec extends SparkSpec {
       s"bucketed state $bRows not ≪ flat $flatRows — the wide-domain claim fails")
   }
 
+  test("q276 drill-down on a value-clustered lake: the literal bucket-range disjunction prunes row groups (metric pin)") {
+    val dir = tmpDir("drillprune")
+    val n = 200000L
+    // a value-range-sorted lake storing the cents column (the maintained
+    // corpus the drill-down reads at scale), 16 files
+    spark.range(n).select(
+        concat(lit("S"), (col("id") % 4).cast("string")).as("seg"),
+        (col("id") * 53L % 10000000L).as("bal_cents"))
+      .repartitionByRange(16, col("bal_cents"))
+      .sortWithinPartitions("bal_cents")
+      .write.mode("overwrite").parquet(dir)
+    val lake = spark.read.parquet(dir)
+    // two target buckets (the p50/p90 shape): literal value ranges,
+    // exactly the q276 drill predicate form
+    val buckets = Seq(5000000L >> 13, 9000000L >> 13)
+    val pred = buckets
+      .map(b => col("bal_cents").between(b * 8192L, b * 8192L + 8191L))
+      .reduce(_ || _)
+    val drill = lake.filter(pred)
+    drill.collect()
+    val scanned = drill.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: FileSourceScanExec =>
+        f.metrics("numOutputRows").value }.get
+    info(s"drill scan read $scanned of $n lake rows for ${buckets.size} target buckets")
+    assert(scanned < n / 8,
+      s"drill scanned $scanned of $n — the range disjunction is not pruning the value-sorted lake")
+    // and the pruned read is exactly the bucket membership
+    val expect = (0L until n).map(i => i * 53L % 10000000L)
+      .count(c => buckets.contains(c >> 13)).toLong
+    assert(drill.count() == expect)
+  }
+
   test("q264 probe on a custkey-sorted lake: pushed cohort bounds prune the fact scan (metric pin)") {
     val dir = tmpDir("ivmprobe")
     val nC = 20000L
