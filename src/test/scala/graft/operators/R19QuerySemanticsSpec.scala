@@ -147,8 +147,11 @@ class R19QuerySemanticsSpec extends SparkSpec {
     val scanned = drill.queryExecution.executedPlan.collectLeaves()
       .collectFirst { case f: FileSourceScanExec =>
         f.metrics("numOutputRows").value }.get
+    // the two buckets live in 2 of the 16 range-sorted files (~12.5k
+    // rows each, file sizes vary with range partitioning) — assert a
+    // 4-file bound so the pin is about PRUNING, not file-boundary luck
     info(s"drill scan read $scanned of $n lake rows for ${buckets.size} target buckets")
-    assert(scanned < n / 8,
+    assert(scanned < n / 4,
       s"drill scanned $scanned of $n — the range disjunction is not pruning the value-sorted lake")
     // and the pruned read is exactly the bucket membership
     val expect = (0L until n).map(i => i * 53L % 10000000L)
