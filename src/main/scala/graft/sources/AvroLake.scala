@@ -28,13 +28,16 @@ import scala.jdk.CollectionConverters._
   * Scale shape: the WRITE is one Avro container file per partition
   * (mapPartitions — embarrassingly parallel, no shuffle, the exact
   * per-subtask layout Flink's StreamingFileSink produces); the READ
-  * parallelizes file-granularly (one task per container file — the
-  * unit the writer produced; a production reader additionally splits
-  * large containers on Avro sync markers, which this seam trades away
-  * for simplicity since the writer bounds file size by partition).
-  * Schemas travel as JSON strings (avro.Schema is not serializable);
-  * the reader derives the Spark schema from the FIRST file's embedded
-  * header — self-describing files, the Avro contract. */
+  * splits every container on Avro SYNC MARKERS (the avro-mapred split
+  * contract: a task owns the blocks whose sync lies inside its byte
+  * range — `sync(start)` seeks to the first block after the split
+  * start, `pastSync(end)` hands the tail to the next task), so one
+  * oversized container still fans out across the cluster instead of
+  * serializing on a single task; files below `maxSplitBytes` read as
+  * one task each, exactly the writer's layout. Schemas travel as JSON
+  * strings (avro.Schema is not serializable); the reader derives the
+  * Spark schema from the FIRST file's embedded header —
+  * self-describing files, the Avro contract. */
 object AvroLake {
 
   private val SupportedTypes: Set[DataType] = Set(LongType, IntegerType,
@@ -95,8 +98,12 @@ object AvroLake {
   }
 
   /** Write `df` as one Avro container file per partition under `dir`
-    * (deflate-compressed, the codec every Avro runtime bundles). */
-  def write(df: DataFrame, dir: String): Unit = {
+    * (deflate-compressed, the codec every Avro runtime bundles).
+    * `syncIntervalBytes` is the approximate block size between sync
+    * markers — the read-side split granularity (Avro's default 64 KB;
+    * exposed so tests can force many blocks in a small file). */
+  def write(df: DataFrame, dir: String,
+      syncIntervalBytes: Int = 64 * 1024): Unit = {
     val spark = df.sparkSession
     val schemaJson = avroSchema(df.schema).toString
     val sparkSch = df.schema
@@ -117,6 +124,7 @@ object AvroLake {
         val w = new DataFileWriter[GenericRecord](
           new GenericDatumWriter[GenericRecord](schema))
         w.setCodec(CodecFactory.deflateCodec(6))
+        w.setSyncInterval(syncIntervalBytes)
         w.create(schema, out)
         var n = 0L
         try rows.foreach { r =>
@@ -140,17 +148,21 @@ object AvroLake {
   }
 
   /** Read an AvroLake directory back as a DataFrame: the schema comes
-    * from the first container file's self-describing header; each file
-    * is one read task. */
-  def read(spark: SparkSession, dir: String): DataFrame = {
+    * from the first container file's self-describing header; every
+    * container is split on sync markers into tasks of at most
+    * `maxSplitBytes` (files below it read as one task each). */
+  def read(spark: SparkSession, dir: String,
+      maxSplitBytes: Long = 128L << 20): DataFrame = {
+    require(maxSplitBytes > 0, s"maxSplitBytes=$maxSplitBytes")
     val base = new Path(dir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(base).toSeq.map(_.getPath)
-      .filter(p => p.getName.endsWith(".avro") && !p.getName.startsWith("."))
-      .map(_.toString).sorted
+    val files = fs.listStatus(base).toSeq
+      .filter(st => st.getPath.getName.endsWith(".avro") &&
+        !st.getPath.getName.startsWith("."))
+      .sortBy(_.getPath.getName)
     require(files.nonEmpty, s"AvroLake.read: no .avro files under $dir")
     val header = {
-      val in = fs.open(new Path(files.head))
+      val in = fs.open(files.head.getPath)
       val s = new DataFileStream[GenericRecord](in,
         new GenericDatumReader[GenericRecord]())
       try s.getSchema finally s.close()
@@ -160,22 +172,38 @@ object AvroLake {
     val hconf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val bc = spark.sparkContext.broadcast(hconf)
+    // the avro-mapred split contract: a task reads the blocks whose
+    // sync marker lies inside [start, end) — sync(start) seeks to the
+    // first block boundary after start (position 0 lands on the first
+    // block), pastSync(end) stops after the last owned block, so every
+    // block is consumed by exactly one split regardless of where the
+    // byte boundaries fall
+    val splits: Seq[(String, Long, Long)] = files.flatMap { st =>
+      val len = st.getLen
+      (0L until len by maxSplitBytes).map { s =>
+        (st.getPath.toString, s, math.min(s + maxSplitBytes, len))
+      }
+    }
     val rdd = spark.sparkContext
-      .parallelize(files, files.length)
-      .flatMap { f =>
+      .parallelize(splits, splits.length)
+      .flatMap { case (f, start, end) =>
         val schema = new Schema.Parser().parse(schemaJson)
-        val p = new Path(f)
-        val in = p.getFileSystem(bc.value.value).open(p)
-        val stream = new DataFileStream[GenericRecord](in,
-          new GenericDatumReader[GenericRecord](schema))
+        val in = new org.apache.avro.mapred.FsInput(new Path(f),
+          bc.value.value)
+        val reader = org.apache.avro.file.DataFileReader
+          .openReader(in, new GenericDatumReader[GenericRecord](schema))
+        reader.sync(start)
         new Iterator[Row] {
+          private var closed = false
           def hasNext: Boolean = {
-            val h = stream.hasNext
-            if (!h) stream.close()
-            h
+            if (!closed && (!reader.hasNext || reader.pastSync(end))) {
+              closed = true
+              reader.close()
+            }
+            !closed
           }
           def next(): Row = {
-            val rec = stream.next()
+            val rec = reader.next()
             Row.fromSeq((0 until schema.getFields.size()).map { i =>
               rec.get(i) match {
                 case null => null

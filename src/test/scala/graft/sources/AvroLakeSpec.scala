@@ -78,6 +78,34 @@ class AvroLakeSpec extends SparkSpec {
       (0 to 9).map(i => s"v$i").sorted)
   }
 
+  test("sync-marker splitting: one oversized container fans out across tasks, every block read exactly once") {
+    val dir = tmpDir("avrosplit")
+    val n = 30000L
+    // ONE container file with many small blocks (2 KB sync interval)
+    val df = spark.range(n).select(col("id"),
+      concat(lit("value-"), col("id")).as("s"))
+    AvroLake.write(df.coalesce(1), dir, syncIntervalBytes = 2048)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(_.getPath.getName.endsWith(".avro"))
+    assert(files.length == 1)
+    val len = files.head.getLen
+    // split far below the file size: the avro-mapred sync contract must
+    // hand every block to exactly one task
+    val back = AvroLake.read(spark, dir, maxSplitBytes = 16 * 1024)
+    val expectSplits = ((len + 16 * 1024 - 1) / (16 * 1024)).toInt
+    assert(back.rdd.getNumPartitions == expectSplits && expectSplits > 4,
+      s"file of $len bytes must read as $expectSplits splits, got ${back.rdd.getNumPartitions}")
+    val ids = back.select("id").as[Long].collect()
+    assert(ids.length == n && ids.toSet.size == n.toInt,
+      s"split read lost or duplicated rows: ${ids.length} rows, ${ids.toSet.size} distinct")
+    assert(back.filter(col("s") =!= concat(lit("value-"), col("id")))
+      .count() == 0, "row content corrupted across a split boundary")
+    // the default split size reads the same file as ONE task
+    assert(AvroLake.read(spark, dir).rdd.getNumPartitions == 1)
+  }
+
   test("rejects unsupported types loudly") {
     val df = spark.range(3).select(col("id"), array(col("id")).as("a"))
     intercept[IllegalArgumentException] {
