@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, MapState, OutputMode, StatefulProcessor, StatefulProcessorWithInitialState, TTLConfig, TimeMode, TimerValues}
 import org.apache.spark.sql.types.DecimalType
 
 /** Streaming JOIN-view IVM under RETRACTIONS — the q264 maintenance
@@ -162,35 +162,100 @@ object JoinViewStream {
     }
 
     override def handleInputRows(key: Long, rows: Iterator[BiEvent],
-        timerValues: TimerValues): Iterator[(String, Long, Long)] = {
-      val acc = scala.collection.mutable.Map.empty[String, (Long, Long)]
-      def emit(seg: String, dn: Long, dc: Long): Unit = {
-        val (n0, c0) = acc.getOrElse(seg, (0L, 0L))
-        acc(seg) = (n0 + dn, c0 + dc)
-      }
-      rows.foreach { e =>
-        if (e.side == "L") {
-          rights.iterator().foreach { case (cents, m) =>
-            if (m != 0L) emit(e.seg, e.sgn * m, e.sgn * m * cents)
-          }
-          val n = (if (lefts.containsKey(e.seg)) lefts.getValue(e.seg)
-            else 0L) + e.sgn
-          if (n == 0L) lefts.removeKey(e.seg)
-          else lefts.updateValue(e.seg, n)
-        } else {
-          lefts.iterator().foreach { case (seg, m) =>
-            if (m != 0L) emit(seg, e.sgn * m, e.sgn * m * e.cents)
-          }
-          val n = (if (rights.containsKey(e.cents))
-            rights.getValue(e.cents) else 0L) + e.sgn
-          if (n == 0L) rights.removeKey(e.cents)
-          else rights.updateValue(e.cents, n)
+        timerValues: TimerValues): Iterator[(String, Long, Long)] =
+      applyEvents(lefts, rights, rows)
+  }
+
+  // the shared MapState event algebra of both transformWithState forms
+  private def applyEvents(lefts: MapState[String, Long],
+      rights: MapState[Long, Long], rows: Iterator[BiEvent])
+      : Iterator[(String, Long, Long)] = {
+    val acc = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    def emit(seg: String, dn: Long, dc: Long): Unit = {
+      val (n0, c0) = acc.getOrElse(seg, (0L, 0L))
+      acc(seg) = (n0 + dn, c0 + dc)
+    }
+    rows.foreach { e =>
+      if (e.side == "L") {
+        rights.iterator().foreach { case (cents, m) =>
+          if (m != 0L) emit(e.seg, e.sgn * m, e.sgn * m * cents)
         }
-      }
-      acc.iterator.collect {
-        case (seg, (dn, dc)) if dn != 0L || dc != 0L => (seg, dn, dc)
+        val n = (if (lefts.containsKey(e.seg)) lefts.getValue(e.seg)
+          else 0L) + e.sgn
+        if (n == 0L) lefts.removeKey(e.seg)
+        else lefts.updateValue(e.seg, n)
+      } else {
+        lefts.iterator().foreach { case (seg, m) =>
+          if (m != 0L) emit(seg, e.sgn * m, e.sgn * m * e.cents)
+        }
+        val n = (if (rights.containsKey(e.cents))
+          rights.getValue(e.cents) else 0L) + e.sgn
+        if (n == 0L) rights.removeKey(e.cents)
+        else rights.updateValue(e.cents, n)
       }
     }
+    acc.iterator.collect {
+      case (seg, (dn, dc)) if dn != 0L || dc != 0L => (seg, dn, dc)
+    }
+  }
+
+  /** One key's live multisets from the STORED base — the initial state
+    * of a [[biChangelogTwsFrom]] cold start. */
+  final case class BiInit(k: Long, lefts: Map[String, Long],
+      rights: Map[Long, Long])
+
+  private class BiJoinInitProcessor
+      extends StatefulProcessorWithInitialState[Long, BiEvent,
+        (String, Long, Long), BiInit] {
+    @transient private var lefts: MapState[String, Long] = _
+    @transient private var rights: MapState[Long, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      lefts = getHandle.getMapState[String, Long]("lefts",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+      rights = getHandle.getMapState[Long, Long]("rights",
+        Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInitialState(key: Long, initial: BiInit,
+        timerValues: TimerValues): Unit = {
+      // seed WITHOUT emitting: the stored batch view already accounts
+      // for every bootstrap join row — emitting here would double-count
+      initial.lefts.foreach { case (s, n) =>
+        if (n != 0L) lefts.updateValue(s, n) }
+      initial.rights.foreach { case (c, n) =>
+        if (n != 0L) rights.updateValue(c, n) }
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[BiEvent],
+        timerValues: TimerValues): Iterator[(String, Long, Long)] =
+      applyEvents(lefts, rights, rows)
+  }
+
+  /** IVM COLD START on [[biChangelogTws]]'s state (Spark 4's
+    * StatefulProcessorWithInitialState): the per-key live multisets are
+    * SEEDED from the stored base — one BiInit row per key, loaded into
+    * the MapStates before the first micro-batch, emitting NOTHING (the
+    * stored batch view already holds every bootstrap join row) — and
+    * only DELTAS stream. This is the production refresh equation:
+    *
+    *   stored V(C₀, O₀) + fold(emitted deltas) = V(C₁, O₁)
+    *
+    * — no corpus replay through the stream (the [[biChangelog]] forms
+    * bootstrap by streaming the whole base as inserts, which at corpus
+    * scale means replaying 100 TB through the changelog just to warm
+    * state). StreamingIvmSpec pins the equation against batch q264 with
+    * delta-only waves. RocksDB provider required, as for every
+    * transformWithState form. */
+  def biChangelogTwsFrom(events: Dataset[BiEvent],
+      initial: Dataset[BiInit]): DataFrame = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.k)
+      .transformWithState[(String, Long, Long), BiInit](
+        new BiJoinInitProcessor(),
+        TimeMode.None(), OutputMode.Update(),
+        initial.groupByKey(_.k))
+      .toDF("c_mktsegment", "dn", "dcents")
   }
 
   /** [[biChangelog]] re-expressed on transformWithState (see

@@ -283,7 +283,12 @@ class StreamingIvmSpec extends SparkSpec {
   // right bootstrap finishes, and some retractions precede their own
   // key's bootstrap; bilinearity over signed multisets makes the folded
   // deltas exact anyway (counts pass through negative values)
-  private def biWaves(): Seq[Seq[JoinViewStream.BiEvent]] = {
+  // the five component event sets of the bi-changelog fixture:
+  // (customer bootstrap, customer pre-image retractions, upsert
+  // post-images, pre-delta orders bootstrap, the orders arrival batch)
+  private def biParts(): (Array[JoinViewStream.BiEvent],
+      Array[JoinViewStream.BiEvent], Array[JoinViewStream.BiEvent],
+      Array[JoinViewStream.BiEvent], Array[JoinViewStream.BiEvent]) = {
     import JoinViewStream.BiEvent
     val cents = (c: org.apache.spark.sql.Column) =>
       (c.cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
@@ -326,6 +331,11 @@ class StreamingIvmSpec extends SparkSpec {
       .select(col("o_custkey"), cents(col("o_totalprice")))
       .as[(Long, Long)].collect()
       .map { case (k, c) => BiEvent(k, "R", 1L, null, c) }
+    (lBoot, lPre, lPost, rBoot, rNew)
+  }
+
+  private def biWaves(): Seq[Seq[JoinViewStream.BiEvent]] = {
+    val (lBoot, lPre, lPost, rBoot, rNew) = biParts()
     val nb = rBoot.length
     Seq(
       lBoot.take(lBoot.length / 2).toSeq ++ lPre.take(lPre.length / 2),
@@ -474,6 +484,75 @@ class StreamingIvmSpec extends SparkSpec {
         .map(r => r._1 -> ((r._2, r._3))).toMap
       assert(streamed == batch,
         s"tws bi-changelog ≠ batch:\n stream ${streamed.toSeq.sortBy(_._1)}\n batch ${batch.toSeq.sortBy(_._1)}")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("transformWithState INITIAL-STATE cold start: stored view + delta-only stream ≡ batch q264 (no corpus replay)") {
+    implicit val sc = spark.sqlContext
+    import JoinViewStream.{BiEvent, BiInit}
+    val (lBoot, lPre, lPost, rBoot, rNew) = biParts()
+    // the stored base: per-key live multisets (what a snapshot of the
+    // state store holds) and the batch view V(C₀, O₀) it implies —
+    // both derived by the driver-side reference fold, independent of
+    // the operator under test
+    val baseLive = foldLive((lBoot ++ rBoot).toSeq)
+    val initRows = baseLive.toSeq.map { case (k, (l, r)) =>
+      BiInit(k, l, r) }
+    val v0 = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    baseLive.valuesIterator.foreach { case (l, r) =>
+      l.foreach { case (seg, ln) =>
+        r.foreach { case (cents, rn) =>
+          val (n0, c0) = v0.getOrElse(seg, (0L, 0L))
+          v0(seg) = (n0 + ln * rn, c0 + ln * rn * cents)
+        }
+      }
+    }
+    // DELTA-ONLY waves (mis-ordered as ever): the whole point is that
+    // the bootstrap never streams
+    val waves: Seq[Seq[BiEvent]] = Seq(
+      lPre.take(lPre.length / 2).toSeq ++ rNew,
+      lPre.drop(lPre.length / 2).toSeq ++ lPost)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[BiEvent]
+      val q = JoinViewStream.biChangelogTwsFrom(mem.toDS(),
+          initRows.toDS())
+        .writeStream.format("memory").queryName("ivm_bi_init")
+        .outputMode(OutputMode.Update()).start()
+      waves.foreach { w => mem.addData(w: _*); q.processAllAvailable() }
+      val live = foldLive(
+        (lBoot ++ rBoot ++ lPre ++ lPost ++ rNew).toSeq)
+      val expectRows = live.valuesIterator
+        .map { case (l, r) => l.size + r.size }.sum.toLong
+      val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+      q.stop()
+      assert(stateRows == expectRows,
+        s"state rows $stateRows != Σ live multiset elements $expectRows after the seeded run")
+      // the production refresh equation: V₀ + folded deltas = V₁
+      val deltas = spark.table("ivm_bi_init")
+        .groupBy("c_mktsegment")
+        .agg(sum(col("dn")).as("n"), sum(col("dcents")).as("c"))
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      val streamed = (v0.keySet ++ deltas.keySet).flatMap { seg =>
+        val (bn, bc) = v0.getOrElse(seg, (0L, 0L))
+        val (dn, dc) = deltas.getOrElse(seg, (0L, 0L))
+        val n = bn + dn
+        if (n > 0) Some(seg -> ((n,
+          java.math.BigDecimal.valueOf(bc + dc, 2).doubleValue)))
+        else None
+      }.toMap
+      val batch = SparkEntry.queries("q264_ivm_join_retract")(spark, sfDir)
+        .as[(String, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(streamed == batch,
+        s"V0 + delta fold ≠ batch q264:\n stream ${streamed.toSeq.sortBy(_._1)}\n batch ${batch.toSeq.sortBy(_._1)}")
     } finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
