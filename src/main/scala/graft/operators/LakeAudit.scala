@@ -240,15 +240,19 @@ object LakeAudit {
         .filter(_.nonEmpty).map(parseEntryLine(p.toString, _))
     }
     val cpSeq = base.lastOption.map(_.seq).getOrElse(0L)
+    // the seq is name-borne in BOTH entry formats — filter covered
+    // entries BEFORE any content read, so a checkpointed log never pays
+    // per-entry reads for them and a concurrent vacuum of covered files
+    // cannot race the reader into a missing-file error
     val tail = statuses
       .filter(_.getName.endsWith(".json"))
+      .filter(_.getName.takeWhile(_.isDigit).toLong > cpSeq)
       .map { p =>
         val b = p.getName.stripSuffix(".json")
         if (b.length > 20 && b.charAt(20) == '_')
           PublishEntry(b.substring(0, 20).toLong, b.substring(21))
         else parseEntryLine(p.toString, readFully(fs, p))
       }
-      .filter(_.seq > cpSeq) // pre-checkpoint entry files not yet vacuumed
     (base ++ tail).sortBy(_.seq)
   }
 
