@@ -1236,19 +1236,24 @@ object RelationalQueries extends QueryGroup {
         .select(col("seg"), col("bucket"),
           (col("r") - (col("cum") - col("n"))).as("resid"),
           lit(which).as("which"), col("nr"))
-    val targets = target("p50", expr("(nr + 1) div 2"))
+    // the target set is driver-sized BY CONSTRUCTION (≤ 2 ranks per
+    // segment) — collect it ONCE: (a) the literal value ranges on the
+    // stored column (bucket b covers cents [b·2¹³, b·2¹³ + 2¹³−1],
+    // floor semantics exact for negative b), because a join filter
+    // never reaches the parquet reader and a filter on the DERIVED
+    // bucket column doesn't push either — on a value-clustered lake
+    // the range disjunction is what turns the drill-down into a
+    // row-group-pruned scan (R19QuerySemanticsSpec pins the metric);
+    // (b) the broadcast refinement frame for the exact (seg, bucket)
+    // residual-rank join, rebuilt from the SAME collected rows so the
+    // locate pipeline runs exactly once
+    val targets0 = target("p50", expr("(nr + 1) div 2"))
       .unionByName(target("p90", expr("(9 * nr + 9) div 10")))
-    // the target-bucket set is driver-sized BY CONSTRUCTION (≤ 2 ranks
-    // per segment) — collect it and filter with LITERAL value ranges on
-    // the stored column (bucket b covers cents [b·2¹³, b·2¹³ + 2¹³−1],
-    // floor semantics exact for negative b), because a join filter never
-    // reaches the parquet reader and a filter on the DERIVED bucket
-    // column doesn't push either: on a value-clustered lake the range
-    // disjunction is what turns the drill-down into a row-group-pruned
-    // scan (R19QuerySemanticsSpec pins the metric); the exact
-    // (seg, bucket) refinement still happens in the join
-    val targetBuckets = targets.select("bucket").distinct()
-      .collect().map(_.getLong(0)).toSeq
+    val targetRows = targets0.collect()
+    val targets = s.createDataFrame(
+      java.util.Arrays.asList(targetRows: _*), targets0.schema)
+    val targetBuckets = targetRows.map(_.getAs[Long]("bucket"))
+      .distinct.toSeq
     val inTargetRange = targetBuckets
       .map(b => col("bal_cents").between(b * 8192L, b * 8192L + 8191L))
       .reduce(_ || _)
