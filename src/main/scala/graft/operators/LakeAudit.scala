@@ -228,6 +228,24 @@ object LakeAudit {
     * (<seq>_<batchId>.json) for lakes written before the CAS protocol. */
   private def readLog(fs: org.apache.hadoop.fs.FileSystem,
       dir: String): Seq[PublishEntry] = {
+    // a checkpoint + vacuum landing between this reader's LISTING and
+    // its content reads can delete the very checkpoint file the listing
+    // saw (covered TAIL entries are already name-filtered below, but
+    // the superseded checkpoint itself is not) — re-list and retry;
+    // bounded because each retry re-reads a strictly newer checkpoint
+    var attempts = 0
+    while (true) {
+      try return readLogOnce(fs, dir)
+      catch {
+        case _: java.io.FileNotFoundException if attempts < 5 =>
+          attempts += 1
+      }
+    }
+    Nil // unreachable
+  }
+
+  private def readLogOnce(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Seq[PublishEntry] = {
     val ld = logDir(dir)
     if (!fs.exists(ld)) return Nil
     val statuses = fs.listStatus(ld).toSeq.map(_.getPath)
@@ -443,14 +461,19 @@ object LakeAudit {
       val idSeq = ids.distinct.map(Long.box).toSeq
       val seqDf = logged.filterNot(isErasure).map(e => (e.batchId, e.seq))
         .toDF("batch", "__pseq")
-      // LEFT join + seq-0 fallback: a batch in the crash window between
-      // its data rename and its log commit is unsequenced but its rows
-      // are physically live and about to be erased — the witness must
-      // not lose them (they order before every sequenced revision;
-      // batch name breaks the all-unsequenced tie deterministically)
+      // LEFT join + MAX-seq fallback: a batch in the crash window
+      // between its data rename and its log commit is unsequenced but
+      // its rows are physically live and about to be erased — the
+      // witness must not lose them, and it must rank them NEWEST: when
+      // the crashed publish completes its protocol (the replay path)
+      // it commits at the TAIL, above every currently-sequenced
+      // revision, so Long.MaxValue is exactly the seq the heal would
+      // assign (batch name breaks an all-unsequenced tie
+      // deterministically)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(idCol).orderBy(
-          coalesce(col("__pseq"), lit(0L)).desc, col("batch").desc)
+          coalesce(col("__pseq"), lit(Long.MaxValue)).desc,
+          col("batch").desc)
       spark.read.parquet(s"$dir/data")
         .filter(col(idCol).isin(idSeq: _*))
         .join(broadcast(seqDf), Seq("batch"), "left")

@@ -1256,7 +1256,8 @@ object RelationalQueries extends QueryGroup {
       .distinct.toSeq
     val inTargetRange = targetBuckets
       .map(b => col("bal_cents").between(b * 8192L, b * 8192L + 8191L))
-      .reduce(_ || _)
+      .reduceOption(_ || _)
+      .getOrElse(lit(false)) // empty base ⇒ no targets ⇒ zero rows
     // drill down: current latest-wins rows pruned to the target buckets
     val current = base
       .join(latest.select("c_custkey"), Seq("c_custkey"), "left_anti")

@@ -192,6 +192,13 @@ object AvroLake {
           bc.value.value)
         val reader = org.apache.avro.file.DataFileReader
           .openReader(in, new GenericDatumReader[GenericRecord](schema))
+        // a consumer that stops early (limit/take) or dies mid-read
+        // never drains the iterator — close on task completion so the
+        // handle cannot outlive the task (idempotent with the
+        // exhaustion-driven close below)
+        org.apache.spark.TaskContext.get().addTaskCompletionListener[Unit] {
+          _ => reader.close()
+        }
         reader.sync(start)
         new Iterator[Row] {
           private var closed = false

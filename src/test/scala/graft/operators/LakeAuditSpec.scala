@@ -370,6 +370,28 @@ class LakeAuditSpec extends SparkSpec {
       "receipt must be the latest-wins live row, never one row per revision")
   }
 
+  test("erasure receipt ranks an UNSEQUENCED (crash-window) batch NEWEST — the image the heal would make latest") {
+    val dir = tmpDir("wapunseq")
+    assert(writeAuditPublish(spark,
+      Seq((1L, 5.0, 10.0)).toDF("id", "qty", "price"),
+      dir, "a", rules).published)
+    assert(writeAuditPublish(spark,
+      Seq((1L, 9.0, 10.0)).toDF("id", "qty", "price"),
+      dir, "b", rules).published)
+    // simulate b's crash between its data rename and its log commit:
+    // b's revision is physically live but unsequenced
+    dropLogEntry(dir, "b")
+    assert(eraseLogged(spark, dir, "g1", Seq(1L), "id", Seq("qty"))
+      .rowsDeleted == 2L) // both physical revisions erased
+    // the witness must carry b's image — the NEWEST physically-live
+    // one, and the seq the replay heal would have assigned is above
+    // every sequenced revision (ranking it below a would witness the
+    // stale v1 while destroying v2 unwitnessed)
+    assert(erasureReceipts(spark, dir, 0L, 99L)
+      .as[(Long, Double)].collect().toSeq == Seq((1L, 9.0)),
+      "receipt must witness the unsequenced batch's newest image")
+  }
+
   test("erasure OUTRANKS restore: a restore past a prior erasure never resurrects erased rows; the receipt survives") {
     val dir = tmpDir("waprestoreerase")
     // seq 1: ids 1, 2 — then id 2 is GDPR-erased (seq 2) — then seq 3
