@@ -142,11 +142,21 @@ object LakeAudit {
     *    own RawLocalFileSystem.create(overwrite=false) is a
     *    check-then-act (exists → throw → open) and is NOT safe under
     *    contention — the reason this path drops to java.nio.
-    *  - other schemes — write the tmp through the Hadoop FS, then
-    *    rename(tmp, fin): HDFS rename is namenode-atomic and FAILS when
-    *    the target exists, which is exactly the CAS. Object stores whose
-    *    rename is copy-and-not-exclusive need their store's conditional
-    *    PUT wired here (the documented seam, as in Delta's LogStore). */
+    *  - schemes with ATOMIC-EXCLUSIVE rename (HDFS-like: rename is
+    *    namenode-atomic and FAILS when the target exists, which is
+    *    exactly the CAS) — write the tmp through the Hadoop FS, then
+    *    rename(tmp, fin). Only schemes KNOWN to honor that contract run
+    *    this path ([[ExclusiveRenameSchemes]], extendable via the
+    *    `graft.lake.cas.extraExclusiveRenameSchemes` Hadoop conf — the
+    *    deployer's assertion, which is also the test seam
+    *    LakeAuditConcurrencySpec drives the branch through).
+    *  - anything else FAILS LOUDLY: on object stores (s3a) rename
+    *    OVERWRITES, so two racing writers would both "win" a seq
+    *    silently — those stores need their conditional PUT wired here
+    *    (the documented seam, as in Delta's LogStore), never a silent
+    *    fall-through to an unsafe rename. */
+  private val ExclusiveRenameSchemes = Set("hdfs", "viewfs")
+
   private def createExclusive(fs: org.apache.hadoop.fs.FileSystem,
       fin: Path, bytes: Array[Byte]): Boolean = {
     val tmp = new Path(fin.getParent,
@@ -159,6 +169,16 @@ object LakeAudit {
       catch { case _: java.nio.file.FileAlreadyExistsException => false }
       finally java.nio.file.Files.deleteIfExists(tmpNio)
     } else {
+      val scheme = fs.getScheme
+      require(ExclusiveRenameSchemes.contains(scheme) ||
+        fs.getConf.getTrimmedStrings(
+          "graft.lake.cas.extraExclusiveRenameSchemes").contains(scheme),
+        s"publish-log CAS on scheme '$scheme': rename is not known to be " +
+          "atomic-exclusive there (object-store renames overwrite — two " +
+          "racing writers would both win a seq silently). Wire the " +
+          "store's conditional PUT into createExclusive, or assert the " +
+          "scheme's rename fails on an existing target via the " +
+          "graft.lake.cas.extraExclusiveRenameSchemes Hadoop conf.")
       val out = fs.create(tmp, true)
       try out.write(bytes) finally out.close()
       val won = !fs.exists(fin) && fs.rename(tmp, fin)
@@ -174,7 +194,20 @@ object LakeAudit {
     * visible, possibly carrying this very batchId committed by a racing
     * replica) and retries at the new tail. Exactly one writer wins each
     * seq; no entry is ever lost or duplicated; a batchId already in the
-    * log returns its existing entry (idempotent replay). */
+    * log returns its existing entry (idempotent replay).
+    *
+    * AUTO-CHECKPOINT: every [[AutoCheckpointEvery]]-th win (the
+    * `graft.lake.cas.autoCheckpointEvery` Hadoop conf; 0 disables) the
+    * winner also checkpoints the log, so a hot log's CAS retries stay
+    * O(checkpoint + tail) reads WITHOUT owner intervention — a
+    * pathological no-checkpoint log would otherwise pay O(entries)
+    * content reads per lost race. The checkpoint commit rides the same
+    * create-exclusive CAS (deterministic content per covered seq; a
+    * same-name loser means an identical checkpoint already landed), and
+    * auto-checkpointing never vacuums — covered entry files stay until
+    * the owner invokes [[vacuumCheckpointedEntries]]. */
+  private[operators] val AutoCheckpointEvery = 64L
+
   private[operators] def commitEntry(fs: org.apache.hadoop.fs.FileSystem,
       dir: String, batchId: String): PublishEntry = {
     val ld = logDir(dir)
@@ -187,8 +220,12 @@ object LakeAudit {
         logged.lastOption.map(_.seq + 1).getOrElse(1L), batchId)
       if (createExclusive(fs, new Path(ld, entryName(e.seq)),
           s"""{"seq":${e.seq},"batch":"${e.batchId}"}"""
-            .getBytes("UTF-8")))
+            .getBytes("UTF-8"))) {
+        val every = fs.getConf.getLong(
+          "graft.lake.cas.autoCheckpointEvery", AutoCheckpointEvery)
+        if (every > 0 && e.seq % every == 0) checkpointLog(fs, dir)
         return e
+      }
       attempts += 1 // lost the race: someone else owns that seq now
     }
     sys.error(s"publish-log commit of '$batchId' lost ${attempts} races " +
@@ -286,8 +323,12 @@ object LakeAudit {
     * covered seq, committed create-exclusively with deterministic
     * content, and never competes with entry commits for a seq. Returns
     * the checkpointed seq (0 when the log is empty). */
-  def checkpointPublishLog(spark: SparkSession, dir: String): Long = {
-    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  def checkpointPublishLog(spark: SparkSession, dir: String): Long =
+    checkpointLog(new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration), dir)
+
+  private def checkpointLog(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Long = {
     val logged = readLog(fs, dir)
     if (logged.isEmpty) return 0L
     val seq = logged.last.seq
@@ -470,10 +511,15 @@ object LakeAudit {
       // revision, so Long.MaxValue is exactly the seq the heal would
       // assign (batch name breaks an all-unsequenced tie
       // deterministically)
+      // final tie-breaker: the receipt columns themselves — duplicate
+      // physical rows for one id WITHIN one batch tie on (seq, batch)
+      // completely, and without it row_number picks a partition-order-
+      // dependent image when the duplicates' receipt columns differ
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(idCol).orderBy(
-          coalesce(col("__pseq"), lit(Long.MaxValue)).desc,
-          col("batch").desc)
+          coalesce(col("__pseq"), lit(Long.MaxValue)).desc +:
+          col("batch").desc +:
+          receiptCols.map(c => expr(c).desc_nulls_last): _*)
       spark.read.parquet(s"$dir/data")
         .filter(col(idCol).isin(idSeq: _*))
         .join(broadcast(seqDf), Seq("batch"), "left")

@@ -1,7 +1,47 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.functions._
+
+/** A local filesystem WEARING the HDFS rename contract — the test seam
+  * that drives [[LakeAudit]]'s non-`file://` CAS branch (VERDICT r19
+  * item 1): `getScheme` reports a non-"file" scheme so createExclusive
+  * takes the tmp-write + rename path, and `rename` implements exactly
+  * what that path relies on — an ATOMIC rename that FAILS when the
+  * target exists (HDFS's namenode-serialized semantics; emulated here by
+  * serializing check+rename under one JVM lock, which is precisely the
+  * atomicity the namenode provides). RawLocalFileSystem's own rename
+  * OVERWRITES an existing target (POSIX rename(2)) — the object-store
+  * hazard — so without the lock+check this spec's contention test would
+  * catch double-won seqs, which is the point of pinning the branch. */
+class MockHdfsFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "mockhdfs"
+  override def rename(src: Path, dst: Path): Boolean =
+    MockHdfsFileSystem.renameLock.synchronized {
+      if (exists(dst)) false else super.rename(src, dst)
+    }
+}
+object MockHdfsFileSystem {
+  val renameLock = new Object
+  def mounted(extraConfKey: Boolean = true)
+      : org.apache.hadoop.fs.FileSystem = {
+    val fs = new MockHdfsFileSystem
+    val conf = new org.apache.hadoop.conf.Configuration()
+    if (extraConfKey) conf.set(
+      "graft.lake.cas.extraExclusiveRenameSchemes", "mockhdfs")
+    fs.initialize(java.net.URI.create("file:///"), conf)
+    fs
+  }
+}
+
+/** An object-store-shaped scheme the CAS must REFUSE: rename overwrites
+  * (the RawLocal default), and the scheme is not in the exclusive-rename
+  * whitelist — running the rename path here would let two racing writers
+  * both win a seq silently (the ADVICE r19 finding). */
+class MockS3FileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "mocks3"
+}
 
 /** Optimistic-concurrency commit for the WAP publish log (VERDICT r18
   * item 1): the lake's biggest unstated assumption was single-writer —
@@ -9,17 +49,21 @@ import org.apache.spark.sql.functions._
   * racing publishers could both win a seq. The CAS protocol (entry file
   * NAMED by seq, created atomically-exclusively; loser re-reads the tail
   * and retries) must make every interleaving safe: exactly one winner
-  * per seq, no entry lost, no batch logged twice. */
+  * per seq, no entry lost, no batch logged twice — on BOTH store
+  * branches: `file://` (hard-link O_EXCL) and HDFS-like (exclusive
+  * rename, driven through [[MockHdfsFileSystem]]). */
 class LakeAuditConcurrencySpec extends SparkSpec {
   import spark.implicits._
   import LakeAudit._
 
   private val rules = Seq(Rule("id_not_null", col("id").isNotNull))
 
-  test("raw log CAS under heavy thread contention: seqs are unique, contiguous, and nothing is lost") {
-    val dir = tmpDir("caslog")
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+  /** The contention protocol drive, shared by both store branches:
+    * 8 threads × 40 commits against one log through `fs`, then the full
+    * CAS contract asserted — unique seqs per winner, contiguous log,
+    * no batch lost or duplicated, idempotent replay. Returns the log. */
+  private def driveContention(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Seq[LakeAudit.PublishEntry] = {
     val nThreads = 8
     val perThread = 40
     // a start barrier maximizes genuine tail collisions: every thread's
@@ -54,6 +98,32 @@ class LakeAuditConcurrencySpec extends SparkSpec {
     // replayed commit of an existing batchId returns its ORIGINAL entry
     val replay = LakeAudit.commitEntry(fs, dir, "t0-b0")
     assert(publishLog(spark, dir).size == n && replay.seq <= n)
+    log
+  }
+
+  private def logFiles(dir: String): (Seq[String], Seq[String]) = {
+    val names = new java.io.File(s"$dir/_publish_log").listFiles()
+      .map(_.getName).filterNot(_.startsWith(".")).toSeq.sorted
+    (names.filter(_.endsWith(".json")),
+      names.filter(_.endsWith(".checkpoint")))
+  }
+
+  test("raw log CAS under heavy thread contention: seqs are unique, contiguous, and nothing is lost") {
+    val dir = tmpDir("caslog")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val log = driveContention(fs, dir)
+    val n = log.size
+    // AUTO-CHECKPOINT (VERDICT r19 item 6): every 64th win checkpointed
+    // the log as it grew, so read cost is O(checkpoint + ≤64-entry tail)
+    // at ANY commit count — no owner intervention. The newest on-disk
+    // checkpoint must cover at least seq n − 64.
+    val (_, cpsAuto) = logFiles(dir)
+    val newestAuto = cpsAuto.map(_.stripSuffix(".checkpoint").toLong)
+      .sorted.lastOption.getOrElse(0L)
+    assert(newestAuto >= n - LakeAudit.AutoCheckpointEvery,
+      s"auto-checkpoint: newest covers $newestAuto of $n commits — " +
+        "CAS retries on a hot log would pay O(entries) reads")
     // the checkpoint lever, MEASURED on this 320-commit log: one
     // checkpoint read replaces 320 entry reads
     def timeMs(body: => Unit): Double = {
@@ -61,12 +131,62 @@ class LakeAuditConcurrencySpec extends SparkSpec {
     }
     val plainMs = (1 to 5).map(_ => timeMs(publishLog(spark, dir))).min
     assert(checkpointPublishLog(spark, dir) == n.toLong)
-    assert(vacuumCheckpointedEntries(spark, dir) == n)
+    assert(vacuumCheckpointedEntries(spark, dir) >= n)
+    // post-vacuum invariant: exactly one checkpoint, zero entry files
+    val (entriesAfter, cpsAfter) = logFiles(dir)
+    assert(entriesAfter.isEmpty && cpsAfter.size == 1,
+      s"post-vacuum log dir: ${entriesAfter.size} entries, ${cpsAfter.size} checkpoints")
     assert(publishLog(spark, dir) == log, "checkpoint+vacuum must not change the log")
     val ckptMs = (1 to 5).map(_ => timeMs(publishLog(spark, dir))).min
     info(f"[cas-log] publishLog($n entries): per-entry reads $plainMs%.1f ms, checkpointed $ckptMs%.1f ms")
     assert(ckptMs < plainMs,
       s"checkpointed read ($ckptMs ms) not faster than per-entry ($plainMs ms)")
+  }
+
+  test("rename-branch CAS (HDFS contract) under the same contention: seqs unique and contiguous; torn tmp never visible") {
+    val dir = tmpDir("casrename")
+    val fs = MockHdfsFileSystem.mounted()
+    val log = driveContention(fs, dir)
+    val n = log.size
+    // the branch actually taken left rename-path debris semantics, not
+    // link-path: every committed entry parses fully (rename is atomic —
+    // a torn entry would fail parse inside driveContention's readLogs)
+    // TORN WRITE: a writer that crashed between its tmp write and its
+    // rename leaves a dot-prefixed tmp targeting the NEXT seq. Readers
+    // must skip it (never a partial entry), and the seq must still be
+    // winnable by the next commit.
+    val next = n + 1L
+    val tmp = new Path(s"$dir/_publish_log",
+      f".$next%020d.json.deadbeef.tmp")
+    val out = fs.create(tmp, true)
+    out.write(s"""{"seq":$next,"ba""".getBytes("UTF-8")) // torn mid-write
+    out.close()
+    assert(publishLog(spark, dir) == log,
+      "a torn tmp file must be invisible to readers")
+    val won = LakeAudit.commitEntry(fs, dir, "after-torn")
+    assert(won.seq == next,
+      s"seq $next must be winnable past the torn tmp (got ${won.seq})")
+    assert(publishLog(spark, dir).last ==
+      LakeAudit.PublishEntry(next, "after-torn"))
+  }
+
+  test("unsafe-rename schemes are refused loudly, and the conf assertion admits them") {
+    val dir = tmpDir("casrefuse")
+    val fs = new MockS3FileSystem
+    fs.initialize(java.net.URI.create("file:///"),
+      new org.apache.hadoop.conf.Configuration())
+    // an object-store scheme with overwriting rename must FAIL the
+    // commit, not silently run the double-win-prone path
+    val err = intercept[IllegalArgumentException] {
+      LakeAudit.commitEntry(fs, dir, "b1")
+    }
+    assert(err.getMessage.contains("mocks3") &&
+      err.getMessage.contains("conditional PUT"))
+    assert(publishLog(spark, dir).isEmpty, "refusal must leave no entry")
+    // the deployer's explicit assertion (the documented seam) admits it
+    fs.getConf.set("graft.lake.cas.extraExclusiveRenameSchemes", "mocks3")
+    assert(LakeAudit.commitEntry(fs, dir, "b1").seq == 1L)
+    assert(publishLog(spark, dir).map(_.batchId) == Seq("b1"))
   }
 
   test("two racing publishers + a racing erasure: full protocol, every batch readable, log consistent") {
