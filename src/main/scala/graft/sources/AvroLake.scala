@@ -34,8 +34,14 @@ import scala.jdk.CollectionConverters._
   * start, `pastSync(end)` hands the tail to the next task), so one
   * oversized container still fans out across the cluster instead of
   * serializing on a single task; files below `maxSplitBytes` read as
-  * one task each, exactly the writer's layout. Schemas travel as JSON
-  * strings (avro.Schema is not serializable); the reader derives the
+  * one task each, exactly the writer's layout. A column projection
+  * prunes at the DECODE layer via Avro schema resolution (a reader
+  * schema naming only the projected fields — [[prunedReaderSchema]]),
+  * so a 2-column read of a wide record skips the other fields instead
+  * of materializing them (the parquet-pruning analogue; row-oriented
+  * Avro still reads the bytes, but decode CPU and allocation scale
+  * with projected fields only). Schemas travel as JSON strings
+  * (avro.Schema is not serializable); the reader derives the
   * Spark schema from the FIRST file's embedded header —
   * self-describing files, the Avro contract. */
 object AvroLake {
@@ -101,7 +107,17 @@ object AvroLake {
     * (deflate-compressed, the codec every Avro runtime bundles).
     * `syncIntervalBytes` is the approximate block size between sync
     * markers — the read-side split granularity (Avro's default 64 KB;
-    * exposed so tests can force many blocks in a small file). */
+    * exposed so tests can force many blocks in a small file).
+    *
+    * Task-commit protocol (the ADVICE r19 finding): each attempt writes
+    * an ATTEMPT-UNIQUE dot-prefixed temp (invisible to [[read]]'s name
+    * filter) and renames it into the final `part-NNNNN.avro` name only
+    * after its container closed cleanly — a speculative or retried
+    * attempt can therefore never interleave bytes into a visible file,
+    * and a crashed attempt leaves only invisible debris. Retried
+    * attempts of one partition produce identical content (the partition
+    * iterator is deterministic), so whichever rename lands — overwrite
+    * on POSIX, first-wins on HDFS — the visible bytes are the same. */
   def write(df: DataFrame, dir: String,
       syncIntervalBytes: Int = 64 * 1024): Unit = {
     val spark = df.sparkSession
@@ -118,9 +134,11 @@ object AvroLake {
       if (rows.isEmpty) Iterator.empty
       else {
         val schema = new Schema.Parser().parse(schemaJson)
-        val p = new Path(base, f"part-$pid%05d.avro")
-        val fs = p.getFileSystem(bc.value.value)
-        val out = fs.create(p, true)
+        val fin = new Path(base, f"part-$pid%05d.avro")
+        val tmp = new Path(base, f".part-$pid%05d-" +
+          s"${java.util.UUID.randomUUID()}.avro.tmp")
+        val fs = fin.getFileSystem(bc.value.value)
+        val out = fs.create(tmp, true)
         val w = new DataFileWriter[GenericRecord](
           new GenericDatumWriter[GenericRecord](schema))
         w.setCodec(CodecFactory.deflateCodec(6))
@@ -142,17 +160,67 @@ object AvroLake {
           w.append(rec)
           n += 1
         } finally w.close()
+        // commit: container complete — rename into place. A losing
+        // rename against an already-committed final (HDFS first-wins)
+        // just drops this attempt's identical bytes.
+        if (!fs.rename(tmp, fin)) {
+          if (fs.exists(fin)) fs.delete(tmp, false)
+          else sys.error(s"AvroLake.write: commit rename of $tmp -> $fin " +
+            "failed with no committed final present")
+        }
         Iterator.single(n)
       }
     }.count()
   }
 
+  /** The PRUNED reader schema for a column projection — Avro's native
+    * schema-resolution read: a reader schema holding only the projected
+    * fields makes the ResolvingDecoder SKIP every other writer field at
+    * the decode layer (strings/bytes skip by length with no
+    * materialization), the Avro analogue of parquet column pruning.
+    * Fields come out in the REQUESTED order (resolution matches by
+    * name), so the resulting DataFrame column order is the caller's. */
+  private[sources] def prunedReaderSchema(writer: Schema,
+      cols: Seq[String]): Schema = {
+    require(cols.nonEmpty, "AvroLake: empty column projection")
+    require(cols.distinct == cols, s"AvroLake: duplicate columns in $cols")
+    val fields = cols.map { c =>
+      val f = writer.getField(c)
+      require(f != null,
+        s"AvroLake: projected column '$c' not in writer schema " +
+          s"${writer.getFields.asScala.map(_.name).mkString("[", ",", "]")}")
+      new Schema.Field(f.name, f.schema, null, null)
+    }
+    Schema.createRecord(writer.getName, null, writer.getNamespace, false,
+      fields.asJava)
+  }
+
   /** Read an AvroLake directory back as a DataFrame: the schema comes
     * from the first container file's self-describing header; every
     * container is split on sync markers into tasks of at most
-    * `maxSplitBytes` (files below it read as one task each). */
+    * `maxSplitBytes` (files below it read as one task each).
+    *
+    * `columns` prunes the scan at the DECODE layer ([[prunedReaderSchema]]
+    * — Avro schema resolution): only the projected fields are decoded and
+    * materialized, every other writer field is skipped by the resolving
+    * decoder (AvroLakeSpec counts field materializations to pin it — a
+    * `.select` ABOVE this seam cannot prune, because the scan is an RDD
+    * boundary Catalyst pushes nothing through, so the caller passes the
+    * projection HERE). */
   def read(spark: SparkSession, dir: String,
-      maxSplitBytes: Long = 128L << 20): DataFrame = {
+      maxSplitBytes: Long = 128L << 20,
+      columns: Option[Seq[String]] = None): DataFrame =
+    readWith(spark, dir, maxSplitBytes, columns,
+      s => new GenericDatumReader[GenericRecord](null, s))
+
+  /** [[read]] with an injectable datum-reader factory (reader schema →
+    * GenericDatumReader) — the decode observation seam AvroLakeSpec
+    * counts per-field `readField` calls through; production reads use
+    * the plain GenericDatumReader. */
+  private[sources] def readWith(spark: SparkSession, dir: String,
+      maxSplitBytes: Long, columns: Option[Seq[String]],
+      mkDatumReader: Schema => GenericDatumReader[GenericRecord])
+      : DataFrame = {
     require(maxSplitBytes > 0, s"maxSplitBytes=$maxSplitBytes")
     val base = new Path(dir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -167,8 +235,12 @@ object AvroLake {
         new GenericDatumReader[GenericRecord]())
       try s.getSchema finally s.close()
     }
-    val sch = sparkSchema(header)
-    val schemaJson = header.toString
+    val readerSchema = columns match {
+      case None => header
+      case Some(cols) => prunedReaderSchema(header, cols)
+    }
+    val sch = sparkSchema(readerSchema)
+    val schemaJson = readerSchema.toString
     val hconf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val bc = spark.sparkContext.broadcast(hconf)
@@ -190,8 +262,12 @@ object AvroLake {
         val schema = new Schema.Parser().parse(schemaJson)
         val in = new org.apache.avro.mapred.FsInput(new Path(f),
           bc.value.value)
+        // writer schema comes from each file's own header (openReader
+        // calls setSchema); `schema` is the READER schema — identical to
+        // the writer's for a full read, pruned under a projection, and
+        // the resolving decoder skips what it doesn't name
         val reader = org.apache.avro.file.DataFileReader
-          .openReader(in, new GenericDatumReader[GenericRecord](schema))
+          .openReader(in, mkDatumReader(schema))
         // a consumer that stops early (limit/take) or dies mid-read
         // never drains the iterator — close on task completion so the
         // handle cannot outlive the task (idempotent with the

@@ -7,10 +7,53 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+/** A GenericDatumReader that counts every field DECODE (readField is
+  * called once per reader-schema field per record; writer-only fields
+  * are skipped inside the ResolvingDecoder and never reach it) — the
+  * observation seam for pinning that a column projection prunes at the
+  * Avro decode layer, not as a post-decode select.
+  *
+  * Runs with a PRIVATE GenericData whose FAST READER is disabled:
+  * Avro 1.12's default fast reader compiles the (writer, reader)
+  * resolution into a generated reader that bypasses readField entirely
+  * (verified against the bundled 1.12.1 bytecode — read() routes
+  * through FastReaderBuilder when isFastReaderEnabled). Both paths
+  * implement the SAME schema-resolution contract (writer-only fields
+  * skip), so counting on the classic path pins the resolution the fast
+  * path also performs; the private instance keeps the singleton
+  * GenericData.get() untouched for every other test. */
+class CountingDatumReader(reader: org.apache.avro.Schema)
+    extends org.apache.avro.generic.GenericDatumReader[
+      org.apache.avro.generic.GenericRecord](
+        null, reader, CountingDatumReader.slowData()) {
+  AvroLakeSpec.instantiated.incrementAndGet()
+  override protected def readField(record: AnyRef,
+      field: org.apache.avro.Schema.Field, oldDatum: AnyRef,
+      in: org.apache.avro.io.ResolvingDecoder, state: AnyRef): Unit = {
+    AvroLakeSpec.decodedFields.incrementAndGet()
+    super.readField(record, field, oldDatum, in, state)
+  }
+}
+
+object CountingDatumReader {
+  def slowData(): org.apache.avro.generic.GenericData = {
+    val d = new org.apache.avro.generic.GenericData()
+    d.setFastReaderEnabled(false)
+    d
+  }
+}
+
+object AvroLakeSpec {
+  // static so local-mode executor threads and the driver share it
+  val decodedFields = new java.util.concurrent.atomic.AtomicLong(0L)
+  val instantiated = new java.util.concurrent.atomic.AtomicLong(0L)
+}
+
 /** AvroLake: typed Avro container-file round trip on the public Avro
   * API (no spark-avro module in this distribution) — full scalar type
   * surface incl. binary, union(null,T) nullability, empty partitions,
-  * multi-file parallel read, self-describing schema derivation. */
+  * multi-file parallel read, self-describing schema derivation,
+  * reader-schema column pruning, attempt-commit crash invisibility. */
 class AvroLakeSpec extends SparkSpec {
   import spark.implicits._
 
@@ -105,6 +148,60 @@ class AvroLakeSpec extends SparkSpec {
     // the default split size reads the same file as ONE task
     assert(AvroLake.read(spark, dir).rdd.getNumPartitions == 1)
   }
+
+  test("reader-schema projection: only projected fields decode (counted), rows ≡ full read, requested column order") {
+    val dir = tmpDir("avroproj")
+    val df = spark.createDataFrame(rows.asJava, schema).repartition(3)
+    AvroLake.write(df, dir)
+    def countedRead(cols: Option[Seq[String]]) = {
+      AvroLakeSpec.decodedFields.set(0L)
+      val got = AvroLake.readWith(spark, dir, 128L << 20, cols,
+        s => new CountingDatumReader(s)).collect()
+      (got, AvroLakeSpec.decodedFields.get())
+    }
+    val (full, fullDecodes) = countedRead(None)
+    assert(fullDecodes == rows.size.toLong * schema.length,
+      s"full read must decode rows×fields = ${rows.size * schema.length}, counted $fullDecodes " +
+        s"(readers instantiated: ${AvroLakeSpec.instantiated.get()}, rows back: ${full.length})")
+    // project 2 of 7 columns, REVERSED relative to writer order
+    val (pruned, prunedDecodes) = countedRead(Some(Seq("s", "id")))
+    assert(prunedDecodes == rows.size.toLong * 2,
+      s"pruned read must decode rows×2 = ${rows.size * 2} fields — " +
+        s"counted $prunedDecodes (the other 5 must SKIP at the resolving decoder)")
+    // identical values to the full read, in the REQUESTED column order
+    val prunedDf = AvroLake.read(spark, dir, columns = Some(Seq("s", "id")))
+    assert(prunedDf.schema.fieldNames.toSeq == Seq("s", "id"))
+    assert(pruned.map(r => (r.getAs[String]("s"), r.getAs[Long]("id"))).toSet ==
+      full.map(r => (r.getAs[String]("s"), r.getAs[Long]("id"))).toSet)
+    // null under the projected union(null,string) column survives
+    assert(pruned.count(_.isNullAt(0)) == 1)
+    // a column the writer never had fails loudly at the driver
+    val err = intercept[IllegalArgumentException] {
+      AvroLake.read(spark, dir, columns = Some(Seq("nope")))
+    }
+    assert(err.getMessage.contains("nope"))
+  }
+
+  test("attempt-commit protocol: a crashed attempt's torn temp container is invisible; committed writes leave no debris") {
+    val dir = tmpDir("avrocommit")
+    val df = spark.createDataFrame(rows.asJava, schema).repartition(2)
+    AvroLake.write(df, dir)
+    val d = new java.io.File(dir)
+    assert(d.listFiles().forall(f => !f.getName.endsWith(".tmp")),
+      "a completed write must leave no attempt temps")
+    // simulate an attempt that crashed mid-container: a torn dot-prefixed
+    // temp (invalid Avro bytes) must never surface rows or fail the read
+    val torn = new java.io.File(d, ".part-00007-dead.avro.tmp")
+    java.nio.file.Files.write(torn.toPath,
+      Array[Byte](Obj1Magic: _*) ++ Array.fill[Byte](64)(7))
+    val back = AvroLake.read(spark, dir)
+    assert(back.count() == rows.size.toLong,
+      "torn attempt temp leaked rows into the read")
+  }
+
+  // the 4-byte Avro container magic, so the torn file LOOKS like a
+  // container prefix (the worst case for a name-filter bug)
+  private val Obj1Magic = Seq[Byte]('O', 'b', 'j', 1)
 
   test("rejects unsupported types loudly") {
     val df = spark.range(3).select(col("id"), array(col("id")).as("a"))
