@@ -807,10 +807,83 @@ object StreamEquivQueries extends QueryGroup {
       .orderBy("user_id")
   }
 
+  /** Q280: the FULL-OUTER readout completing the q278/q279 stream-stream
+    * join family (VERDICT r19 item 2) — both null-extension directions
+    * in one coverage report: per user, purchases that closed with no
+    * in-window error (the LEFT-outer nulls) AND errors that fell in no
+    * purchase's trailing window (the RIGHT-outer nulls — the direction
+    * an enrich-from-the-other-side pipeline hits first), each with an
+    * unmatched-id checksum so one mis-classified row on either side
+    * hash-mismatches. StreamStreamJoinSpec pins Spark's native
+    * right-outer and full-outer watermarked joins — including the
+    * null-extension TIMING each direction (nothing extends before the
+    * watermark closes its window) — against this batch truth.
+    *
+    * Batch form: q278's banded inner pairs (linear in events), then one
+    * purchase-keyed left join (q279's move) + one error-keyed left
+    * anti-ish flag join, full-outer-merged per user — a user with only
+    * errors or only purchases still reports.
+    *
+    * Scale shape: every stage shuffles on (user) or (user, id) —
+    * bounded keys; unmatched rows never enter the pair shuffle; output
+    * is user-domain-sized. */
+  private val q280: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        epochUs(col("ts")).as("us"))
+    val errs = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("eid"), col("us"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pid"),
+        (col("us") - 14400000000L).as("w_start"), col("us").as("w_end"))
+    val pairs = IntervalJoin.pointInIntervals(errs, purch,
+        key = "user_id", pointId = "eid", t = "us",
+        intervalId = "pid", start = "w_start", end = "w_end",
+        maxLen = 14400000000L)
+    val perPurch = pairs
+      .groupBy(col("user_id"), col("interval_id").as("pid"))
+      .agg(count(lit(1)).as("n_errs"))
+    val purchSide = purch.select(col("user_id"), col("pid"))
+      .join(perPurch, Seq("user_id", "pid"), "left")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_purchases"),
+        coalesce(sum(col("n_errs")), lit(0L)).as("n_pairs"),
+        sum(when(col("n_errs").isNull, 1L).otherwise(0L))
+          .as("n_unmatched_purchases"),
+        coalesce(sum(when(col("n_errs").isNull, col("pid"))), lit(0L))
+          .as("unmatched_pid_sum"))
+    val matchedE = pairs
+      .select(col("user_id"), col("point_id").as("eid")).distinct
+      .withColumn("mk", lit(1L))
+    val errSide = errs.select(col("user_id"), col("eid"))
+      .join(matchedE, Seq("user_id", "eid"), "left")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_errors"),
+        sum(when(col("mk").isNull, 1L).otherwise(0L))
+          .as("n_unmatched_errors"),
+        coalesce(sum(when(col("mk").isNull, col("eid"))), lit(0L))
+          .as("unmatched_eid_sum"))
+    purchSide.join(errSide, Seq("user_id"), "full")
+      .select(col("user_id"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+        coalesce(col("n_errors"), lit(0L)).as("n_errors"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_unmatched_purchases"), lit(0L))
+          .as("n_unmatched_purchases"),
+        coalesce(col("unmatched_pid_sum"), lit(0L))
+          .as("unmatched_pid_sum"),
+        coalesce(col("n_unmatched_errors"), lit(0L))
+          .as("n_unmatched_errors"),
+        coalesce(col("unmatched_eid_sum"), lit(0L))
+          .as("unmatched_eid_sum"))
+      .orderBy("user_id")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q159_join_point_in_window" -> q159,
     "q278_stream_stream_join" -> q278,
     "q279_stream_join_outer" -> q279,
+    "q280_stream_join_full_outer" -> q280,
     "q169_seq_pattern_support" -> q169,
     "q246_seq_match_recognize" -> q246,
     "q256_transition_dwell" -> q256,
@@ -877,6 +950,49 @@ object StreamEquivQueries extends QueryGroup {
         |    AS BIGINT) AS unmatched_pid_sum
         |FROM p LEFT JOIN m ON p.user_id = m.user_id AND p.pid = m.pid
         |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin,
+
+    // full-outer stream-join readout: both null-extension directions —
+    // naive window theta-join, purchase-side LEFT join + error-side
+    // unmatched flag, FULL-merged per user; every count/sum coalesced to
+    // 0 and cast back to BIGINT (the q91 gotcha)
+    "q280_stream_join_full_outer" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    epoch_us(ts) AS us FROM events),
+        |r AS (SELECT user_id, event_id AS eid, us FROM e
+        |  WHERE event_type = 'error'),
+        |p AS (SELECT user_id, event_id AS pid, us - 14400000000 AS w_start,
+        |    us AS w_end FROM e WHERE event_type = 'purchase'),
+        |pairs AS (SELECT p.user_id, p.pid, r.eid
+        |  FROM r JOIN p ON r.user_id = p.user_id
+        |    AND p.w_start <= r.us AND r.us <= p.w_end),
+        |pp AS (SELECT user_id, pid, CAST(count(*) AS BIGINT) AS n_errs
+        |  FROM pairs GROUP BY user_id, pid),
+        |ps AS (SELECT p.user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+        |    CAST(coalesce(sum(pp.n_errs), 0) AS BIGINT) AS n_pairs,
+        |    CAST(sum(CASE WHEN pp.n_errs IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_unmatched_purchases,
+        |    CAST(coalesce(sum(CASE WHEN pp.n_errs IS NULL THEN p.pid END),
+        |      0) AS BIGINT) AS unmatched_pid_sum
+        |  FROM p LEFT JOIN pp ON p.user_id = pp.user_id AND p.pid = pp.pid
+        |  GROUP BY p.user_id),
+        |me AS (SELECT DISTINCT user_id, eid FROM pairs),
+        |es AS (SELECT r.user_id, CAST(count(*) AS BIGINT) AS n_errors,
+        |    CAST(sum(CASE WHEN me.eid IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_unmatched_errors,
+        |    CAST(coalesce(sum(CASE WHEN me.eid IS NULL THEN r.eid END),
+        |      0) AS BIGINT) AS unmatched_eid_sum
+        |  FROM r LEFT JOIN me ON r.user_id = me.user_id AND r.eid = me.eid
+        |  GROUP BY r.user_id)
+        |SELECT coalesce(ps.user_id, es.user_id) AS user_id,
+        |  coalesce(ps.n_purchases, 0) AS n_purchases,
+        |  coalesce(es.n_errors, 0) AS n_errors,
+        |  coalesce(ps.n_pairs, 0) AS n_pairs,
+        |  coalesce(ps.n_unmatched_purchases, 0) AS n_unmatched_purchases,
+        |  coalesce(ps.unmatched_pid_sum, 0) AS unmatched_pid_sum,
+        |  coalesce(es.n_unmatched_errors, 0) AS n_unmatched_errors,
+        |  coalesce(es.unmatched_eid_sum, 0) AS unmatched_eid_sum
+        |FROM ps FULL JOIN es ON ps.user_id = es.user_id
+        |ORDER BY user_id""".stripMargin,
     // outlier audit: same cents cast, same cross-multiplied second-moment
     // verdict in HUGEINT (DuckDB's native 128-bit ≡ Spark's
     // DECIMAL(38,0) here); every sum cast back to BIGINT (the q91 gotcha)

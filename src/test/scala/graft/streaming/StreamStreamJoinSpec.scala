@@ -131,4 +131,74 @@ class StreamStreamJoinSpec extends SparkSpec {
     assert(got == Set((1L, 101L, 201L), (2L, 102L, -1L), (3L, 103L, -1L)),
       s"outer join rows: $got")
   }
+
+  // shared fixture for the right/full-outer directions: u1's purchase
+  // matches its error; u3's purchase finds no error (LEFT null-extend);
+  // u2 and u4 have errors in no purchase's window (RIGHT null-extend —
+  // u2's purchase doesn't exist at all, u4 never purchases)
+  private def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+  private val routPurchases = Seq((1L, 101L, ts(300)), (3L, 103L, ts(310)))
+  private val routErrors =
+    Seq((1L, 201L, ts(200)), (2L, 202L, ts(40)), (4L, 204L, ts(220)))
+
+  private def runOuter(joinType: String, queryName: String) = {
+    implicit val sc = spark.sqlContext
+    val memP = MemoryStream[Row3]
+    val memE = MemoryStream[Row3]
+    val left = memP.toDF().toDF("user_id", "pid", "pt")
+      .withWatermark("pt", "10 minutes")
+    val right = memE.toDF().toDF("uid_r", "eid", "et")
+      .withWatermark("et", "10 minutes")
+    val joined = left.join(right,
+      expr("user_id = uid_r AND " +
+        "et >= pt - interval 240 minutes AND et <= pt"), joinType)
+    val q = joined.writeStream.format("memory").queryName(queryName)
+      .outputMode(OutputMode.Append()).start()
+    memP.addData(routPurchases: _*); memE.addData(routErrors: _*)
+    q.processAllAvailable()
+    // null-extension TIMING, both directions: the watermark has closed
+    // no window yet, so nothing may null-extend prematurely
+    val premature = spark.table(queryName)
+      .filter(col("pid").isNull || col("eid").isNull).count()
+    assert(premature == 0L,
+      s"$premature null-extended rows before the watermark closed any window ($joinType)")
+    // advance the watermark past every real window (sentinels a day
+    // ahead on BOTH sides; two batches so the new watermark applies)
+    memP.addData((99L, 999L, ts(2000))); memE.addData((99L, 998L, ts(2000)))
+    q.processAllAvailable()
+    memP.addData((99L, 997L, ts(2010)))
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+      .filter(coalesce(col("pid"), lit(0L)) < 900L &&
+        coalesce(col("eid"), lit(0L)) < 900L) // sentinels excluded
+      .select(coalesce(col("user_id"), col("uid_r")).as("u"),
+        coalesce(col("pid"), lit(-1L)).as("pid"),
+        coalesce(col("eid"), lit(-1L)).as("eid"))
+      .as[(Long, Long, Long)].collect().toSet
+  }
+
+  test("right-outer watermarked stream-stream join: unmatched RIGHTS null-extend only after the watermark closes their window") {
+    val got = runOuter("right_outer", "ssj_router")
+    // u4's error (t=220): no purchase in [220, 460] — null-extends; so
+    // does u2's (no purchase at all); u3's unmatched purchase does NOT
+    // appear (left side is not preserved in a right-outer join)
+    assert(got == Set((1L, 101L, 201L), (2L, -1L, 202L), (4L, -1L, 204L)),
+      s"right-outer join rows: $got")
+  }
+
+  test("full-outer watermarked stream-stream join: BOTH directions null-extend, each on its own watermark timing") {
+    val got = runOuter("full_outer", "ssj_fouter")
+    assert(got == Set((1L, 101L, 201L), (3L, 103L, -1L),
+      (2L, -1L, 202L), (4L, -1L, 204L)),
+      s"full-outer join rows: $got")
+    // the batch twin under the DuckDB gate reports exactly these
+    // classes per user — pin the fixture against q280's semantics:
+    // matched pairs, unmatched purchases, unmatched errors partition
+    // the union of both sides
+    val matched = got.count(r => r._2 >= 0 && r._3 >= 0)
+    val unmP = got.count(r => r._3 < 0)
+    val unmE = got.count(r => r._2 < 0)
+    assert(matched == 1 && unmP == 1 && unmE == 2)
+  }
 }
