@@ -91,7 +91,8 @@ object PlanDump {
       "q272_lake_table_changes", "q273_ivm_percentile_retract",
       "q274_lake_restore", "q275_scan_avro_typed",
       "q276_ivm_bucket_percentile", "q277_lake_restore_erasure",
-      "q278_stream_stream_join", "q279_stream_join_outer")
+      "q278_stream_stream_join", "q279_stream_join_outer",
+      "q280_stream_join_full_outer", "q281_ivm_wide_percentile")
     val sb = new StringBuilder
     sb.append("# PLANS — headline physical plans (generated by graft.PlanDump)\n\n")
     sb.append("Formatted executed plans at sf0.001, AQE final. What to look for:\n")

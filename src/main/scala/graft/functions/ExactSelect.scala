@@ -84,49 +84,14 @@ object ExactSelect {
         case (g, (n, _, _)) =>
           pcts.map(p => (g, p) -> ((p.toLong * n + 99L) / 100L)) }
       // probe state: (grp, pct) -> (lo, hi, rank-within-[lo,hi])
-      var live: Map[(Any, Int), (Long, Long, Long)] =
+      val initial: Map[(Any, Int), (Long, Long, Long)] =
         kOrig.map { case ((g, p), k) =>
           val (_, lo, hi) = bounds(g); (g, p) -> ((lo, hi, k)) }
-      while (live.exists { case (_, (lo, hi, _)) => lo < hi }) {
-        val open = live.filter { case (_, (lo, hi, _)) => lo < hi }
-        val widths = open.map { case (gp, (lo, hi, _)) =>
-          gp -> ((hi - lo) / 256L + 1L) }
-        val byG: Map[Any, Seq[(Int, Long, Long, Long)]] = open.toSeq
-          .map { case ((g, p), (lo, hi, _)) =>
-            g -> ((p, lo, hi, widths((g, p)))) }
-          .groupBy(_._1).map { case (g, s) => g -> s.map(_._2).sortBy(_._1) }
-        val hist = roundHistogramFrame(base, byG)
-          .collect()
-          .groupBy(r => (r.get(0), r.getInt(1)))
-          .map { case (gp, rows) =>
-            gp -> rows.map(r => (r.getLong(2), r.getLong(3))).sortBy(_._1) }
-        live = live.map {
-          case (gp, (lo, hi, k)) if lo < hi =>
-            val width = widths(gp)
-            var rem = k
-            var chosen = -1L
-            // an open probe whose interval matches no rows is an invariant
-            // violation (concurrent input mutation) — diagnose, don't
-            // NoSuchElementException (the rank-not-found require's twin)
-            require(hist.contains(gp),
-              s"probe $gp matched no rows in (lo=$lo, hi=$hi, k=$k) — " +
-                "input mutated during the refinement walk?")
-            val it = hist(gp).iterator
-            while (chosen < 0 && it.hasNext) {
-              val (b, c) = it.next()
-              if (c >= rem) chosen = b else rem -= c
-            }
-            require(chosen >= 0, s"rank $k not found in probe $gp histogram")
-            val nlo = lo + chosen * width
-            val nhi = math.min(hi, nlo + width - 1L)
-            gp -> ((nlo, nhi, rem))
-          case done => done
-        }
-      }
+      val resolved = refineWalk(base, initial)
       import scala.jdk.CollectionConverters._
-      val rows = live.toSeq
-        .map { case ((g, p), (lo, _, _)) =>
-          org.apache.spark.sql.Row(g, bounds(g)._1, p, kOrig((g, p)), lo) }
+      val rows = resolved.toSeq
+        .map { case ((g, p), v) =>
+          org.apache.spark.sql.Row(g, bounds(g)._1, p, kOrig((g, p)), v) }
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("grp",
           df.schema(grpCol).dataType),
@@ -140,6 +105,86 @@ object ExactSelect {
           org.apache.spark.sql.types.LongType)))
       spark.createDataFrame(rows.asJava, schema)
     } finally base.unpersist()
+  }
+
+  /** Exact value at an EXPLICIT rank inside an explicit value interval,
+    * per probe — the refinement walk seeded by the CALLER instead of by
+    * percentile formulas: the drill-down rung a MAINTAINED bucket
+    * histogram needs at ANY domain width (the q276 completion). The
+    * maintained counts locate the rank-holding bucket and the residual
+    * rank driver-side; each probe here is that bucket's value range
+    * `[lo, hi]` with `k` = the 1-based rank among the group's values
+    * inside it, and the walk resolves the exact value in
+    * ⌈log₂₅₆(hi − lo)⌉ grouped 256-bucket scans — NEVER a row_number
+    * rank over the bucket's rows, so a 2⁴⁰-wide bucket costs ~5 cheap
+    * counting passes instead of a sort of however many rows it holds.
+    * `probes`: (group value, caller probe id, lo, hi, k); returns
+    * (group, probe id) → exact value. The caller guarantees the group
+    * has ≥ k values in [lo, hi] (a maintained-count locate does by
+    * construction); a violated guarantee fails loudly mid-walk. */
+  def valuesAtRanks(df: DataFrame, grpCol: String, valueCol: String,
+      probes: Seq[(Any, Int, Long, Long, Long)]): Map[(Any, Int), Long] = {
+    require(probes.nonEmpty, "valuesAtRanks: no probes")
+    require(probes.map(p => (p._1, p._2)).distinct.size == probes.size,
+      "valuesAtRanks: duplicate (group, probeId) probes")
+    probes.foreach { case (g, id, lo, hi, k) =>
+      require(lo <= hi && k >= 1L,
+        s"valuesAtRanks: bad probe ($g, $id, $lo, $hi, $k)") }
+    val base = df.select(col(grpCol).as("grp"), col(valueCol).as("v"))
+      .filter(col("v").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try refineWalk(base,
+      probes.map { case (g, id, lo, hi, k) => (g, id) -> ((lo, hi, k)) }
+        .toMap)
+    finally base.unpersist()
+  }
+
+  /** The shared 256-ary refinement loop: narrow every open probe's
+    * (lo, hi, k) one histogram round at a time until lo == hi; returns
+    * each probe's exact value. One grouped scan per round over `base`
+    * (cached by the caller), all probes simultaneously. */
+  private def refineWalk(base: DataFrame,
+      initial: Map[(Any, Int), (Long, Long, Long)])
+      : Map[(Any, Int), Long] = {
+    var live = initial
+    while (live.exists { case (_, (lo, hi, _)) => lo < hi }) {
+      val open = live.filter { case (_, (lo, hi, _)) => lo < hi }
+      val widths = open.map { case (gp, (lo, hi, _)) =>
+        gp -> ((hi - lo) / 256L + 1L) }
+      val byG: Map[Any, Seq[(Int, Long, Long, Long)]] = open.toSeq
+        .map { case ((g, p), (lo, hi, _)) =>
+          g -> ((p, lo, hi, widths((g, p)))) }
+        .groupBy(_._1).map { case (g, s) => g -> s.map(_._2).sortBy(_._1) }
+      val hist = roundHistogramFrame(base, byG)
+        .collect()
+        .groupBy(r => (r.get(0), r.getInt(1)))
+        .map { case (gp, rows) =>
+          gp -> rows.map(r => (r.getLong(2), r.getLong(3))).sortBy(_._1) }
+      live = live.map {
+        case (gp, (lo, hi, k)) if lo < hi =>
+          val width = widths(gp)
+          var rem = k
+          var chosen = -1L
+          // an open probe whose interval matches no rows is an invariant
+          // violation (concurrent input mutation, or a caller-seeded
+          // rank past the interval's population) — diagnose, don't
+          // NoSuchElementException (the rank-not-found require's twin)
+          require(hist.contains(gp),
+            s"probe $gp matched no rows in (lo=$lo, hi=$hi, k=$k) — " +
+              "input mutated during the refinement walk?")
+          val it = hist(gp).iterator
+          while (chosen < 0 && it.hasNext) {
+            val (b, c) = it.next()
+            if (c >= rem) chosen = b else rem -= c
+          }
+          require(chosen >= 0, s"rank $k not found in probe $gp histogram")
+          val nlo = lo + chosen * width
+          val nhi = math.min(hi, nlo + width - 1L)
+          gp -> ((nlo, nhi, rem))
+        case done => done
+      }
+    }
+    live.map { case (gp, (lo, _, _)) => gp -> lo }
   }
 
   /** Past this many open groups the per-group literal CASE probe table

@@ -1187,7 +1187,27 @@ object RelationalQueries extends QueryGroup {
     * algebra, bucket granularity — StreamingIvmSpec pins the streamed
     * locate+drill readout ≡ this query); the drill-down is a batch read
     * against the lake by design — it touches base data a stream never
-    * holds. */
+    * holds.
+    *
+    * COMPOSE-TIME ACTIONS (the ADVICE r19 note): the locate collect and
+    * the bucket-view materialization run Spark jobs when the query is
+    * COMPOSED, not at its first action — schema-only consumers
+    * (QueriesSmokeSpec's sweep, PlanDump) pay the locate pipeline. This
+    * is deliberate: the collected targets are ≤ 2 ranks per segment BY
+    * CONSTRUCTION, and collecting them is what lets the drill-down push
+    * LITERAL value ranges to the parquet reader (a join filter never
+    * reaches it). No RunScopedCache is registered anywhere in this
+    * query, so the r16 compose-time/release-listener interplay cannot
+    * arise; any future persist added here must re-read that history
+    * first (operators/package.scala).
+    *
+    * DOMAIN BOUND (one level, honest): 2¹³-cent buckets are sized for a
+    * cents domain (≈ 2²⁰ distinct values → ≈ 2⁷ buckets per segment,
+    * and a ≤ 2¹³-value drill). Past ~2²⁰-wide domains the flat bucket
+    * histogram itself grows past maintainable state — the completing
+    * rung is [[q281]]: coarse 2⁴⁰ buckets + the 256-ary in-bucket
+    * refinement, bounded at ANY width (R20QuerySemanticsSpec pins both
+    * paths agree on a 62-bit domain). */
   private val q276: Q = (s, d) => {
     val W = org.apache.spark.sql.expressions.Window
     def cents(c: org.apache.spark.sql.Column) =
@@ -1278,6 +1298,103 @@ object RelationalQueries extends QueryGroup {
         min(when(col("which") === "p90", col("bal_cents")))
           .as("p90_cents"))
       .orderBy("c_mktsegment")
+  }
+
+  /** Q281: the WIDE-DOMAIN completion of the q276 rung (VERDICT r19
+    * item 4) — maintained bucket state bounded at ANY domain width. q276's
+    * one-level design is sized for its domain: 2¹³-cent buckets over a
+    * cents balance domain (≈ 2²⁰ values) keep both |buckets| and the
+    * drill's row_number sort small. On a genuinely wide domain (the
+    * synthetic 62-bit key-spread value here) neither survives: per-value
+    * state is |distinct|-sized and a fine-bucket histogram still carries
+    * ~2⁵¹ rows. THIS query maintains counts per 2⁴⁰-wide bucket
+    * (|buckets| ≤ 2²² at full domain width, segment-independent), applies
+    * the q258 ± algebra at bucket granularity (deletes retract, inserts
+    * add), locates each nearest-rank target's bucket + residual rank from
+    * the cumulative pass — and then resolves the EXACT value inside the
+    * 2⁴⁰-wide target bucket with [[graft.functions.ExactSelect
+    * .valuesAtRanks]]'s 256-ary refinement (⌈log₂₅₆ 2⁴⁰⌉ = 5 grouped
+    * counting scans over literal-range-pruned rows) — never a row_number
+    * sort of the bucket's rows, which is what made a wide bucket
+    * unaffordable. R20QuerySemanticsSpec pins refine-drill ≡ row_number
+    * drill on this domain and the maintained state ≪ per-value state.
+    *
+    * COMPOSE-TIME ACTIONS (the q276 hazard, same justification): the
+    * locate collect and the refinement rounds run Spark jobs when the
+    * query is COMPOSED — driver-sized by construction (≤ 2 ranks per
+    * segment; ~5 counting passes), and what lets the drill push LITERAL
+    * value ranges into the scan. Schema-only consumers pay them; no
+    * RunScopedCache is involved, so no release-listener interplay.
+    *
+    * The ORACLE recomputes the surviving set's exact nearest-rank
+    * percentiles directly — the hash match proves coarse-bucket state +
+    * refinement ≡ exact order statistics. */
+  private val q281: Q = (s, d) => {
+    val W = org.apache.spark.sql.expressions.Window
+    val vExpr = (col("l_orderkey") % 4194304L) * 1099511627776L +
+      (col("l_partkey") % 1048576L) * 1048576L +
+      (col("l_suppkey") % 1048576L)
+    val li = Tables.lineitem(s, d).select(col("l_returnflag").as("flag"),
+      vExpr.as("v"), col("l_orderkey"), col("l_suppkey"))
+    val base = li.filter(col("l_orderkey") % 4 =!= 0)
+    val adds = li.filter(col("l_orderkey") % 4 === 0)
+      .select(col("flag"), col("v"))
+    val dels = base.filter(col("l_suppkey") % 10 === 3)
+      .select(col("flag"), col("v"))
+    // the MAINTAINED coarse histogram + the ± delta at bucket granularity
+    val stored = base.groupBy(col("flag"),
+        shiftright(col("v"), 40).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val surviving = stored.select(col("flag"), col("bucket"),
+        col("n").as("dn"))
+      .unionByName(dels.select(col("flag"),
+        shiftright(col("v"), 40).as("bucket"), lit(-1L).as("dn")))
+      .unionByName(adds.select(col("flag"),
+        shiftright(col("v"), 40).as("bucket"), lit(1L).as("dn")))
+      .groupBy("flag", "bucket")
+      .agg(sum(col("dn")).as("n"))
+      .filter(col("n") > 0)
+    // locate the rank-holding bucket + residual rank per target
+    val cum = W.partitionBy("flag").orderBy("bucket")
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val located = surviving
+      .withColumn("cum", sum(col("n")).over(cum))
+      .withColumn("nr", sum(col("n")).over(W.partitionBy("flag")))
+    def target(id: Int, rank: org.apache.spark.sql.Column) =
+      located.withColumn("r", rank)
+        .filter(col("cum") >= col("r") && col("cum") - col("n") < col("r"))
+        .select(col("flag"), col("bucket"),
+          (col("r") - (col("cum") - col("n"))).as("resid"),
+          lit(id).as("pid"), col("nr"))
+    val targetRows = target(0, expr("(nr + 1) div 2"))
+      .unionByName(target(1, expr("(9 * nr + 9) div 10"))).collect()
+    val bw = 1099511627776L // 2^40
+    val probes = targetRows.toSeq.map { r =>
+      val b = r.getAs[Long]("bucket")
+      (r.getAs[String]("flag"): Any, r.getAs[Int]("pid"),
+        b * bw, b * bw + (bw - 1L), r.getAs[Long]("resid"))
+    }
+    // current surviving rows, pruned to the target buckets' LITERAL
+    // value ranges (scan-pushable — the q276 move), then refined
+    val current = li.filter(col("l_orderkey") % 4 === 0 ||
+        col("l_suppkey") % 10 =!= 3)
+      .select(col("flag"), col("v"))
+    val inRange = probes.map(p => col("v").between(p._3, p._4))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val resolved = graft.functions.ExactSelect.valuesAtRanks(
+      current.filter(inRange), "flag", "v", probes)
+    val nrs = targetRows.map(r =>
+      r.getAs[String]("flag") -> r.getAs[Long]("nr")).toMap
+    val outRows = nrs.toSeq.sortBy(_._1).map { case (f, nr) =>
+      org.apache.spark.sql.Row(f, nr, resolved((f, 0)), resolved((f, 1))) }
+    val lt = org.apache.spark.sql.types.LongType
+    s.createDataFrame(java.util.Arrays.asList(outRows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("l_returnflag",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_rows", lt),
+        org.apache.spark.sql.types.StructField("p50_v", lt),
+        org.apache.spark.sql.types.StructField("p90_v", lt))))
   }
 
   // The stored BUCKET histogram q276 maintains: (segment,
@@ -1847,6 +1964,7 @@ object RelationalQueries extends QueryGroup {
     "q275_scan_avro_typed" -> q275,
     "q273_ivm_percentile_retract" -> q273,
     "q276_ivm_bucket_percentile" -> q276,
+    "q281_ivm_wide_percentile" -> q281,
     "q247_ivm_join_delta" -> q247,
     "q258_ivm_agg_retract" -> q258,
     "q259_scan_csv_typed" -> q259,
@@ -2216,6 +2334,28 @@ object RelationalQueries extends QueryGroup {
         |  CAST(min(CASE WHEN cum >= (9 * nr + 9) // 10 THEN bal_cents END)
         |    AS BIGINT) AS p90_cents
         |FROM c GROUP BY seg ORDER BY c_mktsegment""".stripMargin,
+
+    // wide-domain maintained percentile: the oracle recomputes the
+    // surviving set's exact nearest-rank order statistics directly —
+    // pure-integer ranks ((n+1)//2, (9n+9)//10 — the q158 rule), the
+    // same 62-bit integer value spread (BIGINT arithmetic identical
+    // cross-engine), row_number picks the k-th smallest exactly
+    "q281_ivm_wide_percentile" ->
+      """WITH s AS (SELECT l_returnflag AS flag,
+        |    (l_orderkey % 4194304) * 1099511627776
+        |      + (l_partkey % 1048576) * 1048576
+        |      + (l_suppkey % 1048576) AS v
+        |  FROM lineitem
+        |  WHERE l_orderkey % 4 = 0 OR l_suppkey % 10 <> 3),
+        |r AS (SELECT flag, v,
+        |    row_number() OVER (PARTITION BY flag ORDER BY v) AS rn,
+        |    count(*) OVER (PARTITION BY flag) AS n FROM s)
+        |SELECT flag AS l_returnflag, CAST(max(n) AS BIGINT) AS n_rows,
+        |  CAST(max(CASE WHEN rn = (n + 1) // 2 THEN v END)
+        |    AS BIGINT) AS p50_v,
+        |  CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN v END)
+        |    AS BIGINT) AS p90_v
+        |FROM r GROUP BY flag ORDER BY l_returnflag""".stripMargin,
 
     // bucketed wide-domain percentiles: SAME logical answer as q273 —
     // the oracle is the exact recompute; the engine path differs
