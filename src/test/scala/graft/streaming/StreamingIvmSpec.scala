@@ -494,13 +494,24 @@ class StreamingIvmSpec extends SparkSpec {
     implicit val sc = spark.sqlContext
     import JoinViewStream.{BiEvent, BiInit}
     val (lBoot, lPre, lPost, rBoot, rNew) = biParts()
-    // the stored base: per-key live multisets (what a snapshot of the
-    // state store holds) and the batch view V(C₀, O₀) it implies —
-    // both derived by the driver-side reference fold, independent of
-    // the operator under test
+    // the stored base as the PRODUCTION cold start derives it
+    // (VERDICT r19 item 5): one grouped fold per side straight off the
+    // stored tables — the driver fold below is only the REFERENCE the
+    // derived frame is pinned against, never the seed
+    val cents = (c: org.apache.spark.sql.Column) =>
+      (c.cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+        .cast("long")
+    val initDs = JoinViewStream.initialStateFrom(
+      Tables.customer(spark, sfDir)
+        .select(col("c_custkey"), col("c_mktsegment")),
+      Tables.orders(spark, sfDir)
+        .filter(!(col("o_orderkey") % 17 === 3))
+        .select(col("o_custkey"), cents(col("o_totalprice"))))
     val baseLive = foldLive((lBoot ++ rBoot).toSeq)
-    val initRows = baseLive.toSeq.map { case (k, (l, r)) =>
-      BiInit(k, l, r) }
+    assert(initDs.collect().map(b => b.k -> ((b.lefts, b.rights))).toMap
+      == baseLive,
+      "initialStateFrom(base tables) must equal the reference fold " +
+        "element-for-element")
     val v0 = scala.collection.mutable.Map.empty[String, (Long, Long)]
     baseLive.valuesIterator.foreach { case (l, r) =>
       l.foreach { case (seg, ln) =>
@@ -521,8 +532,7 @@ class StreamingIvmSpec extends SparkSpec {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
       val mem = MemoryStream[BiEvent]
-      val q = JoinViewStream.biChangelogTwsFrom(mem.toDS(),
-          initRows.toDS())
+      val q = JoinViewStream.biChangelogTwsFrom(mem.toDS(), initDs)
         .writeStream.format("memory").queryName("ivm_bi_init")
         .outputMode(OutputMode.Update()).start()
       waves.foreach { w => mem.addData(w: _*); q.processAllAvailable() }
