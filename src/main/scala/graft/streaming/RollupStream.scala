@@ -76,6 +76,31 @@ object RollupStream {
     * bucket from the streamed counts and drills into the LAKE for the
     * exact value (a batch read by design — the stream never holds base
     * data). Returns the running (c_mktsegment, bucket, n) counts. */
+  /** [[maintainBucketCounts]] for LONG-valued WIDE domains — the q281
+    * twin: changes carry (old_seg, old_v, new_seg, new_v) pre/post
+    * images (seg null marks the absent image, as ever), state is counts
+    * per (seg, v >> shift) bucket. At shift 40 the maintained state is
+    * coarse-bucket-bounded at ANY domain width; the exact readout is
+    * locate + the 256-ary in-bucket refinement
+    * ([[graft.functions.ExactSelect.valuesAtRanks]]) against the stored
+    * base — StreamingIvmSpec pins the streamed state + refinement ≡
+    * batch q281 end to end. */
+  def maintainWideBucketCounts(changes: DataFrame,
+      shift: Int = 40): DataFrame =
+    changes
+      .select(explode(array(
+        struct(col("old_seg").as("seg"),
+          shiftright(col("old_v"), shift).as("bucket"),
+          lit(-1L).as("dn")),
+        struct(col("new_seg").as("seg"),
+          shiftright(col("new_v"), shift).as("bucket"),
+          lit(1L).as("dn"))))
+        .as("d"))
+      .filter(col("d.seg").isNotNull)
+      .select(col("d.seg").as("seg"), col("d.bucket"), col("d.dn"))
+      .groupBy("seg", "bucket")
+      .agg(sum(col("dn")).as("n"))
+
   def maintainBucketCounts(changes: DataFrame, shift: Int = 13): DataFrame =
     changes
       .select(explode(array(

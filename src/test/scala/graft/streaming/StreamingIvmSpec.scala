@@ -277,6 +277,91 @@ class StreamingIvmSpec extends SparkSpec {
       s"streamed bucket readout ≠ batch q276:\n stream ${streamed.toSeq.sortBy(_._1)}\n batch ${batch.toSeq.sortBy(_._1)}")
   }
 
+  test("streamed ± coarse WIDE buckets + 256-ary refinement ≡ batch q281 (the any-domain-width twin)") {
+    implicit val sc = spark.sqlContext
+    // the q281 fixture as a changelog: base rows bootstrap as inserts,
+    // deletes carry only a pre-image, adds only a post-image
+    val vExpr = (col("l_orderkey") % 4194304L) * 1099511627776L +
+      (col("l_partkey") % 1048576L) * 1048576L +
+      (col("l_suppkey") % 1048576L)
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag").as("flag"), vExpr.as("v"),
+        col("l_orderkey"), col("l_suppkey"))
+    val nullS = lit(null).cast("string")
+    val nullV = lit(null).cast("long")
+    val baseIns = li.filter(col("l_orderkey") % 4 =!= 0)
+      .select(nullS.as("old_seg"), nullV.as("old_v"),
+        col("flag").as("new_seg"), col("v").as("new_v"))
+      .as[(String, java.lang.Long, String, java.lang.Long)].collect()
+    val dels = li.filter(col("l_orderkey") % 4 =!= 0 &&
+        col("l_suppkey") % 10 === 3)
+      .select(col("flag").as("old_seg"), col("v").as("old_v"),
+        nullS.as("new_seg"), nullV.as("new_v"))
+      .as[(String, java.lang.Long, String, java.lang.Long)].collect()
+    val adds = li.filter(col("l_orderkey") % 4 === 0)
+      .select(nullS.as("old_seg"), nullV.as("old_v"),
+        col("flag").as("new_seg"), col("v").as("new_v"))
+      .as[(String, java.lang.Long, String, java.lang.Long)].collect()
+    val nb = baseIns.length
+    val waves = Seq(baseIns.slice(0, nb / 2), baseIns.slice(nb / 2, nb),
+      dels.take(dels.length / 2) ++ adds.take(adds.length / 2),
+      dels.drop(dels.length / 2) ++ adds.drop(adds.length / 2))
+    val mem = MemoryStream[(String, java.lang.Long, String,
+      java.lang.Long)]
+    val q = RollupStream.maintainWideBucketCounts(
+        mem.toDF().toDF("old_seg", "old_v", "new_seg", "new_v"))
+      .writeStream.format("memory").queryName("ivm_wide_bucket")
+      .outputMode(OutputMode.Complete()).start()
+    waves.foreach { w => mem.addData(w.toSeq: _*); q.processAllAvailable() }
+    q.stop()
+    // the STREAMED maintained state must be the batch surviving
+    // histogram exactly (and coarse: far fewer rows than values)
+    val state = spark.table("ivm_wide_bucket").filter(col("n") > 0)
+      .as[(String, Long, Long)].collect().map(r => (r._1, r._2) -> r._3)
+      .toMap
+    val surviving = li
+      .filter(col("l_orderkey") % 4 === 0 || col("l_suppkey") % 10 =!= 3)
+      .select(col("flag"), col("v"))
+    val batchHist = surviving
+      .groupBy(col("flag"), shiftright(col("v"), 40).as("b"))
+      .agg(count(lit(1)).as("n"))
+      .as[(String, Long, Long)].collect().map(r => (r._1, r._2) -> r._3)
+      .toMap
+    assert(state == batchHist,
+      s"streamed bucket state ≠ batch histogram (${state.size} vs ${batchHist.size} buckets)")
+    // locate from the STREAMED state (driver-sized), refine to exact
+    // values, compare against the declared q281 readout
+    val bw = 1099511627776L
+    val byG = state.toSeq.map { case ((g, b), n) => (g, b, n) }
+      .groupBy(_._1)
+    val probes = byG.toSeq.flatMap { case (g, bs) =>
+      val sorted = bs.sortBy(_._2)
+      val total = sorted.map(_._3).sum
+      Seq(0 -> ((total + 1) / 2), 1 -> ((9 * total + 9) / 10)).map {
+        case (pid, rank) =>
+          var rem = rank
+          val it = sorted.iterator
+          var chosen: (String, Long, Long) = null
+          while (chosen == null && it.hasNext) {
+            val e = it.next()
+            if (e._3 >= rem) chosen = e else rem -= e._3
+          }
+          (g: Any, pid, chosen._2 * bw, chosen._2 * bw + (bw - 1L), rem)
+      }
+    }
+    val resolved = graft.functions.ExactSelect.valuesAtRanks(
+      surviving, "flag", "v", probes)
+    val totals = byG.map { case (g, bs) => g -> bs.map(_._3).sum }
+    val streamedOut = totals.map { case (g, n) =>
+      g -> ((n, resolved((g, 0)), resolved((g, 1)))) }
+    val declared = SparkEntry.queries("q281_ivm_wide_percentile")(
+        spark, sfDir)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(streamedOut == declared,
+      s"streamed locate+refine ≠ batch q281:\n stream ${streamedOut.toSeq.sortBy(_._1)}\n batch ${declared.toSeq.sortBy(_._1)}")
+  }
+
   // the bi-changelog fixture shared by the flatMapGroupsWithState and
   // transformWithState tests: DELIBERATELY mis-ordered waves — half the
   // customer retractions and the whole arrival batch land BEFORE the
