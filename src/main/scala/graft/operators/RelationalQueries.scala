@@ -1368,33 +1368,39 @@ object RelationalQueries extends QueryGroup {
           lit(id).as("pid"), col("nr"))
     val targetRows = target(0, expr("(nr + 1) div 2"))
       .unionByName(target(1, expr("(9 * nr + 9) div 10"))).collect()
-    val bw = 1099511627776L // 2^40
-    val probes = targetRows.toSeq.map { r =>
-      val b = r.getAs[Long]("bucket")
-      (r.getAs[String]("flag"): Any, r.getAs[Int]("pid"),
-        b * bw, b * bw + (bw - 1L), r.getAs[Long]("resid"))
-    }
-    // current surviving rows, pruned to the target buckets' LITERAL
-    // value ranges (scan-pushable — the q276 move), then refined
-    val current = li.filter(col("l_orderkey") % 4 === 0 ||
-        col("l_suppkey") % 10 =!= 3)
-      .select(col("flag"), col("v"))
-    val inRange = probes.map(p => col("v").between(p._3, p._4))
-      .reduceOption(_ || _).getOrElse(lit(false))
-    val resolved = graft.functions.ExactSelect.valuesAtRanks(
-      current.filter(inRange), "flag", "v", probes)
-    val nrs = targetRows.map(r =>
-      r.getAs[String]("flag") -> r.getAs[Long]("nr")).toMap
-    val outRows = nrs.toSeq.sortBy(_._1).map { case (f, nr) =>
-      org.apache.spark.sql.Row(f, nr, resolved((f, 0)), resolved((f, 1))) }
     val lt = org.apache.spark.sql.types.LongType
-    s.createDataFrame(java.util.Arrays.asList(outRows: _*),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("l_returnflag",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("n_rows", lt),
-        org.apache.spark.sql.types.StructField("p50_v", lt),
-        org.apache.spark.sql.types.StructField("p90_v", lt))))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("l_returnflag",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_rows", lt),
+      org.apache.spark.sql.types.StructField("p50_v", lt),
+      org.apache.spark.sql.types.StructField("p90_v", lt)))
+    // empty base ⇒ no targets ⇒ zero rows (the q276 empty-locate guard)
+    val outRows: Seq[org.apache.spark.sql.Row] =
+      if (targetRows.isEmpty) Nil
+      else {
+        val bw = 1099511627776L // 2^40
+        val probes = targetRows.toSeq.map { r =>
+          val b = r.getAs[Long]("bucket")
+          (r.getAs[String]("flag"): Any, r.getAs[Int]("pid"),
+            b * bw, b * bw + (bw - 1L), r.getAs[Long]("resid"))
+        }
+        // current surviving rows, pruned to the target buckets' LITERAL
+        // value ranges (scan-pushable — the q276 move), then refined
+        val current = li.filter(col("l_orderkey") % 4 === 0 ||
+            col("l_suppkey") % 10 =!= 3)
+          .select(col("flag"), col("v"))
+        val inRange = probes.map(p => col("v").between(p._3, p._4))
+          .reduce(_ || _)
+        val resolved = graft.functions.ExactSelect.valuesAtRanks(
+          current.filter(inRange), "flag", "v", probes)
+        val nrs = targetRows.map(r =>
+          r.getAs[String]("flag") -> r.getAs[Long]("nr")).toMap
+        nrs.toSeq.sortBy(_._1).map { case (f, nr) =>
+          org.apache.spark.sql.Row(f, nr, resolved((f, 0)),
+            resolved((f, 1))) }
+      }
+    s.createDataFrame(java.util.Arrays.asList(outRows: _*), outSchema)
   }
 
   // The stored BUCKET histogram q276 maintains: (segment,
