@@ -296,9 +296,20 @@ object ConnectedComponents {
       driverMax: Long = 10000L, maxIter: Int = 50,
       mode: CheckpointMode = LocalCheckpoints): DataFrame = {
     val spark = edges.sparkSession
-    if (edges.count() > driverMax) return run(edges, aCol, bCol, maxIter, mode)
-    val es = edges.select(col(aCol).cast("long"), col(bCol).cast("long"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // ONE bounded collect decides the path AND delivers the edges: the
+    // former count() + collect() pair executed the whole upstream pair
+    // pipeline twice (guide §1.2/§2.4 — don't compute things twice; every
+    // dedup query pays this stage). limit(driverMax + 1) caps driver
+    // memory exactly like the count-gate did: in the small regime it
+    // returns every row (CollectLimit scans all partitions before it can
+    // conclude fewer than the limit exist — the cache-materialization
+    // contract for persisted callers is unchanged), and in the large
+    // regime it short-circuits early and the distributed run() recomputes
+    // from `edges` as before.
+    val lim = edges.select(col(aCol).cast("long"), col(bCol).cast("long"))
+      .limit(driverMax.toInt + 1).collect()
+    if (lim.length > driverMax) return run(edges, aCol, bCol, maxIter, mode)
+    val es = lim.map(r => (r.getLong(0), r.getLong(1)))
       .filter { case (a, b) => a != b }
     val parent = scala.collection.mutable.Map.empty[Long, Long]
     def find(x: Long): Long = {

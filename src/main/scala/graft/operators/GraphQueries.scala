@@ -277,8 +277,28 @@ object Triangles {
         when(lowFirst, col("b")).otherwise(col("a")).as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     RunScopedCache.releaseAfterRun(spark, o)
+    // adjacency persisted: it feeds BOTH broadcast sides of the wedge
+    // probe, and the two BroadcastExchanges differ by a rename so the
+    // planner builds each from scratch — re-running the collect_list
+    // aggregation twice (profiled at sf0.1: 2 × ~25 s of task time,
+    // guide §2.4). The cache materializes at the first broadcast build
+    // and the second reads it; its IMR stays visible in the final plan
+    // (adj is not nested under another persist), so the run-scoped
+    // release fires at the query's own action.
     val adj = o.groupBy("src").agg(collect_list(col("dst")).as("nbrs"))
-    val tri = o
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    RunScopedCache.releaseAfterRun(spark, adj)
+    // the wedge-closure probe is COMPUTE-amplifying (an array_intersect
+    // of two O(√m) lists per oriented edge) over small input bytes, so
+    // AQE coalesces it to a handful of tasks (profiled: 40 s of CPU on 8
+    // tasks at sf0.1) — pin the width to the session's shuffle
+    // parallelism with an explicitly-numbered repartition (the
+    // SimilarityJoin.pinPairWidth discipline; guide §2.5 "compute skew").
+    // (broadcast path only: the shuffle-join fallback re-exchanges on the
+    // join keys anyway, where a round-robin pre-shuffle would be waste)
+    val width = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val probe = if (broadcastTables) o.repartition(width) else o
+    val tri = probe
       .join(bc(adj.select(col("src"), col("nbrs").as("nu"))), "src")
       .join(bc(adj.select(col("src").as("dst"), col("nbrs").as("nv"))), "dst")
       .select(col("src").as("u"), col("dst").as("v"),
@@ -1091,8 +1111,19 @@ object GraphQueries extends QueryGroup {
     val small = nn * HyperBallRegRowBytes <= HyperBallBroadcastBudgetBytes
     // PACKED registers: one row per node carrying all 64 registers
     // (absent = the 2^27 empty-register sentinel), merged elementwise —
-    // an iteration shuffles |E| array rows, never |E|·m register rows
-    val amin = udaf(new graft.functions.ArrayMinAgg(64))
+    // an iteration shuffles |E| array rows, never |E|·m register rows.
+    // The merge is DECLARATIVE: 64 codegen'd `min(element_at(regs, i))`
+    // buffer slots per group instead of the ArrayMinAgg UDAF — the typed
+    // Aggregator deserialized every input row to a boxed Array[Int]
+    // (|E|·64 Integer allocations per round; profiled at sf0.1: the two
+    // merge jobs alone burned 126 s CPU + 70 s GC of task time, guide §4
+    // "prefer built-ins with codegen"). min(element_at) reads the
+    // UnsafeArrayData int slot directly, no allocation; elementwise-min
+    // algebra and ANSI out-of-bounds loudness are unchanged
+    // (HyperBallSpec pins registers; ArrayMinAgg stays the documented
+    // reference operator).
+    val regMins = array((0 until 64).map(i =>
+      min(element_at(col("regs"), i + 1))): _*)
     var reg = hyperBallInitRegs(deg.select(col("src").as("node")))
     val rounds = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (_ <- 1 to 3) {
@@ -1107,7 +1138,7 @@ object GraphQueries extends QueryGroup {
         val nbAgg = edges
           .join(broadcast(reg), edges("src") === reg("node"))
           .select(col("dst").as("node"), col("regs"))
-          .groupBy("node").agg(amin(col("regs")).as("nregs"))
+          .groupBy("node").agg(regMins.as("nregs"))
         reg.join(nbAgg, Seq("node"), "left")
           .select(col("node"), coalesce(
             expr("zip_with(regs, nregs, (x, y) -> least(x, y))"),
@@ -1117,7 +1148,7 @@ object GraphQueries extends QueryGroup {
         val nb = edges.join(reg, edges("src") === reg("node"))
           .select(col("dst").as("node"), col("regs"))
         reg.unionAll(nb).groupBy("node")
-          .agg(amin(col("regs")).as("regs"))
+          .agg(regMins.as("regs"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       }
       rounds += reg

@@ -1337,29 +1337,49 @@ object RelationalQueries extends QueryGroup {
     val li = Tables.lineitem(s, d).select(col("l_returnflag").as("flag"),
       vExpr.as("v"), col("l_orderkey"), col("l_suppkey"))
     val base = li.filter(col("l_orderkey") % 4 =!= 0)
-    val adds = li.filter(col("l_orderkey") % 4 === 0)
-      .select(col("flag"), col("v"))
-    val dels = base.filter(col("l_suppkey") % 10 === 3)
-      .select(col("flag"), col("v"))
     // the MAINTAINED coarse histogram + the ± delta at bucket granularity
     val stored = base.groupBy(col("flag"),
         shiftright(col("v"), 40).as("bucket"))
       .agg(count(lit(1)).as("n"))
+    // dels and adds are disjoint row sets of the SAME scan — one pass
+    // emits both signs (guide §2.3 "aggregate before you shuffle": the
+    // 3-branch union re-scanned lineitem once per branch; measured in
+    // the q281 profile as two extra 0.7-s scan jobs)
+    val deltas = li.filter(col("l_orderkey") % 4 === 0 ||
+        col("l_suppkey") % 10 === 3)
+      .select(col("flag"), shiftright(col("v"), 40).as("bucket"),
+        when(col("l_orderkey") % 4 === 0, lit(1L)).otherwise(lit(-1L))
+          .as("dn"))
     val surviving = stored.select(col("flag"), col("bucket"),
         col("n").as("dn"))
-      .unionByName(dels.select(col("flag"),
-        shiftright(col("v"), 40).as("bucket"), lit(-1L).as("dn")))
-      .unionByName(adds.select(col("flag"),
-        shiftright(col("v"), 40).as("bucket"), lit(1L).as("dn")))
+      .unionByName(deltas)
       .groupBy("flag", "bucket")
       .agg(sum(col("dn")).as("n"))
       .filter(col("n") > 0)
-    // locate the rank-holding bucket + residual rank per target
-    val cum = W.partitionBy("flag").orderBy("bucket")
+    // locate the rank-holding bucket + residual rank per target. The
+    // cumulative sum runs TWO-LEVEL (guide §2.5: a Window partitioned by
+    // 3 flags is a 3-task stage — profiled as a 1.4 s single-task sort
+    // over the ~450k-bucket histogram): an in-chunk prefix sum
+    // parallelized over 2¹²-bucket chunks, plus a chunk-offset join from
+    // the (flag, chunk)-totals frame (tiny — ≤ 2¹⁰ rows per flag, its
+    // own window is trivially cheap). chunk = bucket div 2¹² is monotone
+    // in bucket, so in-chunk-cum + preceding-chunk offset ≡ the flat
+    // per-flag cumulative sum, exactly (integer algebra, no ties).
+    val wIn = W.partitionBy("flag", "chunk").orderBy("bucket")
       .rowsBetween(W.unboundedPreceding, W.currentRow)
-    val located = surviving
-      .withColumn("cum", sum(col("n")).over(cum))
-      .withColumn("nr", sum(col("n")).over(W.partitionBy("flag")))
+    val withIn = surviving
+      .withColumn("chunk", shiftright(col("bucket"), 12))
+      .withColumn("cin", sum(col("n")).over(wIn))
+    val chunkTots = withIn.groupBy("flag", "chunk")
+      .agg(sum(col("n")).as("cn"))
+    val wOff = W.partitionBy("flag").orderBy("chunk")
+      .rowsBetween(W.unboundedPreceding, -1)
+    val offsets = chunkTots
+      .withColumn("off", coalesce(sum(col("cn")).over(wOff), lit(0L)))
+      .withColumn("nr", sum(col("cn")).over(W.partitionBy("flag")))
+      .select(col("flag"), col("chunk"), col("off"), col("nr"))
+    val located = withIn.join(broadcast(offsets), Seq("flag", "chunk"))
+      .withColumn("cum", col("cin") + col("off"))
     def target(id: Int, rank: org.apache.spark.sql.Column) =
       located.withColumn("r", rank)
         .filter(col("cum") >= col("r") && col("cum") - col("n") < col("r"))

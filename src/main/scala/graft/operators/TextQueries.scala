@@ -1120,8 +1120,20 @@ object TextQueries extends QueryGroup {
     * sources' rank in name order, so the min-id component label IS the
     * min-name label the oracle's recursive CTE computes. */
   private val q205: Q = (s, d) => {
+    // The capped universe feeds FOUR executions without this persist: the
+    // component resolution's deciding count + collect (compose-time
+    // actions inside runAdaptive) and the two independent subtrees of the
+    // final plan (sizes→ids and the labeled output) — each re-ran the
+    // full documents scan + md5 + two-exchange distinct/spread pipeline
+    // (guide §2.4: remove repeated shuffles outright; measured 7.4 →
+    // 2.9 s at sf0.1, see OPTIMIZATION_r20.md). supersede right after
+    // persisting because those compose-time actions run BEFORE the
+    // releaseAfterRun registration (the r16 stale-listener hazard);
+    // the release registers after them, below.
     val kept = cappedSourceContents(Tables.documents(s, d), capSources = 16,
       metricName = "q205_mirror_cap")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    RunScopedCache.supersede(s, kept)
     val sizes = kept.groupBy("source").agg(count(lit(1)).as("n"))
     val shared = kept.as("a").join(kept.as("b"),
         col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
@@ -1140,6 +1152,9 @@ object TextQueries extends QueryGroup {
       .join(ids.select(col("source").as("src_b"), col("sid").as("b")), "src_b")
       .select("a", "b")
     val comp = ConnectedComponents.runAdaptive(edges)
+    // register AFTER runAdaptive's compose-time actions: the final
+    // consuming action reads kept's IMR through sizes→ids and releases it
+    RunScopedCache.releaseAfterRun(s, kept)
     val labeled = ids.join(comp, col("sid") === col("node"), "left")
       .select(col("source"), col("n"),
         coalesce(col("component"), col("sid")).as("cid"))

@@ -975,7 +975,16 @@ object VectorQueries extends QueryGroup {
   private def knnEdges(assigned: DataFrame): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
     val gw = W.partitionBy("embedding")
-    val numbered = assigned
+    // pin stage width (the SimilarityJoin.pinPairWidth discipline): the
+    // grouping/ranking stages here are compute-amplifying over small
+    // input BYTES, so AQE coalesces them to ONE task and the whole
+    // pair+rank core serializes (profiled on q252 at sf0.1: a 28-job
+    // chain, every job single-task, 5.2 s wall; guide §2.5). An
+    // explicitly-numbered repartition on the window keys is exempt from
+    // AQE coalescing and the windows reuse it — no second exchange.
+    val width = assigned.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val numbered = assigned.repartition(width, col("embedding"))
       .withColumn("_crn", row_number().over(gw.orderBy("vec_id")))
       .withColumn("grp_id", min("vec_id").over(gw))
     val cand = numbered.filter(col("_crn") <= 4)
@@ -988,6 +997,7 @@ object VectorQueries extends QueryGroup {
     val lists = reps.join(cand, col("cent_id") === col("b_cent"))
       .select(col("grp_id"), col("cent_id"), col("nbr_id"),
         cosineNative(col("g_emb"), col("b_emb")).as("cos"))
+      .repartition(width, col("grp_id")) // same pin for the rank window
       .withColumn("rk4", row_number().over(rw))
       .filter(col("rk4") <= 4)
       .groupBy("grp_id", "cent_id")
