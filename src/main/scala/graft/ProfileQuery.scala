@@ -67,8 +67,12 @@ object ProfileQuery {
         sys.error(s"unknown query: $name"))
       // run 1 warms session JIT/codegen (a cold session charges ~0.5 s of
       // interpreter-mode blocking to EVERY task of the first queries —
-      // measured on q01/q13); run 2 is the reported, representative one
+      // measured on q01/q13); run 2 is the reported, representative one.
+      // run 1's wall is printed too: (run1 − run2) bounds the one-time
+      // memo/fixture build cost for session-memoized queries.
+      val w0 = System.nanoTime()
       fn(spark, sfDir).count()
+      val run1 = (System.nanoTime() - w0) / 1e9
       jobs.clear(); stageToJob.clear()
       spark.sparkContext.setJobDescription(s"profile:$name")
       val t0 = System.nanoTime()
@@ -78,7 +82,8 @@ object ProfileQuery {
       Thread.sleep(300) // let listener events drain
       import scala.jdk.CollectionConverters._
       val rows = jobs.asScala.toSeq.sortBy(_._1)
-      println(f"== $name rows=$n wall=$wall%.2fs jobs=${rows.size}")
+      println(f"== $name rows=$n wall=$wall%.2fs run1=$run1%.2fs " +
+        f"jobs=${rows.size}")
       rows.foreach { case (id, a) =>
         println(f"  job $id%3d wall=${(a.end - a.start) / 1e3}%7.2fs " +
           f"task=${a.taskMs / 1e3}%8.2fs tasks=${a.tasks}%4d " +

@@ -9,20 +9,23 @@ import org.apache.spark.sql.functions._
   * Spark's exact `percentile` buffers every group's values inside one
   * aggregation buffer (memory ∝ largest group — fine until it isn't), and
   * mergeable histograms (q128) trade exactness away. Refinement pays with
-  * PASSES instead — and few of them: each round is ONE grouped 256-bucket
-  * histogram scan (map-side partials; a (groups × ≤257)-row result to the
-  * driver), and the per-group search interval shrinks ≥ 256× per round, so
-  * a cents domain resolves in ⌈log₂₅₆(range)⌉ ≈ 2 passes and even a full
-  * 64-bit domain in 8 — independent of row count. (The first cut was
-  * plain bisection: ~24 passes, measured 23.4 s over 6M rows at sf1; the
-  * 256-ary histogram landed it at pass-count parity with what production
-  * exact-quantile services run.) All groups refine SIMULTANEOUSLY inside
-  * the same scan and leave the probe as they converge.
+  * PASSES instead — and few of them: each round is ONE grouped
+  * [[Fanout]]-bucket histogram scan (map-side partials; a (groups ×
+  * ≤Fanout+1)-row result to the driver), and the per-group search interval
+  * shrinks ≥ Fanout× per round, so a cents domain resolves in
+  * ⌈log₄₀₉₆(range)⌉ = 2 passes and even a full 64-bit domain in 6 —
+  * independent of row count. (The first cut was plain bisection: ~24
+  * passes, measured 23.4 s over 6M rows at sf1; a 256-ary histogram
+  * landed it at pass-count parity with production exact-quantile
+  * services, and the r20 optimization round widened it to 4096 — same
+  * scan cost, one fewer pass at the suite's domain widths.) All groups
+  * refine SIMULTANEOUSLY inside the same scan and leave the probe as
+  * they converge.
   *
   * The invariant per group: the k'-th smallest value INSIDE [lo, hi] is
   * the answer, where k' is maintained as the original rank minus the
   * count of values below lo. A round buckets v by
-  * `(v − lo) div width`, width = (hi − lo) div 256 + 1; the driver walks
+  * `(v − lo) div width`, width = (hi − lo) div Fanout + 1; the driver walks
   * the cumulative bucket counts to the bucket containing rank k',
   * subtracts the mass below it from k', and narrows [lo, hi] to that
   * bucket. When width = 1 a bucket IS a value and the group converges.
@@ -139,7 +142,18 @@ object ExactSelect {
     finally base.unpersist()
   }
 
-  /** The shared 256-ary refinement loop: narrow every open probe's
+  /** Histogram fan-out per refinement round. Raised 256 → 4096 in the
+    * r20 optimization pass: each round is one grouped counting scan (the
+    * dominant cost — the driver-side walk over the collected histogram is
+    * microseconds either way), so a 4096-ary round resolves a cents
+    * domain in 2 scans instead of 3 and a 2⁴⁰-wide q281 bucket in 4
+    * instead of 5. The collected histogram stays driver-small: ≤
+    * min(interval population, Fanout) NONEMPTY buckets per open probe —
+    * tens of KB at the suite's group×percentile shapes. Every value is
+    * exact at any fan-out (spec-pinned against sorted references). */
+  private val Fanout = 4096L
+
+  /** The shared fan-out-ary refinement loop: narrow every open probe's
     * (lo, hi, k) one histogram round at a time until lo == hi; returns
     * each probe's exact value. One grouped scan per round over `base`
     * (cached by the caller), all probes simultaneously. */
@@ -150,7 +164,7 @@ object ExactSelect {
     while (live.exists { case (_, (lo, hi, _)) => lo < hi }) {
       val open = live.filter { case (_, (lo, hi, _)) => lo < hi }
       val widths = open.map { case (gp, (lo, hi, _)) =>
-        gp -> ((hi - lo) / 256L + 1L) }
+        gp -> ((hi - lo) / Fanout + 1L) }
       val byG: Map[Any, Seq[(Int, Long, Long, Long)]] = open.toSeq
         .map { case ((g, p), (lo, hi, _)) =>
           g -> ((p, lo, hi, widths((g, p)))) }

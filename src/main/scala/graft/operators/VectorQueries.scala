@@ -1194,7 +1194,13 @@ object VectorQueries extends QueryGroup {
     // volume drops from members×candidates to groups×candidates — the
     // duplicate factor leaves both argmax stages.
     val gw = Window.partitionBy("label", "embedding")
-    val numbered = asg
+    // pin stage width (the knnEdges/pinPairWidth discipline): the grouped
+    // argmax stages are compute-amplifying over small bytes, so AQE
+    // coalesces them to single tasks and the chain serializes (profiled
+    // at sf0.1: a 19-job near-single-task chain, 2.8 s warm)
+    val width = asg.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val numbered = asg.repartition(width, col("label"), col("embedding"))
       .withColumn("_arn", row_number().over(gw.orderBy("vec_id")))
       .withColumn("grp_id", min("vec_id").over(gw))
     val reps = numbered.filter(col("_arn") === 1)
@@ -1205,6 +1211,7 @@ object VectorQueries extends QueryGroup {
       .join(keep2(Seq("label")), col("label") === col("a_label"))
       .select(col("grp_id"), col("vec_id").as("pos_id"),
         cosineNative(col("a_emb"), col("embedding")).as("pos_cos"))
+      .repartition(width, col("grp_id")) // same pin for the rank window
       .withColumn("rn", row_number().over(Window.partitionBy("grp_id")
         .orderBy(col("pos_cos").desc_nulls_last, col("pos_id"))))
       .filter(col("rn") <= 2)
@@ -1226,6 +1233,7 @@ object VectorQueries extends QueryGroup {
         col("cent_id") === col("a_cell") && col("label") =!= col("a_label"))
       .select(col("grp_id"), col("vec_id").as("neg_id"),
         cosineNative(col("a_emb"), col("embedding")).as("neg_cos"))
+      .repartition(width, col("grp_id")) // same pin for the rank window
       .withColumn("rn", row_number().over(Window.partitionBy("grp_id")
         .orderBy(col("neg_cos").desc_nulls_last, col("neg_id"))))
       .filter(col("rn") === 1).drop("rn")
