@@ -25,6 +25,18 @@ object GraftSession {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    // ObjectHashAggregate (every collect_list/collect_set and typed/
+    // imperative aggregate: q133's adjacency build, knnEdges' candidate
+    // lists, q254's register merge) falls back to SORT-BASED aggregation
+    // after this many distinct keys in one task's hash map — and Spark's
+    // default is 128, so at any real group count those stages silently
+    // sort their full input (r20 profile: q254's 12M-row merge rounds
+    // each re-sorted ~3 GB; the q133 adjacency paid the same). 64k keys
+    // × ~1 KB typical buffer ≈ 64 MB per task — bounded at any scale
+    // (it is a per-task cap, not a per-executor one); deployments with
+    // giant per-group buffers can lower it back per session.
+    .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      "65536")
     // Partition columns written by the ETL sink are zero-padded strings
     // ("pickup_location=007"); never re-infer them as ints on read.
     .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")

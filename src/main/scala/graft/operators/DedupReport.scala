@@ -116,10 +116,20 @@ object DedupReport {
     * members carry just (doc_id, rep), so a persisted projection shrinks
     * with the dup rate instead of pinning the full corpus text. */
   private def groupCollapsed(documents: DataFrame): DataFrame = {
-    val grpW = Window.partitionBy(col("source"),
-      coalesce(when(col("text").isNotNull, TextFunctions.fingerprint(col("text"))),
-        concat(lit("\tnull:"), col("doc_id"))))
+    // fingerprint materialized as a column so the width pin can
+    // repartition on it (the window then reuses the exchange) — the
+    // fingerprint kernel over the whole corpus otherwise ran inside ONE
+    // AQE-coalesced task (r20 profile: a 2.4 s single-task job with 2 s
+    // of CPU on the q154 memo build; the pinPairWidth discipline)
+    val width = documents.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val grpW = Window.partitionBy(col("source"), col("__fp"))
     documents
+      .select(col("doc_id"), col("source"), col("text"),
+        coalesce(when(col("text").isNotNull,
+            TextFunctions.fingerprint(col("text"))),
+          concat(lit("\tnull:"), col("doc_id"))).as("__fp"))
+      .repartition(width, col("source"), col("__fp"))
       .select(col("doc_id"), col("source"), col("text"),
         min(col("doc_id")).over(grpW).as("rep"))
       .select(col("doc_id"), col("source"), col("rep"),

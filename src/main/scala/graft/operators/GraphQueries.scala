@@ -1112,18 +1112,20 @@ object GraphQueries extends QueryGroup {
     // PACKED registers: one row per node carrying all 64 registers
     // (absent = the 2^27 empty-register sentinel), merged elementwise —
     // an iteration shuffles |E| array rows, never |E|·m register rows.
-    // The merge is DECLARATIVE: 64 codegen'd `min(element_at(regs, i))`
-    // buffer slots per group instead of the ArrayMinAgg UDAF — the typed
-    // Aggregator deserialized every input row to a boxed Array[Int]
-    // (|E|·64 Integer allocations per round; profiled at sf0.1: the two
-    // merge jobs alone burned 126 s CPU + 70 s GC of task time, guide §4
-    // "prefer built-ins with codegen"). min(element_at) reads the
-    // UnsafeArrayData int slot directly, no allocation; elementwise-min
-    // algebra and ANSI out-of-bounds loudness are unchanged
-    // (HyperBallSpec pins registers; ArrayMinAgg stays the documented
-    // reference operator).
-    val regMins = array((0 until 64).map(i =>
-      min(element_at(col("regs"), i + 1))): _*)
+    // The merge is the NATIVE [[graft.plans.RegMinAgg]] (r20 optimization
+    // round, guide §4): the ArrayMinAgg UDAF's encoder boundary boxed
+    // every input row to Array[Int] (measured at sf0.1: 126 s task CPU +
+    // 70 s GC in the two merge jobs), and an interim 64-slot
+    // min(element_at) declarative form traded the GC away for ~28 µs/row
+    // of per-expression update overhead (341 s task CPU at sf1). The
+    // imperative int[]-buffer aggregate does neither: zero per-row
+    // allocation, one 64-int min loop per row. Same elementwise-min
+    // algebra, loud on malformed input (RegMinAggSpec / ArrayMinAggSpec).
+    // (A 64-slot declarative min(element_at) form was also measured:
+    // no boxing, but 64 per-row expression updates cost 291 s CPU + 42 s
+    // GC vs reg_min's 190 s CPU + 7 s GC on the same sf1 run pair —
+    // task-CPU sums, the load-insensitive metric.)
+    val regMins = call_function("reg_min", col("regs"), lit(64))
     var reg = hyperBallInitRegs(deg.select(col("src").as("node")))
     val rounds = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (_ <- 1 to 3) {
@@ -1153,6 +1155,19 @@ object GraphQueries extends QueryGroup {
       }
       rounds += reg
     }
+    // materialize the round caches SEQUENTIALLY before composing the
+    // readout (r20 optimization round): left lazy, all three nested
+    // persists populated inside the ONE final action — whose plan reads
+    // rounds(0) and rounds(1) both directly (ballSum branches) and
+    // nested inside rounds(2)'s lineage, so concurrent stages raced to
+    // compute the same un-populated cache (profiled at sf1: 8–33 s jobs
+    // of near-zero CPU blocked on cache population plus duplicate merge
+    // work). Three |V|-row counts are noise; each round now computes
+    // exactly once, reading the PREVIOUS round's completed cache.
+    // Release listeners register AFTER these counts (the round-11
+    // PageRank lesson: registered before, each count would release the
+    // cache it just built).
+    rounds.foreach(_.count())
     def ballSum(r: DataFrame, tag: String): DataFrame =
       r.select(col("node"), expr(
         "aggregate(regs, CAST(0 AS BIGINT), (a, x) -> a + CAST(x AS BIGINT))")

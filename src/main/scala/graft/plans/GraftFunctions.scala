@@ -74,6 +74,9 @@ object GraftFunctions {
     ("md5_buckets", classOf[Md5Buckets], 2,
       (c: Seq[Expression]) => Md5Buckets(c(0),
         intLit(c(1), "md5_buckets", "buckets"))),
+    ("reg_min", classOf[RegMinAgg], 2,
+      (c: Seq[Expression]) => RegMinAgg(c(0),
+        intLit(c(1), "reg_min", "m"))),
     ("weight_lookup_sum", classOf[WeightLookupSum], 2,
       (c: Seq[Expression]) => WeightLookupSum(c(0), c(1))),
     ("wordpiece_encode", classOf[WordPieceEncode], 2,
