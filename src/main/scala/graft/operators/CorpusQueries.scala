@@ -422,6 +422,52 @@ object CorpusQueries extends QueryGroup {
     CorpusOps.collapseRepeats(Tables.documents(s, d), "doc_id")
       .orderBy("doc_id")
 
+  // one scored-classifier parquet per (session, sfDir) — the q126 model
+  // refit + whole-corpus scoring is the derivation NINE declared queries
+  // share (q126/q179/q188/q208/q209/q214/q225/q228/q229: selection,
+  // calibration, confusion, AUC, operating point, conformal, gains,
+  // isotonic, McNemar), previously re-trained and re-scored per query.
+  // Resolved ONCE per (session, testdata dir) and materialized to a
+  // session-scoped temp parquet they all scan — the assignComponentsMemo
+  // pattern: a RunScopedCache persist cannot span independent declared
+  // queries (each consumer's own actions would release it), so the memo
+  // is a derived TABLE. That is also the production shape: at 100 TB the
+  // scored corpus IS the stored artifact of the quality-filter stage —
+  // trained and scored once, consumed by every eval/calibration/selection
+  // readout, never refit per report. Rows are identical to a fresh
+  // scoring (deterministic pipeline: exact BIGINT association weights,
+  // md5 train split — the consumers' DuckDB oracles recompute end-to-end
+  // from raw documents and still hash-match; ClassifierSpec pins the
+  // operator itself).
+  private val clsScoresMemo = new java.util.WeakHashMap[
+    org.apache.spark.sql.SparkSession,
+    scala.collection.mutable.Map[String, String]]()
+
+  private[operators] def classifierScoresMemo(
+      s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val perSession = clsScoresMemo.synchronized {
+      var m = clsScoresMemo.get(s)
+      if (m == null) {
+        m = scala.collection.mutable.Map.empty[String, String]
+        clsScoresMemo.put(s, m)
+      }
+      m
+    }
+    val path = perSession.synchronized {
+      perSession.getOrElseUpdate(d, {
+        val p = TempDirs.scoped("graft-classifier-scores")
+        // the write IS the run-scoped action that releases the internal
+        // cached feature projection registered by classifierScores
+        CorpusOps.classifierScores(Tables.documents(s, d), "doc_id",
+            col("lang") === "en", 4096)
+          .write.mode("overwrite").parquet(p)
+        p
+      })
+    }
+    s.read.parquet(path)
+  }
+
   /** Q126: classifier-based quality filtering —
     * [[CorpusOps.classifierScores]] with the `lang = 'en'` slice as the
     * positive (curated) class and B = 4096 hash buckets: the GPT-3-style
@@ -432,10 +478,11 @@ object CorpusQueries extends QueryGroup {
     * q106 md5 split), so DuckDB refits the model and rescores every
     * document end-to-end. Selection = `predicted`/`margin`; downstream a
     * mix builder thresholds or importance-samples on the margin (q80's
-    * weighted sampler composes directly). */
+    * weighted sampler composes directly). Reads the shared
+    * [[classifierScoresMemo]] (scored once per session, the nine-consumer
+    * note there). */
   private val q126: Q = (s, d) =>
-    CorpusOps.classifierScores(Tables.documents(s, d), "doc_id",
-        col("lang") === "en", 4096)
+    classifierScoresMemo(s, d)
       .orderBy("doc_id")
 
   /** Q118: sequence packing — [[CorpusOps.packSequences]] at a 128-token
@@ -1065,8 +1112,7 @@ object CorpusQueries extends QueryGroup {
     * pass over the already-scored holdout; the verdict a filter owner
     * reads before trusting q126's keep decisions. */
   private val q188: Q = (s, d) => {
-    val scored = CorpusOps.classifierScores(Tables.documents(s, d),
-        "doc_id", col("lang") === "en", 4096)
+    val scored = classifierScoresMemo(s, d)
       .filter(!col("is_train"))
     // coalesce: on an EMPTY holdout sum() is NULL while the oracle's
     // count(CASE) is 0 — the counts must stay integers either way
@@ -1105,8 +1151,7 @@ object CorpusQueries extends QueryGroup {
     * exactly like [[CorpusOps.decileBinDistributed]] — the scan and
     * histogram, the data-sized passes, are already distributed). */
   private val q208: Q = (s, d) => {
-    val h = CorpusOps.classifierScores(Tables.documents(s, d),
-        "doc_id", col("lang") === "en", 4096)
+    val h = classifierScoresMemo(s, d)
       .filter(!col("is_train"))
       .groupBy("margin").agg(
         sum(when(col("is_pos"), 1L).otherwise(0L)).as("p"),
@@ -1143,8 +1188,7 @@ object CorpusQueries extends QueryGroup {
     * distinct-margin-sized; the windows run over it only (the q208 scale
     * note applies verbatim). */
   private val q209: Q = (s, d) => {
-    val h = CorpusOps.classifierScores(Tables.documents(s, d),
-        "doc_id", col("lang") === "en", 4096)
+    val h = classifierScoresMemo(s, d)
       .filter(!col("is_train"))
       .groupBy("margin").agg(
         sum(when(col("is_pos"), 1L).otherwise(0L)).as("p"),
@@ -1201,8 +1245,7 @@ object CorpusQueries extends QueryGroup {
     * [[CorpusOps.decileBinDistributed]] at scale; the cumulative window
     * runs over 10 decile rows. */
   private val q225: Q = (s, d) => {
-    val scored = CorpusOps.classifierScores(Tables.documents(s, d),
-        "doc_id", col("lang") === "en", 4096)
+    val scored = classifierScoresMemo(s, d)
       .filter(!col("is_train"))
       .select("doc_id", "is_pos", "margin")
     val cnt = scored.agg(count(lit(1)).as("n"),
@@ -1259,8 +1302,7 @@ object CorpusQueries extends QueryGroup {
     * is already the small side); the closed form IS the spec both
     * implement. */
   private val q228: Q = (s, d) =>
-    isotonicFit(CorpusOps.classifierScores(Tables.documents(s, d),
-        "doc_id", col("lang") === "en", 4096)
+    isotonicFit(classifierScoresMemo(s, d)
       .filter(!col("is_train"))
       .groupBy("margin").agg(
         count(lit(1)).as("n"),
@@ -1451,8 +1493,7 @@ object CorpusQueries extends QueryGroup {
     * a single fold to one row. */
   private val q229: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-    val cls = CorpusOps.classifierScores(docs, "doc_id",
-        col("lang") === "en", 4096)
+    val cls = classifierScoresMemo(s, d)
       .filter(!col("is_train"))
       .select(col("doc_id"), col("is_pos"), col("predicted").as("cls_keep"))
     val gop = CorpusOps.gopherFlags(docs, "doc_id")
@@ -1553,14 +1594,13 @@ object CorpusQueries extends QueryGroup {
     * reports realized positive coverage and the negative false-keep rate
     * (exact counts, integer per-mille, ONE double division each — the
     * q95 contract). Shape: ONE scored frame feeds both halves inside one
-    * action (the classifierScores base cache is run-scoped); the rank
+    * action (the shared [[classifierScoresMemo]] parquet); the rank
     * window runs over CALIBRATION POSITIVES only (eval-set-sized, never
     * the corpus — at 100 TB the order statistic swaps to the q83
     * `decileBinDistributed` range-partition form); the 1-row threshold
     * broadcasts. */
   private val q214: Q = (s, d) => {
-    val scored = CorpusOps.classifierScores(Tables.documents(s, d),
-        "doc_id", col("lang") === "en", 4096)
+    val scored = classifierScoresMemo(s, d)
       .filter(!col("is_train"))
       .select(col("doc_id"), col("is_pos"), col("margin"),
         (call_function("md5_prefix32",
@@ -1610,8 +1650,7 @@ object CorpusQueries extends QueryGroup {
     * binning swaps to `decileBinDistributed`, the q83 contract — scoring,
     * the data-sized pass, is unchanged). */
   private val q179: Q = (s, d) => {
-    val scored = CorpusOps.classifierScores(Tables.documents(s, d),
-        "doc_id", col("lang") === "en", 4096)
+    val scored = classifierScoresMemo(s, d)
       .filter(!col("is_train"))
       .select("doc_id", "is_pos", "margin")
     val cnt = scored.agg(count(lit(1)).as("n"))

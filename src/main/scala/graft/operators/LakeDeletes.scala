@@ -182,9 +182,20 @@ object LakeDeletes {
       at < sorted.length && sorted(at) <= hi
     }
     val idCond = col(idCol).isin(sorted.map(Long.box).toSeq: _*)
-    var touched = 0
-    var deleted = 0L
-    candidates.foreach { case (p, _, _, rowsBefore) =>
+    val touched = new java.util.concurrent.atomic.AtomicInteger(0)
+    val deleted = new java.util.concurrent.atomic.AtomicLong(0L)
+    // Per-candidate work items are INDEPENDENT — disjoint files, each with
+    // its own staged name and its own count/write jobs — so they run
+    // through a small driver thread pool (guide §2.6 "overlap independent
+    // jobs"): the per-file protocol (membership count → staged survivor
+    // write → rename commit) is byte-identical to the sequential form,
+    // only the driver-side latency between the tiny jobs (footer read,
+    // plan build, job submit, renames) now overlaps. The r20 profile of
+    // an 8-file erase measured more wall BETWEEN its ~16 jobs than in
+    // them. Crash safety is unchanged: each file's staged write commits
+    // independently, and a crash mid-pool leaves per-file states that
+    // [[replayStaging]] already heals.
+    def eraseOne(p: Path, rowsBefore: Long): Unit = {
       val df = spark.read.parquet(p.toString)
       val hit = df.filter(idCond).count()
       if (hit > 0L) {
@@ -211,13 +222,33 @@ object LakeDeletes {
         } else {
           fs.delete(p, false) // every row erased: the file just goes
         }
-        touched += 1
-        deleted += hit
+        touched.incrementAndGet()
+        deleted.addAndGet(hit)
       }
+    }
+    if (candidates.size <= 1) {
+      candidates.foreach { case (p, _, _, rowsBefore) =>
+        eraseOne(p, rowsBefore) }
+    } else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(8, candidates.size))
+      try {
+        val futures = candidates.map { case (p, _, _, rowsBefore) =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            override def call(): Unit = eraseOne(p, rowsBefore)
+          })
+        }
+        // .get() propagates the first per-file failure (unwrapped below
+        // so callers keep seeing the original IOException)
+        try futures.foreach(_.get())
+        catch { case e: java.util.concurrent.ExecutionException =>
+          throw e.getCause }
+      } finally pool.shutdown()
     }
     val stage = stagingDir(dir)
     if (fs.exists(stage) && fs.listStatus(stage).isEmpty)
       fs.delete(stage, true)
-    EraseReport(ranges.length, candidates.length, touched, deleted)
+    EraseReport(ranges.length, candidates.length, touched.get(),
+      deleted.get())
   }
 }

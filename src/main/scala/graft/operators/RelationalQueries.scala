@@ -1196,10 +1196,15 @@ object RelationalQueries extends QueryGroup {
     * is deliberate: the collected targets are ≤ 2 ranks per segment BY
     * CONSTRUCTION, and collecting them is what lets the drill-down push
     * LITERAL value ranges to the parquet reader (a join filter never
-    * reaches it). No RunScopedCache is registered anywhere in this
-    * query, so the r16 compose-time/release-listener interplay cannot
-    * arise; any future persist added here must re-read that history
-    * first (operators/package.scala).
+    * reaches it). The latest-wins frame is RunScopedCache-persisted
+    * under the compose-time-action discipline (supersede right after
+    * persisting — its first consuming action runs BEFORE its own
+    * release registration, the r16 hazard; releaseAfterRun registered
+    * only AFTER the locate collect, the round-11 rule — the readout's
+    * final action reads the same IMR twice and releases it): without
+    * the cache the per-custkey window recomputed FOUR times per run
+    * (retract + add at locate, anti-join + add at readout — the r20
+    * profile).
     *
     * DOMAIN BOUND (one level, honest): 2¹³-cent buckets are sized for a
     * cents domain (≈ 2²⁰ distinct values → ≈ 2⁷ buckets per segment,
@@ -1225,6 +1230,16 @@ object RelationalQueries extends QueryGroup {
     val latest = feed.withColumn("rn", row_number().over(
         W.partitionBy("c_custkey").orderBy(col("seq").desc)))
       .filter(col("rn") === 1).drop("rn", "seq")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // compose-time actions below consume this cache BEFORE its release
+    // listener registers — clear any stale equivalent listener NOW (the
+    // r16 hazard; the SimilarityJoin.staged rule)
+    RunScopedCache.supersede(s, latest)
+    // materialize BEFORE the two-branch locate consumes it: the p50/p90
+    // union branches otherwise race to populate the cache concurrently
+    // (the q254 round-cache lesson — profiled here as two 65-task jobs
+    // of ~30 s task time at ~4 s CPU, tasks blocked on population)
+    latest.count()
     val base = Tables.customer(s, d)
       .select(col("c_custkey"), col("c_mktsegment").as("seg"),
         col("c_acctbal"))
@@ -1250,12 +1265,6 @@ object RelationalQueries extends QueryGroup {
     val located = surviving
       .withColumn("cum", sum(col("n")).over(cum))
       .withColumn("nr", sum(col("n")).over(tot))
-    def target(which: String, rank: org.apache.spark.sql.Column) =
-      located.withColumn("r", rank)
-        .filter(col("cum") >= col("r") && col("cum") - col("n") < col("r"))
-        .select(col("seg"), col("bucket"),
-          (col("r") - (col("cum") - col("n"))).as("resid"),
-          lit(which).as("which"), col("nr"))
     // the target set is driver-sized BY CONSTRUCTION (≤ 2 ranks per
     // segment) — collect it ONCE: (a) the literal value ranges on the
     // stored column (bucket b covers cents [b·2¹³, b·2¹³ + 2¹³−1],
@@ -1266,10 +1275,29 @@ object RelationalQueries extends QueryGroup {
     // row-group-pruned scan (R19QuerySemanticsSpec pins the metric);
     // (b) the broadcast refinement frame for the exact (seg, bucket)
     // residual-rank join, rebuilt from the SAME collected rows so the
-    // locate pipeline runs exactly once
-    val targets0 = target("p50", expr("(nr + 1) div 2"))
-      .unionByName(target("p90", expr("(9 * nr + 9) div 10")))
+    // locate pipeline runs exactly once.
+    // BOTH ranks probe in ONE pass: a per-row explode of the two
+    // (which, rank) candidates then the rank-holding filter — the
+    // earlier two-branch union re-executed the whole locate pipeline
+    // per rank (r20 profile: two 65-task jobs of ~16 s task time each;
+    // branch k ≡ the explode rows with its `which`, so the rows are
+    // identical)
+    val targets0 = located
+      .select(col("seg"), col("bucket"), col("n"), col("cum"), col("nr"),
+        explode(array(
+          struct(lit("p50").as("which"), expr("(nr + 1) div 2").as("r")),
+          struct(lit("p90").as("which"),
+            expr("(9 * nr + 9) div 10").as("r")))).as("t"))
+      .filter(col("cum") >= col("t.r") &&
+        col("cum") - col("n") < col("t.r"))
+      .select(col("seg"), col("bucket"),
+        (col("t.r") - (col("cum") - col("n"))).as("resid"),
+        col("t.which").as("which"), col("nr"))
     val targetRows = targets0.collect()
+    // release registered only AFTER the compose-time locate actions (the
+    // round-11 rule): the readout plan below reads the cached `latest`
+    // IMR twice and its consuming action fires the release
+    RunScopedCache.releaseAfterRun(s, latest)
     val targets = s.createDataFrame(
       java.util.Arrays.asList(targetRows: _*), targets0.schema)
     val targetBuckets = targetRows.map(_.getAs[Long]("bucket"))
@@ -1380,14 +1408,20 @@ object RelationalQueries extends QueryGroup {
       .select(col("flag"), col("chunk"), col("off"), col("nr"))
     val located = withIn.join(broadcast(offsets), Seq("flag", "chunk"))
       .withColumn("cum", col("cin") + col("off"))
-    def target(id: Int, rank: org.apache.spark.sql.Column) =
-      located.withColumn("r", rank)
-        .filter(col("cum") >= col("r") && col("cum") - col("n") < col("r"))
-        .select(col("flag"), col("bucket"),
-          (col("r") - (col("cum") - col("n"))).as("resid"),
-          lit(id).as("pid"), col("nr"))
-    val targetRows = target(0, expr("(nr + 1) div 2"))
-      .unionByName(target(1, expr("(9 * nr + 9) div 10"))).collect()
+    // both ranks probe in ONE pass (the q276 explode fusion — the
+    // two-branch union re-executed the whole locate pipeline per rank)
+    val targetRows = located
+      .select(col("flag"), col("bucket"), col("n"), col("cum"), col("nr"),
+        explode(array(
+          struct(lit(0).as("pid"), expr("(nr + 1) div 2").as("r")),
+          struct(lit(1).as("pid"),
+            expr("(9 * nr + 9) div 10").as("r")))).as("t"))
+      .filter(col("cum") >= col("t.r") &&
+        col("cum") - col("n") < col("t.r"))
+      .select(col("flag"), col("bucket"),
+        (col("t.r") - (col("cum") - col("n"))).as("resid"),
+        col("t.pid").as("pid"), col("nr"))
+      .collect()
     val lt = org.apache.spark.sql.types.LongType
     val outSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("l_returnflag",
