@@ -11,6 +11,22 @@ import org.apache.spark.sql.functions._
 class ClassifierSpec extends SparkSpec {
   import spark.implicits._
 
+  test("classifierScoresMemo ≡ fresh classifierScores (and is stable across calls)") {
+    def key(r: org.apache.spark.sql.Row) = r.getLong(0) ->
+      ((r.getBoolean(1), r.getBoolean(2), r.getLong(3), r.getLong(4),
+        r.getBoolean(5)))
+    val fresh = CorpusOps.classifierScores(
+        graft.Tables.documents(spark, sfDir), "doc_id",
+        col("lang") === "en", 4096)
+      .collect().map(key).toMap
+    val memo1 = CorpusQueries.classifierScoresMemo(spark, sfDir)
+      .collect().map(key).toMap
+    val memo2 = CorpusQueries.classifierScoresMemo(spark, sfDir)
+      .collect().map(key).toMap
+    assert(memo1 == fresh)
+    assert(memo2 == fresh)
+  }
+
   private def md5Prefix32(s: String): Long = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8"))

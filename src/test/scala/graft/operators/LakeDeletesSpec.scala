@@ -49,6 +49,27 @@ class LakeDeletesSpec extends SparkSpec {
     assert(left == (0L to 299L).filterNot(ids.contains))
   }
 
+  test("many-file erase (concurrent per-file path): all files touched, survivors exact") {
+    // 12 files, every one carrying a hit — exercises the pooled
+    // per-file path (count + staged write + rename commit per file,
+    // concurrently) end to end
+    val dir = tmpDir("lakedel-many")
+    (0 until 12).foreach { f =>
+      (f * 50 until (f + 1) * 50)
+        .map(i => (i.toLong, s"src${i % 4}", s"text $i"))
+        .toDF("doc_id", "source", "text")
+        .coalesce(1).write.mode("append").parquet(s"$dir/data")
+    }
+    val ids = (0L until 600L by 25L).toSeq // two hits per file
+    val rep = LakeDeletes.erase(spark, s"$dir/data", ids, "doc_id")
+    assert(rep.filesTotal == 12 && rep.filesTouched == 12 &&
+      rep.rowsDeleted == ids.size.toLong, rep)
+    val left = spark.read.parquet(s"$dir/data")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(left == (0L until 600L).filterNot(ids.contains))
+    assert(!fs.exists(new Path(s"$dir/data/.erase-staging")))
+  }
+
   test("re-running the same batch touches zero files") {
     val dir = buildLake()
     LakeDeletes.erase(spark, s"$dir/data", Seq(42L, 250L), "doc_id")
