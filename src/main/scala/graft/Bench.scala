@@ -29,6 +29,13 @@ import org.apache.spark.sql.SparkSession
   * inline error map at 3 entries (the full map stays on the detail line)
   * so a many-failure run can't outgrow the tail window exactly when
   * diagnosis matters.
+  *
+  * Host-contention honesty (r21, additions-only): the compact line also
+  * carries `"load":[pre,post]` (1-min loadavg around the whole run) and
+  * `"qmin":{…}` — per-headline-query MIN over the same 3 samples, keyed
+  * by the unique leading qNN token. Medians answer "typical run on this
+  * host"; mins are the defensible cross-round comparator when the host
+  * was contended (see CLAUDE.md's 50.5 s vs 145 s same-build note).
   */
 object Bench {
 
@@ -85,6 +92,17 @@ object Bench {
       }
     }.toOption.flatten
 
+  /** 1-minute loadavg, best-effort (Linux /proc; -1.0 when unreadable).
+    * Carried on the compact line as `"load":[pre,post]` so a reader can
+    * tell a contended-host run from a quiet one — the r20 driver runs
+    * measured 2.5–4× inflation on UNTOUCHED scan queries and the record
+    * carried no way to see it (VERDICT r20 item 2). */
+  private def loadavg1(): Double =
+    scala.util.Try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.split("\\s+")(0).toDouble finally src.close()
+    }.getOrElse(-1.0)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -100,6 +118,7 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     // SPARK_GRAFT_ONLY=q37_dedup_jaccard,q66_dedup_components restricts the
     // run for A/B iteration; unset (the driver's mode) runs everything
+    val loadPre = loadavg1()
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -148,6 +167,13 @@ object Bench {
       sample1.get(n).map(s1 => n -> (s1 +: extra.flatMap(_.get(n))))
     }
     val medians = headSamples.map { case (n, ss) => n -> median(ss) }
+    // per-query MIN over the same 3 samples — the only defensible
+    // estimator under host memory-bandwidth contention (identical builds
+    // measured 50.5 s vs 145 s; the r20 driver runs were 2.5–4× inflated
+    // on untouched queries). ADDITIVE: `queries` keeps the medians; keys
+    // are shortened to the unique leading qNN token to hold the compact
+    // line under the ~1.5 KB tail budget.
+    val mins = headSamples.map { case (n, ss) => n -> ss.min }
     val lostSamples = headSamples.collect {
       case (n, ss) if ss.size < 3 => n -> (3 - ss.size)
     }
@@ -170,7 +196,13 @@ object Bench {
     val lost = if (lostSamples.isEmpty) ""
       else s""","lost_samples":${obj(lostSamples.map { case (n, k) =>
         n -> k.toString })}"""
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","nq":${ok.size},"nerr":${failed.size},"med":3$lost,"queries":$qsShort,"errors":$errShort,"sf":"$sfDir"}""")
+    // unique leading token (q133_graph_triangles -> q133); headline names
+    // are chosen so these never collide
+    val qmin = obj(mins.map { case (n, v) =>
+      n.takeWhile(_ != '_') -> f"$v%.3f" })
+    val loadPost = loadavg1()
+    val load = f""","load":[$loadPre%.2f,$loadPost%.2f]"""
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","nq":${ok.size},"nerr":${failed.size},"med":3$lost$load,"qmin":$qmin,"queries":$qsShort,"errors":$errShort,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

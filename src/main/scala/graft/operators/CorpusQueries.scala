@@ -1785,10 +1785,11 @@ object CorpusQueries extends QueryGroup {
         val b3 = docs.filter(col("doc_id") % 7 === 0)
           .withColumn("text", concat(col("text"), lit(" rev")))
           .withColumn("qc_flag", lit(true))
-        LakeAudit.writeAuditPublish(s, b0, dir, "b0", rules)
-        LakeAudit.writeAuditPublish(s, b1, dir, "b1", rules)
-        LakeAudit.writeAuditPublish(s, b2, dir, "b2", rules)
-        LakeAudit.writeAuditPublish(s, b3, dir, "b3", rules)
+        // pipelined: stage+audit of the four batches overlap, commits land
+        // in list order — log identical to four sequential publishes
+        // (b0→1, b1 quarantined, b2→2, b3→3)
+        LakeAudit.writeAuditPublishPipelined(s, dir,
+          Seq("b0" -> b0, "b1" -> b1, "b2" -> b2, "b3" -> b3), rules)
         // a LATER compaction must not change any as-of snapshot
         graft.etl.LakeCompaction.compact(s, s"$dir/data", 64L << 20)
         dir
@@ -1902,10 +1903,12 @@ object CorpusQueries extends QueryGroup {
           .select(col("doc_id"), col("source"), col("text"))
         val rules = Seq(LakeAudit.Rule("doc_id_not_null",
           col("doc_id").isNotNull))
-        LakeAudit.writeAuditPublish(s,
-          docs.filter(col("doc_id") % 3 === 0), dir, "b0", rules)
-        LakeAudit.writeAuditPublish(s,
-          docs.filter(col("doc_id") % 3 === 2), dir, "b2", rules)
+        // b0/b2 publish pipelined (independent stage+audit, in-order
+        // commits); the erasure and b3 stay sequential — both depend on
+        // the published-lake state preceding them in the log
+        LakeAudit.writeAuditPublishPipelined(s, dir, Seq(
+          "b0" -> docs.filter(col("doc_id") % 3 === 0),
+          "b2" -> docs.filter(col("doc_id") % 3 === 2)), rules)
         // the GDPR batch: published docs with doc_id ≡ 4 (mod 11) —
         // driver-sized (the LakeDeletes deletion-list shape)
         val ids = docs
@@ -2055,14 +2058,13 @@ object CorpusQueries extends QueryGroup {
           .select(col("doc_id"), col("source"), col("text"))
         val rules = Seq(LakeAudit.Rule("doc_id_not_null",
           col("doc_id").isNotNull))
-        LakeAudit.writeAuditPublish(s,
-          docs.filter(col("doc_id") % 3 === 0), dir, "b0", rules)
-        LakeAudit.writeAuditPublish(s,
-          docs.filter(col("doc_id") % 3 === 2), dir, "b2", rules)
-        LakeAudit.writeAuditPublish(s,
-          docs.filter(col("doc_id") % 7 === 0)
-            .withColumn("text", concat(col("text"), lit(" rev"))),
-          dir, "b3", rules)
+        // pipelined stage+audit, in-order commits (b0→1, b2→2, b3→3 —
+        // identical log to three sequential publishes)
+        LakeAudit.writeAuditPublishPipelined(s, dir, Seq(
+          "b0" -> docs.filter(col("doc_id") % 3 === 0),
+          "b2" -> docs.filter(col("doc_id") % 3 === 2),
+          "b3" -> docs.filter(col("doc_id") % 7 === 0)
+            .withColumn("text", concat(col("text"), lit(" rev")))), rules)
         LakeAudit.restoreTo(s, dir, targetSeq = 2L, restoreId = "r1",
           idCol = "doc_id", rules = rules)
         dir
@@ -2134,10 +2136,11 @@ object CorpusQueries extends QueryGroup {
           .select(col("doc_id"), col("source"), col("text"))
         val rules = Seq(LakeAudit.Rule("doc_id_not_null",
           col("doc_id").isNotNull))
-        LakeAudit.writeAuditPublish(s,
-          docs.filter(col("doc_id") % 3 === 0), dir, "b0", rules)
-        LakeAudit.writeAuditPublish(s,
-          docs.filter(col("doc_id") % 3 === 2), dir, "b2", rules)
+        // b0/b2 pipelined; the erasure, b3, and the restore each depend
+        // on the log state preceding them and stay sequential
+        LakeAudit.writeAuditPublishPipelined(s, dir, Seq(
+          "b0" -> docs.filter(col("doc_id") % 3 === 0),
+          "b2" -> docs.filter(col("doc_id") % 3 === 2)), rules)
         val ids = docs
           .filter((col("doc_id") % 3 === 0 || col("doc_id") % 3 === 2) &&
             col("doc_id") % 11 === 4)

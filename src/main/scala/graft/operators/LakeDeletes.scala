@@ -204,7 +204,13 @@ object LakeDeletes {
         fs.mkdirs(stage)
         val survivors = rowsBefore - hit
         if (survivors > 0L) {
-          val tmp = new Path(stage, s".tmp-${p.getName}")
+          // keyed by the FULL relative path (same scheme as the staged
+          // name): two candidate files sharing a base name in different
+          // subdirectories were safe sequentially (tmp deleted per
+          // iteration) but race in the pooled path — both threads would
+          // write into one tmp dir and stage each other's survivors
+          // (ADVICE r20)
+          val tmp = new Path(stage, s".tmp-${encodeDest(rel)}")
           df.filter(!idCond).coalesce(1)
             .write.mode("overwrite").parquet(tmp.toString)
           val part = fs.listStatus(tmp)
@@ -242,6 +248,16 @@ object LakeDeletes {
         // so callers keep seeing the original IOException)
         try futures.foreach(_.get())
         catch { case e: java.util.concurrent.ExecutionException =>
+          // quiesce before rethrowing: erase() must never throw with
+          // per-file work still in flight — the documented recovery is
+          // re-running erase (whose replayStaging would RACE an in-flight
+          // stage→commit and can delete the freshly replayed survivor
+          // file; ADVICE r20). Queued tasks are cancelled unstarted;
+          // already-running ones complete their own per-file protocol
+          // (each commits independently), bounded-awaited.
+          futures.foreach(_.cancel(false))
+          pool.shutdown()
+          pool.awaitTermination(600, java.util.concurrent.TimeUnit.SECONDS)
           throw e.getCause }
       } finally pool.shutdown()
     }

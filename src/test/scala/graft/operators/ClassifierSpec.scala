@@ -15,16 +15,23 @@ class ClassifierSpec extends SparkSpec {
     def key(r: org.apache.spark.sql.Row) = r.getLong(0) ->
       ((r.getBoolean(1), r.getBoolean(2), r.getLong(3), r.getLong(4),
         r.getBoolean(5)))
-    val fresh = CorpusOps.classifierScores(
+    val freshRows = CorpusOps.classifierScores(
         graft.Tables.documents(spark, sfDir), "doc_id",
         col("lang") === "en", 4096)
-      .collect().map(key).toMap
-    val memo1 = CorpusQueries.classifierScoresMemo(spark, sfDir)
-      .collect().map(key).toMap
-    val memo2 = CorpusQueries.classifierScoresMemo(spark, sfDir)
-      .collect().map(key).toMap
-    assert(memo1 == fresh)
-    assert(memo2 == fresh)
+      .collect()
+    val memo1Rows = CorpusQueries.classifierScoresMemo(spark, sfDir)
+      .collect()
+    val memo2Rows = CorpusQueries.classifierScoresMemo(spark, sfDir)
+      .collect()
+    // cardinality FIRST: the keyed-Map comparison below collapses
+    // duplicate rows (a double-write / overlapping part files in the memo
+    // parquet would hide behind identical per-key values — ADVICE r20,
+    // the round-10 Set.map gotcha in map form)
+    assert(memo1Rows.length == freshRows.length)
+    assert(memo2Rows.length == freshRows.length)
+    val fresh = freshRows.map(key).toMap
+    assert(memo1Rows.map(key).toMap == fresh)
+    assert(memo2Rows.map(key).toMap == fresh)
   }
 
   private def md5Prefix32(s: String): Long = {

@@ -37,7 +37,9 @@ class ConnectedComponentsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
   test("large-star/small-star equals min-label propagation on random graphs") {
-    for (seed <- 1 to 8) {
+    // 4 seeds (was 8): each seed pays a full iterated-rounds distributed
+    // run; four distinct random graphs keep the property coverage
+    for (seed <- 1 to 4) {
       val rnd = new scala.util.Random(seed)
       val n = 30
       val edges = Seq.fill(40)((rnd.nextInt(n).toLong + 1, rnd.nextInt(n).toLong + 1))
@@ -49,7 +51,7 @@ class ConnectedComponentsSpec extends SparkSpec {
   }
 
   test("runAdaptive equals run on BOTH sides of the driver-size threshold") {
-    for (seed <- 1 to 8) {
+    for (seed <- 1 to 4) {
       val rnd = new scala.util.Random(seed)
       val n = 30
       val edges = Seq.fill(40)((rnd.nextInt(n).toLong + 1, rnd.nextInt(n).toLong + 1))

@@ -65,7 +65,13 @@ class LakeAuditConcurrencySpec extends SparkSpec {
   private def driveContention(fs: org.apache.hadoop.fs.FileSystem,
       dir: String): Seq[LakeAudit.PublishEntry] = {
     val nThreads = 8
-    val perThread = 40
+    // 12 commits/thread (96 total): still past the 64-commit auto-
+    // checkpoint boundary the raw-log test asserts on, and the start
+    // barrier already maximizes genuine CAS collisions — the old 40/thread
+    // drive bought no extra assertion power for ~80 s of suite wall on the
+    // rename branch (every lost race re-reads the tail and re-stages a tmp
+    // file through RawLocalFileSystem).
+    val perThread = 12
     // a start barrier maximizes genuine tail collisions: every thread's
     // first commit proposes seq 1 simultaneously
     val gate = new java.util.concurrent.CountDownLatch(1)
@@ -124,8 +130,8 @@ class LakeAuditConcurrencySpec extends SparkSpec {
     assert(newestAuto >= n - LakeAudit.AutoCheckpointEvery,
       s"auto-checkpoint: newest covers $newestAuto of $n commits — " +
         "CAS retries on a hot log would pay O(entries) reads")
-    // the checkpoint lever, MEASURED on this 320-commit log: one
-    // checkpoint read replaces 320 entry reads
+    // the checkpoint lever, MEASURED on this n-commit log: one
+    // checkpoint read replaces n entry reads
     def timeMs(body: => Unit): Double = {
       val t = System.nanoTime(); body; (System.nanoTime() - t) / 1e6
     }

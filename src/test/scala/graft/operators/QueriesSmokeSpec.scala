@@ -10,9 +10,20 @@ class QueriesSmokeSpec extends SparkSpec {
     "q41_dedup_minhash_lsh", "q42_dedup_simhash", "q43_sim_ann_lsh",
     "q44_text_langid", "q47_text_rollinghash")
 
+  // schemas observed by the per-query smoke tests, reused by the atomic-
+  // columns sweep below so it does not re-CONSTRUCT all ~300 query frames
+  // (compose-time sizing jobs + planning made that sweep alone cost 95 s
+  // of the r20 suite wall). Suite-internal test order is declaration
+  // order, so the smoke tests populate this before the sweep reads it;
+  // a query missing from the map (single-test run) is constructed fresh.
+  private val seenSchemas = scala.collection.concurrent.TrieMap
+    .empty[String, org.apache.spark.sql.types.StructType]
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {
-      val n = fn(spark, sfDir).count()
+      val df = fn(spark, sfDir)
+      seenSchemas.put(name, df.schema)
+      val n = df.count()
       if (mustBeNonEmpty(name)) assert(n > 0, s"$name returned no rows")
       else assert(n >= 0)
     }
@@ -52,10 +63,11 @@ class QueriesSmokeSpec extends SparkSpec {
   test("every declared query's output columns are atomic (driver contract)") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
-        val bad = nonScalarFields(fn(spark, sfDir).schema)
+        val schema = seenSchemas.getOrElse(name, fn(spark, sfDir).schema)
+        val bad = nonScalarFields(schema)
         if (bad.isEmpty) Nil else Seq(s"$name -> ${bad.mkString(", ")}")
     }
-    // this sweep CONSTRUCTS and abandons every query frame: staged
+    // any query NOT covered above CONSTRUCTS and abandons its frame: staged
     // similarity operators persist their collapsed projection at
     // construction (jaccardAdaptive's sizing job even materializes it)
     // and release it on the first CONSUMING action — which never comes

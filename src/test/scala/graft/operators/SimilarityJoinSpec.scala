@@ -7,14 +7,30 @@ import org.apache.spark.sql.functions._
 /** Both exact τ-Jaccard join strategies must produce identical results. */
 class SimilarityJoinSpec extends SparkSpec {
 
+  /** One execution per side: every strategy outputs exactly
+    * (a_id: Long, b_id: Long, value: Double), so collecting each side ONCE
+    * and comparing sorted sequences is multiset equality — strictly
+    * stronger than the old `count() + except() + except()` pattern (set
+    * equality + cardinality), which re-executed BOTH pair pipelines three
+    * times each and owned 831 s of the 2704 s r20 suite wall. */
+  private def pairRows(df: org.apache.spark.sql.DataFrame)
+      : Seq[(Long, Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq.sorted
+
+  private def assertSamePairs(a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame, hint: String = ""): Unit = {
+    val (pa, pb) = (pairRows(a), pairRows(b))
+    assert(pa == pb, s"$hint: missing=${(pa.toSet -- pb.toSet).take(3)} " +
+      s"extra=${(pb.toSet -- pa.toSet).take(3)} (na=${pa.size}, nb=${pb.size})")
+  }
+
   test("postings-count and prefix-filter strategies agree (τ=0.8, sf0.001)") {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id").as("id"), col("source").as("block"),
         TextFunctions.tokenSet(col("text")).as("w"))
-    val a = SimilarityJoin.postingsCount(docs, 0.8)
-    val b = SimilarityJoin.prefixFilter(docs, 0.8)
-    assert(a.count() == b.count())
-    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+    assertSamePairs(SimilarityJoin.postingsCount(docs, 0.8),
+      SimilarityJoin.prefixFilter(docs, 0.8))
   }
 
   test("jaccardBlocked (hashed merge kernel) ≡ postingsCount (τ=0.8 and 0.5)") {
@@ -22,14 +38,13 @@ class SimilarityJoinSpec extends SparkSpec {
       .select(col("doc_id").as("id"), col("source").as("block"),
         TextFunctions.tokenSet(col("text")).as("w"))
     Seq(0.8, 0.5).foreach { tau =>
-      val a = SimilarityJoin.postingsCount(docs, tau)
+      val a = pairRows(SimilarityJoin.postingsCount(docs, tau))
       Seq(
         "blocked" -> SimilarityJoin.jaccardBlocked(docs, tau),
         "tiled" -> SimilarityJoin.jaccardBlockedTiled(docs, tau, 4),
         "adaptive" -> SimilarityJoin.jaccardAdaptive(docs, tau)
       ).foreach { case (name, b) =>
-        assert(a.count() == b.count(), s"tau=$tau $name")
-        assert(a.except(b).isEmpty && b.except(a).isEmpty, s"tau=$tau $name")
+        assert(a == pairRows(b), s"tau=$tau $name")
       }
     }
     // adaptive escalates on a giant block, identically to blocked
@@ -52,33 +67,29 @@ class SimilarityJoinSpec extends SparkSpec {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id").as("id"), col("source").as("block"),
         TextFunctions.tokenSet(col("text")).as("w"))
-    val a = SimilarityJoin.postingsCount(docs, 0.5)
-    val b = SimilarityJoin.prefixFilter(docs, 0.5)
-    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+    assertSamePairs(SimilarityJoin.postingsCount(docs, 0.5),
+      SimilarityJoin.prefixFilter(docs, 0.5))
   }
 
   test("overlap: postings and blocked strategies agree (τ=0.95, sf0.001)") {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id").as("id"), col("source").as("block"),
         TextFunctions.tokenSet(col("text")).as("w"))
-    val a = SimilarityJoin.overlapPostings(docs, 0.95)
-    val b = SimilarityJoin.overlapBlocked(docs, 0.95)
-    assert(a.count() == b.count() && a.count() > 0)
-    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+    val a = pairRows(SimilarityJoin.overlapPostings(docs, 0.95))
+    assert(a.nonEmpty)
+    assert(a == pairRows(SimilarityJoin.overlapBlocked(docs, 0.95)))
   }
 
   test("overlap: triangular tiling is row-identical to blocked, each pair exactly once") {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id").as("id"), col("source").as("block"),
         TextFunctions.tokenSet(col("text")).as("w"))
-    val base = SimilarityJoin.overlapBlocked(docs, 0.95)
+    val base = pairRows(SimilarityJoin.overlapBlocked(docs, 0.95))
     Seq(1, 3, 8).foreach { chunks =>
-      val tiled = SimilarityJoin.overlapBlockedTiled(docs, 0.95, chunks)
-      // exactly once: equal COUNT (duplicated pairs would inflate it even
-      // when the distinct sets agree) and equal content
-      assert(tiled.count() == base.count(), s"chunks=$chunks count")
-      assert(tiled.except(base).isEmpty && base.except(tiled).isEmpty,
-        s"chunks=$chunks content")
+      // exactly once: sequence equality covers both count (duplicated
+      // pairs would inflate it) and content
+      assert(pairRows(SimilarityJoin.overlapBlockedTiled(docs, 0.95, chunks))
+        == base, s"chunks=$chunks")
     }
   }
 
@@ -96,12 +107,10 @@ class SimilarityJoinSpec extends SparkSpec {
     ).toDF("id", "block", "w")
       .select(col("id"), col("block"), array_distinct(col("w")).as("w"))
     val naive = SimilarityJoin.overlapBlocked(docs, 0.95)
-    val staged = SimilarityJoin.stagedOverlapBlocked(spark, docs, 0.95)
-    assert(naive.count() == staged.count())
-    assert(naive.except(staged).isEmpty && staged.except(naive).isEmpty)
-    val pairs = staged.collect()
-      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
-        r.getAs[Double]("overlap"))).toSet
+    val stagedRows =
+      pairRows(SimilarityJoin.stagedOverlapBlocked(spark, docs, 0.95))
+    assert(pairRows(naive) == stagedRows)
+    val pairs = stagedRows.toSet
     assert(pairs.contains((1L, 2L, 1.0)), s"clique pair missing: $pairs")
     assert(pairs.contains((1L, 4L, 1.0)) && pairs.contains((2L, 4L, 1.0)),
       s"containment must fan out to both clique members: $pairs")
@@ -110,10 +119,8 @@ class SimilarityJoinSpec extends SparkSpec {
     val corpus = Tables.documents(spark, sfDir)
       .select(col("doc_id").as("id"), col("source").as("block"),
         TextFunctions.tokenSet(col("text")).as("w"))
-    val a = SimilarityJoin.overlapBlocked(corpus, 0.95)
-    val b = SimilarityJoin.stagedOverlapBlocked(spark, corpus, 0.95)
-    assert(a.count() == b.count())
-    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+    assertSamePairs(SimilarityJoin.overlapBlocked(corpus, 0.95),
+      SimilarityJoin.stagedOverlapBlocked(spark, corpus, 0.95))
   }
 
   test("all overlap strategies match an independent brute-force reference (seeded)") {
@@ -191,20 +198,16 @@ class SimilarityJoinSpec extends SparkSpec {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id").as("id"), col("source").as("block"),
         TextFunctions.tokenSet(col("text")).as("w"))
-    val a = SimilarityJoin.postingsCount(docs, 0.8)
-    val b = SimilarityJoin.stagedPostingsCount(spark, docs, 0.8)
-    assert(a.count() == b.count())
-    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+    assertSamePairs(SimilarityJoin.postingsCount(docs, 0.8),
+      SimilarityJoin.stagedPostingsCount(spark, docs, 0.8))
   }
 
   test("staged × prefix-filter composition is row-identical to naive (τ=0.8)") {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id").as("id"), col("source").as("block"),
         TextFunctions.tokenSet(col("text")).as("w"))
-    val a = SimilarityJoin.postingsCount(docs, 0.8)
-    val b = SimilarityJoin.stagedPrefixFilter(spark, docs, 0.8)
-    assert(a.count() == b.count())
-    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+    assertSamePairs(SimilarityJoin.postingsCount(docs, 0.8),
+      SimilarityJoin.stagedPrefixFilter(spark, docs, 0.8))
   }
 
   test("staged join handles null/empty sets and space-bearing elements exactly") {

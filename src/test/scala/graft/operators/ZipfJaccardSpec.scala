@@ -51,7 +51,11 @@ class ZipfJaccardSpec extends SparkSpec {
   }
 
   test("Zipf vocabulary: prefix-filter generates far fewer candidates than the postings join") {
-    val docs = zipfDocs(2000).persist()
+    // 1000 docs: the postings join's hot-token candidate volume is ~n²
+    // while the prefix filter's stays near-linear, so the asserted >5×
+    // ratio only GROWS with n — the old 2000-doc drive doubled nothing
+    // but the wall (candidates are compared, not wall-clock)
+    val docs = zipfDocs(1000).persist()
     docs.count()
     try {
       val (postPairs, postCands) =
@@ -68,14 +72,16 @@ class ZipfJaccardSpec extends SparkSpec {
   }
 
   test("dup-heavy Zipf corpus: staged × prefix beats each technique alone on candidates") {
-    // a web-corpus caricature: Zipfian vocabulary AND 30% boilerplate — 600
-    // of 2000 docs are exact copies of the first 200 base docs (3 dups each,
+    // a web-corpus caricature: Zipfian vocabulary AND 30% boilerplate — 300
+    // of 1000 docs are exact copies of the first 100 base docs (3 dups each,
     // so each dup group is a 4-doc clique). The postings join pays for both
     // pathologies, prefix-filter only fixes the hot tokens, the staged
-    // collapse only fixes the cliques; the composition fixes both.
-    val base = zipfDocs(1400)
-    val dups = spark.range(1401, 2001).select(col("id"),
-      ((col("id") - 1401) % 200 + 1).as("src"))
+    // collapse only fixes the cliques; the composition fixes both. (Halved
+    // from 2000 docs: every assertion is a candidate-count ratio, and both
+    // pathologies only sharpen with n.)
+    val base = zipfDocs(700)
+    val dups = spark.range(701, 1001).select(col("id"),
+      ((col("id") - 701) % 100 + 1).as("src"))
       .join(base.select(col("id").as("src"), col("block"), col("w")), "src")
       .select(col("id"), col("block"), col("w"))
     val docs = base.unionByName(dups).persist()
